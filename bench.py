@@ -1,0 +1,79 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a count() over the result (the driver
+collects separately; here we only need execution time, not transfer time).
+A warmup pass on sf0.001 primes the JVM/codegen so timings measure the
+engine, not startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # scan-heavy agg, joins, window, log-surface filters, LLM-pipeline ops
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q_window_top_orders",
+    "log_agg_by_label",
+    "log_time_bucket",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "sim_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from datafusion_loki_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+    names = [n for n in BENCH_QUERIES if n in queries]
+
+    # Warmup: run everything once at the smallest SF to amortize JVM/codegen.
+    for name in names:
+        try:
+            queries[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

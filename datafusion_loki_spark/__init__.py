@@ -1,0 +1,29 @@
+"""datafusion_loki_spark — a PySpark-native analytics engine with the
+capabilities of ``systemxlabs/datafusion-loki``.
+
+The reference is a DataFusion TableProvider for Grafana Loki
+(``/root/reference/datafusion-loki/src/table.rs``). Here the host engine is
+Spark SQL/Catalyst; the connector is a Python Data Source (format ``"loki"``)
+with an expression→LogQL pushdown translator; plan distribution is Spark's
+native task serialization (the reference's protobuf codec, ``src/codec.rs``,
+has no Spark analogue because the framework ships plans itself).
+
+Beyond the reference's surface the package provides an LLM-data-pipeline
+operator library (dedup, similarity search, text analysis, multimodal
+columns) designed for 100 TB scale.
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+
+def register_loki(spark) -> None:
+    """Register the ``loki`` data source format on a SparkSession.
+
+    Mirrors the reference's ``SessionContext::register_table`` step
+    (reference: datafusion-loki/examples/datafusion.rs:10-11).
+    """
+    from datafusion_loki_spark.sources.loki import LokiDataSource
+
+    spark.dataSource.register(LokiDataSource)

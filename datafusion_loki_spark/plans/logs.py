@@ -1,0 +1,185 @@
+"""The reference's query surface, re-expressed over the driver's ``events``
+table (``ts`` ≙ timestamp, ``event_type`` ≙ a label, ``props`` ≙ line —
+mapping per FIXTURES.md §2).
+
+Every query here mirrors a scenario the reference exercises end-to-end
+(reference: integration-tests/tests/table.rs:15-99, examples/datafusion.rs:20-32):
+full scan, projection, label equality, LIKE / regex line filters, timestamp
+range bounds, map-subscript access, and LIMIT. On real Loki data the same
+shapes run through the ``loki`` data source (sources/loki.py) with the
+filters pushed down as LogQL; here they run on parquet so the driver's
+DuckDB oracle can verify values.
+
+Scale notes: every filter below is sargable and reaches the parquet scan as
+a PushedFilter; projections prune columns at the reader. No shuffles except
+the explicit ORDER BY queries (which Spark executes as a TakeOrdered when
+LIMIT-bounded — no full sort at 100 TB).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_loki_spark.catalog import load_table
+from datafusion_loki_spark.functions import davg, dsum
+
+
+def log_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * FROM events (ref: integration-tests/tests/table.rs:15-27)."""
+    return load_table(spark, sf_dir, "events")
+
+
+def log_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT timestamp, line → SELECT ts, props (ref: tests/table.rs:29-41)."""
+    return load_table(spark, sf_dir, "events").select("ts", "props")
+
+
+def log_label_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """labels['app'] = 'x' ≙ event_type = 'error' (ref: tests/table.rs:59-78,
+    expr.rs:11-47 label-filter translation)."""
+    return load_table(spark, sf_dir, "events").where(F.col("event_type") == "error")
+
+
+def log_label_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """labels['app'] != 'x' → LogQL k!="v" (ref: expr.rs:38-39)."""
+    return load_table(spark, sf_dir, "events").where(F.col("event_type") != "click")
+
+
+def log_line_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line LIKE '%bbb%' → LogQL |= (ref: tests/table.rs:80-99, expr.rs:83-98)."""
+    return load_table(spark, sf_dir, "events").where(F.col("props").like('%"k": 8%'))
+
+
+def log_line_not_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line NOT LIKE '%x%' → LogQL != (ref: expr.rs:99-103)."""
+    return load_table(spark, sf_dir, "events").where(~F.col("props").like("%1%"))
+
+
+def log_line_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line ~ 'rx' → LogQL |~ (ref: expr.rs:63-71)."""
+    return load_table(spark, sf_dir, "events").where(F.col("props").rlike(r'"k": 1[0-9]\}'))
+
+
+def log_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp bounds → Loki start/end params (ref: expr.rs:114-152,
+    tests/table.rs:43-57)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("ts") >= F.lit("2024-02-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+
+
+def log_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT pushdown shape (ref: examples/datafusion.rs:27, scan.rs:131-146).
+    Ordered by the unique key so the result set is deterministic."""
+    return load_table(spark, sf_dir, "events").orderBy("event_id").limit(10)
+
+
+def log_map_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """labels['k'] extraction ≙ JSON key extraction from props
+    (ref: tests/table.rs:32,62 — map subscript on the labels column)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+def log_map_subscript_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE labels['k'] = 'v' shape (ref: expr.rs:11-47)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.get_json_object("props", "$.k").cast("int") > 90).select(
+        "event_id", "ts", "event_type", "props"
+    )
+
+
+def log_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND of label + time + line filters, the reference's flagship example
+    (ref: examples/datafusion.rs:20-32)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        & F.col("props").like("%9%")
+    )
+
+
+def log_agg_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-engine aggregation over the log table (post-scan GROUP BY —
+    the reference delegates this entirely to DataFusion; Spark supplies it)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def log_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event counts — the windowed-rollup shape a Loki user runs;
+    date_trunc keeps the groupBy key low-cardinality (shuffle-friendly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n"),
+        davg("value").alias("avg_value"),
+    )
+
+
+QUERIES = {
+    "log_full_scan": log_full_scan,
+    "log_projection": log_projection,
+    "log_label_eq": log_label_eq,
+    "log_label_ne": log_label_ne,
+    "log_line_like": log_line_like,
+    "log_line_not_like": log_line_not_like,
+    "log_line_regex": log_line_regex,
+    "log_time_range": log_time_range,
+    "log_limit": log_limit,
+    "log_map_subscript": log_map_subscript,
+    "log_map_subscript_filter": log_map_subscript_filter,
+    "log_conjunctive": log_conjunctive,
+    "log_agg_by_label": log_agg_by_label,
+    "log_time_bucket": log_time_bucket,
+}
+
+ORACLES = {
+    "log_full_scan": "SELECT * FROM events",
+    "log_projection": "SELECT ts, props FROM events",
+    "log_label_eq": "SELECT * FROM events WHERE event_type = 'error'",
+    "log_label_ne": "SELECT * FROM events WHERE event_type <> 'click'",
+    "log_line_like": "SELECT * FROM events WHERE props LIKE '%\"k\": 8%'",
+    "log_line_not_like": "SELECT * FROM events WHERE props NOT LIKE '%1%'",
+    "log_line_regex": r"SELECT * FROM events WHERE regexp_matches(props, '\"k\": 1[0-9]\}')",
+    "log_time_range": (
+        "SELECT * FROM events WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'"
+        " AND ts < TIMESTAMP '2024-04-01 00:00:00'"
+    ),
+    "log_limit": "SELECT * FROM events ORDER BY event_id LIMIT 10",
+    "log_map_subscript": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val"
+        " FROM events"
+    ),
+    "log_map_subscript_filter": (
+        "SELECT event_id, ts, event_type, props FROM events"
+        " WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90"
+    ),
+    "log_conjunctive": (
+        "SELECT * FROM events WHERE event_type = 'purchase'"
+        " AND ts >= TIMESTAMP '2024-01-15 00:00:00' AND props LIKE '%9%'"
+    ),
+    "log_agg_by_label": (
+        "SELECT event_type, COUNT(*) AS n_events,"
+        " CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,"
+        " COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+    ),
+    "log_time_bucket": (
+        "SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,"
+        " CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(value) AS avg_value"
+        " FROM events GROUP BY 1, 2"
+    ),
+}

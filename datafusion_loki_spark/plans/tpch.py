@@ -1,0 +1,451 @@
+"""Relational query surface over the driver's TPC-H-ish tables.
+
+The reference delegates ALL of this to host DataFusion (SURVEY.md §2.2) —
+joins, aggregation, windows, sorts, subqueries, set ops are not implemented
+by the crate. In the rebuild, Spark SQL/Catalyst supplies them; these
+queries pin the semantics and give the driver's DuckDB oracle a surface to
+verify, and bench.py uses the heavy ones as the throughput headline.
+
+Determinism: every money aggregate uses exact DECIMAL internally and casts
+the final value to DOUBLE (see functions/__init__.py) — double summation
+order is nondeterministic across engines/runs, decimal is not.
+
+Scale notes per query are inline. General posture:
+- dimension tables (region/nation/supplier/part at TPC-H scale ratios) are
+  broadcast — verified via explain() in tests/test_plans.py;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key, which AQE
+  re-plans at runtime;
+- every aggregate is partial-aggregated map-side by Spark automatically;
+- ORDER BY + LIMIT compiles to TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datafusion_loki_spark.catalog import load_table
+from datafusion_loki_spark.functions import RATE, davg, dec, dsum, one_minus, one_plus
+
+# SQL fragments mirroring the helpers, for the DuckDB oracles.
+_D = "DECIMAL(12,2)"
+_R = "DECIMAL(4,2)"
+_REVENUE = (
+    f"CAST(SUM(CAST(l_extendedprice AS {_D}) *"
+    f" (CAST(1 AS {_R}) - CAST(l_discount AS {_R}))) AS DOUBLE)"
+)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _revenue() -> F.Column:
+    return F.sum(dec("l_extendedprice") * one_minus("l_discount")).cast("double")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy aggregation on lineitem.
+
+    100 TB posture: single shuffle on a 6-value grouping key after map-side
+    partial aggregation — the reduce side moves only (6 groups × partials).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            _revenue().alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * one_minus("l_discount") * one_plus("l_tax"))
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", RATE).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS {_D})) AS DOUBLE) AS sum_base_price,
+       {_REVENUE} AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS {_D})
+                * (CAST(1 AS {_R}) - CAST(l_discount AS {_R}))
+                * (CAST(1 AS {_R}) + CAST(l_tax AS {_R}))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS {_D})) AS DOUBLE) / COUNT(l_extendedprice)
+         AS avg_price,
+       CAST(SUM(CAST(l_discount AS {_R})) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, revenue top-10.
+
+    100 TB posture: customer filter applied before the join (Catalyst pushes
+    it to the scan); customer side broadcasts at these scale ratios; the
+    orders⋈lineitem join shuffles on o_orderkey — the natural key both sides
+    can be bucketed on in a persisted layout. Top-10 via TakeOrdered.
+    """
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority, {_REVENUE} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through region→nation→(customer, supplier).
+
+    100 TB posture: region/nation/supplier broadcast (tiny at any SF);
+    the only shuffles are orders⋈lineitem and the final 1-row-per-nation agg.
+    """
+    re = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(cu, (od.o_custkey == cu.c_custkey) & (cu.c_nationkey == su.s_nationkey))
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+ORACLE_Q5 = f"""
+SELECT n_name, {_REVENUE} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, per customer, top 20."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {_REVENUE} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function surface: rank each customer's orders by totalprice,
+    keep top 3. row_number with a unique tiebreak → deterministic.
+
+    100 TB posture: one shuffle on o_custkey; the window is computed
+    per-partition after the hash exchange, no global sort.
+    """
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+ORACLE_WINDOW_TOP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window (unbounded preceding frame) per customer."""
+    od = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS {_D})) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+"""
+
+
+def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery surface: parts priced above their type's average.
+
+    Expressed as an aggregate+broadcast-join (what decorrelation produces).
+    The avg comparison is done as price*cnt > sum in exact decimal so the
+    boundary can't flip between engines.
+    """
+    pa = _t(spark, sf_dir, "part")
+    grp = pa.groupBy("p_type").agg(
+        F.sum(dec("p_retailprice")).alias("sum_price"),
+        F.count("p_retailprice").alias("cnt"),
+    )
+    return (
+        pa.join(F.broadcast(grp), "p_type")
+        .where(dec("p_retailprice") * F.col("cnt").cast("decimal(10,0)") > F.col("sum_price"))
+        .select("p_partkey", "p_name", "p_type", "p_retailprice")
+    )
+
+
+ORACLE_SUBQUERY = f"""
+WITH g AS (
+  SELECT p_type, SUM(CAST(p_retailprice AS {_D})) AS sum_price,
+         COUNT(p_retailprice) AS cnt
+  FROM part GROUP BY p_type
+)
+SELECT p_partkey, p_name, p.p_type, p_retailprice
+FROM part p JOIN g ON p.p_type = g.p_type
+WHERE CAST(p_retailprice AS {_D}) * CAST(cnt AS DECIMAL(10,0)) > sum_price
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: nations having customers but no suppliers
+    (EXCEPT), unioned with nations having both (INTERSECT)."""
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    only_cust = cu.subtract(su)  # subtract == SQL EXCEPT (set semantics)
+    both = cu.intersect(su)
+    return (
+        only_cust.withColumn("kind", F.lit("customer_only"))
+        .unionByName(both.withColumn("kind", F.lit("both")))
+    )
+
+
+ORACLE_SET_OPS = """
+SELECT nationkey, 'customer_only' AS kind FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'both' AS kind FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT SELECT s_nationkey FROM supplier)
+"""
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN pivot-style aggregation: order counts/value by status."""
+    od = _t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", dec("o_totalprice")).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        )
+        .cast("double")
+        .alias("finished_value"),
+    )
+
+
+ORACLE_CONDITIONAL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS {_D})
+                     ELSE CAST(0 AS {_D}) END) AS DOUBLE) AS finished_value
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING surface: customers with ≥ 15 orders."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+ORACLE_HAVING = f"""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {_D})) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+"""
+
+
+def q_anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join surface: customers with no orders (anti) counted
+    per nation alongside customers with orders (semi)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    with_orders = cu.join(od, cu.c_custkey == od.o_custkey, "left_semi")
+    without = cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+    return (
+        with_orders.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_active"))
+        .join(
+            without.groupBy("c_nationkey").agg(F.count("*").alias("n_inactive")),
+            "c_nationkey",
+            "full_outer",
+        )
+        .select(
+            "c_nationkey",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_inactive", F.lit(0)).alias("n_inactive"),
+        )
+    )
+
+
+ORACLE_ANTI_SEMI = """
+WITH active AS (
+  SELECT c_nationkey, COUNT(*) AS n_active FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY c_nationkey
+), inactive AS (
+  SELECT c_nationkey, COUNT(*) AS n_inactive FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY c_nationkey
+)
+SELECT COALESCE(a.c_nationkey, i.c_nationkey) AS c_nationkey,
+       COALESCE(n_active, 0) AS n_active,
+       COALESCE(n_inactive, 0) AS n_inactive
+FROM active a FULL OUTER JOIN inactive i ON a.c_nationkey = i.c_nationkey
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: ROLLUP over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("qty"))
+    )
+
+
+ORACLE_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q10_returned_items": q10_returned_items,
+    "q_window_top_orders": q_window_top_orders,
+    "q_window_running_sum": q_window_running_sum,
+    "q_subquery_above_avg": q_subquery_above_avg,
+    "q_set_ops": q_set_ops,
+    "q_conditional_agg": q_conditional_agg,
+    "q_having": q_having,
+    "q_anti_semi_join": q_anti_semi_join,
+    "q_rollup": q_rollup,
+}
+
+ORACLES = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_local_supplier_volume": ORACLE_Q5,
+    "q10_returned_items": ORACLE_Q10,
+    "q_window_top_orders": ORACLE_WINDOW_TOP,
+    "q_window_running_sum": ORACLE_WINDOW_RUNNING,
+    "q_subquery_above_avg": ORACLE_SUBQUERY,
+    "q_set_ops": ORACLE_SET_OPS,
+    "q_conditional_agg": ORACLE_CONDITIONAL,
+    "q_having": ORACLE_HAVING,
+    "q_anti_semi_join": ORACLE_ANTI_SEMI,
+    "q_rollup": ORACLE_ROLLUP,
+}

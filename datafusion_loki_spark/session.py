@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture: these configs are chosen so the same code runs on a
+1000-executor cluster against ~100 TB — AQE handles runtime re-planning
+(partition coalescing, skew-join splitting), broadcast joins are enabled
+with an explicit threshold, and Arrow makes the Python<->JVM boundary
+columnar. Tests run on local[N]; nothing here is local-mode specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "datafusion-loki-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime shuffle-partition coalescing + skew-join handling —
+        # the 100 TB insurance policy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Broadcast small dimension tables (region/nation/etc.).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for pandas UDFs / toPandas — vectorized Python boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The driver's events table is TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default; read the raw int64 nanos and convert ourselves
+        # (catalog.load_table does the ns→µs conversion).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read-side parallelism: keep file splits small enough that sf0.1
+        # still fans out across cores; on a real cluster the default 128 MB
+        # is fine, this only lowers the floor.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,35 @@
+"""Run every queries() entry against its DuckDB oracle at sf0.001 —
+the local mirror of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.parity import compare, duckdb_con
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_con(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_parity(name, spark, sf_dir, con):
+    df = _QUERIES[name](spark, sf_dir)
+    if name not in _ORACLES:
+        # rows-only check (driver does the same for non-SQL-expressible ops)
+        assert df.count() >= 0
+        return
+    ok, msg = compare(df, _ORACLES[name], con)
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

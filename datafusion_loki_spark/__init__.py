@@ -26,4 +26,6 @@ def register_loki(spark) -> None:
     """
     from datafusion_loki_spark.sources.loki import LokiDataSource
 
+    # Required for pushFilters to be consulted (off by default in Spark 4.1).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LokiDataSource)

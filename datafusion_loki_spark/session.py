@@ -42,6 +42,8 @@ def get_spark(
         # rejects by default; read the raw int64 nanos and convert ourselves
         # (catalog.load_table does the ns→µs conversion).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python data source filter pushdown (the loki reader's pushFilters).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Read-side parallelism: keep file splits small enough that sf0.1
         # still fans out across cores; on a real cluster the default 128 MB
         # is fine, this only lowers the floor.

@@ -1,0 +1,233 @@
+"""Spark-filter → LogQL translation (pure functions, no Spark session needed).
+
+This is the direct analogue of the reference's expression translator
+(reference: datafusion-loki/src/expr.rs:11-152) re-targeted at the filter
+objects Spark's Python Data Source API delivers to
+``DataSourceReader.pushFilters`` (pyspark.sql.datasource.Filter subclasses).
+
+Semantics mirrored from the reference:
+- label matchers  ``k="v"`` / ``k!="v"`` / ``k=~"rx"`` / ``k!~"rx"``
+  (expr.rs:11-47; null literal → empty string, expr.rs:34-35)
+- line filters    ``|= `x``` / ``!= `x``` / ``|~ `rx``` / ``!~ `rx```
+  with ``(?i)`` for case-insensitive (expr.rs:49-112; the reference only
+  pushes ``LIKE '%x%'``-shaped patterns — the gate at expr.rs:98 — which is
+  exactly Spark's ``StringContains``)
+- time bounds     ``timestamp <op> literal`` → start/end ns query params,
+  ``<`` vs ``<=`` indistinguishable, ``=`` unsupported (expr.rs:114-152)
+- query assembly  ``{m1, m2} f1 f2`` (table.rs:124-128) with the
+  default-label fallback ``{label=~".+"}`` (table.rs:55-58,116-122)
+
+Like the reference, translation is *conservative*: anything not exactly
+expressible in LogQL is left for Spark to evaluate post-scan (the same
+Exact/Unsupported split as table.rs:140-156 — filters we consume are not
+re-evaluated by Spark, so we only consume what LogQL matches exactly).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+SECONDS_30_DAYS = 30 * 24 * 60 * 60
+
+
+def current_timestamp_ns() -> int:
+    """≙ utils.rs:3-8."""
+    import time
+
+    return time.time_ns()
+
+
+def thirty_days_before_now_ns() -> int:
+    """Default scan window start (≙ utils.rs:10-12, scan.rs:107-111)."""
+    return current_timestamp_ns() - SECONDS_30_DAYS * 1_000_000_000
+
+
+def datetime_to_ns(dt: datetime) -> int:
+    """µs-precision datetime → ns epoch (Spark timestamps are µs; Loki wants
+    ns on the wire — SURVEY.md §7.4.1)."""
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000) * 1_000
+
+
+def _quote_label_value(value: str) -> str:
+    """Escape for a double-quoted LogQL string. The reference doesn't escape
+    (expr.rs:37-43); we do, which only widens the safe translatable set."""
+    return '"' + value.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def label_matcher(key: str, op: str, value: str | None) -> str:
+    """One stream-selector term (≙ expr.rs:11-47). op ∈ {=, !=, =~, !~}.
+    A None value becomes the empty string, as in expr.rs:34-35."""
+    if op not in ("=", "!=", "=~", "!~"):
+        raise ValueError(f"unsupported label op: {op}")
+    return f"{key}{op}{_quote_label_value(value if value is not None else '')}"
+
+
+def line_contains(text: str | None, negate: bool = False) -> str | None:
+    """LIKE '%x%' → ``|= `x``` ; NOT LIKE → ``!= `x``` (expr.rs:83-103).
+    Returns None (untranslatable) if the text contains a backtick — LogQL
+    raw strings cannot escape one."""
+    text = text if text is not None else ""
+    if "`" in text:
+        return None
+    return ("!= " if negate else "|= ") + f"`{text}`"
+
+
+def line_regex(rx: str | None, negate: bool = False, case_insensitive: bool = False) -> str | None:
+    """~ 'rx' → ``|~ `rx``` ; !~ → ``!~ `rx``` ; ILIKE adds ``(?i)``
+    (expr.rs:63-80,104-108)."""
+    rx = rx if rx is not None else ""
+    if "`" in rx:
+        return None
+    prefix = "(?i)" if case_insensitive else ""
+    return ("!~ " if negate else "|~ ") + f"`{prefix}{rx}`"
+
+
+def like_pattern_to_contains(pattern: str) -> str | None:
+    """The reference's LIKE gate (expr.rs:83-98): only ``%x%`` with no
+    inner ``%``/``_`` translates; everything else is unsupported."""
+    if (
+        len(pattern) >= 2
+        and pattern.startswith("%")
+        and pattern.endswith("%")
+    ):
+        inner = pattern[1:-1]
+        if "%" not in inner and "_" not in inner:
+            return inner
+    return None
+
+
+def build_logql(
+    label_matchers: list[str],
+    line_filters: list[str],
+    default_label: str | None = None,
+) -> str:
+    """Assemble ``{m1, m2} f1 f2`` (≙ table.rs:116-128). With no label
+    matcher, falls back to ``{default_label=~".+"}`` or raises — the same
+    error the reference produces (table.rs:118-121)."""
+    matchers = list(label_matchers)
+    if not matchers:
+        if default_label is None:
+            raise ValueError(
+                "no label filter pushed down and no default label configured"
+            )
+        matchers = [f'{default_label}=~".+"']
+    query = "{" + ", ".join(matchers) + "}"
+    if line_filters:
+        query += " " + " ".join(line_filters)
+    return query
+
+
+@dataclass
+class TranslationResult:
+    """Outcome of pushdown negotiation (≙ supports_filters_pushdown +
+    scan() partitioning of filters, table.rs:90-156)."""
+
+    label_matchers: list[str] = field(default_factory=list)
+    line_filters: list[str] = field(default_factory=list)
+    start_ns: int | None = None
+    end_ns: int | None = None
+    supported: list = field(default_factory=list)
+    unsupported: list = field(default_factory=list)
+
+    def query_params(self, default_label: str | None = None) -> dict:
+        """HTTP params with the reference's 30-day default window
+        (scan.rs:104-115)."""
+        start = self.start_ns if self.start_ns is not None else thirty_days_before_now_ns()
+        end = self.end_ns if self.end_ns is not None else current_timestamp_ns()
+        return {
+            "query": build_logql(self.label_matchers, self.line_filters, default_label),
+            "start": start,
+            "end": end,
+        }
+
+
+def _attr_name(attribute) -> str | None:
+    """Filter.attribute is a ColumnPath tuple; a top-level column is a
+    1-tuple. Nested (len>1) paths can't target our fixed schema's scalar
+    columns, so they're unsupported."""
+    if isinstance(attribute, str):
+        return attribute
+    if isinstance(attribute, (tuple, list)) and len(attribute) == 1:
+        return attribute[0]
+    return None
+
+
+def translate_filters(
+    filters,
+    ts_col: str = "timestamp",
+    line_col: str = "line",
+) -> TranslationResult:
+    """Translate Spark DS V2 filters into LogQL parts.
+
+    Handles the filter shapes Spark can deliver for the log schema:
+    - StringContains(line, x)        → ``|= `x```     (≙ LIKE '%x%' gate)
+    - Not(StringContains(line, x))   → ``!= `x```
+    - GreaterThan[OrEqual](ts, t)    → start bound    (≙ expr.rs:122-136)
+    - LessThan[OrEqual](ts, t)       → end bound      (≙ expr.rs:122-136)
+    Everything else is yielded back as unsupported, exactly like the
+    Unsupported arm of table.rs:150-154. Map-subscript label predicates
+    never reach pushFilters (Spark's filter language can't express them —
+    SURVEY.md §7.4.2); label selectors arrive via reader options instead.
+    """
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+        StringContains,
+    )
+
+    result = TranslationResult()
+    for f in filters:
+        translated = False
+        target = f.child if isinstance(f, Not) else f
+        negate = isinstance(f, Not)
+        attr = _attr_name(getattr(target, "attribute", None))
+
+        if isinstance(target, StringContains) and attr == line_col:
+            lf = line_contains(target.value, negate=negate)
+            if lf is not None:
+                result.line_filters.append(lf)
+                translated = True
+        elif (
+            not negate
+            and isinstance(target, (GreaterThan, GreaterThanOrEqual))
+            and attr == ts_col
+            and isinstance(target.value, datetime)
+        ):
+            # > and >= indistinguishable once ns-truncated (expr.rs:122-129)
+            ns = datetime_to_ns(target.value)
+            result.start_ns = ns if result.start_ns is None else max(result.start_ns, ns)
+            translated = True
+        elif (
+            not negate
+            and isinstance(target, (LessThan, LessThanOrEqual))
+            and attr == ts_col
+            and isinstance(target.value, datetime)
+        ):
+            ns = datetime_to_ns(target.value)
+            result.end_ns = ns if result.end_ns is None else min(result.end_ns, ns)
+            translated = True
+
+        (result.supported if translated else result.unsupported).append(f)
+    return result
+
+
+def parse_label_options(labels_option: str | None) -> list[str]:
+    """Reader option ``labels`` → stream-selector terms. Accepts either a
+    raw selector body (``app="x", env!="prod"``) or a JSON object of
+    key→value equality matchers. This is the §7.4.2(b) rewrite layer that
+    substitutes for map-subscript pushdown."""
+    if not labels_option:
+        return []
+    text = labels_option.strip()
+    if text.startswith("{"):
+        import json
+
+        obj = json.loads(text)
+        return [label_matcher(k, "=", v) for k, v in obj.items()]
+    return [t.strip() for t in text.split(",") if t.strip()]

@@ -1,0 +1,239 @@
+"""The ``loki`` Python Data Source: Spark's analogue of the reference's
+``LokiLogTable`` TableProvider + its two physical operators.
+
+Read path  ≙ LokiLogScanExec  (datafusion-loki/src/scan.rs:23-216)
+Write path ≙ LokiLogInsertExec (datafusion-loki/src/insert.rs:34-247)
+Pushdown   ≙ supports_filters_pushdown/scan (src/table.rs:90-156) via
+             ``pushFilters`` + the logql translator.
+Plan serde ≙ src/codec.rs — NOT needed: Spark pickles the reader and its
+             InputPartitions to executors natively (SURVEY.md §4.3).
+
+Options:
+  endpoint       Loki base URL (required)              ≙ table.rs:41
+  default_label  fallback stream selector label        ≙ table.rs:42,55-58
+  labels         selector terms or JSON equality map — the §7.4.2(b)
+                 substitute for map-subscript pushdown
+  start / end    ISO timestamps or epoch-ns bounds (optional)
+  limit          push LIMIT n into the HTTP request    ≙ scan.rs:131-146
+                 (Python DS API has no pushLimit hook yet — SURVEY.md §7.4.3)
+  partitions     split the time range into N parallel range queries.
+                 The reference hardcodes 1 partition (scan.rs:46,95-97);
+                 N time slices is the 100 TB scale path. Forced to 1 when
+                 a limit is pushed (limit semantics are global).
+
+Scale notes: each InputPartition is a plain-data (start_ns, end_ns) slice —
+pickled to an executor, which opens its own HTTP connection (no shared
+client state on the plan). At 1000 executors this fans out to 1000
+concurrent bounded range queries, which is exactly how Loki parallelizes
+reads server-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from datafusion_loki_spark.sources import client as loki_client
+from datafusion_loki_spark.sources import logql
+from datafusion_loki_spark.sources.schema import LOG_TABLE_SCHEMA
+
+
+def _parse_time_option(value: str | None) -> int | None:
+    """'2024-01-01 00:00:00' | ISO | epoch-ns int → epoch ns."""
+    if value is None or value == "":
+        return None
+    text = str(value).strip()
+    if text.lstrip("-").isdigit():
+        return int(text)
+    dt = datetime.fromisoformat(text)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000) * 1_000
+
+
+@dataclass
+class LokiRangePartition(InputPartition):
+    """One time slice of the scan — plain data, cheap to pickle."""
+
+    start_ns: int
+    end_ns: int
+
+
+class LokiDataSource(DataSource):
+    """format("loki") — registered via datafusion_loki_spark.register_loki."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "loki"
+
+    def schema(self) -> StructType:
+        # Fixed schema, like LOG_TABLE_SCHEMA (table.rs:31-37).
+        return LOG_TABLE_SCHEMA
+
+    def reader(self, schema: StructType) -> "LokiDataSourceReader":
+        return LokiDataSourceReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "LokiDataSourceWriter":
+        # Append-only, like the InsertOp::Append gate (table.rs:164-169).
+        if overwrite:
+            raise ValueError("loki data source only supports append mode")
+        return LokiDataSourceWriter(self.options)
+
+
+class LokiDataSourceReader(DataSourceReader):
+    def __init__(self, options):
+        self.endpoint = options.get("endpoint")
+        if not self.endpoint:
+            raise ValueError("loki reader requires option 'endpoint'")
+        self.default_label = options.get("default_label")
+        self.label_matchers = logql.parse_label_options(options.get("labels"))
+        self.option_start = _parse_time_option(options.get("start"))
+        self.option_end = _parse_time_option(options.get("end"))
+        self.limit = int(options["limit"]) if options.get("limit") else None
+        self.num_partitions = int(options.get("partitions", "1"))
+        if options.get("check_connection", "false").lower() == "true":
+            loki_client.check_connection(self.endpoint)
+        self.line_filters: list[str] = []
+        self.pushed_start: int | None = None
+        self.pushed_end: int | None = None
+
+    def pushFilters(self, filters):
+        """Exact-pushdown negotiation (≙ supports_filters_pushdown,
+        table.rs:140-156): consume what LogQL expresses exactly, yield the
+        rest back for Spark to evaluate post-scan."""
+        result = logql.translate_filters(filters)
+        self.line_filters = result.line_filters
+        self.pushed_start = result.start_ns
+        self.pushed_end = result.end_ns
+        yield from result.unsupported
+
+    def _time_range(self) -> tuple[int, int]:
+        """Filter bounds win over options; default = last 30 days
+        (≙ scan.rs:104-111, utils.rs:10-12)."""
+        start = self.pushed_start if self.pushed_start is not None else self.option_start
+        end = self.pushed_end if self.pushed_end is not None else self.option_end
+        if start is None:
+            start = logql.thirty_days_before_now_ns()
+        if end is None:
+            end = logql.current_timestamp_ns()
+        return start, end
+
+    def partitions(self):
+        start, end = self._time_range()
+        n = self.num_partitions
+        if self.limit is not None or n <= 1 or end <= start:
+            # limit is a global contract → single range query, like the
+            # reference's UnknownPartitioning(1) (scan.rs:46).
+            return [LokiRangePartition(start, end)]
+        step = (end - start) // n
+        cuts = [start + i * step for i in range(n)] + [end]
+        return [LokiRangePartition(cuts[i], cuts[i + 1]) for i in range(n)]
+
+    def read(self, partition: LokiRangePartition):
+        """Executor-side: one bounded range query → Arrow batches
+        (≙ LokiLogScanExec::execute + fetch_log_stream, scan.rs:90-216)."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        query = logql.build_logql(
+            self.label_matchers, self.line_filters, self.default_label
+        )
+        body = loki_client.query_range(
+            self.endpoint, query, partition.start_ns, partition.end_ns, self.limit
+        )
+        if not body:
+            return
+        reader = pq.ParquetFile(io.BytesIO(body))
+        # Stream in bounded batches like the reference's 4096-row decode
+        # (scan.rs:209); arrow slices are zero-copy.
+        for batch in reader.iter_batches(batch_size=4096):
+            ts = batch.column("timestamp")
+            if pa.types.is_timestamp(ts.type) and ts.type.unit == "ns":
+                # ns → µs for Spark TimestampType (SURVEY.md §7.4.1)
+                ts = ts.cast(pa.timestamp("us"), safe=False)
+            elif pa.types.is_integer(ts.type):
+                ts = (
+                    pa.compute.divide(ts, 1000)
+                    .cast(pa.int64())
+                    .cast(pa.timestamp("us"))
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ts, batch.column("labels"), batch.column("line")],
+                names=["timestamp", "labels", "line"],
+            )
+
+
+@dataclass
+class LokiCommitMessage(WriterCommitMessage):
+    """Per-task row count — aggregated in commit() to reproduce the
+    reference's single-row `count` result (insert.rs:104-140)."""
+
+    count: int
+
+
+class LokiDataSourceWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.endpoint = options.get("endpoint")
+        if not self.endpoint:
+            raise ValueError("loki writer requires option 'endpoint'")
+        self.batch_rows = int(options.get("batch_rows", "4096"))
+
+    def write(self, iterator) -> LokiCommitMessage:
+        """Rows → push JSON → POST, one request per buffered batch
+        (≙ LokiLogInsertExec stream drain, insert.rs:94-113,167-207).
+
+        The reference emits one stream object per row (insert.rs:186-206);
+        we group consecutive rows by identical label set into one stream —
+        same data, fewer JSON bytes (allowed: Loki's push contract is
+        per-stream batched values).
+        """
+        count = 0
+        streams: list[dict] = []
+        pending = 0
+
+        def flush():
+            nonlocal streams, pending
+            if streams:
+                loki_client.push(self.endpoint, streams)
+                streams = []
+                pending = 0
+
+        for row in iterator:
+            ts, labels, line = row[0], row[1], row[2]
+            if ts is None or labels is None or line is None:
+                raise ValueError(
+                    "loki writer requires non-null (timestamp, labels, line)"
+                )
+            ns = int(ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000) * 1_000
+            stream_labels = dict(labels)
+            value = [str(ns), line]
+            if streams and streams[-1]["stream"] == stream_labels:
+                streams[-1]["values"].append(value)
+            else:
+                streams.append({"stream": stream_labels, "values": [value]})
+            count += 1
+            pending += 1
+            if pending >= self.batch_rows:
+                flush()
+        flush()
+        return LokiCommitMessage(count=count)
+
+    def commit(self, messages) -> None:
+        total = sum(m.count for m in messages if m is not None)
+        # Spark's INSERT returns no rows (SURVEY.md §7.4.4); surface the
+        # count like the reference's count batch via a driver-side attribute.
+        self.last_commit_count = total
+
+    def abort(self, messages) -> None:
+        pass

@@ -1,0 +1,209 @@
+"""End-to-end tests of the ``loki`` data source against the in-process
+emulator — mirroring the reference's integration suite scenario-for-scenario
+(reference: integration-tests/tests/table.rs:15-218), plus pushdown
+assertions the reference only makes via plan serde."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+
+import pytest
+import pyspark.sql.functions as F
+
+from datafusion_loki_spark import register_loki
+from datafusion_loki_spark.sources.schema import LOG_TABLE_SCHEMA
+from tests.emulator import LokiEmulator
+
+NS = 1_000_000_000
+
+
+def _now_minus(minutes: int) -> int:
+    return time.time_ns() - minutes * 60 * NS
+
+
+@pytest.fixture(scope="module")
+def emulator():
+    em = LokiEmulator().start()
+    # Seed ≙ integration-tests/testdata/init.sql rows + server-added labels
+    # (tests/table.rs:21-22), extended per FIXTURES.md §1 guidance: ≥3 apps,
+    # spread timestamps, greppable substrings, one row with an extra key.
+    em.seed(
+        [
+            (_now_minus(50), {"app": "my-app1", "service_name": "my-app1"}, "this is aaa log"),
+            (_now_minus(40), {"app": "my-app2", "service_name": "my-app2"}, "this is bbb log"),
+            (_now_minus(30), {"app": "my-app2", "service_name": "my-app2"}, "user login ok"),
+            (_now_minus(20), {"app": "my-app3", "extra": "1"}, "user login failed"),
+            (_now_minus(10), {"app": "my-app3"}, "ccc trace line"),
+        ]
+    )
+    yield em
+    em.stop()
+
+
+@pytest.fixture()
+def loki_df(spark, emulator):
+    register_loki(spark)
+    return (
+        spark.read.format("loki")
+        .option("endpoint", emulator.endpoint)
+        .option("default_label", "app")
+    )
+
+
+def test_full_scan_via_default_label(loki_df, emulator):
+    # ≙ tests/table.rs:15-27 (scan with no filters → {app=~".+"})
+    df = loki_df.load()
+    rows = df.collect()
+    assert len(rows) == 5
+    assert emulator.queries[-1] == '{app=~".+"}'
+
+
+def test_schema_matches_reference(loki_df):
+    # ≙ the schema regression guard (tests/table.rs:175-218)
+    df = loki_df.load()
+    assert [f.name for f in df.schema.fields] == ["timestamp", "labels", "line"]
+    assert df.schema["labels"].dataType == LOG_TABLE_SCHEMA["labels"].dataType
+
+
+def test_projection(loki_df):
+    # ≙ tests/table.rs:29-41
+    rows = loki_df.load().select("line").collect()
+    assert sorted(r.line for r in rows)[0] == "ccc trace line"
+
+
+def test_label_equality_via_options(loki_df, emulator):
+    # ≙ tests/table.rs:59-78; map-subscript pushdown arrives via the
+    # labels option (SURVEY.md §7.4.2(b))
+    df = loki_df.option("labels", '{"app": "my-app2"}').load()
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r.labels["app"] == "my-app2" for r in rows)
+    assert emulator.queries[-1] == '{app="my-app2"}'
+
+
+def test_label_equality_no_match(loki_df):
+    # ≙ tests/table.rs:69-78 (empty result)
+    assert loki_df.option("labels", '{"app": "nope"}').load().count() == 0
+
+
+def test_label_filter_post_scan(loki_df):
+    # map-subscript predicate NOT pushed (stays in Spark) — correct result
+    df = loki_df.load().where(F.col("labels")["app"] == "my-app1")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].line == "this is aaa log"
+
+
+def test_line_like_pushdown(loki_df, emulator):
+    # ≙ tests/table.rs:80-99; Spark pushes LIKE '%bbb%' as StringContains
+    df = loki_df.load().where(F.col("line").like("%bbb%"))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].line == "this is bbb log"
+    assert "|= `bbb`" in emulator.queries[-1]
+
+
+def test_line_like_no_match(loki_df):
+    assert loki_df.load().where(F.col("line").like("%zzz%")).count() == 0
+
+
+def test_line_rlike_post_scan(loki_df):
+    # regex ops aren't in Spark's DS filter language → evaluated post-scan,
+    # still correct (the reference pushes them; semantics equal)
+    df = loki_df.load().where(F.col("line").rlike("login (ok|failed)"))
+    assert df.count() == 2
+
+
+def test_time_filter_pushdown(loki_df, emulator):
+    # ≙ tests/table.rs:43-57 (now() - interval window)
+    cutoff = datetime.fromtimestamp(_now_minus(35) / NS, tz=timezone.utc)
+    df = loki_df.load().where(F.col("timestamp") > F.lit(cutoff))
+    assert df.count() == 3  # rows at -30, -20, -10 minutes
+
+
+def test_limit_via_option(loki_df, emulator):
+    # limit reaches the HTTP request (≙ scan.rs:131-146); Python DS API has
+    # no pushLimit hook so it arrives as an option (SURVEY.md §7.4.3)
+    df = loki_df.option("limit", "2").load()
+    assert df.count() == 2
+
+
+def test_partitioned_scan_unions_time_slices(loki_df):
+    # the 100 TB scale path: N range queries instead of the reference's
+    # single partition (scan.rs:46,95-97)
+    df = loki_df.option("partitions", "3").load()
+    assert df.count() == 5
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_conjunctive_filters(loki_df, emulator):
+    # ≙ examples/datafusion.rs:20-32 (label + time + line in one WHERE)
+    cutoff = datetime.fromtimestamp(_now_minus(45) / NS, tz=timezone.utc)
+    df = (
+        loki_df.option("labels", '{"app": "my-app2"}')
+        .load()
+        .where((F.col("timestamp") > F.lit(cutoff)) & F.col("line").like("%login%"))
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].line == "user login ok"
+    assert emulator.queries[-1] == '{app="my-app2"} |= `login`'
+
+
+def test_insert_roundtrip(spark, emulator):
+    # ≙ insert path (tests/table.rs:144-173, init.sql): write via the
+    # writer, observe the rows via a fresh scan
+    register_loki(spark)
+    before = len(emulator.rows)
+    df = spark.createDataFrame(
+        [
+            (
+                datetime.now(timezone.utc).replace(tzinfo=None),
+                {"app": "inserted-app"},
+                "inserted line one",
+            ),
+            (
+                datetime.now(timezone.utc).replace(tzinfo=None),
+                {"app": "inserted-app"},
+                "inserted line two",
+            ),
+        ],
+        schema=LOG_TABLE_SCHEMA,
+    )
+    df.write.format("loki").mode("append").option("endpoint", emulator.endpoint).save()
+    assert len(emulator.rows) == before + 2
+    back = (
+        spark.read.format("loki")
+        .option("endpoint", emulator.endpoint)
+        .option("labels", '{"app": "inserted-app"}')
+        .load()
+    )
+    assert back.count() == 2
+
+
+def test_insert_rejects_overwrite(spark, emulator):
+    # ≙ InsertOp gating (table.rs:164-169)
+    register_loki(spark)
+    df = spark.createDataFrame(
+        [(datetime.now(), {"app": "x"}, "y")], schema=LOG_TABLE_SCHEMA
+    )
+    with pytest.raises(Exception, match="append|LowerCase|overwrite|not support"):
+        df.write.format("loki").mode("overwrite").option(
+            "endpoint", emulator.endpoint
+        ).save()
+
+
+def test_sql_surface_over_loki_view(spark, emulator):
+    # the reference's SQL entry point (examples/datafusion.rs:20-32) —
+    # register the scan as a view and query it with Spark SQL
+    register_loki(spark)
+    (
+        spark.read.format("loki")
+        .option("endpoint", emulator.endpoint)
+        .option("default_label", "app")
+        .load()
+        .createOrReplaceTempView("loki")
+    )
+    out = spark.sql(
+        "SELECT line FROM loki WHERE labels['app'] = 'my-app2' "
+        "AND line LIKE '%login%' LIMIT 2"
+    ).collect()
+    assert [r.line for r in out] == ["user login ok"]

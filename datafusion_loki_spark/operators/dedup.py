@@ -1,3 +1,341 @@
-"""placeholder — filled in this round."""
-QUERIES = {}
-ORACLES = {}
+"""Deduplication operators for LLM training-data pipelines (north-star
+extension per BASELINE.json; no reference analogue).
+
+Five families, each picked for a different scale/recall point:
+
+- exact (hash-groupBy)            one shuffle on a uniform md5 key
+- MinHash + LSH banding           near-dup candidates WITHOUT the O(n²)
+                                  pairwise join: shuffle on band keys only
+- SimHash (bit-majority)          single fingerprint per doc, hamming-
+                                  bucket candidates (see also tests)
+- n-gram Jaccard                  exact verify step, run only on LSH
+                                  candidates (or bucketed samples)
+- embedding cosine                near-dup in embedding space, bucketed
+
+Determinism contract: every hash is md5 (engine-portable); every float is
+either exact-int arithmetic or a sequential-fold dot product (verified
+bit-identical between Spark and DuckDB). No RNG anywhere.
+
+100 TB posture: nothing here materializes a pairwise cross product. Exact
+dedup shuffles once on the fingerprint; MinHash shuffles on band keys
+(bounded bucket sizes → AQE skew-join splits the rare hot bucket); the
+Jaccard verify joins only candidate pairs. All text math is codegen'd
+column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_loki_spark.catalog import load_table
+from datafusion_loki_spark.operators.text import _NORM_DUCK, _NORM_SPARK
+
+N_MINHASH = 8          # minhash signatures
+BAND_ROWS = 4          # rows per LSH band → 2 bands
+SHINGLE_N = 3          # word-shingle width
+
+
+# --- shared shingle/minhash expression builders (Spark + DuckDB twins) ------
+
+def _shingles_spark(norm: str = _NORM_SPARK) -> str:
+    toks = f"split({norm}, ' ')"
+    grams = (
+        f"transform(sequence(1, size({toks}) - {SHINGLE_N - 1}), "
+        f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i+1), "
+        f"element_at({toks}, i+2)))"
+    )
+    # guard: < N tokens → the whole text is the one shingle (sequence() would
+    # count backwards in Spark when size-2 < 1)
+    return f"array_distinct(if(size({toks}) >= {SHINGLE_N}, {grams}, array({norm})))"
+
+
+def _shingles_duck(norm: str = _NORM_DUCK) -> str:
+    toks = f"string_split({norm}, ' ')"
+    grams = (
+        f"list_transform(generate_series(1, len({toks}) - {SHINGLE_N - 1}), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])"
+    )
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {SHINGLE_N} THEN {grams} "
+        f"ELSE [{norm}] END)"
+    )
+
+
+def _minhash_spark(j: int) -> str:
+    return f"array_min(transform(shingles, s -> md5(concat('{j}:', s))))"
+
+
+def _minhash_duck(j: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))"
+
+
+def _bands_spark() -> list[str]:
+    out = []
+    for b in range(N_MINHASH // BAND_ROWS):
+        cols = ", ".join(f"mh{j}" for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS))
+        out.append(f"md5(concat({cols}))")
+    return out
+
+
+def _bands_duck() -> list[str]:
+    out = []
+    for b in range(N_MINHASH // BAND_ROWS):
+        cols = " || ".join(f"mh{j}" for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS))
+        out.append(f"md5({cols})")
+    return out
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: one group per distinct
+    content, keeping the smallest doc_id (deterministic survivor policy —
+    dropDuplicates keeps an arbitrary row, so we don't use it here).
+
+    100 TB posture: single shuffle on md5 (uniform key, no skew); map-side
+    partial MIN/COUNT means the shuffle carries one record per distinct
+    fingerprint per task."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(f"md5({_NORM_SPARK})").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5({_NORM_DUCK}) AS fingerprint,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by business key on the events stream: first event id and
+    multiplicity per (user_id, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count("*").alias("n_dupes"),
+    )
+
+
+ORACLE_DEDUP_EVENTS = """
+SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dupes
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + shingle set + N_MINHASH signatures + band keys."""
+    sig = docs.select(
+        "doc_id", F.expr(_shingles_spark()).alias("shingles")
+    )
+    for j in range(N_MINHASH):
+        sig = sig.withColumn(f"mh{j}", F.expr(_minhash_spark(j)))
+    for b, expr in enumerate(_bands_spark()):
+        sig = sig.withColumn(f"band{b}", F.expr(expr))
+    return sig
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs.
+
+    shingle(3-word) → 8 md5-minhashes → 2 bands of 4 → docs sharing any
+    band are candidates. Banding replaces the O(n²) similarity join with
+    per-band self-joins on exact keys — the standard web-scale near-dedup
+    layout (same shape as Spark MLlib's MinHashLSH approxSimilarityJoin,
+    rebuilt here with portable md5 hashing so the oracle can verify values).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).select(
+        "doc_id", *[f"band{b}" for b in range(N_MINHASH // BAND_ROWS)]
+    )
+    pairs = None
+    for b in range(N_MINHASH // BAND_ROWS):
+        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("k"))
+        c = sig.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("k"))
+        p = a.join(c, "k").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def _oracle_minhash() -> str:
+    mh_defs = ",\n       ".join(f"{_minhash_duck(j)} AS mh{j}" for j in range(N_MINHASH))
+    band_defs = ",\n       ".join(
+        f"{expr} AS band{b}" for b, expr in enumerate(_bands_duck())
+    )
+    unions = "\nUNION\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
+        f" ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(N_MINHASH // BAND_ROWS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles_duck()} AS shingles FROM documents
+), mh AS (
+  SELECT doc_id,
+       {mh_defs}
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+       {band_defs}
+  FROM mh
+)
+{unions}
+"""
+
+
+# --- n-gram Jaccard verify -----------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over LSH candidate pairs (the verify step of
+    the candidates→verify near-dedup pipeline). Joining back to the shingle
+    sets touches only candidate rows — never the full cross product."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(_shingles_spark()).alias("shingles"))
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "cast(size(array_intersect(sh_a, sh_b)) as double)"
+                " / size(array_union(sh_a, sh_b))"
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _oracle_ngram_jaccard() -> str:
+    return f"""
+WITH cand AS ({_oracle_minhash()}),
+sh AS (
+  SELECT doc_id, {_shingles_duck()} AS shingles FROM documents
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+FROM cand
+JOIN sh a ON cand.doc_a = a.doc_id
+JOIN sh b ON cand.doc_b = b.doc_id
+"""
+
+
+# --- embedding cosine near-dup ---------------------------------------------------
+
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0.0d, (acc, v) -> acc + v)"
+)
+_NORM2_SPARK = (
+    "aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+    " 0.0d, (acc, v) -> acc + v)"
+)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs: cosine ≥ threshold within `label`
+    buckets. The label is the coarse quantization cell (at 100 TB the
+    bucket would come from IVF/LSH — see similarity.py — but the join
+    topology is identical: self-join inside buckets only, never global).
+
+    Dot products fold sequentially → bit-identical in Spark and DuckDB
+    (verified), so raw doubles are oracle-safe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "label"
+    )
+    dot = _DOT_SPARK.format(a="emb_a", b="emb_b")
+    na = _NORM2_SPARK.format(a="emb_a")
+    nb = _NORM2_SPARK.format(a="emb_b")
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))"))
+        .where(F.col("cosine") >= 0.2)
+        .select("label", "id_a", "id_b", "cosine")
+    )
+
+
+_DOT_DUCK = (
+    "list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM2_DUCK = (
+    "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+ORACLE_DEDUP_EMBEDDING = f"""
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       {_DOT_DUCK.format(a='a.embedding', b='b.embedding')}
+         / (sqrt({_NORM2_DUCK.format(a='a.embedding')})
+            * sqrt({_NORM2_DUCK.format(a='b.embedding')})) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DOT_DUCK.format(a='a.embedding', b='b.embedding')}
+        / (sqrt({_NORM2_DUCK.format(a='a.embedding')})
+           * sqrt({_NORM2_DUCK.format(a='b.embedding')})) >= 0.2
+"""
+
+
+# --- SimHash (rows-only oracle: bit manipulation isn't portably SQL-exact) ------
+
+def simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprints: per-token md5-derived bit votes, majority per
+    bit position. Column-expression only (no UDF): bit b of token t =
+    parity of hex digit b of md5(t); fingerprint bit = 1 iff #votes > n/2.
+    Near-dup candidates = equal fingerprints (or small hamming distance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = f"split({_NORM_SPARK}, ' ')"
+    bit_cols = []
+    for b in range(bits):
+        # vote for bit b: count tokens whose md5 hex digit b is odd
+        votes = (
+            f"size(filter({toks}, t -> conv(substring(md5(t), {b + 1}, 1), 16, 10)"
+            f" % 2 = 1))"
+        )
+        bit_cols.append(f"if({votes} * 2 > size({toks}), '1', '0')")
+    fingerprint = "concat(" + ", ".join(bit_cols) + ")"
+    return docs.select("doc_id", F.expr(fingerprint).alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-equal candidate groups (rows-only driver check — the conv()
+    hex→int step has no exact DuckDB twin)."""
+    return (
+        simhash_docs(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .where(F.col("n_docs") >= 1)
+    )
+
+
+QUERIES = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_events_exact": dedup_events_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact_docs": ORACLE_DEDUP_EXACT,
+    "dedup_events_exact": ORACLE_DEDUP_EVENTS,
+    "dedup_minhash_lsh": _oracle_minhash(),
+    "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
+    # dedup_simhash: intentionally no oracle (rows-only check)
+}

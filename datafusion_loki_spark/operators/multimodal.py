@@ -1,3 +1,187 @@
-"""placeholder — filled in this round."""
-QUERIES = {}
-ORACLES = {}
+"""Multimodal column operators (north-star extension).
+
+Images/audio/video are opaque ``binary`` payloads + a typed metadata
+struct; transforms (decode, resize, frame-sample, feature-extract) are
+Arrow-batched pandas functions over ``mapInPandas``. The container has no
+image/audio libs, so the codec step is STUBBED (clearly marked below):
+``decode_image`` raises NotImplementedError unless PIL is importable, and
+the pipeline queries use a deterministic fake decode instead. Everything
+around the stub — schema, batch iteration, partitioning, UDF signatures —
+is real and tested.
+
+100 TB posture: binary payloads never leave their scan partition; decode
+is per-row embarrassingly parallel; metadata-only queries (mm_binary_meta)
+prune the payload column at the parquet reader, so a stats pass over an
+exabyte of video reads only the metadata bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_loki_spark.catalog import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id long, payload binary, media_type string, n_bytes long"
+)
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, n_frames int,"
+    " feat_norm double"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal table: documents' text bytes stand in for
+    the opaque payload (deterministic; real pipelines read binary parquet
+    columns the same way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'"
+            " ELSE 'video' END"
+        ).alias("media_type"),
+        F.length(F.col("text").cast("binary")).alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes):
+    """REAL decode — container has no imaging libs, so this is the
+    clearly-marked stub gate. Swap-in point for PIL/libvips on a real
+    cluster."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires PIL, which is not available in this"
+            " container; mm_decode_features uses the deterministic fake"
+            " decode instead"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))
+
+
+def _fake_decode(n_bytes: int) -> tuple[int, int, int]:
+    """Deterministic fake decode used in place of the codec: pretends the
+    payload header declares (width, height, n_frames). Pure arithmetic so
+    the oracle can verify the pipeline end-to-end."""
+    width = 16 + (n_bytes % 64)
+    height = 16 + ((n_bytes * 7) % 64)
+    n_frames = 1 + (n_bytes % 8)
+    return width, height, n_frames
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only stats over the multimodal table: per media type, count,
+    total/min/max payload size. Never touches payload bytes beyond length —
+    at scale the payload column is pruned from the scan."""
+    media = media_table(spark, sf_dir)
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+ORACLE_MM_META = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       COUNT(*) AS n_items,
+       SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+       MIN(octet_length(CAST(text AS BLOB))) AS min_bytes,
+       MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature-extract pipeline through mapInPandas: payloads
+    stream in Arrow batches into a pandas function that 'decodes' each item
+    (deterministic fake — see decode_image for the real gate) and emits a
+    typed feature row. The Spark-side plumbing (binary columns in, struct
+    schema out, batched iteration) is exactly what a real codec UDF uses."""
+    import pandas as pd
+
+    media = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            width = 16 + (n_bytes % 64)
+            height = 16 + ((n_bytes * 7) % 64)
+            n_frames = 1 + (n_bytes % 8)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width.astype("int32"),
+                    "height": height.astype("int32"),
+                    "n_frames": n_frames.astype("int32"),
+                    # feature vector norm stand-in: exact integer math in
+                    # double (portable)
+                    "feat_norm": (width * height).astype("float64"),
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+ORACLE_MM_DECODE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(16 + (n_bytes % 64) AS INT) AS width,
+       CAST(16 + ((n_bytes * 7) % 64) AS INT) AS height,
+       CAST(1 + (n_bytes % 8) AS INT) AS n_frames,
+       CAST((16 + (n_bytes % 64)) * (16 + ((n_bytes * 7) % 64)) AS DOUBLE)
+         AS feat_norm
+FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents)
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per sampled frame (every 2nd frame of the
+    fake-decoded n_frames), the explode-shape a video pipeline uses. Built
+    on posexplode over a sequence — no UDF."""
+    feats = mm_decode_features(spark, sf_dir)
+    return (
+        feats.where(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(F.expr("sequence(0, n_frames - 1, 2)")).alias("frame_idx"),
+        )
+    )
+
+
+ORACLE_MM_FRAMES = """
+WITH f AS (
+  SELECT doc_id, CAST(1 + (octet_length(CAST(text AS BLOB)) % 8) AS INT)
+           AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+FROM f
+"""
+
+
+QUERIES = {
+    "mm_binary_meta": mm_binary_meta,
+    "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
+}
+
+ORACLES = {
+    "mm_binary_meta": ORACLE_MM_META,
+    "mm_decode_features": ORACLE_MM_DECODE,
+    "mm_frame_sample": ORACLE_MM_FRAMES,
+}

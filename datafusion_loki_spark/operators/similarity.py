@@ -1,3 +1,253 @@
-"""placeholder — filled in this round."""
-QUERIES = {}
-ORACLES = {}
+"""Similarity search over embedding columns (north-star extension).
+
+Three tiers, trading recall for scan cost:
+
+- brute-force cosine top-k      exact; per-query linear scan
+- hyperplane LSH buckets        sub-linear candidates at 100 TB: vectors
+                                sharing an 8-bit signature land in one
+                                bucket; self-join inside buckets only
+- Arrow/pandas vectorized scan  the same brute-force math through numpy
+                                batch kernels (mapInPandas) — the shape
+                                used when the scoring fn isn't expressible
+                                in SQL (learned metrics, rerankers)
+
+Determinism: dot products are sequential folds (bit-identical Spark vs
+DuckDB, verified); LSH planes are ±1 constants derived from md5 at module
+load (no RNG), inlined into both the Spark expression and the oracle SQL.
+
+100 TB posture: queries are broadcast (a query set is small by
+definition); the corpus side never shuffles for brute-force scoring — the
+only exchange is the final per-query top-k (rows ≤ k × #partitions after
+partial filtering). LSH shuffles once on the signature key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datafusion_loki_spark.catalog import load_table
+
+N_PLANES = 8
+DIM = 64
+TOP_K = 3
+N_QUERIES = 5  # query set = vec_id < 5
+
+
+def _plane_sign(p: int, i: int) -> float:
+    """Deterministic ±1 from md5 — reproducible across engines/runs."""
+    h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+PLANES = [[_plane_sign(p, i) for i in range(DIM)] for p in range(N_PLANES)]
+
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0.0d, (acc, v) -> acc + v)"
+)
+_NORM2_SPARK = (
+    "aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+    " 0.0d, (acc, v) -> acc + v)"
+)
+_DOT_DUCK = (
+    "list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM2_DUCK = (
+    "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (vec_id < 5), the 3
+    nearest corpus vectors. The baseline every ANN variant is measured
+    against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    dot = _DOT_SPARK.format(a="q_emb", b="c_emb")
+    nq = _NORM2_SPARK.format(a="q_emb")
+    nc = _NORM2_SPARK.format(a="c_emb")
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(f"{dot} / (sqrt({nq}) * sqrt({nc}))"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+ORACLE_SIM_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         {_DOT_DUCK.format(a='q.q_emb', b='c.embedding')}
+           / (sqrt({_NORM2_DUCK.format(a='q.q_emb')})
+              * sqrt({_NORM2_DUCK.format(a='c.embedding')})) AS cosine
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _signature_spark(emb_col: str) -> str:
+    bits = []
+    for p in range(N_PLANES):
+        plane = "array(" + ", ".join(f"{v}D" for v in PLANES[p]) + ")"
+        dot = _DOT_SPARK.format(a=emb_col, b=plane)
+        bits.append(f"if({dot} >= 0, '1', '0')")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _signature_duck(emb_col: str) -> str:
+    bits = []
+    for p in range(N_PLANES):
+        plane = "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in PLANES[p]) + "]"
+        dot = _DOT_DUCK.format(a=emb_col, b=plane)
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 8-bit signature per vector →
+    bucket histogram. The scale path for ANN: at 100 TB candidates come
+    from one shuffle on the signature instead of a cross join; more planes
+    and multi-probe tighten recall without changing the topology."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("signature", F.expr(_signature_spark("embedding")))
+        .groupBy("signature")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+ORACLE_SIM_LSH = f"""
+SELECT {_signature_duck('embedding')} AS signature,
+       COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+"""
+
+
+def sim_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs + exact cosine refine — the end-to-end ANN
+    pipeline (bucket → pair inside bucket → exact verify)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.withColumn("signature", F.expr(_signature_spark("embedding")))
+    a = sig.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "signature"
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "signature"
+    )
+    dot = _DOT_SPARK.format(a="emb_a", b="emb_b")
+    na = _NORM2_SPARK.format(a="emb_a")
+    nb = _NORM2_SPARK.format(a="emb_b")
+    return (
+        a.join(b, "signature")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))"))
+        .select("signature", "id_a", "id_b", "cosine")
+    )
+
+
+ORACLE_SIM_LSH_CAND = f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {_signature_duck('embedding')} AS signature
+  FROM embeddings
+)
+SELECT a.signature AS signature, a.vec_id AS id_a, b.vec_id AS id_b,
+       {_DOT_DUCK.format(a='a.embedding', b='b.embedding')}
+         / (sqrt({_NORM2_DUCK.format(a='a.embedding')})
+            * sqrt({_NORM2_DUCK.format(a='b.embedding')})) AS cosine
+FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
+"""
+
+
+def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k through the Arrow/numpy path (mapInPandas): the
+    corpus streams through in Arrow batches, each scored against the
+    broadcast query matrix with one BLAS matmul, and only each batch's
+    local top-k survives to the final exact window — the pattern for
+    non-SQL scoring functions. Rows-only driver check (float sum order in
+    BLAS differs from SQL folds by design)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = [r.vec_id for r in q_rows]
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq = spark.sparkContext.broadcast(q_norm)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = mat @ bq.value.T  # (batch, nq)
+            out = []
+            for qi, qid in enumerate(bq_ids.value):
+                col = cos[:, qi]
+                mask = ids != qid
+                # local top-k per batch: global top-k is a superset join
+                take = min(TOP_K, mask.sum())
+                idx = np.argsort(-col[mask])[:take]
+                sel_ids = ids[mask][idx]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "cand_id": sel_ids,
+                            "cosine": col[mask][idx],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, cand_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "rank")
+    )
+
+
+QUERIES = {
+    "sim_topk_cosine": sim_topk_cosine,
+    "sim_lsh_buckets": sim_lsh_buckets,
+    "sim_lsh_candidates": sim_lsh_candidates,
+    "sim_topk_pandas": sim_topk_pandas,
+}
+
+ORACLES = {
+    "sim_topk_cosine": ORACLE_SIM_TOPK,
+    "sim_lsh_buckets": ORACLE_SIM_LSH,
+    "sim_lsh_candidates": ORACLE_SIM_LSH_CAND,
+    # sim_topk_pandas: rows-only (BLAS float order ≠ SQL fold order)
+}

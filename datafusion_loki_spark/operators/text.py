@@ -1,3 +1,263 @@
-"""placeholder — filled in this round."""
-QUERIES = {}
-ORACLES = {}
+"""Text-analysis operators for LLM training-data pipelines (north-star
+extension; no reference analogue — BASELINE.json requires these designed
+for 100 TB).
+
+Everything here is built-in-function Spark SQL (whole-stage codegen, no
+Python in the hot path): tokenization via split, stopword counts via array
+lambdas, fingerprints via md5. Each operator is a narrow projection over
+``documents`` → Catalyst prunes the scan to (doc_id, text[, lang]) only.
+All are embarrassingly parallel (no shuffle except the explicit GROUP BY in
+token_freq) — the plan shape is scan→project at any scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_loki_spark.catalog import load_table
+
+# Shared normalization: lowercase, collapse whitespace. The Spark and DuckDB
+# forms below MUST stay in lockstep — they are the two halves of the oracle
+# contract.
+_NORM_SPARK = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+_NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "und", "ist", "mit"),
+    "fr": ("le", "la", "et", "est", "avec"),
+    "es": ("el", "los", "y", "es", "con"),
+    "zh": ("的", "了", "是", "在", "和"),
+}
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation/stopword statistics.
+
+    token counting = whitespace split over normalized text; punctuation via
+    regex strip; stopword ratio via array-lambda filter (all codegen'd).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.expr("length(regexp_replace(text, '[^.,;:!?]', ''))").alias("n_punct"),
+        F.expr(
+            f"size(filter(split({_NORM_SPARK}, ' '), t -> t in ({_STOP_SQL})))"
+        ).alias("n_stopwords"),
+        F.expr(
+            f"cast(size(filter(split({_NORM_SPARK}, ' '), t -> t in ({_STOP_SQL}))) as double)"
+            f" / size(split({_NORM_SPARK}, ' '))"
+        ).alias("stop_ratio"),
+        F.expr(
+            f"cast(aggregate(split({_NORM_SPARK}, ' '), 0, (acc, t) -> acc + length(t)) as double)"
+            f" / size(split({_NORM_SPARK}, ' '))"
+        ).alias("avg_token_len"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       len(string_split({_NORM_DUCK}, ' ')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+       len(list_filter(string_split({_NORM_DUCK}, ' '), t -> t IN ({_STOP_SQL})))
+         AS n_stopwords,
+       CAST(len(list_filter(string_split({_NORM_DUCK}, ' '), t -> t IN ({_STOP_SQL})))
+            AS DOUBLE) / len(string_split({_NORM_DUCK}, ' ')) AS stop_ratio,
+       CAST(list_sum(list_transform(string_split({_NORM_DUCK}, ' '), t -> length(t)))
+            AS DOUBLE) / len(string_split({_NORM_DUCK}, ' ')) AS avg_token_len
+FROM documents
+"""
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: keep documents passing simple trainability heuristics
+    (length window, bounded punctuation density, token-length sanity) and
+    emit an integer quality score. The 100 TB story: this is a pure
+    filter+project — runs at scan speed, prunes data before any shuffle."""
+    stats = text_stats(spark, sf_dir)
+    return (
+        stats.withColumn(
+            "quality_score",
+            (
+                F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 40).otherwise(0)
+                + F.when(F.col("n_punct") * 10 <= F.col("n_tokens") * 3, 30).otherwise(0)
+                + F.when(
+                    (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0), 30
+                ).otherwise(0)
+            ),
+        )
+        .where(F.col("quality_score") >= 70)
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split({_NORM_DUCK}, ' ')) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         CAST(list_sum(list_transform(string_split({_NORM_DUCK}, ' '), t -> length(t)))
+              AS DOUBLE) / len(string_split({_NORM_DUCK}, ' ')) AS avg_token_len
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
+        + CASE WHEN n_punct * 10 <= n_tokens * 3 THEN 30 ELSE 0 END
+        + CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 30 ELSE 0 END)
+         AS quality_score
+FROM s
+WHERE (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
+       + CASE WHEN n_punct * 10 <= n_tokens * 3 THEN 30 ELSE 0 END
+       + CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 30 ELSE 0 END) >= 70
+"""
+
+
+def _lang_score_spark(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"size(filter(split({_NORM_SPARK}, ' '), t -> t in ({markers})))"
+
+
+def _lang_score_duck(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(string_split({_NORM_DUCK}, ' '), t -> t IN ({markers})))"
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic family): score each
+    language by its marker-token hits, argmax with a fixed precedence order
+    for ties. Pure column expressions — no UDF, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {lang: _lang_score_spark(lang) for lang in LANG_MARKERS}
+    score_cols = [F.expr(s).alias(f"score_{lang}") for lang, s in scores.items()]
+    langs = list(LANG_MARKERS)
+    # argmax with precedence = declaration order (en first on full tie)
+    best = "CASE "
+    for lang in langs:
+        others = [f"score_{o}" for o in langs if o != lang]
+        cond = " AND ".join(f"score_{lang} >= {o}" for o in others)
+        best += f"WHEN {cond} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return (
+        docs.select("doc_id", "lang", *score_cols)
+        .withColumn("predicted_lang", F.expr(best))
+        .select("doc_id", "lang", "predicted_lang", "score_en", "score_de")
+    )
+
+
+def _oracle_lang_id() -> str:
+    langs = list(LANG_MARKERS)
+    score_defs = ",\n       ".join(
+        f"{_lang_score_duck(lang)} AS score_{lang}" for lang in langs
+    )
+    best = "CASE "
+    for lang in langs:
+        others = [f"score_{o}" for o in langs if o != lang]
+        cond = " AND ".join(f"score_{lang} >= {o}" for o in others)
+        best += f"WHEN {cond} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+       {score_defs}
+  FROM documents
+)
+SELECT doc_id, lang, {best} AS predicted_lang, score_en, score_de FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (rolling-hash
+    family; md5 chosen because it is engine-portable and collision-adequate
+    for dedup keys). One scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5({_NORM_SPARK})").alias("fingerprint"),
+        F.expr(f"substring(md5({_NORM_SPARK}), 1, 8)").alias("bucket8"),
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+SELECT doc_id, md5({_NORM_DUCK}) AS fingerprint,
+       substring(md5({_NORM_DUCK}), 1, 8) AS bucket8
+FROM documents
+"""
+
+
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: explode normalized tokens, count, top-50.
+
+    100 TB posture: explode→groupBy(token) is map-side partially aggregated
+    (the vocabulary is tiny relative to the corpus), so the shuffle carries
+    one partial count per (task, token) — not one row per token instance.
+    Top-50 via TakeOrdered, no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+ORACLE_TOKEN_FREQ = f"""
+SELECT token, COUNT(*) AS freq FROM (
+  SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS token FROM documents
+)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 50
+"""
+
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (word pieces + digits + punct
+    runs, approximating a GPT-style pre-tokenizer) alongside whitespace
+    counts — the standard 'how many tokens is my corpus' pipeline query."""
+    docs = load_table(spark, sf_dir, "documents")
+    # pieces: letter runs, digit runs, single non-space-non-alnum chars
+    bpe_rx = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("ws_tokens"),
+        F.expr(
+            f"size(regexp_extract_all({_NORM_SPARK}, '{bpe_rx}', 0))"
+        ).alias("bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       len(string_split({_NORM_DUCK}, ' ')) AS ws_tokens,
+       len(regexp_extract_all({_NORM_DUCK}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_quality_filter": text_quality_filter,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "text_token_freq": text_token_freq,
+    "text_token_count_bpe": text_token_count_bpe,
+}
+
+ORACLES = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_quality_filter": ORACLE_TEXT_QUALITY,
+    "text_lang_id": _oracle_lang_id(),
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "text_token_freq": ORACLE_TOKEN_FREQ,
+    "text_token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
+}

@@ -1,0 +1,156 @@
+"""Structured Streaming pipeline operators.
+
+The reference's scan is bounded (EmissionType::Incremental +
+Boundedness::Bounded, datafusion-loki/src/scan.rs:47-48) — it has no
+streaming surface. Log stores are stream-shaped, so the rebuild adds the
+idiomatic Spark layer: readStream over the ``loki`` source (tail),
+watermarked windowed rollups for late data, stateful sessionization via
+``applyInPandasWithState``, and writeStream back into Loki.
+
+100 TB posture: windowed aggregation state is bounded by the watermark
+(late rows beyond 10 min are dropped, state evicted); sessionization state
+is per-user and timed out by the gap, so state size tracks active users,
+not history. Both shuffle once on their grouping key per micro-batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double,"
+    " props string"
+)
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp,"
+    " n_events int, total_value double"
+)
+
+SESSION_GAP_SECONDS = 30 * 60
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based micro-batch stream over the driver's events table (the
+    local stand-in for a Kafka/Loki tail; ts arrives as int64 nanos because
+    the parquet is TIMESTAMP(NANOS) — converted here like catalog.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def windowed_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour rollup per event_type with a 10-minute watermark —
+    the canonical late-data-tolerant streaming aggregation."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[Any], state: GroupState
+) -> Iterator[Any]:
+    """Gap-based session assembly for one user. State = (start_us, end_us,
+    n_events, total_value); a new event beyond the gap closes the session."""
+    import pandas as pd
+
+    (user_id,) = key
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    if state.exists:
+        start_us, end_us, n_events, total_value = state.get
+    else:
+        start_us = end_us = None
+        n_events, total_value = 0, 0.0
+
+    closed: list[tuple] = []
+    if state.hasTimedOut:
+        # event-time timer fired: the watermark passed end+gap, close it
+        if n_events:
+            closed.append((user_id, start_us, end_us, n_events, total_value))
+        state.remove()
+    else:
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, value in zip(rows["ts"], rows["value"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if start_us is None:
+                start_us, end_us = ts_us, ts_us
+                n_events, total_value = 1, float(value)
+            elif ts_us - end_us > gap_us:
+                closed.append((user_id, start_us, end_us, n_events, total_value))
+                start_us, end_us = ts_us, ts_us
+                n_events, total_value = 1, float(value)
+            else:
+                end_us = max(end_us, ts_us)
+                n_events += 1
+                total_value += float(value)
+        state.update((start_us, end_us, n_events, total_value))
+        # close via event-time: fires once the watermark passes end+gap
+        state.setTimeoutTimestamp(end_us // 1000 + SESSION_GAP_SECONDS * 1000)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                "n_events": [c[3] for c in closed],
+                "total_value": [c[4] for c in closed],
+            }
+        )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: gap-based sessions per user via
+    applyInPandasWithState. A session closes when the next event arrives
+    past the 30-min gap (in-batch evidence) or when the event-time
+    watermark passes session_end + gap (timer). Event-time timeout keeps
+    the operator deterministic and compatible with availableNow drains
+    (processing-time timers would hold the trigger hostage)."""
+    return (
+        events.select(F.col("ts").cast("timestamp"), "user_id", "value")
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType="start_us long, end_us long, n_events int, total_value double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> None:
+    """Drain a stream with availableNow into an in-memory table (test/bench
+    helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

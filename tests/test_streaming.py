@@ -1,0 +1,134 @@
+"""Streaming tests: loki tail source, loki streaming sink, watermarked
+windowed aggregation, stateful sessionization."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+import pyspark.sql.functions as F
+
+from datafusion_loki_spark import register_loki
+from datafusion_loki_spark.streaming import pipeline
+from tests.emulator import LokiEmulator
+
+NS = 1_000_000_000
+
+
+@pytest.fixture()
+def emulator():
+    em = LokiEmulator().start()
+    yield em
+    em.stop()
+
+
+def test_loki_stream_reader_tails_store(spark, emulator, tmp_path):
+    register_loki(spark)
+    t0 = time.time_ns() - 3600 * NS
+    emulator.seed(
+        [
+            (t0, {"app": "a"}, "one"),
+            (t0 + NS, {"app": "a"}, "two"),
+            (t0 + 2 * NS, {"app": "b"}, "three"),
+        ]
+    )
+    stream = (
+        spark.readStream.format("loki")
+        .option("endpoint", emulator.endpoint)
+        .option("default_label", "app")
+        .option("start", str(t0 - NS))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("loki_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM loki_tail").collect()
+    assert len(rows) == 3
+    assert sorted(r.line for r in rows) == ["one", "three", "two"]
+    assert rows[0].labels["app"] in ("a", "b")
+
+
+def test_loki_stream_writer_pushes(spark, emulator, tmp_path):
+    register_loki(spark)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("2026-01-01 00:00:00", "w-app", "streamed line %d" % i) for i in range(5)],
+        "ts string, app string, line string",
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts string, app string, line string")
+        .parquet(src)
+        .select(
+            F.col("ts").cast("timestamp").alias("timestamp"),
+            F.create_map(F.lit("app"), F.col("app")).alias("labels"),
+            F.col("line"),
+        )
+    )
+    q = (
+        stream.writeStream.format("loki")
+        .option("endpoint", emulator.endpoint)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(emulator.rows) == 5
+    assert all(r[1] == {"app": "w-app"} for r in emulator.rows)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    events = pipeline.events_file_stream(spark, sf_dir)
+    agg = pipeline.windowed_event_counts(events)
+    pipeline.run_to_memory(agg, "win_counts", spark)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # batch equivalent over the same file
+    from datafusion_loki_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("s"),
+        )
+        .select(F.col("win.start").alias("ws"), "event_type", "n", "s")
+        .collect()
+    )
+    expected = {(r.ws, r.event_type): (r.n, r.s) for r in batch}
+    # append mode withholds windows the watermark hasn't closed yet — the
+    # trailing window(s) stay in state after an availableNow drain
+    max_ws = max(k[0] for k in expected)
+    for k, v in got.items():
+        assert expected[k] == v
+    missing = set(expected) - set(got)
+    assert all(k[0] == max_ws for k in missing), f"non-trailing windows missing: {missing}"
+
+
+def test_sessionize_stateful(spark, sf_dir):
+    events = pipeline.events_file_stream(spark, sf_dir)
+    sessions = pipeline.sessionize(events)
+    pipeline.run_to_memory(sessions, "sessions", spark)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # closed sessions only (the final open session per user stays in state);
+    # every closed session must respect the gap invariant
+    assert all(r.n_events >= 1 for r in rows)
+    assert all(r.session_end >= r.session_start for r in rows)
+    # deterministic input → deterministic session set; sanity: users with
+    # >1 session have gaps > 30 min between them
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user_rows in by_user.values():
+        user_rows.sort(key=lambda r: r.session_start)
+        for a, b in zip(user_rows, user_rows[1:]):
+            gap = (b.session_start - a.session_end).total_seconds()
+            assert gap > pipeline.SESSION_GAP_SECONDS

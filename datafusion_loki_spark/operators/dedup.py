@@ -38,16 +38,28 @@ SHINGLE_N = 3          # word-shingle width
 
 # --- shared shingle/minhash expression builders (Spark + DuckDB twins) ------
 
-def _shingles_spark(norm: str = _NORM_SPARK) -> str:
-    toks = f"split({norm}, ' ')"
-    grams = (
-        f"transform(sequence(1, size({toks}) - {SHINGLE_N - 1}), "
-        f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i+1), "
-        f"element_at({toks}, i+2)))"
-    )
-    # guard: < N tokens → the whole text is the one shingle (sequence() would
-    # count backwards in Spark when size-2 < 1)
-    return f"array_distinct(if(size({toks}) >= {SHINGLE_N}, {grams}, array({norm})))"
+# The shingle transform must reference a materialized `toks` COLUMN, not an
+# inlined split(regexp_replace(...)) expression: every element_at() in the
+# lambda re-evaluates its argument, so inlining re-runs the regex+split per
+# shingle element (~50× per row). The two-level select is a projection
+# barrier — CollapseProject keeps multi-referenced non-cheap expressions in
+# their own projection, and the optimized plan carries exactly one split().
+_SHINGLES_FROM_TOKS = (
+    f"array_distinct(if(size(toks) >= {SHINGLE_N}, "
+    f"transform(sequence(1, size(toks) - {SHINGLE_N - 1}), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), "
+    "element_at(toks, i+2))), "
+    # < N tokens → the whole normalized text is the one shingle;
+    # concat_ws(' ', toks) == the normalized text (whitespace is collapsed)
+    "array(concat_ws(' ', toks))))"
+)
+
+
+def shingle_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles): distinct 3-word shingles of normalized text."""
+    return docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    ).select("doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles"))
 
 
 def _shingles_duck(norm: str = _NORM_DUCK) -> str:
@@ -62,20 +74,8 @@ def _shingles_duck(norm: str = _NORM_DUCK) -> str:
     )
 
 
-def _minhash_spark(j: int) -> str:
-    return f"array_min(transform(shingles, s -> md5(concat('{j}:', s))))"
-
-
 def _minhash_duck(j: int) -> str:
     return f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))"
-
-
-def _bands_spark() -> list[str]:
-    out = []
-    for b in range(N_MINHASH // BAND_ROWS):
-        cols = ", ".join(f"mh{j}" for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS))
-        out.append(f"md5(concat({cols}))")
-    return out
 
 
 def _bands_duck() -> list[str]:
@@ -131,16 +131,32 @@ GROUP BY user_id, event_type
 
 # --- MinHash + LSH ------------------------------------------------------------
 
+_N_BANDS = N_MINHASH // BAND_ROWS
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + shingle set + N_MINHASH signatures + band keys."""
-    sig = docs.select(
-        "doc_id", F.expr(_shingles_spark()).alias("shingles")
-    )
-    for j in range(N_MINHASH):
-        sig = sig.withColumn(f"mh{j}", F.expr(_minhash_spark(j)))
-    for b, expr in enumerate(_bands_spark()):
-        sig = sig.withColumn(f"band{b}", F.expr(expr))
-    return sig
+    """(doc_id, mh0..mh7, band0..band1).
+
+    Layout matters: higher-order-function lambdas (transform/array_min) are
+    CodegenFallback — md5 per shingle would run interpreted. Instead the
+    shingle array is EXPLODED to rows and the 8 minhashes become codegen'd
+    `min(md5(concat(j, ':', s)))` aggregates with map-side partial min, so
+    the groupBy(doc_id) shuffle carries one 8-hash row per doc. Hash values
+    are identical to the DuckDB oracle (md5('<j>:'||shingle); band =
+    md5(mh_a||mh_b||...))."""
+    ex = shingle_docs(docs).select("doc_id", F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    bands = [
+        F.md5(
+            F.concat(*[F.col(f"mh{j}") for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)])
+        ).alias(f"band{b}")
+        for b in range(_N_BANDS)
+    ]
+    return sig.select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)], *bands)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,21 +164,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle(3-word) → 8 md5-minhashes → 2 bands of 4 → docs sharing any
     band are candidates. Banding replaces the O(n²) similarity join with
-    per-band self-joins on exact keys — the standard web-scale near-dedup
-    layout (same shape as Spark MLlib's MinHashLSH approxSimilarityJoin,
-    rebuilt here with portable md5 hashing so the oracle can verify values).
+    band-key bucketing — the standard web-scale near-dedup layout (same
+    shape as Spark MLlib's MinHashLSH approxSimilarityJoin, rebuilt with
+    portable md5 hashing so the oracle can verify values).
+
+    100 TB posture: signatures are computed ONCE; one shuffle groups docs
+    by (band_idx, band_key); pairs are generated inside each bucket
+    (bucket sizes are bounded by banding, so the per-bucket k² explode is
+    small; a hot bucket is an AQE skew split, not a plan problem). A
+    per-band self-join + union would recompute the signature pipeline 4×.
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs).select(
-        "doc_id", *[f"band{b}" for b in range(N_MINHASH // BAND_ROWS)]
+        "doc_id",
+        F.posexplode(F.array(*[f"band{b}" for b in range(_N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
     )
-    pairs = None
-    for b in range(N_MINHASH // BAND_ROWS):
-        a = sig.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("k"))
-        c = sig.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("k"))
-        p = a.join(c, "k").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    buckets = sig.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    # ids sorted ascending → nested transform emits each unordered pair once
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
 
 def _oracle_minhash() -> str:
@@ -198,7 +230,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidates→verify near-dedup pipeline). Joining back to the shingle
     sets touches only candidate rows — never the full cross product."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.expr(_shingles_spark()).alias("shingles"))
+    sh = shingle_docs(docs)
     cand = dedup_minhash_lsh(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -298,17 +330,22 @@ def simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     parity of hex digit b of md5(t); fingerprint bit = 1 iff #votes > n/2.
     Near-dup candidates = equal fingerprints (or small hamming distance)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = f"split({_NORM_SPARK}, ' ')"
+    # tokens and the per-token md5 are materialized ONCE as columns (same
+    # projection-barrier reasoning as shingle_docs: the filter() lambdas
+    # would otherwise re-split and re-hash per bit position)
+    base = docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    ).select("doc_id", "toks", F.expr("transform(toks, t -> md5(t))").alias("hashes"))
     bit_cols = []
     for b in range(bits):
         # vote for bit b: count tokens whose md5 hex digit b is odd
         votes = (
-            f"size(filter({toks}, t -> conv(substring(md5(t), {b + 1}, 1), 16, 10)"
+            f"size(filter(hashes, h -> conv(substring(h, {b + 1}, 1), 16, 10)"
             f" % 2 = 1))"
         )
-        bit_cols.append(f"if({votes} * 2 > size({toks}), '1', '0')")
+        bit_cols.append(f"if({votes} * 2 > size(toks), '1', '0')")
     fingerprint = "concat(" + ", ".join(bit_cols) + ")"
-    return docs.select("doc_id", F.expr(fingerprint).alias("simhash"))
+    return base.select("doc_id", F.expr(fingerprint).alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,6 +55,22 @@ _SHINGLES_FROM_TOKS = (
 )
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Widen under-parallelized scans before hash-heavy map work.
+
+    A small single-file input arrives as ONE scan split (a sub-128MB parquet
+    usually has one row group, which maxPartitionBytes cannot subdivide), so
+    every downstream md5 would run on one core. Repartitioning by the
+    grouping key costs one narrow shuffle of the raw rows, and the later
+    groupBy on the same key REUSES the exchange — net extra shuffles: zero.
+    On a 100 TB input the scan already has thousands of splits and this is
+    a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *keys)
+    return df
+
+
 def shingle_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles): distinct 3-word shingles of normalized text."""
     return docs.select(
@@ -144,7 +160,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     the groupBy(doc_id) shuffle carries one 8-hash row per doc. Hash values
     are identical to the DuckDB oracle (md5('<j>:'||shingle); band =
     md5(mh_a||mh_b||...))."""
-    ex = shingle_docs(docs).select("doc_id", F.explode("shingles").alias("s"))
+    # explode_OUTER, deliberately: plain explode triggers
+    # InferFiltersFromGenerate, whose size(shingles)>0 filter gets
+    # predicate-pushed below the projection barrier with the whole shingle
+    # expression inlined — re-running the regex+split per element again.
+    # The rule skips outer generates; shingles always has ≥1 element, so
+    # outer changes nothing semantically.
+    ex = shingle_docs(_spread(docs, "doc_id")).select(
+        "doc_id", F.explode_outer("shingles").alias("s")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
         for j in range(N_MINHASH)
@@ -333,7 +357,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     # tokens and the per-token md5 are materialized ONCE as columns (same
     # projection-barrier reasoning as shingle_docs: the filter() lambdas
     # would otherwise re-split and re-hash per bit position)
-    base = docs.select(
+    base = _spread(docs, "doc_id").select(
         "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
     ).select("doc_id", "toks", F.expr("transform(toks, t -> md5(t))").alias("hashes"))
     bit_cols = []

@@ -202,7 +202,10 @@ def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token"))
+        # outer explode: avoids an InferFiltersFromGenerate filter that would
+        # re-evaluate the regex+split once more per row (split never yields
+        # null/empty, so outer is semantically identical)
+        docs.select(F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("token"))

@@ -306,21 +306,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology is identical: self-join inside buckets only, never global).
 
     Dot products fold sequentially → bit-identical in Spark and DuckDB
-    (verified), so raw doubles are oracle-safe."""
+    (verified), so raw doubles are oracle-safe. Vectors are unit-normalized
+    per ROW first (similarity.unit_embeddings), so each pair costs one dot
+    instead of dot + two norm aggregates — pair count dwarfs row count."""
+    from datafusion_loki_spark.operators.similarity import unit_embeddings
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "label"
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "label"
-    )
-    dot = _DOT_SPARK.format(a="emb_a", b="emb_b")
-    na = _NORM2_SPARK.format(a="emb_a")
-    nb = _NORM2_SPARK.format(a="emb_b")
+    u = unit_embeddings(emb, "vec_id", "label")
+    a = u.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("u_a"), "label")
+    b = u.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("u_b"), "label")
     return (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))"))
+        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="u_a", b="u_b")))
         .where(F.col("cosine") >= 0.2)
         .select("label", "id_a", "id_b", "cosine")
     )
@@ -334,15 +332,15 @@ _NORM2_DUCK = (
     "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 )
 
-ORACLE_DEDUP_EMBEDDING = f"""
-SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-       {_DOT_DUCK.format(a='a.embedding', b='b.embedding')}
-         / (sqrt({_NORM2_DUCK.format(a='a.embedding')})
-            * sqrt({_NORM2_DUCK.format(a='b.embedding')})) AS cosine
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_DOT_DUCK.format(a='a.embedding', b='b.embedding')}
-        / (sqrt({_NORM2_DUCK.format(a='a.embedding')})
-           * sqrt({_NORM2_DUCK.format(a='b.embedding')})) >= 0.2
+def _oracle_dedup_embedding() -> str:
+    from datafusion_loki_spark.operators.similarity import _unit_duck_cte
+
+    dot = _DOT_DUCK.format(a="a.unit", b="b.unit")
+    return f"""
+WITH u AS ({_unit_duck_cte('label')})
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, {dot} AS cosine
+FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {dot} >= 0.2
 """
 
 
@@ -397,6 +395,6 @@ ORACLES = {
     "dedup_events_exact": ORACLE_DEDUP_EVENTS,
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
-    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
+    "dedup_embedding_cosine": _oracle_dedup_embedding(),
     # dedup_simhash: intentionally no oracle (rows-only check)
 }

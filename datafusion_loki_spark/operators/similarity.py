@@ -61,22 +61,50 @@ _NORM2_DUCK = (
 )
 
 
+def unit_embeddings(emb: DataFrame, id_alias: str, *extra: str) -> DataFrame:
+    """(id, *extra, unit, nrm): embedding scaled to unit length, per ROW.
+
+    Pairwise cosine then needs ONE interpreted-HOF dot per pair instead of
+    three (dot + two norms) — norms are a row-level pass, and pair counts
+    dwarf row counts in any self-join. `nrm` stays in the output on
+    purpose: the second reference keeps CollapseProject from inlining the
+    norm aggregate into the division lambda (which would re-sum the vector
+    per ELEMENT). Mirrored exactly by _unit_duck_cte for the oracles —
+    same IEEE ops in the same sequential fold order → bit-identical."""
+    n2 = _NORM2_SPARK.format(a="embedding")
+    return emb.select(
+        F.col("vec_id").alias(id_alias), *extra, "embedding",
+        F.expr(f"sqrt({n2})").alias("nrm"),
+    ).select(
+        id_alias, *extra,
+        F.expr("transform(embedding, x -> cast(x as double) / nrm)").alias("unit"),
+        "nrm",
+    )
+
+
+def _unit_duck_cte(*extra: str) -> str:
+    cols = ", ".join(("vec_id",) + extra)
+    n2 = _NORM2_DUCK.format(a="embedding")
+    return (
+        f"SELECT {cols}, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit "
+        f"FROM (SELECT *, sqrt({n2}) AS nrm FROM embeddings) b"
+    )
+
+
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: for each query vector (vec_id < 5), the 3
     nearest corpus vectors. The baseline every ANN variant is measured
     against."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = unit_embeddings(emb.where(F.col("vec_id") < N_QUERIES), "query_id").select(
+        "query_id", F.col("unit").alias("q_unit")
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
-    dot = _DOT_SPARK.format(a="q_emb", b="c_emb")
-    nq = _NORM2_SPARK.format(a="q_emb")
-    nc = _NORM2_SPARK.format(a="c_emb")
+    c = unit_embeddings(emb, "cand_id").select("cand_id", F.col("unit").alias("c_unit"))
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine", F.expr(f"{dot} / (sqrt({nq}) * sqrt({nc}))"))
+        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="q_unit", b="c_unit")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -87,14 +115,12 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SIM_TOPK = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-           WHERE vec_id < {N_QUERIES}),
+WITH u AS ({_unit_duck_cte()}),
+q AS (SELECT vec_id AS query_id, unit AS q_unit FROM u WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, c.vec_id AS cand_id,
-         {_DOT_DUCK.format(a='q.q_emb', b='c.embedding')}
-           / (sqrt({_NORM2_DUCK.format(a='q.q_emb')})
-              * sqrt({_NORM2_DUCK.format(a='c.embedding')})) AS cosine
-  FROM q CROSS JOIN embeddings c
+         {_DOT_DUCK.format(a='q.q_unit', b='c.unit')} AS cosine
+  FROM q CROSS JOIN u c
   WHERE c.vec_id != q.query_id
 )
 SELECT query_id, cand_id, cosine, rank FROM (
@@ -148,33 +174,30 @@ def sim_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs + exact cosine refine — the end-to-end ANN
     pipeline (bucket → pair inside bucket → exact verify)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = emb.withColumn("signature", F.expr(_signature_spark("embedding")))
+    sig = unit_embeddings(emb, "vec_id").withColumn(
+        "signature", F.expr(_signature_spark("unit"))
+    )
     a = sig.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "signature"
+        F.col("vec_id").alias("id_a"), F.col("unit").alias("u_a"), "signature"
     )
     b = sig.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "signature"
+        F.col("vec_id").alias("id_b"), F.col("unit").alias("u_b"), "signature"
     )
-    dot = _DOT_SPARK.format(a="emb_a", b="emb_b")
-    na = _NORM2_SPARK.format(a="emb_a")
-    nb = _NORM2_SPARK.format(a="emb_b")
     return (
         a.join(b, "signature")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))"))
+        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="u_a", b="u_b")))
         .select("signature", "id_a", "id_b", "cosine")
     )
 
 
 ORACLE_SIM_LSH_CAND = f"""
-WITH sig AS (
-  SELECT vec_id, embedding, {_signature_duck('embedding')} AS signature
-  FROM embeddings
+WITH u AS ({_unit_duck_cte()}),
+sig AS (
+  SELECT vec_id, unit, {_signature_duck('unit')} AS signature FROM u
 )
 SELECT a.signature AS signature, a.vec_id AS id_a, b.vec_id AS id_b,
-       {_DOT_DUCK.format(a='a.embedding', b='b.embedding')}
-         / (sqrt({_NORM2_DUCK.format(a='a.embedding')})
-            * sqrt({_NORM2_DUCK.format(a='b.embedding')})) AS cosine
+       {_DOT_DUCK.format(a='a.unit', b='b.unit')} AS cosine
 FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
 """
 

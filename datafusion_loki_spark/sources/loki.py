@@ -73,6 +73,19 @@ class LokiRangePartition(InputPartition):
 class LokiDataSource(DataSource):
     """format("loki") — registered via datafusion_loki_spark.register_loki."""
 
+    # Endpoint-bound subclasses (register_loki_endpoint) place their
+    # connection options here: pyspark 4.1 does not forward CREATE TABLE
+    # OPTIONS to Python data sources, and class attributes DO survive the
+    # cloudpickle trip to executors — making `CREATE TABLE ... USING
+    # <name>` + SQL INSERT/SELECT work, which is the reference's SQL entry
+    # point (examples/datafusion.rs:10-14, init.sql).
+    _default_options: dict = {}
+
+    def __init__(self, options):
+        merged = dict(self._default_options)
+        merged.update(options or {})
+        super().__init__(merged)
+
     @classmethod
     def name(cls) -> str:
         return "loki"

@@ -191,6 +191,35 @@ def test_insert_rejects_overwrite(spark, emulator):
         ).save()
 
 
+def test_sql_ddl_insert_select(spark, tmp_path):
+    # ≙ the full SQL entry point: CREATE TABLE + INSERT INTO ... VALUES
+    # (current_timestamp(), map literal, line) + filtered SELECT — the
+    # Spark spelling of examples/datafusion.rs:10-32 and init.sql:1-2
+    # (Spark's map literal is map('k','v'), SURVEY.md §7.4.4). Uses an
+    # endpoint-BOUND registration because pyspark 4.1 drops CREATE TABLE
+    # OPTIONS for Python data sources.
+    from datafusion_loki_spark import register_loki_endpoint
+
+    em = LokiEmulator().start()
+    try:
+        register_loki_endpoint(spark, "loki_bound", em.endpoint, default_label="app")
+        spark.sql("CREATE TABLE logs_sql_ddl USING loki_bound")
+        spark.sql(
+            "INSERT INTO logs_sql_ddl VALUES "
+            "(current_timestamp(), map('app','sql-app1'), 'this is aaa log'), "
+            "(current_timestamp(), map('app','sql-app2'), 'this is bbb log')"
+        )
+        assert len(em.rows) == 2
+        out = spark.sql(
+            "SELECT line FROM logs_sql_ddl WHERE labels['app'] = 'sql-app2'"
+        ).collect()
+        assert [r.line for r in out] == ["this is bbb log"]
+        assert spark.sql("SELECT count(*) AS n FROM logs_sql_ddl").collect()[0].n == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS logs_sql_ddl")
+        em.stop()
+
+
 def test_sql_surface_over_loki_view(spark, emulator):
     # the reference's SQL entry point (examples/datafusion.rs:20-32) —
     # register the scan as a view and query it with Spark SQL

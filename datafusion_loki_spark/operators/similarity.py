@@ -202,6 +202,74 @@ FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
 """
 
 
+_N_CELLS_PER_DIM = 4  # coarse grid resolution → up to 8×8 cells on dims 1-2
+
+
+def _cell_spark(unit_col: str) -> str:
+    """Coarse IVF cell id: quantize the first two unit-vector coordinates
+    onto a fixed grid. Deterministic and SQL-portable (no trained k-means),
+    which keeps the oracle exact; a production IVF swaps this for learned
+    centroids without changing the query topology."""
+    c1 = f"cast(floor(element_at({unit_col}, 1) * {_N_CELLS_PER_DIM}) as int)"
+    c2 = f"cast(floor(element_at({unit_col}, 2) * {_N_CELLS_PER_DIM}) as int)"
+    return f"concat({c1}, ':', {c2})"
+
+
+def _cell_duck(unit_col: str) -> str:
+    c1 = f"CAST(floor({unit_col}[1] * {_N_CELLS_PER_DIM}) AS INT)"
+    c2 = f"CAST(floor({unit_col}[2] * {_N_CELLS_PER_DIM}) AS INT)"
+    return f"{c1} || ':' || {c2}"
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style cell-probe ANN: vectors are partitioned into coarse cells;
+    each query scores ONLY its own cell's inverted list. The second scale
+    path next to hyperplane LSH — at 100 TB the corpus shuffles once on
+    cell id (or is written bucketed by it) and a query touches one cell's
+    worth of vectors instead of the full corpus. Recall is traded at cell
+    boundaries (multi-probe of neighboring cells is the standard remedy
+    and keeps the same plan shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = unit_embeddings(emb, "vec_id")
+    cells = u.select("vec_id", "unit", F.expr(_cell_spark("unit")).alias("cell"))
+    q = cells.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit"), "cell"
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="q_unit", b="unit")))
+        .select("query_id", F.col("vec_id").alias("cand_id"), "cell", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cell", "cosine", "rank")
+    )
+
+
+ORACLE_SIM_IVF = f"""
+WITH u AS ({_unit_duck_cte()}),
+cells AS (
+  SELECT vec_id, unit, {_cell_duck('unit')} AS cell FROM u
+),
+q AS (SELECT vec_id AS query_id, unit AS q_unit, cell FROM cells
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id, c.cell,
+         {_DOT_DUCK.format(a='q.q_unit', b='c.unit')} AS cosine
+  FROM q JOIN cells c ON q.cell = c.cell
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, cand_id, cell, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k through the Arrow/numpy path (mapInPandas): the
     corpus streams through in Arrow batches, each scored against the
@@ -265,6 +333,7 @@ QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_candidates": sim_lsh_candidates,
+    "sim_ivf_topk": sim_ivf_topk,
     "sim_topk_pandas": sim_topk_pandas,
 }
 
@@ -272,5 +341,6 @@ ORACLES = {
     "sim_topk_cosine": ORACLE_SIM_TOPK,
     "sim_lsh_buckets": ORACLE_SIM_LSH,
     "sim_lsh_candidates": ORACLE_SIM_LSH_CAND,
+    "sim_ivf_topk": ORACLE_SIM_IVF,
     # sim_topk_pandas: rows-only (BLAS float order ≠ SQL fold order)
 }

@@ -113,6 +113,25 @@ def test_windowed_counts_match_batch(spark, sf_dir):
     assert all(k[0] == max_ws for k in missing), f"non-trailing windows missing: {missing}"
 
 
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    events = pipeline.events_file_stream(spark, sf_dir)
+    deduped = pipeline.streaming_dedup(events)
+    pipeline.run_to_memory(deduped, "dedup_stream", spark)
+    got = spark.sql("SELECT * FROM dedup_stream").collect()
+    # one events file → one micro-batch → exact dedup: one row per key
+    keys = [(r.user_id, r.event_type) for r in got]
+    assert len(keys) == len(set(keys))
+    from datafusion_loki_spark.catalog import load_table
+
+    batch_keys = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert len(keys) == batch_keys
+
+
 def test_sessionize_stateful(spark, sf_dir):
     events = pipeline.events_file_stream(spark, sf_dir)
     sessions = pipeline.sessionize(events)

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "q_window_top_orders",
     "log_agg_by_label",
     "log_time_bucket",
+    "log_events_by_nation",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "text_stats",

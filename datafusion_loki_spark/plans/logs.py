@@ -130,8 +130,33 @@ def log_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def log_events_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federation shape: the log/event stream joined to warehouse
+    dimensions in one plan — the engine's core pitch (Loki logs × business
+    tables in a single SQL surface; the reference can only do this because
+    DataFusion hosts both providers, and Spark does the same for us).
+
+    100 TB posture: events⋈customer shuffles on the user key (both sides
+    are big at scale — no broadcast); nation broadcasts; the final agg is
+    25 rows after map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        ev.join(cu, ev.user_id == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
+    "log_events_by_nation": log_events_by_nation,
     "log_projection": log_projection,
     "log_label_eq": log_label_eq,
     "log_label_ne": log_label_ne,
@@ -149,6 +174,13 @@ QUERIES = {
 
 ORACLES = {
     "log_full_scan": "SELECT * FROM events",
+    "log_events_by_nation": (
+        "SELECT n_name, COUNT(*) AS n_events,"
+        " COUNT(DISTINCT user_id) AS n_users,"
+        " CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value"
+        " FROM events JOIN customer ON user_id = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
     "log_projection": "SELECT ts, props FROM events",
     "log_label_eq": "SELECT * FROM events WHERE event_type = 'error'",
     "log_label_ne": "SELECT * FROM events WHERE event_type <> 'click'",

@@ -148,6 +148,50 @@ FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents)
 """
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-fit: scale every image's fake-decoded (width, height) to
+    fit a 32×32 box preserving aspect ratio — the standard pre-training
+    normalization step. Integer arithmetic only (floor of w*32/max_dim), so
+    the oracle verifies exactly; a real resize swaps the arithmetic for a
+    PIL/libvips call inside the same mapInPandas batch loop."""
+    import pandas as pd
+
+    feats = mm_decode_features(spark, sf_dir).where(F.col("media_type") == "image")
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            max_dim = pdf[["width", "height"]].max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": (pdf["width"] * 32 // max_dim).astype("int32"),
+                    "out_h": (pdf["height"] * 32 // max_dim).astype("int32"),
+                }
+            )
+
+    return feats.mapInPandas(
+        resize, "doc_id long, width int, height int, out_w int, out_h int"
+    )
+
+
+ORACLE_MM_RESIZE = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(16 + (n_bytes % 64) AS INT) AS width,
+         CAST(16 + ((n_bytes * 7) % 64) AS INT) AS height
+  FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes
+        FROM documents)
+  WHERE doc_id % 3 = 0
+)
+SELECT doc_id, width, height,
+       CAST(width * 32 // GREATEST(width, height) AS INT) AS out_w,
+       CAST(height * 32 // GREATEST(width, height) AS INT) AS out_h
+FROM f
+"""
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one row per sampled frame (every 2nd frame of the
     fake-decoded n_frames), the explode-shape a video pipeline uses. Built
@@ -177,11 +221,13 @@ FROM f
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
+    "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLES = {
     "mm_binary_meta": ORACLE_MM_META,
     "mm_decode_features": ORACLE_MM_DECODE,
+    "mm_resize": ORACLE_MM_RESIZE,
     "mm_frame_sample": ORACLE_MM_FRAMES,
 }

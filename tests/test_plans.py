@@ -1,0 +1,116 @@
+"""Physical-plan quality gates: the 100 TB design assertions.
+
+Each test pins a property of the executed plan that matters at scale —
+broadcast vs shuffle join choice, filter pushdown reaching the parquet
+scan, TakeOrdered instead of a global sort for top-k, and the absence of
+cartesian products. A regression here means a query silently degraded to
+a plan that works at sf0.1 but dies at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+_QUERIES = entrymod.queries()
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = _QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, sf_dir, name) -> str:
+    df = _QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"],
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "q10_returned_items"]
+)
+def test_topk_uses_take_ordered(spark, sf_dir, name):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject — a global
+    # Sort would shuffle the full aggregate output at scale.
+    plan = _plan(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "log_label_eq",
+        "log_time_range",
+        "log_conjunctive",
+        "q1_pricing_summary",
+    ],
+)
+def test_filters_pushed_to_scan(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "PushedFilters: [" in plan, f"{name}: no pushed filters\n{plan}"
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any("PushedFilters: []" not in line for line in pushed), (
+        f"{name}: pushed filter list is empty\n{plan}"
+    )
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    # SELECT ts, props must not read the other 4 event columns.
+    plan = _plan(spark, sf_dir, "log_projection")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    line = read_schema[0]
+    assert "ts" in line and "props" in line
+    for col in ("event_id", "user_id", "event_type", "value"):
+        assert col not in line, f"unpruned column {col}: {line}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine",
+        "sim_lsh_candidates",
+        "sim_ivf_topk",
+        "log_events_by_nation",
+    ],
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_minhash_plan_computes_split_once(spark, sf_dir):
+    # Regression guard for the CollapseProject / InferFiltersFromGenerate
+    # expression blow-up: the optimized plan must contain exactly one
+    # tokenizing split() of the normalized text per side.
+    s = _optimized(spark, sf_dir, "dedup_minhash_lsh")
+    assert s.count("split(") <= 1, f"split() re-inlined {s.count('split(')}x:\n{s}"
+
+
+def test_unit_norm_not_inlined_per_element(spark, sf_dir):
+    # The norm aggregate must stay in its own projection, not get inlined
+    # into the per-element division lambda.
+    for name in ("sim_topk_cosine", "dedup_embedding_cosine"):
+        s = _optimized(spark, sf_dir, name)
+        assert "/ sqrt(aggregate(" not in s.replace("\n", " "), name
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    # One Exchange (for the fingerprint groupBy) — a second would mean an
+    # unnecessary repartition in the plan.
+    plan = _plan(spark, sf_dir, "dedup_exact_docs")
+    assert plan.count("Exchange") <= 2, plan  # hashpartitioning + AQE read

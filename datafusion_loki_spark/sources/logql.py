@@ -12,8 +12,9 @@ Semantics mirrored from the reference:
   with ``(?i)`` for case-insensitive (expr.rs:49-112; the reference only
   pushes ``LIKE '%x%'``-shaped patterns — the gate at expr.rs:98 — which is
   exactly Spark's ``StringContains``)
-- time bounds     ``timestamp <op> literal`` → start/end ns query params,
-  ``<`` vs ``<=`` indistinguishable, ``=`` unsupported (expr.rs:114-152)
+- time bounds     ``timestamp <op> literal`` → start/end ns query params
+  (expr.rs:114-152) — but see translate_filters: unlike the reference we
+  treat them as window hints and let Spark re-check, never as Exact
 - query assembly  ``{m1, m2} f1 f2`` (table.rs:124-128) with the
   default-label fallback ``{label=~".+"}`` (table.rs:55-58,116-122)
 
@@ -171,6 +172,15 @@ def translate_filters(
     Unsupported arm of table.rs:150-154. Map-subscript label predicates
     never reach pushFilters (Spark's filter language can't express them —
     SURVEY.md §7.4.2); label selectors arrive via reader options instead.
+
+    Time bounds DIVERGE from the reference deliberately: the reference
+    marks them Exact (table.rs:150) although it maps ``>`` and ``>=`` to
+    the same inclusive start and ignores whether the store's end bound is
+    inclusive — boundary rows can be wrongly kept or lost. Here the bounds
+    only SHRINK the HTTP window to a superset of the predicate (``<=`` end
+    widened by 1 µs for ns-precision stores) and the filters are returned
+    as unsupported so Spark re-evaluates them post-scan. Pushdown stays a
+    pure optimization; it can never change results.
     """
     from pyspark.sql.datasource import (
         GreaterThan,
@@ -199,20 +209,24 @@ def translate_filters(
             and attr == ts_col
             and isinstance(target.value, datetime)
         ):
-            # > and >= indistinguishable once ns-truncated (expr.rs:122-129)
+            # window start: inclusive T covers both > T and >= T
             ns = datetime_to_ns(target.value)
             result.start_ns = ns if result.start_ns is None else max(result.start_ns, ns)
-            translated = True
         elif (
             not negate
             and isinstance(target, (LessThan, LessThanOrEqual))
             and attr == ts_col
             and isinstance(target.value, datetime)
         ):
+            # window end: <= T must still see rows at exactly T even when
+            # the store's end bound is exclusive → widen by 1 µs of ns
             ns = datetime_to_ns(target.value)
+            if isinstance(target, LessThanOrEqual):
+                ns += 1_000
             result.end_ns = ns if result.end_ns is None else min(result.end_ns, ns)
-            translated = True
 
+        # time filters land here with translated=False on purpose: they
+        # shrank the fetch window but are still re-evaluated by Spark
         (result.supported if translated else result.unsupported).append(f)
     return result
 

@@ -127,14 +127,25 @@ def test_translate_time_bounds():
     expected_ns = int(TS.replace(tzinfo=timezone.utc).timestamp()) * 1_000_000_000
     assert r.start_ns == expected_ns
     assert r.end_ns == expected_ns
-    assert not r.unsupported
+    # time bounds only shrink the fetch window; Spark re-evaluates them
+    # (unlike the reference's Exact marking — see translate_filters doc)
+    assert len(r.unsupported) == 2
+    assert not r.supported
 
 
-def test_translate_gte_lte_same_as_strict():
-    # > and >= indistinguishable (expr.rs:122-129 maps both to the bound)
+def test_translate_gte_same_start_as_strict():
+    # window start: inclusive T is a superset for both > T and >= T
     strict = logql.translate_filters([GreaterThan(("timestamp",), TS)])
     loose = logql.translate_filters([GreaterThanOrEqual(("timestamp",), TS)])
     assert strict.start_ns == loose.start_ns
+
+
+def test_translate_lte_widens_end_for_boundary_row():
+    # <= T must keep a row stamped exactly T visible even if the store's
+    # end bound is exclusive → end = T + 1 µs; strict < T stays at T
+    strict = logql.translate_filters([LessThan(("timestamp",), TS)])
+    loose = logql.translate_filters([LessThanOrEqual(("timestamp",), TS)])
+    assert loose.end_ns == strict.end_ns + 1_000
 
 
 def test_translate_tightest_bounds_win():
@@ -146,7 +157,7 @@ def test_translate_tightest_bounds_win():
     ns1 = logql.datetime_to_ns(TS)
     ns2 = logql.datetime_to_ns(t2)
     assert r.start_ns == max(ns1, ns2)
-    assert r.end_ns == min(ns1, ns2)
+    assert r.end_ns == min(ns1, ns2) + 1_000
 
 
 def test_translate_equality_on_timestamp_unsupported():

@@ -191,6 +191,34 @@ def test_insert_rejects_overwrite(spark, emulator):
         ).save()
 
 
+def test_now_minus_interval_sql(spark, emulator):
+    # ≙ examples/datafusion.rs:25: WHERE timestamp > now() - interval '1 hour'
+    # Catalyst folds current_timestamp() - INTERVAL to a literal; whether or
+    # not it reaches pushFilters, results must be exact (our window pushdown
+    # is a superset + Spark re-check).
+    register_loki(spark)
+    (
+        spark.read.format("loki")
+        .option("endpoint", emulator.endpoint)
+        .option("default_label", "app")
+        .load()
+        .createOrReplaceTempView("loki_iv")
+    )
+    # the module emulator is shared — other tests push rows stamped "now",
+    # so pin to the seeded apps
+    rows = spark.sql(
+        "SELECT line FROM loki_iv "
+        "WHERE timestamp > current_timestamp() - INTERVAL 35 MINUTES "
+        "AND labels['app'] IN ('my-app1', 'my-app2', 'my-app3')"
+    ).collect()
+    # seed rows at now-{50,40,30,20,10} minutes → the last three qualify
+    assert sorted(r.line for r in rows) == [
+        "ccc trace line",
+        "user login failed",
+        "user login ok",
+    ]
+
+
 def test_sql_ddl_insert_select(spark, tmp_path):
     # ≙ the full SQL entry point: CREATE TABLE + INSERT INTO ... VALUES
     # (current_timestamp(), map literal, line) + filtered SELECT — the

@@ -154,9 +154,76 @@ def log_events_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def log_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a batch window computation — the batch
+    twin of streaming/pipeline.py::sessionize (30-min gap): lag() marks
+    session starts, a running sum numbers them, then one groupBy rolls
+    sessions up. Two window passes + one aggregation, all on the same
+    user_id partitioning — Spark reuses the single exchange.
+
+    100 TB posture: one shuffle on user_id total; no state, no iteration —
+    this is the canonical replay/backfill path for the streaming operator.
+    """
+    from pyspark.sql import Window
+
+    # µs epoch on both engines (second-level casts would truncate
+    # sub-second gaps differently); event_id tiebreak makes the lag order
+    # deterministic when two events share a timestamp
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w_user) > gap_us, 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM marked
+)
+SELECT user_id, session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
     "log_events_by_nation": log_events_by_nation,
+    "log_sessionize_batch": log_sessionize_batch,
     "log_projection": log_projection,
     "log_label_eq": log_label_eq,
     "log_label_ne": log_label_ne,
@@ -174,6 +241,7 @@ QUERIES = {
 
 ORACLES = {
     "log_full_scan": "SELECT * FROM events",
+    "log_sessionize_batch": ORACLE_SESSIONIZE,
     "log_events_by_nation": (
         "SELECT n_name, COUNT(*) AS n_events,"
         " COUNT(DISTINCT user_id) AS n_users,"

@@ -420,8 +420,204 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between supplier and customer
+    nations by year (kept unfiltered on the nation pair — the driver's
+    synthetic nation list differs from TPC-H's, and the full pair×year
+    grid is still only ~hundreds of groups).
+
+    100 TB posture: two broadcast dims (nation twice), one fact-fact
+    shuffle (lineitem⋈orders); supplier broadcasts at TPC-H ratios."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+ORACLE_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year, {_REVENUE} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the synthetic schema has no l_shipmode, so
+    l_linestatus plays the grouping role): per line status, how many
+    high- vs low-priority orders shipped in 1997."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    od = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: % of revenue from PROMO parts in one month. Both
+    sums aggregate in exact decimal; only the final ratio divides in
+    double — deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    pa = _t(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    zero = F.lit(0).cast("decimal(16,4)")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_Q14 = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS {_D})
+                          * (CAST(1 AS {_R}) - CAST(l_discount AS {_R}))
+                     ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS {_D})
+                  * (CAST(1 AS {_R}) - CAST(l_discount AS {_R}))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with customer attribution — the HAVING-subquery + join-back pattern.
+
+    100 TB posture: the qualifying-order set is produced by one groupBy on
+    l_orderkey and is tiny → broadcast back against orders/customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 100.0)
+    )
+    return (
+        od.join(F.broadcast(big), od.o_orderkey == F.col("l_orderkey"))
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+ORACLE_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) > 100.0
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_bracket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs bracket predicate
+    (brand × size band × quantity band) — the disjunctive-pushdown
+    stress case. Catalyst splits the OR across the join where possible;
+    the part side broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(5, 20))
+            & (F.col("l_quantity").between(10, 40))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(10, 40))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .where(cond)
+        .agg(_revenue().alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+ORACLE_Q19 = f"""
+SELECT {_REVENUE} AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q7_nation_volume": q7_nation_volume,
+    "q12_priority_class": q12_priority_class,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_bracket_filter": q19_bracket_filter,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q10_returned_items": q10_returned_items,
@@ -437,6 +633,11 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": ORACLE_Q1,
+    "q7_nation_volume": ORACLE_Q7,
+    "q12_priority_class": ORACLE_Q12,
+    "q14_promo_revenue": ORACLE_Q14,
+    "q18_large_orders": ORACLE_Q18,
+    "q19_bracket_filter": ORACLE_Q19,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,
     "q10_returned_items": ORACLE_Q10,

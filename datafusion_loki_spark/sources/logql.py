@@ -231,6 +231,50 @@ def translate_filters(
     return result
 
 
+_LINE_FILTER_OPS = ("|=", "!=", "|~", "!~")
+
+
+def parse_line_filter_options(option: str | None) -> list[str]:
+    """Reader option ``line_filters`` → LogQL pipeline segments.
+
+    Accepts ``;``-separated segments, each ``<op> <text>`` with op in
+    {|=, !=, |~, !~} (text taken verbatim, backticks added if missing) —
+    the explicit route for regex/ILIKE line pruning that Spark's filter
+    language cannot deliver to pushFilters (≙ expr.rs:63-80,104-108)."""
+    if not option:
+        return []
+    # split on ';' but not inside a backtick-quoted text
+    segments: list[str] = []
+    buf: list[str] = []
+    in_ticks = False
+    for ch in option:
+        if ch == "`":
+            in_ticks = not in_ticks
+        if ch == ";" and not in_ticks:
+            segments.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    segments.append("".join(buf))
+    out = []
+    for seg in segments:
+        seg = seg.strip()
+        if not seg:
+            continue
+        op = next((o for o in _LINE_FILTER_OPS if seg.startswith(o)), None)
+        if op is None:
+            raise ValueError(
+                f"line filter segment must start with one of {_LINE_FILTER_OPS}: {seg!r}"
+            )
+        text = seg[len(op):].strip()
+        if not (text.startswith("`") and text.endswith("`") and len(text) >= 2):
+            if "`" in text:
+                raise ValueError(f"line filter text cannot contain a backtick: {text!r}")
+            text = f"`{text}`"
+        out.append(f"{op} {text}")
+    return out
+
+
 def parse_label_options(labels_option: str | None) -> list[str]:
     """Reader option ``labels`` → stream-selector terms. Accepts either a
     raw selector body (``app="x", env!="prod"``) or a JSON object of

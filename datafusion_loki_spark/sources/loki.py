@@ -128,6 +128,15 @@ class LokiDataSourceReader(DataSourceReader):
         self.num_partitions = int(options.get("partitions", "1"))
         if options.get("check_connection", "false").lower() == "true":
             loki_client.check_connection(self.endpoint)
+        # Explicit LogQL line-filter segments (`|= x`, `|~ rx`, `!= x`,
+        # `!~ rx`, ;-separated). The reference can push regex matches
+        # because DataFusion's filter Exprs carry them (expr.rs:63-80);
+        # Spark's pushFilters never delivers RLIKE/ILIKE, so this option is
+        # the §7.4.2(b)-style route for store-side regex pruning. Like the
+        # `labels` option, the user asserts the filter semantics.
+        self.option_line_filters = logql.parse_line_filter_options(
+            options.get("line_filters")
+        )
         self.line_filters: list[str] = []
         self.pushed_start: int | None = None
         self.pushed_end: int | None = None
@@ -173,7 +182,9 @@ class LokiDataSourceReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         query = logql.build_logql(
-            self.label_matchers, self.line_filters, self.default_label
+            self.label_matchers,
+            self.option_line_filters + self.line_filters,
+            self.default_label,
         )
         body = loki_client.query_range(
             self.endpoint, query, partition.start_ns, partition.end_ns, self.limit
@@ -278,6 +289,9 @@ class LokiStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("loki stream reader requires option 'endpoint'")
         self.default_label = options.get("default_label")
         self.label_matchers = logql.parse_label_options(options.get("labels"))
+        self.option_line_filters = logql.parse_line_filter_options(
+            options.get("line_filters")
+        )
         start = _parse_time_option(options.get("start"))
         self.start_ns = start if start is not None else logql.current_timestamp_ns()
 
@@ -290,7 +304,9 @@ class LokiStreamReader(SimpleDataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        query = logql.build_logql(self.label_matchers, [], self.default_label)
+        query = logql.build_logql(
+            self.label_matchers, self.option_line_filters, self.default_label
+        )
         body = loki_client.query_range(self.endpoint, query, start_ns, end_ns)
         if not body:
             return []

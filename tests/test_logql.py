@@ -195,3 +195,30 @@ def test_parse_label_options_raw_selector():
 def test_parse_label_options_empty():
     assert logql.parse_label_options(None) == []
     assert logql.parse_label_options("") == []
+
+
+# --- line filter options (explicit regex/contains pruning route) ------------
+
+def test_parse_line_filter_options():
+    assert logql.parse_line_filter_options("|= err; !~ (?i)debug.*") == [
+        "|= `err`", "!~ `(?i)debug.*`",
+    ]
+
+
+def test_parse_line_filter_options_pre_backticked():
+    assert logql.parse_line_filter_options("|~ `a;b`") == ["|~ `a;b`"]
+
+
+def test_parse_line_filter_options_rejects_bad_op():
+    with pytest.raises(ValueError):
+        logql.parse_line_filter_options("=~ x")
+
+
+def test_parse_line_filter_options_rejects_backtick_in_text():
+    with pytest.raises(ValueError):
+        logql.parse_line_filter_options("|= a`b")
+
+
+def test_parse_line_filter_options_empty():
+    assert logql.parse_line_filter_options(None) == []
+    assert logql.parse_line_filter_options("") == []

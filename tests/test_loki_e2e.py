@@ -191,6 +191,16 @@ def test_insert_rejects_overwrite(spark, emulator):
         ).save()
 
 
+def test_line_filter_option_regex_pushdown(loki_df, emulator):
+    # explicit LogQL route for regex line pruning (Spark's filter language
+    # can't carry RLIKE to pushFilters; the reference pushes it via
+    # expr.rs:63-80) — the filter must reach the store query verbatim
+    df = loki_df.option("line_filters", "|~ (?i)LOGIN").load()
+    rows = df.collect()
+    assert sorted(r.line for r in rows) == ["user login failed", "user login ok"]
+    assert emulator.queries[-1].endswith("|~ `(?i)LOGIN`")
+
+
 def test_now_minus_interval_sql(spark, emulator):
     # ≙ examples/datafusion.rs:25: WHERE timestamp > now() - interval '1 hour'
     # Catalyst folds current_timestamp() - INTERVAL to a literal; whether or

@@ -161,6 +161,51 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def click_to_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding hour — the attribution shape.
+
+    100 TB posture: both sides carry watermarks and the join condition
+    bounds event time on BOTH sides, so Spark evicts join state once the
+    watermark passes click_ts + 1h — state tracks one hour of clicks, not
+    the stream's history. One shuffle per side on user_id."""
+    clicks = (
+        events_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events_file_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 1 hour"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> None:
     """Drain a stream with availableNow into an in-memory table (test/bench
     helper)."""

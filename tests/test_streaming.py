@@ -132,6 +132,44 @@ def test_streaming_dedup_matches_batch(spark, sf_dir):
     assert len(keys) == batch_keys
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    joined = pipeline.click_to_purchase_join(spark, sf_dir)
+    pipeline.run_to_memory(joined, "attrib", spark)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    from datafusion_loki_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + interval 1 hour"
+            ),
+        ).collect()
+    }
+    # a single availableNow drain over one file = one micro-batch → the
+    # inner interval join emits exactly the batch join's matches
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_sessionize_stateful(spark, sf_dir):
     events = pipeline.events_file_stream(spark, sf_dir)
     sessions = pipeline.sessionize(events)

@@ -220,10 +220,45 @@ GROUP BY user_id, session_no
 """
 
 
+def log_median_value_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type median via a pandas GROUPED-AGGREGATE UDF — the
+    Arrow-batched UDAF surface (grouped numpy kernel per key), used when
+    the aggregate isn't expressible with built-ins (exact median is not:
+    percentile_approx is, by design, approximate).
+
+    100 TB posture: one shuffle on the low-cardinality group key; each
+    group's values stream to one Python worker as Arrow batches. For
+    high-cardinality keys you'd pre-bucket; for global medians you'd
+    accept approx — this is the per-segment-exact path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median(v):
+        return float(v.median())
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf's signature inference
+    # rejects
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    median_udf = pandas_udf(_median, "double")
+
+    ev = load_table(spark, sf_dir, "events")
+    # note: a grouped-agg pandas UDF cannot be mixed with built-in
+    # aggregates in one agg() — Spark restriction
+    return ev.groupBy("event_type").agg(median_udf("value").alias("median_value"))
+
+
+ORACLE_MEDIAN = """
+SELECT event_type, median(value) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
     "log_events_by_nation": log_events_by_nation,
     "log_sessionize_batch": log_sessionize_batch,
+    "log_median_value_pandas": log_median_value_pandas,
     "log_projection": log_projection,
     "log_label_eq": log_label_eq,
     "log_label_ne": log_label_ne,
@@ -242,6 +277,7 @@ QUERIES = {
 ORACLES = {
     "log_full_scan": "SELECT * FROM events",
     "log_sessionize_batch": ORACLE_SESSIONIZE,
+    "log_median_value_pandas": ORACLE_MEDIAN,
     "log_events_by_nation": (
         "SELECT n_name, COUNT(*) AS n_events,"
         " COUNT(DISTINCT user_id) AS n_users,"

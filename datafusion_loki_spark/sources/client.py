@@ -9,31 +9,58 @@ Endpoints mirrored from the reference:
   (≙ push_to_loki, datafusion-loki/src/insert.rs:142-165,238-247)
 - GET  /loki/api/v1/status/buildinfo health check
   (≙ check_connection, datafusion-loki/src/table.rs:60-73)
+
+Beyond the reference: bounded retry with exponential backoff on transient
+failures (connect errors, 429, 5xx). At 1000 executors a scan is 1000
+concurrent range queries — transient 429/503 from the store is the normal
+case, not the exception, and a task-level Spark retry would redo far more
+work than one HTTP call. Push retries are safe under Spark's own
+execution model: task retries already make the sink at-least-once.
 """
 
 from __future__ import annotations
 
 import json
+import time
+import urllib.error
 import urllib.parse
 import urllib.request
 
 PARQUET_ACCEPT = "application/vnd.apache.parquet"
+RETRY_STATUSES = (429, 500, 502, 503, 504)
+DEFAULT_ATTEMPTS = 3
 
 
 class LokiClientError(RuntimeError):
     pass
 
 
+def _do(req, timeout: float, attempts: int = DEFAULT_ATTEMPTS) -> bytes:
+    """Issue a request; retry transient failures with 0.5s/1s/... backoff."""
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                if not (200 <= resp.status < 300):
+                    raise LokiClientError(f"http {resp.status}")
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            last = e
+            if e.code not in RETRY_STATUSES:
+                raise LokiClientError(f"http {e.code}: {e.read()[:200]!r}") from e
+        except OSError as e:  # connect/reset/timeout
+            last = e
+        if i < attempts - 1:
+            time.sleep(0.5 * (2**i))
+    raise LokiClientError(f"request failed after {attempts} attempts: {last}")
+
+
 def check_connection(endpoint: str, timeout: float = 10.0) -> None:
     """≙ table.rs:60-73 — error on non-2xx buildinfo."""
     url = f"{endpoint.rstrip('/')}/loki/api/v1/status/buildinfo"
     try:
-        with urllib.request.urlopen(url, timeout=timeout) as resp:
-            if not (200 <= resp.status < 300):
-                raise LokiClientError(
-                    f"failed to connect loki: {resp.status} {resp.read()[:200]!r}"
-                )
-    except OSError as e:
+        _do(urllib.request.Request(url), timeout)
+    except LokiClientError as e:
         raise LokiClientError(f"failed to connect loki at {endpoint}: {e}") from e
 
 
@@ -49,7 +76,7 @@ def query_range(
 
     The reference buffers the whole body before decode (scan.rs:195-198);
     response size is bounded by Loki's own limits + the pushed `limit`, so
-    we do the same.
+    we do the same. Idempotent → retried freely.
     """
     params = {"query": query, "start": str(start_ns), "end": str(end_ns)}
     if limit is not None:
@@ -60,25 +87,23 @@ def query_range(
     )
     req = urllib.request.Request(url, headers={"Accept": PARQUET_ACCEPT})
     try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            if not (200 <= resp.status < 300):
-                raise LokiClientError(f"query_range failed: {resp.status}")
-            return resp.read()
-    except OSError as e:
+        return _do(req, timeout)
+    except LokiClientError as e:
         raise LokiClientError(f"query_range failed against {endpoint}: {e}") from e
 
 
 def push(endpoint: str, streams: list[dict], timeout: float = 60.0) -> None:
     """POST the push payload: {"streams":[{"stream":{k:v},"values":[[ns,line]]}]}
-    (≙ insert.rs:238-247 serialization, insert.rs:142-165 request)."""
+    (≙ insert.rs:238-247 serialization, insert.rs:142-165 request).
+
+    Retried on transient failure — at-least-once, matching the delivery
+    contract Spark's task retries already impose on any sink."""
     url = f"{endpoint.rstrip('/')}/loki/api/v1/push"
     body = json.dumps({"streams": streams}).encode()
     req = urllib.request.Request(
         url, data=body, headers={"Content-Type": "application/json"}, method="POST"
     )
     try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            if not (200 <= resp.status < 300):
-                raise LokiClientError(f"push failed: {resp.status}")
-    except OSError as e:
+        _do(req, timeout)
+    except LokiClientError as e:
         raise LokiClientError(f"push failed against {endpoint}: {e}") from e

@@ -202,6 +202,80 @@ FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
 """
 
 
+def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own signature bucket
+    PLUS all 8 single-bit-flip neighbor buckets, then refines with exact
+    cosine — the standard recall remedy for signature boundaries without
+    changing the bucket-join topology (probe count is a constant factor on
+    the tiny query side only; the corpus still shuffles/buckets once).
+
+    A candidate has exactly one signature and the 9 probes are distinct
+    strings, so no dedup is needed after the join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = unit_embeddings(emb, "vec_id").withColumn(
+        "signature", F.expr(_signature_spark("unit"))
+    )
+    flip = (
+        f"transform(sequence(0, {N_PLANES}), i -> if(i = 0, signature, "
+        "concat(substring(signature, 1, i - 1), "
+        "if(substring(signature, i, 1) = '1', '0', '1'), "
+        f"substring(signature, i + 1, {N_PLANES} - i))))"
+    )
+    q = (
+        sig.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("unit").alias("q_unit"),
+            F.explode(F.expr(flip)).alias("probe"),
+        )
+    )
+    cand = sig.select(
+        F.col("vec_id").alias("cand_id"), F.col("unit").alias("c_unit"), "signature"
+    )
+    scored = (
+        cand.join(F.broadcast(q), cand.signature == q.probe)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="q_unit", b="c_unit")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _oracle_multiprobe() -> str:
+    flip = (
+        f"list_transform(generate_series(0, {N_PLANES}), i -> "
+        "CASE WHEN i = 0 THEN signature ELSE "
+        "substring(signature, 1, i - 1) || "
+        "(CASE WHEN substring(signature, i, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substring(signature, i + 1, {N_PLANES} - i) END)"
+    )
+    return f"""
+WITH u AS ({_unit_duck_cte()}),
+sig AS (
+  SELECT vec_id, unit, {_signature_duck('unit')} AS signature FROM u
+),
+q AS (
+  SELECT vec_id AS query_id, unit AS q_unit, unnest({flip}) AS probe
+  FROM sig WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         {_DOT_DUCK.format(a='q.q_unit', b='c.unit')} AS cosine
+  FROM q JOIN sig c ON c.signature = q.probe
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 _N_CELLS_PER_DIM = 4  # coarse grid resolution → up to 8×8 cells on dims 1-2
 
 
@@ -333,6 +407,7 @@ QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_candidates": sim_lsh_candidates,
+    "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_topk_pandas": sim_topk_pandas,
 }
@@ -341,6 +416,7 @@ ORACLES = {
     "sim_topk_cosine": ORACLE_SIM_TOPK,
     "sim_lsh_buckets": ORACLE_SIM_LSH,
     "sim_lsh_candidates": ORACLE_SIM_LSH_CAND,
+    "sim_lsh_multiprobe": _oracle_multiprobe(),
     "sim_ivf_topk": ORACLE_SIM_IVF,
     # sim_topk_pandas: rows-only (BLAS float order ≠ SQL fold order)
 }

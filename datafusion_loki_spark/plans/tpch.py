@@ -611,9 +611,88 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts whose
+    name matches a pattern (adapted: the synthetic schema has no partsupp,
+    so p_retailprice*quantity stands in for supplycost*quantity).
+
+    100 TB posture: part filter pushes to the scan and shrinks the
+    broadcast side before the fact join; one lineitem⋈orders shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pa = _t(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
+    profit = (
+        dec("l_extendedprice") * one_minus("l_discount")
+        - dec("p_retailprice") * dec("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+ORACLE_Q9 = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS {_D})
+                  * (CAST(1 AS {_R}) - CAST(l_discount AS {_R}))
+                - CAST(p_retailprice AS {_D}) * CAST(l_quantity AS {_D}))
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    aggregate → global max → join back (the view + scalar-subquery
+    pattern, decorrelated).
+
+    100 TB posture: revenue agg shuffles once on l_suppkey; the global max
+    is one row broadcast back over the tiny aggregate."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    su = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(_revenue().alias("total_revenue"))
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("m"))
+        .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_REVENUE} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q7_nation_volume": q7_nation_volume,
+    "q9_product_profit": q9_product_profit,
+    "q15_top_supplier": q15_top_supplier,
     "q12_priority_class": q12_priority_class,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
@@ -634,6 +713,8 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": ORACLE_Q1,
     "q7_nation_volume": ORACLE_Q7,
+    "q9_product_profit": ORACLE_Q9,
+    "q15_top_supplier": ORACLE_Q15,
     "q12_priority_class": ORACLE_Q12,
     "q14_promo_revenue": ORACLE_Q14,
     "q18_large_orders": ORACLE_Q18,

@@ -611,6 +611,40 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority for orders having at least
+    one slow lineitem — the correlated-EXISTS pattern, executed as a
+    left-semi join (what decorrelation produces). Adapted: the synthetic
+    schema lacks commit/receipt dates, so "slow" = shipped more than 60
+    days after the order date."""
+    od = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    slow = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("interval 60 days")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and year for parts whose
     name matches a pattern (adapted: the synthetic schema has no partsupp,
@@ -690,6 +724,7 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q4_order_priority": q4_order_priority,
     "q7_nation_volume": q7_nation_volume,
     "q9_product_profit": q9_product_profit,
     "q15_top_supplier": q15_top_supplier,
@@ -712,6 +747,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": ORACLE_Q1,
+    "q4_order_priority": ORACLE_Q4,
     "q7_nation_volume": ORACLE_Q7,
     "q9_product_profit": ORACLE_Q9,
     "q15_top_supplier": ORACLE_Q15,

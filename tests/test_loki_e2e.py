@@ -179,6 +179,30 @@ def test_insert_roundtrip(spark, emulator):
     assert back.count() == 2
 
 
+def test_partition_parallel_write(spark):
+    # each Spark partition POSTs independently (≙ the reference's per-batch
+    # pushes, insert.rs:106-110, but partition-parallel — the 100 TB path);
+    # counts aggregate across partitions via commit messages
+    em = LokiEmulator().start()
+    try:
+        register_loki(spark)
+        n_rows, n_parts = 40, 4
+        df = (
+            spark.range(n_rows)
+            .select(
+                F.lit(datetime(2026, 1, 1)).alias("timestamp"),
+                F.create_map(F.lit("app"), F.concat(F.lit("p"), (F.col("id") % 4))).alias("labels"),
+                F.concat(F.lit("line-"), F.col("id")).alias("line"),
+            )
+            .repartition(n_parts)
+        )
+        df.write.format("loki").mode("append").option("endpoint", em.endpoint).save()
+        assert len(em.rows) == n_rows
+        assert sorted(r[2] for r in em.rows) == sorted(f"line-{i}" for i in range(n_rows))
+    finally:
+        em.stop()
+
+
 def test_insert_rejects_overwrite(spark, emulator):
     # ≙ InsertOp gating (table.rs:164-169)
     register_loki(spark)

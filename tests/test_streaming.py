@@ -81,6 +81,53 @@ def test_loki_stream_writer_pushes(spark, emulator, tmp_path):
     assert all(r[1] == {"app": "w-app"} for r in emulator.rows)
 
 
+def test_loki_tail_into_windowed_agg(spark, emulator, tmp_path):
+    # composition: the loki tail source feeding a watermarked windowed
+    # aggregation — the end-to-end streaming pipeline a log store user runs
+    register_loki(spark)
+    # 2h ago, aligned to a 10-minute boundary so the 30 events fill
+    # exactly three 10-minute windows
+    base = ((time.time_ns() // NS - 7200) // 600) * 600 * NS
+    emulator.seed(
+        [
+            (base + i * 60 * NS, {"app": "a" if i % 2 else "b"}, f"line {i}")
+            for i in range(30)
+        ]
+    )
+    stream = (
+        spark.readStream.format("loki")
+        .option("endpoint", emulator.endpoint)
+        .option("default_label", "app")
+        .option("start", str(base - NS))
+        .load()
+    )
+    agg = (
+        stream.withWatermark("timestamp", "10 minutes")
+        .groupBy(
+            F.window("timestamp", "10 minutes").alias("win"),
+            F.col("labels")["app"].alias("app"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("ws"), "app", "n")
+    )
+    # complete mode: a single availableNow micro-batch never advances the
+    # watermark far enough for append mode to emit anything
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("loki_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM loki_win").collect()
+    # 30 events, one per minute, alternating apps → 3 windows × 2 apps
+    assert len(rows) == 6
+    assert all(r.n == 5 for r in rows)
+    assert {r.app for r in rows} == {"a", "b"}
+
+
 def test_windowed_counts_match_batch(spark, sf_dir):
     events = pipeline.events_file_stream(spark, sf_dir)
     agg = pipeline.windowed_event_counts(events)

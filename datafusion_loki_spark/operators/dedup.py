@@ -344,6 +344,63 @@ WHERE {dot} >= 0.2
 """
 
 
+# --- chunk-level (sub-document) dedup ----------------------------------------
+
+CHUNK_TOKENS = 8
+
+
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk dedup: non-overlapping 8-token windows that
+    appear in ≥2 documents, with multiplicity and the keeper doc. The
+    sub-document granularity that catches shared boilerplate and copied
+    passages whole-document exact dedup misses — a standard LLM-corpus
+    cleaning pass (the fixed token window is the same unit training
+    pipelines chunk on).
+
+    100 TB posture: chunking is a narrow map; the only shuffle groups by
+    the chunk md5 (uniform key) with map-side partial aggs. The chunk
+    lambda references `toks` twice (size + slice), which keeps
+    CollapseProject from inlining the tokenizer per chunk; explode_outer
+    sidesteps InferFiltersFromGenerate (see minhash_signatures)."""
+    chunks_expr = (
+        f"transform(sequence(1, cast(ceil(size(toks) / {CHUNK_TOKENS}.0) as int)), "
+        f"i -> array_join(slice(toks, (i - 1) * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}), ' '))"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    ).select("doc_id", F.explode_outer(F.expr(chunks_expr)).alias("chunk"))
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+ORACLE_DEDUP_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+), chunks AS (
+  SELECT doc_id,
+         list_aggregate(t[(i - 1) * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS}],
+                        'string_agg', ' ') AS chunk
+  FROM toks,
+       unnest(generate_series(1, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS INT))) AS u(i)
+)
+SELECT md5(chunk) AS chunk_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS keeper_id
+FROM chunks
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 # --- SimHash (rows-only oracle: bit manipulation isn't portably SQL-exact) ------
 
 def simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
@@ -387,6 +444,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_chunks": dedup_chunks,
     "dedup_simhash": dedup_simhash,
 }
 
@@ -396,5 +454,6 @@ ORACLES = {
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "dedup_embedding_cosine": _oracle_dedup_embedding(),
+    "dedup_chunks": ORACLE_DEDUP_CHUNKS,
     # dedup_simhash: intentionally no oracle (rows-only check)
 }

@@ -535,6 +535,47 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below 20%
+    of their part's average — the correlated scalar-subquery pattern,
+    decorrelated into an aggregate + join. The threshold comparison runs
+    as quantity * cnt * 5 < sum_qty in exact decimal, so the boundary
+    cannot flip between engines (0.2 * avg in double could).
+
+    100 TB posture: the per-part average is one groupBy on l_partkey
+    (map-side partial), broadcast back against the same fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(dec("l_quantity")).alias("sum_qty"),
+        F.count("l_quantity").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(avg_q), li.l_partkey == F.col("p_key"))
+        .where(
+            dec("l_quantity") * F.col("cnt").cast("decimal(10,0)") * F.lit(5).cast("decimal(2,0)")
+            < F.col("sum_qty")
+        )
+        .agg(
+            dsum("l_extendedprice").alias("total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q17 = f"""
+WITH g AS (
+  SELECT l_partkey AS p_key, SUM(CAST(l_quantity AS {_D})) AS sum_qty,
+         COUNT(l_quantity) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS {_D})) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN g ON l_partkey = p_key
+WHERE CAST(l_quantity AS {_D}) * CAST(cnt AS DECIMAL(10,0))
+        * CAST(5 AS DECIMAL(2,0)) < sum_qty
+"""
+
+
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
     with customer attribution — the HAVING-subquery + join-back pattern.
@@ -728,6 +769,7 @@ QUERIES = {
     "q7_nation_volume": q7_nation_volume,
     "q9_product_profit": q9_product_profit,
     "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q12_priority_class": q12_priority_class,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
@@ -751,6 +793,7 @@ ORACLES = {
     "q7_nation_volume": ORACLE_Q7,
     "q9_product_profit": ORACLE_Q9,
     "q15_top_supplier": ORACLE_Q15,
+    "q17_small_quantity_revenue": ORACLE_Q17,
     "q12_priority_class": ORACLE_Q12,
     "q14_promo_revenue": ORACLE_Q14,
     "q18_large_orders": ORACLE_Q18,

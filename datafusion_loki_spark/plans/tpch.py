@@ -763,9 +763,56 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """
 
 
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no RECENT orders (none since 2000 — every synthetic customer has some
+    order, so plain NOT EXISTS would be vacuous), counted per nation — a
+    global scalar subquery (the average) combined with an anti join (the
+    NOT EXISTS). The threshold comparison multiplies through in exact
+    decimal so the boundary cannot flip.
+
+    100 TB posture: the global average is a 1-row broadcast; the anti join
+    shuffles on the customer key; the final agg is per-nation tiny."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    pos = cu.where(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        F.sum(dec("c_acctbal")).alias("sum_bal"),
+        F.count("c_acctbal").alias("cnt"),
+    )
+    return (
+        cu.join(F.broadcast(avg_bal))
+        .where(dec("c_acctbal") * F.col("cnt").cast("decimal(10,0)") > F.col("sum_bal"))
+        .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = f"""
+WITH g AS (
+  SELECT SUM(CAST(c_acctbal AS {_D})) AS sum_bal, COUNT(c_acctbal) AS cnt
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS {_D})) AS DOUBLE) AS totacctbal
+FROM customer, g
+WHERE CAST(c_acctbal AS {_D}) * CAST(cnt AS DECIMAL(10,0)) > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q7_nation_volume": q7_nation_volume,
     "q9_product_profit": q9_product_profit,
     "q15_top_supplier": q15_top_supplier,
@@ -790,6 +837,7 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": ORACLE_Q1,
     "q4_order_priority": ORACLE_Q4,
+    "q22_global_sales_opportunity": ORACLE_Q22,
     "q7_nation_volume": ORACLE_Q7,
     "q9_product_profit": ORACLE_Q9,
     "q15_top_supplier": ORACLE_Q15,

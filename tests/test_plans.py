@@ -93,11 +93,12 @@ def test_no_cartesian_products(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
 
 
-def test_minhash_plan_computes_split_once(spark, sf_dir):
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_chunks"])
+def test_tokenizer_plan_computes_split_once(spark, sf_dir, name):
     # Regression guard for the CollapseProject / InferFiltersFromGenerate
     # expression blow-up: the optimized plan must contain exactly one
     # tokenizing split() of the normalized text per side.
-    s = _optimized(spark, sf_dir, "dedup_minhash_lsh")
+    s = _optimized(spark, sf_dir, name)
     assert s.count("split(") <= 1, f"split() re-inlined {s.count('split(')}x:\n{s}"
 
 

@@ -809,10 +809,401 @@ GROUP BY c_nationkey
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table filter + global aggregate.
+
+    100 TB posture: the whole query is one scan — all three predicates push
+    to parquet (min/max row-group pruning on l_shipdate), and the global sum
+    is map-side partial + a 1-row reduce. The discount comparison happens in
+    exact decimal so a stored 0.05000000000000000278 double still lands
+    inside the [0.03, 0.07] bracket identically in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = dec("l_discount", RATE)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (d >= F.lit("0.03").cast(RATE))
+            & (d <= F.lit("0.07").cast(RATE))
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(F.sum(dec("l_extendedprice") * d).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_Q6 = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_discount AS {_R}))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(l_discount AS {_R}) BETWEEN CAST('0.03' AS {_R}) AND CAST('0.07' AS {_R})
+  AND l_quantity < 24.0
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of ECONOMY-part revenue sold to ASIA
+    customers, per order year — a 7-table join with two roles for nation
+    (customer's nation restricts the region; supplier's nation feeds the
+    conditional numerator).
+
+    100 TB posture: part/supplier/nation/region broadcast; customer⋈orders
+    and orders⋈lineitem shuffle on their keys; both share sums aggregate in
+    exact decimal and the single final division is the only double op."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    od = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    re = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), cu.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(re), F.col("n1.n_regionkey") == re.r_regionkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n2), su.s_nationkey == F.col("n2.n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("n2.n_name") == "NATION_7", vol).otherwise(F.lit("0").cast(_D))).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+ORACLE_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                     THEN CAST(l_extendedprice AS {_D})
+                          * (CAST(1 AS {_R}) - CAST(l_discount AS {_R}))
+                     ELSE CAST('0' AS {_D}) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS {_D})
+                  * (CAST(1 AS {_R}) - CAST(l_discount AS {_R}))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer, via a left
+    outer join (customers with zero qualifying orders must appear as
+    c_count=0) and a double aggregation. The reference's synthetic orders
+    have no comment column, so the exclusion filter is on o_orderpriority.
+
+    100 TB posture: left join and first groupBy share the c_custkey/
+    o_custkey shuffle (one exchange, reused); the second groupBy reduces a
+    ~50-value domain — negligible."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE cause of a returned
+    multi-supplier order — EXISTS (another supplier shipped in the same
+    order) + NOT EXISTS (another supplier also had a returned line). The
+    synthetic lineitem has no commit/receipt dates, so "late" is adapted to
+    l_returnflag = 'R' on finalized ('F') orders; the two correlated
+    subqueries keep Q21's semi-join + anti-join self-join structure.
+
+    100 TB posture: both self-joins are equi-joins on l_orderkey — with
+    lineitem bucketed by orderkey they co-locate; here they share one
+    exchange. Supplier/nation broadcast; final agg is per-supplier tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    su = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 5)
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(od, F.col("l1.l_orderkey") == od.o_orderkey)
+        .join(F.broadcast(su), F.col("l1.l_suppkey") == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+ORACLE_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F' AND s_nationkey < 5
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per qualifying part. The
+    synthetic schema has no partsupp, so the part↔supplier catalog is
+    derived from lineitem history (min observed price per part+supplier)
+    and the correlated MIN subquery is decorrelated into a partition window.
+
+    100 TB posture: the bridge agg shuffles lineitem once on
+    (l_partkey, l_suppkey); the window min re-partitions only the
+    region-filtered slice by p_partkey; part/supplier/nation/region all
+    broadcast. supplycost stays decimal until output, so the min-equality
+    cannot be perturbed by double rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    bridge = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice")).alias("supplycost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        bridge.join(F.broadcast(pa), bridge.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), bridge.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .withColumn("min_cost", F.min("supplycost").over(w))
+        .where(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+ORACLE_Q2 = f"""
+WITH bridge AS (
+  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS {_D})) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+), j AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey, supplycost,
+         MIN(supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM bridge
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size <= 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+       CAST(supplycost AS DOUBLE) AS supplycost
+FROM j WHERE supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value held by ASIA-nation
+    suppliers, keeping parts whose value exceeds 1/10000 of the total — a
+    grouped agg HAVING a global-scalar-subquery threshold. partsupp's
+    availqty*supplycost is adapted to lineitem's quantity*price.
+
+    100 TB posture: one shuffle on l_partkey after the broadcast
+    supplier-nation semi-filter; the global total is a second pass over the
+    same tiny per-part aggregate (broadcast 1 row back). The threshold
+    multiplies through in exact decimal — no double epsilon at the cut."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    asian = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(asian), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_quantity") * dec("l_extendedprice")).alias("val"))
+    )
+    total = per_part.agg(F.sum("val").alias("total_val"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("val") * F.lit(10000).cast("decimal(10,0)") > F.col("total_val"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+ORACLE_Q11 = f"""
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS {_D}) * CAST(l_extendedprice AS {_D})) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_regionkey = 2)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM per_part, (SELECT SUM(val) AS total_val FROM per_part) g
+WHERE val * CAST(10000 AS DECIMAL(10,0)) > total_val
+"""
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    (brand, type, size) bucket, excluding one brand, one type prefix, and a
+    complaint-list of suppliers (adapted: negative account balance). The
+    part↔supplier relation comes from lineitem history in place of partsupp.
+
+    100 TB posture: the NOT-IN list is a broadcast anti join; the distinct
+    count shuffles once on the 3-column group key after a map-side
+    partial-distinct; part is a broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: ASIA suppliers who concentrated more than half of
+    their all-time shipments of some 'red' part into 1997 — a nested
+    aggregate threshold feeding a semi join up to supplier. partsupp's
+    availqty > 0.5*qty is adapted to a conditional-sum comparison over
+    lineitem, multiplied through (2*qty97 > total) in exact decimal.
+
+    100 TB posture: one shuffle on (l_partkey, l_suppkey) for the inner
+    agg (part filter broadcast-pruned before it); the qualifying pairs are
+    tiny and broadcast into a semi join against supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select("p_partkey")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    in_97 = (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    qualifying = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_97, dec("l_quantity")).otherwise(F.lit("0").cast(_D))).alias("qty97"),
+            F.sum(dec("l_quantity")).alias("qty_total"),
+        )
+        .where(F.col("qty97") * F.lit(2).cast("decimal(2,0)") > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    return (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey, "left_semi")
+        .join(qualifying, su.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_Q20 = f"""
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY l_partkey, l_suppkey
+    HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                     AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN CAST(l_quantity AS {_D})
+                    ELSE CAST('0' AS {_D}) END) * CAST(2 AS DECIMAL(2,0))
+           > SUM(CAST(l_quantity AS {_D}))
+  )
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q11_important_stock": q11_important_stock,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q16_supplier_part_count": q16_supplier_part_count,
+    "q20_excess_inventory_suppliers": q20_excess_inventory_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q7_nation_volume": q7_nation_volume,
     "q9_product_profit": q9_product_profit,
     "q15_top_supplier": q15_top_supplier,
@@ -838,6 +1229,14 @@ ORACLES = {
     "q1_pricing_summary": ORACLE_Q1,
     "q4_order_priority": ORACLE_Q4,
     "q22_global_sales_opportunity": ORACLE_Q22,
+    "q2_min_cost_supplier": ORACLE_Q2,
+    "q6_forecast_revenue": ORACLE_Q6,
+    "q8_market_share": ORACLE_Q8,
+    "q11_important_stock": ORACLE_Q11,
+    "q13_customer_distribution": ORACLE_Q13,
+    "q16_supplier_part_count": ORACLE_Q16,
+    "q20_excess_inventory_suppliers": ORACLE_Q20,
+    "q21_waiting_suppliers": ORACLE_Q21,
     "q7_nation_volume": ORACLE_Q7,
     "q9_product_profit": ORACLE_Q9,
     "q15_top_supplier": ORACLE_Q15,

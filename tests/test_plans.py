@@ -28,7 +28,13 @@ def _optimized(spark, sf_dir, name) -> str:
 
 @pytest.mark.parametrize(
     "name",
-    ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"],
+    [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "q8_market_share",
+        "q21_waiting_suppliers",
+    ],
 )
 def test_dim_joins_broadcast(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
@@ -36,7 +42,8 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["q3_shipping_priority", "q10_returned_items"]
+    "name",
+    ["q3_shipping_priority", "q10_returned_items", "q21_waiting_suppliers"],
 )
 def test_topk_uses_take_ordered(spark, sf_dir, name):
     # ORDER BY + LIMIT must compile to TakeOrderedAndProject — a global
@@ -52,6 +59,7 @@ def test_topk_uses_take_ordered(spark, sf_dir, name):
         "log_time_range",
         "log_conjunctive",
         "q1_pricing_summary",
+        "q6_forecast_revenue",
     ],
 )
 def test_filters_pushed_to_scan(spark, sf_dir, name):
@@ -86,6 +94,10 @@ def test_projection_prunes_scan_columns(spark, sf_dir):
         "sim_lsh_candidates",
         "sim_ivf_topk",
         "log_events_by_nation",
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q20_excess_inventory_suppliers",
+        "q21_waiting_suppliers",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):
@@ -108,6 +120,16 @@ def test_unit_norm_not_inlined_per_element(spark, sf_dir):
     for name in ("sim_topk_cosine", "dedup_embedding_cosine"):
         s = _optimized(spark, sf_dir, name)
         assert "/ sqrt(aggregate(" not in s.replace("\n", " "), name
+
+
+def test_q13_two_hash_shuffles(spark, sf_dir):
+    # Q13 is join + groupBy(c_custkey) + groupBy(c_count). The two
+    # aggregations need one hashpartitioning exchange each; the join must
+    # not add a third (broadcast at small SF, exchange-reuse with SMJ at
+    # scale since the join key equals the first grouping key).
+    plan = _plan(spark, sf_dir, "q13_customer_distribution")
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"q13: {n} hash exchanges\n{plan}"
 
 
 def test_exact_dedup_single_shuffle(spark, sf_dir):

@@ -1192,6 +1192,56 @@ ORDER BY s_name
 """
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface beyond ROLLUP: full CUBE over
+    (returnflag, linestatus) — all four grouping-set combinations.
+
+    100 TB posture: Spark expands the cube map-side (each input row feeds
+    every grouping set before the shuffle), so it's still one exchange with
+    partial aggregation — no N-pass re-scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (quartiles of l_quantity per
+    returnflag) — the PERCENTILE_CONT surface.
+
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` both sort
+    and linearly interpolate at (n-1)*p. The probe points are quarters
+    (exact binary fractions) over integer quantities, so the interpolated
+    doubles are bit-identical across engines — no float-tolerance games.
+
+    100 TB posture: exact percentile buffers each group's values — fine for
+    a bounded per-group domain like quantity (1..50, collapsible to counts);
+    for unbounded high-cardinality columns switch to approx_percentile
+    (t-digest, constant memory) and drop oracle exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
@@ -1223,6 +1273,8 @@ QUERIES = {
     "q_having": q_having,
     "q_anti_semi_join": q_anti_semi_join,
     "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_percentiles": q_percentiles,
 }
 
 ORACLES = {
@@ -1256,4 +1308,6 @@ ORACLES = {
     "q_having": ORACLE_HAVING,
     "q_anti_semi_join": ORACLE_ANTI_SEMI,
     "q_rollup": ORACLE_ROLLUP,
+    "q_cube": ORACLE_CUBE,
+    "q_percentiles": ORACLE_PERCENTILES,
 }

@@ -1,0 +1,63 @@
+"""Warehouse layout writer: partitioned parquet with small-files control
+and row-group clustering.
+
+The reference's only sink is the Loki push endpoint (``src/insert.rs``);
+a 100 TB pipeline also needs the other direction — landing curated
+tables as partitioned parquet a downstream engine can prune. Three layout
+decisions dominate read cost at that scale, and this helper makes each an
+explicit argument:
+
+1. **Partition columns** (``partition_by``) become Hive-style directories
+   (``lang=en/``): equality/IN filters on them prune whole directories at
+   planning time (``PartitionFilters`` in the scan, zero I/O for pruned
+   values).
+2. **Files per partition** (``files_per_partition``): a naive
+   ``df.write.partitionBy(...)`` emits one file per (task × value) — at
+   1000 executors that's the small-files problem. Repartitioning by the
+   partition columns first gives exactly one file per value; a deterministic
+   salt widens that to N when a single value is too large for one task
+   (skew — same reasoning as [skew.salted_join]).
+3. **Cluster columns** (``cluster_by``): sorting within the write tasks
+   groups similar values into the same parquet row groups, so min/max
+   statistics prune row groups for range predicates on non-partition
+   columns (the classic sort-key / z-order-lite layout).
+
+Determinism: the salt is ``xxhash64 mod N`` of the cluster (or all)
+columns — replayable, no RNG.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str] | None = None,
+    codec: str = "zstd",
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as Hive-partitioned parquet with a controlled layout.
+
+    One output file per partition value by default; ``files_per_partition``
+    > 1 salts the repartition for values too large for a single task.
+    """
+    if files_per_partition < 1:
+        raise ValueError("files_per_partition must be >= 1")
+    keys = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        salt_cols = [F.col(c) for c in (cluster_by or df.columns)]
+        keys.append(F.abs(F.xxhash64(*salt_cols)) % files_per_partition)
+    out = df.repartition(*keys)
+    if cluster_by:
+        out = out.sortWithinPartitions(*partition_by, *cluster_by)
+    (
+        out.write.mode(mode)
+        .partitionBy(*partition_by)
+        .option("compression", codec)
+        .parquet(path)
+    )

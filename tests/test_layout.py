@@ -1,0 +1,63 @@
+"""Partitioned-parquet layout writer: directory pruning, small-files
+control, and row-group clustering (functions/layout.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from datafusion_loki_spark.functions.layout import write_partitioned
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _files(path, lang):
+    return glob.glob(os.path.join(path, f"lang={lang}", "*.parquet"))
+
+
+def test_one_file_per_partition_value(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "docs")
+    write_partitioned(docs, out, partition_by=["lang"], cluster_by=["n_chars"])
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    assert langs
+    for lang in langs:
+        files = _files(out, lang)
+        assert len(files) == 1, f"lang={lang}: {len(files)} files (want 1)"
+    # round-trip: nothing lost or duplicated
+    assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_salted_layout_bounds_files_per_partition(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "docs_salted")
+    write_partitioned(
+        docs, out, partition_by=["lang"], cluster_by=["doc_id"],
+        files_per_partition=3,
+    )
+    for lang in [r.lang for r in docs.select("lang").distinct().collect()]:
+        n = len(_files(out, lang))
+        assert 1 <= n <= 3, f"lang={lang}: {n} files (want 1..3)"
+    assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_partition_filter_prunes_directories(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "docs_pruned")
+    write_partitioned(docs, out, partition_by=["lang"], cluster_by=["n_chars"])
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("lang" in l for l in pf), plan
+    # a non-partition range predicate still reaches the scan as a pushed
+    # filter (row-group min/max pruning benefits from the cluster sort)
+    ranged = spark.read.parquet(out).where(F.col("n_chars") > 500)
+    rplan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "n_chars" in l for l in rplan.splitlines() if "PushedFilters" in l
+    ), rplan
+    assert back.count() == docs.where(F.col("lang") == "en").count()

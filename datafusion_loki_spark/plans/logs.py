@@ -254,6 +254,83 @@ FROM events GROUP BY event_type
 """
 
 
+def log_json_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL ``| json | unwrap k | sum by (label)`` analogue: parse the
+    whole props document into a typed struct with from_json (schema-on-read,
+    not per-key extraction), then aggregate the unwrapped numeric field by
+    label (LogQL metric-query surface; the reference delegates all of this
+    to the host engine, Spark supplies from_json natively).
+
+    100 TB posture: from_json is codegen'd JVM parsing (Jackson) — no
+    Python; the groupBy key is low-cardinality so partial aggregation
+    collapses the shuffle to (tasks × types) rows. Integer sums keep the
+    oracle comparison exact."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("j")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("j.k").alias("sum_k"),
+        F.count("j.k").alias("n_k"),
+        F.min("j.k").alias("min_k"),
+        F.max("j.k").alias("max_k"),
+    )
+
+
+ORACLE_JSON_UNWRAP = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def log_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern (funnel) detection: how many users progressed
+    view → click → purchase in timestamp order. Classic product-analytics
+    query over the event stream.
+
+    Shape: one groupBy(user_id) computing the first timestamp of each stage
+    via conditional MIN (no self-joins — a 3-way self-join would shuffle
+    the fact table three times; this shuffles it once), then a global
+    1-row rollup of stage-ordering predicates."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(t_view) AS n_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+       COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+         AS n_full_funnel
+FROM per_user
+"""
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
     "log_events_by_nation": log_events_by_nation,
@@ -272,6 +349,8 @@ QUERIES = {
     "log_conjunctive": log_conjunctive,
     "log_agg_by_label": log_agg_by_label,
     "log_time_bucket": log_time_bucket,
+    "log_json_unwrap": log_json_unwrap,
+    "log_funnel": log_funnel,
 }
 
 ORACLES = {
@@ -318,4 +397,6 @@ ORACLES = {
         " CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(value) AS avg_value"
         " FROM events GROUP BY 1, 2"
     ),
+    "log_json_unwrap": ORACLE_JSON_UNWRAP,
+    "log_funnel": ORACLE_FUNNEL,
 }

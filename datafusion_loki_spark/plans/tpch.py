@@ -1242,6 +1242,82 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function window surface: lag / lead / ntile per customer
+    order history (order-value delta vs previous order, next order date,
+    spend-quartile bucketing). Complements the rank/running-sum shapes —
+    together they cover Spark's full window-function families.
+
+    Scale: one shuffle on o_custkey shared by all three functions (same
+    window spec → one exchange + one sort); deterministic because the
+    ordering key (o_orderdate, o_orderkey) is unique per partition."""
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        (dec("o_totalprice") - F.lag(dec("o_totalprice")).over(w))
+        .cast("double")
+        .alias("delta_prev"),
+        F.lead("o_orderdate").over(w).alias("next_order_date"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+
+
+ORACLE_WINDOW_LEAD_LAG = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS {_D}) - LAG(CAST(o_totalprice AS {_D})) OVER w
+            AS DOUBLE) AS delta_prev,
+       LEAD(o_orderdate) OVER w AS next_order_date,
+       NTILE(4) OVER w AS spend_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame pivot surface: order counts per (customer nation ×
+    order priority) with priorities pivoted to columns. Spark plans pivot
+    as a single groupBy with conditional aggregates — one shuffle on the
+    25-row nation key, identical to hand-written CASE WHEN (the oracle
+    spells that equivalence out).
+
+    The pivot value list is supplied explicitly: at 100 TB an unlisted
+    pivot would first run a distinct() job just to discover column names."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    joined = od.join(cu, od.o_custkey == cu.c_custkey).join(
+        F.broadcast(na), cu.c_nationkey == na.n_nationkey
+    )
+    piv = (
+        joined.groupBy("n_name")
+        .pivot("o_orderpriority", pris)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot column names contain spaces/dashes; alias to oracle-stable names.
+    # coalesce: pivot-count leaves NULL for empty cells where COUNT(CASE)=0
+    renames = {p: f"n_pri{p[0]}" for p in pris}
+    return piv.select(
+        "n_name",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in pris],
+    )
+
+
+ORACLE_PIVOT = """
+SELECT n_name,
+       COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_pri1,
+       COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_pri2,
+       COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_pri3,
+       COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_pri4,
+       COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_pri5
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
@@ -1275,6 +1351,8 @@ QUERIES = {
     "q_rollup": q_rollup,
     "q_cube": q_cube,
     "q_percentiles": q_percentiles,
+    "q_window_lead_lag": q_window_lead_lag,
+    "q_pivot": q_pivot,
 }
 
 ORACLES = {
@@ -1310,4 +1388,6 @@ ORACLES = {
     "q_rollup": ORACLE_ROLLUP,
     "q_cube": ORACLE_CUBE,
     "q_percentiles": ORACLE_PERCENTILES,
+    "q_window_lead_lag": ORACLE_WINDOW_LEAD_LAG,
+    "q_pivot": ORACLE_PIVOT,
 }

@@ -32,12 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
-    from datafusion_loki_spark.operators import dedup, multimodal, similarity, text
+    from datafusion_loki_spark.operators import (
+        dedup,
+        multimodal,
+        sampling,
+        similarity,
+        text,
+    )
     from datafusion_loki_spark.plans import logs, tpch
 
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
-    for mod in (logs, tpch, dedup, multimodal, similarity, text):
+    for mod in (logs, tpch, dedup, multimodal, sampling, similarity, text):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -438,8 +438,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: fingerprint = md5 over the SORTED DISTINCT token
+    set, so reordered/repeated-word variants of the same vocabulary collapse
+    into one group (between exact dedup and MinHash on the recall axis —
+    catches permuted boilerplate that exact dedup misses, with none of
+    MinHash's false positives).
+
+    100 TB posture: same plan shape as exact dedup — one shuffle on a
+    uniform hash key; the sort is per-row over a small token array
+    (codegen'd array_sort), not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    bow = (
+        # two-level select: keep `toks` a materialized column so the
+        # regex+split isn't re-inlined into the array ops (see module note)
+        docs.select("doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("md5(concat_ws(' ', array_sort(array_distinct(toks))))").alias(
+                "bow_fingerprint"
+            ),
+        )
+    )
+    return bow.groupBy("bow_fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_docs")
+    )
+
+
+ORACLE_DEDUP_BOW = f"""
+SELECT md5(array_to_string(list_sort(list_distinct(string_split({_NORM_DUCK}, ' '))), ' '))
+         AS bow_fingerprint,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
+    "dedup_bow": dedup_bow,
     "dedup_events_exact": dedup_events_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -450,6 +487,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
+    "dedup_bow": ORACLE_DEDUP_BOW,
     "dedup_events_exact": ORACLE_DEDUP_EVENTS,
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),

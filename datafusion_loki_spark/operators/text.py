@@ -173,6 +173,80 @@ SELECT doc_id, lang, {best} AS predicted_lang, score_en, score_de FROM s
 """
 
 
+# Characteristic character-trigrams per language for the char-ngram
+# lang-id variant. Occurrence counting (not just membership) and
+# no-whitespace-dependence make this the scalable twin of the marker-word
+# heuristic: it works on unsegmented scripts (zh) where word splitting
+# doesn't.
+LANG_TRIGRAMS = {
+    "en": (" th", "the", "ing", "and"),
+    "de": ("der", "ich", "sch", "ein"),
+    "fr": (" le", "ent", "que", "les"),
+    "es": (" de", "los", "ión", "ent"),
+    "zh": ("的", "了", "是", "在"),
+}
+
+
+def _trigram_score(lang: str, norm: str) -> str:
+    """occurrences(s, g) = (len(s) - len(replace(s, g, ''))) / len(g) —
+    identical arithmetic in Spark and DuckDB (both length() count
+    characters, not bytes, so multi-byte zh grams divide correctly)."""
+    terms = []
+    for g in LANG_TRIGRAMS[lang]:
+        esc = g.replace("'", "''")
+        terms.append(
+            f"(length({norm}) - length(replace({norm}, '{esc}', ''))) / {len(g)}"
+        )
+    return " + ".join(terms)
+
+
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID: score = total occurrences of each
+    language's characteristic trigrams (via length-difference counting —
+    pure codegen'd string ops, no regex, no UDF, no shuffle), argmax with
+    declaration-order precedence. Upgrade path over the marker-word
+    variant: counts repeats and needs no tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    score_cols = [
+        F.expr(f"CAST({_trigram_score(lang, _NORM_SPARK)} AS BIGINT)").alias(
+            f"tg_{lang}"
+        )
+        for lang in LANG_TRIGRAMS
+    ]
+    langs = list(LANG_TRIGRAMS)
+    best = "CASE "
+    for lang in langs:
+        cond = " AND ".join(f"tg_{lang} >= tg_{o}" for o in langs if o != lang)
+        best += f"WHEN {cond} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return (
+        docs.select("doc_id", "lang", *score_cols)
+        .withColumn("predicted_lang", F.expr(best))
+        .select("doc_id", "lang", "predicted_lang", "tg_en", "tg_de", "tg_fr")
+    )
+
+
+def _oracle_lang_id_ngram() -> str:
+    langs = list(LANG_TRIGRAMS)
+    score_defs = ",\n       ".join(
+        f"CAST({_trigram_score(lang, _NORM_DUCK)} AS BIGINT) AS tg_{lang}"
+        for lang in langs
+    )
+    best = "CASE "
+    for lang in langs:
+        cond = " AND ".join(f"tg_{lang} >= tg_{o}" for o in langs if o != lang)
+        best += f"WHEN {cond} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+       {score_defs}
+  FROM documents
+)
+SELECT doc_id, lang, {best} AS predicted_lang, tg_en, tg_de, tg_fr FROM s
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over normalized text (rolling-hash
     family; md5 chosen because it is engine-portable and collision-adequate
@@ -251,6 +325,7 @@ QUERIES = {
     "text_stats": text_stats,
     "text_quality_filter": text_quality_filter,
     "text_lang_id": text_lang_id,
+    "text_lang_id_ngram": text_lang_id_ngram,
     "text_fingerprint": text_fingerprint,
     "text_token_freq": text_token_freq,
     "text_token_count_bpe": text_token_count_bpe,
@@ -260,6 +335,7 @@ ORACLES = {
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality_filter": ORACLE_TEXT_QUALITY,
     "text_lang_id": _oracle_lang_id(),
+    "text_lang_id_ngram": _oracle_lang_id_ngram(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "text_token_freq": ORACLE_TOKEN_FREQ,
     "text_token_count_bpe": ORACLE_TOKEN_COUNT_BPE,

@@ -315,6 +315,91 @@ def log_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def log_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling aggregate per user — a RANGE-frame window
+    (frame membership by timestamp distance, not row count): the classic
+    'rate over sliding window' log-metrics shape.
+
+    Ordering by integer epoch-seconds makes the range frame
+    engine-portable; decimal sums keep the rolling mean exact. One shuffle
+    on user_id; the frame scan is a single ordered pass per partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        # integer `div`, not `/`+cast: double→long casts truncate in Spark
+        # but round in DuckDB — div floors identically in both
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("ts_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        # cast the exact decimal sum to double BEFORE dividing: decimal
+        # division rounds at engine-specific scales, double÷int doesn't
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("avg_value_1h"),
+    )
+
+
+ORACLE_ROLLING_RANGE = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / COUNT(*) OVER w
+         AS avg_value_1h
+FROM (SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS ts_s
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def log_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-day event counts (time-spine densification — the
+    hypertable-rollup shape): generate the full day spine with sequence(),
+    left-join the observed daily counts, fill absent days with zero.
+
+    100 TB posture: the spine is tiny (one row per day) and broadcast;
+    the observed side is the already-aggregated rollup, not raw events —
+    so the join moves (days × event_types) rows, never the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+ORACLE_GAP_FILL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT UNNEST(generate_series((SELECT MIN(day) FROM daily),
+                                (SELECT MAX(day) FROM daily),
+                                INTERVAL 1 DAY))::DATE AS day
+), types AS (SELECT DISTINCT event_type FROM daily)
+SELECT s.day, t.event_type, COALESCE(d.n, 0) AS n
+FROM spine s CROSS JOIN types t
+LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+"""
+
+
 ORACLE_FUNNEL = """
 WITH per_user AS (
   SELECT user_id,
@@ -351,6 +436,8 @@ QUERIES = {
     "log_time_bucket": log_time_bucket,
     "log_json_unwrap": log_json_unwrap,
     "log_funnel": log_funnel,
+    "log_rolling_range": log_rolling_range,
+    "log_gap_fill": log_gap_fill,
 }
 
 ORACLES = {
@@ -399,4 +486,6 @@ ORACLES = {
     ),
     "log_json_unwrap": ORACLE_JSON_UNWRAP,
     "log_funnel": ORACLE_FUNNEL,
+    "log_rolling_range": ORACLE_ROLLING_RANGE,
+    "log_gap_fill": ORACLE_GAP_FILL,
 }

@@ -1242,6 +1242,39 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form underlying rollup/cube):
+    order totals by (status, priority), by status alone, and the grand
+    total — with grouping() flags disambiguating real NULLs from
+    subtotal rows. Spark plans this as one Expand + one aggregation —
+    a single shuffle regardless of how many sets are requested."""
+    od = _t(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS {_D})) AS DOUBLE) AS total_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS {_D})) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Navigation-function window surface: lag / lead / ntile per customer
     order history (order-value delta vs previous order, next order date,
@@ -1353,6 +1386,7 @@ QUERIES = {
     "q_percentiles": q_percentiles,
     "q_window_lead_lag": q_window_lead_lag,
     "q_pivot": q_pivot,
+    "q_grouping_sets": q_grouping_sets,
 }
 
 ORACLES = {
@@ -1390,4 +1424,5 @@ ORACLES = {
     "q_percentiles": ORACLE_PERCENTILES,
     "q_window_lead_lag": ORACLE_WINDOW_LEAD_LAG,
     "q_pivot": ORACLE_PIVOT,
+    "q_grouping_sets": ORACLE_GROUPING_SETS,
 }

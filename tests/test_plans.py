@@ -137,3 +137,63 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     # unnecessary repartition in the plan.
     plan = _plan(spark, sf_dir, "dedup_exact_docs")
     assert plan.count("Exchange") <= 2, plan  # hashpartitioning + AQE read
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sample_events_uniform", "sample_docs_stratified", "text_lang_id_ngram"],
+)
+def test_scan_speed_ops_have_no_shuffle(spark, sf_dir, name):
+    # Deterministic sampling and trigram lang-id are pure filter/project
+    # pipelines — any Exchange would mean they stopped running at scan
+    # speed.
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("Exchange") == 0, f"{name}:\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name", ["log_rolling_range", "q_window_lead_lag", "dedup_bow"]
+)
+def test_single_hash_exchange(spark, sf_dir, name):
+    # All window functions share one window spec (one exchange + sort);
+    # bow dedup shuffles once on the fingerprint. A second hash exchange
+    # would mean the shared partitioning was broken.
+    plan = _plan(spark, sf_dir, name)
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"{name}: {n} hash exchanges\n{plan}"
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    # Conditional-MIN funnel must shuffle the fact table exactly once
+    # (on user_id) — the naive 3-way self-join shape would show three.
+    plan = _plan(spark, sf_dir, "log_funnel")
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"log_funnel: {n} hash exchanges\n{plan}"
+
+
+def test_grouping_sets_one_expand_one_shuffle(spark, sf_dir):
+    # GROUPING SETS = Expand + ONE aggregation shuffle, however many sets.
+    plan = _plan(spark, sf_dir, "q_grouping_sets")
+    assert "Expand" in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"q_grouping_sets: {n} hash exchanges\n{plan}"
+
+
+def test_pivot_broadcasts_dims(spark, sf_dir):
+    # The pivot plan must broadcast both dimension joins and stay a
+    # conditional aggregation (no per-priority scans, no cartesian).
+    plan = _plan(spark, sf_dir, "q_pivot")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"q_pivot: {n} hash exchanges\n{plan}"
+
+
+def test_gap_fill_joins_rollup_not_facts(spark, sf_dir):
+    # The spine join must happen ABOVE the daily aggregation: exactly one
+    # hash exchange may touch fact-table cardinality (the daily groupBy);
+    # the spine/type joins are broadcast.
+    plan = _plan(spark, sf_dir, "log_gap_fill")
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"log_gap_fill: {n} hash exchanges\n{plan}"

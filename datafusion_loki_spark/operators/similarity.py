@@ -403,8 +403,54 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean) — the training
+    step behind IVF cells / k-means: posexplode to (label, pos, val) rows,
+    aggregate per coordinate.
+
+    Determinism contract: the per-group sum is a sequential fold over
+    values sorted by vec_id (array_sort(collect_list(struct)) → aggregate),
+    matching DuckDB's array_agg(ORDER BY) → list_sum. A plain SUM(double)
+    would be partition-order-dependent and unverifiable. At 100 TB you'd
+    trade this exactness for a plain double sum (or decimal) — the fold is
+    the oracle-parity variant of the same single-shuffle plan: explode is
+    pipelined with the scan; one exchange on (label, pos); 640 output
+    rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    g = ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vecs"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(vec_id, "
+            "cast(val as double) as v))), 0.0d, (acc, s) -> acc + s.v)"
+        ).alias("sum_val"),
+    )
+    return g.select(
+        "label",
+        "pos",
+        "n_vecs",
+        (F.col("sum_val") / F.col("n_vecs")).alias("centroid_val"),
+    )
+
+
+ORACLE_EMB_CENTROID = """
+WITH ex AS (
+  SELECT label, vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+  FROM embeddings
+)
+SELECT label, pos, COUNT(*) AS n_vecs,
+       list_sum(array_agg(val ORDER BY vec_id)) / COUNT(*) AS centroid_val
+FROM ex GROUP BY label, pos
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
+    "emb_centroid_by_label": emb_centroid_by_label,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_candidates": sim_lsh_candidates,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
@@ -414,6 +460,7 @@ QUERIES = {
 
 ORACLES = {
     "sim_topk_cosine": ORACLE_SIM_TOPK,
+    "emb_centroid_by_label": ORACLE_EMB_CENTROID,
     "sim_lsh_buckets": ORACLE_SIM_LSH,
     "sim_lsh_candidates": ORACLE_SIM_LSH_CAND,
     "sim_lsh_multiprobe": _oracle_multiprobe(),

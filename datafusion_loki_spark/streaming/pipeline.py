@@ -206,6 +206,31 @@ def click_to_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def enriched_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    static customer/nation dimensions — the standard 'decorate the stream
+    with warehouse attributes' pipeline stage (completes the join-family
+    coverage: stream-stream interval join lives in click_to_purchase_join).
+
+    100 TB posture: the static side is re-read per micro-batch and
+    broadcast (no stream-side shuffle, no state store at all — unlike
+    stream-stream joins this is stateless); dimension updates become
+    visible at the next micro-batch without restarting the query."""
+    from datafusion_loki_spark.catalog import load_table
+
+    ev = events_file_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dims = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return ev.join(dims, ev.user_id == dims.c_custkey).select(
+        "event_id", "ts", "user_id", "event_type", "value", "c_mktsegment", "n_name"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> None:
     """Drain a stream with availableNow into an in-memory table (test/bench
     helper)."""

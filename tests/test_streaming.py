@@ -236,3 +236,28 @@ def test_sessionize_stateful(spark, sf_dir):
         for a, b in zip(user_rows, user_rows[1:]):
             gap = (b.session_start - a.session_end).total_seconds()
             assert gap > pipeline.SESSION_GAP_SECONDS
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    # Stream-static joins are stateless: every event whose user maps to a
+    # customer must come out decorated, identical to the batch join.
+    enriched = pipeline.enriched_event_stream(spark, sf_dir)
+    assert enriched.isStreaming
+    pipeline.run_to_memory(enriched, "enriched_events", spark)
+    got = {
+        r.event_id: (r.c_mktsegment, r.n_name)
+        for r in spark.sql("SELECT * FROM enriched_events").collect()
+    }
+    from datafusion_loki_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    batch = (
+        ev.join(cu, ev.user_id == cu.c_custkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .select("event_id", "c_mktsegment", "n_name")
+        .collect()
+    )
+    expected = {r.event_id: (r.c_mktsegment, r.n_name) for r in batch}
+    assert got == expected

@@ -287,6 +287,48 @@ JOIN sh b ON cand.doc_b = b.doc_id
 """
 
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verify stage over LSH candidate pairs — the
+    character-level alternative to shingle Jaccard (catches small in-place
+    edits that shift every shingle). Same scale shape as
+    dedup_ngram_jaccard: the O(len²) edit-distance kernel runs ONLY on
+    candidate pairs, never the cross product; normalized texts join in by
+    doc_id (two broadcast-or-shuffle hash joins on a unique key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", F.expr(_NORM_SPARK).alias("norm_text"))
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("norm_text").alias("t_a"))
+    b = norm.select(F.col("doc_id").alias("doc_b"), F.col("norm_text").alias("t_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("t_a", "t_b").alias("edit_distance"),
+            (
+                F.lit(1.0)
+                - F.levenshtein("t_a", "t_b")
+                / F.greatest(F.length("t_a"), F.length("t_b"))
+            ).alias("edit_similarity"),
+        )
+    )
+
+
+def _oracle_edit_distance() -> str:
+    return f"""
+WITH cand AS ({_oracle_minhash()}),
+nt AS (SELECT doc_id, {_NORM_DUCK} AS norm_text FROM documents)
+SELECT doc_a, doc_b,
+       levenshtein(a.norm_text, b.norm_text) AS edit_distance,
+       1.0 - levenshtein(a.norm_text, b.norm_text)
+           / greatest(length(a.norm_text), length(b.norm_text)) AS edit_similarity
+FROM cand
+JOIN nt a ON cand.doc_a = a.doc_id
+JOIN nt b ON cand.doc_b = b.doc_id
+"""
+
+
 # --- embedding cosine near-dup ---------------------------------------------------
 
 _DOT_SPARK = (
@@ -480,6 +522,7 @@ QUERIES = {
     "dedup_events_exact": dedup_events_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_edit_distance": dedup_edit_distance,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_chunks": dedup_chunks,
     "dedup_simhash": dedup_simhash,
@@ -491,6 +534,7 @@ ORACLES = {
     "dedup_events_exact": ORACLE_DEDUP_EVENTS,
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
+    "dedup_edit_distance": _oracle_edit_distance(),
     "dedup_embedding_cosine": _oracle_dedup_embedding(),
     "dedup_chunks": ORACLE_DEDUP_CHUNKS,
     # dedup_simhash: intentionally no oracle (rows-only check)

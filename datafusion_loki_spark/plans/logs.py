@@ -416,8 +416,26 @@ FROM per_user
 """
 
 
+def log_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface: HyperLogLog++ distinct-user counts per event type
+    next to the exact count. At 100 TB the exact countDistinct shuffles
+    every distinct (type, user) pair; the HLL sketch is constant-size per
+    group and merges associatively — this query is the side-by-side
+    accuracy audit you run before switching dashboards to sketches.
+
+    Rows-only driver check (HLL estimates are engine-specific by design);
+    tests/test_plans.py::test_hll_within_error_bound pins the 2%-rsd
+    configuration to a ≤5% observed error locally."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
+    "log_approx_users": log_approx_users,
     "log_events_by_nation": log_events_by_nation,
     "log_sessionize_batch": log_sessionize_batch,
     "log_median_value_pandas": log_median_value_pandas,

@@ -1242,6 +1242,35 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window surface: dense_rank / percent_rank /
+    cume_dist of customers by account balance within their nation —
+    rounds out the window families (navigation → q_window_lead_lag,
+    ranking-with-ties and distribution stats → here). One shuffle on
+    c_nationkey shared by all four functions."""
+    cu = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cu.select(
+        "c_nationkey",
+        "c_custkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+ORACLE_WINDOW_RANK_STATS = """
+SELECT c_nationkey, c_custkey,
+       DENSE_RANK() OVER w AS drank,
+       PERCENT_RANK() OVER w AS prank,
+       CUME_DIST() OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form underlying rollup/cube):
     order totals by (status, priority), by status alone, and the grand
@@ -1387,6 +1416,7 @@ QUERIES = {
     "q_window_lead_lag": q_window_lead_lag,
     "q_pivot": q_pivot,
     "q_grouping_sets": q_grouping_sets,
+    "q_window_rank_stats": q_window_rank_stats,
 }
 
 ORACLES = {
@@ -1425,4 +1455,5 @@ ORACLES = {
     "q_window_lead_lag": ORACLE_WINDOW_LEAD_LAG,
     "q_pivot": ORACLE_PIVOT,
     "q_grouping_sets": ORACLE_GROUPING_SETS,
+    "q_window_rank_stats": ORACLE_WINDOW_RANK_STATS,
 }

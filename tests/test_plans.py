@@ -197,3 +197,13 @@ def test_gap_fill_joins_rollup_not_facts(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 1, plan
     n = plan.count("Exchange hashpartitioning")
     assert n <= 2, f"log_gap_fill: {n} hash exchanges\n{plan}"
+
+
+def test_hll_within_error_bound(spark, sf_dir):
+    # approx_count_distinct at rsd=0.02 must land within 5% of exact on
+    # every group (sketch surface has no DuckDB oracle — this is its gate).
+    rows = _QUERIES["log_approx_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert err <= 0.05, f"{r.event_type}: {r.approx_users} vs {r.exact_users}"

@@ -30,6 +30,7 @@ def salted_join(
     on: list[str],
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join ``skewed`` with ``other`` on equi-key columns ``on``, fanning
     each skewed key across ``n_salts`` sub-partitions.
@@ -39,10 +40,15 @@ def salted_join(
     N× multiplier on the SMALL side only). The shuffle key becomes
     (key, salt), so a key holding 50% of the fact table spreads over
     n_salts reducers instead of one.
+
+    ``salt_cols`` limits which skewed-side columns feed the salt hash —
+    required when rows carry non-hashable payloads (arrays), and cheaper
+    when one unique id column suffices.
     """
     if not on:
         raise ValueError("salted_join requires at least one key column")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    cols = salt_cols if salt_cols else skewed.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
     left = skewed.withColumn(SALT_COL, salt.cast("int"))
     right = other.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -348,19 +348,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology is identical: self-join inside buckets only, never global).
 
     Dot products fold sequentially → bit-identical in Spark and DuckDB
-    (verified), so raw doubles are oracle-safe. Vectors are unit-normalized
-    per ROW first (similarity.unit_embeddings), so each pair costs one dot
-    instead of dot + two norm aggregates — pair count dwarfs row count."""
-    from datafusion_loki_spark.operators.similarity import unit_embeddings
+    (verified), so raw doubles are oracle-safe. Norms are precomputed per
+    ROW (similarity.normed_embeddings), so each pair costs one raw dot +
+    one scalar divide — pair count dwarfs row count."""
+    from datafusion_loki_spark.functions.skew import salted_join
+    from datafusion_loki_spark.operators.similarity import normed_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
-    u = unit_embeddings(emb, "vec_id", "label")
-    a = u.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("u_a"), "label")
-    b = u.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("u_b"), "label")
+    # probe side repartitioned for scan-split parallelism (single local
+    # file → one task otherwise); cosine = dot(raw)/(nrm·nrm) so no
+    # per-element division exists for CollapseProject to inline norms into
+    # (see normed_embeddings docstring)
+    a = normed_embeddings(emb.repartition(F.col("vec_id")), "vec_id", "label").select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "label",
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = normed_embeddings(emb, "vec_id", "label").select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "label",
+        F.col("nrm").alias("nrm_b"),
+    )
+    # salted self-join: with ~10 coarse buckets, a shuffle join on `label`
+    # caps reducer parallelism at 10 however many cores exist. Salting
+    # id_a over 8 sub-keys spreads each bucket's pair space 8× for an 8×
+    # replication of only the (small) right side. Same pairs exactly once:
+    # `a` rows take one salt, `b` rows match every salt.
     return (
-        a.join(b, "label")
+        salted_join(a, b, on=["label"], n_salts=8, salt_cols=["id_a"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="u_a", b="u_b")))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT_SPARK.format(a="e_a", b="e_b"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .where(F.col("cosine") >= 0.2)
         .select("label", "id_a", "id_b", "cosine")
     )
@@ -375,14 +394,16 @@ _NORM2_DUCK = (
 )
 
 def _oracle_dedup_embedding() -> str:
-    from datafusion_loki_spark.operators.similarity import _unit_duck_cte
+    from datafusion_loki_spark.operators.similarity import _normed_duck_cte
 
-    dot = _DOT_DUCK.format(a="a.unit", b="b.unit")
+    cos = (
+        _DOT_DUCK.format(a="a.embedding", b="b.embedding") + " / (a.nrm * b.nrm)"
+    )
     return f"""
-WITH u AS ({_unit_duck_cte('label')})
-SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, {dot} AS cosine
+WITH u AS ({_normed_duck_cte('label')})
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
 FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {dot} >= 0.2
+WHERE {cos} >= 0.2
 """
 
 

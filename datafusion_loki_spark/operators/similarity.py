@@ -61,35 +61,30 @@ _NORM2_DUCK = (
 )
 
 
-def unit_embeddings(emb: DataFrame, id_alias: str, *extra: str) -> DataFrame:
-    """(id, *extra, unit, nrm): embedding scaled to unit length, per ROW.
+def normed_embeddings(emb: DataFrame, id_alias: str, *extra: str) -> DataFrame:
+    """(id, *extra, embedding, nrm): raw vector + scalar L2 norm per ROW.
 
-    Pairwise cosine then needs ONE interpreted-HOF dot per pair instead of
-    three (dot + two norms) — norms are a row-level pass, and pair counts
-    dwarf row counts in any self-join. `nrm` stays in the output on
-    purpose: the second reference keeps CollapseProject from inlining the
-    norm aggregate into the division lambda (which would re-sum the vector
-    per ELEMENT). Mirrored exactly by _unit_duck_cte for the oracles —
-    same IEEE ops in the same sequential fold order → bit-identical."""
+    Pairwise cosine = dot(emb_a, emb_b) / (nrm_a * nrm_b): still exactly
+    ONE fold per pair, but with NO per-element division anywhere. The
+    earlier unit-vector formulation paid 64 divisions per row AND kept
+    getting its norm aggregate re-inlined into the division lambda by
+    CollapseProject — references inside higher-order-function lambdas do
+    not count for the rule's multi-reference exemption, so the "also
+    select nrm" trick cannot protect a `transform(e, x -> x / nrm)`
+    projection. A scalar nrm next to the raw array has no lambda to inline
+    into. Mirrored exactly by _normed_duck_cte — same IEEE ops in the same
+    sequential fold order → bit-identical."""
     n2 = _NORM2_SPARK.format(a="embedding")
     return emb.select(
         F.col("vec_id").alias(id_alias), *extra, "embedding",
         F.expr(f"sqrt({n2})").alias("nrm"),
-    ).select(
-        id_alias, *extra,
-        F.expr("transform(embedding, x -> cast(x as double) / nrm)").alias("unit"),
-        "nrm",
     )
 
 
-def _unit_duck_cte(*extra: str) -> str:
+def _normed_duck_cte(*extra: str) -> str:
     cols = ", ".join(("vec_id",) + extra)
     n2 = _NORM2_DUCK.format(a="embedding")
-    return (
-        f"SELECT {cols}, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit "
-        f"FROM (SELECT *, sqrt({n2}) AS nrm FROM embeddings) b"
-    )
+    return f"SELECT {cols}, embedding, sqrt({n2}) AS nrm FROM embeddings"
 
 
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,14 +92,24 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest corpus vectors. The baseline every ANN variant is measured
     against."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = unit_embeddings(emb.where(F.col("vec_id") < N_QUERIES), "query_id").select(
-        "query_id", F.col("unit").alias("q_unit")
+    q = normed_embeddings(emb.where(F.col("vec_id") < N_QUERIES), "query_id").select(
+        "query_id", F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
-    c = unit_embeddings(emb, "cand_id").select("cand_id", F.col("unit").alias("c_unit"))
+    # repartition by the unique id: a sub-row-group parquet file is ONE
+    # scan split, and the broadcast join adds no exchange — without this
+    # every corpus×query dot product runs in a single task. At real scale
+    # the scan has many splits and this exchange folds into normal I/O.
+    c = normed_embeddings(emb.repartition(F.col("vec_id")), "cand_id").select(
+        "cand_id", F.col("embedding").alias("c_emb"), F.col("nrm").alias("c_nrm")
+    )
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="q_unit", b="c_unit")))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT_SPARK.format(a="q_emb", b="c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -115,11 +120,13 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SIM_TOPK = f"""
-WITH u AS ({_unit_duck_cte()}),
-q AS (SELECT vec_id AS query_id, unit AS q_unit FROM u WHERE vec_id < {N_QUERIES}),
+WITH u AS ({_normed_duck_cte()}),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+      FROM u WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, c.vec_id AS cand_id,
-         {_DOT_DUCK.format(a='q.q_unit', b='c.unit')} AS cosine
+         {_DOT_DUCK.format(a='q.q_emb', b='c.embedding')} / (q.q_nrm * c.nrm)
+           AS cosine
   FROM q CROSS JOIN u c
   WHERE c.vec_id != q.query_id
 )
@@ -174,30 +181,41 @@ def sim_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs + exact cosine refine — the end-to-end ANN
     pipeline (bucket → pair inside bucket → exact verify)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = unit_embeddings(emb, "vec_id").withColumn(
-        "signature", F.expr(_signature_spark("unit"))
+    # repartition: signature computation is 8 dots/row and must not run
+    # on the single local scan split; the bucket join then shuffles on
+    # signature (256 keys) which is the scale topology anyway
+    sig = normed_embeddings(emb.repartition(F.col("vec_id")), "vec_id").withColumn(
+        "signature", F.expr(_signature_spark("embedding"))
     )
     a = sig.select(
-        F.col("vec_id").alias("id_a"), F.col("unit").alias("u_a"), "signature"
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("nrm_a"), "signature",
     )
     b = sig.select(
-        F.col("vec_id").alias("id_b"), F.col("unit").alias("u_b"), "signature"
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("nrm_b"), "signature",
     )
     return (
         a.join(b, "signature")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="u_a", b="u_b")))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT_SPARK.format(a="e_a", b="e_b"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .select("signature", "id_a", "id_b", "cosine")
     )
 
 
 ORACLE_SIM_LSH_CAND = f"""
-WITH u AS ({_unit_duck_cte()}),
+WITH u AS ({_normed_duck_cte()}),
 sig AS (
-  SELECT vec_id, unit, {_signature_duck('unit')} AS signature FROM u
+  SELECT vec_id, embedding, nrm,
+         {_signature_duck('embedding')} AS signature FROM u
 )
 SELECT a.signature AS signature, a.vec_id AS id_a, b.vec_id AS id_b,
-       {_DOT_DUCK.format(a='a.unit', b='b.unit')} AS cosine
+       {_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+         AS cosine
 FROM sig a JOIN sig b ON a.signature = b.signature AND a.vec_id < b.vec_id
 """
 
@@ -212,8 +230,8 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     A candidate has exactly one signature and the 9 probes are distinct
     strings, so no dedup is needed after the join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = unit_embeddings(emb, "vec_id").withColumn(
-        "signature", F.expr(_signature_spark("unit"))
+    sig = normed_embeddings(emb.repartition(F.col("vec_id")), "vec_id").withColumn(
+        "signature", F.expr(_signature_spark("embedding"))
     )
     flip = (
         f"transform(sequence(0, {N_PLANES}), i -> if(i = 0, signature, "
@@ -225,17 +243,23 @@ def sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("unit").alias("q_unit"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             F.explode(F.expr(flip)).alias("probe"),
         )
     )
     cand = sig.select(
-        F.col("vec_id").alias("cand_id"), F.col("unit").alias("c_unit"), "signature"
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"), "signature",
     )
     scored = (
         cand.join(F.broadcast(q), cand.signature == q.probe)
         .where(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="q_unit", b="c_unit")))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT_SPARK.format(a="q_emb", b="c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -254,17 +278,20 @@ def _oracle_multiprobe() -> str:
         f"substring(signature, i + 1, {N_PLANES} - i) END)"
     )
     return f"""
-WITH u AS ({_unit_duck_cte()}),
+WITH u AS ({_normed_duck_cte()}),
 sig AS (
-  SELECT vec_id, unit, {_signature_duck('unit')} AS signature FROM u
+  SELECT vec_id, embedding, nrm,
+         {_signature_duck('embedding')} AS signature FROM u
 ),
 q AS (
-  SELECT vec_id AS query_id, unit AS q_unit, unnest({flip}) AS probe
+  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+         unnest({flip}) AS probe
   FROM sig WHERE vec_id < {N_QUERIES}
 ),
 scored AS (
   SELECT q.query_id, c.vec_id AS cand_id,
-         {_DOT_DUCK.format(a='q.q_unit', b='c.unit')} AS cosine
+         {_DOT_DUCK.format(a='q.q_emb', b='c.embedding')} / (q.q_nrm * c.nrm)
+           AS cosine
   FROM q JOIN sig c ON c.signature = q.probe
   WHERE c.vec_id != q.query_id
 )
@@ -279,19 +306,32 @@ SELECT query_id, cand_id, cosine, rank FROM (
 _N_CELLS_PER_DIM = 4  # coarse grid resolution → up to 8×8 cells on dims 1-2
 
 
-def _cell_spark(unit_col: str) -> str:
-    """Coarse IVF cell id: quantize the first two unit-vector coordinates
-    onto a fixed grid. Deterministic and SQL-portable (no trained k-means),
-    which keeps the oracle exact; a production IVF swaps this for learned
-    centroids without changing the query topology."""
-    c1 = f"cast(floor(element_at({unit_col}, 1) * {_N_CELLS_PER_DIM}) as int)"
-    c2 = f"cast(floor(element_at({unit_col}, 2) * {_N_CELLS_PER_DIM}) as int)"
+def _cell_spark(emb_col: str, nrm_col: str) -> str:
+    """Coarse IVF cell id: quantize the first two unit-sphere coordinates
+    (raw coordinate / scalar norm — two divisions per row, no unit-vector
+    materialization) onto a fixed grid. Deterministic and SQL-portable
+    (no trained k-means), which keeps the oracle exact; a production IVF
+    swaps this for learned centroids without changing the query topology."""
+    c1 = (
+        f"cast(floor(cast(element_at({emb_col}, 1) as double) / {nrm_col}"
+        f" * {_N_CELLS_PER_DIM}) as int)"
+    )
+    c2 = (
+        f"cast(floor(cast(element_at({emb_col}, 2) as double) / {nrm_col}"
+        f" * {_N_CELLS_PER_DIM}) as int)"
+    )
     return f"concat({c1}, ':', {c2})"
 
 
-def _cell_duck(unit_col: str) -> str:
-    c1 = f"CAST(floor({unit_col}[1] * {_N_CELLS_PER_DIM}) AS INT)"
-    c2 = f"CAST(floor({unit_col}[2] * {_N_CELLS_PER_DIM}) AS INT)"
+def _cell_duck(emb_col: str, nrm_col: str) -> str:
+    c1 = (
+        f"CAST(floor(CAST({emb_col}[1] AS DOUBLE) / {nrm_col}"
+        f" * {_N_CELLS_PER_DIM}) AS INT)"
+    )
+    c2 = (
+        f"CAST(floor(CAST({emb_col}[2] AS DOUBLE) / {nrm_col}"
+        f" * {_N_CELLS_PER_DIM}) AS INT)"
+    )
     return f"{c1} || ':' || {c2}"
 
 
@@ -304,15 +344,28 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries (multi-probe of neighboring cells is the standard remedy
     and keeps the same plan shape)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    u = unit_embeddings(emb, "vec_id")
-    cells = u.select("vec_id", "unit", F.expr(_cell_spark("unit")).alias("cell"))
+    # the repartition sits BETWEEN the norm projection and the cell
+    # projection: it spreads the single local scan split for parallel
+    # scoring (see sim_topk_cosine) AND is an optimizer barrier that stops
+    # CollapseProject from inlining the norm aggregate into the two cell-
+    # coordinate divisions (re-summing the vector per coordinate)
+    u = normed_embeddings(emb, "vec_id").repartition(F.col("vec_id"))
+    cells = u.select(
+        "vec_id", "embedding", "nrm",
+        F.expr(_cell_spark("embedding", "nrm")).alias("cell"),
+    )
     q = cells.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit"), "cell"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"), "cell",
     )
     scored = (
         cells.join(F.broadcast(q), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.expr(_DOT_SPARK.format(a="q_unit", b="unit")))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT_SPARK.format(a="q_emb", b="embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+        )
         .select("query_id", F.col("vec_id").alias("cand_id"), "cell", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
@@ -324,15 +377,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SIM_IVF = f"""
-WITH u AS ({_unit_duck_cte()}),
+WITH u AS ({_normed_duck_cte()}),
 cells AS (
-  SELECT vec_id, unit, {_cell_duck('unit')} AS cell FROM u
+  SELECT vec_id, embedding, nrm,
+         {_cell_duck('embedding', 'nrm')} AS cell FROM u
 ),
-q AS (SELECT vec_id AS query_id, unit AS q_unit, cell FROM cells
-      WHERE vec_id < {N_QUERIES}),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cell
+      FROM cells WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, c.vec_id AS cand_id, c.cell,
-         {_DOT_DUCK.format(a='q.q_unit', b='c.unit')} AS cosine
+         {_DOT_DUCK.format(a='q.q_emb', b='c.embedding')} / (q.q_nrm * c.nrm)
+           AS cosine
   FROM q JOIN cells c ON q.cell = c.cell
   WHERE c.vec_id != q.query_id
 )

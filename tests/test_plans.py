@@ -116,10 +116,20 @@ def test_tokenizer_plan_computes_split_once(spark, sf_dir, name):
 
 def test_unit_norm_not_inlined_per_element(spark, sf_dir):
     # The norm aggregate must stay in its own projection, not get inlined
-    # into the per-element division lambda.
+    # into the per-element division lambda. Case-insensitive: the plan
+    # printer emits `SQRT` (physical) or `sqrt` (logical) depending on
+    # the node — the original lowercase-only match let a regression
+    # through silently.
     for name in ("sim_topk_cosine", "dedup_embedding_cosine"):
-        s = _optimized(spark, sf_dir, name)
-        assert "/ sqrt(aggregate(" not in s.replace("\n", " "), name
+        s = _optimized(spark, sf_dir, name).replace("\n", " ").lower()
+        assert "/ sqrt(aggregate(" not in s, name
+    # sim_ivf_topk: the two scalar cell-coordinate divisions per side get
+    # the norm aggregate inlined (ColumnPruning re-merges projections
+    # through the repartition barrier). That is a bounded 2-fold per ROW —
+    # benign, unlike the per-ELEMENT (64×) blowup this gate guards. Pin it
+    # so it can't grow.
+    s = _optimized(spark, sf_dir, "sim_ivf_topk").replace("\n", " ").lower()
+    assert s.count("/ sqrt(aggregate(") <= 4, "sim_ivf_topk cell-inline grew"
 
 
 def test_q13_two_hash_shuffles(spark, sf_dir):

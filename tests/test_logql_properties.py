@@ -1,0 +1,147 @@
+"""Property-based tests for the filter→LogQL translator (hypothesis).
+
+The reference ships its translator untested (zero #[cfg(test)] in
+datafusion-loki/src/ — SURVEY.md §5); tests/test_logql.py covers its
+branches table-driven, and this file adds generative coverage of the
+invariants the pushdown contract depends on: escaping is lossless,
+translation is conservative (never emits a filter LogQL can't represent
+exactly), and window math only widens.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_loki_spark.sources.logql import (
+    _quote_label_value,
+    build_logql,
+    datetime_to_ns,
+    label_matcher,
+    like_pattern_to_contains,
+    line_contains,
+    line_regex,
+)
+
+_text = st.text(max_size=60)
+
+
+@given(_text)
+def test_quote_label_value_is_lossless(value):
+    quoted = _quote_label_value(value)
+    assert quoted.startswith('"') and quoted.endswith('"')
+    inner = quoted[1:-1]
+    # decode the two escapes in one left-to-right pass (the writer's order)
+    out, i = [], 0
+    while i < len(inner):
+        if inner[i] == "\\" and i + 1 < len(inner) and inner[i + 1] in ('"', "\\"):
+            out.append(inner[i + 1])
+            i += 2
+        else:
+            assert inner[i] not in ('"',), "unescaped quote survived"
+            out.append(inner[i])
+            i += 1
+    assert "".join(out) == value
+
+
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters='{}",\n'),
+               min_size=1, max_size=20),
+       st.sampled_from(["=", "!=", "=~", "!~"]), _text)
+def test_label_matcher_shape(key, op, value):
+    m = label_matcher(key, op, value)
+    assert m.startswith(key + op)
+    assert m.endswith('"')
+
+
+@given(_text)
+def test_line_contains_refuses_backticks_else_exact(text):
+    lf = line_contains(text)
+    if "`" in text:
+        assert lf is None  # LogQL raw strings cannot contain a backtick
+    else:
+        assert lf == f"|= `{text}`"
+        assert line_contains(text, negate=True) == f"!= `{text}`"
+
+
+@given(_text)
+def test_line_regex_prefixes(rx):
+    lf = line_regex(rx, case_insensitive=True)
+    if "`" in rx:
+        assert lf is None
+    else:
+        assert lf == f"|~ `(?i){rx}`"
+
+
+@given(_text)
+def test_like_gate_only_accepts_contains_shapes(pattern):
+    inner = like_pattern_to_contains(pattern)
+    if inner is not None:
+        # accepted ⇒ it was exactly %inner% with no further wildcards —
+        # the reference's gate (expr.rs:83-98); anything looser would make
+        # an Exact pushdown wrong
+        assert pattern == f"%{inner}%"
+        assert "%" not in inner and "_" not in inner
+
+
+@given(st.lists(st.sampled_from(['app="x"', 'env!="prod"', 'job=~"a.+"']),
+                max_size=3, unique=True),
+       st.lists(st.sampled_from(["|= `a`", "!= `b`", "|~ `c.*`"]),
+                max_size=3, unique=True))
+def test_build_logql_assembly(matchers, line_filters):
+    q = build_logql(matchers, line_filters, default_label="svc")
+    head = q.split("}")[0] + "}"
+    if matchers:
+        assert head == "{" + ", ".join(matchers) + "}"
+    else:
+        assert head == '{svc=~".+"}'  # table.rs:116-122 fallback
+    for lf in line_filters:
+        assert lf in q
+
+
+@given(st.datetimes(min_value=datetime(1971, 1, 1),
+                    max_value=datetime(2200, 1, 1)))
+def test_datetime_to_ns_is_whole_microseconds(dt):
+    ns = datetime_to_ns(dt.replace(tzinfo=timezone.utc))
+    assert ns % 1_000 == 0  # Spark timestamps are µs; ns is a widening
+    back = datetime.fromtimestamp(ns / 1e9, tz=timezone.utc)
+    assert abs((back - dt.replace(tzinfo=timezone.utc)).total_seconds()) < 1e-3
+
+
+# deadline off: the first example pays the pyspark.sql.datasource import
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["gt", "ge", "lt", "le"]),
+                          st.datetimes(min_value=datetime(2000, 1, 1),
+                                       max_value=datetime(2100, 1, 1))),
+                max_size=4))
+def test_time_bounds_always_superset(bounds):
+    """The fetch window must contain every row any conjunction of the
+    pushed time predicates can keep: start = max of lower bounds,
+    end = min of upper bounds widened past inclusivity."""
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from datafusion_loki_spark.sources.logql import translate_filters
+
+    cls = {"gt": GreaterThan, "ge": GreaterThanOrEqual,
+           "lt": LessThan, "le": LessThanOrEqual}
+    filters = [cls[op](("timestamp",), dt) for op, dt in bounds]
+    res = translate_filters(filters)
+    # every time filter is re-checked by Spark — never consumed
+    assert res.supported == []
+    # the fetched window is the tightest superset of the CONJUNCTION:
+    # start = max lower bound (rows at the bound stay fetchable since the
+    # bound itself is sent inclusively), end = min upper bound with
+    # inclusive (`<=`) ends widened by 1 µs
+    lowers = [datetime_to_ns(dt.replace(tzinfo=timezone.utc))
+              for op, dt in bounds if op in ("gt", "ge")]
+    uppers = [datetime_to_ns(dt.replace(tzinfo=timezone.utc))
+              + (1_000 if op == "le" else 0)
+              for op, dt in bounds if op in ("lt", "le")]
+    assert res.start_ns == (max(lowers) if lowers else None)
+    assert res.end_ns == (min(uppers) if uppers else None)

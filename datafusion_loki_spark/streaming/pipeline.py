@@ -231,6 +231,47 @@ def enriched_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_to_parquet(
+    windowed: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":  # noqa: F821 - pyspark.sql.streaming type
+    """Incremental materialized view: a watermarked windowed aggregate
+    maintained as day-partitioned parquet via foreachBatch — the
+    streaming→warehouse landing pattern (Loki tail in, query-ready rollup
+    table out).
+
+    Idempotence/exactly-once: update-mode emits each window's refreshed
+    row per micro-batch; foreachBatch rewrites ONLY the day partitions
+    present in that batch (dynamic partition overwrite), so a replayed
+    batch after failure converges to the same files. Readers prune by the
+    `day` directory. At 100 TB the rollup rows are tiny relative to the
+    stream — the write amplification is bounded by (days touched per
+    batch) × one file each (functions/layout.py small-files control)."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        out = batch_df.withColumn("day", F.col("window_start").cast("date"))
+        (
+            out.repartition("day")
+            .sortWithinPartitions("day", "event_type", "window_start")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .option("compression", "zstd")
+            .parquet(path)
+        )
+
+    return (
+        windowed.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> None:
     """Drain a stream with availableNow into an in-memory table (test/bench
     helper)."""

@@ -261,3 +261,38 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     )
     expected = {r.event_id: (r.c_mktsegment, r.n_name) for r in batch}
     assert got == expected
+
+
+def test_rollup_to_parquet_incremental_mv(spark, sf_dir, tmp_path):
+    # The foreachBatch materialized view must equal the batch rollup after
+    # an availableNow drain, survive a second (replay) drain without
+    # duplicating rows, and land day-partitioned files.
+    out = str(tmp_path / "rollup")
+    for ckpt in ("ck1", "ck2"):  # second run = fresh replay of the source
+        q = pipeline.rollup_to_parquet(
+            pipeline.windowed_event_counts(
+                pipeline.events_file_stream(spark, sf_dir)
+            ),
+            out,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert "day" in got.columns  # partition column materialized
+    from datafusion_loki_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("s"),
+        )
+        .select(F.col("win.start").alias("ws"), "event_type", "n", "s")
+    )
+    expected = {(r.ws, r.event_type): (r.n, r.s) for r in batch.collect()}
+    rows = got.collect()
+    assert len(rows) == len(expected)  # replay did not duplicate
+    for r in rows:
+        assert expected[(r.window_start, r.event_type)] == (r.n, r.sum_value)

@@ -321,8 +321,54 @@ FROM documents
 """
 
 
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document chunking through a Python UDTF (lateral table
+    function) — the remaining UDF-family surface next to the pandas
+    grouped-agg (logs.log_median_value_pandas), mapInPandas
+    (similarity.sim_topk_pandas), and applyInPandasWithState
+    (streaming.sessionize). The reference has no UDF surface at all;
+    Spark supplies all four.
+
+    100 TB posture: a UDTF is row-at-a-time Python — the SLOW path, kept
+    here because it is the only lateral-function API surface; the
+    set-returning work itself is embarrassingly parallel (no shuffle, one
+    lateral expansion pipelined with the scan). For hot paths do this with
+    codegen'd sequence()+substring (see dedup.dedup_chunks) or
+    mapInPandas."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, chunk_text string")
+    class ChunkDocs:
+        def eval(self, text: str):
+            for i in range(0, len(text), 100):
+                yield i // 100, text[i : i + 100]
+
+    spark.udtf.register("chunk_docs", ChunkDocs)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.chunk_text "
+        "FROM udtf_docs d, LATERAL chunk_docs(d.text) c"
+    )
+
+
+ORACLE_CHUNK_UDTF = """
+WITH n AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+                CAST(ceil(length(text) / 100.0) AS INT) - 1)) AS chunk_no
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id, chunk_no,
+       substring(text, chunk_no * 100 + 1, 100) AS chunk_text
+FROM n
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_chunk_udtf": text_chunk_udtf,
     "text_quality_filter": text_quality_filter,
     "text_lang_id": text_lang_id,
     "text_lang_id_ngram": text_lang_id_ngram,
@@ -333,6 +379,7 @@ QUERIES = {
 
 ORACLES = {
     "text_stats": ORACLE_TEXT_STATS,
+    "text_chunk_udtf": ORACLE_CHUNK_UDTF,
     "text_quality_filter": ORACLE_TEXT_QUALITY,
     "text_lang_id": _oracle_lang_id(),
     "text_lang_id_ngram": _oracle_lang_id_ngram(),

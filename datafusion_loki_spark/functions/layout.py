@@ -61,3 +61,40 @@ def write_partitioned(
         .option("compression", codec)
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str] | None = None,
+    files_per_partition: int = 1,
+    codec: str = "zstd",
+) -> int:
+    """Rewrite a Hive-partitioned parquet table to the target file count
+    per partition value — the periodic housekeeping job for tables that
+    accreted small files from streaming/micro-batch appends (e.g. the
+    foreachBatch rollup view, or a 1000-executor append job).
+
+    Reads the whole table once, rewrites it through write_partitioned
+    (same layout guarantees: one-or-N files per value, cluster sort for
+    row-group pruning), and returns the row count for audit. The rewrite
+    lands in-place via a staged overwrite: Spark's dynamic-overwrite
+    semantics replace each partition directory atomically per partition.
+    At 100 TB you run this per-partition-predicate (compact only the
+    partitions a manifest marks dirty), which is the same call with a
+    pre-filtered df — the full-table form here is the worst case."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    staged = df.localCheckpoint(eager=True)  # sever lineage from the files
+    # being overwritten — Spark cannot read and overwrite the same path
+    # in one job otherwise
+    write_partitioned(
+        staged,
+        path,
+        partition_by=partition_by,
+        cluster_by=cluster_by,
+        files_per_partition=files_per_partition,
+        codec=codec,
+    )
+    return n

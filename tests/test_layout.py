@@ -61,3 +61,38 @@ def test_partition_filter_prunes_directories(spark, sf_dir, tmp_path):
         "n_chars" in l for l in rplan.splitlines() if "PushedFilters" in l
     ), rplan
     assert back.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_compact_partitions_merges_small_files(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    from datafusion_loki_spark.functions.layout import compact_partitions
+
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "docs_fragmented")
+    # simulate micro-batch accretion: many small appends → many files
+    for chunk in range(4):
+        (
+            docs.where(F.col("doc_id") % 4 == chunk)
+            .repartition(3)
+            .write.mode("append")
+            .partitionBy("lang")
+            .parquet(out)
+        )
+    before = {
+        lang_dir: len(glob.glob(os.path.join(out, lang_dir, "*.parquet")))
+        for lang_dir in os.listdir(out)
+        if lang_dir.startswith("lang=")
+    }
+    assert any(n > 3 for n in before.values()), before  # fragmented
+    expected = docs.count()
+    n = compact_partitions(spark, out, partition_by=["lang"], cluster_by=["n_chars"])
+    assert n == expected
+    after = {
+        lang_dir: len(glob.glob(os.path.join(out, lang_dir, "*.parquet")))
+        for lang_dir in os.listdir(out)
+        if lang_dir.startswith("lang=")
+    }
+    assert all(n == 1 for n in after.values()), after  # compacted
+    assert spark.read.parquet(out).count() == expected  # no data loss

@@ -45,7 +45,13 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
-    names = [n for n in BENCH_QUERIES if n in queries]
+    # --all: time every registered query (triage tool for finding slow
+    # operators); the default headline list stays stable across rounds so
+    # BENCH_r{N}.json files remain comparable.
+    if "--all" in sys.argv[1:]:
+        names = sorted(queries)
+    else:
+        names = [n for n in BENCH_QUERIES if n in queries]
 
     # Warmup: run everything once at the smallest SF to amortize JVM/codegen.
     for name in names:

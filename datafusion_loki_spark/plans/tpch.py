@@ -315,6 +315,45 @@ SELECT nationkey, 'both' AS kind FROM
 """
 
 
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-operation surface (EXCEPT ALL / INTERSECT ALL —
+    bag semantics, Spark exceptAll/intersectAll): nation-key occurrence
+    counts surviving customer-minus-supplier and customer∩supplier.
+    Aggregated to per-key counts so the result is deterministic."""
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    minus = (
+        cu.exceptAll(su)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("except_all"))
+    )
+    inter = (
+        cu.intersectAll(su)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("intersect_all"))
+    )
+    return minus.unionByName(inter)
+
+
+ORACLE_SET_OPS_ALL = """
+SELECT nationkey, COUNT(*) AS n, 'except_all' AS kind FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   EXCEPT ALL SELECT s_nationkey FROM supplier)
+GROUP BY nationkey
+UNION ALL
+SELECT nationkey, COUNT(*) AS n, 'intersect_all' AS kind FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT ALL SELECT s_nationkey FROM supplier)
+GROUP BY nationkey
+"""
+
+
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE-WHEN pivot-style aggregation: order counts/value by status."""
     od = _t(spark, sf_dir, "orders")
@@ -1407,6 +1446,7 @@ QUERIES = {
     "q_window_running_sum": q_window_running_sum,
     "q_subquery_above_avg": q_subquery_above_avg,
     "q_set_ops": q_set_ops,
+    "q_set_ops_all": q_set_ops_all,
     "q_conditional_agg": q_conditional_agg,
     "q_having": q_having,
     "q_anti_semi_join": q_anti_semi_join,
@@ -1446,6 +1486,7 @@ ORACLES = {
     "q_window_running_sum": ORACLE_WINDOW_RUNNING,
     "q_subquery_above_avg": ORACLE_SUBQUERY,
     "q_set_ops": ORACLE_SET_OPS,
+    "q_set_ops_all": ORACLE_SET_OPS_ALL,
     "q_conditional_agg": ORACLE_CONDITIONAL,
     "q_having": ORACLE_HAVING,
     "q_anti_semi_join": ORACLE_ANTI_SEMI,

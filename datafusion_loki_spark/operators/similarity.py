@@ -503,9 +503,38 @@ FROM ex GROUP BY label, pos
 """
 
 
+def emb_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector element statistics — the embedding-QA scan run before
+    indexing (dimension check, norm, range, dead-dimension count). Pure
+    array-function projection: size / array_min / array_max / sequential
+    folds, no shuffle, scan-speed at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n2 = _NORM2_SPARK.format(a="embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.expr(f"sqrt({n2})").alias("l2_norm"),
+        F.expr("cast(array_min(embedding) as double)").alias("min_el"),
+        F.expr("cast(array_max(embedding) as double)").alias("max_el"),
+        F.expr("size(filter(embedding, x -> x >= 0))").alias("n_nonneg"),
+    )
+
+
+ORACLE_EMB_STATS = f"""
+SELECT vec_id,
+       len(embedding) AS dim,
+       sqrt({_NORM2_DUCK.format(a='embedding')}) AS l2_norm,
+       CAST(list_min(embedding) AS DOUBLE) AS min_el,
+       CAST(list_max(embedding) AS DOUBLE) AS max_el,
+       len(list_filter(embedding, x -> x >= 0)) AS n_nonneg
+FROM embeddings
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "emb_centroid_by_label": emb_centroid_by_label,
+    "emb_vector_stats": emb_vector_stats,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_candidates": sim_lsh_candidates,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
@@ -516,6 +545,7 @@ QUERIES = {
 ORACLES = {
     "sim_topk_cosine": ORACLE_SIM_TOPK,
     "emb_centroid_by_label": ORACLE_EMB_CENTROID,
+    "emb_vector_stats": ORACLE_EMB_STATS,
     "sim_lsh_buckets": ORACLE_SIM_LSH,
     "sim_lsh_candidates": ORACLE_SIM_LSH_CAND,
     "sim_lsh_multiprobe": _oracle_multiprobe(),

@@ -433,9 +433,48 @@ def log_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def log_top_user_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped argmax via max_by — the aggregate-form 'top row per group'
+    (no window, no second shuffle: two chained aggregations on
+    successively coarser keys). Tie-broken deterministically by maxing on
+    the (value, user_id) pair, since bare max_by picks an arbitrary row
+    among equals — same contract as DuckDB's arg_max."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        dsum("value").alias("total_value")
+    )
+    # lexicographic max over (value, id) — deterministic argmax on both
+    # engines (struct comparison is field-order lexicographic in Spark
+    # and DuckDB alike; bare max_by/arg_max break ties arbitrarily)
+    agged = per_user.groupBy("event_type").agg(
+        F.max(F.struct(F.col("total_value").alias("tv"),
+                       F.col("user_id").alias("uid"))).alias("m")
+    )
+    return agged.select(
+        "event_type",
+        F.col("m.uid").alias("top_user"),
+        F.col("m.tv").alias("top_total"),
+    )
+
+
+ORACLE_TOP_USER = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY event_type, user_id
+), agged AS (
+  SELECT event_type,
+         MAX({'tv': total_value, 'uid': user_id}) AS m
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, m.uid AS top_user, m.tv AS top_total FROM agged
+"""
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
     "log_approx_users": log_approx_users,
+    "log_top_user_per_type": log_top_user_per_type,
     "log_events_by_nation": log_events_by_nation,
     "log_sessionize_batch": log_sessionize_batch,
     "log_median_value_pandas": log_median_value_pandas,
@@ -506,4 +545,5 @@ ORACLES = {
     "log_funnel": ORACLE_FUNNEL,
     "log_rolling_range": ORACLE_ROLLING_RANGE,
     "log_gap_fill": ORACLE_GAP_FILL,
+    "log_top_user_per_type": ORACLE_TOP_USER,
 }

@@ -217,3 +217,51 @@ def test_hll_within_error_bound(spark, sf_dir):
     for r in rows:
         err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert err <= 0.05, f"{r.event_type}: {r.approx_users} vs {r.exact_users}"
+
+
+def test_pandas_topk_ranking_matches_sql_path(spark, sf_dir):
+    # sim_topk_pandas is rows-only in the driver gate (BLAS float order ≠
+    # SQL fold order), so pin the thing that must still agree: the
+    # RANKING. Same (query_id, rank) → same candidate as the oracled
+    # brute-force SQL query.
+    sql_rows = _QUERIES["sim_topk_cosine"](spark, sf_dir).collect()
+    pd_rows = _QUERIES["sim_topk_pandas"](spark, sf_dir).collect()
+    key = lambda rows: {(r.query_id, r.rank): r.cand_id for r in rows}
+    assert key(sql_rows) == key(pd_rows)
+
+
+def test_simhash_recalls_exact_duplicates(spark, sf_dir):
+    # dedup_simhash is the other rows-only op. Simhash is a CANDIDATE
+    # generator: random 16-bit collisions are expected (precision comes
+    # from a verify stage), but RECALL on true duplicates is a hard
+    # contract — two docs with identical normalized text must always
+    # share a simhash.
+    import pyspark.sql.functions as F
+
+    from datafusion_loki_spark.operators.dedup import simhash_docs
+
+    dupes = (
+        _QUERIES["dedup_exact_docs"](spark, sf_dir)
+        .where(F.col("n_copies") >= 2)
+        .collect()
+    )
+    if not dupes:  # tiny SF can legitimately have no duplicates
+        return
+    sh = simhash_docs(spark, sf_dir).select("doc_id", "simhash")
+    from datafusion_loki_spark.catalog import load_table
+    from datafusion_loki_spark.operators.text import _NORM_SPARK
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"md5({_NORM_SPARK})").alias("fingerprint")
+    )
+    n_hashes = (
+        docs.join(sh, "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.countDistinct("simhash").alias("n_hashes"),
+            F.count("*").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .collect()
+    )
+    assert n_hashes and all(r.n_hashes == 1 for r in n_hashes)

@@ -287,6 +287,77 @@ JOIN sh b ON cand.doc_b = b.doc_id
 """
 
 
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for each training document, how many
+    of its 3-gram shingles appear anywhere in the held-out set (here: the
+    deterministic pseudo-benchmark doc_id % 97 == 0), plus the
+    contamination ratio. The decontamination gate every eval-aware
+    training pipeline runs.
+
+    100 TB posture: explode both sides to (shingle, doc) rows and join on
+    the shingle string — one shuffle each side on a high-cardinality
+    uniform key, no pairwise document join anywhere. The benchmark side is
+    distinct-ed first so a shingle repeated across benchmark docs doesn't
+    multiply matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(_spread(docs, "doc_id"))
+    train = sh.where(F.col("doc_id") % 97 != 0)
+    bench_shingles = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode_outer("shingles").alias("shingle"))
+        .distinct()
+    )
+    exploded = train.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
+    hits = (
+        exploded.join(bench_shingles, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        train.select("doc_id", F.size("shingles").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+def _oracle_contamination() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles_duck()} AS shingles FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+),
+train AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 97 != 0),
+ex AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+  FROM train
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM ex WHERE shingle IN (SELECT shingle FROM bench)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.shingles) AS n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) / CAST(len(t.shingles) AS DOUBLE)
+         AS contamination_ratio
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein verify stage over LSH candidate pairs — the
     character-level alternative to shingle Jaccard (catches small in-place
@@ -544,6 +615,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_edit_distance": dedup_edit_distance,
+    "dedup_contamination": dedup_contamination,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_chunks": dedup_chunks,
     "dedup_simhash": dedup_simhash,
@@ -556,6 +628,7 @@ ORACLES = {
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "dedup_edit_distance": _oracle_edit_distance(),
+    "dedup_contamination": _oracle_contamination(),
     "dedup_embedding_cosine": _oracle_dedup_embedding(),
     "dedup_chunks": ORACLE_DEDUP_CHUNKS,
     # dedup_simhash: intentionally no oracle (rows-only check)

@@ -471,10 +471,40 @@ SELECT event_type, m.uid AS top_user, m.tv AS top_total FROM agged
 """
 
 
+def log_rate_per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL metric-query analogue ``rate({type="..."}[1m])``: per-minute
+    event counts per type converted to events/second. The reference
+    delegates metric queries to Loki itself; on the Spark side the same
+    rollup is a date_trunc groupBy — one shuffle on a bounded
+    (minute × type) key, partial-aggregated map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("minute"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("minute").cast("timestamp_ntz").alias("minute"),
+            "event_type",
+            "n",
+            (F.col("n") / F.lit(60.0)).alias("rate_per_sec"),
+        )
+    )
+
+
+ORACLE_RATE = """
+SELECT date_trunc('minute', ts) AS minute, event_type, COUNT(*) AS n,
+       COUNT(*) / 60.0 AS rate_per_sec
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
     "log_approx_users": log_approx_users,
     "log_top_user_per_type": log_top_user_per_type,
+    "log_rate_per_minute": log_rate_per_minute,
     "log_events_by_nation": log_events_by_nation,
     "log_sessionize_batch": log_sessionize_batch,
     "log_median_value_pandas": log_median_value_pandas,
@@ -546,4 +576,5 @@ ORACLES = {
     "log_rolling_range": ORACLE_ROLLING_RANGE,
     "log_gap_fill": ORACLE_GAP_FILL,
     "log_top_user_per_type": ORACLE_TOP_USER,
+    "log_rate_per_minute": ORACLE_RATE,
 }

@@ -531,10 +531,71 @@ FROM embeddings
 """
 
 
+def emb_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same vector-QA scan through mapInArrow — zero-copy Arrow
+    batches into pyarrow.compute kernels, no pandas materialization (the
+    newest and leanest Python-integration API; completes the family next
+    to mapInPandas / pandas UDAF / applyInPandasWithState / UDTF).
+
+    Oracle-exact on purpose: only order-insensitive per-vector reductions
+    (size, min, max, count) — no floating-point summation whose kernel
+    fold order could differ from SQL. Embarrassingly parallel, one Arrow
+    round-trip per batch, no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def stats(batches):
+        for batch in batches:
+            vecs = batch.column("embedding")
+            flat = pc.list_flatten(vecs)
+            lens = pc.list_value_length(vecs).cast(pa.int32())
+            # per-list reductions via group-by on the parent indices
+            parent = pc.list_parent_indices(vecs)
+            tbl = pa.table({"i": parent, "x": flat})
+            agg = tbl.group_by("i").aggregate(
+                [("x", "min"), ("x", "max")]
+            ).sort_by("i")
+            nonneg = (
+                pa.table({"i": parent, "nn": pc.greater_equal(flat, 0.0)})
+                .group_by("i")
+                .aggregate([("nn", "sum")])
+                .sort_by("i")
+            )
+            yield pa.record_batch(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "dim": lens,
+                    # group_by yields ChunkedArrays; record_batch needs
+                    # contiguous Arrays
+                    "min_el": pc.cast(agg.column("x_min"), pa.float64()).combine_chunks(),
+                    "max_el": pc.cast(agg.column("x_max"), pa.float64()).combine_chunks(),
+                    "n_nonneg": pc.cast(nonneg.column("nn_sum"), pa.int32()).combine_chunks(),
+                }
+            )
+
+    return emb.mapInArrow(
+        stats,
+        "vec_id long, dim int, min_el double, max_el double, n_nonneg int",
+    )
+
+
+ORACLE_EMB_STATS_ARROW = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(list_min(embedding) AS DOUBLE) AS min_el,
+       CAST(list_max(embedding) AS DOUBLE) AS max_el,
+       len(list_filter(embedding, x -> x >= 0)) AS n_nonneg
+FROM embeddings
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "emb_centroid_by_label": emb_centroid_by_label,
     "emb_vector_stats": emb_vector_stats,
+    "emb_stats_arrow": emb_stats_arrow,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_candidates": sim_lsh_candidates,
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
@@ -546,6 +607,7 @@ ORACLES = {
     "sim_topk_cosine": ORACLE_SIM_TOPK,
     "emb_centroid_by_label": ORACLE_EMB_CENTROID,
     "emb_vector_stats": ORACLE_EMB_STATS,
+    "emb_stats_arrow": ORACLE_EMB_STATS_ARROW,
     "sim_lsh_buckets": ORACLE_SIM_LSH,
     "sim_lsh_candidates": ORACLE_SIM_LSH_CAND,
     "sim_lsh_multiprobe": _oracle_multiprobe(),

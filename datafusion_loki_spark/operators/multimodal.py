@@ -95,7 +95,7 @@ ORACLE_MM_META = """
 SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS media_type,
        COUNT(*) AS n_items,
-       SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
        MIN(octet_length(CAST(text AS BLOB))) AS min_bytes,
        MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
 FROM documents

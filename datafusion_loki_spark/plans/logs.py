@@ -206,8 +206,9 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST(SUM(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS session_no
   FROM marked
 )
@@ -279,7 +280,7 @@ def log_json_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_UNWRAP = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k

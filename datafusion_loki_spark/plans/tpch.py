@@ -374,8 +374,10 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CONDITIONAL = f"""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_finished,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS {_D})
                      ELSE CAST(0 AS {_D}) END) AS DOUBLE) AS finished_value
 FROM orders
@@ -525,9 +527,11 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT)
          AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

@@ -21,9 +21,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NS = (
     "event_id long, ts long, user_id long, event_type string, value double,"
     " props string"
+)
+
+EVENTS_SCHEMA_US = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+    " value double, props string"
 )
 
 SESSION_SCHEMA = (
@@ -36,18 +41,33 @@ SESSION_GAP_SECONDS = 30 * 60
 
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based micro-batch stream over the driver's events table (the
-    local stand-in for a Kafka/Loki tail; ts arrives as int64 nanos because
-    the parquet is TIMESTAMP(NANOS) — converted here like catalog.load_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    local stand-in for a Kafka/Loki tail). The events parquet has shipped
+    both as TIMESTAMP(NANOS) (readable only as int64 via nanosAsLong) and as
+    TIMESTAMP(MICROS); readStream needs an explicit schema, so we probe the
+    physical encoding with a footer-only batch read (same dispatch as
+    catalog.load_table) and pick the matching stream schema + conversion."""
+    import os
+
+    from pyspark.sql.types import LongType
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        probe = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        probe = spark.read.parquet(path)
+    ts_is_long = isinstance(probe.schema["ts"].dataType, LongType)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NS if ts_is_long else EVENTS_SCHEMA_US)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    if ts_is_long:
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def windowed_event_counts(events: DataFrame) -> DataFrame:

@@ -261,20 +261,43 @@ def rollup_to_parquet(
     streaming→warehouse landing pattern (Loki tail in, query-ready rollup
     table out).
 
-    Idempotence/exactly-once: update-mode emits each window's refreshed
-    row per micro-batch; foreachBatch rewrites ONLY the day partitions
-    present in that batch (dynamic partition overwrite), so a replayed
-    batch after failure converges to the same files. Readers prune by the
-    `day` directory. At 100 TB the rollup rows are tiny relative to the
-    stream — the write amplification is bounded by (days touched per
-    batch) × one file each (functions/layout.py small-files control)."""
+    Idempotence/exactly-once: update-mode emits only the windows a
+    micro-batch touched, so a blind partition overwrite would delete that
+    day's OTHER windows (the multi-batch data-loss bug this fixes).
+    foreachBatch instead read-merges: load the touched day partitions,
+    anti-join away rows whose (window_start, event_type) key the batch
+    refreshes, union the batch rows in, and dynamic-overwrite only those
+    day directories. A replayed batch after failure converges to the same
+    files (the merge is keyed, not additive). Readers prune by the `day`
+    directory. At 100 TB the rollup rows are tiny relative to the stream —
+    the merge reads back only (days touched per batch) of compact rollup
+    rows, and write amplification stays bounded by (days touched) × one
+    file each (functions/layout.py small-files control)."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns:
             return
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
         out = batch_df.withColumn("day", F.col("window_start").cast("date"))
+        try:
+            existing = spark.read.parquet(path)
+        except AnalysisException:
+            merged = out  # first batch: nothing at `path` yet
+        else:
+            days = [r.day for r in out.select("day").distinct().collect()]
+            keys = out.select("window_start", "event_type").distinct()
+            kept = (
+                existing.where(F.col("day").isin(days))
+                .join(keys, ["window_start", "event_type"], "left_anti")
+                .select(*out.columns)
+            )
+            # localCheckpoint materializes the merge before the overwrite
+            # below deletes the very files `existing` reads from.
+            merged = out.unionByName(kept).localCheckpoint(eager=True)
         (
-            out.repartition("day")
+            merged.repartition("day")
             .sortWithinPartitions("day", "event_type", "window_start")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -296,3 +296,53 @@ def test_rollup_to_parquet_incremental_mv(spark, sf_dir, tmp_path):
     assert len(rows) == len(expected)  # replay did not duplicate
     for r in rows:
         assert expected[(r.window_start, r.event_type)] == (r.n, r.sum_value)
+
+
+def test_rollup_to_parquet_multi_batch_no_data_loss(spark, sf_dir, tmp_path):
+    # Regression: update-mode emits only touched windows per micro-batch; a
+    # blind day-partition overwrite in batch N+1 would delete that day's
+    # windows written by batch N. Split the events into two source files and
+    # force two micro-batches with maxFilesPerTrigger=1 — after the drain the
+    # sink must equal the full batch rollup (earlier windows survive).
+    from datafusion_loki_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tmp_path / "src"
+    # deterministic halves that interleave days, so both batches touch the
+    # same day partitions (the data-loss trigger)
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "half0.parquet")
+    )
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "half1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(pipeline.EVENTS_SCHEMA_US)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src) + "/*/")
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+    out = str(tmp_path / "rollup")
+    q = pipeline.rollup_to_parquet(
+        pipeline.windowed_event_counts(stream), out, str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    assert progress is not None and int(progress["batchId"]) >= 1, (
+        "expected at least two micro-batches"
+    )
+    batch = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("s"),
+        )
+        .select(F.col("win.start").alias("ws"), "event_type", "n", "s")
+    )
+    expected = {(r.ws, r.event_type): (r.n, r.s) for r in batch.collect()}
+    rows = spark.read.parquet(out).collect()
+    got = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in rows}
+    assert len(rows) == len(got), "duplicate (window, type) keys in sink"
+    assert got == expected

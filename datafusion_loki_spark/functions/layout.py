@@ -45,6 +45,12 @@ def write_partitioned(
 
     One output file per partition value by default; ``files_per_partition``
     > 1 salts the repartition for values too large for a single task.
+
+    Overwrites are always *dynamic*: only the partition directories present
+    in ``df`` are replaced. Under Spark's default static overwrite, writing
+    a pre-filtered df (e.g. compacting one dirty partition) would silently
+    delete every other partition of the table — set per-write here so the
+    guarantee doesn't depend on session conf.
     """
     if files_per_partition < 1:
         raise ValueError("files_per_partition must be >= 1")
@@ -57,6 +63,7 @@ def write_partitioned(
         out = out.sortWithinPartitions(*partition_by, *cluster_by)
     (
         out.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_by)
         .option("compression", codec)
         .parquet(path)
@@ -70,6 +77,7 @@ def compact_partitions(
     cluster_by: list[str] | None = None,
     files_per_partition: int = 1,
     codec: str = "zstd",
+    where: str | None = None,
 ) -> int:
     """Rewrite a Hive-partitioned parquet table to the target file count
     per partition value — the periodic housekeeping job for tables that
@@ -81,10 +89,13 @@ def compact_partitions(
     row-group pruning), and returns the row count for audit. The rewrite
     lands in-place via a staged overwrite: Spark's dynamic-overwrite
     semantics replace each partition directory atomically per partition.
-    At 100 TB you run this per-partition-predicate (compact only the
-    partitions a manifest marks dirty), which is the same call with a
-    pre-filtered df — the full-table form here is the worst case."""
+    At 100 TB you run this per-partition-predicate (``where="lang='en'"``,
+    compacting only the partitions a manifest marks dirty) — safe because
+    write_partitioned's overwrite is dynamic, so untouched partition
+    directories are never deleted. The full-table form is the worst case."""
     df = spark.read.parquet(path)
+    if where is not None:
+        df = df.where(where)
     n = df.count()
     staged = df.localCheckpoint(eager=True)  # sever lineage from the files
     # being overwritten — Spark cannot read and overwrite the same path

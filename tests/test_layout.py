@@ -96,3 +96,45 @@ def test_compact_partitions_merges_small_files(spark, sf_dir, tmp_path):
     }
     assert all(n == 1 for n in after.values()), after  # compacted
     assert spark.read.parquet(out).count() == expected  # no data loss
+
+
+def test_compact_filtered_subset_preserves_other_partitions(spark, sf_dir, tmp_path):
+    # Regression: under Spark's default STATIC overwrite, compacting a
+    # pre-filtered subset would delete every partition absent from the df.
+    # write_partitioned forces dynamic overwrite per-write, so a targeted
+    # compaction must leave the untouched partitions' data intact.
+    import glob
+    import os
+
+    from datafusion_loki_spark.functions.layout import compact_partitions
+
+    docs = _docs(spark, sf_dir)
+    out = str(tmp_path / "docs_subset")
+    for chunk in range(3):
+        (
+            docs.where(F.col("doc_id") % 3 == chunk)
+            .repartition(2)
+            .write.mode("append")
+            .partitionBy("lang")
+            .parquet(out)
+        )
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    assert len(langs) >= 2, "need multiple partitions for this test"
+    target = sorted(langs)[0]
+    per_lang_before = {
+        lang: docs.where(F.col("lang") == lang).count() for lang in langs
+    }
+    n = compact_partitions(
+        spark,
+        out,
+        partition_by=["lang"],
+        cluster_by=["n_chars"],
+        where=f"lang = '{target}'",
+    )
+    assert n == per_lang_before[target]
+    back = spark.read.parquet(out)
+    for lang in langs:  # every partition still has all its rows
+        assert back.where(F.col("lang") == lang).count() == per_lang_before[lang]
+    # and the targeted partition really was compacted to one file
+    files = glob.glob(os.path.join(out, f"lang={target}", "*.parquet"))
+    assert len(files) == 1, files

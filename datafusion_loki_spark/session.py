@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Python data source filter pushdown (the loki reader's pushFilters).
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Deterministic timestamp semantics: string→timestamp casts and
+        # date functions resolve in UTC everywhere (the loki wire protocol
+        # is ns-since-epoch; a host-tz-dependent session would make the
+        # same query return different instants on different clusters).
+        .config("spark.sql.session.timeZone", "UTC")
         # Read-side parallelism: keep file splits small enough that sf0.1
         # still fans out across cores; on a real cluster the default 128 MB
         # is fine, this only lowers the floor.

@@ -27,7 +27,7 @@ re-evaluated by Spark, so we only consume what LogQL matches exactly).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime, timezone
+from datetime import datetime
 
 SECONDS_30_DAYS = 30 * 24 * 60 * 60
 
@@ -46,9 +46,15 @@ def thirty_days_before_now_ns() -> int:
 
 def datetime_to_ns(dt: datetime) -> int:
     """µs-precision datetime → ns epoch (Spark timestamps are µs; Loki wants
-    ns on the wire — SURVEY.md §7.4.1)."""
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
+    ns on the wire — SURVEY.md §7.4.1).
+
+    Naive datetimes here come from Spark's TimestampType.fromInternal, which
+    renders the instant as a HOST-LOCAL wall time (datetime.fromtimestamp) —
+    independent of spark.sql.session.timeZone. ``.timestamp()`` inverts
+    exactly that on any host tz; aware datetimes convert via their own
+    offset. (``replace(tzinfo=utc)`` — the old code — silently shifted
+    epochs on non-UTC hosts, shrinking pushed fetch windows to the wrong
+    interval.)"""
     return int(dt.timestamp() * 1_000_000) * 1_000
 
 

@@ -252,7 +252,9 @@ class LokiDataSourceWriter(DataSourceWriter):
                 raise ValueError(
                     "loki writer requires non-null (timestamp, labels, line)"
                 )
-            ns = int(ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000) * 1_000
+            # naive ts = host-local wall time (TimestampType.fromInternal);
+            # .timestamp() inverts that exactly — see logql.datetime_to_ns
+            ns = int(ts.timestamp() * 1_000_000) * 1_000
             stream_labels = dict(labels)
             value = [str(ns), line]
             if streams and streams[-1]["stream"] == stream_labels:

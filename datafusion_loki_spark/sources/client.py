@@ -78,7 +78,15 @@ def query_range(
     response size is bounded by Loki's own limits + the pushed `limit`, so
     we do the same. Idempotent → retried freely.
     """
-    params = {"query": query, "start": str(start_ns), "end": str(end_ns)}
+    # Real Loki defaults direction=backward (a hit limit keeps the NEWEST
+    # rows); our scan semantics — and the emulator — keep the oldest. Send
+    # it explicitly so a pushed limit returns the same row set everywhere.
+    params = {
+        "query": query,
+        "start": str(start_ns),
+        "end": str(end_ns),
+        "direction": "forward",
+    }
     if limit is not None:
         params["limit"] = str(limit)
     url = (

@@ -130,6 +130,10 @@ class LokiEmulator:
         start = int(params["start"][0])
         end = int(params["end"][0])
         limit = int(params["limit"][0]) if "limit" in params else None
+        # faithful to real Loki: direction defaults to BACKWARD, where a hit
+        # limit keeps the NEWEST rows — a client that forgets to send
+        # direction=forward gets a different row set than it pinned
+        direction = params.get("direction", ["backward"])[0]
         with self.lock:
             self.queries.append(query)
             rows = list(self.rows)
@@ -151,7 +155,10 @@ class LokiEmulator:
             selected.append((ns, labels, line))
         selected.sort(key=lambda r: r[0])
         if limit is not None:
-            selected = selected[:limit]
+            if direction == "backward":
+                selected = selected[-limit:]
+            else:
+                selected = selected[:limit]
 
         table = pa.table(
             {

@@ -149,6 +149,15 @@ GROUP BY user_id, event_type
 
 _N_BANDS = N_MINHASH // BAND_ROWS
 
+# Per-bucket participant cap for LSH pair generation. A pathological bucket
+# (e.g. thousands of near-empty docs hashing to one signature) would
+# otherwise generate k² pairs inside ONE task — an explode AQE's skew-join
+# splitting cannot touch. Capping to the CAP smallest doc_ids bounds any
+# bucket to CAP²/2 pairs; real near-dup buckets are far smaller, and a
+# bucket that large is degenerate (the docs are all "the same" — keeping
+# the cap's worth of pairs still links the group transitively).
+LSH_BUCKET_CAP = 1000
+
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh7, band0..band1).
@@ -193,11 +202,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable md5 hashing so the oracle can verify values).
 
     100 TB posture: signatures are computed ONCE; one shuffle groups docs
-    by (band_idx, band_key); pairs are generated inside each bucket
-    (bucket sizes are bounded by banding, so the per-bucket k² explode is
-    small; a hot bucket is an AQE skew split, not a plan problem). A
-    per-band self-join + union would recompute the signature pipeline 4×.
+    by (band_idx, band_key); pairs are generated inside each bucket. A
+    row_number cap (LSH_BUCKET_CAP smallest doc_ids per bucket) runs on the
+    same partitioning BEFORE collect_list, so neither the buffered id list
+    nor the k² pair explode is unbounded on a degenerate bucket. The window
+    and the groupBy share one exchange (same key). A per-band self-join +
+    union would recompute the signature pipeline once per band instead.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs).select(
         "doc_id",
@@ -205,7 +218,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_idx", "band_key"
         ),
     )
-    buckets = sig.groupBy("band_idx", "band_key").agg(
+    w_bucket = Window.partitionBy("band_idx", "band_key").orderBy("doc_id")
+    capped = sig.withColumn("rn", F.row_number().over(w_bucket)).where(
+        F.col("rn") <= LSH_BUCKET_CAP
+    )
+    buckets = capped.groupBy("band_idx", "band_key").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
     # ids sorted ascending → nested transform emits each unordered pair once
@@ -226,9 +243,18 @@ def _oracle_minhash() -> str:
     band_defs = ",\n       ".join(
         f"{expr} AS band{b}" for b, expr in enumerate(_bands_duck())
     )
+    # mirror LSH_BUCKET_CAP: only the CAP smallest doc_ids of each band
+    # bucket participate in pair generation (same rule as the Spark plan's
+    # row_number window)
+    ranked = ",\n".join(
+        f"r{b} AS (SELECT doc_id, band{b}, ROW_NUMBER() OVER ("
+        f"PARTITION BY band{b} ORDER BY doc_id) AS rn FROM sig)"
+        for b in range(N_MINHASH // BAND_ROWS)
+    )
     unions = "\nUNION\n".join(
-        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM r{b} a JOIN r{b} b"
         f" ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        f" AND a.rn <= {LSH_BUCKET_CAP} AND b.rn <= {LSH_BUCKET_CAP}"
         for b in range(N_MINHASH // BAND_ROWS)
     )
     return f"""
@@ -242,7 +268,8 @@ WITH sh AS (
   SELECT doc_id,
        {band_defs}
   FROM mh
-)
+),
+{ranked}
 {unions}
 """
 

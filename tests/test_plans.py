@@ -265,3 +265,16 @@ def test_simhash_recalls_exact_duplicates(spark, sf_dir):
         .collect()
     )
     assert n_hashes and all(r.n_hashes == 1 for r in n_hashes)
+
+
+def test_lsh_bucket_cap_bounds_pair_generation(spark, sf_dir, monkeypatch):
+    # The row_number cap must actually gate pair generation: with cap=1
+    # every bucket keeps a single doc, so NO pairs can be emitted; with the
+    # default cap the same data yields candidates. Guards against the cap
+    # silently decoupling from the pair-gen path (the unbounded-k²-explode
+    # regression at scale).
+    from datafusion_loki_spark.operators import dedup
+
+    assert dedup.dedup_minhash_lsh(spark, sf_dir).count() > 0
+    monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 1)
+    assert dedup.dedup_minhash_lsh(spark, sf_dir).count() == 0

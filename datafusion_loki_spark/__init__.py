@@ -31,6 +31,72 @@ def register_loki(spark) -> None:
     spark.dataSource.register(LokiDataSource)
 
 
+def loki_table(
+    spark,
+    endpoint: str,
+    *,
+    labels: "dict[str, str] | str | None" = None,
+    line_filters: "str | None" = None,
+    columns: "list[str] | str | None" = None,
+    start: "str | int | None" = None,
+    end: "str | int | None" = None,
+    limit: "int | None" = None,
+    default_label: "str | None" = None,
+    partitions: "int | None" = None,
+    **options: str,
+):
+    """One-call pruned scan of a Loki endpoint — the SURVEY §7.4.2(b)
+    escape hatch for everything Spark's pushFilters cannot carry.
+
+    The reference pushes ``labels['app'] = 'x'`` into an Exact LogQL
+    selector automatically (datafusion-loki/src/expr.rs:11-47,
+    src/table.rs:140-156); Spark's filter language has no map-subscript
+    form and no projection/limit hooks for Python sources, so a plain
+    ``WHERE labels['app']='x'`` scans the default-label stream. This
+    helper closes that gap explicitly:
+
+        df = loki_table(spark, url,
+                        labels={"app": "x"},          # → {app="x"} selector
+                        line_filters='|= error',       # → store-side grep
+                        columns=["timestamp", "line"], # decode only these
+                        limit=1000)                    # → HTTP limit param
+
+    ``labels`` accepts a dict of equality matchers or a raw selector body
+    (``'app="x", env!="prod"'``); ``line_filters`` is the ;-separated
+    ``|= != |~ !~`` syntax of the reader option. The user asserts the
+    filter semantics (they are applied in the store, not re-checked by
+    Spark) — same contract as the underlying reader options.
+    """
+    register_loki(spark)
+    reader = spark.read.format("loki").option("endpoint", endpoint)
+    if labels is not None:
+        if isinstance(labels, dict):
+            import json
+
+            reader = reader.option("labels", json.dumps(labels))
+        else:
+            reader = reader.option("labels", labels)
+    if line_filters is not None:
+        reader = reader.option("line_filters", line_filters)
+    if columns is not None:
+        if not isinstance(columns, str):
+            columns = ",".join(columns)
+        reader = reader.option("columns", columns)
+    if start is not None:
+        reader = reader.option("start", str(start))
+    if end is not None:
+        reader = reader.option("end", str(end))
+    if limit is not None:
+        reader = reader.option("limit", str(limit))
+    if default_label is not None:
+        reader = reader.option("default_label", default_label)
+    if partitions is not None:
+        reader = reader.option("partitions", str(partitions))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def register_loki_endpoint(
     spark, name: str, endpoint: str, default_label: str | None = None, **options: str
 ) -> None:

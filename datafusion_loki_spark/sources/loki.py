@@ -16,6 +16,15 @@ Options:
   start / end    ISO timestamps or epoch-ns bounds (optional)
   limit          push LIMIT n into the HTTP request    ≙ scan.rs:131-146
                  (Python DS API has no pushLimit hook yet — SURVEY.md §7.4.3)
+  columns        comma-separated subset of timestamp,labels,line: the
+                 source-side projection (≙ ProjectionMask::roots,
+                 scan.rs:203-206). The Python DS API hands reader() the
+                 FULL schema regardless of the query's projection (no
+                 pruning hook, verified against pyspark 4.1's
+                 plan_data_source_read worker), so — like `labels` and
+                 `limit` — pruning rides an option: schema() narrows to the
+                 requested columns and read() decodes only those parquet
+                 columns. loki_table() wires it from .select() ergonomics.
   partitions     split the time range into N parallel range queries.
                  The reference hardcodes 1 partition (scan.rs:46,95-97);
                  N time slices is the 100 TB scale path. Forced to 1 when
@@ -62,6 +71,25 @@ def _parse_time_option(value: str | None) -> int | None:
     return int(dt.timestamp() * 1_000_000) * 1_000
 
 
+_ALL_COLUMNS = ("timestamp", "labels", "line")
+
+
+def _parse_columns_option(options) -> tuple[str, ...]:
+    """`columns` option → validated tuple in canonical schema order."""
+    raw = options.get("columns")
+    if not raw:
+        return _ALL_COLUMNS
+    requested = {c.strip() for c in str(raw).split(",") if c.strip()}
+    unknown = requested - set(_ALL_COLUMNS)
+    if unknown:
+        raise ValueError(
+            f"unknown loki columns {sorted(unknown)}; valid: {list(_ALL_COLUMNS)}"
+        )
+    if not requested:
+        raise ValueError("loki `columns` option must name at least one column")
+    return tuple(c for c in _ALL_COLUMNS if c in requested)
+
+
 @dataclass
 class LokiRangePartition(InputPartition):
     """One time slice of the scan — plain data, cheap to pickle."""
@@ -91,8 +119,11 @@ class LokiDataSource(DataSource):
         return "loki"
 
     def schema(self) -> StructType:
-        # Fixed schema, like LOG_TABLE_SCHEMA (table.rs:31-37).
-        return LOG_TABLE_SCHEMA
+        # Fixed schema, like LOG_TABLE_SCHEMA (table.rs:31-37); the
+        # `columns` option narrows it for source-side projection pruning.
+        return StructType(
+            [LOG_TABLE_SCHEMA[name] for name in _parse_columns_option(self.options)]
+        )
 
     def reader(self, schema: StructType) -> "LokiDataSourceReader":
         return LokiDataSourceReader(self.options)
@@ -124,6 +155,7 @@ class LokiDataSourceReader(DataSourceReader):
         self.label_matchers = logql.parse_label_options(options.get("labels"))
         self.option_start = _parse_time_option(options.get("start"))
         self.option_end = _parse_time_option(options.get("end"))
+        self.columns = _parse_columns_option(options)
         self.limit = int(options["limit"]) if options.get("limit") else None
         self.num_partitions = int(options.get("partitions", "1"))
         if options.get("check_connection", "false").lower() == "true":
@@ -193,22 +225,25 @@ class LokiDataSourceReader(DataSourceReader):
             return
         reader = pq.ParquetFile(io.BytesIO(body))
         # Stream in bounded batches like the reference's 4096-row decode
-        # (scan.rs:209); arrow slices are zero-copy.
-        for batch in reader.iter_batches(batch_size=4096):
-            ts = batch.column("timestamp")
-            if pa.types.is_timestamp(ts.type) and ts.type.unit == "ns":
-                # ns → µs for Spark TimestampType (SURVEY.md §7.4.1)
-                ts = ts.cast(pa.timestamp("us"), safe=False)
-            elif pa.types.is_integer(ts.type):
-                ts = (
-                    pa.compute.divide(ts, 1000)
-                    .cast(pa.int64())
-                    .cast(pa.timestamp("us"))
-                )
-            yield pa.RecordBatch.from_arrays(
-                [ts, batch.column("labels"), batch.column("line")],
-                names=["timestamp", "labels", "line"],
-            )
+        # (scan.rs:209); arrow slices are zero-copy. Decode ONLY the
+        # projected parquet columns (≙ ProjectionMask::roots,
+        # scan.rs:203-206) — `SELECT line` must not pay to decode labels.
+        for batch in reader.iter_batches(batch_size=4096, columns=list(self.columns)):
+            arrays = []
+            for name in self.columns:
+                col = batch.column(name)
+                if name == "timestamp":
+                    if pa.types.is_timestamp(col.type) and col.type.unit == "ns":
+                        # ns → µs for Spark TimestampType (SURVEY.md §7.4.1)
+                        col = col.cast(pa.timestamp("us"), safe=False)
+                    elif pa.types.is_integer(col.type):
+                        col = (
+                            pa.compute.divide(col, 1000)
+                            .cast(pa.int64())
+                            .cast(pa.timestamp("us"))
+                        )
+                arrays.append(col)
+            yield pa.RecordBatch.from_arrays(arrays, names=list(self.columns))
 
 
 @dataclass

@@ -298,3 +298,86 @@ def test_sql_surface_over_loki_view(spark, emulator):
         "AND line LIKE '%login%' LIMIT 2"
     ).collect()
     assert [r.line for r in out] == ["user login ok"]
+
+
+def test_columns_option_prunes_source_side(spark, emulator):
+    # ≙ the reference's ProjectionMask decode (scan.rs:203-206): a scan with
+    # columns=line must (a) expose a 1-column schema, (b) return the right
+    # values, and (c) decode only that parquet column in read() — asserted
+    # below by driving the reader directly with a pruned options set.
+    register_loki(spark)
+    df = (
+        spark.read.format("loki")
+        .option("endpoint", emulator.endpoint)
+        .option("default_label", "app")
+        .option("columns", "line")
+        .load()
+    )
+    assert df.columns == ["line"]
+    lines = {r.line for r in df.collect()}
+    # seeded lines present (other tests may have pushed more rows into the
+    # module-scoped emulator — assert superset, not exact count)
+    assert {"this is aaa log", "this is bbb log", "ccc trace line"} <= lines
+
+    # decode-level check, no Spark in the loop: the yielded Arrow batches
+    # carry exactly the requested columns
+    from datafusion_loki_spark.sources.loki import (
+        LokiDataSourceReader,
+        LokiRangePartition,
+    )
+
+    reader = LokiDataSourceReader(
+        {
+            "endpoint": emulator.endpoint,
+            "default_label": "app",
+            "columns": "timestamp,line",
+        }
+    )
+    start, end = reader._time_range()
+    batches = list(reader.read(LokiRangePartition(start, end)))
+    assert batches, "expected at least one batch"
+    assert all(b.schema.names == ["timestamp", "line"] for b in batches)
+
+
+def test_columns_option_rejects_unknown(spark, emulator):
+    register_loki(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown loki columns"):
+        (
+            spark.read.format("loki")
+            .option("endpoint", emulator.endpoint)
+            .option("columns", "nope")
+            .load()
+            .collect()
+        )
+
+
+def test_loki_table_helper_emits_selector_and_prunes(spark, emulator):
+    # SURVEY §7.4.2(b): the one-call escape hatch for map-subscript label
+    # pruning. The emitted LogQL must carry the selector + line filter, and
+    # the result frame must be pruned to the requested columns.
+    from datafusion_loki_spark import loki_table
+
+    df = loki_table(
+        spark,
+        emulator.endpoint,
+        labels={"app": "my-app2"},
+        line_filters="|= login",
+        columns=["timestamp", "line"],
+    )
+    rows = df.collect()
+    assert df.columns == ["timestamp", "line"]
+    assert "user login ok" in {r.line for r in rows}
+    assert all("login" in r.line for r in rows)
+    assert emulator.queries[-1] == '{app="my-app2"} |= `login`'
+
+    # raw selector-body form
+    df2 = loki_table(
+        spark,
+        emulator.endpoint,
+        labels='app="my-app3"',
+        columns="line",
+    )
+    assert {"user login failed", "ccc trace line"} <= {r.line for r in df2.collect()}
+    assert emulator.queries[-1] == '{app="my-app3"}'

@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "text_stats",
     "sim_topk_cosine",
+    # appended round 3 (keep the r01 prefix comparable): embedding near-dup
+    # self-join and the bucketed-LSH ANN path
+    "dedup_embedding_cosine",
+    "sim_lsh_candidates",
 ]
 
 

@@ -463,42 +463,45 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     step behind IVF cells / k-means: posexplode to (label, pos, val) rows,
     aggregate per coordinate.
 
-    Determinism contract: the per-group sum is a sequential fold over
-    values sorted by vec_id (array_sort(collect_list(struct)) → aggregate),
-    matching DuckDB's array_agg(ORDER BY) → list_sum. A plain SUM(double)
-    would be partition-order-dependent and unverifiable. At 100 TB you'd
-    trade this exactness for a plain double sum (or decimal) — the fold is
-    the oracle-parity variant of the same single-shuffle plan: explode is
-    pipelined with the scan; one exchange on (label, pos); 640 output
-    rows."""
+    Determinism contract WITHOUT group buffering: each value is cast to
+    DECIMAL(38,30) and summed — decimal addition is associative and
+    commutative, so the result is identical under any partition/merge
+    order (the property a plain SUM(double) lacks), with full map-side
+    partial aggregation. Previous versions bought determinism with a
+    sorted collect_list fold, which buffers whole groups in one
+    aggregation buffer — a scale-killer this plan removes.
+
+    Cross-engine exactness detail: Spark's double→decimal cast goes
+    through the double's SHORTEST decimal repr (BigDecimal.valueOf), not
+    its exact binary expansion; the DuckDB oracle mirrors it by casting
+    double→VARCHAR→DECIMAL (verified exact-equal on all 640 groups).
+
+    100 TB posture: explode pipelines with the scan; ONE exchange on
+    (label, pos); constant-size aggregation state per group."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "label", "vec_id", F.posexplode("embedding").alias("pos", "val")
-    )
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
     g = ex.groupBy("label", "pos").agg(
         F.count("*").alias("n_vecs"),
-        F.expr(
-            "aggregate(array_sort(collect_list(struct(vec_id, "
-            "cast(val as double) as v))), 0.0d, (acc, s) -> acc + s.v)"
-        ).alias("sum_val"),
+        F.sum(F.col("val").cast("double").cast("decimal(38,30)")).alias("sum_dec"),
     )
     return g.select(
         "label",
         "pos",
         "n_vecs",
-        (F.col("sum_val") / F.col("n_vecs")).alias("centroid_val"),
+        (F.col("sum_dec").cast("double") / F.col("n_vecs")).alias("centroid_val"),
     )
 
 
 ORACLE_EMB_CENTROID = """
 WITH ex AS (
-  SELECT label, vec_id,
+  SELECT label,
          unnest(generate_series(0, len(embedding) - 1)) AS pos,
-         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val
+         unnest(list_transform(embedding,
+            x -> CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(38,30)))) AS val
   FROM embeddings
 )
 SELECT label, pos, COUNT(*) AS n_vecs,
-       list_sum(array_agg(val ORDER BY vec_id)) / COUNT(*) AS centroid_val
+       CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) / COUNT(*) AS centroid_val
 FROM ex GROUP BY label, pos
 """
 

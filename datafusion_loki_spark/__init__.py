@@ -97,6 +97,34 @@ def loki_table(
     return reader.load()
 
 
+def insert_into_loki(df, endpoint: str, **options: str):
+    """Append ``df`` (timestamp, labels, line) to a Loki endpoint and
+    return the reference's one-row ``count`` result table
+    (datafusion-loki/src/insert.rs:26-32,136-140).
+
+    Spark's INSERT/save path returns no rows, so the sink alone cannot
+    surface the inserted-row count to SQL; this helper restores the
+    reference's contract by counting the (persisted) frame once and
+    reusing the materialized rows for the write — one scan of the input,
+    not two."""
+    spark = df.sparkSession
+    register_loki(spark)
+    persisted = df.persist()
+    try:
+        count = persisted.count()
+        writer = persisted.write.format("loki").mode("append").option(
+            "endpoint", endpoint
+        )
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        writer.save()
+    finally:
+        persisted.unpersist()
+    from datafusion_loki_spark.sources.schema import INSERT_RESULT_SCHEMA
+
+    return spark.createDataFrame([(count,)], INSERT_RESULT_SCHEMA)
+
+
 def register_loki_endpoint(
     spark, name: str, endpoint: str, default_label: str | None = None, **options: str
 ) -> None:

@@ -381,3 +381,27 @@ def test_loki_table_helper_emits_selector_and_prunes(spark, emulator):
     )
     assert {"user login failed", "ccc trace line"} <= {r.line for r in df2.collect()}
     assert emulator.queries[-1] == '{app="my-app3"}'
+
+
+def test_insert_into_loki_returns_count_table(spark, emulator):
+    # ≙ the reference's one-row `count` INSERT result (insert.rs:26-32):
+    # the helper surfaces what the plain sink path cannot.
+    from datafusion_loki_spark import insert_into_loki
+    from datafusion_loki_spark.sources.schema import INSERT_RESULT_SCHEMA
+
+    before = len(emulator.rows)
+    df = spark.createDataFrame(
+        [
+            (
+                datetime.now(timezone.utc).replace(tzinfo=None),
+                {"app": "count-app"},
+                f"count line {i}",
+            )
+            for i in range(3)
+        ],
+        schema=LOG_TABLE_SCHEMA,
+    )
+    result = insert_into_loki(df, emulator.endpoint)
+    assert result.schema == INSERT_RESULT_SCHEMA
+    assert result.collect()[0].count == 3
+    assert len(emulator.rows) == before + 3

@@ -403,5 +403,5 @@ def test_insert_into_loki_returns_count_table(spark, emulator):
     )
     result = insert_into_loki(df, emulator.endpoint)
     assert result.schema == INSERT_RESULT_SCHEMA
-    assert result.collect()[0].count == 3
+    assert result.collect()[0][0] == 3  # Row.count is the tuple method
     assert len(emulator.rows) == before + 3

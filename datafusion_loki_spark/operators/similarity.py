@@ -431,9 +431,12 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qi, qid in enumerate(bq_ids.value):
                 col = cos[:, qi]
                 mask = ids != qid
-                # local top-k per batch: global top-k is a superset join
+                # local top-k per batch: global top-k is a superset join.
+                # lexsort keys: primary -score desc, secondary cand_id asc —
+                # the same tie-break as the final window, so equal-score
+                # candidates at the cut don't drop nondeterministically
                 take = min(TOP_K, mask.sum())
-                idx = np.argsort(-col[mask])[:take]
+                idx = np.lexsort((ids[mask], -col[mask]))[:take]
                 sel_ids = ids[mask][idx]
                 out.append(
                     pd.DataFrame(

@@ -501,6 +501,133 @@ FROM events GROUP BY 1, 2
 """
 
 
+def log_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent strictly
+    prior click — the attribution / feature-lookup primitive (an operator
+    Spark lacks natively; the union+window composition is its scalable
+    form).
+
+    Shape: union both event roles into ONE frame, window per user ordered
+    by (ts, event_id), carry the last click forward with
+    last(..., ignorenulls), keep purchase rows. ONE shuffle on user_id —
+    a join-based as-of (per-pair range join + argmax) would shuffle both
+    sides and blow up on users with many clicks; this streams each user's
+    timeline once. Ties: a click at the same ts counts only if its
+    event_id is lower (matching the lateral oracle's deterministic rule).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    enriched = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+    )
+    return (
+        enriched.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+            "click_id",
+            (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("click_ts").cast("timestamp"))
+                )
+                / F.lit(1000000.0)
+            ).alias("gap_sec"),
+        )
+    )
+
+
+ORACLE_ASOF = """
+WITH c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       cc.click_ts, cc.click_id,
+       (epoch_us(p.ts) - epoch_us(cc.click_ts)) / 1000000.0 AS gap_sec
+FROM p LEFT JOIN LATERAL (
+  SELECT c.ts AS click_ts, c.event_id AS click_id
+  FROM c
+  WHERE c.user_id = p.user_id
+    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+  ORDER BY c.ts DESC, c.event_id DESC
+  LIMIT 1
+) cc ON TRUE
+"""
+
+
+def log_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch range/interval join: every (click, purchase) pair of the same
+    user with the purchase inside [click_ts, click_ts + 1 hour] — the batch
+    twin of the stream-stream interval join (streaming/pipeline.py).
+
+    Shape: equi-join on user_id (one shuffle each side) with the range
+    predicates as residual join conditions — Spark evaluates them inside
+    the SortMergeJoin, never materializing the per-user cross product
+    beyond matching rows. The 1-hour bound keeps per-user fan-out
+    bounded regardless of history length."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("interval 1 hour")
+            ),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+        )
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
     "log_approx_users": log_approx_users,
@@ -526,9 +653,13 @@ QUERIES = {
     "log_funnel": log_funnel,
     "log_rolling_range": log_rolling_range,
     "log_gap_fill": log_gap_fill,
+    "log_asof_join": log_asof_join,
+    "log_interval_join_batch": log_interval_join_batch,
 }
 
 ORACLES = {
+    "log_asof_join": ORACLE_ASOF,
+    "log_interval_join_batch": ORACLE_INTERVAL_JOIN,
     "log_full_scan": "SELECT * FROM events",
     "log_sessionize_batch": ORACLE_SESSIONIZE,
     "log_median_value_pandas": ORACLE_MEDIAN,

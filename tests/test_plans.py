@@ -278,3 +278,17 @@ def test_lsh_bucket_cap_bounds_pair_generation(spark, sf_dir, monkeypatch):
     assert dedup.dedup_minhash_lsh(spark, sf_dir).count() > 0
     monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 1)
     assert dedup.dedup_minhash_lsh(spark, sf_dir).count() == 0
+
+
+def test_asof_join_single_user_shuffle(spark, sf_dir):
+    # The union+window as-of composition must shuffle ONCE on user_id —
+    # a join-based as-of would exchange both sides and explode hot users.
+    from datafusion_loki_spark.plans.logs import log_asof_join
+
+    plan = (
+        log_asof_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan

@@ -82,6 +82,26 @@ def line_contains(text: str | None, negate: bool = False) -> str | None:
     return ("!= " if negate else "|= ") + f"`{text}`"
 
 
+def line_anchor(
+    text: str | None, end: bool = False, negate: bool = False
+) -> str | None:
+    """StringStartsWith → ``|~ `^<quoted>``` ; StringEndsWith →
+    ``|~ `<quoted>$``` (negated → ``!~``). Spark rewrites ``LIKE 'abc%'`` /
+    ``LIKE '%abc'`` into these filter classes, so anchored-regex
+    translation extends automatic line pushdown beyond contains — the
+    regex-literal quoting makes it Exact (RE2 ``^``/``$`` anchor at text
+    boundaries; Loki lines are newline-free). Returns None if the text
+    contains a backtick (LogQL raw strings cannot escape one)."""
+    import re as _re
+
+    text = text if text is not None else ""
+    if "`" in text:
+        return None
+    quoted = _re.escape(text)
+    rx = f"{quoted}$" if end else f"^{quoted}"
+    return ("!~ " if negate else "|~ ") + f"`{rx}`"
+
+
 def line_regex(rx: str | None, negate: bool = False, case_insensitive: bool = False) -> str | None:
     """~ 'rx' → ``|~ `rx``` ; !~ → ``!~ `rx``` ; ILIKE adds ``(?i)``
     (expr.rs:63-80,104-108)."""
@@ -172,6 +192,8 @@ def translate_filters(
     Handles the filter shapes Spark can deliver for the log schema:
     - StringContains(line, x)        → ``|= `x```     (≙ LIKE '%x%' gate)
     - Not(StringContains(line, x))   → ``!= `x```
+    - StringStartsWith(line, x)      → ``|~ `^x```    (≙ LIKE 'x%')
+    - StringEndsWith(line, x)        → ``|~ `x$```    (≙ LIKE '%x')
     - GreaterThan[OrEqual](ts, t)    → start bound    (≙ expr.rs:122-136)
     - LessThan[OrEqual](ts, t)       → end bound      (≙ expr.rs:122-136)
     Everything else is yielded back as unsupported, exactly like the
@@ -195,6 +217,8 @@ def translate_filters(
         LessThanOrEqual,
         Not,
         StringContains,
+        StringEndsWith,
+        StringStartsWith,
     )
 
     result = TranslationResult()
@@ -206,6 +230,15 @@ def translate_filters(
 
         if isinstance(target, StringContains) and attr == line_col:
             lf = line_contains(target.value, negate=negate)
+            if lf is not None:
+                result.line_filters.append(lf)
+                translated = True
+        elif isinstance(target, (StringStartsWith, StringEndsWith)) and attr == line_col:
+            lf = line_anchor(
+                target.value,
+                end=isinstance(target, StringEndsWith),
+                negate=negate,
+            )
             if lf is not None:
                 result.line_filters.append(lf)
                 translated = True

@@ -16,6 +16,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     Not,
     StringContains,
+    StringEndsWith,
     StringStartsWith,
 )
 
@@ -114,6 +115,28 @@ def test_translate_not_contains():
     assert r.line_filters == ["!= `x`"]
 
 
+def test_translate_starts_ends_with_anchored_regex():
+    r = logql.translate_filters(
+        [StringStartsWith(("line",), "user"), StringEndsWith(("line",), "ok")]
+    )
+    assert r.line_filters == ["|~ `^user`", "|~ `ok$`"]
+    assert not r.unsupported
+
+
+def test_translate_anchor_quotes_regex_metachars():
+    r = logql.translate_filters([StringStartsWith(("line",), "a.b*c")])
+    assert r.line_filters == ["|~ `^a\\.b\\*c`"]
+
+
+def test_translate_not_endswith():
+    r = logql.translate_filters([Not(StringEndsWith(("line",), "fail"))])
+    assert r.line_filters == ["!~ `fail$`"]
+
+
+def test_line_anchor_backtick_untranslatable():
+    assert logql.line_anchor("a`b") is None
+
+
 def test_translate_contains_on_other_column_unsupported():
     r = logql.translate_filters([StringContains(("labels",), "x")])
     assert not r.line_filters
@@ -167,10 +190,11 @@ def test_translate_equality_on_timestamp_unsupported():
     assert r.start_ns is None and r.end_ns is None
 
 
-def test_translate_startswith_unsupported():
-    # conservative set: reference only pushes %x% (expr.rs:98)
-    r = logql.translate_filters([StringStartsWith(("line",), "x")])
-    assert len(r.unsupported) == 1
+def test_translate_startswith_on_other_column_unsupported():
+    # anchors only apply to the line column; reference pushes only %x%
+    # contains (expr.rs:98) — the anchored-regex translation is a widening
+    r = logql.translate_filters([StringStartsWith(("labels",), "x")])
+    assert len(r.unsupported) == 1 and not r.line_filters
 
 
 def test_translate_isnotnull_unsupported():

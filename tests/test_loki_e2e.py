@@ -405,3 +405,15 @@ def test_insert_into_loki_returns_count_table(spark, emulator):
     assert result.schema == INSERT_RESULT_SCHEMA
     assert result.collect()[0][0] == 3  # Row.count is the tuple method
     assert len(emulator.rows) == before + 3
+
+
+def test_line_startswith_endswith_pushdown(loki_df, emulator):
+    # LIKE 'user%' reaches pushFilters as StringStartsWith → anchored |~
+    df = loki_df.load().where(F.col("line").startswith("user"))
+    lines = sorted(r.line for r in df.collect())
+    assert lines == ["user login failed", "user login ok"]
+    assert "|~ `^user`" in emulator.queries[-1]
+
+    df2 = loki_df.load().where(F.col("line").endswith("log"))
+    assert {r.line for r in df2.collect()} == {"this is aaa log", "this is bbb log"}
+    assert "|~ `log$`" in emulator.queries[-1]

@@ -448,7 +448,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dot products fold sequentially → bit-identical in Spark and DuckDB
     (verified), so raw doubles are oracle-safe. Norms are precomputed per
     ROW (similarity.normed_embeddings), so each pair costs one raw dot +
-    one scalar divide — pair count dwarfs row count."""
+    one scalar divide — pair count dwarfs row count. The float→double
+    widening is ALSO hoisted per row (transform before the shuffle; the
+    exchange materializes it), so the per-pair interpreted lambda is a
+    bare multiply-fold instead of cast-cast-multiply — measured ~15%
+    faster at sf0.1 with bit-identical output (float→double is exact)."""
     from datafusion_loki_spark.functions.skew import salted_join
     from datafusion_loki_spark.operators.similarity import normed_embeddings
 
@@ -457,12 +461,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file → one task otherwise); cosine = dot(raw)/(nrm·nrm) so no
     # per-element division exists for CollapseProject to inline norms into
     # (see normed_embeddings docstring)
+    to_double = "transform(embedding, x -> cast(x as double))"
     a = normed_embeddings(emb.repartition(F.col("vec_id")), "vec_id", "label").select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), "label",
+        F.col("vec_id").alias("id_a"), F.expr(to_double).alias("e_a"), "label",
         F.col("nrm").alias("nrm_a"),
     )
     b = normed_embeddings(emb, "vec_id", "label").select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), "label",
+        F.col("vec_id").alias("id_b"), F.expr(to_double).alias("e_b"), "label",
         F.col("nrm").alias("nrm_b"),
     )
     # salted self-join: with ~10 coarse buckets, a shuffle join on `label`
@@ -470,13 +475,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # id_a over 8 sub-keys spreads each bucket's pair space 8× for an 8×
     # replication of only the (small) right side. Same pairs exactly once:
     # `a` rows take one salt, `b` rows match every salt.
+    dot = "aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
     return (
         salted_join(a, b, on=["label"], n_salts=8, salt_cols=["id_a"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.expr(_DOT_SPARK.format(a="e_a", b="e_b"))
-            / (F.col("nrm_a") * F.col("nrm_b")),
+            F.expr(dot) / (F.col("nrm_a") * F.col("nrm_b")),
         )
         .where(F.col("cosine") >= 0.2)
         .select("label", "id_a", "id_b", "cosine")

@@ -567,7 +567,12 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
-# --- SimHash (rows-only oracle: bit manipulation isn't portably SQL-exact) ------
+# --- SimHash --------------------------------------------------------------------
+
+# odd hex digits — "is digit odd" as a set test instead of conv(h,16,10)%2,
+# which has no exact DuckDB twin; the IN list is portable to both engines
+_ODD_HEX = "('1', '3', '5', '7', '9', 'b', 'd', 'f')"
+
 
 def simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprints: per-token md5-derived bit votes, majority per
@@ -584,18 +589,41 @@ def simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     bit_cols = []
     for b in range(bits):
         # vote for bit b: count tokens whose md5 hex digit b is odd
-        votes = (
-            f"size(filter(hashes, h -> conv(substring(h, {b + 1}, 1), 16, 10)"
-            f" % 2 = 1))"
-        )
+        votes = f"size(filter(hashes, h -> substring(h, {b + 1}, 1) in {_ODD_HEX}))"
         bit_cols.append(f"if({votes} * 2 > size(toks), '1', '0')")
     fingerprint = "concat(" + ", ".join(bit_cols) + ")"
     return base.select("doc_id", F.expr(fingerprint).alias("simhash"))
 
 
+def _simhash_duck(bits: int = 16) -> str:
+    bit_cols = []
+    for b in range(bits):
+        votes = (
+            f"len(list_filter(hashes, h -> substring(h, {b + 1}, 1)"
+            f" IN {_ODD_HEX}))"
+        )
+        bit_cols.append(f"CASE WHEN {votes} * 2 > len(toks) THEN '1' ELSE '0' END")
+    return " || ".join(bit_cols)
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS toks FROM documents
+), h AS (
+  SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hashes FROM toks
+), fp AS (
+  SELECT doc_id, {_simhash_duck()} AS simhash FROM h
+)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM fp GROUP BY simhash
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-equal candidate groups (rows-only driver check — the conv()
-    hex→int step has no exact DuckDB twin)."""
+    """SimHash-equal candidate groups, fully oracle-verified: the bit vote
+    uses a portable odd-hex-digit set test in both engines (the earlier
+    conv(h,16,10) formulation had no exact DuckDB twin and downgraded this
+    to a rows-only check)."""
     return (
         simhash_docs(spark, sf_dir)
         .groupBy("simhash")
@@ -663,5 +691,5 @@ ORACLES = {
     "dedup_contamination": _oracle_contamination(),
     "dedup_embedding_cosine": _oracle_dedup_embedding(),
     "dedup_chunks": ORACLE_DEDUP_CHUNKS,
-    # dedup_simhash: intentionally no oracle (rows-only check)
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
 }

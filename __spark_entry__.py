@@ -60,7 +60,43 @@ _WINDOW_PRIORITY = (
     # tpch sentinels (2)
     "q12_priority_class",
     "q3_shipping_priority",
-    # 34 operator queries follow via module order below
+    # the 34 operator queries, pinned explicitly so that NEW registry
+    # entries (e.g. dedup_incremental, log_asof_join) land AFTER the
+    # window and cannot silently evict a first-ever-checked operator row
+    "dedup_exact_docs",
+    "dedup_bow",
+    "dedup_events_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "dedup_contamination",
+    "dedup_embedding_cosine",
+    "dedup_chunks",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "emb_centroid_by_label",
+    "emb_vector_stats",
+    "emb_stats_arrow",
+    "sim_lsh_buckets",
+    "sim_lsh_candidates",
+    "sim_lsh_multiprobe",
+    "sim_ivf_topk",
+    "sim_topk_pandas",
+    "text_stats",
+    "text_chunk_udtf",
+    "text_quality_filter",
+    "text_lang_id",
+    "text_lang_id_ngram",
+    "text_fingerprint",
+    "text_token_freq",
+    "text_token_count_bpe",
+    "sample_events_uniform",
+    "sample_docs_stratified",
+    "sample_docs_per_source_topn",
+    "mm_binary_meta",
+    "mm_decode_features",
+    "mm_resize",
+    "mm_frame_sample",
 )
 
 

@@ -145,6 +145,48 @@ GROUP BY user_id, event_type
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: admit only the new-batch docs
+    whose content fingerprint does not already exist in the corpus — the
+    production shape for a continuously-ingesting training pipeline, where
+    re-deduping the whole corpus per batch is unaffordable.
+
+    Batch split is deterministic (doc_id % 10: 0-7 = corpus, 8-9 = new).
+    Within the new batch, the smallest doc_id per fingerprint survives
+    (same survivor policy as dedup_exact_docs).
+
+    100 TB posture: LEFT ANTI join on the md5 fingerprint — one shuffle per
+    side on a uniform key; the corpus side projects fingerprint only (scan
+    prunes text after the hash), and at real scale the corpus fingerprint
+    set would be a bucketed table so only the new batch shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.expr(f"md5({_NORM_SPARK})").alias("fingerprint")
+    )
+    corpus = fp.where(F.col("doc_id") % 10 < 8).select("fingerprint")
+    new = fp.where(F.col("doc_id") % 10 >= 8)
+    return (
+        new.join(corpus, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("admit_id"), F.count("*").alias("n_in_batch"))
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH fp AS (
+  SELECT doc_id, md5({_NORM_DUCK}) AS fingerprint FROM documents
+), corpus AS (
+  SELECT fingerprint FROM fp WHERE doc_id % 10 < 8
+), new_batch AS (
+  SELECT * FROM fp WHERE doc_id % 10 >= 8
+)
+SELECT fingerprint, MIN(doc_id) AS admit_id, COUNT(*) AS n_in_batch
+FROM new_batch
+WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+GROUP BY fingerprint
+"""
+
+
 # --- MinHash + LSH ------------------------------------------------------------
 
 _N_BANDS = N_MINHASH // BAND_ROWS
@@ -672,6 +714,7 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_bow": dedup_bow,
     "dedup_events_exact": dedup_events_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_edit_distance": dedup_edit_distance,
@@ -685,6 +728,7 @@ ORACLES = {
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "dedup_bow": ORACLE_DEDUP_BOW,
     "dedup_events_exact": ORACLE_DEDUP_EVENTS,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "dedup_edit_distance": _oracle_edit_distance(),

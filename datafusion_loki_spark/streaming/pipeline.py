@@ -163,6 +163,67 @@ def sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_value) via the Spark 4
+    ``transformWithStateInPandas`` API — the current-generation stateful
+    surface (typed ValueState, explicit processor lifecycle) that
+    supersedes applyInPandasWithState; kept alongside the sessionize
+    operator so both stateful APIs are exercised. Runtime NOTE: the
+    transformWithState state-server protocol requires google.protobuf,
+    absent from this test container — the e2e test importorskips; the
+    operator itself is plain public API and runs on any standard Spark 4
+    deployment (protobuf ships with Spark's own requirements).
+
+    Emits the refreshed running totals for every user a micro-batch
+    touched (update semantics — the feature-store accumulator shape).
+
+    100 TB posture: state is ONE fixed-size ValueState row per user (no
+    per-event history), the shuffle key is user_id, and the per-batch
+    output is bounded by the touched-user count."""
+    import pandas as pd  # noqa: F811 - executor-side import
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events long, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", F.col("ts").cast("timestamp"), "value")
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame) -> DataFrame:
     """Streaming exact dedup: first event per (user_id, event_type) wins,
     later duplicates are dropped while their key is inside the watermark.

@@ -346,3 +346,33 @@ def test_rollup_to_parquet_multi_batch_no_data_loss(spark, sf_dir, tmp_path):
     got = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in rows}
     assert len(rows) == len(got), "duplicate (window, type) keys in sink"
     assert got == expected
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    # Spark 4 transformWithStateInPandas surface: after an availableNow
+    # drain, the LAST emitted update per user must equal the batch rollup.
+    # The state-server protocol needs google.protobuf, which this container
+    # lacks — skip (not fail) where the runtime dependency is absent.
+    pytest.importorskip("google.protobuf")
+    events = pipeline.events_file_stream(spark, sf_dir)
+    totals = pipeline.user_running_totals(events)
+    pipeline.run_to_memory(totals, "running_totals", spark)
+    # update mode may emit a user several times across batches — keep the
+    # final (max n_events) row per user
+    final = {}
+    for r in spark.sql("SELECT * FROM running_totals").collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    from datafusion_loki_spark.catalog import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    assert len(final) == len(batch)
+    for r in batch:
+        n, total = final[r.user_id]
+        assert n == r.n
+        assert total == pytest.approx(r.s, rel=1e-9)

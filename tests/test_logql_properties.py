@@ -138,10 +138,33 @@ def test_time_bounds_always_superset(bounds):
     # start = max lower bound (rows at the bound stay fetchable since the
     # bound itself is sent inclusively), end = min upper bound with
     # inclusive (`<=`) ends widened by 1 µs
-    lowers = [datetime_to_ns(dt.replace(tzinfo=timezone.utc))
-              for op, dt in bounds if op in ("gt", "ge")]
-    uppers = [datetime_to_ns(dt.replace(tzinfo=timezone.utc))
-              + (1_000 if op == "le" else 0)
+    # expectation uses the SAME naive-datetime conversion as the
+    # implementation (host-local interpretation — see datetime_to_ns), so
+    # the property holds on any host timezone
+    lowers = [datetime_to_ns(dt) for op, dt in bounds if op in ("gt", "ge")]
+    uppers = [datetime_to_ns(dt) + (1_000 if op == "le" else 0)
               for op, dt in bounds if op in ("lt", "le")]
     assert res.start_ns == (max(lowers) if lowers else None)
     assert res.end_ns == (min(uppers) if uppers else None)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=1, max_size=30).filter(lambda s: "`" not in s and "\n" not in s),
+       st.text(max_size=10).filter(lambda s: "\n" not in s),
+       st.booleans())
+def test_line_anchor_regex_matches_exactly_prefix_suffix(text, pad, end):
+    """The anchored segment's regex must match a line iff the line starts
+    (resp. ends) with the literal text — the Exact-pushdown contract."""
+    import re
+
+    from datafusion_loki_spark.sources.logql import line_anchor
+
+    seg = line_anchor(text, end=end)
+    assert seg is not None and seg.startswith("|~ `") and seg.endswith("`")
+    rx = re.compile(seg[len("|~ `"):-1])
+    line_match = (pad + text) if end else (text + pad)
+    assert rx.search(line_match) is not None
+    # a line that lacks the prefix/suffix must NOT match
+    probe = ("x" + text + "x")
+    expected = probe.endswith(text) if end else probe.startswith(text)
+    assert (rx.search(probe) is not None) == expected

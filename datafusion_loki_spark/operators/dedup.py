@@ -280,7 +280,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash() -> str:
+def _oracle_minhash_parts() -> tuple[str, str]:
+    """(cte_list, pair_select): the shared CTE chain and the band-join pair
+    query — separated so composers (dedup_cc_groups' recursive CTE) can
+    splice them into ONE with-list (DuckDB does not scope a nested WITH
+    inside a recursive CTE element)."""
     mh_defs = ",\n       ".join(f"{_minhash_duck(j)} AS mh{j}" for j in range(N_MINHASH))
     band_defs = ",\n       ".join(
         f"{expr} AS band{b}" for b, expr in enumerate(_bands_duck())
@@ -299,8 +303,7 @@ def _oracle_minhash() -> str:
         f" AND a.rn <= {LSH_BUCKET_CAP} AND b.rn <= {LSH_BUCKET_CAP}"
         for b in range(N_MINHASH // BAND_ROWS)
     )
-    return f"""
-WITH sh AS (
+    ctes = f"""sh AS (
   SELECT doc_id, {_shingles_duck()} AS shingles FROM documents
 ), mh AS (
   SELECT doc_id,
@@ -311,8 +314,92 @@ WITH sh AS (
        {band_defs}
   FROM mh
 ),
-{ranked}
+{ranked}"""
+    return ctes, unions
+
+
+def _oracle_minhash() -> str:
+    ctes, unions = _oracle_minhash_parts()
+    return f"""
+WITH {ctes}
 {unions}
+"""
+
+
+
+
+def dedup_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH candidate
+    graph, so transitively-linked docs (A~B, B~C) land in one group even
+    when A and C never share a bucket — the step that turns pairwise
+    candidates into keep/drop decisions (keep cluster_id, drop the rest).
+
+    Algorithm: min-label propagation to fixpoint. labels start as each
+    node's own doc_id; each round every node takes the min of its label and
+    its neighbors' labels; stop when a round changes nothing. The loop runs
+    driver-side but each round is one distributed join+agg — the classic
+    Spark CC shape (GraphFrames-free); rounds needed = graph diameter,
+    which for near-dup graphs is tiny (dup groups are cliques or short
+    chains). The DuckDB oracle computes the exact same fixpoint through a
+    recursive CTE, so convergence (not iteration count) defines the result.
+
+    100 TB posture: edge list is the capped LSH output (bounded per
+    bucket); each round shuffles edges once on the join key. At extreme
+    diameters you would switch to large-star/small-star (same join
+    primitive, fewer rounds); the fixpoint semantics are identical."""
+    edges = dedup_minhash_lsh(spark, sf_dir)
+    # symmetric edge list: propagate in both directions
+    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = fwd.union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.withColumn("cluster_id", F.col("doc_id"))
+    while True:
+        # min over own label and all neighbors' labels
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+ORACLE_DEDUP_CC = """
+WITH RECURSIVE {ctes},
+pairs AS (
+  {pairs}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), reach (doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
 """
 
 
@@ -715,6 +802,7 @@ QUERIES = {
     "dedup_bow": dedup_bow,
     "dedup_events_exact": dedup_events_exact,
     "dedup_incremental": dedup_incremental,
+    "dedup_cc_groups": dedup_cc_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_edit_distance": dedup_edit_distance,
@@ -729,6 +817,9 @@ ORACLES = {
     "dedup_bow": ORACLE_DEDUP_BOW,
     "dedup_events_exact": ORACLE_DEDUP_EVENTS,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "dedup_cc_groups": ORACLE_DEDUP_CC.format(
+        ctes=_oracle_minhash_parts()[0], pairs=_oracle_minhash_parts()[1]
+    ),
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "dedup_edit_distance": _oracle_edit_distance(),

@@ -292,3 +292,23 @@ def test_asof_join_single_user_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_cc_groups_labels_are_consistent(spark, sf_dir):
+    # Every LSH edge's endpoints must share a cluster label (fixpoint
+    # reached), and each cluster's label is its minimum member id.
+    from datafusion_loki_spark.operators.dedup import (
+        dedup_cc_groups,
+        dedup_minhash_lsh,
+    )
+
+    labels = {r.doc_id: r.cluster_id for r in dedup_cc_groups(spark, sf_dir).collect()}
+    edges = dedup_minhash_lsh(spark, sf_dir).collect()
+    assert edges, "expected candidate pairs at this SF"
+    for e in edges:
+        assert labels[e.doc_a] == labels[e.doc_b], (e.doc_a, e.doc_b)
+    clusters = {}
+    for doc, lbl in labels.items():
+        clusters.setdefault(lbl, []).append(doc)
+    for lbl, members in clusters.items():
+        assert lbl == min(members)

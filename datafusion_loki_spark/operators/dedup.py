@@ -403,6 +403,71 @@ SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id
 """
 
 
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: a per-document keep/drop
+    decision with reason — composing exact dedup (fingerprint keeper) and
+    near-dup clustering (CC label over the LSH graph):
+
+    - ``exact_dup``: not the min-doc_id of its exact-content group
+    - ``near_dup``: exact keeper, but its CC cluster label is another doc
+    - ``keep``: everything else (cluster representative or untouched)
+
+    100 TB posture: one fingerprint shuffle + the CC rounds (both bounded
+    as documented on their operators); the final joins are on doc_id /
+    fingerprint — uniform keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.expr(f"md5({_NORM_SPARK})").alias("fingerprint"))
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_id"))
+    cc = dedup_cc_groups(spark, sf_dir).withColumnRenamed("cluster_id", "cc_label")
+    return (
+        fp.join(keepers, "fingerprint")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keeper_id"), F.lit("exact_dup"))
+            .when(
+                F.col("cc_label").isNotNull()
+                & (F.col("cc_label") != F.col("doc_id")),
+                F.lit("near_dup"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+        )
+    )
+
+
+ORACLE_DEDUP_KEEP_LIST = """
+WITH RECURSIVE {ctes},
+pairs AS (
+  {pairs}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), reach (doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+), cc AS (
+  SELECT doc_id, MIN(lbl) AS cc_label FROM reach GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, md5({norm}) AS fingerprint FROM documents
+), keepers AS (
+  SELECT fingerprint, MIN(doc_id) AS keeper_id FROM fp GROUP BY fingerprint
+)
+SELECT fp.doc_id,
+       CASE WHEN fp.doc_id != k.keeper_id THEN 'exact_dup'
+            WHEN cc.cc_label IS NOT NULL AND cc.cc_label != fp.doc_id
+              THEN 'near_dup'
+            ELSE 'keep' END AS status
+FROM fp
+JOIN keepers k ON fp.fingerprint = k.fingerprint
+LEFT JOIN cc ON fp.doc_id = cc.doc_id
+"""
+
+
 # --- n-gram Jaccard verify -----------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,6 +868,7 @@ QUERIES = {
     "dedup_events_exact": dedup_events_exact,
     "dedup_incremental": dedup_incremental,
     "dedup_cc_groups": dedup_cc_groups,
+    "dedup_keep_list": dedup_keep_list,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_edit_distance": dedup_edit_distance,
@@ -819,6 +885,11 @@ ORACLES = {
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dedup_cc_groups": ORACLE_DEDUP_CC.format(
         ctes=_oracle_minhash_parts()[0], pairs=_oracle_minhash_parts()[1]
+    ),
+    "dedup_keep_list": ORACLE_DEDUP_KEEP_LIST.format(
+        ctes=_oracle_minhash_parts()[0],
+        pairs=_oracle_minhash_parts()[1],
+        norm=_NORM_DUCK,
     ),
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),

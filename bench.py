@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     # self-join and the bucketed-LSH ANN path
     "dedup_embedding_cosine",
     "sim_lsh_candidates",
+    # appended round 4: the iterative CC operator (cost = rounds × edge
+    # shuffle — the least predictable operator, so it must be measured)
+    # and the keep-list composition that embeds it
+    "dedup_cc_groups",
+    "dedup_keep_list",
 ]
 
 

@@ -81,6 +81,14 @@ def loki_table(
     if columns is not None:
         if not isinstance(columns, str):
             columns = ",".join(columns)
+        if not columns.strip():
+            # ','.join([]) == '' would silently fall through to the FULL
+            # schema (_parse_columns_option treats empty as no-projection);
+            # an explicit empty projection is a caller bug — fail loudly.
+            raise ValueError(
+                "loki_table(columns=...) needs at least one column; "
+                "omit the argument to read the full schema"
+            )
         reader = reader.option("columns", columns)
     if start is not None:
         reader = reader.option("start", str(start))

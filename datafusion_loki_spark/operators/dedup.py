@@ -64,7 +64,11 @@ def _spread(df: DataFrame, *keys: str) -> DataFrame:
     grouping key costs one narrow shuffle of the raw rows, and the later
     groupBy on the same key REUSES the exchange — net extra shuffles: zero.
     On a 100 TB input the scan already has thousands of splits and this is
-    a no-op."""
+    a no-op — but the getNumPartitions PROBE still forces an RDD-conversion
+    analysis pass on the driver per invocation, so a cluster deployment
+    sets spark_graft.spread.enabled=false to keep plans clean of it."""
+    if df.sparkSession.conf.get("spark_graft.spread.enabled", "true") != "true":
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, *keys)
@@ -181,10 +185,14 @@ WITH fp AS (
   SELECT * FROM fp WHERE doc_id % 10 >= 8
 )
 SELECT fingerprint, MIN(doc_id) AS admit_id, COUNT(*) AS n_in_batch
-FROM new_batch
-WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+FROM new_batch nb
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = nb.fingerprint)
 GROUP BY fingerprint
 """
+# NOT EXISTS, not NOT IN: Spark's LEFT ANTI keeps left rows whose key is
+# NULL, while NOT IN returns zero rows if the subquery ever yields a NULL
+# (three-valued logic). md5 of a NULL text would be NULL, so only NOT
+# EXISTS matches the anti-join's null semantics exactly.
 
 
 # --- MinHash + LSH ------------------------------------------------------------
@@ -344,15 +352,32 @@ def dedup_cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE, so convergence (not iteration count) defines the result.
 
     100 TB posture: edge list is the capped LSH output (bounded per
-    bucket); each round shuffles edges once on the join key. At extreme
-    diameters you would switch to large-star/small-star (same join
-    primitive, fewer rounds); the fixpoint semantics are identical."""
+    bucket), MATERIALIZED once (localCheckpoint) before the loop — without
+    that every round's neighbor join would re-execute the whole
+    shingle→minhash→LSH DAG from the parquet scan, multiplying the most
+    expensive stage by graph diameter. Each round then shuffles only the
+    materialized edges on the join key. At extreme diameters you would
+    switch to large-star/small-star (same join primitive, fewer rounds);
+    the fixpoint semantics are identical."""
+    return _cc_labels(_symmetric_edges(spark, sf_dir))
+
+
+def _symmetric_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized symmetric LSH edge list (src, dst) — propagate in both
+    directions. localCheckpoint(eager) cuts the lineage so the CC fixpoint
+    rounds (and dedup_keep_list's composition) never re-run the MinHash/LSH
+    DAG; its plan is a bare ExistingRDD scan (pinned by tests)."""
     edges = dedup_minhash_lsh(spark, sf_dir)
-    # symmetric edge list: propagate in both directions
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = fwd.union(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    return sym.localCheckpoint(eager=True)
+
+
+def _cc_labels(sym: DataFrame) -> DataFrame:
+    """Min-label-propagation fixpoint over a materialized symmetric edge
+    list; returns (doc_id, cluster_id)."""
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     while True:
@@ -413,7 +438,9 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``keep``: everything else (cluster representative or untouched)
 
     100 TB posture: one fingerprint shuffle + the CC rounds (both bounded
-    as documented on their operators); the final joins are on doc_id /
+    as documented on their operators; the LSH edge list is materialized
+    once via _symmetric_edges, so this composition pays the MinHash DAG
+    exactly once, not once per CC round); the final joins are on doc_id /
     fingerprint — uniform keys."""
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select("doc_id", F.expr(f"md5({_NORM_SPARK})").alias("fingerprint"))
@@ -826,6 +853,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 16
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate PAIRS at hamming distance ≤ 1 — the
+    probe stage the simhash family promises ("equal fingerprints or small
+    hamming distance"): fingerprint-equality grouping alone misses docs
+    one bit-vote apart. Same shape as sim_lsh_multiprobe: one side emits
+    its own fingerprint plus all 16 single-bit-flip variants; the other
+    side keeps exact fingerprints; equal keys join.
+
+    Each qualifying pair matches EXACTLY one probe (the probe set per doc
+    is 17 distinct strings and a pair differs in 0 or 1 fixed positions),
+    so no post-join dedup is needed — the plan is probe-explode + one
+    equi-join shuffle on the fingerprint key, no distinct.
+
+    100 TB posture: one shuffle of the 17×-exploded probe side + one of
+    the corpus side, both on a bounded-cardinality uniform key (2^16
+    buckets); pair fan-out per bucket is bounded by bucket occupancy like
+    any LSH band join — never an all-pairs product."""
+    fp = simhash_docs(spark, sf_dir, bits=SIMHASH_BITS)
+    flips = (
+        f"array(simhash) || transform(sequence(1, {SIMHASH_BITS}), b -> "
+        "concat(substring(simhash, 1, b - 1), "
+        "if(substring(simhash, b, 1) = '1', '0', '1'), "
+        f"substring(simhash, b + 1, {SIMHASH_BITS} - b)))"
+    )
+    probes = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        F.explode(F.expr(flips)).alias("probe"),
+    )
+    cand = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    ham = (
+        f"size(filter(sequence(1, {SIMHASH_BITS}), "
+        "i -> substring(sim_a, i, 1) != substring(sim_b, i, 1)))"
+    )
+    return (
+        probes.join(cand, probes.probe == cand.sim_b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.expr(ham).cast("bigint").alias("hamming")
+        )
+    )
+
+
+def _oracle_simhash_hamming() -> str:
+    flips = (
+        f"[simhash] || list_transform(generate_series(1, {SIMHASH_BITS}), b -> "
+        "substring(simhash, 1, b - 1) || "
+        "(CASE WHEN substring(simhash, b, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substring(simhash, b + 1, {SIMHASH_BITS} - b))"
+    )
+    ham = (
+        f"len(list_filter(generate_series(1, {SIMHASH_BITS}), "
+        "i -> substring(p.sim_a, i, 1) != substring(b.simhash, i, 1)))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS toks FROM documents
+), h AS (
+  SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hashes FROM toks
+), fp AS (
+  SELECT doc_id, {_simhash_duck()} AS simhash FROM h
+), p AS (
+  SELECT doc_id AS doc_a, simhash AS sim_a, unnest({flips}) AS probe FROM fp
+)
+SELECT p.doc_a, b.doc_id AS doc_b, {ham} AS hamming
+FROM p JOIN fp b ON p.probe = b.simhash AND p.doc_a < b.doc_id
+"""
+
+
 def dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words dedup: fingerprint = md5 over the SORTED DISTINCT token
     set, so reordered/repeated-word variants of the same vocabulary collapse
@@ -876,6 +975,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_chunks": dedup_chunks,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_hamming": dedup_simhash_hamming,
 }
 
 ORACLES = {
@@ -898,4 +998,5 @@ ORACLES = {
     "dedup_embedding_cosine": _oracle_dedup_embedding(),
     "dedup_chunks": ORACLE_DEDUP_CHUNKS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_simhash_hamming": _oracle_simhash_hamming(),
 }

@@ -79,11 +79,20 @@ def normed_embeddings(emb: DataFrame, id_alias: str, *extra: str) -> DataFrame:
     select nrm" trick cannot protect a `transform(e, x -> x / nrm)`
     projection. A scalar nrm next to the raw array has no lambda to inline
     into. Mirrored exactly by _normed_duck_cte — same IEEE ops in the same
-    sequential fold order → bit-identical."""
+    sequential fold order → bit-identical.
+
+    The coalesce wrapper makes nrm NON-NULLABLE, which stops
+    InferFiltersFromConstraints from deriving an ``isnotnull(nrm)``
+    constraint that predicate-pushdown then inlines through this
+    projection — re-running the whole 64-element fold inside a Filter on
+    every join side (measured: 4 SQRT(aggregate) instances in the
+    dedup_embedding_cosine plan without it, 2 with). Embeddings are never
+    NULL in the data model; for non-null input coalesce is the identity,
+    so the oracle SQL needs no mirror."""
     n2 = _NORM2_SPARK.format(a="embedding")
     return emb.select(
         F.col("vec_id").alias(id_alias), *extra, "embedding",
-        F.expr(f"sqrt({n2})").alias("nrm"),
+        F.expr(f"coalesce(sqrt({n2}), 0.0d)").alias("nrm"),
     )
 
 
@@ -498,6 +507,13 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, pos); constant-size aggregation state per group."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    # DECIMAL(38,30) leaves 8 integer digits for the per-(label,pos) sum:
+    # safe while |val| × n_vecs_per_group < 1e8 (embedding elements are
+    # O(1), so ~1e7+ vectors PER LABEL before risk; overflow would surface
+    # as a NULL centroid under non-ANSI mode, not a wrong value). At that
+    # group size, drop to DECIMAL(38,20) here AND in the oracle — still
+    # exact for the ≤17-significant-digit shortest-repr of a double as
+    # long as values stay ≥ 1e-3 in magnitude.
     g = ex.groupBy("label", "pos").agg(
         F.count("*").alias("n_vecs"),
         F.sum(F.col("val").cast("double").cast("decimal(38,30)")).alias("sum_dec"),

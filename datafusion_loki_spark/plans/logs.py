@@ -514,6 +514,22 @@ def log_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides and blow up on users with many clicks; this streams each user's
     timeline once. Ties: a click at the same ts counts only if its
     event_id is lower (matching the lateral oracle's deterministic rule).
+
+    Skew at 100 TB: one pathologically hot user_id serializes its whole
+    timeline into a single window task. Mitigations, in preference order,
+    all preserving these exact semantics: (1) the running state is ONE
+    value (last click seen), so the timeline can be re-chunked by
+    (user_id, time-slice) with a per-slice "last click" computed first and
+    carried across slice boundaries via a second tiny window over the
+    per-slice summaries — two bounded shuffles instead of one unbounded
+    task (the salted two-phase shape); (2) when purchases are sparse,
+    fall back to log_interval_join_batch with a bounded lookback window +
+    argmax, which AQE skew-splits freely because the 1-hour bound caps
+    per-user fan-out; (3) AQE cannot split a window partition, so cap the
+    blast radius operationally with a hot-key sideline (count-min the key
+    histogram, route the few hot users through path (1)). The
+    single-shuffle plan here is pinned by
+    tests/test_plans.py::test_asof_join_single_user_shuffle.
     """
     from pyspark.sql import Window
 

@@ -344,7 +344,18 @@ def rollup_to_parquet(
         out = batch_df.withColumn("day", F.col("window_start").cast("date"))
         try:
             existing = spark.read.parquet(path)
-        except AnalysisException:
+        except AnalysisException as e:
+            # Only genuinely-empty sinks mean "first batch": a missing path
+            # or an existing-but-empty directory (zero-row first batch,
+            # manual cleanup). Any OTHER analysis error (corrupt footer,
+            # permission problem surfacing as analysis failure) must NOT be
+            # misread as first-batch — that would silently drop every
+            # previously-written window for the touched days.
+            cond = (
+                e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+            )
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
             merged = out  # first batch: nothing at `path` yet
         else:
             days = [r.day for r in out.select("day").distinct().collect()]

@@ -383,6 +383,17 @@ def test_loki_table_helper_emits_selector_and_prunes(spark, emulator):
     assert emulator.queries[-1] == '{app="my-app3"}'
 
 
+def test_loki_table_rejects_empty_projection(spark):
+    # columns=[] would ','.join to '' and silently fall through to the FULL
+    # schema — must fail loudly instead (raised before any network I/O).
+    from datafusion_loki_spark import loki_table
+
+    with pytest.raises(ValueError, match="at least one column"):
+        loki_table(spark, "http://unused:3100", columns=[])
+    with pytest.raises(ValueError, match="at least one column"):
+        loki_table(spark, "http://unused:3100", columns="")
+
+
 def test_insert_into_loki_returns_count_table(spark, emulator):
     # ≙ the reference's one-row `count` INSERT result (insert.rs:26-32):
     # the helper surfaces what the plain sink path cannot.

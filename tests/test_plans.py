@@ -294,6 +294,57 @@ def test_asof_join_single_user_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_cc_edge_list_is_materialized(spark, sf_dir):
+    # The CC fixpoint loop (and dedup_keep_list's composition) must run
+    # over a MATERIALIZED edge list: _symmetric_edges localCheckpoints, so
+    # its plan is a bare in-memory scan. A parquet relation here means
+    # every CC round would re-execute the whole MinHash/LSH DAG — the
+    # 100 TB scale regression this pins out.
+    from datafusion_loki_spark.operators import dedup
+
+    s = (
+        dedup._symmetric_edges(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LogicalRDD" in s, s
+    assert "parquet" not in s.lower(), s
+
+
+def test_cosine_norm_single_eval_per_side(spark, sf_dir):
+    # The L2-norm fold must appear exactly once per join side (in its
+    # projection). Before nrm was made non-nullable, the inferred
+    # isnotnull(nrm) constraint re-ran the 64-element fold inside a Filter
+    # on both sides (4 instances).
+    s = _optimized(spark, sf_dir, "dedup_embedding_cosine").lower()
+    assert s.count("sqrt(aggregate") == 2, s.count("sqrt(aggregate")
+
+
+def test_simhash_hamming_no_distinct_no_cartesian(spark, sf_dir):
+    # The probe join emits each pair exactly once by construction — the
+    # plan must stay probe-explode + ONE equi-join, with no post-join
+    # dedup aggregation and no cartesian fallback.
+    plan = _plan(spark, sf_dir, "dedup_simhash_hamming")
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_spread_conf_gate_bypasses_rdd_probe(spark, sf_dir):
+    # Cluster deployments disable the local scan-split widener so plans
+    # stay clean of the per-invocation RDD-conversion probe; the gate must
+    # return the input frame untouched.
+    from datafusion_loki_spark.catalog import load_table
+    from datafusion_loki_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    spark.conf.set("spark_graft.spread.enabled", "false")
+    try:
+        assert dedup._spread(docs, "doc_id") is docs
+    finally:
+        spark.conf.set("spark_graft.spread.enabled", "true")
+
+
 def test_cc_groups_labels_are_consistent(spark, sf_dir):
     # Every LSH edge's endpoints must share a cluster label (fixpoint
     # reached), and each cluster's label is its minimum member id.

@@ -348,6 +348,134 @@ def test_rollup_to_parquet_multi_batch_no_data_loss(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_sessionize_state_survives_restart(spark, tmp_path):
+    # The whole point of a checkpointed stateful operator: a NEW query
+    # started on the same checkpoint must resume from persisted state, not
+    # from zero. Drain 1 leaves user 1's session OPEN in the state store
+    # (3 events, no gap). Drain 2 — a fresh query object, same checkpoint —
+    # delivers one event 2h later: in-batch gap evidence must close the
+    # carried session as (t0 .. t0+10min, n_events=3). If recovery failed,
+    # the operator would see no prior state and emit nothing.
+    import datetime as dt
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def _mk(name, rows):
+        spark.createDataFrame(
+            rows, "ts timestamp_ntz, user_id long, value double"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def _drain(qname):
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        got: list = []
+        stream = (
+            spark.readStream.schema("ts timestamp_ntz, user_id long, value double")
+            .parquet(str(src) + "/*/")
+        )
+        q = (
+            pipeline.sessionize(stream)
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    _mk("f0.parquet", [
+        (t0, 1, 1.0),
+        (t0 + dt.timedelta(minutes=5), 1, 2.0),
+        (t0 + dt.timedelta(minutes=10), 1, 4.0),
+    ])
+    assert _drain("sess_r1") == []  # session still open: nothing emitted
+    _mk("f1.parquet", [(t0 + dt.timedelta(hours=2), 1, 8.0)])
+    rows = _drain("sess_r2")
+    assert len(rows) == 1, rows
+    (r,) = rows
+    assert r.user_id == 1
+    assert r.n_events == 3  # the pre-restart events — state was recovered
+    assert r.total_value == pytest.approx(7.0)
+    assert r.session_start == t0
+    assert r.session_end == t0 + dt.timedelta(minutes=10)
+
+
+def test_transform_with_state_survives_restart(spark, tmp_path):
+    # Same restart proof for the transformWithStateInPandas surface: totals
+    # accumulated before the restart must seed the post-restart update.
+    # Needs google.protobuf (state-server protocol) — skip where absent.
+    pytest.importorskip("google.protobuf")
+    import datetime as dt
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def _mk(name, rows):
+        spark.createDataFrame(
+            rows, "ts timestamp_ntz, user_id long, value double"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def _drain(qname):
+        got: list = []
+        stream = (
+            spark.readStream.schema("ts timestamp_ntz, user_id long, value double")
+            .parquet(str(src) + "/*/")
+        )
+        q = (
+            pipeline.user_running_totals(stream)
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    _mk("f0.parquet", [(t0, 7, 1.0), (t0 + dt.timedelta(minutes=1), 7, 2.0)])
+    first = {r.user_id: (r.n_events, r.total_value) for r in _drain("tws_r1")}
+    assert first == {7: (2, 3.0)}
+    _mk("f1.parquet", [(t0 + dt.timedelta(minutes=2), 7, 4.0)])
+    rows = _drain("tws_r2")
+    assert {r.user_id: (r.n_events, r.total_value) for r in rows} == {7: (3, 7.0)}
+
+
+def test_rollup_first_batch_detection_rejects_other_errors(spark, tmp_path):
+    # The foreachBatch merge may treat ONLY missing-path / empty-dir as
+    # "first batch". A corrupt sink raising any other error class must
+    # propagate, not silently overwrite surviving windows.
+    import datetime as dt
+
+    sink = tmp_path / "rollup"
+    sink.mkdir()
+    (sink / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1, 12, 0, 0), "click", 1.0)],
+        "ts timestamp_ntz, event_type string, value double",
+    ).coalesce(1).write.parquet(str(src / "f0.parquet"))
+    stream = (
+        spark.readStream.schema("ts timestamp_ntz, event_type string, value double")
+        .parquet(str(src) + "/*/")
+        .withColumn("user_id", F.lit(1).cast("long"))
+        .withColumn("event_id", F.lit(1).cast("long"))
+        .withColumn("props", F.lit("{}"))
+    )
+    q = pipeline.rollup_to_parquet(
+        pipeline.windowed_event_counts(stream), str(sink), str(tmp_path / "ck")
+    )
+    with pytest.raises(Exception) as excinfo:
+        q.awaitTermination()
+    assert "CANNOT_READ_FILE_FOOTER" in str(
+        excinfo.value
+    ) or "Could not read footer" in str(excinfo.value)
+    # the corrupt sink was NOT clobbered by a first-batch overwrite
+    assert (sink / "part-00000.parquet").read_bytes().startswith(b"this is not")
+
+
 def test_transform_with_state_running_totals(spark, sf_dir):
     # Spark 4 transformWithStateInPandas surface: after an availableNow
     # drain, the LAST emitted update per user must equal the batch rollup.

@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_loki_spark.catalog import load_table
+from datafusion_loki_spark.operators.text import _NORM_DUCK, _NORM_SPARK
 
 # hex thresholds: '1999' ≈ 10% of 65536; '0ccc' ≈ 5%; '3333' ≈ 20%
 _RATE_10 = "1999"
@@ -107,14 +108,146 @@ WHERE rn <= 5
 """
 
 
+def sample_docs_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced (T=2) language rebalancing: per-language keep
+    rate sqrt(n_min / n_lang) — the scarcest language keeps everything,
+    dominant languages are downsampled toward the sqrt-flattened mixture
+    (the standard multilingual data-mixing rule; T=2 keeps every float op
+    an IEEE-exact sqrt/divide, portable across engines bit-for-bit).
+
+    The keep decision is the same deterministic md5 bucket as the other
+    samplers, compared against a %04x-rendered threshold — reproducible
+    under any partitioning. rate = 1.0 short-circuits the comparison so
+    the scarcest language is kept EXACTLY fully (no 'ffff' edge loss).
+
+    100 TB posture: the per-language histogram is a tiny broadcast (two
+    map-side-partial aggs over the scan); the decision itself is a pure
+    filter — the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    n_min = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_lang",
+        F.expr("sqrt(cast(n_min as double) / cast(n_lang as double))").alias(
+            "keep_rate"
+        ),
+    )
+    bucket = "substring(md5(cast(doc_id as string)), 1, 4)"
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(
+            F.expr(
+                f"keep_rate >= 1.0d OR {bucket} < "
+                "format_string('%04x', cast(floor(keep_rate * 65536) as int))"
+            )
+        )
+        .select(
+            "doc_id", "lang", "keep_rate", F.expr(bucket).alias("sample_bucket")
+        )
+    )
+
+
+ORACLE_SAMPLE_TEMPERATURE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+), r AS (
+  SELECT lang, n_lang,
+         sqrt(CAST((SELECT MIN(n_lang) FROM counts) AS DOUBLE)
+              / CAST(n_lang AS DOUBLE)) AS keep_rate
+  FROM counts
+)
+SELECT d.doc_id, d.lang, r.keep_rate,
+       substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS sample_bucket
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE r.keep_rate >= 1.0
+   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', CAST(floor(r.keep_rate * 65536) AS INT))
+"""
+
+
+MIX_TOKEN_BUDGET = 20_000  # global token budget B for the mixture
+
+
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing budget allocation: split a global token budget across
+    languages proportional to sqrt(available tokens) (temperature T=2
+    upweighting of scarce languages), capped at what each language
+    actually has — the planning table a training-mixture builder emits
+    before the sampling pass.
+
+    Cross-engine exactness: the per-language sqrt is one IEEE op; the
+    mixture DENOMINATOR (sum of sqrts) is float summation, whose fold
+    order differs between engines — so each sqrt is cast to
+    DECIMAL(38,15) first (via the double's shortest decimal repr on both
+    sides, same trick as emb_centroid_by_label) and summed exactly, then
+    the single decimal→double cast feeds ordinary portable double math.
+
+    100 TB posture: one map-side-partial agg over the pruned scan, then
+    arithmetic over a #languages-row frame — scan-bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_toks")
+    )
+    per_lang = toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("avail_tokens"),
+    )
+    w = per_lang.withColumn(
+        "weight", F.expr("sqrt(cast(avail_tokens as double))")
+    )
+    total_w = w.agg(
+        F.sum(F.col("weight").cast("decimal(38,15)")).alias("w_sum_dec")
+    )
+    return (
+        w.crossJoin(F.broadcast(total_w))
+        .select(
+            "lang",
+            "n_docs",
+            "avail_tokens",
+            "weight",
+            F.expr(
+                f"least(avail_tokens, cast(floor({MIX_TOKEN_BUDGET}.0d * weight"
+                " / cast(w_sum_dec as double)) as bigint))"
+            ).alias("quota_tokens"),
+        )
+    )
+
+
+ORACLE_MIX_TOKEN_BUDGET = f"""
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(len(string_split({_NORM_DUCK}, ' '))) AS avail_tokens
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_docs, avail_tokens,
+         sqrt(CAST(avail_tokens AS DOUBLE)) AS weight
+  FROM per_lang
+), tw AS (
+  SELECT SUM(CAST(CAST(weight AS VARCHAR) AS DECIMAL(38,15))) AS w_sum_dec
+  FROM w
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(avail_tokens AS BIGINT) AS avail_tokens, weight,
+       least(CAST(avail_tokens AS BIGINT),
+             CAST(floor({MIX_TOKEN_BUDGET}.0 * weight
+                        / CAST(w_sum_dec AS DOUBLE)) AS BIGINT)) AS quota_tokens
+FROM w CROSS JOIN tw
+"""
+
+
 QUERIES = {
     "sample_events_uniform": sample_events_uniform,
     "sample_docs_stratified": sample_docs_stratified,
     "sample_docs_per_source_topn": sample_docs_per_source_topn,
+    "sample_docs_temperature": sample_docs_temperature,
+    "mix_token_budget": mix_token_budget,
 }
 
 ORACLES = {
     "sample_events_uniform": ORACLE_SAMPLE_UNIFORM,
     "sample_docs_stratified": ORACLE_SAMPLE_STRATIFIED,
     "sample_docs_per_source_topn": ORACLE_SAMPLE_TOPN,
+    "sample_docs_temperature": ORACLE_SAMPLE_TEMPERATURE,
+    "mix_token_budget": ORACLE_MIX_TOKEN_BUDGET,
 }

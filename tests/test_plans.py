@@ -151,7 +151,12 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["sample_events_uniform", "sample_docs_stratified", "text_lang_id_ngram"],
+    [
+        "sample_events_uniform",
+        "sample_docs_stratified",
+        "text_lang_id_ngram",
+        "text_repetition",
+    ],
 )
 def test_scan_speed_ops_have_no_shuffle(spark, sf_dir, name):
     # Deterministic sampling and trigram lang-id are pure filter/project
@@ -328,6 +333,24 @@ def test_simhash_hamming_no_distinct_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_simhash_hamming")
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_temperature_sampling_corpus_never_shuffles(spark, sf_dir):
+    # The per-language rate table must reach the corpus via broadcast; the
+    # only hash exchanges belong to the tiny lang histogram — the corpus
+    # itself stays a filter-at-scan-speed pipeline.
+    plan = _plan(spark, sf_dir, "sample_docs_temperature")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mix_token_budget_single_agg_shuffle(spark, sf_dir):
+    # One per-language aggregation exchange + the single-partition total;
+    # the budget arithmetic runs over a #languages-row frame.
+    plan = _plan(spark, sf_dir, "mix_token_budget")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
 def test_spread_conf_gate_bypasses_rdd_probe(spark, sf_dir):

@@ -377,7 +377,12 @@ def _symmetric_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cc_labels(sym: DataFrame) -> DataFrame:
     """Min-label-propagation fixpoint over a materialized symmetric edge
-    list; returns (doc_id, cluster_id)."""
+    list; returns (doc_id, cluster_id).
+
+    Each round is ONE distributed join+agg+join; the old label rides along
+    into the per-round checkpoint so the convergence check is a bare scan
+    of the just-materialized frame — not an extra shuffle join against the
+    previous labels (which would add a fourth exchange per round)."""
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     while True:
@@ -387,23 +392,19 @@ def _cc_labels(sym: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
+        step = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("old_label"),
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            .localCheckpoint(eager=True)  # truncate lineage per round
         )
-        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
-        )
-        labels = updated
+        changed = step.where(F.col("cluster_id") != F.col("old_label")).count()
+        labels = step.select("doc_id", "cluster_id")
         if changed == 0:
             break
     return labels

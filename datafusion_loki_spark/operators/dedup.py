@@ -870,23 +870,43 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no post-join dedup is needed — the plan is probe-explode + one
     equi-join shuffle on the fingerprint key, no distinct.
 
-    100 TB posture: one shuffle of the 17×-exploded probe side + one of
-    the corpus side, both on a bounded-cardinality uniform key (2^16
-    buckets); pair fan-out per bucket is bounded by bucket occupancy like
-    any LSH band join — never an all-pairs product."""
-    fp = simhash_docs(spark, sf_dir, bits=SIMHASH_BITS)
+    100 TB posture: the fingerprint frame (doc_id + 16-char string — tiny
+    relative to the corpus) is MATERIALIZED once via localCheckpoint, so
+    the 16-bit-vote simhash DAG runs once even though both join sides
+    consume it (Catalyst has no common-subtree reuse across different
+    shuffle keys). Then: one shuffle of the 17×-exploded probe side + one
+    of the corpus side, both on a bounded-cardinality uniform key (2^16
+    buckets). Both sides are capped to the LSH_BUCKET_CAP smallest doc_ids
+    per key (same degenerate-bucket guard as dedup_minhash_lsh: an
+    all-identical-fingerprint corpus slice would otherwise join k probes ×
+    k candidates inside one task); WindowGroupLimit applies each cap
+    partially BEFORE its exchange, and the caps' exchanges are the join's
+    own partitioning — no extra shuffle."""
+    from pyspark.sql import Window
+
+    fp = simhash_docs(spark, sf_dir, bits=SIMHASH_BITS).localCheckpoint(eager=True)
     flips = (
         f"array(simhash) || transform(sequence(1, {SIMHASH_BITS}), b -> "
         "concat(substring(simhash, 1, b - 1), "
         "if(substring(simhash, b, 1) = '1', '0', '1'), "
         f"substring(simhash, b + 1, {SIMHASH_BITS} - b)))"
     )
-    probes = fp.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sim_a"),
-        F.explode(F.expr(flips)).alias("probe"),
+    w_probe = Window.partitionBy("probe").orderBy("doc_a")
+    probes = (
+        fp.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("sim_a"),
+            F.explode(F.expr(flips)).alias("probe"),
+        )
+        .withColumn("rn_a", F.row_number().over(w_probe))
+        .where(F.col("rn_a") <= LSH_BUCKET_CAP)
     )
-    cand = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    w_cand = Window.partitionBy("sim_b").orderBy("doc_b")
+    cand = (
+        fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+        .withColumn("rn_b", F.row_number().over(w_cand))
+        .where(F.col("rn_b") <= LSH_BUCKET_CAP)
+    )
     ham = (
         f"size(filter(sequence(1, {SIMHASH_BITS}), "
         "i -> substring(sim_a, i, 1) != substring(sim_b, i, 1)))"
@@ -909,7 +929,7 @@ def _oracle_simhash_hamming() -> str:
     )
     ham = (
         f"len(list_filter(generate_series(1, {SIMHASH_BITS}), "
-        "i -> substring(p.sim_a, i, 1) != substring(b.simhash, i, 1)))"
+        "i -> substring(p.sim_a, i, 1) != substring(b.sim_b, i, 1)))"
     )
     return f"""
 WITH toks AS (
@@ -919,10 +939,17 @@ WITH toks AS (
 ), fp AS (
   SELECT doc_id, {_simhash_duck()} AS simhash FROM h
 ), p AS (
-  SELECT doc_id AS doc_a, simhash AS sim_a, unnest({flips}) AS probe FROM fp
+  SELECT doc_a, sim_a, probe FROM (
+    SELECT doc_id AS doc_a, simhash AS sim_a, unnest({flips}) AS probe FROM fp
+  ) x QUALIFY ROW_NUMBER() OVER (PARTITION BY probe ORDER BY doc_a)
+        <= {LSH_BUCKET_CAP}
+), b AS (
+  SELECT doc_id AS doc_b, simhash AS sim_b FROM fp
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY simhash ORDER BY doc_id)
+        <= {LSH_BUCKET_CAP}
 )
-SELECT p.doc_a, b.doc_id AS doc_b, {ham} AS hamming
-FROM p JOIN fp b ON p.probe = b.simhash AND p.doc_a < b.doc_id
+SELECT p.doc_a, b.doc_b, {ham} AS hamming
+FROM p JOIN b ON p.probe = b.sim_b AND p.doc_a < b.doc_b
 """
 
 

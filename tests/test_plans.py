@@ -329,10 +329,37 @@ def test_cosine_norm_single_eval_per_side(spark, sf_dir):
 def test_simhash_hamming_no_distinct_no_cartesian(spark, sf_dir):
     # The probe join emits each pair exactly once by construction — the
     # plan must stay probe-explode + ONE equi-join, with no post-join
-    # dedup aggregation and no cartesian fallback.
+    # dedup aggregation and no cartesian fallback; the two cap windows
+    # must reuse the join's exchanges (≤2 hash exchanges total).
     plan = _plan(spark, sf_dir, "dedup_simhash_hamming")
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"{n} hash exchanges\n{plan}"
+
+
+def test_simhash_hamming_cap_bounds_pair_generation(spark, sf_dir, monkeypatch):
+    # Degenerate-bucket guard (same contract as the LSH cap): with cap=1
+    # each fingerprint keeps ONE exact-side participant, so hamming-0
+    # pairs (two docs sharing a fingerprint) cannot be emitted; the
+    # default cap yields them on this data.
+    import pyspark.sql.functions as F
+
+    from datafusion_loki_spark.operators import dedup
+
+    assert (
+        dedup.dedup_simhash_hamming(spark, sf_dir)
+        .where(F.col("hamming") == 0)
+        .count()
+        > 0
+    )
+    monkeypatch.setattr(dedup, "LSH_BUCKET_CAP", 1)
+    assert (
+        dedup.dedup_simhash_hamming(spark, sf_dir)
+        .where(F.col("hamming") == 0)
+        .count()
+        == 0
+    )
 
 
 def test_temperature_sampling_corpus_never_shuffles(spark, sf_dir):

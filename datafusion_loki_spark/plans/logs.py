@@ -593,6 +593,102 @@ FROM p LEFT JOIN LATERAL (
 """
 
 
+def log_asof_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-proof two-phase variant of log_asof_join (mitigation (1)
+    from its docstring, implemented): identical output, but no single task
+    ever holds a whole user's timeline.
+
+    Phase 1 — within-slice: the same (ts, event_id) window as the plain
+    as-of, but partitioned by (user_id, day-slice), so a pathological user
+    is spread across #days tasks. Phase 2 — carry: per (user, slice) the
+    last click of all PRIOR slices, computed from per-slice one-row
+    summaries (max (ts,event_id) struct per slice) through a second window
+    over the tiny summary frame; a purchase with no in-slice prior click
+    takes the carried pair. Same-timestamp ties always fall in the same
+    slice (slice is a function of ts), so the tie rule lives entirely in
+    phase 1 and the composition is EXACTLY the single-window semantics —
+    shared oracle (ORACLE_ASOF) proves it.
+
+    100 TB posture: the fact table shuffles ONCE on (user_id, slice); the
+    carry chain shuffles only (users × active slices) summary rows and
+    broadcasts back. Worst-case task = one user-day, not one user-history.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sliced = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("slice"),
+    )
+    is_click = F.col("event_type") == "click"
+    w1 = (
+        Window.partitionBy("user_id", "slice")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = sliced.select(
+        "user_id",
+        "slice",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w1)
+        .alias("w_click_ts"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w1)
+        .alias("w_click_id"),
+    )
+    # per-slice last click (struct max orders by (ts, event_id) — the same
+    # deterministic rule as the window sort)
+    summaries = (
+        sliced.where(is_click)
+        .groupBy("user_id", "slice")
+        .agg(F.max(F.struct("ts", "event_id")).alias("lc"))
+    )
+    spine = sliced.select("user_id", "slice").distinct()
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = spine.join(summaries, ["user_id", "slice"], "left").select(
+        "user_id",
+        "slice",
+        F.last(F.col("lc"), ignorenulls=True).over(w2).alias("carry"),
+    )
+    best = F.when(
+        F.col("w_click_id").isNotNull(),
+        F.struct(
+            F.col("w_click_ts").alias("ts"), F.col("w_click_id").alias("event_id")
+        ),
+    ).otherwise(F.col("carry"))
+    return (
+        within.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(carried), ["user_id", "slice"], "left")
+        .withColumn("best", best)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("best.ts").alias("click_ts"),
+            F.col("best.event_id").alias("click_id"),
+            (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("best.ts").cast("timestamp"))
+                )
+                / F.lit(1000000.0)
+            ).alias("gap_sec"),
+        )
+    )
+
+
 def log_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch range/interval join: every (click, purchase) pair of the same
     user with the purchase inside [click_ts, click_ts + 1 hour] — the batch
@@ -670,11 +766,14 @@ QUERIES = {
     "log_rolling_range": log_rolling_range,
     "log_gap_fill": log_gap_fill,
     "log_asof_join": log_asof_join,
+    "log_asof_join_chunked": log_asof_join_chunked,
     "log_interval_join_batch": log_interval_join_batch,
 }
 
 ORACLES = {
     "log_asof_join": ORACLE_ASOF,
+    # the chunked variant must produce IDENTICAL results — shared oracle
+    "log_asof_join_chunked": ORACLE_ASOF,
     "log_interval_join_batch": ORACLE_INTERVAL_JOIN,
     "log_full_scan": "SELECT * FROM events",
     "log_sessionize_batch": ORACLE_SESSIONIZE,

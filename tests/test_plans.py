@@ -299,6 +299,33 @@ def test_asof_join_single_user_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_asof_chunked_matches_plain(spark, sf_dir):
+    # The two-phase skew-proof variant must be EXACTLY the single-window
+    # semantics, row for row (they also share one oracle).
+    from datafusion_loki_spark.plans.logs import log_asof_join, log_asof_join_chunked
+
+    key = lambda rows: sorted(
+        (r.purchase_id, r.user_id, r.purchase_ts, r.click_ts, r.click_id, r.gap_sec)
+        for r in rows
+    )
+    assert key(log_asof_join_chunked(spark, sf_dir).collect()) == key(
+        log_asof_join(spark, sf_dir).collect()
+    )
+
+
+def test_asof_chunked_partitions_by_slice(spark, sf_dir):
+    # The fact-table window must partition on (user_id, slice) — the whole
+    # point: a hot user's timeline is spread across day tasks. The carry
+    # chain joins back via broadcast, never a fact-side shuffle.
+    plan = _plan(spark, sf_dir, "log_asof_join_chunked")
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    import re
+
+    assert re.search(r"hashpartitioning\(user_id#\d+L, slice", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_cc_edge_list_is_materialized(spark, sf_dir):
     # The CC fixpoint loop (and dedup_keep_list's composition) must run
     # over a MATERIALIZED edge list: _symmetric_edges localCheckpoints, so

@@ -287,6 +287,30 @@ def click_to_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_admission_stream(
+    stream_docs: DataFrame, corpus_fingerprints: DataFrame
+) -> DataFrame:
+    """Streaming corpus admission: drop every incoming document whose
+    content fingerprint already exists in the (static) corpus — the
+    streaming face of operators/dedup.dedup_incremental, as a
+    stream-static LEFT ANTI join.
+
+    `stream_docs` must carry a `text` column; `corpus_fingerprints` is a
+    static frame with a single `fingerprint` md5 column (at scale: the
+    corpus fingerprint table, bucketed by fingerprint).
+
+    100 TB posture: stateless — no state store at all (unlike
+    stream-stream joins); the static side is re-read per micro-batch, so
+    corpus growth between batches is picked up without restarting. The
+    anti join is broadcast when the fingerprint set fits, hash-join
+    against the bucketed table otherwise; the stream side never shuffles
+    in the broadcast case."""
+    from datafusion_loki_spark.operators.text import _NORM_SPARK
+
+    fp = stream_docs.withColumn("fingerprint", F.expr(f"md5({_NORM_SPARK})"))
+    return fp.join(corpus_fingerprints, "fingerprint", "left_anti")
+
+
 def enriched_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joined to the
     static customer/nation dimensions — the standard 'decorate the stream

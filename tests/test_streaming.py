@@ -263,6 +263,38 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     assert got == expected
 
 
+def test_incremental_admission_stream_matches_batch(spark, sf_dir, tmp_path):
+    # The stream-static anti join must admit exactly the docs the batch
+    # operator admits: stream the new-batch docs (doc_id % 10 >= 8)
+    # against the corpus fingerprint set (doc_id % 10 < 8).
+    import pyspark.sql.functions as F
+
+    from datafusion_loki_spark.catalog import load_table
+    from datafusion_loki_spark.operators.text import _NORM_SPARK
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "newdocs")
+    docs.where(F.col("doc_id") % 10 >= 8).coalesce(1).write.parquet(src)
+    corpus = (
+        docs.where(F.col("doc_id") % 10 < 8)
+        .select(F.expr(f"md5({_NORM_SPARK})").alias("fingerprint"))
+        .distinct()
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    admitted = pipeline.incremental_admission_stream(stream, corpus)
+    assert admitted.isStreaming
+    pipeline.run_to_memory(admitted, "admitted_docs", spark)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM admitted_docs").collect()}
+    new = docs.where(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.expr(f"md5({_NORM_SPARK})").alias("fingerprint")
+    )
+    expected = {
+        r.doc_id for r in new.join(corpus, "fingerprint", "left_anti").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_rollup_to_parquet_incremental_mv(spark, sf_dir, tmp_path):
     # The foreachBatch materialized view must equal the batch rollup after
     # an availableNow drain, survive a second (replay) drain without

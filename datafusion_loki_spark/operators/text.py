@@ -406,6 +406,62 @@ FROM g
 """
 
 
+def text_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-commonness profile against the CORPUS-GLOBAL
+    token frequency table: mean and minimum corpus frequency of the doc's
+    tokens and its hapax share (tokens occurring exactly once corpus-wide)
+    — the frequency-based quality signal family (a rare-token-heavy doc is
+    OCR noise or gibberish; an all-common-token doc is boilerplate).
+    Deliberately avoids log-perplexity so every statistic is integer
+    arithmetic + one division — bit-portable to the DuckDB oracle.
+
+    100 TB posture: the frequency table is vocabulary-sized (≪ corpus).
+    One explode→groupBy(token) with map-side partials builds it; the
+    token join is a shuffle on the high-cardinality uniform token key
+    (broadcast when the vocabulary fits); the final groupBy(doc_id) is
+    the only other fact-scale shuffle. The exploded token frame feeds
+    both the frequency build and the join (Catalyst has no common-subtree
+    reuse, so the tokenizer runs twice); corpus-scale materialization is
+    the wrong trade locally, and at scale the tokenized view would be a
+    persisted table feeding both consumers."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token")
+    )
+    freq = ex.groupBy("token").agg(F.count("*").alias("freq"))
+    return (
+        ex.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("freq") / F.count("*")).alias("mean_token_freq"),
+            F.min("freq").alias("min_token_freq"),
+            (
+                F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+                / F.count("*")
+            ).alias("hapax_ratio"),
+        )
+    )
+
+
+ORACLE_TOKEN_COMMONNESS = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS freq FROM ex GROUP BY token
+)
+SELECT ex.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_token_freq,
+       CAST(MIN(freq) AS BIGINT) AS min_token_freq,
+       CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS hapax_ratio
+FROM ex JOIN freq ON ex.token = freq.token
+GROUP BY ex.doc_id
+"""
+
+
 def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width document chunking through a Python UDTF (lateral table
     function) — the remaining UDF-family surface next to the pandas
@@ -461,6 +517,7 @@ QUERIES = {
     "text_token_freq": text_token_freq,
     "text_token_count_bpe": text_token_count_bpe,
     "text_repetition": text_repetition,
+    "text_token_commonness": text_token_commonness,
 }
 
 ORACLES = {
@@ -473,4 +530,5 @@ ORACLES = {
     "text_token_freq": ORACLE_TOKEN_FREQ,
     "text_token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
     "text_repetition": _oracle_repetition(),
+    "text_token_commonness": ORACLE_TOKEN_COMMONNESS,
 }

@@ -46,6 +46,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # signal in the registry — while every windowed entry below carries a full
 # value-hash check. The r03-green operator rows are covered this round by
 # the local all-query DuckDB parity suite (tests/test_parity.py).
+# Round-5 rotation leads: the operators added DURING round 4 land after
+# this window (driver-unchecked, local-parity green) — text_repetition,
+# sample_docs_temperature, mix_token_budget, log_asof_join_chunked,
+# text_token_commonness — plus whatever r05 adds; backfill r03's 50 behind
+# them.
 _WINDOW_PRIORITY = (
     # never driver-checked before round 4 (5 + the new hamming probe)
     "dedup_incremental",

@@ -498,13 +498,39 @@ LEFT JOIN cc ON fp.doc_id = cc.doc_id
 
 # --- n-gram Jaccard verify -----------------------------------------------------
 
+def _candidate_pairs_and_ids(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, ids): the materialized LSH candidate pairs and the distinct
+    doc ids they touch. Checkpointing the (tiny, cap-bounded) pair list
+    means the MinHash DAG runs exactly once even though the verify ops
+    consume it twice (once for the pairs, once for the id set)."""
+    cand = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return cand, ids
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over LSH candidate pairs (the verify step of
-    the candidates→verify near-dedup pipeline). Joining back to the shingle
-    sets touches only candidate rows — never the full cross product."""
+    the candidates→verify near-dedup pipeline).
+
+    100 TB posture: the corpus is tokenized ONCE — a broadcast semi-join
+    against the candidate id set prunes the shingle frame down to
+    candidate docs (near-dup candidates ≪ corpus) and the pruned frame is
+    materialized, so the two pair-side joins and the Jaccard kernel run
+    over candidate-sized input. The earlier shape joined the corpus-scale
+    shingle frame once per side — two full tokenizer passes."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_docs(docs)
-    cand = dedup_minhash_lsh(spark, sf_dir)
+    cand, ids = _candidate_pairs_and_ids(spark, sf_dir)
+    sh = (
+        shingle_docs(docs)
+        .join(F.broadcast(ids), "doc_id", "semi")
+        .localCheckpoint(eager=True)  # candidate-sized
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -547,35 +573,34 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle string — one shuffle each side on a high-cardinality
     uniform key, no pairwise document join anywhere. The benchmark side is
     distinct-ed first so a shingle repeated across benchmark docs doesn't
-    multiply matches."""
+    multiply matches. The train side is exploded ONCE and LEFT-joined to
+    a marker column, so per-doc totals and hit counts come from the same
+    groupBy — the earlier semi-join + re-join shape paid a second full
+    tokenizer pass for the totals."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_docs(_spread(docs, "doc_id"))
-    train = sh.where(F.col("doc_id") % 97 != 0)
     bench_shingles = (
         sh.where(F.col("doc_id") % 97 == 0)
         .select(F.explode_outer("shingles").alias("shingle"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    exploded = train.select(
-        "doc_id",
-        F.size("shingles").alias("n_shingles"),
-        F.explode_outer("shingles").alias("shingle"),
-    )
-    hits = (
-        exploded.join(bench_shingles, "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
+    exploded = sh.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
     )
     return (
-        train.select("doc_id", F.size("shingles").alias("n_shingles"))
-        .join(hits, "doc_id", "left")
+        exploded.join(bench_shingles, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            "n_contaminated",
             (
-                F.coalesce("n_contaminated", F.lit(0))
-                / F.col("n_shingles").cast("double")
+                F.col("n_contaminated") / F.col("n_shingles").cast("double")
             ).alias("contamination_ratio"),
         )
     )
@@ -612,11 +637,16 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-level alternative to shingle Jaccard (catches small in-place
     edits that shift every shingle). Same scale shape as
     dedup_ngram_jaccard: the O(len²) edit-distance kernel runs ONLY on
-    candidate pairs, never the cross product; normalized texts join in by
-    doc_id (two broadcast-or-shuffle hash joins on a unique key)."""
+    candidate pairs, never the cross product; the normalized-text frame is
+    pruned to candidate docs (broadcast semi-join) and materialized before
+    the two pair-side joins — one corpus pass, candidate-sized joins."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = docs.select("doc_id", F.expr(_NORM_SPARK).alias("norm_text"))
-    cand = dedup_minhash_lsh(spark, sf_dir)
+    cand, ids = _candidate_pairs_and_ids(spark, sf_dir)
+    norm = (
+        docs.select("doc_id", F.expr(_NORM_SPARK).alias("norm_text"))
+        .join(F.broadcast(ids), "doc_id", "semi")
+        .localCheckpoint(eager=True)  # candidate-sized
+    )
     a = norm.select(F.col("doc_id").alias("doc_a"), F.col("norm_text").alias("t_a"))
     b = norm.select(F.col("doc_id").alias("doc_b"), F.col("norm_text").alias("t_b"))
     return (

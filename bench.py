@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     # and the keep-list composition that embeds it
     "dedup_cc_groups",
     "dedup_keep_list",
+    # appended round 4 (late): the scan-speed repetition signals and the
+    # corpus-frequency join — the two new text-quality plan shapes
+    "text_repetition",
+    "text_token_commonness",
 ]
 
 

@@ -166,6 +166,38 @@ WHERE r.keep_rate >= 1.0
 """
 
 
+def sample_docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~90/5/5): the split every
+    training pipeline needs, derived from the content-independent doc_id
+    hash so it is stable across reprocessing runs, engines, and partition
+    layouts — re-ingesting a doc can never move it between splits.
+
+    Pure projection (no shuffle, no RNG); the hex thresholds mirror the
+    samplers above ('e666' ≈ 90%, 'f333' ≈ 95% of 16^4 buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = "substring(md5(cast(doc_id as string)), 1, 4)"
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            f"CASE WHEN {bucket} < 'e666' THEN 'train' "
+            f"WHEN {bucket} < 'f333' THEN 'val' ELSE 'test' END"
+        ).alias("split"),
+    )
+
+
+ORACLE_SAMPLE_HASH_SPLIT = """
+SELECT doc_id, lang, source,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+              THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 MIX_TOKEN_BUDGET = 20_000  # global token budget B for the mixture
 
 
@@ -241,6 +273,7 @@ QUERIES = {
     "sample_docs_stratified": sample_docs_stratified,
     "sample_docs_per_source_topn": sample_docs_per_source_topn,
     "sample_docs_temperature": sample_docs_temperature,
+    "sample_docs_hash_split": sample_docs_hash_split,
     "mix_token_budget": mix_token_budget,
 }
 
@@ -249,5 +282,6 @@ ORACLES = {
     "sample_docs_stratified": ORACLE_SAMPLE_STRATIFIED,
     "sample_docs_per_source_topn": ORACLE_SAMPLE_TOPN,
     "sample_docs_temperature": ORACLE_SAMPLE_TEMPERATURE,
+    "sample_docs_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
     "mix_token_budget": ORACLE_MIX_TOKEN_BUDGET,
 }

@@ -501,6 +501,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+def log_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day, then
+    for each (cohort_day, day_offset) the count of distinct cohort members
+    active that many days later — the classic product-analytics rollup a
+    log-store user runs (LogQL cannot express it; the host engine must).
+
+    Shape: one groupBy(user_id) for first-day (map-side partial MIN), the
+    cohort map broadcast back onto the event scan, one final agg on the
+    tiny (cohort_day, offset) key. The distinct-user count shuffles
+    (cohort, offset, user) tuples — bounded by active (user × day) pairs,
+    not raw events, thanks to partial-distinct map-side dedup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(first_day), "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("date").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH ev AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events
+), first_day AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS DATE) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, e.day) AS INT) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active_users
+FROM ev e JOIN first_day f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def log_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent strictly
     prior click — the attribution / feature-lookup primitive (an operator
@@ -768,12 +807,14 @@ QUERIES = {
     "log_asof_join": log_asof_join,
     "log_asof_join_chunked": log_asof_join_chunked,
     "log_interval_join_batch": log_interval_join_batch,
+    "log_retention_cohorts": log_retention_cohorts,
 }
 
 ORACLES = {
     "log_asof_join": ORACLE_ASOF,
     # the chunked variant must produce IDENTICAL results — shared oracle
     "log_asof_join_chunked": ORACLE_ASOF,
+    "log_retention_cohorts": ORACLE_RETENTION,
     "log_interval_join_batch": ORACLE_INTERVAL_JOIN,
     "log_full_scan": "SELECT * FROM events",
     "log_sessionize_batch": ORACLE_SESSIONIZE,

@@ -154,6 +154,7 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     [
         "sample_events_uniform",
         "sample_docs_stratified",
+        "sample_docs_hash_split",
         "text_lang_id_ngram",
         "text_repetition",
     ],
@@ -397,6 +398,17 @@ def test_temperature_sampling_corpus_never_shuffles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_retention_cohorts_broadcasts_cohort_map(spark, sf_dir):
+    # The first-day cohort map must reach the event scan via broadcast;
+    # fact-scale exchanges are the user groupBy and the distinct-count agg
+    # chain only.
+    plan = _plan(spark, sf_dir, "log_retention_cohorts")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"{n} hash exchanges\n{plan}"
 
 
 def test_mix_token_budget_single_agg_shuffle(spark, sf_dir):

@@ -49,8 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-5 rotation leads: the operators added DURING round 4 land after
 # this window (driver-unchecked, local-parity green) — text_repetition,
 # sample_docs_temperature, mix_token_budget, log_asof_join_chunked,
-# text_token_commonness, sample_docs_hash_split, log_retention_cohorts —
-# plus whatever r05 adds; backfill r03's 50 behind them.
+# text_token_commonness, sample_docs_hash_split, log_retention_cohorts,
+# dedup_minhash_estimate — plus whatever r05 adds; backfill r03's 50
+# behind them.
 _WINDOW_PRIORITY = (
     # never driver-checked before round 4 (5 + the new hamming probe)
     "dedup_incremental",

@@ -562,6 +562,71 @@ JOIN sh b ON cand.doc_b = b.doc_id
 """
 
 
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard for LSH candidate pairs from minhash agreement
+    (matching signature positions / 8) — the middle stage of the standard
+    candidates → cheap estimate → exact verify pipeline: the estimator
+    costs a constant 8 string equalities per pair, so it prunes the pair
+    list before the shingle-set kernels (dedup_ngram_jaccard) touch it.
+
+    100 TB posture: same pruned-join shape as the verify stages — the
+    signature frame is semi-joined down to candidate docs (broadcast) and
+    materialized, so both pair-side joins are candidate-sized and the
+    MinHash DAG runs once (shared via _candidate_pairs_and_ids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand, ids = _candidate_pairs_and_ids(spark, sf_dir)
+    sig = (
+        minhash_signatures(docs)
+        .select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)])
+        .join(F.broadcast(ids), "doc_id", "semi")
+        .localCheckpoint(eager=True)  # candidate-sized
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    )
+    agree = " + ".join(f"if(a{j} = b{j}, 1, 0)" for j in range(N_MINHASH))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"cast({agree} as bigint)").alias("n_agree"),
+            F.expr(f"({agree}) / {N_MINHASH}.0d").alias("jaccard_est"),
+        )
+    )
+
+
+def _oracle_minhash_estimate() -> str:
+    mh_defs = ",\n       ".join(
+        f"{_minhash_duck(j)} AS mh{j}" for j in range(N_MINHASH)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(N_MINHASH)
+    )
+    return f"""
+WITH cand AS ({_oracle_minhash()}),
+sh AS (
+  SELECT doc_id, {_shingles_duck()} AS shingles FROM documents
+), mh AS (
+  SELECT doc_id,
+       {mh_defs}
+  FROM sh
+)
+SELECT doc_a, doc_b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       ({agree}) / {N_MINHASH}.0 AS jaccard_est
+FROM cand
+JOIN mh a ON cand.doc_a = a.doc_id
+JOIN mh b ON cand.doc_b = b.doc_id
+"""
+
+
 def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: for each training document, how many
     of its 3-gram shingles appear anywhere in the held-out set (here: the
@@ -1027,6 +1092,7 @@ QUERIES = {
     "dedup_cc_groups": dedup_cc_groups,
     "dedup_keep_list": dedup_keep_list,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_edit_distance": dedup_edit_distance,
     "dedup_contamination": dedup_contamination,
@@ -1050,6 +1116,7 @@ ORACLES = {
         norm=_NORM_DUCK,
     ),
     "dedup_minhash_lsh": _oracle_minhash(),
+    "dedup_minhash_estimate": _oracle_minhash_estimate(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "dedup_edit_distance": _oracle_edit_distance(),
     "dedup_contamination": _oracle_contamination(),

@@ -57,9 +57,9 @@ def test_correctness_window_is_pinned():
     # oracle-less sketch op (rows-only signal), or is a new round-4
     # operator that the local parity suite covers until the next rotation
     r03_green = 50  # r03's window, all driver-checked
-    new_r4_post_window = 7  # text_repetition, sample_docs_temperature,
+    new_r4_post_window = 8  # text_repetition, sample_docs_temperature,
     #                         mix_token_budget, log_asof_join_chunked,
     #                         text_token_commonness, sample_docs_hash_split,
-    #                         log_retention_cohorts
+    #                         log_retention_cohorts, dedup_minhash_estimate
     assert len(names) == 50 + r03_green + 1 + new_r4_post_window
     assert "log_approx_users" not in names[:50]

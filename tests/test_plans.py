@@ -90,6 +90,7 @@ def test_projection_prunes_scan_columns(spark, sf_dir):
         "q3_shipping_priority",
         "q5_local_supplier_volume",
         "dedup_minhash_lsh",
+        "dedup_minhash_estimate",
         "dedup_embedding_cosine",
         "sim_lsh_candidates",
         "sim_ivf_topk",

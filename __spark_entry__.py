@@ -31,81 +31,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness harness evaluates the FIRST 50 registry entries in
-# insertion order. The registry holds more queries than fit (101 as of round
-# 4 — count pinned by tests, not this comment), so coverage rotates by round:
-# r01-r02 checked logs + most of tpch (green in r01); r03 front-loaded the 34
-# LLM-pipeline operator queries + the 12 host-engine capability rows (49/50
-# fully green, sim_topk_pandas rows-only by design). Round 4 rotates to the
-# 50 entries r03 left unchecked, leading with the 5 operators that had never
-# had a driver row (local sf0.001 parity green only) plus the new
-# dedup_simhash_hamming, then the 9 remaining oracle-backed log shapes and
-# the full tpch long tail (35; q3/q12 were r03's sentinels and re-green
-# here). log_approx_users sits just outside the window on purpose: it has no
-# oracle (sketch op), so a driver row would be rows-only — the weakest
-# signal in the registry — while every windowed entry below carries a full
-# value-hash check. The r03-green operator rows are covered this round by
-# the local all-query DuckDB parity suite (tests/test_parity.py).
-# Round-5 rotation leads: the operators added DURING round 4 land after
-# this window (driver-unchecked, local-parity green) — text_repetition,
-# sample_docs_temperature, mix_token_budget, log_asof_join_chunked,
-# text_token_commonness, sample_docs_hash_split, log_retention_cohorts,
-# dedup_minhash_estimate — plus whatever r05 adds; backfill r03's 50
-# behind them.
+# The driver's correctness harness evaluates the FIRST 50 registry entries
+# in insertion order. The registry holds more queries than fit (the exact
+# arithmetic is pinned by tests/test_parity.py::test_correctness_window_is_
+# pinned — never trust a count literal here), so coverage rotates by round:
+# r01-r02 checked logs + most of tpch; r03 front-loaded the LLM-pipeline
+# operators + host-engine capability rows (49/50 hash-green); r04 rotated to
+# the remaining 50 (all green). Round 5 leads with the only entries that
+# have never had a driver row: the 8 operators added during round 4
+# (local-parity green only) and log_approx_users, which was deliberately
+# oracle-less until this round — it now folds the sketch-vs-exact error
+# bound into a deterministic within_bound bit, so its driver row carries a
+# full value-hash check instead of the weak rows-only signal. New round-5
+# operators follow, then the window backfills with the oldest-checked
+# (r03-green) entries as re-green sentinels; the r03 tail left outside the
+# window stays covered by the local all-query DuckDB parity suite
+# (tests/test_parity.py).
 _WINDOW_PRIORITY = (
-    # never driver-checked before round 4 (5 + the new hamming probe)
-    "dedup_incremental",
-    "dedup_cc_groups",
-    "dedup_keep_list",
-    "log_asof_join",
-    "log_interval_join_batch",
-    "dedup_simhash_hamming",
-    # remaining oracle-backed log shapes (9) — green in r01, re-green here
-    "log_top_user_per_type",
-    "log_rate_per_minute",
-    "log_events_by_nation",
-    "log_median_value_pandas",
-    "log_agg_by_label",
-    "log_time_bucket",
-    "log_funnel",
-    "log_rolling_range",
-    "log_gap_fill",
-    # tpch long tail (35) — green in r01, re-green here
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_bracket_filter",
-    "q20_excess_inventory_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q_window_top_orders",
-    "q_window_running_sum",
-    "q_subquery_above_avg",
-    "q_set_ops",
-    "q_set_ops_all",
-    "q_conditional_agg",
-    "q_having",
-    "q_anti_semi_join",
-    "q_rollup",
-    "q_cube",
-    "q_percentiles",
-    "q_window_lead_lag",
-    "q_pivot",
-    "q_grouping_sets",
-    "q_window_rank_stats",
+    # added during round 4 — never driver-checked (8)
+    "text_repetition",
+    "sample_docs_temperature",
+    "mix_token_budget",
+    "log_asof_join_chunked",
+    "text_token_commonness",
+    "sample_docs_hash_split",
+    "log_retention_cohorts",
+    "dedup_minhash_estimate",
+    # sketch op, first-ever oracle-backed driver row (1)
+    "log_approx_users",
+    # r03-green backfill, oldest-checked first (41)
+    "log_full_scan",
+    "log_projection",
+    "log_label_eq",
+    "log_label_ne",
+    "log_line_like",
+    "log_line_not_like",
+    "log_line_regex",
+    "log_time_range",
+    "log_limit",
+    "log_map_subscript",
+    "log_map_subscript_filter",
+    "log_conjunctive",
+    "log_sessionize_batch",
+    "log_json_unwrap",
+    "q12_priority_class",
+    "q3_shipping_priority",
+    "dedup_exact_docs",
+    "dedup_bow",
+    "dedup_events_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "dedup_contamination",
+    "dedup_embedding_cosine",
+    "dedup_chunks",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "emb_centroid_by_label",
+    "emb_vector_stats",
+    "emb_stats_arrow",
+    "sim_lsh_buckets",
+    "sim_lsh_candidates",
+    "sim_lsh_multiprobe",
+    "sim_ivf_topk",
+    "sim_topk_pandas",
+    "text_stats",
+    "text_chunk_udtf",
+    "text_quality_filter",
+    "text_lang_id",
+    "text_lang_id_ngram",
+    "text_fingerprint",
 )
 
 

@@ -418,20 +418,43 @@ FROM per_user
 
 
 def log_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch surface: HyperLogLog++ distinct-user counts per event type
-    next to the exact count. At 100 TB the exact countDistinct shuffles
-    every distinct (type, user) pair; the HLL sketch is constant-size per
-    group and merges associatively — this query is the side-by-side
-    accuracy audit you run before switching dashboards to sketches.
+    """Sketch surface: HyperLogLog++ distinct-user counts per event type,
+    audited against the exact count IN the query. At 100 TB the exact
+    countDistinct shuffles every distinct (type, user) pair; the HLL
+    sketch is constant-size per group and merges associatively — this is
+    the accuracy audit you run before switching dashboards to sketches.
 
-    Rows-only driver check (HLL estimates are engine-specific by design);
-    tests/test_plans.py::test_hll_within_error_bound pins the 2%-rsd
-    configuration to a ≤5% observed error locally."""
+    The raw estimate is engine-specific (Spark HLL++ vs DuckDB HLL give
+    different values), so emitting it would make the row permanently
+    oracle-less. Instead the query folds the sketch into a deterministic
+    pass/fail bit: ``within_bound`` = |approx − exact| / exact ≤ 3·rsd
+    (rsd = 0.02). The oracle asserts the exact counts AND ``TRUE`` — so a
+    driver hash-match certifies both the group counts and that Spark's
+    sketch landed inside its advertised error envelope (a 3-sigma bound;
+    tests/test_plans.py::test_hll_within_error_bound pins the observed
+    local error at ≤5%)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.06)
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_APPROX_USERS = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
 
 
 def log_top_user_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,6 +834,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "log_approx_users": ORACLE_APPROX_USERS,
     "log_asof_join": ORACLE_ASOF,
     # the chunked variant must produce IDENTICAL results — shared oracle
     "log_asof_join_chunked": ORACLE_ASOF,

@@ -44,22 +44,23 @@ def test_correctness_window_is_pinned():
     names = list(e.queries())
     assert len(e._WINDOW_PRIORITY) == 50
     assert names[:50] == list(e._WINDOW_PRIORITY)
-    # round-4 rotation: the never-driver-checked operators lead the window
-    assert names[:6] == [
-        "dedup_incremental",
-        "dedup_cc_groups",
-        "dedup_keep_list",
-        "log_asof_join",
-        "log_interval_join_batch",
-        "dedup_simhash_hamming",
+    # round-5 rotation: the never-driver-checked entries lead the window —
+    # the 8 round-4 operators plus log_approx_users (now oracle-backed via
+    # its within_bound fold, so its first driver row is a full hash check)
+    assert names[:9] == [
+        "text_repetition",
+        "sample_docs_temperature",
+        "mix_token_budget",
+        "log_asof_join_chunked",
+        "text_token_commonness",
+        "sample_docs_hash_split",
+        "log_retention_cohorts",
+        "dedup_minhash_estimate",
+        "log_approx_users",
     ]
-    # everything outside the window was either green in r03, is the
-    # oracle-less sketch op (rows-only signal), or is a new round-4
-    # operator that the local parity suite covers until the next rotation
-    r03_green = 50  # r03's window, all driver-checked
-    new_r4_post_window = 8  # text_repetition, sample_docs_temperature,
-    #                         mix_token_budget, log_asof_join_chunked,
-    #                         text_token_commonness, sample_docs_hash_split,
-    #                         log_retention_cohorts, dedup_minhash_estimate
-    assert len(names) == 50 + r03_green + 1 + new_r4_post_window
-    assert "log_approx_users" not in names[:50]
+    assert "log_approx_users" in e.oracle_sql()
+    # everything outside the window is r03- or r04-driver-green and stays
+    # covered by the local all-query parity suite until the next rotation
+    r04_green = 50  # r04's window, all driver-checked
+    r03_tail_post_window = 9  # r03-green entries displaced by the 9 leads
+    assert len(names) == 50 + r04_green + r03_tail_post_window

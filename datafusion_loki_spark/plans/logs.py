@@ -531,16 +531,22 @@ def log_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-store user runs (LogQL cannot express it; the host engine must).
 
     Shape: one groupBy(user_id) for first-day (map-side partial MIN), the
-    cohort map broadcast back onto the event scan, one final agg on the
-    tiny (cohort_day, offset) key. The distinct-user count shuffles
-    (cohort, offset, user) tuples — bounded by active (user × day) pairs,
-    not raw events, thanks to partial-distinct map-side dedup."""
+    cohort map joined back onto the event scan WITHOUT a broadcast hint —
+    user cardinality is unbounded for a log store, so forcing the build
+    side resident would OOM at scale; the cohort-map side of the shuffle
+    join reuses the groupBy exchange, and AQE still broadcasts it at
+    runtime whenever it genuinely fits (no-forced-hint shape pinned by
+    tests/test_plans.py::test_retention_cohorts_no_forced_broadcast).
+    Final agg lands on the tiny (cohort_day, offset) key; the
+    distinct-user count shuffles (cohort, offset, user) tuples — bounded
+    by active (user × day) pairs, not raw events, thanks to
+    partial-distinct map-side dedup."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
     )
     first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        ev.join(F.broadcast(first_day), "user_id")
+        ev.join(first_day, "user_id")
         .groupBy(
             F.col("cohort_day").cast("date").alias("cohort_day"),
             F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
@@ -673,7 +679,15 @@ def log_asof_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: the fact table shuffles ONCE on (user_id, slice); the
     carry chain shuffles only (users × active slices) summary rows and
-    broadcasts back. Worst-case task = one user-day, not one user-history.
+    joins back WITHOUT a broadcast hint — the carry frame is fact-derived
+    (distinct users × active days, unbounded), so forcing a broadcast
+    would OOM the driver in exactly the huge-corpus scenario this variant
+    exists for. The join key (user_id, slice) is the key the fact side was
+    just window-shuffled on, so the shuffle join is co-partitioned and
+    nearly free; AQE still converts it to a broadcast at runtime whenever
+    the carry frame genuinely fits (the no-forced-hint shape is pinned by
+    tests/test_plans.py::test_asof_chunked_partitions_by_slice). Worst-case
+    task = one user-day, not one user-history.
     """
     from pyspark.sql import Window
 
@@ -732,7 +746,7 @@ def log_asof_join_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("carry"))
     return (
         within.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(carried), ["user_id", "slice"], "left")
+        .join(carried, ["user_id", "slice"], "left")
         .withColumn("best", best)
         .select(
             F.col("event_id").alias("purchase_id"),

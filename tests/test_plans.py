@@ -319,14 +319,18 @@ def test_asof_chunked_matches_plain(spark, sf_dir):
 def test_asof_chunked_partitions_by_slice(spark, sf_dir):
     # The fact-table window must partition on (user_id, slice) — the whole
     # point: a hot user's timeline is spread across day tasks. The carry
-    # chain joins back via broadcast, never a fact-side shuffle.
+    # frame is FACT-derived (users × active days), so it must carry NO
+    # forced broadcast hint: at 100 TB a forced hint OOMs the driver in
+    # exactly the scenario this variant exists for, while the co-partitioned
+    # shuffle join is nearly free (AQE still broadcasts when it truly fits).
     plan = _plan(spark, sf_dir, "log_asof_join_chunked")
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(user_id" in plan, plan
     import re
 
     assert re.search(r"hashpartitioning\(user_id#\d+L, slice", plan), plan
-    assert "BroadcastHashJoin" in plan, plan
+    opt = _optimized(spark, sf_dir, "log_asof_join_chunked")
+    assert "strategy=broadcast" not in opt, opt
 
 
 def test_cc_edge_list_is_materialized(spark, sf_dir):
@@ -402,15 +406,18 @@ def test_temperature_sampling_corpus_never_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_retention_cohorts_broadcasts_cohort_map(spark, sf_dir):
-    # The first-day cohort map must reach the event scan via broadcast;
-    # fact-scale exchanges are the user groupBy and the distinct-count agg
-    # chain only.
+def test_retention_cohorts_no_forced_broadcast(spark, sf_dir):
+    # The first-day cohort map is keyed by user_id — unbounded cardinality
+    # for a log store — so it must NOT carry a forced broadcast hint (AQE
+    # broadcasts at runtime when it truly fits; a forced hint OOMs at
+    # scale). Exchange budget: join repartition + user groupBy + the
+    # two-phase distinct-count chain.
     plan = _plan(spark, sf_dir, "log_retention_cohorts")
-    assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    opt = _optimized(spark, sf_dir, "log_retention_cohorts")
+    assert "strategy=broadcast" not in opt, opt
     n = plan.count("Exchange hashpartitioning")
-    assert n <= 3, f"{n} hash exchanges\n{plan}"
+    assert n <= 5, f"{n} hash exchanges\n{plan}"
 
 
 def test_mix_token_budget_single_agg_shuffle(spark, sf_dir):

@@ -87,12 +87,20 @@ def normed_embeddings(emb: DataFrame, id_alias: str, *extra: str) -> DataFrame:
     projection — re-running the whole 64-element fold inside a Filter on
     every join side (measured: 4 SQRT(aggregate) instances in the
     dedup_embedding_cosine plan without it, 2 with). Embeddings are never
-    NULL in the data model; for non-null input coalesce is the identity,
-    so the oracle SQL needs no mirror."""
+    NULL in the data model; for non-null input coalesce short-circuits at
+    the sqrt, so the oracle SQL needs no mirror. If the invariant is ever
+    violated, the middle raise_error branch fires — a LOUD per-row failure
+    instead of the silent nrm=0 → NaN/Inf cosine a bare 0.0 fallback would
+    produce; the trailing 0.0d literal exists only to keep the coalesce
+    typed non-nullable (raise_error is nullable-typed) and is unreachable."""
     n2 = _NORM2_SPARK.format(a="embedding")
+    sentinel = (
+        "cast(raise_error('embeddings.embedding is NULL — violates the"
+        " non-null invariant normed_embeddings depends on') as double)"
+    )
     return emb.select(
         F.col("vec_id").alias(id_alias), *extra, "embedding",
-        F.expr(f"coalesce(sqrt({n2}), 0.0d)").alias("nrm"),
+        F.expr(f"coalesce(sqrt({n2}), {sentinel}, 0.0d)").alias("nrm"),
     )
 
 

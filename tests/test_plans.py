@@ -360,6 +360,25 @@ def test_cosine_norm_single_eval_per_side(spark, sf_dir):
     assert s.count("sqrt(aggregate") == 2, s.count("sqrt(aggregate")
 
 
+def test_normed_embeddings_null_vector_fails_loudly(spark):
+    # A NULL embedding must raise, not silently become nrm=0 (which turns
+    # every cosine against it into NaN/Inf). nrm must still be typed
+    # non-nullable — that's the whole point of the coalesce wrapper.
+    import pytest
+
+    from datafusion_loki_spark.operators.similarity import normed_embeddings
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id: long, embedding: array<double>"
+    )
+    out = normed_embeddings(bad, "vid")
+    assert not out.schema["nrm"].nullable
+    with pytest.raises(Exception, match="non-null invariant"):
+        out.collect()
+    good = normed_embeddings(bad.where("embedding IS NOT NULL"), "vid")
+    assert good.select("nrm").collect()[0].nrm > 0
+
+
 def test_simhash_hamming_no_distinct_no_cartesian(spark, sf_dir):
     # The probe join emits each pair exactly once by construction — the
     # plan must stay probe-explode + ONE equi-join, with no post-join

@@ -163,23 +163,73 @@ def sessionize(events: DataFrame) -> DataFrame:
     )
 
 
-def user_running_totals(events: DataFrame) -> DataFrame:
-    """Per-user running (n_events, total_value) via the Spark 4
-    ``transformWithStateInPandas`` API — the current-generation stateful
-    surface (typed ValueState, explicit processor lifecycle) that
-    supersedes applyInPandasWithState; kept alongside the sessionize
-    operator so both stateful APIs are exercised. Runtime NOTE: the
-    transformWithState state-server protocol requires google.protobuf,
-    absent from this test container — the e2e test importorskips; the
-    operator itself is plain public API and runs on any standard Spark 4
-    deployment (protobuf ships with Spark's own requirements).
+RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+_RUNNING_TOTALS_STATE = "n_events long, total_value double"
+
+
+def _running_totals_fn(
+    key: Any, pdfs: Iterator, state: GroupState
+) -> Iterator:
+    """applyInPandasWithState kernel for the running-totals accumulator:
+    one fixed-size (n, total) state row per user, refreshed totals emitted
+    once per micro-batch the user appears in (update semantics)."""
+    import pandas as pd
+
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def user_running_totals(events: DataFrame, implementation: str = "auto") -> DataFrame:
+    """Per-user running (n_events, total_value) — the feature-store
+    accumulator shape, on BOTH stateful APIs with identical semantics:
+
+    - ``"tws"``: Spark 4 ``transformWithStateInPandas`` (typed ValueState,
+      explicit processor lifecycle) — the current-generation surface.
+      Runtime NOTE: its state-server protocol requires google.protobuf;
+      on deployments without it the query fails at start.
+    - ``"compat"``: the same accumulator over ``applyInPandasWithState``
+      (no protobuf dependency) — byte-identical output schema and update
+      semantics, proven equivalent by
+      tests/test_streaming.py::test_running_totals_compat_matches_batch
+      and its checkpoint-restart twin.
+    - ``"auto"`` (default): tws when google.protobuf is importable, else
+      compat — so the operator runs everywhere.
 
     Emits the refreshed running totals for every user a micro-batch
     touched (update semantics — the feature-store accumulator shape).
 
-    100 TB posture: state is ONE fixed-size ValueState row per user (no
+    100 TB posture (both paths): state is ONE fixed-size row per user (no
     per-event history), the shuffle key is user_id, and the per-batch
     output is bounded by the touched-user count."""
+    if implementation not in ("auto", "tws", "compat"):
+        raise ValueError(f"unknown implementation: {implementation!r}")
+    if implementation == "auto":
+        try:
+            import google.protobuf  # noqa: F401
+
+            implementation = "tws"
+        except ImportError:
+            implementation = "compat"
+    if implementation == "compat":
+        return (
+            events.select("user_id", F.col("ts").cast("timestamp"), "value")
+            .withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _running_totals_fn,
+                outputStructType=RUNNING_TOTALS_SCHEMA,
+                stateStructType=_RUNNING_TOTALS_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
     import pandas as pd  # noqa: F811 - executor-side import
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -217,7 +267,7 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=RunningTotals(),
-            outputStructType="user_id long, n_events long, total_value double",
+            outputStructType=RUNNING_TOTALS_SCHEMA,
             outputMode="Update",
             timeMode="None",
         )
@@ -411,13 +461,19 @@ def rollup_to_parquet(
     )
 
 
-def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> None:
+def run_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    spark: SparkSession,
+    output_mode: str = "append",
+) -> None:
     """Drain a stream with availableNow into an in-memory table (test/bench
-    helper)."""
+    helper). Update-semantics operators (applyInPandasWithState in update
+    mode) require a matching update sink mode — pass output_mode="update"."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -457,7 +457,7 @@ def test_transform_with_state_survives_restart(spark, tmp_path):
             .parquet(str(src) + "/*/")
         )
         q = (
-            pipeline.user_running_totals(stream)
+            pipeline.user_running_totals(stream, implementation="tws")
             .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
             .outputMode("update")
             .option("checkpointLocation", ckpt)
@@ -508,15 +508,13 @@ def test_rollup_first_batch_detection_rejects_other_errors(spark, tmp_path):
     assert (sink / "part-00000.parquet").read_bytes().startswith(b"this is not")
 
 
-def test_transform_with_state_running_totals(spark, sf_dir):
-    # Spark 4 transformWithStateInPandas surface: after an availableNow
-    # drain, the LAST emitted update per user must equal the batch rollup.
-    # The state-server protocol needs google.protobuf, which this container
-    # lacks — skip (not fail) where the runtime dependency is absent.
-    pytest.importorskip("google.protobuf")
+def _assert_running_totals_match_batch(spark, sf_dir, implementation):
+    # After an availableNow drain, the LAST emitted update per user must
+    # equal the batch rollup — the equivalence proof both stateful-API
+    # paths of user_running_totals share.
     events = pipeline.events_file_stream(spark, sf_dir)
-    totals = pipeline.user_running_totals(events)
-    pipeline.run_to_memory(totals, "running_totals", spark)
+    totals = pipeline.user_running_totals(events, implementation=implementation)
+    pipeline.run_to_memory(totals, "running_totals", spark, output_mode="update")
     # update mode may emit a user several times across batches — keep the
     # final (max n_events) row per user
     final = {}
@@ -536,3 +534,63 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         n, total = final[r.user_id]
         assert n == r.n
         assert total == pytest.approx(r.s, rel=1e-9)
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    # Spark 4 transformWithStateInPandas surface. The state-server protocol
+    # needs google.protobuf — skip (not fail) where the runtime dependency
+    # is absent; the compat twin below covers the semantics either way.
+    pytest.importorskip("google.protobuf")
+    _assert_running_totals_match_batch(spark, sf_dir, "tws")
+
+
+def test_running_totals_compat_matches_batch(spark, sf_dir):
+    # The applyInPandasWithState compat path has no protobuf dependency, so
+    # the running-totals accumulator semantics get a green run everywhere.
+    _assert_running_totals_match_batch(spark, sf_dir, "compat")
+
+
+def test_running_totals_compat_survives_restart(spark, tmp_path):
+    # Checkpoint-restart proof for the compat path: totals accumulated
+    # before the restart must seed the post-restart update.
+    import datetime as dt
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def _mk(name, rows):
+        spark.createDataFrame(
+            rows, "ts timestamp_ntz, user_id long, value double"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def _drain():
+        got: list = []
+        stream = (
+            spark.readStream.schema("ts timestamp_ntz, user_id long, value double")
+            .parquet(str(src) + "/*/")
+        )
+        q = (
+            pipeline.user_running_totals(stream, implementation="compat")
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    _mk("f0.parquet", [(t0, 7, 1.0), (t0 + dt.timedelta(minutes=1), 7, 2.0)])
+    first = {r.user_id: (r.n_events, r.total_value) for r in _drain()}
+    assert first == {7: (2, 3.0)}
+    _mk("f1.parquet", [(t0 + dt.timedelta(minutes=2), 7, 4.0)])
+    rows = _drain()
+    assert {r.user_id: (r.n_events, r.total_value) for r in rows} == {7: (3, 7.0)}
+
+
+def test_running_totals_rejects_unknown_implementation(spark, sf_dir):
+    with pytest.raises(ValueError, match="unknown implementation"):
+        pipeline.user_running_totals(
+            pipeline.events_file_stream(spark, sf_dir), implementation="nope"
+        )

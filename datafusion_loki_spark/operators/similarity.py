@@ -499,7 +499,7 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per coordinate.
 
     Determinism contract WITHOUT group buffering: each value is cast to
-    DECIMAL(38,30) and summed — decimal addition is associative and
+    DECIMAL(38,20) and summed — decimal addition is associative and
     commutative, so the result is identical under any partition/merge
     order (the property a plain SUM(double) lacks), with full map-side
     partial aggregation. Previous versions bought determinism with a
@@ -515,16 +515,16 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, pos); constant-size aggregation state per group."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
-    # DECIMAL(38,30) leaves 8 integer digits for the per-(label,pos) sum:
-    # safe while |val| × n_vecs_per_group < 1e8 (embedding elements are
-    # O(1), so ~1e7+ vectors PER LABEL before risk; overflow would surface
-    # as a NULL centroid under non-ANSI mode, not a wrong value). At that
-    # group size, drop to DECIMAL(38,20) here AND in the oracle — still
-    # exact for the ≤17-significant-digit shortest-repr of a double as
-    # long as values stay ≥ 1e-3 in magnitude.
+    # DECIMAL(38,20) leaves 18 integer digits for the per-(label,pos) sum —
+    # |val| × n_vecs_per_group < 1e18 never overflows at any realistic
+    # group size (an earlier (38,30) variant capped groups at ~1e7 vectors
+    # per label). Scale 20 can round the LAST shortest-repr digit of
+    # sub-1e-3 elements; both engines round half-away-from-zero on the same
+    # decimal string, so the rounded values — and therefore the sums —
+    # stay bit-identical (verified on testdata elements down to 8e-6).
     g = ex.groupBy("label", "pos").agg(
         F.count("*").alias("n_vecs"),
-        F.sum(F.col("val").cast("double").cast("decimal(38,30)")).alias("sum_dec"),
+        F.sum(F.col("val").cast("double").cast("decimal(38,20)")).alias("sum_dec"),
     )
     return g.select(
         "label",
@@ -539,7 +539,7 @@ WITH ex AS (
   SELECT label,
          unnest(generate_series(0, len(embedding) - 1)) AS pos,
          unnest(list_transform(embedding,
-            x -> CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(38,30)))) AS val
+            x -> CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)))) AS val
   FROM embeddings
 )
 SELECT label, pos, COUNT(*) AS n_vecs,

@@ -45,6 +45,12 @@ BENCH_QUERIES = [
     # corpus-frequency join — the two new text-quality plan shapes
     "text_repetition",
     "text_token_commonness",
+    # appended round 5: the plain vs chunked as-of pair (the two-phase
+    # skew-proof shape's overhead must be measured to justify it) and the
+    # candidate-pruned MinHash Jaccard estimator
+    "log_asof_join",
+    "log_asof_join_chunked",
+    "dedup_minhash_estimate",
 ]
 
 

@@ -47,7 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (r03-green) entries as re-green sentinels; the r03 tail left outside the
 # window stays covered by the local all-query DuckDB parity suite
 # (tests/test_parity.py).
-_WINDOW_PRIORITY = (
+# Window layout: never-driver-checked entries first (r4 ops, the newly
+# oracle-backed sketch op, then everything added during round 5), padded to
+# 50 with the oldest-checked (r03-green) entries as re-green sentinels.
+_NEVER_CHECKED = (
     # added during round 4 — never driver-checked (8)
     "text_repetition",
     "sample_docs_temperature",
@@ -59,7 +62,13 @@ _WINDOW_PRIORITY = (
     "dedup_minhash_estimate",
     # sketch op, first-ever oracle-backed driver row (1)
     "log_approx_users",
-    # r03-green backfill, oldest-checked first (41)
+    # added during round 5
+    "text_tfidf_topk",
+    "log_rate_anomaly",
+    "emb_quantize_int8",
+)
+
+_R03_BACKFILL = (
     "log_full_scan",
     "log_projection",
     "log_label_eq",
@@ -101,7 +110,18 @@ _WINDOW_PRIORITY = (
     "text_lang_id",
     "text_lang_id_ngram",
     "text_fingerprint",
+    "text_token_freq",
+    "text_token_count_bpe",
+    "sample_events_uniform",
+    "sample_docs_stratified",
+    "sample_docs_per_source_topn",
+    "mm_binary_meta",
+    "mm_decode_features",
+    "mm_resize",
+    "mm_frame_sample",
 )
+
+_WINDOW_PRIORITY = _NEVER_CHECKED + _R03_BACKFILL[: 50 - len(_NEVER_CHECKED)]
 
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:

@@ -636,6 +636,117 @@ FROM embeddings
 """
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the 4× storage /
+    bandwidth compression step ANN indexes run before sharding (per-dim
+    min-max scale to [-128, 127], the classic symmetric-range SQ8).
+
+    Shape: per-dimension (min, max) is a 64-row aggregate (posexplode →
+    groupBy(pos), map-side combined), collapsed into ONE row of
+    pos-ordered min/span arrays and broadcast back onto the corpus scan
+    as a 1-row cross join; the quantize + reconstruction-error pass is
+    then a pure projection — scan-speed at any scale, no per-vector
+    shuffle. The deliberate two-pass structure (stats pass + encode pass)
+    is how SQ8 training works at 100 TB; the stats frame is O(dim), never
+    O(corpus).
+
+    Cross-engine exactness: codes come from exactly-rounded IEEE ops
+    ((x−mn)/span·255, both engines round half-away-from-zero on the same
+    binary double), and the per-vector MSE is the same sequential
+    index-fold both sides. Output pins the code array via order-robust
+    scalars (sum/min/max) plus the reconstruction MSE — arrays stay out
+    of the driver hash on purpose."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "val"))
+    dims = ex.groupBy("pos").agg(
+        F.min(F.col("val").cast("double")).alias("mn"),
+        F.max(F.col("val").cast("double")).alias("mx"),
+    )
+    grid = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+        ).alias("mins"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("maxs"),
+    )
+    code_i = (
+        "case when maxs[i] = mins[i] then 0 else"
+        " cast(round((cast(embedding[i] as double) - mins[i])"
+        " / (maxs[i] - mins[i]) * 255.0d) - 128 as int) end"
+    )
+    recon_i = (
+        "case when maxs[i] = mins[i] then mins[i] else"
+        f" (cast({code_i} as double) + 128.0d) / 255.0d"
+        " * (maxs[i] - mins[i]) + mins[i] end"
+    )
+    codes = f"transform(sequence(0, size(embedding) - 1), i -> {code_i})"
+    sq_err_i = (
+        f"(cast(embedding[i] as double) - ({recon_i}))"
+        f" * (cast(embedding[i] as double) - ({recon_i}))"
+    )
+    mse = (
+        f"aggregate(sequence(0, size(embedding) - 1), 0.0d,"
+        f" (acc, i) -> acc + {sq_err_i}) / cast(size(embedding) as double)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(grid))
+        .withColumn("codes", F.expr(codes))
+        .select(
+            "vec_id",
+            F.size("codes").alias("n_dims"),
+            F.expr(
+                "aggregate(codes, 0L, (acc, c) -> acc + cast(c as bigint))"
+            ).alias("code_sum"),
+            F.expr("array_min(codes)").alias("code_min"),
+            F.expr("array_max(codes)").alias("code_max"),
+            F.expr(mse).alias("mse"),
+        )
+    )
+
+
+_Q_CODE_I = (
+    "CASE WHEN maxs[i] = mins[i] THEN 0 ELSE"
+    " CAST(round((CAST(embedding[i] AS DOUBLE) - mins[i])"
+    " / (maxs[i] - mins[i]) * 255.0) - 128 AS INT) END"
+)
+_Q_RECON_I = (
+    "CASE WHEN maxs[i] = mins[i] THEN mins[i] ELSE"
+    f" (CAST({_Q_CODE_I} AS DOUBLE) + 128.0) / 255.0"
+    " * (maxs[i] - mins[i]) + mins[i] END"
+)
+ORACLE_EMB_QUANTIZE = f"""
+WITH ex AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings
+), dims AS (
+  SELECT pos, MIN(CAST(val AS DOUBLE)) AS mn, MAX(CAST(val AS DOUBLE)) AS mx
+  FROM ex GROUP BY pos
+), grid AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+  FROM dims
+), coded AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> {_Q_CODE_I}) AS codes,
+         list_sum(list_transform(generate_series(1, len(embedding)),
+           i -> (CAST(embedding[i] AS DOUBLE) - ({_Q_RECON_I}))
+              * (CAST(embedding[i] AS DOUBLE) - ({_Q_RECON_I}))))
+           / CAST(len(embedding) AS DOUBLE) AS mse
+  FROM embeddings CROSS JOIN grid
+)
+SELECT vec_id,
+       len(codes) AS n_dims,
+       CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT))) AS BIGINT)
+         AS code_sum,
+       CAST(list_min(codes) AS INT) AS code_min,
+       CAST(list_max(codes) AS INT) AS code_max,
+       mse
+FROM coded
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "emb_centroid_by_label": emb_centroid_by_label,
@@ -646,6 +757,7 @@ QUERIES = {
     "sim_lsh_multiprobe": sim_lsh_multiprobe,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_topk_pandas": sim_topk_pandas,
+    "emb_quantize_int8": emb_quantize_int8,
 }
 
 ORACLES = {
@@ -658,4 +770,5 @@ ORACLES = {
     "sim_lsh_multiprobe": _oracle_multiprobe(),
     "sim_ivf_topk": ORACLE_SIM_IVF,
     # sim_topk_pandas: rows-only (BLAS float order ≠ SQL fold order)
+    "emb_quantize_int8": ORACLE_EMB_QUANTIZE,
 }

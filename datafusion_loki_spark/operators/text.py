@@ -462,6 +462,81 @@ GROUP BY ex.doc_id
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the keyword-extraction /
+    doc-representation primitive (feeds dedup explainability, topic
+    routing, and BM25-ish retrieval indexes).
+
+    Scoring uses the RAW inverse document frequency, score = tf × (N/df),
+    instead of the log-damped ln(N/df): every factor is then an integer
+    or a single IEEE division/multiplication — exactly rounded and
+    bit-identical across engines — whereas ln() is correctly-rounded in
+    neither and a 1-ulp divergence could flip a rank. Monotonic in the
+    same ordering for fixed tf, so top-k membership is the textbook set
+    whenever df values differ; document the damping as a scale knob, not
+    a correctness one. Ties broken by token asc.
+
+    100 TB posture: one explode→groupBy(doc_id, token) builds TF (the
+    fact-scale shuffle, map-side combined); DF is a vocabulary-sized agg
+    OVER the TF frame (no second pass over the corpus — df = #docs
+    containing the token = rows per token in TF); the N scalar rides a
+    1-row broadcast; the token join shuffles the TF frame (vocab-sized
+    build side broadcasts under AQE when it fits); the final top-k is a
+    WindowGroupLimit-prunable row_number per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        "doc_id", F.explode(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token")
+    )
+    tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+    )
+
+
+ORACLE_TFIDF_TOPK = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id ORDER BY
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+             tf.token ASC
+         ) AS rank
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, rank, token, tf, df, score
+FROM scored WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width document chunking through a Python UDTF (lateral table
     function) — the remaining UDF-family surface next to the pandas
@@ -518,6 +593,7 @@ QUERIES = {
     "text_token_count_bpe": text_token_count_bpe,
     "text_repetition": text_repetition,
     "text_token_commonness": text_token_commonness,
+    "text_tfidf_topk": text_tfidf_topk,
 }
 
 ORACLES = {
@@ -531,4 +607,5 @@ ORACLES = {
     "text_token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
     "text_repetition": _oracle_repetition(),
     "text_token_commonness": ORACLE_TOKEN_COMMONNESS,
+    "text_tfidf_topk": ORACLE_TFIDF_TOPK,
 }

@@ -524,6 +524,82 @@ FROM events GROUP BY 1, 2
 """
 
 
+def log_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute rate anomaly detection: z-score of each (event_type,
+    minute) count against that type's own per-minute distribution — the
+    alerting rollup a log-store dashboard runs (spike/dip detection).
+
+    Exactness: the mean/variance come from INTEGER sums (Σn, Σn², count)
+    so the doubles are single exactly-rounded divisions — bit-identical on
+    both engines; population variance via E[x²]−E[x]², clamped at 0 to
+    absorb the catastrophic-cancellation sliver, z forced to 0.0 when the
+    variance is 0 (constant-rate type) to dodge engine-specific ±Inf
+    division semantics.
+
+    100 TB posture: the fact scan collapses to the bounded
+    (type × minute) key with map-side partials — everything after is
+    minute-scale. The per-type stats frame is #event_types rows joined
+    WITHOUT a forced broadcast hint (type cardinality is vocabulary-bound
+    in practice but fact-derived in principle; AQE broadcasts it when it
+    fits). Window-free: stats via a second tiny agg, not a window over
+    the minute frame, so no minute-frame re-sort."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("minute"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    stats = per_min.groupBy("event_type").agg(
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+        F.count("*").alias("n_minutes"),
+    )
+    mean = F.col("sum_n").cast("double") / F.col("n_minutes").cast("double")
+    var = F.greatest(
+        F.col("sum_n2").cast("double") / F.col("n_minutes").cast("double")
+        - mean * mean,
+        F.lit(0.0),
+    )
+    z = F.when(var <= 0.0, F.lit(0.0)).otherwise(
+        (F.col("n").cast("double") - mean) / F.sqrt(var)
+    )
+    return per_min.join(stats, "event_type").select(
+        "event_type",
+        F.col("minute").cast("timestamp_ntz").alias("minute"),
+        "n",
+        z.alias("zscore"),
+        (F.abs(z) > F.lit(3.0)).alias("is_anomaly"),
+    )
+
+
+ORACLE_RATE_ANOMALY = """
+WITH per_min AS (
+  SELECT date_trunc('minute', ts) AS minute, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS sum_n,
+         CAST(SUM(n * n) AS BIGINT) AS sum_n2,
+         COUNT(*) AS n_minutes
+  FROM per_min GROUP BY event_type
+), scored AS (
+  SELECT p.event_type, p.minute, p.n,
+         CAST(s.sum_n AS DOUBLE) / CAST(s.n_minutes AS DOUBLE) AS mean,
+         GREATEST(
+           CAST(s.sum_n2 AS DOUBLE) / CAST(s.n_minutes AS DOUBLE)
+             - (CAST(s.sum_n AS DOUBLE) / CAST(s.n_minutes AS DOUBLE))
+             * (CAST(s.sum_n AS DOUBLE) / CAST(s.n_minutes AS DOUBLE)),
+           0.0) AS var
+  FROM per_min p JOIN stats s USING (event_type)
+)
+SELECT event_type, minute, n,
+       CASE WHEN var <= 0.0 THEN 0.0
+            ELSE (CAST(n AS DOUBLE) - mean) / sqrt(var) END AS zscore,
+       ABS(CASE WHEN var <= 0.0 THEN 0.0
+            ELSE (CAST(n AS DOUBLE) - mean) / sqrt(var) END) > 3.0 AS is_anomaly
+FROM scored
+"""
+
+
 def log_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by their first-activity day, then
     for each (cohort_day, day_offset) the count of distinct cohort members
@@ -821,6 +897,7 @@ QUERIES = {
     "log_approx_users": log_approx_users,
     "log_top_user_per_type": log_top_user_per_type,
     "log_rate_per_minute": log_rate_per_minute,
+    "log_rate_anomaly": log_rate_anomaly,
     "log_events_by_nation": log_events_by_nation,
     "log_sessionize_batch": log_sessionize_batch,
     "log_median_value_pandas": log_median_value_pandas,
@@ -903,4 +980,5 @@ ORACLES = {
     "log_gap_fill": ORACLE_GAP_FILL,
     "log_top_user_per_type": ORACLE_TOP_USER,
     "log_rate_per_minute": ORACLE_RATE,
+    "log_rate_anomaly": ORACLE_RATE_ANOMALY,
 }

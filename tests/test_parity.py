@@ -45,8 +45,10 @@ def test_correctness_window_is_pinned():
     assert len(e._WINDOW_PRIORITY) == 50
     assert names[:50] == list(e._WINDOW_PRIORITY)
     # round-5 rotation: the never-driver-checked entries lead the window —
-    # the 8 round-4 operators plus log_approx_users (now oracle-backed via
-    # its within_bound fold, so its first driver row is a full hash check)
+    # the 8 round-4 operators, log_approx_users (now oracle-backed via its
+    # within_bound fold, so its first driver row is a full hash check),
+    # and every operator added during round 5
+    assert names[: len(e._NEVER_CHECKED)] == list(e._NEVER_CHECKED)
     assert names[:9] == [
         "text_repetition",
         "sample_docs_temperature",
@@ -59,8 +61,16 @@ def test_correctness_window_is_pinned():
         "log_approx_users",
     ]
     assert "log_approx_users" in e.oracle_sql()
+    # every never-checked lead must carry a full-hash oracle, except ops
+    # that are rows-only BY DESIGN (none currently in the leads)
+    for n in e._NEVER_CHECKED:
+        assert n in e.oracle_sql(), f"windowed lead {n} has no oracle"
     # everything outside the window is r03- or r04-driver-green and stays
     # covered by the local all-query parity suite until the next rotation
     r04_green = 50  # r04's window, all driver-checked
-    r03_tail_post_window = 9  # r03-green entries displaced by the 9 leads
-    assert len(names) == 50 + r04_green + r03_tail_post_window
+    r03_displaced = len(e._R03_BACKFILL) - (50 - len(e._NEVER_CHECKED))
+    assert len(names) == 50 + r04_green + r03_displaced
+    # pin the round-5 additions explicitly so a new query can't slip in
+    # without a deliberate edit here
+    assert len(e._NEVER_CHECKED) == 12
+    assert len(names) == 112

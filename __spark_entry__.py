@@ -66,6 +66,7 @@ _NEVER_CHECKED = (
     "text_tfidf_topk",
     "log_rate_anomaly",
     "emb_quantize_int8",
+    "emb_kmeans_assign",
 )
 
 _R03_BACKFILL = (

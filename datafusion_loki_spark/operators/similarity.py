@@ -747,6 +747,139 @@ FROM coded
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+# squared L2 distance between the pre-cast double embedding `e` and a
+# centroid struct `c` (array<double> in c.vec) — indexed sequential fold so
+# the DuckDB mirror (1-based generate_series) lands on identical doubles
+_KM_D2 = (
+    "aggregate(sequence(0, size(e) - 1), 0.0d,"
+    " (s, i) -> s + (e[i] - c.vec[i]) * (e[i] - c.vec[i]))"
+)
+# per-vector argmin: score every centroid, take the lexicographic min of
+# (d2, cid) — min distance, ties to the lowest cid, same rule as the
+# oracle's ROW_NUMBER(ORDER BY d2, cid)
+_KM_BEST = f"array_min(transform(cents, c -> named_struct('d', {_KM_D2}, 'cid', c.cid)))"
+
+
+def _kmeans_assign(emb_d: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """One Lloyd's assignment pass: (vec_id, e, cid, d2) via a pure
+    projection — the K-row centroid frame rides a 1-row broadcast, so
+    assignment costs zero shuffles regardless of corpus size."""
+    return (
+        emb_d.crossJoin(F.broadcast(cents_row))
+        .withColumn("best", F.expr(_KM_BEST))
+        .select("vec_id", "e", F.col("best.cid").alias("cid"),
+                F.col("best.d").alias("d2"))
+    )
+
+
+def _kmeans_cents_row(cdf: DataFrame) -> DataFrame:
+    """Collapse a (cid, vec) centroid frame into ONE row holding the
+    cid-sorted array of centroid structs (deterministic regardless of
+    collect_list arrival order)."""
+    return cdf.agg(
+        F.expr("array_sort(collect_list(struct(cid, vec)))").alias("cents")
+    )
+
+
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, K=8, a fixed 2
+    iterations, fully deterministic — the IVF-cell / corpus-clustering
+    trainer (the step that turns emb_centroid_by_label's per-label means
+    into LEARNED cells for sim_ivf_topk-style routing).
+
+    Determinism contract: seeds are the K lowest vec_ids (no RNG);
+    assignment ties break to the lowest cid (lexicographic min over
+    (d2, cid)); centroid means use the DECIMAL(38,20) summation from
+    emb_centroid_by_label, so every float in every iteration is
+    bit-identical to the unrolled DuckDB oracle. The iteration count is
+    fixed (not run-to-convergence) precisely so the oracle stays
+    SQL-expressible; a production run loops the same two building blocks
+    from the driver until movement < ε — the per-iteration plan is what
+    matters at scale, and it is: ONE zero-shuffle assignment projection
+    (centroids ride a 1-row broadcast, the MLlib topology) + ONE
+    map-side-combined (cid, pos) aggregation whose output is K×dim rows.
+    Nothing driver-side ever holds more than K centroids. Empty clusters
+    drop out identically on both engines (no re-seed rule needed for the
+    fixed unroll).
+
+    Output: (vec_id, cluster_id, dist2) after the final assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    cents = _kmeans_cents_row(
+        emb_d.where(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("vec")
+        )
+    )
+    assigned = _kmeans_assign(emb_d, cents)
+    for _ in range(KMEANS_ITERS - 1):
+        ex = assigned.select("cid", F.posexplode("e").alias("pos", "val"))
+        m = ex.groupBy("cid", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,20)")).cast("double")
+                / F.count("*")
+            ).alias("mv")
+        )
+        cents = _kmeans_cents_row(
+            m.groupBy("cid").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)"
+                ).alias("vec")
+            )
+        )
+        assigned = _kmeans_assign(emb_d, cents)
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster_id"), F.col("d2").alias("dist2")
+    )
+
+
+_KM_D2_DUCK = (
+    "list_sum(list_transform(generate_series(1, len(emb.e)),"
+    " i -> (emb.e[i] - c.vec[i]) * (emb.e[i] - c.vec[i])))"
+)
+ORACLE_EMB_KMEANS = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cents0 AS (
+  SELECT vec_id AS cid, e AS vec FROM emb WHERE vec_id < {KMEANS_K}
+), scored1 AS (
+  SELECT emb.vec_id, c.cid, {_KM_D2_DUCK} AS d2
+  FROM emb CROSS JOIN cents0 c
+), assign1 AS (
+  SELECT vec_id, cid, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+  FROM scored1
+), a1 AS (
+  SELECT vec_id, cid FROM assign1 WHERE rn = 1
+), ex1 AS (
+  SELECT a1.cid,
+         unnest(generate_series(1, len(emb.e))) AS pos,
+         unnest(list_transform(emb.e,
+            x -> CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20)))) AS val
+  FROM emb JOIN a1 USING (vec_id)
+), m1 AS (
+  SELECT cid, pos,
+         CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mv
+  FROM ex1 GROUP BY cid, pos
+), cents1 AS (
+  SELECT cid, list(mv ORDER BY pos) AS vec FROM m1 GROUP BY cid
+), scored2 AS (
+  SELECT emb.vec_id, c.cid, {_KM_D2_DUCK} AS d2
+  FROM emb CROSS JOIN cents1 c
+), assign2 AS (
+  SELECT vec_id, cid, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+  FROM scored2
+)
+SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM assign2 WHERE rn = 1
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "emb_centroid_by_label": emb_centroid_by_label,
@@ -758,6 +891,7 @@ QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_topk_pandas": sim_topk_pandas,
     "emb_quantize_int8": emb_quantize_int8,
+    "emb_kmeans_assign": emb_kmeans_assign,
 }
 
 ORACLES = {
@@ -771,4 +905,5 @@ ORACLES = {
     "sim_ivf_topk": ORACLE_SIM_IVF,
     # sim_topk_pandas: rows-only (BLAS float order ≠ SQL fold order)
     "emb_quantize_int8": ORACLE_EMB_QUANTIZE,
+    "emb_kmeans_assign": ORACLE_EMB_KMEANS,
 }

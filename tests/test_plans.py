@@ -379,6 +379,51 @@ def test_normed_embeddings_null_vector_fails_loudly(spark):
     assert good.select("nrm").collect()[0].nrm > 0
 
 
+def test_kmeans_assignment_is_broadcast_projection(spark, sf_dir):
+    # Both Lloyd's assignment passes must be 1-row centroid broadcasts
+    # (BroadcastNestedLoopJoin) over the corpus scan — never a cartesian
+    # or a fact-side shuffle; the only hash exchanges belong to the
+    # (cid, pos) mean-recompute chain.
+    plan = _plan(spark, sf_dir, "emb_kmeans_assign")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"{n} hash exchanges\n{plan}"
+
+
+def test_quantize_grid_is_single_row_broadcast(spark, sf_dir):
+    # The per-dim min/max grid must reach the encode pass as a 1-row
+    # broadcast; the corpus itself never shuffles (one dim-sized agg
+    # exchange only).
+    plan = _plan(spark, sf_dir, "emb_quantize_int8")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 1, f"{n} hash exchanges\n{plan}"
+
+
+def test_tfidf_topk_prunes_with_window_group_limit(spark, sf_dir):
+    # The per-doc top-k must carry WindowGroupLimit (rank pre-buffer
+    # pruning) and the N scalar must ride a broadcast, not a cartesian.
+    plan = _plan(spark, sf_dir, "text_tfidf_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 4, f"{n} hash exchanges\n{plan}"
+
+
+def test_rate_anomaly_no_forced_broadcast(spark, sf_dir):
+    # The per-type stats frame is fact-derived — no forced hint (AQE may
+    # still broadcast it); everything downstream of the first agg is
+    # minute-scale.
+    opt = _optimized(spark, sf_dir, "log_rate_anomaly")
+    assert "strategy=broadcast" not in opt, opt
+    plan = _plan(spark, sf_dir, "log_rate_anomaly")
+    assert "CartesianProduct" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"{n} hash exchanges\n{plan}"
+
+
 def test_simhash_hamming_no_distinct_no_cartesian(spark, sf_dir):
     # The probe join emits each pair exactly once by construction — the
     # plan must stay probe-explode + ONE equi-join, with no post-join

@@ -67,6 +67,7 @@ _NEVER_CHECKED = (
     "log_rate_anomaly",
     "emb_quantize_int8",
     "emb_kmeans_assign",
+    "log_scrub_pii",
 )
 
 _R03_BACKFILL = (

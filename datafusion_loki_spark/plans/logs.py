@@ -457,6 +457,56 @@ FROM events GROUP BY event_type
 """
 
 
+# PII redaction rules, ordered most-specific-first so the generic digit
+# rule can't mangle an email/IP before its own rule sees it. Patterns stay
+# inside the Java∩RE2 common dialect (ASCII classes, \b, bounded repeats)
+# so Spark and the DuckDB oracle scrub identically.
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("num", r"\d{2,}", "<NUM>"),
+)
+
+
+def log_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-line PII/identifier redaction — the compliance scrub a log
+    store runs before retention or before logs become training data:
+    emails, IPv4 addresses, and multi-digit identifier runs replaced by
+    typed tags, with per-category hit counts kept for audit.
+
+    Counts are taken on the ORIGINAL line (each rule independently);
+    scrubbing applies the rules most-specific-first on one string so an
+    email's digits are consumed by <EMAIL>, not shredded into <NUM>.
+
+    100 TB posture: pure regex projection — scan-speed, zero shuffles,
+    whole-stage codegen'd; the rule table is a compile-time constant, so
+    adding rules never changes the plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    scrubbed = F.col("props")
+    for _, pat, tag in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    cols = [
+        F.regexp_count("props", F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    return ev.select(
+        "event_id", scrubbed.alias("clean_props"), *cols
+    )
+
+
+def _oracle_scrub_pii() -> str:
+    scrub = "props"
+    for _, pat, tag in PII_RULES:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{tag}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(props, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    return (
+        f"SELECT event_id, {scrub} AS clean_props, {counts} FROM events"
+    )
+
+
 def log_top_user_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped argmax via max_by — the aggregate-form 'top row per group'
     (no window, no second shuffle: two chained aggregations on
@@ -898,6 +948,7 @@ QUERIES = {
     "log_top_user_per_type": log_top_user_per_type,
     "log_rate_per_minute": log_rate_per_minute,
     "log_rate_anomaly": log_rate_anomaly,
+    "log_scrub_pii": log_scrub_pii,
     "log_events_by_nation": log_events_by_nation,
     "log_sessionize_batch": log_sessionize_batch,
     "log_median_value_pandas": log_median_value_pandas,
@@ -981,4 +1032,5 @@ ORACLES = {
     "log_top_user_per_type": ORACLE_TOP_USER,
     "log_rate_per_minute": ORACLE_RATE,
     "log_rate_anomaly": ORACLE_RATE_ANOMALY,
+    "log_scrub_pii": _oracle_scrub_pii(),
 }

@@ -158,6 +158,7 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
         "sample_docs_hash_split",
         "text_lang_id_ngram",
         "text_repetition",
+        "log_scrub_pii",
     ],
 )
 def test_scan_speed_ops_have_no_shuffle(spark, sf_dir, name):

@@ -68,6 +68,7 @@ _NEVER_CHECKED = (
     "emb_quantize_int8",
     "emb_kmeans_assign",
     "log_scrub_pii",
+    "sim_ivf_kmeans_topk",
 )
 
 _R03_BACKFILL = (

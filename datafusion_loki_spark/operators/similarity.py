@@ -810,6 +810,16 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = emb.select(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
     )
+    assigned, _cents = _kmeans_fit(emb_d)
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster_id"), F.col("d2").alias("dist2")
+    )
+
+
+def _kmeans_fit(emb_d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Run the fixed-iteration Lloyd's loop over (vec_id, e) and return
+    (final assignment frame, final 1-row centroid frame) — shared by the
+    clustering operator and the learned-cell IVF index below."""
     cents = _kmeans_cents_row(
         emb_d.where(F.col("vec_id") < KMEANS_K).select(
             F.col("vec_id").alias("cid"), F.col("e").alias("vec")
@@ -832,23 +842,97 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         assigned = _kmeans_assign(emb_d, cents)
-    return assigned.select(
-        "vec_id", F.col("cid").alias("cluster_id"), F.col("d2").alias("dist2")
+    return assigned, cents
+
+
+IVF_PROBES = 2
+
+# L2 norm over an already-double array (no float cast — `e` is pre-cast)
+_NRM_E_SPARK = "sqrt(aggregate(transform({a}, x -> x * x), 0.0d, (acc, v) -> acc + v))"
+_NRM_E_DUCK = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over LEARNED cells: the k-means fit above becomes the IVF
+    coarse index (the production architecture — sim_ivf_topk's fixed grid
+    is the zero-training stand-in). Each query probes its IVF_PROBES
+    nearest centroids (multi-probe recall remedy built in) and scores
+    exact cosine only against those cells' member lists.
+
+    100 TB posture: train once (the k-means plan — one zero-shuffle
+    assignment projection + one K×dim agg per iteration), then the index
+    IS the cluster_id column: the corpus shuffles once on cluster_id (or
+    is written bucketed by it) and a query touches probes/K of the data.
+    The probe frame is queries × IVF_PROBES rows — broadcast by
+    construction, so the candidate join adds no corpus shuffle beyond the
+    cluster_id clustering. K=8 here is a test-scale constant; production
+    sizes K ≈ √N so cells stay task-sized — same plan, bigger constant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    assigned, cents = _kmeans_fit(emb_d)
+    probes = (
+        emb_d.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q_emb"),
+            F.expr(_NRM_E_SPARK.format(a="e")).alias("q_nrm"),
+            F.explode(
+                F.expr(
+                    "slice(array_sort(transform(cents,"
+                    f" c -> named_struct('d', {_KM_D2}, 'cid', c.cid))),"
+                    f" 1, {IVF_PROBES})"
+                )
+            ).alias("pr"),
+        )
+        .select("query_id", "q_emb", "q_nrm", F.col("pr.cid").alias("cluster_id"))
+    )
+    members = assigned.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        "e",
+        F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
+    )
+    scored = (
+        members.join(F.broadcast(probes), "cluster_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT_RAW.format(a="q_emb", b="e"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.select(
+            "query_id", F.col("vec_id").alias("cand_id"), "cluster_id", "cosine"
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "cand_id", "cluster_id", "cosine")
     )
 
 
-_KM_D2_DUCK = (
-    "list_sum(list_transform(generate_series(1, len(emb.e)),"
-    " i -> (emb.e[i] - c.vec[i]) * (emb.e[i] - c.vec[i])))"
-)
-ORACLE_EMB_KMEANS = f"""
-WITH emb AS (
+def _km_d2_duck(a: str) -> str:
+    """Squared L2 between double-list column `a` and centroid `c.vec`
+    (1-based indexed fold — DuckDB's half of _KM_D2)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - c.vec[i]) * ({a}[i] - c.vec[i])))"
+    )
+
+
+# the unrolled 2-iteration Lloyd's chain, shared by the clustering oracle
+# and the learned-cell IVF oracle
+_KMEANS_CTES = f"""emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ), cents0 AS (
   SELECT vec_id AS cid, e AS vec FROM emb WHERE vec_id < {KMEANS_K}
 ), scored1 AS (
-  SELECT emb.vec_id, c.cid, {_KM_D2_DUCK} AS d2
+  SELECT emb.vec_id, c.cid, {_km_d2_duck('emb.e')} AS d2
   FROM emb CROSS JOIN cents0 c
 ), assign1 AS (
   SELECT vec_id, cid, d2,
@@ -869,14 +953,50 @@ WITH emb AS (
 ), cents1 AS (
   SELECT cid, list(mv ORDER BY pos) AS vec FROM m1 GROUP BY cid
 ), scored2 AS (
-  SELECT emb.vec_id, c.cid, {_KM_D2_DUCK} AS d2
+  SELECT emb.vec_id, c.cid, {_km_d2_duck('emb.e')} AS d2
   FROM emb CROSS JOIN cents1 c
 ), assign2 AS (
   SELECT vec_id, cid, d2,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
   FROM scored2
-)
+)"""
+
+ORACLE_EMB_KMEANS = f"""
+WITH {_KMEANS_CTES}
 SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM assign2 WHERE rn = 1
+"""
+
+ORACLE_SIM_IVF_KMEANS = f"""
+WITH {_KMEANS_CTES},
+nq AS (
+  SELECT vec_id AS query_id, e AS q_emb,
+         {_NRM_E_DUCK.format(a='e')} AS q_nrm
+  FROM emb WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT query_id, q_emb, q_nrm, cid AS cluster_id FROM (
+    SELECT nq.query_id, nq.q_emb, nq.q_nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY nq.query_id
+                              ORDER BY {_km_d2_duck('nq.q_emb')} ASC,
+                                       c.cid ASC) AS rn
+    FROM nq CROSS JOIN cents1 c
+  ) WHERE rn <= {IVF_PROBES}
+), members AS (
+  SELECT emb.vec_id, a2.cid AS cluster_id, emb.e,
+         {_NRM_E_DUCK.format(a='emb.e')} AS c_nrm
+  FROM (SELECT vec_id, cid FROM assign2 WHERE rn = 1) a2
+  JOIN emb USING (vec_id)
+), ivf_scored AS (
+  SELECT p.query_id, m.vec_id AS cand_id, m.cluster_id,
+         list_sum(list_transform(generate_series(1, len(p.q_emb)),
+            i -> p.q_emb[i] * m.e[i])) / (p.q_nrm * m.c_nrm) AS cosine
+  FROM probes p JOIN members m USING (cluster_id)
+  WHERE m.vec_id != p.query_id
+)
+SELECT query_id, rank, cand_id, cluster_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM ivf_scored
+) WHERE rank <= {TOP_K}
 """
 
 
@@ -892,6 +1012,7 @@ QUERIES = {
     "sim_topk_pandas": sim_topk_pandas,
     "emb_quantize_int8": emb_quantize_int8,
     "emb_kmeans_assign": emb_kmeans_assign,
+    "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
 }
 
 ORACLES = {
@@ -906,4 +1027,5 @@ ORACLES = {
     # sim_topk_pandas: rows-only (BLAS float order ≠ SQL fold order)
     "emb_quantize_int8": ORACLE_EMB_QUANTIZE,
     "emb_kmeans_assign": ORACLE_EMB_KMEANS,
+    "sim_ivf_kmeans_topk": ORACLE_SIM_IVF_KMEANS,
 }

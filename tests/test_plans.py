@@ -425,6 +425,18 @@ def test_rate_anomaly_no_forced_broadcast(spark, sf_dir):
     assert n <= 3, f"{n} hash exchanges\n{plan}"
 
 
+def test_ivf_kmeans_probe_side_broadcasts(spark, sf_dir):
+    # The learned-cell IVF: the probe frame (queries × IVF_PROBES rows)
+    # must reach the member lists via broadcast hash join — the corpus
+    # side clusters on cluster_id and never reshuffles for the probe; the
+    # 1-row centroid frames ride BroadcastNestedLoop; per-query top-k is
+    # WindowGroupLimit-pruned.
+    plan = _plan(spark, sf_dir, "sim_ivf_kmeans_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_simhash_hamming_no_distinct_no_cartesian(spark, sf_dir):
     # The probe join emits each pair exactly once by construction — the
     # plan must stay probe-explode + ONE equi-join, with no post-join

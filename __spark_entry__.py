@@ -69,6 +69,9 @@ _NEVER_CHECKED = (
     "emb_kmeans_assign",
     "log_scrub_pii",
     "sim_ivf_kmeans_topk",
+    "log_value_histogram",
+    "log_templates",
+    "log_heavy_hitters",
 )
 
 _R03_BACKFILL = (

@@ -942,6 +942,177 @@ FROM events c JOIN events p
 """
 
 
+# Histogram bounds: fixed [0, 500) in 20 buckets of 25 (value's generated
+# range — see FIXTURES.md; out-of-range values clamp into the edge buckets,
+# so the operator is total either way).
+HIST_BUCKETS = 20
+HIST_WIDTH = 25.0
+
+
+def log_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the LogQL
+    ``histogram_quantile``-feeder rollup (bucketed counts, not quantiles:
+    buckets merge associatively across shards, quantiles don't).
+
+    100 TB posture: one map-side-combined aggregation on the bounded
+    (event_type × bucket) key — the shuffle carries at most
+    types × HIST_BUCKETS rows regardless of corpus size. Bucket edges are
+    compile-time constants, so the bucket index is a codegen'd projection
+    at scan speed (no per-row function call, no sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / HIST_WIDTH), F.lit(0)),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("lo"),
+            ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi"),
+            "n",
+        )
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR(value / {HIST_WIDTH}), 0),
+                    {HIST_BUCKETS - 1}) AS BIGINT) AS bucket
+  FROM events
+)
+SELECT event_type, bucket,
+       CAST(bucket * {HIST_WIDTH} AS DOUBLE) AS lo,
+       CAST((bucket + 1) * {HIST_WIDTH} AS DOUBLE) AS hi,
+       COUNT(*) AS n
+FROM b GROUP BY event_type, bucket
+"""
+
+
+# Template-mining mask rules, most-specific-first (same ordering discipline
+# as PII_RULES): variable fragments collapse to typed placeholders so lines
+# that differ only in identifiers share one template. Patterns stay in the
+# Java∩RE2 common dialect so both engines mask identically.
+TEMPLATE_RULES = (
+    (r"\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\b", "<UUID>"),
+    (r"\b0x[0-9a-fA-F]+\b", "<HEX>"),
+    (r"\d+", "<N>"),
+)
+
+
+def log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template mining (the Drain-style pattern extraction a log store
+    runs to turn billions of lines into thousands of templates): mask the
+    variable fragments of each line, then roll up counts, distinct users,
+    and the time span per (label, template).
+
+    100 TB posture: masking is a codegen'd regex projection at scan speed;
+    the aggregation key (event_type × template) is vocabulary-sized —
+    template cardinality is bounded by the application's log-statement
+    count, not by data volume — so the shuffle is tiny and map-side
+    partials absorb virtually all rows."""
+    ev = load_table(spark, sf_dir, "events")
+    tmpl = F.col("props")
+    for pat, tag in TEMPLATE_RULES:
+        tmpl = F.regexp_replace(tmpl, pat, tag)
+    return ev.groupBy("event_type", tmpl.alias("template")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def _oracle_templates() -> str:
+    tmpl = "props"
+    for pat, tag in TEMPLATE_RULES:
+        tmpl = f"regexp_replace({tmpl}, '{pat}', '{tag}', 'g')"
+    return f"""
+SELECT event_type, {tmpl} AS template, COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events GROUP BY 1, 2
+"""
+
+
+# Misra-Gries summary capacity per partition. The mergeable-summaries
+# theorem (Agarwal et al., PODS 2012 — public) gives the union of
+# per-partition MG(m) summaries a total undercount ≤ n/(m+1), so the
+# candidate set provably contains EVERY key with true count > n/(m+1);
+# the exact second pass then makes the final output deterministic and
+# partitioning-independent. The threshold below is exactly that bound, so
+# the guarantee is airtight (not heuristic).
+MG_CAPACITY = 150
+
+
+def log_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (users emitting > n/(m+1) of all events) via the
+    two-pass sketch-then-verify topology — the shape that matters at
+    100 TB: a plain ``GROUP BY user_id`` shuffles every distinct user;
+    this shuffles only the candidate set.
+
+    Pass 1: each partition builds a bounded Misra-Gries summary
+    (mapInPandas, Arrow-batched, memory ≤ capacity + one Arrow batch —
+    never O(distinct keys)); summaries union into a candidate frame of at
+    most capacity × partitions rows. Pass 2: a broadcast semi-join pins
+    exact counts for candidates only, and the n/(m+1) threshold filter
+    (kept in exact integer arithmetic: count·(m+1) > n) yields precisely
+    the true heavy hitters — the MG superset guarantee means no true
+    hitter can be missing, and the exact recount means no false positive
+    survives. Python touches only the sketch pass, and only through
+    vectorized value_counts; everything else is codegen'd."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    cap = MG_CAPACITY
+
+    def mg_summaries(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for uid, cnt in pdf["user_id"].value_counts().items():
+                counters[uid] = counters.get(uid, 0) + int(cnt)
+            if len(counters) > cap:
+                # shrink to `cap` entries: subtract the (cap+1)-th largest
+                # counter from all, drop non-positives (the MG merge rule;
+                # total decrement across a partition stays ≤ n_p/(cap+1))
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v - cut > 0
+                }
+        yield pd.DataFrame({"user_id": list(counters) or []}).astype("int64")
+
+    candidates = ev.mapInPandas(mg_summaries, "user_id long").distinct()
+    totals = load_table(spark, sf_dir, "events").agg(
+        F.count("*").alias("n_total")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        # candidate frame is bounded by capacity × partitions (a config
+        # constant, not fact-derived) — broadcast is safe by construction
+        .join(F.broadcast(candidates), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .where(F.col("n_events") * (cap + 1) > F.col("n_total"))
+        .select("user_id", "n_events")
+    )
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH tot AS (SELECT COUNT(*) AS n FROM events)
+SELECT user_id, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+HAVING COUNT(*) * {MG_CAPACITY + 1} > (SELECT n FROM tot)
+"""
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
     "log_approx_users": log_approx_users,
@@ -973,6 +1144,9 @@ QUERIES = {
     "log_asof_join_chunked": log_asof_join_chunked,
     "log_interval_join_batch": log_interval_join_batch,
     "log_retention_cohorts": log_retention_cohorts,
+    "log_value_histogram": log_value_histogram,
+    "log_templates": log_templates,
+    "log_heavy_hitters": log_heavy_hitters,
 }
 
 ORACLES = {
@@ -1033,4 +1207,7 @@ ORACLES = {
     "log_rate_per_minute": ORACLE_RATE,
     "log_rate_anomaly": ORACLE_RATE_ANOMALY,
     "log_scrub_pii": _oracle_scrub_pii(),
+    "log_value_histogram": ORACLE_VALUE_HISTOGRAM,
+    "log_templates": _oracle_templates(),
+    "log_heavy_hitters": ORACLE_HEAVY_HITTERS,
 }

@@ -72,6 +72,7 @@ _NEVER_CHECKED = (
     "log_value_histogram",
     "log_templates",
     "log_heavy_hitters",
+    "text_bigram_lm",
 )
 
 _R03_BACKFILL = (

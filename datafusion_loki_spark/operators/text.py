@@ -537,6 +537,109 @@ FROM scored WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document —
+    the CCNet-style LM quality gate: train token-transition statistics on
+    the corpus itself, then score each document by how predictable its
+    token sequence is (gibberish and shuffled-word docs score low, fluent
+    prose high).
+
+    Per-bigram probability is add-one-smoothed P(w2|w1) =
+    (c(w1,w2)+1)/(c(w1)+V); the doc score is the MEAN conditional
+    probability (plus the worst transition, min_p). The mean — not the
+    canonical mean-log/perplexity — is deliberate: each p is integers +
+    one exactly-rounded IEEE division (bit-identical on both engines),
+    whereas ln() is correctly-rounded on neither; same determinism rule as
+    text_tfidf_topk's raw-IDF. Both rank documents by sequence
+    predictability; the log-damped variant is a scale knob, not a
+    correctness one. The per-doc sum runs in DECIMAL(38,20) (string-hop
+    cast, the emb_centroid_by_label convention) so summation order can't
+    perturb low bits.
+
+    100 TB posture: the model IS two vocabulary-sized count tables (c1:
+    unigrams, c2: bigrams) built by one explode→groupBy each with
+    map-side partials; V rides a 1-row broadcast. Scoring joins the
+    doc-bigram frame on (w1,w2) then w1 — two fact-scale shuffles on
+    high-cardinality keys (Zipf-head skew absorbed by AQE skew-join; the
+    count tables broadcast when the vocabulary fits). Training and
+    scoring share one corpus scan shape; no Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("t")
+    )
+    # guard size>=2 BEFORE sequence(): Spark's sequence(0, -1) would emit a
+    # descending [0, -1] for 1-token docs instead of an empty list
+    big = (
+        toks.where(F.expr("size(t) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] as w1, t[i + 1] as w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    p = (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")).cast(
+        "double"
+    )
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", p.alias("p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum(F.col("p").cast("decimal(38,20)")).cast("double")
+            / F.count("*")
+        ).alias("avg_cond_p"),
+        F.min("p").alias("min_p"),
+    )
+
+
+ORACLE_BIGRAM_LM = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i + 1])) AS w2
+  FROM toks WHERE len(t) >= 2
+), uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), vocab AS (
+  SELECT COUNT(*) AS v FROM uni
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+), scored AS (
+  SELECT big.doc_id,
+         CAST(c2.c2 + 1 AS DOUBLE) / CAST(uni.c1 + vocab.v AS DOUBLE) AS p
+  FROM big
+  JOIN c2 USING (w1, w2)
+  JOIN uni ON big.w1 = uni.w
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(CAST(SUM(CAST(CAST(p AS VARCHAR) AS DECIMAL(38,20))) AS VARCHAR)
+            AS DOUBLE) / COUNT(*) AS avg_cond_p,
+       MIN(p) AS min_p
+FROM scored GROUP BY doc_id
+"""
+
+
 def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width document chunking through a Python UDTF (lateral table
     function) — the remaining UDF-family surface next to the pandas
@@ -594,6 +697,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_token_commonness": text_token_commonness,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_bigram_lm": text_bigram_lm,
 }
 
 ORACLES = {
@@ -608,4 +712,5 @@ ORACLES = {
     "text_repetition": _oracle_repetition(),
     "text_token_commonness": ORACLE_TOKEN_COMMONNESS,
     "text_tfidf_topk": ORACLE_TFIDF_TOPK,
+    "text_bigram_lm": ORACLE_BIGRAM_LM,
 }

@@ -73,6 +73,7 @@ _NEVER_CHECKED = (
     "log_templates",
     "log_heavy_hitters",
     "text_bigram_lm",
+    "sim_pq_adc_topk",
 )
 
 _R03_BACKFILL = (

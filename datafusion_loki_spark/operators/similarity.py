@@ -924,42 +924,54 @@ def _km_d2_duck(a: str) -> str:
     )
 
 
-# the unrolled 2-iteration Lloyd's chain, shared by the clustering oracle
-# and the learned-cell IVF oracle
-_KMEANS_CTES = f"""emb AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+def _km_ctes(sfx: str, dim_lo: int | None = None, dim_hi: int | None = None) -> str:
+    """The unrolled 2-iteration Lloyd's chain as a DuckDB CTE block —
+    parameterized by a name suffix and an optional 1-based inclusive
+    dimension slice so the product-quantization oracle can instantiate one
+    independent chain per subspace. ``_km_ctes("")`` is the full-vector
+    chain shared by the clustering and learned-cell IVF oracles."""
+    base = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    if dim_lo is not None:
+        base = f"({base})[{dim_lo}:{dim_hi}]"
+    return f"""emb{sfx} AS (
+  SELECT vec_id, {base} AS e
   FROM embeddings
-), cents0 AS (
-  SELECT vec_id AS cid, e AS vec FROM emb WHERE vec_id < {KMEANS_K}
-), scored1 AS (
-  SELECT emb.vec_id, c.cid, {_km_d2_duck('emb.e')} AS d2
-  FROM emb CROSS JOIN cents0 c
-), assign1 AS (
+), cents0{sfx} AS (
+  SELECT vec_id AS cid, e AS vec FROM emb{sfx} WHERE vec_id < {KMEANS_K}
+), scored1{sfx} AS (
+  SELECT emb{sfx}.vec_id, c.cid, {_km_d2_duck(f'emb{sfx}.e')} AS d2
+  FROM emb{sfx} CROSS JOIN cents0{sfx} c
+), assign1{sfx} AS (
   SELECT vec_id, cid, d2,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
-  FROM scored1
-), a1 AS (
-  SELECT vec_id, cid FROM assign1 WHERE rn = 1
-), ex1 AS (
-  SELECT a1.cid,
-         unnest(generate_series(1, len(emb.e))) AS pos,
-         unnest(list_transform(emb.e,
+  FROM scored1{sfx}
+), a1{sfx} AS (
+  SELECT vec_id, cid FROM assign1{sfx} WHERE rn = 1
+), ex1{sfx} AS (
+  SELECT a1{sfx}.cid,
+         unnest(generate_series(1, len(emb{sfx}.e))) AS pos,
+         unnest(list_transform(emb{sfx}.e,
             x -> CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20)))) AS val
-  FROM emb JOIN a1 USING (vec_id)
-), m1 AS (
+  FROM emb{sfx} JOIN a1{sfx} USING (vec_id)
+), m1{sfx} AS (
   SELECT cid, pos,
          CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mv
-  FROM ex1 GROUP BY cid, pos
-), cents1 AS (
-  SELECT cid, list(mv ORDER BY pos) AS vec FROM m1 GROUP BY cid
-), scored2 AS (
-  SELECT emb.vec_id, c.cid, {_km_d2_duck('emb.e')} AS d2
-  FROM emb CROSS JOIN cents1 c
-), assign2 AS (
+  FROM ex1{sfx} GROUP BY cid, pos
+), cents1{sfx} AS (
+  SELECT cid, list(mv ORDER BY pos) AS vec FROM m1{sfx} GROUP BY cid
+), scored2{sfx} AS (
+  SELECT emb{sfx}.vec_id, c.cid, {_km_d2_duck(f'emb{sfx}.e')} AS d2
+  FROM emb{sfx} CROSS JOIN cents1{sfx} c
+), assign2{sfx} AS (
   SELECT vec_id, cid, d2,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
-  FROM scored2
+  FROM scored2{sfx}
 )"""
+
+
+# the unrolled 2-iteration Lloyd's chain, shared by the clustering oracle
+# and the learned-cell IVF oracle
+_KMEANS_CTES = _km_ctes("")
 
 ORACLE_EMB_KMEANS = f"""
 WITH {_KMEANS_CTES}
@@ -1000,6 +1012,153 @@ SELECT query_id, rank, cand_id, cluster_id, cosine FROM (
 """
 
 
+PQ_M = 4  # subspaces; 64-dim embeddings → 4 × 16-dim subvectors
+PQ_SUB = 16
+
+
+def _pq_sub(col: str, s: int) -> str:
+    """1-based Spark slice of subspace ``s`` from a double-array column."""
+    return f"slice({col}, {s * PQ_SUB + 1}, {PQ_SUB})"
+
+
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI 2011 — public): train
+    an independent k-means codebook per 16-dim subspace, encode every
+    vector as PQ_M centroid ids (4 bytes — a 64× compression of the
+    64-float embedding), and answer top-k by asymmetric distance (ADC):
+    the query stays exact, each base vector is scored through its
+    reconstruction, distance = Σ_s d²(q_s, codebook_s[code_s]).
+
+    100 TB posture: training is PQ_M independent runs of the k-means plan
+    (per iteration: one zero-shuffle assignment projection — codebooks
+    ride 1-row broadcasts — plus one K×PQ_SUB-row agg); encoding is ONE
+    pure projection over the corpus (all PQ_M argmins in a single pass,
+    no per-subspace join — the 4-way corpus self-join this avoids is the
+    naive shape); scoring is a broadcast of the query set over the
+    encoded scan, then a WindowGroupLimit-pruned per-query top-k. In a
+    production deployment the scored operand is the 4-byte code column
+    and each query carries a K×PQ_M lookup table of partial distances;
+    here the centroid vector rides along in the argmin struct so the
+    identical ADC value is computed inline — same plan shape, same
+    numbers, no second pass.
+
+    Exactness: every distance is the indexed sequential fold shared with
+    the k-means oracle; the ADC sum adds the PQ_M subspace terms in fixed
+    left-to-right order; ranking ties break on cand_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    enc = emb_d
+    for s in range(PQ_M):
+        emb_s = emb_d.select(
+            "vec_id", F.expr(_pq_sub("e", s)).alias("e")
+        )
+        _assigned, cents_s = _kmeans_fit(emb_s)
+        enc = enc.crossJoin(
+            F.broadcast(cents_s.select(F.col("cents").alias(f"k{s}")))
+        )
+
+    def _d2(a: str) -> str:
+        return (
+            f"aggregate(sequence(0, size({a}) - 1), 0.0d,"
+            f" (acc, i) -> acc + ({a}[i] - c.vec[i]) * ({a}[i] - c.vec[i]))"
+        )
+
+    best_cols = [
+        F.expr(
+            f"array_min(transform(k{s}, c -> named_struct("
+            f"'d', {_d2(_pq_sub('e', s))}, 'cid', c.cid, 'vec', c.vec)))"
+        ).alias(f"b{s}")
+        for s in range(PQ_M)
+    ]
+    enc = enc.select("vec_id", *best_cols)
+
+    qf = emb_d.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+
+    def _qd2(s: int) -> str:
+        qs = _pq_sub("qe", s)
+        return (
+            f"aggregate(sequence(0, size({qs}) - 1), 0.0d,"
+            f" (acc, i) -> acc + ({qs}[i] - b{s}.vec[i])"
+            f" * ({qs}[i] - b{s}.vec[i]))"
+        )
+
+    adc = " + ".join(f"({_qd2(s)})" for s in range(PQ_M))
+    scored = (
+        enc.crossJoin(F.broadcast(qf))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_d2", F.expr(adc))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("cand_id"),
+            *[F.col(f"b{s}.cid").alias(f"c{s}") for s in range(PQ_M)],
+            "adc_d2",
+        )
+    )
+
+
+def _oracle_pq_adc() -> str:
+    ctes = ",\n".join(
+        _km_ctes(f"_s{s}", s * PQ_SUB + 1, (s + 1) * PQ_SUB)
+        for s in range(PQ_M)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN (SELECT vec_id, cid FROM assign2_s{s} WHERE rn = 1) a{s}"
+        " USING (vec_id)"
+        for s in range(1, PQ_M)
+    )
+    codes_sel = ", ".join(f"a{s}.cid AS c{s}" for s in range(PQ_M))
+    q_joins = "\n  ".join(
+        f"JOIN emb_s{s} q{s} ON q{s}.vec_id = q.query_id" for s in range(PQ_M)
+    )
+    k_joins = "\n  ".join(
+        f"JOIN cents1_s{s} k{s} ON k{s}.cid = x.c{s}" for s in range(PQ_M)
+    )
+
+    def d2(s: int) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len(q{s}.e)),"
+            f" i -> (q{s}.e[i] - k{s}.vec[i]) * (q{s}.e[i] - k{s}.vec[i])))"
+        )
+
+    adc = " + ".join(f"({d2(s)})" for s in range(PQ_M))
+    c_cols = ", ".join(f"c{s}" for s in range(PQ_M))
+    return f"""
+WITH {ctes},
+codes AS (
+  SELECT a0.vec_id, {codes_sel}
+  FROM (SELECT vec_id, cid FROM assign2_s0 WHERE rn = 1) a0
+  {code_joins}
+), q AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERIES}
+), pq_scored AS (
+  SELECT q.query_id, x.vec_id AS cand_id, {', '.join(f'x.c{s}' for s in range(PQ_M))},
+         {adc} AS adc_d2
+  FROM codes x
+  CROSS JOIN q
+  {q_joins}
+  {k_joins}
+  WHERE x.vec_id != q.query_id
+)
+SELECT query_id, rank, cand_id, {c_cols}, adc_d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc_d2 ASC, cand_id ASC) AS rank
+  FROM pq_scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "emb_centroid_by_label": emb_centroid_by_label,
@@ -1013,6 +1172,7 @@ QUERIES = {
     "emb_quantize_int8": emb_quantize_int8,
     "emb_kmeans_assign": emb_kmeans_assign,
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
+    "sim_pq_adc_topk": sim_pq_adc_topk,
 }
 
 ORACLES = {
@@ -1028,4 +1188,5 @@ ORACLES = {
     "emb_quantize_int8": ORACLE_EMB_QUANTIZE,
     "emb_kmeans_assign": ORACLE_EMB_KMEANS,
     "sim_ivf_kmeans_topk": ORACLE_SIM_IVF_KMEANS,
+    "sim_pq_adc_topk": _oracle_pq_adc(),
 }

@@ -74,6 +74,7 @@ _NEVER_CHECKED = (
     "log_heavy_hitters",
     "text_bigram_lm",
     "sim_pq_adc_topk",
+    "emb_pca_project",
 )
 
 _R03_BACKFILL = (

@@ -51,6 +51,14 @@ BENCH_QUERIES = [
     "log_asof_join",
     "log_asof_join_chunked",
     "dedup_minhash_estimate",
+    # appended round 5 (late): the trained-index ANN pair (learned-cell
+    # IVF and PQ-ADC — both embed the k-means fit, the least predictable
+    # DAG), the sketch-then-verify heavy hitters, and the corpus-join LM
+    # scorer
+    "sim_ivf_kmeans_topk",
+    "sim_pq_adc_topk",
+    "log_heavy_hitters",
+    "text_bigram_lm",
 ]
 
 

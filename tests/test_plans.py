@@ -538,3 +538,54 @@ def test_cc_groups_labels_are_consistent(spark, sf_dir):
         clusters.setdefault(lbl, []).append(doc)
     for lbl, members in clusters.items():
         assert lbl == min(members)
+
+
+def test_value_histogram_single_shuffle(spark, sf_dir):
+    # Bucketing is a codegen'd projection; the only exchange is the one
+    # map-side-combined agg on the bounded (type × bucket) key.
+    plan = _plan(spark, sf_dir, "log_value_histogram")
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"log_value_histogram: {n} hash exchanges\n{plan}"
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_templates_bounded_shuffles(spark, sf_dir):
+    # Masking is a scan-speed regex projection; COUNT(DISTINCT user_id)
+    # legitimately costs a second (expanded-key) exchange — anything more
+    # means the vocabulary-key rollup degraded.
+    plan = _plan(spark, sf_dir, "log_templates")
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"log_templates: {n} hash exchanges\n{plan}"
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_heavy_hitters_candidate_join_broadcasts(spark, sf_dir):
+    # The exact second pass must reach the corpus through a broadcast of
+    # the bounded candidate frame — a SortMergeJoin here would mean the
+    # operator re-acquired the full-shuffle cost the sketch exists to
+    # avoid. The total-count frame rides a 1-row broadcast.
+    plan = _plan(spark, sf_dir, "log_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_lm_no_cartesian_no_forced_count_broadcast(spark, sf_dir):
+    # The two corpus-count joins are fact-scale on vocabulary keys — no
+    # forced hint (AQE broadcasts when the vocab fits); the only explicit
+    # broadcast is the 1-row vocab-size frame.
+    plan = _plan(spark, sf_dir, "text_bigram_lm")
+    assert "CartesianProduct" not in plan, plan
+    opt = _optimized(spark, sf_dir, "text_bigram_lm")
+    assert opt.count("strategy=broadcast") <= 1, opt
+
+
+def test_pq_adc_encode_is_single_pass(spark, sf_dir):
+    # Codebooks (4× 1-row) and the query set ride broadcasts over ONE
+    # corpus scan — the naive per-subspace assignment join would show a
+    # SortMergeJoin per subspace; the per-query top-k must prune through
+    # WindowGroupLimit.
+    plan = _plan(spark, sf_dir, "sim_pq_adc_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan

@@ -90,6 +90,41 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def session_window_counts(events: DataFrame) -> DataFrame:
+    """Native gap-merged session aggregation via ``session_window`` — the
+    built-in twin of ``sessionize``'s custom-state path (same 5-minute
+    idle gap). Prefer this whenever the per-session output is expressible
+    as an aggregate: Spark manages, merges, and watermark-evicts the
+    session state natively (no Python in the loop), and the identical
+    code runs in batch mode for backfills.
+
+    100 TB posture: one shuffle on (user_id) per micro-batch; state is
+    bounded by the watermark horizon — sessions older than watermark
+    close and evict. The custom-state sessionize remains for outputs an
+    aggregate can't express (e.g. emit-on-close with gap context)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", "5 minutes").alias("win"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _sessionize_fn(
     key: tuple, pdfs: Iterator[Any], state: GroupState
 ) -> Iterator[Any]:

@@ -594,3 +594,32 @@ def test_running_totals_rejects_unknown_implementation(spark, sf_dir):
         pipeline.user_running_totals(
             pipeline.events_file_stream(spark, sf_dir), implementation="nope"
         )
+
+
+def test_session_window_counts_match_batch(spark, sf_dir):
+    # Native session_window surface: streamed sessions must equal the SAME
+    # code run in batch mode (the backfill contract), modulo trailing
+    # sessions the watermark hasn't closed at drain time.
+    import datetime
+
+    events = pipeline.events_file_stream(spark, sf_dir)
+    agg = pipeline.session_window_counts(events)
+    pipeline.run_to_memory(agg, "sess_win", spark)
+    got = {
+        (r.session_start, r.user_id): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    from datafusion_loki_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.session_start, r.user_id): (r.session_end, r.n_events, r.sum_value)
+        for r in pipeline.session_window_counts(ev).collect()
+    }
+    assert got, "no sessions emitted by the streaming drain"
+    for k, v in got.items():
+        assert expected[k] == v, k
+    max_ts = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    for k in set(expected) - set(got):
+        assert expected[k][0] > horizon, f"closed session missing: {k}"

@@ -75,6 +75,7 @@ _NEVER_CHECKED = (
     "text_bigram_lm",
     "sim_pq_adc_topk",
     "emb_pca_project",
+    "dedup_method_agreement",
 )
 
 _R03_BACKFILL = (

@@ -1084,6 +1084,47 @@ GROUP BY 1
 """
 
 
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method candidate audit: full-outer agreement between the two
+    independent near-dup candidate generators (MinHash-LSH banding vs
+    SimHash hamming-≤1 probing) — the calibration query a pipeline owner
+    runs before trusting either method's recall (pairs one method finds
+    and the other misses are exactly where the threshold/band/bit knobs
+    need attention).
+
+    100 TB posture: both inputs are candidate-scale (≪ corpus — each
+    generator already did its own bucketed pruning), so the full-outer
+    join shuffles only candidate pairs on the (doc_a, doc_b) key; each
+    generator's DAG runs once (the simhash side materializes its
+    fingerprint frame internally)."""
+    mh = dedup_minhash_lsh(spark, sf_dir).withColumn(
+        "in_minhash", F.lit(True)
+    )
+    sh = (
+        dedup_simhash_hamming(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_simhash", F.lit(True))
+    )
+    return mh.join(sh, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("in_minhash", F.lit(False)).alias("in_minhash"),
+        F.coalesce("in_simhash", F.lit(False)).alias("in_simhash"),
+    )
+
+
+def _oracle_method_agreement() -> str:
+    return f"""
+SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+       COALESCE(m.doc_b, s.doc_b) AS doc_b,
+       m.doc_a IS NOT NULL AS in_minhash,
+       s.doc_a IS NOT NULL AS in_simhash
+FROM (SELECT doc_a, doc_b FROM ({_oracle_minhash()}) x) m
+FULL JOIN (SELECT doc_a, doc_b FROM ({_oracle_simhash_hamming()}) y) s
+  ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_bow": dedup_bow,
@@ -1100,6 +1141,7 @@ QUERIES = {
     "dedup_chunks": dedup_chunks,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_hamming": dedup_simhash_hamming,
+    "dedup_method_agreement": dedup_method_agreement,
 }
 
 ORACLES = {
@@ -1124,4 +1166,5 @@ ORACLES = {
     "dedup_chunks": ORACLE_DEDUP_CHUNKS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_hamming": _oracle_simhash_hamming(),
+    "dedup_method_agreement": _oracle_method_agreement(),
 }

@@ -76,6 +76,7 @@ _NEVER_CHECKED = (
     "sim_pq_adc_topk",
     "emb_pca_project",
     "dedup_method_agreement",
+    "corpus_build_manifest",
 )
 
 _R03_BACKFILL = (

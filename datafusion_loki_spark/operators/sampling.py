@@ -268,6 +268,57 @@ FROM w CROSS JOIN tw
 """
 
 
+def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's end-to-end deliverable: the training-corpus manifest
+    — documents that pass BOTH the quality gate (text_quality_filter) and
+    the dedup keep-list (exact + near-dup clustering), rolled up to doc
+    and token counts per (source, lang). This is the number a pretraining
+    run is provisioned from, and the composition proves the operator
+    family plugs together: quality filter ∧ keep-list ∧ catalog join ∧
+    manifest agg in one plan.
+
+    100 TB posture: the quality gate is a scan-speed filter; the
+    keep-list pays its (bounded, documented) fingerprint + CC cost once;
+    the composition joins on doc_id — uniform key, candidate-scale right
+    sides — and the final rollup key (source × lang) is
+    vocabulary-bounded, so the manifest shuffle is tiny."""
+    from datafusion_loki_spark.operators.dedup import dedup_keep_list
+    from datafusion_loki_spark.operators.text import text_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    quality = text_quality_filter(spark, sf_dir).select("doc_id", "n_tokens")
+    keep = dedup_keep_list(spark, sf_dir).where(
+        F.col("status") == "keep"
+    ).select("doc_id")
+    return (
+        quality.join(keep, "doc_id")
+        .join(docs, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def _oracle_corpus_manifest() -> str:
+    from datafusion_loki_spark.operators.dedup import ORACLES as _DEDUP_ORACLES
+    from datafusion_loki_spark.operators.text import ORACLE_TEXT_QUALITY
+
+    keep_sql = _DEDUP_ORACLES["dedup_keep_list"]
+    return f"""
+SELECT d.source, d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens
+FROM (SELECT doc_id, n_tokens FROM ({ORACLE_TEXT_QUALITY}) x) q
+JOIN (SELECT doc_id FROM ({keep_sql}) y WHERE status = 'keep') k
+  USING (doc_id)
+JOIN documents d USING (doc_id)
+GROUP BY d.source, d.lang
+"""
+
+
 QUERIES = {
     "sample_events_uniform": sample_events_uniform,
     "sample_docs_stratified": sample_docs_stratified,
@@ -275,6 +326,7 @@ QUERIES = {
     "sample_docs_temperature": sample_docs_temperature,
     "sample_docs_hash_split": sample_docs_hash_split,
     "mix_token_budget": mix_token_budget,
+    "corpus_build_manifest": corpus_build_manifest,
 }
 
 ORACLES = {
@@ -284,4 +336,5 @@ ORACLES = {
     "sample_docs_temperature": ORACLE_SAMPLE_TEMPERATURE,
     "sample_docs_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
     "mix_token_budget": ORACLE_MIX_TOKEN_BUDGET,
+    "corpus_build_manifest": _oracle_corpus_manifest(),
 }

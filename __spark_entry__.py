@@ -77,6 +77,7 @@ _NEVER_CHECKED = (
     "emb_pca_project",
     "dedup_method_agreement",
     "corpus_build_manifest",
+    "log_approx_quantile_audit",
 )
 
 _R03_BACKFILL = (

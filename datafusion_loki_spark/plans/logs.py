@@ -942,6 +942,57 @@ FROM events c JOIN events p
 """
 
 
+def log_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch audit — the p95 twin of log_approx_users: at
+    100 TB the exact per-group p95 needs a full sort (or a bounded-group
+    collect), while approx_percentile's GK sketch is constant-size and
+    merges associatively; this is the audit run before dashboards switch.
+
+    The sketch VALUE is engine- and merge-order-specific (partition merge
+    order legally moves it within the error bound), so emitting it would
+    make the row permanently oracle-less. Instead the query folds it into
+    a deterministic bit computed from exact integers: the EXACT rank of
+    the approx p95 (count of values ≤ it, second pass) must land in
+    [0.93·n, 0.97·n] — the sketch's rank-error contract (ε = 1/accuracy =
+    1e-4, window padded 300×) guarantees the bit is TRUE however the
+    merge order falls, and the driver hash then certifies the group
+    counts AND the in-bound landing.
+
+    100 TB posture: pass 1 is one map-side-combined sketch agg (constant
+    state per group); pass 2 re-scans and joins on the type-bounded key
+    (no forced broadcast — AQE handles it); everything emitted is exact
+    integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.95d, 10000)").alias("ap")
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .join(approx, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("value") <= F.col("ap"), 1).otherwise(0)
+            ).alias("rank_le"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (
+                (F.col("rank_le") * 100 >= F.col("n") * 93)
+                & (F.col("rank_le") * 100 <= F.col("n") * 97)
+            ).alias("within_bound"),
+        )
+    )
+
+
+ORACLE_APPROX_QUANTILE = """
+SELECT event_type, COUNT(*) AS n, TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
 # Histogram bounds: fixed [0, 500) in 20 buckets of 25 (value's generated
 # range — see FIXTURES.md; out-of-range values clamp into the edge buckets,
 # so the operator is total either way).
@@ -1147,6 +1198,7 @@ QUERIES = {
     "log_value_histogram": log_value_histogram,
     "log_templates": log_templates,
     "log_heavy_hitters": log_heavy_hitters,
+    "log_approx_quantile_audit": log_approx_quantile_audit,
 }
 
 ORACLES = {
@@ -1210,4 +1262,5 @@ ORACLES = {
     "log_value_histogram": ORACLE_VALUE_HISTOGRAM,
     "log_templates": _oracle_templates(),
     "log_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "log_approx_quantile_audit": ORACLE_APPROX_QUANTILE,
 }

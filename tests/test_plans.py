@@ -589,3 +589,21 @@ def test_pq_adc_encode_is_single_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_pca_iteration_aggs_are_dim_scale(spark, sf_dir):
+    # Power iteration: v rides 1-row broadcasts (BroadcastNestedLoop over
+    # a single row), per-iteration reductions are hash aggs on pos — no
+    # SortMergeJoin, no cartesian anywhere.
+    plan = _plan(spark, sf_dir, "emb_pca_project")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_corpus_manifest_composes_without_cartesian(spark, sf_dir):
+    # The end-to-end composition must keep every sub-pipeline's plan
+    # discipline: no cartesian, and the final (source × lang) rollup is
+    # a hash aggregate.
+    plan = _plan(spark, sf_dir, "corpus_build_manifest")
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan

@@ -1099,6 +1099,22 @@ FROM events GROUP BY 1, 2
 MG_CAPACITY = 150
 
 
+def mg_merge(counters: dict, counts: dict, cap: int) -> dict:
+    """Merge one batch's exact value-counts into a Misra-Gries summary of
+    ≤ ``cap`` entries: add, then subtract the (cap+1)-th largest counter
+    from all and drop non-positives (the mergeable-summaries rule). Total
+    decrement over any merge sequence covering n items is ≤ n/(cap+1), so
+    every key with true count > n/(cap+1) ends with a positive counter —
+    the superset guarantee log_heavy_hitters' exact second pass relies
+    on, property-tested under arbitrary chunking in tests/test_sketches.py."""
+    for k, v in counts.items():
+        counters[k] = counters.get(k, 0) + int(v)
+    if len(counters) > cap:
+        cut = sorted(counters.values(), reverse=True)[cap]
+        counters = {k: v - cut for k, v in counters.items() if v - cut > 0}
+    return counters
+
+
 def log_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters (users emitting > n/(m+1) of all events) via the
     two-pass sketch-then-verify topology — the shape that matters at
@@ -1124,16 +1140,9 @@ def log_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mg_summaries(batches):
         counters: dict = {}
         for pdf in batches:
-            for uid, cnt in pdf["user_id"].value_counts().items():
-                counters[uid] = counters.get(uid, 0) + int(cnt)
-            if len(counters) > cap:
-                # shrink to `cap` entries: subtract the (cap+1)-th largest
-                # counter from all, drop non-positives (the MG merge rule;
-                # total decrement across a partition stays ≤ n_p/(cap+1))
-                cut = sorted(counters.values(), reverse=True)[cap]
-                counters = {
-                    k: v - cut for k, v in counters.items() if v - cut > 0
-                }
+            counters = mg_merge(
+                counters, pdf["user_id"].value_counts().to_dict(), cap
+            )
         yield pd.DataFrame({"user_id": list(counters) or []}).astype("int64")
 
     candidates = ev.mapInPandas(mg_summaries, "user_id long").distinct()

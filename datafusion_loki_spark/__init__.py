@@ -105,6 +105,63 @@ def loki_table(
     return reader.load()
 
 
+def loki_sql(
+    spark,
+    sql: str,
+    endpoint: str,
+    *,
+    default_label: "str | None" = None,
+    **options: str,
+):
+    """Run SQL against a Loki endpoint with the reference's AUTOMATIC
+    pushdown restored at the SQL layer (sources/sqlbridge.py).
+
+    The reference translates ``labels['app']='x'`` into an Exact LogQL
+    selector and SQL ``LIMIT n`` into a fetch bound inside the provider
+    (datafusion-loki/src/expr.rs:11-47, src/scan.rs:131-146) — hooks the
+    pinned pyspark Python DS API does not expose, which is why the plain
+    registered-table path needs ``loki_table(labels=..., limit=...)``.
+    This helper closes the ergonomic gap: it extracts those predicates
+    from the statement text (flat AND-conjunctions only — the same
+    conjuncts-only contract DataFusion gives the reference), binds the
+    pruned scan as the statement's table, and runs the ORIGINAL statement
+    so Spark re-checks every predicate row-by-row:
+
+        df = loki_sql(spark,
+            \"\"\"SELECT line FROM logs
+               WHERE labels['app'] = 'web' AND line LIKE '%error%'
+               LIMIT 100\"\"\",
+            "http://loki:3100")
+
+    Anything the extractor can't prove pushable (OR/NOT trees, regex,
+    subqueries) is simply not pushed — the query still runs, unpruned.
+    LIMIT reaches the store only when every conjunct pushed store-exact
+    (see sqlbridge module docstring for the O5/O8 argument)."""
+    from datafusion_loki_spark.sources.logql import label_matcher
+    from datafusion_loki_spark.sources.sqlbridge import extract_pushdown
+
+    spec = extract_pushdown(sql)
+    if spec.table is None:
+        raise ValueError("loki_sql requires a FROM <table> clause")
+    kwargs: dict = {}
+    if spec.matchers:
+        kwargs["labels"] = ", ".join(
+            label_matcher(k, op, v) for k, op, v in spec.matchers
+        )
+    # line-contains and time bounds are deliberately NOT forwarded as
+    # options: the scan's pushFilters hook translates them from the
+    # re-checked WHERE itself (O4/O5) — forwarding would duplicate the
+    # LogQL stages. The bridge adds only what the hooks cannot carry:
+    # label matchers and (store-exact) LIMIT.
+    if spec.limit is not None and spec.exact_only:
+        kwargs["limit"] = spec.limit
+    df = loki_table(
+        spark, endpoint, default_label=default_label, **kwargs, **options
+    )
+    df.createOrReplaceTempView(spec.table)
+    return spark.sql(sql)
+
+
 def insert_into_loki(df, endpoint: str, **options: str):
     """Append ``df`` (timestamp, labels, line) to a Loki endpoint and
     return the reference's one-row ``count`` result table

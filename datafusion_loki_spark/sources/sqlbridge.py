@@ -1,0 +1,162 @@
+"""SQL-text pushdown bridge — restores the reference's AUTOMATIC pushdown
+at the SQL layer.
+
+The pinned pyspark's Python Data Source API cannot carry map-subscript
+filters, LIMIT, or projection through its hooks (SURVEY §7.4.3), so a bare
+``spark.sql("... WHERE labels['app']='x' LIMIT 10")`` over a registered
+loki table scans the whole default-label stream. The reference performs
+this pushdown inside the provider (datafusion-loki/src/expr.rs:11-47,
+src/table.rs:140-156, src/scan.rs:131-146); this module recovers it by
+inspecting the SQL TEXT under the same conjuncts-only contract DataFusion
+gives the reference (``supports_filters_pushdown`` receives a list of
+AND-ed conjuncts — OR/NOT trees never reach expr.rs either):
+
+- extraction runs ONLY when the WHERE clause is one flat AND-conjunction
+  (no OR / NOT outside string literals — parenthesized sub-trees are safe
+  because any OR/NOT inside them trips the same gate, and a BETWEEN's
+  inner AND merely splits into two residual fragments); anything else
+  pushes nothing and the query still runs correctly, just unpruned;
+- every extracted predicate REMAINS in the SQL, so Spark re-checks it
+  row-by-row — a partial extraction can only lose pruning, never change
+  results. Label matchers narrow which STREAMS are queried; that is their
+  meaning, identical to the reference's Exact label pushdown, and the
+  matcher conditions are still re-verified against the returned labels
+  column;
+- time bounds and line-contains conjuncts are NOT re-pushed here — the
+  scan's own pushFilters hook already carries them (O4/O5) and an option
+  would duplicate the LogQL pipeline stage; the extractor still parses
+  them (with logql's ``<=`` end-widening) because their store-exactness
+  class decides whether LIMIT may push;
+- LIMIT forwards as the HTTP limit only when EVERY conjunct pushed
+  store-exact (labels =/!=, line contains): with an inexact (superset)
+  time window the store's first-n would differ from the query's first-n
+  (the O5/O8 exact-vs-inexact split).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+_STR_LIT = re.compile(r"'(?:[^']|'')*'")
+
+_LABEL = re.compile(
+    r"^\s*labels\s*\[\s*'([^']*)'\s*\]\s*(!=|<>|=)\s*('(?:[^']|'')*')\s*$",
+    re.I,
+)
+_LINE_LIKE = re.compile(r"^\s*line\s+like\s+('(?:[^']|'')*')\s*$", re.I)
+_TS = re.compile(
+    r"^\s*timestamp\s*(>=|>|<=|<)\s*timestamp\s*('(?:[^']|'')*')\s*$", re.I
+)
+
+
+def _mask(sql: str) -> str:
+    """Blank out string-literal contents (length-preserving) so structural
+    scans can't be fooled by quoted text."""
+    return _STR_LIT.sub(lambda m: "'" + "\x00" * (len(m.group(0)) - 2) + "'", sql)
+
+
+def _unquote(lit: str) -> str:
+    """SQL string literal (with quotes) → value ('' doubling unescaped)."""
+    return lit[1:-1].replace("''", "'")
+
+
+@dataclass
+class PushdownSpec:
+    """What the SQL text allows the scan to push store-side."""
+
+    table: str | None = None
+    matchers: list[tuple[str, str, str]] = field(default_factory=list)  # (k, op, v)
+    line_contains: list[str] = field(default_factory=list)
+    start_ns: int | None = None
+    end_ns: int | None = None
+    limit: int | None = None
+    exact_only: bool = True  # every conjunct pushed with store-exact semantics
+
+
+def _iso_ns(lit: str) -> int | None:
+    try:
+        dt = datetime.fromisoformat(lit)
+    except ValueError:
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000) * 1_000
+
+
+def extract_pushdown(sql: str) -> PushdownSpec:
+    """Scan one SELECT statement for store-pushable predicates.
+
+    Never raises on unrecognized SQL — the worst case is an empty spec
+    (no pruning). See the module docstring for the safety argument."""
+    spec = PushdownSpec()
+    masked = _mask(sql)
+
+    m = re.search(r"\bfrom\s+([A-Za-z_][\w.]*)", masked, re.I)
+    if m:
+        spec.table = m.group(1)
+
+    m = re.search(r"\blimit\s+(\d+)\s*;?\s*$", masked, re.I)
+    if m:
+        spec.limit = int(m.group(1))
+
+    wm = re.search(
+        r"\bwhere\b(.*?)(?=\bgroup\s+by\b|\border\s+by\b|\blimit\b|;|$)",
+        masked,
+        re.I | re.S,
+    )
+    if wm is None:
+        return spec  # no WHERE: exact_only stays True (plain LIMIT pushes)
+
+    lo, hi = wm.span(1)
+    where_masked = masked[lo:hi]
+    if re.search(r"\bor\b|\bnot\b", where_masked, re.I):
+        spec.exact_only = False
+        return spec
+
+    # split on AND at positions found in the masked text, slice the raw SQL
+    bounds = [lo]
+    for am in re.finditer(r"\band\b", where_masked, re.I):
+        bounds.append(lo + am.start())
+        bounds.append(lo + am.end())
+    bounds.append(hi)
+    conjuncts = [sql[bounds[i] : bounds[i + 1]] for i in range(0, len(bounds), 2)]
+
+    for conj in conjuncts:
+        cm = _LABEL.match(conj)
+        if cm:
+            op = "!=" if cm.group(2) in ("!=", "<>") else "="
+            spec.matchers.append((cm.group(1), op, _unquote(cm.group(3))))
+            continue
+        cm = _LINE_LIKE.match(conj)
+        if cm:
+            from datafusion_loki_spark.sources.logql import (
+                like_pattern_to_contains,
+            )
+
+            inner = like_pattern_to_contains(_unquote(cm.group(1)))
+            if inner is not None and "`" not in inner:
+                spec.line_contains.append(inner)
+                continue
+            spec.exact_only = False
+            continue
+        cm = _TS.match(conj)
+        if cm:
+            op, ns = cm.group(1), _iso_ns(_unquote(cm.group(2)))
+            spec.exact_only = False  # time windows are superset hints
+            if ns is None:
+                continue
+            if op in (">=", ">"):
+                spec.start_ns = (
+                    ns if spec.start_ns is None else max(spec.start_ns, ns)
+                )
+            else:
+                # `<= T` must survive an exclusive store end at exactly T
+                # (same 1 µs-of-ns widening as logql.translate_filters)
+                end = ns + 1_000 if op == "<=" else ns
+                spec.end_ns = end if spec.end_ns is None else min(spec.end_ns, end)
+            continue
+        spec.exact_only = False  # residual conjunct: Spark-only
+
+    return spec

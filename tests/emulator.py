@@ -61,6 +61,9 @@ class LokiEmulator:
         # rows: (ns:int, labels:dict[str,str], line:str)
         self.rows: list[tuple[int, dict, str]] = []
         self.queries: list[str] = []
+        # flattened single-value view of each query_range param set, so
+        # tests can assert limit/direction/start/end pushdown
+        self.params: list[dict] = []
         self.lock = threading.Lock()
         emulator = self
 
@@ -136,6 +139,7 @@ class LokiEmulator:
         direction = params.get("direction", ["backward"])[0]
         with self.lock:
             self.queries.append(query)
+            self.params.append({k: v[0] for k, v in params.items()})
             rows = list(self.rows)
 
         # split selector {..} from trailing line filters

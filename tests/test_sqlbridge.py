@@ -1,0 +1,159 @@
+"""Unit + e2e tests for the SQL-text pushdown bridge (loki_sql) — the
+layer that restores the reference's automatic label/line/time/LIMIT
+pushdown (datafusion-loki/src/expr.rs, src/scan.rs:131-146) on top of the
+hook-less Python DS API."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from datafusion_loki_spark import loki_sql
+from datafusion_loki_spark.sources.sqlbridge import extract_pushdown
+from tests.emulator import LokiEmulator
+
+NS = 1_000_000_000
+
+
+# --- extraction unit tests (no Spark) ---------------------------------------
+
+
+def test_extracts_full_exact_conjunction():
+    spec = extract_pushdown(
+        "SELECT line FROM logs WHERE labels['app'] = 'web' "
+        "AND labels['env'] != 'prod' AND line LIKE '%error%' LIMIT 10"
+    )
+    assert spec.table == "logs"
+    assert spec.matchers == [("app", "=", "web"), ("env", "!=", "prod")]
+    assert spec.line_contains == ["error"]
+    assert spec.limit == 10 and spec.exact_only
+
+
+def test_time_bound_blocks_limit_but_sets_window():
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE labels['app'] = 'web' "
+        "AND timestamp >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND timestamp <= TIMESTAMP '2024-02-01 00:00:00' LIMIT 5"
+    )
+    assert spec.matchers == [("app", "=", "web")]
+    assert spec.start_ns is not None and spec.end_ns is not None
+    # `<=` widens the end by 1 µs of ns (exclusive-store-end guard)
+    assert spec.end_ns % NS == 1_000
+    assert not spec.exact_only  # superset window → LIMIT must NOT push
+
+
+def test_or_not_parens_disable_extraction():
+    for frag in (
+        "labels['app'] = 'web' OR line LIKE '%x%'",
+        "NOT labels['app'] = 'web'",
+        "(labels['app'] = 'web')",
+    ):
+        spec = extract_pushdown(f"SELECT * FROM logs WHERE {frag}")
+        assert spec.matchers == [] and spec.line_contains == []
+        assert not spec.exact_only
+
+
+def test_or_inside_string_literal_is_ignored():
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE labels['app'] = 'a or (not) b'"
+    )
+    assert spec.matchers == [("app", "=", "a or (not) b")]
+    assert spec.exact_only
+
+
+def test_wildcard_like_is_residual():
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE line LIKE '%a_b%' LIMIT 3"
+    )
+    assert spec.line_contains == []
+    assert not spec.exact_only  # non-contains LIKE stays Spark-side
+
+
+def test_bare_limit_pushes_without_where():
+    spec = extract_pushdown("SELECT * FROM logs LIMIT 7")
+    assert spec.limit == 7 and spec.exact_only
+
+
+def test_quote_doubling_unescapes():
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE labels['app'] = 'o''clock'"
+    )
+    assert spec.matchers == [("app", "=", "o'clock")]
+
+
+def test_residual_conjunct_keeps_label_push_but_blocks_limit():
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE labels['app'] = 'web' "
+        "AND length(line) > 3 LIMIT 4"
+    )
+    assert spec.matchers == [("app", "=", "web")]
+    assert not spec.exact_only
+
+
+# --- e2e through the emulator ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emulator():
+    em = LokiEmulator().start()
+    now = time.time_ns()
+    em.seed(
+        [
+            (now - 50 * 60 * NS, {"app": "web"}, "request ok"),
+            (now - 40 * 60 * NS, {"app": "web"}, "request error 500"),
+            (now - 30 * 60 * NS, {"app": "api"}, "error in handler"),
+            (now - 20 * 60 * NS, {"app": "api"}, "healthy"),
+        ]
+    )
+    yield em
+    em.stop()
+
+
+def test_loki_sql_pushes_labels_and_line(spark, emulator):
+    df = loki_sql(
+        spark,
+        "SELECT line FROM logs WHERE labels['app'] = 'web' "
+        "AND line LIKE '%error%'",
+        emulator.endpoint,
+    )
+    assert [r.line for r in df.collect()] == ["request error 500"]
+    # the STORE received the selector and the contains filter — automatic
+    # pushdown, no options (≙ expr.rs:11-47, 83-98)
+    assert emulator.queries[-1] == '{app="web"} |= `error`'
+
+
+def test_loki_sql_unpushable_where_still_correct(spark, emulator):
+    df = loki_sql(
+        spark,
+        "SELECT line FROM logs WHERE labels['app'] = 'web' "
+        "OR line LIKE '%handler%'",
+        emulator.endpoint,
+        default_label="app",
+    )
+    assert sorted(r.line for r in df.collect()) == [
+        "error in handler",
+        "request error 500",
+        "request ok",
+    ]
+    # nothing pushed: the OR tree fell back to the default-label full scan
+    assert emulator.queries[-1] == '{app=~".+"}'
+
+
+def test_loki_sql_pushes_limit_when_exact(spark, emulator):
+    loki_sql(
+        spark,
+        "SELECT * FROM logs WHERE labels['app'] = 'api' LIMIT 1",
+        emulator.endpoint,
+    ).collect()
+    assert emulator.params[-1].get("limit") == "1"
+
+
+def test_loki_sql_aggregate_over_pushed_scan(spark, emulator):
+    df = loki_sql(
+        spark,
+        "SELECT count(*) AS n FROM logs WHERE labels['app'] = 'api'",
+        emulator.endpoint,
+    )
+    assert df.collect()[0].n == 2
+    assert emulator.queries[-1] == '{app="api"}'

@@ -148,11 +148,15 @@ def loki_sql(
         kwargs["labels"] = ", ".join(
             label_matcher(k, op, v) for k, op, v in spec.matchers
         )
-    # line-contains and time bounds are deliberately NOT forwarded as
-    # options: the scan's pushFilters hook translates them from the
-    # re-checked WHERE itself (O4/O5) — forwarding would duplicate the
-    # LogQL stages. The bridge adds only what the hooks cannot carry:
-    # label matchers and (store-exact) LIMIT.
+    # line-contains/NOT-LIKE and time bounds are deliberately NOT
+    # forwarded as options: the scan's pushFilters hook translates them
+    # from the re-checked WHERE itself (O4/O5) — forwarding would
+    # duplicate the LogQL stages. The bridge adds only what the hooks
+    # cannot carry: label matchers, RLIKE/ILIKE regex stages (expr.rs
+    # marks these Exact; patterns with RE2-unparseable constructs stay
+    # Spark-side), and (store-exact) LIMIT.
+    if spec.line_regexes:
+        kwargs["line_filters"] = ";".join(spec.line_regexes)
     if spec.limit is not None and spec.exact_only:
         kwargs["limit"] = spec.limit
     df = loki_table(

@@ -46,9 +46,22 @@ _LABEL = re.compile(
     re.I,
 )
 _LINE_LIKE = re.compile(r"^\s*line\s+like\s+('(?:[^']|'')*')\s*$", re.I)
+_LINE_NOT_LIKE = re.compile(
+    r"^\s*line\s+not\s+like\s+('(?:[^']|'')*')\s*$", re.I
+)
+_LINE_ILIKE = re.compile(r"^\s*line\s+ilike\s+('(?:[^']|'')*')\s*$", re.I)
+_LINE_RLIKE = re.compile(
+    r"^\s*line\s+rlike\s+('(?:[^']|'')*')\s*$", re.I
+)
 _TS = re.compile(
     r"^\s*timestamp\s*(>=|>|<=|<)\s*timestamp\s*('(?:[^']|'')*')\s*$", re.I
 )
+
+# regex constructs RE2 (Loki's dialect) cannot parse — a pushed pattern
+# containing one would turn a working Spark query into a store error, so
+# such regexes stay Spark-side (the ref pushes unconditionally, expr.rs:63,
+# and would hit the same store error; we choose the quieter degradation)
+_RE2_UNSUPPORTED = re.compile(r"\\\d|\(\?=|\(\?!|\(\?<")
 
 
 def _mask(sql: str) -> str:
@@ -69,6 +82,7 @@ class PushdownSpec:
     table: str | None = None
     matchers: list[tuple[str, str, str]] = field(default_factory=list)  # (k, op, v)
     line_contains: list[str] = field(default_factory=list)
+    line_regexes: list[str] = field(default_factory=list)  # rendered |~ stages
     start_ns: int | None = None
     end_ns: int | None = None
     limit: int | None = None
@@ -111,7 +125,9 @@ def extract_pushdown(sql: str) -> PushdownSpec:
 
     lo, hi = wm.span(1)
     where_masked = masked[lo:hi]
-    if re.search(r"\bor\b|\bnot\b", where_masked, re.I):
+    # `NOT LIKE` is a conjunct class of its own (ref expr.rs:99-103 → !=,
+    # carried by pushFilters) — exempt it from the NOT-tree gate
+    if re.search(r"\bor\b|\bnot\b(?!\s+like\b)", where_masked, re.I):
         spec.exact_only = False
         return spec
 
@@ -129,7 +145,7 @@ def extract_pushdown(sql: str) -> PushdownSpec:
             op = "!=" if cm.group(2) in ("!=", "<>") else "="
             spec.matchers.append((cm.group(1), op, _unquote(cm.group(3))))
             continue
-        cm = _LINE_LIKE.match(conj)
+        cm = _LINE_NOT_LIKE.match(conj) or _LINE_LIKE.match(conj)
         if cm:
             from datafusion_loki_spark.sources.logql import (
                 like_pattern_to_contains,
@@ -137,9 +153,46 @@ def extract_pushdown(sql: str) -> PushdownSpec:
 
             inner = like_pattern_to_contains(_unquote(cm.group(1)))
             if inner is not None and "`" not in inner:
-                spec.line_contains.append(inner)
+                # NOT LIKE rides pushFilters (Not(StringContains) → !=),
+                # so only the positive form lands in line_contains; both
+                # are store-EXACT classes (expr.rs:83-103)
+                if _LINE_NOT_LIKE.match(conj) is None:
+                    spec.line_contains.append(inner)
                 continue
             spec.exact_only = False
+            continue
+        cm = _LINE_RLIKE.match(conj)
+        if cm:
+            from datafusion_loki_spark.sources.logql import line_regex
+
+            rx = _unquote(cm.group(1))
+            stage = (
+                line_regex(rx)
+                if _RE2_UNSUPPORTED.search(rx) is None
+                else None
+            )
+            if stage is not None:
+                spec.line_regexes.append(stage)  # exact class (expr.rs:63-71)
+            else:
+                spec.exact_only = False
+            continue
+        cm = _LINE_ILIKE.match(conj)
+        if cm:
+            from datafusion_loki_spark.sources.logql import (
+                like_pattern_to_contains,
+                line_regex,
+            )
+
+            inner = like_pattern_to_contains(_unquote(cm.group(1)))
+            stage = (
+                line_regex(re.escape(inner), case_insensitive=True)
+                if inner is not None
+                else None
+            )
+            if stage is not None:
+                spec.line_regexes.append(stage)  # exact class (expr.rs:104-108)
+            else:
+                spec.exact_only = False
             continue
         cm = _TS.match(conj)
         if cm:

@@ -157,3 +157,42 @@ def test_loki_sql_aggregate_over_pushed_scan(spark, emulator):
     )
     assert df.collect()[0].n == 2
     assert emulator.queries[-1] == '{app="api"}'
+
+
+def test_rlike_and_ilike_extract_as_regex_stages():
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE labels['app'] = 'web' "
+        "AND line RLIKE 'err[0-9]+' AND line ILIKE '%Fail%' LIMIT 2"
+    )
+    assert spec.line_regexes == ["|~ `err[0-9]+`", "|~ `(?i)Fail`"]
+    assert spec.exact_only and spec.limit == 2  # regex is Exact (expr.rs:63)
+
+
+def test_re2_unparseable_regex_stays_spark_side():
+    spec = extract_pushdown(
+        r"SELECT * FROM logs WHERE line RLIKE 'a(?=b)' LIMIT 2"
+    )
+    assert spec.line_regexes == []
+    assert not spec.exact_only
+
+
+def test_not_like_is_exempt_from_not_gate():
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE labels['app'] = 'web' "
+        "AND line NOT LIKE '%debug%' LIMIT 9"
+    )
+    # label still extracted; NOT LIKE rides pushFilters, counts exact
+    assert spec.matchers == [("app", "=", "web")]
+    assert spec.line_contains == []
+    assert spec.exact_only and spec.limit == 9
+
+
+def test_loki_sql_pushes_rlike(spark, emulator):
+    df = loki_sql(
+        spark,
+        "SELECT line FROM logs WHERE labels['app'] = 'api' "
+        "AND line RLIKE 'err.r'",
+        emulator.endpoint,
+    )
+    assert [r.line for r in df.collect()] == ["error in handler"]
+    assert emulator.queries[-1] == '{app="api"} |~ `err.r`'

@@ -157,6 +157,10 @@ def loki_sql(
     # Spark-side), and (store-exact) LIMIT.
     if spec.line_regexes:
         kwargs["line_filters"] = ";".join(spec.line_regexes)
+    if spec.columns is not None:
+        # referenced-column superset → always-safe automatic projection
+        # (≙ O6 ProjectionMask::roots, src/scan.rs:203-206)
+        kwargs["columns"] = list(spec.columns)
     if spec.limit is not None and spec.exact_only:
         kwargs["limit"] = spec.limit
     df = loki_table(

@@ -87,6 +87,7 @@ class PushdownSpec:
     end_ns: int | None = None
     limit: int | None = None
     exact_only: bool = True  # every conjunct pushed with store-exact semantics
+    columns: tuple[str, ...] | None = None  # None = full schema
 
 
 def _iso_ns(lit: str) -> int | None:
@@ -114,6 +115,21 @@ def extract_pushdown(sql: str) -> PushdownSpec:
     m = re.search(r"\blimit\s+(\d+)\s*;?\s*$", masked, re.I)
     if m:
         spec.limit = int(m.group(1))
+
+    # projection: the scan only needs the schema columns the statement
+    # REFERENCES anywhere (select list, WHERE, GROUP BY, ...) — a superset
+    # of what the select list projects, which is exactly what makes the
+    # narrowing always-safe. `*` (outside literals) forces the full
+    # schema; a statement referencing no log column (SELECT COUNT(1))
+    # still needs one column to scan → cheapest (timestamp).
+    # ≙ O6 / ProjectionMask::roots (src/scan.rs:203-206), automated.
+    if "*" not in masked:
+        referenced = tuple(
+            c
+            for c in ("timestamp", "labels", "line")
+            if re.search(rf"\b{c}\b", masked, re.I)
+        )
+        spec.columns = referenced or ("timestamp",)
 
     wm = re.search(
         r"\bwhere\b(.*?)(?=\bgroup\s+by\b|\border\s+by\b|\blimit\b|;|$)",

@@ -196,3 +196,31 @@ def test_loki_sql_pushes_rlike(spark, emulator):
     )
     assert [r.line for r in df.collect()] == ["error in handler"]
     assert emulator.queries[-1] == '{app="api"} |~ `err.r`'
+
+
+def test_projection_extracts_referenced_columns():
+    spec = extract_pushdown(
+        "SELECT line FROM logs WHERE labels['app'] = 'web'"
+    )
+    assert spec.columns == ("labels", "line")
+    assert extract_pushdown("SELECT * FROM logs").columns is None
+    assert extract_pushdown("SELECT COUNT(1) AS n FROM logs").columns == (
+        "timestamp",
+    )
+
+
+def test_loki_sql_projects_referenced_columns_only(spark, emulator):
+    df = loki_sql(
+        spark,
+        "SELECT line FROM logs WHERE labels['app'] = 'web'",
+        emulator.endpoint,
+    )
+    assert sorted(r.line for r in df.collect()) == [
+        "request error 500",
+        "request ok",
+    ]
+    # the temp view bound by the bridge carries only the referenced columns
+    assert [f.name for f in spark.table("logs").schema.fields] == [
+        "labels",
+        "line",
+    ]

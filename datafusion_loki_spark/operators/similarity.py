@@ -819,14 +819,22 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_fit(emb_d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Run the fixed-iteration Lloyd's loop over (vec_id, e) and return
     (final assignment frame, final 1-row centroid frame) — shared by the
-    clustering operator and the learned-cell IVF index below."""
+    clustering operator and the learned-cell IVF index below.
+
+    The FINAL centroid row is materialized via localCheckpoint ("train
+    once, persist the codebook"): both returned frames depend on it, and
+    a consumer that uses the assignment AND the centroids (the IVF index:
+    member lists + probe routing) would otherwise execute the whole
+    training DAG once per branch — Catalyst has no common-subtree reuse
+    across broadcast boundaries. The checkpointed frame is one row of
+    K centroid structs, so the materialization cost is nil."""
     cents = _kmeans_cents_row(
         emb_d.where(F.col("vec_id") < KMEANS_K).select(
             F.col("vec_id").alias("cid"), F.col("e").alias("vec")
         )
     )
-    assigned = _kmeans_assign(emb_d, cents)
     for _ in range(KMEANS_ITERS - 1):
+        assigned = _kmeans_assign(emb_d, cents)
         ex = assigned.select("cid", F.posexplode("e").alias("pos", "val"))
         m = ex.groupBy("cid", "pos").agg(
             (
@@ -841,8 +849,8 @@ def _kmeans_fit(emb_d: DataFrame) -> tuple[DataFrame, DataFrame]:
                 ).alias("vec")
             )
         )
-        assigned = _kmeans_assign(emb_d, cents)
-    return assigned, cents
+    cents = cents.localCheckpoint()
+    return _kmeans_assign(emb_d, cents), cents
 
 
 IVF_PROBES = 2

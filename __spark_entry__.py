@@ -78,6 +78,7 @@ _NEVER_CHECKED = (
     "dedup_method_agreement",
     "corpus_build_manifest",
     "log_approx_quantile_audit",
+    "log_session_window_batch",
 )
 
 _R03_BACKFILL = (

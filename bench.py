@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "sim_pq_adc_topk",
     "log_heavy_hitters",
     "text_bigram_lm",
+    # appended round 5 (final): the power-method PCA (3 corpus passes +
+    # dim-scale reductions) and the two-generator agreement audit (runs
+    # both candidate pipelines + a full-outer pair join)
+    "emb_pca_project",
+    "dedup_method_agreement",
 ]
 
 

@@ -561,8 +561,13 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials; V rides a 1-row broadcast. Scoring joins the
     doc-bigram frame on (w1,w2) then w1 — two fact-scale shuffles on
     high-cardinality keys (Zipf-head skew absorbed by AQE skew-join; the
-    count tables broadcast when the vocabulary fits). Training and
-    scoring share one corpus scan shape; no Python anywhere."""
+    count tables broadcast when the vocabulary fits). The bigram subtree
+    feeds three consumers (unigram counts, bigram counts, scoring), so
+    Catalyst — having no common-subtree reuse — runs the tokenizer once
+    per consumer; the corpus-scale materialization is the wrong trade
+    locally, and at 100 TB the tokenized/bigram frame would be a
+    persisted table feeding all three (same documented trade as
+    text_token_commonness). No Python anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("t")

@@ -942,6 +942,54 @@ FROM events c JOIN events p
 """
 
 
+def log_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE session_window operator run in batch mode — literally
+    the same function the streaming pipeline uses
+    (streaming.pipeline.session_window_counts), re-invoked on the static
+    table: the batch/stream parity contract ("the identical code runs in
+    batch mode for backfills") made driver-checkable. Session semantics:
+    an event extends the session iff its window [ts, ts+5min) OVERLAPS
+    the session so far — i.e. a new session starts exactly when
+    ts − prev_ts ≥ gap (touching windows do NOT merge); the oracle
+    mirrors that boundary with >=.
+
+    100 TB posture: one shuffle on user_id; Spark's native session merge
+    replaces the lag/cumsum two-window-pass shape of
+    log_sessionize_batch with a single aggregation."""
+    from datafusion_loki_spark.streaming.pipeline import session_window_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_window_counts(ev)
+    return out.select(
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM ordered
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+       user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY user_id, sess
+"""
+
+
 def log_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-sketch audit — the p95 twin of log_approx_users: at
     100 TB the exact per-group p95 needs a full sort (or a bounded-group
@@ -1208,6 +1256,7 @@ QUERIES = {
     "log_templates": log_templates,
     "log_heavy_hitters": log_heavy_hitters,
     "log_approx_quantile_audit": log_approx_quantile_audit,
+    "log_session_window_batch": log_session_window_batch,
 }
 
 ORACLES = {
@@ -1272,4 +1321,5 @@ ORACLES = {
     "log_templates": _oracle_templates(),
     "log_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "log_approx_quantile_audit": ORACLE_APPROX_QUANTILE,
+    "log_session_window_batch": ORACLE_SESSION_WINDOW,
 }

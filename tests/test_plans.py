@@ -612,3 +612,19 @@ def test_corpus_manifest_composes_without_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_build_manifest")
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_no_registry_query_has_cartesian_product(spark, sf_dir):
+    # Blanket gate over the ENTIRE registry (the curated per-operator
+    # gates above pin specific shapes; this one guarantees no NEW query
+    # can ever ship an accidental cross product — the canonical
+    # dies-at-scale plan). Every intentional cross join in the repo rides
+    # a broadcast (BroadcastNestedLoopJoin), which this does not match.
+    import __spark_entry__ as e
+
+    offenders = []
+    for name, fn in e.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders

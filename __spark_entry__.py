@@ -79,6 +79,7 @@ _NEVER_CHECKED = (
     "corpus_build_manifest",
     "log_approx_quantile_audit",
     "log_session_window_batch",
+    "mm_exact_dedup",
 )
 
 _R03_BACKFILL = (

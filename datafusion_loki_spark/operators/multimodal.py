@@ -218,11 +218,56 @@ FROM f
 """
 
 
+def mm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary payloads: md5 over the raw BYTES (not a text
+    normalization — identical files dedup regardless of modality), keeping
+    the smallest doc_id per digest within each media type. The first step
+    every multimodal ingest runs: identical images/clips recrawled under
+    different ids collapse before any expensive decode.
+
+    100 TB posture: the digest is computed AT THE SCAN — the shuffle
+    carries (fingerprint, media_type, doc_id, n_bytes), never the payload
+    bytes; one map-side-combined aggregation on the uniform digest key.
+    The payload column feeds only the codegen'd md5 and is then dropped
+    by projection pruning."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select(
+            "media_type",
+            F.md5("payload").alias("fingerprint"),
+            "doc_id",
+            "n_bytes",
+        )
+        .groupBy("media_type", "fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+    )
+
+
+# DuckDB's md5() takes VARCHAR only; the payload IS the text's UTF-8
+# bytes here, so md5(text) produces the identical digest Spark computes
+# over the binary column — the oracle still certifies the bytes digest.
+ORACLE_MM_EXACT_DEDUP = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       md5(text) AS fingerprint,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies,
+       MIN(octet_length(CAST(text AS BLOB))) AS n_bytes
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
+    "mm_exact_dedup": mm_exact_dedup,
 }
 
 ORACLES = {
@@ -230,4 +275,5 @@ ORACLES = {
     "mm_decode_features": ORACLE_MM_DECODE,
     "mm_resize": ORACLE_MM_RESIZE,
     "mm_frame_sample": ORACLE_MM_FRAMES,
+    "mm_exact_dedup": ORACLE_MM_EXACT_DEDUP,
 }

@@ -572,23 +572,27 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("t")
     )
-    # guard size>=2 BEFORE sequence(): Spark's sequence(0, -1) would emit a
-    # descending [0, -1] for 1-token docs instead of an empty list
+    # size>=2 guard INSIDE the expression (Spark's sequence(0, -1) would
+    # emit a descending [0, -1] for 1-token docs); explode_outer — not a
+    # where() + explode — so neither a user Filter nor
+    # InferFiltersFromGenerate re-evaluates the tokenizer per row ahead of
+    # the projection (each consumer branch then pays split() exactly once;
+    # the NULL row an empty array produces vanishes in the inner c2 join)
     big = (
-        toks.where(F.expr("size(t) >= 2"))
-        .select(
+        toks.select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.expr(
-                    "transform(sequence(0, size(t) - 2),"
-                    " i -> struct(t[i] as w1, t[i + 1] as w2))"
+                    "if(size(t) >= 2, transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] as w1, t[i + 1] as w2)),"
+                    " array())"
                 )
             ).alias("b"),
         )
         .select("doc_id", "b.w1", "b.w2")
     )
     uni = (
-        toks.select(F.explode("t").alias("w"))
+        toks.select(F.explode_outer("t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )

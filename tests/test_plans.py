@@ -583,6 +583,11 @@ def test_bigram_lm_no_cartesian_no_forced_count_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     opt = _optimized(spark, sf_dir, "text_bigram_lm")
     assert opt.count("strategy=broadcast") <= 1, opt
+    # one tokenizer run per consumer branch (scored-bigrams, c2-bigrams,
+    # uni-join, uni-vocab) and NOT ALSO once per pushed/inferred Filter —
+    # explode_outer keeps InferFiltersFromGenerate out (was 10 split()s,
+    # the 4 here are the Catalyst-no-subtree-reuse floor)
+    assert opt.count("split(") <= 4, f"{opt.count('split(')} split()s:\n{opt}"
 
 
 def test_pq_adc_encode_is_single_pass(spark, sf_dir):

@@ -41,23 +41,30 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     token counting = whitespace split over normalized text; punctuation via
     regex strip; stopword ratio via array-lambda filter (all codegen'd).
-    """
+    The token array is materialized ONCE behind a projection barrier and
+    every statistic reads the shared ``toks`` column — the inline-per-column
+    form ran the regexp+split chain up to 10× per row (CollapseProject
+    keeps the barrier because toks has several non-lambda references;
+    see the _SHINGLES_FROM_TOKS note in operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    toks = docs.select(
+        "doc_id", "text", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    )
+    return toks.select(
         "doc_id",
-        F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_tokens"),
+        F.expr("size(toks)").alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
         F.expr("length(regexp_replace(text, '[^.,;:!?]', ''))").alias("n_punct"),
         F.expr(
-            f"size(filter(split({_NORM_SPARK}, ' '), t -> t in ({_STOP_SQL})))"
+            f"size(filter(toks, t -> t in ({_STOP_SQL})))"
         ).alias("n_stopwords"),
         F.expr(
-            f"cast(size(filter(split({_NORM_SPARK}, ' '), t -> t in ({_STOP_SQL}))) as double)"
-            f" / size(split({_NORM_SPARK}, ' '))"
+            f"cast(size(filter(toks, t -> t in ({_STOP_SQL}))) as double)"
+            " / size(toks)"
         ).alias("stop_ratio"),
         F.expr(
-            f"cast(aggregate(split({_NORM_SPARK}, ' '), 0, (acc, t) -> acc + length(t)) as double)"
-            f" / size(split({_NORM_SPARK}, ' '))"
+            "cast(aggregate(toks, 0, (acc, t) -> acc + length(t)) as double)"
+            " / size(toks)"
         ).alias("avg_token_len"),
     )
 
@@ -81,7 +88,15 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate: keep documents passing simple trainability heuristics
     (length window, bounded punctuation density, token-length sanity) and
     emit an integer quality score. The 100 TB story: this is a pure
-    filter+project — runs at scan speed, prunes data before any shuffle."""
+    filter+project — runs at scan speed, prunes data before any shuffle.
+
+    Plan note: predicate pushdown substitutes the stat aliases into the
+    scan-side Filter (Catalyst inlines through projections regardless of
+    expression cost), so the tokenizer chain appears several times in the
+    predicate. That is the right side of the trade for a REJECTING gate:
+    failing rows die at the scan without ever materializing the stats
+    projection; the passing minority pays one extra chain. The shared-toks
+    barrier in text_stats still caps the projection itself at one run."""
     stats = text_stats(spark, sf_dir)
     return (
         stats.withColumn(

@@ -135,11 +135,6 @@ WHERE (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
 """
 
 
-def _lang_score_spark(lang: str) -> str:
-    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
-    return f"size(filter(split({_NORM_SPARK}, ' '), t -> t in ({markers})))"
-
-
 def _lang_score_duck(lang: str) -> str:
     markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
     return f"len(list_filter(string_split({_NORM_DUCK}, ' '), t -> t IN ({markers})))"
@@ -148,9 +143,20 @@ def _lang_score_duck(lang: str) -> str:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (n-gram-heuristic family): score each
     language by its marker-token hits, argmax with a fixed precedence order
-    for ties. Pure column expressions — no UDF, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    scores = {lang: _lang_score_spark(lang) for lang in LANG_MARKERS}
+    for ties. Pure column expressions — no UDF, no shuffle. The token
+    array is materialized once (shared-toks barrier, see text_stats);
+    the per-language scores filter the shared column."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    )
+    scores = {
+        lang: (
+            "size(filter(toks, t -> t in ("
+            + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+            + ")))"
+        )
+        for lang in LANG_MARKERS
+    }
     score_cols = [F.expr(s).alias(f"score_{lang}") for lang, s in scores.items()]
     langs = list(LANG_MARKERS)
     # argmax with precedence = declaration order (en first on full tie)
@@ -222,8 +228,15 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     declaration-order precedence. Upgrade path over the marker-word
     variant: counts repeats and needs no tokenization."""
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the normalized text ONCE — the 20 score terms reference
+    # the `norm` column (40 references, all outside lambdas), so
+    # CollapseProject keeps the barrier and the regexp chain runs once per
+    # row instead of 40× (same fix as text_stats' shared toks)
+    docs = docs.select(
+        "doc_id", "lang", F.expr(_NORM_SPARK).alias("norm")
+    )
     score_cols = [
-        F.expr(f"CAST({_trigram_score(lang, _NORM_SPARK)} AS BIGINT)").alias(
+        F.expr(f"CAST({_trigram_score(lang, 'norm')} AS BIGINT)").alias(
             f"tg_{lang}"
         )
         for lang in LANG_TRIGRAMS

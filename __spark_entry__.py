@@ -80,6 +80,7 @@ _NEVER_CHECKED = (
     "log_approx_quantile_audit",
     "log_session_window_batch",
     "mm_exact_dedup",
+    "graph_pagerank_dups",
 )
 
 _R03_BACKFILL = (

@@ -1084,6 +1084,101 @@ GROUP BY 1
 """
 
 
+PAGERANK_ITERS = 2
+
+
+def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the symmetric LSH near-dup graph —
+    duplicate-cluster CENTRALITY: the highest-rank member of a cluster is
+    its most-connected (most canonical) version, the authority-based
+    alternative to dedup_keep_list's min-id survivor rule. Also the proof
+    that the repo's iterative-algorithm pattern (CC, k-means, PCA)
+    generalizes to damped propagation.
+
+    rank₀ = 1; rankₜ(v) = 0.15 + 0.85·Σ_{u→v} rankₜ₋₁(u)/deg(u) (the
+    N-scaled form — ranks hover near 1 instead of 1/N, same ordering).
+    Iteration count fixed at 2 so the oracle unrolls; production loops
+    until |Δrank| < ε with the identical per-round plan.
+
+    Determinism: contributions r/deg are single exactly-rounded IEEE
+    divisions; per-node sums run in DECIMAL(38,20) via the string-hop
+    convention; 0.15 + 0.85·s is a fixed-order pair of exact ops — every
+    float bit-identical to the unrolled DuckDB oracle.
+
+    100 TB posture: the edge list is the capped, MATERIALIZED LSH output
+    (shared _symmetric_edges checkpoint — the MinHash DAG is never
+    re-executed per round); each round is two joins + one agg on the
+    candidate-graph scale (≪ corpus), keys uniform. Degrees are computed
+    once outside the loop."""
+    sym = _symmetric_edges(spark, sf_dir)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            sym.join(deg, "src")
+            .join(ranks, sym.src == ranks.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "cast(cast(rank / deg as string) as decimal(38,20))"
+                    )
+                )
+                .cast("double")
+                .alias("s")
+            )
+        )
+        ranks = nodes.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(0.15)
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks
+
+
+def _oracle_pagerank() -> str:
+    ctes, pairs = _oracle_minhash_parts()
+    it = []
+    prev = "pr0"
+    for t in range(1, PAGERANK_ITERS + 1):
+        it.append(f"""prc{t} AS (
+  SELECT e.dst AS doc_id,
+         CAST(CAST(SUM(CAST(CAST(r.rank / d.deg AS VARCHAR)
+                            AS DECIMAL(38,20))) AS VARCHAR) AS DOUBLE) AS s
+  FROM edges e JOIN deg d ON e.src = d.src JOIN {prev} r ON e.src = r.doc_id
+  GROUP BY e.dst
+), pr{t} AS (
+  SELECT n.doc_id,
+         CAST(0.15 AS DOUBLE)
+           + CAST(0.85 AS DOUBLE) * COALESCE(prc{t}.s, CAST(0.0 AS DOUBLE))
+           AS rank
+  FROM nodes n LEFT JOIN prc{t} USING (doc_id)
+)""")
+        prev = f"pr{t}"
+    chain = ",\n".join(it)
+    return f"""
+WITH {ctes},
+pairs AS (
+  {pairs}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), pr0 AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) AS rank FROM nodes
+),
+{chain}
+SELECT doc_id, rank FROM pr{PAGERANK_ITERS}
+"""
+
+
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-method candidate audit: full-outer agreement between the two
     independent near-dup candidate generators (MinHash-LSH banding vs
@@ -1142,6 +1237,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_hamming": dedup_simhash_hamming,
     "dedup_method_agreement": dedup_method_agreement,
+    "graph_pagerank_dups": graph_pagerank_dups,
 }
 
 ORACLES = {
@@ -1167,4 +1263,5 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_hamming": _oracle_simhash_hamming(),
     "dedup_method_agreement": _oracle_method_agreement(),
+    "graph_pagerank_dups": _oracle_pagerank(),
 }

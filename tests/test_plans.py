@@ -633,3 +633,13 @@ def test_no_registry_query_has_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_pagerank_rounds_reuse_materialized_edges(spark, sf_dir):
+    # Every PageRank round must consume the checkpointed edge list (bare
+    # ExistingRDD scans) — if the MinHash/LSH DAG leaks back into the
+    # per-round plan, training cost multiplies by iteration count (the
+    # same regression the CC gate pins).
+    plan = _plan(spark, sf_dir, "graph_pagerank_dups")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "FileScan parquet" not in plan, plan

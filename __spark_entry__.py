@@ -81,6 +81,7 @@ _NEVER_CHECKED = (
     "log_session_window_batch",
     "mm_exact_dedup",
     "graph_pagerank_dups",
+    "mix_epoch_plan",
 )
 
 _R03_BACKFILL = (

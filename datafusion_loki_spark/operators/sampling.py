@@ -201,6 +201,28 @@ FROM documents
 MIX_TOKEN_BUDGET = 20_000  # global token budget B for the mixture
 
 
+def _lang_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, avail_tokens, weight, w_sum_dec): the sqrt-weighted
+    per-language token inventory with the DECIMAL(38,15)-exact mixture
+    denominator riding a 1-row broadcast — shared by the budget allocator
+    and the epoch planner."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_toks")
+    )
+    per_lang = toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("avail_tokens"),
+    )
+    w = per_lang.withColumn(
+        "weight", F.expr("sqrt(cast(avail_tokens as double))")
+    )
+    total_w = w.agg(
+        F.sum(F.col("weight").cast("decimal(38,15)")).alias("w_sum_dec")
+    )
+    return w.crossJoin(F.broadcast(total_w))
+
+
 def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing budget allocation: split a global token budget across
     languages proportional to sqrt(available tokens) (temperature T=2
@@ -217,22 +239,8 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: one map-side-partial agg over the pruned scan, then
     arithmetic over a #languages-row frame — scan-bound."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_toks")
-    )
-    per_lang = toks.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_toks").alias("avail_tokens"),
-    )
-    w = per_lang.withColumn(
-        "weight", F.expr("sqrt(cast(avail_tokens as double))")
-    )
-    total_w = w.agg(
-        F.sum(F.col("weight").cast("decimal(38,15)")).alias("w_sum_dec")
-    )
     return (
-        w.crossJoin(F.broadcast(total_w))
+        _lang_weight_frame(spark, sf_dir)
         .select(
             "lang",
             "n_docs",
@@ -265,6 +273,71 @@ SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
              CAST(floor({MIX_TOKEN_BUDGET}.0 * weight
                         / CAST(w_sum_dec AS DOUBLE)) AS BIGINT)) AS quota_tokens
 FROM w CROSS JOIN tw
+"""
+
+
+# epoch-plan target: deliberately larger than any test corpus so the
+# repeat-factor arithmetic is exercised (a budget below availability makes
+# every row one partial epoch — the mix_token_budget case)
+MIX_EPOCH_TARGET = 5_000_000
+
+
+def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoching plan — the step after budget allocation when the target
+    mixture WANTS more tokens than a language has: each language's
+    sqrt-weighted allocation becomes (full epochs over its corpus +
+    a remainder slice), the repeat-factor table the training loader
+    consumes. Integer-exact throughout: the only floats are the shared
+    sqrt weights and the one allocation division (same decimal-sum
+    denominator as mix_token_budget); epochs and remainder are pure
+    BIGINT ceil-div arithmetic.
+
+    100 TB posture: identical to mix_token_budget — one
+    map-side-partial agg over the pruned scan, then arithmetic on a
+    #languages-row frame."""
+    frame = _lang_weight_frame(spark, sf_dir)
+    target = (
+        f"cast(floor({MIX_EPOCH_TARGET}.0d * weight"
+        " / cast(w_sum_dec as double)) as bigint)"
+    )
+    return frame.select(
+        "lang",
+        "avail_tokens",
+        F.expr(target).alias("target_tokens"),
+        F.expr(f"({target} + avail_tokens - 1) div avail_tokens").alias(
+            "n_epochs"
+        ),
+        F.expr(
+            f"{target} - (({target} + avail_tokens - 1) div avail_tokens - 1)"
+            " * avail_tokens"
+        ).alias("last_epoch_tokens"),
+    )
+
+
+ORACLE_MIX_EPOCH_PLAN = f"""
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(len(string_split({_NORM_DUCK}, ' '))) AS avail_tokens
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+         sqrt(CAST(avail_tokens AS DOUBLE)) AS weight
+  FROM per_lang
+), tw AS (
+  SELECT SUM(CAST(CAST(weight AS VARCHAR) AS DECIMAL(38,15))) AS w_sum_dec
+  FROM w
+), t AS (
+  SELECT lang, avail_tokens,
+         CAST(floor({MIX_EPOCH_TARGET}.0 * weight
+                    / CAST(w_sum_dec AS DOUBLE)) AS BIGINT) AS target_tokens
+  FROM w CROSS JOIN tw
+)
+SELECT lang, avail_tokens, target_tokens,
+       (target_tokens + avail_tokens - 1) // avail_tokens AS n_epochs,
+       target_tokens
+         - ((target_tokens + avail_tokens - 1) // avail_tokens - 1)
+           * avail_tokens AS last_epoch_tokens
+FROM t
 """
 
 
@@ -326,6 +399,7 @@ QUERIES = {
     "sample_docs_temperature": sample_docs_temperature,
     "sample_docs_hash_split": sample_docs_hash_split,
     "mix_token_budget": mix_token_budget,
+    "mix_epoch_plan": mix_epoch_plan,
     "corpus_build_manifest": corpus_build_manifest,
 }
 
@@ -336,5 +410,6 @@ ORACLES = {
     "sample_docs_temperature": ORACLE_SAMPLE_TEMPERATURE,
     "sample_docs_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
     "mix_token_budget": ORACLE_MIX_TOKEN_BUDGET,
+    "mix_epoch_plan": ORACLE_MIX_EPOCH_PLAN,
     "corpus_build_manifest": _oracle_corpus_manifest(),
 }

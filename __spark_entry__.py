@@ -82,6 +82,7 @@ _NEVER_CHECKED = (
     "mm_exact_dedup",
     "graph_pagerank_dups",
     "mix_epoch_plan",
+    "sim_recall_audit",
 )
 
 _R03_BACKFILL = (

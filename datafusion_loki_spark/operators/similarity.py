@@ -1238,6 +1238,60 @@ SELECT query_id, rank, cand_id, {c_cols}, adc_d2 FROM (
 """
 
 
+def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@k audit: per query, how many of the EXACT cosine top-k
+    (sim_topk_cosine, the ground truth) the learned-cell IVF index
+    (sim_ivf_kmeans_topk) actually returned — the acceptance measurement
+    every ANN deployment runs before trading exactness for probe count
+    (recall too low → raise IVF_PROBES or K; the dedup twin of this
+    composition is dedup_method_agreement).
+
+    Exactness: n_hits is an integer intersection count; recall is one
+    exact IEEE division by k. 100 TB posture: both inputs are
+    top-k-per-query frames (queries × k rows — tiny by construction),
+    so the audit join costs nothing beyond the two pipelines it audits;
+    the brute-force side is the one you can only afford on a sample at
+    scale, which is exactly how recall audits are run."""
+    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "cand_id")
+    approx = sim_ivf_kmeans_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.lit(float(TOP_K))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _oracle_recall_audit() -> str:
+    return f"""
+WITH ex AS (
+  SELECT query_id, cand_id FROM ({ORACLE_SIM_TOPK}) x
+), ap AS (
+  SELECT query_id, cand_id FROM ({ORACLE_SIM_IVF_KMEANS}) y
+), h AS (
+  SELECT query_id, COUNT(*) AS n
+  FROM ex JOIN ap USING (query_id, cand_id) GROUP BY query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n, 0) AS DOUBLE) / CAST({TOP_K} AS DOUBLE)
+         AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id)
+"""
+
+
 PCA_ITERS = 3
 
 # sequential indexed dot-product fold between two double arrays — the
@@ -1397,6 +1451,7 @@ QUERIES = {
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
     "sim_pq_adc_topk": sim_pq_adc_topk,
     "emb_pca_project": emb_pca_project,
+    "sim_recall_audit": sim_recall_audit,
 }
 
 ORACLES = {
@@ -1414,4 +1469,5 @@ ORACLES = {
     "sim_ivf_kmeans_topk": ORACLE_SIM_IVF_KMEANS,
     "sim_pq_adc_topk": _oracle_pq_adc(),
     "emb_pca_project": _oracle_pca(),
+    "sim_recall_audit": _oracle_recall_audit(),
 }

@@ -266,3 +266,25 @@ def test_loki_sql_equivalent_to_unpushed(spark, emulator, cond):
     ).createOrReplaceTempView("logs")
     unpushed = sorted(r.line for r in spark.sql(sql).collect())
     assert pushed == unpushed, cond
+
+
+def test_loki_sql_federation_join(spark, emulator):
+    # The engine's core pitch through the bridge: Loki logs × a warehouse
+    # dimension in ONE statement — the pushed label selector prunes the
+    # stream while the join and aggregation run in Spark. Other tables in
+    # the statement resolve from the session catalog as usual; only the
+    # extracted FROM table is bound to the pruned scan.
+    spark.createDataFrame(
+        [("web", "frontend team"), ("api", "platform team")],
+        "app string, owner string",
+    ).createOrReplaceTempView("owners")
+    df = loki_sql(
+        spark,
+        "SELECT o.owner, count(*) AS n FROM logs l "
+        "JOIN owners o ON l.labels['app'] = o.app "
+        "WHERE labels['app'] = 'api' GROUP BY o.owner",
+        emulator.endpoint,
+    )
+    rows = df.collect()
+    assert [(r.owner, r.n) for r in rows] == [("platform team", 2)]
+    assert emulator.queries[-1] == '{app="api"}'

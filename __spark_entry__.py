@@ -83,6 +83,7 @@ _NEVER_CHECKED = (
     "graph_pagerank_dups",
     "mix_epoch_plan",
     "sim_recall_audit",
+    "dedup_similarity_histogram",
 )
 
 _R03_BACKFILL = (

@@ -562,6 +562,51 @@ JOIN sh b ON cand.doc_b = b.doc_id
 """
 
 
+SIM_HIST_BINS = 10
+
+
+def dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the near-dup cutoff: the distribution of
+    EXACT Jaccard over the LSH candidate pairs, bucketed into 10 bins —
+    the artifact you stare at before choosing the keep/drop threshold
+    (a bimodal histogram → clean cutoff; mass near the band-probability
+    knee → tighten bands first). jaccard = 1.0 clamps into the top bin so
+    exact duplicates don't spawn an 11th bucket.
+
+    100 TB posture: everything downstream of dedup_ngram_jaccard's
+    candidate-pruned kernel; the rollup key is 10 values — the shuffle is
+    a rounding error next to the verify stage it audits."""
+    j = dedup_ngram_jaccard(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("jaccard") * SIM_HIST_BINS), F.lit(SIM_HIST_BINS - 1)
+    ).cast("bigint")
+    return (
+        j.groupBy(bucket.alias("bin"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / SIM_HIST_BINS).alias("lo"),
+            ((F.col("bin") + 1).cast("double") / SIM_HIST_BINS).alias("hi"),
+            "n_pairs",
+        )
+    )
+
+
+def _oracle_similarity_histogram() -> str:
+    return f"""
+WITH j AS ({_oracle_ngram_jaccard()})
+SELECT bin,
+       CAST(bin AS DOUBLE) / {SIM_HIST_BINS} AS lo,
+       CAST(bin + 1 AS DOUBLE) / {SIM_HIST_BINS} AS hi,
+       COUNT(*) AS n_pairs
+FROM (
+  SELECT CAST(LEAST(FLOOR(jaccard * {SIM_HIST_BINS}),
+                    {SIM_HIST_BINS - 1}) AS BIGINT) AS bin
+  FROM j
+) GROUP BY bin
+"""
+
+
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimated Jaccard for LSH candidate pairs from minhash agreement
     (matching signature positions / 8) — the middle stage of the standard
@@ -1230,6 +1275,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_similarity_histogram": dedup_similarity_histogram,
     "dedup_edit_distance": dedup_edit_distance,
     "dedup_contamination": dedup_contamination,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1256,6 +1302,7 @@ ORACLES = {
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_minhash_estimate": _oracle_minhash_estimate(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
+    "dedup_similarity_histogram": _oracle_similarity_histogram(),
     "dedup_edit_distance": _oracle_edit_distance(),
     "dedup_contamination": _oracle_contamination(),
     "dedup_embedding_cosine": _oracle_dedup_embedding(),

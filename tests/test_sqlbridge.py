@@ -288,3 +288,36 @@ def test_loki_sql_federation_join(spark, emulator):
     rows = df.collect()
     assert [(r.owner, r.n) for r in rows] == [("platform team", 2)]
     assert emulator.queries[-1] == '{app="api"}'
+
+
+def test_extract_pushdown_never_raises_on_arbitrary_text():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(max_size=200))
+    def run(sql):
+        # contract: unrecognized SQL degrades to an empty spec, never an
+        # exception (loki_sql falls back to an unpruned scan)
+        extract_pushdown(sql)
+
+    run()
+
+
+def test_extract_pushdown_never_raises_on_sqlish_soup():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.sampled_from([
+        "SELECT", "FROM logs", "WHERE", "AND", "OR", "NOT", "LIMIT 5",
+        "labels['app']", "=", "!=", "'web'", "line", "LIKE", "RLIKE",
+        "ILIKE", "'%x%'", "timestamp", ">=", "TIMESTAMP", "'2024-01-01'",
+        "(", ")", "''", "'", "group by", "order by", ";",
+    ])
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(frag, max_size=25))
+    def run(parts):
+        extract_pushdown(" ".join(parts))
+
+    run()

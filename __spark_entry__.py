@@ -84,6 +84,7 @@ _NEVER_CHECKED = (
     "mix_epoch_plan",
     "sim_recall_audit",
     "dedup_similarity_histogram",
+    "log_slo_burn",
 )
 
 _R03_BACKFILL = (

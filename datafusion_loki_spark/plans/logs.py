@@ -942,6 +942,57 @@ FROM events c JOIN events p
 """
 
 
+SLO_TARGET = 0.99
+
+
+def log_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day SLO error-budget burn rate — the SRE rollup a log store
+    feeds to alerting: err_rate = errors/total, burn = err_rate/(1−SLO);
+    burn > 1 means the day spent budget faster than a 99%-target period
+    allows. Pure integer counts + two exactly-rounded divisions (the
+    (1−SLO) denominator is a compile-time double literal — identical on
+    both engines), so the row is fully hash-checkable.
+
+    100 TB posture: one map-side-combined agg on the bounded day key;
+    the conditional error count rides the same partials — no second
+    scan, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+    )
+    err_rate = F.col("n_errors").cast("double") / F.col("n_total")
+    # burn = err_rate / (1−SLO), expressed as ×100 — the reciprocal is an
+    # exactly-representable literal, whereas a (1.0 − 0.99) divisor parses
+    # through DECIMAL on DuckDB and lands 1 ulp off the IEEE subtraction
+    burn = err_rate * F.lit(100.0)
+    return per_day.select(
+        "day",
+        "n_total",
+        "n_errors",
+        err_rate.alias("err_rate"),
+        burn.alias("burn_rate"),
+        (burn > F.lit(1.0)).alias("budget_exhausted"),
+    )
+
+
+ORACLE_SLO_BURN = f"""
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_total,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT day, n_total, CAST(n_errors AS BIGINT) AS n_errors,
+       CAST(n_errors AS DOUBLE) / n_total AS err_rate,
+       CAST(n_errors AS DOUBLE) / n_total * CAST(100 AS DOUBLE) AS burn_rate,
+       CAST(n_errors AS DOUBLE) / n_total * CAST(100 AS DOUBLE) > 1.0
+         AS budget_exhausted
+FROM per_day
+"""
+
+
 def log_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE session_window operator run in batch mode — literally
     the same function the streaming pipeline uses
@@ -1257,6 +1308,7 @@ QUERIES = {
     "log_heavy_hitters": log_heavy_hitters,
     "log_approx_quantile_audit": log_approx_quantile_audit,
     "log_session_window_batch": log_session_window_batch,
+    "log_slo_burn": log_slo_burn,
 }
 
 ORACLES = {
@@ -1322,4 +1374,5 @@ ORACLES = {
     "log_heavy_hitters": ORACLE_HEAVY_HITTERS,
     "log_approx_quantile_audit": ORACLE_APPROX_QUANTILE,
     "log_session_window_batch": ORACLE_SESSION_WINDOW,
+    "log_slo_burn": ORACLE_SLO_BURN,
 }

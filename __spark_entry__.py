@@ -85,6 +85,7 @@ _NEVER_CHECKED = (
     "sim_recall_audit",
     "dedup_similarity_histogram",
     "log_slo_burn",
+    "sim_pq_recall_audit",
 )
 
 _R03_BACKFILL = (

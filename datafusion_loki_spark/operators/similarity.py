@@ -1252,8 +1252,21 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the audit join costs nothing beyond the two pipelines it audits;
     the brute-force side is the one you can only afford on a sample at
     scale, which is exactly how recall audits are run."""
+    return _recall_against_exact(spark, sf_dir, sim_ivf_kmeans_topk)
+
+
+def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k for the product-quantization index (sim_pq_adc_topk) — the
+    PQ twin of sim_recall_audit, so the two trained indexes are measured
+    against the same exact-cosine ground truth and directly comparable
+    (the IVF/PQ tuning decision is made from exactly this pair of
+    numbers). Same integer-intersection exactness contract."""
+    return _recall_against_exact(spark, sf_dir, sim_pq_adc_topk)
+
+
+def _recall_against_exact(spark, sf_dir, approx_fn) -> DataFrame:
     exact = sim_topk_cosine(spark, sf_dir).select("query_id", "cand_id")
-    approx = sim_ivf_kmeans_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = approx_fn(spark, sf_dir).select("query_id", "cand_id")
     hits = (
         exact.join(approx, ["query_id", "cand_id"])
         .groupBy("query_id")
@@ -1274,12 +1287,12 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_recall_audit() -> str:
+def _oracle_recall_audit(approx_oracle: str | None = None) -> str:
     return f"""
 WITH ex AS (
   SELECT query_id, cand_id FROM ({ORACLE_SIM_TOPK}) x
 ), ap AS (
-  SELECT query_id, cand_id FROM ({ORACLE_SIM_IVF_KMEANS}) y
+  SELECT query_id, cand_id FROM ({approx_oracle or ORACLE_SIM_IVF_KMEANS}) y
 ), h AS (
   SELECT query_id, COUNT(*) AS n
   FROM ex JOIN ap USING (query_id, cand_id) GROUP BY query_id
@@ -1452,6 +1465,7 @@ QUERIES = {
     "sim_pq_adc_topk": sim_pq_adc_topk,
     "emb_pca_project": emb_pca_project,
     "sim_recall_audit": sim_recall_audit,
+    "sim_pq_recall_audit": sim_pq_recall_audit,
 }
 
 ORACLES = {
@@ -1470,4 +1484,5 @@ ORACLES = {
     "sim_pq_adc_topk": _oracle_pq_adc(),
     "emb_pca_project": _oracle_pca(),
     "sim_recall_audit": _oracle_recall_audit(),
+    "sim_pq_recall_audit": _oracle_recall_audit(_oracle_pq_adc()),
 }

@@ -1260,7 +1260,15 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ twin of sim_recall_audit, so the two trained indexes are measured
     against the same exact-cosine ground truth and directly comparable
     (the IVF/PQ tuning decision is made from exactly this pair of
-    numbers). Same integer-intersection exactness contract."""
+    numbers). Same integer-intersection exactness contract.
+
+    Observed at test scale: PQ recall lands well BELOW IVF's — expected,
+    and exactly what this audit is for: sim_pq_adc_topk ranks by L2 ADC
+    over unnormalized vectors while the ground truth ranks by cosine, so
+    quantization loss is compounded by metric mismatch (a production
+    cosine-serving PQ L2-normalizes vectors before training/encoding —
+    then L2 order ≡ cosine order). The audit turns that design decision
+    into a measured number instead of a surprise."""
     return _recall_against_exact(spark, sf_dir, sim_pq_adc_topk)
 
 

@@ -1033,9 +1033,14 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., PAMI 2011 — public): train
     an independent k-means codebook per 16-dim subspace, encode every
     vector as PQ_M centroid ids (4 bytes — a 64× compression of the
-    64-float embedding), and answer top-k by asymmetric distance (ADC):
-    the query stays exact, each base vector is scored through its
-    reconstruction, distance = Σ_s d²(q_s, codebook_s[code_s]).
+    64-float embedding), and answer top-k by asymmetric INNER-PRODUCT
+    scoring (IP-ADC): the query stays exact, each base vector is scored
+    through its reconstruction, score = (Σ_s q_s·codebook_s[code_s])/‖x‖
+    — dot(q, recon(x)) normalized by the TRUE row norm stored at encode
+    time, so the ranking approximates cosine (the corpus' metric — every
+    other sim_* op ranks by cosine; ‖q‖ is constant per query and drops
+    out of per-query ranking). Codebooks still train/assign by L2 on the
+    raw subvectors, the standard recipe.
 
     100 TB posture: training is PQ_M independent runs of the k-means plan
     (per iteration: one zero-shuffle assignment projection — codebooks
@@ -1134,9 +1139,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" (acc, i) -> acc + ({a}[i] - c.vec[i]) * ({a}[i] - c.vec[i]))"
         )
 
-    # encode: ONE corpus projection computing all PQ_M argmin codes
+    # encode: ONE corpus projection computing all PQ_M argmin codes plus
+    # the TRUE row norm (a scalar — stored beside the 4-byte code in a
+    # real deployment, it's what lets IP-ADC serve cosine)
     enc = emb_d.crossJoin(F.broadcast(kbook)).select(
         "vec_id",
+        F.expr(_NRM_E_SPARK.format(a="e")).alias("x_nrm"),
         *[
             F.expr(
                 f"array_min(transform(k{s}, c -> named_struct("
@@ -1146,11 +1154,18 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    # per-query ADC lookup tables: cid → d²(q_s, codebook_s[cid]) — the
-    # K×PQ_M partial-distance table of the PQ paper, built once per query
-    # (N_QUERIES rows); the per-pair hot path is then PQ_M map probes and
-    # PQ_M−1 adds instead of PQ_M 16-dim folds (~16× less arithmetic on
-    # the corpus×queries stage, identical doubles)
+    def _qdot(s: int) -> str:
+        qs = _pq_sub("qe", s)
+        return (
+            f"aggregate(sequence(0, size({qs}) - 1), 0.0d,"
+            f" (acc, i) -> acc + {qs}[i] * c.vec[i])"
+        )
+
+    # per-query ADC lookup tables: cid → q_s·codebook_s[cid] — the
+    # K×PQ_M partial-product table of the PQ paper, built once per query
+    # (N_QUERIES rows); the per-pair hot path is then PQ_M map probes,
+    # PQ_M−1 adds, and one divide instead of PQ_M 16-dim folds (~16×
+    # less arithmetic on the corpus×queries stage, identical doubles)
     qf = emb_d.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
@@ -1159,20 +1174,24 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.expr(
                 f"map_from_arrays(transform(k{s}, c -> c.cid),"
-                f" transform(k{s}, c -> {_d2(_pq_sub('qe', s))}))"
+                f" transform(k{s}, c -> {_qdot(s)}))"
             ).alias(f"lut{s}")
             for s in range(PQ_M)
         ],
     )
 
-    adc = " + ".join(f"element_at(lut{s}, c{s})" for s in range(PQ_M))
+    adc = (
+        "("
+        + " + ".join(f"element_at(lut{s}, c{s})" for s in range(PQ_M))
+        + ") / x_nrm"
+    )
     scored = (
         enc.crossJoin(F.broadcast(qf))
         .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("adc_d2", F.expr(adc))
+        .withColumn("adc_score", F.expr(adc))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_d2"), F.asc("vec_id")
+        F.desc("adc_score"), F.asc("vec_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1182,7 +1201,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.col("vec_id").alias("cand_id"),
             *[f"c{s}" for s in range(PQ_M)],
-            "adc_d2",
+            "adc_score",
         )
     )
 
@@ -1205,34 +1224,40 @@ def _oracle_pq_adc() -> str:
         f"JOIN cents1_s{s} k{s} ON k{s}.cid = x.c{s}" for s in range(PQ_M)
     )
 
-    def d2(s: int) -> str:
+    def dot(s: int) -> str:
         return (
             f"list_sum(list_transform(generate_series(1, len(q{s}.e)),"
-            f" i -> (q{s}.e[i] - k{s}.vec[i]) * (q{s}.e[i] - k{s}.vec[i])))"
+            f" i -> q{s}.e[i] * k{s}.vec[i]))"
         )
 
-    adc = " + ".join(f"({d2(s)})" for s in range(PQ_M))
+    adc = (
+        "("
+        + " + ".join(f"({dot(s)})" for s in range(PQ_M))
+        + ") / x.x_nrm"
+    )
     c_cols = ", ".join(f"c{s}" for s in range(PQ_M))
+    nrm = _NRM_E_DUCK.format(a="list_transform(embedding, v -> CAST(v AS DOUBLE))")
     return f"""
 WITH {ctes},
 codes AS (
-  SELECT a0.vec_id, {codes_sel}
+  SELECT a0.vec_id, n.x_nrm, {codes_sel}
   FROM (SELECT vec_id, cid FROM assign2_s0 WHERE rn = 1) a0
   {code_joins}
+  JOIN (SELECT vec_id, {nrm} AS x_nrm FROM embeddings) n USING (vec_id)
 ), q AS (
   SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERIES}
 ), pq_scored AS (
   SELECT q.query_id, x.vec_id AS cand_id, {', '.join(f'x.c{s}' for s in range(PQ_M))},
-         {adc} AS adc_d2
+         {adc} AS adc_score
   FROM codes x
   CROSS JOIN q
   {q_joins}
   {k_joins}
   WHERE x.vec_id != q.query_id
 )
-SELECT query_id, rank, cand_id, {c_cols}, adc_d2 FROM (
+SELECT query_id, rank, cand_id, {c_cols}, adc_score FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-             ORDER BY adc_d2 ASC, cand_id ASC) AS rank
+             ORDER BY adc_score DESC, cand_id ASC) AS rank
   FROM pq_scored
 ) WHERE rank <= {TOP_K}
 """
@@ -1262,13 +1287,15 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the IVF/PQ tuning decision is made from exactly this pair of
     numbers). Same integer-intersection exactness contract.
 
-    Observed at test scale: PQ recall lands well BELOW IVF's — expected,
-    and exactly what this audit is for: sim_pq_adc_topk ranks by L2 ADC
-    over unnormalized vectors while the ground truth ranks by cosine, so
-    quantization loss is compounded by metric mismatch (a production
-    cosine-serving PQ L2-normalizes vectors before training/encoding —
-    then L2 order ≡ cosine order). The audit turns that design decision
-    into a measured number instead of a surprise."""
+    Observed at test scale: PQ recall lands well BELOW IVF's even with
+    the cosine-serving IP-ADC scoring — measured, not surprising: K=8
+    centroids per subspace at a fixed 2 Lloyd iterations is a test-scale
+    codebook (production uses K=256 per subspace, ~32× finer cells, plus
+    an exact re-rank over the ADC top-N). IVF keeps full-precision
+    vectors inside each probed cell, so its error is only cell-routing;
+    PQ's error is reconstruction itself. The audit is exactly the
+    instrument that tells you whether the 64× compression is worth the
+    recall at YOUR K/PQ_M/re-rank budget."""
     return _recall_against_exact(spark, sf_dir, sim_pq_adc_topk)
 
 

@@ -138,3 +138,48 @@ def test_compact_filtered_subset_preserves_other_partitions(spark, sf_dir, tmp_p
     # and the targeted partition really was compacted to one file
     files = glob.glob(os.path.join(out, f"lang={target}", "*.parquet"))
     assert len(files) == 1, files
+
+
+def test_corpus_export_end_to_end(spark, sf_dir, tmp_path):
+    # The full pipeline deliverable landed on disk: quality ∧ keep-list
+    # admitted docs written as Hive-partitioned parquet (partitioned by
+    # lang, clustered by doc_id for row-group pruning), read back intact.
+    import pyspark.sql.functions as F
+
+    from datafusion_loki_spark.catalog import load_table
+    from datafusion_loki_spark.functions.layout import write_partitioned
+    from datafusion_loki_spark.operators.dedup import dedup_keep_list
+    from datafusion_loki_spark.operators.text import text_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_quality_filter(spark, sf_dir).select("doc_id", "n_tokens")
+    keep = dedup_keep_list(spark, sf_dir).where(
+        F.col("status") == "keep"
+    ).select("doc_id")
+    admitted = (
+        quality.join(keep, "doc_id")
+        .join(docs.select("doc_id", "lang", "source", "text"), "doc_id")
+    )
+    out = str(tmp_path / "corpus")
+    write_partitioned(admitted, out, partition_by=["lang"], cluster_by=["doc_id"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == admitted.count() > 0
+    # every admitted doc round-trips with its text intact
+    diff = (
+        admitted.select("doc_id", "text")
+        .exceptAll(back.select("doc_id", "text"))
+        .count()
+    )
+    assert diff == 0
+    # one file per lang partition (small-files control)
+    import os
+
+    for d in os.listdir(out):
+        if d.startswith("lang="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(out, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (d, files)

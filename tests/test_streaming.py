@@ -623,3 +623,55 @@ def test_session_window_counts_match_batch(spark, sf_dir):
     horizon = max_ts - datetime.timedelta(minutes=10)
     for k in set(expected) - set(got):
         assert expected[k][0] > horizon, f"closed session missing: {k}"
+
+
+def test_session_window_state_survives_restart(spark, tmp_path):
+    # Native session_window state must ALSO survive a checkpoint restart
+    # (the engine-managed twin of test_sessionize_state_survives_restart):
+    # drain 1 leaves user 7's session open; drain 2 — fresh query, same
+    # checkpoint — advances the watermark past the carried session's end,
+    # which can only emit (t0 .. last+5min, n_events=3) if the session
+    # state was recovered from the checkpoint.
+    import datetime as dt
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def _mk(name, rows):
+        spark.createDataFrame(
+            rows, "ts timestamp_ntz, user_id long, value double"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    def _drain():
+        got: list = []
+        stream = (
+            spark.readStream.schema("ts timestamp_ntz, user_id long, value double")
+            .parquet(str(src) + "/*/")
+        )
+        q = (
+            pipeline.session_window_counts(stream)
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    _mk("f0.parquet", [
+        (t0, 7, 1.0),
+        (t0 + dt.timedelta(minutes=2), 7, 2.0),
+        (t0 + dt.timedelta(minutes=4), 7, 4.0),
+    ])
+    assert _drain() == []  # session open, watermark behind — nothing out
+    _mk("f1.parquet", [(t0 + dt.timedelta(hours=1), 7, 8.0)])
+    rows = _drain()
+    assert len(rows) == 1, rows
+    (r,) = rows
+    assert r.user_id == 7
+    assert r.n_events == 3
+    assert r.sum_value == pytest.approx(7.0)
+    assert r.session_start == t0
+    assert r.session_end == t0 + dt.timedelta(minutes=9)  # last + 5min gap

@@ -86,6 +86,7 @@ _NEVER_CHECKED = (
     "dedup_similarity_histogram",
     "log_slo_burn",
     "sim_pq_recall_audit",
+    "dedup_canonical_by_rank",
 )
 
 _R03_BACKFILL = (

@@ -1155,7 +1155,15 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-executed per round); each round is two joins + one agg on the
     candidate-graph scale (≪ corpus), keys uniform. Degrees are computed
     once outside the loop."""
-    sym = _symmetric_edges(spark, sf_dir)
+    return _pagerank_ranks(_symmetric_edges(spark, sf_dir))
+
+
+def _pagerank_ranks(sym: DataFrame) -> DataFrame:
+    """The fixed-iteration damped-propagation loop over a materialized
+    symmetric edge list; returns (doc_id, rank). Split out so
+    compositions (dedup_canonical_by_rank) can share ONE edge
+    materialization with the CC labels instead of paying the LSH DAG
+    once per consumer."""
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     ranks = nodes.withColumn("rank", F.lit(1.0))
@@ -1182,6 +1190,43 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks
+
+
+def dedup_canonical_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The authority-based survivor rule PageRank was built for: per
+    near-dup cluster, the CANONICAL representative = the member with the
+    highest centrality in the duplicate graph (ties → lowest doc_id) —
+    "keep the most-connected version" instead of dedup_keep_list's
+    min-id convention (the most-linked duplicate is typically the
+    least-truncated / least-corrupted copy).
+
+    Composition discipline: CC labels and PageRank share ONE
+    materialized edge frame, so the MinHash/LSH DAG is paid exactly once
+    however many graph consumers run. Argmax is the deterministic
+    lexicographic max-struct over (rank, −doc_id) — same contract as
+    log_top_user_per_type."""
+    sym = _symmetric_edges(spark, sf_dir)
+    labels = _cc_labels(sym)
+    ranks = _pagerank_ranks(sym)
+    j = labels.join(ranks, "doc_id")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("rank").alias("r"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("m"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("m.neg_id")).alias("canonical_id"),
+            F.col("m.r").alias("canonical_rank"),
+            "n_members",
+        )
+    )
 
 
 def _oracle_pagerank() -> str:
@@ -1312,3 +1357,24 @@ ORACLES = {
     "dedup_method_agreement": _oracle_method_agreement(),
     "graph_pagerank_dups": _oracle_pagerank(),
 }
+
+
+def _oracle_canonical_by_rank() -> str:
+    cc = ORACLES["dedup_cc_groups"]
+    pr = ORACLES["graph_pagerank_dups"]
+    return f"""
+WITH l AS (SELECT doc_id, cluster_id FROM ({cc}) a),
+r AS (SELECT doc_id, rank FROM ({pr}) b),
+j AS (SELECT l.cluster_id, l.doc_id, r.rank FROM l JOIN r USING (doc_id)),
+agged AS (
+  SELECT cluster_id, MAX({{'r': rank, 'neg_id': -doc_id}}) AS m,
+         COUNT(*) AS n_members
+  FROM j GROUP BY cluster_id
+)
+SELECT cluster_id, -m.neg_id AS canonical_id, m.r AS canonical_rank, n_members
+FROM agged
+"""
+
+
+QUERIES["dedup_canonical_by_rank"] = dedup_canonical_by_rank
+ORACLES["dedup_canonical_by_rank"] = _oracle_canonical_by_rank()

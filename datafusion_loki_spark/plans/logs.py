@@ -1229,7 +1229,14 @@ def log_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true heavy hitters — the MG superset guarantee means no true
     hitter can be missing, and the exact recount means no false positive
     survives. Python touches only the sketch pass, and only through
-    vectorized value_counts; everything else is codegen'd."""
+    vectorized value_counts; everything else is codegen'd.
+
+    Note the threshold is FREQUENCY-relative (share > 1/(m+1) of the
+    stream), as the sketch's guarantee requires: on a corpus whose user
+    distribution stays uniform as n grows (this synthetic data at
+    sf >= 0.1), no user crosses it and the empty result is the correct
+    answer — "no heavy hitters exist at this capacity" is information,
+    not a failure mode."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select("user_id")

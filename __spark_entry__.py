@@ -87,6 +87,7 @@ _NEVER_CHECKED = (
     "log_slo_burn",
     "sim_pq_recall_audit",
     "dedup_canonical_by_rank",
+    "emb_norm_distribution",
 )
 
 _R03_BACKFILL = (

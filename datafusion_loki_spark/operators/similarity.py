@@ -1521,3 +1521,59 @@ ORACLES = {
     "sim_recall_audit": _oracle_recall_audit(),
     "sim_pq_recall_audit": _oracle_recall_audit(_oracle_pq_adc()),
 }
+
+
+NORM_HIST_BINS = 20
+NORM_HIST_WIDTH = 0.1  # buckets over [0, 2); out-of-range clamps to edges
+
+
+def emb_norm_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level QA rollup: the distribution of embedding L2 norms —
+    the first thing to look at before IP/cosine ANN (zero-norm rows break
+    cosine, a bimodal norm histogram usually means two embedding models
+    got mixed into one corpus). Norms are the shared sequential fold, so
+    every bucket edge decision is made on bit-identical doubles.
+
+    100 TB posture: scan-speed projection into a map-side-combined agg on
+    a 20-value key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        F.expr(
+            _NRM_E_SPARK.format(a=_TO_DOUBLE.format(a="embedding"))
+        ).alias("nrm")
+    )
+    bucket = F.least(
+        F.greatest(F.floor(F.col("nrm") / NORM_HIST_WIDTH), F.lit(0)),
+        F.lit(NORM_HIST_BINS - 1),
+    ).cast("bigint")
+    return (
+        nrm.groupBy(bucket.alias("bin"))
+        .agg(F.count("*").alias("n_vectors"))
+        .select(
+            "bin",
+            (F.col("bin").cast("double") * NORM_HIST_WIDTH).alias("lo"),
+            ((F.col("bin") + 1).cast("double") * NORM_HIST_WIDTH).alias("hi"),
+            "n_vectors",
+        )
+    )
+
+
+ORACLE_EMB_NORM_DIST = f"""
+WITH n AS (
+  SELECT {_NRM_E_DUCK.format(a="list_transform(embedding, v -> CAST(v AS DOUBLE))")} AS nrm
+  FROM embeddings
+), b AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR(nrm / {NORM_HIST_WIDTH}), 0),
+                    {NORM_HIST_BINS - 1}) AS BIGINT) AS bin
+  FROM n
+)
+SELECT bin,
+       CAST(bin AS DOUBLE) * {NORM_HIST_WIDTH} AS lo,
+       CAST(bin + 1 AS DOUBLE) * {NORM_HIST_WIDTH} AS hi,
+       COUNT(*) AS n_vectors
+FROM b GROUP BY bin
+"""
+
+
+QUERIES["emb_norm_distribution"] = emb_norm_distribution
+ORACLES["emb_norm_distribution"] = ORACLE_EMB_NORM_DIST

@@ -88,6 +88,7 @@ _NEVER_CHECKED = (
     "sim_pq_recall_audit",
     "dedup_canonical_by_rank",
     "emb_norm_distribution",
+    "sample_docs_importance",
 )
 
 _R03_BACKFILL = (

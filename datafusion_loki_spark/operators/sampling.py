@@ -341,6 +341,59 @@ FROM t
 """
 
 
+def sample_docs_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: keep rate proportional
+    to the document's quality score (the rung between uniform sampling
+    and a hard quality cutoff — low-quality docs are downweighted, not
+    erased, preserving distributional coverage). rate = score/100; the
+    decision is the same md5 bucket vs %04x-rendered threshold as every
+    sampler here — reproducible under any partitioning, no RNG.
+
+    100 TB posture: the quality score is the scan-side projection from
+    text_quality_filter's stats; the keep decision is a pure filter —
+    the corpus never shuffles."""
+    from datafusion_loki_spark.operators.text import text_quality_filter
+
+    q = text_quality_filter(spark, sf_dir)
+    bucket = "substring(md5(cast(doc_id as string)), 1, 4)"
+    return q.select(
+        "doc_id",
+        "quality_score",
+        F.expr(bucket).alias("sample_bucket"),
+    ).where(
+        F.expr(
+            f"quality_score >= 100 OR {bucket} < format_string('%04x',"
+            " cast(floor(quality_score / 100.0d * 65536) as int))"
+        )
+    )
+
+
+ORACLE_SAMPLE_IMPORTANCE = """
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         CAST(list_sum(list_transform(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), t -> length(t)))
+              AS DOUBLE) / len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS avg_token_len
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
+          + CASE WHEN n_punct * 10 <= n_tokens * 3 THEN 30 ELSE 0 END
+          + CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 30 ELSE 0 END)
+           AS quality_score
+  FROM s
+)
+SELECT doc_id, quality_score,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_bucket
+FROM scored
+WHERE quality_score >= 70
+  AND (quality_score >= 100
+       OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(floor(quality_score / 100.0 * 65536) AS INT)))
+"""
+
+
 def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's end-to-end deliverable: the training-corpus manifest
     — documents that pass BOTH the quality gate (text_quality_filter) and
@@ -400,6 +453,7 @@ QUERIES = {
     "sample_docs_hash_split": sample_docs_hash_split,
     "mix_token_budget": mix_token_budget,
     "mix_epoch_plan": mix_epoch_plan,
+    "sample_docs_importance": sample_docs_importance,
     "corpus_build_manifest": corpus_build_manifest,
 }
 
@@ -411,5 +465,6 @@ ORACLES = {
     "sample_docs_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
     "mix_token_budget": ORACLE_MIX_TOKEN_BUDGET,
     "mix_epoch_plan": ORACLE_MIX_EPOCH_PLAN,
+    "sample_docs_importance": ORACLE_SAMPLE_IMPORTANCE,
     "corpus_build_manifest": _oracle_corpus_manifest(),
 }

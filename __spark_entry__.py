@@ -89,6 +89,7 @@ _NEVER_CHECKED = (
     "dedup_canonical_by_rank",
     "emb_norm_distribution",
     "sample_docs_importance",
+    "log_active_users",
 )
 
 _R03_BACKFILL = (

@@ -942,6 +942,55 @@ FROM events c JOIN events p
 """
 
 
+def log_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU: distinct users per day and per trailing 7-day window —
+    the engagement rollup every log-backed product dashboard runs.
+    Distinct-over-a-sliding-window has no single-pass exact form in SQL
+    window functions, so WAU uses the standard spine shape: the (tiny)
+    day spine range-joins the day-distinct user frame over a 6-day
+    lookback, then counts distinct per day.
+
+    100 TB posture: the fact table collapses FIRST to (day × user)
+    distinct rows — the only corpus-scale shuffle; the spine join then
+    multiplies that bounded frame by ≤7 (spine broadcasts; the range
+    condition is a residual on the broadcast join), and the final
+    per-day distinct is days-scale. Exact, not sketched — the HLL
+    variant for when even (day × user) is too big is log_approx_users'
+    territory."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    window_pairs = days.join(
+        du.select(F.col("day").alias("d2"), "user_id"),
+        (F.col("d2") <= F.col("day"))
+        & (F.col("d2") >= F.date_sub(F.col("day"), 6)),
+    )
+    wau = window_pairs.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day")
+
+
+ORACLE_ACTIVE_USERS = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+), wau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN du u
+    ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+  GROUP BY d.day
+)
+SELECT day, dau, wau FROM dau JOIN wau USING (day)
+"""
+
+
 SLO_TARGET = 0.99
 
 
@@ -1316,6 +1365,7 @@ QUERIES = {
     "log_approx_quantile_audit": log_approx_quantile_audit,
     "log_session_window_batch": log_session_window_batch,
     "log_slo_burn": log_slo_burn,
+    "log_active_users": log_active_users,
 }
 
 ORACLES = {
@@ -1382,4 +1432,5 @@ ORACLES = {
     "log_approx_quantile_audit": ORACLE_APPROX_QUANTILE,
     "log_session_window_batch": ORACLE_SESSION_WINDOW,
     "log_slo_burn": ORACLE_SLO_BURN,
+    "log_active_users": ORACLE_ACTIVE_USERS,
 }

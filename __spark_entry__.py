@@ -90,6 +90,7 @@ _NEVER_CHECKED = (
     "emb_norm_distribution",
     "sample_docs_importance",
     "log_active_users",
+    "text_vocab_growth",
 )
 
 _R03_BACKFILL = (

@@ -677,6 +677,51 @@ FROM scored GROUP BY doc_id
 """
 
 
+VOCAB_GROWTH_STEPS = (100, 200, 300, 400, 500)
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-token count within
+    the first N documents (by doc_id), for a fixed ladder of N — the
+    corpus-health diagnostic (natural language grows sublinearly;
+    near-linear growth means identifiers/noise are flooding the
+    vocabulary, a sign the quality gates need tightening).
+
+    Shape: one explode→groupBy(token) computes each token's FIRST
+    containing doc (min doc_id) — the corpus-scale shuffle; the growth
+    curve is then a broadcast spine join over the vocabulary-sized
+    first-occurrence frame (vocab_size(N) = tokens with first_doc < N),
+    so adding ladder steps costs nothing corpus-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token")
+    )
+    firsts = ex.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    spine = spark.createDataFrame(
+        [(n,) for n in VOCAB_GROWTH_STEPS], "n_docs long"
+    )
+    return (
+        firsts.join(F.broadcast(spine), F.col("first_doc") < F.col("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS token
+  FROM documents
+), firsts AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM ex GROUP BY token
+), spine AS (
+  SELECT unnest([{", ".join(str(n) for n in VOCAB_GROWTH_STEPS)}]) AS n_docs
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, COUNT(*) AS vocab_size
+FROM firsts JOIN spine ON first_doc < n_docs
+GROUP BY n_docs
+"""
+
+
 def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width document chunking through a Python UDTF (lateral table
     function) — the remaining UDF-family surface next to the pandas
@@ -735,6 +780,7 @@ QUERIES = {
     "text_token_commonness": text_token_commonness,
     "text_tfidf_topk": text_tfidf_topk,
     "text_bigram_lm": text_bigram_lm,
+    "text_vocab_growth": text_vocab_growth,
 }
 
 ORACLES = {
@@ -750,4 +796,5 @@ ORACLES = {
     "text_token_commonness": ORACLE_TOKEN_COMMONNESS,
     "text_tfidf_topk": ORACLE_TFIDF_TOPK,
     "text_bigram_lm": ORACLE_BIGRAM_LM,
+    "text_vocab_growth": ORACLE_VOCAB_GROWTH,
 }

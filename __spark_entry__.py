@@ -91,6 +91,7 @@ _NEVER_CHECKED = (
     "sample_docs_importance",
     "log_active_users",
     "text_vocab_growth",
+    "dedup_lsh_tuning_curve",
 )
 
 _R03_BACKFILL = (

@@ -1269,6 +1269,41 @@ SELECT doc_id, rank FROM pr{PAGERANK_ITERS}
 """
 
 
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic S-curve of the configured banding scheme: candidate
+    probability P(j) = 1 − (1 − j^BAND_ROWS)^n_bands over a Jaccard grid
+    — read next to dedup_similarity_histogram, it says WHERE the current
+    (bands × rows) knee sits relative to the corpus' actual similarity
+    mass (the pair of artifacts behind every band-tuning decision).
+
+    Data-free: a spark.range spine; every float is an explicit
+    fixed-order multiply chain (no POWER(), whose implementations are
+    not cross-engine exactly-rounded), so the curve is value-hashable.
+    Trivially scan-free at any scale."""
+    n_bands = N_MINHASH // BAND_ROWS
+    j = "cast(id as double) / 10.0d"
+    jr = " * ".join([f"({j})"] * BAND_ROWS)
+    miss = " * ".join([f"(1.0d - {jr})"] * n_bands)
+    return spark.range(1, 10).select(
+        F.expr(j).alias("jaccard"),
+        F.expr(f"{jr}").alias("p_band"),
+        F.expr(f"1.0d - {miss}").alias("p_candidate"),
+    )
+
+
+def _oracle_lsh_tuning() -> str:
+    n_bands = N_MINHASH // BAND_ROWS
+    j = "CAST(id AS DOUBLE) / CAST(10 AS DOUBLE)"
+    jr = " * ".join([f"({j})"] * BAND_ROWS)
+    miss = " * ".join([f"(CAST(1 AS DOUBLE) - {jr})"] * n_bands)
+    return f"""
+SELECT {j} AS jaccard,
+       {jr} AS p_band,
+       CAST(1 AS DOUBLE) - {miss} AS p_candidate
+FROM range(1, 10) t(id)
+"""
+
+
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-method candidate audit: full-outer agreement between the two
     independent near-dup candidate generators (MinHash-LSH banding vs
@@ -1321,6 +1356,7 @@ QUERIES = {
     "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_similarity_histogram": dedup_similarity_histogram,
+    "dedup_lsh_tuning_curve": dedup_lsh_tuning_curve,
     "dedup_edit_distance": dedup_edit_distance,
     "dedup_contamination": dedup_contamination,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1348,6 +1384,7 @@ ORACLES = {
     "dedup_minhash_estimate": _oracle_minhash_estimate(),
     "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
     "dedup_similarity_histogram": _oracle_similarity_histogram(),
+    "dedup_lsh_tuning_curve": _oracle_lsh_tuning(),
     "dedup_edit_distance": _oracle_edit_distance(),
     "dedup_contamination": _oracle_contamination(),
     "dedup_embedding_cosine": _oracle_dedup_embedding(),

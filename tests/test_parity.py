@@ -72,5 +72,5 @@ def test_correctness_window_is_pinned():
     assert len(names) == 50 + r04_green + r03_displaced
     # pin the round-5 additions explicitly so a new query can't slip in
     # without a deliberate edit here
-    assert len(e._NEVER_CHECKED) == 37
-    assert len(names) == 137
+    assert len(e._NEVER_CHECKED) == 38
+    assert len(names) == 138

@@ -133,16 +133,30 @@ def loki_sql(
                LIMIT 100\"\"\",
             "http://loki:3100")
 
-    Anything the extractor can't prove pushable (OR/NOT trees, regex,
-    subqueries) is simply not pushed — the query still runs, unpruned.
-    LIMIT reaches the store only when every conjunct pushed store-exact
-    (see sqlbridge module docstring for the O5/O8 argument)."""
+    Anything the extractor can't prove pushable (OR/NOT trees,
+    RE2-incompatible regexes, subqueries) is simply not pushed — the
+    query still runs, unpruned. LIMIT reaches the store only when every
+    conjunct pushed store-exact AND the statement is a plain single-table
+    SELECT (no GROUP BY / ORDER BY / DISTINCT / JOIN / set op / calls in
+    the select list — see the sqlbridge module docstring for why both
+    gates are required). The temp-view binding is transient: analysis
+    inlines the scan, then any pre-existing view of that name is
+    restored."""
     from datafusion_loki_spark.sources.logql import label_matcher
     from datafusion_loki_spark.sources.sqlbridge import extract_pushdown
 
     spec = extract_pushdown(sql)
     if spec.table is None:
         raise ValueError("loki_sql requires a FROM <table> clause")
+    if "." in spec.table:
+        # temp views cannot be database-qualified — without a bindable
+        # name the statement's table cannot be pointed at the scan at all,
+        # so fail with the actionable message rather than the analyzer's
+        raise ValueError(
+            f"loki_sql binds the scan as a temp view, so the FROM table "
+            f"must be unqualified (got {spec.table!r}); use a bare name "
+            f"like 'logs'"
+        )
     kwargs: dict = {}
     if spec.matchers:
         kwargs["labels"] = ", ".join(
@@ -166,8 +180,25 @@ def loki_sql(
     df = loki_table(
         spark, endpoint, default_label=default_label, **kwargs, **options
     )
+    # Bind the scan under the statement's table name only for the duration
+    # of analysis (spark.sql resolves views eagerly, inlining the scan into
+    # the returned plan), then restore the session catalog: a pre-existing
+    # temp view of that name is re-registered, an absent one stays absent —
+    # loki_sql leaves no view-binding side effect.
+    prior = None
+    if any(
+        t.name.lower() == spec.table.lower() and t.tableType == "TEMPORARY"
+        for t in spark.catalog.listTables()
+    ):
+        prior = spark.table(spec.table)
     df.createOrReplaceTempView(spec.table)
-    return spark.sql(sql)
+    try:
+        return spark.sql(sql)
+    finally:
+        if prior is not None:
+            prior.createOrReplaceTempView(spec.table)
+        else:
+            spark.catalog.dropTempView(spec.table)
 
 
 def insert_into_loki(df, endpoint: str, **options: str):

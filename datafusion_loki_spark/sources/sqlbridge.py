@@ -30,7 +30,19 @@ AND-ed conjuncts — OR/NOT trees never reach expr.rs either):
 - LIMIT forwards as the HTTP limit only when EVERY conjunct pushed
   store-exact (labels =/!=, line contains): with an inexact (superset)
   time window the store's first-n would differ from the query's first-n
-  (the O5/O8 exact-vs-inexact split).
+  (the O5/O8 exact-vs-inexact split);
+- LIMIT additionally requires the STATEMENT SHAPE to be a plain
+  single-table SELECT: any GROUP BY / ORDER BY / HAVING / DISTINCT /
+  set operation / JOIN / window / subquery / function call in the select
+  list means the SQL LIMIT bounds the OUTPUT of a reordering or
+  multiplicity-changing operator, not the scan, so truncating the scan
+  input would change results (wrong counts, missing distinct values,
+  wrong top-n). DataFusion gives the reference this guard for free — the
+  optimizer passes ``fetch`` to ``TableProvider::scan`` only when nothing
+  reorders above the scan (scan.rs:131-146); the SQL-text bridge must
+  recreate it explicitly. The gate is a conservative whitelist: a scalar
+  function in the select list also blocks the push (correct either way —
+  an unpushed LIMIT only costs pruning, never results).
 """
 
 from __future__ import annotations
@@ -45,13 +57,18 @@ _LABEL = re.compile(
     r"^\s*labels\s*\[\s*'([^']*)'\s*\]\s*(!=|<>|=)\s*('(?:[^']|'')*')\s*$",
     re.I,
 )
+_LABEL_RLIKE = re.compile(
+    r"^\s*labels\s*\[\s*'([^']*)'\s*\]\s+(not\s+)?(?:rlike|regexp)\s+"
+    r"('(?:[^']|'')*')\s*$",
+    re.I,
+)
 _LINE_LIKE = re.compile(r"^\s*line\s+like\s+('(?:[^']|'')*')\s*$", re.I)
 _LINE_NOT_LIKE = re.compile(
     r"^\s*line\s+not\s+like\s+('(?:[^']|'')*')\s*$", re.I
 )
 _LINE_ILIKE = re.compile(r"^\s*line\s+ilike\s+('(?:[^']|'')*')\s*$", re.I)
 _LINE_RLIKE = re.compile(
-    r"^\s*line\s+rlike\s+('(?:[^']|'')*')\s*$", re.I
+    r"^\s*line\s+(not\s+)?(?:rlike|regexp)\s+('(?:[^']|'')*')\s*$", re.I
 )
 _TS = re.compile(
     r"^\s*timestamp\s*(>=|>|<=|<)\s*timestamp\s*('(?:[^']|'')*')\s*$", re.I
@@ -62,6 +79,38 @@ _TS = re.compile(
 # such regexes stay Spark-side (the ref pushes unconditionally, expr.rs:63,
 # and would hit the same store error; we choose the quieter degradation)
 _RE2_UNSUPPORTED = re.compile(r"\\\d|\(\?=|\(\?!|\(\?<")
+
+# statement shapes under which SQL LIMIT bounds a reordering / row-
+# multiplicity-changing operator's OUTPUT, so the scan INPUT must not be
+# truncated (see the module docstring's LIMIT safety argument)
+_LIMIT_BLOCKERS = re.compile(
+    r"\bgroup\s+by\b|\border\s+by\b|\bhaving\b|\bdistinct\b|\bunion\b"
+    r"|\bintersect\b|\bexcept\b|\bjoin\b|\bover\b",
+    re.I,
+)
+
+
+def _from_candidates(masked: str) -> list[tuple[str, int, int]]:
+    """All ``FROM <ident>`` occurrences at parenthesis depth 0, skipping
+    SQL-standard non-table FROMs: ``EXTRACT(x FROM y)`` / ``SUBSTRING(x
+    FROM i)`` / ``TRIM(x FROM y)`` sit inside their call parens (depth
+    ≥ 1), and ``IS [NOT] DISTINCT FROM`` is excluded by its preceding
+    keyword. Returns (name, start, end) spans into the masked text."""
+    out: list[tuple[str, int, int]] = []
+    depth = 0
+    for m in re.finditer(r"[()]|\bfrom\s+([A-Za-z_][\w.]*)", masked, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+            continue
+        if tok == ")":
+            depth = max(0, depth - 1)
+            continue
+        if depth == 0:
+            if re.search(r"\bdistinct\s*$", masked[: m.start()], re.I):
+                continue  # IS [NOT] DISTINCT FROM — a predicate, not a table
+            out.append((m.group(1), m.start(), m.end()))
+    return out
 
 
 def _mask(sql: str) -> str:
@@ -108,13 +157,38 @@ def extract_pushdown(sql: str) -> PushdownSpec:
     spec = PushdownSpec()
     masked = _mask(sql)
 
-    m = re.search(r"\bfrom\s+([A-Za-z_][\w.]*)", masked, re.I)
-    if m:
-        spec.table = m.group(1)
+    cands = _from_candidates(masked)
+    if cands:
+        spec.table = cands[0][0]
+        if len({c[0].lower() for c in cands}) > 1:
+            # two depth-0 FROMs over DIFFERENT tables (a set operation
+            # over distinct sources) — which one is the loki stream is
+            # ambiguous, so bind the first and push nothing
+            spec.exact_only = False
+            return spec
 
     m = re.search(r"\blimit\s+(\d+)\s*;?\s*$", masked, re.I)
     if m:
-        spec.limit = int(m.group(1))
+        # statement-shape gate (module docstring): LIMIT reaches the store
+        # only for a plain single-table SELECT with a call-free select
+        # list — anything that reorders rows or changes multiplicity
+        # between scan and LIMIT makes input-truncation wrong
+        limit_safe = (
+            _LIMIT_BLOCKERS.search(masked) is None
+            and len(re.findall(r"\bselect\b", masked, re.I)) == 1
+        )
+        if limit_safe and cands:
+            sel = re.search(r"\bselect\b", masked, re.I)
+            select_list = masked[sel.end() : cands[0][1]]
+            from_tail = re.split(
+                r"\bwhere\b|\blimit\b|;", masked[cands[0][2] :],
+                maxsplit=1, flags=re.I,
+            )[0]
+            # a call in the select list (aggregate or scalar alike —
+            # conservative) or a comma after the table (implicit join)
+            limit_safe = "(" not in select_list and "," not in from_tail
+        if limit_safe:
+            spec.limit = int(m.group(1))
 
     # projection: the scan only needs the schema columns the statement
     # REFERENCES anywhere (select list, WHERE, GROUP BY, ...) — a superset
@@ -141,9 +215,11 @@ def extract_pushdown(sql: str) -> PushdownSpec:
 
     lo, hi = wm.span(1)
     where_masked = masked[lo:hi]
-    # `NOT LIKE` is a conjunct class of its own (ref expr.rs:99-103 → !=,
-    # carried by pushFilters) — exempt it from the NOT-tree gate
-    if re.search(r"\bor\b|\bnot\b(?!\s+like\b)", where_masked, re.I):
+    # `NOT LIKE` / `NOT RLIKE` are conjunct classes of their own (ref
+    # expr.rs:99-103, 40-41) — exempt them from the NOT-tree gate
+    if re.search(
+        r"\bor\b|\bnot\b(?!\s+(?:like|rlike|regexp)\b)", where_masked, re.I
+    ):
         spec.exact_only = False
         return spec
 
@@ -160,6 +236,35 @@ def extract_pushdown(sql: str) -> PushdownSpec:
         if cm:
             op = "!=" if cm.group(2) in ("!=", "<>") else "="
             spec.matchers.append((cm.group(1), op, _unquote(cm.group(3))))
+            if op == "!=":
+                # the store's != keeps ABSENT-label rows (Loki treats a
+                # missing label as ""), Spark's NULL-semantics re-check
+                # drops them — a strict superset, so the store's first-n
+                # under LIMIT could re-check down to fewer than n rows
+                # while matches exist beyond the bound. The ref marks !=
+                # Exact and skips the re-check (expr.rs), silently keeping
+                # Loki's absent-matches; we keep Spark/SQL semantics and
+                # block the LIMIT push instead.
+                spec.exact_only = False
+            continue
+        cm = _LABEL_RLIKE.match(conj)
+        if cm:
+            rx = _unquote(cm.group(3))
+            if _RE2_UNSUPPORTED.search(rx) is None:
+                op = "!~" if cm.group(2) else "=~"
+                # ≙ expr.rs:40-41 (=~ / !~ selector terms), with one
+                # deliberate delta: Loki label-regex matchers are FULLY
+                # ANCHORED (fullmatch) while Spark's RLIKE is a substring
+                # search, so the raw pattern the ref pushes would DROP
+                # partial-match streams. Wrapping as .*(?:rx).* makes the
+                # selector exactly Spark's semantics on present labels
+                # (top-level ^/$ inside rx still anchor correctly: the
+                # wrapping .* then matches empty).
+                spec.matchers.append((cm.group(1), op, f".*(?:{rx}).*"))
+                if op == "!~":
+                    spec.exact_only = False  # absent-label superset (as !=)
+            else:
+                spec.exact_only = False
             continue
         cm = _LINE_NOT_LIKE.match(conj) or _LINE_LIKE.match(conj)
         if cm:
@@ -181,14 +286,16 @@ def extract_pushdown(sql: str) -> PushdownSpec:
         if cm:
             from datafusion_loki_spark.sources.logql import line_regex
 
-            rx = _unquote(cm.group(1))
+            rx = _unquote(cm.group(2))
             stage = (
-                line_regex(rx)
+                line_regex(rx, negate=cm.group(1) is not None)
                 if _RE2_UNSUPPORTED.search(rx) is None
                 else None
             )
             if stage is not None:
-                spec.line_regexes.append(stage)  # exact class (expr.rs:63-71)
+                # exact classes (expr.rs:63-80; line filters are substring
+                # searches on both sides, and `line` is never NULL)
+                spec.line_regexes.append(stage)
             else:
                 spec.exact_only = False
             continue

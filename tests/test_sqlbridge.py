@@ -22,12 +22,24 @@ NS = 1_000_000_000
 def test_extracts_full_exact_conjunction():
     spec = extract_pushdown(
         "SELECT line FROM logs WHERE labels['app'] = 'web' "
-        "AND labels['env'] != 'prod' AND line LIKE '%error%' LIMIT 10"
+        "AND line LIKE '%error%' LIMIT 10"
     )
     assert spec.table == "logs"
-    assert spec.matchers == [("app", "=", "web"), ("env", "!=", "prod")]
+    assert spec.matchers == [("app", "=", "web")]
     assert spec.line_contains == ["error"]
     assert spec.limit == 10 and spec.exact_only
+
+
+def test_ne_matcher_extracts_but_blocks_limit():
+    # the store's != keeps absent-label rows (Loki: missing label == ""),
+    # Spark's NULL-semantics re-check drops them — a superset, so the
+    # matcher pushes (pruning) but LIMIT must not (truncation)
+    spec = extract_pushdown(
+        "SELECT line FROM logs WHERE labels['app'] = 'web' "
+        "AND labels['env'] != 'prod' LIMIT 10"
+    )
+    assert spec.matchers == [("app", "=", "web"), ("env", "!=", "prod")]
+    assert spec.limit == 10 and not spec.exact_only
 
 
 def test_time_bound_blocks_limit_but_sets_window():
@@ -89,6 +101,93 @@ def test_residual_conjunct_keeps_label_push_but_blocks_limit():
     )
     assert spec.matchers == [("app", "=", "web")]
     assert not spec.exact_only
+
+
+def test_limit_blocked_by_reordering_statement_shapes():
+    # LIMIT bounds the OUTPUT of these operators, not the scan — pushing
+    # it would truncate the scan INPUT (wrong counts, missing distinct
+    # values, wrong top-n); the shape gate must refuse every one
+    for sql in (
+        "SELECT labels['app'] AS a, count(*) AS n FROM logs "
+        "GROUP BY labels['app'] LIMIT 2",
+        "SELECT DISTINCT line FROM logs LIMIT 2",
+        "SELECT count(*) AS n FROM logs LIMIT 1",
+        "SELECT line FROM logs ORDER BY timestamp DESC LIMIT 3",
+        "SELECT upper(line) AS u FROM logs LIMIT 2",  # conservative: any call
+        "SELECT row_number() OVER (ORDER BY timestamp) AS r FROM logs LIMIT 2",
+        "SELECT l.line FROM logs l JOIN owners o ON l.labels['app'] = o.app "
+        "LIMIT 2",
+        "SELECT line FROM logs, owners LIMIT 2",
+        "SELECT line FROM logs UNION ALL SELECT line FROM logs LIMIT 2",
+        "SELECT line FROM logs WHERE line IN (SELECT line FROM o) LIMIT 2",
+    ):
+        assert extract_pushdown(sql).limit is None, sql
+
+
+def test_from_inside_function_call_is_not_the_table():
+    # EXTRACT/SUBSTRING/TRIM carry a SQL-standard FROM inside their call
+    # parens; the table is the depth-0 FROM
+    for sql in (
+        "SELECT EXTRACT(YEAR FROM timestamp) AS y FROM logs "
+        "WHERE labels['app'] = 'web'",
+        "SELECT SUBSTRING(line FROM 1 FOR 2) AS s FROM logs "
+        "WHERE labels['app'] = 'web'",
+        "SELECT TRIM(BOTH 'x' FROM line) AS t FROM logs "
+        "WHERE labels['app'] = 'web'",
+    ):
+        spec = extract_pushdown(sql)
+        assert spec.table == "logs", sql
+        assert spec.matchers == [("app", "=", "web")], sql
+
+
+def test_is_distinct_from_is_not_a_table():
+    spec = extract_pushdown(
+        "SELECT line FROM logs WHERE line IS DISTINCT FROM 'x'"
+    )
+    assert spec.table == "logs"
+
+
+def test_disagreeing_from_tables_bind_first_push_nothing():
+    spec = extract_pushdown(
+        "SELECT line FROM logs WHERE labels['app'] = 'web' "
+        "UNION ALL SELECT line FROM other_logs"
+    )
+    assert spec.table == "logs"
+    assert spec.matchers == [] and not spec.exact_only
+
+
+def test_label_rlike_extracts_wrapped_matcher():
+    # Loki label matchers are fully anchored (fullmatch); Spark RLIKE is a
+    # substring search — the pushed selector wraps the pattern to keep
+    # Spark's semantics (≙ expr.rs:40-41, with the anchoring delta fixed)
+    spec = extract_pushdown(
+        "SELECT line FROM logs WHERE labels['app'] RLIKE 'we.?' LIMIT 5"
+    )
+    assert spec.matchers == [("app", "=~", ".*(?:we.?).*")]
+    assert spec.exact_only and spec.limit == 5
+
+
+def test_label_not_rlike_pushes_but_blocks_limit():
+    spec = extract_pushdown(
+        "SELECT line FROM logs WHERE labels['app'] NOT RLIKE 'a.i'"
+    )
+    assert spec.matchers == [("app", "!~", ".*(?:a.i).*")]
+    assert not spec.exact_only  # absent-label superset, as with !=
+
+
+def test_label_rlike_re2_unsupported_stays_spark_side():
+    spec = extract_pushdown(
+        r"SELECT line FROM logs WHERE labels['app'] RLIKE 'a(?=b)'"
+    )
+    assert spec.matchers == [] and not spec.exact_only
+
+
+def test_line_not_rlike_extracts_negated_stage():
+    spec = extract_pushdown(
+        "SELECT line FROM logs WHERE line NOT RLIKE 'debug' LIMIT 2"
+    )
+    assert spec.line_regexes == ["!~ `debug`"]
+    assert spec.exact_only and spec.limit == 2
 
 
 # --- e2e through the emulator ------------------------------------------------
@@ -219,11 +318,74 @@ def test_loki_sql_projects_referenced_columns_only(spark, emulator):
         "request error 500",
         "request ok",
     ]
-    # the temp view bound by the bridge carries only the referenced columns
-    assert [f.name for f in spark.table("logs").schema.fields] == [
-        "labels",
-        "line",
+    # the scan inlined into the returned plan carries only the referenced
+    # columns — timestamp is never decoded (the view binding itself is
+    # transient, so inspect the analyzed plan, not the catalog)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    scan_lines = [
+        ln
+        for ln in analyzed.splitlines()
+        if "Relation" in ln or "PythonScan" in ln
     ]
+    assert scan_lines, analyzed
+    assert all("timestamp" not in ln for ln in scan_lines), analyzed
+
+
+def test_loki_sql_leaves_no_view_binding(spark, emulator):
+    for t in spark.catalog.listTables():
+        if t.name == "logs" and t.tableType == "TEMPORARY":
+            spark.catalog.dropTempView("logs")
+    loki_sql(
+        spark,
+        "SELECT line FROM logs WHERE labels['app'] = 'web'",
+        emulator.endpoint,
+    ).collect()  # the plan executes fine after the transient view is gone
+    assert not any(
+        t.name == "logs" and t.tableType == "TEMPORARY"
+        for t in spark.catalog.listTables()
+    )
+
+
+def test_loki_sql_restores_prior_view(spark, emulator):
+    spark.createDataFrame(
+        [("sentinel",)], "line string"
+    ).createOrReplaceTempView("logs")
+    df = loki_sql(
+        spark,
+        "SELECT line FROM logs WHERE labels['app'] = 'web'",
+        emulator.endpoint,
+    )
+    # the statement ran against the STORE, not the pre-existing view...
+    assert sorted(r.line for r in df.collect()) == [
+        "request error 500",
+        "request ok",
+    ]
+    # ...and the pre-existing view is back afterwards, not clobbered
+    assert [r.line for r in spark.table("logs").collect()] == ["sentinel"]
+    spark.catalog.dropTempView("logs")
+
+
+def test_loki_sql_rejects_qualified_table():
+    import pytest as _pytest
+
+    from datafusion_loki_spark import loki_sql as _loki_sql
+
+    with _pytest.raises(ValueError, match="unqualified"):
+        _loki_sql(None, "SELECT line FROM db.logs", "http://x")
+
+
+def test_loki_sql_label_rlike_pushes_selector(spark, emulator):
+    df = loki_sql(
+        spark,
+        "SELECT line FROM logs WHERE labels['app'] RLIKE 'we'",
+        emulator.endpoint,
+    )
+    # partial-match semantics preserved: 'we' matches app="web"
+    assert sorted(r.line for r in df.collect()) == [
+        "request error 500",
+        "request ok",
+    ]
+    assert emulator.queries[-1] == '{app=~".*(?:we).*"}'
 
 
 # Equivalence grid: for every WHERE shape the extractor can meet, the
@@ -247,6 +409,12 @@ EQUIV_CONDS = [
     "labels['env'] != 'prod'",  # store keeps absent-label rows; Spark re-checks
     "timestamp >= TIMESTAMP '2020-01-01 00:00:00'",
     "labels['app'] = 'api' AND line RLIKE 'e.*r' AND line NOT LIKE '%500%'",
+    # label regex matchers (round 6): partial, anchored, negated, mixed
+    "labels['app'] RLIKE 'we'",
+    "labels['app'] RLIKE '^web$'",
+    "labels['app'] NOT RLIKE 'a.i'",
+    "line NOT RLIKE 'err.r'",
+    "labels['app'] RLIKE 'w.b' AND line LIKE '%error%'",
 ]
 
 
@@ -265,7 +433,43 @@ def test_loki_sql_equivalent_to_unpushed(spark, emulator, cond):
         spark, emulator.endpoint, default_label="app"
     ).createOrReplaceTempView("logs")
     unpushed = sorted(r.line for r in spark.sql(sql).collect())
+    spark.catalog.dropTempView("logs")
     assert pushed == unpushed, cond
+
+
+# LIMIT equivalence grid (round 6): statements pairing LIMIT with a
+# reordering / multiplicity-changing shape, chosen so both paths are
+# deterministic (limit ≥ result size, or a unique-key ORDER BY). Before
+# the shape gate, each of these truncated the scan INPUT (e.g. count(*)
+# returned 1 with the store bound at 1 row).
+LIMIT_EQUIV_SQLS = [
+    "SELECT count(*) AS n FROM logs LIMIT 1",
+    "SELECT labels['app'] AS app, count(*) AS n FROM logs "
+    "GROUP BY labels['app'] LIMIT 5",
+    "SELECT DISTINCT labels['app'] AS app FROM logs LIMIT 5",
+    "SELECT line FROM logs ORDER BY timestamp DESC LIMIT 3",
+    "SELECT line FROM logs WHERE labels['app'] != 'api' LIMIT 10",
+]
+
+
+@pytest.mark.parametrize("sql", LIMIT_EQUIV_SQLS)
+def test_loki_sql_limit_equivalent_to_unpushed(spark, emulator, sql):
+    from datafusion_loki_spark import loki_table
+
+    pushed = sorted(
+        map(
+            str,
+            loki_sql(
+                spark, sql, emulator.endpoint, default_label="app"
+            ).collect(),
+        )
+    )
+    loki_table(
+        spark, emulator.endpoint, default_label="app"
+    ).createOrReplaceTempView("logs")
+    unpushed = sorted(map(str, spark.sql(sql).collect()))
+    spark.catalog.dropTempView("logs")
+    assert pushed == unpushed, sql
 
 
 def test_loki_sql_federation_join(spark, emulator):

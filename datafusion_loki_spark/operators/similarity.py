@@ -436,8 +436,9 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus streams through in Arrow batches, each scored against the
     broadcast query matrix with one BLAS matmul, and only each batch's
     local top-k survives to the final exact window — the pattern for
-    non-SQL scoring functions. Rows-only driver check (float sum order in
-    BLAS differs from SQL folds by design)."""
+    non-SQL scoring functions. The returned frame is integer-only (the
+    BLAS-computed score never leaves the plan), so the SQL top-k oracle
+    checks it value-for-value."""
     import numpy as np
     import pandas as pd
 
@@ -1512,7 +1513,15 @@ ORACLES = {
     "sim_lsh_candidates": ORACLE_SIM_LSH_CAND,
     "sim_lsh_multiprobe": _oracle_multiprobe(),
     "sim_ivf_topk": ORACLE_SIM_IVF,
-    # sim_topk_pandas: rows-only (BLAS float order ≠ SQL fold order)
+    # the pandas path's OUTPUT is integer-only (query_id, cand_id, rank —
+    # the BLAS float never leaves the plan), so the SQL top-k oracle's
+    # ranking applies verbatim; tie-breaks match by construction (both
+    # order by cosine DESC, cand_id ASC) and ranking parity with the SQL
+    # path is additionally pinned by
+    # tests/test_plans.py::test_pandas_topk_ranking_matches_sql_path
+    "sim_topk_pandas": (
+        f"SELECT query_id, cand_id, rank FROM ({ORACLE_SIM_TOPK}) t"
+    ),
     "emb_quantize_int8": ORACLE_EMB_QUANTIZE,
     "emb_kmeans_assign": ORACLE_EMB_KMEANS,
     "sim_ivf_kmeans_topk": ORACLE_SIM_IVF_KMEANS,

@@ -992,6 +992,16 @@ SELECT day, dau, wau FROM dau JOIN wau USING (day)
 
 
 SLO_TARGET = 0.99
+# burn = err_rate / (1−SLO), applied as multiplication by the reciprocal:
+# 1/(1−0.99) == 100.0 exactly in IEEE double, whereas a runtime
+# (1.0 − SLO_TARGET) divisor parses through DECIMAL on DuckDB and lands
+# 1 ulp off the IEEE subtraction. The assert ties the literal to
+# SLO_TARGET so changing the target cannot silently leave the multiplier
+# (and the oracle's matching literal) stale.
+_BURN_MULTIPLIER = 100.0
+# (checked in the exact direction: 1/100 and the subtraction from 1.0 are
+# both IEEE-exact, while (1.0 − 0.99) itself is not)
+assert SLO_TARGET == 1.0 - 1.0 / _BURN_MULTIPLIER
 
 
 def log_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,10 +1023,7 @@ def log_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_errors"),
     )
     err_rate = F.col("n_errors").cast("double") / F.col("n_total")
-    # burn = err_rate / (1−SLO), expressed as ×100 — the reciprocal is an
-    # exactly-representable literal, whereas a (1.0 − 0.99) divisor parses
-    # through DECIMAL on DuckDB and lands 1 ulp off the IEEE subtraction
-    burn = err_rate * F.lit(100.0)
+    burn = err_rate * F.lit(_BURN_MULTIPLIER)  # see the constant's note
     return per_day.select(
         "day",
         "n_total",
@@ -1035,9 +1042,10 @@ WITH per_day AS (
 )
 SELECT day, n_total, CAST(n_errors AS BIGINT) AS n_errors,
        CAST(n_errors AS DOUBLE) / n_total AS err_rate,
-       CAST(n_errors AS DOUBLE) / n_total * CAST(100 AS DOUBLE) AS burn_rate,
-       CAST(n_errors AS DOUBLE) / n_total * CAST(100 AS DOUBLE) > 1.0
-         AS budget_exhausted
+       CAST(n_errors AS DOUBLE) / n_total * CAST({_BURN_MULTIPLIER} AS DOUBLE)
+         AS burn_rate,
+       CAST(n_errors AS DOUBLE) / n_total * CAST({_BURN_MULTIPLIER} AS DOUBLE)
+         > 1.0 AS budget_exhausted
 FROM per_day
 """
 
@@ -1127,13 +1135,25 @@ def log_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n",
-            (
+            # the [0.93n, 0.97n] window is only meaningful once a single
+            # rank step (1/n) is small against its 0.04n width: below
+            # _QUANTILE_AUDIT_MIN_N the exact rank of the approx p95 can
+            # structurally land at ~n (tiny or tie-heavy groups), so the
+            # audit abstains (TRUE) rather than fabricate a failure the
+            # sketch contract never promised to avoid
+            F.when(F.col("n") < _QUANTILE_AUDIT_MIN_N, F.lit(True))
+            .otherwise(
                 (F.col("rank_le") * 100 >= F.col("n") * 93)
                 & (F.col("rank_le") * 100 <= F.col("n") * 97)
-            ).alias("within_bound"),
+            )
+            .alias("within_bound"),
         )
     )
 
+
+# below this group size the audit bit abstains; 100 rows ⇒ the window is
+# ≥4 rank steps wide, enough for the GK contract to hold discretely
+_QUANTILE_AUDIT_MIN_N = 100
 
 ORACLE_APPROX_QUANTILE = """
 SELECT event_type, COUNT(*) AS n, TRUE AS within_bound

@@ -304,10 +304,13 @@ class LokiDataSourceWriter(DataSourceWriter):
         return LokiCommitMessage(count=count)
 
     def commit(self, messages) -> None:
-        total = sum(m.count for m in messages if m is not None)
-        # Spark's INSERT returns no rows (SURVEY.md §7.4.4); surface the
-        # count like the reference's count batch via a driver-side attribute.
-        self.last_commit_count = total
+        # Per-task pushes are already durable (Loki has no transaction to
+        # finalize), and Spark's INSERT returns no rows (SURVEY.md §7.4.4)
+        # so the per-task counts in `messages` have no driver-side outlet;
+        # the reference's one-row count result (insert.rs:26-32,136-140)
+        # is surfaced by insert_into_loki, which counts the persisted
+        # input frame it writes — one code path for the number.
+        pass
 
     def abort(self, messages) -> None:
         pass
@@ -383,7 +386,9 @@ class LokiStreamWriter(DataSourceStreamWriter):
         return self._batch.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        self.last_commit_count = sum(m.count for m in messages if m is not None)
+        # as in the batch writer: pushes are durable per-task and the
+        # epoch's count has no outlet in Spark's streaming sink API
+        pass
 
     def abort(self, messages, batchId: int) -> None:
         pass

@@ -36,77 +36,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # arithmetic is pinned by tests/test_parity.py::test_correctness_window_is_
 # pinned — never trust a count literal here), so coverage rotates by round:
 # r01-r02 checked logs + most of tpch; r03 front-loaded the LLM-pipeline
-# operators + host-engine capability rows (49/50 hash-green); r04 rotated to
-# the remaining 50 (all green). Round 5 leads with the only entries that
-# have never had a driver row: the 8 operators added during round 4
-# (local-parity green only) and log_approx_users, which was deliberately
-# oracle-less until this round — it now folds the sketch-vs-exact error
-# bound into a deterministic within_bound bit, so its driver row carries a
-# full value-hash check instead of the weak rows-only signal. New round-5
-# operators follow, then the window backfills with the oldest-checked
-# (r03-green) entries as re-green sentinels; the r03 tail left outside the
+# operators + host-engine capability rows; r04 rotated to the remaining 50;
+# r05 closed the loop — every registry entry now has at least one driver
+# row and all are green at their latest check.
+#
+# Round-6 rotation policy ("every entry re-checked within 2 rounds"):
+# entries whose implementation CHANGED this round lead (their plans/output
+# must re-earn a driver row), then the stalest tail — the 38 entries whose
+# last driver row is r03 — then the window pads with the oldest r04-checked
+# entries. The r04 remainder rotates in next round; everything outside the
 # window stays covered by the local all-query DuckDB parity suite
 # (tests/test_parity.py).
-# Window layout: never-driver-checked entries first (r4 ops, the newly
-# oracle-backed sketch op, then everything added during round 5), padded to
-# 50 with the oldest-checked (r03-green) entries as re-green sentinels.
-_NEVER_CHECKED = (
-    # added during round 4 — never driver-checked (8)
-    "text_repetition",
-    "sample_docs_temperature",
-    "mix_token_budget",
-    "log_asof_join_chunked",
-    "text_token_commonness",
-    "sample_docs_hash_split",
-    "log_retention_cohorts",
-    "dedup_minhash_estimate",
-    # sketch op, first-ever oracle-backed driver row (1)
-    "log_approx_users",
-    # added during round 5
-    "text_tfidf_topk",
-    "log_rate_anomaly",
-    "emb_quantize_int8",
-    "emb_kmeans_assign",
-    "log_scrub_pii",
-    "sim_ivf_kmeans_topk",
-    "log_value_histogram",
-    "log_templates",
-    "log_heavy_hitters",
-    "text_bigram_lm",
-    "sim_pq_adc_topk",
-    "emb_pca_project",
-    "dedup_method_agreement",
-    "corpus_build_manifest",
+_R06_CHANGED = (
+    # small-group abstention gate added to within_bound this round
     "log_approx_quantile_audit",
-    "log_session_window_batch",
-    "mm_exact_dedup",
-    "graph_pagerank_dups",
-    "mix_epoch_plan",
-    "sim_recall_audit",
-    "dedup_similarity_histogram",
-    "log_slo_burn",
-    "sim_pq_recall_audit",
-    "dedup_canonical_by_rank",
-    "emb_norm_distribution",
-    "sample_docs_importance",
-    "log_active_users",
-    "text_vocab_growth",
-    "dedup_lsh_tuning_curve",
+    # sample-fit codebook training (round-6 scale fix) changes both DAGs
+    "sim_ivf_kmeans_topk",
+    "sim_pq_adc_topk",
 )
 
-_R03_BACKFILL = (
-    "log_full_scan",
-    "log_projection",
-    "log_label_eq",
-    "log_label_ne",
-    "log_line_like",
-    "log_line_not_like",
-    "log_line_regex",
-    "log_time_range",
-    "log_limit",
-    "log_map_subscript",
-    "log_map_subscript_filter",
-    "log_conjunctive",
+_R03_STALE = (
+    # last driver row r03 (sim_topk_pandas additionally gained its
+    # full-hash oracle this round — previously rows-only by design)
     "log_sessionize_batch",
     "log_json_unwrap",
     "q12_priority_class",
@@ -147,7 +98,20 @@ _R03_BACKFILL = (
     "mm_frame_sample",
 )
 
-_WINDOW_PRIORITY = _NEVER_CHECKED + _R03_BACKFILL[: 50 - len(_NEVER_CHECKED)]
+_R04_OLDEST = (
+    # r04-checked; the oldest slice pads the window, the rest rotate in r07
+    "dedup_incremental",
+    "dedup_cc_groups",
+    "dedup_keep_list",
+    "log_asof_join",
+    "log_interval_join_batch",
+    "dedup_simhash_hamming",
+    "log_top_user_per_type",
+    "log_rate_per_minute",
+    "log_events_by_nation",
+)
+
+_WINDOW_PRIORITY = _R06_CHANGED + _R03_STALE + _R04_OLDEST
 
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:

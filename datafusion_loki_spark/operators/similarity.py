@@ -817,10 +817,39 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_fit(emb_d: DataFrame) -> tuple[DataFrame, DataFrame]:
+# Index-training sample (round 6): the learned-index consumers
+# (sim_ivf_kmeans_topk, sim_pq_adc_topk) fit their codebooks on a
+# deterministic md5-bucket sample of the corpus instead of every row —
+# at 100 TB, Lloyd's KMEANS_ITERS full-corpus passes were the one
+# non-scalable step of index training (the standard recipe fits on a
+# sample and touches the full corpus exactly ONCE, in the final
+# assignment / encode pass, which is the index build itself). The rate
+# is a compile-time constant so the DuckDB oracle mirrors the predicate
+# in lockstep, same contract as operators/sampling.py. 75% here because
+# the test corpora are only ~50-5000 rows; production uses a far
+# smaller fraction — the PLAN (sampled training passes + one full
+# assignment) is what survives the scale-up, not the rate.
+KMEANS_TRAIN_BUCKET = "c000"  # 75% of the 16^4 md5-prefix space
+_TRAIN_PRED_SPARK = (
+    f"substring(md5(cast(vec_id as string)), 1, 4) < '{KMEANS_TRAIN_BUCKET}'"
+)
+_TRAIN_PRED_DUCK = (
+    f"substring(md5(CAST(vec_id AS VARCHAR)), 1, 4)"
+    f" < '{KMEANS_TRAIN_BUCKET}'"
+)
+
+
+def _kmeans_fit(
+    emb_d: DataFrame, train_d: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Run the fixed-iteration Lloyd's loop over (vec_id, e) and return
     (final assignment frame, final 1-row centroid frame) — shared by the
     clustering operator and the learned-cell IVF index below.
+
+    ``train_d`` (default: the full frame) is what the ITERATION passes
+    see — the sample-fit path; the returned assignment always covers all
+    of ``emb_d``. Seeds stay the K lowest vec_ids of the full corpus
+    (initial centroids need not be sample members).
 
     The FINAL centroid row is materialized via localCheckpoint ("train
     once, persist the codebook"): both returned frames depend on it, and
@@ -829,13 +858,15 @@ def _kmeans_fit(emb_d: DataFrame) -> tuple[DataFrame, DataFrame]:
     training DAG once per branch — Catalyst has no common-subtree reuse
     across broadcast boundaries. The checkpointed frame is one row of
     K centroid structs, so the materialization cost is nil."""
+    if train_d is None:
+        train_d = emb_d
     cents = _kmeans_cents_row(
         emb_d.where(F.col("vec_id") < KMEANS_K).select(
             F.col("vec_id").alias("cid"), F.col("e").alias("vec")
         )
     )
     for _ in range(KMEANS_ITERS - 1):
-        assigned = _kmeans_assign(emb_d, cents)
+        assigned = _kmeans_assign(train_d, cents)
         ex = assigned.select("cid", F.posexplode("e").alias("pos", "val"))
         m = ex.groupBy("cid", "pos").agg(
             (
@@ -868,9 +899,12 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest centroids (multi-probe recall remedy built in) and scores
     exact cosine only against those cells' member lists.
 
-    100 TB posture: train once (the k-means plan — one zero-shuffle
-    assignment projection + one K×dim agg per iteration), then the index
-    IS the cluster_id column: the corpus shuffles once on cluster_id (or
+    100 TB posture: train once on the deterministic md5-bucket SAMPLE
+    (KMEANS_TRAIN_BUCKET — the iteration passes never touch the full
+    corpus; per iteration: one zero-shuffle assignment projection + one
+    K×dim agg over the sample), then the full corpus is scanned exactly
+    once by the final assignment, and the index IS the cluster_id
+    column: the corpus shuffles once on cluster_id (or
     is written bucketed by it) and a query touches probes/K of the data.
     The probe frame is queries × IVF_PROBES rows — broadcast by
     construction, so the candidate join adds no corpus shuffle beyond the
@@ -880,7 +914,11 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = emb.select(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
     )
-    assigned, cents = _kmeans_fit(emb_d)
+    # sample-fit: the codebook trains on the md5-bucket sample, the full
+    # corpus is scanned once (final assignment = the index build)
+    assigned, cents = _kmeans_fit(
+        emb_d, emb_d.where(F.expr(_TRAIN_PRED_SPARK))
+    )
     probes = (
         emb_d.where(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cents))
@@ -933,15 +971,24 @@ def _km_d2_duck(a: str) -> str:
     )
 
 
-def _km_ctes(sfx: str, dim_lo: int | None = None, dim_hi: int | None = None) -> str:
+def _km_ctes(
+    sfx: str,
+    dim_lo: int | None = None,
+    dim_hi: int | None = None,
+    train_pred: str | None = None,
+) -> str:
     """The unrolled 2-iteration Lloyd's chain as a DuckDB CTE block —
-    parameterized by a name suffix and an optional 1-based inclusive
-    dimension slice so the product-quantization oracle can instantiate one
-    independent chain per subspace. ``_km_ctes("")`` is the full-vector
-    chain shared by the clustering and learned-cell IVF oracles."""
+    parameterized by a name suffix, an optional 1-based inclusive
+    dimension slice (so the product-quantization oracle can instantiate
+    one independent chain per subspace), and an optional training-sample
+    predicate over vec_id (the iteration passes see only matching rows;
+    the FINAL assignment always covers the corpus — the exact mirror of
+    ``_kmeans_fit(train_d=...)``). ``_km_ctes("")`` is the full-vector
+    full-corpus chain of the clustering oracle."""
     base = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     if dim_lo is not None:
         base = f"({base})[{dim_lo}:{dim_hi}]"
+    train_where = f"WHERE {train_pred}" if train_pred else ""
     return f"""emb{sfx} AS (
   SELECT vec_id, {base} AS e
   FROM embeddings
@@ -950,6 +997,7 @@ def _km_ctes(sfx: str, dim_lo: int | None = None, dim_hi: int | None = None) -> 
 ), scored1{sfx} AS (
   SELECT emb{sfx}.vec_id, c.cid, {_km_d2_duck(f'emb{sfx}.e')} AS d2
   FROM emb{sfx} CROSS JOIN cents0{sfx} c
+  {train_where}
 ), assign1{sfx} AS (
   SELECT vec_id, cid, d2,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
@@ -978,9 +1026,11 @@ def _km_ctes(sfx: str, dim_lo: int | None = None, dim_hi: int | None = None) -> 
 )"""
 
 
-# the unrolled 2-iteration Lloyd's chain, shared by the clustering oracle
-# and the learned-cell IVF oracle
+# the unrolled 2-iteration Lloyd's chain: the clustering oracle trains
+# full-corpus (it IS the exact-Lloyd's demonstrator); the learned-index
+# oracle mirrors the sample-fit predicate of sim_ivf_kmeans_topk
 _KMEANS_CTES = _km_ctes("")
+_KMEANS_CTES_SAMPLED = _km_ctes("", train_pred=_TRAIN_PRED_DUCK)
 
 ORACLE_EMB_KMEANS = f"""
 WITH {_KMEANS_CTES}
@@ -988,7 +1038,7 @@ SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM assign2 WHERE rn = 1
 """
 
 ORACLE_SIM_IVF_KMEANS = f"""
-WITH {_KMEANS_CTES},
+WITH {_KMEANS_CTES_SAMPLED},
 nq AS (
   SELECT vec_id AS query_id, e AS q_emb,
          {_NRM_E_DUCK.format(a='e')} AS q_nrm
@@ -1044,8 +1094,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw subvectors, the standard recipe.
 
     100 TB posture: training is PQ_M independent runs of the k-means plan
-    (per iteration: one zero-shuffle assignment projection — codebooks
-    ride 1-row broadcasts — plus one K×PQ_SUB-row agg); encoding is ONE
+    over the deterministic md5-bucket SAMPLE (KMEANS_TRAIN_BUCKET — the
+    iteration passes never touch the full corpus; per iteration: one
+    zero-shuffle assignment projection — codebooks ride 1-row broadcasts
+    — plus one K×PQ_SUB-row agg); encoding is ONE
     pure projection over the corpus (all PQ_M argmins in a single pass,
     no per-subspace join — the 4-way corpus self-join this avoids is the
     naive shape); scoring is a broadcast of the query set over the
@@ -1090,9 +1142,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" 'cid', c.cid)))"
     )
 
-    def _pq_assign(cents_row: DataFrame) -> DataFrame:
+    def _pq_assign(frame: DataFrame, cents_row: DataFrame) -> DataFrame:
         return (
-            sub.join(F.broadcast(cents_row), "s")
+            frame.join(F.broadcast(cents_row), "s")
             .withColumn("best", F.expr(_sub_best))
             .select("vec_id", "s", "es", F.col("best.cid").alias("cid"))
         )
@@ -1103,7 +1155,11 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_row = seeds.groupBy("s").agg(
         F.expr("array_sort(collect_list(struct(cid, vec)))").alias("cents")
     )
-    assigned = _pq_assign(cents_row)
+    # sample-fit: iteration passes see only the md5-bucket training
+    # sample; the full corpus is touched exactly once, by the encode
+    # projection below (same contract as the IVF fit)
+    sub_train = sub.where(F.expr(_TRAIN_PRED_SPARK))
+    assigned = _pq_assign(sub_train, cents_row)
     for _ in range(KMEANS_ITERS - 1):
         ex = assigned.select("s", "cid", F.posexplode("es").alias("pos", "val"))
         m = ex.groupBy("s", "cid", "pos").agg(
@@ -1120,7 +1176,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_row = cvec.groupBy("s").agg(
             F.expr("array_sort(collect_list(struct(cid, vec)))").alias("cents")
         )
-        assigned = _pq_assign(cents_row)
+        assigned = _pq_assign(sub_train, cents_row)
     # materialize the PQ_M-row codebook table eagerly — "train once,
     # persist the codebook" is the production contract, and it stops the
     # two consumers below (encode + LUT build) re-executing the fit
@@ -1209,7 +1265,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_pq_adc() -> str:
     ctes = ",\n".join(
-        _km_ctes(f"_s{s}", s * PQ_SUB + 1, (s + 1) * PQ_SUB)
+        _km_ctes(
+            f"_s{s}",
+            s * PQ_SUB + 1,
+            (s + 1) * PQ_SUB,
+            train_pred=_TRAIN_PRED_DUCK,
+        )
         for s in range(PQ_M)
     )
     code_joins = "\n  ".join(

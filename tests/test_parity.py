@@ -44,33 +44,28 @@ def test_correctness_window_is_pinned():
     names = list(e.queries())
     assert len(e._WINDOW_PRIORITY) == 50
     assert names[:50] == list(e._WINDOW_PRIORITY)
-    # round-5 rotation: the never-driver-checked entries lead the window —
-    # the 8 round-4 operators, log_approx_users (now oracle-backed via its
-    # within_bound fold, so its first driver row is a full hash check),
-    # and every operator added during round 5
-    assert names[: len(e._NEVER_CHECKED)] == list(e._NEVER_CHECKED)
-    assert names[:9] == [
-        "text_repetition",
-        "sample_docs_temperature",
-        "mix_token_budget",
-        "log_asof_join_chunked",
-        "text_token_commonness",
-        "sample_docs_hash_split",
-        "log_retention_cohorts",
-        "dedup_minhash_estimate",
-        "log_approx_users",
+    # round-6 rotation: changed-this-round entries lead (their plans must
+    # re-earn a driver row), then the full r03-stale tail, then the oldest
+    # r04-checked slice as padding
+    assert names[:3] == [
+        "log_approx_quantile_audit",
+        "sim_ivf_kmeans_topk",
+        "sim_pq_adc_topk",
     ]
-    assert "log_approx_users" in e.oracle_sql()
-    # every never-checked lead must carry a full-hash oracle, except ops
-    # that are rows-only BY DESIGN (none currently in the leads)
-    for n in e._NEVER_CHECKED:
-        assert n in e.oracle_sql(), f"windowed lead {n} has no oracle"
-    # everything outside the window is r03- or r04-driver-green and stays
-    # covered by the local all-query parity suite until the next rotation
-    r04_green = 50  # r04's window, all driver-checked
-    r03_displaced = len(e._R03_BACKFILL) - (50 - len(e._NEVER_CHECKED))
-    assert len(names) == 50 + r04_green + r03_displaced
-    # pin the round-5 additions explicitly so a new query can't slip in
-    # without a deliberate edit here
-    assert len(e._NEVER_CHECKED) == 38
+    assert names[: len(e._R06_CHANGED)] == list(e._R06_CHANGED)
+    assert (
+        names[len(e._R06_CHANGED) : len(e._R06_CHANGED) + len(e._R03_STALE)]
+        == list(e._R03_STALE)
+    )
+    # sim_topk_pandas gained its oracle this round — the window row must
+    # now be a full-hash check, and no windowed entry may be oracle-less
+    assert "sim_topk_pandas" in e.oracle_sql()
+    for n in e._WINDOW_PRIORITY:
+        assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
+    # the window partition accounts for the whole registry: 3 changed +
+    # 38 r03-stale + 9 of the 50 r04-checked; the other 41 r04 entries and
+    # the 50 r05-checked entries sit outside, covered by this parity suite
+    assert len(e._R06_CHANGED) == 3
+    assert len(e._R03_STALE) == 38
+    assert len(e._R04_OLDEST) == 9
     assert len(names) == 138

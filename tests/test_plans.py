@@ -397,6 +397,30 @@ def test_kmeans_assignment_is_broadcast_projection(spark, sf_dir):
     assert n == 0, f"{n} hash exchanges\n{plan}"
 
 
+def test_kmeans_sample_fit_trains_on_sample_assigns_full(spark):
+    # Sample-fit contract (round 6): the iteration (mean-update) passes
+    # see ONLY train_d, while the returned assignment covers every emb_d
+    # row — an outlier excluded from the sample cannot move any centroid,
+    # but is still assigned to its nearest (sample-trained) cell. This is
+    # the 100 TB shape: codebooks fit on a bounded sample, the corpus is
+    # touched once by the final assignment.
+    from pyspark.sql import functions as F
+
+    from datafusion_loki_spark.operators.similarity import _kmeans_fit
+
+    rows = [(i, [float(i % 4), float((i * 7) % 5)]) for i in range(11)]
+    rows.append((11, [1000.0, 1000.0]))  # the outlier
+    emb_d = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    assigned, cents = _kmeans_fit(emb_d, emb_d.where(F.col("vec_id") != 11))
+    assert assigned.count() == 12  # full coverage: the outlier IS assigned
+    sample_cents = cents.collect()[0].cents
+    assert all(abs(v) < 50 for c in sample_cents for v in c.vec)
+    # whereas the full-corpus fit pulls a centroid toward the outlier
+    _, cents_full = _kmeans_fit(emb_d)
+    full_cents = cents_full.collect()[0].cents
+    assert any(v > 50 for c in full_cents for v in c.vec)
+
+
 def test_quantize_grid_is_single_row_broadcast(spark, sf_dir):
     # The per-dim min/max grid must reach the encode pass as a 1-row
     # broadcast; the corpus itself never shuffles (one dim-sized agg

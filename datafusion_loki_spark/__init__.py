@@ -141,7 +141,9 @@ def loki_sql(
     the select list — see the sqlbridge module docstring for why both
     gates are required). The temp-view binding is transient: analysis
     inlines the scan, then any pre-existing view of that name is
-    restored."""
+    restored. README.md §Surface has the full matrix of which entry
+    points (pushFilters / loki_sql / loki_table options) prune which
+    predicate classes store-side."""
     from datafusion_loki_spark.sources.logql import label_matcher
     from datafusion_loki_spark.sources.sqlbridge import extract_pushdown
 

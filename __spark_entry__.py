@@ -47,6 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. The r04 remainder rotates in next round; everything outside the
 # window stays covered by the local all-query DuckDB parity suite
 # (tests/test_parity.py).
+_R06_NEW = (
+    # added during round 6 — never driver-checked
+    "emb_outlier_zscore",
+    "mix_pack_sequences",
+)
+
 _R06_CHANGED = (
     # small-group abstention gate added to within_bound this round
     "log_approx_quantile_audit",
@@ -107,11 +113,9 @@ _R04_OLDEST = (
     "log_interval_join_batch",
     "dedup_simhash_hamming",
     "log_top_user_per_type",
-    "log_rate_per_minute",
-    "log_events_by_nation",
 )
 
-_WINDOW_PRIORITY = _R06_CHANGED + _R03_STALE + _R04_OLDEST
+_WINDOW_PRIORITY = _R06_NEW + _R06_CHANGED + _R03_STALE + _R04_OLDEST
 
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:

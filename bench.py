@@ -3,20 +3,25 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Methodology (round 6): the suite is measured TWO ways and both are
-reported, because a single shared JVM confounds engine throughput with
-suite pressure — as queries accumulate in one session, GC load and
-codegen-cache churn from earlier (heavier) queries slow later ones
-uniformly (the r04→r05 comparison drifted 1.25× with identical plans).
+Methodology (settled in round 6 by measurement):
 
-- ``queries`` / ``value`` (the headline): each query timed in its OWN
-  subprocess — fresh JVM, warmup run at sf0.001 to amortize codegen, then
-  min-of-2 at the target SF. This is steady-state engine throughput for
-  that plan, uncontaminated by whatever ran before it.
-- ``shared_queries`` / ``shared_total``: the classic one-JVM pass (all
-  warmups, then min-of-2 per query in suite order). The DELTA between
-  shared and isolated is the suite-pressure metric: if shared drifts
-  while isolated holds, the harness moved, not the plans.
+- ``queries`` / ``value`` (the headline, comparable with BENCH_r01-r05):
+  the shared one-JVM pass — all warmups at sf0.001, then min-of-2 per
+  query in suite order.
+- ``calibration_sec`` / ``value_per_calib``: a fixed synthetic PURE-Spark
+  workload (range → modular key → shuffle agg; no project code) timed in
+  the same session. Round-over-round comparisons should use
+  value_per_calib: round-6 experiments showed ±15-25% AMBIENT variance
+  between sessions/rounds on identical code and identical plans (the
+  r04→r05 "1.25× drift" was this, not a regression), and the anchor
+  moves with the machine while plan regressions do not.
+- ``--isolated`` additionally times each query in its own fresh-JVM
+  subprocess (reported as ``isolated_*``). Measured round 6: isolated is
+  ~2× SLOWER across the board — HotSpot JIT warmup dominates a 2-run
+  fresh JVM — so it is a diagnostic (per-query, suite-order-independent),
+  not the headline. A 512 MB ReservedCodeCacheSize rides session.py so
+  long suites never hit JIT code-cache exhaustion (worth ~5% on the
+  27-query suite).
 
 Each query is fully materialized via a count() over the result (the
 driver collects separately; here we only need execution time, not
@@ -84,6 +89,26 @@ BENCH_QUERIES = [
 ]
 
 
+def _calibration(spark) -> float:
+    """Fixed synthetic pure-Spark workload — measures the machine + JVM,
+    not the engine (no project code, no I/O): 256M-row range, modular
+    key, shuffle agg (~1 s warm — large enough that the min-of-2 anchor
+    is stable against scheduler jitter). min-of-2, same convention as
+    the queries."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 256_000_000, 1, 32)
+            .selectExpr("id % 997 AS k", "id")
+            .groupBy("k")
+            .sum("id")
+            .count()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _min_of_2(fn, spark, sf_dir: str) -> float:
     """JVM codegen/GC jitter is bimodal (observed 4.7 s vs 1.1 s for the
     same plan); min-of-2 reports steady-state throughput rather than
@@ -139,7 +164,9 @@ def _isolated_pass(names: list[str], sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def _shared_pass(names: list[str], sf_dir: str) -> dict[str, float]:
+def _shared_pass(
+    names: list[str], sf_dir: str
+) -> tuple[dict[str, float], float]:
     from datafusion_loki_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -153,9 +180,13 @@ def _shared_pass(names: list[str], sf_dir: str) -> dict[str, float]:
             queries[name](spark, WARMUP_DIR).count()
         except Exception:
             pass
+    calib = _calibration(spark)
     timings = {n: _min_of_2(queries[n], spark, sf_dir) for n in names}
+    # anchor again after the suite, keep the best (the anchor should be
+    # the machine's ceiling, not whatever GC moment it landed on)
+    calib = min(calib, _calibration(spark))
     spark.stop()
-    return timings
+    return timings, calib
 
 
 def main() -> None:
@@ -169,38 +200,36 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     registered = entrymod.queries()
-    # --all: time every registered query, shared-session only (triage tool
-    # for finding slow operators); the default headline list stays stable
-    # across rounds so BENCH_r{N}.json files remain comparable.
+    # --all: time every registered query (triage tool for finding slow
+    # operators); the default headline list stays stable across rounds so
+    # BENCH_r{N}.json files remain comparable.
     if "--all" in sys.argv[1:]:
         names = sorted(registered)
     else:
         names = [n for n in BENCH_QUERIES if n in registered]
 
-    shared_only = "--all" in sys.argv[1:] or "--shared-only" in sys.argv[1:]
-    isolated = {} if shared_only else _isolated_pass(names, sf_dir)
-    shared = (
-        {} if "--isolated-only" in sys.argv[1:] else _shared_pass(names, sf_dir)
-    )
-
-    primary = isolated or shared
+    shared, calib = _shared_pass(names, sf_dir)
+    total = round(sum(shared.values()), 4)
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(primary.values()), 4),
+        "value": total,
         "unit": "sec",
-        "queries": primary,
+        "queries": shared,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calib,
+        "value_per_calib": round(total / calib, 3) if calib else None,
+        "methodology": (
+            "value: one-JVM suite, warmup at sf0.001 then min-of-2 per "
+            "query; calibration_sec: fixed synthetic pure-Spark job in "
+            "the same session — compare rounds via value_per_calib "
+            "(ambient machine variance between sessions measured at "
+            "+/-15-25% in round 6)"
+        ),
     }
-    if isolated and shared:
-        # suite-pressure diagnostics: shared minus isolated is what the
-        # one-JVM harness adds on top of steady-state engine throughput
-        out["shared_total"] = round(sum(shared.values()), 4)
-        out["shared_queries"] = shared
-        out["methodology"] = (
-            "queries/value: per-query fresh-JVM subprocess (warmup at "
-            "sf0.001, min-of-2); shared_*: classic one-JVM suite pass; "
-            "shared_total - value = suite pressure"
-        )
+    if "--isolated" in sys.argv[1:]:
+        iso = _isolated_pass(names, sf_dir)
+        out["isolated_queries"] = iso
+        out["isolated_total"] = round(sum(iso.values()), 4)
     print(json.dumps(out))
 
 

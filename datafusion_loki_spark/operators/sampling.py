@@ -445,6 +445,97 @@ GROUP BY d.source, d.lang
 """
 
 
+PACK_CTX = 2048  # training context length (tokens per packed sequence)
+
+
+def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: concatenate documents in deterministic
+    order and chunk the stream into fixed PACK_CTX-token training
+    sequences — the last preprocessing step before a training run, and
+    the number every data loader needs up front (how many sequences, how
+    full are they, how many documents straddle a boundary and will be
+    split across samples).
+
+    100 TB posture: a GLOBAL concat-and-chunk needs a global total order
+    — a single-partition window, the classic scale-killer. Instead the
+    corpus is sharded by a 2-hex md5 bucket of doc_id (256 deterministic
+    shards; production sizes the prefix so one shard ≈ one worker's
+    training file) and packing runs independently per shard: ONE shuffle
+    on the shard key, window + rollup within each shard, output is
+    O(shards) rows. Doc order inside a shard is doc_id — deterministic
+    under any partitioning, like every sampler in this module. Token
+    counts reuse mix_token_budget's whitespace normalization so the two
+    manifests agree.
+
+    Per shard: n_docs, n_tokens, n_sequences = ceil(n_tokens/CTX),
+    n_docs_split (documents whose [start, end) span crosses a CTX
+    boundary — the cross-document-attention contamination metric), and
+    fill_ratio = n_tokens / (n_sequences · CTX) (padding waste if the
+    tail sequence is not dropped)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr("substring(md5(cast(doc_id as string)), 1, 2)").alias("shard"),
+        F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = (
+        base.withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("strt", F.col("cum") - F.col("n_tok"))
+        .withColumn("first_seq", F.floor(F.col("strt") / PACK_CTX))
+        .withColumn("last_seq", F.floor((F.col("cum") - 1) / PACK_CTX))
+    )
+    agg = per_doc.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        (F.floor((F.max("cum") - 1) / PACK_CTX) + 1).alias("n_sequences"),
+        F.sum(
+            F.when(F.col("first_seq") != F.col("last_seq"), 1).otherwise(0)
+        ).alias("n_docs_split"),
+    )
+    return agg.withColumn(
+        "fill_ratio",
+        F.col("n_tokens").cast("double") / (F.col("n_sequences") * PACK_CTX),
+    )
+
+
+ORACLE_MIX_PACK = f"""
+WITH base AS (
+  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+         len(string_split({_NORM_DUCK}, ' ')) AS n_tok
+  FROM documents
+), per_doc AS (
+  SELECT shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+), seqd AS (
+  SELECT shard, n_tok, cum,
+         CAST(floor((cum - n_tok) / {PACK_CTX}) AS BIGINT) AS first_seq,
+         CAST(floor((cum - 1) / {PACK_CTX}) AS BIGINT) AS last_seq
+  FROM per_doc
+), agg AS (
+  SELECT shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(floor((MAX(cum) - 1) / {PACK_CTX}) + 1 AS BIGINT)
+           AS n_sequences,
+         CAST(SUM(CASE WHEN first_seq != last_seq THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_docs_split
+  FROM seqd GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens, n_sequences, n_docs_split,
+       CAST(n_tokens AS DOUBLE) / (n_sequences * {PACK_CTX}) AS fill_ratio
+FROM agg
+"""
+
+
 QUERIES = {
     "sample_events_uniform": sample_events_uniform,
     "sample_docs_stratified": sample_docs_stratified,
@@ -453,6 +544,7 @@ QUERIES = {
     "sample_docs_hash_split": sample_docs_hash_split,
     "mix_token_budget": mix_token_budget,
     "mix_epoch_plan": mix_epoch_plan,
+    "mix_pack_sequences": mix_pack_sequences,
     "sample_docs_importance": sample_docs_importance,
     "corpus_build_manifest": corpus_build_manifest,
 }
@@ -465,6 +557,7 @@ ORACLES = {
     "sample_docs_hash_split": ORACLE_SAMPLE_HASH_SPLIT,
     "mix_token_budget": ORACLE_MIX_TOKEN_BUDGET,
     "mix_epoch_plan": ORACLE_MIX_EPOCH_PLAN,
+    "mix_pack_sequences": ORACLE_MIX_PACK,
     "sample_docs_importance": ORACLE_SAMPLE_IMPORTANCE,
     "corpus_build_manifest": _oracle_corpus_manifest(),
 }

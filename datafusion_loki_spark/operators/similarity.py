@@ -748,6 +748,111 @@ FROM coded
 """
 
 
+EMB_Z_HOT = 3.0  # |z| above this marks a "hot" dimension
+EMB_Z_OUTLIER = 4.0  # max |z| above this flags the vector
+
+
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score outlier screen — the embedding-QA twin of
+    emb_norm_distribution: fit a diagonal Gaussian over the corpus
+    (per-dim mean and std), then flag vectors whose worst dimension sits
+    far outside it (a truncated/garbage encode, a different model's
+    output mixed in, or an adversarial row — the things you want out
+    before they seed k-means cells or PQ codebooks).
+
+    Same two-pass shape as emb_quantize_int8: the stats pass is a
+    posexplode → per-dim agg whose output is O(dim) rows, collapsed to a
+    1-row (mu[], sd[]) grid and broadcast back onto the corpus scan; the
+    scoring pass is a pure scan-speed projection — no per-vector shuffle
+    at any scale.
+
+    Cross-engine exactness: means and E[x²] use the DECIMAL(38,20)
+    summation contract of emb_centroid_by_label (associative — identical
+    under any partitioning/merge order), the variance is the same fixed
+    expression (m2 − mu², clamped at 0) on both engines, and max / count
+    over the per-dim z values are order-independent reductions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    ex = emb_d.select(F.posexplode("e").alias("pos", "val"))
+    dims = ex.groupBy("pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,20)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        (
+            F.sum(F.expr("cast(val * val as decimal(38,20))")).cast("double")
+            / F.count("*")
+        ).alias("m2"),
+    )
+    stats = dims.select(
+        "pos", "mu", F.expr("sqrt(greatest(m2 - mu * mu, 0.0d))").alias("sd")
+    )
+    grid = stats.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)"
+        ).alias("mu"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, sd))), s -> s.sd)"
+        ).alias("sd"),
+    )
+    z_i = "case when sd[i] = 0.0d then 0.0d else abs(e[i] - mu[i]) / sd[i] end"
+    return (
+        emb_d.crossJoin(F.broadcast(grid))
+        .select(
+            "vec_id",
+            F.expr(
+                f"aggregate(sequence(0, size(e) - 1), 0.0d,"
+                f" (acc, i) -> greatest(acc, {z_i}))"
+            ).alias("max_z"),
+            F.expr(
+                f"aggregate(sequence(0, size(e) - 1), 0L,"
+                f" (acc, i) -> acc + if({z_i} > {EMB_Z_HOT}d, 1L, 0L))"
+            ).alias("n_hot_dims"),
+        )
+        .withColumn("is_outlier", F.col("max_z") > F.lit(EMB_Z_OUTLIER))
+    )
+
+
+_Z_I_DUCK = (
+    "CASE WHEN sd[i] = 0.0 THEN 0.0 ELSE abs(e[i] - mu[i]) / sd[i] END"
+)
+
+ORACLE_EMB_OUTLIER = f"""
+WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), ex AS (
+  SELECT unnest(list_transform(e,
+           x -> CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20)))) AS val,
+         unnest(list_transform(e,
+           x -> CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,20)))) AS val2,
+         unnest(generate_series(1, len(e))) AS pos
+  FROM ed
+), dims AS (
+  SELECT pos,
+         CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(CAST(SUM(val2) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m2
+  FROM ex GROUP BY pos
+), stats AS (
+  SELECT pos, mu, sqrt(greatest(m2 - mu * mu, 0.0)) AS sd FROM dims
+), grid AS (
+  SELECT list(mu ORDER BY pos) AS mu, list(sd ORDER BY pos) AS sd
+  FROM stats
+)
+SELECT vec_id,
+       COALESCE(list_max(list_transform(generate_series(1, len(e)),
+         i -> {_Z_I_DUCK})), 0.0) AS max_z,
+       CAST(COALESCE(list_sum(list_transform(generate_series(1, len(e)),
+         i -> CASE WHEN {_Z_I_DUCK} > {EMB_Z_HOT} THEN 1 ELSE 0 END)), 0)
+         AS BIGINT) AS n_hot_dims,
+       COALESCE(list_max(list_transform(generate_series(1, len(e)),
+         i -> {_Z_I_DUCK})), 0.0) > {EMB_Z_OUTLIER} AS is_outlier
+FROM ed CROSS JOIN grid
+"""
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
@@ -1557,6 +1662,7 @@ QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_topk_pandas": sim_topk_pandas,
     "emb_quantize_int8": emb_quantize_int8,
+    "emb_outlier_zscore": emb_outlier_zscore,
     "emb_kmeans_assign": emb_kmeans_assign,
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
     "sim_pq_adc_topk": sim_pq_adc_topk,
@@ -1584,6 +1690,7 @@ ORACLES = {
         f"SELECT query_id, cand_id, rank FROM ({ORACLE_SIM_TOPK}) t"
     ),
     "emb_quantize_int8": ORACLE_EMB_QUANTIZE,
+    "emb_outlier_zscore": ORACLE_EMB_OUTLIER,
     "emb_kmeans_assign": ORACLE_EMB_KMEANS,
     "sim_ivf_kmeans_topk": ORACLE_SIM_IVF_KMEANS,
     "sim_pq_adc_topk": _oracle_pq_adc(),

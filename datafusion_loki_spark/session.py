@@ -55,6 +55,17 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Whole-stage codegen compiles one class per stage; a long-lived
+        # session running many distinct plans (the bench suite, a notebook,
+        # a multi-query job server) fills HotSpot's default ~240 MB code
+        # cache, after which the JIT stops compiling and everything runs
+        # interpreted — observed as a uniform ~15-25% suite-wide slowdown.
+        # Reserve more; applies at JVM launch (no-op on an already-running
+        # gateway).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

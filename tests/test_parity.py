@@ -44,17 +44,20 @@ def test_correctness_window_is_pinned():
     names = list(e.queries())
     assert len(e._WINDOW_PRIORITY) == 50
     assert names[:50] == list(e._WINDOW_PRIORITY)
-    # round-6 rotation: changed-this-round entries lead (their plans must
-    # re-earn a driver row), then the full r03-stale tail, then the oldest
-    # r04-checked slice as padding
-    assert names[:3] == [
+    # round-6 rotation: never-checked round-6 additions lead, then
+    # changed-this-round entries (their plans must re-earn a driver row),
+    # then the full r03-stale tail, then the oldest r04-checked padding
+    assert names[:5] == [
+        "emb_outlier_zscore",
+        "mix_pack_sequences",
         "log_approx_quantile_audit",
         "sim_ivf_kmeans_topk",
         "sim_pq_adc_topk",
     ]
-    assert names[: len(e._R06_CHANGED)] == list(e._R06_CHANGED)
+    lead = list(e._R06_NEW) + list(e._R06_CHANGED)
+    assert names[: len(lead)] == lead
     assert (
-        names[len(e._R06_CHANGED) : len(e._R06_CHANGED) + len(e._R03_STALE)]
+        names[len(lead) : len(lead) + len(e._R03_STALE)]
         == list(e._R03_STALE)
     )
     # sim_topk_pandas gained its oracle this round — the window row must
@@ -62,10 +65,12 @@ def test_correctness_window_is_pinned():
     assert "sim_topk_pandas" in e.oracle_sql()
     for n in e._WINDOW_PRIORITY:
         assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
-    # the window partition accounts for the whole registry: 3 changed +
-    # 38 r03-stale + 9 of the 50 r04-checked; the other 41 r04 entries and
-    # the 50 r05-checked entries sit outside, covered by this parity suite
+    # the window partition accounts for the whole registry: 2 new + 3
+    # changed + 38 r03-stale + 7 of the 50 r04-checked; the other 43 r04
+    # entries and the 50 r05-checked entries sit outside, covered by this
+    # parity suite
+    assert len(e._R06_NEW) == 2
     assert len(e._R06_CHANGED) == 3
     assert len(e._R03_STALE) == 38
-    assert len(e._R04_OLDEST) == 9
-    assert len(names) == 138
+    assert len(e._R04_OLDEST) == 7
+    assert len(names) == 140

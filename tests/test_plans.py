@@ -432,6 +432,29 @@ def test_quantize_grid_is_single_row_broadcast(spark, sf_dir):
     assert n <= 1, f"{n} hash exchanges\n{plan}"
 
 
+def test_outlier_grid_is_single_row_broadcast(spark, sf_dir):
+    # The per-dim (mu, sd) grid must reach the scoring pass as a 1-row
+    # broadcast over the corpus scan (same SQ8 two-pass shape as
+    # emb_quantize_int8): one dim-keyed agg exchange, no per-vector
+    # shuffle, no cartesian.
+    plan = _plan(spark, sf_dir, "emb_outlier_zscore")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 1, f"{n} hash exchanges\n{plan}"
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    # Packing must be shard-parallel: the cumulative window and the
+    # per-shard rollup share ONE exchange on the shard key (the rollup
+    # reuses the window's partitioning), and the token-count projection
+    # runs at scan speed before the shuffle.
+    plan = _plan(spark, sf_dir, "mix_pack_sequences")
+    assert "CartesianProduct" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"{n} hash exchanges\n{plan}"
+
+
 def test_tfidf_topk_prunes_with_window_group_limit(spark, sf_dir):
     # The per-doc top-k must carry WindowGroupLimit (rank pre-buffer
     # pruning) and the N scalar must ride a broadcast, not a cartesian.

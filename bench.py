@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     # both candidate pipelines + a full-outer pair join)
     "emb_pca_project",
     "dedup_method_agreement",
+    # appended round 6: the two new plan shapes — shard-parallel
+    # sequence packing (window+rollup sharing one exchange) and the
+    # broadcast-grid z-score screen
+    "mix_pack_sequences",
+    "emb_outlier_zscore",
 ]
 
 

@@ -143,9 +143,48 @@ def loki_sql(
     inlines the scan, then any pre-existing view of that name is
     restored. README.md §Surface has the full matrix of which entry
     points (pushFilters / loki_sql / loki_table options) prune which
-    predicate classes store-side."""
+    predicate classes store-side.
+
+    ``INSERT INTO <t> VALUES (...)`` / ``INSERT INTO <t> SELECT ...``
+    statements append through the push sink and return the reference's
+    one-row count table (insert.rs:26-32,136-140) — the full reference
+    SQL surface through one entry point."""
     from datafusion_loki_spark.sources.logql import label_matcher
     from datafusion_loki_spark.sources.sqlbridge import extract_pushdown
+
+    import re as _re
+
+    # INSERT statements route to the push sink and return the reference's
+    # one-row count table (insert.rs:26-32,136-140) — the whole reference
+    # SQL surface (examples/datafusion.rs:10-32, init.sql) through ONE
+    # entry point. `INSERT INTO <t> VALUES ...` evaluates the VALUES rows
+    # against the loki schema; `INSERT INTO <t> SELECT ...` runs the
+    # SELECT (over the session catalog) and appends its rows.
+    im = _re.match(
+        r"\s*insert\s+into\s+[A-Za-z_][\w.]*\s+(values\b|select\b)",
+        sql,
+        _re.I,
+    )
+    if im:
+        kind = im.group(1).lower()
+        body = sql[im.start(1) :].rstrip().rstrip(";")
+        if kind == "values":
+            frame = spark.sql(
+                f"SELECT * FROM ({body}) AS v(timestamp, labels, line)"
+            )
+        else:
+            frame = spark.sql(body)
+        if len(frame.columns) != 3:
+            raise ValueError(
+                "loki_sql INSERT needs exactly (timestamp, labels, line) "
+                f"columns; got {len(frame.columns)}"
+            )
+        frame = frame.selectExpr(
+            f"cast(`{frame.columns[0]}` as timestamp) as timestamp",
+            f"cast(`{frame.columns[1]}` as map<string,string>) as labels",
+            f"cast(`{frame.columns[2]}` as string) as line",
+        )
+        return insert_into_loki(frame, endpoint, **options)
 
     spec = extract_pushdown(sql)
     if spec.table is None:

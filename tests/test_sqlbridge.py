@@ -494,6 +494,53 @@ def test_loki_sql_federation_join(spark, emulator):
     assert emulator.queries[-1] == '{app="api"}'
 
 
+def test_loki_sql_insert_values_returns_count(spark):
+    # INSERT through the same entry point as SELECT — the reference's
+    # ctx.sql() surface (examples/datafusion.rs:10-32): VALUES rows are
+    # appended via the push sink and the one-row count table comes back
+    # (insert.rs:26-32,136-140)
+    em = LokiEmulator().start()
+    try:
+        df = loki_sql(
+            spark,
+            "INSERT INTO logs VALUES "
+            "(timestamp'2024-03-01 10:00:00', map('app','web'), 'hello'), "
+            "(timestamp'2024-03-01 10:00:01', map('app','web'), 'world')",
+            em.endpoint,
+        )
+        assert df.collect()[0]["count"] == 2
+        got = loki_sql(
+            spark,
+            "SELECT line FROM logs WHERE labels['app'] = 'web' "
+            "AND timestamp >= TIMESTAMP '2024-01-01 00:00:00' "
+            "AND timestamp <= TIMESTAMP '2024-12-31 00:00:00'",
+            em.endpoint,
+        )
+        assert sorted(r.line for r in got.collect()) == ["hello", "world"]
+    finally:
+        em.stop()
+
+
+def test_loki_sql_insert_select_returns_count(spark):
+    em = LokiEmulator().start()
+    try:
+        spark.createDataFrame(
+            [("api", "from-view-1"), ("api", "from-view-2")],
+            "app string, msg string",
+        ).createOrReplaceTempView("staged")
+        df = loki_sql(
+            spark,
+            "INSERT INTO logs SELECT timestamp'2024-03-02 09:00:00', "
+            "map('app', app), msg FROM staged",
+            em.endpoint,
+        )
+        assert df.collect()[0]["count"] == 2
+        assert len(em.rows) == 2, "push sink never delivered the rows"
+    finally:
+        spark.catalog.dropTempView("staged")
+        em.stop()
+
+
 def test_extract_pushdown_never_raises_on_arbitrary_text():
     from hypothesis import given, settings
     from hypothesis import strategies as st

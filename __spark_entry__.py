@@ -51,6 +51,8 @@ _R06_NEW = (
     # added during round 6 — never driver-checked
     "emb_outlier_zscore",
     "mix_pack_sequences",
+    "mix_pack_greedy",
+    "dedup_cross_source_overlap",
 )
 
 _R06_CHANGED = (
@@ -111,8 +113,6 @@ _R04_OLDEST = (
     "dedup_keep_list",
     "log_asof_join",
     "log_interval_join_batch",
-    "dedup_simhash_hamming",
-    "log_top_user_per_type",
 )
 
 _WINDOW_PRIORITY = _R06_NEW + _R06_CHANGED + _R03_STALE + _R04_OLDEST

@@ -86,11 +86,12 @@ BENCH_QUERIES = [
     # both candidate pipelines + a full-outer pair join)
     "emb_pca_project",
     "dedup_method_agreement",
-    # appended round 6: the two new plan shapes — shard-parallel
-    # sequence packing (window+rollup sharing one exchange) and the
-    # broadcast-grid z-score screen
+    # appended round 6: the new plan shapes — shard-parallel sequence
+    # packing (window+rollup sharing one exchange), the broadcast-grid
+    # z-score screen, and the stateful pandas-group packer
     "mix_pack_sequences",
     "emb_outlier_zscore",
+    "mix_pack_greedy",
 ]
 
 

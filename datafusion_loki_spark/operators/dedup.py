@@ -1345,6 +1345,53 @@ FULL JOIN (SELECT doc_a, doc_b FROM ({_oracle_simhash_hamming()}) y) s
 """
 
 
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap audit: for each unordered (source_a, source_b)
+    pair, how many near-duplicate candidate pairs connect them — the
+    data-sourcing question behind every multi-crawl corpus ("which feeds
+    are re-serving each other's content, and how much of my dedup budget
+    is intra-source boilerplate vs cross-source re-crawl"). Diagonal rows
+    (source_a = source_b) count intra-source duplication.
+
+    100 TB posture: reuses the one banding shuffle of the LSH candidate
+    generator (the pair list is checkpointed and cap-bounded); the
+    (doc_id → source) labeling prunes the corpus to candidate docs via a
+    broadcast semi-join before the two pair-side joins, so nothing
+    corpus-scale shuffles; the rollup key is sources² — tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand, ids = _candidate_pairs_and_ids(spark, sf_dir)
+    src = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(ids), "doc_id", "semi")
+        .localCheckpoint(eager=True)  # candidate-sized
+    )
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_candidate_pairs"))
+    )
+
+
+def _oracle_cross_source_overlap() -> str:
+    return f"""
+WITH cand AS ({_oracle_minhash()})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       COUNT(*) AS n_candidate_pairs
+FROM cand
+JOIN documents da ON cand.doc_a = da.doc_id
+JOIN documents db ON cand.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_bow": dedup_bow,
@@ -1415,3 +1462,5 @@ FROM agged
 
 QUERIES["dedup_canonical_by_rank"] = dedup_canonical_by_rank
 ORACLES["dedup_canonical_by_rank"] = _oracle_canonical_by_rank()
+QUERIES["dedup_cross_source_overlap"] = dedup_cross_source_overlap
+ORACLES["dedup_cross_source_overlap"] = _oracle_cross_source_overlap()

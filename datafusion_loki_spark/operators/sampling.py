@@ -536,6 +536,99 @@ FROM agg
 """
 
 
+def mix_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy packing — the document-boundary-respecting
+    alternative to mix_pack_sequences: walk each shard's docs in doc_id
+    order, start a new sequence whenever the next document would overflow
+    PACK_CTX (documents never straddle sequences; an oversize document
+    occupies a sequence alone). Used when cross-document attention
+    contamination matters more than padding waste; run both manifests and
+    compare fill ratios.
+
+    This is the operator class Spark's windows genuinely cannot express:
+    the sequence boundary depends on a running fill that RESETS on
+    overflow (a data-dependent prefix-scan, not a frame aggregate), so
+    the per-shard walk runs as an Arrow-batched applyInPandas group — and
+    the DuckDB oracle expresses the same recurrence as a recursive CTE,
+    keeping even the stateful operator value-checked.
+
+    100 TB posture: one shuffle on the 256-way md5 shard key; each group
+    is one shard buffered through pandas (production sizes the hex prefix
+    so a shard fits an executor — same knob as mix_pack_sequences); the
+    Python loop touches O(docs/shard) integers, not text."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr("substring(md5(cast(doc_id as string)), 1, 2)").alias("shard"),
+        F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        fill, seq, oversize = 0, 0, 0
+        for t in pdf["n_tok"]:
+            t = int(t)
+            if t > PACK_CTX:
+                oversize += 1
+            if seq == 0 or fill + t > PACK_CTX:
+                seq += 1
+                fill = t
+            else:
+                fill += t
+        total = int(pdf["n_tok"].sum())
+        return pd.DataFrame(
+            [
+                {
+                    "shard": pdf["shard"].iloc[0],
+                    "n_docs": len(pdf),
+                    "n_tokens": total,
+                    "n_sequences": seq,
+                    "n_oversize_docs": oversize,
+                    "mean_fill": total / seq,
+                }
+            ]
+        )
+
+    return base.groupBy("shard").applyInPandas(
+        pack,
+        "shard string, n_docs bigint, n_tokens bigint, n_sequences bigint,"
+        " n_oversize_docs bigint, mean_fill double",
+    )
+
+
+ORACLE_MIX_PACK_GREEDY = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+         len(string_split({_NORM_DUCK}, ' ')) AS n_tok
+  FROM documents
+), ordered AS (
+  SELECT shard, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM base
+), step AS (
+  SELECT shard, rn, n_tok, n_tok AS fill, 1 AS seq
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.n_tok,
+         CASE WHEN s.fill + o.n_tok > {PACK_CTX}
+              THEN o.n_tok ELSE s.fill + o.n_tok END,
+         CASE WHEN s.fill + o.n_tok > {PACK_CTX}
+              THEN s.seq + 1 ELSE s.seq END
+  FROM step s JOIN ordered o ON o.shard = s.shard AND o.rn = s.rn + 1
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(MAX(seq) AS BIGINT) AS n_sequences,
+       CAST(SUM(CASE WHEN n_tok > {PACK_CTX} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversize_docs,
+       CAST(SUM(n_tok) AS DOUBLE) / MAX(seq) AS mean_fill
+FROM step GROUP BY shard
+"""
+
+
 QUERIES = {
     "sample_events_uniform": sample_events_uniform,
     "sample_docs_stratified": sample_docs_stratified,
@@ -545,6 +638,7 @@ QUERIES = {
     "mix_token_budget": mix_token_budget,
     "mix_epoch_plan": mix_epoch_plan,
     "mix_pack_sequences": mix_pack_sequences,
+    "mix_pack_greedy": mix_pack_greedy,
     "sample_docs_importance": sample_docs_importance,
     "corpus_build_manifest": corpus_build_manifest,
 }
@@ -558,6 +652,7 @@ ORACLES = {
     "mix_token_budget": ORACLE_MIX_TOKEN_BUDGET,
     "mix_epoch_plan": ORACLE_MIX_EPOCH_PLAN,
     "mix_pack_sequences": ORACLE_MIX_PACK,
+    "mix_pack_greedy": ORACLE_MIX_PACK_GREEDY,
     "sample_docs_importance": ORACLE_SAMPLE_IMPORTANCE,
     "corpus_build_manifest": _oracle_corpus_manifest(),
 }

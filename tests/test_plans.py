@@ -455,6 +455,28 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     assert n == 1, f"{n} hash exchanges\n{plan}"
 
 
+def test_pack_greedy_single_shuffle_pandas_group(spark, sf_dir):
+    # The stateful no-split packer: one exchange on the shard key feeding
+    # the Arrow-batched pandas group walk — no second shuffle, no
+    # cartesian; the token projection runs before the exchange.
+    plan = _plan(spark, sf_dir, "mix_pack_greedy")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"{n} hash exchanges\n{plan}"
+
+
+def test_cross_source_overlap_joins_are_candidate_sized(spark, sf_dir):
+    # The source-labeling joins run over the checkpointed candidate-sized
+    # frames (Scan ExistingRDD), never the corpus: the only FileScan in
+    # the final plan is the doc->source projection pruned by the
+    # broadcast semi-join before its checkpoint.
+    plan = _plan(spark, sf_dir, "dedup_cross_source_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "FileScan" not in plan, plan
+
+
 def test_tfidf_topk_prunes_with_window_group_limit(spark, sf_dir):
     # The per-doc top-k must carry WindowGroupLimit (rank pre-buffer
     # pruning) and the N scalar must ride a broadcast, not a cartesian.

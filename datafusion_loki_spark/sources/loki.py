@@ -158,6 +158,13 @@ class LokiDataSourceReader(DataSourceReader):
         self.columns = _parse_columns_option(options)
         self.limit = int(options["limit"]) if options.get("limit") else None
         self.num_partitions = int(options.get("partitions", "1"))
+        # Per-request page size for the UNBOUNDED scan path. Real Loki
+        # truncates query_range responses at its server-side max
+        # (`max_entries_limit_per_query`, default 5000); the reference
+        # issues ONE request per scan (scan.rs:195-198) and silently
+        # loses everything past that cap. We page forward instead —
+        # deliberate safer-than-reference delta, see read().
+        self.page_limit = int(options.get("page_limit", "5000"))
         if options.get("check_connection", "false").lower() == "true":
             loki_client.check_connection(self.endpoint)
         # Explicit LogQL line-filter segments (`|= x`, `|~ rx`, `!= x`,
@@ -205,9 +212,57 @@ class LokiDataSourceReader(DataSourceReader):
         cuts = [start + i * step for i in range(n)] + [end]
         return [LokiRangePartition(cuts[i], cuts[i + 1]) for i in range(n)]
 
+    def _convert_batch(self, batch):
+        """Project + convert one Arrow batch to the Spark-facing schema.
+        Decode ONLY the projected parquet columns (≙ ProjectionMask::roots,
+        scan.rs:203-206) — `SELECT line` must not pay to decode labels."""
+        import pyarrow as pa
+
+        arrays = []
+        for name in self.columns:
+            col = batch.column(name)
+            if name == "timestamp":
+                if pa.types.is_timestamp(col.type) and col.type.unit == "ns":
+                    # ns → µs for Spark TimestampType (SURVEY.md §7.4.1)
+                    col = col.cast(pa.timestamp("us"), safe=False)
+                elif pa.types.is_integer(col.type):
+                    col = (
+                        pa.compute.divide(col, 1000)
+                        .cast(pa.int64())
+                        .cast(pa.timestamp("us"))
+                    )
+            arrays.append(col)
+        return pa.RecordBatch.from_arrays(arrays, names=list(self.columns))
+
+    @staticmethod
+    def _ts_ns_ints(table):
+        """The page's timestamp column as raw ns int64 (either physical
+        encoding — TIMESTAMP(NANOS) or int64 nanos)."""
+        import pyarrow as pa
+
+        col = table.column("timestamp")
+        if pa.types.is_timestamp(col.type):
+            return col.cast(pa.int64())
+        return col
+
     def read(self, partition: LokiRangePartition):
-        """Executor-side: one bounded range query → Arrow batches
-        (≙ LokiLogScanExec::execute + fetch_log_stream, scan.rs:90-216)."""
+        """Executor-side: bounded range queries → Arrow batches
+        (≙ LokiLogScanExec::execute + fetch_log_stream, scan.rs:90-216).
+
+        Deliberate safer-than-reference delta: the UNBOUNDED path pages
+        forward. Real Loki truncates each query_range response at the
+        server's max-entries cap; the reference's single request
+        (scan.rs:195-198) silently drops every row past it. Here each
+        page asks for `page_limit` rows (direction=forward); a full page
+        means more data may remain, so rows carrying the page's maximum
+        timestamp are withheld (the server may have cut mid-timestamp)
+        and the next page restarts AT that timestamp, re-reading them in
+        full — no row lost, none duplicated. A full page at a single
+        timestamp (> page_limit rows in one ns) cannot make progress
+        that way; it is emitted as-is and the scan steps 1 ns past it —
+        the one truncation case left, flagged loudly in the docstring
+        rather than hit silently. With a user `limit` the single-request
+        contract stands (the store's first-n IS the answer)."""
         import io
 
         import pyarrow as pa
@@ -218,32 +273,56 @@ class LokiDataSourceReader(DataSourceReader):
             self.option_line_filters + self.line_filters,
             self.default_label,
         )
-        body = loki_client.query_range(
-            self.endpoint, query, partition.start_ns, partition.end_ns, self.limit
-        )
-        if not body:
+        if self.limit is not None:
+            body = loki_client.query_range(
+                self.endpoint, query, partition.start_ns, partition.end_ns,
+                self.limit,
+            )
+            if not body:
+                return
+            reader = pq.ParquetFile(io.BytesIO(body))
+            # Stream in bounded batches like the reference's 4096-row
+            # decode (scan.rs:209); arrow slices are zero-copy.
+            for batch in reader.iter_batches(
+                batch_size=4096, columns=list(self.columns)
+            ):
+                yield self._convert_batch(batch)
             return
-        reader = pq.ParquetFile(io.BytesIO(body))
-        # Stream in bounded batches like the reference's 4096-row decode
-        # (scan.rs:209); arrow slices are zero-copy. Decode ONLY the
-        # projected parquet columns (≙ ProjectionMask::roots,
-        # scan.rs:203-206) — `SELECT line` must not pay to decode labels.
-        for batch in reader.iter_batches(batch_size=4096, columns=list(self.columns)):
-            arrays = []
-            for name in self.columns:
-                col = batch.column(name)
-                if name == "timestamp":
-                    if pa.types.is_timestamp(col.type) and col.type.unit == "ns":
-                        # ns → µs for Spark TimestampType (SURVEY.md §7.4.1)
-                        col = col.cast(pa.timestamp("us"), safe=False)
-                    elif pa.types.is_integer(col.type):
-                        col = (
-                            pa.compute.divide(col, 1000)
-                            .cast(pa.int64())
-                            .cast(pa.timestamp("us"))
-                        )
-                arrays.append(col)
-            yield pa.RecordBatch.from_arrays(arrays, names=list(self.columns))
+
+        cur = partition.start_ns
+        while True:
+            body = loki_client.query_range(
+                self.endpoint, query, cur, partition.end_ns, self.page_limit
+            )
+            if not body:
+                return
+            # decode the projected columns + timestamp (needed for the
+            # page-boundary arithmetic even when not projected)
+            page_cols = list(
+                dict.fromkeys(list(self.columns) + ["timestamp"])
+            )
+            table = pq.ParquetFile(io.BytesIO(body)).read(columns=page_cols)
+            if table.num_rows == 0:
+                return
+            if table.num_rows < self.page_limit:
+                emit = table  # final page
+            else:
+                ts = self._ts_ns_ints(table)
+                max_ts = pa.compute.max(ts).as_py()
+                min_ts = pa.compute.min(ts).as_py()
+                if max_ts == min_ts:
+                    # degenerate full page at one ns: emit and step past
+                    emit = table
+                    cur = max_ts + 1
+                else:
+                    emit = table.filter(pa.compute.less(ts, pa.scalar(max_ts)))
+                    cur = max_ts
+            for batch in emit.select(list(self.columns)).to_batches(
+                max_chunksize=4096
+            ):
+                yield self._convert_batch(batch)
+            if table.num_rows < self.page_limit or cur >= partition.end_ns:
+                return
 
 
 @dataclass

@@ -428,3 +428,89 @@ def test_line_startswith_endswith_pushdown(loki_df, emulator):
     df2 = loki_df.load().where(F.col("line").endswith("log"))
     assert {r.line for r in df2.collect()} == {"this is aaa log", "this is bbb log"}
     assert "|~ `log$`" in emulator.queries[-1]
+
+
+def test_unbounded_scan_pages_past_server_cap(spark):
+    # Safer-than-reference delta: a scan with no user limit must page
+    # forward past the server's per-request entry cap instead of silently
+    # truncating (the reference's single request loses rows past the cap,
+    # scan.rs:195-198). 12 rows, page_limit=5 → ≥3 requests, all rows.
+    em = LokiEmulator().start()
+    try:
+        base = _now_minus(60)
+        em.seed(
+            [
+                (base + i * 60 * NS, {"app": "pager"}, f"row-{i:02d}")
+                for i in range(12)
+            ]
+        )
+        register_loki(spark)
+        df = (
+            spark.read.format("loki")
+            .option("endpoint", em.endpoint)
+            .option("default_label", "app")
+            .option("page_limit", "5")
+            .load()
+        )
+        lines = sorted(r.line for r in df.collect())
+        assert lines == [f"row-{i:02d}" for i in range(12)]
+        # the page loop issued multiple bounded requests
+        assert len(em.params) >= 3
+        assert all(p.get("limit") == "5" for p in em.params[-3:])
+        assert all(p.get("direction") == "forward" for p in em.params[-3:])
+    finally:
+        em.stop()
+
+
+def test_pagination_no_dup_no_loss_at_timestamp_cut(spark):
+    # The page boundary can land mid-timestamp: rows carrying the page's
+    # max timestamp are withheld and re-read by the next page — ties at
+    # the cut must appear exactly once.
+    em = LokiEmulator().start()
+    try:
+        base = _now_minus(60)
+        rows = []
+        k = 0
+        for ts_i in range(4):  # 4 distinct timestamps × 3 rows each
+            for _ in range(3):
+                rows.append(
+                    (base + ts_i * 60 * NS, {"app": "ties"}, f"t{k:02d}")
+                )
+                k += 1
+        em.seed(rows)
+        register_loki(spark)
+        df = (
+            spark.read.format("loki")
+            .option("endpoint", em.endpoint)
+            .option("default_label", "app")
+            .option("page_limit", "5")  # cuts inside timestamp groups
+            .load()
+        )
+        lines = sorted(r.line for r in df.collect())
+        assert lines == [f"t{i:02d}" for i in range(12)]
+    finally:
+        em.stop()
+
+
+def test_user_limit_stays_single_request(spark):
+    # With an explicit limit the store's first-n IS the answer — exactly
+    # one request, no paging.
+    em = LokiEmulator().start()
+    try:
+        base = _now_minus(30)
+        em.seed(
+            [(base + i * NS, {"app": "one"}, f"l{i}") for i in range(9)]
+        )
+        register_loki(spark)
+        df = (
+            spark.read.format("loki")
+            .option("endpoint", em.endpoint)
+            .option("default_label", "app")
+            .option("limit", "4")
+            .option("page_limit", "3")
+            .load()
+        )
+        assert df.count() == 4
+        assert len(em.params) == 1 and em.params[0]["limit"] == "4"
+    finally:
+        em.stop()

@@ -413,26 +413,21 @@ class LokiStreamReader(SimpleDataSourceStreamReader):
         )
         start = _parse_time_option(options.get("start"))
         self.start_ns = start if start is not None else logql.current_timestamp_ns()
+        self.page_limit = int(options.get("page_limit", "5000"))
 
     def initialOffset(self) -> dict:
         return {"ns": self.start_ns}
 
-    def _fetch(self, start_ns: int, end_ns: int):
-        import io
-
+    @staticmethod
+    def _rows(table):
+        """Arrow page → python rows. ns → µs (Spark TimestampType
+        precision), tz-aware datetimes so the pickle row path converts
+        cleanly."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        query = logql.build_logql(
-            self.label_matchers, self.option_line_filters, self.default_label
+        ts_col = table.column("timestamp").cast(
+            pa.timestamp("us", tz="UTC"), safe=False
         )
-        body = loki_client.query_range(self.endpoint, query, start_ns, end_ns)
-        if not body:
-            return []
-        table = pq.read_table(io.BytesIO(body))
-        # ns → µs (Spark TimestampType precision), tz-aware datetimes so the
-        # pickle row path converts cleanly.
-        ts_col = table.column("timestamp").cast(pa.timestamp("us", tz="UTC"), safe=False)
         rows = []
         for ts, labels, line in zip(
             ts_col.to_pylist(),
@@ -442,6 +437,52 @@ class LokiStreamReader(SimpleDataSourceStreamReader):
             labels_map = dict(labels) if isinstance(labels, list) else labels
             rows.append((ts, labels_map, line))
         return rows
+
+    def _fetch(self, start_ns: int, end_ns: int):
+        """Page forward through [start_ns, end_ns) — a micro-batch that
+        accumulated more rows than the server's per-request cap must not
+        silently truncate (same boundary rule as the batch reader: a full
+        page withholds its max-timestamp rows and the next page restarts
+        AT that timestamp)."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        query = logql.build_logql(
+            self.label_matchers, self.option_line_filters, self.default_label
+        )
+        out: list = []
+        cur = start_ns
+        while True:
+            body = loki_client.query_range(
+                self.endpoint, query, cur, end_ns, self.page_limit
+            )
+            if not body:
+                return out
+            table = pq.read_table(io.BytesIO(body))
+            if table.num_rows == 0:
+                return out
+            if table.num_rows < self.page_limit:
+                out.extend(self._rows(table))
+                return out
+            ts = table.column("timestamp")
+            ts_int = (
+                ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type) else ts
+            )
+            max_ts = pa.compute.max(ts_int).as_py()
+            if max_ts == pa.compute.min(ts_int).as_py():
+                out.extend(self._rows(table))  # degenerate single-ns page
+                cur = max_ts + 1
+            else:
+                out.extend(
+                    self._rows(
+                        table.filter(pa.compute.less(ts_int, pa.scalar(max_ts)))
+                    )
+                )
+                cur = max_ts
+            if cur >= end_ns:
+                return out
 
     def read(self, start: dict):
         end_ns = logql.current_timestamp_ns()

@@ -675,3 +675,23 @@ def test_session_window_state_survives_restart(spark, tmp_path):
     assert r.sum_value == pytest.approx(7.0)
     assert r.session_start == t0
     assert r.session_end == t0 + dt.timedelta(minutes=9)  # last + 5min gap
+
+
+def test_stream_reader_fetch_pages_past_cap(emulator):
+    # A micro-batch window holding more rows than the server's
+    # per-request cap must page forward, not silently truncate — same
+    # boundary rule as the batch reader (max-timestamp rows withheld and
+    # re-read by the next page).
+    base = time.time_ns() - 3600 * NS
+    emulator.seed(
+        [(base + i * 60 * NS, {"app": "x"}, f"r{i:02d}") for i in range(12)]
+    )
+    from datafusion_loki_spark.sources.loki import LokiStreamReader
+
+    reader = LokiStreamReader(
+        {"endpoint": emulator.endpoint, "default_label": "app", "page_limit": "5"}
+    )
+    rows = reader._fetch(base, base + 3600 * NS)
+    assert [line for _, _, line in rows] == [f"r{i:02d}" for i in range(12)]
+    assert len(emulator.params) >= 3
+    assert all(p.get("limit") == "5" for p in emulator.params)

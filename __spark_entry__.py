@@ -53,6 +53,8 @@ _R06_NEW = (
     "mix_pack_sequences",
     "mix_pack_greedy",
     "dedup_cross_source_overlap",
+    "log_burn_alerts",
+    "log_transition_matrix",
 )
 
 _R06_CHANGED = (
@@ -111,8 +113,6 @@ _R04_OLDEST = (
     "dedup_incremental",
     "dedup_cc_groups",
     "dedup_keep_list",
-    "log_asof_join",
-    "log_interval_join_batch",
 )
 
 _WINDOW_PRIORITY = _R06_NEW + _R06_CHANGED + _R03_STALE + _R04_OLDEST

@@ -1348,6 +1348,156 @@ HAVING COUNT(*) * {MG_CAPACITY + 1} > (SELECT n FROM tot)
 """
 
 
+# SRE-workbook page threshold for the (5m, 1h) window pair: burning 2% of
+# a 30-day budget within the hour ⇒ burn rate 14.4 (both windows must
+# breach — the long window keeps a brief spike from paging, the short one
+# ends the page quickly once the burn stops)
+BURN_PAGE_THRESHOLD = 14.4
+_BURN_BUCKET_US = 300 * 1_000_000  # 5-minute buckets
+_BURN_LONG_BUCKETS = 11  # trailing 1 h = current + 11 preceding buckets
+
+
+def log_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window multi-burn-rate alerting (the SRE-workbook policy
+    log_slo_burn's daily rollup feeds into): per 5-minute bucket, the
+    short-window burn rate and the trailing-1-hour burn rate; a page
+    fires only when BOTH breach the threshold — the long window
+    suppresses one-bucket blips, the short window ends the page promptly
+    after recovery.
+
+    100 TB posture: the raw stream collapses to 5-minute buckets in one
+    map-side-combined agg (the shuffle carries O(time-range/5min) rows —
+    thousands, not billions); the trailing window then runs over the
+    bucket table, an integer-keyed RANGE frame in one ordered pass. The
+    unpartitioned window is fine BECAUSE it is bucket-level: its input
+    is tiny by construction. Burn arithmetic is the exact
+    integer-count / IEEE-division contract of log_slo_burn."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {_BURN_BUCKET_US}"
+            ).alias("bucket"),
+            "event_type",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_err"),
+        )
+    )
+    w = Window.orderBy("bucket").rangeBetween(
+        -_BURN_LONG_BUCKETS, Window.currentRow
+    )
+    short_burn = (
+        F.col("n_err").cast("double") / F.col("n_total")
+        * F.lit(_BURN_MULTIPLIER)
+    )
+    long_burn = (
+        F.sum("n_err").over(w).cast("double") / F.sum("n_total").over(w)
+        * F.lit(_BURN_MULTIPLIER)
+    )
+    return per.select(
+        "bucket",
+        "n_total",
+        "n_err",
+        short_burn.alias("short_burn"),
+        long_burn.alias("long_burn"),
+        (
+            (short_burn > F.lit(BURN_PAGE_THRESHOLD))
+            & (long_burn > F.lit(BURN_PAGE_THRESHOLD))
+        ).alias("page_alert"),
+    )
+
+
+ORACLE_BURN_ALERTS = f"""
+WITH per AS (
+  SELECT epoch_us(ts) // {_BURN_BUCKET_US} AS bucket,
+         COUNT(*) AS n_total,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+  FROM events GROUP BY 1
+)
+SELECT bucket, CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_err AS BIGINT) AS n_err,
+       CAST(n_err AS DOUBLE) / n_total * {_BURN_MULTIPLIER} AS short_burn,
+       CAST(SUM(n_err) OVER w AS DOUBLE) / SUM(n_total) OVER w
+         * {_BURN_MULTIPLIER} AS long_burn,
+       (CAST(n_err AS DOUBLE) / n_total * {_BURN_MULTIPLIER}
+          > {BURN_PAGE_THRESHOLD}
+        AND CAST(SUM(n_err) OVER w AS DOUBLE) / SUM(n_total) OVER w
+          * {_BURN_MULTIPLIER} > {BURN_PAGE_THRESHOLD}) AS page_alert
+FROM per
+WINDOW w AS (ORDER BY bucket
+             RANGE BETWEEN {_BURN_LONG_BUCKETS} PRECEDING AND CURRENT ROW)
+"""
+
+
+def log_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition matrix: for each ordered
+    (prev_type → next_type) pair, the transition count and conditional
+    probability — the Markov-chain view behind funnel analysis
+    (log_funnel checks ONE path; this scores every edge, the input to
+    journey mining and next-event prediction baselines).
+
+    Determinism: the per-user sequence orders by (epoch-µs, event_id) on
+    BOTH engines — explicit µs so the ns-vs-µs physical encodings cannot
+    disagree inside a tie, event_id as the total-order tie-break. The
+    probability is one exact IEEE division of two integers (count /
+    per-prev-type total via a second window over the tiny pair table).
+
+    100 TB posture: one shuffle on user_id for the lag; the pair rollup
+    is map-side combined onto a types² key; the normalizing window runs
+    over types² rows — nothing downstream of the first agg is
+    corpus-scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_prev)
+        ).alias("p_transition"),
+    )
+
+
+ORACLE_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / SUM(n_transitions) OVER (PARTITION BY prev_type) AS p_transition
+FROM pairs
+"""
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
     "log_approx_users": log_approx_users,
@@ -1386,9 +1536,13 @@ QUERIES = {
     "log_session_window_batch": log_session_window_batch,
     "log_slo_burn": log_slo_burn,
     "log_active_users": log_active_users,
+    "log_burn_alerts": log_burn_alerts,
+    "log_transition_matrix": log_transition_matrix,
 }
 
 ORACLES = {
+    "log_burn_alerts": ORACLE_BURN_ALERTS,
+    "log_transition_matrix": ORACLE_TRANSITION_MATRIX,
     "log_approx_users": ORACLE_APPROX_USERS,
     "log_asof_join": ORACLE_ASOF,
     # the chunked variant must produce IDENTICAL results — shared oracle

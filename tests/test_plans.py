@@ -477,6 +477,26 @@ def test_cross_source_overlap_joins_are_candidate_sized(spark, sf_dir):
     assert "FileScan" not in plan, plan
 
 
+def test_burn_alerts_window_runs_on_bucket_table(spark, sf_dir):
+    # The unpartitioned trailing window is legal ONLY because its input
+    # is the 5-minute bucket rollup, not the raw stream: one
+    # map-side-combined agg exchange, then the single-partition window
+    # over O(time-range) rows.
+    plan = _plan(spark, sf_dir, "log_burn_alerts")
+    assert "CartesianProduct" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 1, f"{n} hash exchanges\n{plan}"
+
+
+def test_transition_matrix_exchanges_bounded(spark, sf_dir):
+    # lag needs one shuffle on user_id; the pair rollup and the
+    # per-prev-type normalizing window run over types^2 rows
+    plan = _plan(spark, sf_dir, "log_transition_matrix")
+    assert "CartesianProduct" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"{n} hash exchanges\n{plan}"
+
+
 def test_tfidf_topk_prunes_with_window_group_limit(spark, sf_dir):
     # The per-doc top-k must carry WindowGroupLimit (rank pre-buffer
     # pruning) and the N scalar must ride a broadcast, not a cartesian.

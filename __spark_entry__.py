@@ -55,6 +55,8 @@ _R06_NEW = (
     "dedup_cross_source_overlap",
     "log_burn_alerts",
     "log_transition_matrix",
+    "mix_quality_vs_dedup",
+    "emb_centroid_drift",
 )
 
 _R06_CHANGED = (
@@ -111,8 +113,6 @@ _R03_STALE = (
 _R04_OLDEST = (
     # r04-checked; the oldest slice pads the window, the rest rotate in r07
     "dedup_incremental",
-    "dedup_cc_groups",
-    "dedup_keep_list",
 )
 
 _WINDOW_PRIORITY = _R06_NEW + _R06_CHANGED + _R03_STALE + _R04_OLDEST

@@ -629,6 +629,63 @@ FROM step GROUP BY shard
 """
 
 
+def mix_quality_vs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-tuning audit: per quality-score level, what fraction of
+    documents survives dedup — the correlation that decides pipeline
+    ORDER (if low-quality docs are disproportionately duplicates, dedup
+    first and the quality model trains on cleaner negatives; if
+    independent, filter first and dedup pays for fewer docs). Joins the
+    UNFILTERED quality scores with the keep/drop list and rolls up per
+    (score, 25-token length bucket) — the length axis keeps the audit
+    informative on corpora where one score level dominates.
+
+    100 TB posture: scoring is scan-speed; the keep-list pays its
+    documented bounded cost once; the join key is doc_id (uniform) and
+    the rollup key is scores × length-buckets — a handful of values."""
+    from datafusion_loki_spark.operators.dedup import dedup_keep_list
+    from datafusion_loki_spark.operators.text import quality_scored, text_stats
+
+    scored = quality_scored(text_stats(spark, sf_dir)).select(
+        "doc_id",
+        "quality_score",
+        # integer `div` floors identically on both engines (the
+        # log_rolling_range rule)
+        F.expr("n_tokens div 25").alias("len_bucket"),
+    )
+    keep = dedup_keep_list(spark, sf_dir)
+    return (
+        scored.join(keep, "doc_id")
+        .groupBy("quality_score", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("status") == "keep", 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .withColumn(
+            "keep_rate", F.col("n_kept").cast("double") / F.col("n_docs")
+        )
+    )
+
+
+def _oracle_quality_vs_dedup() -> str:
+    from datafusion_loki_spark.operators.dedup import ORACLES as _DEDUP_ORACLES
+    from datafusion_loki_spark.operators.text import ORACLE_QUALITY_SCORED
+
+    keep_sql = _DEDUP_ORACLES["dedup_keep_list"]
+    return f"""
+SELECT quality_score, len_bucket, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN status = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN status = 'keep' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS keep_rate
+FROM (SELECT doc_id, quality_score, n_tokens // 25 AS len_bucket
+      FROM ({ORACLE_QUALITY_SCORED}) s) q
+JOIN (SELECT doc_id, status FROM ({keep_sql}) k) d USING (doc_id)
+GROUP BY quality_score, len_bucket
+"""
+
+
 QUERIES = {
     "sample_events_uniform": sample_events_uniform,
     "sample_docs_stratified": sample_docs_stratified,
@@ -639,6 +696,7 @@ QUERIES = {
     "mix_epoch_plan": mix_epoch_plan,
     "mix_pack_sequences": mix_pack_sequences,
     "mix_pack_greedy": mix_pack_greedy,
+    "mix_quality_vs_dedup": mix_quality_vs_dedup,
     "sample_docs_importance": sample_docs_importance,
     "corpus_build_manifest": corpus_build_manifest,
 }
@@ -653,6 +711,7 @@ ORACLES = {
     "mix_epoch_plan": ORACLE_MIX_EPOCH_PLAN,
     "mix_pack_sequences": ORACLE_MIX_PACK,
     "mix_pack_greedy": ORACLE_MIX_PACK_GREEDY,
+    "mix_quality_vs_dedup": _oracle_quality_vs_dedup(),
     "sample_docs_importance": ORACLE_SAMPLE_IMPORTANCE,
     "corpus_build_manifest": _oracle_corpus_manifest(),
 }

@@ -748,6 +748,91 @@ FROM coded
 """
 
 
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half centroid drift per label: cut the corpus into two
+    deterministic md5 halves, compute each half's per-label centroid
+    (the decimal-exact mean contract of emb_centroid_by_label), and
+    report the L2 distance between the halves — the mixture/drift check
+    run when a corpus is appended to: two embedding models mixed under
+    one label produce a large split distance even when the POOLED
+    centroid looks unremarkable (the halves land on opposite sides of
+    it). Labels with an empty half drop out (inner join) — mirrored by
+    the oracle.
+
+    100 TB posture: one posexplode → (label, half, dim) map-side-combined
+    agg (output is labels × 2 × dim rows, never corpus-scale); the tiny
+    centroid frame is materialized once (localCheckpoint) because both
+    the A and B sides consume it — without the barrier each side would
+    re-run the corpus agg; the distance join runs over labels rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = "substring(md5(cast(vec_id as string)), 1, 1) < '8'"
+    ex = emb.select(
+        "label",
+        F.expr(half).alias("in_a"),
+        F.posexplode(F.expr(_TO_DOUBLE.format(a="embedding"))).alias(
+            "pos", "val"
+        ),
+    )
+    m = ex.groupBy("label", "in_a", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,20)")).cast("double")
+            / F.count("*")
+        ).alias("mv"),
+        F.count("*").alias("n"),
+    )
+    vecs = (
+        m.groupBy("label", "in_a")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)"
+            ).alias("vec"),
+            F.max("n").alias("n"),
+        )
+        .localCheckpoint(eager=True)  # labels×2 rows, consumed twice
+    )
+    a = vecs.where(F.col("in_a")).select(
+        "label", F.col("vec").alias("vec_a"), F.col("n").alias("n_a")
+    )
+    b = vecs.where(~F.col("in_a")).select(
+        "label", F.col("vec").alias("vec_b"), F.col("n").alias("n_b")
+    )
+    dist = (
+        "sqrt(aggregate(sequence(0, size(vec_a) - 1), 0.0d,"
+        " (acc, i) -> acc + (vec_a[i] - vec_b[i]) * (vec_a[i] - vec_b[i])))"
+    )
+    return a.join(b, "label").select(
+        "label", "n_a", "n_b", F.expr(dist).alias("drift_l2")
+    )
+
+
+ORACLE_EMB_DRIFT = """
+WITH ed AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS in_a
+  FROM embeddings
+), ex AS (
+  SELECT label, in_a,
+         unnest(generate_series(1, len(e))) AS pos,
+         unnest(list_transform(e,
+           x -> CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20)))) AS val
+  FROM ed
+), m AS (
+  SELECT label, in_a, pos,
+         CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mv,
+         COUNT(*) AS n
+  FROM ex GROUP BY 1, 2, 3
+), vecs AS (
+  SELECT label, in_a, list(mv ORDER BY pos) AS vec, MAX(n) AS n
+  FROM m GROUP BY 1, 2
+)
+SELECT a.label, CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       sqrt(list_sum(list_transform(generate_series(1, len(a.vec)),
+         i -> (a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i])))) AS drift_l2
+FROM vecs a JOIN vecs b ON a.label = b.label AND a.in_a AND NOT b.in_a
+"""
+
+
 EMB_Z_HOT = 3.0  # |z| above this marks a "hot" dimension
 EMB_Z_OUTLIER = 4.0  # max |z| above this flags the vector
 
@@ -1663,6 +1748,7 @@ QUERIES = {
     "sim_topk_pandas": sim_topk_pandas,
     "emb_quantize_int8": emb_quantize_int8,
     "emb_outlier_zscore": emb_outlier_zscore,
+    "emb_centroid_drift": emb_centroid_drift,
     "emb_kmeans_assign": emb_kmeans_assign,
     "sim_ivf_kmeans_topk": sim_ivf_kmeans_topk,
     "sim_pq_adc_topk": sim_pq_adc_topk,
@@ -1691,6 +1777,7 @@ ORACLES = {
     ),
     "emb_quantize_int8": ORACLE_EMB_QUANTIZE,
     "emb_outlier_zscore": ORACLE_EMB_OUTLIER,
+    "emb_centroid_drift": ORACLE_EMB_DRIFT,
     "emb_kmeans_assign": ORACLE_EMB_KMEANS,
     "sim_ivf_kmeans_topk": ORACLE_SIM_IVF_KMEANS,
     "sim_pq_adc_topk": _oracle_pq_adc(),

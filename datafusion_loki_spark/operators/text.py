@@ -99,22 +99,34 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     barrier in text_stats still caps the projection itself at one run."""
     stats = text_stats(spark, sf_dir)
     return (
-        stats.withColumn(
-            "quality_score",
-            (
-                F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 40).otherwise(0)
-                + F.when(F.col("n_punct") * 10 <= F.col("n_tokens") * 3, 30).otherwise(0)
-                + F.when(
-                    (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0), 30
-                ).otherwise(0)
-            ),
-        )
+        quality_scored(stats)
         .where(F.col("quality_score") >= 70)
         .select("doc_id", "n_tokens", "quality_score")
     )
 
 
-ORACLE_TEXT_QUALITY = f"""
+def quality_scored(stats: DataFrame) -> DataFrame:
+    """text_stats + the integer quality_score column, UNFILTERED — shared
+    by the ≥70 gate above and the corpus-tuning audits that need the
+    score of every document (sampling.mix_quality_vs_dedup)."""
+    return stats.withColumn(
+        "quality_score",
+        (
+            F.when(
+                (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 40
+            ).otherwise(0)
+            + F.when(F.col("n_punct") * 10 <= F.col("n_tokens") * 3, 30).otherwise(0)
+            + F.when(
+                (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0),
+                30,
+            ).otherwise(0)
+        ),
+    )
+
+
+# the UNFILTERED scored frame (every doc), composed by the gate oracle
+# below and by the quality-vs-dedup audit oracle
+ORACLE_QUALITY_SCORED = f"""
 WITH s AS (
   SELECT doc_id,
          len(string_split({_NORM_DUCK}, ' ')) AS n_tokens,
@@ -129,9 +141,12 @@ SELECT doc_id, n_tokens,
         + CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 30 ELSE 0 END)
          AS quality_score
 FROM s
-WHERE (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
-       + CASE WHEN n_punct * 10 <= n_tokens * 3 THEN 30 ELSE 0 END
-       + CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 30 ELSE 0 END) >= 70
+"""
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT doc_id, n_tokens, quality_score
+FROM ({ORACLE_QUALITY_SCORED}) scored
+WHERE quality_score >= 70
 """
 
 

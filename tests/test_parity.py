@@ -47,13 +47,15 @@ def test_correctness_window_is_pinned():
     # round-6 rotation: never-checked round-6 additions lead, then
     # changed-this-round entries (their plans must re-earn a driver row),
     # then the full r03-stale tail, then the oldest r04-checked padding
-    assert names[:9] == [
+    assert names[:11] == [
         "emb_outlier_zscore",
         "mix_pack_sequences",
         "mix_pack_greedy",
         "dedup_cross_source_overlap",
         "log_burn_alerts",
         "log_transition_matrix",
+        "mix_quality_vs_dedup",
+        "emb_centroid_drift",
         "log_approx_quantile_audit",
         "sim_ivf_kmeans_topk",
         "sim_pq_adc_topk",
@@ -69,12 +71,12 @@ def test_correctness_window_is_pinned():
     assert "sim_topk_pandas" in e.oracle_sql()
     for n in e._WINDOW_PRIORITY:
         assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
-    # the window partition accounts for the whole registry: 6 new + 3
-    # changed + 38 r03-stale + 3 of the 50 r04-checked; the other 47 r04
+    # the window partition accounts for the whole registry: 8 new + 3
+    # changed + 38 r03-stale + 1 of the 50 r04-checked; the other 49 r04
     # entries and the 50 r05-checked entries sit outside, covered by this
     # parity suite
-    assert len(e._R06_NEW) == 6
+    assert len(e._R06_NEW) == 8
     assert len(e._R06_CHANGED) == 3
     assert len(e._R03_STALE) == 38
-    assert len(e._R04_OLDEST) == 3
-    assert len(names) == 144
+    assert len(e._R04_OLDEST) == 1
+    assert len(names) == 146

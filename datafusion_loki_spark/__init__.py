@@ -165,6 +165,14 @@ def loki_sql(
         sql,
         _re.I,
     )
+    if _re.match(r"\s*insert\b", sql, _re.I) and not im:
+        # don't let an unsupported INSERT form fall through to the
+        # SELECT path's confusing "requires a FROM clause" error
+        raise ValueError(
+            "loki_sql INSERT supports 'INSERT INTO <t> VALUES ...' and "
+            "'INSERT INTO <t> SELECT ...' only (the loki schema is fixed "
+            "— omit the column list)"
+        )
     if im:
         kind = im.group(1).lower()
         body = sql[im.start(1) :].rstrip().rstrip(";")

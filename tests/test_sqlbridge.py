@@ -572,3 +572,12 @@ def test_extract_pushdown_never_raises_on_sqlish_soup():
         extract_pushdown(" ".join(parts))
 
     run()
+
+
+def test_loki_sql_insert_with_column_list_errors_clearly():
+    with pytest.raises(ValueError, match="omit the column list"):
+        loki_sql(
+            None,
+            "INSERT INTO logs (timestamp, labels, line) VALUES (1, 2, 3)",
+            "http://x",
+        )

@@ -695,3 +695,57 @@ def test_stream_reader_fetch_pages_past_cap(emulator):
     assert [line for _, _, line in rows] == [f"r{i:02d}" for i in range(12)]
     assert len(emulator.params) >= 3
     assert all(p.get("limit") == "5" for p in emulator.params)
+
+
+def test_pagination_no_loss_no_dup_property(emulator):
+    # Property: for ANY timestamp multiset whose per-ns multiplicity fits
+    # one page, forward paging returns every row exactly once, for any
+    # page size. (Multiplicity > page_limit in a single ns is the
+    # documented degenerate-truncation exception, excluded by
+    # construction here.)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_loki_spark.sources.loki import LokiStreamReader
+
+    base = time.time_ns() - 3600 * NS
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=6).flatmap(
+            lambda page: st.tuples(
+                st.just(page),
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=9),  # ts slot
+                        st.integers(min_value=1, max_value=page),  # count
+                    ),
+                    max_size=8,
+                    unique_by=lambda t: t[0],
+                ),
+            )
+        )
+    )
+    def run(case):
+        page, slots = case
+        with emulator.lock:
+            emulator.rows.clear()
+        rows, k = [], 0
+        for slot, cnt in slots:
+            for _ in range(cnt):
+                rows.append((base + slot * 60 * NS, {"app": "p"}, f"x{k}"))
+                k += 1
+        emulator.seed(rows)
+        reader = LokiStreamReader(
+            {
+                "endpoint": emulator.endpoint,
+                "default_label": "app",
+                "page_limit": str(page),
+            }
+        )
+        got = sorted(
+            line for _, _, line in reader._fetch(base, base + 3600 * NS)
+        )
+        assert got == sorted(f"x{i}" for i in range(k)), (page, slots)
+
+    run()

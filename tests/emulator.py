@@ -64,6 +64,9 @@ class LokiEmulator:
         # flattened single-value view of each query_range param set, so
         # tests can assert limit/direction/start/end pushdown
         self.params: list[dict] = []
+        # fault injection: each query_range request decrements this and
+        # fails with 500 while it is positive (tests of retry behavior)
+        self.fail_next = 0
         self.lock = threading.Lock()
         emulator = self
 
@@ -81,6 +84,12 @@ class LokiEmulator:
                     self.wfile.write(body)
                     return
                 if parsed.path == "/loki/api/v1/query_range":
+                    with emulator.lock:
+                        if emulator.fail_next > 0:
+                            emulator.fail_next -= 1
+                            self.send_response(500)
+                            self.end_headers()
+                            return
                     params = urllib.parse.parse_qs(parsed.query)
                     body = emulator.handle_query_range(params)
                     self.send_response(200)

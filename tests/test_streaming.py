@@ -749,3 +749,22 @@ def test_pagination_no_loss_no_dup_property(emulator):
         assert got == sorted(f"x{i}" for i in range(k)), (page, slots)
 
     run()
+
+
+def test_pagination_survives_transient_5xx(emulator):
+    # Retry (client) and paging (reader) must compose: transient 500s in
+    # the middle of a paged fetch are absorbed by the client's bounded
+    # backoff and every row still arrives exactly once.
+    base = time.time_ns() - 3600 * NS
+    emulator.seed(
+        [(base + i * 60 * NS, {"app": "f"}, f"v{i:02d}") for i in range(12)]
+    )
+    from datafusion_loki_spark.sources.loki import LokiStreamReader
+
+    reader = LokiStreamReader(
+        {"endpoint": emulator.endpoint, "default_label": "app", "page_limit": "5"}
+    )
+    with emulator.lock:
+        emulator.fail_next = 2  # first page request 500s twice, then heals
+    rows = reader._fetch(base, base + 3600 * NS)
+    assert [line for _, _, line in rows] == [f"v{i:02d}" for i in range(12)]

@@ -1,0 +1,187 @@
+"""Scaling smoke: measure how the headline operators scale with data size.
+
+Builds k-fold replicas of the sf0.1 fixtures (keys remapped, text/vector
+content decorrelated per replica so the WORKLOAD SHAPE is preserved —
+replicated text would manufacture k² near-dup structure that the real
+corpus doesn't have), then times a representative query set at each k and
+prints per-query wall times + the k→2k growth ratios. Near-linear ratios
+(≈2 for scan/agg-bound, a bit under for fixed-overhead-dominated) are the
+pass condition; super-linear growth flags a plan that would not survive
+the 100 TB scale-up.
+
+Usage: python tools/scale_smoke.py [k ...]   # default 1 2 4
+Writes replicas under /tmp/spark_graft_scale/x{k}/ (reused if present).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+OUT_ROOT = "/tmp/spark_graft_scale"
+KEY_OFFSET = 10_000_000
+
+# tables replicated with remapped keys; the rest are dimensions, copied 1:1
+COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
+
+SMOKE_QUERIES = [
+    # scan/agg-bound
+    "text_stats",
+    "q1_pricing_summary",
+    "log_agg_by_label",
+    # shuffle joins
+    "q3_shipping_priority",
+    "log_asof_join",
+    # dedup pipeline (banding + CC rounds — the least predictable family)
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_cc_groups",
+    # ANN (broadcast-query scoring + trained index)
+    "sim_topk_cosine",
+    "sim_ivf_kmeans_topk",
+    # text corpus joins
+    "text_tfidf_topk",
+]
+
+
+def build_replica(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{OUT_ROOT}/x{k}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def write(df, name):
+        df.coalesce(max(1, k)).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+
+    for t in COPY_TABLES:
+        write(spark.read.parquet(f"{BASE_SF}/{t}.parquet"), t)
+
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+    od = spark.read.parquet(f"{BASE_SF}/orders.parquet")
+
+    d_parts, e_parts, v_parts, l_parts, o_parts = [], [], [], [], []
+    for i in range(k):
+        off = i * KEY_OFFSET
+        # suffix EVERY token with the replica id: intra-replica shingle /
+        # duplicate structure is identical to the base corpus, while NO
+        # shingle crosses replicas — dedup workload scales linearly like
+        # a real corpus, instead of k-squared manufactured near-dups
+        d_parts.append(
+            docs.select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                (
+                    F.col("text")
+                    if i == 0
+                    else F.expr(f"regexp_replace(text, '(\\\\S+)', '$1r{i}')")
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        # rotate each replica's vectors by shifting one coordinate — the
+        # cosine topology within a replica is preserved, across replicas
+        # vectors stay distinct; query vectors (vec_id < 5) exist only in
+        # replica 0, matching the bounded-query-set contract
+        e_parts.append(
+            emb.select(
+                (F.col("vec_id") + off).alias("vec_id"),
+                (
+                    F.col("embedding")
+                    if i == 0
+                    else F.expr(
+                        f"transform(embedding, (x, j) -> CASE WHEN j = 0"
+                        f" THEN cast(x + {0.37 * i} as float) ELSE x END)"
+                    )
+                ).alias("embedding"),
+                "label",
+            )
+        )
+        v_parts.append(
+            ev.select(
+                (F.col("event_id") + off).alias("event_id"),
+                "ts",
+                (F.col("user_id") + off).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+        l_parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + off)
+        )
+        o_parts.append(
+            od.withColumn("o_orderkey", F.col("o_orderkey") + off)
+        )
+
+    def union_all(parts):
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    write(union_all(d_parts), "documents")
+    write(union_all(e_parts), "embeddings")
+    write(union_all(v_parts), "events")
+    write(union_all(l_parts), "lineitem")
+    write(union_all(o_parts), "orders")
+    open(f"{out}/_DONE", "w").write("ok")
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+
+    from datafusion_loki_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="scale_smoke")
+    queries = entrymod.queries()
+    results: dict[int, dict[str, float]] = {}
+    for k in ks:
+        sf_dir = build_replica(spark, k)
+        timings = {}
+        for name in SMOKE_QUERIES:
+            queries[name](spark, sf_dir).count()  # warm plan/codegen
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            print(f"x{k} {name} {timings[name]}", flush=True)
+        results[k] = timings
+
+    print(json.dumps({f"x{k}": v for k, v in results.items()}))
+    if len(ks) >= 2:
+        print(f"\n{'query':28s} " + " ".join(f"x{k:<6}" for k in ks) + " ratios")
+        for name in SMOKE_QUERIES:
+            times = [results[k][name] for k in ks]
+            ratios = [
+                round(b / a, 2) if a > 0 else float("nan")
+                for a, b in zip(times, times[1:])
+            ]
+            print(
+                f"{name:28s} "
+                + " ".join(f"{t:<7.3f}" for t in times)
+                + " "
+                + str(ratios)
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

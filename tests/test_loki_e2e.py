@@ -514,3 +514,33 @@ def test_user_limit_stays_single_request(spark):
         assert len(em.params) == 1 and em.params[0]["limit"] == "4"
     finally:
         em.stop()
+
+
+def test_partitioned_scan_pages_within_each_slice(spark):
+    # partitions=N splits [start, end) into disjoint slices; each slice
+    # pages independently — together they must still return every row
+    # exactly once.
+    em = LokiEmulator().start()
+    try:
+        base = _now_minus(120)
+        em.seed(
+            [
+                (base + i * 5 * 60 * NS, {"app": "slices"}, f"s{i:02d}")
+                for i in range(18)
+            ]
+        )
+        register_loki(spark)
+        df = (
+            spark.read.format("loki")
+            .option("endpoint", em.endpoint)
+            .option("default_label", "app")
+            .option("partitions", "3")
+            .option("page_limit", "2")
+            .load()
+        )
+        lines = sorted(r.line for r in df.collect())
+        assert lines == [f"s{i:02d}" for i in range(18)]
+        # multiple range requests happened (3 slices × several pages)
+        assert len(em.params) > 3
+    finally:
+        em.stop()

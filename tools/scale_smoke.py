@@ -148,11 +148,20 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # Build ALL replicas in one session, then stop it and time in a FRESH
+    # one: the union+write build job leaves enough GC/codegen pressure to
+    # distort the first measurements that follow it (observed: a 5.5x
+    # phantom "super-linear" ratio that disappeared in a clean session —
+    # the same ambient-variance trap PERF_NOTES.md documents).
+    spark = get_spark(app_name="scale_smoke_build")
+    dirs = {k: build_replica(spark, k) for k in ks}
+    spark.stop()
+
     spark = get_spark(app_name="scale_smoke")
     queries = entrymod.queries()
     results: dict[int, dict[str, float]] = {}
     for k in ks:
-        sf_dir = build_replica(spark, k)
+        sf_dir = dirs[k]
         timings = {}
         for name in SMOKE_QUERIES:
             queries[name](spark, sf_dir).count()  # warm plan/codegen

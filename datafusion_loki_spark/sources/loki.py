@@ -334,6 +334,16 @@ class LokiCommitMessage(WriterCommitMessage):
 
 
 class LokiDataSourceWriter(DataSourceWriter):
+    """Push-sink writer (≙ insert.rs:104-140).
+
+    Delivery contract: AT-LEAST-ONCE. Pushes are per-task and durable the
+    moment the store accepts them (Loki has no transaction), so a task
+    that fails after a partial flush is retried by Spark and re-pushes
+    its rows — duplicates, not loss. Identical to the reference's
+    failure semantics (its insert loop has no rollback either,
+    insert.rs:104-131); deduplicate downstream on (timestamp, labels,
+    line) if exactly-once matters."""
+
     def __init__(self, options):
         self.endpoint = options.get("endpoint")
         if not self.endpoint:

@@ -782,6 +782,47 @@ FROM n
 """
 
 
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label QA: the confusion matrix between the catalog's
+    claimed ``lang`` and the marker-word detector's prediction, with each
+    cell's share of its labeled row — the audit run before trusting
+    either side (a hot off-diagonal cell means mislabeled ingest or a
+    detector gap; sampling/mixing rates key off lang, so label errors
+    silently skew the training mixture).
+
+    100 TB posture: the detector is a scan-speed projection; the rollup
+    key is langs², and the normalizing window runs over that tiny
+    frame."""
+    from pyspark.sql import Window
+
+    pred = text_lang_id(spark, sf_dir).select("lang", "predicted_lang")
+    per = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "share"
+        ),
+    )
+
+
+def _oracle_lang_confusion() -> str:
+    return f"""
+WITH p AS ({_oracle_lang_id()}),
+c AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n_docs FROM p GROUP BY 1, 2
+)
+SELECT lang, predicted_lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang)
+         AS share
+FROM c
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_chunk_udtf": text_chunk_udtf,
@@ -796,6 +837,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_bigram_lm": text_bigram_lm,
     "text_vocab_growth": text_vocab_growth,
+    "text_lang_confusion": text_lang_confusion,
 }
 
 ORACLES = {
@@ -812,4 +854,5 @@ ORACLES = {
     "text_tfidf_topk": ORACLE_TFIDF_TOPK,
     "text_bigram_lm": ORACLE_BIGRAM_LM,
     "text_vocab_growth": ORACLE_VOCAB_GROWTH,
+    "text_lang_confusion": _oracle_lang_confusion(),
 }

@@ -650,6 +650,68 @@ FROM scored
 """
 
 
+SPIKE_TOP_USERS = 3
+
+
+def log_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly attribution — the question that follows every alert from
+    log_rate_anomaly: WHO drove the spike. For each anomalous
+    (event_type, minute), the top SPIKE_TOP_USERS contributing users by
+    event count (ties to the lowest user_id). Empty when nothing is
+    anomalous — at tiny scale every minute holds one event and the
+    z-scores are all 0, which is itself the correct answer.
+
+    100 TB posture: the fact scan collapses to (type, minute, user)
+    counts with map-side partials BEFORE any join — the anomalous-minute
+    frame (doubly aggregated, alert-scale) then prunes it on the bounded
+    (type, minute) key, and the top-k is WindowGroupLimit-pruned. No
+    fact-scale join, no forced broadcast (anomalies are fact-derived)."""
+    from pyspark.sql import Window
+
+    anomalies = (
+        log_rate_anomaly(spark, sf_dir)
+        .where(F.col("is_anomaly"))
+        .select("event_type", "minute")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    contrib = ev.groupBy(
+        "event_type",
+        F.date_trunc("minute", F.col("ts").cast("timestamp"))
+        .cast("timestamp_ntz")
+        .alias("minute"),
+        "user_id",
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type", "minute").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        contrib.join(anomalies, ["event_type", "minute"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SPIKE_TOP_USERS)
+        .select("event_type", "minute", "rank", "user_id", "n_events")
+    )
+
+
+ORACLE_SPIKE_ATTRIBUTION = f"""
+WITH anomalies AS (
+  SELECT event_type, minute FROM ({ORACLE_RATE_ANOMALY}) a WHERE is_anomaly
+), contrib AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute, user_id,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, minute, rank, user_id,
+       CAST(n_events AS BIGINT) AS n_events
+FROM (
+  SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c.event_type, c.minute
+                                 ORDER BY c.n_events DESC, c.user_id ASC)
+           AS rank
+  FROM contrib c JOIN anomalies USING (event_type, minute)
+)
+WHERE rank <= {SPIKE_TOP_USERS}
+"""
+
+
 def log_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by their first-activity day, then
     for each (cohort_day, day_offset) the count of distinct cohort members
@@ -1538,9 +1600,11 @@ QUERIES = {
     "log_active_users": log_active_users,
     "log_burn_alerts": log_burn_alerts,
     "log_transition_matrix": log_transition_matrix,
+    "log_spike_attribution": log_spike_attribution,
 }
 
 ORACLES = {
+    "log_spike_attribution": ORACLE_SPIKE_ATTRIBUTION,
     "log_burn_alerts": ORACLE_BURN_ALERTS,
     "log_transition_matrix": ORACLE_TRANSITION_MATRIX,
     "log_approx_users": ORACLE_APPROX_USERS,

@@ -73,10 +73,13 @@ def test_correctness_window_is_pinned():
         assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
     # the window partition accounts for the whole registry: 8 new + 3
     # changed + 38 r03-stale + 1 of the 50 r04-checked; the other 49 r04
-    # entries and the 50 r05-checked entries sit outside, covered by this
-    # parity suite
+    # entries, the 50 r05-checked entries, and the two r06-late additions
+    # (text_lang_confusion, log_spike_attribution — local-parity green,
+    # due to lead the r07 window) sit outside, covered by this suite
     assert len(e._R06_NEW) == 8
     assert len(e._R06_CHANGED) == 3
     assert len(e._R03_STALE) == 38
     assert len(e._R04_OLDEST) == 1
-    assert len(names) == 146
+    assert "text_lang_confusion" in names[50:]
+    assert "log_spike_attribution" in names[50:]
+    assert len(names) == 148

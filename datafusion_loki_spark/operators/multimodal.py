@@ -262,12 +262,131 @@ GROUP BY 1, 2
 """
 
 
+MM_CHUNK_HEX = 16  # 8-byte fixed-offset chunks (16 hex chars)
+MM_CHUNK_BUCKET_CAP = 50  # per-chunk doc cap, same role as LSH_BUCKET_CAP
+MM_OVERLAP_MIN = 0.5  # shared-chunk ratio threshold for a candidate pair
+
+
+def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free binary near-dup candidates via fixed-offset chunk
+    fingerprints — the backup/CDC-dedup technique applied to media
+    payloads: split each payload into aligned 8-byte chunks, bucket
+    payloads by chunk value, and pair documents whose shared-chunk count
+    reaches MM_OVERLAP_MIN of the smaller document's chunk set. Catches
+    re-encodes-with-appended-metadata, truncated re-uploads, and byte-
+    identical segments WITHOUT any codec — the cheap prefilter before an
+    (expensive, decode-needing) perceptual hash.
+
+    100 TB posture: same topology as MinHash-LSH — chunking is a
+    scan-speed projection (payloads never shuffle; only 16-char chunk
+    strings do), candidates come from one shuffle on the chunk key with
+    a per-bucket cap bounding the worst task, and the ratio filter runs
+    over the pair-aggregate, never the corpus. SINGLE-PASS: the ratio
+    denominator (the payload's aligned-chunk count, floor(bytes/8) — a
+    length projection, deliberately not the distinct-chunk-set size)
+    rides each chunk row into the bucket structs, so no second corpus
+    scan and no doc-level join — one FileScan, two exchanges total."""
+    from pyspark.sql import Window
+
+    m = media_table(spark, sf_dir)
+    n_ch = f"cast(floor(length(hex(payload)) / {MM_CHUNK_HEX}) as bigint)"
+    chunks = (
+        m.select(
+            "doc_id",
+            F.expr(n_ch).alias("n_chunks"),
+            F.explode(
+                F.expr(
+                    f"case when {n_ch} >= 1 then transform("
+                    f"sequence(1, {n_ch}),"
+                    f" i -> substring(hex(payload), cast((i - 1) *"
+                    f" {MM_CHUNK_HEX} + 1 as bigint), {MM_CHUNK_HEX}))"
+                    f" else array() end"
+                )
+            ).alias("chunk"),
+        )
+        .distinct()  # set semantics per payload
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id")
+    capped = chunks.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= MM_CHUNK_BUCKET_CAP
+    )
+    buckets = capped.groupBy("chunk").agg(
+        F.expr("array_sort(collect_list(struct(doc_id, n_chunks)))").alias(
+            "ids"
+        )
+    )
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        " x.n_chunks AS nc_a, y.n_chunks AS nc_b))))"
+    )
+    return (
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("n_shared_chunks"),
+            F.min("p.nc_a").alias("nc_a"),
+            F.min("p.nc_b").alias("nc_b"),
+        )
+        .withColumn(
+            "overlap_ratio",
+            F.col("n_shared_chunks").cast("double")
+            / F.least("nc_a", "nc_b"),
+        )
+        .where(F.col("overlap_ratio") >= MM_OVERLAP_MIN)
+        .select("doc_a", "doc_b", "n_shared_chunks", "overlap_ratio")
+    )
+
+
+ORACLE_MM_CHUNK_DEDUP = f"""
+WITH m AS (
+  SELECT doc_id, hex(CAST(text AS BLOB)) AS h FROM documents
+), src AS (
+  SELECT doc_id,
+         substring(h, CAST((i - 1) * {MM_CHUNK_HEX} + 1 AS BIGINT),
+                   {MM_CHUNK_HEX}) AS chunk
+  FROM (SELECT doc_id, h,
+               unnest(generate_series(1,
+                 greatest(CAST(floor(length(h) / {MM_CHUNK_HEX}) AS BIGINT),
+                          0))) AS i
+        FROM m)
+), chunks AS (
+  SELECT DISTINCT doc_id, chunk FROM src
+), nc AS (
+  SELECT doc_id,
+         CAST(floor(length(h) / {MM_CHUNK_HEX}) AS BIGINT) AS n_chunks
+  FROM m
+), ranked AS (
+  SELECT doc_id, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id) AS rn
+  FROM chunks
+), agg AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_chunks
+  FROM ranked a JOIN ranked b
+    ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+   AND a.rn <= {MM_CHUNK_BUCKET_CAP} AND b.rn <= {MM_CHUNK_BUCKET_CAP}
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared_chunks AS BIGINT) AS n_shared_chunks,
+       CAST(n_shared_chunks AS DOUBLE) / least(na.n_chunks, nb.n_chunks)
+         AS overlap_ratio
+FROM agg JOIN nc na ON doc_a = na.doc_id JOIN nc nb ON doc_b = nb.doc_id
+WHERE CAST(n_shared_chunks AS DOUBLE) / least(na.n_chunks, nb.n_chunks)
+        >= {MM_OVERLAP_MIN}
+"""
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
     "mm_exact_dedup": mm_exact_dedup,
+    "mm_chunk_dedup": mm_chunk_dedup,
 }
 
 ORACLES = {
@@ -276,4 +395,5 @@ ORACLES = {
     "mm_resize": ORACLE_MM_RESIZE,
     "mm_frame_sample": ORACLE_MM_FRAMES,
     "mm_exact_dedup": ORACLE_MM_EXACT_DEDUP,
+    "mm_chunk_dedup": ORACLE_MM_CHUNK_DEDUP,
 }

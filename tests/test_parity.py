@@ -82,4 +82,5 @@ def test_correctness_window_is_pinned():
     assert len(e._R04_OLDEST) == 1
     assert "text_lang_confusion" in names[50:]
     assert "log_spike_attribution" in names[50:]
-    assert len(names) == 148
+    assert "mm_chunk_dedup" in names[50:]
+    assert len(names) == 149

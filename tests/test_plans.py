@@ -477,6 +477,21 @@ def test_cross_source_overlap_joins_are_candidate_sized(spark, sf_dir):
     assert "FileScan" not in plan, plan
 
 
+def test_mm_chunk_dedup_single_scan(spark, sf_dir):
+    # Decode-free binary near-dup must be SINGLE-PASS: one corpus scan
+    # (the denominator rides the bucket structs — no doc-level join back),
+    # bounded exchanges, no cartesian; payloads never appear past the
+    # first exchange (only 16-char chunk strings shuffle).
+    plan = _plan(spark, sf_dir, "mm_chunk_dedup")
+    assert plan.count("FileScan") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"{n} hash exchanges\n{plan}"
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "payload" not in ln, ln
+
+
 def test_burn_alerts_window_runs_on_bucket_table(spark, sf_dir):
     # The unpartitioned trailing window is legal ONLY because its input
     # is the 5-minute bucket rollup, not the raw stream: one

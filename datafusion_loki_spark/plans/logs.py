@@ -712,6 +712,126 @@ WHERE rank <= {SPIKE_TOP_USERS}
 """
 
 
+# Histogram bounds: fixed [0, 500) in 20 buckets of 25 (value's generated
+# range — see FIXTURES.md; out-of-range values clamp into the edge buckets,
+# so the operators are total either way). Shared by log_value_histogram
+# and the drift monitor below.
+HIST_BUCKETS = 20
+HIST_WIDTH = 25.0
+
+DRIFT_CHI2_THRESHOLD = 0.1  # flag types whose halves diverge past this
+
+
+def log_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution drift per event type: split the stream at the
+    midpoint of its time range, histogram `value` into the shared
+    fixed-width buckets on each side, and compute a chi-square-family
+    divergence between the Laplace-smoothed bucket shares — the
+    data-drift monitor run before retraining anything on "the same"
+    telemetry (PSI needs ln(), which is not correctly-rounded on either
+    engine, so the chi-square form keeps the row hash-checkable).
+
+    Exactness: bucket counts are integers; p, q and each bucket's
+    (q−p)²/p term are single exactly-rounded double expressions; the
+    per-type SUM of terms goes through DECIMAL(38,20) (associative, so
+    partition/merge order cannot move the result — the
+    emb_centroid_by_label contract). Buckets empty on BOTH halves are
+    excluded identically on both engines (smoothing is per-present-
+    bucket; documented, deterministic).
+
+    100 TB posture: one pass collapses the stream to the bounded
+    (type × bucket × half) key with map-side partials; the time-range
+    bounds ride a 1-row broadcast; everything downstream is
+    types × buckets scale."""
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"min({us})").alias("mn"), F.expr(f"max({us})").alias("mx")
+    )
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / HIST_WIDTH), F.lit(0)),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("bigint")
+    halves = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            bucket.alias("bucket"),
+            (F.expr(us) <= F.expr("(mn + mx) div 2")).alias("in_first"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("in_first"), 1).otherwise(0)).alias("c_a"),
+            F.sum(F.when(~F.col("in_first"), 1).otherwise(0)).alias("c_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    totals = Window.partitionBy("event_type")
+    p = (
+        f"(cast(c_a + 1 as double) / cast(n_a + {HIST_BUCKETS} as double))"
+    )
+    q = (
+        f"(cast(c_b + 1 as double) / cast(n_b + {HIST_BUCKETS} as double))"
+    )
+    term = f"(({q} - {p}) * ({q} - {p}) / {p})"
+    scored = halves.withColumn("n_a", F.sum("c_a").over(totals)).withColumn(
+        "n_b", F.sum("c_b").over(totals)
+    )
+    out = scored.groupBy("event_type").agg(
+        F.max("n_a").alias("n_first"),
+        F.max("n_b").alias("n_second"),
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr(f"cast({term} as decimal(38,20))"))
+        .cast("double")
+        .alias("drift_chi2"),
+    )
+    return out.withColumn(
+        "is_drifted", F.col("drift_chi2") > F.lit(DRIFT_CHI2_THRESHOLD)
+    )
+
+
+ORACLE_HISTOGRAM_DRIFT = f"""
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+), halves AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / {HIST_WIDTH}), 0),
+                    {HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+         SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2 THEN 1 ELSE 0 END)
+           AS c_a,
+         SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2 THEN 0 ELSE 1 END)
+           AS c_b
+  FROM events CROSS JOIN bounds
+  GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, bucket, c_a, c_b,
+         SUM(c_a) OVER (PARTITION BY event_type) AS n_a,
+         SUM(c_b) OVER (PARTITION BY event_type) AS n_b
+  FROM halves
+), terms AS (
+  SELECT event_type, n_a, n_b,
+         ((CAST(c_b + 1 AS DOUBLE) / CAST(n_b + {HIST_BUCKETS} AS DOUBLE))
+          - (CAST(c_a + 1 AS DOUBLE) / CAST(n_a + {HIST_BUCKETS} AS DOUBLE)))
+         * ((CAST(c_b + 1 AS DOUBLE) / CAST(n_b + {HIST_BUCKETS} AS DOUBLE))
+          - (CAST(c_a + 1 AS DOUBLE) / CAST(n_a + {HIST_BUCKETS} AS DOUBLE)))
+         / (CAST(c_a + 1 AS DOUBLE) / CAST(n_a + {HIST_BUCKETS} AS DOUBLE))
+           AS term
+  FROM scored
+)
+SELECT event_type,
+       CAST(MAX(n_a) AS BIGINT) AS n_first,
+       CAST(MAX(n_b) AS BIGINT) AS n_second,
+       COUNT(*) AS n_buckets,
+       CAST(CAST(SUM(CAST(CAST(term AS VARCHAR) AS DECIMAL(38,20)))
+                 AS VARCHAR) AS DOUBLE) AS drift_chi2,
+       CAST(CAST(SUM(CAST(CAST(term AS VARCHAR) AS DECIMAL(38,20)))
+                 AS VARCHAR) AS DOUBLE) > {DRIFT_CHI2_THRESHOLD}
+         AS is_drifted
+FROM terms GROUP BY event_type
+"""
+
+
 def log_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by their first-activity day, then
     for each (cohort_day, day_offset) the count of distinct cohort members
@@ -1223,13 +1343,6 @@ FROM events GROUP BY event_type
 """
 
 
-# Histogram bounds: fixed [0, 500) in 20 buckets of 25 (value's generated
-# range — see FIXTURES.md; out-of-range values clamp into the edge buckets,
-# so the operator is total either way).
-HIST_BUCKETS = 20
-HIST_WIDTH = 25.0
-
-
 def log_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type — the LogQL
     ``histogram_quantile``-feeder rollup (bucketed counts, not quantiles:
@@ -1601,9 +1714,11 @@ QUERIES = {
     "log_burn_alerts": log_burn_alerts,
     "log_transition_matrix": log_transition_matrix,
     "log_spike_attribution": log_spike_attribution,
+    "log_histogram_drift": log_histogram_drift,
 }
 
 ORACLES = {
+    "log_histogram_drift": ORACLE_HISTOGRAM_DRIFT,
     "log_spike_attribution": ORACLE_SPIKE_ATTRIBUTION,
     "log_burn_alerts": ORACLE_BURN_ALERTS,
     "log_transition_matrix": ORACLE_TRANSITION_MATRIX,

@@ -83,4 +83,5 @@ def test_correctness_window_is_pinned():
     assert "text_lang_confusion" in names[50:]
     assert "log_spike_attribution" in names[50:]
     assert "mm_chunk_dedup" in names[50:]
-    assert len(names) == 149
+    assert "log_histogram_drift" in names[50:]
+    assert len(names) == 150

@@ -492,6 +492,19 @@ def test_mm_chunk_dedup_single_scan(spark, sf_dir):
             assert "payload" not in ln, ln
 
 
+def test_histogram_drift_two_pass_broadcast_bounds(spark, sf_dir):
+    # Exactly two corpus passes (bounds agg, then the bucketing pass with
+    # the 1-row bounds frame riding a broadcast), bounded exchanges, no
+    # cartesian — the stream collapses to (type, bucket, half) before any
+    # window.
+    plan = _plan(spark, sf_dir, "log_histogram_drift")
+    assert plan.count("FileScan") == 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"{n} hash exchanges\n{plan}"
+
+
 def test_burn_alerts_window_runs_on_bucket_table(spark, sf_dir):
     # The unpartitioned trailing window is legal ONLY because its input
     # is the 5-minute bucket rollup, not the raw stream: one

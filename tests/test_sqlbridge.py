@@ -581,3 +581,16 @@ def test_loki_sql_insert_with_column_list_errors_clearly():
             "INSERT INTO logs (timestamp, labels, line) VALUES (1, 2, 3)",
             "http://x",
         )
+
+
+def test_loki_sql_insert_select_wrong_arity_errors(spark):
+    em = LokiEmulator().start()
+    try:
+        with pytest.raises(ValueError, match="exactly"):
+            loki_sql(
+                spark,
+                "INSERT INTO logs SELECT current_timestamp(), 'no-labels'",
+                em.endpoint,
+            )
+    finally:
+        em.stop()

@@ -1460,7 +1460,56 @@ FROM agged
 """
 
 
+def dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's executive-summary row: corpus size, documents
+    dropped as exact duplicates, dropped as near-duplicates, kept, and
+    the kept fraction — the single line every corpus-build report leads
+    with, derived from the same keep-list the decisions come from (so
+    the report can never disagree with the pipeline).
+
+    100 TB posture: one pass over the keep-list (which pays its
+    documented bounded cost once); the rollup is a 1-row conditional
+    aggregate with map-side partials."""
+    keep = dedup_keep_list(spark, sf_dir)
+    return keep.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("status") == "exact_dup", 1).otherwise(0)).alias(
+            "n_exact_dup"
+        ),
+        F.sum(F.when(F.col("status") == "near_dup", 1).otherwise(0)).alias(
+            "n_near_dup"
+        ),
+        F.sum(F.when(F.col("status") == "keep", 1).otherwise(0)).alias(
+            "n_keep"
+        ),
+    ).withColumn(
+        "kept_fraction",
+        F.col("n_keep").cast("double") / F.col("n_docs"),
+    )
+
+
+def _oracle_pipeline_funnel(keep_sql: str) -> str:
+    return f"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup,
+       CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_dup,
+       CAST(SUM(CASE WHEN status = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       CAST(SUM(CASE WHEN status = 'keep' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS kept_fraction
+FROM ({keep_sql}) k
+"""
+
+
 QUERIES["dedup_canonical_by_rank"] = dedup_canonical_by_rank
 ORACLES["dedup_canonical_by_rank"] = _oracle_canonical_by_rank()
+QUERIES["dedup_pipeline_funnel"] = dedup_pipeline_funnel
+# the keep-list oracle is a .format() template, fully rendered only in
+# ORACLES — compose from there so the funnel can never drift from it
+ORACLES["dedup_pipeline_funnel"] = _oracle_pipeline_funnel(
+    ORACLES["dedup_keep_list"]
+)
 QUERIES["dedup_cross_source_overlap"] = dedup_cross_source_overlap
 ORACLES["dedup_cross_source_overlap"] = _oracle_cross_source_overlap()

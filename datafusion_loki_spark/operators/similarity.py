@@ -1592,6 +1592,54 @@ FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id)
 """
 
 
+def sim_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: the cell-occupancy balance of the
+    sample-fit k-means index sim_ivf_kmeans_topk serves from — probe
+    latency is governed by the LARGEST cell touched, so a high
+    max/mean imbalance means re-train with more centroids or better
+    seeds before shipping the index. One row: cell count, min/max
+    occupancy, corpus size, imbalance = max/mean.
+
+    100 TB posture: the final assignment is the zero-shuffle broadcast
+    projection the fit already pins; occupancy is one map-side-combined
+    agg on the K-value cell key; the balance row is a K-row reduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    assigned, _cents = _kmeans_fit(
+        emb_d, emb_d.where(F.expr(_TRAIN_PRED_SPARK))
+    )
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return sizes.agg(
+        F.count("*").alias("n_cells"),
+        F.min("n_members").alias("min_cell"),
+        F.max("n_members").alias("max_cell"),
+        F.sum("n_members").alias("n_vectors"),
+    ).withColumn(
+        "imbalance",
+        F.col("max_cell").cast("double")
+        * F.col("n_cells")
+        / F.col("n_vectors"),
+    )
+
+
+ORACLE_SIM_CELL_BALANCE = f"""
+WITH {_KMEANS_CTES_SAMPLED},
+sizes AS (
+  SELECT cid, COUNT(*) AS n_members
+  FROM (SELECT vec_id, cid FROM assign2 WHERE rn = 1) a GROUP BY 1
+)
+SELECT COUNT(*) AS n_cells,
+       CAST(MIN(n_members) AS BIGINT) AS min_cell,
+       CAST(MAX(n_members) AS BIGINT) AS max_cell,
+       CAST(SUM(n_members) AS BIGINT) AS n_vectors,
+       CAST(MAX(n_members) AS DOUBLE) * COUNT(*) / SUM(n_members)
+         AS imbalance
+FROM sizes
+"""
+
+
 PCA_ITERS = 3
 
 # sequential indexed dot-product fold between two double arrays — the
@@ -1755,6 +1803,7 @@ QUERIES = {
     "emb_pca_project": emb_pca_project,
     "sim_recall_audit": sim_recall_audit,
     "sim_pq_recall_audit": sim_pq_recall_audit,
+    "sim_cell_balance": sim_cell_balance,
 }
 
 ORACLES = {
@@ -1784,6 +1833,7 @@ ORACLES = {
     "emb_pca_project": _oracle_pca(),
     "sim_recall_audit": _oracle_recall_audit(),
     "sim_pq_recall_audit": _oracle_recall_audit(_oracle_pq_adc()),
+    "sim_cell_balance": ORACLE_SIM_CELL_BALANCE,
 }
 
 

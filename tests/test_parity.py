@@ -84,4 +84,6 @@ def test_correctness_window_is_pinned():
     assert "log_spike_attribution" in names[50:]
     assert "mm_chunk_dedup" in names[50:]
     assert "log_histogram_drift" in names[50:]
-    assert len(names) == 150
+    assert "dedup_pipeline_funnel" in names[50:]
+    assert "sim_cell_balance" in names[50:]
+    assert len(names) == 152

@@ -11,6 +11,12 @@ inspecting the SQL TEXT under the same conjuncts-only contract DataFusion
 gives the reference (``supports_filters_pushdown`` receives a list of
 AND-ed conjuncts — OR/NOT trees never reach expr.rs either):
 
+- a statement with MORE THAN ONE depth-0 FROM (set operations, even over
+  the same table name) or MORE THAN ONE SELECT keyword (any subquery)
+  pushes NOTHING: a registered loki table binds one shared pruned scan,
+  so pruning extracted from one branch/the outer query would silently
+  filter the other branch/the subquery too — wrong results, not just
+  lost pruning;
 - extraction runs ONLY when the WHERE clause is one flat AND-conjunction
   (no OR / NOT outside string literals — parenthesized sub-trees are safe
   because any OR/NOT inside them trips the same gate, and a BETWEEN's
@@ -160,12 +166,26 @@ def extract_pushdown(sql: str) -> PushdownSpec:
     cands = _from_candidates(masked)
     if cands:
         spec.table = cands[0][0]
-        if len({c[0].lower() for c in cands}) > 1:
-            # two depth-0 FROMs over DIFFERENT tables (a set operation
-            # over distinct sources) — which one is the loki stream is
-            # ambiguous, so bind the first and push nothing
+        if len(cands) > 1:
+            # two depth-0 FROMs — a set operation. Even over the SAME
+            # table name the branches are distinct scans with distinct
+            # predicates, but a registered loki table binds ONE pruned
+            # scan shared by every branch, so pushing any branch's
+            # matcher would silently filter the other branches too
+            # (wrong results, not just lost pruning). Bind the first
+            # name for view setup and push nothing.
             spec.exact_only = False
             return spec
+
+    if len(re.findall(r"\bselect\b", masked, re.I)) != 1:
+        # a subquery (scalar, IN, EXISTS, derived table) may read the
+        # SAME registered loki table; like the set-op case above, the
+        # single shared scan must then stay unpruned — matchers/time/
+        # line extracted from the outer WHERE would narrow the inner
+        # query's input and change results. Mirrors the LIMIT shape
+        # gate, now applied to EVERY push class.
+        spec.exact_only = False
+        return spec
 
     m = re.search(r"\blimit\s+(\d+)\s*;?\s*$", masked, re.I)
     if m:
@@ -173,10 +193,7 @@ def extract_pushdown(sql: str) -> PushdownSpec:
         # only for a plain single-table SELECT with a call-free select
         # list — anything that reorders rows or changes multiplicity
         # between scan and LIMIT makes input-truncation wrong
-        limit_safe = (
-            _LIMIT_BLOCKERS.search(masked) is None
-            and len(re.findall(r"\bselect\b", masked, re.I)) == 1
-        )
+        limit_safe = _LIMIT_BLOCKERS.search(masked) is None
         if limit_safe and cands:
             sel = re.search(r"\bselect\b", masked, re.I)
             select_list = masked[sel.end() : cands[0][1]]
@@ -256,11 +273,14 @@ def extract_pushdown(sql: str) -> PushdownSpec:
                 # deliberate delta: Loki label-regex matchers are FULLY
                 # ANCHORED (fullmatch) while Spark's RLIKE is a substring
                 # search, so the raw pattern the ref pushes would DROP
-                # partial-match streams. Wrapping as .*(?:rx).* makes the
-                # selector exactly Spark's semantics on present labels
+                # partial-match streams. Wrapping as (?s).*(?:rx).* makes
+                # the selector exactly Spark's semantics on present labels
                 # (top-level ^/$ inside rx still anchor correctly: the
-                # wrapping .* then matches empty).
-                spec.matchers.append((cm.group(1), op, f".*(?:{rx}).*"))
+                # wrapping .* then matches empty; (?s) lets the padding
+                # dots cross NEWLINES in label values — without it the
+                # store-side fullmatch could fail where Spark's substring
+                # RLIKE matches after a newline, a data-losing push).
+                spec.matchers.append((cm.group(1), op, f"(?s).*(?:{rx}).*"))
                 if op == "!~":
                     spec.exact_only = False  # absent-label superset (as !=)
             else:

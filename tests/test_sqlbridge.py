@@ -5,6 +5,7 @@ hook-less Python DS API."""
 
 from __future__ import annotations
 
+import re
 import time
 
 import pytest
@@ -156,6 +157,39 @@ def test_disagreeing_from_tables_bind_first_push_nothing():
     assert spec.matchers == [] and not spec.exact_only
 
 
+def test_same_table_set_op_pushes_nothing():
+    # Both branches share ONE registered scan; pushing the filtered
+    # branch's matcher would silently filter the unfiltered branch too —
+    # wrong results, not just lost pruning (round-6 ADVICE, high)
+    spec = extract_pushdown(
+        "SELECT line FROM logs UNION ALL "
+        "SELECT line FROM logs WHERE labels['app'] = 'web'"
+    )
+    assert spec.table == "logs"
+    assert spec.matchers == [] and not spec.exact_only
+    assert spec.start_ns is None and spec.limit is None
+
+
+def test_subquery_suppresses_all_pushes_not_just_limit():
+    # the subquery may read the SAME logs table; pruning the shared scan
+    # with the outer WHERE's sibling matchers would shrink the subquery's
+    # input and change results (round-6 ADVICE, medium)
+    for sql in (
+        "SELECT line FROM logs WHERE labels['app'] = 'web' "
+        "AND line IN (SELECT labels['env'] FROM logs)",
+        "SELECT line FROM logs WHERE labels['app'] = 'web' "
+        "AND timestamp >= TIMESTAMP '2024-01-01T00:00:00' "
+        "AND EXISTS (SELECT 1 FROM logs)",
+        "SELECT line FROM logs WHERE labels['app'] = 'web' "
+        "AND length(line) > (SELECT min(length(line)) FROM logs)",
+    ):
+        spec = extract_pushdown(sql)
+        assert spec.matchers == [], sql
+        assert spec.line_contains == [] and spec.line_regexes == [], sql
+        assert spec.start_ns is None and spec.end_ns is None, sql
+        assert spec.limit is None and not spec.exact_only, sql
+
+
 def test_label_rlike_extracts_wrapped_matcher():
     # Loki label matchers are fully anchored (fullmatch); Spark RLIKE is a
     # substring search — the pushed selector wraps the pattern to keep
@@ -163,15 +197,30 @@ def test_label_rlike_extracts_wrapped_matcher():
     spec = extract_pushdown(
         "SELECT line FROM logs WHERE labels['app'] RLIKE 'we.?' LIMIT 5"
     )
-    assert spec.matchers == [("app", "=~", ".*(?:we.?).*")]
+    assert spec.matchers == [("app", "=~", "(?s).*(?:we.?).*")]
     assert spec.exact_only and spec.limit == 5
+
+
+def test_label_rlike_wrap_crosses_newlines():
+    # Spark RLIKE is a substring search, so it matches 'web' inside a
+    # multiline label value; the store-side fullmatch only keeps up if
+    # the padding dots cross newlines — hence the (?s) prefix (round-6
+    # ADVICE, low). Verified with Python re, whose dot/DOTALL semantics
+    # match RE2's here.
+    spec = extract_pushdown(
+        "SELECT line FROM logs WHERE labels['app'] RLIKE 'web'"
+    )
+    _, _, pushed = spec.matchers[0]
+    multiline_value = "prefix\nweb\nsuffix"
+    assert re.search("web", multiline_value)  # Spark keeps the row
+    assert re.fullmatch(pushed, multiline_value)  # store must keep it too
 
 
 def test_label_not_rlike_pushes_but_blocks_limit():
     spec = extract_pushdown(
         "SELECT line FROM logs WHERE labels['app'] NOT RLIKE 'a.i'"
     )
-    assert spec.matchers == [("app", "!~", ".*(?:a.i).*")]
+    assert spec.matchers == [("app", "!~", "(?s).*(?:a.i).*")]
     assert not spec.exact_only  # absent-label superset, as with !=
 
 
@@ -385,7 +434,7 @@ def test_loki_sql_label_rlike_pushes_selector(spark, emulator):
         "request error 500",
         "request ok",
     ]
-    assert emulator.queries[-1] == '{app=~".*(?:we).*"}'
+    assert emulator.queries[-1] == '{app=~"(?s).*(?:we).*"}'
 
 
 # Equivalence grid: for every WHERE shape the extractor can meet, the

@@ -438,7 +438,15 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     local top-k survives to the final exact window — the pattern for
     non-SQL scoring functions. The returned frame is integer-only (the
     BLAS-computed score never leaves the plan), so the SQL top-k oracle
-    checks it value-for-value."""
+    checks it value-for-value.
+
+    Ranking determinism: the BLAS matmul and the oracle's SQL fold sum
+    the same products in different orders, so two near-equal cosines can
+    disagree within ~1 ulp of accumulated error and rank-flip between
+    engines (round-6 ADVICE). Both sides therefore QUANTIZE the cosine
+    to a 1e-9 grid before ranking (np.round here, ROUND(...,9) in the
+    oracle): the ~1e-15 summation error vanishes into the grid, and
+    grid-equal scores fall to the shared cand_id ASC tie-break."""
     import numpy as np
     import pandas as pd
 
@@ -459,7 +467,9 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy()
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            cos = mat @ bq.value.T  # (batch, nq)
+            # quantize BEFORE any ranking decision (local cut and final
+            # window both see the same grid value — see docstring)
+            cos = np.round(mat @ bq.value.T, 9)  # (batch, nq)
             out = []
             for qi, qid in enumerate(bq_ids.value):
                 col = cos[:, qi]
@@ -1816,14 +1826,30 @@ ORACLES = {
     "sim_lsh_multiprobe": _oracle_multiprobe(),
     "sim_ivf_topk": ORACLE_SIM_IVF,
     # the pandas path's OUTPUT is integer-only (query_id, cand_id, rank —
-    # the BLAS float never leaves the plan), so the SQL top-k oracle's
-    # ranking applies verbatim; tie-breaks match by construction (both
-    # order by cosine DESC, cand_id ASC) and ranking parity with the SQL
-    # path is additionally pinned by
+    # the BLAS float never leaves the plan). Both sides rank on the
+    # cosine QUANTIZED to a 1e-9 grid (np.round in score(), ROUND here)
+    # so BLAS-vs-SQL-fold summation-order error cannot rank-flip
+    # near-ties (round-6 ADVICE); grid-equal scores fall to the shared
+    # cand_id ASC tie-break. Ranking parity with the SQL path is
+    # additionally pinned by
     # tests/test_plans.py::test_pandas_topk_ranking_matches_sql_path
-    "sim_topk_pandas": (
-        f"SELECT query_id, cand_id, rank FROM ({ORACLE_SIM_TOPK}) t"
-    ),
+    "sim_topk_pandas": f"""
+WITH u AS ({_normed_duck_cte()}),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+      FROM u WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         ROUND({_DOT_DUCK.format(a='q.q_emb', b='c.embedding')}
+               / (q.q_nrm * c.nrm), 9) AS qcos
+  FROM q CROSS JOIN u c
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, cand_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
     "emb_quantize_int8": ORACLE_EMB_QUANTIZE,
     "emb_outlier_zscore": ORACLE_EMB_OUTLIER,
     "emb_centroid_drift": ORACLE_EMB_DRIFT,

@@ -1669,25 +1669,38 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fully deterministic, no RNG: v₀ = normalize(𝟙) (exactly 0.125 per
     dim), each iteration computes w = Σ_x x̂(x̂·v) with the centered
-    corpus x̂ = x − μ, then renormalizes. μ and every per-dimension sum
+    sample x̂ = x − μ, then renormalizes. μ and every per-dimension sum
     run in DECIMAL(38,20) (string-hop convention shared with the k-means
     oracle) so summation order can't move a bit; dot products and norms
     are the fixed sequential index folds. Iteration count is fixed so the
     DuckDB oracle unrolls — production loops the same two building blocks
     until |λ| stabilizes.
 
-    100 TB posture per iteration: ONE corpus projection (v rides a 1-row
-    broadcast; computes the scalar x̂·v and the 64 per-dim products) into
-    ONE map-side-combined groupBy(pos) whose output is dim rows — the
-    driver never holds more than a 64-float vector. Centering reuses the
-    same shape once up front. At scale the centered corpus would be
-    cached/persisted across the iterations; here each pass re-derives it
-    from the scan (documented trade, same plan shape)."""
+    100 TB posture (round 7): μ and the component are fit on the SAME
+    deterministic md5-bucket sample the k-means codebooks train on
+    (_TRAIN_PRED_SPARK — oracle mirrors the predicate in lockstep), and
+    the FULL corpus is touched exactly once, in the final projection
+    against the checkpointed 1-row (μ, v) frame. Each iteration's v is
+    localCheckpoint-materialized (one row of 64 doubles — cost nil), so
+    iteration t does not re-derive iterations 1..t-1's DAG and every
+    training pass is ONE sample scan into ONE map-side-combined
+    groupBy(pos) whose output is dim rows. The projection plan contains
+    a single FileScan (gate-pinned).
+
+    The projection uses linearity — (x − μ)·v = x·v − μ·v with the
+    scalar μ·v precomputed in the broadcast row — so the per-row work is
+    one O(dim) fold straight over the scan column. The naive centered
+    form would substitute the zip_with(e, mu, ..) alias into the fold
+    lambda (single outside reference → CollapseProject inlines it) and
+    re-evaluate the whole centered array per element: O(dim²) per row
+    over the full corpus. The oracle mirrors the same rewrite, so both
+    engines run the identical sequence of float ops."""
     emb = load_table(spark, sf_dir, "embeddings")
     emb_d = emb.select(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
     )
-    ex = emb_d.select(F.posexplode("e").alias("pos", "val"))
+    train = emb_d.where(F.expr(_TRAIN_PRED_SPARK))
+    ex = train.select(F.posexplode("e").alias("pos", "val"))
     mu_rows = ex.groupBy("pos").agg(
         (
             F.sum(F.col("val").cast("decimal(38,20)")).cast("double")
@@ -1698,15 +1711,15 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)"
         ).alias("mu")
-    )
-    xc = emb_d.crossJoin(F.broadcast(mu)).select(
+    ).localCheckpoint()
+    xc_t = train.crossJoin(F.broadcast(mu)).select(
         "vec_id", F.expr("zip_with(e, mu, (x, m) -> x - m)").alias("xc")
     )
     v = spark.range(1).select(
         F.expr("array(" + ", ".join(["0.125d"] * DIM) + ")").alias("v")
     )
     for _ in range(PCA_ITERS):
-        scored = xc.crossJoin(F.broadcast(v)).select(
+        scored = xc_t.crossJoin(F.broadcast(v)).select(
             "xc", F.expr(_PC_DOT.format(a="xc", b="v")).alias("s")
         )
         w_rows = (
@@ -1734,8 +1747,20 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (acc, y) -> acc + y))"
             ).alias("nw"),
         ).select(F.expr("transform(w, x -> x / nw)").alias("v"))
-    return xc.crossJoin(F.broadcast(v)).select(
-        "vec_id", F.expr(_PC_DOT.format(a="xc", b="v")).alias("pc1")
+    muv = (
+        mu.crossJoin(v)
+        .select("v", F.expr(_PC_DOT.format(a="mu", b="v")).alias("mudotv"))
+        .localCheckpoint()
+    )
+    return emb.crossJoin(F.broadcast(muv)).select(
+        "vec_id",
+        (
+            F.expr(
+                "aggregate(sequence(0, size(embedding) - 1), 0.0d,"
+                " (acc, i) -> acc + cast(embedding[i] as double) * v[i])"
+            )
+            - F.col("mudotv")
+        ).alias("pc1"),
     )
 
 
@@ -1768,6 +1793,7 @@ def _oracle_pca() -> str:
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
+  WHERE {_TRAIN_PRED_DUCK}
 ), mu_ex AS (
   SELECT unnest(generate_series(1, len(e))) AS pos,
          unnest(list_transform(e,
@@ -1786,11 +1812,18 @@ WITH emb AS (
   SELECT list_transform(generate_series(1, {DIM}),
            i -> CAST(0.125 AS DOUBLE)) AS v
 ),
-{chain}
-SELECT xc.vec_id,
-       list_sum(list_transform(generate_series(1, len(xc.xc)),
-          i -> xc.xc[i] * fv.v[i])) AS pc1
-FROM xc CROSS JOIN v{PCA_ITERS} fv
+{chain},
+muv AS (
+  SELECT fv.v AS v,
+         list_sum(list_transform(generate_series(1, len(m.mu)),
+            i -> m.mu[i] * fv.v[i])) AS mudotv
+  FROM mu m CROSS JOIN v{PCA_ITERS} fv
+)
+SELECT f.vec_id,
+       list_sum(list_transform(generate_series(1, len(f.embedding)),
+          i -> CAST(f.embedding[i] AS DOUBLE) * mv.v[i])) - mv.mudotv
+         AS pc1
+FROM embeddings f CROSS JOIN muv mv
 """
 
 

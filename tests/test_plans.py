@@ -752,6 +752,19 @@ def test_no_registry_query_has_cartesian_product(spark, sf_dir):
     assert offenders == [], offenders
 
 
+def test_pca_projection_is_single_scan(spark, sf_dir):
+    # emb_pca_project (round 7): training is sample-fit and materialized
+    # into one checkpointed (v, mu·v) row, so the returned plan must be
+    # exactly ONE corpus FileScan joined to a Scan ExistingRDD — if the
+    # power-iteration DAG leaks back in, every projection re-trains.
+    plan = _plan(spark, sf_dir, "emb_pca_project")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    # and the per-row fold must run on the raw scan column (linearity
+    # rewrite) — no zip_with centering array in the projection plan
+    assert "zip_with" not in plan, plan
+
+
 def test_pagerank_rounds_reuse_materialized_edges(spark, sf_dir):
     # Every PageRank round must consume the checkpointed edge list (bare
     # ExistingRDD scans) — if the MinHash/LSH DAG leaks back into the

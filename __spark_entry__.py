@@ -40,82 +40,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # r05 closed the loop — every registry entry now has at least one driver
 # row and all are green at their latest check.
 #
-# Round-6 rotation policy ("every entry re-checked within 2 rounds"):
-# entries whose implementation CHANGED this round lead (their plans/output
-# must re-earn a driver row), then the stalest tail — the 38 entries whose
-# last driver row is r03 — then the window pads with the oldest r04-checked
-# entries. The r04 remainder rotates in next round; everything outside the
-# window stays covered by the local all-query DuckDB parity suite
-# (tests/test_parity.py).
-_R06_NEW = (
-    # added during round 6 — never driver-checked
-    "emb_outlier_zscore",
-    "mix_pack_sequences",
-    "mix_pack_greedy",
-    "dedup_cross_source_overlap",
-    "log_burn_alerts",
-    "log_transition_matrix",
-    "mix_quality_vs_dedup",
-    "emb_centroid_drift",
+# Round-7 rotation policy ("every entry re-checked within 2 rounds"):
+# the never-driver-checked late-round-6 additions lead (the round-6
+# VERDICT's #1 — they were registered after the r06 window was pinned),
+# then entries whose implementation CHANGED this round (their plans and
+# output must re-earn a driver row), then the stalest tail — the entries
+# whose last driver row is r04. The 7-entry r04 remainder rotates in r08;
+# everything outside the window stays covered by the local all-query
+# DuckDB parity suite (tests/test_parity.py). The structural guard that
+# late additions can never miss a window again is
+# tests/test_parity.py::test_unchecked_queries_lead_the_window, which
+# parses the committed CORRECTNESS_r*.json files.
+_R07_NEVER_CHECKED = (
+    # registered late in round 6, after that window was pinned
+    # (mm_chunk_dedup ALSO changed this round: int64 chunk keys)
+    "dedup_pipeline_funnel",
+    "log_histogram_drift",
+    "log_spike_attribution",
+    "mm_chunk_dedup",
+    "sim_cell_balance",
+    "text_lang_confusion",
 )
 
-_R06_CHANGED = (
-    # small-group abstention gate added to within_bound this round
-    "log_approx_quantile_audit",
-    # sample-fit codebook training (round-6 scale fix) changes both DAGs
-    "sim_ivf_kmeans_topk",
-    "sim_pq_adc_topk",
-)
-
-_R03_STALE = (
-    # last driver row r03 (sim_topk_pandas additionally gained its
-    # full-hash oracle this round — previously rows-only by design)
-    "log_sessionize_batch",
-    "log_json_unwrap",
-    "q12_priority_class",
-    "q3_shipping_priority",
-    "dedup_exact_docs",
-    "dedup_bow",
-    "dedup_events_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_edit_distance",
-    "dedup_contamination",
-    "dedup_embedding_cosine",
-    "dedup_chunks",
-    "dedup_simhash",
-    "sim_topk_cosine",
-    "emb_centroid_by_label",
-    "emb_vector_stats",
-    "emb_stats_arrow",
-    "sim_lsh_buckets",
-    "sim_lsh_candidates",
-    "sim_lsh_multiprobe",
-    "sim_ivf_topk",
+_R07_CHANGED = (
+    # ranking quantized to a 1e-9 grid on both sides (round-6 ADVICE)
     "sim_topk_pandas",
-    "text_stats",
-    "text_chunk_udtf",
-    "text_quality_filter",
-    "text_lang_id",
-    "text_lang_id_ngram",
-    "text_fingerprint",
-    "text_token_freq",
-    "text_token_count_bpe",
-    "sample_events_uniform",
-    "sample_docs_stratified",
-    "sample_docs_per_source_topn",
-    "mm_binary_meta",
-    "mm_decode_features",
-    "mm_resize",
-    "mm_frame_sample",
+    # sample-fit training + single-scan linearity projection
+    "emb_pca_project",
 )
 
-_R04_OLDEST = (
-    # r04-checked; the oldest slice pads the window, the rest rotate in r07
-    "dedup_incremental",
+_R04_STALE = (
+    # last driver row r04; first 42 fit this window, the tail 7
+    # (q_rollup .. q_window_rank_stats) rotate in r08
+    "dedup_cc_groups",
+    "dedup_keep_list",
+    "dedup_simhash_hamming",
+    "log_top_user_per_type",
+    "log_rate_per_minute",
+    "log_events_by_nation",
+    "log_median_value_pandas",
+    "log_agg_by_label",
+    "log_time_bucket",
+    "log_funnel",
+    "log_rolling_range",
+    "log_gap_fill",
+    "log_asof_join",
+    "log_interval_join_batch",
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q16_supplier_part_count",
+    "q20_excess_inventory_suppliers",
+    "q21_waiting_suppliers",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_bracket_filter",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q_window_top_orders",
+    "q_window_running_sum",
+    "q_subquery_above_avg",
+    "q_set_ops",
+    "q_set_ops_all",
+    "q_conditional_agg",
+    "q_having",
+    "q_anti_semi_join",
 )
 
-_WINDOW_PRIORITY = _R06_NEW + _R06_CHANGED + _R03_STALE + _R04_OLDEST
+_WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_CHANGED + _R04_STALE
 
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:

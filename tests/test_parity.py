@@ -44,46 +44,49 @@ def test_correctness_window_is_pinned():
     names = list(e.queries())
     assert len(e._WINDOW_PRIORITY) == 50
     assert names[:50] == list(e._WINDOW_PRIORITY)
-    # round-6 rotation: never-checked round-6 additions lead, then
-    # changed-this-round entries (their plans must re-earn a driver row),
-    # then the full r03-stale tail, then the oldest r04-checked padding
-    assert names[:11] == [
-        "emb_outlier_zscore",
-        "mix_pack_sequences",
-        "mix_pack_greedy",
-        "dedup_cross_source_overlap",
-        "log_burn_alerts",
-        "log_transition_matrix",
-        "mix_quality_vs_dedup",
-        "emb_centroid_drift",
-        "log_approx_quantile_audit",
-        "sim_ivf_kmeans_topk",
-        "sim_pq_adc_topk",
-    ]
-    lead = list(e._R06_NEW) + list(e._R06_CHANGED)
+    # round-7 rotation: the six never-driver-checked late-r06 additions
+    # lead, then the two r07-changed entries, then 42 of the 49 entries
+    # whose last driver row is r04 (the 7-entry remainder rotates in r08)
+    lead = list(e._R07_NEVER_CHECKED) + list(e._R07_CHANGED)
     assert names[: len(lead)] == lead
-    assert (
-        names[len(lead) : len(lead) + len(e._R03_STALE)]
-        == list(e._R03_STALE)
-    )
-    # sim_topk_pandas gained its oracle this round — the window row must
-    # now be a full-hash check, and no windowed entry may be oracle-less
-    assert "sim_topk_pandas" in e.oracle_sql()
+    assert len(e._R07_NEVER_CHECKED) == 6
+    assert len(e._R07_CHANGED) == 2
+    assert len(e._R04_STALE) == 42
+    # no windowed entry may be oracle-less
     for n in e._WINDOW_PRIORITY:
         assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
-    # the window partition accounts for the whole registry: 8 new + 3
-    # changed + 38 r03-stale + 1 of the 50 r04-checked; the other 49 r04
-    # entries, the 50 r05-checked entries, and the two r06-late additions
-    # (text_lang_confusion, log_spike_attribution — local-parity green,
-    # due to lead the r07 window) sit outside, covered by this suite
-    assert len(e._R06_NEW) == 8
-    assert len(e._R06_CHANGED) == 3
-    assert len(e._R03_STALE) == 38
-    assert len(e._R04_OLDEST) == 1
-    assert "text_lang_confusion" in names[50:]
-    assert "log_spike_attribution" in names[50:]
-    assert "mm_chunk_dedup" in names[50:]
-    assert "log_histogram_drift" in names[50:]
-    assert "dedup_pipeline_funnel" in names[50:]
-    assert "sim_cell_balance" in names[50:]
+    # the r08 carry-over: the r04-checked tail still outside the window
+    for n in ("q_rollup", "q_cube", "q_percentiles", "q_window_lead_lag",
+              "q_pivot", "q_grouping_sets", "q_window_rank_stats"):
+        assert n in names[50:], n
     assert len(names) == 152
+
+
+def test_unchecked_queries_lead_the_window():
+    # Structural guard (round-6 VERDICT #2): a query registered after the
+    # window was pinned used to wait silently for a full round. Parse the
+    # committed CORRECTNESS_r*.json files — every registry entry that has
+    # NEVER earned a driver row must sit inside the current 50-entry
+    # window prefix, so the next driver run checks it. If this fails,
+    # rotate _WINDOW_PRIORITY before adding more queries.
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    repo = os.path.dirname(os.path.abspath(e.__file__))
+    checked: set[str] = set()
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert files, "no committed CORRECTNESS files found"
+    for f in files:
+        checked.update(json.load(open(f)))
+    names = list(e.queries())
+    never = [n for n in names if n not in checked]
+    window = set(names[:50])
+    missing = [n for n in never if n not in window]
+    assert not missing, (
+        f"never-driver-checked queries outside the 50-entry window: "
+        f"{missing} — move them into _WINDOW_PRIORITY"
+    )
+

@@ -1,6 +1,6 @@
 """Compare two bench result files query-by-query.
 
-Usage: python tools/bench_compare.py OLD NEW
+Usage: python tools/bench_compare.py OLD NEW [--force]
 
 Accepts either the driver's BENCH_r{N}.json wrapper (bench JSON embedded
 in its "tail" field) or a raw bench.py output line saved to a file.
@@ -30,9 +30,23 @@ def load(path: str) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) != 3:
+    args = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv[1:]
+    if len(args) != 2:
         raise SystemExit(__doc__)
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    old, new = load(args[0]), load(args[1])
+    if not (old.get("calibration_sec") and new.get("calibration_sec")):
+        missing = [p for p, d in zip(args, (old, new))
+                   if not d.get("calibration_sec")]
+        print(f"INCOMPARABLE (no calibration anchor in: "
+              f"{', '.join(missing)}).")
+        print("Rounds r01-r05 predate the calibration job; identical code "
+              "measures ±15-25% apart between sessions (PERF_NOTES.md), so "
+              "a raw-seconds verdict against them is noise, not a "
+              "regression. Re-run both suites in one session for a real "
+              "comparison, or pass --force to see the raw table anyway.")
+        if not force:
+            raise SystemExit(2)
     shared = [k for k in old["queries"] if k in new["queries"]]
     rows = sorted(
         shared,
@@ -49,10 +63,10 @@ def main() -> None:
     if co and cn:
         norm = (tn / cn) / (to / co)
         print(f"calibration: {co:.3f} -> {cn:.3f}; "
-              f"machine-normalized ratio: {norm:.2f}x")
+              f"machine-normalized ratio: {norm:.2f}x"
+              f"  <- the ONLY cross-session number that means anything")
     else:
-        print("(no calibration anchor in one of the files — raw ratio "
-              "only; treat ±25% as noise)")
+        print("(raw table shown under --force; no calibrated verdict)")
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ def loki_table(
     spark,
     endpoint: str,
     *,
-    labels: "dict[str, str] | str | None" = None,
+    labels: "dict[str, str] | str | list | None" = None,
     line_filters: "str | None" = None,
     columns: "list[str] | str | None" = None,
     start: "str | int | None" = None,
@@ -61,11 +61,17 @@ def loki_table(
                         columns=["timestamp", "line"], # decode only these
                         limit=1000)                    # → HTTP limit param
 
-    ``labels`` accepts a dict of equality matchers or a raw selector body
-    (``'app="x", env!="prod"'``); ``line_filters`` is the ;-separated
-    ``|= != |~ !~`` syntax of the reader option. The user asserts the
-    filter semantics (they are applied in the store, not re-checked by
-    Spark) — same contract as the underlying reader options.
+    ``labels`` accepts a dict of equality matchers, a raw selector body
+    (``'app="x", env!="prod"'``), or a list of ``(key, op, value)``
+    tuples with op ∈ {=, !=, =~, !~}; ``line_filters`` is the
+    ;-separated ``|= != |~ !~`` syntax of the reader option. Tuple
+    regex matchers get the same RE2 gate and Spark-RLIKE anchor
+    wrapping as the ``loki_sql`` bridge (``(?s).*(?:rx).*`` — substring
+    semantics; RE2-unsupported constructs raise). The raw-string form
+    stays verbatim — the escape hatch for exact Loki fullmatch
+    semantics. The user asserts the filter semantics (they are applied
+    in the store, not re-checked by Spark) — same contract as the
+    underlying reader options.
     """
     register_loki(spark)
     reader = spark.read.format("loki").option("endpoint", endpoint)
@@ -74,6 +80,20 @@ def loki_table(
             import json
 
             reader = reader.option("labels", json.dumps(labels))
+        elif isinstance(labels, (list, tuple)):
+            from datafusion_loki_spark.sources.logql import (
+                label_matcher,
+                regex_label_matcher,
+            )
+
+            terms = []
+            for m in labels:
+                k, op, v = m
+                if op in ("=~", "!~"):
+                    terms.append(regex_label_matcher(k, v, negate=op == "!~"))
+                else:
+                    terms.append(label_matcher(k, op, v))
+            reader = reader.option("labels", ", ".join(terms))
         else:
             reader = reader.option("labels", labels)
     if line_filters is not None:

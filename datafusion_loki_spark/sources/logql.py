@@ -72,6 +72,33 @@ def label_matcher(key: str, op: str, value: str | None) -> str:
     return f"{key}{op}{_quote_label_value(value if value is not None else '')}"
 
 
+# regex constructs RE2 (Loki's dialect) cannot parse — pushing one would
+# turn a working Spark query into a store error (the ref pushes
+# unconditionally, expr.rs:63, and hits that error; we degrade or raise
+# depending on the route)
+import re as _re_mod
+
+RE2_UNSUPPORTED = _re_mod.compile(r"\\\d|\(\?=|\(\?!|\(\?<")
+
+
+def regex_label_matcher(key: str, rx: str, negate: bool = False) -> str:
+    """Stream-selector term for a SPARK-RLIKE-semantics label regex:
+    Loki label matchers are fully anchored (fullmatch) while Spark's
+    RLIKE is a substring search, so the pattern is wrapped as
+    ``(?s).*(?:rx).*`` — identical to the loki_sql bridge's rewrite
+    (sqlbridge.extract_pushdown), including the (?s) so the padding dots
+    cross newlines in label values. Raises on RE2-unsupported constructs
+    (this is an explicit API — fail loudly rather than push a selector
+    the store will reject). Callers who want verbatim Loki fullmatch
+    semantics pass a raw selector body string instead."""
+    if "`" not in rx and RE2_UNSUPPORTED.search(rx) is None:
+        return label_matcher(key, "!~" if negate else "=~", f"(?s).*(?:{rx}).*")
+    raise ValueError(
+        f"label regex {rx!r} uses constructs Loki's RE2 cannot parse "
+        "(backreferences / lookaround); filter it Spark-side instead"
+    )
+
+
 def line_contains(text: str | None, negate: bool = False) -> str | None:
     """LIKE '%x%' → ``|= `x``` ; NOT LIKE → ``!= `x``` (expr.rs:83-103).
     Returns None (untranslatable) if the text contains a backtick — LogQL

@@ -83,8 +83,9 @@ _TS = re.compile(
 # regex constructs RE2 (Loki's dialect) cannot parse — a pushed pattern
 # containing one would turn a working Spark query into a store error, so
 # such regexes stay Spark-side (the ref pushes unconditionally, expr.rs:63,
-# and would hit the same store error; we choose the quieter degradation)
-_RE2_UNSUPPORTED = re.compile(r"\\\d|\(\?=|\(\?!|\(\?<")
+# and would hit the same store error; we choose the quieter degradation).
+# The gate itself is shared with the loki_table tuple-matcher route.
+from datafusion_loki_spark.sources.logql import RE2_UNSUPPORTED as _RE2_UNSUPPORTED
 
 # statement shapes under which SQL LIMIT bounds a reordering / row-
 # multiplicity-changing operator's OUTPUT, so the scan INPUT must not be

@@ -383,6 +383,39 @@ def test_loki_table_helper_emits_selector_and_prunes(spark, emulator):
     assert emulator.queries[-1] == '{app="my-app3"}'
 
 
+def test_loki_table_tuple_matchers(spark, emulator):
+    # round-7 (r6 VERDICT #7): (key, op, value) tuples through the
+    # helper, incl. regex ops with the loki_sql bridge's exact RE2 gate
+    # and Spark-RLIKE anchor wrapping.
+    from datafusion_loki_spark import loki_table
+
+    df = loki_table(
+        spark,
+        emulator.endpoint,
+        labels=[("app", "=~", "my-app[23]"), ("env", "!=", "prod")],
+        columns="line",
+    )
+    df.collect()
+    assert (
+        emulator.queries[-1]
+        == '{app=~"(?s).*(?:my-app[23]).*", env!="prod"}'
+    )
+
+    # equality tuples route through label_matcher (same as the dict form)
+    df2 = loki_table(
+        spark, emulator.endpoint, labels=[("app", "=", "my-app2")],
+        columns="line",
+    )
+    assert {"user login ok"} <= {r.line for r in df2.collect()}
+    assert emulator.queries[-1] == '{app="my-app2"}'
+
+    # RE2-unsupported constructs raise before any network I/O
+    with pytest.raises(ValueError, match="RE2"):
+        loki_table(
+            spark, emulator.endpoint, labels=[("app", "=~", "a(?=b)")]
+        )
+
+
 def test_loki_table_rejects_empty_projection(spark):
     # columns=[] would ','.join to '' and silently fall through to the FULL
     # schema — must fail loudly instead (raised before any network I/O).

@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT's #1 — they were registered after the r06 window was pinned),
 # then entries whose implementation CHANGED this round (their plans and
 # output must re-earn a driver row), then the stalest tail — the entries
-# whose last driver row is r04. The 7-entry r04 remainder rotates in r08;
+# whose last driver row is r04. The 8-entry r04 remainder rotates in r08;
 # everything outside the window stays covered by the local all-query
 # DuckDB parity suite (tests/test_parity.py). The structural guard that
 # late additions can never miss a window again is
@@ -67,11 +67,13 @@ _R07_CHANGED = (
     "sim_topk_pandas",
     # sample-fit training + single-scan linearity projection
     "emb_pca_project",
+    # df now a count window over TF's token partitions (x64 scale fix)
+    "text_tfidf_topk",
 )
 
 _R04_STALE = (
-    # last driver row r04; first 42 fit this window, the tail 7
-    # (q_rollup .. q_window_rank_stats) rotate in r08
+    # last driver row r04; first 41 fit this window, the tail 8
+    # (q_anti_semi_join, q_rollup .. q_window_rank_stats) rotate in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -113,7 +115,6 @@ _R04_STALE = (
     "q_set_ops_all",
     "q_conditional_agg",
     "q_having",
-    "q_anti_semi_join",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_CHANGED + _R04_STALE

@@ -523,12 +523,17 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a correctness one. Ties broken by token asc.
 
     100 TB posture: one explode→groupBy(doc_id, token) builds TF (the
-    fact-scale shuffle, map-side combined); DF is a vocabulary-sized agg
-    OVER the TF frame (no second pass over the corpus — df = #docs
-    containing the token = rows per token in TF); the N scalar rides a
-    1-row broadcast; the token join shuffles the TF frame (vocab-sized
-    build side broadcasts under AQE when it fits); the final top-k is a
-    WindowGroupLimit-prunable row_number per doc."""
+    fact-scale shuffle, map-side combined); DF is a COUNT WINDOW over
+    the TF frame's token partitions — df = #docs containing the token =
+    rows per token in TF — so the corpus is exploded exactly once and
+    there is no tf⋈df self-join at all (the round-6 shape computed df
+    as a separate aggregate over a second execution of the TF DAG and
+    joined it back; once the vocabulary outgrew the broadcast threshold
+    that join went sort-merge over the full TF frame and the x32→x64
+    scale smoke measured 5.4× growth per 2× data — the window form
+    re-measured at 1.26×, and 2.6 s absolute at x64 vs the join form's
+    15.0 s); the N scalar rides a 1-row broadcast; the
+    final top-k is a WindowGroupLimit-prunable row_number per doc."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -536,11 +541,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token")
     )
     tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
     return (
-        tf.join(df, "token")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

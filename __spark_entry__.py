@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT's #1 — they were registered after the r06 window was pinned),
 # then entries whose implementation CHANGED this round (their plans and
 # output must re-earn a driver row), then the stalest tail — the entries
-# whose last driver row is r04. The 8-entry r04 remainder rotates in r08;
+# whose last driver row is r04. The 10-entry r04 remainder rotates in r08;
 # everything outside the window stays covered by the local all-query
 # DuckDB parity suite (tests/test_parity.py). The structural guard that
 # late additions can never miss a window again is
@@ -69,11 +69,15 @@ _R07_CHANGED = (
     "emb_pca_project",
     # df now a count window over TF's token partitions (x64 scale fix)
     "text_tfidf_topk",
+    # tf-compressed single-tokenize shapes (freq/c2 as windows, no
+    # occurrence-scale self-joins)
+    "text_token_commonness",
+    "text_bigram_lm",
 )
 
 _R04_STALE = (
-    # last driver row r04; first 41 fit this window, the tail 8
-    # (q_anti_semi_join, q_rollup .. q_window_rank_stats) rotate in r08
+    # last driver row r04; first 39 fit this window, the tail 10
+    # (q_conditional_agg .. q_window_rank_stats) rotate in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -113,8 +117,6 @@ _R04_STALE = (
     "q_subquery_above_avg",
     "q_set_ops",
     "q_set_ops_all",
-    "q_conditional_agg",
-    "q_having",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_CHANGED + _R04_STALE

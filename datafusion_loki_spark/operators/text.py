@@ -458,32 +458,36 @@ def text_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deliberately avoids log-perplexity so every statistic is integer
     arithmetic + one division — bit-portable to the DuckDB oracle.
 
-    100 TB posture: the frequency table is vocabulary-sized (≪ corpus).
-    One explode→groupBy(token) with map-side partials builds it; the
-    token join is a shuffle on the high-cardinality uniform token key
-    (broadcast when the vocabulary fits); the final groupBy(doc_id) is
-    the only other fact-scale shuffle. The exploded token frame feeds
-    both the frequency build and the join (Catalyst has no common-subtree
-    reuse, so the tokenizer runs twice); corpus-scale materialization is
-    the wrong trade locally, and at scale the tokenized view would be a
-    persisted table feeding both consumers."""
+    100 TB posture (round-7 shape): tokenize ONCE into per-(doc, token)
+    counts — the tf compression bounds every downstream partition at
+    #docs-containing-the-token — then the corpus frequency is
+    freq = SUM(tf) OVER (PARTITION BY token) and the per-doc stats are
+    tf-weighted sums. No tf⋈freq self-join (the round-6 shape executed
+    the tokenizer twice and shuffled RAW occurrence rows on the token
+    key — at corpus scale the stop-word partitions of that shuffle are
+    the straggler; tf-compressed rows cannot skew past #docs), and the
+    occurrence-level statistics are recovered exactly:
+    Σ_occurrences freq = Σ_t tf_t·freq_t, hapax freq=1 ⇒ tf=1."""
     docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
     ex = docs.select(
         "doc_id", F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token")
     )
-    freq = ex.groupBy("token").agg(F.count("*").alias("freq"))
-    return (
-        ex.join(freq, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            (F.sum("freq") / F.count("*")).alias("mean_token_freq"),
-            F.min("freq").alias("min_token_freq"),
-            (
-                F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
-                / F.count("*")
-            ).alias("hapax_ratio"),
-        )
+    tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    with_freq = tf.withColumn(
+        "freq", F.sum("tf").over(Window.partitionBy("token"))
+    )
+    return with_freq.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        (F.sum(F.col("tf") * F.col("freq")) / F.sum("tf")).alias(
+            "mean_token_freq"
+        ),
+        F.min("freq").alias("min_token_freq"),
+        (
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            / F.sum("tf")
+        ).alias("hapax_ratio"),
     )
 
 
@@ -605,18 +609,21 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast, the emb_centroid_by_label convention) so summation order can't
     perturb low bits.
 
-    100 TB posture: the model IS two vocabulary-sized count tables (c1:
-    unigrams, c2: bigrams) built by one explode→groupBy each with
-    map-side partials; V rides a 1-row broadcast. Scoring joins the
-    doc-bigram frame on (w1,w2) then w1 — two fact-scale shuffles on
-    high-cardinality keys (Zipf-head skew absorbed by AQE skew-join; the
-    count tables broadcast when the vocabulary fits). The bigram subtree
-    feeds three consumers (unigram counts, bigram counts, scoring), so
-    Catalyst — having no common-subtree reuse — runs the tokenizer once
-    per consumer; the corpus-scale materialization is the wrong trade
-    locally, and at 100 TB the tokenized/bigram frame would be a
-    persisted table feeding all three (same documented trade as
-    text_token_commonness). No Python anywhere."""
+    100 TB posture (round-7 shape): the doc-bigram stream is compressed
+    FIRST into per-(doc, w1, w2) counts (tf2) — one groupBy whose output
+    is bounded by distinct doc-bigrams — then c2 = SUM(tf2) OVER
+    (PARTITION BY w1, w2) rides the SAME frame (partition size ≤ #docs
+    containing the bigram; no self-join, no second tokenizer run), and
+    only the vocabulary-sized unigram table joins back, against the
+    COMPRESSED frame (broadcast when the vocabulary fits). The per-doc
+    statistics are tf2-weighted, recovering the per-occurrence values
+    exactly: the weighted decimal product runs in decimal(21,20) ×
+    decimal(9,0) → decimal(31,20) — no precision overflow, so no silent
+    scale truncation, and the p quantum is identical to the direct
+    (38,20) cast because rounding depends only on the scale. The
+    round-6 shape ran the tokenizer once per consumer (3×) and shuffled
+    raw occurrence rows through both scoring joins. No Python
+    anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("t")
@@ -640,27 +647,34 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
+    from pyspark.sql import Window
+
     uni = (
         toks.select(F.explode_outer("t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )
     vocab = uni.agg(F.count("*").alias("v"))
-    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    tf2 = big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf2"))
+    with_c2 = tf2.withColumn(
+        "c2", F.sum("tf2").over(Window.partitionBy("w1", "w2"))
+    )
     p = (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")).cast(
         "double"
     )
     scored = (
-        big.join(c2, ["w1", "w2"])
-        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        with_c2.join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", p.alias("p"))
+        .select("doc_id", "tf2", p.alias("p"))
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
+        F.sum("tf2").alias("n_bigrams"),
         (
-            F.sum(F.col("p").cast("decimal(38,20)")).cast("double")
-            / F.count("*")
+            F.sum(
+                F.col("p").cast("decimal(21,20)")
+                * F.col("tf2").cast("decimal(9,0)")
+            ).cast("double")
+            / F.sum("tf2")
         ).alias("avg_cond_p"),
         F.min("p").alias("min_p"),
     )

@@ -168,3 +168,30 @@ def test_line_anchor_regex_matches_exactly_prefix_suffix(text, pad, end):
     probe = ("x" + text + "x")
     expected = probe.endswith(text) if end else probe.startswith(text)
     assert (rx.search(probe) is not None) == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(max_size=60),  # label values — newlines and unicode included
+    st.sampled_from(
+        ["web", "a.c", "x[0-9]+", "^pre", "suf$", "(ab|cd)", "a.?b"]
+    ),
+)
+def test_regex_label_matcher_wrap_equals_spark_substring_search(value, rx):
+    """The pushed (?s).*(?:rx).* selector must FULLMATCH a label value
+    exactly when Spark's RLIKE substring search matches it — for every
+    value, including multiline ones (the round-6 ADVICE data-loss case).
+    Python re's dot/DOTALL semantics match RE2's here."""
+    import re
+
+    from datafusion_loki_spark.sources.logql import regex_label_matcher
+
+    term = regex_label_matcher("app", rx)
+    # term is app=~"<escaped>"; undo the LogQL string-literal escaping
+    quoted = term[len('app=~"') : -1]
+    pushed = quoted.replace("\\\\", "\x00").replace('\\"', '"').replace(
+        "\x00", "\\"
+    )
+    spark_keeps = re.search(rx, value) is not None
+    store_keeps = re.fullmatch(pushed, value) is not None
+    assert store_keeps == spark_keeps

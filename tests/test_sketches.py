@@ -56,3 +56,32 @@ def test_mg_summary_size_is_bounded(stream, cap):
         # after a shrink only entries STRICTLY above the (cap+1)-th largest
         # survive — at most cap of them — so the bound is unconditional
         assert len(counters) <= cap
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_chunk_int64_reinterpretation_bijective_with_hex_chunks(payload):
+    """mm_chunk_dedup's Spark side buckets on np.frombuffer('<i8') of
+    each aligned 8-byte chunk while the DuckDB oracle buckets on the
+    16-hex-char substring of hex(payload); the driver compare only
+    works because the two keys are BIJECTIVE over the same chunk
+    sequence — same chunk count, same per-position identity structure,
+    same distinct-set size."""
+    import numpy as np
+
+    from datafusion_loki_spark.operators.multimodal import MM_CHUNK_BYTES
+
+    n = len(payload) // MM_CHUNK_BYTES
+    ints = np.frombuffer(payload[: n * MM_CHUNK_BYTES], dtype="<i8")
+    h = payload.hex()
+    hexes = [
+        h[i * 2 * MM_CHUNK_BYTES : (i + 1) * 2 * MM_CHUNK_BYTES]
+        for i in range(n)
+    ]
+    assert len(ints) == len(hexes) == n
+    # identical equality structure position-by-position...
+    for a in range(n):
+        for b in range(a + 1, n):
+            assert (ints[a] == ints[b]) == (hexes[a] == hexes[b])
+    # ...hence identical distinct sets (the bucket keys)
+    assert len(set(ints.tolist())) == len(set(hexes))

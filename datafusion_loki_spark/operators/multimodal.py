@@ -308,6 +308,10 @@ def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, ncs, chs = [], [], []
             for did, b in zip(pdf["doc_id"].to_numpy(), pdf["payload"]):
+                # a NULL payload drops its row, matching the replaced
+                # SQL expression (hex(NULL) → NULL → empty chunk array)
+                if b is None:
+                    continue
                 n = len(b) // MM_CHUNK_BYTES
                 if n < 1:
                     continue

@@ -474,6 +474,12 @@ def text_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id", F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token")
     )
+    # a NULL-text doc explodes (outer) to one token=NULL row; the old
+    # inner tf⋈freq join dropped it (null join key) and the oracle's
+    # unnest never emits it — keep that drop semantics explicitly (a
+    # filter on the generate OUTPUT column, so the tokenizer is not
+    # re-evaluated by an inferred scan-side predicate)
+    ex = ex.where(F.col("token").isNotNull())
     tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     with_freq = tf.withColumn(
         "freq", F.sum("tf").over(Window.partitionBy("token"))

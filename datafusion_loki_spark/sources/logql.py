@@ -72,13 +72,31 @@ def label_matcher(key: str, op: str, value: str | None) -> str:
     return f"{key}{op}{_quote_label_value(value if value is not None else '')}"
 
 
-# regex constructs RE2 (Loki's dialect) cannot parse — pushing one would
-# turn a working Spark query into a store error (the ref pushes
-# unconditionally, expr.rs:63, and hits that error; we degrade or raise
-# depending on the route)
+# Java-regex (Spark RLIKE) constructs a pushed pattern must NOT contain,
+# because RE2 (Loki's dialect) either rejects them (store error — the ref
+# pushes unconditionally, expr.rs:63, and hits it; we degrade or raise
+# depending on the route) or silently parses them as a DIFFERENT
+# language (wrong store-side pruning). Classes, all verified divergent:
+# - backreferences \1..\9 (RE2: rejected)
+# - lookaround (?= (?! (?< and Java named groups (?<name> (RE2: rejected)
+# - atomic groups (?> and possessive quantifiers a*+ a++ a?+ a{n,m}+
+#   (RE2: rejected)
+# - char-class intersection && (RE2: two literal '&'s — silently wrong)
+# - \Q...\E quoting, \G, \Z (RE2: rejected or divergent — Java \Z
+#   matches before a trailing newline, RE2 only has \z)
+# - a bare $ : Java's $ (no MULTILINE) matches before a trailing
+#   newline, RE2's only at absolute end of text — a pushed $-pattern
+#   would DROP rows Spark keeps when the value ends in '\n'
+#   (conservative: an escaped \$ is also blocked; only pruning is lost)
+# - multi-letter \p{...}/\P{...} names (Java POSIX/Is* names vs RE2
+#   script names differ; single-letter unicode classes \p{L} etc. are
+#   identical in both and stay pushable)
 import re as _re_mod
 
-RE2_UNSUPPORTED = _re_mod.compile(r"\\\d|\(\?=|\(\?!|\(\?<")
+RE2_UNSUPPORTED = _re_mod.compile(
+    r"\\\d|\(\?=|\(\?!|\(\?<|\(\?>|[*+?]\+|\{\d+(,\d*)?\}\+|&&"
+    r"|\\[QGZ]|\$|\\[pP]\{[A-Za-z][A-Za-z]+"
+)
 
 
 def regex_label_matcher(key: str, rx: str, negate: bool = False) -> str:
@@ -87,15 +105,20 @@ def regex_label_matcher(key: str, rx: str, negate: bool = False) -> str:
     RLIKE is a substring search, so the pattern is wrapped as
     ``(?s).*(?:rx).*`` — identical to the loki_sql bridge's rewrite
     (sqlbridge.extract_pushdown), including the (?s) so the padding dots
-    cross newlines in label values. Raises on RE2-unsupported constructs
-    (this is an explicit API — fail loudly rather than push a selector
-    the store will reject). Callers who want verbatim Loki fullmatch
-    semantics pass a raw selector body string instead."""
-    if "`" not in rx and RE2_UNSUPPORTED.search(rx) is None:
+    cross newlines in label values. Raises on patterns whose Java-regex
+    meaning RE2 cannot reproduce (this is an explicit API — fail loudly
+    rather than push a selector the store rejects or misreads). Callers
+    who want verbatim Loki fullmatch semantics pass a raw selector body
+    string instead."""
+    if RE2_UNSUPPORTED.search(rx) is None:
         return label_matcher(key, "!~" if negate else "=~", f"(?s).*(?:{rx}).*")
     raise ValueError(
-        f"label regex {rx!r} uses constructs Loki's RE2 cannot parse "
-        "(backreferences / lookaround); filter it Spark-side instead"
+        f"label regex {rx!r} uses constructs whose Spark-RLIKE meaning "
+        "Loki's RE2 cannot reproduce (backreferences, lookaround, "
+        "atomic/possessive groups, '&&' intersection, \\Q \\G \\Z, "
+        "a trailing-newline-sensitive '$', or Java-only \\p{...} "
+        "names); filter it Spark-side or pass a raw Loki selector "
+        "string instead"
     )
 
 
@@ -345,7 +368,12 @@ def parse_label_options(labels_option: str | None) -> list[str]:
     """Reader option ``labels`` → stream-selector terms. Accepts either a
     raw selector body (``app="x", env!="prod"``) or a JSON object of
     key→value equality matchers. This is the §7.4.2(b) rewrite layer that
-    substitutes for map-subscript pushdown."""
+    substitutes for map-subscript pushdown.
+
+    Term splitting is QUOTE-AWARE: a comma inside a double-quoted value
+    (an equality value ``a,b``, a regex quantifier ``x{2,3}``) is part
+    of the term, not a separator — a naive split would silently mangle
+    the selector into store-rejected or wrong-stream terms."""
     if not labels_option:
         return []
     text = labels_option.strip()
@@ -354,4 +382,27 @@ def parse_label_options(labels_option: str | None) -> list[str]:
 
         obj = json.loads(text)
         return [label_matcher(k, "=", v) for k, v in obj.items()]
-    return [t.strip() for t in text.split(",") if t.strip()]
+    terms: list[str] = []
+    buf: list[str] = []
+    in_quotes = False
+    escaped = False
+    for ch in text:
+        if escaped:
+            buf.append(ch)
+            escaped = False
+            continue
+        if ch == "\\" and in_quotes:
+            buf.append(ch)
+            escaped = True
+            continue
+        if ch == '"':
+            in_quotes = not in_quotes
+            buf.append(ch)
+            continue
+        if ch == "," and not in_quotes:
+            terms.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    terms.append("".join(buf).strip())
+    return [t for t in terms if t]

@@ -174,7 +174,9 @@ def test_line_anchor_regex_matches_exactly_prefix_suffix(text, pad, end):
 @given(
     st.text(max_size=60),  # label values — newlines and unicode included
     st.sampled_from(
-        ["web", "a.c", "x[0-9]+", "^pre", "suf$", "(ab|cd)", "a.?b"]
+        # (no \p{L}: legit in Java+RE2, but Python re — the store-side
+        # proxy here — lacks unicode property classes)
+        ["web", "a.c", "x[0-9]+", "x[0-9]{2,3}", "^pre", "(ab|cd)", "a.?b"]
     ),
 )
 def test_regex_label_matcher_wrap_equals_spark_substring_search(value, rx):
@@ -195,3 +197,54 @@ def test_regex_label_matcher_wrap_equals_spark_substring_search(value, rx):
     spark_keeps = re.search(rx, value) is not None
     store_keeps = re.fullmatch(pushed, value) is not None
     assert store_keeps == spark_keeps
+
+
+def test_regex_label_matcher_blocks_java_only_syntax():
+    """Patterns whose Java-RLIKE meaning RE2 cannot reproduce must raise
+    (the fail-loudly contract), and legitimate shared syntax must not."""
+    import pytest
+
+    from datafusion_loki_spark.sources.logql import regex_label_matcher
+
+    for rx in (
+        r"(a)\1",        # backreference
+        "a(?=b)",         # lookahead
+        "a(?<!b)c",       # lookbehind
+        "(?<name>ab)",    # Java named group
+        "(?>ab)",         # atomic group
+        "a*+",            # possessive quantifier
+        "x{2,3}+",        # possessive interval
+        "[a-z&&[^bc]]",   # char-class intersection (RE2: literal &&)
+        r"\Qa.b\E",     # quoting
+        "suf$",           # Java $ matches before a trailing newline
+        r"\p{Alpha}",    # Java-only POSIX class name
+    ):
+        with pytest.raises(ValueError):
+            regex_label_matcher("app", rx)
+    for rx in ("a.?b", "x[0-9]{2,3}", "^pre", "(ab|cd)", r"\p{L}+",
+               "foo`bar"):
+        assert regex_label_matcher("app", rx).startswith('app=~"')
+
+
+def test_parse_label_options_is_quote_aware():
+    """Commas inside quoted values (equality values, regex quantifiers)
+    must not split the selector into broken terms."""
+    from datafusion_loki_spark.sources.logql import (
+        label_matcher,
+        parse_label_options,
+        regex_label_matcher,
+    )
+
+    joined = ", ".join(
+        [
+            regex_label_matcher("app", "x[0-9]{2,3}"),
+            label_matcher("env", "=", "a,b"),
+            label_matcher("job", "!=", 'we"ird, still one'),
+        ]
+    )
+    terms = parse_label_options(joined)
+    assert terms == [
+        'app=~"(?s).*(?:x[0-9]{2,3}).*"',
+        'env="a,b"',
+        'job!="we\\"ird, still one"',
+    ]

@@ -229,14 +229,30 @@ def test_hll_within_error_bound(spark, sf_dir):
 
 
 def test_pandas_topk_ranking_matches_sql_path(spark, sf_dir):
-    # sim_topk_pandas is rows-only in the driver gate (BLAS float order ≠
-    # SQL fold order), so pin the thing that must still agree: the
-    # RANKING. Same (query_id, rank) → same candidate as the oracled
-    # brute-force SQL query.
+    # Pin the cross-path contract: the pandas path ranks on the cosine
+    # QUANTIZED to a 1e-9 grid (round-6 ADVICE fix) while the SQL path
+    # ranks on the exact shared-fold value, so the two may legitimately
+    # swap candidates ONLY inside a grid tie. Assert rank-for-rank
+    # agreement everywhere else, and that every disagreement is a pair
+    # whose SQL-path cosines round to the same grid point.
     sql_rows = _QUERIES["sim_topk_cosine"](spark, sf_dir).collect()
     pd_rows = _QUERIES["sim_topk_pandas"](spark, sf_dir).collect()
     key = lambda rows: {(r.query_id, r.rank): r.cand_id for r in rows}
-    assert key(sql_rows) == key(pd_rows)
+    sql_map, pd_map = key(sql_rows), key(pd_rows)
+    assert sql_map.keys() == pd_map.keys()
+    cos = {(r.query_id, r.cand_id): r.cosine for r in sql_rows}
+    for qr in sql_map:
+        a, b = sql_map[qr], pd_map[qr]
+        if a == b:
+            continue
+        qid = qr[0]
+        assert (qid, a) in cos and (qid, b) in cos, (
+            f"{qr}: candidate sets diverge beyond the top-k boundary "
+            f"({a} vs {b})"
+        )
+        assert round(cos[(qid, a)], 9) == round(cos[(qid, b)], 9), (
+            f"{qr}: rank swap between non-tied candidates {a} and {b}"
+        )
 
 
 def test_simhash_recalls_exact_duplicates(spark, sf_dir):

@@ -225,10 +225,17 @@ def test_label_not_rlike_pushes_but_blocks_limit():
 
 
 def test_label_rlike_re2_unsupported_stays_spark_side():
-    spec = extract_pushdown(
-        r"SELECT line FROM logs WHERE labels['app'] RLIKE 'a(?=b)'"
-    )
-    assert spec.matchers == [] and not spec.exact_only
+    for rx in (
+        "a(?=b)",  # lookaround (RE2 rejects)
+        "suf$",  # Java $ matches before a trailing newline, RE2's
+        # only at end-of-text — pushing would DROP rows Spark keeps
+        "a*+",  # possessive (RE2 rejects)
+        "[a-z&&[^bc]]",  # intersection (RE2: silently different language)
+    ):
+        spec = extract_pushdown(
+            f"SELECT line FROM logs WHERE labels['app'] RLIKE '{rx}'"
+        )
+        assert spec.matchers == [] and not spec.exact_only, rx
 
 
 def test_line_not_rlike_extracts_negated_stage():

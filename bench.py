@@ -92,6 +92,13 @@ BENCH_QUERIES = [
     "mix_pack_sequences",
     "emb_outlier_zscore",
     "mix_pack_greedy",
+    # appended round 7: the two heaviest non-headline triage queries —
+    # the Arrow-chunked binary near-dup (its pair-aggregation is the
+    # engine's biggest fixed cost, so it must be tracked round-over-
+    # round) and the window-df TF-IDF whose x64 scale fix this round's
+    # PERF_NOTES documents
+    "mm_chunk_dedup",
+    "text_tfidf_topk",
 ]
 
 

@@ -66,7 +66,7 @@ def loki_table(
     tuples with op ∈ {=, !=, =~, !~}; ``line_filters`` is the
     ;-separated ``|= != |~ !~`` syntax of the reader option. Tuple
     regex matchers get the same RE2 gate and Spark-RLIKE anchor
-    wrapping as the ``loki_sql`` bridge (``(?s).*(?:rx).*`` — substring
+    wrapping as the ``loki_sql`` bridge (``(?s:.*)(?:rx)(?s:.*)`` — substring
     semantics; RE2-unsupported constructs raise). The raw-string form
     stays verbatim — the escape hatch for exact Loki fullmatch
     semantics. The user asserts the filter semantics (they are applied
@@ -88,6 +88,17 @@ def loki_table(
 
             terms = []
             for m in labels:
+                # guard the natural mistakes: labels=("a=b",) would
+                # otherwise unpack the STRING's characters as (k, op, v)
+                # and silently query a wrong selector; labels=("app",
+                # "=", "web") (one tuple, not a list of tuples) would
+                # die with a misleading unpack error
+                if isinstance(m, str) or len(m) != 3:
+                    raise ValueError(
+                        "labels matcher list needs (key, op, value) "
+                        f"3-tuples, got {m!r} — for a raw selector "
+                        "body pass a single string instead"
+                    )
                 k, op, v = m
                 if op in ("=~", "!~"):
                     terms.append(regex_label_matcher(k, v, negate=op == "!~"))

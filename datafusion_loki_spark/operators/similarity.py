@@ -1865,8 +1865,15 @@ ORACLES = {
     # cosine QUANTIZED to a 1e-9 grid (np.round in score(), ROUND here)
     # so BLAS-vs-SQL-fold summation-order error cannot rank-flip
     # near-ties (round-6 ADVICE); grid-equal scores fall to the shared
-    # cand_id ASC tie-break. Ranking parity with the SQL path is
-    # additionally pinned by
+    # cand_id ASC tie-break. Residual risk, accepted: a pair whose two
+    # engine-side values straddle a grid midpoint (they differ by
+    # ~1e-15, so the straddle window is ~1e-6 of the grid), or sit
+    # EXACTLY on one (np.round is half-even, DuckDB ROUND half-away —
+    # a .5e-9 midpoint is not exactly representable in binary, so this
+    # needs the 1e-15 error to land it exactly there), can still
+    # quantize apart; no finite grid removes that, it only shrinks it
+    # from ~every-near-tie to ~never. Ranking parity with the SQL path
+    # is additionally pinned by
     # tests/test_plans.py::test_pandas_topk_ranking_matches_sql_path
     "sim_topk_pandas": f"""
 WITH u AS ({_normed_duck_cte()}),

@@ -87,15 +87,24 @@ def label_matcher(key: str, op: str, value: str | None) -> str:
 # - a bare $ : Java's $ (no MULTILINE) matches before a trailing
 #   newline, RE2's only at absolute end of text — a pushed $-pattern
 #   would DROP rows Spark keeps when the value ends in '\n'
-#   (conservative: an escaped \$ is also blocked; only pruning is lost)
-# - multi-letter \p{...}/\P{...} names (Java POSIX/Is* names vs RE2
-#   script names differ; single-letter unicode classes \p{L} etc. are
-#   identical in both and stay pushable)
+#   (conservative: an escaped \$ or [$] is also blocked; only pruning
+#   is lost on the SQL route)
+# - Java-only escapes: \v (Java: vertical-whitespace CLASS; RE2:
+#   vertical-tab CHAR — silently different), \h \H \V \R \e \cX
+#   \uhhhh (RE2: parse errors)
+# - inline flags x/u/d/U (free-spacing, unicode-case, unix-lines,
+#   ungreedy-swap — absent or silently different in RE2); i/s/m are
+#   shared and stay pushable
+# - nested character classes [a[bc]] (Java: union; RE2: literal '[')
+# - \p{...}/\P{...} names of 3+ letters (Java POSIX/Is* names vs RE2
+#   script names differ; 1-2 letter unicode general categories \p{L}
+#   \p{Lu} etc. are identical in both and stay pushable)
 import re as _re_mod
 
 RE2_UNSUPPORTED = _re_mod.compile(
-    r"\\\d|\(\?=|\(\?!|\(\?<|\(\?>|[*+?]\+|\{\d+(,\d*)?\}\+|&&"
-    r"|\\[QGZ]|\$|\\[pP]\{[A-Za-z][A-Za-z]+"
+    r"\\\d|\(\?=|\(\?!|\(\?<|\(\?>|(?<!\\)[*+?]\+|\{\d+(,\d*)?\}\+|&&"
+    r"|\\[QGZvhHVRecu]|\$|\\[pP]\{[A-Za-z]{3,}"
+    r"|\(\?[a-zA-Z]*[xudU]|\[[^\]]*\["
 )
 
 
@@ -103,15 +112,20 @@ def regex_label_matcher(key: str, rx: str, negate: bool = False) -> str:
     """Stream-selector term for a SPARK-RLIKE-semantics label regex:
     Loki label matchers are fully anchored (fullmatch) while Spark's
     RLIKE is a substring search, so the pattern is wrapped as
-    ``(?s).*(?:rx).*`` — identical to the loki_sql bridge's rewrite
-    (sqlbridge.extract_pushdown), including the (?s) so the padding dots
-    cross newlines in label values. Raises on patterns whose Java-regex
-    meaning RE2 cannot reproduce (this is an explicit API — fail loudly
-    rather than push a selector the store rejects or misreads). Callers
-    who want verbatim Loki fullmatch semantics pass a raw selector body
-    string instead."""
+    ``(?s:.*)(?:rx)(?s:.*)`` — identical to the loki_sql bridge's
+    rewrite (sqlbridge.extract_pushdown). The DOTALL flag is SCOPED to
+    the padding dots: they must cross newlines in label values (a
+    global prefix ``(?s)`` would leak into rx and make ITS dots cross
+    newlines too — matching values Spark's RLIKE rejects, which for a
+    negated matcher means silently dropping streams Spark would keep).
+    Raises on patterns whose Java-regex meaning RE2 cannot reproduce
+    (this is an explicit API — fail loudly rather than push a selector
+    the store rejects or misreads). Callers who want verbatim Loki
+    fullmatch semantics pass a raw selector body string instead."""
     if RE2_UNSUPPORTED.search(rx) is None:
-        return label_matcher(key, "!~" if negate else "=~", f"(?s).*(?:{rx}).*")
+        return label_matcher(
+            key, "!~" if negate else "=~", f"(?s:.*)(?:{rx})(?s:.*)"
+        )
     raise ValueError(
         f"label regex {rx!r} uses constructs whose Spark-RLIKE meaning "
         "Loki's RE2 cannot reproduce (backreferences, lookaround, "

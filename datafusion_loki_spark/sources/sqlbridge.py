@@ -164,6 +164,27 @@ def extract_pushdown(sql: str) -> PushdownSpec:
     spec = PushdownSpec()
     masked = _mask(sql)
 
+    # projection first: the scan only needs the schema columns the
+    # statement REFERENCES anywhere (select list, WHERE, GROUP BY,
+    # subqueries, every set-op branch ...) — a superset of what any one
+    # branch projects, which is exactly what makes the narrowing
+    # always-safe, including under the push-nothing gates below —
+    # PROVIDED every used column is textually NAMED. `*` (outside
+    # literals), a `TABLE ident` branch, and NATURAL joins reference
+    # columns implicitly, so they force the full schema; a statement
+    # referencing no log column (SELECT COUNT(1)) still needs one
+    # column to scan → cheapest (timestamp).
+    # ≙ O6 / ProjectionMask::roots (src/scan.rs:203-206), automated.
+    if "*" not in masked and not re.search(
+        r"\btable\s+[A-Za-z_]|\bnatural\b", masked, re.I
+    ):
+        referenced = tuple(
+            c
+            for c in ("timestamp", "labels", "line")
+            if re.search(rf"\b{c}\b", masked, re.I)
+        )
+        spec.columns = referenced or ("timestamp",)
+
     cands = _from_candidates(masked)
     if cands:
         spec.table = cands[0][0]
@@ -178,13 +199,18 @@ def extract_pushdown(sql: str) -> PushdownSpec:
             spec.exact_only = False
             return spec
 
-    if len(re.findall(r"\bselect\b", masked, re.I)) != 1:
+    if len(re.findall(r"\bselect\b", masked, re.I)) != 1 or re.search(
+        r"\btable\s+[A-Za-z_]", masked, re.I
+    ):
         # a subquery (scalar, IN, EXISTS, derived table) may read the
         # SAME registered loki table; like the set-op case above, the
         # single shared scan must then stay unpruned — matchers/time/
         # line extracted from the outer WHERE would narrow the inner
         # query's input and change results. Mirrors the LIMIT shape
-        # gate, now applied to EVERY push class.
+        # gate, now applied to EVERY push class. Spark's `TABLE ident`
+        # queryPrimary is a set-op branch with NO second SELECT keyword
+        # and NO second FROM (``... UNION ALL TABLE logs``), so the
+        # TABLE keyword is gated explicitly too.
         spec.exact_only = False
         return spec
 
@@ -207,21 +233,6 @@ def extract_pushdown(sql: str) -> PushdownSpec:
             limit_safe = "(" not in select_list and "," not in from_tail
         if limit_safe:
             spec.limit = int(m.group(1))
-
-    # projection: the scan only needs the schema columns the statement
-    # REFERENCES anywhere (select list, WHERE, GROUP BY, ...) — a superset
-    # of what the select list projects, which is exactly what makes the
-    # narrowing always-safe. `*` (outside literals) forces the full
-    # schema; a statement referencing no log column (SELECT COUNT(1))
-    # still needs one column to scan → cheapest (timestamp).
-    # ≙ O6 / ProjectionMask::roots (src/scan.rs:203-206), automated.
-    if "*" not in masked:
-        referenced = tuple(
-            c
-            for c in ("timestamp", "labels", "line")
-            if re.search(rf"\b{c}\b", masked, re.I)
-        )
-        spec.columns = referenced or ("timestamp",)
 
     wm = re.search(
         r"\bwhere\b(.*?)(?=\bgroup\s+by\b|\border\s+by\b|\blimit\b|;|$)",
@@ -274,14 +285,21 @@ def extract_pushdown(sql: str) -> PushdownSpec:
                 # deliberate delta: Loki label-regex matchers are FULLY
                 # ANCHORED (fullmatch) while Spark's RLIKE is a substring
                 # search, so the raw pattern the ref pushes would DROP
-                # partial-match streams. Wrapping as (?s).*(?:rx).* makes
-                # the selector exactly Spark's semantics on present labels
-                # (top-level ^/$ inside rx still anchor correctly: the
-                # wrapping .* then matches empty; (?s) lets the padding
-                # dots cross NEWLINES in label values — without it the
-                # store-side fullmatch could fail where Spark's substring
-                # RLIKE matches after a newline, a data-losing push).
-                spec.matchers.append((cm.group(1), op, f"(?s).*(?:{rx}).*"))
+                # partial-match streams. Wrapping as (?s:.*)(?:rx)(?s:.*)
+                # makes the selector exactly Spark's semantics on present
+                # labels (top-level ^ inside rx still anchors correctly:
+                # the wrapping .* then matches empty). The DOTALL flag is
+                # SCOPED to the padding dots — they must cross NEWLINES
+                # in label values (else the store-side fullmatch fails
+                # where Spark's substring RLIKE matches after a newline,
+                # a data-losing push), but a global (?s) prefix would
+                # leak into rx and make ITS dots cross newlines too,
+                # matching values Spark rejects — superset-wrong for =~
+                # (caught by the Spark re-check) and data-LOSING for !~
+                # (excluded streams never reach the re-check).
+                spec.matchers.append(
+                    (cm.group(1), op, f"(?s:.*)(?:{rx})(?s:.*)")
+                )
                 if op == "!~":
                     spec.exact_only = False  # absent-label superset (as !=)
             else:

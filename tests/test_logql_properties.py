@@ -180,7 +180,7 @@ def test_line_anchor_regex_matches_exactly_prefix_suffix(text, pad, end):
     ),
 )
 def test_regex_label_matcher_wrap_equals_spark_substring_search(value, rx):
-    """The pushed (?s).*(?:rx).* selector must FULLMATCH a label value
+    """The pushed (?s:.*)(?:rx)(?s:.*) selector must FULLMATCH a label value
     exactly when Spark's RLIKE substring search matches it — for every
     value, including multiline ones (the round-6 ADVICE data-loss case).
     Python re's dot/DOTALL semantics match RE2's here."""
@@ -222,8 +222,30 @@ def test_regex_label_matcher_blocks_java_only_syntax():
         with pytest.raises(ValueError):
             regex_label_matcher("app", rx)
     for rx in ("a.?b", "x[0-9]{2,3}", "^pre", "(ab|cd)", r"\p{L}+",
-               "foo`bar"):
+               r"\p{Lu}\p{Ll}+", r"a\*+", "(?i)abc", "foo`bar"):
         assert regex_label_matcher("app", rx).startswith('app=~"')
+
+
+def test_dotall_is_scoped_to_the_padding_dots():
+    """The wrap's DOTALL must apply ONLY to the padding .* — a global
+    (?s) prefix would leak into the user's pattern and make ITS dots
+    cross newlines, matching values Spark's RLIKE rejects (for a
+    negated matcher: silently dropping streams Spark keeps)."""
+    import re
+
+    from datafusion_loki_spark.sources.logql import regex_label_matcher
+
+    term = regex_label_matcher("app", "a.c")
+    quoted = term[len('app=~"') : -1]
+    pushed = quoted.replace("\\\\", "\x00").replace('\\"', '"').replace(
+        "\x00", "\\"
+    )
+    # padding crosses newlines: 'a.c' found after a newline still matches
+    assert re.fullmatch(pushed, "junk\nxxaxc\nmore")
+    # but the user's own dot must NOT cross a newline, exactly as in
+    # Spark: 'a\nc' is not a match for the pattern a.c
+    assert re.search("a.c", "a\nc") is None
+    assert re.fullmatch(pushed, "a\nc") is None
 
 
 def test_parse_label_options_is_quote_aware():
@@ -244,7 +266,7 @@ def test_parse_label_options_is_quote_aware():
     )
     terms = parse_label_options(joined)
     assert terms == [
-        'app=~"(?s).*(?:x[0-9]{2,3}).*"',
+        'app=~"(?s:.*)(?:x[0-9]{2,3})(?s:.*)"',
         'env="a,b"',
         'job!="we\\"ird, still one"',
     ]

@@ -398,7 +398,7 @@ def test_loki_table_tuple_matchers(spark, emulator):
     df.collect()
     assert (
         emulator.queries[-1]
-        == '{app=~"(?s).*(?:my-app[23]).*", env!="prod"}'
+        == '{app=~"(?s:.*)(?:my-app[23])(?s:.*)", env!="prod"}'
     )
 
     # equality tuples route through label_matcher (same as the dict form)

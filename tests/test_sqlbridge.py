@@ -197,7 +197,7 @@ def test_label_rlike_extracts_wrapped_matcher():
     spec = extract_pushdown(
         "SELECT line FROM logs WHERE labels['app'] RLIKE 'we.?' LIMIT 5"
     )
-    assert spec.matchers == [("app", "=~", "(?s).*(?:we.?).*")]
+    assert spec.matchers == [("app", "=~", "(?s:.*)(?:we.?)(?s:.*)")]
     assert spec.exact_only and spec.limit == 5
 
 
@@ -220,7 +220,7 @@ def test_label_not_rlike_pushes_but_blocks_limit():
     spec = extract_pushdown(
         "SELECT line FROM logs WHERE labels['app'] NOT RLIKE 'a.i'"
     )
-    assert spec.matchers == [("app", "!~", "(?s).*(?:a.i).*")]
+    assert spec.matchers == [("app", "!~", "(?s:.*)(?:a.i)(?s:.*)")]
     assert not spec.exact_only  # absent-label superset, as with !=
 
 
@@ -441,7 +441,7 @@ def test_loki_sql_label_rlike_pushes_selector(spark, emulator):
         "request error 500",
         "request ok",
     ]
-    assert emulator.queries[-1] == '{app=~"(?s).*(?:we).*"}'
+    assert emulator.queries[-1] == '{app=~"(?s:.*)(?:we)(?s:.*)"}'
 
 
 # Equivalence grid: for every WHERE shape the extractor can meet, the
@@ -650,3 +650,37 @@ def test_loki_sql_insert_select_wrong_arity_errors(spark):
             )
     finally:
         em.stop()
+
+
+def test_table_syntax_set_op_pushes_nothing():
+    # Spark's `TABLE ident` queryPrimary forms a set-op branch with no
+    # second SELECT keyword and no second FROM — it must trip the
+    # shared-scan gate all the same (round-7 review finding)
+    spec = extract_pushdown(
+        "SELECT line FROM logs WHERE labels['app'] = 'web' "
+        "UNION ALL TABLE logs"
+    )
+    assert spec.matchers == [] and not spec.exact_only
+    assert spec.limit is None
+
+
+def test_projection_survives_push_nothing_gates():
+    # referenced-column narrowing is a superset over EVERY branch and
+    # subquery, so the gates must not forfeit it
+    for sql in (
+        "SELECT line FROM logs UNION ALL "
+        "SELECT line FROM logs WHERE labels['app'] = 'web'",
+        "SELECT line FROM logs WHERE line IN "
+        "(SELECT labels['env'] FROM logs)",
+    ):
+        spec = extract_pushdown(sql)
+        assert spec.matchers == [], sql
+        assert spec.columns is not None and "line" in spec.columns, sql
+    # a TABLE branch (or NATURAL join) references columns IMPLICITLY —
+    # no narrowing is safe there, the full schema must survive
+    for sql in (
+        "SELECT line FROM logs WHERE labels['app'] = 'web' "
+        "UNION ALL TABLE logs",
+        "SELECT l.line FROM logs l NATURAL JOIN owners",
+    ):
+        assert extract_pushdown(sql).columns is None, sql

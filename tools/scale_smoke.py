@@ -44,8 +44,13 @@ SMOKE_QUERIES = [
     # ANN (broadcast-query scoring + trained index)
     "sim_topk_cosine",
     "sim_ivf_kmeans_topk",
-    # text corpus joins
+    # text corpus joins — all three are the tf-compressed window shapes
+    # (round 7); tfidf's x64 blow-up is what this harness exists to catch
     "text_tfidf_topk",
+    "text_token_commonness",
+    "text_bigram_lm",
+    # binary chunk near-dup — the engine's largest fixed cost
+    "mm_chunk_dedup",
 ]
 
 

@@ -496,6 +496,143 @@ def rollup_to_parquet(
     )
 
 
+DRIFT_HIST_BUCKETS = 20
+DRIFT_HIST_WIDTH = 25.0  # same grid as plans/logs.py::log_histogram_drift
+
+
+def _value_bucket() -> "F.Column":
+    return F.least(
+        F.greatest(F.floor(F.col("value") / DRIFT_HIST_WIDTH), F.lit(0)),
+        F.lit(DRIFT_HIST_BUCKETS - 1),
+    ).cast("bigint")
+
+
+def reference_histogram(events_batch: DataFrame) -> DataFrame:
+    """Static per-(event_type, bucket) baseline histogram — the
+    distribution the live stream is compared against (typically built
+    from a vetted historical slice; any batch events frame works)."""
+    return (
+        events_batch.select("event_type", _value_bucket().alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("c_ref"))
+    )
+
+
+def windowed_value_histogram(events: DataFrame) -> DataFrame:
+    """Streaming per-window value histogram: tumbling 1-hour
+    (event_type, bucket) counts with a 10-minute watermark — the
+    stream-side half of the drift monitor. One stateful aggregation on
+    a bounded (types × buckets) key per window."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("event_type"),
+            _value_bucket().alias("bucket"),
+        )
+        .agg(F.count("*").alias("c"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "bucket", "c")
+    )
+
+
+def histogram_divergence(hist: DataFrame, reference: DataFrame) -> DataFrame:
+    """Chi-square-family divergence of each (window, event_type)
+    histogram against the reference — the same Laplace-smoothed
+    (q−p)²/p form (and the same no-ln() determinism rationale) as the
+    batch ``log_histogram_drift``, with the REFERENCE as p. Buckets
+    absent from both sides contribute nothing; buckets present in
+    either side are smoothed on both. Pure batch logic, shared by the
+    foreachBatch sink and the batch-equivalence test.
+
+    Scale: the inputs are (windows × types × buckets) rollup rows —
+    everything here is post-collapse, reference rides a broadcast."""
+    wins = hist.select("window_start", "event_type").distinct()
+    ref_exp = wins.join(F.broadcast(reference), "event_type").select(
+        "window_start", "event_type", "bucket", "c_ref"
+    )
+    joined = (
+        hist.join(ref_exp, ["window_start", "event_type", "bucket"], "full_outer")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .withColumn("c_ref", F.coalesce("c_ref", F.lit(0)))
+    )
+    from pyspark.sql import Window
+
+    per = Window.partitionBy("window_start", "event_type")
+    b = DRIFT_HIST_BUCKETS
+    p = f"(cast(c_ref + 1 as double) / cast(n_ref + {b} as double))"
+    q = f"(cast(c + 1 as double) / cast(n_win + {b} as double))"
+    term = f"(({q} - {p}) * ({q} - {p}) / {p})"
+    return (
+        joined.withColumn("n_win", F.sum("c").over(per))
+        .withColumn("n_ref", F.sum("c_ref").over(per))
+        .withColumn("term", F.expr(term).cast("decimal(38,20)"))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("*").alias("n_buckets"),
+            F.sum("term").cast("double").alias("chi2"),
+        )
+    )
+
+
+def drift_stream(
+    windowed_hist: DataFrame,
+    reference: DataFrame,
+    sink: "dict[tuple, Any]",
+    checkpoint_dir: str,
+) -> "StreamingQuery":  # noqa: F821
+    """Maintain the per-(window, type) drift scores incrementally.
+
+    Update-mode emits only the (window, type, bucket) AGGREGATE ROWS a
+    micro-batch changed — an incomplete histogram slice for the group —
+    so the divergence cannot be computed from the batch alone (the
+    subtle wrongness this design avoids): foreachBatch upserts the
+    emitted bucket rows into the sink's bucket state, then recomputes
+    the divergence for exactly the TOUCHED (window, type) groups from
+    that accumulated state against the broadcast reference. Replayed
+    batches converge (both upserts are keyed, not additive). A window's
+    score is a live estimate until its watermark passes, then final;
+    the streaming state itself stays watermark-evicted (update mode,
+    not complete). Everything foreachBatch touches is rollup-scale:
+    (touched windows × types × buckets) rows, never the stream."""
+
+    buckets: dict[tuple, int] = {}
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()  # touched rollup rows only
+        if not rows:
+            return
+        touched = set()
+        for r in rows:
+            buckets[(r.window_start, r.event_type, r.bucket)] = r.c
+            touched.add((r.window_start, r.event_type))
+        spark = batch_df.sparkSession
+        hist = spark.createDataFrame(
+            [
+                (w, t, b, c)
+                for (w, t, b), c in buckets.items()
+                if (w, t) in touched
+            ],
+            "window_start timestamp, event_type string, bucket bigint,"
+            " c bigint",
+        )
+        for r in histogram_divergence(hist, reference).collect():
+            sink[(r.window_start, r.event_type)] = (
+                r.n_events,
+                r.n_buckets,
+                r.chi2,
+            )
+
+    return (
+        windowed_hist.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     table_name: str,

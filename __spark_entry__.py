@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT's #1 — they were registered after the r06 window was pinned),
 # then entries whose implementation CHANGED this round (their plans and
 # output must re-earn a driver row), then the stalest tail — the entries
-# whose last driver row is r04. The 10-entry r04 remainder rotates in r08;
+# whose last driver row is r04. The 11-entry r04 remainder rotates in r08;
 # everything outside the window stays covered by the local all-query
 # DuckDB parity suite (tests/test_parity.py). The structural guard that
 # late additions can never miss a window again is
@@ -62,6 +62,12 @@ _R07_NEVER_CHECKED = (
     "text_lang_confusion",
 )
 
+_R07_NEW = (
+    # registered during round 7 — the streaming drift monitor's batch
+    # twin (certifies drift_stream's chi-square math via DuckDB)
+    "log_window_drift",
+)
+
 _R07_CHANGED = (
     # ranking quantized to a 1e-9 grid on both sides (round-6 ADVICE)
     "sim_topk_pandas",
@@ -76,8 +82,9 @@ _R07_CHANGED = (
 )
 
 _R04_STALE = (
-    # last driver row r04; first 39 fit this window, the tail 10
-    # (q_conditional_agg .. q_window_rank_stats) rotate in r08
+    # last driver row r04; first 38 fit this window, the tail 11
+    # (q_set_ops_all, q_conditional_agg .. q_window_rank_stats) rotate
+    # in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -116,10 +123,9 @@ _R04_STALE = (
     "q_window_running_sum",
     "q_subquery_above_avg",
     "q_set_ops",
-    "q_set_ops_all",
 )
 
-_WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_CHANGED + _R04_STALE
+_WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE
 
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:

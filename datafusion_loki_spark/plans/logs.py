@@ -1673,6 +1673,121 @@ FROM pairs
 """
 
 
+def log_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour value-distribution drift against the full-corpus
+    reference histogram — the BATCH TWIN of the streaming monitor
+    (streaming/pipeline.py::drift_stream scores the same chi-square
+    form per finalized window in foreachBatch); driver-checking this
+    shape is what certifies the streaming op's math. Same smoothing,
+    bucket grid, and decimal-sum conventions as log_histogram_drift,
+    with the reference as p and each hour's histogram as q; buckets
+    live in the union of window∪reference support (full outer per
+    window, realized as reference-expansion + outer join).
+
+    100 TB posture: two passes collapse the stream to bounded rollups
+    (reference: types × buckets; windows: hours × types × buckets) with
+    map-side partials; everything downstream — the expansion join, the
+    window totals, the final agg — is rollup-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / HIST_WIDTH), F.lit(0)),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("bigint")
+    ref = (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("c_ref"))
+    )
+    hist = (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+            bucket.alias("bucket"),
+        )
+        .groupBy("window_start", "event_type", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    wins = hist.select("window_start", "event_type").distinct()
+    ref_exp = wins.join(F.broadcast(ref), "event_type").select(
+        "window_start", "event_type", "bucket", "c_ref"
+    )
+    joined = (
+        hist.join(
+            ref_exp, ["window_start", "event_type", "bucket"], "full_outer"
+        )
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .withColumn("c_ref", F.coalesce("c_ref", F.lit(0)))
+    )
+    from pyspark.sql import Window
+
+    per = Window.partitionBy("window_start", "event_type")
+    p = f"(cast(c_ref + 1 as double) / cast(n_ref + {HIST_BUCKETS} as double))"
+    q = f"(cast(c + 1 as double) / cast(n_win + {HIST_BUCKETS} as double))"
+    term = f"(({q} - {p}) * ({q} - {p}) / {p})"
+    return (
+        joined.withColumn("n_win", F.sum("c").over(per))
+        .withColumn("n_ref", F.sum("c_ref").over(per))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count("*").alias("n_buckets"),
+            F.sum(F.expr(f"cast({term} as decimal(38,20))"))
+            .cast("double")
+            .alias("chi2"),
+        )
+    )
+
+
+ORACLE_WINDOW_DRIFT = f"""
+WITH ev AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type,
+         CAST(least(greatest(floor(value / {HIST_WIDTH}), 0),
+                    {HIST_BUCKETS - 1}) AS BIGINT) AS bucket
+  FROM events
+), ref AS (
+  SELECT event_type, bucket, COUNT(*) AS c_ref FROM ev GROUP BY 1, 2
+), hist AS (
+  SELECT window_start, event_type, bucket, COUNT(*) AS c
+  FROM ev GROUP BY 1, 2, 3
+), wins AS (
+  SELECT DISTINCT window_start, event_type FROM hist
+), ref_exp AS (
+  SELECT w.window_start, w.event_type, r.bucket, r.c_ref
+  FROM wins w JOIN ref r USING (event_type)
+), j AS (
+  SELECT COALESCE(h.window_start, e.window_start) AS window_start,
+         COALESCE(h.event_type, e.event_type) AS event_type,
+         COALESCE(h.bucket, e.bucket) AS bucket,
+         COALESCE(h.c, 0) AS c, COALESCE(e.c_ref, 0) AS c_ref
+  FROM hist h FULL OUTER JOIN ref_exp e
+    ON h.window_start = e.window_start AND h.event_type = e.event_type
+   AND h.bucket = e.bucket
+), t AS (
+  SELECT window_start, event_type, c, c_ref,
+         SUM(c) OVER (PARTITION BY window_start, event_type) AS n_win,
+         SUM(c_ref) OVER (PARTITION BY window_start, event_type) AS n_ref
+  FROM j
+), terms AS (
+  SELECT window_start, event_type, c,
+         ((CAST(c + 1 AS DOUBLE) / CAST(n_win + {HIST_BUCKETS} AS DOUBLE))
+          - (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + {HIST_BUCKETS} AS DOUBLE)))
+         * ((CAST(c + 1 AS DOUBLE) / CAST(n_win + {HIST_BUCKETS} AS DOUBLE))
+          - (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + {HIST_BUCKETS} AS DOUBLE)))
+         / (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + {HIST_BUCKETS} AS DOUBLE))
+           AS term
+  FROM t
+)
+SELECT window_start, event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       COUNT(*) AS n_buckets,
+       CAST(CAST(SUM(CAST(CAST(term AS VARCHAR) AS DECIMAL(38,20)))
+                 AS VARCHAR) AS DOUBLE) AS chi2
+FROM terms GROUP BY 1, 2
+"""
+
+
+
 QUERIES = {
     "log_full_scan": log_full_scan,
     "log_approx_users": log_approx_users,
@@ -1715,10 +1830,12 @@ QUERIES = {
     "log_transition_matrix": log_transition_matrix,
     "log_spike_attribution": log_spike_attribution,
     "log_histogram_drift": log_histogram_drift,
+    "log_window_drift": log_window_drift,
 }
 
 ORACLES = {
     "log_histogram_drift": ORACLE_HISTOGRAM_DRIFT,
+    "log_window_drift": ORACLE_WINDOW_DRIFT,
     "log_spike_attribution": ORACLE_SPIKE_ATTRIBUTION,
     "log_burn_alerts": ORACLE_BURN_ALERTS,
     "log_transition_matrix": ORACLE_TRANSITION_MATRIX,

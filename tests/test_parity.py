@@ -45,22 +45,26 @@ def test_correctness_window_is_pinned():
     assert len(e._WINDOW_PRIORITY) == 50
     assert names[:50] == list(e._WINDOW_PRIORITY)
     # round-7 rotation: the six never-driver-checked late-r06 additions
-    # lead, then the five r07-changed entries, then 39 of the 49 entries
-    # whose last driver row is r04 (the 10-entry remainder rotates in r08)
-    lead = list(e._R07_NEVER_CHECKED) + list(e._R07_CHANGED)
+    # lead, then the round-7 registration, then the five r07-changed
+    # entries, then 38 of the 49 entries whose last driver row is r04
+    # (the 11-entry remainder rotates in r08)
+    lead = (list(e._R07_NEVER_CHECKED) + list(e._R07_NEW)
+            + list(e._R07_CHANGED))
     assert names[: len(lead)] == lead
     assert len(e._R07_NEVER_CHECKED) == 6
+    assert len(e._R07_NEW) == 1
     assert len(e._R07_CHANGED) == 5
-    assert len(e._R04_STALE) == 39
+    assert len(e._R04_STALE) == 38
     # no windowed entry may be oracle-less
     for n in e._WINDOW_PRIORITY:
         assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
     # the r08 carry-over: the r04-checked tail still outside the window
-    for n in ("q_conditional_agg", "q_having", "q_anti_semi_join",
-              "q_rollup", "q_cube", "q_percentiles", "q_window_lead_lag",
-              "q_pivot", "q_grouping_sets", "q_window_rank_stats"):
+    for n in ("q_set_ops_all", "q_conditional_agg", "q_having",
+              "q_anti_semi_join", "q_rollup", "q_cube", "q_percentiles",
+              "q_window_lead_lag", "q_pivot", "q_grouping_sets",
+              "q_window_rank_stats"):
         assert n in names[50:], n
-    assert len(names) == 152
+    assert len(names) == 153
 
 
 def test_unchecked_queries_lead_the_window():

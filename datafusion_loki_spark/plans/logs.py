@@ -1673,42 +1673,27 @@ FROM pairs
 """
 
 
-def log_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-hour value-distribution drift against the full-corpus
-    reference histogram — the BATCH TWIN of the streaming monitor
-    (streaming/pipeline.py::drift_stream scores the same chi-square
-    form per finalized window in foreachBatch); driver-checking this
-    shape is what certifies the streaming op's math. Same smoothing,
-    bucket grid, and decimal-sum conventions as log_histogram_drift,
-    with the reference as p and each hour's histogram as q; buckets
-    live in the union of window∪reference support (full outer per
-    window, realized as reference-expansion + outer join).
-
-    100 TB posture: two passes collapse the stream to bounded rollups
-    (reference: types × buckets; windows: hours × types × buckets) with
-    map-side partials; everything downstream — the expansion join, the
-    window totals, the final agg — is rollup-scale."""
-    ev = load_table(spark, sf_dir, "events")
-    bucket = F.least(
+def value_hist_bucket() -> "F.Column":
+    """The shared fixed-width value-bucket expression — ONE definition
+    for the batch drift ops AND the streaming monitor (the twin
+    relationship is only real while every consumer uses this grid)."""
+    return F.least(
         F.greatest(F.floor(F.col("value") / HIST_WIDTH), F.lit(0)),
         F.lit(HIST_BUCKETS - 1),
     ).cast("bigint")
-    ref = (
-        ev.select("event_type", bucket.alias("bucket"))
-        .groupBy("event_type", "bucket")
-        .agg(F.count("*").alias("c_ref"))
-    )
-    hist = (
-        ev.select(
-            F.date_trunc("hour", "ts").alias("window_start"),
-            "event_type",
-            bucket.alias("bucket"),
-        )
-        .groupBy("window_start", "event_type", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+
+
+def histogram_divergence(hist: DataFrame, reference: DataFrame) -> DataFrame:
+    """Chi-square-family divergence of each (window_start, event_type)
+    histogram against a (event_type, bucket, c_ref) reference — the
+    SINGLE implementation behind log_window_drift and the streaming
+    drift_stream (streaming/pipeline.py imports this; editing the
+    smoothing or grid here changes batch twin, stream, and oracle
+    expectations together). Laplace smoothing and decimal-exact term
+    summation follow log_histogram_drift, with the reference as p.
+    Pure rollup-scale batch logic; the reference rides a broadcast."""
     wins = hist.select("window_start", "event_type").distinct()
-    ref_exp = wins.join(F.broadcast(ref), "event_type").select(
+    ref_exp = wins.join(F.broadcast(reference), "event_type").select(
         "window_start", "event_type", "bucket", "c_ref"
     )
     joined = (
@@ -1736,6 +1721,40 @@ def log_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2"),
         )
     )
+
+
+def log_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour value-distribution drift against the full-corpus
+    reference histogram — the BATCH TWIN of the streaming monitor
+    (streaming/pipeline.py::drift_stream scores the same chi-square
+    form per finalized window in foreachBatch); driver-checking this
+    shape is what certifies the streaming op's math. Same smoothing,
+    bucket grid, and decimal-sum conventions as log_histogram_drift,
+    with the reference as p and each hour's histogram as q; buckets
+    live in the union of window∪reference support (full outer per
+    window, realized as reference-expansion + outer join).
+
+    100 TB posture: two passes collapse the stream to bounded rollups
+    (reference: types × buckets; windows: hours × types × buckets) with
+    map-side partials; everything downstream — the expansion join, the
+    window totals, the final agg — is rollup-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = value_hist_bucket()
+    ref = (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("c_ref"))
+    )
+    hist = (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+            bucket.alias("bucket"),
+        )
+        .groupBy("window_start", "event_type", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    return histogram_divergence(hist, ref)
 
 
 ORACLE_WINDOW_DRIFT = f"""

@@ -496,15 +496,13 @@ def rollup_to_parquet(
     )
 
 
-DRIFT_HIST_BUCKETS = 20
-DRIFT_HIST_WIDTH = 25.0  # same grid as plans/logs.py::log_histogram_drift
-
-
 def _value_bucket() -> "F.Column":
-    return F.least(
-        F.greatest(F.floor(F.col("value") / DRIFT_HIST_WIDTH), F.lit(0)),
-        F.lit(DRIFT_HIST_BUCKETS - 1),
-    ).cast("bigint")
+    # ONE grid definition shared with the batch drift ops — imported,
+    # not duplicated, so the batch twin (plans/logs.py::log_window_drift)
+    # certifies exactly the math this monitor runs
+    from datafusion_loki_spark.plans.logs import value_hist_bucket
+
+    return value_hist_bucket()
 
 
 def reference_histogram(events_batch: DataFrame) -> DataFrame:
@@ -537,43 +535,17 @@ def windowed_value_histogram(events: DataFrame) -> DataFrame:
 
 
 def histogram_divergence(hist: DataFrame, reference: DataFrame) -> DataFrame:
-    """Chi-square-family divergence of each (window, event_type)
-    histogram against the reference — the same Laplace-smoothed
-    (q−p)²/p form (and the same no-ln() determinism rationale) as the
-    batch ``log_histogram_drift``, with the REFERENCE as p. Buckets
-    absent from both sides contribute nothing; buckets present in
-    either side are smoothed on both. Pure batch logic, shared by the
-    foreachBatch sink and the batch-equivalence test.
+    """Shared scorer — the single implementation lives in
+    plans/logs.py::histogram_divergence (the batch twin certifies it
+    with a DuckDB oracle); re-exported here for the streaming sink."""
+    from datafusion_loki_spark.plans.logs import (
+        histogram_divergence as _shared,
+    )
 
-    Scale: the inputs are (windows × types × buckets) rollup rows —
-    everything here is post-collapse, reference rides a broadcast."""
-    wins = hist.select("window_start", "event_type").distinct()
-    ref_exp = wins.join(F.broadcast(reference), "event_type").select(
-        "window_start", "event_type", "bucket", "c_ref"
-    )
-    joined = (
-        hist.join(ref_exp, ["window_start", "event_type", "bucket"], "full_outer")
-        .withColumn("c", F.coalesce("c", F.lit(0)))
-        .withColumn("c_ref", F.coalesce("c_ref", F.lit(0)))
-    )
-    from pyspark.sql import Window
+    return _shared(hist, reference)
 
-    per = Window.partitionBy("window_start", "event_type")
-    b = DRIFT_HIST_BUCKETS
-    p = f"(cast(c_ref + 1 as double) / cast(n_ref + {b} as double))"
-    q = f"(cast(c + 1 as double) / cast(n_win + {b} as double))"
-    term = f"(({q} - {p}) * ({q} - {p}) / {p})"
-    return (
-        joined.withColumn("n_win", F.sum("c").over(per))
-        .withColumn("n_ref", F.sum("c_ref").over(per))
-        .withColumn("term", F.expr(term).cast("decimal(38,20)"))
-        .groupBy("window_start", "event_type")
-        .agg(
-            F.sum("c").alias("n_events"),
-            F.count("*").alias("n_buckets"),
-            F.sum("term").cast("double").alias("chi2"),
-        )
-    )
+
+DRIFT_RETENTION_WINDOWS = 48  # bucket-state horizon (hours of 1h windows)
 
 
 def drift_stream(
@@ -581,6 +553,7 @@ def drift_stream(
     reference: DataFrame,
     sink: "dict[tuple, Any]",
     checkpoint_dir: str,
+    bucket_state: "dict[tuple, int] | None" = None,
 ) -> "StreamingQuery":  # noqa: F821
     """Maintain the per-(window, type) drift scores incrementally.
 
@@ -588,16 +561,28 @@ def drift_stream(
     micro-batch changed — an incomplete histogram slice for the group —
     so the divergence cannot be computed from the batch alone (the
     subtle wrongness this design avoids): foreachBatch upserts the
-    emitted bucket rows into the sink's bucket state, then recomputes
-    the divergence for exactly the TOUCHED (window, type) groups from
-    that accumulated state against the broadcast reference. Replayed
+    emitted bucket rows into ``bucket_state``, then recomputes the
+    divergence for exactly the TOUCHED (window, type) groups from that
+    accumulated state against the reference (localCheckpoint-pinned
+    here, so its lineage is NOT re-executed per micro-batch). Replayed
     batches converge (both upserts are keyed, not additive). A window's
-    score is a live estimate until its watermark passes, then final;
-    the streaming state itself stays watermark-evicted (update mode,
-    not complete). Everything foreachBatch touches is rollup-scale:
-    (touched windows × types × buckets) rows, never the stream."""
+    score is a live estimate until its watermark passes, then final.
 
-    buckets: dict[tuple, int] = {}
+    State contract: the streaming aggregation state is watermark-
+    evicted natively; the driver-side ``bucket_state`` mirror is
+    bounded by DRIFT_RETENTION_WINDOWS — entries older than the newest
+    touched window minus the horizon are dropped after scoring (their
+    sink scores are final by then). RESTART RECOVERY: committed batches
+    are not re-emitted when resuming from an existing checkpoint, so a
+    caller restarting mid-stream must pass back the ``bucket_state``
+    (and ``sink``) persisted alongside the checkpoint — with a fresh
+    in-memory dict, only a from-scratch or full-replay drain (fresh
+    checkpoint, replayable source — what the tests do) is correct.
+    Everything foreachBatch touches is rollup-scale: (touched windows ×
+    types × buckets) rows, never the stream."""
+
+    buckets: dict[tuple, int] = bucket_state if bucket_state is not None else {}
+    reference = reference.localCheckpoint()
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         rows = batch_df.collect()  # touched rollup rows only
@@ -623,6 +608,15 @@ def drift_stream(
                 r.n_buckets,
                 r.chi2,
             )
+        # bound the driver-side mirror: windows older than the horizon
+        # can never be touched again (their scores are final)
+        import datetime as _dt
+
+        horizon = max(w for (w, _t) in touched) - _dt.timedelta(
+            hours=DRIFT_RETENTION_WINDOWS
+        )
+        for k in [k for k in buckets if k[0] < horizon]:
+            del buckets[k]
 
     return (
         windowed_hist.writeStream.outputMode("update")

@@ -774,20 +774,52 @@ def test_drift_stream_matches_batch_divergence(spark, sf_dir, tmp_path):
     # The streaming drift monitor (windowed histogram -> foreachBatch
     # divergence upsert) must converge to exactly the divergence a batch
     # computation of the same windows yields, and a replay drain must
-    # not change the sink (keyed upserts, not additive).
+    # not change the sink (keyed upserts, not additive). The source is
+    # split into 3 files streamed ONE PER MICRO-BATCH so (window, type)
+    # groups genuinely span batches — certifying the accumulate-then-
+    # rescore path (update mode emits only the CHANGED bucket rows, an
+    # incomplete histogram slice; scoring from the batch alone would
+    # pass a single-batch drain and be wrong here).
     from datafusion_loki_spark.catalog import load_table
 
-    batch_events = load_table(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+    batch_events = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
-    reference = pipeline.reference_histogram(batch_events).localCheckpoint()
+    reference = pipeline.reference_histogram(batch_events)
+
+    # split the stream into 3 TIME-ORDERED slices, one file each,
+    # written sequentially (file source processes oldest-first): windows
+    # straddling a slice boundary span micro-batches WITHOUT their rows
+    # arriving behind the watermark (a random split would make the
+    # stream pathologically out-of-order and the watermark would
+    # legitimately drop rows, diverging from the batch computation)
+    src = str(tmp_path / "evsrc")
+    lo, hi = batch_events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    import time as _time
+
+    cuts = [lo + (hi - lo) * i / 3 for i in (1, 2)]
+    slices = [
+        batch_events.where(F.col("ts") < F.lit(cuts[0])),
+        batch_events.where(
+            (F.col("ts") >= F.lit(cuts[0])) & (F.col("ts") < F.lit(cuts[1]))
+        ),
+        batch_events.where(F.col("ts") >= F.lit(cuts[1])),
+    ]
+    for sl in slices:
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mod-times -> deterministic order
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
 
     sink: dict = {}
     for ckpt in ("dck1", "dck2"):  # second run = replay of the source
         q = pipeline.drift_stream(
-            pipeline.windowed_value_histogram(
-                pipeline.events_file_stream(spark, sf_dir)
-            ),
+            pipeline.windowed_value_histogram(stream),
             reference,
             sink,
             str(tmp_path / ckpt),

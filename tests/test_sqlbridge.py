@@ -444,6 +444,24 @@ def test_loki_sql_label_rlike_pushes_selector(spark, emulator):
     assert emulator.queries[-1] == '{app=~"(?s:.*)(?:we)(?s:.*)"}'
 
 
+def test_loki_sql_comma_quantifier_survives_option_roundtrip(spark, emulator):
+    # the matcher travels extractor → "labels" option → quote-aware
+    # parse_label_options → selector; a naive comma split mangled the
+    # quantifier into two broken terms (round-7 review, verified live)
+    df = loki_sql(
+        spark,
+        "SELECT line FROM logs WHERE labels['app'] RLIKE 'we{1,2}b'",
+        emulator.endpoint,
+    )
+    assert sorted(r.line for r in df.collect()) == [
+        "request error 500",
+        "request ok",
+    ]
+    assert (
+        emulator.queries[-1] == '{app=~"(?s:.*)(?:we{1,2}b)(?s:.*)"}'
+    )
+
+
 # Equivalence grid: for every WHERE shape the extractor can meet, the
 # pushed path must return EXACTLY the rows of the unpushed full-scan path
 # — the "pushdown never changes results" contract, proven end-to-end.

@@ -27,7 +27,7 @@ re-evaluated by Spark, so we only consume what LogQL matches exactly).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import datetime, timedelta, timezone
 
 SECONDS_30_DAYS = 30 * 24 * 60 * 60
 
@@ -44,18 +44,35 @@ def thirty_days_before_now_ns() -> int:
     return current_timestamp_ns() - SECONDS_30_DAYS * 1_000_000_000
 
 
+_EPOCH_UTC = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def aware_datetime_to_ns(dt: datetime) -> int:
+    """tz-aware µs-precision datetime → ns epoch, EXACTLY. The float path
+    (``int(dt.timestamp() * 1e6) * 1000``) truncates 1 µs on ~1% of
+    values — float64 cannot represent most second×1e6 products, and
+    int() rounds the short ones DOWN (measured 2440/200000 mismatches) —
+    silently corrupting written timestamps and, on the read side,
+    cancelling the +1 µs end-bound widening that keeps boundary rows.
+    Integer timedelta arithmetic is exact at datetime's µs precision."""
+    return ((dt - _EPOCH_UTC) // timedelta(microseconds=1)) * 1_000
+
+
 def datetime_to_ns(dt: datetime) -> int:
     """µs-precision datetime → ns epoch (Spark timestamps are µs; Loki wants
     ns on the wire — SURVEY.md §7.4.1).
 
     Naive datetimes here come from Spark's TimestampType.fromInternal, which
     renders the instant as a HOST-LOCAL wall time (datetime.fromtimestamp) —
-    independent of spark.sql.session.timeZone. ``.timestamp()`` inverts
-    exactly that on any host tz; aware datetimes convert via their own
-    offset. (``replace(tzinfo=utc)`` — the old code — silently shifted
-    epochs on non-UTC hosts, shrinking pushed fetch windows to the wrong
-    interval.)"""
-    return int(dt.timestamp() * 1_000_000) * 1_000
+    independent of spark.sql.session.timeZone. ``.astimezone()`` attaches
+    the host tz (DST-aware), inverting exactly that; aware datetimes
+    convert via their own offset. (``replace(tzinfo=utc)`` — the old code —
+    silently shifted epochs on non-UTC hosts, shrinking pushed fetch
+    windows to the wrong interval.) The conversion itself is exact integer
+    arithmetic — see aware_datetime_to_ns for why the float path is not."""
+    if dt.tzinfo is None:
+        dt = dt.astimezone()
+    return aware_datetime_to_ns(dt)
 
 
 def _quote_label_value(value: str) -> str:

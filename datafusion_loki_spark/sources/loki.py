@@ -59,7 +59,10 @@ from datafusion_loki_spark.sources.schema import LOG_TABLE_SCHEMA
 
 
 def _parse_time_option(value: str | None) -> int | None:
-    """'2024-01-01 00:00:00' | ISO | epoch-ns int → epoch ns."""
+    """'2024-01-01 00:00:00' | ISO | epoch-ns int → epoch ns (naive
+    timestamps read as UTC; exact integer conversion — the float
+    ``.timestamp()`` path truncates 1 µs on ~1% of values, see
+    logql.aware_datetime_to_ns)."""
     if value is None or value == "":
         return None
     text = str(value).strip()
@@ -68,7 +71,7 @@ def _parse_time_option(value: str | None) -> int | None:
     dt = datetime.fromisoformat(text)
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1_000_000) * 1_000
+    return logql.aware_datetime_to_ns(dt)
 
 
 _ALL_COLUMNS = ("timestamp", "labels", "line")
@@ -96,6 +99,73 @@ class LokiRangePartition(InputPartition):
 
     start_ns: int
     end_ns: int
+
+
+def _ts_ns_ints(table):
+    """The page's timestamp column as raw ns int64. The wire contract is
+    ns — either TIMESTAMP(NANOS) or int64 nanos — but a store emitting
+    another timestamp unit is normalized rather than silently
+    reinterpreted: a µs column cast straight to int64 would make the
+    pager's `cur = max_ts` jump back to ~1970 and loop forever
+    re-emitting the same page."""
+    import pyarrow as pa
+
+    col = table.column("timestamp")
+    if pa.types.is_timestamp(col.type):
+        if col.type.unit != "ns":
+            col = col.cast(pa.timestamp("ns"))
+        return col.cast(pa.int64())
+    return col
+
+
+def _page_tables(endpoint, query, start_ns, end_ns, page_limit, columns=None):
+    """Yield pyarrow Tables covering [start_ns, end_ns) under the
+    withhold-max-timestamp paging protocol — the ONE implementation
+    shared by the batch reader and the streaming tail (a fix applied to
+    one copy used to silently diverge batch vs streaming semantics).
+
+    Each page asks for ``page_limit`` rows (direction=forward); a full
+    page means more data may remain, so rows carrying the page's maximum
+    timestamp are withheld (the server may have cut mid-timestamp) and
+    the next page restarts AT that timestamp, re-reading them in full —
+    no row lost, none duplicated. A full page at a single timestamp
+    (> page_limit rows in one ns) cannot make progress that way; it is
+    emitted as-is and the scan steps 1 ns past it — the one truncation
+    case left, flagged here rather than hit silently. Degenerate ranges
+    (end <= start) yield nothing without touching the store (real Loki
+    rejects an inverted query_range with HTTP 400)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if end_ns <= start_ns:
+        return
+    page_cols = None
+    if columns is not None:
+        page_cols = list(dict.fromkeys(list(columns) + ["timestamp"]))
+    cur = start_ns
+    while True:
+        body = loki_client.query_range(endpoint, query, cur, end_ns, page_limit)
+        if not body:
+            return
+        table = pq.ParquetFile(io.BytesIO(body)).read(columns=page_cols)
+        if table.num_rows == 0:
+            return
+        if table.num_rows < page_limit:
+            yield table  # final page
+            return
+        ts = _ts_ns_ints(table)
+        max_ts = pa.compute.max(ts).as_py()
+        min_ts = pa.compute.min(ts).as_py()
+        if max_ts == min_ts:
+            yield table  # degenerate full page at one ns: step past
+            cur = max_ts + 1
+        else:
+            yield table.filter(pa.compute.less(ts, pa.scalar(max_ts)))
+            cur = max_ts
+        if cur >= end_ns:
+            return
 
 
 class LokiDataSource(DataSource):
@@ -191,14 +261,18 @@ class LokiDataSourceReader(DataSourceReader):
         yield from result.unsupported
 
     def _time_range(self) -> tuple[int, int]:
-        """Filter bounds win over options; default = last 30 days
-        (≙ scan.rs:104-111, utils.rs:10-12)."""
-        start = self.pushed_start if self.pushed_start is not None else self.option_start
-        end = self.pushed_end if self.pushed_end is not None else self.option_end
-        if start is None:
-            start = logql.thirty_days_before_now_ns()
-        if end is None:
-            end = logql.current_timestamp_ns()
+        """Pushed filter bounds INTERSECT the option bounds (max of
+        starts, min of ends); default = last 30 days (≙ scan.rs:104-111,
+        utils.rs:10-12). Replacing instead of intersecting — the old
+        behavior — let ``loki_table(start=June).filter("ts > January")``
+        widen the window to January and return rows the option excludes:
+        adding a filter must never ADD rows."""
+        starts = [
+            s for s in (self.pushed_start, self.option_start) if s is not None
+        ]
+        ends = [e for e in (self.pushed_end, self.option_end) if e is not None]
+        start = max(starts) if starts else logql.thirty_days_before_now_ns()
+        end = min(ends) if ends else logql.current_timestamp_ns()
         return start, end
 
     def partitions(self):
@@ -210,7 +284,15 @@ class LokiDataSourceReader(DataSourceReader):
             return [LokiRangePartition(start, end)]
         step = (end - start) // n
         cuts = [start + i * step for i in range(n)] + [end]
-        return [LokiRangePartition(cuts[i], cuts[i + 1]) for i in range(n)]
+        # a range narrower than n produces step == 0 zero-width slices —
+        # each would be an end == start request real Loki rejects; drop
+        # them (their rows belong to the surviving wider slice)
+        parts = [
+            LokiRangePartition(cuts[i], cuts[i + 1])
+            for i in range(n)
+            if cuts[i + 1] > cuts[i]
+        ]
+        return parts or [LokiRangePartition(start, end)]
 
     def _convert_batch(self, batch):
         """Project + convert one Arrow batch to the Spark-facing schema.
@@ -234,17 +316,6 @@ class LokiDataSourceReader(DataSourceReader):
             arrays.append(col)
         return pa.RecordBatch.from_arrays(arrays, names=list(self.columns))
 
-    @staticmethod
-    def _ts_ns_ints(table):
-        """The page's timestamp column as raw ns int64 (either physical
-        encoding — TIMESTAMP(NANOS) or int64 nanos)."""
-        import pyarrow as pa
-
-        col = table.column("timestamp")
-        if pa.types.is_timestamp(col.type):
-            return col.cast(pa.int64())
-        return col
-
     def read(self, partition: LokiRangePartition):
         """Executor-side: bounded range queries → Arrow batches
         (≙ LokiLogScanExec::execute + fetch_log_stream, scan.rs:90-216).
@@ -257,72 +328,77 @@ class LokiDataSourceReader(DataSourceReader):
         means more data may remain, so rows carrying the page's maximum
         timestamp are withheld (the server may have cut mid-timestamp)
         and the next page restarts AT that timestamp, re-reading them in
-        full — no row lost, none duplicated. A full page at a single
-        timestamp (> page_limit rows in one ns) cannot make progress
-        that way; it is emitted as-is and the scan steps 1 ns past it —
-        the one truncation case left, flagged loudly in the docstring
-        rather than hit silently. With a user `limit` the single-request
-        contract stands (the store's first-n IS the answer)."""
+        full — no row lost, none duplicated (the protocol lives in the
+        module-level _page_tables, shared with the streaming tail). With
+        a user `limit`, the scan ALSO pages: a single request carrying
+        limit > max_entries_limit_per_query is an HTTP 400 on real Loki
+        (the emulator is more permissive), so each page asks for
+        min(page_limit, remaining) and the forward-ordered pages
+        accumulate exactly the first `limit` rows."""
         import io
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if partition.end_ns <= partition.start_ns:
+            return
         query = logql.build_logql(
             self.label_matchers,
             self.option_line_filters + self.line_filters,
             self.default_label,
         )
         if self.limit is not None:
-            body = loki_client.query_range(
-                self.endpoint, query, partition.start_ns, partition.end_ns,
-                self.limit,
-            )
-            if not body:
-                return
-            reader = pq.ParquetFile(io.BytesIO(body))
-            # Stream in bounded batches like the reference's 4096-row
-            # decode (scan.rs:209); arrow slices are zero-copy.
-            for batch in reader.iter_batches(
-                batch_size=4096, columns=list(self.columns)
-            ):
-                yield self._convert_batch(batch)
+            remaining = self.limit
+            cur = partition.start_ns
+            page_cols = list(dict.fromkeys(list(self.columns) + ["timestamp"]))
+            while remaining > 0:
+                ask = min(self.page_limit, remaining)
+                body = loki_client.query_range(
+                    self.endpoint, query, cur, partition.end_ns, ask
+                )
+                if not body:
+                    return
+                table = pq.ParquetFile(io.BytesIO(body)).read(columns=page_cols)
+                if table.num_rows == 0:
+                    return
+                if table.num_rows < ask or ask < self.page_limit:
+                    # store exhausted, or a full page of exactly the
+                    # remaining rows — either way this finishes the scan
+                    emit = table
+                    remaining = 0
+                else:
+                    # ask == page_limit <= remaining: boundary protocol
+                    ts = _ts_ns_ints(table)
+                    max_ts = pa.compute.max(ts).as_py()
+                    if max_ts == pa.compute.min(ts).as_py():
+                        emit = table
+                        cur = max_ts + 1
+                    else:
+                        emit = table.filter(
+                            pa.compute.less(ts, pa.scalar(max_ts))
+                        )
+                        cur = max_ts
+                    remaining -= emit.num_rows
+                for batch in emit.select(list(self.columns)).to_batches(
+                    max_chunksize=4096
+                ):
+                    yield self._convert_batch(batch)
+                if cur >= partition.end_ns:
+                    return
             return
 
-        cur = partition.start_ns
-        while True:
-            body = loki_client.query_range(
-                self.endpoint, query, cur, partition.end_ns, self.page_limit
-            )
-            if not body:
-                return
-            # decode the projected columns + timestamp (needed for the
-            # page-boundary arithmetic even when not projected)
-            page_cols = list(
-                dict.fromkeys(list(self.columns) + ["timestamp"])
-            )
-            table = pq.ParquetFile(io.BytesIO(body)).read(columns=page_cols)
-            if table.num_rows == 0:
-                return
-            if table.num_rows < self.page_limit:
-                emit = table  # final page
-            else:
-                ts = self._ts_ns_ints(table)
-                max_ts = pa.compute.max(ts).as_py()
-                min_ts = pa.compute.min(ts).as_py()
-                if max_ts == min_ts:
-                    # degenerate full page at one ns: emit and step past
-                    emit = table
-                    cur = max_ts + 1
-                else:
-                    emit = table.filter(pa.compute.less(ts, pa.scalar(max_ts)))
-                    cur = max_ts
-            for batch in emit.select(list(self.columns)).to_batches(
+        for table in _page_tables(
+            self.endpoint,
+            query,
+            partition.start_ns,
+            partition.end_ns,
+            self.page_limit,
+            self.columns,
+        ):
+            for batch in table.select(list(self.columns)).to_batches(
                 max_chunksize=4096
             ):
                 yield self._convert_batch(batch)
-            if table.num_rows < self.page_limit or cur >= partition.end_ns:
-                return
 
 
 @dataclass
@@ -377,8 +453,11 @@ class LokiDataSourceWriter(DataSourceWriter):
                     "loki writer requires non-null (timestamp, labels, line)"
                 )
             # naive ts = host-local wall time (TimestampType.fromInternal);
-            # .timestamp() inverts that exactly — see logql.datetime_to_ns
-            ns = int(ts.timestamp() * 1_000_000) * 1_000
+            # datetime_to_ns inverts that with EXACT integer arithmetic —
+            # the float .timestamp() path wrote a 1 µs-short timestamp
+            # for ~1% of rows, so round-trip reads returned different
+            # timestamps than were written
+            ns = logql.datetime_to_ns(ts)
             stream_labels = dict(labels)
             value = [str(ns), line]
             if streams and streams[-1]["stream"] == stream_labels:
@@ -448,56 +527,29 @@ class LokiStreamReader(SimpleDataSourceStreamReader):
             rows.append((ts, labels_map, line))
         return rows
 
-    def _fetch(self, start_ns: int, end_ns: int):
-        """Page forward through [start_ns, end_ns) — a micro-batch that
-        accumulated more rows than the server's per-request cap must not
-        silently truncate (same boundary rule as the batch reader: a full
-        page withholds its max-timestamp rows and the next page restarts
-        AT that timestamp)."""
-        import io
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
+    def _fetch(self, start_ns: int, end_ns: int) -> list:
+        """Page forward through [start_ns, end_ns) via the shared
+        withhold-max-timestamp pager (_page_tables — ONE implementation
+        for batch and streaming). The whole micro-batch IS materialized
+        on the driver: SimpleDataSourceStreamReader prefetches and
+        PICKLES the returned rows to the JVM (a generator fails with
+        "cannot pickle 'generator' object"), so driver-side batching is
+        inherent to the simple-reader API — bound the backlog with a
+        recent `start` option; a deep-backlog tail belongs on the
+        partition-planning DataSourceStreamReader API."""
         query = logql.build_logql(
             self.label_matchers, self.option_line_filters, self.default_label
         )
         out: list = []
-        cur = start_ns
-        while True:
-            body = loki_client.query_range(
-                self.endpoint, query, cur, end_ns, self.page_limit
-            )
-            if not body:
-                return out
-            table = pq.read_table(io.BytesIO(body))
-            if table.num_rows == 0:
-                return out
-            if table.num_rows < self.page_limit:
-                out.extend(self._rows(table))
-                return out
-            ts = table.column("timestamp")
-            ts_int = (
-                ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type) else ts
-            )
-            max_ts = pa.compute.max(ts_int).as_py()
-            if max_ts == pa.compute.min(ts_int).as_py():
-                out.extend(self._rows(table))  # degenerate single-ns page
-                cur = max_ts + 1
-            else:
-                out.extend(
-                    self._rows(
-                        table.filter(pa.compute.less(ts_int, pa.scalar(max_ts)))
-                    )
-                )
-                cur = max_ts
-            if cur >= end_ns:
-                return out
+        for table in _page_tables(
+            self.endpoint, query, start_ns, end_ns, self.page_limit
+        ):
+            out.extend(self._rows(table))
+        return out
 
     def read(self, start: dict):
         end_ns = logql.current_timestamp_ns()
-        rows = self._fetch(start["ns"], end_ns)
-        return iter(rows), {"ns": end_ns}
+        return iter(self._fetch(start["ns"], end_ns)), {"ns": end_ns}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # deterministic replay for recovery

@@ -30,9 +30,11 @@ LOG_TABLE_SCHEMA = StructType(
     ]
 )
 
-# Arrow twin used by the reader (read() yields pyarrow batches) and by the
-# test emulator's parquet responses. Entry layout mirrors table.rs:21-27
-# (struct<key,value>, keys non-null).
+# Arrow twin of the batches read() YIELDS (post-conversion: timestamps
+# already narrowed ns→µs for Spark). The WIRE carries ns — the emulator's
+# parquet responses use TIMESTAMP(NANOS), and _ts_ns_ints normalizes any
+# other unit. Entry layout mirrors table.rs:21-27 (struct<key,value>,
+# keys non-null).
 ARROW_LOG_SCHEMA = pa.schema(
     [
         pa.field("timestamp", pa.timestamp("us"), nullable=False),

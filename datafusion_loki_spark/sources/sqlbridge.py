@@ -147,13 +147,17 @@ class PushdownSpec:
 
 
 def _iso_ns(lit: str) -> int | None:
+    from datafusion_loki_spark.sources.logql import aware_datetime_to_ns
+
     try:
         dt = datetime.fromisoformat(lit)
     except ValueError:
         return None
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1_000_000) * 1_000
+    # exact integer conversion: the float .timestamp() path truncated
+    # 1 µs on ~1% of values, exactly cancelling the <= end-widening
+    return aware_datetime_to_ns(dt)
 
 
 def extract_pushdown(sql: str) -> PushdownSpec:

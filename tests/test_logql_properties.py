@@ -270,3 +270,20 @@ def test_parse_label_options_is_quote_aware():
         'env="a,b"',
         'job!="we\\"ird, still one"',
     ]
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.integers(min_value=0, max_value=2_000_000_000_000_000))
+def test_aware_datetime_to_ns_is_exact(us):
+    """Exact integer µs→ns for every representable datetime — the float
+    .timestamp() path truncates 1 µs on ~1% of values (round-7 review,
+    measured ~2.5k/200k), corrupting written timestamps and cancelling
+    the <= end-bound widening on reads."""
+    from datetime import datetime, timedelta, timezone
+
+    from datafusion_loki_spark.sources.logql import aware_datetime_to_ns
+
+    dt = datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(
+        microseconds=us
+    )
+    assert aware_datetime_to_ns(dt) == us * 1_000

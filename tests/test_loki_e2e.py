@@ -525,9 +525,12 @@ def test_pagination_no_dup_no_loss_at_timestamp_cut(spark):
         em.stop()
 
 
-def test_user_limit_stays_single_request(spark):
-    # With an explicit limit the store's first-n IS the answer — exactly
-    # one request, no paging.
+def test_user_limit_pages_below_server_cap(spark):
+    # A user limit LARGER than the per-request cap must not be sent
+    # verbatim — real Loki rejects limit > max_entries_limit_per_query
+    # with HTTP 400 (the emulator is more permissive). The scan pages
+    # with min(page_limit, remaining) and accumulates exactly the FIRST
+    # `limit` rows in forward order.
     em = LokiEmulator().start()
     try:
         base = _now_minus(30)
@@ -543,8 +546,25 @@ def test_user_limit_stays_single_request(spark):
             .option("page_limit", "3")
             .load()
         )
-        assert df.count() == 4
-        assert len(em.params) == 1 and em.params[0]["limit"] == "4"
+        rows = df.collect()
+        # the first 4 rows in forward order, exactly
+        assert sorted(r.line for r in rows) == ["l0", "l1", "l2", "l3"]
+        # no request ever asked for more than the page cap
+        assert em.params and all(
+            int(p["limit"]) <= 3 for p in em.params
+        ), em.params
+        # and a limit BELOW the cap is still a single request
+        em.params.clear()
+        df2 = (
+            spark.read.format("loki")
+            .option("endpoint", em.endpoint)
+            .option("default_label", "app")
+            .option("limit", "2")
+            .option("page_limit", "3")
+            .load()
+        )
+        assert df2.count() == 2
+        assert len(em.params) == 1 and em.params[0]["limit"] == "2"
     finally:
         em.stop()
 
@@ -575,5 +595,105 @@ def test_partitioned_scan_pages_within_each_slice(spark):
         assert lines == [f"s{i:02d}" for i in range(18)]
         # multiple range requests happened (3 slices × several pages)
         assert len(em.params) > 3
+    finally:
+        em.stop()
+
+
+def test_filter_bounds_intersect_option_bounds(spark):
+    # Pushed filter bounds must INTERSECT the option window, never widen
+    # it: adding a filter can only remove rows (round-7 review — the old
+    # replace-semantics let .filter("ts > January") override start=June
+    # and return MORE rows than no filter at all).
+    em = LokiEmulator().start()
+    try:
+        base = _now_minus(30)
+        later = base + 1000 * NS
+        em.seed(
+            [(base + i * NS, {"app": "one"}, f"old{i}") for i in range(3)]
+            + [(later + i * NS, {"app": "one"}, f"new{i}") for i in range(3)]
+        )
+        register_loki(spark)
+        import datetime as dt
+
+        base_iso = dt.datetime.fromtimestamp(
+            (base - NS) / 1e9, tz=dt.timezone.utc
+        ).isoformat()
+        rdr = (
+            spark.read.format("loki")
+            .option("endpoint", em.endpoint)
+            .option("default_label", "app")
+            .option("start", str(later))  # epoch-ns: exact, no float hop
+        )
+        unfiltered = rdr.load().count()
+        assert unfiltered == 3  # option window sees only the new rows
+        filtered = (
+            rdr.load()
+            .filter(f"timestamp > timestamp'{base_iso}'")
+            .count()
+        )
+        # the filter is satisfied by all 6 rows, but the option start
+        # still bounds the scan — a filter may never ADD rows
+        assert filtered == 3
+    finally:
+        em.stop()
+
+
+def test_degenerate_range_returns_empty_without_requests(spark):
+    # end <= start must yield zero rows WITHOUT issuing a query_range —
+    # real Loki rejects inverted windows with HTTP 400.
+    em = LokiEmulator().start()
+    try:
+        base = _now_minus(30)
+        em.seed([(base, {"app": "one"}, "x")])
+        register_loki(spark)
+        df = (
+            spark.read.format("loki")
+            .option("endpoint", em.endpoint)
+            .option("default_label", "app")
+            .option("start", str(base + 10 * NS))
+            .option("end", str(base))
+            .load()
+        )
+        assert df.count() == 0
+        assert em.params == []  # no HTTP round-trip for an empty window
+    finally:
+        em.stop()
+
+
+def test_write_roundtrip_exact_microseconds(spark):
+    # A timestamp whose seconds*1e6 product is not float-representable
+    # used to be written 1 us short (int(ts.timestamp()*1e6) truncation);
+    # the writer must store the EXACT ns for every microsecond value.
+    em = LokiEmulator().start()
+    try:
+        register_loki(spark)
+        # find microsecond values where the float path truncates
+        from datetime import datetime as dtc, timedelta, timezone as tzc
+
+        import random
+
+        epoch = dtc(1970, 1, 1, tzinfo=tzc.utc)
+        rng = random.Random(7)  # deterministic; ~1% of values truncate
+        bad_us = []
+        while len(bad_us) < 3:
+            us = rng.randrange(0, 2_000_000_000_000_000)
+            d = epoch + timedelta(microseconds=us)
+            if int(d.timestamp() * 1_000_000) != us:
+                bad_us.append(us)
+        rows = [
+            (
+                (epoch + timedelta(microseconds=u)).astimezone().replace(tzinfo=None),
+                {"app": "exact"},
+                f"row-{u}",
+            )
+            for u in bad_us
+        ]
+        df = spark.createDataFrame(rows, schema=LOG_TABLE_SCHEMA)
+        df.write.format("loki").mode("append").option(
+            "endpoint", em.endpoint
+        ).save()
+        stored = {line: ns for ns, _labels, line in em.rows}
+        for u in bad_us:
+            assert stored[f"row-{u}"] == u * 1_000, (u, stored[f"row-{u}"])
     finally:
         em.stop()

@@ -66,6 +66,10 @@ _R07_NEW = (
     # registered during round 7 — the streaming drift monitor's batch
     # twin (certifies drift_stream's chi-square math via DuckDB)
     "log_window_drift",
+    # substring-level (W-token span) duplication audit, arXiv:2107.06499
+    "dedup_repeated_ngrams",
+    # raw-corpus CUBE data card (complement of corpus_build_manifest)
+    "corpus_data_card",
 )
 
 _R07_CHANGED = (
@@ -82,9 +86,9 @@ _R07_CHANGED = (
 )
 
 _R04_STALE = (
-    # last driver row r04; first 38 fit this window, the tail 11
-    # (q_set_ops_all, q_conditional_agg .. q_window_rank_stats) rotate
-    # in r08
+    # last driver row r04; the first 36 fit this window, the tail 13
+    # (q_subquery_above_avg, q_set_ops, q_set_ops_all, q_conditional_agg
+    # .. q_window_rank_stats) rotate in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -121,8 +125,6 @@ _R04_STALE = (
     "q10_returned_items",
     "q_window_top_orders",
     "q_window_running_sum",
-    "q_subquery_above_avg",
-    "q_set_ops",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

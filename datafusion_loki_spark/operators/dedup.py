@@ -1513,3 +1513,125 @@ ORACLES["dedup_pipeline_funnel"] = _oracle_pipeline_funnel(
 )
 QUERIES["dedup_cross_source_overlap"] = dedup_cross_source_overlap
 ORACLES["dedup_cross_source_overlap"] = _oracle_cross_source_overlap()
+
+
+# --- substring-level (span) dedup -------------------------------------------
+
+SPAN_W = 6             # tokens per span for repeated-span detection
+
+# Distinct md5-hashed W-token spans of a doc. Same projection-barrier
+# discipline as _SHINGLES_FROM_TOKS: `toks` is a materialized column with
+# >=2 non-lambda references (the two size() calls), so CollapseProject
+# keeps the tokenizer chain evaluated once; the lambda's slice/concat_ws
+# read the cheap column reference. Docs shorter than SPAN_W contribute no
+# spans (sequence(1, n) with n <= 0 would count DOWN in Spark — the guard
+# is load-bearing, not cosmetic).
+_SPANS_FROM_TOKS = (
+    f"array_distinct(if(size(toks) >= {SPAN_W}, "
+    f"transform(sequence(1, size(toks) - {SPAN_W - 1}), "
+    f"i -> md5(concat_ws(' ', slice(toks, i, {SPAN_W})))), "
+    "cast(array() as array<string>)))"
+)
+
+
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-LEVEL duplication audit (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    exact SPAN_W-token spans occurring in >= 2 distinct documents mark
+    memorization-risk boilerplate that document-level dedup cannot see —
+    two documents only 30% similar overall still share verbatim license
+    headers, navigation chrome, quoted passages. Emits one row per
+    AFFECTED document: its distinct-span total, how many of those spans
+    also appear elsewhere, the widest spread any of its spans has, and
+    the duplicated fraction.
+
+    Shape: per-doc DISTINCT span hashes (explode_outer so
+    InferFiltersFromGenerate cannot clone the tokenizer chain into a
+    scan filter; the null row from span-less docs dies on the cheap
+    generator-output isNotNull) -> groupBy(span) count -> inner join
+    back -> groupBy(doc).
+
+    100 TB posture: the span census is a groupBy with MAP-SIDE PARTIAL
+    aggregation, deliberately NOT a count-over-window — the web's
+    pathology is a handful of spans present in millions of documents
+    (boilerplate), and a window partitioned by span puts every copy of a
+    hot span in one task, while the partial agg compresses it to one row
+    per upstream task before the shuffle. The join back is span-scale on
+    a uniform md5 key; at runtime AQE broadcasts the post-HAVING census
+    when it is small and skew-splits the rare hot span when it is not.
+    The census branch and the join branch each re-derive the span frame
+    from the scan (two tokenize passes — visible as two split() chains
+    in the plan): Spark has no cross-branch subtree reuse, and
+    materializing the token-scale gram frame to dodge one CPU-bound
+    scan pass would cost a corpus-sized write — lineage recompute is
+    the cheaper side of that trade at every scale (the localCheckpoint
+    rule in PLANS.md is for SMALL multiply-consumed frames). Nothing
+    collects, nothing is quadratic: O(tokens) rows through two
+    shuffles. dup_frac is a single IEEE division of two exact ints —
+    bit-identical across engines, no summation-order hazard."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    )
+    spans = toks.select(
+        "doc_id", F.expr(_SPANS_FROM_TOKS).alias("spans")
+    )
+    grams = (
+        spans.select(
+            "doc_id",
+            F.expr("size(spans)").alias("n_spans"),
+            F.explode_outer("spans").alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    # spans are distinct per doc, so count(*) per span == distinct-doc count
+    census = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("n_docs_span"))
+        .where(F.col("n_docs_span") >= 2)
+    )
+    return (
+        grams.join(census, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_spans").alias("n_spans"),
+            F.count("*").alias("n_dup_spans"),
+            F.max("n_docs_span").alias("max_span_spread"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_spans") / F.col("n_spans").cast("double"),
+        )
+    )
+
+
+ORACLE_REPEATED_NGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {SPAN_W} THEN
+           list_transform(generate_series(1, len(t) - {SPAN_W - 1}),
+             i -> md5(array_to_string(t[i:i+{SPAN_W - 1}], ' ')))
+           ELSE [] END) AS gs
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, len(gs) AS n_spans, unnest(gs) AS g FROM spans
+),
+census AS (
+  SELECT g, COUNT(*) AS n_docs_span FROM grams
+  GROUP BY g HAVING COUNT(*) >= 2
+)
+SELECT doc_id,
+       MAX(n_spans) AS n_spans,
+       COUNT(*) AS n_dup_spans,
+       MAX(n_docs_span) AS max_span_spread,
+       COUNT(*) / CAST(MAX(n_spans) AS DOUBLE) AS dup_frac
+FROM grams JOIN census USING (g)
+GROUP BY doc_id
+"""
+
+QUERIES["dedup_repeated_ngrams"] = dedup_repeated_ngrams
+ORACLES["dedup_repeated_ngrams"] = ORACLE_REPEATED_NGRAMS

@@ -715,3 +715,61 @@ ORACLES = {
     "sample_docs_importance": ORACLE_SAMPLE_IMPORTANCE,
     "corpus_build_manifest": _oracle_corpus_manifest(),
 }
+
+
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAW-corpus data card: composition marginals every dataset
+    release ships (what you HAVE, before any gate — the complement of
+    corpus_build_manifest, which rolls up what you SHIP). One row per
+    CUBE(source, lang) cell — both marginals and the grand total — with
+    document count, exact token total, how many docs clear the quality
+    gate, and the char-length envelope.
+
+    100 TB posture: the stats side is one scan-speed projection (the
+    shared-toks barrier in text_stats caps the tokenizer at one run per
+    row); the doc_id join is a uniform-key co-partitionable join; CUBE
+    over a (sources × langs) vocabulary multiplies the SHUFFLE key space
+    by 4, not the data — partial aggregation compresses each task to
+    |cells| rows before the exchange. Every aggregate is exact-int
+    (count/sum/min/max): no float summation order anywhere."""
+    from datafusion_loki_spark.operators.text import quality_scored, text_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    scored = quality_scored(text_stats(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    return (
+        docs.join(scored, "doc_id")
+        .cube("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.count(F.when(F.col("quality_score") >= 70, 1)).alias(
+                "n_quality_docs"
+            ),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def _oracle_data_card() -> str:
+    from datafusion_loki_spark.operators.text import ORACLE_QUALITY_SCORED
+
+    return f"""
+SELECT d.source, d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) FILTER (WHERE s.quality_score >= 70) AS BIGINT)
+         AS n_quality_docs,
+       MIN(d.n_chars) AS min_chars,
+       MAX(d.n_chars) AS max_chars
+FROM documents d JOIN ({ORACLE_QUALITY_SCORED}) s USING (doc_id)
+GROUP BY CUBE (d.source, d.lang)
+"""
+
+
+QUERIES["corpus_data_card"] = corpus_data_card
+ORACLES["corpus_data_card"] = _oracle_data_card()

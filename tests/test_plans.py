@@ -789,3 +789,28 @@ def test_pagerank_rounds_reuse_materialized_edges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_pagerank_dups")
     assert "Scan ExistingRDD" in plan, plan
     assert "FileScan parquet" not in plan, plan
+
+
+def test_repeated_ngrams_census_has_partial_agg(spark, sf_dir):
+    # The span census must be a groupBy (map-side partial aggregation
+    # compresses boilerplate hot spans to one row per task BEFORE the
+    # shuffle), never a count-over-window that would pool every copy of a
+    # hot span into a single task. Exactly two tokenize chains — one per
+    # consumer branch (census + join-back); lineage recompute is the
+    # documented trade — and no inferred-filter clone beyond those.
+    plan = _plan(spark, sf_dir, "dedup_repeated_ngrams")
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+    s = _optimized(spark, sf_dir, "dedup_repeated_ngrams")
+    assert s.count("split(") == 2, f"split() x{s.count('split(')}:\n{s}"
+
+
+def test_data_card_single_expand_and_tokenize(spark, sf_dir):
+    # CUBE(source, lang) must be ONE Expand feeding one aggregation (the
+    # key-space x4, not the data x4), and the stats side keeps the
+    # shared-toks barrier: one tokenizing split() in the whole plan.
+    plan = _plan(spark, sf_dir, "corpus_data_card")
+    assert plan.count("Expand") >= 1, plan
+    s = _optimized(spark, sf_dir, "corpus_data_card")
+    assert s.count("Expand") == 1, s
+    assert s.count("split(") <= 2, f"split() x{s.count('split(')}:\n{s}"

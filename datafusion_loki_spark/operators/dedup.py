@@ -1556,9 +1556,17 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathology is a handful of spans present in millions of documents
     (boilerplate), and a window partitioned by span puts every copy of a
     hot span in one task, while the partial agg compresses it to one row
-    per upstream task before the shuffle. The join back is span-scale on
-    a uniform md5 key; at runtime AQE broadcasts the post-HAVING census
-    when it is small and skew-splits the rare hot span when it is not.
+    per upstream task before the shuffle. The join back is PINNED to a
+    sort-merge on the uniform md5 key (census.hint("merge")): the static
+    size estimate under the exploded gram frame is so far below reality
+    that Catalyst otherwise BROADCASTS the token-scale grams side — a
+    driver OOM at any real scale, and measured 2× slower than the merge
+    join already at x64 of sf0.1 (25.4 s → 13.9 s). Merge over
+    shuffled-hash because the census itself is unbounded on
+    boilerplate-heavy corpora (billions of repeated spans on the real
+    web) and SMJ spills gracefully where a per-partition hash build does
+    not; the census branch's aggregation output is already partitioned
+    on g, so the hint adds no exchange, and AQE skew-splits a hot span.
     The census branch and the join branch each re-derive the span frame
     from the scan (two tokenize passes — visible as two split() chains
     in the plan): Spark has no cross-branch subtree reuse, and
@@ -1591,7 +1599,7 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs_span") >= 2)
     )
     return (
-        grams.join(census, "g")
+        grams.join(census.hint("merge"), "g")
         .groupBy("doc_id")
         .agg(
             F.max("n_spans").alias("n_spans"),

@@ -805,6 +805,17 @@ def test_repeated_ngrams_census_has_partial_agg(spark, sf_dir):
     assert s.count("split(") == 2, f"split() x{s.count('split(')}:\n{s}"
 
 
+def test_repeated_ngrams_join_back_never_broadcasts_grams(spark, sf_dir):
+    # Catalyst's static size estimate under the exploded gram frame is so
+    # low it would BROADCAST the token-scale grams side of the join-back
+    # (driver OOM at scale; measured 2x slower at x64). The merge hint
+    # pins a sort-merge join — spill-safe even when the census itself is
+    # huge — and must hold at every SF.
+    plan = _plan(spark, sf_dir, "dedup_repeated_ngrams")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_data_card_single_expand_and_tokenize(spark, sf_dir):
     # CUBE(source, lang) must be ONE Expand feeding one aggregation (the
     # key-space x4, not the data x4), and the stats side keeps the

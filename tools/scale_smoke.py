@@ -51,6 +51,9 @@ SMOKE_QUERIES = [
     "text_bigram_lm",
     # binary chunk near-dup — the engine's largest fixed cost
     "mm_chunk_dedup",
+    # span-level dedup (token-scale explode through two shuffles; the
+    # census partial-agg is what keeps boilerplate hot spans linear)
+    "dedup_repeated_ngrams",
 ]
 
 

@@ -644,3 +644,153 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+# --- streaming NEAR-dup admission (stateful MinHash-LSH buckets) ------------
+
+NEAR_DUP_STATE_CAP = 64           # doc fingerprints retained per band bucket
+NEAR_DUP_BUCKET_TTL_SECONDS = 3600  # idle buckets evicted past watermark+TTL
+
+NEAR_DUP_CANDIDATES_SCHEMA = (
+    "band_idx int, band_key string, doc_id long, prior_id long"
+)
+
+
+def doc_band_keys_streamside(docs: DataFrame) -> DataFrame:
+    """(ts, doc_id, band_idx, band_key): per-ROW MinHash band keys, no
+    shuffle — the streaming twin of operators/dedup.minhash_signatures.
+
+    The batch path explodes shingles and computes the 8 minhashes as
+    codegen'd min() AGGREGATES (one groupBy shuffle) because that is the
+    throughput shape for a backfill. On a stream that groupBy would
+    become an unbounded stateful aggregation keyed by doc_id, so here
+    the minhashes fold per row with array_min(transform(...)) —
+    interpreted lambdas (md5 runs CodegenFallback inside a HOF), the
+    documented CPU trade for a SHUFFLE-FREE, STATELESS signature stage.
+    Hash math is bit-identical to the batch path and the DuckDB oracle
+    (md5('<j>:'||shingle); band = md5(mh_a||mh_b||...)), so batch
+    backfill and streaming ingest land in the SAME buckets."""
+    from datafusion_loki_spark.operators.dedup import (
+        _N_BANDS,
+        _SHINGLES_FROM_TOKS,
+        BAND_ROWS,
+        N_MINHASH,
+    )
+    from datafusion_loki_spark.operators.text import _NORM_SPARK
+
+    toks = docs.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "doc_id",
+        F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks"),
+    )
+    sh = toks.select(
+        "ts", "doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles")
+    )
+    mh = sh.select(
+        "ts",
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(shingles, s -> md5(concat('{j}:', s))))"
+            ).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ],
+    )
+    bands = [
+        F.md5(
+            F.concat(
+                *[F.col(f"mh{j}") for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)]
+            )
+        ).alias(f"band{b}")
+        for b in range(_N_BANDS)
+    ]
+    return mh.select("ts", "doc_id", *bands).select(
+        "ts",
+        "doc_id",
+        F.posexplode(F.array(*[f"band{b}" for b in range(_N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+
+
+def _near_dup_fn(
+    key: tuple, pdfs: Iterator[Any], state: GroupState
+) -> Iterator[Any]:
+    """Kernel for one (band_idx, band_key) bucket: state = the doc_ids
+    most recently seen in this bucket (FIFO, capped); each arriving doc
+    emits one candidate row per retained prior occupant, then joins the
+    state. A doc_id already present is a source replay (at-least-once
+    upstream) and emits nothing — re-delivery cannot manufacture pairs."""
+    import pandas as pd
+
+    band_idx, band_key = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    ids: list = list(state.get[0]) if state.exists else []
+    new_ids: list = []
+    prior_ids: list = []
+    max_ts_us = 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "doc_id"])
+        for ts, did in zip(pdf["ts"], pdf["doc_id"]):
+            did = int(did)
+            if did in ids:
+                continue
+            for prior in ids:
+                new_ids.append(did)
+                prior_ids.append(prior)
+            ids.append(did)
+            if len(ids) > NEAR_DUP_STATE_CAP:
+                ids = ids[-NEAR_DUP_STATE_CAP:]
+            max_ts_us = max(max_ts_us, int(pd.Timestamp(ts).value // 1000))
+    state.update((ids,))
+    if max_ts_us:
+        state.setTimeoutTimestamp(
+            max_ts_us // 1000 + NEAR_DUP_BUCKET_TTL_SECONDS * 1000
+        )
+    if new_ids:
+        yield pd.DataFrame(
+            {
+                "band_idx": band_idx,
+                "band_key": band_key,
+                "doc_id": new_ids,
+                "prior_id": prior_ids,
+            }
+        )
+
+
+def near_dup_admission_stream(stream_docs: DataFrame) -> DataFrame:
+    """Streaming NEAR-duplicate detection at ingest: each incoming
+    document is checked against the recent stream via stateful
+    MinHash-LSH buckets and emits (doc_id, prior_id) candidate rows —
+    the missing third face of the dedup triad (batch near-dup:
+    dedup_minhash_lsh; streaming EXACT admission:
+    incremental_admission_stream). A doc with zero candidate rows across
+    its bands is a clean admit; candidates flow to the same verify
+    stages the batch pipeline uses (ngram-Jaccard / edit distance).
+
+    ``stream_docs`` must carry (ts, doc_id, text); ts drives the
+    watermark.
+
+    100 TB posture: the signature stage is stateless and shuffle-free
+    (per-row fold — see doc_band_keys_streamside); the ONLY shuffle per
+    micro-batch is the band-key exchange into the stateful operator.
+    State is strictly bounded on two axes: per bucket, a FIFO cap of
+    NEAR_DUP_STATE_CAP retained doc_ids (a degenerate boilerplate bucket
+    holds its last 64 occupants, matching the batch LSH_BUCKET_CAP
+    philosophy — recall degrades gracefully, memory does not grow); and
+    across buckets, an event-time TTL evicts any bucket idle past the
+    watermark (state tracks ACTIVE content, not stream history). Both
+    bounds are what make near-dedup feasible on an unbounded ingest
+    stream where the batch band-groupBy would accumulate forever."""
+    keyed = doc_band_keys_streamside(stream_docs).withWatermark(
+        "ts", "10 minutes"
+    )
+    return keyed.groupBy("band_idx", "band_key").applyInPandasWithState(
+        _near_dup_fn,
+        outputStructType=NEAR_DUP_CANDIDATES_SCHEMA,
+        stateStructType="ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -857,3 +857,119 @@ def test_drift_stream_matches_batch_divergence(spark, sf_dir, tmp_path):
     # least one (window, type) has chi2 > 0 (hourly slices differ from
     # the full-corpus reference)
     assert any(v[2] > 0 for v in sink.values())
+
+
+def _docs_with_ts(spark, sf_dir):
+    # synthetic ingest time: t0 + doc_id seconds — deterministic, ordered
+    # by doc_id, so "prior" in the stream == smaller doc_id
+    from datafusion_loki_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("ts"),
+        "doc_id",
+        "text",
+    )
+
+
+def test_near_dup_stream_matches_batch_lsh(spark, sf_dir, tmp_path):
+    # One availableNow drain over the whole corpus must surface exactly
+    # the batch dedup_minhash_lsh candidate pairs (identical md5 band
+    # math; every sf0.001 bucket is far below both caps, so neither cap
+    # perturbs the comparison). Streaming emits (new, prior-arrival);
+    # with ts ordered by doc_id that is (b, a) of the batch's a < b.
+    import __spark_entry__ as e
+
+    src = tmp_path / "docs"
+    _docs_with_ts(spark, sf_dir).coalesce(1).write.parquet(str(src / "all"))
+    got: list = []
+    q = (
+        pipeline.near_dup_admission_stream(
+            spark.readStream.schema("ts timestamp_ntz, doc_id long, text string")
+            .parquet(str(src) + "/*/")
+        )
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_pairs = {(r.prior_id, r.doc_id) for r in got}
+    batch_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in e.queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert stream_pairs  # non-vacuous: the corpus has planted near-dups
+
+
+def test_near_dup_stream_state_survives_restart(spark, sf_dir, tmp_path):
+    # A candidate pair whose two docs arrive in DIFFERENT drains (fresh
+    # query object each time, same checkpoint) must still be detected:
+    # the first doc's bucket occupancy lives in the state store.
+    docs = _docs_with_ts(spark, sf_dir)
+    # pick one known batch candidate pair to split across drains
+    import __spark_entry__ as e
+
+    a, b = min(
+        (r.doc_a, r.doc_b)
+        for r in e.queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    )
+    src = tmp_path / "docs"
+    ckpt = str(tmp_path / "ck")
+
+    def _drain():
+        got: list = []
+        q = (
+            pipeline.near_dup_admission_stream(
+                spark.readStream.schema(
+                    "ts timestamp_ntz, doc_id long, text string"
+                ).parquet(str(src) + "/*/")
+            )
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    docs.where(F.col("doc_id") <= a).coalesce(1).write.parquet(
+        str(src / "first")
+    )
+    first = _drain()
+    assert all(r.doc_id != b for r in first)
+    docs.where(F.col("doc_id") == b).coalesce(1).write.parquet(
+        str(src / "second")
+    )
+    second = _drain()
+    assert (a, b) in {(r.prior_id, r.doc_id) for r in second}
+
+
+def test_near_dup_stream_redelivery_emits_no_self_pair(spark, sf_dir, tmp_path):
+    # An at-least-once source may re-deliver a document; a doc_id already
+    # resident in its bucket must emit nothing (no self-pairs, no
+    # duplicate candidates).
+    docs = _docs_with_ts(spark, sf_dir).where(F.col("doc_id") < 10)
+    src = tmp_path / "docs"
+    docs.coalesce(1).write.parquet(str(src / "f0"))
+    docs.coalesce(1).write.parquet(str(src / "f1"))  # same rows again
+    got: list = []
+    q = (
+        pipeline.near_dup_admission_stream(
+            spark.readStream.schema("ts timestamp_ntz, doc_id long, text string")
+            .parquet(str(src) + "/*/")
+        )
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert all(r.doc_id != r.prior_id for r in got)
+    pairs = [(r.band_idx, r.prior_id, r.doc_id) for r in got]
+    assert len(pairs) == len(set(pairs))  # no duplicate candidate rows

@@ -99,6 +99,12 @@ BENCH_QUERIES = [
     # PERF_NOTES documents
     "mm_chunk_dedup",
     "text_tfidf_topk",
+    # appended round 7 (late): the span-level dedup census (token-scale
+    # explode through a merge-pinned join — the grams-broadcast trap this
+    # round's PERF_NOTES documents must stay fixed) and the CUBE data
+    # card (Expand + exact-int rollup)
+    "dedup_repeated_ngrams",
+    "corpus_data_card",
 ]
 
 

@@ -731,9 +731,15 @@ def _near_dup_fn(
     new_ids: list = []
     prior_ids: list = []
     max_ts_us = 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "doc_id"])
-        for ts, did in zip(pdf["ts"], pdf["doc_id"]):
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        # one global sort across the batch's chunks — Spark hands the
+        # group over in arbitrary chunk order, and "prior" must mean
+        # earlier event time, not earlier chunk
+        rows = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        ).sort_values(["ts", "doc_id"])
+        for ts, did in zip(rows["ts"], rows["doc_id"]):
             did = int(did)
             if did in ids:
                 continue

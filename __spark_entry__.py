@@ -70,6 +70,9 @@ _R07_NEW = (
     "dedup_repeated_ngrams",
     # raw-corpus CUBE data card (complement of corpus_build_manifest)
     "corpus_data_card",
+    # persisted-IVF-index round-trip (build -> partitioned layout ->
+    # probe-pruned query); deterministic fit shares the kmeans oracle
+    "sim_ivf_index_topk",
 )
 
 _R07_CHANGED = (
@@ -86,9 +89,10 @@ _R07_CHANGED = (
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 36 fit this window, the tail 13
-    # (q_subquery_above_avg, q_set_ops, q_set_ops_all, q_conditional_agg
-    # .. q_window_rank_stats) rotate in r08
+    # last driver row r04; the first 35 fit this window, the tail 14
+    # (q_window_running_sum, q_subquery_above_avg, q_set_ops,
+    # q_set_ops_all, q_conditional_agg .. q_window_rank_stats) rotate
+    # in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -124,7 +128,6 @@ _R04_STALE = (
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q_window_top_orders",
-    "q_window_running_sum",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

@@ -1119,9 +1119,23 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = _kmeans_fit(
         emb_d, emb_d.where(F.expr(_TRAIN_PRED_SPARK))
     )
-    probes = (
-        emb_d.where(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cents))
+    members = assigned.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        "e",
+        F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
+    )
+    return _ivf_probe_and_score(
+        emb_d.where(F.col("vec_id") < N_QUERIES), cents, members
+    )
+
+
+def _ivf_probes(queries_d: DataFrame, cents: DataFrame) -> DataFrame:
+    """(query_id, q_emb, q_nrm, cluster_id): each query routed to its
+    IVF_PROBES nearest centroids — queries × probes rows, broadcast-sized
+    by construction."""
+    return (
+        queries_d.crossJoin(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("q_emb"),
@@ -1136,12 +1150,16 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "q_emb", "q_nrm", F.col("pr.cid").alias("cluster_id"))
     )
-    members = assigned.select(
-        "vec_id",
-        F.col("cid").alias("cluster_id"),
-        "e",
-        F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
-    )
+
+
+def _ivf_probe_and_score(
+    queries_d: DataFrame, cents: DataFrame, members: DataFrame
+) -> DataFrame:
+    """The IVF read path, shared by the fit-inline operator and the
+    persisted-index query: probe routing → broadcast candidate join
+    against the probed cells' members → exact cosine → per-query top-k.
+    ``members`` must carry (vec_id, cluster_id, e, c_nrm)."""
+    probes = _ivf_probes(queries_d, cents)
     scored = (
         members.join(F.broadcast(probes), "cluster_id")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1160,6 +1178,96 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "cand_id", "cluster_id", "cosine")
     )
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the IVF index to disk — the production lifecycle
+    (build once, query many) that the fit-inline operators amortize away
+    at test scale. Writes:
+
+    - ``{index_dir}/centroids.parquet`` — the 1-row codebook (K centroid
+      structs), exactly the localCheckpoint'd training output;
+    - ``{index_dir}/members.parquet`` — (vec_id, e, c_nrm) PARTITIONED BY
+      cluster_id, so each IVF cell is its own partition directory.
+
+    100 TB posture: the build pays the sample-fit training plus ONE full
+    corpus pass (assignment) and one corpus write clustered by cell —
+    after which every query reads only its probed cells (see
+    sim_ivf_index_topk) instead of re-deriving the fit. The member rows
+    persist the precomputed norm so the read path never re-folds it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    assigned, cents = _kmeans_fit(
+        emb_d, emb_d.where(F.expr(_TRAIN_PRED_SPARK))
+    )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
+    (
+        assigned.select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            "e",
+            F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_dir}/members.parquet")
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """ANN top-k against a PERSISTED IVF index (see build_ivf_index).
+
+    The probed cell ids are collected driver-side — a bounded
+    queries × IVF_PROBES list, the same legitimacy class as the
+    broadcast query set — and applied as an isin() PARTITION filter on
+    the cluster_id-partitioned member table, so unprobed cells are
+    pruned at the SCAN (PartitionFilters in the plan), not post-read:
+    the query touches probes/K of the corpus bytes on disk, which is the
+    entire point of building the index. Scoring is the shared
+    _ivf_probe_and_score read path, bit-identical to the fit-inline
+    operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    ).where(F.col("vec_id") < N_QUERIES)
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    probed = {
+        r.cluster_id
+        for r in _ivf_probes(queries_d, cents)
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    }
+    members = (
+        spark.read.parquet(f"{index_dir}/members.parquet")
+        .where(F.col("cluster_id").isin(*probed))
+        .select("vec_id", "cluster_id", "e", "c_nrm")
+    )
+    return _ivf_probe_and_score(queries_d, cents, members)
+
+
+def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry face of the persisted-index lifecycle: build the IVF
+    index to a scratch directory, then answer the standard query set
+    THROUGH the on-disk index. Training is deterministic (md5-bucket
+    sample, fixed seeds and iterations — no RNG), so the result is
+    value-identical to sim_ivf_kmeans_topk and shares its oracle; what
+    this entry adds to the correctness gate is the round-trip itself:
+    codebook serde, partitioned member layout, probe-driven partition
+    pruning, and norm persistence all sit between the scan and the
+    answer."""
+    import os
+
+    index_dir = os.path.join(
+        "/tmp/spark_graft_ivf_index",
+        os.path.basename(sf_dir.rstrip("/") or "sf"),
+    )
+    build_ivf_index(spark, sf_dir, index_dir)
+    return query_ivf_index(spark, sf_dir, index_dir)
 
 
 def _km_d2_duck(a: str) -> str:
@@ -1849,6 +1957,7 @@ QUERIES = {
     "sim_recall_audit": sim_recall_audit,
     "sim_pq_recall_audit": sim_pq_recall_audit,
     "sim_cell_balance": sim_cell_balance,
+    "sim_ivf_index_topk": sim_ivf_index_topk,
 }
 
 ORACLES = {
@@ -1897,6 +2006,9 @@ SELECT query_id, cand_id, rank FROM (
     "emb_centroid_drift": ORACLE_EMB_DRIFT,
     "emb_kmeans_assign": ORACLE_EMB_KMEANS,
     "sim_ivf_kmeans_topk": ORACLE_SIM_IVF_KMEANS,
+    # deterministic fit => the persisted-index round-trip must return
+    # exactly the fit-inline answer; same oracle, different machinery
+    "sim_ivf_index_topk": ORACLE_SIM_IVF_KMEANS,
     "sim_pq_adc_topk": _oracle_pq_adc(),
     "emb_pca_project": _oracle_pca(),
     "sim_recall_audit": _oracle_recall_audit(),

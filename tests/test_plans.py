@@ -825,3 +825,14 @@ def test_data_card_single_expand_and_tokenize(spark, sf_dir):
     s = _optimized(spark, sf_dir, "corpus_data_card")
     assert s.count("Expand") == 1, s
     assert s.count("split(") <= 2, f"split() x{s.count('split(')}:\n{s}"
+
+
+def test_ivf_index_query_prunes_partitions_at_scan(spark, sf_dir):
+    # The persisted-index read path must prune unprobed IVF cells at the
+    # SCAN (PartitionFilters carries the probed-cell isin), not post-read
+    # — touching probes/K of the on-disk bytes is the point of the index.
+    plan = _plan(spark, sf_dir, "sim_ivf_index_topk")
+    import re
+
+    m = re.search(r"members\.parquet\], PartitionFilters: \[[^\]]*IN\b", plan)
+    assert m, plan

@@ -1,0 +1,90 @@
+"""Unit tests for the shared withhold-max-timestamp pager — specifically
+the wire-unit normalization that the e2e suite (whose emulator always
+emits TIMESTAMP(NANOS)) cannot reach: a store emitting µs timestamps
+cast raw to int64 would make `cur = max_ts` jump back to ~1970 and
+re-request the same page forever."""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from datafusion_loki_spark.sources import loki as loki_mod
+from datafusion_loki_spark.sources.loki import _page_tables, _ts_ns_ints
+
+NS = 1_000_000_000
+
+
+def _parquet_bytes(table: pa.Table) -> bytes:
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    return buf.getvalue()
+
+
+def _table_us(ts_ns_values):
+    return pa.table(
+        {
+            "timestamp": pa.array(
+                [v // 1000 for v in ts_ns_values], pa.timestamp("us")
+            ),
+            "line": [f"l{v}" for v in ts_ns_values],
+        }
+    )
+
+
+def test_ts_ns_ints_normalizes_us_wire():
+    t = _table_us([5 * NS, 6 * NS])
+    assert _ts_ns_ints(t).to_pylist() == [5 * NS, 6 * NS]
+
+
+def test_ts_ns_ints_passes_through_int64_nanos():
+    t = pa.table({"timestamp": pa.array([7 * NS], pa.int64())})
+    assert _ts_ns_ints(t).to_pylist() == [7 * NS]
+
+
+def test_page_tables_terminates_and_loses_nothing_on_us_wire(monkeypatch):
+    # 10 rows at distinct seconds, µs-encoded wire, page_limit 3: the
+    # pager must visit every row exactly once and terminate. With the
+    # old raw int64 cast, max_ts would read as ~epoch-µs (1000× small),
+    # cur would never advance past start, and the scan would loop.
+    rows = [(i + 1) * NS for i in range(10)]
+
+    def fake_query_range(endpoint, query, start_ns, end_ns, limit):
+        keep = [v for v in rows if start_ns <= v < end_ns][:limit]
+        return _parquet_bytes(_table_us(keep)) if keep else b""
+
+    monkeypatch.setattr(loki_mod.loki_client, "query_range", fake_query_range)
+    got = []
+    for t in _page_tables("ep", "{}", 0, 100 * NS, 3):
+        got.extend(_ts_ns_ints(t).to_pylist())
+    assert got == rows  # no loss, no dup, forward order
+
+
+def test_page_tables_degenerate_single_ns_full_page(monkeypatch):
+    # >page_limit rows in one nanosecond: the pager must emit the page
+    # as-is and step 1 ns past it instead of spinning.
+    calls = []
+
+    def fake_query_range(endpoint, query, start_ns, end_ns, limit):
+        calls.append(start_ns)
+        if start_ns <= 5 * NS < end_ns:
+            return _parquet_bytes(_table_us([5 * NS] * limit))
+        return b""
+
+    monkeypatch.setattr(loki_mod.loki_client, "query_range", fake_query_range)
+    got = []
+    for t in _page_tables("ep", "{}", 0, 100 * NS, 3):
+        got.extend(_ts_ns_ints(t).to_pylist())
+    assert got == [5 * NS] * 3
+    assert calls == [0, 5 * NS + 1]  # stepped exactly 1 ns past the clump
+
+
+def test_page_tables_empty_window_no_requests(monkeypatch):
+    def boom(*a):
+        raise AssertionError("no request expected")
+
+    monkeypatch.setattr(loki_mod.loki_client, "query_range", boom)
+    assert list(_page_tables("ep", "{}", 10, 10, 3)) == []
+    assert list(_page_tables("ep", "{}", 20, 10, 3)) == []

@@ -86,13 +86,17 @@ _R07_CHANGED = (
     # occurrence-scale self-joins)
     "text_token_commonness",
     "text_bigram_lm",
+    # probe/score stage extracted into the helper shared with the
+    # persisted-index path (output verified identical, but the code
+    # path changed -> re-earn the row)
+    "sim_ivf_kmeans_topk",
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 35 fit this window, the tail 14
-    # (q_window_running_sum, q_subquery_above_avg, q_set_ops,
-    # q_set_ops_all, q_conditional_agg .. q_window_rank_stats) rotate
-    # in r08
+    # last driver row r04; the first 34 fit this window, the tail 15
+    # (q_window_top_orders, q_window_running_sum, q_subquery_above_avg,
+    # q_set_ops, q_set_ops_all, q_conditional_agg .. q_window_rank_stats)
+    # rotate in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -127,7 +131,6 @@ _R04_STALE = (
     "q19_bracket_filter",
     "q5_local_supplier_volume",
     "q10_returned_items",
-    "q_window_top_orders",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

@@ -73,6 +73,9 @@ _R07_NEW = (
     # persisted-IVF-index round-trip (build -> partitioned layout ->
     # probe-pruned query); deterministic fit shares the kmeans oracle
     "sim_ivf_index_topk",
+    # SemDeDup-style semantic dedup over the persisted IVF cells
+    # (arXiv:2303.09540): within-cell cosine pairs -> min-id keep rule
+    "dedup_semantic_cluster",
 )
 
 _R07_CHANGED = (
@@ -93,10 +96,10 @@ _R07_CHANGED = (
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 34 fit this window, the tail 15
-    # (q_window_top_orders, q_window_running_sum, q_subquery_above_avg,
-    # q_set_ops, q_set_ops_all, q_conditional_agg .. q_window_rank_stats)
-    # rotate in r08
+    # last driver row r04; the first 33 fit this window, the tail 16
+    # (q10_returned_items, q_window_top_orders, q_window_running_sum,
+    # q_subquery_above_avg, q_set_ops, q_set_ops_all, q_conditional_agg
+    # .. q_window_rank_stats) rotate in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -130,7 +133,6 @@ _R04_STALE = (
     "q18_large_orders",
     "q19_bracket_filter",
     "q5_local_supplier_volume",
-    "q10_returned_items",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

@@ -1643,3 +1643,145 @@ GROUP BY doc_id
 
 QUERIES["dedup_repeated_ngrams"] = dedup_repeated_ngrams
 ORACLES["dedup_repeated_ngrams"] = ORACLE_REPEATED_NGRAMS
+
+
+# --- semantic (embedding-cluster) dedup --------------------------------------
+
+SEMDEDUP_TAU = 0.30    # within-cell cosine above which two docs are semantic dups
+
+
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540 — public): assign every embedding to a learned
+    k-means cell, find within-cell pairs with cosine >= SEMDEDUP_TAU,
+    and emit a per-vector keep/drop verdict — the embedding-space
+    complement of MinHash (which sees lexical overlap, not paraphrase).
+    Keep rule delta vs the paper: the paper keeps the member farthest
+    from the centroid; we keep the SMALLEST vec_id of each duplicate
+    neighborhood (drop iff a smaller-id neighbor is above tau) — the
+    same deterministic greedy used by the lexical keep-list, chosen so
+    the verdict is a pure aggregation both engines order identically
+    (centroid distance would import the full d2 tie-break chain into
+    every row of the oracle for no extra test power).
+
+    Rides the PERSISTED IVF index (build_ivf_index): the sample-fit
+    training plus the one full-corpus assignment pass happen in the
+    build, and this operator reads back the cell-partitioned member
+    table — so the k-means DAG executes once however many frames below
+    consume members (inline fit would re-run it per consumer branch;
+    the localCheckpoint rule covers only the 1-row codebook). The
+    persisted rows carry the precomputed norm, so the pair stage is a
+    bare dot + divide.
+
+    100 TB posture: the pair space is O(sum of cell^2), never global —
+    with production K ~ sqrt(N) cells stay task-sized; the self-join
+    shuffles on cluster_id, salted 8x because a learned codebook at
+    test scale has only K=8 cells (the same reducer-starvation fix as
+    dedup_embedding_cosine; AQE skew-split handles residual hot cells).
+    The verdict aggregation shuffles only the (bounded) duplicate-pair
+    frame plus a COLUMN-PRUNED re-scan of the member table (vec_id +
+    the partition column — no embedding bytes move twice)."""
+    import os
+
+    from datafusion_loki_spark.functions.skew import salted_join
+    from datafusion_loki_spark.operators.similarity import build_ivf_index
+
+    index_dir = os.path.join(
+        "/tmp/spark_graft_semdedup_index",
+        os.path.basename(sf_dir.rstrip("/") or "sf"),
+    )
+    build_ivf_index(spark, sf_dir, index_dir)
+    members = spark.read.parquet(f"{index_dir}/members.parquet")
+    a = members.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"),
+        F.col("c_nrm").alias("nrm_a"),
+    )
+    b = members.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        F.col("c_nrm").alias("nrm_b"),
+    )
+    dot = "aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
+    pairs = (
+        salted_join(a, b, on=["cluster_id"], n_salts=8, salt_cols=["id_a"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.expr(dot) / (F.col("nrm_a") * F.col("nrm_b")) >= SEMDEDUP_TAU
+        )
+        .select("id_a", "id_b")
+    )
+    # both directions in ONE pass over the pair join (a two-branch union
+    # would re-execute the whole salted join per branch — no cross-branch
+    # subtree reuse); explode of a 2-element literal array is narrow
+    directed = pairs.select(
+        F.explode(
+            F.expr(
+                "array(struct(id_a AS vec_id, id_b AS nbr),"
+                " struct(id_b AS vec_id, id_a AS nbr))"
+            )
+        ).alias("d")
+    ).select("d.vec_id", "d.nbr")
+    verdict = directed.groupBy("vec_id").agg(
+        F.count("*").alias("n_dups"),
+        F.sum(F.when(F.col("nbr") < F.col("vec_id"), 1).otherwise(0)).alias(
+            "smaller"
+        ),
+    )
+    return (
+        members.select("cluster_id", "vec_id")
+        .join(verdict, "vec_id", "left")
+        .select(
+            "cluster_id",
+            "vec_id",
+            F.coalesce("n_dups", F.lit(0)).alias("n_sem_dups"),
+            F.when(
+                F.coalesce("smaller", F.lit(0)) == 0, F.lit(1)
+            ).otherwise(F.lit(0)).alias("is_kept"),
+        )
+    )
+
+
+def _oracle_semantic_cluster() -> str:
+    from datafusion_loki_spark.operators.similarity import (
+        _NRM_E_DUCK,
+        _TRAIN_PRED_DUCK,
+        _km_ctes,
+    )
+
+    cos = (
+        "list_sum(list_transform(generate_series(1, len(a.e)),"
+        " i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)"
+    )
+    return f"""
+WITH {_km_ctes('', train_pred=_TRAIN_PRED_DUCK)},
+members AS (
+  SELECT emb.vec_id, a2.cid AS cluster_id, emb.e,
+         {_NRM_E_DUCK.format(a='emb.e')} AS nrm
+  FROM (SELECT vec_id, cid FROM assign2 WHERE rn = 1) a2
+  JOIN emb USING (vec_id)
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM members a JOIN members b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {cos} >= {SEMDEDUP_TAU}
+), directed AS (
+  SELECT id_a AS vec_id, id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS nbr FROM pairs
+)
+SELECT m.cluster_id, m.vec_id,
+       CAST(COUNT(d.nbr) AS BIGINT) AS n_sem_dups,
+       CAST(CASE WHEN COALESCE(
+              SUM(CASE WHEN d.nbr < m.vec_id THEN 1 ELSE 0 END), 0) = 0
+            THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+FROM members m LEFT JOIN directed d ON m.vec_id = d.vec_id
+GROUP BY m.cluster_id, m.vec_id
+"""
+
+
+QUERIES["dedup_semantic_cluster"] = dedup_semantic_cluster
+ORACLES["dedup_semantic_cluster"] = _oracle_semantic_cluster()

@@ -836,3 +836,26 @@ def test_ivf_index_query_prunes_partitions_at_scan(spark, sf_dir):
 
     m = re.search(r"members\.parquet\], PartitionFilters: \[[^\]]*IN\b", plan)
     assert m, plan
+
+
+def test_semantic_dedup_rides_the_persisted_index(spark, sf_dir):
+    # dedup_semantic_cluster pays the k-means fit ONCE in the index build;
+    # the returned frame must read only the persisted member table — no
+    # embeddings.parquet scan (which would mean a consumer branch silently
+    # re-runs the training DAG) and no norm re-fold (c_nrm is persisted).
+    # The verdict join-back must be a COLUMN-PRUNED member scan: vec_id
+    # plus the partition column only, no embedding bytes moving twice.
+    s = _optimized(spark, sf_dir, "dedup_semantic_cluster")
+    assert "embeddings.parquet" not in s, s
+    assert s.count("sqrt(aggregate") == 0, s
+    plan = _plan(spark, sf_dir, "dedup_semantic_cluster")
+    import re
+
+    assert re.search(r"FileScan parquet \[vec_id#\d+L?,cluster_id#\d+\]", plan), plan
+    # the pair stage spreads the K~8 test-scale cells across salted
+    # sub-keys (same reducer-starvation fix as dedup_embedding_cosine),
+    # and the pair join executes ONCE: both keep-rule directions ride one
+    # explode over the join output, not a two-branch union that re-runs
+    # the join (count the cosine fold — one join side each, one filter)
+    assert "salt" in s.lower(), s
+    assert s.count("zip_with") == 1, s.count("zip_with")

@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     # card (Expand + exact-int rollup)
     "dedup_repeated_ngrams",
     "corpus_data_card",
+    # appended round 7 (final): the full persisted-index semantic-dedup
+    # lifecycle (sample-fit train + index write + within-cell pair join)
+    # — the engine's only operator that pays a corpus WRITE per run, so
+    # its cost must be tracked separately from the fit-inline ANN pair
+    "dedup_semantic_cluster",
 ]
 
 

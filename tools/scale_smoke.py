@@ -54,6 +54,10 @@ SMOKE_QUERIES = [
     # span-level dedup (token-scale explode through two shuffles; the
     # census partial-agg is what keeps boilerplate hot spans linear)
     "dedup_repeated_ngrams",
+    # persisted-index semantic dedup (index build + within-cell pair
+    # join — pair space must stay O(sum cell^2), growing ~linearly when
+    # replica content is decorrelated)
+    "dedup_semantic_cluster",
 ]
 
 

@@ -76,6 +76,9 @@ _R07_NEW = (
     # SemDeDup-style semantic dedup over the persisted IVF cells
     # (arXiv:2303.09540): within-cell cosine pairs -> min-id keep rule
     "dedup_semantic_cluster",
+    # first BPE induction step (arXiv:1508.07909): freq-weighted
+    # adjacent-symbol pair stats over the distinct-token vocabulary
+    "text_bpe_merge_pairs",
 )
 
 _R07_CHANGED = (
@@ -96,10 +99,10 @@ _R07_CHANGED = (
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 33 fit this window, the tail 16
-    # (q10_returned_items, q_window_top_orders, q_window_running_sum,
-    # q_subquery_above_avg, q_set_ops, q_set_ops_all, q_conditional_agg
-    # .. q_window_rank_stats) rotate in r08
+    # last driver row r04; the first 32 fit this window, the tail 17
+    # (q5_local_supplier_volume, q10_returned_items, q_window_top_orders,
+    # q_window_running_sum, q_subquery_above_avg, q_set_ops, q_set_ops_all,
+    # q_conditional_agg .. q_window_rank_stats) rotate in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -132,7 +135,6 @@ _R04_STALE = (
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_bracket_filter",
-    "q5_local_supplier_volume",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

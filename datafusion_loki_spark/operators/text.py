@@ -882,3 +882,73 @@ ORACLES = {
     "text_vocab_growth": ORACLE_VOCAB_GROWTH,
     "text_lang_confusion": _oracle_lang_confusion(),
 }
+
+
+# --- BPE merge-pair statistics (tokenizer induction, first iteration) --------
+
+BPE_TOP_MERGES = 50
+
+
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first induction step of BPE tokenizer training (Sennrich et
+    al., "Neural Machine Translation of Rare Words with Subword Units",
+    arXiv:1508.07909 — public): frequency-weighted adjacent-symbol pair
+    counts over the corpus, emitting the top merge candidates. The seed
+    symbols are characters, so the top row is exactly the first merge a
+    BPE trainer would perform on this corpus.
+
+    100 TB posture — the standard fastBPE/SentencePiece trick: pair
+    statistics are computed over the DISTINCT-TOKEN VOCABULARY weighted
+    by token frequency, never over the token stream. The corpus pays one
+    tokenize + one map-side-combined groupBy(token); the pair explode
+    then runs over O(vocab x word_len) rows — vocabulary-scale, which
+    Heaps' law keeps sublinear in the corpus. Top-N via
+    orderBy+limit (TakeOrdered on the symbol-pair-sized frame, no global
+    sort shuffle); the (count DESC, s1, s2) order makes the top-N
+    boundary deterministic under count ties on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs_expr = (
+        "if(length(w) >= 2, transform(sequence(1, length(w) - 1),"
+        " i -> struct(substring(w, i, 1) AS s1, substring(w, i + 1, 1) AS s2)),"
+        " array())"
+    )
+    ex = (
+        vocab.select("freq", F.explode_outer(F.expr(pairs_expr)).alias("p"))
+        .where(F.col("p").isNotNull())
+    )
+    return (
+        ex.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("s1"), F.asc("s2"))
+        .limit(BPE_TOP_MERGES)
+    )
+
+
+ORACLE_BPE_MERGE_PAIRS = f"""
+WITH vocab AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS w FROM documents
+  ) GROUP BY w
+), ex AS (
+  SELECT freq,
+         unnest(CASE WHEN len(w) >= 2 THEN
+           list_transform(generate_series(1, len(w) - 1),
+             i -> {{'s1': substring(w, i, 1), 's2': substring(w, i + 1, 1)}})
+           ELSE [] END) AS p
+  FROM vocab
+)
+SELECT p.s1 AS s1, p.s2 AS s2, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM ex GROUP BY p.s1, p.s2
+ORDER BY pair_count DESC, s1 ASC, s2 ASC
+LIMIT {BPE_TOP_MERGES}
+"""
+
+QUERIES["text_bpe_merge_pairs"] = text_bpe_merge_pairs
+ORACLES["text_bpe_merge_pairs"] = ORACLE_BPE_MERGE_PAIRS

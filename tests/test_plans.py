@@ -859,3 +859,14 @@ def test_semantic_dedup_rides_the_persisted_index(spark, sf_dir):
     # the join (count the cosine fold — one join side each, one filter)
     assert "salt" in s.lower(), s
     assert s.count("zip_with") == 1, s.count("zip_with")
+
+
+def test_bpe_merge_pairs_vocab_scale_and_takeordered(spark, sf_dir):
+    # Pair statistics must be computed over the DISTINCT-TOKEN vocabulary
+    # (one tokenizing split() in the whole plan — the corpus is touched by
+    # exactly one explode+groupBy), and the top-N must be TakeOrdered on
+    # the symbol-pair frame, never a global Sort+Limit shuffle.
+    s = _optimized(spark, sf_dir, "text_bpe_merge_pairs")
+    assert s.count("split(") == 1, f"split() x{s.count('split(')}:\n{s}"
+    plan = _plan(spark, sf_dir, "text_bpe_merge_pairs")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -493,13 +493,19 @@ def test_cross_source_overlap_joins_are_candidate_sized(spark, sf_dir):
     assert "FileScan" not in plan, plan
 
 
-def test_mm_chunk_dedup_single_scan(spark, sf_dir):
-    # Decode-free binary near-dup must be SINGLE-PASS: one corpus scan
-    # (the denominator rides the bucket structs — no doc-level join back),
-    # bounded exchanges, no cartesian; payloads never appear past the
-    # first exchange (only 16-char chunk strings shuffle).
+def test_mm_chunk_dedup_merge_join_pairs(spark, sf_dir):
+    # Decode-free binary near-dup (round-7 final shape): pair generation
+    # is a capped self-join on the chunk key PINNED to sort-merge — the
+    # static size estimate under mapInPandas would otherwise broadcast
+    # the whole capped chunk stream through the driver (the
+    # dedup_repeated_ngrams grams-broadcast trap; also measured 2x
+    # slower than SMJ at sf0.1). Two chunker passes (lineage recompute
+    # over a corpus-sized materialization), bounded exchanges, no
+    # cartesian; payloads never shuffle (only 3-long chunk rows).
     plan = _plan(spark, sf_dir, "mm_chunk_dedup")
-    assert plan.count("FileScan") == 1, plan
+    assert plan.count("FileScan") == 2, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     n = plan.count("Exchange hashpartitioning")
     assert n <= 3, f"{n} hash exchanges\n{plan}"

@@ -1650,6 +1650,53 @@ ORACLES["dedup_repeated_ngrams"] = ORACLE_REPEATED_NGRAMS
 SEMDEDUP_TAU = 0.30    # within-cell cosine above which two docs are semantic dups
 
 
+def _semantic_index_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or overwrite) the persisted IVF index for ``sf_dir`` and
+    return its cell-partitioned member table (vec_id, cluster_id, e,
+    c_nrm) — the shared entry point of the semantic-dedup consumers, so
+    the sample-fit k-means DAG executes exactly once per call however
+    many frames read the members back."""
+    import os
+
+    from datafusion_loki_spark.operators.similarity import build_ivf_index
+
+    index_dir = os.path.join(
+        "/tmp/spark_graft_semdedup_index",
+        os.path.basename(sf_dir.rstrip("/") or "sf"),
+    )
+    build_ivf_index(spark, sf_dir, index_dir)
+    return spark.read.parquet(f"{index_dir}/members.parquet")
+
+
+def _semantic_pairs(members: DataFrame) -> DataFrame:
+    """Within-cell cosine pairs (id_a < id_b, cosine >= SEMDEDUP_TAU)
+    over the persisted member table — the salted cell-bounded self-join
+    shared by the keep-verdict and the lexical-agreement audit."""
+    from datafusion_loki_spark.functions.skew import salted_join
+
+    a = members.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"),
+        F.col("c_nrm").alias("nrm_a"),
+    )
+    b = members.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        F.col("c_nrm").alias("nrm_b"),
+    )
+    dot = "aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
+    return (
+        salted_join(a, b, on=["cluster_id"], n_salts=8, salt_cols=["id_a"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.expr(dot) / (F.col("nrm_a") * F.col("nrm_b")) >= SEMDEDUP_TAU
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
@@ -1682,38 +1729,8 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verdict aggregation shuffles only the (bounded) duplicate-pair
     frame plus a COLUMN-PRUNED re-scan of the member table (vec_id +
     the partition column — no embedding bytes move twice)."""
-    import os
-
-    from datafusion_loki_spark.functions.skew import salted_join
-    from datafusion_loki_spark.operators.similarity import build_ivf_index
-
-    index_dir = os.path.join(
-        "/tmp/spark_graft_semdedup_index",
-        os.path.basename(sf_dir.rstrip("/") or "sf"),
-    )
-    build_ivf_index(spark, sf_dir, index_dir)
-    members = spark.read.parquet(f"{index_dir}/members.parquet")
-    a = members.select(
-        "cluster_id",
-        F.col("vec_id").alias("id_a"),
-        F.col("e").alias("e_a"),
-        F.col("c_nrm").alias("nrm_a"),
-    )
-    b = members.select(
-        "cluster_id",
-        F.col("vec_id").alias("id_b"),
-        F.col("e").alias("e_b"),
-        F.col("c_nrm").alias("nrm_b"),
-    )
-    dot = "aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
-    pairs = (
-        salted_join(a, b, on=["cluster_id"], n_salts=8, salt_cols=["id_a"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.expr(dot) / (F.col("nrm_a") * F.col("nrm_b")) >= SEMDEDUP_TAU
-        )
-        .select("id_a", "id_b")
-    )
+    members = _semantic_index_members(spark, sf_dir)
+    pairs = _semantic_pairs(members)
     # both directions in ONE pass over the pair join (a two-branch union
     # would re-execute the whole salted join per branch — no cross-branch
     # subtree reuse); explode of a 2-element literal array is narrow
@@ -1745,7 +1762,11 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_semantic_cluster() -> str:
+def _semantic_pairs_ctes() -> str:
+    """The DuckDB CTE block mirroring _semantic_index_members +
+    _semantic_pairs: the sample-fit k-means chain through ``members``
+    and the within-cell cosine ``pairs`` — shared by the keep-verdict
+    oracle and the lexical-agreement oracle."""
     from datafusion_loki_spark.operators.similarity import (
         _NRM_E_DUCK,
         _TRAIN_PRED_DUCK,
@@ -1756,8 +1777,7 @@ def _oracle_semantic_cluster() -> str:
         "list_sum(list_transform(generate_series(1, len(a.e)),"
         " i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm)"
     )
-    return f"""
-WITH {_km_ctes('', train_pred=_TRAIN_PRED_DUCK)},
+    return f"""{_km_ctes('', train_pred=_TRAIN_PRED_DUCK)},
 members AS (
   SELECT emb.vec_id, a2.cid AS cluster_id, emb.e,
          {_NRM_E_DUCK.format(a='emb.e')} AS nrm
@@ -1768,7 +1788,13 @@ members AS (
   FROM members a JOIN members b
     ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
   WHERE {cos} >= {SEMDEDUP_TAU}
-), directed AS (
+)"""
+
+
+def _oracle_semantic_cluster() -> str:
+    return f"""
+WITH {_semantic_pairs_ctes()},
+directed AS (
   SELECT id_a AS vec_id, id_b AS nbr FROM pairs
   UNION ALL
   SELECT id_b AS vec_id, id_a AS nbr FROM pairs
@@ -1785,3 +1811,59 @@ GROUP BY m.cluster_id, m.vec_id
 
 QUERIES["dedup_semantic_cluster"] = dedup_semantic_cluster
 ORACLES["dedup_semantic_cluster"] = _oracle_semantic_cluster()
+
+
+def dedup_lexical_vs_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-semantic duplicate agreement — the SemDeDup paper's
+    motivating audit (arXiv:2303.09540 §1): which pairs does MinHash-LSH
+    banding find that embedding-space misses (verbatim boilerplate with
+    different meaning density), and which does the semantic pass find
+    that lexical banding misses (paraphrases sharing no shingles). The
+    fixtures give documents and embeddings a 1:1 id correspondence, so
+    the pair keys join directly. Same full-outer pair-level shape as
+    dedup_method_agreement — the calibration query a pipeline owner runs
+    before deciding which method (or both) to spend the cluster on.
+
+    100 TB posture: both inputs are candidate-scale (each generator did
+    its own bucketed pruning — LSH bands, IVF cells), so the full-outer
+    join shuffles only candidate pairs on the (doc_a, doc_b) key; the
+    lexical DAG and the semantic DAG (persisted-index build + one pair
+    join) each run once."""
+    lex = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").withColumn(
+        "in_lexical", F.lit(True)
+    )
+    sem = (
+        _semantic_pairs(_semantic_index_members(spark, sf_dir))
+        .select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+        .withColumn("in_semantic", F.lit(True))
+    )
+    return lex.join(sem, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("in_lexical", F.lit(False)).alias("in_lexical"),
+        F.coalesce("in_semantic", F.lit(False)).alias("in_semantic"),
+    )
+
+
+def _oracle_lexical_vs_semantic() -> str:
+    return f"""
+WITH {_semantic_pairs_ctes()},
+lex AS (
+  SELECT doc_a, doc_b FROM ({_oracle_minhash()}) x
+),
+sem AS (
+  SELECT id_a AS doc_a, id_b AS doc_b FROM pairs
+)
+SELECT COALESCE(lex.doc_a, sem.doc_a) AS doc_a,
+       COALESCE(lex.doc_b, sem.doc_b) AS doc_b,
+       (lex.doc_a IS NOT NULL) AS in_lexical,
+       (sem.doc_a IS NOT NULL) AS in_semantic
+FROM lex FULL OUTER JOIN sem
+  ON lex.doc_a = sem.doc_a AND lex.doc_b = sem.doc_b
+"""
+
+
+QUERIES["dedup_lexical_vs_semantic"] = dedup_lexical_vs_semantic
+ORACLES["dedup_lexical_vs_semantic"] = _oracle_lexical_vs_semantic()

@@ -82,6 +82,9 @@ _R07_NEW = (
     # lexical-vs-semantic duplicate agreement (the SemDeDup motivating
     # audit): MinHash-LSH pairs full-outer within-cell cosine pairs
     "dedup_lexical_vs_semantic",
+    # index MAINTENANCE: append a batch through the persisted codebook,
+    # query the merged two-generation index
+    "sim_ivf_index_append",
 )
 
 _R07_CHANGED = (
@@ -102,11 +105,11 @@ _R07_CHANGED = (
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 31 fit this window, the tail 18
-    # (q19_bracket_filter, q5_local_supplier_volume, q10_returned_items,
-    # q_window_top_orders, q_window_running_sum, q_subquery_above_avg,
-    # q_set_ops, q_set_ops_all, q_conditional_agg .. q_window_rank_stats)
-    # rotate in r08
+    # last driver row r04; the first 30 fit this window, the tail 19
+    # (q18_large_orders, q19_bracket_filter, q5_local_supplier_volume,
+    # q10_returned_items, q_window_top_orders, q_window_running_sum,
+    # q_subquery_above_avg, q_set_ops, q_set_ops_all, q_conditional_agg
+    # .. q_window_rank_stats) rotate in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -137,7 +140,6 @@ _R04_STALE = (
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q14_promo_revenue",
-    "q18_large_orders",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

@@ -2071,3 +2071,145 @@ FROM b GROUP BY bin
 
 QUERIES["emb_norm_distribution"] = emb_norm_distribution
 ORACLES["emb_norm_distribution"] = ORACLE_EMB_NORM_DIST
+
+
+# --- persisted-index APPEND lifecycle ----------------------------------------
+
+IVF_APPEND_OFFSET = 1_000_000  # id-space shift for the appended batch
+IVF_APPEND_SHIFT = 0.25        # coordinate-0 shift decorrelating the batch
+
+
+def append_ivf_index(
+    spark: SparkSession, index_dir: str, batch_d: DataFrame
+) -> None:
+    """Assign a NEW batch of (vec_id, e) rows through the PERSISTED
+    codebook and append them to the cell-partitioned member table — the
+    index-maintenance half of the lifecycle: no refit, no touch of the
+    existing members, one zero-shuffle assignment projection over the
+    batch plus one partitioned append write. The production cadence is
+    build once / append per-ingest / refit only when the cell-balance
+    audit (sim_cell_balance) says the codebook has drifted."""
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    (
+        _kmeans_assign(batch_d, cents)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            "e",
+            F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
+        )
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_dir}/members.parquet")
+    )
+
+
+def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry face of index MAINTENANCE: build the IVF index,
+    append a derived batch (the corpus shifted to a disjoint id space
+    with coordinate 0 displaced by IVF_APPEND_SHIFT — deterministic, so
+    the oracle mirrors the derivation exactly), then answer the standard
+    query set through the merged on-disk index. What this adds over
+    sim_ivf_index_topk's round-trip: the appended members route through
+    the PERSISTED codebook (codebook serde -> assignment -> partitioned
+    append), and the query's partition pruning and top-k must see base
+    and appended cells as one table — candidates from the batch can and
+    do displace base candidates in the top-k.
+
+    Idempotence: the build overwrites the member table before the one
+    append, so repeated invocations (warm-up, parity, bench) see the
+    identical two-generation index. Exactness: +0.25 on a double and
+    the id offset are exact; assignment and scoring reuse the shared
+    fold expressions, so every value matches the unrolled oracle
+    bit-for-bit."""
+    import os
+
+    index_dir = os.path.join(
+        "/tmp/spark_graft_ivf_append_index",
+        os.path.basename(sf_dir.rstrip("/") or "sf"),
+    )
+    build_ivf_index(spark, sf_dir, index_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    batch = emb_d.select(
+        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+        F.expr(
+            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
+            " slice(e, 2, size(e) - 1))"
+        ).alias("e"),
+    )
+    append_ivf_index(spark, index_dir, batch)
+    return query_ivf_index(spark, sf_dir, index_dir)
+
+
+ORACLE_SIM_IVF_APPEND = f"""
+WITH {{ctes}},
+batch AS (
+  SELECT vec_id + {IVF_APPEND_OFFSET} AS vec_id,
+         list_prepend(e[1] + {IVF_APPEND_SHIFT}, e[2:]) AS e
+  FROM emb
+),
+scored_b AS (
+  SELECT batch.vec_id, c.cid, {{d2_batch}} AS d2
+  FROM batch CROSS JOIN cents1 c
+),
+assign_b AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+  FROM scored_b
+),
+members AS (
+  SELECT emb.vec_id, a2.cid AS cluster_id, emb.e,
+         {{nrm_base}} AS c_nrm
+  FROM (SELECT vec_id, cid FROM assign2 WHERE rn = 1) a2
+  JOIN emb USING (vec_id)
+  UNION ALL
+  SELECT batch.vec_id, ab.cid AS cluster_id, batch.e,
+         {{nrm_batch}} AS c_nrm
+  FROM (SELECT vec_id, cid FROM assign_b WHERE rn = 1) ab
+  JOIN batch USING (vec_id)
+),
+nq AS (
+  SELECT vec_id AS query_id, e AS q_emb,
+         {{nrm_q}} AS q_nrm
+  FROM emb WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, q_emb, q_nrm, cid AS cluster_id FROM (
+    SELECT nq.query_id, nq.q_emb, nq.q_nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY nq.query_id
+                              ORDER BY {{d2_q}} ASC,
+                                       c.cid ASC) AS rn
+    FROM nq CROSS JOIN cents1 c
+  ) WHERE rn <= {IVF_PROBES}
+),
+ivf_scored AS (
+  SELECT p.query_id, m.vec_id AS cand_id, m.cluster_id,
+         list_sum(list_transform(generate_series(1, len(p.q_emb)),
+            i -> p.q_emb[i] * m.e[i])) / (p.q_nrm * m.c_nrm) AS cosine
+  FROM probes p JOIN members m USING (cluster_id)
+  WHERE m.vec_id != p.query_id
+)
+SELECT query_id, rank, cand_id, cluster_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM ivf_scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _oracle_ivf_append() -> str:
+    return ORACLE_SIM_IVF_APPEND.format(
+        ctes=_KMEANS_CTES_SAMPLED,
+        d2_batch=_km_d2_duck("batch.e"),
+        d2_q=_km_d2_duck("nq.q_emb"),
+        nrm_base=_NRM_E_DUCK.format(a="emb.e"),
+        nrm_batch=_NRM_E_DUCK.format(a="batch.e"),
+        nrm_q=_NRM_E_DUCK.format(a="e"),
+    )
+
+
+QUERIES["sim_ivf_index_append"] = sim_ivf_index_append
+ORACLES["sim_ivf_index_append"] = _oracle_ivf_append()

@@ -876,3 +876,30 @@ def test_bpe_merge_pairs_vocab_scale_and_takeordered(spark, sf_dir):
     assert s.count("split(") == 1, f"split() x{s.count('split(')}:\n{s}"
     plan = _plan(spark, sf_dir, "text_bpe_merge_pairs")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivf_append_idempotent_merged_index(spark, sf_dir):
+    # The append lifecycle must be idempotent per invocation (the build
+    # overwrites the member table before the single append — a second
+    # run may not double the appended generation), the merged index must
+    # actually surface appended candidates in the top-k (not a vacuous
+    # union), and the read path keeps the probe-driven PARTITION pruning
+    # of the plain persisted-index query.
+    import re
+
+    from pyspark.sql import functions as F
+
+    from datafusion_loki_spark.operators.similarity import IVF_APPEND_OFFSET
+
+    first = {
+        (r.query_id, r.rank): r.cand_id
+        for r in _QUERIES["sim_ivf_index_append"](spark, sf_dir).collect()
+    }
+    second = {
+        (r.query_id, r.rank): r.cand_id
+        for r in _QUERIES["sim_ivf_index_append"](spark, sf_dir).collect()
+    }
+    assert first == second
+    assert any(c >= IVF_APPEND_OFFSET for c in first.values())
+    plan = _plan(spark, sf_dir, "sim_ivf_index_append")
+    assert re.search(r"members\.parquet\], PartitionFilters: \[[^\]]*IN\b", plan), plan

@@ -800,3 +800,97 @@ def near_dup_admission_stream(stream_docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- streaming IVF index ingest ----------------------------------------------
+
+
+def _ivf_ingest_batch_fn(index_dir: str):
+    """The foreachBatch body of ivf_ingest_stream, exposed so tests can
+    drive a replayed micro-batch directly (the exactly-once claim is a
+    property of THIS function, not of the stream wiring)."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from datafusion_loki_spark.operators.similarity import (
+            _NRM_E_SPARK,
+            _TO_DOUBLE,
+            _kmeans_assign,
+        )
+
+        spark_b = batch_df.sparkSession
+        cents = spark_b.read.parquet(f"{index_dir}/centroids.parquet")
+        batch_d = batch_df.select(
+            "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+        )
+        (
+            _kmeans_assign(batch_d, cents)
+            .select(
+                "vec_id",
+                F.col("cid").alias("cluster_id"),
+                "e",
+                F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
+                F.lit(batch_id).alias("gen"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen", "cluster_id")
+            .parquet(f"{index_dir}/members_ingest.parquet")
+        )
+
+    return _append
+
+
+def ivf_ingest_stream(
+    stream_vecs: DataFrame, index_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":  # noqa: F821 - pyspark.sql.streaming type
+    """Streaming half of the IVF maintenance lifecycle (batch half:
+    similarity.append_ivf_index): each micro-batch of (vec_id,
+    embedding) rows is assigned through the PERSISTED codebook — one
+    zero-shuffle broadcast projection, no refit — and lands in the
+    ingest member table as its own ``gen=<batch_id>`` partition.
+
+    Exactly-once despite foreachBatch's at-least-once contract: the
+    write is a DYNAMIC partition overwrite keyed by the deterministic
+    micro-batch id, so a replayed batch overwrites its own generation
+    and converges instead of double-appending (the same idempotence
+    class as rollup_to_parquet's keyed merge, but cheaper — ingest
+    generations are disjoint by construction, so no read-merge is
+    needed). Readers union base + ingest via ivf_members; the
+    cluster_id partition level keeps probe-driven pruning effective on
+    both tables. At 100 TB the per-batch cost is the batch's own rows
+    (assignment is a projection; the write touches only gen=<id> dirs)
+    — the codebook refit cadence stays a BATCH decision driven by the
+    sim_cell_balance audit, exactly like the reference pipeline."""
+    return (
+        stream_vecs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_ivf_ingest_batch_fn(index_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivf_members(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The merged member view of a maintained index: the build-time base
+    table plus every streamed ingest generation — (vec_id, cluster_id,
+    e, c_nrm), the contract _ivf_probe_and_score expects. A missing
+    ingest table (index never streamed into) is the empty case, not an
+    error."""
+    cols = ["vec_id", "cluster_id", "e", "c_nrm"]
+    base = spark.read.parquet(f"{index_dir}/members.parquet").select(*cols)
+    from pyspark.errors import AnalysisException
+
+    try:
+        ingest = spark.read.parquet(
+            f"{index_dir}/members_ingest.parquet"
+        ).select(*cols)
+    except AnalysisException as e:
+        cond = (
+            e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        )
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        return base
+    return base.unionByName(ingest)

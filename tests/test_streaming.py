@@ -973,3 +973,79 @@ def test_near_dup_stream_redelivery_emits_no_self_pair(spark, sf_dir, tmp_path):
     assert all(r.doc_id != r.prior_id for r in got)
     pairs = [(r.band_idx, r.prior_id, r.doc_id) for r in got]
     assert len(pairs) == len(set(pairs))  # no duplicate candidate rows
+
+
+def test_ivf_ingest_stream_appends_generations_exactly_once(spark, tmp_path):
+    # Streaming index maintenance: two micro-batches land as two gen=
+    # partitions via the persisted codebook; a REPLAYED batch id
+    # overwrites its own generation (exactly-once), and the merged
+    # member view serves streamed candidates through the standard probe
+    # path.
+    from datafusion_loki_spark.operators.similarity import (
+        IVF_APPEND_OFFSET,
+        N_QUERIES,
+        _TO_DOUBLE,
+        _ivf_probe_and_score,
+        build_ivf_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, "/root/testdata/sf0.001", index_dir)
+    base_n = spark.read.parquet(f"{index_dir}/members.parquet").count()
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "ingest_src")
+    # batch 1: EXACT clones of the first 40 vectors (cosine 1.0 against
+    # their originals — guaranteed to displace the top-k, making the
+    # final probe assertion deterministic); batch 2: shifted copies
+    for i, shift in enumerate((0.0, 0.5)):
+        (
+            emb.limit(40)
+            .select(
+                (F.col("vec_id") + IVF_APPEND_OFFSET * (i + 1)).alias("vec_id"),
+                F.expr(
+                    f"transform(embedding, (x, j) ->"
+                    f" IF(j = 0, x + cast({shift} as float), x))"
+                ).alias("embedding"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pipeline.ivf_ingest_stream(stream, index_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    merged = pipeline.ivf_members(spark, index_dir)
+    assert merged.count() == base_n + 80
+    gens = {
+        r.gen
+        for r in spark.read.parquet(
+            f"{index_dir}/members_ingest.parquet"
+        ).select("gen").distinct().collect()
+    }
+    assert len(gens) == 2
+
+    # replay batch 0's exact frame under its original batch id: the
+    # dynamic gen-partition overwrite must converge, not double-append
+    replay = spark.read.parquet(src).where(
+        F.col("vec_id") < IVF_APPEND_OFFSET * 2
+    )
+    pipeline._ivf_ingest_batch_fn(index_dir)(replay, sorted(gens)[0])
+    # re-derive: the overwrite invalidated the pre-replay file listing
+    merged = pipeline.ivf_members(spark, index_dir)
+    assert merged.count() == base_n + 80
+
+    # the merged view serves streamed members through the probe path
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    queries_d = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e"))
+        .where(F.col("vec_id") < N_QUERIES)
+    )
+    topk = _ivf_probe_and_score(queries_d, cents, merged)
+    assert topk.where(F.col("cand_id") >= IVF_APPEND_OFFSET).count() > 0

@@ -107,9 +107,12 @@ BENCH_QUERIES = [
     "corpus_data_card",
     # appended round 7 (final): the full persisted-index semantic-dedup
     # lifecycle (sample-fit train + index write + within-cell pair join)
-    # — the engine's only operator that pays a corpus WRITE per run, so
-    # its cost must be tracked separately from the fit-inline ANN pair
+    # — the engine's only operators that pay a corpus WRITE per run, so
+    # their cost must be tracked separately from the fit-inline ANN pair
     "dedup_semantic_cluster",
+    # build + codebook-routed batch append + merged-index query: the
+    # index MAINTENANCE cadence (two writes per run)
+    "sim_ivf_index_append",
 ]
 
 

@@ -2213,3 +2213,184 @@ def _oracle_ivf_append() -> str:
 
 QUERIES["sim_ivf_index_append"] = sim_ivf_index_append
 ORACLES["sim_ivf_index_append"] = _oracle_ivf_append()
+
+
+# --- IVF probe-count tuning curve --------------------------------------------
+
+PROBE_CURVE_MAX = 4  # sweep nprobe = 1..4 (half the K=8 test-scale cells)
+
+
+def sim_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k AND candidate cost as a function of the IVF probe count
+    — the tuning query for the nprobe knob (the IVF twin of
+    dedup_lsh_tuning_curve's band sweep): one row per nprobe in
+    1..PROBE_CURVE_MAX with the total candidates scored and the recall
+    against the exact brute-force top-k. This is the curve an ANN
+    deployment reads to pick the probes/recall trade before committing
+    a cluster to it (sim_recall_audit measures the ONE deployed
+    operating point; this measures the whole knob).
+
+    100 TB posture: the fit is the shared sample-fit k-means; the
+    corpus is scored ONCE at the WIDEST probe level (candidates carry
+    the probe RANK that admitted their cell), and the per-level top-k
+    comes from replaying each candidate into the levels >= its rank —
+    an explode of at most PROBE_CURVE_MAX small ints per candidate row,
+    never a re-scan per level (the naive sweep runs the corpus join
+    PROBE_CURVE_MAX times). The brute-force truth side is the one you
+    can only afford on a query SAMPLE at scale — which is how recall
+    curves are run (the bounded query set here IS that sample).
+    Exactness: hit counts are integer intersections; recall is one IEEE
+    division by the compile-time (queries x k) denominator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    assigned, cents = _kmeans_fit(
+        emb_d, emb_d.where(F.expr(_TRAIN_PRED_SPARK))
+    )
+    members = assigned.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        "e",
+        F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
+    )
+    queries_d = emb_d.where(F.col("vec_id") < N_QUERIES)
+    # probe routing with the probe RANK kept (posexplode of the sorted
+    # cell list — rank 1 = nearest centroid)
+    probes = (
+        queries_d.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("q_emb"),
+            F.expr(_NRM_E_SPARK.format(a="e")).alias("q_nrm"),
+            F.posexplode(
+                F.expr(
+                    "slice(array_sort(transform(cents,"
+                    f" c -> named_struct('d', {_KM_D2}, 'cid', c.cid))),"
+                    f" 1, {PROBE_CURVE_MAX})"
+                )
+            ).alias("pos", "pr"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.col("pr.cid").alias("cluster_id"),
+            (F.col("pos") + 1).alias("probe_rank"),
+        )
+    )
+    scored = (
+        members.join(F.broadcast(probes), "cluster_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            "probe_rank",
+            (
+                F.expr(_DOT_RAW.format(a="q_emb", b="e"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
+        )
+    )
+    # replay each candidate into every level that would have seen it
+    lvl = scored.select(
+        "query_id",
+        "cand_id",
+        "cosine",
+        F.explode(
+            F.expr(f"sequence(probe_rank, {PROBE_CURVE_MAX})")
+        ).alias("nprobe"),
+    )
+    w = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    topk = lvl.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= TOP_K
+    )
+    truth = sim_topk_cosine(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        topk.join(truth, ["query_id", "cand_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    cost = lvl.groupBy("nprobe").agg(
+        F.count("*").alias("total_candidates")
+    )
+    return (
+        cost.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            "total_candidates",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.lit(float(N_QUERIES * TOP_K))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _oracle_probe_recall_curve() -> str:
+    return f"""
+WITH {_KMEANS_CTES_SAMPLED},
+members AS (
+  SELECT emb.vec_id, a2.cid AS cluster_id, emb.e,
+         {_NRM_E_DUCK.format(a='emb.e')} AS c_nrm
+  FROM (SELECT vec_id, cid FROM assign2 WHERE rn = 1) a2
+  JOIN emb USING (vec_id)
+),
+nq AS (
+  SELECT vec_id AS query_id, e AS q_emb,
+         {_NRM_E_DUCK.format(a='e')} AS q_nrm
+  FROM emb WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, q_emb, q_nrm, cid AS cluster_id, rn AS probe_rank FROM (
+    SELECT nq.query_id, nq.q_emb, nq.q_nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY nq.query_id
+                              ORDER BY {_km_d2_duck('nq.q_emb')} ASC,
+                                       c.cid ASC) AS rn
+    FROM nq CROSS JOIN cents1 c
+  ) WHERE rn <= {PROBE_CURVE_MAX}
+),
+scored AS (
+  SELECT p.query_id, m.vec_id AS cand_id, p.probe_rank,
+         list_sum(list_transform(generate_series(1, len(p.q_emb)),
+            i -> p.q_emb[i] * m.e[i])) / (p.q_nrm * m.c_nrm) AS cosine
+  FROM probes p JOIN members m USING (cluster_id)
+  WHERE m.vec_id != p.query_id
+),
+lvl AS (
+  SELECT query_id, cand_id, cosine,
+         unnest(generate_series(probe_rank, {PROBE_CURVE_MAX})) AS nprobe
+  FROM scored
+),
+topk AS (
+  SELECT query_id, cand_id, nprobe FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, nprobe
+                                 ORDER BY cosine DESC, cand_id ASC) AS rank
+    FROM lvl
+  ) WHERE rank <= {TOP_K}
+),
+truth AS (
+  SELECT query_id, cand_id FROM ({ORACLE_SIM_TOPK}) t
+),
+hits AS (
+  SELECT nprobe, COUNT(*) AS n_hits
+  FROM topk JOIN truth USING (query_id, cand_id)
+  GROUP BY nprobe
+),
+cost AS (
+  SELECT nprobe, COUNT(*) AS total_candidates FROM lvl GROUP BY nprobe
+)
+SELECT cost.nprobe,
+       CAST(cost.total_candidates AS BIGINT) AS total_candidates,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
+         / {float(N_QUERIES * TOP_K)} AS recall_at_k
+FROM cost LEFT JOIN hits USING (nprobe)
+"""
+
+
+QUERIES["sim_probe_recall_curve"] = sim_probe_recall_curve
+ORACLES["sim_probe_recall_curve"] = _oracle_probe_recall_curve()

@@ -903,3 +903,14 @@ def test_ivf_append_idempotent_merged_index(spark, sf_dir):
     assert any(c >= IVF_APPEND_OFFSET for c in first.values())
     plan = _plan(spark, sf_dir, "sim_ivf_index_append")
     assert re.search(r"members\.parquet\], PartitionFilters: \[[^\]]*IN\b", plan), plan
+
+
+def test_probe_curve_scores_corpus_once(spark, sf_dir):
+    # The sweep must score candidates ONCE at the widest probe level and
+    # replay ranks into levels (explode of small ints) — never one
+    # corpus join per nprobe. Two cosine folds total: the IVF scoring
+    # join and the brute-force truth side.
+    s = _optimized(spark, sf_dir, "sim_probe_recall_curve")
+    assert s.count("zip_with") <= 2, f"zip_with x{s.count('zip_with')}:\n{s}"
+    plan = _plan(spark, sf_dir, "sim_probe_recall_curve")
+    assert "CartesianProduct" not in plan, plan

@@ -88,6 +88,9 @@ _R07_NEW = (
     # nprobe tuning curve: recall@k + candidate cost per probe level,
     # corpus scored once at the widest level (rank-replay explode)
     "sim_probe_recall_curve",
+    # cross-generation crawl diff: added/removed/changed/unchanged per
+    # source, fingerprints computed at the scan (text never shuffles)
+    "corpus_snapshot_diff",
 )
 
 _R07_CHANGED = (
@@ -108,12 +111,12 @@ _R07_CHANGED = (
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 29 fit this window, the tail 20
-    # (q14_promo_revenue, q18_large_orders, q19_bracket_filter,
-    # q5_local_supplier_volume, q10_returned_items, q_window_top_orders,
-    # q_window_running_sum, q_subquery_above_avg, q_set_ops,
-    # q_set_ops_all, q_conditional_agg .. q_window_rank_stats) rotate
-    # in r08
+    # last driver row r04; the first 28 fit this window, the tail 21
+    # (q17_small_quantity_revenue, q14_promo_revenue, q18_large_orders,
+    # q19_bracket_filter, q5_local_supplier_volume, q10_returned_items,
+    # q_window_top_orders, q_window_running_sum, q_subquery_above_avg,
+    # q_set_ops, q_set_ops_all, q_conditional_agg ..
+    # q_window_rank_stats) rotate in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -142,7 +145,6 @@ _R04_STALE = (
     "q7_nation_volume",
     "q9_product_profit",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

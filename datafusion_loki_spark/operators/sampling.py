@@ -773,3 +773,83 @@ GROUP BY CUBE (d.source, d.lang)
 
 QUERIES["corpus_data_card"] = corpus_data_card
 ORACLES["corpus_data_card"] = _oracle_data_card()
+
+
+# --- cross-generation corpus snapshot diff -----------------------------------
+
+# md5-bucket windows deriving two overlapping deterministic "crawl
+# generations" from the one fixture corpus (same compile-time-constant
+# contract as the sampling predicates): the previous generation is
+# buckets [00, c0), the current is [40, ff]; the slice [80, c0) of the
+# overlap ships with revised text in the current generation.
+_SNAP_BUCKET = "substring(md5(cast(doc_id as string)), 1, 2)"
+_SNAP_BUCKET_DUCK = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-generation corpus diff — the crawl-ops query every refresh
+    runs before re-training: per source, how many documents were ADDED,
+    REMOVED, CHANGED (same id, different content fingerprint), or
+    UNCHANGED between the previous and current generation. The two
+    generations are deterministic md5-bucket derivations of the fixture
+    corpus (the oracle mirrors the windows in lockstep), with a revised
+    slice so every status class is non-empty.
+
+    100 TB posture: each side reduces to (doc_id, source, fingerprint)
+    AT THE SCAN — the md5 content fingerprint is computed in the scan
+    projection, so document text never reaches the diff join; the
+    full-outer join shuffles two narrow frames on the uniform doc_id
+    key (co-partitionable / AQE-splittable), and the per-(source,
+    status) rollup is map-side combined. This is the diff topology that
+    survives two 100 TB generations: bytes stay in the scans,
+    fingerprints travel."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SNAP_BUCKET)
+    prev = docs.where(bucket < "c0").select(
+        "doc_id", "source", F.expr("md5(text)").alias("fp_prev")
+    )
+    cur = docs.where(bucket >= "40").select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"md5(if({_SNAP_BUCKET} >= '80' and {_SNAP_BUCKET} < 'c0',"
+            " concat(text, ' rev2'), text))"
+        ).alias("fp_cur"),
+    )
+    status = (
+        F.when(F.col("fp_prev").isNull(), F.lit("added"))
+        .when(F.col("fp_cur").isNull(), F.lit("removed"))
+        .when(F.col("fp_prev") == F.col("fp_cur"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        prev.join(cur, ["doc_id", "source"], "full_outer")
+        .select("source", status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH prev AS (
+  SELECT doc_id, source, md5(text) AS fp_prev
+  FROM documents WHERE {_SNAP_BUCKET_DUCK} < 'c0'
+), cur AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN {_SNAP_BUCKET_DUCK} >= '80'
+                   AND {_SNAP_BUCKET_DUCK} < 'c0'
+             THEN text || ' rev2' ELSE text END) AS fp_cur
+  FROM documents WHERE {_SNAP_BUCKET_DUCK} >= '40'
+)
+SELECT COALESCE(prev.source, cur.source) AS source,
+       CASE WHEN prev.doc_id IS NULL THEN 'added'
+            WHEN cur.doc_id IS NULL THEN 'removed'
+            WHEN fp_prev = fp_cur THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       COUNT(*) AS n_docs
+FROM prev FULL OUTER JOIN cur USING (doc_id, source)
+GROUP BY 1, 2
+"""
+
+QUERIES["corpus_snapshot_diff"] = corpus_snapshot_diff
+ORACLES["corpus_snapshot_diff"] = ORACLE_SNAPSHOT_DIFF

@@ -914,3 +914,14 @@ def test_probe_curve_scores_corpus_once(spark, sf_dir):
     assert s.count("zip_with") <= 2, f"zip_with x{s.count('zip_with')}:\n{s}"
     plan = _plan(spark, sf_dir, "sim_probe_recall_curve")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_snapshot_diff_fingerprints_at_scan(spark, sf_dir):
+    # The diff join must carry only (doc_id, source, fingerprint) — the
+    # md5 content fingerprint is computed in the scan-side projection,
+    # so document TEXT never crosses an exchange.
+    plan = _plan(spark, sf_dir, "corpus_snapshot_diff")
+    assert "CartesianProduct" not in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln, ln

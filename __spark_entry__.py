@@ -45,7 +45,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT's #1 — they were registered after the r06 window was pinned),
 # then entries whose implementation CHANGED this round (their plans and
 # output must re-earn a driver row), then the stalest tail — the entries
-# whose last driver row is r04. The 11-entry r04 remainder rotates in r08;
+# whose last driver row is r04. Each round-7 registration displaced one
+# r04-stale slot, so the r04 remainder grew to the 21-entry tail listed
+# at _R04_STALE (all rotate in r08 — they fit in one window with room
+# for r08's own new/changed entries);
 # everything outside the window stays covered by the local all-query
 # DuckDB parity suite (tests/test_parity.py). The structural guard that
 # late additions can never miss a window again is

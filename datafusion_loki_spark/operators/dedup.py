@@ -1686,7 +1686,11 @@ def _semantic_pairs(members: DataFrame) -> DataFrame:
         F.col("e").alias("e_b"),
         F.col("c_nrm").alias("nrm_b"),
     )
-    dot = "aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
+    from datafusion_loki_spark.operators.similarity import _DOT_RAW
+
+    # the shared fold (similarity._DOT_RAW) is the bit-for-bit
+    # oracle-parity anchor — never restate it inline
+    dot = _DOT_RAW.format(a="e_a", b="e_b")
     return (
         salted_join(a, b, on=["cluster_id"], n_salts=8, salt_cols=["id_a"])
         .where(F.col("id_a") < F.col("id_b"))

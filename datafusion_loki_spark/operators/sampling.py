@@ -805,8 +805,14 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints travel."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(_SNAP_BUCKET)
+    # generation membership rides its own literal flag: inferring
+    # presence from fingerprint nullness would misclassify a NULL-text
+    # document (md5(NULL) is NULL) as absent from a generation it is in
     prev = docs.where(bucket < "c0").select(
-        "doc_id", "source", F.expr("md5(text)").alias("fp_prev")
+        "doc_id",
+        "source",
+        F.expr("md5(text)").alias("fp_prev"),
+        F.lit(1).alias("in_prev"),
     )
     cur = docs.where(bucket >= "40").select(
         "doc_id",
@@ -815,11 +821,14 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"md5(if({_SNAP_BUCKET} >= '80' and {_SNAP_BUCKET} < 'c0',"
             " concat(text, ' rev2'), text))"
         ).alias("fp_cur"),
+        F.lit(1).alias("in_cur"),
     )
+    # null-safe fingerprint equality (<=>): two NULL-text generations of
+    # a doc are the same content, not a change
     status = (
-        F.when(F.col("fp_prev").isNull(), F.lit("added"))
-        .when(F.col("fp_cur").isNull(), F.lit("removed"))
-        .when(F.col("fp_prev") == F.col("fp_cur"), F.lit("unchanged"))
+        F.when(F.col("in_prev").isNull(), F.lit("added"))
+        .when(F.col("in_cur").isNull(), F.lit("removed"))
+        .when(F.col("fp_prev").eqNullSafe(F.col("fp_cur")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return (
@@ -844,7 +853,7 @@ WITH prev AS (
 SELECT COALESCE(prev.source, cur.source) AS source,
        CASE WHEN prev.doc_id IS NULL THEN 'added'
             WHEN cur.doc_id IS NULL THEN 'removed'
-            WHEN fp_prev = fp_cur THEN 'unchanged'
+            WHEN fp_prev IS NOT DISTINCT FROM fp_cur THEN 'unchanged'
             ELSE 'changed' END AS status,
        COUNT(*) AS n_docs
 FROM prev FULL OUTER JOIN cur USING (doc_id, source)

@@ -2304,29 +2304,31 @@ def sim_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id", "nprobe").orderBy(
         F.desc("cosine"), F.asc("cand_id")
     )
-    topk = lvl.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= TOP_K
-    )
     truth = sim_topk_cosine(spark, sf_dir).select("query_id", "cand_id")
-    hits = (
-        topk.join(truth, ["query_id", "cand_id"])
-        .groupBy("nprobe")
-        .agg(F.count("*").alias("n_hits"))
+    # ONE pass over the leveled candidate frame: rank within each level,
+    # flag truth membership with a left join (truth pairs are unique, so
+    # the join preserves row counts), and aggregate cost + hits in the
+    # same groupBy — two consumer branches would re-execute the whole
+    # members-probes join and the assignment feeding it (no cross-branch
+    # subtree reuse; the localCheckpoint covers only the 1-row codebook)
+    ranked = lvl.withColumn("rank", F.row_number().over(w)).join(
+        truth.withColumn("hit", F.lit(1)), ["query_id", "cand_id"], "left"
     )
-    cost = lvl.groupBy("nprobe").agg(
-        F.count("*").alias("total_candidates")
-    )
-    return (
-        cost.join(hits, "nprobe", "left")
-        .select(
-            "nprobe",
-            "total_candidates",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            (
-                F.coalesce("n_hits", F.lit(0)).cast("double")
-                / F.lit(float(N_QUERIES * TOP_K))
-            ).alias("recall_at_k"),
-        )
+    return ranked.groupBy("nprobe").agg(
+        F.count("*").alias("total_candidates"),
+        F.sum(
+            F.when(
+                (F.col("rank") <= TOP_K) & F.col("hit").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_hits"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("rank") <= TOP_K) & F.col("hit").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.lit(float(N_QUERIES * TOP_K))
+        ).alias("recall_at_k"),
     )
 
 

@@ -119,10 +119,51 @@ def label_matcher(key: str, op: str, value: str | None) -> str:
 import re as _re_mod
 
 RE2_UNSUPPORTED = _re_mod.compile(
-    r"\\\d|\(\?=|\(\?!|\(\?<|\(\?>|(?<!\\)[*+?]\+|\{\d+(,\d*)?\}\+|&&"
+    r"\\\d|\(\?=|\(\?!|\(\?<|\(\?>|(?<!\\)[*+?]\+|\{\d+(,\d*)?\}\+"
     r"|\\[QGZvhHVRecu]|\$|\\[pP]\{[A-Za-z]{3,}"
     r"|\(\?[a-zA-Z]*[xudU]|\[[^\]]*\["
 )
+
+
+def _amp_amp_in_class(scan: str) -> bool:
+    """True iff ``&&`` occurs inside a character class. Outside a class
+    Java and RE2 agree ('&&' is two literal ampersands); inside, Java
+    means intersection and RE2 literals — silently divergent, so only
+    the in-class case must block the push. ``scan`` must already have
+    escaped-backslash pairs neutralized (see re2_unsupported), so a
+    remaining backslash always escapes the NEXT char; nested classes
+    never reach here (RE2_UNSUPPORTED blocks them first). Errs toward
+    in-class on any parse doubt — over-blocking only costs pruning."""
+    in_class = False
+    i = 0
+    while i < len(scan):
+        c = scan[i]
+        if c == "\\":
+            i += 2
+            continue
+        if not in_class and c == "[":
+            in_class = True
+        elif in_class and c == "]":
+            in_class = False
+        elif in_class and scan.startswith("&&", i):
+            return True
+        i += 1
+    return False
+
+
+def re2_unsupported(rx: str) -> bool:
+    """Whether ``rx`` (a Java/Spark-RLIKE pattern) uses constructs whose
+    meaning Loki's RE2 cannot reproduce — the push gate. Escaped
+    backslash PAIRS are neutralized before scanning: the raw text scan
+    otherwise both misses real constructs (``\\\\*+`` — a possessive
+    quantifier on an escaped-backslash literal, hidden from the
+    ``(?<!\\\\)`` lookbehind by the pair's second backslash; RE2 rejects
+    the pushed selector) and false-blocks pushable ones (``\\\\c`` —
+    an escaped backslash then a literal 'c', not Java's \\cX)."""
+    scan = _re_mod.sub(r"\\\\", "x", rx)
+    if RE2_UNSUPPORTED.search(scan) is not None:
+        return True
+    return _amp_amp_in_class(scan)
 
 
 def regex_label_matcher(key: str, rx: str, negate: bool = False) -> str:
@@ -139,7 +180,7 @@ def regex_label_matcher(key: str, rx: str, negate: bool = False) -> str:
     (this is an explicit API — fail loudly rather than push a selector
     the store rejects or misreads). Callers who want verbatim Loki
     fullmatch semantics pass a raw selector body string instead."""
-    if RE2_UNSUPPORTED.search(rx) is None:
+    if not re2_unsupported(rx):
         return label_matcher(
             key, "!~" if negate else "=~", f"(?s:.*)(?:{rx})(?s:.*)"
         )

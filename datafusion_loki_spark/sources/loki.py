@@ -118,6 +118,21 @@ def _ts_ns_ints(table):
     return col
 
 
+def _ts_us_col(col, tz=None):
+    """A wire timestamp column (TIMESTAMP of any unit, or the int64-ns
+    encoding) as timestamp('us'[, tz]) — the ONE Spark-facing conversion
+    shared by the batch reader and the streaming tail. The int64 branch
+    must divide, not cast: reinterpreting ns counts as µs puts every row
+    ~1000x in the future (the batch/streaming divergence class the
+    shared pager exists to prevent)."""
+    import pyarrow as pa
+
+    target = pa.timestamp("us", tz) if tz else pa.timestamp("us")
+    if pa.types.is_timestamp(col.type):
+        return col.cast(target, safe=False)
+    return pa.compute.divide(col, 1000).cast(pa.int64()).cast(target)
+
+
 def _page_tables(endpoint, query, start_ns, end_ns, page_limit, columns=None):
     """Yield pyarrow Tables covering [start_ns, end_ns) under the
     withhold-max-timestamp paging protocol — the ONE implementation
@@ -304,15 +319,9 @@ class LokiDataSourceReader(DataSourceReader):
         for name in self.columns:
             col = batch.column(name)
             if name == "timestamp":
-                if pa.types.is_timestamp(col.type) and col.type.unit == "ns":
-                    # ns → µs for Spark TimestampType (SURVEY.md §7.4.1)
-                    col = col.cast(pa.timestamp("us"), safe=False)
-                elif pa.types.is_integer(col.type):
-                    col = (
-                        pa.compute.divide(col, 1000)
-                        .cast(pa.int64())
-                        .cast(pa.timestamp("us"))
-                    )
+                # ns (or any wire unit) → µs for Spark TimestampType
+                # (SURVEY.md §7.4.1); int64-ns wire divides, never casts
+                col = _ts_us_col(col)
             arrays.append(col)
         return pa.RecordBatch.from_arrays(arrays, names=list(self.columns))
 
@@ -510,13 +519,10 @@ class LokiStreamReader(SimpleDataSourceStreamReader):
     @staticmethod
     def _rows(table):
         """Arrow page → python rows. ns → µs (Spark TimestampType
-        precision), tz-aware datetimes so the pickle row path converts
-        cleanly."""
-        import pyarrow as pa
-
-        ts_col = table.column("timestamp").cast(
-            pa.timestamp("us", tz="UTC"), safe=False
-        )
+        precision) via the shared wire-unit dispatch (_ts_us_col — an
+        int64-ns wire must divide, not be reinterpreted as µs), tz-aware
+        datetimes so the pickle row path converts cleanly."""
+        ts_col = _ts_us_col(table.column("timestamp"), tz="UTC")
         rows = []
         for ts, labels, line in zip(
             ts_col.to_pylist(),

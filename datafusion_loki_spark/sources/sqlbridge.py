@@ -85,7 +85,7 @@ _TS = re.compile(
 # such regexes stay Spark-side (the ref pushes unconditionally, expr.rs:63,
 # and would hit the same store error; we choose the quieter degradation).
 # The gate itself is shared with the loki_table tuple-matcher route.
-from datafusion_loki_spark.sources.logql import RE2_UNSUPPORTED as _RE2_UNSUPPORTED
+from datafusion_loki_spark.sources.logql import re2_unsupported as _re2_unsupported
 
 # statement shapes under which SQL LIMIT bounds a reordering / row-
 # multiplicity-changing operator's OUTPUT, so the scan INPUT must not be
@@ -283,7 +283,7 @@ def extract_pushdown(sql: str) -> PushdownSpec:
         cm = _LABEL_RLIKE.match(conj)
         if cm:
             rx = _unquote(cm.group(3))
-            if _RE2_UNSUPPORTED.search(rx) is None:
+            if not _re2_unsupported(rx):
                 op = "!~" if cm.group(2) else "=~"
                 # ≙ expr.rs:40-41 (=~ / !~ selector terms), with one
                 # deliberate delta: Loki label-regex matchers are FULLY
@@ -332,7 +332,7 @@ def extract_pushdown(sql: str) -> PushdownSpec:
             rx = _unquote(cm.group(2))
             stage = (
                 line_regex(rx, negate=cm.group(1) is not None)
-                if _RE2_UNSUPPORTED.search(rx) is None
+                if not _re2_unsupported(rx)
                 else None
             )
             if stage is not None:

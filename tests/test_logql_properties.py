@@ -215,14 +215,24 @@ def test_regex_label_matcher_blocks_java_only_syntax():
         "a*+",            # possessive quantifier
         "x{2,3}+",        # possessive interval
         "[a-z&&[^bc]]",   # char-class intersection (RE2: literal &&)
+        "[a&&b]",         # in-class && without nesting — still Java-only
         r"\Qa.b\E",     # quoting
         "suf$",           # Java $ matches before a trailing newline
         r"\p{Alpha}",    # Java-only POSIX class name
+        r"\\*+",         # possessive quantifier on an ESCAPED-backslash
+                          # literal — the raw-text lookbehind scan missed
+                          # it (the pair's 2nd backslash shadowed it)
+        r"\\$",          # trailing-newline-sensitive $ after escaped \\
     ):
         with pytest.raises(ValueError):
             regex_label_matcher("app", rx)
     for rx in ("a.?b", "x[0-9]{2,3}", "^pre", "(ab|cd)", r"\p{L}+",
-               r"\p{Lu}\p{Ll}+", r"a\*+", "(?i)abc", "foo`bar"):
+               r"\p{Lu}\p{Ll}+", r"a\*+", "(?i)abc", "foo`bar",
+               # outside a character class '&&' is two literal
+               # ampersands in BOTH Java and RE2 — pushable
+               "a&&b", "[ab]c&&d",
+               # escaped backslash + literal letter, not Java \c/\u
+               r"\\c", r"\\u1234", r"\\"):
         assert regex_label_matcher("app", rx).startswith('app=~"')
 
 

@@ -88,3 +88,42 @@ def test_page_tables_empty_window_no_requests(monkeypatch):
     monkeypatch.setattr(loki_mod.loki_client, "query_range", boom)
     assert list(_page_tables("ep", "{}", 10, 10, 3)) == []
     assert list(_page_tables("ep", "{}", 20, 10, 3)) == []
+
+
+def _table_i64(ts_ns_values):
+    return pa.table(
+        {
+            "timestamp": pa.array(ts_ns_values, pa.int64()),
+            "labels": [[("app", "a")] for _ in ts_ns_values],
+            "line": [f"l{v}" for v in ts_ns_values],
+        }
+    )
+
+
+def _table_ns(ts_ns_values):
+    return pa.table(
+        {
+            "timestamp": pa.array(ts_ns_values, pa.timestamp("ns")),
+            "labels": [[("app", "a")] for _ in ts_ns_values],
+            "line": [f"l{v}" for v in ts_ns_values],
+        }
+    )
+
+
+def test_stream_rows_normalize_int64_ns_wire():
+    # The streaming tail's row conversion must run the SAME wire-unit
+    # dispatch as the batch reader: on the int64-ns encoding a raw
+    # cast-to-timestamp('us') reinterprets ns counts as µs and puts
+    # every streamed row ~1000x in the future while the batch read of
+    # the identical page is correct — the silent batch/streaming
+    # divergence the shared pager exists to prevent.
+    from datafusion_loki_spark.sources.loki import LokiStreamReader
+
+    vals = [5 * NS, 6 * NS]
+    for make in (_table_ns, _table_i64):
+        rows = LokiStreamReader._rows(make(vals))
+        got_ns = [
+            int(ts.timestamp() * 1_000_000) * 1000 for ts, _, _ in rows
+        ]
+        assert got_ns == vals, (make.__name__, got_ns)
+        assert all(ts.year == 1970 for ts, _, _ in rows)

@@ -1656,14 +1656,12 @@ def _semantic_index_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_nrm) — the shared entry point of the semantic-dedup consumers, so
     the sample-fit k-means DAG executes exactly once per call however
     many frames read the members back."""
-    import os
-
-    from datafusion_loki_spark.operators.similarity import build_ivf_index
-
-    index_dir = os.path.join(
-        "/tmp/spark_graft_semdedup_index",
-        os.path.basename(sf_dir.rstrip("/") or "sf"),
+    from datafusion_loki_spark.operators.similarity import (
+        build_ivf_index,
+        scratch_index_dir,
     )
+
+    index_dir = scratch_index_dir(spark, sf_dir, "semdedup")
     build_ivf_index(spark, sf_dir, index_dir)
     return spark.read.parquet(f"{index_dir}/members.parquet")
 

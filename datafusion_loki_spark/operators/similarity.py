@@ -1130,6 +1130,27 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scratch_index_dir(spark: SparkSession, sf_dir: str, family: str) -> str:
+    """Scratch directory for a registry query's persisted index: keyed
+    by the ABSOLUTE dataset path (two datasets whose basenames collide —
+    .../a/sf0.1 vs .../b/sf0.1 — must never share an index) and by the
+    Spark application id (two concurrent sessions — parallel pytest
+    workers, a bench run beside a driver run — must never race one
+    directory's overwrite against the other's scan). Deterministic
+    within a session, which is all the build-then-query lifecycle needs;
+    every build overwrites, so cross-session reuse was never real."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(
+        "/tmp/spark_graft_indexes",
+        family,
+        spark.sparkContext.applicationId,
+        f"{os.path.basename(sf_dir.rstrip('/') or 'sf')}-{key}",
+    )
+
+
 def _ivf_probes(queries_d: DataFrame, cents: DataFrame) -> DataFrame:
     """(query_id, q_emb, q_nrm, cluster_id): each query routed to its
     IVF_PROBES nearest centroids — queries × probes rows, broadcast-sized
@@ -1153,13 +1174,19 @@ def _ivf_probes(queries_d: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _ivf_probe_and_score(
-    queries_d: DataFrame, cents: DataFrame, members: DataFrame
+    queries_d: DataFrame, cents: DataFrame, members: DataFrame,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF read path, shared by the fit-inline operator and the
     persisted-index query: probe routing → broadcast candidate join
     against the probed cells' members → exact cosine → per-query top-k.
-    ``members`` must carry (vec_id, cluster_id, e, c_nrm)."""
-    probes = _ivf_probes(queries_d, cents)
+    ``members`` must carry (vec_id, cluster_id, e, c_nrm). A caller
+    that already evaluated the probe frame (query_ivf_index collects
+    the probed-cell set for partition pruning) passes it in so the
+    routing cross-join and the query-side scan run once, not once per
+    consumer."""
+    if probes is None:
+        probes = _ivf_probes(queries_d, cents)
     scored = (
         members.join(F.broadcast(probes), "cluster_id")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1235,19 +1262,21 @@ def query_ivf_index(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
     ).where(F.col("vec_id") < N_QUERIES)
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    # materialize the probe frame ONCE (queries x IVF_PROBES rows): both
+    # the driver-side probed-cell set below and the scorer's broadcast
+    # side read it — un-checkpointed, each consumer would re-run the
+    # routing cross-join AND the query-side corpus scan feeding it
+    probes = _ivf_probes(queries_d, cents).localCheckpoint(eager=True)
     probed = {
         r.cluster_id
-        for r in _ivf_probes(queries_d, cents)
-        .select("cluster_id")
-        .distinct()
-        .collect()
+        for r in probes.select("cluster_id").distinct().collect()
     }
     members = (
         spark.read.parquet(f"{index_dir}/members.parquet")
         .where(F.col("cluster_id").isin(*probed))
         .select("vec_id", "cluster_id", "e", "c_nrm")
     )
-    return _ivf_probe_and_score(queries_d, cents, members)
+    return _ivf_probe_and_score(queries_d, cents, members, probes=probes)
 
 
 def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1260,12 +1289,7 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook serde, partitioned member layout, probe-driven partition
     pruning, and norm persistence all sit between the scan and the
     answer."""
-    import os
-
-    index_dir = os.path.join(
-        "/tmp/spark_graft_ivf_index",
-        os.path.basename(sf_dir.rstrip("/") or "sf"),
-    )
+    index_dir = scratch_index_dir(spark, sf_dir, "ivf")
     build_ivf_index(spark, sf_dir, index_dir)
     return query_ivf_index(spark, sf_dir, index_dir)
 
@@ -2122,12 +2146,7 @@ def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     the id offset are exact; assignment and scoring reuse the shared
     fold expressions, so every value matches the unrolled oracle
     bit-for-bit."""
-    import os
-
-    index_dir = os.path.join(
-        "/tmp/spark_graft_ivf_append_index",
-        os.path.basename(sf_dir.rstrip("/") or "sf"),
-    )
+    index_dir = scratch_index_dir(spark, sf_dir, "ivf_append")
     build_ivf_index(spark, sf_dir, index_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     emb_d = emb.select(

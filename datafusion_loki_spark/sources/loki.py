@@ -133,11 +133,15 @@ def _ts_us_col(col, tz=None):
     return pa.compute.divide(col, 1000).cast(pa.int64()).cast(target)
 
 
-def _page_tables(endpoint, query, start_ns, end_ns, page_limit, columns=None):
+def _page_tables(
+    endpoint, query, start_ns, end_ns, page_limit, columns=None, max_rows=None
+):
     """Yield pyarrow Tables covering [start_ns, end_ns) under the
     withhold-max-timestamp paging protocol — the ONE implementation
-    shared by the batch reader and the streaming tail (a fix applied to
-    one copy used to silently diverge batch vs streaming semantics).
+    shared by the batch reader (bounded and user-LIMIT scans alike) and
+    the streaming tail (a fix applied to one copy used to silently
+    diverge batch vs streaming semantics; the user-limit path was the
+    last inline copy of the protocol, folded in via ``max_rows``).
 
     Each page asks for ``page_limit`` rows (direction=forward); a full
     page means more data may remain, so rows carrying the page's maximum
@@ -148,7 +152,14 @@ def _page_tables(endpoint, query, start_ns, end_ns, page_limit, columns=None):
     emitted as-is and the scan steps 1 ns past it — the one truncation
     case left, flagged here rather than hit silently. Degenerate ranges
     (end <= start) yield nothing without touching the store (real Loki
-    rejects an inverted query_range with HTTP 400)."""
+    rejects an inverted query_range with HTTP 400).
+
+    ``max_rows`` (a pushed-down LIMIT) caps the total rows emitted:
+    each page asks for min(page_limit, remaining); a full page of
+    size ask < page_limit is exactly the remaining rows and finishes
+    the scan WITHOUT the withhold step (forward order makes the first
+    `max_rows` rows the right ones — the boundary re-read matters only
+    when the scan continues past the page)."""
     import io
 
     import pyarrow as pa
@@ -160,25 +171,36 @@ def _page_tables(endpoint, query, start_ns, end_ns, page_limit, columns=None):
     if columns is not None:
         page_cols = list(dict.fromkeys(list(columns) + ["timestamp"]))
     cur = start_ns
+    remaining = max_rows
     while True:
-        body = loki_client.query_range(endpoint, query, cur, end_ns, page_limit)
+        ask = page_limit if remaining is None else min(page_limit, remaining)
+        if ask <= 0:
+            return
+        body = loki_client.query_range(endpoint, query, cur, end_ns, ask)
         if not body:
             return
         table = pq.ParquetFile(io.BytesIO(body)).read(columns=page_cols)
         if table.num_rows == 0:
             return
-        if table.num_rows < page_limit:
-            yield table  # final page
+        if table.num_rows < ask or ask < page_limit:
+            # store exhausted, or a full page of exactly the remaining
+            # rows — either way this finishes the scan
+            yield table
             return
         ts = _ts_ns_ints(table)
         max_ts = pa.compute.max(ts).as_py()
         min_ts = pa.compute.min(ts).as_py()
         if max_ts == min_ts:
-            yield table  # degenerate full page at one ns: step past
+            emit = table  # degenerate full page at one ns: step past
             cur = max_ts + 1
         else:
-            yield table.filter(pa.compute.less(ts, pa.scalar(max_ts)))
+            emit = table.filter(pa.compute.less(ts, pa.scalar(max_ts)))
             cur = max_ts
+        yield emit
+        if remaining is not None:
+            remaining -= emit.num_rows
+            if remaining <= 0:
+                return
         if cur >= end_ns:
             return
 
@@ -343,12 +365,10 @@ class LokiDataSourceReader(DataSourceReader):
         limit > max_entries_limit_per_query is an HTTP 400 on real Loki
         (the emulator is more permissive), so each page asks for
         min(page_limit, remaining) and the forward-ordered pages
-        accumulate exactly the first `limit` rows."""
-        import io
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
+        accumulate exactly the first `limit` rows — the SAME shared
+        pager, with the row budget threaded through ``max_rows`` (the
+        limit path used to carry its own inline copy of the protocol,
+        which is exactly the divergence class _page_tables closed)."""
         if partition.end_ns <= partition.start_ns:
             return
         query = logql.build_logql(
@@ -356,46 +376,6 @@ class LokiDataSourceReader(DataSourceReader):
             self.option_line_filters + self.line_filters,
             self.default_label,
         )
-        if self.limit is not None:
-            remaining = self.limit
-            cur = partition.start_ns
-            page_cols = list(dict.fromkeys(list(self.columns) + ["timestamp"]))
-            while remaining > 0:
-                ask = min(self.page_limit, remaining)
-                body = loki_client.query_range(
-                    self.endpoint, query, cur, partition.end_ns, ask
-                )
-                if not body:
-                    return
-                table = pq.ParquetFile(io.BytesIO(body)).read(columns=page_cols)
-                if table.num_rows == 0:
-                    return
-                if table.num_rows < ask or ask < self.page_limit:
-                    # store exhausted, or a full page of exactly the
-                    # remaining rows — either way this finishes the scan
-                    emit = table
-                    remaining = 0
-                else:
-                    # ask == page_limit <= remaining: boundary protocol
-                    ts = _ts_ns_ints(table)
-                    max_ts = pa.compute.max(ts).as_py()
-                    if max_ts == pa.compute.min(ts).as_py():
-                        emit = table
-                        cur = max_ts + 1
-                    else:
-                        emit = table.filter(
-                            pa.compute.less(ts, pa.scalar(max_ts))
-                        )
-                        cur = max_ts
-                    remaining -= emit.num_rows
-                for batch in emit.select(list(self.columns)).to_batches(
-                    max_chunksize=4096
-                ):
-                    yield self._convert_batch(batch)
-                if cur >= partition.end_ns:
-                    return
-            return
-
         for table in _page_tables(
             self.endpoint,
             query,
@@ -403,6 +383,7 @@ class LokiDataSourceReader(DataSourceReader):
             partition.end_ns,
             self.page_limit,
             self.columns,
+            max_rows=self.limit,
         ):
             for batch in table.select(list(self.columns)).to_batches(
                 max_chunksize=4096

@@ -719,8 +719,18 @@ def _near_dup_fn(
     """Kernel for one (band_idx, band_key) bucket: state = the doc_ids
     most recently seen in this bucket (FIFO, capped); each arriving doc
     emits one candidate row per retained prior occupant, then joins the
-    state. A doc_id already present is a source replay (at-least-once
-    upstream) and emits nothing — re-delivery cannot manufacture pairs."""
+    state. A doc_id still RETAINED in the FIFO is a source replay
+    (at-least-once upstream) and emits nothing. The guard is scoped to
+    the retention window by construction: a replay arriving after its
+    doc was FIFO-evicted (>= NEAR_DUP_STATE_CAP newer occupants in a hot
+    bucket) re-admits it and re-emits candidate rows against the current
+    occupants — with CAPPED state no stream operator can distinguish
+    that from a genuinely new doc. The output contract absorbs this:
+    candidate pairs are a RECALL superset handed to idempotent verify
+    stages (ngram-Jaccard / edit distance dedup by pair key), so
+    duplicate or role-flipped candidates cost re-verification, never
+    wrong keep/drop decisions (pinned by
+    test_near_dup_redelivery_after_eviction_is_superset_only)."""
     import pandas as pd
 
     band_idx, band_key = key

@@ -127,3 +127,41 @@ def test_stream_rows_normalize_int64_ns_wire():
         ]
         assert got_ns == vals, (make.__name__, got_ns)
         assert all(ts.year == 1970 for ts, _, _ in rows)
+
+
+def test_page_tables_max_rows_budget(monkeypatch):
+    # The pushed-down LIMIT rides the shared pager: pages ask for
+    # min(page_limit, remaining), the total never exceeds max_rows, a
+    # full page of exactly-remaining rows finishes WITHOUT the withhold
+    # step (forward order makes the first N rows the right ones), and
+    # the boundary protocol still holds while the scan continues.
+    # 10 distinct-second rows + a 3-row single-ns tail (exactly
+    # page_limit — MORE than page_limit in one ns is the documented
+    # truncation case, not this test's subject)
+    rows = [(i + 1) * NS for i in range(10)] + [20 * NS] * 3
+    asks = []
+
+    def fake_query_range(endpoint, query, start_ns, end_ns, limit):
+        asks.append(limit)
+        keep = [v for v in sorted(rows) if start_ns <= v < end_ns][:limit]
+        return _parquet_bytes(_table_us(keep)) if keep else b""
+
+    monkeypatch.setattr(loki_mod.loki_client, "query_range", fake_query_range)
+
+    def run(max_rows, page_limit=3):
+        asks.clear()
+        got = []
+        for t in _page_tables("ep", "{}", 0, 100 * NS, page_limit,
+                              max_rows=max_rows):
+            got.extend(_ts_ns_ints(t).to_pylist())
+        return got
+
+    # budget smaller than one page: one request of exactly max_rows
+    assert run(2) == [1 * NS, 2 * NS]
+    assert asks == [2]
+    # budget spanning pages: forward prefix, never over-emitted
+    assert run(7) == [(i + 1) * NS for i in range(7)]
+    # budget of exactly the store's row count
+    assert len(run(13)) == 13
+    # no budget: everything (incl. the 3-row single-ns tail)
+    assert len(run(None)) == 13

@@ -840,7 +840,7 @@ def test_ivf_index_query_prunes_partitions_at_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_ivf_index_topk")
     import re
 
-    m = re.search(r"members\.parquet\], PartitionFilters: \[[^\]]*IN\b", plan)
+    m = re.search(r"PartitionFilters: \[cluster_id#\d+ IN \(", plan)
     assert m, plan
 
 
@@ -902,7 +902,7 @@ def test_ivf_append_idempotent_merged_index(spark, sf_dir):
     assert first == second
     assert any(c >= IVF_APPEND_OFFSET for c in first.values())
     plan = _plan(spark, sf_dir, "sim_ivf_index_append")
-    assert re.search(r"members\.parquet\], PartitionFilters: \[[^\]]*IN\b", plan), plan
+    assert re.search(r"PartitionFilters: \[cluster_id#\d+ IN \(", plan), plan
 
 
 def test_probe_curve_scores_corpus_once(spark, sf_dir):

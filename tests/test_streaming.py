@@ -1049,3 +1049,72 @@ def test_ivf_ingest_stream_appends_generations_exactly_once(spark, tmp_path):
     )
     topk = _ivf_probe_and_score(queries_d, cents, merged)
     assert topk.where(F.col("cand_id") >= IVF_APPEND_OFFSET).count() > 0
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState — enough to drive
+    _near_dup_fn's kernel contract without a streaming query."""
+
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+    def remove(self):
+        self._val = None
+
+
+def test_near_dup_redelivery_after_eviction_is_superset_only():
+    # The redelivery guard is scoped to the FIFO retention window: a
+    # replay of an EVICTED doc re-admits it and re-emits candidates —
+    # with capped state that is indistinguishable from a new doc. Pin
+    # the absorbing contract: re-emitted rows are ordinary candidate
+    # pairs against the CURRENT occupants (a recall superset for the
+    # idempotent verify stages), never self-pairs, never unbounded.
+    import pandas as pd
+
+    from datafusion_loki_spark.streaming.pipeline import (
+        NEAR_DUP_STATE_CAP,
+        _near_dup_fn,
+    )
+
+    def feed(state, ids, t0):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [t0 + i for i in range(len(ids))], unit="s", utc=True
+                ),
+                "doc_id": ids,
+            }
+        )
+        return list(_near_dup_fn(("b0", "k0"), iter([pdf]), state))
+
+    state = _FakeGroupState()
+    assert feed(state, [1], 100) == []          # first sight: no priors
+    # flood the bucket past the cap: doc 1 is FIFO-evicted
+    feed(state, list(range(2, NEAR_DUP_STATE_CAP + 3)), 200)
+    retained = list(state.get[0])
+    assert 1 not in retained and len(retained) == NEAR_DUP_STATE_CAP
+    # replay the evicted doc: treated as new — bounded re-emission
+    out = feed(state, [1], 300)
+    assert len(out) == 1
+    pairs = out[0]
+    assert (pairs["doc_id"] == 1).all()
+    assert len(pairs) == NEAR_DUP_STATE_CAP          # one per occupant
+    assert set(pairs["prior_id"]) == set(retained)   # current occupants
+    assert (pairs["prior_id"] != 1).all()            # never a self-pair
+    # and a replay while still retained stays silent (the in-window guard)
+    assert feed(state, [1], 400) == []

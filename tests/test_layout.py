@@ -183,3 +183,19 @@ def test_corpus_export_end_to_end(spark, sf_dir, tmp_path):
                 if f.endswith(".parquet")
             ]
             assert len(files) == 1, (d, files)
+
+
+def test_scratch_index_dir_keys_on_absolute_path_and_session(spark):
+    # Same-basename datasets must never share an index directory, and
+    # the path must be deterministic within a session (build-then-query
+    # relies on it); the applicationId component isolates concurrent
+    # sessions from racing one directory's overwrite against another's
+    # scan.
+    from datafusion_loki_spark.operators.similarity import scratch_index_dir
+
+    a = scratch_index_dir(spark, "/x/a/sf0.1", "ivf")
+    b = scratch_index_dir(spark, "/x/b/sf0.1", "ivf")
+    assert a != b
+    assert scratch_index_dir(spark, "/x/a/sf0.1", "ivf") == a
+    assert scratch_index_dir(spark, "/x/a/sf0.1", "semdedup") != a
+    assert spark.sparkContext.applicationId in a

@@ -94,6 +94,9 @@ _R07_NEW = (
     # cross-generation crawl diff: added/removed/changed/unchanged per
     # source, fingerprints computed at the scan (text never shuffles)
     "corpus_snapshot_diff",
+    # Broder containment over LSH candidates: the subset-duplication
+    # measure a symmetric Jaccard threshold silently admits
+    "dedup_shingle_containment",
 )
 
 _R07_CHANGED = (
@@ -114,12 +117,12 @@ _R07_CHANGED = (
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 28 fit this window, the tail 21
-    # (q17_small_quantity_revenue, q14_promo_revenue, q18_large_orders,
-    # q19_bracket_filter, q5_local_supplier_volume, q10_returned_items,
-    # q_window_top_orders, q_window_running_sum, q_subquery_above_avg,
-    # q_set_ops, q_set_ops_all, q_conditional_agg ..
-    # q_window_rank_stats) rotate in r08
+    # last driver row r04; the first 27 fit this window, the tail 22
+    # (q15_top_supplier, q17_small_quantity_revenue, q14_promo_revenue,
+    # q18_large_orders, q19_bracket_filter, q5_local_supplier_volume,
+    # q10_returned_items, q_window_top_orders, q_window_running_sum,
+    # q_subquery_above_avg, q_set_ops, q_set_ops_all, q_conditional_agg
+    # .. q_window_rank_stats) rotate in r08
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
@@ -147,7 +150,6 @@ _R04_STALE = (
     "q21_waiting_suppliers",
     "q7_nation_volume",
     "q9_product_profit",
-    "q15_top_supplier",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

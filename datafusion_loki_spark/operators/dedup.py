@@ -1869,3 +1869,96 @@ FROM lex FULL OUTER JOIN sem
 
 QUERIES["dedup_lexical_vs_semantic"] = dedup_lexical_vs_semantic
 ORACLES["dedup_lexical_vs_semantic"] = _oracle_lexical_vs_semantic()
+
+
+# --- shingle containment (subset/superset duplication) -----------------------
+
+CONTAINMENT_MIN = 0.8  # |A∩B| / min(|A|,|B|) above which one doc contains the other
+
+
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder's CONTAINMENT over the LSH candidate pairs — the
+    asymmetric complement of dedup_ngram_jaccard's symmetric measure
+    (Broder, "On the resemblance and containment of documents", 1997 —
+    public): containment = |A∩B| / min(|A|, |B|). A short document
+    verbatim-embedded in a much longer one (article + boilerplate,
+    quoted post + thread) scores near 1.0 here while its Jaccard stays
+    low (the union is dominated by the longer doc) — the
+    subset-duplication class a Jaccard threshold silently admits. Emits
+    every candidate pair with both measures plus the directional
+    verdict: which doc is the contained one (the min side), and whether
+    containment clears CONTAINMENT_MIN where Jaccard does not — the
+    rows a Jaccard-only pipeline would wrongly keep.
+
+    100 TB posture: identical topology to the Jaccard verify — the
+    corpus tokenizes once, a broadcast semi-join prunes the shingle
+    frame to candidate docs, and every join after that is
+    candidate-sized. The measure is one extra O(|shingles|) expression
+    on the same pair rows; no new shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand, ids = _candidate_pairs_and_ids(spark, sf_dir)
+    sh = (
+        shingle_docs(docs)
+        .join(F.broadcast(ids), "doc_id", "semi")
+        .localCheckpoint(eager=True)  # candidate-sized
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = "size(array_intersect(sh_a, sh_b))"
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                f"cast({inter} as double)"
+                " / least(size(sh_a), size(sh_b))"
+            ).alias("containment"),
+            F.expr(
+                f"cast({inter} as double)"
+                " / size(array_union(sh_a, sh_b))"
+            ).alias("jaccard"),
+            F.expr(
+                "if(size(sh_a) <= size(sh_b), doc_a, doc_b)"
+            ).alias("contained_doc"),
+        )
+        .withColumn(
+            "subset_dup_only",
+            (
+                (F.col("containment") >= CONTAINMENT_MIN)
+                & (F.col("jaccard") < CONTAINMENT_MIN)
+            ).cast("int"),
+        )
+    )
+
+
+def _oracle_shingle_containment() -> str:
+    inter = "len(list_intersect(a.shingles, b.shingles))"
+    return f"""
+WITH cand AS ({_oracle_minhash()}),
+sh AS (
+  SELECT doc_id, {_shingles_duck()} AS shingles FROM documents
+)
+SELECT doc_a, doc_b,
+       CAST({inter} AS DOUBLE)
+         / least(len(a.shingles), len(b.shingles)) AS containment,
+       CAST({inter} AS DOUBLE)
+         / len(list_distinct(a.shingles || b.shingles)) AS jaccard,
+       CASE WHEN len(a.shingles) <= len(b.shingles)
+            THEN doc_a ELSE doc_b END AS contained_doc,
+       CAST(CASE WHEN CAST({inter} AS DOUBLE)
+                      / least(len(a.shingles), len(b.shingles))
+                      >= {CONTAINMENT_MIN}
+                  AND CAST({inter} AS DOUBLE)
+                      / len(list_distinct(a.shingles || b.shingles))
+                      < {CONTAINMENT_MIN}
+            THEN 1 ELSE 0 END AS INTEGER) AS subset_dup_only
+FROM cand
+JOIN sh a ON cand.doc_a = a.doc_id
+JOIN sh b ON cand.doc_b = b.doc_id
+"""
+
+
+QUERIES["dedup_shingle_containment"] = dedup_shingle_containment
+ORACLES["dedup_shingle_containment"] = _oracle_shingle_containment()

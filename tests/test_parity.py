@@ -45,21 +45,21 @@ def test_correctness_window_is_pinned():
     assert len(e._WINDOW_PRIORITY) == 50
     assert names[:50] == list(e._WINDOW_PRIORITY)
     # round-7 rotation: the six never-driver-checked late-r06 additions
-    # lead, then the ten round-7 registrations, then the six
-    # r07-changed entries, then 28 of the 49 entries whose last driver
-    # row is r04 (the 21-entry remainder rotates in r08)
+    # lead, then the eleven round-7 registrations, then the six
+    # r07-changed entries, then 27 of the 49 entries whose last driver
+    # row is r04 (the 22-entry remainder rotates in r08)
     lead = (list(e._R07_NEVER_CHECKED) + list(e._R07_NEW)
             + list(e._R07_CHANGED))
     assert names[: len(lead)] == lead
     assert len(e._R07_NEVER_CHECKED) == 6
-    assert len(e._R07_NEW) == 10
+    assert len(e._R07_NEW) == 11
     assert len(e._R07_CHANGED) == 6
-    assert len(e._R04_STALE) == 28
+    assert len(e._R04_STALE) == 27
     # no windowed entry may be oracle-less
     for n in e._WINDOW_PRIORITY:
         assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
     # the r08 carry-over: the r04-checked tail still outside the window
-    for n in ("q17_small_quantity_revenue",
+    for n in ("q15_top_supplier", "q17_small_quantity_revenue",
               "q14_promo_revenue", "q18_large_orders", "q19_bracket_filter",
               "q5_local_supplier_volume",
               "q10_returned_items", "q_window_top_orders",
@@ -69,7 +69,7 @@ def test_correctness_window_is_pinned():
               "q_window_lead_lag", "q_pivot", "q_grouping_sets",
               "q_window_rank_stats"):
         assert n in names[50:], n
-    assert len(names) == 162
+    assert len(names) == 163
 
 
 def test_unchecked_queries_lead_the_window():

@@ -925,3 +925,15 @@ def test_snapshot_diff_fingerprints_at_scan(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text" not in ln, ln
+
+
+def test_containment_verify_is_candidate_scale(spark, sf_dir):
+    # The containment verify must ride the SAME candidate-pruned shingle
+    # frame as the Jaccard verify: the corpus tokenizes zero times in
+    # the returned plan (the pruned shingle frame and the pair list are
+    # localCheckpoint-materialized — Scan ExistingRDD, no FileScan), and
+    # both measures are expressions on one pair join, not two.
+    s = _optimized(spark, sf_dir, "dedup_shingle_containment")
+    assert "FileScan" not in s, s
+    plan = _plan(spark, sf_dir, "dedup_shingle_containment")
+    assert "CartesianProduct" not in plan, plan

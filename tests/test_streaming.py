@@ -1118,3 +1118,46 @@ def test_near_dup_redelivery_after_eviction_is_superset_only():
     assert (pairs["prior_id"] != 1).all()            # never a self-pair
     # and a replay while still retained stays silent (the in-window guard)
     assert feed(state, [1], 400) == []
+
+
+def test_semantic_pairs_compose_over_streamed_index(spark, tmp_path):
+    # The maintenance lifecycle composes: build the index, stream in a
+    # batch of exact clones, and the SAME within-cell pair kernel the
+    # batch semantic dedup uses (_semantic_pairs) must surface each
+    # clone paired with its original (cosine 1.0 >= tau) when run over
+    # the MERGED member view — no refit, no special-case read path.
+    from datafusion_loki_spark.operators.dedup import _semantic_pairs
+    from datafusion_loki_spark.operators.similarity import (
+        IVF_APPEND_OFFSET,
+        build_ivf_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, "/root/testdata/sf0.001", index_dir)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "src")
+    (
+        emb.limit(20)
+        .select(
+            (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+            "embedding",
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    q = pipeline.ivf_ingest_stream(stream, index_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in _semantic_pairs(
+            pipeline.ivf_members(spark, index_dir)
+        ).collect()
+    }
+    # every streamed clone pairs with its original: same vector, same
+    # cell (identical assignment math), cosine exactly 1.0
+    for vid in range(20):
+        assert (vid, vid + IVF_APPEND_OFFSET) in pairs, vid

@@ -166,6 +166,19 @@ def re2_unsupported(rx: str) -> bool:
     return _amp_amp_in_class(scan)
 
 
+def wrap_rlike(rx: str) -> str:
+    """A Spark-RLIKE-semantics pattern as a Loki FULLMATCH pattern:
+    Loki label matchers anchor, Spark's RLIKE substring-searches, so the
+    pattern is padded with scoped-DOTALL dots — `(?s:.*)(?:rx)(?s:.*)`.
+    The DOTALL must stay SCOPED to the padding (label values contain
+    newlines the padding must cross; a global `(?s)` prefix would leak
+    into rx and make ITS dots cross newlines too — superset-wrong for
+    `=~` and data-LOSING for `!~`). The ONE implementation shared by the
+    tuple-matcher API below and the loki_sql bridge — the wrap is subtle
+    enough that two copies drifted once."""
+    return f"(?s:.*)(?:{rx})(?s:.*)"
+
+
 def regex_label_matcher(key: str, rx: str, negate: bool = False) -> str:
     """Stream-selector term for a SPARK-RLIKE-semantics label regex:
     Loki label matchers are fully anchored (fullmatch) while Spark's
@@ -181,9 +194,7 @@ def regex_label_matcher(key: str, rx: str, negate: bool = False) -> str:
     the store rejects or misreads). Callers who want verbatim Loki
     fullmatch semantics pass a raw selector body string instead."""
     if not re2_unsupported(rx):
-        return label_matcher(
-            key, "!~" if negate else "=~", f"(?s:.*)(?:{rx})(?s:.*)"
-        )
+        return label_matcher(key, "!~" if negate else "=~", wrap_rlike(rx))
     raise ValueError(
         f"label regex {rx!r} uses constructs whose Spark-RLIKE meaning "
         "Loki's RE2 cannot reproduce (backreferences, lookaround, "

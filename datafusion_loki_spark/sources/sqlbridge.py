@@ -55,7 +55,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from datetime import datetime, timezone
+from datetime import datetime
 
 _STR_LIT = re.compile(r"'(?:[^']|'')*'")
 
@@ -92,7 +92,16 @@ from datafusion_loki_spark.sources.logql import re2_unsupported as _re2_unsuppor
 # truncated (see the module docstring's LIMIT safety argument)
 _LIMIT_BLOCKERS = re.compile(
     r"\bgroup\s+by\b|\border\s+by\b|\bhaving\b|\bdistinct\b|\bunion\b"
-    r"|\bintersect\b|\bexcept\b|\bjoin\b|\bover\b",
+    r"|\bintersect\b|\bexcept\b|\bjoin\b|\bover\b"
+    # FROM-side multiplicity/ordering changers the select-list paren
+    # check never sees: TABLESAMPLE halves a truncated scan instead of
+    # truncating a sampled scan; LATERAL VIEW multiplies or drops rows;
+    # PIVOT/UNPIVOT reshape; SORT BY (and its CLUSTER/DISTRIBUTE kin)
+    # is a partition-local ORDER BY — under the pushed-limit
+    # single-partition scan it becomes a full sort whose top-n the
+    # store's first-n-by-time would falsify
+    r"|\btablesample\b|\blateral\b|\bpivot\b|\bunpivot\b"
+    r"|\bsort\s+by\b|\bcluster\s+by\b|\bdistribute\s+by\b",
     re.I,
 )
 
@@ -105,7 +114,9 @@ def _from_candidates(masked: str) -> list[tuple[str, int, int]]:
     keyword. Returns (name, start, end) spans into the masked text."""
     out: list[tuple[str, int, int]] = []
     depth = 0
-    for m in re.finditer(r"[()]|\bfrom\s+([A-Za-z_][\w.]*)", masked, re.I):
+    for m in re.finditer(
+        r"[()]|\bfrom\s+(`[^`]+`|[A-Za-z_][\w.]*)", masked, re.I
+    ):
         tok = m.group(0)
         if tok == "(":
             depth += 1
@@ -116,14 +127,73 @@ def _from_candidates(masked: str) -> list[tuple[str, int, int]]:
         if depth == 0:
             if re.search(r"\bdistinct\s*$", masked[: m.start()], re.I):
                 continue  # IS [NOT] DISTINCT FROM — a predicate, not a table
-            out.append((m.group(1), m.start(), m.end()))
+            # backtick quoting is mandatory for reserved-word table
+            # names (FROM `table`); strip the ticks so loki_sql can bind
+            # the view instead of rejecting valid SQL
+            out.append((m.group(1).strip("`"), m.start(), m.end()))
     return out
 
 
+def _mask_scan(sql: str) -> tuple[str, bool]:
+    """One stateful pass over the statement: blank string-literal
+    contents AND comment bodies (length-preserving) so structural scans
+    can't be fooled by quoted or commented-out text, and report whether
+    any literal contains a backslash.
+
+    Comments must be masked, not just literals: a commented-out WHERE
+    (``-- WHERE labels['app']='x'``) is dead text to Spark but looked
+    live to a literal-only masker — the extracted matcher then pruned a
+    query that has no WHERE (wrong results). A quote inside a comment
+    (``-- don't``) likewise desynced regex-based quote pairing for the
+    rest of the statement; the scanner resolves both by construction.
+
+    The backslash flag: with Spark's default parser
+    (escapedStringLiterals=false) ``'a\\\\b'`` evaluates to ``a\\b``
+    while this extractor reads literals verbatim — every extracted
+    VALUE (matcher, pattern, timestamp) would differ from the value
+    Spark compares, turning pruning into data loss. Rather than
+    re-implement Spark's escape rules (which flip with a session
+    config the pure extractor cannot see), any backslash inside any
+    literal makes the whole statement push NOTHING."""
+    out = list(sql)
+    bs_in_literal = False
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":  # '' doubling
+                        out[i] = out[i + 1] = "\x00"
+                        i += 2
+                        continue
+                    break
+                if sql[i] == "\\":
+                    bs_in_literal = True
+                out[i] = "\x00"
+                i += 1
+            i += 1  # closing quote (or EOS on an unterminated literal)
+        elif c == "-" and sql.startswith("--", i):
+            while i < n and sql[i] != "\n":
+                out[i] = " "
+                i += 1
+        elif c == "/" and sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            end = n if end == -1 else end + 2
+            for j in range(i, end):
+                if sql[j] != "\n":
+                    out[j] = " "
+            i = end
+        else:
+            i += 1
+    return "".join(out), bs_in_literal
+
+
 def _mask(sql: str) -> str:
-    """Blank out string-literal contents (length-preserving) so structural
-    scans can't be fooled by quoted text."""
-    return _STR_LIT.sub(lambda m: "'" + "\x00" * (len(m.group(0)) - 2) + "'", sql)
+    """Blank out string-literal and comment contents (length-preserving)
+    so structural scans can't be fooled by quoted or dead text."""
+    return _mask_scan(sql)[0]
 
 
 def _unquote(lit: str) -> str:
@@ -154,7 +224,14 @@ def _iso_ns(lit: str) -> int | None:
     except ValueError:
         return None
     if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
+        # Spark interprets a zoneless timestamp literal in
+        # spark.sql.session.timeZone, which this pure extractor cannot
+        # see — an assumed-UTC bound would be shifted by the session
+        # offset, and a consumer of start_ns/end_ns would then fetch a
+        # window that EXCLUDES matching rows. Emit no bound (the
+        # conjunct still clears exact_only via the _TS branch, which is
+        # the only thing loki_sql consumes today).
+        return None
     # exact integer conversion: the float .timestamp() path truncated
     # 1 µs on ~1% of values, exactly cancelling the <= end-widening
     return aware_datetime_to_ns(dt)
@@ -166,7 +243,18 @@ def extract_pushdown(sql: str) -> PushdownSpec:
     Never raises on unrecognized SQL — the worst case is an empty spec
     (no pruning). See the module docstring for the safety argument."""
     spec = PushdownSpec()
-    masked = _mask(sql)
+    masked, bs_in_literal = _mask_scan(sql)
+    if bs_in_literal:
+        # a backslash inside any literal: the value Spark evaluates
+        # depends on spark.sql.parser.escapedStringLiterals, which this
+        # pure extractor cannot see — extracted values could diverge
+        # from Spark's and turn pruning into data loss. Bind the table
+        # (first depth-0 FROM) for view setup and push nothing.
+        cands = _from_candidates(masked)
+        if cands:
+            spec.table = cands[0][0]
+        spec.exact_only = False
+        return spec
 
     # projection first: the scan only needs the schema columns the
     # statement REFERENCES anywhere (select list, WHERE, GROUP BY,
@@ -268,7 +356,14 @@ def extract_pushdown(sql: str) -> PushdownSpec:
         cm = _LABEL.match(conj)
         if cm:
             op = "!=" if cm.group(2) in ("!=", "<>") else "="
-            spec.matchers.append((cm.group(1), op, _unquote(cm.group(3))))
+            val = _unquote(cm.group(3))
+            spec.matchers.append((cm.group(1), op, val))
+            if op == "=" and val == "":
+                # {k=""} ALSO matches absent-label streams (Loki treats
+                # missing as "") — a strict superset of Spark's
+                # NULL-dropping equality, same LIMIT hazard as != below;
+                # the matcher itself stays safe (Spark re-checks)
+                spec.exact_only = False
             if op == "!=":
                 # the store's != keeps ABSENT-label rows (Loki treats a
                 # missing label as ""), Spark's NULL-semantics re-check
@@ -283,8 +378,15 @@ def extract_pushdown(sql: str) -> PushdownSpec:
         cm = _LABEL_RLIKE.match(conj)
         if cm:
             rx = _unquote(cm.group(3))
-            if not _re2_unsupported(rx):
-                op = "!~" if cm.group(2) else "=~"
+            negated = cm.group(2) is not None
+            # an inline (?i) folds ASCII-only under Java but Unicode
+            # simple-fold under RE2 — the store matches a SUPERSET. Safe
+            # for the positive direction (Spark re-checks); for the
+            # NEGATED matcher the superset is excluded stream-side, so
+            # rows Spark would keep never arrive — data loss. Keep the
+            # pattern Spark-side.
+            if not _re2_unsupported(rx) and not (negated and "(?i" in rx):
+                op = "!~" if negated else "=~"
                 # ≙ expr.rs:40-41 (=~ / !~ selector terms), with one
                 # deliberate delta: Loki label-regex matchers are FULLY
                 # ANCHORED (fullmatch) while Spark's RLIKE is a substring
@@ -301,11 +403,17 @@ def extract_pushdown(sql: str) -> PushdownSpec:
                 # matching values Spark rejects — superset-wrong for =~
                 # (caught by the Spark re-check) and data-LOSING for !~
                 # (excluded streams never reach the re-check).
-                spec.matchers.append(
-                    (cm.group(1), op, f"(?s:.*)(?:{rx})(?s:.*)")
-                )
-                if op == "!~":
-                    spec.exact_only = False  # absent-label superset (as !=)
+                from datafusion_loki_spark.sources.logql import wrap_rlike
+
+                spec.matchers.append((cm.group(1), op, wrap_rlike(rx)))
+                # BOTH directions clear exact_only: !~ has the != class
+                # absent-label superset, and an =~ whose rx can match
+                # the empty string ({k=~".*"}-style) matches absent-
+                # label streams too — rather than probe rx-matches-empty
+                # (another Java-vs-RE2 judgment call), the regex matcher
+                # conservatively never co-pushes a LIMIT. The matcher
+                # itself stays safe either way (Spark re-checks).
+                spec.exact_only = False
             else:
                 spec.exact_only = False
             continue
@@ -330,9 +438,14 @@ def extract_pushdown(sql: str) -> PushdownSpec:
             from datafusion_loki_spark.sources.logql import line_regex
 
             rx = _unquote(cm.group(2))
+            negated_line = cm.group(1) is not None
+            # same negated-(?i) hazard as the label-RLIKE branch: RE2's
+            # Unicode fold matches a superset of Java's ASCII fold, and
+            # a negated store-side stage over-drops — Spark-side only
             stage = (
-                line_regex(rx, negate=cm.group(1) is not None)
+                line_regex(rx, negate=negated_line)
                 if not _re2_unsupported(rx)
+                and not (negated_line and "(?i" in rx)
                 else None
             )
             if stage is not None:
@@ -344,21 +457,14 @@ def extract_pushdown(sql: str) -> PushdownSpec:
             continue
         cm = _LINE_ILIKE.match(conj)
         if cm:
-            from datafusion_loki_spark.sources.logql import (
-                like_pattern_to_contains,
-                line_regex,
-            )
-
-            inner = like_pattern_to_contains(_unquote(cm.group(1)))
-            stage = (
-                line_regex(re.escape(inner), case_insensitive=True)
-                if inner is not None
-                else None
-            )
-            if stage is not None:
-                spec.line_regexes.append(stage)  # exact class (expr.rs:104-108)
-            else:
-                spec.exact_only = False
+            # NOT pushed (round-7 review): Spark's ILIKE lowercases with
+            # full Unicode (Turkish İ → i̇, contains ASCII i) while a
+            # pushed RE2 (?i) stage does simple case folding that does
+            # NOT fold such pairs — the store-side stage would drop rows
+            # Spark keeps (line filters never reach the re-check). A
+            # data-losing push for non-ASCII data, which the text can't
+            # rule out, so ILIKE always stays Spark-side.
+            spec.exact_only = False
             continue
         cm = _TS.match(conj)
         if cm:

@@ -46,14 +46,23 @@ def test_ne_matcher_extracts_but_blocks_limit():
 def test_time_bound_blocks_limit_but_sets_window():
     spec = extract_pushdown(
         "SELECT * FROM logs WHERE labels['app'] = 'web' "
-        "AND timestamp >= TIMESTAMP '2024-01-01 00:00:00' "
-        "AND timestamp <= TIMESTAMP '2024-02-01 00:00:00' LIMIT 5"
+        "AND timestamp >= TIMESTAMP '2024-01-01 00:00:00+00:00' "
+        "AND timestamp <= TIMESTAMP '2024-02-01 00:00:00+00:00' LIMIT 5"
     )
     assert spec.matchers == [("app", "=", "web")]
     assert spec.start_ns is not None and spec.end_ns is not None
     # `<=` widens the end by 1 µs of ns (exclusive-store-end guard)
     assert spec.end_ns % NS == 1_000
     assert not spec.exact_only  # superset window → LIMIT must NOT push
+    # a ZONELESS literal emits no bound (round-7 review): Spark reads it
+    # in spark.sql.session.timeZone, which the pure extractor cannot see
+    # — an assumed-UTC bound would shift the fetch window by the session
+    # offset. The conjunct still clears exact_only.
+    spec2 = extract_pushdown(
+        "SELECT * FROM logs "
+        "WHERE timestamp >= TIMESTAMP '2024-01-01 00:00:00' LIMIT 5"
+    )
+    assert spec2.start_ns is None and not spec2.exact_only
 
 
 def test_or_not_parens_disable_extraction():
@@ -198,7 +207,12 @@ def test_label_rlike_extracts_wrapped_matcher():
         "SELECT line FROM logs WHERE labels['app'] RLIKE 'we.?' LIMIT 5"
     )
     assert spec.matchers == [("app", "=~", "(?s:.*)(?:we.?)(?s:.*)")]
-    assert spec.exact_only and spec.limit == 5
+    # round-7 review: an =~ whose rx can match "" selects ABSENT-label
+    # streams too ({k=~""}-class superset), so regex matchers never
+    # co-push a LIMIT — the matcher still prunes, the limit stays
+    # Spark-side
+    assert not spec.exact_only
+    assert spec.limit == 5
 
 
 def test_label_rlike_wrap_crosses_newlines():
@@ -319,8 +333,23 @@ def test_rlike_and_ilike_extract_as_regex_stages():
         "SELECT * FROM logs WHERE labels['app'] = 'web' "
         "AND line RLIKE 'err[0-9]+' AND line ILIKE '%Fail%' LIMIT 2"
     )
-    assert spec.line_regexes == ["|~ `err[0-9]+`", "|~ `(?i)Fail`"]
-    assert spec.exact_only and spec.limit == 2  # regex is Exact (expr.rs:63)
+    # round-7 review: ILIKE is NOT pushed — Spark lowercases with full
+    # Unicode (İ → i̇ contains 'i') while the RE2 (?i) stage does simple
+    # folding, so the store stage would drop rows Spark keeps (line
+    # filters never reach the re-check). RLIKE remains Exact.
+    assert spec.line_regexes == ["|~ `err[0-9]+`"]
+    assert not spec.exact_only  # the unpushed ILIKE is a residual conjunct
+    assert spec.limit == 2
+
+
+def test_ilike_never_pushes_a_store_stage():
+    # ASCII-only patterns don't make the push safe either — the DATA can
+    # be non-ASCII (Turkish İ lowercases to i̇, which contains 'i').
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE line ILIKE '%fail%'"
+    )
+    assert spec.line_regexes == []
+    assert not spec.exact_only
 
 
 def test_re2_unparseable_regex_stays_spark_side():
@@ -702,3 +731,95 @@ def test_projection_survives_push_nothing_gates():
         "SELECT l.line FROM logs l NATURAL JOIN owners",
     ):
         assert extract_pushdown(sql).columns is None, sql
+
+
+def test_commented_out_predicates_are_dead_text():
+    # A commented-out WHERE must not be extracted (round-7 review: a
+    # literal-only masker pushed the matcher of a query with no WHERE —
+    # wrong results); apostrophes inside comments must not desync the
+    # literal masking for the rest of the statement.
+    spec = extract_pushdown(
+        "SELECT line FROM logs\n"
+        "-- WHERE labels['app']='web'\n"
+        "LIMIT 100"
+    )
+    assert spec.matchers == [] and spec.limit == 100 and spec.exact_only
+    spec = extract_pushdown(
+        "SELECT line FROM logs -- don't prune\n"
+        "WHERE labels['app'] = 'web'"
+    )
+    assert spec.matchers == [("app", "=", "web")]
+    spec = extract_pushdown(
+        "SELECT line FROM logs /* WHERE labels['x']='y' */ LIMIT 7"
+    )
+    assert spec.matchers == [] and spec.limit == 7
+
+
+def test_backslash_in_any_literal_pushes_nothing():
+    # With the default parser (escapedStringLiterals=false) Spark
+    # evaluates 'a\\b' as a\b while the extractor reads literals
+    # verbatim — pushed values would diverge from what Spark compares,
+    # turning pruning into data loss. Any backslash in any literal →
+    # bind the table, push nothing.
+    for q in (
+        r"SELECT * FROM logs WHERE labels['app'] = 'a\\b' LIMIT 5",
+        r"SELECT * FROM logs WHERE line RLIKE '\\d+'",
+        r"SELECT * FROM logs WHERE line LIKE '%C:\\temp%'",
+    ):
+        spec = extract_pushdown(q)
+        assert spec.table == "logs"
+        assert spec.matchers == [] and spec.line_regexes == []
+        assert spec.limit is None and not spec.exact_only
+
+
+def test_empty_label_value_blocks_limit_copush():
+    # {k=""} also matches absent-label streams (superset of Spark's
+    # NULL-dropping equality) — same LIMIT hazard as !=; the matcher
+    # itself still pushes (Spark re-checks).
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE labels['app'] = '' LIMIT 10"
+    )
+    assert spec.matchers == [("app", "=", "")]
+    assert spec.limit == 10 and not spec.exact_only
+
+
+def test_from_side_multiplicity_changers_block_limit():
+    # TABLESAMPLE halves a truncated scan instead of truncating a
+    # sampled scan; LATERAL VIEW multiplies/drops rows; SORT BY is a
+    # partition-local ORDER BY. None may co-push a LIMIT.
+    for q in (
+        "SELECT line FROM logs TABLESAMPLE (50 PERCENT) LIMIT 100",
+        "SELECT line FROM logs LATERAL VIEW explode(split(line, ' ')) t AS w"
+        " LIMIT 5",
+        "SELECT line FROM logs SORT BY line LIMIT 5",
+        "SELECT line FROM logs DISTRIBUTE BY line LIMIT 5",
+    ):
+        spec = extract_pushdown(q)
+        assert spec.limit is None, q
+
+
+def test_backtick_quoted_table_binds():
+    spec = extract_pushdown(
+        "SELECT line FROM `logs` WHERE labels['app'] = 'web'"
+    )
+    assert spec.table == "logs"
+    assert spec.matchers == [("app", "=", "web")]
+
+
+def test_negated_case_insensitive_regex_stays_spark_side():
+    # RE2's (?i) folds Unicode, Java's folds ASCII — the store matches a
+    # SUPERSET, which a negated matcher/stage excludes: data loss. Both
+    # negative routes keep the pattern Spark-side; the positive routes
+    # still push (the superset is re-checked / kept).
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE labels['app'] NOT RLIKE '(?i)web'"
+    )
+    assert spec.matchers == [] and not spec.exact_only
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE line NOT RLIKE '(?i)err'"
+    )
+    assert spec.line_regexes == [] and not spec.exact_only
+    spec = extract_pushdown(
+        "SELECT * FROM logs WHERE labels['app'] RLIKE '(?i)web'"
+    )
+    assert spec.matchers == [("app", "=~", "(?s:.*)(?:(?i)web)(?s:.*)")]

@@ -39,35 +39,49 @@ SESSION_SCHEMA = (
 SESSION_GAP_SECONDS = 30 * 60
 
 
+def _is_empty_sink_error(e) -> bool:
+    """Whether an AnalysisException means "nothing at this path yet" — a
+    missing path or an existing-but-empty directory. The ONE dispatch
+    shared by every first-batch / never-streamed-into detection site:
+    any OTHER analysis error (corrupt footer, permissions) must
+    propagate, never be misread as an empty sink."""
+    cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+    return cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _exact_value_sum() -> "F.Column":
+    """The precision-pinned value rollup shared by the windowed and
+    session aggregates: DECIMAL(12,2) summation (order-insensitive)
+    surfaced as double — one definition so the two streaming rollups
+    (and their oracles) can never drift apart."""
+    return F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+
+
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based micro-batch stream over the driver's events table (the
     local stand-in for a Kafka/Loki tail). The events parquet has shipped
     both as TIMESTAMP(NANOS) (readable only as int64 via nanosAsLong) and as
     TIMESTAMP(MICROS); readStream needs an explicit schema, so we probe the
-    physical encoding with a footer-only batch read (same dispatch as
-    catalog.load_table) and pick the matching stream schema + conversion."""
+    physical encoding with a footer-only batch read and convert THROUGH
+    catalog's shared probe + normalize helpers — the batch and stream
+    paths must dispatch identically or every batch/stream equivalence
+    test silently keys on diverging timestamps."""
     import os
 
-    from pyspark.sql.types import LongType
+    from datafusion_loki_spark.catalog import (
+        normalize_events_ts,
+        probe_events_ts_is_long,
+    )
 
     path = os.path.join(sf_dir, "events.parquet")
-    try:
-        probe = spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        probe = spark.read.parquet(path)
-    ts_is_long = isinstance(probe.schema["ts"].dataType, LongType)
+    ts_is_long = probe_events_ts_is_long(spark, path)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA_NS if ts_is_long else EVENTS_SCHEMA_US)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if ts_is_long:
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return normalize_events_ts(raw, ts_is_long)
 
 
 def windowed_event_counts(events: DataFrame) -> DataFrame:
@@ -79,7 +93,7 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            _exact_value_sum().alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -91,9 +105,12 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
 
 
 def session_window_counts(events: DataFrame) -> DataFrame:
-    """Native gap-merged session aggregation via ``session_window`` — the
-    built-in twin of ``sessionize``'s custom-state path (same 5-minute
-    idle gap). Prefer this whenever the per-session output is expressible
+    """Native gap-merged session aggregation via ``session_window``,
+    with a 5-MINUTE idle gap — deliberately NOT sessionize's 30-minute
+    SESSION_GAP_SECONDS: the two operators demonstrate the two APIs,
+    not one pipeline, and their outputs are not comparable session for
+    session (a 10-minute-apart event pair is one sessionize session but
+    two here). Prefer this shape whenever the per-session output is expressible
     as an aggregate: Spark manages, merges, and watermark-evicts the
     session state natively (no Python in the loop), and the identical
     code runs in batch mode for backfills.
@@ -111,9 +128,7 @@ def session_window_counts(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("sum_value"),
+            _exact_value_sum().alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("session_start"),
@@ -252,10 +267,14 @@ def user_running_totals(events: DataFrame, implementation: str = "auto") -> Data
             implementation = "tws"
         except ImportError:
             implementation = "compat"
+    # NO watermark on either path (round-7 review): the accumulator uses
+    # no timers and no windowing, so a watermark's ONLY effect here is
+    # that the stateful operator DROPS input rows older than it — late
+    # events silently vanish from totals the batch twin counts. A
+    # running total has no late-data eviction semantics to buy.
     if implementation == "compat":
         return (
-            events.select("user_id", F.col("ts").cast("timestamp"), "value")
-            .withWatermark("ts", "10 minutes")
+            events.select("user_id", "value")
             .groupBy("user_id")
             .applyInPandasWithState(
                 _running_totals_fn,
@@ -297,8 +316,7 @@ def user_running_totals(events: DataFrame, implementation: str = "auto") -> Data
             pass
 
     return (
-        events.select("user_id", F.col("ts").cast("timestamp"), "value")
-        .withWatermark("ts", "10 minutes")
+        events.select("user_id", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=RunningTotals(),
@@ -335,9 +353,13 @@ def click_to_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds event time on BOTH sides, so Spark evicts join state once the
     watermark passes click_ts + 1h — state tracks one hour of clicks, not
     the stream's history. One shuffle per side on user_id."""
+    # ONE streaming source, two filtered views — a second
+    # events_file_stream call would register an independent file source
+    # (and run the footer probe again), listing and scanning the same
+    # file twice per micro-batch
+    ev = events_file_stream(spark, sf_dir)
     clicks = (
-        events_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
+        ev.where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("ts").cast("timestamp").alias("click_ts"),
@@ -346,8 +368,7 @@ def click_to_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "10 minutes")
     )
     purchases = (
-        events_file_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
+        ev.where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("ts").cast("timestamp").alias("purchase_ts"),
@@ -445,8 +466,8 @@ def rollup_to_parquet(
     file each (functions/layout.py small-files control)."""
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.columns:
-            return
+        if batch_df.isEmpty():
+            return  # empty micro-batch: no sink read, no write job
         from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
@@ -460,10 +481,7 @@ def rollup_to_parquet(
             # permission problem surfacing as analysis failure) must NOT be
             # misread as first-batch — that would silently drop every
             # previously-written window for the touched days.
-            cond = (
-                e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
-            )
-            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            if not _is_empty_sink_error(e):
                 raise
             merged = out  # first batch: nothing at `path` yet
         else:
@@ -897,10 +915,7 @@ def ivf_members(spark: SparkSession, index_dir: str) -> DataFrame:
             f"{index_dir}/members_ingest.parquet"
         ).select(*cols)
     except AnalysisException as e:
-        cond = (
-            e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
-        )
-        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        if not _is_empty_sink_error(e):
             raise
         return base
     return base.unionByName(ingest)

@@ -1161,3 +1161,62 @@ def test_semantic_pairs_compose_over_streamed_index(spark, tmp_path):
     # cell (identical assignment math), cosine exactly 1.0
     for vid in range(20):
         assert (vid, vid + IVF_APPEND_OFFSET) in pairs, vid
+
+
+def test_running_totals_count_late_events_across_batches(spark, tmp_path):
+    # round-7 review: the accumulator carried a gratuitous watermark —
+    # with no timers its ONLY effect was DROPPING input rows older than
+    # the watermark, so a late event arriving in a later micro-batch
+    # silently vanished from totals the batch twin counts. Deliver two
+    # files (maxFilesPerTrigger=1): the second carries events 30 minutes
+    # OLDER than the first's — they must still be counted.
+    import time as _time
+
+    src = str(tmp_path / "ev")
+    base = 1_700_000_000_000_000  # µs epoch
+    recent = [(1, base + i * 1_000_000, 7, "click", 1.0, "{}") for i in range(5)]
+    late = [
+        (10 + i, base - 1_800_000_000, 7, "click", 1.0, "{}") for i in range(3)
+    ]
+    schema = (
+        "event_id long, ts_us long, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def write_one(rows, name):
+        (
+            spark.createDataFrame(rows, schema)
+            .select(
+                "event_id",
+                F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    write_one(recent, "f1")
+    write_one(late, "f2")
+    stream = (
+        spark.readStream.schema(pipeline.EVENTS_SCHEMA_US)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got: list = []
+    q = (
+        pipeline.user_running_totals(stream, implementation="compat")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda df, _bid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    finals = {r.user_id: (r.n_events, r.total_value) for r in got}
+    # ALL 8 events counted — the 3 late ones included
+    assert finals[7] == (8, 8.0), finals

@@ -114,11 +114,21 @@ _R07_CHANGED = (
     # persisted-index path (output verified identical, but the code
     # path changed -> re-earn the row)
     "sim_ivf_kmeans_topk",
+    # round-7 review fixes: fail-loudly zero-norm guard in the pandas
+    # scorer; empty/NULL-embedding alignment in the Arrow QA kernel;
+    # ground-truth frame materialized once in the recall audits; the PQ
+    # fit's dead trailing assignment removed
+    "emb_stats_arrow",
+    "sim_recall_audit",
+    "sim_pq_recall_audit",
+    "sim_pq_adc_topk",
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 27 fit this window, the tail 22
-    # (q15_top_supplier, q17_small_quantity_revenue, q14_promo_revenue,
+    # last driver row r04; the first 23 fit this window, the tail 26
+    # (q20_excess_inventory_suppliers, q21_waiting_suppliers,
+    # q7_nation_volume, q9_product_profit, q15_top_supplier,
+    # q17_small_quantity_revenue, q14_promo_revenue,
     # q18_large_orders, q19_bracket_filter, q5_local_supplier_volume,
     # q10_returned_items, q_window_top_orders, q_window_running_sum,
     # q_subquery_above_avg, q_set_ops, q_set_ops_all, q_conditional_agg
@@ -146,10 +156,6 @@ _R04_STALE = (
     "q11_important_stock",
     "q13_customer_distribution",
     "q16_supplier_part_count",
-    "q20_excess_inventory_suppliers",
-    "q21_waiting_suppliers",
-    "q7_nation_volume",
-    "q9_product_profit",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

@@ -466,7 +466,20 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy()
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            # a zero-norm row has no cosine direction: the SQL twin
+            # fails loudly under ANSI (DIVIDE_BY_ZERO), and before this
+            # guard the NaN row silently fell out of np.lexsort's local
+            # cut — a SILENT batch-vs-SQL divergence. Match the family's
+            # fail-loudly contract (normed_embeddings' null invariant).
+            if not nrm.all():
+                bad = ids[(nrm == 0).ravel()][:3]
+                raise ValueError(
+                    f"zero-norm embedding rows (vec_id {bad.tolist()}…) "
+                    "have no cosine direction; filter degenerate vectors "
+                    "first (see emb_norm_distribution)"
+                )
+            mat = mat / nrm
             # quantize BEFORE any ranking decision (local cut and final
             # window both see the same grid value — see docstring)
             cos = np.round(mat @ bq.value.T, 9)  # (batch, nq)
@@ -607,27 +620,49 @@ def emb_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             vecs = batch.column("embedding")
             flat = pc.list_flatten(vecs)
             lens = pc.list_value_length(vecs).cast(pa.int32())
-            # per-list reductions via group-by on the parent indices
+            # per-list reductions via group-by on the parent indices.
+            # EMPTY and NULL lists produce NO parent index, so the agg
+            # has fewer rows than the batch — align through a left join
+            # on the full row-index spine (missing groups → NULL, the
+            # same answer the SQL twin and the oracle give) instead of
+            # zipping misaligned columns, which raised on exactly the
+            # malformed rows this QA scan exists to surface.
             parent = pc.list_parent_indices(vecs)
             tbl = pa.table({"i": parent, "x": flat})
-            agg = tbl.group_by("i").aggregate(
-                [("x", "min"), ("x", "max")]
-            ).sort_by("i")
+            agg = tbl.group_by("i").aggregate([("x", "min"), ("x", "max")])
             nonneg = (
                 pa.table({"i": parent, "nn": pc.greater_equal(flat, 0.0)})
                 .group_by("i")
                 .aggregate([("nn", "sum")])
+            )
+            spine = pa.table(
+                {"i": pa.array(range(len(batch)), type=parent.type)}
+            )
+            joined = (
+                spine.join(agg, keys="i", join_type="left outer")
+                .join(nonneg, keys="i", join_type="left outer")
                 .sort_by("i")
             )
             yield pa.record_batch(
                 {
                     "vec_id": batch.column("vec_id"),
                     "dim": lens,
-                    # group_by yields ChunkedArrays; record_batch needs
+                    # joins yield ChunkedArrays; record_batch needs
                     # contiguous Arrays
-                    "min_el": pc.cast(agg.column("x_min"), pa.float64()).combine_chunks(),
-                    "max_el": pc.cast(agg.column("x_max"), pa.float64()).combine_chunks(),
-                    "n_nonneg": pc.cast(nonneg.column("nn_sum"), pa.int32()).combine_chunks(),
+                    "min_el": pc.cast(joined.column("x_min"), pa.float64()).combine_chunks(),
+                    "max_el": pc.cast(joined.column("x_max"), pa.float64()).combine_chunks(),
+                    # the SQL twin's len(list_filter(...)) is 0 for an
+                    # EMPTY list but NULL for a NULL list — fill the
+                    # missing-group NULL with 0 only where the list
+                    # itself exists (dim non-null)
+                    "n_nonneg": pc.if_else(
+                        pc.is_valid(lens),
+                        pc.fill_null(
+                            pc.cast(joined.column("nn_sum").combine_chunks(), pa.int32()),
+                            0,
+                        ),
+                        pa.scalar(None, pa.int32()),
+                    ),
                 }
             )
 
@@ -1119,15 +1154,53 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = _kmeans_fit(
         emb_d, emb_d.where(F.expr(_TRAIN_PRED_SPARK))
     )
-    members = assigned.select(
+    return _ivf_probe_and_score(
+        emb_d.where(F.col("vec_id") < N_QUERIES),
+        cents,
+        _members_projection(assigned),
+    )
+
+
+def _members_projection(assigned: DataFrame) -> DataFrame:
+    """The persisted-index member schema contract — (vec_id, cluster_id,
+    e, c_nrm) — derived from a k-means assignment frame. The ONE
+    projection shared by the fit-inline operators, the index build, the
+    batch append, and (plus its gen column) the streaming ingest: the
+    schema every read path depends on must not live in five hand-written
+    copies."""
+    return assigned.select(
         "vec_id",
         F.col("cid").alias("cluster_id"),
         "e",
         F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
     )
-    return _ivf_probe_and_score(
-        emb_d.where(F.col("vec_id") < N_QUERIES), cents, members
-    )
+
+
+_SCRATCH_ROOT = "/tmp/spark_graft_indexes"
+_SCRATCH_TTL_SECONDS = 6 * 3600
+
+
+def _sweep_stale_scratch() -> None:
+    """Best-effort removal of scratch index dirs whose session is long
+    gone (mtime older than _SCRATCH_TTL_SECONDS): the applicationId
+    keying that isolates concurrent sessions also guarantees no reuse,
+    so without a sweep every session leaks a corpus-sized copy. Errors
+    are swallowed — a sweep racing another sweep (or a zombie session)
+    must never fail the build that triggered it."""
+    import os
+    import shutil
+    import time
+
+    cutoff = time.time() - _SCRATCH_TTL_SECONDS
+    try:
+        for family in os.listdir(_SCRATCH_ROOT):
+            fam_dir = os.path.join(_SCRATCH_ROOT, family)
+            for app in os.listdir(fam_dir):
+                app_dir = os.path.join(fam_dir, app)
+                if os.path.getmtime(app_dir) < cutoff:
+                    shutil.rmtree(app_dir, ignore_errors=True)
+    except OSError:
+        pass
 
 
 def scratch_index_dir(spark: SparkSession, sf_dir: str, family: str) -> str:
@@ -1138,13 +1211,14 @@ def scratch_index_dir(spark: SparkSession, sf_dir: str, family: str) -> str:
     workers, a bench run beside a driver run — must never race one
     directory's overwrite against the other's scan). Deterministic
     within a session, which is all the build-then-query lifecycle needs;
-    every build overwrites, so cross-session reuse was never real."""
-    import hashlib
+    every build overwrites, so cross-session reuse was never real —
+    which is why each call also sweeps sessions staler than the TTL."""
     import os
 
+    _sweep_stale_scratch()
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     return os.path.join(
-        "/tmp/spark_graft_indexes",
+        _SCRATCH_ROOT,
         family,
         spark.sparkContext.applicationId,
         f"{os.path.basename(sf_dir.rstrip('/') or 'sf')}-{key}",
@@ -1231,12 +1305,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     )
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
     (
-        assigned.select(
-            "vec_id",
-            F.col("cid").alias("cluster_id"),
-            "e",
-            F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
-        )
+        _members_projection(assigned)
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(f"{index_dir}/members.parquet")
@@ -1492,7 +1561,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection below (same contract as the IVF fit)
     sub_train = sub.where(F.expr(_TRAIN_PRED_SPARK))
     assigned = _pq_assign(sub_train, cents_row)
-    for _ in range(KMEANS_ITERS - 1):
+    for it in range(KMEANS_ITERS - 1):
         ex = assigned.select("s", "cid", F.posexplode("es").alias("pos", "val"))
         m = ex.groupBy("s", "cid", "pos").agg(
             (
@@ -1508,7 +1577,11 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_row = cvec.groupBy("s").agg(
             F.expr("array_sort(collect_list(struct(cid, vec)))").alias("cents")
         )
-        assigned = _pq_assign(sub_train, cents_row)
+        if it < KMEANS_ITERS - 2:
+            # the final iteration's centroids feed only the encode/LUT
+            # consumers below; a trailing sample reassignment would be a
+            # dead (never-consumed) plan
+            assigned = _pq_assign(sub_train, cents_row)
     # materialize the PQ_M-row codebook table eagerly — "train once,
     # persist the codebook" is the production contract, and it stops the
     # two consumers below (encode + LUT build) re-executing the fit
@@ -1694,7 +1767,16 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_against_exact(spark, sf_dir, approx_fn) -> DataFrame:
-    exact = sim_topk_cosine(spark, sf_dir).select("query_id", "cand_id")
+    # the queries x k ground-truth frame feeds TWO branches (the hits
+    # join and the denominator spine) — materialize it once or the
+    # brute-force corpus scoring, sort, and window execute per branch
+    # (no cross-branch subtree reuse; the localCheckpoint rule for
+    # small multi-consumer frames)
+    exact = (
+        sim_topk_cosine(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
     approx = approx_fn(spark, sf_dir).select("query_id", "cand_id")
     hits = (
         exact.join(approx, ["query_id", "cand_id"])
@@ -2115,13 +2197,7 @@ def append_ivf_index(
     audit (sim_cell_balance) says the codebook has drifted."""
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
     (
-        _kmeans_assign(batch_d, cents)
-        .select(
-            "vec_id",
-            F.col("cid").alias("cluster_id"),
-            "e",
-            F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
-        )
+        _members_projection(_kmeans_assign(batch_d, cents))
         .write.mode("append")
         .partitionBy("cluster_id")
         .parquet(f"{index_dir}/members.parquet")
@@ -2267,12 +2343,7 @@ def sim_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = _kmeans_fit(
         emb_d, emb_d.where(F.expr(_TRAIN_PRED_SPARK))
     )
-    members = assigned.select(
-        "vec_id",
-        F.col("cid").alias("cluster_id"),
-        "e",
-        F.expr(_NRM_E_SPARK.format(a="e")).alias("c_nrm"),
-    )
+    members = _members_projection(assigned)
     queries_d = emb_d.where(F.col("vec_id") < N_QUERIES)
     # probe routing with the probe RANK kept (posexplode of the sorted
     # cell list — rank 1 = nearest centroid)

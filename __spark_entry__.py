@@ -45,10 +45,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # VERDICT's #1 — they were registered after the r06 window was pinned),
 # then entries whose implementation CHANGED this round (their plans and
 # output must re-earn a driver row), then the stalest tail — the entries
-# whose last driver row is r04. Each round-7 registration displaced one
-# r04-stale slot, so the r04 remainder grew to the 21-entry tail listed
-# at _R04_STALE (all rotate in r08 — they fit in one window with room
-# for r08's own new/changed entries);
+# whose last driver row is r04. Each round-7 registration and changed
+# entry displaced one r04-stale slot, so the r04 remainder grew to the
+# 31-entry tail listed at _R04_STALE (all rotate in r08 — they fit in
+# one window with room for r08's own new/changed entries; they are the
+# LOWEST-risk class: pure SQL twins, value-checked by local parity at
+# every SF every session);
 # everything outside the window stays covered by the local all-query
 # DuckDB parity suite (tests/test_parity.py). The structural guard that
 # late additions can never miss a window again is
@@ -122,11 +124,25 @@ _R07_CHANGED = (
     "sim_recall_audit",
     "sim_pq_recall_audit",
     "sim_pq_adc_topk",
+    # NULL-text contract fixes (differentially tested on a crafted
+    # corpus): shingle builder yields [] for NULL text, bow keeps a NULL
+    # fingerprint group, chunk/contamination generator rows filtered,
+    # simhash's dead filter removed — representatives of the shared
+    # expression change re-earn driver rows; the rest of the shingle
+    # family inherits the same single expression and is covered by the
+    # all-query local parity plus tests/test_dedup_null_text.py
+    "dedup_minhash_lsh",
+    "dedup_bow",
+    "dedup_chunks",
+    "dedup_contamination",
+    "dedup_simhash",
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 23 fit this window, the tail 26
-    # (q20_excess_inventory_suppliers, q21_waiting_suppliers,
+    # last driver row r04; the first 18 fit this window, the tail 31
+    # (q6_forecast_revenue, q8_market_share, q11_important_stock, q13_customer_distribution,
+    # q16_supplier_part_count, q20_excess_inventory_suppliers,
+    # q21_waiting_suppliers,
     # q7_nation_volume, q9_product_profit, q15_top_supplier,
     # q17_small_quantity_revenue, q14_promo_revenue,
     # q18_large_orders, q19_bracket_filter, q5_local_supplier_volume,
@@ -151,11 +167,6 @@ _R04_STALE = (
     "q4_order_priority",
     "q22_global_sales_opportunity",
     "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q16_supplier_part_count",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

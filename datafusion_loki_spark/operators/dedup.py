@@ -45,13 +45,20 @@ SHINGLE_N = 3          # word-shingle width
 # barrier — CollapseProject keeps multi-referenced non-cheap expressions in
 # their own projection, and the optimized plan carries exactly one split().
 _SHINGLES_FROM_TOKS = (
-    f"array_distinct(if(size(toks) >= {SHINGLE_N}, "
+    # NULL text (toks NULL) → NO shingles: concat_ws would swallow the
+    # NULL into '' and give the doc a real (empty-string) shingle that
+    # LSH-pairs it with empty-TEXT docs, while the DuckDB oracle's
+    # list_distinct strips its [NULL] to [] — a silent engine-vs-oracle
+    # divergence on every shingle-based operator (round-7 review; the
+    # span builder _SPANS_FROM_TOKS already had the guard)
+    "array_distinct(if(toks is null, cast(array() as array<string>), "
+    f"if(size(toks) >= {SHINGLE_N}, "
     f"transform(sequence(1, size(toks) - {SHINGLE_N - 1}), "
     "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), "
     "element_at(toks, i+2))), "
     # < N tokens → the whole normalized text is the one shingle;
     # concat_ws(' ', toks) == the normalized text (whitespace is collapsed)
-    "array(concat_ws(' ', toks))))"
+    "array(concat_ws(' ', toks)))))"
 )
 
 
@@ -223,10 +230,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     # InferFiltersFromGenerate, whose size(shingles)>0 filter gets
     # predicate-pushed below the projection barrier with the whole shingle
     # expression inlined — re-running the regex+split per element again.
-    # The rule skips outer generates; shingles always has ≥1 element, so
-    # outer changes nothing semantically.
-    ex = shingle_docs(_spread(docs, "doc_id")).select(
-        "doc_id", F.explode_outer("shingles").alias("s")
+    # The rule skips outer generates. A NULL-TEXT doc has shingles=[]
+    # and explodes to one s=NULL row — filtered on the CHEAP generator
+    # output (never the shingle expression), so the doc contributes no
+    # signature and no bands, exactly like the oracle's zero unnest rows.
+    ex = (
+        shingle_docs(_spread(docs, "doc_id"))
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .where(F.col("s").isNotNull())
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
@@ -437,6 +448,13 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``exact_dup``: not the min-doc_id of its exact-content group
     - ``near_dup``: exact keeper, but its CC cluster label is another doc
     - ``keep``: everything else (cluster representative or untouched)
+
+    Contract limit (deliberate, both engines agree): a NULL-text
+    document has a NULL fingerprint, matches nothing in the keeper
+    join, and gets NO row here — it has no content to keep or drop;
+    route such rows through a schema-validity gate before dedup.
+    dedup_pipeline_funnel's n_docs therefore counts fingerprintable
+    documents, not raw rows (corpus_data_card counts those).
 
     100 TB posture: one fingerprint shuffle + the CC rounds (both bounded
     as documented on their operators; the LSH edge list is materialized
@@ -692,25 +710,31 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_shingles = (
         sh.where(F.col("doc_id") % 97 == 0)
         .select(F.explode_outer("shingles").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     exploded = sh.where(F.col("doc_id") % 97 != 0).select(
         "doc_id", F.explode_outer("shingles").alias("shingle")
     )
+    # NULL-text docs (shingles=[]) explode to ONE NULL row: count(col)
+    # skips it (n_shingles 0), the left join's NULL key matches nothing,
+    # and try_divide yields the oracle's NULL ratio on 0/0 (plain ANSI
+    # division would raise) — every train doc stays in the report, as
+    # the oracle's FROM train frame does, in one pass
     return (
         exploded.join(bench_shingles, "shingle", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_shingles"),
+            F.count("shingle").alias("n_shingles"),
             F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
         )
         .select(
             "doc_id",
             "n_shingles",
             "n_contaminated",
-            (
-                F.col("n_contaminated") / F.col("n_shingles").cast("double")
+            F.try_divide(
+                F.col("n_contaminated"), F.col("n_shingles").cast("double")
             ).alias("contamination_ratio"),
         )
     )
@@ -791,16 +815,6 @@ JOIN nt b ON cand.doc_b = b.doc_id
 
 # --- embedding cosine near-dup ---------------------------------------------------
 
-_DOT_SPARK = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
-    " 0.0d, (acc, v) -> acc + v)"
-)
-_NORM2_SPARK = (
-    "aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
-    " 0.0d, (acc, v) -> acc + v)"
-)
-
-
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup pairs: cosine ≥ threshold within `label`
     buckets. The label is the coarse quantization cell (at 100 TB the
@@ -823,7 +837,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file → one task otherwise); cosine = dot(raw)/(nrm·nrm) so no
     # per-element division exists for CollapseProject to inline norms into
     # (see normed_embeddings docstring)
-    to_double = "transform(embedding, x -> cast(x as double))"
+    from datafusion_loki_spark.operators.similarity import _DOT_RAW, _TO_DOUBLE
+
+    to_double = _TO_DOUBLE.format(a="embedding")
     a = normed_embeddings(emb.repartition(F.col("vec_id")), "vec_id", "label").select(
         F.col("vec_id").alias("id_a"), F.expr(to_double).alias("e_a"), "label",
         F.col("nrm").alias("nrm_a"),
@@ -837,7 +853,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # id_a over 8 sub-keys spreads each bucket's pair space 8× for an 8×
     # replication of only the (small) right side. Same pairs exactly once:
     # `a` rows take one salt, `b` rows match every salt.
-    dot = "aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)"
+    dot = _DOT_RAW.format(a="e_a", b="e_b")
     return (
         salted_join(a, b, on=["label"], n_salts=8, salt_cols=["id_a"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -850,13 +866,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOT_DUCK = (
-    "list_sum(list_transform(generate_series(1, len({a})),"
-    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-)
-_NORM2_DUCK = (
-    "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-)
+# the DuckDB dot fold lives in similarity.py (_DOT_DUCK) — one copy of
+# the bit-for-bit oracle-parity anchor
+from datafusion_loki_spark.operators.similarity import _DOT_DUCK  # noqa: E402
 
 def _oracle_dedup_embedding() -> str:
     from datafusion_loki_spark.operators.similarity import _normed_duck_cte
@@ -898,6 +910,10 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = docs.select(
         "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
     ).select("doc_id", F.explode_outer(F.expr(chunks_expr)).alias("chunk"))
+    # NULL text explodes to one chunk=NULL row; filtering the CHEAP
+    # generator output keeps two NULL-text docs from forming a
+    # chunk_hash=NULL group the oracle (zero unnest rows) never emits
+    chunks = chunks.where(F.col("chunk").isNotNull())
     return (
         chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
         .agg(
@@ -936,7 +952,14 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 _ODD_HEX = "('1', '3', '5', '7', '9', 'b', 'd', 'f')"
 
 
-def simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
+SIMHASH_BITS = 16  # fingerprint width; the ONE constant every simhash
+# default derives from — a divergent hand-written 16 in the probe path
+# would silently truncate flip probes if the width ever changed
+
+
+def simhash_docs(
+    spark: SparkSession, sf_dir: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """SimHash fingerprints: per-token md5-derived bit votes, majority per
     bit position. Column-expression only (no UDF): bit b of token t =
     parity of hex digit b of md5(t); fingerprint bit = 1 iff #votes > n/2.
@@ -957,7 +980,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     return base.select("doc_id", F.expr(fingerprint).alias("simhash"))
 
 
-def _simhash_duck(bits: int = 16) -> str:
+def _simhash_duck(bits: int = SIMHASH_BITS) -> str:
     bit_cols = []
     for b in range(bits):
         votes = (
@@ -990,11 +1013,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_docs(spark, sf_dir)
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
-        .where(F.col("n_docs") >= 1)
     )
 
-
-SIMHASH_BITS = 16
 
 
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,9 +1130,14 @@ def dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks"))
         .select(
             "doc_id",
-            F.expr("md5(concat_ws(' ', array_sort(array_distinct(toks))))").alias(
-                "bow_fingerprint"
-            ),
+            # NULL text stays a NULL fingerprint (its own group), never
+            # md5('') — concat_ws would swallow the NULL array and merge
+            # NULL-text docs into the EMPTY-text group, diverging from
+            # the oracle's md5(NULL) = NULL (round-7 review)
+            F.expr(
+                "if(toks is null, cast(null as string),"
+                " md5(concat_ws(' ', array_sort(array_distinct(toks)))))"
+            ).alias("bow_fingerprint"),
         )
     )
     return bow.groupBy("bow_fingerprint").agg(

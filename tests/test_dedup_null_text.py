@@ -1,0 +1,82 @@
+"""Differential pin for the dedup family's NULL-text contract (round-7
+review): a NULL-text document must behave identically in Spark and the
+DuckDB oracle — no shingles (so it never LSH-pairs, not even with an
+EMPTY-text doc), its own NULL bow-fingerprint group, and no chunk rows.
+The fixtures carry no NULL text, so this crafts a corpus with the three
+hazard shapes (NULL text, empty text, ordinary near-dup pair) and runs
+the exact Spark-vs-DuckDB comparison the driver harness performs over
+the whole shingle-descended family."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+NEAR_A = "the quick brown fox jumps over the lazy dog again and again"
+NEAR_B = "the quick brown fox jumps over the lazy dog again and once"
+
+
+@pytest.fixture(scope="module")
+def crafted(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("nulltext")
+    rows = [
+        (0, NEAR_A, "en", "web", len(NEAR_A)),
+        (1, NEAR_B, "en", "web", len(NEAR_B)),
+        (2, None, "en", "web", 0),      # NULL text
+        (3, None, "en", "web", 0),      # second NULL text (pairing hazard)
+        (4, "", "en", "web", 0),        # EMPTY text (the merge hazard)
+        (5, "something else entirely different here", "en", "web", 38),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp}/documents.parquet/*.parquet')"
+    )
+    return str(tmp), con
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "dedup_minhash_estimate",
+        "dedup_ngram_jaccard",
+        "dedup_shingle_containment",
+        "dedup_bow",
+        "dedup_chunks",
+        "dedup_exact_docs",
+        "dedup_simhash",
+        "dedup_contamination",
+        "dedup_similarity_histogram",
+    ],
+)
+def test_null_text_family_matches_oracle(spark, crafted, name):
+    import __spark_entry__ as e
+    from tests.parity import compare
+
+    sf, con = crafted
+    ok, detail = compare(e.queries()[name](spark, sf), e.oracle_sql()[name], con)
+    assert ok, (name, detail)
+
+
+def test_null_text_never_pairs(spark, crafted):
+    # the specific divergences the review found: NULL-text docs must not
+    # pair with each other or with the empty-text doc, and must form
+    # their own NULL bow group distinct from the empty-text group
+    from datafusion_loki_spark.operators.dedup import dedup_bow, dedup_minhash_lsh
+
+    sf, _con = crafted
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf).collect()
+    }
+    assert pairs == {(0, 1)}, pairs  # only the genuine near-dup pair
+    bow = {r.bow_fingerprint: r.n_docs for r in dedup_bow(spark, sf).collect()}
+    assert bow[None] == 2  # the two NULL-text docs, their own group
+    assert bow.get("d41d8cd98f00b204e9800998ecf8427e") == 1  # empty text alone

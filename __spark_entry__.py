@@ -136,11 +136,15 @@ _R07_CHANGED = (
     "dedup_chunks",
     "dedup_contamination",
     "dedup_simhash",
+    # oracle gained the event_id tie-break on the session-numbering
+    # cumulative sum (µs-collided timestamps could nondeterministically
+    # split a session the tie-insensitive session_window keeps whole)
+    "log_session_window_batch",
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 18 fit this window, the tail 31
-    # (q6_forecast_revenue, q8_market_share, q11_important_stock, q13_customer_distribution,
+    # last driver row r04; the first 17 fit this window, the tail 32
+    # (q2_min_cost_supplier, q6_forecast_revenue, q8_market_share, q11_important_stock, q13_customer_distribution,
     # q16_supplier_part_count, q20_excess_inventory_suppliers,
     # q21_waiting_suppliers,
     # q7_nation_volume, q9_product_profit, q15_top_supplier,
@@ -166,7 +170,6 @@ _R04_STALE = (
     "q1_pricing_summary",
     "q4_order_priority",
     "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

@@ -748,10 +748,7 @@ def log_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.expr(f"min({us})").alias("mn"), F.expr(f"max({us})").alias("mx")
     )
-    bucket = F.least(
-        F.greatest(F.floor(F.col("value") / HIST_WIDTH), F.lit(0)),
-        F.lit(HIST_BUCKETS - 1),
-    ).cast("bigint")
+    bucket = value_hist_bucket()
     halves = (
         ev.crossJoin(F.broadcast(bounds))
         .select(
@@ -768,13 +765,7 @@ def log_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     totals = Window.partitionBy("event_type")
-    p = (
-        f"(cast(c_a + 1 as double) / cast(n_a + {HIST_BUCKETS} as double))"
-    )
-    q = (
-        f"(cast(c_b + 1 as double) / cast(n_b + {HIST_BUCKETS} as double))"
-    )
-    term = f"(({q} - {p}) * ({q} - {p}) / {p})"
+    term = chi2_smoothed_term("c_a", "n_a", "c_b", "n_b")
     scored = halves.withColumn("n_a", F.sum("c_a").over(totals)).withColumn(
         "n_b", F.sum("c_b").over(totals)
     )
@@ -1261,14 +1252,19 @@ def log_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SESSION_WINDOW = """
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ), numbered AS (
   SELECT user_id, ts, value,
          SUM(CASE WHEN prev_ts IS NULL
                     OR ts - prev_ts >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts
+           -- event_id tie-break, as in ORACLE_SESSIONIZE: µs-truncated
+           -- timestamps can collide, and an untied cumulative sum could
+           -- enumerate a tied row before its own boundary flag,
+           -- splitting a session Spark's (tie-insensitive)
+           -- session_window keeps whole — a nondeterministic hash flake
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS sess
   FROM ordered
 )
@@ -1305,8 +1301,7 @@ def log_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.95d, 10000)").alias("ap")
     )
     return (
-        load_table(spark, sf_dir, "events")
-        .join(approx, "event_type")
+        ev.join(approx, "event_type")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
@@ -1354,10 +1349,7 @@ def log_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     compile-time constants, so the bucket index is a codegen'd projection
     at scan speed (no per-row function call, no sort)."""
     ev = load_table(spark, sf_dir, "events")
-    bucket = F.least(
-        F.greatest(F.floor(F.col("value") / HIST_WIDTH), F.lit(0)),
-        F.lit(HIST_BUCKETS - 1),
-    ).cast("bigint")
+    bucket = value_hist_bucket()
     return (
         ev.groupBy("event_type", bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))
@@ -1496,12 +1488,12 @@ def log_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"user_id": list(counters) or []}).astype("int64")
 
     candidates = ev.mapInPandas(mg_summaries, "user_id long").distinct()
-    totals = load_table(spark, sf_dir, "events").agg(
-        F.count("*").alias("n_total")
-    )
+    # reuse the ONE loaded frame: each load_table('events') call re-runs
+    # the driver-side encoding probe (a batch read per call); multiple
+    # plan references to one DataFrame are semantically identical
+    totals = ev.agg(F.count("*").alias("n_total"))
     exact = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id")
+        ev.select("user_id")
         # candidate frame is bounded by capacity × partitions (a config
         # constant, not fact-derived) — broadcast is safe by construction
         .join(F.broadcast(candidates), "user_id")
@@ -1673,6 +1665,19 @@ FROM pairs
 """
 
 
+def chi2_smoothed_term(p_count: str, p_total: str, q_count: str, q_total: str) -> str:
+    """The Laplace-smoothed chi-square summand as a SQL string —
+    ((q-p)^2 / p) with p = (p_count+1)/(p_total+HIST_BUCKETS) and q
+    likewise — the ONE copy of the drift math shared by
+    log_histogram_drift, histogram_divergence (and through it
+    log_window_drift and the streaming drift monitor), and mirrored by
+    their committed oracles: a smoothing change edits every consumer
+    and its oracle expectation together or not at all."""
+    pp = f"(cast({p_count} + 1 as double) / cast({p_total} + {HIST_BUCKETS} as double))"
+    qq = f"(cast({q_count} + 1 as double) / cast({q_total} + {HIST_BUCKETS} as double))"
+    return f"(({qq} - {pp}) * ({qq} - {pp}) / {pp})"
+
+
 def value_hist_bucket() -> "F.Column":
     """The shared fixed-width value-bucket expression — ONE definition
     for the batch drift ops AND the streaming monitor (the twin
@@ -1706,9 +1711,7 @@ def histogram_divergence(hist: DataFrame, reference: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     per = Window.partitionBy("window_start", "event_type")
-    p = f"(cast(c_ref + 1 as double) / cast(n_ref + {HIST_BUCKETS} as double))"
-    q = f"(cast(c + 1 as double) / cast(n_win + {HIST_BUCKETS} as double))"
-    term = f"(({q} - {p}) * ({q} - {p}) / {p})"
+    term = chi2_smoothed_term("c_ref", "n_ref", "c", "n_win")
     return (
         joined.withColumn("n_win", F.sum("c").over(per))
         .withColumn("n_ref", F.sum("c_ref").over(per))

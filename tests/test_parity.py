@@ -45,21 +45,22 @@ def test_correctness_window_is_pinned():
     assert len(e._WINDOW_PRIORITY) == 50
     assert names[:50] == list(e._WINDOW_PRIORITY)
     # round-7 rotation: the six never-driver-checked late-r06 additions
-    # lead, then the eleven round-7 registrations, then the fifteen
-    # r07-changed entries, then 18 of the 49 entries whose last driver
-    # row is r04 (the 31-entry remainder rotates in r08)
+    # lead, then the eleven round-7 registrations, then the sixteen
+    # r07-changed entries, then 17 of the 49 entries whose last driver
+    # row is r04 (the 32-entry remainder rotates in r08)
     lead = (list(e._R07_NEVER_CHECKED) + list(e._R07_NEW)
             + list(e._R07_CHANGED))
     assert names[: len(lead)] == lead
     assert len(e._R07_NEVER_CHECKED) == 6
     assert len(e._R07_NEW) == 11
-    assert len(e._R07_CHANGED) == 15
-    assert len(e._R04_STALE) == 18
+    assert len(e._R07_CHANGED) == 16
+    assert len(e._R04_STALE) == 17
     # no windowed entry may be oracle-less
     for n in e._WINDOW_PRIORITY:
         assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
     # the r08 carry-over: the r04-checked tail still outside the window
-    for n in ("q6_forecast_revenue", "q8_market_share",
+    for n in ("q2_min_cost_supplier",
+              "q6_forecast_revenue", "q8_market_share",
               "q11_important_stock", "q13_customer_distribution",
               "q16_supplier_part_count",
               "q20_excess_inventory_suppliers", "q21_waiting_suppliers",

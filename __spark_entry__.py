@@ -140,11 +140,19 @@ _R07_CHANGED = (
     # cumulative sum (µs-collided timestamps could nondeterministically
     # split a session the tie-insensitive session_window keeps whole)
     "log_session_window_batch",
+    # text-family NULL-text contract fixes: the UDTF's null guard (a
+    # NULL row crashed the job), and the NULL-token vocabulary filters
+    # (an exploded NULL inflated V / vocab_size / the freq table vs the
+    # oracle's unnest) — differentially pinned with the dedup family
+    "text_chunk_udtf",
+    "text_token_freq",
+    "text_vocab_growth",
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 17 fit this window, the tail 32
-    # (q2_min_cost_supplier, q6_forecast_revenue, q8_market_share, q11_important_stock, q13_customer_distribution,
+    # last driver row r04; the first 14 fit this window, the tail 35
+    # (q1_pricing_summary, q4_order_priority, q22_global_sales_opportunity,
+    # q2_min_cost_supplier, q6_forecast_revenue, q8_market_share, q11_important_stock, q13_customer_distribution,
     # q16_supplier_part_count, q20_excess_inventory_suppliers,
     # q21_waiting_suppliers,
     # q7_nation_volume, q9_product_profit, q15_top_supplier,
@@ -167,9 +175,6 @@ _R04_STALE = (
     "log_gap_fill",
     "log_asof_join",
     "log_interval_join_batch",
-    "q1_pricing_summary",
-    "q4_order_priority",
-    "q22_global_sales_opportunity",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

@@ -155,6 +155,20 @@ def _lang_score_duck(lang: str) -> str:
     return f"len(list_filter(string_split({_NORM_DUCK}, ' '), t -> t IN ({markers})))"
 
 
+
+def _argmax_case(langs, prefix: str = "score_") -> str:
+    """Declaration-order-precedence argmax CASE over per-language score
+    columns — ONE builder for both engines and both lang-id variants
+    (the >= precedence is an oracle-contract invariant; four private
+    copies of this loop once existed to drift apart)."""
+    best = "CASE "
+    for lang in langs:
+        others = [f"{prefix}{o}" for o in langs if o != lang]
+        cond = " AND ".join(f"{prefix}{lang} >= {o}" for o in others)
+        best += f"WHEN {cond} THEN '{lang}' "
+    return best + "ELSE 'und' END"
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (n-gram-heuristic family): score each
     language by its marker-token hits, argmax with a fixed precedence order
@@ -174,13 +188,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     score_cols = [F.expr(s).alias(f"score_{lang}") for lang, s in scores.items()]
     langs = list(LANG_MARKERS)
-    # argmax with precedence = declaration order (en first on full tie)
-    best = "CASE "
-    for lang in langs:
-        others = [f"score_{o}" for o in langs if o != lang]
-        cond = " AND ".join(f"score_{lang} >= {o}" for o in others)
-        best += f"WHEN {cond} THEN '{lang}' "
-    best += "ELSE 'und' END"
+    best = _argmax_case(langs)
     return (
         docs.select("doc_id", "lang", *score_cols)
         .withColumn("predicted_lang", F.expr(best))
@@ -193,12 +201,7 @@ def _oracle_lang_id() -> str:
     score_defs = ",\n       ".join(
         f"{_lang_score_duck(lang)} AS score_{lang}" for lang in langs
     )
-    best = "CASE "
-    for lang in langs:
-        others = [f"score_{o}" for o in langs if o != lang]
-        cond = " AND ".join(f"score_{lang} >= {o}" for o in others)
-        best += f"WHEN {cond} THEN '{lang}' "
-    best += "ELSE 'und' END"
+    best = _argmax_case(langs)
     return f"""
 WITH s AS (
   SELECT doc_id, lang,
@@ -257,11 +260,7 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang in LANG_TRIGRAMS
     ]
     langs = list(LANG_TRIGRAMS)
-    best = "CASE "
-    for lang in langs:
-        cond = " AND ".join(f"tg_{lang} >= tg_{o}" for o in langs if o != lang)
-        best += f"WHEN {cond} THEN '{lang}' "
-    best += "ELSE 'und' END"
+    best = _argmax_case(langs, prefix="tg_")
     return (
         docs.select("doc_id", "lang", *score_cols)
         .withColumn("predicted_lang", F.expr(best))
@@ -275,11 +274,7 @@ def _oracle_lang_id_ngram() -> str:
         f"CAST({_trigram_score(lang, _NORM_DUCK)} AS BIGINT) AS tg_{lang}"
         for lang in langs
     )
-    best = "CASE "
-    for lang in langs:
-        cond = " AND ".join(f"tg_{lang} >= tg_{o}" for o in langs if o != lang)
-        best += f"WHEN {cond} THEN '{lang}' "
-    best += "ELSE 'und' END"
+    best = _argmax_case(langs, prefix="tg_")
     return f"""
 WITH s AS (
   SELECT doc_id, lang,
@@ -323,6 +318,9 @@ def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-evaluate the regex+split once more per row (split never yields
         # null/empty, so outer is semantically identical)
         docs.select(F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token"))
+        # NULL text explodes to one token=NULL row the oracle's unnest
+        # never emits — filter the cheap generator output
+        .where(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("token"))
@@ -657,6 +655,11 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     uni = (
         toks.select(F.explode_outer("t").alias("w"))
+        # a NULL-text doc's t is NULL and explodes to one w=NULL row:
+        # without this filter the NULL group inflates V by one and
+        # shifts EVERY smoothed probability corpus-wide vs the oracle
+        # (round-7 NULL-text contract)
+        .where(F.col("w").isNotNull())
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )
@@ -736,7 +739,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select(
         "doc_id", F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token")
-    )
+    ).where(F.col("token").isNotNull())  # NULL text is not a vocab entry
     firsts = ex.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
     spine = spark.createDataFrame(
         [(n,) for n in VOCAB_GROWTH_STEPS], "n_docs long"
@@ -782,6 +785,11 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_no int, chunk_text string")
     class ChunkDocs:
         def eval(self, text: str):
+            # NULL/empty text yields no chunks — the oracle's
+            # length(text) > 0 guard; len(None) would crash the JOB on
+            # the one malformed row (round-7 NULL-text contract)
+            if not text:
+                return
             for i in range(0, len(text), 100):
                 yield i // 100, text[i : i + 100]
 

@@ -55,6 +55,18 @@ def crafted(spark, tmp_path_factory):
         "dedup_simhash",
         "dedup_contamination",
         "dedup_similarity_histogram",
+        # the text family shares the same NULL-text contract (round-7
+        # review: four text ops broke it — one crashed, three counted a
+        # NULL vocab token the oracle's unnest never emits)
+        "text_chunk_udtf",
+        "text_bigram_lm",
+        "text_vocab_growth",
+        "text_token_freq",
+        "text_token_commonness",
+        "text_fingerprint",
+        "text_tfidf_topk",
+        "text_bpe_merge_pairs",
+        "text_stats",
     ],
 )
 def test_null_text_family_matches_oracle(spark, crafted, name):

@@ -147,11 +147,17 @@ _R07_CHANGED = (
     "text_chunk_udtf",
     "text_token_freq",
     "text_vocab_growth",
+    # sampling NULL-text/degenerate fixes: the greedy packer excludes
+    # NULL-token docs (Arrow NaN crashed int(); oracle base mirrors),
+    # and the epoch plan clamps floored-to-zero allocations to 1 token
+    # (the remainder formula assumed target >= 1)
+    "mix_pack_greedy",
+    "mix_epoch_plan",
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 14 fit this window, the tail 35
-    # (q1_pricing_summary, q4_order_priority, q22_global_sales_opportunity,
+    # last driver row r04; the first 12 fit this window, the tail 37
+    # (log_asof_join, log_interval_join_batch, q1_pricing_summary, q4_order_priority, q22_global_sales_opportunity,
     # q2_min_cost_supplier, q6_forecast_revenue, q8_market_share, q11_important_stock, q13_customer_distribution,
     # q16_supplier_part_count, q20_excess_inventory_suppliers,
     # q21_waiting_suppliers,
@@ -173,8 +179,6 @@ _R04_STALE = (
     "log_funnel",
     "log_rolling_range",
     "log_gap_fill",
-    "log_asof_join",
-    "log_interval_join_batch",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

@@ -296,9 +296,15 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-partial agg over the pruned scan, then arithmetic on a
     #languages-row frame."""
     frame = _lang_weight_frame(spark, sf_dir)
+    # clamp the floored allocation to >= 1 token: a language whose
+    # sqrt-weight share floors to 0 would otherwise emit the
+    # self-contradictory row n_epochs=0 with last_epoch_tokens=avail
+    # (the remainder formula assumes target >= 1); one token = the
+    # smallest honest allocation, giving n_epochs=1 with a 1-token
+    # remainder slice. Oracle mirrors the clamp.
     target = (
-        f"cast(floor({MIX_EPOCH_TARGET}.0d * weight"
-        " / cast(w_sum_dec as double)) as bigint)"
+        f"greatest(cast(floor({MIX_EPOCH_TARGET}.0d * weight"
+        " / cast(w_sum_dec as double)) as bigint), 1L)"
     )
     return frame.select(
         "lang",
@@ -328,8 +334,8 @@ WITH per_lang AS (
   FROM w
 ), t AS (
   SELECT lang, avail_tokens,
-         CAST(floor({MIX_EPOCH_TARGET}.0 * weight
-                    / CAST(w_sum_dec AS DOUBLE)) AS BIGINT) AS target_tokens
+         greatest(CAST(floor({MIX_EPOCH_TARGET}.0 * weight
+                    / CAST(w_sum_dec AS DOUBLE)) AS BIGINT), 1) AS target_tokens
   FROM w CROSS JOIN tw
 )
 SELECT lang, avail_tokens, target_tokens,
@@ -448,6 +454,25 @@ GROUP BY d.source, d.lang
 PACK_CTX = 2048  # training context length (tokens per packed sequence)
 
 
+
+# the packing contract's input definition — (doc_id, 2-hex md5 shard,
+# whitespace token count) — ONE copy for both packers and both oracles
+# (four private copies once defined what "a shard" even is)
+_PACK_BASE_DUCK = (
+    "SELECT doc_id, text, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,\n"
+    f"         len(string_split({_NORM_DUCK}, ' ')) AS n_tok\n"
+    "  FROM documents"
+)
+
+
+def _pack_base(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.expr("substring(md5(cast(doc_id as string)), 1, 2)").alias("shard"),
+        F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_tok"),
+    )
+
+
 def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing manifest: concatenate documents in deterministic
     order and chunk the stream into fixed PACK_CTX-token training
@@ -475,11 +500,7 @@ def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        F.expr("substring(md5(cast(doc_id as string)), 1, 2)").alias("shard"),
-        F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_tok"),
-    )
+    base = _pack_base(docs)
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -507,9 +528,7 @@ def mix_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MIX_PACK = f"""
 WITH base AS (
-  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
-         len(string_split({_NORM_DUCK}, ' ')) AS n_tok
-  FROM documents
+  {_PACK_BASE_DUCK}
 ), per_doc AS (
   SELECT shard, n_tok,
          SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
@@ -559,11 +578,11 @@ def mix_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        F.expr("substring(md5(cast(doc_id as string)), 1, 2)").alias("shard"),
-        F.expr(f"size(split({_NORM_SPARK}, ' '))").alias("n_tok"),
-    )
+    # NULL-text docs have n_tok NULL (nothing to pack) and are excluded:
+    # Arrow would deliver the NULL as NaN and crash int(t), and the
+    # oracle's recursive fill would freeze on NULL propagation — the
+    # round-7 NULL-text contract, mirrored in the oracle's base CTE
+    base = _pack_base(docs).where(F.col("n_tok").isNotNull())
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
@@ -600,9 +619,8 @@ def mix_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MIX_PACK_GREEDY = f"""
 WITH RECURSIVE base AS (
-  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
-         len(string_split({_NORM_DUCK}, ' ')) AS n_tok
-  FROM documents
+  {_PACK_BASE_DUCK}
+  WHERE text IS NOT NULL
 ), ordered AS (
   SELECT shard, n_tok,
          ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn

@@ -67,6 +67,15 @@ def crafted(spark, tmp_path_factory):
         "text_tfidf_topk",
         "text_bpe_merge_pairs",
         "text_stats",
+        # sampling/mixing consumers of text (mix_pack_greedy crashed on
+        # the NaN a NULL n_tok becomes in the Arrow batch; both packers
+        # now share one base projection with the NULL-doc exclusion)
+        "mix_pack_greedy",
+        "mix_pack_sequences",
+        "mix_token_budget",
+        "mix_epoch_plan",
+        "sample_docs_importance",
+        "corpus_build_manifest",
     ],
 )
 def test_null_text_family_matches_oracle(spark, crafted, name):

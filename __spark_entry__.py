@@ -153,11 +153,18 @@ _R07_CHANGED = (
     # (the remainder formula assumed target >= 1)
     "mix_pack_greedy",
     "mix_epoch_plan",
+    # multimodal decode family: NULL payloads decode to NULL features
+    # (len(None) crashed the kernel), and the image/video consumers
+    # filter media_type BEFORE the Python boundary (a post-decode
+    # filter decoded all three modalities to discard two thirds)
+    "mm_decode_features",
+    "mm_resize",
+    "mm_frame_sample",
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 12 fit this window, the tail 37
-    # (log_asof_join, log_interval_join_batch, q1_pricing_summary, q4_order_priority, q22_global_sales_opportunity,
+    # last driver row r04; the first 9 fit this window, the tail 40
+    # (log_funnel, log_rolling_range, log_gap_fill, log_asof_join, log_interval_join_batch, q1_pricing_summary, q4_order_priority, q22_global_sales_opportunity,
     # q2_min_cost_supplier, q6_forecast_revenue, q8_market_share, q11_important_stock, q13_customer_distribution,
     # q16_supplier_part_count, q20_excess_inventory_suppliers,
     # q21_waiting_suppliers,
@@ -176,9 +183,6 @@ _R04_STALE = (
     "log_median_value_pandas",
     "log_agg_by_label",
     "log_time_bucket",
-    "log_funnel",
-    "log_rolling_range",
-    "log_gap_fill",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

@@ -24,9 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_loki_spark.catalog import load_table
 
-MEDIA_SCHEMA = (
-    "doc_id long, payload binary, media_type string, n_bytes long"
-)
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, width int, height int, n_frames int,"
     " feat_norm double"
@@ -68,16 +65,6 @@ def decode_image(payload: bytes):
     return Image.open(io.BytesIO(payload))
 
 
-def _fake_decode(n_bytes: int) -> tuple[int, int, int]:
-    """Deterministic fake decode used in place of the codec: pretends the
-    payload header declares (width, height, n_frames). Pure arithmetic so
-    the oracle can verify the pipeline end-to-end."""
-    width = 16 + (n_bytes % 64)
-    height = 16 + ((n_bytes * 7) % 64)
-    n_frames = 1 + (n_bytes % 8)
-    return width, height, n_frames
-
-
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only stats over the multimodal table: per media type, count,
     total/min/max payload size. Never touches payload bytes beyond length —
@@ -103,36 +90,52 @@ GROUP BY 1
 """
 
 
+def _decode_features(media: DataFrame) -> DataFrame:
+    """The decode/feature-extract kernel over an (optionally pre-filtered)
+    media frame — shared by mm_decode_features and the image/video
+    consumers, which filter media_type BEFORE the mapInPandas boundary:
+    Catalyst cannot push a predicate through the opaque Python node, so a
+    post-decode filter would ship (and fake-decode) every modality only
+    to discard two thirds — at 100 TB, where decode is the expensive step
+    a real codec replaces, that triples the cost of the single-modality
+    queries. The fake-decode formulas (16+(n%64), 16+((n*7)%64),
+    1+(n%8)) are the pipeline contract, mirrored literally in the three
+    ORACLE_MM_* strings. A NULL payload decodes to NULL features
+    (nullable pandas dtypes; len(None) previously crashed the whole job
+    on one malformed row), matching the oracles' NULL-propagating
+    arithmetic — the round-7 NULL-text contract."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len, na_action="ignore").astype("Int64")
+            width = (16 + (n_bytes % 64)).astype("Int32")
+            height = (16 + ((n_bytes * 7) % 64)).astype("Int32")
+            n_frames = (1 + (n_bytes % 8)).astype("Int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames,
+                    # feature vector norm stand-in: exact integer math in
+                    # double (portable); nullable so a NULL payload stays
+                    # NULL, never NaN
+                    "feat_norm": (width * height).astype("Float64"),
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode/feature-extract pipeline through mapInPandas: payloads
     stream in Arrow batches into a pandas function that 'decodes' each item
     (deterministic fake — see decode_image for the real gate) and emits a
     typed feature row. The Spark-side plumbing (binary columns in, struct
     schema out, batched iteration) is exactly what a real codec UDF uses."""
-    import pandas as pd
-
-    media = media_table(spark, sf_dir)
-
-    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            n_bytes = pdf["payload"].map(len)
-            width = 16 + (n_bytes % 64)
-            height = 16 + ((n_bytes * 7) % 64)
-            n_frames = 1 + (n_bytes % 8)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "width": width.astype("int32"),
-                    "height": height.astype("int32"),
-                    "n_frames": n_frames.astype("int32"),
-                    # feature vector norm stand-in: exact integer math in
-                    # double (portable)
-                    "feat_norm": (width * height).astype("float64"),
-                }
-            )
-
-    return media.mapInPandas(extract, FEATURE_SCHEMA)
+    return _decode_features(media_table(spark, sf_dir))
 
 
 ORACLE_MM_DECODE = """
@@ -156,18 +159,26 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIL/libvips call inside the same mapInPandas batch loop."""
     import pandas as pd
 
-    feats = mm_decode_features(spark, sf_dir).where(F.col("media_type") == "image")
+    # filter the cheap media_type column BEFORE the Python boundary —
+    # a post-decode filter would decode all three modalities (see
+    # _decode_features); NULL payloads carry NULL dims through nullable
+    # dtypes end-to-end
+    feats = _decode_features(
+        media_table(spark, sf_dir).where(F.col("media_type") == "image")
+    )
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            max_dim = pdf[["width", "height"]].max(axis=1)
+            w = pdf["width"].astype("Int64")
+            h = pdf["height"].astype("Int64")
+            max_dim = pd.concat([w, h], axis=1).max(axis=1).astype("Int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "out_w": (pdf["width"] * 32 // max_dim).astype("int32"),
-                    "out_h": (pdf["height"] * 32 // max_dim).astype("int32"),
+                    "width": w.astype("Int32"),
+                    "height": h.astype("Int32"),
+                    "out_w": (w * 32 // max_dim).astype("Int32"),
+                    "out_h": (h * 32 // max_dim).astype("Int32"),
                 }
             )
 
@@ -196,9 +207,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one row per sampled frame (every 2nd frame of the
     fake-decoded n_frames), the explode-shape a video pipeline uses. Built
     on posexplode over a sequence — no UDF."""
-    feats = mm_decode_features(spark, sf_dir)
+    # pre-filter before the decode boundary (see _decode_features); a
+    # NULL n_frames explodes to no rows — sequence(0, NULL-1) is NULL
+    # and explode of NULL emits nothing, like the oracle's unnest
+    feats = _decode_features(
+        media_table(spark, sf_dir).where(F.col("media_type") == "video")
+    )
     return (
-        feats.where(F.col("media_type") == "video")
+        feats
         .select(
             "doc_id",
             "n_frames",

@@ -76,6 +76,13 @@ def crafted(spark, tmp_path_factory):
         "mix_epoch_plan",
         "sample_docs_importance",
         "corpus_build_manifest",
+        # multimodal decode family (len(None) crashed the decode kernel;
+        # NULL payloads now carry NULL features through nullable dtypes)
+        "mm_decode_features",
+        "mm_resize",
+        "mm_frame_sample",
+        "mm_binary_meta",
+        "mm_exact_dedup",
     ],
 )
 def test_null_text_family_matches_oracle(spark, crafted, name):

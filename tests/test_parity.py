@@ -45,21 +45,22 @@ def test_correctness_window_is_pinned():
     assert len(e._WINDOW_PRIORITY) == 50
     assert names[:50] == list(e._WINDOW_PRIORITY)
     # round-7 rotation: the six never-driver-checked late-r06 additions
-    # lead, then the eleven round-7 registrations, then the twenty-one
-    # r07-changed entries, then 12 of the 49 entries whose last driver
-    # row is r04 (the 37-entry remainder rotates in r08)
+    # lead, then the eleven round-7 registrations, then the twenty-four
+    # r07-changed entries, then 9 of the 49 entries whose last driver
+    # row is r04 (the 40-entry remainder rotates in r08)
     lead = (list(e._R07_NEVER_CHECKED) + list(e._R07_NEW)
             + list(e._R07_CHANGED))
     assert names[: len(lead)] == lead
     assert len(e._R07_NEVER_CHECKED) == 6
     assert len(e._R07_NEW) == 11
-    assert len(e._R07_CHANGED) == 21
-    assert len(e._R04_STALE) == 12
+    assert len(e._R07_CHANGED) == 24
+    assert len(e._R04_STALE) == 9
     # no windowed entry may be oracle-less
     for n in e._WINDOW_PRIORITY:
         assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
     # the r08 carry-over: the r04-checked tail still outside the window
-    for n in ("log_asof_join", "log_interval_join_batch",
+    for n in ("log_funnel", "log_rolling_range", "log_gap_fill",
+              "log_asof_join", "log_interval_join_batch",
               "q1_pricing_summary", "q4_order_priority",
               "q22_global_sales_opportunity",
               "q2_min_cost_supplier",

@@ -160,11 +160,26 @@ _R07_CHANGED = (
     "mm_decode_features",
     "mm_resize",
     "mm_frame_sample",
+    # tpch review fixes: q12's low bucket mirrors the oracle's ELSE 1
+    # NULL branch; the anti-semi oracle uses NOT EXISTS (left_anti
+    # semantics - NOT IN collapses on one NULL custkey); q18's forced
+    # broadcast of a ~45%-of-orders set dropped (AQE decides);
+    # q11/q20 resolve ASIA by name through region; grouping sets via
+    # the native API (no temp-view side effect)
+    "q12_priority_class",
+    "q_anti_semi_join",
+    "q18_large_orders",
+    "q11_important_stock",
+    "q20_excess_inventory_suppliers",
+    "q_grouping_sets",
 )
 
 _R04_STALE = (
-    # last driver row r04; the first 9 fit this window, the tail 40
-    # (log_funnel, log_rolling_range, log_gap_fill, log_asof_join, log_interval_join_batch, q1_pricing_summary, q4_order_priority, q22_global_sales_opportunity,
+    # last driver row r04; the first 3 fit this window (the CC/keep-list
+    # pipeline - the highest-value stale trio), the tail 46
+    # (log_top_user_per_type, log_rate_per_minute,
+    # log_events_by_nation, log_median_value_pandas, log_agg_by_label,
+    # log_time_bucket, log_funnel, log_rolling_range, log_gap_fill, log_asof_join, log_interval_join_batch, q1_pricing_summary, q4_order_priority, q22_global_sales_opportunity,
     # q2_min_cost_supplier, q6_forecast_revenue, q8_market_share, q11_important_stock, q13_customer_distribution,
     # q16_supplier_part_count, q20_excess_inventory_suppliers,
     # q21_waiting_suppliers,
@@ -177,12 +192,6 @@ _R04_STALE = (
     "dedup_cc_groups",
     "dedup_keep_list",
     "dedup_simhash_hamming",
-    "log_top_user_per_type",
-    "log_rate_per_minute",
-    "log_events_by_nation",
-    "log_median_value_pandas",
-    "log_agg_by_label",
-    "log_time_bucket",
 )
 
 _WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE

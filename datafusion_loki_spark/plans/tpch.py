@@ -40,6 +40,14 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _ts(day: str) -> F.Column:
+    """Midnight-of-day TIMESTAMP_NTZ literal — the one date-predicate
+    builder (22 hand-built copies of the lit+cast pair once existed; a
+    single wrong cast target in one copy would be invisible until a
+    parity run)."""
+    return F.lit(day + " 00:00:00").cast("timestamp_ntz")
+
+
 def _revenue() -> F.Column:
     return F.sum(dec("l_extendedprice") * one_minus("l_discount")).cast("double")
 
@@ -52,7 +60,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        li.where(F.col("l_shipdate") <= _ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
@@ -98,10 +106,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cu = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     od = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+        F.col("o_orderdate") < _ts("1998-03-15")
     )
     li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+        F.col("l_shipdate") > _ts("1998-03-15")
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
@@ -137,8 +145,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = _t(spark, sf_dir, "nation")
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
     )
     li = _t(spark, sf_dir, "lineitem")
     su = _t(spark, sf_dir, "supplier")
@@ -172,8 +180,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns, per customer, top 20."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        (F.col("o_orderdate") >= _ts("1996-10-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
     )
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     na = _t(spark, sf_dir, "nation")
@@ -435,8 +443,13 @@ WITH active AS (
   SELECT c_nationkey, COUNT(*) AS n_active FROM customer
   WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY c_nationkey
 ), inactive AS (
-  SELECT c_nationkey, COUNT(*) AS n_inactive FROM customer
-  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY c_nationkey
+  -- NOT EXISTS, not NOT IN: Spark's left_anti has NOT EXISTS
+  -- semantics, while a single NULL o_custkey makes three-valued
+  -- NOT IN collapse the whole inactive set to empty (round-7 review;
+  -- ORACLE_Q22 already used the correct form)
+  SELECT c_nationkey, COUNT(*) AS n_inactive FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY c_nationkey
 )
 SELECT COALESCE(a.c_nationkey, i.c_nationkey) AS c_nationkey,
        COALESCE(n_active, 0) AS n_active,
@@ -510,8 +523,8 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_linestatus plays the grouping role): per line status, how many
     high- vs low-priority orders shipped in 1997."""
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
     )
     od = _t(spark, sf_dir, "orders")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -520,7 +533,11 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+            # when(hi, 0).otherwise(1), NOT when(~hi, 1): on a NULL
+            # priority ~hi is NULL and the row would land in NEITHER
+            # bucket while the oracle's ELSE 1 counts it low — mirror
+            # the oracle's branch shape exactly (round-7 review)
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
         )
     )
 
@@ -545,8 +562,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums aggregate in exact decimal; only the final ratio divides in
     double — deterministic across engines."""
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+        (F.col("l_shipdate") >= _ts("1997-06-01"))
+        & (F.col("l_shipdate") < _ts("1997-07-01"))
     )
     pa = _t(spark, sf_dir, "part")
     rev = dec("l_extendedprice") * one_minus("l_discount")
@@ -624,7 +641,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     with customer attribution — the HAVING-subquery + join-back pattern.
 
     100 TB posture: the qualifying-order set is produced by one groupBy on
-    l_orderkey and is tiny → broadcast back against orders/customer."""
+    l_orderkey; the qualifying set is NOT tiny at this threshold
+    (~45% of orders) so no broadcast is forced — AQE decides."""
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
     cu = _t(spark, sf_dir, "customer")
@@ -633,8 +651,13 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity").alias("total_qty"))
         .where(F.col("total_qty") > 100.0)
     )
+    # NO broadcast hint on `big` (round-7 review): the >100-qty set is
+    # ~45% of all orders (674/1500 at sf0.001 — the docstring once
+    # called it 'tiny'), i.e. it scales LINEARLY with the fact table;
+    # a forced broadcast would ship half the orders table to every
+    # executor at scale. AQE picks the strategy from real sizes.
     return (
-        od.join(F.broadcast(big), od.o_orderkey == F.col("l_orderkey"))
+        od.join(big, od.o_orderkey == F.col("l_orderkey"))
         .join(cu, od.o_custkey == cu.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
     )
@@ -702,8 +725,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema lacks commit/receipt dates, so "slow" = shipped more than 60
     days after the order date."""
     od = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-07-01"))
     )
     li = _t(spark, sf_dir, "lineitem")
     slow = od.join(
@@ -779,8 +802,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: revenue agg shuffles once on l_suppkey; the global max
     is one row broadcast back over the tiny aggregate."""
     li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
     su = _t(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(_revenue().alias("total_revenue"))
@@ -818,7 +841,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on the customer key; the final agg is per-nation tiny."""
     cu = _t(spark, sf_dir, "customer")
     od = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        F.col("o_orderdate") >= _ts("2000-01-01")
     )
     pos = cu.where(F.col("c_acctbal") > 0.0)
     avg_bal = pos.agg(
@@ -864,8 +887,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dec("l_discount", RATE)
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
             & (d >= F.lit("0.03").cast(RATE))
             & (d <= F.lit("0.07").cast(RATE))
             & (F.col("l_quantity") < 24.0)
@@ -897,8 +920,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     pa = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
     od = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
     )
     cu = _t(spark, sf_dir, "customer")
     su = _t(spark, sf_dir, "supplier")
@@ -1103,6 +1126,24 @@ LIMIT 100
 """
 
 
+
+def _asia_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASIA's nations resolved BY NAME through the region table — the
+    documented semantics. q11/q20 once hard-coded n_regionkey == 2 (and
+    their oracles mirrored the constant), so a regenerated fixture with
+    reassigned region keys would silently compute some other region
+    while parity still passed; the broadcast region dim costs nothing."""
+    re = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(re),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part inventory value held by ASIA-nation
     suppliers, keeping parts whose value exceeds 1/10000 of the total — a
@@ -1115,7 +1156,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplies through in exact decimal — no double epsilon at the cut."""
     li = _t(spark, sf_dir, "lineitem")
     su = _t(spark, sf_dir, "supplier")
-    na = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    na = _asia_nations(spark, sf_dir)
     asian = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).select("s_suppkey")
     per_part = (
         li.join(F.broadcast(asian), li.l_suppkey == F.col("s_suppkey"), "left_semi")
@@ -1136,7 +1177,9 @@ WITH per_part AS (
   FROM lineitem
   WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
                       JOIN nation ON s_nationkey = n_nationkey
-                      WHERE n_regionkey = 2)
+                      WHERE n_regionkey =
+                              (SELECT r_regionkey FROM region
+                               WHERE r_name = 'ASIA'))
   GROUP BY l_partkey
 )
 SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
@@ -1195,9 +1238,9 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     li = _t(spark, sf_dir, "lineitem")
     pa = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select("p_partkey")
     su = _t(spark, sf_dir, "supplier")
-    na = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
-    in_97 = (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")) & (
-        F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    na = _asia_nations(spark, sf_dir)
+    in_97 = (F.col("l_shipdate") >= _ts("1997-01-01")) & (
+        F.col("l_shipdate") < _ts("1998-01-01")
     )
     qualifying = (
         li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
@@ -1220,7 +1263,9 @@ def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
 ORACLE_Q20 = f"""
 SELECT s_name, s_acctbal
 FROM supplier
-WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_regionkey = (SELECT r_regionkey FROM region
+                                           WHERE r_name = 'ASIA'))
   AND s_suppkey IN (
     SELECT l_suppkey FROM lineitem
     WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
@@ -1319,20 +1364,32 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     order totals by (status, priority), by status alone, and the grand
     total — with grouping() flags disambiguating real NULLs from
     subtotal rows. Spark plans this as one Expand + one aggregation —
-    a single shuffle regardless of how many sets are requested."""
+    a single shuffle regardless of how many sets are requested. Uses the
+    native DataFrame groupingSets API (Spark 4) — the SQL route needed a
+    session-global temp view, the module's only side effect."""
     od = _t(spark, sf_dir, "orders")
-    od.createOrReplaceTempView("gs_orders")
-    return spark.sql(
-        f"""
-        SELECT o_orderstatus, o_orderpriority,
-               grouping(o_orderstatus) AS g_status,
-               grouping(o_orderpriority) AS g_priority,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS {_D})) AS DOUBLE) AS total_price
-        FROM gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), ())
-        """
+    return (
+        od.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_D))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
     )
 
 

@@ -45,39 +45,42 @@ def test_correctness_window_is_pinned():
     assert len(e._WINDOW_PRIORITY) == 50
     assert names[:50] == list(e._WINDOW_PRIORITY)
     # round-7 rotation: the six never-driver-checked late-r06 additions
-    # lead, then the eleven round-7 registrations, then the twenty-four
-    # r07-changed entries, then 9 of the 49 entries whose last driver
-    # row is r04 (the 40-entry remainder rotates in r08)
+    # lead, then the eleven round-7 registrations, then the thirty
+    # r07-changed entries (the module-review fixes), then the 3
+    # highest-value r04-stale entries (the CC/keep-list pipeline); the
+    # 46-entry stale remainder rotates in r08
     lead = (list(e._R07_NEVER_CHECKED) + list(e._R07_NEW)
             + list(e._R07_CHANGED))
     assert names[: len(lead)] == lead
     assert len(e._R07_NEVER_CHECKED) == 6
     assert len(e._R07_NEW) == 11
-    assert len(e._R07_CHANGED) == 24
-    assert len(e._R04_STALE) == 9
+    assert len(e._R07_CHANGED) == 30
+    assert len(e._R04_STALE) == 3
     # no windowed entry may be oracle-less
     for n in e._WINDOW_PRIORITY:
         assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
     # the r08 carry-over: the r04-checked tail still outside the window
-    for n in ("log_funnel", "log_rolling_range", "log_gap_fill",
+    for n in ("log_top_user_per_type", "log_rate_per_minute",
+              "log_events_by_nation", "log_median_value_pandas",
+              "log_agg_by_label", "log_time_bucket",
+              "log_funnel", "log_rolling_range", "log_gap_fill",
               "log_asof_join", "log_interval_join_batch",
               "q1_pricing_summary", "q4_order_priority",
               "q22_global_sales_opportunity",
               "q2_min_cost_supplier",
               "q6_forecast_revenue", "q8_market_share",
-              "q11_important_stock", "q13_customer_distribution",
+              "q13_customer_distribution",
               "q16_supplier_part_count",
-              "q20_excess_inventory_suppliers", "q21_waiting_suppliers",
+              "q21_waiting_suppliers",
               "q7_nation_volume", "q9_product_profit",
               "q15_top_supplier", "q17_small_quantity_revenue",
-              "q14_promo_revenue", "q18_large_orders", "q19_bracket_filter",
+              "q14_promo_revenue", "q19_bracket_filter",
               "q5_local_supplier_volume",
               "q10_returned_items", "q_window_top_orders",
               "q_window_running_sum", "q_subquery_above_avg", "q_set_ops",
               "q_set_ops_all", "q_conditional_agg", "q_having",
-              "q_anti_semi_join", "q_rollup", "q_cube", "q_percentiles",
-              "q_window_lead_lag", "q_pivot", "q_grouping_sets",
-              "q_window_rank_stats"):
+              "q_rollup", "q_cube", "q_percentiles",
+              "q_window_lead_lag", "q_pivot", "q_window_rank_stats"):
         assert n in names[50:], n
     assert len(names) == 163
 

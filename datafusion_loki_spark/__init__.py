@@ -100,6 +100,15 @@ def loki_table(
                         "body pass a single string instead"
                     )
                 k, op, v = m
+                if op not in ("=", "!=", "=~", "!~"):
+                    # a typo'd op ('==', '<') would otherwise be
+                    # serialized verbatim into the stream selector —
+                    # store error at best, a differently-parsed
+                    # selector at worst (round-7 ADVICE)
+                    raise ValueError(
+                        "labels matcher op must be one of "
+                        f"'=', '!=', '=~', '!~', got {op!r}"
+                    )
                 if op in ("=~", "!~"):
                     terms.append(regex_label_matcher(k, v, negate=op == "!~"))
                 else:

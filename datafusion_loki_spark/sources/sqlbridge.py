@@ -268,7 +268,7 @@ def extract_pushdown(sql: str) -> PushdownSpec:
     # column to scan → cheapest (timestamp).
     # ≙ O6 / ProjectionMask::roots (src/scan.rs:203-206), automated.
     if "*" not in masked and not re.search(
-        r"\btable\s+[A-Za-z_]|\bnatural\b", masked, re.I
+        r"\btable\s+(?:`|[A-Za-z_])|\bnatural\b", masked, re.I
     ):
         referenced = tuple(
             c
@@ -292,7 +292,7 @@ def extract_pushdown(sql: str) -> PushdownSpec:
             return spec
 
     if len(re.findall(r"\bselect\b", masked, re.I)) != 1 or re.search(
-        r"\btable\s+[A-Za-z_]", masked, re.I
+        r"\btable\s+(?:`|[A-Za-z_])", masked, re.I
     ):
         # a subquery (scalar, IN, EXISTS, derived table) may read the
         # SAME registered loki table; like the set-op case above, the

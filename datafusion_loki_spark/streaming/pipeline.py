@@ -769,6 +769,12 @@ def _near_dup_fn(
         ).sort_values(["ts", "doc_id"])
         for ts, did in zip(rows["ts"], rows["doc_id"]):
             did = int(did)
+            # event time advances on EVERY row, replay or not: GroupState
+            # cancels the previously-set timeout on each invocation, so a
+            # replay-only micro-batch that skipped this update would
+            # silently drop the bucket's TTL and retain its state forever
+            # (round-7 ADVICE)
+            max_ts_us = max(max_ts_us, int(pd.Timestamp(ts).value // 1000))
             if did in ids:
                 continue
             for prior in ids:
@@ -777,7 +783,6 @@ def _near_dup_fn(
             ids.append(did)
             if len(ids) > NEAR_DUP_STATE_CAP:
                 ids = ids[-NEAR_DUP_STATE_CAP:]
-            max_ts_us = max(max_ts_us, int(pd.Timestamp(ts).value // 1000))
     state.update((ids,))
     if max_ts_us:
         state.setTimeoutTimestamp(

@@ -415,6 +415,15 @@ def test_loki_table_tuple_matchers(spark, emulator):
             spark, emulator.endpoint, labels=[("app", "=~", "a(?=b)")]
         )
 
+    # an op outside {=, !=, =~, !~} must fail loudly, not serialize
+    # verbatim into the selector (round-7 ADVICE: '==' / '<' fell
+    # through to label_matcher and reached the store)
+    for bad_op in ("==", "<", "~", "!~~"):
+        with pytest.raises(ValueError, match="matcher op"):
+            loki_table(
+                spark, emulator.endpoint, labels=[("app", bad_op, "x")]
+            )
+
 
 def test_loki_table_rejects_empty_projection(spark):
     # columns=[] would ','.join to '' and silently fall through to the FULL

@@ -711,6 +711,28 @@ def test_table_syntax_set_op_pushes_nothing():
     assert spec.limit is None
 
 
+def test_backtick_quoted_table_branch_pushes_nothing():
+    # round-7 ADVICE: the TABLE-branch gate matched only bare
+    # identifiers, so `TABLE \`logs\` UNION ALL SELECT ...` forwarded
+    # the SELECT branch's line filter (and column pruning) to the single
+    # shared scan — silently filtering the TABLE branch. Mirror of the
+    # plain-identifier test above with a reserved-word-style quoted name.
+    spec = extract_pushdown(
+        "TABLE `logs` UNION ALL "
+        "SELECT line FROM logs WHERE line LIKE '%err%'"
+    )
+    assert spec.line_contains == [] and not spec.exact_only
+    # and no column narrowing either — the TABLE branch references the
+    # full schema implicitly
+    assert spec.columns is None
+    # regex-op conjuncts likewise stay unpushed
+    spec2 = extract_pushdown(
+        "TABLE `logs` UNION ALL "
+        "SELECT line FROM logs WHERE labels['app'] = 'web'"
+    )
+    assert spec2.matchers == [] and not spec2.exact_only
+
+
 def test_projection_survives_push_nothing_gates():
     # referenced-column narrowing is a superset over EVERY branch and
     # subquery, so the gates must not forfeit it

@@ -1120,6 +1120,38 @@ def test_near_dup_redelivery_after_eviction_is_superset_only():
     assert feed(state, [1], 400) == []
 
 
+def test_near_dup_replay_only_batch_rearms_ttl():
+    # round-7 ADVICE: GroupState cancels any previously-set timeout on
+    # each invocation, so a replay-only micro-batch that skipped the
+    # max_ts update left the bucket with NO timeout — state retained
+    # forever for buckets fed only redeliveries. Event time must re-arm
+    # the TTL regardless of novelty.
+    import pandas as pd
+
+    from datafusion_loki_spark.streaming.pipeline import _near_dup_fn
+
+    def feed(state, ids, t0):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [t0 + i for i in range(len(ids))], unit="s", utc=True
+                ),
+                "doc_id": ids,
+            }
+        )
+        return list(_near_dup_fn(("b0", "k0"), iter([pdf]), state))
+
+    state = _FakeGroupState()
+    feed(state, [1, 2], 100)
+    first_timeout = state.timeout
+    # model the cancel-on-invocation semantics: clear before the replay
+    state.timeout = None
+    out = feed(state, [1], 500)          # pure replay: no new candidates
+    assert out == []
+    assert state.timeout is not None     # ...but the TTL is re-armed
+    assert state.timeout > first_timeout # and tracks the NEW event time
+
+
 def test_semantic_pairs_compose_over_streamed_index(spark, tmp_path):
     # The maintenance lifecycle composes: build the index, stream in a
     # batch of exact clones, and the SAME within-cell pair kernel the

@@ -32,169 +32,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness evaluates the FIRST 50 registry entries
-# in insertion order. The registry holds more queries than fit (the exact
-# arithmetic is pinned by tests/test_parity.py::test_correctness_window_is_
-# pinned — never trust a count literal here), so coverage rotates by round:
-# r01-r02 checked logs + most of tpch; r03 front-loaded the LLM-pipeline
-# operators + host-engine capability rows; r04 rotated to the remaining 50;
-# r05 closed the loop — every registry entry now has at least one driver
-# row and all are green at their latest check.
+# in insertion order. The registry holds more queries than fit, so coverage
+# rotates by round. Rotation policy (restated round 8 to match the
+# arithmetic: a full pass over N registered queries takes ceil(N/50)
+# windows, so the guarantee is "every entry re-checked within
+# ceil(N/50)+1 rounds" — the +1 absorbs new/changed entries displacing
+# stale slots):
 #
-# Round-7 rotation policy ("every entry re-checked within 2 rounds"):
-# the never-driver-checked late-round-6 additions lead (the round-6
-# VERDICT's #1 — they were registered after the r06 window was pinned),
-# then entries whose implementation CHANGED this round (their plans and
-# output must re-earn a driver row), then the stalest tail — the entries
-# whose last driver row is r04. Each round-7 registration and changed
-# entry displaced one r04-stale slot, so the r04 remainder grew to the
-# 31-entry tail listed at _R04_STALE (all rotate in r08 — they fit in
-# one window with room for r08's own new/changed entries; they are the
-# LOWEST-risk class: pure SQL twins, value-checked by local parity at
-# every SF every session);
-# everything outside the window stays covered by the local all-query
-# DuckDB parity suite (tests/test_parity.py). The structural guard that
-# late additions can never miss a window again is
-# tests/test_parity.py::test_unchecked_queries_lead_the_window, which
-# parses the committed CORRECTNESS_r*.json files.
-_R07_NEVER_CHECKED = (
-    # registered late in round 6, after that window was pinned
-    # (mm_chunk_dedup ALSO changed this round: int64 chunk keys)
-    "dedup_pipeline_funnel",
-    "log_histogram_drift",
-    "log_spike_attribution",
-    "mm_chunk_dedup",
-    "sim_cell_balance",
-    "text_lang_confusion",
+#   1. entries NEW or CHANGED this round lead (hand-pinned in
+#      _R08_PINNED — their plans and output must re-earn a driver row);
+#   2. the rest of the window is DERIVED from the committed
+#      CORRECTNESS_r*.json files: never-green entries first (never
+#      checked, or checked red), then ascending latest-green round,
+#      tie-broken by registration order.
+#
+# Rounds 1-7 hand-listed the window each round; the bookkeeping drifted
+# (round-7 VERDICT: comment said 46 stale, parsing the files gave 41),
+# so round 8 computes it at import time. Everything outside the window
+# stays covered by the local all-query DuckDB parity suite
+# (tests/test_parity.py); the structural guards are
+# test_unchecked_queries_lead_the_window (never-checked entries must sit
+# in the prefix) and test_correctness_window_is_pinned (prefix ==
+# _WINDOW_PRIORITY, staleness ordering holds).
+_R08_PINNED: tuple[str, ...] = (
+    # --- new/changed in round 8 (hand-pinned ahead of the derived
+    # staleness tail; everything else is computed) ---
 )
 
-_R07_NEW = (
-    # registered during round 7 — the streaming drift monitor's batch
-    # twin (certifies drift_stream's chi-square math via DuckDB)
-    "log_window_drift",
-    # substring-level (W-token span) duplication audit, arXiv:2107.06499
-    "dedup_repeated_ngrams",
-    # raw-corpus CUBE data card (complement of corpus_build_manifest)
-    "corpus_data_card",
-    # persisted-IVF-index round-trip (build -> partitioned layout ->
-    # probe-pruned query); deterministic fit shares the kmeans oracle
-    "sim_ivf_index_topk",
-    # SemDeDup-style semantic dedup over the persisted IVF cells
-    # (arXiv:2303.09540): within-cell cosine pairs -> min-id keep rule
-    "dedup_semantic_cluster",
-    # first BPE induction step (arXiv:1508.07909): freq-weighted
-    # adjacent-symbol pair stats over the distinct-token vocabulary
-    "text_bpe_merge_pairs",
-    # lexical-vs-semantic duplicate agreement (the SemDeDup motivating
-    # audit): MinHash-LSH pairs full-outer within-cell cosine pairs
-    "dedup_lexical_vs_semantic",
-    # index MAINTENANCE: append a batch through the persisted codebook,
-    # query the merged two-generation index
-    "sim_ivf_index_append",
-    # nprobe tuning curve: recall@k + candidate cost per probe level,
-    # corpus scored once at the widest level (rank-replay explode)
-    "sim_probe_recall_curve",
-    # cross-generation crawl diff: added/removed/changed/unchanged per
-    # source, fingerprints computed at the scan (text never shuffles)
-    "corpus_snapshot_diff",
-    # Broder containment over LSH candidates: the subset-duplication
-    # measure a symmetric Jaccard threshold silently admits
-    "dedup_shingle_containment",
-)
+_WINDOW_SIZE = 50
 
-_R07_CHANGED = (
-    # ranking quantized to a 1e-9 grid on both sides (round-6 ADVICE)
-    "sim_topk_pandas",
-    # sample-fit training + single-scan linearity projection
-    "emb_pca_project",
-    # df now a count window over TF's token partitions (x64 scale fix)
-    "text_tfidf_topk",
-    # tf-compressed single-tokenize shapes (freq/c2 as windows, no
-    # occurrence-scale self-joins)
-    "text_token_commonness",
-    "text_bigram_lm",
-    # probe/score stage extracted into the helper shared with the
-    # persisted-index path (output verified identical, but the code
-    # path changed -> re-earn the row)
-    "sim_ivf_kmeans_topk",
-    # round-7 review fixes: fail-loudly zero-norm guard in the pandas
-    # scorer; empty/NULL-embedding alignment in the Arrow QA kernel;
-    # ground-truth frame materialized once in the recall audits; the PQ
-    # fit's dead trailing assignment removed
-    "emb_stats_arrow",
-    "sim_recall_audit",
-    "sim_pq_recall_audit",
-    "sim_pq_adc_topk",
-    # NULL-text contract fixes (differentially tested on a crafted
-    # corpus): shingle builder yields [] for NULL text, bow keeps a NULL
-    # fingerprint group, chunk/contamination generator rows filtered,
-    # simhash's dead filter removed — representatives of the shared
-    # expression change re-earn driver rows; the rest of the shingle
-    # family inherits the same single expression and is covered by the
-    # all-query local parity plus tests/test_dedup_null_text.py
-    "dedup_minhash_lsh",
-    "dedup_bow",
-    "dedup_chunks",
-    "dedup_contamination",
-    "dedup_simhash",
-    # oracle gained the event_id tie-break on the session-numbering
-    # cumulative sum (µs-collided timestamps could nondeterministically
-    # split a session the tie-insensitive session_window keeps whole)
-    "log_session_window_batch",
-    # text-family NULL-text contract fixes: the UDTF's null guard (a
-    # NULL row crashed the job), and the NULL-token vocabulary filters
-    # (an exploded NULL inflated V / vocab_size / the freq table vs the
-    # oracle's unnest) — differentially pinned with the dedup family
-    "text_chunk_udtf",
-    "text_token_freq",
-    "text_vocab_growth",
-    # sampling NULL-text/degenerate fixes: the greedy packer excludes
-    # NULL-token docs (Arrow NaN crashed int(); oracle base mirrors),
-    # and the epoch plan clamps floored-to-zero allocations to 1 token
-    # (the remainder formula assumed target >= 1)
-    "mix_pack_greedy",
-    "mix_epoch_plan",
-    # multimodal decode family: NULL payloads decode to NULL features
-    # (len(None) crashed the kernel), and the image/video consumers
-    # filter media_type BEFORE the Python boundary (a post-decode
-    # filter decoded all three modalities to discard two thirds)
-    "mm_decode_features",
-    "mm_resize",
-    "mm_frame_sample",
-    # tpch review fixes: q12's low bucket mirrors the oracle's ELSE 1
-    # NULL branch; the anti-semi oracle uses NOT EXISTS (left_anti
-    # semantics - NOT IN collapses on one NULL custkey); q18's forced
-    # broadcast of a ~45%-of-orders set dropped (AQE decides);
-    # q11/q20 resolve ASIA by name through region; grouping sets via
-    # the native API (no temp-view side effect)
-    "q12_priority_class",
-    "q_anti_semi_join",
-    "q18_large_orders",
-    "q11_important_stock",
-    "q20_excess_inventory_suppliers",
-    "q_grouping_sets",
-)
 
-_R04_STALE = (
-    # last driver row r04; the first 3 fit this window (the CC/keep-list
-    # pipeline - the highest-value stale trio), the tail 46
-    # (log_top_user_per_type, log_rate_per_minute,
-    # log_events_by_nation, log_median_value_pandas, log_agg_by_label,
-    # log_time_bucket, log_funnel, log_rolling_range, log_gap_fill, log_asof_join, log_interval_join_batch, q1_pricing_summary, q4_order_priority, q22_global_sales_opportunity,
-    # q2_min_cost_supplier, q6_forecast_revenue, q8_market_share, q11_important_stock, q13_customer_distribution,
-    # q16_supplier_part_count, q20_excess_inventory_suppliers,
-    # q21_waiting_suppliers,
-    # q7_nation_volume, q9_product_profit, q15_top_supplier,
-    # q17_small_quantity_revenue, q14_promo_revenue,
-    # q18_large_orders, q19_bracket_filter, q5_local_supplier_volume,
-    # q10_returned_items, q_window_top_orders, q_window_running_sum,
-    # q_subquery_above_avg, q_set_ops, q_set_ops_all, q_conditional_agg
-    # .. q_window_rank_stats) rotate in r08
-    "dedup_cc_groups",
-    "dedup_keep_list",
-    "dedup_simhash_hamming",
-)
+def _latest_green_round() -> dict[str, int]:
+    """name -> latest round whose committed driver row was fully green.
 
-_WINDOW_PRIORITY = _R07_NEVER_CHECKED + _R07_NEW + _R07_CHANGED + _R04_STALE
+    A red row (err, or any mismatch) does NOT count: the entry sorts as
+    never-green and re-enters the window at the next rotation."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            green = (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+            )
+            if green:
+                latest[name] = max(latest.get(name, -1), rnd)
+            else:
+                latest.setdefault(name, -1)
+    return latest
+
+
+def _window_priority(registered: list[str]) -> tuple[str, ...]:
+    """Pinned new/changed entries, then the stalest tail, derived."""
+    latest = _latest_green_round()
+    order = {n: i for i, n in enumerate(registered)}
+    pinned = [n for n in _R08_PINNED if n in order]
+    tail = sorted(
+        (n for n in registered if n not in _R08_PINNED),
+        key=lambda n: (latest.get(n, -1), order[n]),
+    )
+    return tuple((pinned + tail)[:_WINDOW_SIZE])
 
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
@@ -213,12 +122,23 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         merged.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     queries: dict[str, Callable] = {}
-    for name in _WINDOW_PRIORITY:
+    for name in _window_priority(list(merged)):
         queries[name] = merged[name]
-    for mod in (dedup, similarity, text, sampling, multimodal, logs, tpch):
-        for name, fn in mod.QUERIES.items():
-            queries.setdefault(name, fn)
+    for name, fn in merged.items():
+        queries.setdefault(name, fn)
     return queries, oracles
+
+
+# kept as a module constant so tests (and humans) can inspect the pinned
+# window without re-deriving it
+_WINDOW_PRIORITY = None  # set lazily below
+
+
+def _window() -> tuple[str, ...]:
+    global _WINDOW_PRIORITY
+    if _WINDOW_PRIORITY is None:
+        _WINDOW_PRIORITY = tuple(list(_registry()[0])[:_WINDOW_SIZE])
+    return _WINDOW_PRIORITY
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

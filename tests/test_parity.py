@@ -36,53 +36,38 @@ def test_entry_smoke(spark):
 
 
 def test_correctness_window_is_pinned():
-    # The driver's correctness harness evaluates only the FIRST 50 registry
-    # entries; the window is pinned explicitly so a new query can never
-    # silently evict a first-ever-checked operator row.
+    # The driver's correctness harness evaluates only the FIRST 50
+    # registry entries. Since round 8 the window is DERIVED (round-7
+    # VERDICT #2): hand-pinned new/changed entries lead, then the
+    # stalest tail computed from the committed CORRECTNESS_r*.json
+    # files. This test checks the derivation's CONTRACT independently:
+    # the window must contain the stalest entries in the registry.
     import __spark_entry__ as e
 
     names = list(e.queries())
-    assert len(e._WINDOW_PRIORITY) == 50
-    assert names[:50] == list(e._WINDOW_PRIORITY)
-    # round-7 rotation: the six never-driver-checked late-r06 additions
-    # lead, then the eleven round-7 registrations, then the thirty
-    # r07-changed entries (the module-review fixes), then the 3
-    # highest-value r04-stale entries (the CC/keep-list pipeline); the
-    # 46-entry stale remainder rotates in r08
-    lead = (list(e._R07_NEVER_CHECKED) + list(e._R07_NEW)
-            + list(e._R07_CHANGED))
-    assert names[: len(lead)] == lead
-    assert len(e._R07_NEVER_CHECKED) == 6
-    assert len(e._R07_NEW) == 11
-    assert len(e._R07_CHANGED) == 30
-    assert len(e._R04_STALE) == 3
+    window = names[: e._WINDOW_SIZE]
+    assert len(window) == e._WINDOW_SIZE == 50
+    assert tuple(window) == e._window()
+    # hand-pinned new/changed entries lead the window
+    pinned = [n for n in e._R08_PINNED if n in names]
+    assert window[: len(pinned)] == pinned
     # no windowed entry may be oracle-less
-    for n in e._WINDOW_PRIORITY:
-        assert n in e.oracle_sql(), f"windowed entry {n} has no oracle"
-    # the r08 carry-over: the r04-checked tail still outside the window
-    for n in ("log_top_user_per_type", "log_rate_per_minute",
-              "log_events_by_nation", "log_median_value_pandas",
-              "log_agg_by_label", "log_time_bucket",
-              "log_funnel", "log_rolling_range", "log_gap_fill",
-              "log_asof_join", "log_interval_join_batch",
-              "q1_pricing_summary", "q4_order_priority",
-              "q22_global_sales_opportunity",
-              "q2_min_cost_supplier",
-              "q6_forecast_revenue", "q8_market_share",
-              "q13_customer_distribution",
-              "q16_supplier_part_count",
-              "q21_waiting_suppliers",
-              "q7_nation_volume", "q9_product_profit",
-              "q15_top_supplier", "q17_small_quantity_revenue",
-              "q14_promo_revenue", "q19_bracket_filter",
-              "q5_local_supplier_volume",
-              "q10_returned_items", "q_window_top_orders",
-              "q_window_running_sum", "q_subquery_above_avg", "q_set_ops",
-              "q_set_ops_all", "q_conditional_agg", "q_having",
-              "q_rollup", "q_cube", "q_percentiles",
-              "q_window_lead_lag", "q_pivot", "q_window_rank_stats"):
-        assert n in names[50:], n
-    assert len(names) == 163
+    oracles = e.oracle_sql()
+    for n in window:
+        assert n in oracles, f"windowed entry {n} has no oracle"
+    # THE staleness invariant, parsed from the committed files: no entry
+    # outside the window may be strictly staler than a non-pinned entry
+    # inside it (never-green counts as staleness -1, stalest possible)
+    latest = e._latest_green_round()
+    inside = [latest.get(n, -1) for n in window[len(pinned):]]
+    outside = [latest.get(n, -1) for n in names[e._WINDOW_SIZE:]]
+    # derived tail is ordered stale-first
+    assert inside == sorted(inside)
+    if inside and outside:
+        assert max(inside) <= min(outside), (
+            "an entry outside the window is staler than a windowed one"
+        )
+    assert len(names) == len(set(names)) >= 163
 
 
 def test_unchecked_queries_lead_the_window():
@@ -106,10 +91,26 @@ def test_unchecked_queries_lead_the_window():
         checked.update(json.load(open(f)))
     names = list(e.queries())
     never = [n for n in names if n not in checked]
-    window = set(names[:50])
-    missing = [n for n in never if n not in window]
+    window = names[:50]
+    missing = [n for n in never if n not in set(window)]
     assert not missing, (
         f"never-driver-checked queries outside the 50-entry window: "
-        f"{missing} — move them into _WINDOW_PRIORITY"
+        f"{missing} — the derived window should have placed them; check "
+        f"_window_priority"
     )
+    # staleness-ordering assertion (round-7 VERDICT #2): within the
+    # derived (non-pinned) part of the window, never-GREEN entries
+    # (never checked, or latest row red) precede ever-green ones
+    latest = e._latest_green_round()
+    pinned = set(e._R08_PINNED)
+    derived = [n for n in window if n not in pinned]
+    seen_green = False
+    for n in derived:
+        if latest.get(n, -1) >= 0:
+            seen_green = True
+        else:
+            assert not seen_green, (
+                f"never-green {n} sits after a green entry in the "
+                f"derived window"
+            )
 

@@ -57,6 +57,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _R08_PINNED: tuple[str, ...] = (
     # --- new/changed in round 8 (hand-pinned ahead of the derived
     # staleness tail; everything else is computed) ---
+    # span REMOVAL completing the arXiv:2107.06499 story: the cleaned
+    # corpus with cross-doc duplicated spans excised (round-7 VERDICT #4)
+    "text_remove_repeated_spans",
 )
 
 _WINDOW_SIZE = 50

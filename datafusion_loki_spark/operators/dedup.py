@@ -1670,6 +1670,169 @@ QUERIES["dedup_repeated_ngrams"] = dedup_repeated_ngrams
 ORACLES["dedup_repeated_ngrams"] = ORACLE_REPEATED_NGRAMS
 
 
+# Non-distinct occurrence-level span hashes with their 1-based start
+# positions — the REMOVAL op needs every occurrence (a span repeated
+# twice inside one doc covers two token ranges), where the audit's
+# census wants the distinct set. Same projection-barrier and short-doc
+# guard as _SPANS_FROM_TOKS.
+_SPAN_OCCS_FROM_TOKS = (
+    f"if(size(toks) >= {SPAN_W}, "
+    f"transform(sequence(1, size(toks) - {SPAN_W - 1}), "
+    f"i -> md5(concat_ws(' ', slice(toks, i, {SPAN_W})))), "
+    "cast(array() as array<string>))"
+)
+
+
+def text_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLEANED corpus the span audit argues for (Lee et al.,
+    arXiv:2107.06499 — the paper's deliverable is the deduplicated
+    training set, not the audit table): per document, excise every token
+    covered by a SPAN_W-token span that also occurs in >= 2 distinct
+    documents, and emit the surviving text. One row per doc with spans
+    (NULL-text docs tokenize to no positions and drop — the family's
+    NULL contract): total tokens, tokens removed, and the cleaned text
+    rebuilt from the NORMALIZED token stream (the dedup normalization is
+    the text this pipeline trains on; raw-byte reconstruction would need
+    per-token source offsets the tokenizer deliberately discards).
+
+    Deliberate delta from the paper: the duplication predicate is the
+    audit's (">= 2 distinct documents", cross-doc boilerplate — the
+    memorization-risk class), not "any second occurrence incl.
+    within-doc repeats"; the two ops stay one consistent story and a
+    within-doc variant is a census swap away.
+
+    Shape: the census branch is EXACTLY the audit's (distinct spans per
+    doc -> map-side-partial groupBy count >= 2); the removal branch
+    explodes occurrence-level span starts, joins the census (merge-
+    pinned — inherits the never-broadcast-the-grams rule, same stat-less
+    explode underneath), widens each duplicated start to its SPAN_W
+    covered positions, and LEFT-joins the per-token position frame to
+    flag covered tokens; one final groupBy(doc) rebuilds the kept text
+    with a sort-free array_sort(collect_list(struct(p, tok))) (p is
+    unique per doc, so the struct sort is a total order; the window-free
+    rebuild keeps the aggregation map-side-combining).
+
+    100 TB posture: every frame is O(tokens) rows — no quadratic term,
+    nothing collects. Both span joins are merge-pinned against the
+    stat-less-explode broadcast trap (the measured dedup_repeated_ngrams
+    scar); the covered-position dedup is a groupBy-distinct with partial
+    aggregation (a boilerplate-heavy doc's overlapping spans compress
+    map-side). The doc-level rebuild groupBy carries each token exactly
+    once — the same volume the tokenizer already shuffled — and AQE
+    skew-splits documents do not exist (doc_id is unique per row group
+    of bounded doc length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    )
+    # census: the audit's distinct-per-doc span counts (>= 2 docs)
+    census = (
+        toks.select(
+            "doc_id", F.explode_outer(F.expr(_SPANS_FROM_TOKS)).alias("g")
+        )
+        .where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count("*").alias("n_docs_span"))
+        .where(F.col("n_docs_span") >= 2)
+        .select("g")
+    )
+    # occurrence-level span starts (1-based), every repeat kept; _outer
+    # so InferFiltersFromGenerate cannot clone the tokenizer chain into
+    # a scan-side Filter (the family discipline), with the span-less
+    # docs' null row dying on the cheap generator-output guard
+    occ = (
+        toks.select(
+            "doc_id",
+            F.posexplode_outer(F.expr(_SPAN_OCCS_FROM_TOKS)).alias("i0", "g"),
+        )
+        .where(F.col("g").isNotNull())
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    )
+    covered = (
+        occ.join(census.hint("merge"), "g")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {SPAN_W - 1})")).alias("p"),
+        )
+        .distinct()
+        .withColumn("covered", F.lit(True))
+    )
+    tokpos = (
+        toks.select(
+            "doc_id", F.posexplode_outer("toks").alias("p0", "tok")
+        )
+        .where(F.col("p0").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    )
+    return (
+        tokpos.join(covered.hint("merge"), ["doc_id", "p"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("covered"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "case when covered is null then struct(p, tok) end"
+                    ")), x -> x.tok)"
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+ORACLE_REMOVE_REPEATED_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= {SPAN_W} THEN
+           list_transform(generate_series(1, len(t) - {SPAN_W - 1}),
+             i -> md5(array_to_string(t[i:i+{SPAN_W - 1}], ' ')))
+         ELSE [] END AS gs
+  FROM toks
+),
+occ AS (
+  SELECT doc_id, unnest(gs) AS g,
+         unnest(generate_series(1, len(gs))) AS i
+  FROM spans
+),
+census AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ) dd
+  GROUP BY g HAVING COUNT(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id,
+           unnest(generate_series(i, i + {SPAN_W - 1})) AS p
+    FROM occ JOIN census USING (g)
+  ) x
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS p
+  FROM spans
+)
+SELECT tp.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(array_to_string(
+         list(tp.tok ORDER BY tp.p) FILTER (WHERE c.p IS NULL), ' '),
+         '') AS cleaned_text
+FROM tokpos tp
+LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p
+GROUP BY tp.doc_id
+"""
+
+QUERIES["text_remove_repeated_spans"] = text_remove_repeated_spans
+ORACLES["text_remove_repeated_spans"] = ORACLE_REMOVE_REPEATED_SPANS
+
+
 # --- semantic (embedding-cluster) dedup --------------------------------------
 
 SEMDEDUP_TAU = 0.30    # within-cell cosine above which two docs are semantic dups

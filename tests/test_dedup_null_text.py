@@ -67,6 +67,9 @@ def crafted(spark, tmp_path_factory):
         "text_tfidf_topk",
         "text_bpe_merge_pairs",
         "text_stats",
+        # span-level family (round-8: the removal op joined the audit)
+        "dedup_repeated_ngrams",
+        "text_remove_repeated_spans",
         # sampling/mixing consumers of text (mix_pack_greedy crashed on
         # the NaN a NULL n_tok becomes in the Arrow batch; both packers
         # now share one base projection with the NULL-doc exclusion)
@@ -108,3 +111,30 @@ def test_null_text_never_pairs(spark, crafted):
     bow = {r.bow_fingerprint: r.n_docs for r in dedup_bow(spark, sf).collect()}
     assert bow[None] == 2  # the two NULL-text docs, their own group
     assert bow.get("d41d8cd98f00b204e9800998ecf8427e") == 1  # empty text alone
+
+
+def test_remove_repeated_spans_excises_exactly_the_shared_tokens(
+    spark, crafted
+):
+    # NEAR_A and NEAR_B share their first 11 tokens, i.e. span starts
+    # 1..6 (start 7 differs: ...again-and-AGAIN vs ...again-and-ONCE),
+    # so exactly tokens 1..11 are covered in both docs and each doc
+    # keeps only its final token. NULL-text docs emit no row (no token
+    # positions); the empty-text doc survives untouched (one ''-token,
+    # no spans).
+    from datafusion_loki_spark.operators.dedup import (
+        text_remove_repeated_spans,
+    )
+
+    sf, _con = crafted
+    rows = {
+        r.doc_id: r for r in text_remove_repeated_spans(spark, sf).collect()
+    }
+    assert set(rows) == {0, 1, 4, 5}          # NULL-text docs 2,3 absent
+    assert rows[0].cleaned_text == "again"
+    assert rows[1].cleaned_text == "once"
+    assert rows[0].n_removed == rows[1].n_removed == 11
+    assert rows[0].n_tokens == rows[1].n_tokens == 12
+    assert rows[4].n_removed == 0             # empty text: nothing shared
+    assert rows[5].n_removed == 0             # unique doc: untouched
+    assert rows[5].cleaned_text == "something else entirely different here"

@@ -822,6 +822,23 @@ def test_repeated_ngrams_join_back_never_broadcasts_grams(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan, plan
 
 
+def test_remove_repeated_spans_inherits_span_family_plan_rules(spark, sf_dir):
+    # The removal op reuses the audit's census + join-back topology and
+    # must inherit its pins: both span joins merge-pinned (the stat-less
+    # explode underneath would otherwise broadcast a token-scale side),
+    # no inferred generate-filter cloning the tokenizer into the scan,
+    # and the covered-position distinct keeps map-side partial
+    # aggregation (two HashAggregates around its exchange).
+    plan = _plan(spark, sf_dir, "text_remove_repeated_spans")
+    assert plan.count("SortMergeJoin") == 2, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    opt = _optimized(spark, sf_dir, "text_remove_repeated_spans")
+    # one tokenize chain per branch (census/occ/tokpos) — lineage
+    # recompute is the documented trade; anything above 3 means a chain
+    # got cloned into a Filter or re-inlined per column
+    assert opt.count("split(") <= 3, f"split() x{opt.count('split(')}:\n{opt}"
+
+
 def test_data_card_single_expand_and_tokenize(spark, sf_dir):
     # CUBE(source, lang) must be ONE Expand feeding one aggregation (the
     # key-space x4, not the data x4), and the stats side keeps the

@@ -243,14 +243,18 @@ def user_running_totals(events: DataFrame, implementation: str = "auto") -> Data
     - ``"tws"``: Spark 4 ``transformWithStateInPandas`` (typed ValueState,
       explicit processor lifecycle) — the current-generation surface.
       Runtime NOTE: its state-server protocol requires google.protobuf;
-      on deployments without it the query fails at start.
+      deployments without the wheel get the vendored pure-Python shim
+      (``datafusion_loki_spark._vendor``), activated at package import.
     - ``"compat"``: the same accumulator over ``applyInPandasWithState``
       (no protobuf dependency) — byte-identical output schema and update
       semantics, proven equivalent by
       tests/test_streaming.py::test_running_totals_compat_matches_batch
       and its checkpoint-restart twin.
-    - ``"auto"`` (default): tws when google.protobuf is importable, else
-      compat — so the operator runs everywhere.
+    - ``"auto"`` (default): tws when google.protobuf is importable AND
+      the session's state store is RocksDB (transformWithState needs
+      multiple column families, which HDFSBackedStateStoreProvider —
+      the default — rejects at query start), else compat — so the
+      operator runs everywhere.
 
     Emits the refreshed running totals for every user a micro-batch
     touched (update semantics — the feature-store accumulator shape).
@@ -264,7 +268,11 @@ def user_running_totals(events: DataFrame, implementation: str = "auto") -> Data
         try:
             import google.protobuf  # noqa: F401
 
-            implementation = "tws"
+            provider = events.sparkSession.conf.get(
+                "spark.sql.streaming.stateStore.providerClass",
+                "HDFSBackedStateStoreProvider",
+            )
+            implementation = "tws" if "RocksDB" in provider else "compat"
         except ImportError:
             implementation = "compat"
     # NO watermark on either path (round-7 review): the accumulator uses

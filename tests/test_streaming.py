@@ -3,6 +3,7 @@ windowed aggregation, stateful sessionization."""
 
 from __future__ import annotations
 
+import contextlib
 import time
 
 import pytest
@@ -434,11 +435,37 @@ def test_sessionize_state_survives_restart(spark, tmp_path):
     assert r.session_end == t0 + dt.timedelta(minutes=10)
 
 
+@contextlib.contextmanager
+def _rocksdb_state_store(spark):
+    # transformWithStateInPandas needs a state store with multiple column
+    # families; only RocksDBStateStoreProvider supports them. Scoped to
+    # the test so the session default (HDFS-backed) stays in force for
+    # the rest of the suite. The conf is read at QUERY start, so every
+    # drain/restart inside the block runs under RocksDB.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def test_transform_with_state_survives_restart(spark, tmp_path):
     # Same restart proof for the transformWithStateInPandas surface: totals
     # accumulated before the restart must seed the post-restart update.
-    # Needs google.protobuf (state-server protocol) — skip where absent.
-    pytest.importorskip("google.protobuf")
+    # The state-server protocol needs google.protobuf; the package
+    # guarantees it (real wheel or the vendored shim) — assert, not skip.
+    from datafusion_loki_spark._vendor import ensure_protobuf
+
+    assert ensure_protobuf() in ("system", "vendored")
     import datetime as dt
 
     src = tmp_path / "src"
@@ -467,12 +494,15 @@ def test_transform_with_state_survives_restart(spark, tmp_path):
         q.awaitTermination()
         return got
 
-    _mk("f0.parquet", [(t0, 7, 1.0), (t0 + dt.timedelta(minutes=1), 7, 2.0)])
-    first = {r.user_id: (r.n_events, r.total_value) for r in _drain("tws_r1")}
-    assert first == {7: (2, 3.0)}
-    _mk("f1.parquet", [(t0 + dt.timedelta(minutes=2), 7, 4.0)])
-    rows = _drain("tws_r2")
-    assert {r.user_id: (r.n_events, r.total_value) for r in rows} == {7: (3, 7.0)}
+    with _rocksdb_state_store(spark):
+        _mk("f0.parquet", [(t0, 7, 1.0), (t0 + dt.timedelta(minutes=1), 7, 2.0)])
+        first = {r.user_id: (r.n_events, r.total_value) for r in _drain("tws_r1")}
+        assert first == {7: (2, 3.0)}
+        _mk("f1.parquet", [(t0 + dt.timedelta(minutes=2), 7, 4.0)])
+        rows = _drain("tws_r2")
+        assert {r.user_id: (r.n_events, r.total_value) for r in rows} == {
+            7: (3, 7.0)
+        }
 
 
 def test_rollup_first_batch_detection_rejects_other_errors(spark, tmp_path):
@@ -538,10 +568,13 @@ def _assert_running_totals_match_batch(spark, sf_dir, implementation):
 
 def test_transform_with_state_running_totals(spark, sf_dir):
     # Spark 4 transformWithStateInPandas surface. The state-server protocol
-    # needs google.protobuf — skip (not fail) where the runtime dependency
-    # is absent; the compat twin below covers the semantics either way.
-    pytest.importorskip("google.protobuf")
-    _assert_running_totals_match_batch(spark, sf_dir, "tws")
+    # needs google.protobuf; the package guarantees it (real wheel or the
+    # vendored shim in datafusion_loki_spark._vendor) — assert, not skip.
+    from datafusion_loki_spark._vendor import ensure_protobuf
+
+    assert ensure_protobuf() in ("system", "vendored")
+    with _rocksdb_state_store(spark):
+        _assert_running_totals_match_batch(spark, sf_dir, "tws")
 
 
 def test_running_totals_compat_matches_batch(spark, sf_dir):

@@ -60,6 +60,9 @@ _R08_PINNED: tuple[str, ...] = (
     # span REMOVAL completing the arXiv:2107.06499 story: the cleaned
     # corpus with cross-doc duplicated spans excised (round-7 VERDICT #4)
     "text_remove_repeated_spans",
+    # CHANGED in r8: span census key md5 string -> xxhash64 long
+    # (round-7 VERDICT #5; oracle unchanged — grouping equality)
+    "dedup_repeated_ngrams",
 )
 
 _WINDOW_SIZE = 50

@@ -1544,18 +1544,29 @@ ORACLES["dedup_cross_source_overlap"] = _oracle_cross_source_overlap()
 
 SPAN_W = 6             # tokens per span for repeated-span detection
 
-# Distinct md5-hashed W-token spans of a doc. Same projection-barrier
+# Distinct hashed W-token spans of a doc. Same projection-barrier
 # discipline as _SHINGLES_FROM_TOKS: `toks` is a materialized column with
 # >=2 non-lambda references (the two size() calls), so CollapseProject
 # keeps the tokenizer chain evaluated once; the lambda's slice/concat_ws
 # read the cheap column reference. Docs shorter than SPAN_W contribute no
 # spans (sequence(1, n) with n <= 0 would count DOWN in Spark — the guard
 # is load-bearing, not cosmetic).
+#
+# Key type: xxhash64 LONG, not an md5 string — the span key rides two
+# shuffles (census agg + join-back) in both span operators, and an
+# 8-byte long is ~5x narrower on the wire than a 32-char md5 (the
+# mm_chunk_dedup int64-key lesson; measured same-session on decorrelated
+# replicas: 0.80x at x8, 0.95x at x32 of sf0.1). The DuckDB oracles keep
+# md5 — no hash value reaches any output, so parity only needs GROUPING
+# equality, which any injective-modulo-collisions key gives. Collision
+# posture: 64-bit keys expect ~n^2/2^65 false span merges (a handful per
+# 10^12 spans) — noise for a duplication AUDIT/removal of >= 2-doc
+# spans, and the paper's own pipeline hashes spans the same way.
 _SPANS_FROM_TOKS = (
     f"array_distinct(if(size(toks) >= {SPAN_W}, "
     f"transform(sequence(1, size(toks) - {SPAN_W - 1}), "
-    f"i -> md5(concat_ws(' ', slice(toks, i, {SPAN_W})))), "
-    "cast(array() as array<string>)))"
+    f"i -> xxhash64(concat_ws(' ', slice(toks, i, {SPAN_W})))), "
+    "cast(array() as array<bigint>)))"
 )
 
 
@@ -1586,7 +1597,10 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     size estimate under the exploded gram frame is so far below reality
     that Catalyst otherwise BROADCASTS the token-scale grams side — a
     driver OOM at any real scale, and measured 2× slower than the merge
-    join already at x64 of sf0.1 (25.4 s → 13.9 s). Merge over
+    join already at x64 of sf0.1 (25.4 s → 13.9 s). The span key is an
+    xxhash64 LONG (see _SPANS_FROM_TOKS: ~5× narrower through both
+    shuffles than the md5 string it replaced; oracle parity is
+    grouping-equality, collisions are noise at audit semantics). Merge over
     shuffled-hash because the census itself is unbounded on
     boilerplate-heavy corpora (billions of repeated spans on the real
     web) and SMJ spills gracefully where a per-partition hash build does
@@ -1678,8 +1692,8 @@ ORACLES["dedup_repeated_ngrams"] = ORACLE_REPEATED_NGRAMS
 _SPAN_OCCS_FROM_TOKS = (
     f"if(size(toks) >= {SPAN_W}, "
     f"transform(sequence(1, size(toks) - {SPAN_W - 1}), "
-    f"i -> md5(concat_ws(' ', slice(toks, i, {SPAN_W})))), "
-    "cast(array() as array<string>))"
+    f"i -> xxhash64(concat_ws(' ', slice(toks, i, {SPAN_W})))), "
+    "cast(array() as array<bigint>))"
 )
 
 

@@ -139,9 +139,15 @@ def _calibration(spark) -> float:
 def _min_of_2(fn, spark, sf_dir: str) -> float:
     """JVM codegen/GC jitter is bimodal (observed 4.7 s vs 1.1 s for the
     same plan); min-of-2 reports steady-state throughput rather than
-    first-compile noise."""
+    first-compile noise. Below 0.5 s a third run is added (round-7
+    verdict): sub-second queries are dominated by scheduler/Python
+    fixed overhead the calibration anchor does not model — they drove
+    the entire apparent r06→r07 per-calib drift — so their min needs
+    one more sample to be stable."""
     best = float("inf")
-    for _ in range(2):
+    for i in range(3):
+        if i == 2 and best >= 0.5:
+            break
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         best = min(best, time.perf_counter() - t0)
@@ -247,7 +253,8 @@ def main() -> None:
         "value_per_calib": round(total / calib, 3) if calib else None,
         "methodology": (
             "value: one-JVM suite, warmup at sf0.001 then min-of-2 per "
-            "query; calibration_sec: fixed synthetic pure-Spark job in "
+            "query (min-of-3 below 0.5 s — fixed-overhead floor); "
+            "calibration_sec: fixed synthetic pure-Spark job in "
             "the same session — compare rounds via value_per_calib "
             "(ambient machine variance between sessions measured at "
             "+/-15-25% in round 6)"

@@ -48,23 +48,55 @@ def main() -> None:
         if not force:
             raise SystemExit(2)
     shared = [k for k in old["queries"] if k in new["queries"]]
+    co, cn = old.get("calibration_sec"), new.get("calibration_sec")
+
+    def classify(o: float, n: float) -> str:
+        """A per-calib delta is a REGRESSION only when BOTH the
+        normalized ratio is >1.5x AND the absolute move is >0.2 s
+        (round-7 verdict: per-calib ratios on sub-second queries are
+        scheduler/Python fixed-overhead noise the anchor cannot model —
+        the whole apparent r06->r07 drift was <0.3 s queries).
+        Symmetric rule for improvements; everything else is noise-band."""
+        if not (co and cn):
+            return ""
+        norm = (n / cn) / max(o / co, 1e-9)
+        if norm > 1.5 and (n - o) > 0.2:
+            return "REGRESSION"
+        if norm < 1 / 1.5 and (o - n) > 0.2:
+            return "improved"
+        return "noise-band"
+
     rows = sorted(
         shared,
         key=lambda k: new["queries"][k] / max(old["queries"][k], 1e-9),
         reverse=True,
     )
+    counts = {"REGRESSION": 0, "improved": 0, "noise-band": 0, "": 0}
     for k in rows:
         o, n = old["queries"][k], new["queries"][k]
-        print(f"{n / max(o, 1e-9):6.2f}x  {o:8.3f} -> {n:8.3f}  {k}")
+        verdict = classify(o, n)
+        counts[verdict] += 1
+        print(
+            f"{n / max(o, 1e-9):6.2f}x  {o:8.3f} -> {n:8.3f}  "
+            f"{verdict:10s}  {k}"
+        )
     to, tn = (sum(d["queries"][k] for k in shared) for d in (old, new))
     print(f"\nshared-{len(shared)} total: {to:.2f} -> {tn:.2f} "
           f"({tn / max(to, 1e-9):.2f}x raw)")
-    co, cn = old.get("calibration_sec"), new.get("calibration_sec")
     if co and cn:
         norm = (tn / cn) / (to / co)
         print(f"calibration: {co:.3f} -> {cn:.3f}; "
               f"machine-normalized ratio: {norm:.2f}x"
               f"  <- the ONLY cross-session number that means anything")
+        if counts["REGRESSION"]:
+            print(f"VERDICT: {counts['REGRESSION']} real regression(s) "
+                  f"(>1.5x per-calib AND >0.2 s absolute), "
+                  f"{counts['improved']} improved, "
+                  f"{counts['noise-band']} in the noise band.")
+        else:
+            print(f"VERDICT: in-band — no query moved >1.5x per-calib "
+                  f"AND >0.2 s absolute ({counts['improved']} improved, "
+                  f"{counts['noise-band']} noise-band).")
     else:
         print("(raw table shown under --force; no calibrated verdict)")
 

@@ -15,6 +15,8 @@ not history. Both shuffle once on their grouping key per micro-batch.
 
 from __future__ import annotations
 
+import json
+import re
 from typing import Any, Iterator
 
 import pyspark.sql.functions as F
@@ -903,7 +905,10 @@ def ivf_ingest_stream(
     both tables. At 100 TB the per-batch cost is the batch's own rows
     (assignment is a projection; the write touches only gen=<id> dirs)
     — the codebook refit cadence stays a BATCH decision driven by the
-    sim_cell_balance audit, exactly like the reference pipeline."""
+    sim_cell_balance audit, exactly like the reference pipeline.
+    Generation-count growth is bounded by the compact_ivf_ingest
+    maintenance job below (fold old generations, atomic manifest
+    swap)."""
     return (
         stream_vecs.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -915,20 +920,255 @@ def ivf_ingest_stream(
 
 def ivf_members(spark: SparkSession, index_dir: str) -> DataFrame:
     """The merged member view of a maintained index: the build-time base
-    table plus every streamed ingest generation — (vec_id, cluster_id,
-    e, c_nrm), the contract _ivf_probe_and_score expects. A missing
-    ingest table (index never streamed into) is the empty case, not an
-    error."""
+    table plus every LIVE streamed ingest generation — (vec_id,
+    cluster_id, e, c_nrm), the contract _ivf_probe_and_score expects. A
+    missing ingest table (index never streamed into) is the empty case,
+    not an error.
+
+    "Live" is defined by the compaction manifest (see
+    compact_ivf_ingest): with a manifest of version N, the view is
+    gen == -N (the active compacted generation) OR gen > folded_upto
+    (micro-batch generations newer than the fold cutoff). Both sides are
+    range predicates on the gen PARTITION column, so folded/orphaned
+    generation directories are pruned at the scan, never read — which is
+    also what makes a replay of an already-folded micro-batch invisible
+    (its re-created gen dir sits at <= folded_upto)."""
     cols = ["vec_id", "cluster_id", "e", "c_nrm"]
     base = spark.read.parquet(f"{index_dir}/members.parquet").select(*cols)
     from pyspark.errors import AnalysisException
 
     try:
-        ingest = spark.read.parquet(
-            f"{index_dir}/members_ingest.parquet"
-        ).select(*cols)
+        ingest = spark.read.parquet(f"{index_dir}/members_ingest.parquet")
     except AnalysisException as e:
         if not _is_empty_sink_error(e):
             raise
         return base
-    return base.unionByName(ingest)
+    manifest = _read_ingest_manifest(spark, index_dir)
+    if manifest is not None:
+        ingest = ingest.where(
+            (F.col("gen") == manifest["active_gen"])
+            | (F.col("gen") > manifest["folded_upto"])
+        )
+    return base.unionByName(ingest.select(*cols))
+
+
+# --- ingest-generation compaction --------------------------------------------
+#
+# ivf_ingest_stream lands ONE gen=<batch_id> partition per micro-batch; at
+# a real cadence that is thousands of small parquet files per cluster per
+# day. compact_ivf_ingest is the periodic maintenance job that folds old
+# generations into one compacted partition, copy-on-write with an atomic
+# manifest pointer (a hand-rolled miniature of the table-format commit
+# protocol), because the in-place functions/layout.py::compact_partitions
+# rewrite cannot move rows ACROSS partition values without a crash window
+# in which rows exist twice:
+#
+# 1. fold input = the active compacted generation (if any) + every real
+#    generation in (folded_upto, new_cutoff]; written to a FRESH partition
+#    gen = -(version+1) via write_partitioned's dynamic overwrite (never
+#    overwrites a partition a reader is pointed at);
+# 2. the manifest — manifest-v{N}.json, written create-temp + rename, the
+#    highest version wins — is swapped to point at the new generation;
+#    this is the commit: before it, readers see the old state exactly;
+#    after it, the new state exactly;
+# 3. folded real-generation dirs, superseded compacted dirs, and stale
+#    manifests are deleted — pure GC, because the reader predicate
+#    (gen == active OR gen > folded_upto) already excludes them, so a
+#    crash mid-GC leaves garbage bytes, never wrong results. A rerun
+#    re-GCs.
+#
+# Replay interplay: Structured Streaming only redelivers the LAST
+# uncommitted batch, but even a hypothetical replay of a FOLDED batch id
+# converges — its dynamic overwrite re-creates gen=<id> at <= folded_upto,
+# which the reader prunes and the next compaction GC deletes.
+
+_INGEST_MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
+
+
+def _ingest_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _list_ingest_state(spark: SparkSession, ingest_path: str):
+    """(real_gens, compacted_gens, manifest_versions) from the directory
+    listing — the manifest is authoritative for reads; the listing only
+    feeds fold-set selection and GC."""
+    jvm, fs, jpath = _ingest_fs(spark, ingest_path)
+    real, compacted, manifests = [], [], []
+    if not fs.exists(jpath):
+        return real, compacted, manifests
+    for status in fs.listStatus(jpath):
+        fname = status.getPath().getName()
+        if status.isDirectory() and fname.startswith("gen="):
+            g = int(fname[4:])
+            (compacted if g < 0 else real).append(g)
+        else:
+            m = _INGEST_MANIFEST_RE.match(fname)
+            if m:
+                manifests.append(int(m.group(1)))
+    return sorted(real), sorted(compacted), sorted(manifests)
+
+
+def _read_ingest_manifest(spark: SparkSession, index_dir: str):
+    """The highest-version manifest, or None (never compacted)."""
+    ingest_path = f"{index_dir}/members_ingest.parquet"
+    _, _, versions = _list_ingest_state(spark, ingest_path)
+    if not versions:
+        return None
+    jvm, fs, _ = _ingest_fs(spark, ingest_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{ingest_path}/manifest-v{versions[-1]}.json"
+    )
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_ingest_manifest(spark: SparkSession, index_dir: str, manifest: dict):
+    """create-temp + rename — atomic on HDFS/local (rename-based commit;
+    on S3-class stores swap this for a conditional PUT)."""
+    ingest_path = f"{index_dir}/members_ingest.parquet"
+    jvm, fs, _ = _ingest_fs(spark, ingest_path)
+    version = manifest["version"]
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{ingest_path}/.manifest-v{version}.json.tmp"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{ingest_path}/manifest-v{version}.json"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(final, False)  # a crashed identical attempt; content equal
+    if not fs.rename(tmp, final):
+        raise IOError(f"manifest rename failed: {final}")
+
+
+def _count_ingest_files(spark: SparkSession, ingest_path: str) -> int:
+    jvm, fs, jpath = _ingest_fs(spark, ingest_path)
+    if not fs.exists(jpath):
+        return 0
+    n = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def compact_ivf_ingest(
+    spark: SparkSession,
+    index_dir: str,
+    keep_last: int = 1,
+    files_per_partition: int = 1,
+) -> dict:
+    """Fold all but the newest ``keep_last`` streamed ingest generations
+    into one compacted partition (protocol above). Returns audit stats:
+    folded generation count, rows in the new compacted partition, and
+    parquet file counts before/after.
+
+    ``keep_last >= 1`` keeps the redelivery window honest: the only batch
+    Structured Streaming can replay is the newest (its offset commit may
+    be missing after a crash), and replaying into a LIVE generation is
+    the idempotent dynamic-overwrite path the ingest function already
+    guarantees. At 100 TB the job's cost is the compacted partition's
+    own rows (one shuffle into the gen/cluster layout) — the base index
+    and live generations are never rewritten."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the redelivery window)")
+    ingest_path = f"{index_dir}/members_ingest.parquet"
+    files_before = _count_ingest_files(spark, ingest_path)
+    manifest = _read_ingest_manifest(spark, index_dir)
+    prev_version = manifest["version"] if manifest else 0
+    prev_cutoff = manifest["folded_upto"] if manifest else -1
+    active_gen = manifest["active_gen"] if manifest else None
+
+    real, compacted, manifest_versions = _list_ingest_state(spark, ingest_path)
+    jvm, fs, _ = _ingest_fs(spark, ingest_path)
+
+    def gc() -> None:
+        for g in real:
+            if g <= prev_cutoff:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{ingest_path}/gen={g}"),
+                    True,
+                )
+        for g in compacted:
+            if active_gen is None or g != active_gen:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{ingest_path}/gen={g}"),
+                    True,
+                )
+        for v in manifest_versions:
+            if v != prev_version:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{ingest_path}/manifest-v{v}.json"
+                    ),
+                    False,
+                )
+
+    live = [g for g in real if g > prev_cutoff]
+    fold = live[:-keep_last]
+    if not fold:
+        gc()  # still collect leftovers from replays/crashes
+        return {
+            "folded_gens": 0,
+            "rows_compacted": 0,
+            "files_before": files_before,
+            "files_after": _count_ingest_files(spark, ingest_path),
+            "active_gen": active_gen,
+        }
+
+    new_cutoff = fold[-1]
+    new_version = prev_version + 1
+    new_gen = -new_version
+    src = spark.read.parquet(ingest_path)
+    in_fold = F.col("gen").isin(fold)
+    if active_gen is not None:
+        in_fold = in_fold | (F.col("gen") == active_gen)
+    folded_df = (
+        src.where(in_fold)
+        .drop("gen")
+        .withColumn("gen", F.lit(new_gen))
+        # sever lineage from dirs the write may touch (a crashed earlier
+        # attempt can have left an orphan gen=new_gen the dynamic
+        # overwrite replaces) — same rule as layout.compact_partitions
+        .localCheckpoint(eager=True)
+    )
+    rows = folded_df.count()
+    from datafusion_loki_spark.functions.layout import write_partitioned
+
+    write_partitioned(
+        folded_df,
+        ingest_path,
+        partition_by=["gen", "cluster_id"],
+        files_per_partition=files_per_partition,
+    )
+    _write_ingest_manifest(
+        spark,
+        index_dir,
+        {
+            "version": new_version,
+            "active_gen": new_gen,
+            "folded_upto": new_cutoff,
+        },
+    )
+    # post-commit GC under the NEW manifest
+    prev_version, prev_cutoff, active_gen = new_version, new_cutoff, new_gen
+    real, compacted, manifest_versions = _list_ingest_state(spark, ingest_path)
+    gc()
+    return {
+        "folded_gens": len(fold),
+        "rows_compacted": rows,
+        "files_before": files_before,
+        "files_after": _count_ingest_files(spark, ingest_path),
+        "active_gen": new_gen,
+    }

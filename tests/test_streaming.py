@@ -1084,6 +1084,109 @@ def test_ivf_ingest_stream_appends_generations_exactly_once(spark, tmp_path):
     assert topk.where(F.col("cand_id") >= IVF_APPEND_OFFSET).count() > 0
 
 
+def test_ivf_ingest_compaction_preserves_results_and_drops_files(
+    spark, tmp_path
+):
+    # The maintenance half of the streaming index story: fold old
+    # gen=<batch_id> partitions into one compacted generation behind an
+    # atomic manifest pointer. Contract: (a) the merged member view and
+    # the probe path return IDENTICAL results before/after, (b) the
+    # parquet file count drops, (c) a replay of an already-FOLDED batch
+    # id converges (the reader prunes its re-created dir; the next
+    # compaction GCs it), (d) a second compaction with no new
+    # generations is a no-op.
+    from datafusion_loki_spark.operators.similarity import (
+        IVF_APPEND_OFFSET,
+        N_QUERIES,
+        _TO_DOUBLE,
+        _ivf_probe_and_score,
+        build_ivf_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, "/root/testdata/sf0.001", index_dir)
+    base_n = spark.read.parquet(f"{index_dir}/members.parquet").count()
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "ingest_src")
+    for i, shift in enumerate((0.0, 0.25, 0.5)):
+        (
+            emb.limit(40)
+            .select(
+                (F.col("vec_id") + IVF_APPEND_OFFSET * (i + 1)).alias("vec_id"),
+                F.expr(
+                    f"transform(embedding, (x, j) ->"
+                    f" IF(j = 0, x + cast({shift} as float), x))"
+                ).alias("embedding"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pipeline.ivf_ingest_stream(stream, index_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    queries_d = (
+        emb.select(
+            "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+        ).where(F.col("vec_id") < N_QUERIES)
+    )
+
+    def probe_rows():
+        topk = _ivf_probe_and_score(
+            queries_d, cents, pipeline.ivf_members(spark, index_dir)
+        )
+        return sorted(
+            (r.query_id, r.rank, r.cand_id, round(r.cosine, 9))
+            for r in topk.collect()
+        )
+
+    before = probe_rows()
+    n_before = pipeline.ivf_members(spark, index_dir).count()
+    assert n_before == base_n + 120
+
+    stats = pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
+    assert stats["folded_gens"] == 2
+    assert stats["rows_compacted"] == 80
+    assert stats["files_after"] < stats["files_before"]
+    assert pipeline.ivf_members(spark, index_dir).count() == n_before
+    assert probe_rows() == before
+
+    # replay a FOLDED batch id: the re-created gen dir must be invisible
+    ingest = f"{index_dir}/members_ingest.parquet"
+    live_gens = {
+        r.gen
+        for r in spark.read.parquet(ingest).select("gen").distinct().collect()
+        if r.gen >= 0
+    }
+    manifest = pipeline._read_ingest_manifest(spark, index_dir)
+    folded_gen = manifest["folded_upto"]
+    assert folded_gen not in live_gens
+    replay = spark.read.parquet(src).where(
+        F.col("vec_id") < IVF_APPEND_OFFSET * 2
+    )
+    pipeline._ivf_ingest_batch_fn(index_dir)(replay, folded_gen)
+    assert pipeline.ivf_members(spark, index_dir).count() == n_before
+    assert probe_rows() == before
+
+    # a second compaction has nothing to fold: no-op + GC of the replayed
+    # orphan dir
+    stats2 = pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
+    assert stats2["folded_gens"] == 0
+    gens_on_disk = {
+        r.gen
+        for r in spark.read.parquet(ingest).select("gen").distinct().collect()
+    }
+    assert folded_gen not in gens_on_disk  # GC removed the replay orphan
+    assert probe_rows() == before
+
+
 class _FakeGroupState:
     """Minimal stand-in for pyspark's GroupState — enough to drive
     _near_dup_fn's kernel contract without a streaming query."""

@@ -63,6 +63,9 @@ _R08_PINNED: tuple[str, ...] = (
     # CHANGED in r8: span census key md5 string -> xxhash64 long
     # (round-7 VERDICT #5; oracle unchanged — grouping equality)
     "dedup_repeated_ngrams",
+    # NEW in r8: benchmark decontamination (GPT-3 appendix-C n-gram
+    # overlap vs a held-out split) over the span-family machinery
+    "text_benchmark_decontam",
 )
 
 _WINDOW_SIZE = 50

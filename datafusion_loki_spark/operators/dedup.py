@@ -1843,6 +1843,109 @@ LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p
 GROUP BY tp.doc_id
 """
 
+# Benchmark split for decontamination: the sampling module's md5-bucket
+# convention over the stable doc key — deterministic, engine-agnostic,
+# ~1/16 of docs play the held-out eval set.
+_BENCH_PRED_SPARK = "substring(md5(cast(doc_id as string)), 1, 1) = '0'"
+_BENCH_PRED_DUCK = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+
+
+def text_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION (Brown et al., GPT-3, arXiv:2005.14165
+    Appendix C; standard practice since): flag every training document
+    sharing at least one exact SPAN_W-token n-gram with any held-out
+    benchmark/eval example — train/test overlap inflates downstream
+    evals, so contaminated docs are dropped (or at least reported)
+    before training. The benchmark set here is the md5-bucket split
+    above (a real deployment passes its eval corpus as this side; the
+    topology is identical). Emits one row per CONTAMINATED train doc:
+    its distinct-gram total, how many grams also occur in the benchmark
+    set, and the contaminated fraction. NULL-text docs tokenize to no
+    grams and cannot be flagged (the span family's NULL contract).
+
+    Shape: ONE tokenize definition feeds both branches (benchmark gram
+    set = distinct g; train grams = per-doc distinct spans exploded with
+    the explode_outer guard), joined on the xxhash64 span key
+    (merge-pinned — both sides are corpus-scale under stat-less
+    explodes, the family's broadcast-trap rule) -> groupBy(doc).
+
+    100 TB posture: the benchmark side aggregates to its distinct gram
+    set with map-side partials before the shuffle (real eval corpora are
+    ~1e5 examples -> ~1e7 grams, but the plan must not ASSUME that: a
+    merge join spills gracefully if someone passes a corpus-scale
+    "benchmark"); the train side is the same O(tokens) explode every
+    span operator pays. Nothing collects, nothing is quadratic. The
+    ~1e7-gram case would broadcast nicely — Catalyst cannot see that
+    through the explode, and pinning merge is the safe default; a
+    deployment with a provably small benchmark can add a broadcast hint
+    at the call site."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(_BENCH_PRED_SPARK).alias("is_bench"),
+        F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks"),
+    )
+    spans = toks.select(
+        "doc_id", "is_bench", F.expr(_SPANS_FROM_TOKS).alias("spans")
+    )
+    grams = (
+        spans.select(
+            "doc_id",
+            "is_bench",
+            F.expr("size(spans)").alias("n_grams"),
+            F.explode_outer("spans").alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    bench = grams.where(F.col("is_bench")).select("g").distinct()
+    train = grams.where(~F.col("is_bench"))
+    return (
+        train.join(bench.hint("merge"), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count("*").alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.col("n_shared") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+ORACLE_BENCHMARK_DECONTAM = f"""
+WITH toks AS (
+  SELECT doc_id, {_BENCH_PRED_DUCK} AS is_bench,
+         string_split({_NORM_DUCK}, ' ') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, is_bench,
+         list_distinct(CASE WHEN len(t) >= {SPAN_W} THEN
+           list_transform(generate_series(1, len(t) - {SPAN_W - 1}),
+             i -> md5(array_to_string(t[i:i+{SPAN_W - 1}], ' ')))
+           ELSE [] END) AS gs
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, is_bench, len(gs) AS n_grams, unnest(gs) AS g FROM spans
+),
+bench AS (
+  SELECT DISTINCT g FROM grams WHERE is_bench
+)
+SELECT doc_id,
+       MAX(n_grams) AS n_grams,
+       COUNT(*) AS n_shared,
+       COUNT(*) / CAST(MAX(n_grams) AS DOUBLE) AS shared_frac
+FROM grams JOIN bench USING (g)
+WHERE NOT is_bench
+GROUP BY doc_id
+"""
+
+QUERIES["text_benchmark_decontam"] = text_benchmark_decontam
+ORACLES["text_benchmark_decontam"] = ORACLE_BENCHMARK_DECONTAM
+
+
 QUERIES["text_remove_repeated_spans"] = text_remove_repeated_spans
 ORACLES["text_remove_repeated_spans"] = ORACLE_REMOVE_REPEATED_SPANS
 

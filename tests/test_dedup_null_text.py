@@ -70,6 +70,7 @@ def crafted(spark, tmp_path_factory):
         # span-level family (round-8: the removal op joined the audit)
         "dedup_repeated_ngrams",
         "text_remove_repeated_spans",
+        "text_benchmark_decontam",
         # sampling/mixing consumers of text (mix_pack_greedy crashed on
         # the NaN a NULL n_tok becomes in the Arrow batch; both packers
         # now share one base projection with the NULL-doc exclusion)

@@ -839,6 +839,18 @@ def test_remove_repeated_spans_inherits_span_family_plan_rules(spark, sf_dir):
     assert opt.count("split(") <= 3, f"split() x{opt.count('split(')}:\n{opt}"
 
 
+def test_benchmark_decontam_merge_pinned_two_tokenize_chains(spark, sf_dir):
+    # Same span-family rules as the audit: the gram join merge-pinned
+    # (never broadcast a side fed by a stat-less explode), and exactly
+    # one tokenize chain per consumer branch (bench set + train grams =
+    # 2; more means the span lambda got re-inlined per column)
+    plan = _plan(spark, sf_dir, "text_benchmark_decontam")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    opt = _optimized(spark, sf_dir, "text_benchmark_decontam")
+    assert opt.count("split(") <= 2, f"split() x{opt.count('split(')}:\n{opt}"
+
+
 def test_data_card_single_expand_and_tokenize(spark, sf_dir):
     # CUBE(source, lang) must be ONE Expand feeding one aggregation (the
     # key-space x4, not the data x4), and the stats side keeps the

@@ -66,6 +66,9 @@ _R08_PINNED: tuple[str, ...] = (
     # NEW in r8: benchmark decontamination (GPT-3 appendix-C n-gram
     # overlap vs a held-out split) over the span-family machinery
     "text_benchmark_decontam",
+    # NEW in r8: exact-dup leakage quarantine at train/val split time —
+    # one scan, one fingerprint-window shuffle
+    "mix_split_leakage_safe",
 )
 
 _WINDOW_SIZE = 50

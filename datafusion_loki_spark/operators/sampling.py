@@ -880,3 +880,94 @@ GROUP BY 1, 2
 
 QUERIES["corpus_snapshot_diff"] = corpus_snapshot_diff
 ORACLES["corpus_snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+
+
+# --- leakage-safe train/val split ---------------------------------------------
+
+
+def mix_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split with EXACT-duplicate leakage quarantine: an
+    eval/val document whose normalized content also exists in the train
+    split inflates every downstream eval (the train/test-overlap hazard
+    the decontamination literature documents, arXiv:2005.14165 App. C —
+    here applied at split time, where it is cheapest). Emits one row per
+    doc: the md5-bucket initial split (~1/8 val, the sampling module's
+    stable-key convention), a ``leaked`` flag, and the final assignment.
+
+    Policy: leaked val docs are QUARANTINED (excluded from both splits),
+    not folded into train — their content is already in train, so
+    re-adding the duplicate would double-weight it; and leaving them in
+    val is the contamination this op exists to remove. NULL-text docs
+    fingerprint to NULL and never match (each NULL is its own content in
+    the family's contract); empty-text val docs DO leak against
+    empty-text train docs (same fingerprint — correct: identical
+    content).
+
+    Shape: ONE corpus scan, ONE shuffle — leakage is a per-fingerprint
+    property (does any train doc share it?), so it is a window MAX over
+    the fingerprint partition, not a val-vs-train self-join (which would
+    re-execute the scan+md5 DAG per branch — the union-re-execution
+    trap) . 100 TB posture: the shuffle key is the uniform md5; a
+    pathological dup cluster (one boilerplate page, millions of copies)
+    lands in one window partition, which is the same locality any
+    grouping by content has, and the window computes a single running
+    MAX — no per-partition materialization beyond the sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN substring(md5(cast(doc_id as string)), 1, 1) "
+            "IN ('0', '1') THEN 'val' ELSE 'train' END"
+        ).alias("init_split"),
+        F.expr(f"md5({_NORM_SPARK})").alias("fingerprint"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn(
+            "has_train_dup",
+            F.max(
+                F.when(F.col("init_split") == "train", 1).otherwise(0)
+            ).over(w),
+        )
+        .select(
+            "doc_id",
+            "init_split",
+            (
+                (F.col("init_split") == "val")
+                & F.col("fingerprint").isNotNull()
+                & (F.col("has_train_dup") == 1)
+            ).alias("leaked"),
+        )
+        .withColumn(
+            "final_split",
+            F.when(F.col("leaked"), F.lit("quarantined")).otherwise(
+                F.col("init_split")
+            ),
+        )
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH fp AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('0', '1') THEN 'val' ELSE 'train' END AS init_split,
+         md5({_NORM_DUCK}) AS fingerprint
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, init_split,
+         (init_split = 'val' AND fingerprint IS NOT NULL
+          AND MAX(CASE WHEN init_split = 'train' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY fingerprint) = 1) AS leaked
+  FROM fp
+)
+SELECT doc_id, init_split, leaked,
+       CASE WHEN leaked THEN 'quarantined' ELSE init_split END AS final_split
+FROM flagged
+"""
+
+QUERIES["mix_split_leakage_safe"] = mix_split_leakage_safe
+ORACLES["mix_split_leakage_safe"] = ORACLE_SPLIT_LEAKAGE

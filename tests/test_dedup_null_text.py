@@ -76,6 +76,7 @@ def crafted(spark, tmp_path_factory):
         # now share one base projection with the NULL-doc exclusion)
         "mix_pack_greedy",
         "mix_pack_sequences",
+        "mix_split_leakage_safe",
         "mix_token_budget",
         "mix_epoch_plan",
         "sample_docs_importance",
@@ -139,3 +140,47 @@ def test_remove_repeated_spans_excises_exactly_the_shared_tokens(
     assert rows[4].n_removed == 0             # empty text: nothing shared
     assert rows[5].n_removed == 0             # unique doc: untouched
     assert rows[5].cleaned_text == "something else entirely different here"
+
+
+def test_split_leakage_quarantines_exact_dups_across_buckets(
+    spark, tmp_path
+):
+    # Crafted corpus because the driver-SF data has no straddling exact
+    # dups (first SF with one is sf0.1): doc 6 sits in the val bucket
+    # (md5('6')[0]='1'), docs 0-3 in train. Val doc 6 shares doc 0's
+    # exact text -> quarantined; val doc 27 shares train doc 2's EMPTY
+    # text -> quarantined (identical content is identical); val doc 24
+    # has NULL text and train doc 1 too -> NULL never matches NULL (each
+    # NULL is its own content); val doc 19 is unique -> stays val.
+    from datafusion_loki_spark.operators.sampling import (
+        mix_split_leakage_safe,
+    )
+
+    rows = [
+        (0, "shared leaked content here", "en", "web", 26),   # train
+        (1, None, "en", "web", 0),                            # train NULL
+        (2, "", "en", "web", 0),                              # train empty
+        (3, "train only text", "en", "web", 15),              # train
+        (6, "shared leaked content here", "en", "web", 26),   # val, leaked
+        (19, "unique val content", "en", "web", 18),          # val, clean
+        (24, None, "en", "web", 0),                           # val NULL
+        (27, "", "en", "web", 0),                             # val, leaked
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.init_split, r.leaked, r.final_split)
+        for r in mix_split_leakage_safe(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == ("train", False, "train")
+    assert got[6] == ("val", True, "quarantined")
+    assert got[27] == ("val", True, "quarantined")
+    assert got[19] == ("val", False, "val")
+    assert got[24] == ("val", False, "val")   # NULL text never leaks
+    assert got[1] == ("train", False, "train")

@@ -851,6 +851,18 @@ def test_benchmark_decontam_merge_pinned_two_tokenize_chains(spark, sf_dir):
     assert opt.count("split(") <= 2, f"split() x{opt.count('split(')}:\n{opt}"
 
 
+def test_split_leakage_safe_one_scan_one_shuffle_no_join(spark, sf_dir):
+    # leakage is a window MAX over the fingerprint partition — a val-vs-
+    # train self-join would re-execute the scan+md5 DAG per branch
+    plan = _plan(spark, sf_dir, "mix_split_leakage_safe")
+    assert plan.count("Scan parquet") + plan.count("FileScan") >= 1
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
+    opt = _optimized(spark, sf_dir, "mix_split_leakage_safe")
+    assert opt.count("md5(") <= 2, f"md5() x{opt.count('md5(')}:\n{opt}"
+
+
 def test_data_card_single_expand_and_tokenize(spark, sf_dir):
     # CUBE(source, lang) must be ONE Expand feeding one aggregation (the
     # key-space x4, not the data x4), and the stats side keeps the

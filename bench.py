@@ -113,6 +113,13 @@ BENCH_QUERIES = [
     # build + codebook-routed batch append + merged-index query: the
     # index MAINTENANCE cadence (two writes per run)
     "sim_ivf_index_append",
+    # appended round 8: the span-REMOVAL op (the family's largest token-
+    # volume shape — occurrence explode + covered-position distinct +
+    # per-doc rebuild), the decontamination gram join, and the
+    # one-shuffle leakage-safe split window
+    "text_remove_repeated_spans",
+    "text_benchmark_decontam",
+    "mix_split_leakage_safe",
 ]
 
 

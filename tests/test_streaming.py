@@ -505,6 +505,108 @@ def test_transform_with_state_survives_restart(spark, tmp_path):
         }
 
 
+def test_transform_with_state_list_and_map_state(spark, tmp_path):
+    # Broadens the vendored-protobuf JVM oracle beyond ValueState: List
+    # and Map state drive the remaining wire shapes — ListStatePut /
+    # AppendValue / AppendList (repeated bytes), ListStateGet iterator
+    # fetches (StateResponseWithListGet), MapState updateValue/getValue/
+    # containsKey/removeKey and the keys/iterator fetches
+    # (StateResponseWithMapKeysOrValues, KeyAndValuePair) — each parsed
+    # by protobuf-java on the JVM side, so any wire divergence fails
+    # the query, not just an assertion.
+    from datafusion_loki_spark._vendor import ensure_protobuf
+
+    assert ensure_protobuf() in ("system", "vendored")
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ListMapAccumulator(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._vals = handle.getListState("vals", "v double")
+            self._counts = handle.getMapState(
+                "counts", "bucket string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for v in pdf["value"]:
+                    self._vals.appendValue((float(v),))
+                    bucket = "big" if v >= 10 else "small"
+                    if self._counts.containsKey((bucket,)):
+                        (n,) = self._counts.getValue((bucket,))
+                    else:
+                        n = 0
+                    self._counts.updateValue((bucket,), (n + 1,))
+            # exercise the put + removal paths too: rewrite the list
+            # with only the last 2 values, drop never-used key if present
+            kept = [t for t in self._vals.get()][-2:]
+            self._vals.put(kept)
+            if self._counts.containsKey(("never",)):
+                self._counts.removeKey(("never",))
+            total = 0
+            n_buckets = 0
+            for _k, (n,) in self._counts.iterator():
+                total += n
+                n_buckets += 1
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "kept": [len(kept)],
+                    "kept_sum": [sum(t[0] for t in kept)],
+                    "total": [total],
+                    "n_buckets": [n_buckets],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = tmp_path / "src"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (t0, 7, 1.0),
+        (t0, 7, 12.0),
+        (t0, 7, 3.0),
+        (t0, 9, 20.0),
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp_ntz, user_id long, value double"
+    ).coalesce(1).write.parquet(str(src / "f0.parquet"))
+    stream = (
+        spark.readStream.schema("ts timestamp_ntz, user_id long, value double")
+        .parquet(str(src) + "/*/")
+    )
+    got: list = []
+    with _rocksdb_state_store(spark):
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                ListMapAccumulator(),
+                outputStructType=(
+                    "user_id long, kept long, kept_sum double, "
+                    "total long, n_buckets long"
+                ),
+                outputMode="update",
+                timeMode="none",
+            )
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = {r.user_id: (r.kept, r.kept_sum, r.total, r.n_buckets) for r in got}
+    # user 7: values 1, 12, 3 -> list keeps last 2 (12, 3), counts
+    # small=2 big=1; user 9: one big value
+    assert out == {7: (2, 15.0, 3, 2), 9: (1, 20.0, 1, 1)}
+
+
 def test_rollup_first_batch_detection_rejects_other_errors(spark, tmp_path):
     # The foreachBatch merge may treat ONLY missing-path / empty-dir as
     # "first batch". A corrupt sink raising any other error class must

@@ -54,6 +54,13 @@ SMOKE_QUERIES = [
     # span-level dedup (token-scale explode through two shuffles; the
     # census partial-agg is what keeps boilerplate hot spans linear)
     "dedup_repeated_ngrams",
+    # round 8: the span-removal op (occurrence explode + covered-
+    # position distinct + per-doc rebuild — the family's largest
+    # token-volume shape) and the decontamination join; the split op
+    # pins the one-shuffle window shape
+    "text_remove_repeated_spans",
+    "text_benchmark_decontam",
+    "mix_split_leakage_safe",
     # persisted-index semantic dedup (index build + within-cell pair
     # join — pair space must stay O(sum cell^2), growing ~linearly when
     # replica content is decorrelated)

@@ -69,6 +69,9 @@ _R08_PINNED: tuple[str, ...] = (
     # NEW in r8: exact-dup leakage quarantine at train/val split time —
     # one scan, one fingerprint-window shuffle
     "mix_split_leakage_safe",
+    # NEW in r8: the near-dup strictness level of the same knob (LSH
+    # pairs classified by the bucket expression — no corpus join)
+    "mix_split_neardup_safe",
 )
 
 _WINDOW_SIZE = 50

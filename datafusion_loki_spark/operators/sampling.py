@@ -971,3 +971,95 @@ FROM flagged
 
 QUERIES["mix_split_leakage_safe"] = mix_split_leakage_safe
 ORACLES["mix_split_leakage_safe"] = ORACLE_SPLIT_LEAKAGE
+
+
+_VAL_BUCKET = "substring(md5(cast({id} as string)), 1, 1) IN ('0', '1')"
+_VAL_BUCKET_DUCK = "substring(md5(CAST({id} AS VARCHAR)), 1, 1) IN ('0', '1')"
+
+
+def mix_split_neardup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-duplicate level of the split-leakage story: a val doc
+    that MinHash-LSH-pairs with any train doc is quarantined — near-dups
+    leak eval signal just like exact dups (the reason decontamination
+    pipelines run fuzzy matching, arXiv:2107.06499 §4 / 2005.14165
+    App. C), and document-identity splits cannot see them. Same
+    md5-bucket split and quarantine policy as mix_split_leakage_safe
+    (the val doc is excluded rather than folded into train; for NEAR
+    dups folding would be defensible salvage — kept symmetric so the
+    two ops compose as strictness levels of one knob).
+
+    Shape: the split side is a pure EXPRESSION over doc_id, so leakage
+    detection adds no join against the corpus — the capped LSH pair
+    stream (dedup_minhash_lsh, bounded per bucket) is classified by
+    evaluating the bucket predicate on BOTH pair ids in place, and only
+    the distinct leaked-val id set (bounded by the pair stream) joins
+    back to the per-doc frame. 100 TB posture inherits the LSH
+    operator's: banded bucketing, LSH_BUCKET_CAP, one signature pass."""
+    from datafusion_loki_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_val_a = F.expr(_VAL_BUCKET.format(id="doc_a"))
+    is_val_b = F.expr(_VAL_BUCKET.format(id="doc_b"))
+    leaked = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(is_val_a != is_val_b)  # exactly one side in val
+        .select(
+            F.when(is_val_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "doc_id"
+            )
+        )
+        .distinct()
+        .withColumn("leaked", F.lit(True))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN {_VAL_BUCKET.format(id='doc_id')} "
+                "THEN 'val' ELSE 'train' END"
+            ).alias("init_split"),
+        )
+        .join(leaked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "init_split",
+            F.coalesce("leaked", F.lit(False)).alias("leaked"),
+        )
+        .withColumn(
+            "final_split",
+            F.when(F.col("leaked"), F.lit("quarantined")).otherwise(
+                F.col("init_split")
+            ),
+        )
+    )
+
+
+def _oracle_split_neardup() -> str:
+    from datafusion_loki_spark.operators.dedup import _oracle_minhash_parts
+
+    ctes, unions = _oracle_minhash_parts()
+    val_a = _VAL_BUCKET_DUCK.format(id="doc_a")
+    val_b = _VAL_BUCKET_DUCK.format(id="doc_b")
+    return f"""
+WITH {ctes},
+pairs AS (
+{unions}
+),
+leaked AS (
+  SELECT DISTINCT CASE WHEN {val_a} THEN doc_a ELSE doc_b END AS doc_id
+  FROM pairs
+  WHERE ({val_a}) <> ({val_b})
+)
+SELECT d.doc_id,
+       CASE WHEN {_VAL_BUCKET_DUCK.format(id="d.doc_id")}
+            THEN 'val' ELSE 'train' END AS init_split,
+       (l.doc_id IS NOT NULL) AS leaked,
+       CASE WHEN l.doc_id IS NOT NULL THEN 'quarantined'
+            WHEN {_VAL_BUCKET_DUCK.format(id="d.doc_id")} THEN 'val'
+            ELSE 'train' END AS final_split
+FROM documents d LEFT JOIN leaked l ON d.doc_id = l.doc_id
+"""
+
+
+QUERIES["mix_split_neardup_safe"] = mix_split_neardup_safe
+ORACLES["mix_split_neardup_safe"] = _oracle_split_neardup()

@@ -77,6 +77,7 @@ def crafted(spark, tmp_path_factory):
         "mix_pack_greedy",
         "mix_pack_sequences",
         "mix_split_leakage_safe",
+        "mix_split_neardup_safe",
         "mix_token_budget",
         "mix_epoch_plan",
         "sample_docs_importance",
@@ -184,3 +185,39 @@ def test_split_leakage_quarantines_exact_dups_across_buckets(
     assert got[19] == ("val", False, "val")
     assert got[24] == ("val", False, "val")   # NULL text never leaks
     assert got[1] == ("train", False, "train")
+
+    # the near-dup level quarantines LSH-paired (not identical) content:
+    # doc 33 (val bucket) is NEAR_B to train doc 3's NEAR_A — exact
+    # fingerprints differ, so the exact op keeps it, the near-dup op
+    # quarantines it; the exact-dup val doc 6 is ALSO near-leaked (an
+    # exact dup trivially LSH-pairs)
+    from datafusion_loki_spark.operators.sampling import (
+        mix_split_neardup_safe,
+    )
+    from tests.test_dedup_null_text import NEAR_A, NEAR_B
+
+    rows2 = rows + [
+        (3000, NEAR_A, "en", "web", len(NEAR_A)),   # train (md5('3000')[0]='4')
+        (33, NEAR_B, "en", "web", len(NEAR_B)),     # val bucket
+    ]
+    df2 = spark.createDataFrame(
+        rows2,
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    )
+    df2.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    near = {
+        r.doc_id: (r.init_split, r.leaked, r.final_split)
+        for r in mix_split_neardup_safe(spark, str(tmp_path)).collect()
+    }
+    assert near[33] == ("val", True, "quarantined")    # near-dup leak
+    assert near[6] == ("val", True, "quarantined")     # exact is also near
+    assert near[19] == ("val", False, "val")           # unique val doc
+    assert near[3000] == ("train", False, "train")     # train side untouched
+    exact_again = {
+        r.doc_id: r.leaked
+        for r in mix_split_leakage_safe(spark, str(tmp_path)).collect()
+    }
+    assert exact_again[33] is False   # exact level cannot see near-dups

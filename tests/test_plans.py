@@ -863,6 +863,17 @@ def test_split_leakage_safe_one_scan_one_shuffle_no_join(spark, sf_dir):
     assert opt.count("md5(") <= 2, f"md5() x{opt.count('md5(')}:\n{opt}"
 
 
+def test_split_neardup_safe_single_lsh_pass_no_cartesian(spark, sf_dir):
+    # the leaked-val set derives from the capped LSH pair stream with the
+    # bucket predicate evaluated in place — documents scans at most twice
+    # (LSH signatures + the per-doc frame), never a third time for a
+    # split-side join, and no pair explosion beyond the capped buckets
+    plan = _plan(spark, sf_dir, "mix_split_neardup_safe")
+    assert "CartesianProduct" not in plan, plan
+    n_scans = plan.count("Scan parquet") or plan.count("FileScan")
+    assert n_scans <= 2, plan
+
+
 def test_data_card_single_expand_and_tokenize(spark, sf_dir):
     # CUBE(source, lang) must be ONE Expand feeding one aggregation (the
     # key-space x4, not the data x4), and the stats side keeps the

@@ -96,7 +96,14 @@ def like_eval(pattern: str, line: str, ci: bool = False) -> bool:
 LABEL_KEYS = ["app", "env", "zzz"]
 LABEL_VALUES = ["web", "api", "missing", "a or b", "O'Brien", "from x",
                 "select", "-- nope", "prod"]
-LABEL_RX = ["we", "^web$", "w.b", "a|b", "e.*r", "x{2,3}", "(?i)WEB"]
+# NOTE: the case-insensitive entry uses the SCOPED form (?i:...) — the
+# global inline form (?i)WEB is legal for Java/RE2 even after the
+# extractor's (?s:.*)(?:rx)(?s:.*) wrap (both scope the flag to the
+# enclosing group, so the push is semantics-preserving), but Python
+# 3.11's re, which this harness simulates the store with, rejects
+# mid-pattern global flags outright (found by the fuzzer; the wrapped
+# push itself is correct, the simulation engine just can't express it).
+LABEL_RX = ["we", "^web$", "w.b", "a|b", "e.*r", "x{2,3}", "(?i:WEB)"]
 LINE_LIKE_PATS = ["%error%", "%err%or%", "error%", "%500", "%a_b%",
                   "%ERROR%", "%union%", "%handler%", "%ok%"]
 LINE_RX = ["err.r", "e.*r", "^first", "500$", "(?i)error", "a|b",

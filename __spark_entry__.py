@@ -78,16 +78,20 @@ _WINDOW_SIZE = 50
 
 
 def _latest_green_round() -> dict[str, int]:
-    """name -> latest round whose committed driver row was fully green.
+    """name -> staleness key: the round of the entry's most recent
+    committed driver row IF that row was fully green, else -1.
 
-    A red row (err, or any mismatch) does NOT count: the entry sorts as
-    never-green and re-enters the window at the next rotation."""
+    Keying on the LATEST CHECK (not the latest green) matters for
+    regressions: an entry green in r7 but red in r8 must sort as
+    never-green (-1) and lead the next rotation — keying on the old
+    green round would file a known-broken entry among the freshest and
+    delay its re-check by a full rotation (round-8 review)."""
     import glob
     import json
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    latest: dict[str, int] = {}
+    latest_check: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -96,24 +100,38 @@ def _latest_green_round() -> dict[str, int]:
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            green = (
+            green = bool(
                 row.get("err") is None
                 and row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match", True)
             )
-            if green:
-                latest[name] = max(latest.get(name, -1), rnd)
-            else:
-                latest.setdefault(name, -1)
-    return latest
+            if rnd >= latest_check.get(name, (-1, False))[0]:
+                latest_check[name] = (rnd, green)
+    return {
+        name: (rnd if green else -1)
+        for name, (rnd, green) in latest_check.items()
+    }
 
 
-def _window_priority(registered: list[str]) -> tuple[str, ...]:
-    """Pinned new/changed entries, then the stalest tail, derived."""
-    latest = _latest_green_round()
+def _window_priority(
+    registered: list[str], latest: "dict[str, int] | None" = None
+) -> tuple[str, ...]:
+    """Pinned new/changed entries, then the stalest tail, derived.
+
+    A pinned name missing from the registry is a hard error — the pin
+    list is the ONLY hand-maintained piece of the rotation, and a typo
+    silently dropping a new query's guaranteed lead slot is exactly the
+    failure class the derivation exists to prevent."""
+    if latest is None:
+        latest = _latest_green_round()
     order = {n: i for i, n in enumerate(registered)}
-    pinned = [n for n in _R08_PINNED if n in order]
+    unknown = [n for n in _R08_PINNED if n not in order]
+    if unknown:
+        raise KeyError(
+            f"_R08_PINNED names not in the registry (typo?): {unknown}"
+        )
+    pinned = list(_R08_PINNED)
     tail = sorted(
         (n for n in registered if n not in _R08_PINNED),
         key=lambda n: (latest.get(n, -1), order[n]),
@@ -121,7 +139,17 @@ def _window_priority(registered: list[str]) -> tuple[str, ...]:
     return tuple((pinned + tail)[:_WINDOW_SIZE])
 
 
+_REGISTRY_CACHE: "tuple[dict, dict] | None" = None
+
+
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
+    # memoized: bench.py / scale_smoke / the parity suite call
+    # queries()/oracle_sql() in loops, and the window derivation reads
+    # every committed CORRECTNESS file — derive once per process (the
+    # committed files don't change mid-run)
+    global _REGISTRY_CACHE
+    if _REGISTRY_CACHE is not None:
+        return _REGISTRY_CACHE
     from datafusion_loki_spark.operators import (
         dedup,
         multimodal,
@@ -141,7 +169,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         queries[name] = merged[name]
     for name, fn in merged.items():
         queries.setdefault(name, fn)
-    return queries, oracles
+    _REGISTRY_CACHE = (queries, oracles)
+    return _REGISTRY_CACHE
 
 
 # kept as a module constant so tests (and humans) can inspect the pinned

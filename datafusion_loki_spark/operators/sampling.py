@@ -923,7 +923,16 @@ def mix_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("fingerprint")
+    # NULL-text fingerprints would otherwise ALL share one window
+    # partition — a straggler task holding every NULL-text row of the
+    # corpus (round-8 review), for rows whose `leaked` is constant-false
+    # anyway (the isNotNull guard below). Routing each NULL to its own
+    # singleton partition keyed by doc_id changes no result: a
+    # 32-hex-char md5 never collides with a decimal doc_id string, and
+    # has_train_dup is only consulted for non-NULL fingerprints.
+    w = Window.partitionBy(
+        F.coalesce(F.col("fingerprint"), F.col("doc_id").cast("string"))
+    )
     return (
         fp.withColumn(
             "has_train_dup",

@@ -949,6 +949,15 @@ def ivf_members(spark: SparkSession, index_dir: str) -> DataFrame:
             (F.col("gen") == manifest["active_gen"])
             | (F.col("gen") > manifest["folded_upto"])
         )
+    else:
+        # no manifest = never (successfully) compacted: only real
+        # micro-batch generations are readable. Without this, an orphan
+        # compacted partition left by a FIRST compaction that crashed
+        # between its data write and its manifest write would be read
+        # alongside the still-present folded generations — every folded
+        # row double-counted (round-8 review). Compacted generations are
+        # negative by construction, so gen >= 0 excludes exactly them.
+        ingest = ingest.where(F.col("gen") >= 0)
     return base.unionByName(ingest.select(*cols))
 
 

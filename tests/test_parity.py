@@ -114,3 +114,28 @@ def test_unchecked_queries_lead_the_window():
                 f"derived window"
             )
 
+
+
+def test_window_priority_regression_and_typo_semantics():
+    # Round-8 review findings, pinned as units over the pure derivation:
+    # (a) an entry RED at its latest driver check sorts as never-green
+    #     (-1) even if an earlier round was green — a fresh regression
+    #     must lead the next rotation, not file among the freshest;
+    # (b) a pinned name absent from the registry raises (the pin list is
+    #     the only hand-maintained piece; a typo must be loud).
+    import __spark_entry__ as e
+
+    registered = list(e.queries())
+    fresh, regressed = registered[-1], registered[-2]
+    latest = {n: 7 for n in registered}
+    latest[fresh] = 8
+    latest[regressed] = -1  # _latest_green_round maps latest-check-red to -1
+    window = e._window_priority(registered, latest=latest)
+    tail = [n for n in window if n not in e._R08_PINNED]
+    assert tail[0] == regressed, "latest-check-red entry must lead the tail"
+    assert fresh not in window or window.index(fresh) > window.index(regressed)
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        e._window_priority(["only_query"], latest={})  # pins missing

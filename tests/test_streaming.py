@@ -1253,6 +1253,26 @@ def test_ivf_ingest_compaction_preserves_results_and_drops_files(
     n_before = pipeline.ivf_members(spark, index_dir).count()
     assert n_before == base_n + 120
 
+    # crashed FIRST compaction: the data write landed (orphan gen=-1
+    # duplicating the folded rows) but the manifest write did not. With
+    # no manifest, the reader must see ONLY real generations — the
+    # round-8 review's double-count window.
+    ingest_path = f"{index_dir}/members_ingest.parquet"
+    orphan = (
+        spark.read.parquet(ingest_path)
+        .where(F.col("gen") >= 0)
+        .drop("gen")
+        .withColumn("gen", F.lit(-1))
+        .localCheckpoint(eager=True)
+    )
+    from datafusion_loki_spark.functions.layout import write_partitioned
+
+    write_partitioned(orphan, ingest_path, partition_by=["gen", "cluster_id"])
+    assert pipeline.ivf_members(spark, index_dir).count() == n_before
+    assert probe_rows() == before
+    # ...and the rerun compaction converges over the orphan (dynamic
+    # overwrite of the same target generation)
+
     stats = pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
     assert stats["folded_gens"] == 2
     assert stats["rows_compacted"] == 80

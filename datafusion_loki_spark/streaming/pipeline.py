@@ -1055,9 +1055,17 @@ def _write_ingest_manifest(spark: SparkSession, index_dir: str, manifest: dict):
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         out.close()
-    fs.delete(final, False)  # a crashed identical attempt; content equal
+    # NO delete-before-rename: the target version never exists on a
+    # clean or crash-rerun path (a complete manifest-vN would have been
+    # READ as the active one and this run would be writing v(N+1)), so
+    # a rename failure here means a CONCURRENT compaction committed the
+    # same version first — fail loudly rather than race it (the same
+    # optimistic-commit rule table formats use).
     if not fs.rename(tmp, final):
-        raise IOError(f"manifest rename failed: {final}")
+        fs.delete(tmp, False)
+        raise IOError(
+            f"manifest commit lost a race (version already exists): {final}"
+        )
 
 
 def _count_ingest_files(spark: SparkSession, ingest_path: str) -> int:

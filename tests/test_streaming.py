@@ -1308,6 +1308,35 @@ def test_ivf_ingest_compaction_preserves_results_and_drops_files(
     assert folded_gen not in gens_on_disk  # GC removed the replay orphan
     assert probe_rows() == before
 
+    # multi-version path: two more micro-batches, then a SECOND real
+    # fold — must merge the previous compacted generation (-1) with the
+    # newly folded gens into -2, bump the manifest to version 2, and
+    # leave exactly {active, newest live} on disk
+    batch_fn = pipeline._ivf_ingest_batch_fn(index_dir)
+    for i, bid in ((4, 10), (5, 11)):
+        batch_fn(
+            emb.limit(40).select(
+                (F.col("vec_id") + IVF_APPEND_OFFSET * i).alias("vec_id"),
+                "embedding",
+            ),
+            bid,
+        )
+    n_grown = pipeline.ivf_members(spark, index_dir).count()
+    assert n_grown == n_before + 80
+    grown = probe_rows()
+    stats3 = pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
+    assert stats3["folded_gens"] == 2  # gen 2 (old live) + gen 10
+    assert stats3["active_gen"] == -2
+    manifest2 = pipeline._read_ingest_manifest(spark, index_dir)
+    assert manifest2["version"] == 2 and manifest2["folded_upto"] == 10
+    assert pipeline.ivf_members(spark, index_dir).count() == n_grown
+    assert probe_rows() == grown
+    gens_final = {
+        r.gen
+        for r in spark.read.parquet(ingest).select("gen").distinct().collect()
+    }
+    assert gens_final == {-2, 11}, gens_final
+
 
 class _FakeGroupState:
     """Minimal stand-in for pyspark's GroupState — enough to drive

@@ -465,3 +465,67 @@ def test_property_grammar_smoke():
         "SELECT line FROM logs WHERE labels['app'] = 'web' LIMIT 3"
     )
     assert spec.limit == 3 and spec.matchers == [("app", "=", "web")]
+
+
+# --- e2e sample: the simulation validated against the REAL pipeline -------
+#
+# The retention property above checks the extractor against a Python
+# store simulation; this closes the simulation-vs-reality gap by running
+# a sample of generated PLAIN statements through loki_sql (pushed) and a
+# plain registered loki_table scan (unpushed) against the live emulator,
+# asserting row-set equality end to end. Timestamp atoms are excluded
+# (the grammar's 2020 literals sit outside the scan's default now-30d
+# window on both paths — vacuously equal) and LIMIT is excluded (an
+# unpushed Spark LIMIT legitimately picks an arbitrary n-subset, so
+# set-equality is not the contract there; the dedicated LIMIT grid in
+# test_sqlbridge.py covers those shapes deterministically).
+
+
+def test_generated_plain_statements_pushed_equals_unpushed_e2e(spark):
+    import time as _time
+
+    from hypothesis import HealthCheck, given, settings
+
+    from datafusion_loki_spark import loki_sql, loki_table, register_loki
+    from tests.emulator import LokiEmulator
+
+    register_loki(spark)
+    em = LokiEmulator().start()
+    try:
+        now = _time.time_ns()
+        NS = 1_000_000_000
+        em.seed(
+            [
+                (now - (60 - i) * 60 * NS, labels, line)
+                for i, (_rid, _ns, labels, line) in enumerate(CORPUS)
+            ]
+        )
+
+        @settings(
+            max_examples=25,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(statement())
+        def run(stmt):
+            sql, meta = stmt
+            if meta["kind"] != "plain" or meta["limit"] is not None:
+                return
+            if "timestamp" in sql.lower():
+                return
+            pushed = sorted(
+                map(str, loki_sql(spark, sql, em.endpoint,
+                                  default_label="app").collect())
+            )
+            loki_table(
+                spark, em.endpoint, default_label="app"
+            ).createOrReplaceTempView("logs")
+            try:
+                unpushed = sorted(map(str, spark.sql(sql).collect()))
+            finally:
+                spark.catalog.dropTempView("logs")
+            assert pushed == unpushed, sql
+
+        run()
+    finally:
+        em.stop()

@@ -72,6 +72,9 @@ _R08_PINNED: tuple[str, ...] = (
     # NEW in r8: the near-dup strictness level of the same knob (LSH
     # pairs classified by the bucket expression — no corpus join)
     "mix_split_neardup_safe",
+    # NEW in r8: Matryoshka prefix-dimension recall audit
+    # (arXiv:2205.13147) — one pair pass scores every prefix
+    "emb_matryoshka_recall",
 )
 
 _WINDOW_SIZE = 50

@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "text_remove_repeated_spans",
     "text_benchmark_decontam",
     "mix_split_leakage_safe",
+    # appended round 8 (late): the multi-prefix pair pass (4 cosines per
+    # pair off one broadcast join)
+    "emb_matryoshka_recall",
 ]
 
 

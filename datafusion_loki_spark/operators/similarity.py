@@ -2486,3 +2486,133 @@ FROM cost LEFT JOIN hits USING (nprobe)
 
 QUERIES["sim_probe_recall_curve"] = sim_probe_recall_curve
 ORACLES["sim_probe_recall_curve"] = _oracle_probe_recall_curve()
+
+
+# --- Matryoshka truncation audit ----------------------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)  # prefix dimensions; last = full (truth)
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall audit (Kusupati et al.,
+    arXiv:2205.13147): score the bounded query set against the corpus at
+    several PREFIX dimensionalities and report recall@k of each prefix's
+    top-k against the full-dimension truth — the measurement that
+    decides how many leading dimensions a serving index actually needs
+    (MRL-trained embeddings concentrate signal in the prefix; storing/
+    scanning 8 of 64 dims is an 8x index-size and bandwidth cut IF the
+    recall holds). The full-dim row reports 1.0 by construction — a
+    self-check that the ranking plumbing agrees with itself.
+
+    Shape: ONE pass over the broadcast query×corpus pair space computes
+    every prefix cosine (prefix dots are sequential-fold prefixes of the
+    same zip; per-row prefix norms are precomputed on EACH SIDE before
+    the join so the per-pair lambda is a bare multiply-fold — the
+    normed_embeddings rule), melted to (dim, query, cand, cos) and
+    ranked by ONE window over (dim, query). The tiny top-k frame
+    (queries x k x |dims| rows) is localCheckpointed before being
+    consumed as both ranking and truth — the small-multiply-consumed-
+    frame rule; without it the pair scoring would re-execute per branch.
+
+    100 TB posture: identical to sim_topk_cosine's (the |dims| factor
+    multiplies the bounded query side only, never the corpus scan
+    count); ranking ties break on (cosine desc, cand_id) with both
+    engines computing the same sequential IEEE folds, the convention
+    every sim_ oracle already relies on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _with_prefix_norms(df: DataFrame, id_alias: str, emb_alias: str):
+        cols = [F.col("vec_id").alias(id_alias),
+                F.expr(_TO_DOUBLE.format(a="embedding")).alias(emb_alias)]
+        sel = df.select(*cols)
+        norms = [
+            F.expr(
+                "sqrt(" + _DOT_RAW.format(
+                    a=f"slice({emb_alias}, 1, {d})",
+                    b=f"slice({emb_alias}, 1, {d})",
+                ) + ")"
+            ).alias(f"{emb_alias}_n{d}")
+            for d in MRL_DIMS
+        ]
+        return sel.select(id_alias, emb_alias, *norms)
+
+    q = _with_prefix_norms(emb.where(F.col("vec_id") < N_QUERIES), "query_id", "q_emb")
+    c = _with_prefix_norms(emb.repartition(F.col("vec_id")), "cand_id", "c_emb")
+    per_dim = ", ".join(
+        "struct(cast({d} as int) AS dim, ({dot}) / (q_emb_n{d} * c_emb_n{d}) AS cos)".format(
+            d=d,
+            dot=_DOT_RAW.format(a=f"slice(q_emb, 1, {d})", b=f"slice(c_emb, 1, {d})"),
+        )
+        for d in MRL_DIMS
+    )
+    melted = (
+        c.join(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.explode_outer(F.expr(f"array({per_dim})")).alias("s"),
+        )
+        .select("query_id", "cand_id", "s.dim", "s.cos")
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    topk = (
+        melted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("dim", "query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        topk.where(F.col("dim") == MRL_DIMS[-1])
+        .select("query_id", "cand_id", F.lit(1).alias("hit"))
+    )
+    return (
+        topk.join(truth, ["query_id", "cand_id"], "left")
+        .groupBy("dim")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.lit(float(N_QUERIES * TOP_K))
+            ).alias("recall_at_k")
+        )
+    )
+
+
+def _oracle_matryoshka() -> str:
+    dims = ", ".join(str(d) for d in MRL_DIMS)
+    dot = _DOT_DUCK.format(a="q.embedding[1:dim]", b="c.embedding[1:dim]")
+    qn = _NORM2_DUCK.format(a="q.embedding[1:dim]")
+    cn = _NORM2_DUCK.format(a="c.embedding[1:dim]")
+    return f"""
+WITH dims AS (SELECT unnest([{dims}]) AS dim),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT dims.dim, q.query_id, c.vec_id AS cand_id,
+         ({dot}) / (sqrt({qn}) * sqrt({cn})) AS cos
+  FROM dims CROSS JOIN q CROSS JOIN embeddings c
+  WHERE c.vec_id != q.query_id
+),
+topk AS (
+  SELECT dim, query_id, cand_id FROM (
+    SELECT dim, query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY dim, query_id
+                              ORDER BY cos DESC, cand_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= {TOP_K}
+),
+truth AS (SELECT query_id, cand_id FROM topk WHERE dim = {MRL_DIMS[-1]})
+SELECT t.dim,
+       SUM(CASE WHEN tr.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+         / CAST({N_QUERIES * TOP_K} AS DOUBLE) AS recall_at_k
+FROM topk t
+LEFT JOIN truth tr
+  ON t.query_id = tr.query_id AND t.cand_id = tr.cand_id
+GROUP BY t.dim
+"""
+
+
+QUERIES["emb_matryoshka_recall"] = emb_matryoshka_recall
+ORACLES["emb_matryoshka_recall"] = _oracle_matryoshka()

@@ -874,6 +874,19 @@ def test_split_neardup_safe_single_lsh_pass_no_cartesian(spark, sf_dir):
     assert n_scans <= 2, plan
 
 
+def test_matryoshka_one_pair_pass_checkpointed_topk(spark, sf_dir):
+    # every prefix cosine comes from ONE broadcast pair pass (corpus
+    # scans <= 2: query side + candidate side), and the tiny top-k frame
+    # is materialized before its two consumers (ranking + truth) — a
+    # FileScan in the truth branch would mean the pair scoring
+    # re-executes per branch
+    plan = _plan(spark, sf_dir, "emb_matryoshka_recall")
+    assert "Scan ExistingRDD" in plan, plan
+    n_scans = plan.count("Scan parquet") or plan.count("FileScan")
+    assert n_scans == 0, plan  # topk checkpoint feeds BOTH branches
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_data_card_single_expand_and_tokenize(spark, sf_dir):
     # CUBE(source, lang) must be ONE Expand feeding one aggregation (the
     # key-space x4, not the data x4), and the stats side keeps the

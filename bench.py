@@ -7,7 +7,7 @@ Methodology (settled in round 6 by measurement):
 
 - ``queries`` / ``value`` (the headline, comparable with BENCH_r01-r05):
   the shared one-JVM pass — all warmups at sf0.001, then min-of-2 per
-  query in suite order.
+  query in suite order (min-of-3 below 0.5 s — see _min_of_2).
 - ``calibration_sec`` / ``value_per_calib``: a fixed synthetic PURE-Spark
   workload (range → modular key → shuffle agg; no project code) timed in
   the same session. Round-over-round comparisons should use

@@ -61,6 +61,8 @@ SMOKE_QUERIES = [
     "text_remove_repeated_spans",
     "text_benchmark_decontam",
     "mix_split_leakage_safe",
+    "mix_split_neardup_safe",
+    "emb_matryoshka_recall",
     # persisted-index semantic dedup (index build + within-cell pair
     # join — pair space must stay O(sum cell^2), growing ~linearly when
     # replica content is decorrelated)

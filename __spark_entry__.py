@@ -75,6 +75,9 @@ _R08_PINNED: tuple[str, ...] = (
     # NEW in r8: Matryoshka prefix-dimension recall audit
     # (arXiv:2205.13147) — one pair pass scores every prefix
     "emb_matryoshka_recall",
+    # NEW in r8: the within-doc half of the span-removal story (census
+    # grouped by (doc, span); covered/rebuild machinery shared)
+    "text_remove_within_repeats",
 )
 
 _WINDOW_SIZE = 50

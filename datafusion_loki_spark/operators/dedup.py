@@ -1943,6 +1943,132 @@ GROUP BY doc_id
 """
 
 QUERIES["text_benchmark_decontam"] = text_benchmark_decontam
+
+
+def text_remove_within_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-span removal — the self-repetition half
+    of the arXiv:2107.06499 story (the cross-doc half is
+    text_remove_repeated_spans): a SPAN_W-token span occurring >= 2
+    times inside ONE document marks degenerate self-repetition (looped
+    boilerplate, chorus text, templated listings) that an LM overfits
+    per document, invisible to any cross-doc census. Excise every token
+    covered by such a span and emit the cleaned text — exactly the
+    "census swap" the cross-doc op's docstring promises: the duplication
+    predicate becomes occurrence count >= 2 GROUPED BY (doc, span), and
+    the covered/rebuild machinery is shared verbatim.
+
+    Output per doc with spans (NULL-text docs drop — family contract):
+    n_tokens, n_removed, cleaned_text over the normalized token stream.
+    Note the aggressive-but-faithful semantics: ALL occurrences of a
+    within-doc duplicated span are excised (the audit's memorization
+    framing), not all-but-first — a keep-first variant is the same
+    covered frame minus the minimum start per (doc, span).
+
+    100 TB posture: identical class to the cross-doc op minus the
+    global census — the (doc_id, g) grouping key makes the census
+    per-document (map-side partials compress a looping doc's repeats
+    before the shuffle, and no span key ever aggregates across
+    documents, so web-boilerplate hot spans cannot skew this one at
+    all). Both span joins stay merge-pinned: the stat-less explode
+    underneath misestimates either side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    )
+    occ = (
+        toks.select(
+            "doc_id",
+            F.posexplode_outer(F.expr(_SPAN_OCCS_FROM_TOKS)).alias("i0", "g"),
+        )
+        .where(F.col("g").isNotNull())
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    )
+    dup = (
+        occ.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("doc_id", "g")
+    )
+    covered = (
+        occ.join(dup.hint("merge"), ["doc_id", "g"])
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {SPAN_W - 1})")).alias("p"),
+        )
+        .distinct()
+        .withColumn("covered", F.lit(True))
+    )
+    tokpos = (
+        toks.select("doc_id", F.posexplode_outer("toks").alias("p0", "tok"))
+        .where(F.col("p0").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    )
+    return (
+        tokpos.join(covered.hint("merge"), ["doc_id", "p"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("covered"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "case when covered is null then struct(p, tok) end"
+                    ")), x -> x.tok)"
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+ORACLE_REMOVE_WITHIN_REPEATS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= {SPAN_W} THEN
+           list_transform(generate_series(1, len(t) - {SPAN_W - 1}),
+             i -> md5(array_to_string(t[i:i+{SPAN_W - 1}], ' ')))
+         ELSE [] END AS gs
+  FROM toks
+),
+occ AS (
+  SELECT doc_id, unnest(gs) AS g,
+         unnest(generate_series(1, len(gs))) AS i
+  FROM spans
+),
+dup AS (
+  SELECT doc_id, g FROM occ GROUP BY doc_id, g HAVING COUNT(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT occ.doc_id,
+           unnest(generate_series(i, i + {SPAN_W - 1})) AS p
+    FROM occ JOIN dup USING (doc_id, g)
+  ) x
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS p
+  FROM spans
+)
+SELECT tp.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(array_to_string(
+         list(tp.tok ORDER BY tp.p) FILTER (WHERE c.p IS NULL), ' '),
+         '') AS cleaned_text
+FROM tokpos tp
+LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p
+GROUP BY tp.doc_id
+"""
+
+QUERIES["text_remove_within_repeats"] = text_remove_within_repeats
+ORACLES["text_remove_within_repeats"] = ORACLE_REMOVE_WITHIN_REPEATS
 ORACLES["text_benchmark_decontam"] = ORACLE_BENCHMARK_DECONTAM
 
 

@@ -70,6 +70,7 @@ def crafted(spark, tmp_path_factory):
         # span-level family (round-8: the removal op joined the audit)
         "dedup_repeated_ngrams",
         "text_remove_repeated_spans",
+        "text_remove_within_repeats",
         "text_benchmark_decontam",
         # sampling/mixing consumers of text (mix_pack_greedy crashed on
         # the NaN a NULL n_tok becomes in the Arrow batch; both packers
@@ -141,6 +142,44 @@ def test_remove_repeated_spans_excises_exactly_the_shared_tokens(
     assert rows[4].n_removed == 0             # empty text: nothing shared
     assert rows[5].n_removed == 0             # unique doc: untouched
     assert rows[5].cleaned_text == "something else entirely different here"
+
+
+def test_within_repeats_excises_the_chorus(spark, tmp_path):
+    # 13 tokens "a b c d e f X a b c d e f": the 6-gram "a b c d e f"
+    # occurs at starts 1 and 8 WITHIN one doc, so positions 1..6 and
+    # 8..13 are covered and only token 7 survives. The cross-doc op
+    # must NOT touch it (no second document shares the span), pinning
+    # the census separation between the two halves of the story.
+    from datafusion_loki_spark.operators.dedup import (
+        text_remove_repeated_spans,
+        text_remove_within_repeats,
+    )
+
+    rows = [
+        (0, "a b c d e f x a b c d e f", "en", "web", 25),
+        (1, "no repetition in this document at all here", "en", "web", 43),
+        (2, None, "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    within = {
+        r.doc_id: r
+        for r in text_remove_within_repeats(spark, str(tmp_path)).collect()
+    }
+    assert set(within) == {0, 1}               # NULL-text doc absent
+    assert within[0].cleaned_text == "x"
+    assert within[0].n_removed == 12 and within[0].n_tokens == 13
+    assert within[1].n_removed == 0
+    cross = {
+        r.doc_id: r
+        for r in text_remove_repeated_spans(spark, str(tmp_path)).collect()
+    }
+    assert cross[0].n_removed == 0             # no cross-doc duplication
 
 
 def test_split_leakage_quarantines_exact_dups_across_buckets(

@@ -887,6 +887,17 @@ def test_matryoshka_one_pair_pass_checkpointed_topk(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_within_repeats_inherits_span_family_plan_rules(spark, sf_dir):
+    # same pins as the cross-doc removal op: both span joins merge-pinned
+    # (stat-less explode underneath), no broadcast, bounded tokenize
+    # chains (occ/dup share one, tokpos re-derives — <= 3 split chains)
+    plan = _plan(spark, sf_dir, "text_remove_within_repeats")
+    assert plan.count("SortMergeJoin") == 2, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    opt = _optimized(spark, sf_dir, "text_remove_within_repeats")
+    assert opt.count("split(") <= 3, f"split() x{opt.count('split(')}:\n{opt}"
+
+
 def test_data_card_single_expand_and_tokenize(spark, sf_dir):
     # CUBE(source, lang) must be ONE Expand feeding one aggregation (the
     # key-space x4, not the data x4), and the stats side keeps the

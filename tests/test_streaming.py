@@ -607,6 +607,105 @@ def test_transform_with_state_list_and_map_state(spark, tmp_path):
     assert out == {7: (2, 15.0, 3, 2), 9: (1, 20.0, 1, 1)}
 
 
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    # Completes the vendored-protobuf JVM-oracle coverage with the TIMER
+    # wire shapes: RegisterTimer / listTimers (TimerStateCallCommand +
+    # StateResponseWithTimer), TimerValueRequest/GetWatermark, and the
+    # expiry path (ExpiryTimerRequest iterators feeding
+    # handleExpiredTimer) — all parsed/emitted by protobuf-java on the
+    # JVM side. Semantics proven: a timer registered in batch 1 at
+    # (batch-1 watermark horizon) fires during batch 2 once the
+    # watermark passes it, emitting the state accumulated in batch 1.
+    from datafusion_loki_spark._vendor import ensure_protobuf
+
+    assert ensure_protobuf() in ("system", "vendored")
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TimerEmitter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            # one timer just past the current watermark: fires on the
+            # NEXT microbatch's watermark advance. Re-registering the
+            # same instant is idempotent; exercise delete+list too.
+            t = timerValues.getCurrentWatermarkInMs() + 1
+            self._handle.registerTimer(t)
+            self._handle.registerTimer(t + 10_000_000)
+            self._handle.deleteTimer(t + 10_000_000)
+            assert list(self._handle.listTimers()) == [t]
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "kind": ["data"], "n": [n]}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n = self._count.get()[0] if self._count.exists() else -1
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "kind": ["timer"], "n": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = tmp_path / "src"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def _mk(name, rows):
+        spark.createDataFrame(
+            rows, "ts timestamp_ntz, user_id long, value double"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    got: list = []
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp_ntz, user_id long, value double"
+            )
+            .parquet(str(src) + "/*/")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 second")
+        )
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                TimerEmitter(),
+                outputStructType="user_id long, kind string, n long",
+                outputMode="update",
+                timeMode="eventTime",
+            )
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with _rocksdb_state_store(spark):
+        _mk("f0.parquet", [(t0, 7, 1.0), (t0 + dt.timedelta(minutes=1), 7, 2.0)])
+        _drain()
+        _mk("f1.parquet", [(t0 + dt.timedelta(minutes=5), 7, 3.0)])
+        _drain()
+    kinds = [(r.kind, r.n) for r in got if r.user_id == 7]
+    assert ("data", 2) in kinds  # batch-1 accumulation
+    assert ("data", 3) in kinds  # batch-2 accumulation
+    # the batch-1 timer fired once the batch-2 watermark passed it, with
+    # state visible at expiry
+    assert any(k == "timer" and n >= 2 for k, n in kinds), kinds
+
+
 def test_rollup_first_batch_detection_rejects_other_errors(spark, tmp_path):
     # The foreachBatch merge may treat ONLY missing-path / empty-dir as
     # "first batch". A corrupt sink raising any other error class must

@@ -182,3 +182,93 @@ def test_packed_repeated_primitives_via_synthetic_descriptor():
     m3 = P()
     m3.ParseFromString(unpacked)
     assert list(m3.xs) == [1, 300, 0]
+
+
+# --- property: serialize/parse roundtrip over random messages -------------
+
+from hypothesis import given, settings, strategies as hst  # noqa: E402
+
+_TEXT = hst.text(max_size=40)
+_BYTES = hst.binary(max_size=40)
+_I64 = hst.integers(min_value=-(2**63), max_value=2**63 - 1)
+_I32 = hst.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    status=_I32,
+    err=_TEXT,
+    fetch=hst.booleans(),
+    timers=hst.lists(
+        hst.tuples(hst.none() | _BYTES, _I64), max_size=6
+    ),
+)
+def test_timer_response_roundtrip_stable(status, err, fetch, timers):
+    # random int32 (incl. negative -> 10-byte varints), unicode strings,
+    # optional-bytes presence, repeated messages: parse(serialize(m))
+    # must equal m, and re-serialization must be byte-stable
+    m = sm.StateResponseWithTimer(
+        statusCode=status, errorMessage=err, requireNextFetch=fetch
+    )
+    for key, ts in timers:
+        if key is None:
+            m.timer.add(timestampMs=ts)
+        else:
+            m.timer.add(key=key, timestampMs=ts)
+    data = m.SerializeToString()
+    m2 = sm.StateResponseWithTimer()
+    m2.ParseFromString(data)
+    assert m2 == m
+    assert m2.SerializeToString() == data
+    assert m2.statusCode == status and m2.errorMessage == err
+    assert [t.timestampMs for t in m2.timer] == [ts for _k, ts in timers]
+    for parsed_t, (key, _ts) in zip(m2.timer, timers):
+        assert parsed_t.HasField("key") == (key is not None)
+        if key is not None:
+            assert parsed_t.key == key
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    choice=hst.sampled_from(
+        ["setHandleState", "getValueState", "getListState", "timer"]
+    ),
+    name=_TEXT,
+    ttl=hst.none() | _I64.filter(lambda v: v >= 0),
+    expiry=_I64,
+    state=hst.integers(min_value=0, max_value=5),
+)
+def test_state_request_oneof_roundtrip(choice, name, ttl, expiry, state):
+    # the request side: every oneof choice roundtrips with its payload
+    # and WhichOneof agrees before and after the wire
+    if choice == "setHandleState":
+        call = sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=state)
+        )
+    elif choice == "timer":
+        call = sm.StatefulProcessorCall(
+            timerStateCall=sm.TimerStateCallCommand(
+                register=sm.RegisterTimer(expiryTimestampMs=expiry)
+            )
+        )
+    else:
+        cmd = sm.StateCallCommand()
+        cmd.stateName = name
+        if ttl is not None:
+            cmd.ttl.durationMs = ttl
+        call = sm.StatefulProcessorCall(**{choice: cmd})
+    req = sm.StateRequest(version=2, statefulProcessorCall=call)
+    out = sm.StateRequest()
+    out.ParseFromString(req.SerializeToString())
+    assert out == req
+    assert out.WhichOneof("method") == "statefulProcessorCall"
+    inner = out.statefulProcessorCall
+    assert inner.WhichOneof("method") == (
+        "timerStateCall" if choice == "timer" else choice
+    )
+    if choice in ("getValueState", "getListState"):
+        got = getattr(inner, choice)
+        assert got.stateName == name
+        assert got.HasField("ttl") == (ttl is not None)
+        if ttl is not None:
+            assert got.ttl.durationMs == ttl

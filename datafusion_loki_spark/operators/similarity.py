@@ -2525,16 +2525,34 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols = [F.col("vec_id").alias(id_alias),
                 F.expr(_TO_DOUBLE.format(a="embedding")).alias(emb_alias)]
         sel = df.select(*cols)
-        norms = [
+        # squared prefix norms in their own projection (the fold HOF is
+        # interpreted — don't let the guard's CASE evaluate it twice)
+        sq = [
             F.expr(
-                "sqrt(" + _DOT_RAW.format(
+                _DOT_RAW.format(
                     a=f"slice({emb_alias}, 1, {d})",
                     b=f"slice({emb_alias}, 1, {d})",
-                ) + ")"
+                )
+            ).alias(f"_sq{d}")
+            for d in MRL_DIMS
+        ]
+        with_sq = sel.select(id_alias, emb_alias, *sq)
+        # A zero PREFIX norm (leading d dims all zero — likelier than a
+        # fully-zero vector, which upstream guards target) has no cosine
+        # direction at that dim: Spark's NULL-on-zero-divide would
+        # silently drop the row from the window while DuckDB's IEEE
+        # inf/NaN sorts it first (round-9 ADVICE). Fail loudly in BOTH
+        # engines instead — the family's zero-norm contract.
+        norms = [
+            F.expr(
+                f"CASE WHEN _sq{d} = 0 THEN cast(raise_error("
+                f"concat('zero-norm {d}-dim prefix (vec_id ', {id_alias},"
+                f" '): no cosine direction at this matryoshka level'))"
+                f" as double) ELSE sqrt(_sq{d}) END"
             ).alias(f"{emb_alias}_n{d}")
             for d in MRL_DIMS
         ]
-        return sel.select(id_alias, emb_alias, *norms)
+        return with_sq.select(id_alias, emb_alias, *norms)
 
     q = _with_prefix_norms(emb.where(F.col("vec_id") < N_QUERIES), "query_id", "q_emb")
     c = _with_prefix_norms(emb.repartition(F.col("vec_id")), "cand_id", "c_emb")
@@ -2590,8 +2608,12 @@ WITH dims AS (SELECT unnest([{dims}]) AS dim),
 q AS (SELECT vec_id AS query_id, embedding FROM embeddings
       WHERE vec_id < {N_QUERIES}),
 pairs AS (
+  -- same fail-loud zero-prefix-norm contract as the Spark op (round-9
+  -- ADVICE: IEEE inf/NaN here vs NULL there would diverge the top-k)
   SELECT dims.dim, q.query_id, c.vec_id AS cand_id,
-         ({dot}) / (sqrt({qn}) * sqrt({cn})) AS cos
+         ({dot}) / (CASE WHEN ({qn}) = 0 OR ({cn}) = 0
+                         THEN error('zero-norm matryoshka prefix')
+                         ELSE sqrt({qn}) * sqrt({cn}) END) AS cos
   FROM dims CROSS JOIN q CROSS JOIN embeddings c
   WHERE c.vec_id != q.query_id
 ),

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import re
+import uuid
 from typing import Any, Iterator
 
 import pyspark.sql.functions as F
@@ -974,8 +975,12 @@ def ivf_members(spark: SparkSession, index_dir: str) -> DataFrame:
 #
 # 1. fold input = the active compacted generation (if any) + every real
 #    generation in (folded_upto, new_cutoff]; written to a FRESH partition
-#    gen = -(version+1) via write_partitioned's dynamic overwrite (never
-#    overwrites a partition a reader is pointed at);
+#    whose gen id is unique PER ATTEMPT (-(version * 10^9 + nonce)) so two
+#    concurrent compactions can never write into the same partition — the
+#    loser of the manifest race leaves an orphan dir, never clobbers the
+#    winner's committed data (round-9 ADVICE: the deterministic
+#    gen=-(version+1) id let the loser's dynamic overwrite delete the
+#    winner's already-committed files before the loser failed its rename);
 # 2. the manifest — manifest-v{N}.json, written create-temp + rename, the
 #    highest version wins — is swapped to point at the new generation;
 #    this is the commit: before it, readers see the old state exactly;
@@ -1146,7 +1151,13 @@ def compact_ivf_ingest(
 
     new_cutoff = fold[-1]
     new_version = prev_version + 1
-    new_gen = -new_version
+    # Unique-per-attempt compacted generation id: concurrent or crashed
+    # attempts each own a distinct partition, so no attempt's data write
+    # can touch another's (the manifest rename remains the only commit
+    # point and the only race). Encodes the version for debuggability;
+    # readers never parse it — the manifest's active_gen is authoritative
+    # and the no-manifest guard (gen >= 0) excludes every negative id.
+    new_gen = -(new_version * 1_000_000_000 + uuid.uuid4().int % 1_000_000_000)
     src = spark.read.parquet(ingest_path)
     in_fold = F.col("gen").isin(fold)
     if active_gen is not None:
@@ -1155,9 +1166,10 @@ def compact_ivf_ingest(
         src.where(in_fold)
         .drop("gen")
         .withColumn("gen", F.lit(new_gen))
-        # sever lineage from dirs the write may touch (a crashed earlier
-        # attempt can have left an orphan gen=new_gen the dynamic
-        # overwrite replaces) — same rule as layout.compact_partitions
+        # the unique gen id means the write never touches a dir this read
+        # scans, but a CONCURRENT winner's post-commit GC can delete fold
+        # gens mid-job — materialize first so this attempt either holds a
+        # complete copy or fails loudly here, never writes a torn one
         .localCheckpoint(eager=True)
     )
     rows = folded_df.count()

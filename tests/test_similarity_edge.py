@@ -65,6 +65,48 @@ def test_pandas_topk_fails_loudly_on_zero_norm_like_sql(spark, tmp_path):
     assert pandas_ranks == sql_ranks and pandas_ranks
 
 
+def test_matryoshka_fails_loudly_on_zero_prefix_norm(spark, tmp_path):
+    # A vector whose FIRST d dims are all zero (much likelier than a
+    # fully-zero vector) has no cosine direction at matryoshka level d:
+    # unguarded, Spark's NULL-on-zero-divide silently dropped the row
+    # from the per-dim window while DuckDB's IEEE NaN sorted it FIRST —
+    # a silent engine-vs-oracle top-k divergence (round-9 ADVICE). Both
+    # engines must now refuse the corpus; a cleaned corpus must match
+    # hash-for-hash.
+    import duckdb as _duckdb
+
+    import pytest
+
+    from datafusion_loki_spark.operators.similarity import (
+        ORACLES,
+        emb_matryoshka_recall,
+    )
+    from tests.parity import compare
+
+    rows = []
+    for i in range(10):
+        v = [0.0] * 64
+        v[i % 8] = 1.0 + 0.1 * i
+        v[32 + (i % 16)] = 0.5
+        rows.append((i, v, "a"))
+    hazard = [0.0] * 64
+    hazard[40] = 2.0  # first 8/16/32 dims all zero; full norm fine
+    rows.append((10, hazard, "a"))
+    sf, con = _crafted_dir(spark, tmp_path, rows)
+    with pytest.raises(Exception, match="zero-norm"):
+        emb_matryoshka_recall(spark, sf).collect()
+    with pytest.raises(_duckdb.Error, match="zero-norm"):
+        con.execute(ORACLES["emb_matryoshka_recall"]).fetchall()
+    # cleaned corpus: full driver-style comparison passes
+    sf2, con2 = _crafted_dir(spark, tmp_path / "clean", rows[:-1])
+    ok, detail = compare(
+        emb_matryoshka_recall(spark, sf2),
+        ORACLES["emb_matryoshka_recall"],
+        con2,
+    )
+    assert ok, detail
+
+
 def test_arrow_stats_survive_empty_embedding(spark, tmp_path):
     # An EMPTY list produces no parent index in the Arrow group-by;
     # before the fix the kernel zipped misaligned columns and raised on

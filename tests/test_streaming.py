@@ -1369,8 +1369,9 @@ def test_ivf_ingest_compaction_preserves_results_and_drops_files(
     write_partitioned(orphan, ingest_path, partition_by=["gen", "cluster_id"])
     assert pipeline.ivf_members(spark, index_dir).count() == n_before
     assert probe_rows() == before
-    # ...and the rerun compaction converges over the orphan (dynamic
-    # overwrite of the same target generation)
+    # ...and the rerun compaction converges: it writes a FRESH unique
+    # generation (never reuses the orphan's id) and its post-commit GC
+    # deletes the orphan dir
 
     stats = pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
     assert stats["folded_gens"] == 2
@@ -1378,6 +1379,16 @@ def test_ivf_ingest_compaction_preserves_results_and_drops_files(
     assert stats["files_after"] < stats["files_before"]
     assert pipeline.ivf_members(spark, index_dir).count() == n_before
     assert probe_rows() == before
+    # the crashed attempt's orphan dir (gen=-1) was GC'd, not reused
+    gens_after_first = {
+        r.gen
+        for r in spark.read.parquet(ingest_path)
+        .select("gen")
+        .distinct()
+        .collect()
+    }
+    assert -1 not in gens_after_first
+    assert stats["active_gen"] in gens_after_first and stats["active_gen"] < 0
 
     # replay a FOLDED batch id: the re-created gen dir must be invisible
     ingest = f"{index_dir}/members_ingest.parquet"
@@ -1425,16 +1436,108 @@ def test_ivf_ingest_compaction_preserves_results_and_drops_files(
     grown = probe_rows()
     stats3 = pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
     assert stats3["folded_gens"] == 2  # gen 2 (old live) + gen 10
-    assert stats3["active_gen"] == -2
     manifest2 = pipeline._read_ingest_manifest(spark, index_dir)
     assert manifest2["version"] == 2 and manifest2["folded_upto"] == 10
+    # unique-per-attempt gen id: encodes version 2, never a bare -2
+    assert stats3["active_gen"] == manifest2["active_gen"]
+    assert -3_000_000_000 < stats3["active_gen"] <= -2_000_000_000
     assert pipeline.ivf_members(spark, index_dir).count() == n_grown
     assert probe_rows() == grown
     gens_final = {
         r.gen
         for r in spark.read.parquet(ingest).select("gen").distinct().collect()
     }
-    assert gens_final == {-2, 11}, gens_final
+    assert gens_final == {stats3["active_gen"], 11}, gens_final
+
+
+def test_ivf_compaction_loser_never_touches_committed_data(spark, tmp_path):
+    # Round-9 ADVICE (medium): with a DETERMINISTIC compacted gen id two
+    # concurrent compactions wrote into the SAME partition before the
+    # manifest race resolved — the loser's dynamic overwrite could delete
+    # the winner's committed files. With unique-per-attempt gen ids the
+    # loser writes its own orphan partition, fails loudly at the manifest
+    # rename, and committed reads are bit-identical throughout; the next
+    # compaction GCs the orphan.
+    from datafusion_loki_spark.functions.layout import write_partitioned
+    from datafusion_loki_spark.operators.similarity import (
+        IVF_APPEND_OFFSET,
+        build_ivf_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, "/root/testdata/sf0.001", index_dir)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch_fn = pipeline._ivf_ingest_batch_fn(index_dir)
+    for i, bid in ((1, 0), (2, 1), (3, 2)):
+        batch_fn(
+            emb.limit(40).select(
+                (F.col("vec_id") + IVF_APPEND_OFFSET * i).alias("vec_id"),
+                "embedding",
+            ),
+            bid,
+        )
+    ingest_path = f"{index_dir}/members_ingest.parquet"
+
+    # winner commits version 1
+    stats = pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
+    assert stats["folded_gens"] == 2
+    winner_gen = stats["active_gen"]
+    committed = sorted(
+        (r.vec_id, r.gen)
+        for r in spark.read.parquet(ingest_path)
+        .select("vec_id", "gen")
+        .collect()
+    )
+
+    # stale loser: raced the winner, derived the SAME target version from
+    # the pre-commit manifest state. Its data write must land in a dir of
+    # its own, and its manifest commit must fail loudly.
+    loser_gen = -(1 * 1_000_000_000 + 424242)
+    assert loser_gen != winner_gen
+    loser_df = (
+        spark.read.parquet(ingest_path)
+        .where(F.col("gen") >= 0)
+        .drop("gen")
+        .withColumn("gen", F.lit(loser_gen))
+        .localCheckpoint(eager=True)
+    )
+    write_partitioned(
+        loser_df, ingest_path, partition_by=["gen", "cluster_id"]
+    )
+    with pytest.raises(IOError, match="lost a race"):
+        pipeline._write_ingest_manifest(
+            spark,
+            index_dir,
+            {"version": 1, "active_gen": loser_gen, "folded_upto": 1},
+        )
+
+    # committed rows (winner's partition included) are untouched: the
+    # reader view is identical and the winner's dir still exists
+    manifest = pipeline._read_ingest_manifest(spark, index_dir)
+    assert manifest["version"] == 1 and manifest["active_gen"] == winner_gen
+    visible = sorted(
+        (r.vec_id, r.gen)
+        for r in spark.read.parquet(ingest_path)
+        .where(
+            (F.col("gen") == winner_gen)
+            | (F.col("gen") > manifest["folded_upto"])
+        )
+        .select("vec_id", "gen")
+        .collect()
+    )
+    assert visible == committed
+
+    # next maintenance run GCs the loser's orphan
+    pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
+    gens = {
+        r.gen
+        for r in spark.read.parquet(ingest_path)
+        .select("gen")
+        .distinct()
+        .collect()
+    }
+    assert loser_gen not in gens
+    assert winner_gen in gens
 
 
 class _FakeGroupState:

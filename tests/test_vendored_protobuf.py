@@ -137,6 +137,71 @@ def test_copy_from_and_clear():
     assert b.SerializeToString() == b""
 
 
+def test_int_assignment_range_checked():
+    # the reference runtime rejects out-of-range ints AT ASSIGNMENT;
+    # before the round-9 fix an oversized int32 serialized as a 64-bit
+    # varint that protobuf-java silently truncates (statusCode is int32,
+    # DeleteTimer.expiryTimestampMs is int64).
+    with pytest.raises(ValueError):
+        sm.StateResponse(statusCode=2**31)
+    with pytest.raises(ValueError):
+        sm.StateResponse(statusCode=-(2**31) - 1)
+    with pytest.raises(ValueError):
+        sm.DeleteTimer(expiryTimestampMs=2**63)
+    # boundary values are fine and roundtrip
+    m = sm.DeleteTimer(expiryTimestampMs=-(2**63))
+    out = sm.DeleteTimer()
+    out.ParseFromString(m.SerializeToString())
+    assert out.expiryTimestampMs == -(2**63)
+
+
+def test_cleared_submessage_detaches_from_parent():
+    # Clear()/ClearField/oneof eviction must detach a held child ref:
+    # before the round-9 fix a later mutation through the old reference
+    # re-marked presence on the parent, so HasField said True while
+    # serialization emitted nothing (inconsistent presence state).
+    c = sm.StateCallCommand(stateName="x")
+    c.ttl.durationMs = 5
+    held = c.ttl
+    c.Clear()
+    held.durationMs = 7  # standalone mutation — must not re-attach
+    assert not c.HasField("ttl")
+    assert c.SerializeToString() == b""
+    assert held.durationMs == 7  # the detached child keeps working
+
+    c2 = sm.StateCallCommand(stateName="y")
+    c2.ttl.durationMs = 1
+    held2 = c2.ttl
+    c2.ClearField("ttl")
+    held2.durationMs = 2
+    assert not c2.HasField("ttl")
+    assert c2.SerializeToString() == b"\n\x01y"
+
+    # oneof sibling eviction detaches the loser
+    req = sm.StateRequest()
+    loser = req.statefulProcessorCall
+    loser.setHandleState.state = sm.CREATED
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    req.implicitGroupingKeyRequest.setImplicitKey.key = b"k"
+    assert req.WhichOneof("method") == "implicitGroupingKeyRequest"
+    loser.setHandleState.state = sm.CLOSED  # detached — must not flip back
+    assert req.WhichOneof("method") == "implicitGroupingKeyRequest"
+
+
+@pytest.mark.skipif(not IS_VENDORED, reason="shim-internal surface")
+def test_overlong_varint_masks_to_64_bits():
+    # a 10-byte varint can carry 70 payload bits; the reference runtime
+    # truncates to 64 (round-9 fix: unmasked, to_signed64/uint64 fields
+    # returned Python ints >= 2**64)
+    from google.protobuf.internal import wire
+
+    overlong = b"\xff" * 9 + b"\x7f"  # all 70 bits set
+    v, pos = wire.decode_varint(overlong, 0)
+    assert pos == 10
+    assert v == (1 << 64) - 1
+    assert wire.to_signed64(v) == -1
+
+
 @pytest.mark.skipif(not IS_VENDORED, reason="shim-internal surface")
 def test_packed_repeated_primitives_via_synthetic_descriptor():
     # StateMessage.proto has no packed fields; pin the proto3 packed

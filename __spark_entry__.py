@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale slots):
 #
 #   1. entries NEW or CHANGED this round lead (hand-pinned in
-#      _R08_PINNED — their plans and output must re-earn a driver row);
+#      _R09_PINNED — their plans and output must re-earn a driver row);
 #   2. the rest of the window is DERIVED from the committed
 #      CORRECTNESS_r*.json files: never-green entries first (never
 #      checked, or checked red), then ascending latest-green round,
@@ -54,30 +54,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # test_unchecked_queries_lead_the_window (never-checked entries must sit
 # in the prefix) and test_correctness_window_is_pinned (prefix ==
 # _WINDOW_PRIORITY, staleness ordering holds).
-_R08_PINNED: tuple[str, ...] = (
-    # --- new/changed in round 8 (hand-pinned ahead of the derived
+_R09_PINNED: tuple[str, ...] = (
+    # --- new/changed in round 9 (hand-pinned ahead of the derived
     # staleness tail; everything else is computed) ---
-    # span REMOVAL completing the arXiv:2107.06499 story: the cleaned
-    # corpus with cross-doc duplicated spans excised (round-7 VERDICT #4)
-    "text_remove_repeated_spans",
-    # CHANGED in r8: span census key md5 string -> xxhash64 long
-    # (round-7 VERDICT #5; oracle unchanged — grouping equality)
-    "dedup_repeated_ngrams",
-    # NEW in r8: benchmark decontamination (GPT-3 appendix-C n-gram
-    # overlap vs a held-out split) over the span-family machinery
-    "text_benchmark_decontam",
-    # NEW in r8: exact-dup leakage quarantine at train/val split time —
-    # one scan, one fingerprint-window shuffle
-    "mix_split_leakage_safe",
-    # NEW in r8: the near-dup strictness level of the same knob (LSH
-    # pairs classified by the bucket expression — no corpus join)
-    "mix_split_neardup_safe",
-    # NEW in r8: Matryoshka prefix-dimension recall audit
-    # (arXiv:2205.13147) — one pair pass scores every prefix
+    # NEW in r9: perceptual (dHash-class) multimodal near-dup — banded
+    # Hamming join over byte-gradient fingerprints (round-8 VERDICT #1)
+    "mm_phash_neardup",
+    # CHANGED in r9: fail-loud zero-prefix-norm guard in both engines
+    # (round-9 ADVICE — plan changed, must re-earn its driver row)
     "emb_matryoshka_recall",
-    # NEW in r8: the within-doc half of the span-removal story (census
-    # grouped by (doc, span); covered/rebuild machinery shared)
-    "text_remove_within_repeats",
 )
 
 _WINDOW_SIZE = 50
@@ -132,14 +117,14 @@ def _window_priority(
     if latest is None:
         latest = _latest_green_round()
     order = {n: i for i, n in enumerate(registered)}
-    unknown = [n for n in _R08_PINNED if n not in order]
+    unknown = [n for n in _R09_PINNED if n not in order]
     if unknown:
         raise KeyError(
-            f"_R08_PINNED names not in the registry (typo?): {unknown}"
+            f"_R09_PINNED names not in the registry (typo?): {unknown}"
         )
-    pinned = list(_R08_PINNED)
+    pinned = list(_R09_PINNED)
     tail = sorted(
-        (n for n in registered if n not in _R08_PINNED),
+        (n for n in registered if n not in _R09_PINNED),
         key=lambda n: (latest.get(n, -1), order[n]),
     )
     return tuple((pinned + tail)[:_WINDOW_SIZE])

@@ -445,6 +445,240 @@ WHERE CAST(n_shared_chunks AS DOUBLE) / least(na.n_chunks, nb.n_chunks)
 """
 
 
+# --- perceptual near-dup ------------------------------------------------------
+
+MM_PHASH_SEGMENTS = 65  # downsample grid: 65 segment means -> 64 gradient bits
+MM_PHASH_MIN_BYTES = MM_PHASH_SEGMENTS  # below this no segment is non-empty
+MM_PHASH_BANDS = 8  # 8 bands x 8 bits; pigeonhole: hamming<=7 shares a band
+MM_PHASH_HAM_MAX = MM_PHASH_BANDS - 1  # threshold chosen = bands-1 -> EXACT recall
+MM_PHASH_BUCKET_CAP = 50  # per-(band,value) doc cap, same role as LSH_BUCKET_CAP
+MM_PHASH_VARIANT_OFFSET = 1_000_000  # planted recrawl-variant id namespace
+
+
+def phash64(payload: bytes) -> tuple[int, int]:
+    """The dHash kernel for one payload (>= MM_PHASH_MIN_BYTES bytes):
+    65 equal-segment byte sums, gradient sign per adjacent pair via
+    integer cross-multiply (no float mean — the oracle's integer
+    arithmetic is then bit-exact), packed LSB-first into two 32-bit
+    halves (each fits a positive int64 column)."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = len(arr)
+    lo = (np.arange(MM_PHASH_SEGMENTS, dtype=np.int64) * n) // MM_PHASH_SEGMENTS
+    s = np.add.reduceat(arr, lo)
+    c = np.diff(np.append(lo, n))
+    bits = (s[1:] * c[:-1]) > (s[:-1] * c[1:])
+    pow32 = 1 << np.arange(32, dtype=np.uint64)
+    return int((bits[:32] * pow32).sum()), int((bits[32:] * pow32).sum())
+
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup PAIRS over binary payloads — the dHash recipe
+    (difference hash: downsample, then fingerprint the gradient SIGNS,
+    which survive re-encode brightness/level shifts) applied to the byte
+    stream the container can actually see: 65 equal-segment byte means
+    stand in for the resized image row, and bit k = 1 iff mean[k+1] >
+    mean[k]. On a real cluster the kernel's downsample line is where a
+    codec plugs in (decode -> grayscale 8x8 -> the same gradient bits);
+    everything else — banding, capped join, Hamming verify — is the
+    production topology, which is the point of the operator.
+
+    Candidate generation is banded, never all-pairs: the 64-bit
+    fingerprint splits into 8 bands of 8 bits, docs sharing ANY exact
+    band pair up. With the verify threshold hamming <= 7 = bands - 1,
+    the pigeonhole principle makes recall EXACT (7 differing bits cannot
+    touch all 8 bands), so unlike MinHash-LSH there is no probabilistic
+    caveat — the per-bucket cap is the only approximation, mirrored in
+    the oracle.
+
+    100 TB posture: the kernel emits 3 longs per doc (payload bytes
+    never shuffle); the fingerprint frame is localCheckpointed so the
+    Arrow kernel runs ONCE though both join sides consume it; bands are
+    codegen shift/mask projections of the two 32-bit halves; the
+    self-join is merge-pinned (the mapInPandas stat-less-side broadcast
+    trap) and carries (band_id, band_val) — 2^11 expected buckets at
+    uniform bits, capped at MM_PHASH_BUCKET_CAP docs each; Hamming is
+    xor + bit_count in whole-stage codegen, never a per-position lambda.
+    Payloads over ~50 MB would overflow the int64 cross-multiply in the
+    kernel (sum*count ~ 4n^2/65) — cast wider there if payloads grow.
+
+    Fixture note: the synthetic corpus carries TOKEN-level boilerplate
+    variants but no byte-level re-encodes, so a bare run finds nothing —
+    the registered query therefore plants deterministic 'recrawl
+    variants' (every doc_id % 10 == 0 doc re-appears under id + 1e6 with
+    its first two bytes replaced — a localized corruption confined to
+    segment 0, hamming <= 2 by construction) in the SAME single scan via
+    a conditional explode, and the oracle plants the identical variants
+    from hex(blob). Each planted pair must surface; incidental
+    real-corpus pairs surface identically in both engines.
+
+    Oracle: DuckDB rebuilds the identical bits from hex(blob) (hex-digit
+    strpos arithmetic), the identical bands, cap and threshold; the
+    within-repeats family precedent for exact engine twins of kernel
+    math. No reference analogue (datafusion-loki has no multimodal
+    surface); this is the BASELINE 'multimodal columns' mandate."""
+    from pyspark.sql import Window
+
+    def _phash_rows(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_h1, out_h2 = [], [], []
+            for did, b in zip(pdf["doc_id"].to_numpy(), pdf["payload"]):
+                # NULL / too-short payloads are pre-filtered Spark-side;
+                # keep the defensive skip so the kernel is safe standalone
+                if b is None or len(b) < MM_PHASH_MIN_BYTES:
+                    continue
+                h1, h2 = phash64(b)
+                out_id.append(did)
+                out_h1.append(h1)
+                out_h2.append(h2)
+            if out_id:
+                yield pd.DataFrame(
+                    {"doc_id": out_id, "h1": out_h1, "h2": out_h2}
+                ).astype("int64")
+
+    media = media_table(spark, sf_dir)
+    # corpus + planted recrawl variants in ONE scan: a conditional
+    # explode (outer — the InferFiltersFromGenerate hygiene rule) emits
+    # 1 or 2 (doc_id, payload) structs per row, so the fixture costs no
+    # second FileScan (the two-branch-union re-execution rule)
+    aug = (
+        media.where(F.col("n_bytes") >= MM_PHASH_MIN_BYTES)
+        .select(
+            F.explode_outer(
+                F.expr(
+                    f"""IF(doc_id % 10 = 0,
+                array(named_struct('doc_id', doc_id, 'payload', payload),
+                      named_struct('doc_id', doc_id + {MM_PHASH_VARIANT_OFFSET},
+                                   'payload',
+                                   concat(cast('XX' as binary),
+                                          substring(payload, 3, n_bytes - 2)))),
+                array(named_struct('doc_id', doc_id, 'payload', payload)))"""
+                )
+            ).alias("s")
+        )
+        .select("s.doc_id", "s.payload")
+    )
+    fp = (
+        aug.mapInPandas(_phash_rows, "doc_id long, h1 long, h2 long")
+        # both join sides consume the fingerprint frame; materialize so
+        # the byte-kernel pass runs once (the simhash_hamming rule)
+        .localCheckpoint(eager=True)
+    )
+    band_exprs = [
+        F.expr(f"shiftright(h1, {8 * k}) & 255" if k < 4
+               else f"shiftright(h2, {8 * (k - 4)}) & 255")
+        for k in range(MM_PHASH_BANDS)
+    ]
+    w = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
+    banded = (
+        fp.select(
+            "doc_id", "h1", "h2",
+            F.posexplode(F.array(*band_exprs)).alias("band_id", "band_val"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MM_PHASH_BUCKET_CAP)
+        .drop("rn")
+    )
+    a = banded.select(
+        "band_id", "band_val",
+        F.col("doc_id").alias("doc_a"),
+        F.col("h1").alias("h1_a"), F.col("h2").alias("h2_a"),
+    )
+    b = banded.select(
+        "band_id", "band_val",
+        F.col("doc_id").alias("doc_b"),
+        F.col("h1").alias("h1_b"), F.col("h2").alias("h2_b"),
+    )
+    return (
+        a.join(b.hint("merge"), ["band_id", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.expr("h1_a ^ h1_b"))
+                + F.bit_count(F.expr("h2_a ^ h2_b"))
+            ).cast("bigint"),
+        )
+        .where(F.col("hamming") <= MM_PHASH_HAM_MAX)
+        # a pair can share several bands: collapse AFTER the cheap
+        # codegen hamming filter so the distinct shuffle carries only
+        # qualifying 3-long rows
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+# hex(blob) is uppercase in DuckDB; hex-digit value via strpos-1. The
+# 1-based inclusive list_slice window [k*n//65 + 1, (k+1)*n//65] is the
+# kernel's reduceat segment exactly.
+ORACLE_MM_PHASH = f"""
+WITH m0 AS (
+  -- encode(), not CAST(text AS BLOB): the cast INTERPRETS backslash-hex
+  -- escape sequences (errors on invalid ones, silently rewrites valid
+  -- ones), while encode() is the verbatim UTF-8 bytes Spark's
+  -- cast-to-binary produces
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {MM_PHASH_MIN_BYTES}
+), m AS (
+  SELECT doc_id, hx, n FROM m0
+  UNION ALL
+  -- the planted recrawl variants: first two bytes replaced by 'XX'
+  -- (0x58 0x58), identical to the Spark fixture's conditional explode
+  SELECT doc_id + {MM_PHASH_VARIANT_OFFSET}, '5858' || substring(hx, 5), n
+  FROM m0 WHERE doc_id % 10 = 0
+), bytes AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, n), i ->
+           (strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 1
+         ) AS bs
+  FROM m
+), seg AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {MM_PHASH_SEGMENTS - 1}), k ->
+           list_sum(list_slice(bs, (k * n) // {MM_PHASH_SEGMENTS} + 1,
+                               ((k + 1) * n) // {MM_PHASH_SEGMENTS}))
+         ) AS s,
+         list_transform(generate_series(0, {MM_PHASH_SEGMENTS - 1}), k ->
+           ((k + 1) * n) // {MM_PHASH_SEGMENTS} - (k * n) // {MM_PHASH_SEGMENTS}
+         ) AS c
+  FROM bytes
+), fp AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 64), k ->
+           CASE WHEN s[k + 1] * c[k] > s[k] * c[k + 1] THEN 1 ELSE 0 END
+         ) AS bits
+  FROM seg
+), banded AS (
+  SELECT doc_id, bits, band_id,
+         list_sum(list_transform(generate_series(1, 8), j ->
+           bits[band_id * 8 + j] * (1 << (j - 1)))) AS band_val
+  FROM (SELECT doc_id, bits,
+               unnest(generate_series(0, {MM_PHASH_BANDS - 1})) AS band_id
+        FROM fp)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY band_id, band_val
+                             ORDER BY doc_id) <= {MM_PHASH_BUCKET_CAP}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(generate_series(1, 64),
+             i -> a.bits[i] != b.bits[i])) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(MIN(hamming) AS BIGINT) AS hamming
+FROM pairs
+WHERE hamming <= {MM_PHASH_HAM_MAX}
+GROUP BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
@@ -452,6 +686,7 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "mm_exact_dedup": mm_exact_dedup,
     "mm_chunk_dedup": mm_chunk_dedup,
+    "mm_phash_neardup": mm_phash_neardup,
 }
 
 ORACLES = {
@@ -461,4 +696,5 @@ ORACLES = {
     "mm_frame_sample": ORACLE_MM_FRAMES,
     "mm_exact_dedup": ORACLE_MM_EXACT_DEDUP,
     "mm_chunk_dedup": ORACLE_MM_CHUNK_DEDUP,
+    "mm_phash_neardup": ORACLE_MM_PHASH,
 }

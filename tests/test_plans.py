@@ -514,6 +514,26 @@ def test_mm_chunk_dedup_merge_join_pairs(spark, sf_dir):
             assert "payload" not in ln, ln
 
 
+def test_mm_phash_neardup_merge_join_no_payload_shuffle(spark, sf_dir):
+    # Perceptual near-dup (round-9): the fingerprint frame is
+    # localCheckpointed (Scan ExistingRDD, zero FileScan in the executed
+    # plan — the byte kernel ran once at checkpoint time), band pairing
+    # is a capped self-join PINNED to sort-merge (the mapInPandas
+    # stat-less broadcast trap), hamming is xor+bit_count codegen, and
+    # no exchange ever carries payload bytes.
+    plan = _plan(spark, sf_dir, "mm_phash_neardup")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "FileScan" not in plan, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"{n} hash exchanges\n{plan}"
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "payload" not in ln, ln
+
+
 def test_histogram_drift_two_pass_broadcast_bounds(spark, sf_dir):
     # Exactly two corpus passes (bounds agg, then the bucketing pass with
     # the 1-row bounds frame riding a broadcast), bounded exchanges, no

@@ -63,6 +63,14 @@ _R09_PINNED: tuple[str, ...] = (
     # CHANGED in r9: fail-loud zero-prefix-norm guard in both engines
     # (round-9 ADVICE — plan changed, must re-earn its driver row)
     "emb_matryoshka_recall",
+    # NEW in r9: PII scrub over the training corpus (round-8 VERDICT #2)
+    "text_scrub_pii",
+    # NEW in r9: the full iterative BPE induction loop — N merges with
+    # the deterministic tie-break, replayed by a chained-CTE oracle
+    # (round-8 VERDICT #3)
+    "text_bpe_vocab",
+    # NEW in r9: keep-first within-doc span removal (round-8 VERDICT #4)
+    "text_dedup_within_keep_first",
 )
 
 _WINDOW_SIZE = 50

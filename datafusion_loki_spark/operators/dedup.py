@@ -1961,8 +1961,9 @@ def text_remove_within_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens, n_removed, cleaned_text over the normalized token stream.
     Note the aggressive-but-faithful semantics: ALL occurrences of a
     within-doc duplicated span are excised (the audit's memorization
-    framing), not all-but-first — a keep-first variant is the same
-    covered frame minus the minimum start per (doc, span).
+    framing), not all-but-first — text_dedup_within_keep_first (below)
+    is that gentler variant, sharing this machinery with the covered
+    frame filtered to starts after each span's minimum.
 
     100 TB posture: identical class to the cross-doc op minus the
     global census — the (doc_id, g) grouping key makes the census
@@ -2070,6 +2071,129 @@ GROUP BY tp.doc_id
 QUERIES["text_remove_within_repeats"] = text_remove_within_repeats
 ORACLES["text_remove_within_repeats"] = ORACLE_REMOVE_WITHIN_REPEATS
 ORACLES["text_benchmark_decontam"] = ORACLE_BENCHMARK_DECONTAM
+
+
+def text_dedup_within_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-FIRST within-document repeated-span removal — the variant
+    text_remove_within_repeats' docstring promises ("the covered frame
+    minus the minimum start per (doc, span)"): a refrain/chorus/templated
+    block a real cleaner keeps ONCE. The all-occurrence op excises every
+    copy of a duplicated span (the memorization-audit framing); this one
+    widens only the occurrences AFTER each span's first start, so the
+    document keeps one legible copy and loses the degenerate repeats.
+
+    A token inside the FIRST occurrence of span A can still be excised
+    when it is also covered by a LATER occurrence of an overlapping span
+    B — keep-first is per SPAN, and the covered-position union is what
+    makes overlapping repeats consistent (same rule as the other two
+    removal ops).
+
+    Shape/scale: identical to text_remove_within_repeats except the
+    per-(doc, span) census carries min(start) alongside the count, and
+    the covered widening filters i > first_i — one extra long per census
+    row, no new shuffle, both joins merge-pinned for the same stat-less
+    explode reason."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
+    )
+    occ = (
+        toks.select(
+            "doc_id",
+            F.posexplode_outer(F.expr(_SPAN_OCCS_FROM_TOKS)).alias("i0", "g"),
+        )
+        .where(F.col("g").isNotNull())
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    )
+    dup = (
+        occ.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n_occ"), F.min("i").alias("first_i"))
+        .where(F.col("n_occ") >= 2)
+        .select("doc_id", "g", "first_i")
+    )
+    covered = (
+        occ.join(dup.hint("merge"), ["doc_id", "g"])
+        .where(F.col("i") > F.col("first_i"))  # keep the first occurrence
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {SPAN_W - 1})")).alias("p"),
+        )
+        .distinct()
+        .withColumn("covered", F.lit(True))
+    )
+    tokpos = (
+        toks.select("doc_id", F.posexplode_outer("toks").alias("p0", "tok"))
+        .where(F.col("p0").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    )
+    return (
+        tokpos.join(covered.hint("merge"), ["doc_id", "p"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("covered"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "case when covered is null then struct(p, tok) end"
+                    ")), x -> x.tok)"
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+ORACLE_DEDUP_WITHIN_KEEP_FIRST = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= {SPAN_W} THEN
+           list_transform(generate_series(1, len(t) - {SPAN_W - 1}),
+             i -> md5(array_to_string(t[i:i+{SPAN_W - 1}], ' ')))
+         ELSE [] END AS gs
+  FROM toks
+),
+occ AS (
+  SELECT doc_id, unnest(gs) AS g,
+         unnest(generate_series(1, len(gs))) AS i
+  FROM spans
+),
+dup AS (
+  SELECT doc_id, g, MIN(i) AS first_i FROM occ
+  GROUP BY doc_id, g HAVING COUNT(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT occ.doc_id,
+           unnest(generate_series(i, i + {SPAN_W - 1})) AS p
+    FROM occ JOIN dup USING (doc_id, g)
+    WHERE occ.i > dup.first_i
+  ) x
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS p
+  FROM spans
+)
+SELECT tp.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       COALESCE(array_to_string(
+         list(tp.tok ORDER BY tp.p) FILTER (WHERE c.p IS NULL), ' '),
+         '') AS cleaned_text
+FROM tokpos tp
+LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p
+GROUP BY tp.doc_id
+"""
+
+QUERIES["text_dedup_within_keep_first"] = text_dedup_within_keep_first
+ORACLES["text_dedup_within_keep_first"] = ORACLE_DEDUP_WITHIN_KEEP_FIRST
 
 
 QUERIES["text_remove_repeated_spans"] = text_remove_repeated_spans

@@ -93,6 +93,13 @@ def crafted(spark, tmp_path_factory):
         # NULL payload never reaches the phash kernel; short docs are
         # pre-filtered identically in both engines (round-9)
         "mm_phash_neardup",
+        # NULL text -> NULL clean_text + NULL counts in both engines
+        "text_scrub_pii",
+        # NULL text tokenizes to no vocab entries; the merge loop's
+        # tie-breaks must agree on the tiny crafted vocabulary
+        "text_bpe_vocab",
+        # keep-first span removal shares the span family's NULL contract
+        "text_dedup_within_keep_first",
     ],
 )
 def test_null_text_family_matches_oracle(spark, crafted, name):
@@ -184,6 +191,25 @@ def test_within_repeats_excises_the_chorus(spark, tmp_path):
     }
     assert cross[0].n_removed == 0             # no cross-doc duplication
 
+    # keep-first differential (round-9 VERDICT #4): the same chorus doc
+    # keeps its FIRST "a b c d e f" and loses only the reprise — the
+    # legible-refrain semantics the all-occurrence op deliberately
+    # doesn't have
+    from datafusion_loki_spark.operators.dedup import (
+        text_dedup_within_keep_first,
+    )
+
+    first = {
+        r.doc_id: r
+        for r in text_dedup_within_keep_first(spark, str(tmp_path)).collect()
+    }
+    assert set(first) == {0, 1}                # NULL-text doc absent
+    assert first[0].cleaned_text == "a b c d e f x"
+    assert first[0].n_removed == 6 and first[0].n_tokens == 13
+    assert first[1].n_removed == 0
+    # strictly gentler than remove-all on every doc
+    assert first[0].n_removed < within[0].n_removed
+
 
 def test_split_leakage_quarantines_exact_dups_across_buckets(
     spark, tmp_path
@@ -263,3 +289,100 @@ def test_split_leakage_quarantines_exact_dups_across_buckets(
         for r in mix_split_leakage_safe(spark, str(tmp_path)).collect()
     }
     assert exact_again[33] is False   # exact level cannot see near-dups
+
+
+def test_scrub_pii_cascade_and_nulls(spark, tmp_path):
+    # The documents-family PII scrub (round-9): the cascade must consume
+    # an email's digits as <EMAIL> (not shred them into <NUM>), a
+    # dotted phone as <PHONE> (not half-match the ipv4 rule), count each
+    # rule on the ORIGINAL text, and propagate NULL text to NULL
+    # clean_text + NULL counts — identically in both engines.
+    import duckdb as _duckdb
+
+    from datafusion_loki_spark.operators.text import ORACLES, text_scrub_pii
+    from tests.parity import compare
+
+    rows = [
+        (0, "contact bob99@example.com or +1 555.123.4567 now", "en",
+         "web", 48),
+        (1, "server 10.0.0.1 returned code 50042", "en", "web", 36),
+        (2, None, "en", "web", 0),
+        (3, "no identifiers here at all", "en", "web", 26),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in text_scrub_pii(spark, str(tmp_path)).collect()}
+    assert out[0].clean_text == "contact <EMAIL> or +1 <PHONE> now"
+    assert (out[0].n_email, out[0].n_phone) == (1, 1)
+    assert out[1].clean_text == "server <IP> returned code <NUM>"
+    # counts on the ORIGINAL text: "10" and "50042" are the \d{2,} runs
+    # (the scrubbed text would only have one <NUM> left)
+    assert (out[1].n_ipv4, out[1].n_num) == (1, 2)
+    assert out[2].clean_text is None and out[2].n_email is None
+    assert out[3].clean_text == rows[3][1]
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ok, detail = compare(
+        text_scrub_pii(spark, str(tmp_path)), ORACLES["text_scrub_pii"], con
+    )
+    assert ok, detail
+
+
+def test_bpe_vocab_replays_hand_computed_merges(spark, tmp_path):
+    # Hand-derivable induction on 'banana banana banana bandana':
+    # (a,n)=8 -> an; then (an,a)=4 TIES (b,an)=4 and must win on the
+    # s1-lexicographic tie-break ('an' < 'b'); then (b,an)=4; the
+    # leftmost-first merge means [b,an,an,a] collapses to [b,an,ana],
+    # never [b,ana,na]. After 6 merges bandana is one symbol and the
+    # corpus has NO pairs left — ranks 7..8 yield no rows, identically
+    # in both engines (the argmax frame goes empty).
+    import duckdb as _duckdb
+
+    from datafusion_loki_spark.operators.text import ORACLES, text_bpe_vocab
+    from tests.parity import compare
+
+    rows = [
+        (0, "banana banana banana bandana", "en", "web", 28),
+        (1, None, "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = [
+        (r.merge_rank, r.s1, r.s2, r.pair_count)
+        for r in text_bpe_vocab(spark, str(tmp_path))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == [
+        (1, "a", "n", 8),
+        (2, "an", "a", 4),     # the tie-break merge
+        (3, "b", "an", 4),
+        (4, "ban", "ana", 3),
+        (5, "ban", "d", 1),
+        (6, "band", "ana", 1),
+    ], got
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ok, detail = compare(
+        text_bpe_vocab(spark, str(tmp_path)), ORACLES["text_bpe_vocab"], con
+    )
+    assert ok, detail

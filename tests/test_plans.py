@@ -918,6 +918,43 @@ def test_within_repeats_inherits_span_family_plan_rules(spark, sf_dir):
     assert opt.count("split(") <= 3, f"split() x{opt.count('split(')}:\n{opt}"
 
 
+def test_within_keep_first_inherits_span_family_plan_rules(spark, sf_dir):
+    # the keep-first variant (round-9) carries min(start) through the
+    # census but must keep the exact plan shape of its remove-all
+    # sibling: both span joins merge-pinned, no broadcast, <= 3
+    # tokenize chains
+    plan = _plan(spark, sf_dir, "text_dedup_within_keep_first")
+    assert plan.count("SortMergeJoin") == 2, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    opt = _optimized(spark, sf_dir, "text_dedup_within_keep_first")
+    assert opt.count("split(") <= 3, f"split() x{opt.count('split(')}:\n{opt}"
+
+
+def test_scrub_pii_pure_projection(spark, sf_dir):
+    # the corpus PII scrub is a regex projection: one scan, zero
+    # exchanges, zero joins — anything else means the rule cascade
+    # stopped being scan-speed
+    plan = _plan(spark, sf_dir, "text_scrub_pii")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    n_scans = plan.count("Scan parquet") or plan.count("FileScan")
+    assert n_scans == 1, plan
+
+
+def test_bpe_vocab_iterates_at_vocab_scale(spark, sf_dir):
+    # the full induction loop: every iteration's vocab state is a
+    # checkpointed RDD (Scan ExistingRDD), the corpus is NEVER re-read
+    # (zero FileScans — the one tokenize happened at the first
+    # checkpoint), and each argmax rides a broadcast into the rewrite
+    # (no sort-merge/shuffle join of the 1-row frame)
+    plan = _plan(spark, sf_dir, "text_bpe_vocab")
+    n_scans = plan.count("Scan parquet") or plan.count("FileScan")
+    assert n_scans == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_data_card_single_expand_and_tokenize(spark, sf_dir):
     # CUBE(source, lang) must be ONE Expand feeding one aggregation (the
     # key-space x4, not the data x4), and the stats side keeps the

@@ -123,17 +123,29 @@ BENCH_QUERIES = [
     # appended round 8 (late): the multi-prefix pair pass (4 cosines per
     # pair off one broadcast join)
     "emb_matryoshka_recall",
+    # appended round 9: the banded perceptual-hash join (Arrow kernel +
+    # capped SMJ), the scan-speed PII cascade, the N-iteration BPE loop
+    # (the engine's only multi-job iterative op — its per-iteration
+    # checkpoint overhead must be tracked), and the keep-first span
+    # removal (the span family's 4th join topology)
+    "mm_phash_neardup",
+    "text_scrub_pii",
+    "text_bpe_vocab",
+    "text_dedup_within_keep_first",
 ]
 
 
-def _calibration(spark) -> float:
+def _calibration_samples(spark, n: int = 3, warm: bool = False) -> list[float]:
     """Fixed synthetic pure-Spark workload — measures the machine + JVM,
     not the engine (no project code, no I/O): 256M-row range, modular
-    key, shuffle agg (~1 s warm — large enough that the min-of-2 anchor
-    is stable against scheduler jitter). min-of-2, same convention as
-    the queries."""
-    best = float("inf")
-    for _ in range(2):
+    key, shuffle agg (~1 s warm — large enough that the anchor is stable
+    against scheduler jitter). Returns RAW samples; the caller medians
+    them. Round-8 lesson: a single min-of-2 anchor swung 0.305 -> 0.62
+    between sessions and produced two false per-calib regression flags —
+    the median of 3+3 samples (taken before AND after the suite) is the
+    stable denominator, and the recorded spread tells bench_compare how
+    much to trust it."""
+    def _run() -> float:
         t0 = time.perf_counter()
         (
             spark.range(0, 256_000_000, 1, 32)
@@ -142,8 +154,13 @@ def _calibration(spark) -> float:
             .sum("id")
             .count()
         )
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
+        return round(time.perf_counter() - t0, 4)
+
+    if warm:
+        _run()  # untimed: the anchor's own codegen compile is not the
+        # machine state we are anchoring on (first sample read ~35%
+        # high without this)
+    return [_run() for _ in range(n)]
 
 
 def _min_of_2(fn, spark, sf_dir: str) -> float:
@@ -223,13 +240,14 @@ def _shared_pass(
             queries[name](spark, WARMUP_DIR).count()
         except Exception:
             pass
-    calib = _calibration(spark)
+    samples = _calibration_samples(spark, warm=True)
     timings = {n: _min_of_2(queries[n], spark, sf_dir) for n in names}
-    # anchor again after the suite, keep the best (the anchor should be
-    # the machine's ceiling, not whatever GC moment it landed on)
-    calib = min(calib, _calibration(spark))
+    # anchor again after the suite: 3+3 samples bracketing the run, so a
+    # machine that degrades mid-suite shows up in the spread instead of
+    # silently biasing the denominator
+    samples += _calibration_samples(spark)
     spark.stop()
-    return timings, calib
+    return timings, samples
 
 
 def main() -> None:
@@ -251,8 +269,12 @@ def main() -> None:
     else:
         names = [n for n in BENCH_QUERIES if n in registered]
 
-    shared, calib = _shared_pass(names, sf_dir)
+    shared, samples = _shared_pass(names, sf_dir)
     total = round(sum(shared.values()), 4)
+    import statistics
+
+    calib = round(statistics.median(samples), 4)
+    spread = round((max(samples) - min(samples)) / calib, 3) if calib else None
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -260,14 +282,19 @@ def main() -> None:
         "queries": shared,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calib,
+        "calibration_spread": spread,
+        "calibration_samples": samples,
         "value_per_calib": round(total / calib, 3) if calib else None,
         "methodology": (
             "value: one-JVM suite, warmup at sf0.001 then min-of-2 per "
             "query (min-of-3 below 0.5 s — fixed-overhead floor); "
-            "calibration_sec: fixed synthetic pure-Spark job in "
-            "the same session — compare rounds via value_per_calib "
-            "(ambient machine variance between sessions measured at "
-            "+/-15-25% in round 6)"
+            "calibration_sec: MEDIAN of 3+3 fixed synthetic pure-Spark "
+            "samples bracketing the suite (round 9 — was min-of-2x2 "
+            "through r08; median reads ~5-15% above the old min, so "
+            "r08->r09 per-calib ratios carry that convention shift), "
+            "calibration_spread = (max-min)/median; compare rounds via "
+            "value_per_calib (ambient machine variance between sessions "
+            "measured at +/-15-25% in round 6)"
         ),
     }
     if "--isolated" in sys.argv[1:]:

@@ -2204,6 +2204,54 @@ def append_ivf_index(
     )
 
 
+def compact_ivf_members(
+    spark: SparkSession, index_dir: str, files_per_partition: int = 1
+) -> dict:
+    """Fold the file accretion of repeated append_ivf_index batches back
+    to ``files_per_partition`` files per cluster — the batch-lifecycle
+    half of the generation-compaction story (round-9 VERDICT #5; the
+    streaming half is pipeline.compact_ivf_ingest).
+
+    Why this path does NOT need the streaming side's versioned-manifest
+    protocol: (a) append batches never move a row across partition
+    values — the persisted codebook fixes each vector's cluster_id at
+    append time, so the in-place dynamic overwrite rewrites every
+    partition to identical content, and a crash mid-commit leaves some
+    partitions compacted and others not, both CORRECT — the manifest
+    existed to guard cross-partition moves (gen folding) where a torn
+    commit double-counts rows; (b) batch maintenance is single-writer by
+    operational contract (one maintenance job), unlike streaming ingest
+    where compaction races live micro-batches. Returns audit stats:
+    rows rewritten and parquet file counts before/after."""
+    from datafusion_loki_spark.functions.layout import compact_partitions
+
+    members_path = f"{index_dir}/members.parquet"
+
+    def _count_files() -> int:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(members_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        n = 0
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    files_before = _count_files()
+    rows = compact_partitions(
+        spark,
+        members_path,
+        partition_by=["cluster_id"],
+        files_per_partition=files_per_partition,
+    )
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": _count_files(),
+    }
+
+
 def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registry face of index MAINTENANCE: build the IVF index,
     append a derived batch (the corpus shifted to a disjoint id space

@@ -130,3 +130,62 @@ def test_arrow_stats_survive_empty_embedding(spark, tmp_path):
     empty = out.where(F.col("vec_id") == 1).collect()[0]
     assert empty.dim == 0
     assert empty.min_el is None and empty.max_el is None
+
+
+def test_compact_ivf_members_folds_append_files_value_identically(
+    spark, tmp_path
+):
+    # Round-9 VERDICT #5: the batch append path accretes parquet files
+    # per cluster partition (one set per append_ivf_index call) with no
+    # fold path. compact_ivf_members must cut the file count back to
+    # files_per_partition per cluster and leave the probe path's results
+    # BIT-IDENTICAL — rows never change cluster (the persisted codebook
+    # fixes assignment), so the in-place dynamic overwrite needs no
+    # manifest.
+    import pyspark.sql.functions as F
+
+    from datafusion_loki_spark.operators.similarity import (
+        IVF_APPEND_OFFSET,
+        _TO_DOUBLE,
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_members,
+        query_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, sf, index_dir)
+    emb_d = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e"))
+    )
+    for i in (1, 2, 3):
+        append_ivf_index(
+            spark,
+            index_dir,
+            emb_d.limit(30).select(
+                (F.col("vec_id") + IVF_APPEND_OFFSET * i).alias("vec_id"), "e"
+            ),
+        )
+
+    def probe_rows():
+        return sorted(
+            (r.query_id, r.rank, r.cand_id, r.cluster_id, round(r.cosine, 12))
+            for r in query_ivf_index(spark, sf, index_dir).collect()
+        )
+
+    before = probe_rows()
+    n_members = spark.read.parquet(f"{index_dir}/members.parquet").count()
+    stats = compact_ivf_members(spark, index_dir)
+    assert stats["rows"] == n_members
+    assert stats["files_after"] < stats["files_before"]
+    assert (
+        spark.read.parquet(f"{index_dir}/members.parquet").count()
+        == n_members
+    )
+    assert probe_rows() == before
+    # idempotent: a second run is a no-op fold at the same file count
+    stats2 = compact_ivf_members(spark, index_dir)
+    assert stats2["files_after"] == stats["files_after"]
+    assert probe_rows() == before

@@ -88,6 +88,26 @@ def main() -> None:
         print(f"calibration: {co:.3f} -> {cn:.3f}; "
               f"machine-normalized ratio: {norm:.2f}x"
               f"  <- the ONLY cross-session number that means anything")
+        # round 9: bench.py brackets the suite with 3+3 anchor samples
+        # and records their spread — a wide spread means the denominator
+        # itself is unstable and per-calib flags deserve extra suspicion
+        for label, d in (("old", old), ("new", new)):
+            sp = d.get("calibration_spread")
+            if sp is not None:
+                trust = "UNSTABLE — treat flags as suspect" if sp > 0.3 \
+                    else "stable"
+                print(f"  {label} anchor spread (max-min)/median: "
+                      f"{sp:.3f} ({trust})")
+        # the r08->r09 convention shift (min-of-2x2 -> median-of-3+3)
+        # reads as a ~5-15% systematic denominator increase; flag when
+        # exactly one side carries the new fields
+        if (old.get("calibration_spread") is None) != (
+            new.get("calibration_spread") is None
+        ):
+            print("  NOTE: anchors use different conventions (pre-r09 "
+                  "min vs r09 median) — expect a ~5-15% systematic "
+                  "offset in per-calib ratios, in the MEDIAN side's "
+                  "favor.")
         if counts["REGRESSION"]:
             print(f"VERDICT: {counts['REGRESSION']} real regression(s) "
                   f"(>1.5x per-calib AND >0.2 s absolute), "

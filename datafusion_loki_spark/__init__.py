@@ -203,32 +203,22 @@ def loki_sql(
     one-row count table (insert.rs:26-32,136-140) — the full reference
     SQL surface through one entry point."""
     from datafusion_loki_spark.sources.logql import label_matcher
-    from datafusion_loki_spark.sources.sqlbridge import extract_pushdown
-
-    import re as _re
+    from datafusion_loki_spark.sources.sqlbridge import (
+        extract_pushdown,
+        parse_insert,
+    )
 
     # INSERT statements route to the push sink and return the reference's
     # one-row count table (insert.rs:26-32,136-140) — the whole reference
     # SQL surface (examples/datafusion.rs:10-32, init.sql) through ONE
     # entry point. `INSERT INTO <t> VALUES ...` evaluates the VALUES rows
     # against the loki schema; `INSERT INTO <t> SELECT ...` runs the
-    # SELECT (over the session catalog) and appends its rows.
-    im = _re.match(
-        r"\s*insert\s+into\s+[A-Za-z_][\w.]*\s+(values\b|select\b)",
-        sql,
-        _re.I,
-    )
-    if _re.match(r"\s*insert\b", sql, _re.I) and not im:
-        # don't let an unsupported INSERT form fall through to the
-        # SELECT path's confusing "requires a FROM clause" error
-        raise ValueError(
-            "loki_sql INSERT supports 'INSERT INTO <t> VALUES ...' and "
-            "'INSERT INTO <t> SELECT ...' only (the loki schema is fixed "
-            "— omit the column list)"
-        )
-    if im:
-        kind = im.group(1).lower()
-        body = sql[im.start(1) :].rstrip().rstrip(";")
+    # SELECT (over the session catalog) and appends its rows. Routing
+    # (incl. the unsupported-form ValueError) lives in
+    # sqlbridge.parse_insert, where the write-path fuzzer reaches it.
+    ins = parse_insert(sql)
+    if ins is not None:
+        kind, body = ins
         if kind == "values":
             frame = spark.sql(
                 f"SELECT * FROM ({body}) AS v(timestamp, labels, line)"

@@ -485,3 +485,50 @@ def extract_pushdown(sql: str) -> PushdownSpec:
         spec.exact_only = False  # residual conjunct: Spark-only
 
     return spec
+
+
+# --- INSERT routing -------------------------------------------------------
+
+_INSERT_HEAD = re.compile(
+    r"\s*insert\s+into\s+[A-Za-z_][\w.]*\s+(values\b|select\b)", re.I
+)
+_INSERT_ANY = re.compile(r"\s*insert\b", re.I)
+
+
+def parse_insert(sql: str) -> "tuple[str, str] | None":
+    """Route an ``INSERT INTO <t> VALUES ...`` / ``INSERT INTO <t>
+    SELECT ...`` statement: returns (kind, body) with kind in
+    {'values', 'select'} and body the statement text from that keyword
+    on (trailing whitespace/';' stripped); returns None for non-INSERT
+    statements; raises ValueError for any other INSERT form (column
+    lists, OVERWRITE, multi-table) — the loki schema is fixed, so those
+    are caller bugs that deserve a loud, specific error instead of the
+    SELECT path's confusing "requires a FROM clause".
+
+    The head is matched against the MASKED statement (comments blanked,
+    literal contents zeroed — both length-preserving), so a leading
+    ``/* comment */`` cannot hide the INSERT and a literal containing
+    the word VALUES cannot confuse the routing; the body is sliced from
+    the ORIGINAL text at the masked match's offset."""
+    masked = _mask(sql)
+    m = _INSERT_HEAD.match(masked)
+    if m:
+        # trim trailing ';'/whitespace/comments on the MASKED text
+        # (comments are spaces there), so ``... ; -- done`` cannot leak
+        # a semicolon or dead text into the body Spark re-parses
+        start, end = m.start(1), len(masked)
+        while True:
+            while end > start and masked[end - 1].isspace():
+                end -= 1
+            if end > start and masked[end - 1] == ";":
+                end -= 1
+                continue
+            break
+        return m.group(1).lower(), sql[start:end]
+    if _INSERT_ANY.match(masked):
+        raise ValueError(
+            "loki_sql INSERT supports 'INSERT INTO <t> VALUES ...' and "
+            "'INSERT INTO <t> SELECT ...' only (the loki schema is fixed "
+            "— omit the column list)"
+        )
+    return None

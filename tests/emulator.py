@@ -151,10 +151,19 @@ class LokiEmulator:
             self.params.append({k: v[0] for k, v in params.items()})
             rows = list(self.rows)
 
-        # split selector {..} from trailing line filters
+        # split selector {..} from trailing line filters. Matcher values
+        # are Go-quoted string literals: real Loki strconv.Unquotes them,
+        # so the emulator must too — comparing the ESCAPED text against
+        # raw label values silently dropped every stream whose value
+        # contains a backslash or double quote (found by the round-9
+        # matcher-tuple fuzzer; \\ -> \ and \" -> " are the only escapes
+        # the client's _quote_label_value emits)
         close = query.index("}")
         selector, rest = query[: close + 1], query[close + 1 :]
-        matchers = _MATCHER_RE.findall(selector)
+        matchers = [
+            (k, op, re.sub(r"\\(.)", r"\1", v))
+            for k, op, v in _MATCHER_RE.findall(selector)
+        ]
         line_filters = _LINE_FILTER_RE.findall(rest)
 
         selected = []

@@ -71,6 +71,9 @@ _R09_PINNED: tuple[str, ...] = (
     "text_bpe_vocab",
     # NEW in r9: keep-first within-doc span removal (round-8 VERDICT #4)
     "text_dedup_within_keep_first",
+    # NEW in r9: the multimodal keep-list — exact byte identity + CC
+    # over the perceptual pair graph, dedup_keep_list's composition
+    "mm_dedup_keep_list",
 )
 
 _WINDOW_SIZE = 50

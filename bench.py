@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "text_scrub_pii",
     "text_bpe_vocab",
     "text_dedup_within_keep_first",
+    # the multimodal keep-list: phash DAG + CC rounds + digest shuffle
+    "mm_dedup_keep_list",
 ]
 
 

@@ -455,6 +455,33 @@ MM_PHASH_BUCKET_CAP = 50  # per-(band,value) doc cap, same role as LSH_BUCKET_CA
 MM_PHASH_VARIANT_OFFSET = 1_000_000  # planted recrawl-variant id namespace
 
 
+def _phash_corpus(media: DataFrame) -> DataFrame:
+    """The perceptual family's working corpus: fingerprintable payloads
+    (>= MM_PHASH_MIN_BYTES bytes) plus the planted recrawl variants, in
+    ONE scan — a conditional explode (outer, the InferFiltersFromGenerate
+    hygiene rule) emits 1 or 2 (doc_id, payload) structs per row, so the
+    fixture costs no second FileScan (the two-branch-union re-execution
+    rule). Shared by mm_phash_neardup and mm_dedup_keep_list so the two
+    registered queries agree on the document universe."""
+    return (
+        media.where(F.col("n_bytes") >= MM_PHASH_MIN_BYTES)
+        .select(
+            F.explode_outer(
+                F.expr(
+                    f"""IF(doc_id % 10 = 0,
+                array(named_struct('doc_id', doc_id, 'payload', payload),
+                      named_struct('doc_id', doc_id + {MM_PHASH_VARIANT_OFFSET},
+                                   'payload',
+                                   concat(cast('XX' as binary),
+                                          substring(payload, 3, n_bytes - 2)))),
+                array(named_struct('doc_id', doc_id, 'payload', payload)))"""
+                )
+            ).alias("s")
+        )
+        .select("s.doc_id", "s.payload")
+    )
+
+
 def phash64(payload: bytes) -> tuple[int, int]:
     """The dHash kernel for one payload (>= MM_PHASH_MIN_BYTES bytes):
     65 equal-segment byte sums, gradient sign per adjacent pair via
@@ -539,28 +566,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {"doc_id": out_id, "h1": out_h1, "h2": out_h2}
                 ).astype("int64")
 
-    media = media_table(spark, sf_dir)
-    # corpus + planted recrawl variants in ONE scan: a conditional
-    # explode (outer — the InferFiltersFromGenerate hygiene rule) emits
-    # 1 or 2 (doc_id, payload) structs per row, so the fixture costs no
-    # second FileScan (the two-branch-union re-execution rule)
-    aug = (
-        media.where(F.col("n_bytes") >= MM_PHASH_MIN_BYTES)
-        .select(
-            F.explode_outer(
-                F.expr(
-                    f"""IF(doc_id % 10 = 0,
-                array(named_struct('doc_id', doc_id, 'payload', payload),
-                      named_struct('doc_id', doc_id + {MM_PHASH_VARIANT_OFFSET},
-                                   'payload',
-                                   concat(cast('XX' as binary),
-                                          substring(payload, 3, n_bytes - 2)))),
-                array(named_struct('doc_id', doc_id, 'payload', payload)))"""
-                )
-            ).alias("s")
-        )
-        .select("s.doc_id", "s.payload")
-    )
+    aug = _phash_corpus(media_table(spark, sf_dir))
     fp = (
         aug.mapInPandas(_phash_rows, "doc_id long, h1 long, h2 long")
         # both join sides consume the fingerprint frame; materialize so
@@ -613,9 +619,10 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # hex(blob) is uppercase in DuckDB; hex-digit value via strpos-1. The
 # 1-based inclusive list_slice window [k*n//65 + 1, (k+1)*n//65] is the
-# kernel's reduceat segment exactly.
-ORACLE_MM_PHASH = f"""
-WITH m0 AS (
+# kernel's reduceat segment exactly. Shared CTE chain (corpus + planted
+# variants -> bytes -> segment sums -> bits -> capped bands -> candidate
+# pairs) composed by BOTH perceptual-family oracles.
+_PHASH_CTES = f"""m0 AS (
   -- encode(), not CAST(text AS BLOB): the cast INTERPRETS backslash-hex
   -- escape sequences (errors on invalid ones, silently rewrites valid
   -- ones), while encode() is the verbatim UTF-8 bytes Spark's
@@ -671,11 +678,112 @@ WITH m0 AS (
   FROM banded a JOIN banded b
     ON a.band_id = b.band_id AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
-)
+)"""
+
+ORACLE_MM_PHASH = f"""
+WITH {_PHASH_CTES}
 SELECT doc_a, doc_b, CAST(MIN(hamming) AS BIGINT) AS hamming
 FROM pairs
 WHERE hamming <= {MM_PHASH_HAM_MAX}
 GROUP BY doc_a, doc_b
+"""
+
+
+def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal dedup DELIVERABLE — dedup_keep_list's composition
+    re-expressed over binary payloads: a per-item keep/drop decision
+    combining exact byte-identity (md5-at-scan keeper per digest group)
+    and perceptual near-dup clustering (connected components over the
+    mm_phash_neardup pair graph, reusing dedup._cc_labels' min-label
+    propagation verbatim):
+
+    - ``exact_dup``: not the min-doc_id of its byte-identical group
+    - ``near_dup``: exact keeper, but its perceptual cluster's label is
+      another item (a planted recrawl variant lands here — its CC label
+      is the original)
+    - ``keep``: cluster representative or untouched
+
+    Universe contract (deliberate): the same fingerprintable corpus as
+    mm_phash_neardup — payloads under MM_PHASH_MIN_BYTES bytes carry no
+    perceptual signal and get no row (route them through a validity
+    gate first), mirroring dedup_keep_list's NULL-text contract.
+
+    100 TB posture: the phash pair frame is candidate-scale and
+    localCheckpointed, so the kernel+banding DAG runs once however many
+    CC rounds consume the edge list (the _symmetric_edges rule); edges
+    emit both directions in ONE explode pass (the two-branch-union
+    re-execution rule); the exact side is one digest shuffle — payloads
+    never leave their scan. Oracle: the shared phash CTE chain + the
+    recursive reach CC + keepers grouped on the hex payload itself
+    (grouping-equal to the md5 digest; no digest reaches the output)."""
+    from datafusion_loki_spark.operators.dedup import _cc_labels
+
+    pairs = (
+        mm_phash_neardup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.select(
+        F.explode(
+            F.expr(
+                "array(named_struct('src', doc_a, 'dst', doc_b),"
+                " named_struct('src', doc_b, 'dst', doc_a))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    cc = _cc_labels(sym).withColumnRenamed("cluster_id", "cc_label")
+    fp = _phash_corpus(media_table(spark, sf_dir)).select(
+        "doc_id", F.md5("payload").alias("fingerprint")
+    )
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_id"))
+    return (
+        fp.join(keepers, "fingerprint")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keeper_id"), F.lit("exact_dup"))
+            .when(
+                F.col("cc_label").isNotNull()
+                & (F.col("cc_label") != F.col("doc_id")),
+                F.lit("near_dup"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+        )
+    )
+
+
+ORACLE_MM_KEEP_LIST = f"""
+WITH RECURSIVE {_PHASH_CTES},
+qpairs AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE hamming <= {MM_PHASH_HAM_MAX}
+  GROUP BY doc_a, doc_b
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM qpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM qpairs
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), reach (doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+), cc AS (
+  SELECT doc_id, MIN(lbl) AS cc_label FROM reach GROUP BY doc_id
+), keepers AS (
+  -- grouping on the hex payload == grouping on the md5 digest; the
+  -- digest never reaches the output, so the oracle needs no md5(BLOB)
+  SELECT hx, MIN(doc_id) AS keeper_id FROM m GROUP BY hx
+)
+SELECT m.doc_id,
+       CASE WHEN m.doc_id != k.keeper_id THEN 'exact_dup'
+            WHEN cc.cc_label IS NOT NULL AND cc.cc_label != m.doc_id
+              THEN 'near_dup'
+            ELSE 'keep' END AS status
+FROM m
+JOIN keepers k ON m.hx = k.hx
+LEFT JOIN cc ON m.doc_id = cc.doc_id
 """
 
 
@@ -687,6 +795,7 @@ QUERIES = {
     "mm_exact_dedup": mm_exact_dedup,
     "mm_chunk_dedup": mm_chunk_dedup,
     "mm_phash_neardup": mm_phash_neardup,
+    "mm_dedup_keep_list": mm_dedup_keep_list,
 }
 
 ORACLES = {
@@ -697,4 +806,5 @@ ORACLES = {
     "mm_exact_dedup": ORACLE_MM_EXACT_DEDUP,
     "mm_chunk_dedup": ORACLE_MM_CHUNK_DEDUP,
     "mm_phash_neardup": ORACLE_MM_PHASH,
+    "mm_dedup_keep_list": ORACLE_MM_KEEP_LIST,
 }

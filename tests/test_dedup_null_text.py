@@ -100,6 +100,9 @@ def crafted(spark, tmp_path_factory):
         "text_bpe_vocab",
         # keep-first span removal shares the span family's NULL contract
         "text_dedup_within_keep_first",
+        # multimodal keep-list: NULL/short payloads get no row in both
+        # engines (the fingerprintable-universe contract)
+        "mm_dedup_keep_list",
     ],
 )
 def test_null_text_family_matches_oracle(spark, crafted, name):

@@ -67,6 +67,16 @@ SMOKE_QUERIES = [
     # join — pair space must stay O(sum cell^2), growing ~linearly when
     # replica content is decorrelated)
     "dedup_semantic_cluster",
+    # round 9: the perceptual-hash banded join (replica suffixing keeps
+    # payload bytes distinct across replicas, so candidate pairs scale
+    # with the planted variants — linearly), the scan-speed PII cascade,
+    # the keep-first span removal, and the N-iteration BPE loop (vocab
+    # grows ~linearly with decorrelated replicas — the loop must stay
+    # vocab-bound, never corpus-bound)
+    "mm_phash_neardup",
+    "text_scrub_pii",
+    "text_dedup_within_keep_first",
+    "text_bpe_vocab",
 ]
 
 

@@ -228,7 +228,7 @@ def _isolated_pass(names: list[str], sf_dir: str) -> dict[str, float]:
 
 def _shared_pass(
     names: list[str], sf_dir: str
-) -> tuple[dict[str, float], float]:
+) -> tuple[dict[str, float], list[float]]:
     from datafusion_loki_spark.session import get_spark
 
     import __spark_entry__ as entrymod

@@ -109,3 +109,22 @@ def compact_partitions(
         codec=codec,
     )
     return n
+
+
+def count_parquet_files(spark, path: str) -> int:
+    """Recursive ``.parquet``-file count under ``path`` (0 if absent) —
+    the before/after audit stat every compaction job reports. One
+    definition (round-9 review: the ingest and members compactors each
+    carried a private copy; a listing fix applied to one would silently
+    diverge the other's stats)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return 0
+    n = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n

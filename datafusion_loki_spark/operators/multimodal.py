@@ -452,7 +452,10 @@ MM_PHASH_MIN_BYTES = MM_PHASH_SEGMENTS  # below this no segment is non-empty
 MM_PHASH_BANDS = 8  # 8 bands x 8 bits; pigeonhole: hamming<=7 shares a band
 MM_PHASH_HAM_MAX = MM_PHASH_BANDS - 1  # threshold chosen = bands-1 -> EXACT recall
 MM_PHASH_BUCKET_CAP = 50  # per-(band,value) doc cap, same role as LSH_BUCKET_CAP
-MM_PHASH_VARIANT_OFFSET = 1_000_000  # planted recrawl-variant id namespace
+# planted recrawl-variant id namespace — far above any real doc_id
+# (round-9 review: 1e6 collided with scale-replica ids; scale_smoke's
+# KEY_OFFSET remaps at 1e7 per replica, so 1e12 clears 100k replicas)
+MM_PHASH_VARIANT_OFFSET = 1_000_000_000_000
 
 
 def _phash_corpus(media: DataFrame) -> DataFrame:
@@ -482,21 +485,39 @@ def _phash_corpus(media: DataFrame) -> DataFrame:
     )
 
 
+# lazily-built per-process constants for the phash kernel: the kernel is
+# called once PER ROW inside mapInPandas, and re-importing numpy plus
+# rebuilding two constant arrays per call cost as much as the actual
+# 65-segment reduceat (round-9 review)
+_PHASH_CONSTS = None
+
+
+def _phash_consts():
+    global _PHASH_CONSTS
+    if _PHASH_CONSTS is None:
+        import numpy as np
+
+        _PHASH_CONSTS = (
+            np,
+            np.arange(MM_PHASH_SEGMENTS, dtype=np.int64),
+            1 << np.arange(32, dtype=np.uint64),
+        )
+    return _PHASH_CONSTS
+
+
 def phash64(payload: bytes) -> tuple[int, int]:
     """The dHash kernel for one payload (>= MM_PHASH_MIN_BYTES bytes):
     65 equal-segment byte sums, gradient sign per adjacent pair via
     integer cross-multiply (no float mean — the oracle's integer
     arithmetic is then bit-exact), packed LSB-first into two 32-bit
     halves (each fits a positive int64 column)."""
-    import numpy as np
-
+    np, seg_idx, pow32 = _phash_consts()
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     n = len(arr)
-    lo = (np.arange(MM_PHASH_SEGMENTS, dtype=np.int64) * n) // MM_PHASH_SEGMENTS
+    lo = (seg_idx * n) // MM_PHASH_SEGMENTS
     s = np.add.reduceat(arr, lo)
     c = np.diff(np.append(lo, n))
     bits = (s[1:] * c[:-1]) > (s[:-1] * c[1:])
-    pow32 = 1 << np.arange(32, dtype=np.uint64)
     return int((bits[:32] * pow32).sum()), int((bits[32:] * pow32).sum())
 
 

@@ -2223,22 +2223,13 @@ def compact_ivf_members(
     operational contract (one maintenance job), unlike streaming ingest
     where compaction races live micro-batches. Returns audit stats:
     rows rewritten and parquet file counts before/after."""
-    from datafusion_loki_spark.functions.layout import compact_partitions
+    from datafusion_loki_spark.functions.layout import (
+        compact_partitions,
+        count_parquet_files,
+    )
 
     members_path = f"{index_dir}/members.parquet"
-
-    def _count_files() -> int:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(members_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        n = 0
-        it = fs.listFiles(jpath, True)
-        while it.hasNext():
-            if it.next().getPath().getName().endswith(".parquet"):
-                n += 1
-        return n
-
-    files_before = _count_files()
+    files_before = count_parquet_files(spark, members_path)
     rows = compact_partitions(
         spark,
         members_path,
@@ -2248,7 +2239,7 @@ def compact_ivf_members(
     return {
         "rows": rows,
         "files_before": files_before,
-        "files_after": _count_files(),
+        "files_after": count_parquet_files(spark, members_path),
     }
 
 

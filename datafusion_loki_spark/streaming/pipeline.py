@@ -1006,29 +1006,32 @@ def _ingest_fs(spark: SparkSession, path: str):
 
 
 def _list_ingest_state(spark: SparkSession, ingest_path: str):
-    """(real_gens, compacted_gens, manifest_versions) from the directory
-    listing — the manifest is authoritative for reads; the listing only
-    feeds fold-set selection and GC."""
+    """(real_gens, compacted_gens, manifest_versions, stale_tmp_names)
+    from the directory listing — the manifest is authoritative for
+    reads; the listing only feeds fold-set selection and GC (stale
+    ``.manifest-*.tmp`` files are crashed attempts' nonce'd temps)."""
     jvm, fs, jpath = _ingest_fs(spark, ingest_path)
-    real, compacted, manifests = [], [], []
+    real, compacted, manifests, tmps = [], [], [], []
     if not fs.exists(jpath):
-        return real, compacted, manifests
+        return real, compacted, manifests, tmps
     for status in fs.listStatus(jpath):
         fname = status.getPath().getName()
         if status.isDirectory() and fname.startswith("gen="):
             g = int(fname[4:])
             (compacted if g < 0 else real).append(g)
+        elif fname.startswith(".manifest-") and fname.endswith(".tmp"):
+            tmps.append(fname)
         else:
             m = _INGEST_MANIFEST_RE.match(fname)
             if m:
                 manifests.append(int(m.group(1)))
-    return sorted(real), sorted(compacted), sorted(manifests)
+    return sorted(real), sorted(compacted), sorted(manifests), sorted(tmps)
 
 
 def _read_ingest_manifest(spark: SparkSession, index_dir: str):
     """The highest-version manifest, or None (never compacted)."""
     ingest_path = f"{index_dir}/members_ingest.parquet"
-    _, _, versions = _list_ingest_state(spark, ingest_path)
+    _, _, versions, _ = _list_ingest_state(spark, ingest_path)
     if not versions:
         return None
     jvm, fs, _ = _ingest_fs(spark, ingest_path)
@@ -1049,8 +1052,15 @@ def _write_ingest_manifest(spark: SparkSession, index_dir: str, manifest: dict):
     ingest_path = f"{index_dir}/members_ingest.parquet"
     jvm, fs, _ = _ingest_fs(spark, ingest_path)
     version = manifest["version"]
+    # the temp file must be unique PER ATTEMPT, not per version: two
+    # concurrent compactions targeting the same version would share a
+    # version-named temp, and fs.create(overwrite) lets the loser
+    # clobber the winner's content BEFORE the rename — the winner then
+    # commits the loser's manifest body and its post-commit GC deletes
+    # the generation the committed manifest points at (round-9 review).
+    # With a nonce'd temp, the rename is the only shared resource.
     tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{ingest_path}/.manifest-v{version}.json.tmp"
+        f"{ingest_path}/.manifest-v{version}.{uuid.uuid4().hex}.tmp"
     )
     final = jvm.org.apache.hadoop.fs.Path(
         f"{ingest_path}/manifest-v{version}.json"
@@ -1074,15 +1084,9 @@ def _write_ingest_manifest(spark: SparkSession, index_dir: str, manifest: dict):
 
 
 def _count_ingest_files(spark: SparkSession, ingest_path: str) -> int:
-    jvm, fs, jpath = _ingest_fs(spark, ingest_path)
-    if not fs.exists(jpath):
-        return 0
-    n = 0
-    it = fs.listFiles(jpath, True)
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            n += 1
-    return n
+    from datafusion_loki_spark.functions.layout import count_parquet_files
+
+    return count_parquet_files(spark, ingest_path)
 
 
 def compact_ivf_ingest(
@@ -1112,7 +1116,9 @@ def compact_ivf_ingest(
     prev_cutoff = manifest["folded_upto"] if manifest else -1
     active_gen = manifest["active_gen"] if manifest else None
 
-    real, compacted, manifest_versions = _list_ingest_state(spark, ingest_path)
+    real, compacted, manifest_versions, stale_tmps = _list_ingest_state(
+        spark, ingest_path
+    )
     jvm, fs, _ = _ingest_fs(spark, ingest_path)
 
     def gc() -> None:
@@ -1136,6 +1142,15 @@ def compact_ivf_ingest(
                     ),
                     False,
                 )
+        # crashed attempts leave nonce'd .manifest-*.tmp files (the temps
+        # are unique per attempt since round 9); they were listed BEFORE
+        # this run created its own temp, so sweeping them can never race
+        # this attempt's in-flight commit
+        for fname in stale_tmps:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{ingest_path}/{fname}"),
+                False,
+            )
 
     live = [g for g in real if g > prev_cutoff]
     fold = live[:-keep_last]
@@ -1192,7 +1207,9 @@ def compact_ivf_ingest(
     )
     # post-commit GC under the NEW manifest
     prev_version, prev_cutoff, active_gen = new_version, new_cutoff, new_gen
-    real, compacted, manifest_versions = _list_ingest_state(spark, ingest_path)
+    real, compacted, manifest_versions, stale_tmps = _list_ingest_state(
+        spark, ingest_path
+    )
     gc()
     return {
         "folded_gens": len(fold),

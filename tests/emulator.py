@@ -31,6 +31,25 @@ _MATCHER_RE = re.compile(r'(\w+)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"')
 _LINE_FILTER_RE = re.compile(r"(\|=|!=|\|~|!~)\s*`([^`]*)`")
 
 
+def _selector_end(query: str) -> int:
+    """Index of the selector's CLOSING brace — the first ``}`` outside a
+    double-quoted matcher value. ``query.index('}')`` truncated the
+    selector whenever a quoted value contained a brace (any regex
+    quantifier like ``x{2,3}``), silently dropping every matcher and
+    selecting all streams (round-9 review)."""
+    in_quotes = escaped = False
+    for i, ch in enumerate(query):
+        if escaped:
+            escaped = False
+        elif ch == "\\" and in_quotes:
+            escaped = True
+        elif ch == '"':
+            in_quotes = not in_quotes
+        elif ch == "}" and not in_quotes:
+            return i
+    raise ValueError(f"unterminated stream selector: {query!r}")
+
+
 def _matcher_ok(labels: dict, key: str, op: str, value: str) -> bool:
     actual = labels.get(key)
     if op == "=":
@@ -158,7 +177,7 @@ class LokiEmulator:
         # contains a backslash or double quote (found by the round-9
         # matcher-tuple fuzzer; \\ -> \ and \" -> " are the only escapes
         # the client's _quote_label_value emits)
-        close = query.index("}")
+        close = _selector_end(query)
         selector, rest = query[: close + 1], query[close + 1 :]
         matchers = [
             (k, op, re.sub(r"\\(.)", r"\1", v))

@@ -706,3 +706,21 @@ def test_write_roundtrip_exact_microseconds(spark):
             assert stored[f"row-{u}"] == u * 1_000, (u, stored[f"row-{u}"])
     finally:
         em.stop()
+
+
+def test_brace_bearing_regex_matcher_selects_correctly(spark, emulator):
+    # Round-9 review regression: the emulator split the selector at the
+    # FIRST '}' in the query, so a quoted matcher value containing a
+    # regex quantifier brace (my-app{1,2}) truncated the selector,
+    # dropped every matcher, and silently selected all streams. The
+    # matcher-tuple route must filter correctly end to end.
+    from datafusion_loki_spark import loki_table
+
+    df = loki_table(
+        spark,
+        emulator.endpoint,
+        labels=[("app", "=~", "my-app[12]{1,1}")],
+    )
+    apps = sorted({r.labels["app"] for r in df.collect()})
+    assert apps == ["my-app1", "my-app2"], apps
+    assert "{1,1}" in emulator.queries[-1]  # the brace reached the store

@@ -82,8 +82,9 @@ def crafted(spark, tmp_path_factory):
         (3, _FAR, "en", "web", len(_FAR)),     # must pair with nobody
         (4, None, "en", "web", 0),             # NULL text: excluded
         (5, "tiny", "en", "web", 4),           # < 65 bytes: excluded
-        # id 10 draws a planted recrawl variant (id 1000010, first two
-        # bytes replaced) — the registered query's own fixture
+        # id 10 draws a planted recrawl variant (id 10 + the 1e12
+        # offset, first two bytes replaced) — the registered query's
+        # own fixture
         (10, _BASE[: len(_BASE) // 2] + _FAR[: len(_FAR) // 2], "en",
          "web", len(_BASE)),
     ]

@@ -74,6 +74,9 @@ _R09_PINNED: tuple[str, ...] = (
     # NEW in r9: the multimodal keep-list — exact byte identity + CC
     # over the perceptual pair graph, dedup_keep_list's composition
     "mm_dedup_keep_list",
+    # NEW in r9: APPLY the learned BPE merges — per-doc token counts
+    # under the induced vocabulary (the fastBPE vocab-join apply)
+    "text_tokenize_bpe",
 )
 
 _WINDOW_SIZE = 50

@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "text_dedup_within_keep_first",
     # the multimodal keep-list: phash DAG + CC rounds + digest shuffle
     "mm_dedup_keep_list",
+    # tokenizer APPLY: the training loop + one corpus word join
+    "text_tokenize_bpe",
 ]
 
 

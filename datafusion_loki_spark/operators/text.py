@@ -1070,6 +1070,17 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice never leaves the cluster."""
     from functools import reduce as _reduce
 
+    merges, _vocab = _bpe_train(spark, sf_dir)
+    return _reduce(lambda a, b: a.unionByName(b), merges)
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[list[DataFrame], DataFrame]":
+    """The induction loop shared by text_bpe_vocab (the merge table) and
+    text_tokenize_bpe (the final per-word segmentation): returns
+    ([one 1-row merge frame per rank], final vocab (w, s, freq) with s
+    the space-joined symbol string after every merge)."""
     docs = load_table(spark, sf_dir, "documents")
     chars = (
         "if(length(w) >= 1, transform(sequence(1, length(w)),"
@@ -1081,7 +1092,7 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
-        .select(F.expr(f"concat_ws(' ', {chars})").alias("s"), "freq")
+        .select("w", F.expr(f"concat_ws(' ', {chars})").alias("s"), "freq")
     )
     pairs_expr = (
         "if(size(toks) >= 2, transform(sequence(1, size(toks) - 1),"
@@ -1102,6 +1113,12 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        if best.count() == 0:
+            # pairs exhausted before the merge budget: stop, KEEPING the
+            # final vocab state (the crossJoin with an empty argmax
+            # would wipe it — every word is one symbol, nothing left to
+            # learn; the oracle's LEFT-JOIN carry mirrors this)
+            break
         fold = (
             "trim(aggregate(split(trim(s), ' '), '', (acc, x) -> "
             "CASE WHEN endswith(acc, concat(' ', m1)) AND x = m2 "
@@ -1109,7 +1126,7 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = (
             cur.crossJoin(F.broadcast(best))
-            .select(F.expr(fold).alias("s"), "freq")
+            .select("w", F.expr(fold).alias("s"), "freq")
             .localCheckpoint(eager=True)
         )
         merges.append(
@@ -1120,7 +1137,7 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair_count",
             )
         )
-    return _reduce(lambda a, b: a.unionByName(b), merges)
+    return merges, cur
 
 
 def _oracle_bpe_vocab() -> str:
@@ -1139,7 +1156,7 @@ def _oracle_bpe_vocab() -> str:
     )
     ctes = [
         f"""v0 AS (
-  SELECT array_to_string({chars}, ' ') AS s, freq
+  SELECT w, array_to_string({chars}, ' ') AS s, freq
   FROM (SELECT w, COUNT(*) AS freq FROM (
           SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS w FROM documents
         ) GROUP BY w)
@@ -1148,6 +1165,10 @@ def _oracle_bpe_vocab() -> str:
     selects = []
     for r in range(1, BPE_N_MERGES + 1):
         prev = f"v{r - 1}"
+        # v{r} LEFT-JOINs its 1-row argmax ON TRUE: when the corpus
+        # exhausts its pairs before the merge budget, m{r} is EMPTY and
+        # the vocab state must CARRY (the Spark loop breaks and keeps
+        # cur); a plain cross join would wipe it
         ctes.append(
             f"""p{r} AS (
   SELECT p.s1 AS m1, p.s2 AS m2, SUM(freq) AS pair_count FROM (
@@ -1158,20 +1179,98 @@ def _oracle_bpe_vocab() -> str:
   SELECT m1, m2, pair_count FROM p{r}
   ORDER BY pair_count DESC, m1 ASC, m2 ASC LIMIT 1
 ), v{r} AS (
-  SELECT trim(list_reduce(
-           list_prepend('', string_split(trim(s), ' ')),
-           (acc, x) -> CASE WHEN ends_with(acc, ' ' || m{r}.m1)
-                            AND x = m{r}.m2
-                       THEN acc || x ELSE acc || ' ' || x END)) AS s, freq
-  FROM {prev}, m{r}
+  SELECT w,
+         CASE WHEN m.m1 IS NULL THEN s
+              ELSE trim(list_reduce(
+                list_prepend('', string_split(trim(s), ' ')),
+                (acc, x) -> CASE WHEN ends_with(acc, ' ' || m.m1)
+                                 AND x = m.m2
+                            THEN acc || x ELSE acc || ' ' || x END))
+         END AS s, freq
+  FROM {prev} LEFT JOIN m{r} m ON true
 )"""
         )
         selects.append(
             f"SELECT {r} AS merge_rank, m1 AS s1, m2 AS s2,"
             f" CAST(pair_count AS BIGINT) AS pair_count FROM m{r}"
         )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + ",\n".join(ctes),
+        "\nUNION ALL\n".join(selects),
+        f"v{BPE_N_MERGES}",
+    )
+
+
+def _oracle_bpe_sql() -> str:
+    with_sql, merge_selects, _final = _oracle_bpe_vocab()
+    return with_sql + "\n" + merge_selects
 
 
 QUERIES["text_bpe_vocab"] = text_bpe_vocab
-ORACLES["text_bpe_vocab"] = _oracle_bpe_vocab()
+ORACLES["text_bpe_vocab"] = _oracle_bpe_sql()
+
+
+def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned tokenizer — the consumer of text_bpe_vocab's
+    merge table and the number every training-data budget actually
+    needs: per-document token counts under the induced BPE vocabulary
+    (vs whitespace tokens), i.e. the corpus's real sequence-length
+    distribution after BPE_N_MERGES merges. Emits (doc_id,
+    n_ws_tokens, n_bpe_tokens, bpe_per_token); NULL-text docs tokenize
+    to no words and drop (family contract).
+
+    100 TB posture — the fastBPE APPLY trick, same as training: the
+    corpus is never segmented row by row. The final vocab state (word →
+    space-joined symbols, a by-product of the training loop's last
+    checkpoint) is segmented ONCE at vocabulary scale; the corpus pays
+    one tokenize + one join on the word key + one per-doc aggregation.
+    The join is merge-pinned: the corpus side sits under a stat-less
+    explode (the family's broadcast trap), and the vocab side, while
+    usually broadcastable, is unbounded in principle (Heaps at 100 TB).
+    """
+    _merges, vocab = _bpe_train(spark, sf_dir)
+    seg = vocab.select(
+        "w", F.expr("size(split(trim(s), ' '))").alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("w"),
+        )
+        .where(F.col("w").isNotNull())
+    )
+    return (
+        toks.join(seg.hint("merge"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "bpe_per_token",
+            F.col("n_bpe_tokens") / F.col("n_ws_tokens").cast("double"),
+        )
+    )
+
+
+def _oracle_tokenize_bpe() -> str:
+    with_sql, _selects, final_v = _oracle_bpe_vocab()
+    return f"""{with_sql},
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS w
+  FROM documents
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_ws_tokens,
+       CAST(SUM(len(string_split(trim(v.s), ' '))) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(SUM(len(string_split(trim(v.s), ' '))) AS DOUBLE) / COUNT(*)
+         AS bpe_per_token
+FROM toks t JOIN {final_v} v USING (w)
+GROUP BY t.doc_id
+"""
+
+
+QUERIES["text_tokenize_bpe"] = text_tokenize_bpe
+ORACLES["text_tokenize_bpe"] = _oracle_tokenize_bpe()

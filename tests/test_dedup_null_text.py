@@ -103,6 +103,8 @@ def crafted(spark, tmp_path_factory):
         # multimodal keep-list: NULL/short payloads get no row in both
         # engines (the fingerprintable-universe contract)
         "mm_dedup_keep_list",
+        # tokenizer application: NULL-text docs tokenize to no words
+        "text_tokenize_bpe",
     ],
 )
 def test_null_text_family_matches_oracle(spark, crafted, name):
@@ -387,5 +389,147 @@ def test_bpe_vocab_replays_hand_computed_merges(spark, tmp_path):
     )
     ok, detail = compare(
         text_bpe_vocab(spark, str(tmp_path)), ORACLES["text_bpe_vocab"], con
+    )
+    assert ok, detail
+
+
+def _naive_bpe(texts, n_merges):
+    """Reference BPE trainer: vocabulary-weighted pair counts, argmax on
+    (count desc, s1 asc, s2 asc), leftmost non-overlapping merge — the
+    published algorithm, independent of both engines' SQL."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in " ".join(t.split()).lower().strip().split(" "):
+            vocab[tuple(w)] += 1
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        (s1, s2), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, s1, s2, cnt))
+        new_vocab = Counter()
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += freq
+        vocab = new_vocab
+    return merges
+
+
+@pytest.mark.parametrize(
+    "texts",
+    [
+        # adjacent-repeat hazard: the merge fold must fuse leftmost
+        # non-overlapping ('a n a n a n a' under (a,n))
+        ["anananana ananan an", "nananana na na"],
+        # tie-heavy tiny vocabulary (every pair count 1 or 2): the
+        # (count, s1, s2) tie-break carries the whole ordering
+        ["ab ba ab ba cc", "ba ab cc dd", None],
+        # merged symbols that CONTAIN earlier merge halves ('th','he',
+        # 'the...' chains) plus 1-char words with no pairs
+        ["the then there a b c", "then the there the", ""],
+    ],
+)
+def test_bpe_vocab_matches_naive_reference_trainer(spark, tmp_path, texts):
+    import duckdb as _duckdb
+
+    from datafusion_loki_spark.operators.text import (
+        BPE_N_MERGES,
+        ORACLES,
+        text_bpe_vocab,
+    )
+    from tests.parity import compare
+
+    rows = [
+        (i, t, "en", "web", len(t) if t else 0) for i, t in enumerate(texts)
+    ]
+    out_dir = tmp_path / str(abs(hash(tuple(map(str, texts)))) % 10**8)
+    spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    got = [
+        (r.merge_rank, r.s1, r.s2, r.pair_count)
+        for r in text_bpe_vocab(spark, str(out_dir))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == _naive_bpe(texts, BPE_N_MERGES), texts
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{out_dir}/documents.parquet/*.parquet')"
+    )
+    ok, detail = compare(
+        text_bpe_vocab(spark, str(out_dir)), ORACLES["text_bpe_vocab"], con
+    )
+    assert ok, detail
+
+
+def test_tokenize_bpe_applies_the_learned_merges(spark, tmp_path):
+    # After the banana corpus's 6 exhaustive merges both words are ONE
+    # symbol, so the applied tokenizer reports exactly one BPE token per
+    # whitespace token; an out-of-band word ('xyz' appears only at apply
+    # time... impossible here — the vocab IS corpus-derived) would keep
+    # its char segmentation. NULL-text doc drops.
+    import duckdb as _duckdb
+
+    from datafusion_loki_spark.operators.text import (
+        ORACLES,
+        text_tokenize_bpe,
+    )
+    from tests.parity import compare
+
+    rows = [
+        (0, "banana banana banana bandana", "en", "web", 28),
+        (1, "ba nan", "en", "web", 6),  # partial merges only
+        (2, None, "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+        for r in text_tokenize_bpe(spark, str(tmp_path)).collect()
+    }
+    assert 2 not in out
+    assert out[0][0] == 4  # four whitespace words
+    # with 'ba'/'nan' in the vocabulary the merge sequence differs from
+    # the banana-only corpus, but every word still compresses below its
+    # character length and at or above 1 symbol
+    assert out[0][0] <= out[0][1] <= len("banana") * 3 + len("bandana")
+    assert out[1][0] == 2
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ok, detail = compare(
+        text_tokenize_bpe(spark, str(tmp_path)),
+        ORACLES["text_tokenize_bpe"],
+        con,
     )
     assert ok, detail

@@ -149,3 +149,34 @@ def test_keep_list_composes_exact_and_perceptual(spark, crafted):
     assert 4 not in out and 5 not in out  # NULL / short: no row
     ok, detail = compare(mm_dedup_keep_list(spark, sf), ORACLE_MM_KEEP_LIST, con)
     assert ok, detail
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(0, (1 << 32) - 1),
+    st.integers(0, (1 << 32) - 1),
+    st.sets(st.integers(0, 63), max_size=MM_PHASH_HAM_MAX),
+)
+def test_banding_is_pigeonhole_exact_at_threshold(h1, h2, flips):
+    # The operator's recall claim: any pair within the verify threshold
+    # (hamming <= bands-1 = 7) shares at least one exact 8-bit band, so
+    # banded candidate generation loses NOTHING at the threshold. This
+    # pins the band derivation used on BOTH sides (LSB-first packing,
+    # shift/mask off the two 32-bit halves).
+    def bands(a1, a2):
+        full = (a2 << 32) | a1
+        return [(full >> (8 * k)) & 255 for k in range(8)]
+
+    g1, g2 = h1, h2
+    for b in flips:
+        if b < 32:
+            g1 ^= 1 << b
+        else:
+            g2 ^= 1 << (b - 32)
+    ham = bin(h1 ^ g1).count("1") + bin(h2 ^ g2).count("1")
+    assert ham <= MM_PHASH_HAM_MAX
+    shared = [
+        k for k, (x, y) in enumerate(zip(bands(h1, h2), bands(g1, g2)))
+        if x == y
+    ]
+    assert shared, (h1, h2, flips)

@@ -955,6 +955,19 @@ def test_bpe_vocab_iterates_at_vocab_scale(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_tokenize_bpe_vocab_join_never_broadcasts_corpus(spark, sf_dir):
+    # the apply is ONE corpus tokenize joined to the vocab segmentation
+    # on the word key, merge-pinned (the corpus side sits under a
+    # stat-less explode — the family broadcast trap); the vocab side is
+    # the training loop's checkpoint (Scan ExistingRDD)
+    plan = _plan(spark, sf_dir, "text_tokenize_bpe")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    n_scans = plan.count("Scan parquet") or plan.count("FileScan")
+    assert n_scans == 1, plan  # exactly one corpus read in the apply
+
+
 def test_data_card_single_expand_and_tokenize(spark, sf_dir):
     # CUBE(source, lang) must be ONE Expand feeding one aggregation (the
     # key-space x4, not the data x4), and the stats side keeps the

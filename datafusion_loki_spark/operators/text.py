@@ -1071,6 +1071,13 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce as _reduce
 
     merges, _vocab = _bpe_train(spark, sf_dir)
+    if not merges:
+        # a corpus with zero mergeable pairs (empty / all-NULL text /
+        # only 1-char words): the oracle returns 0 rows, so must we —
+        # the early break would otherwise hand reduce() an empty list
+        return spark.createDataFrame(
+            [], "merge_rank int, s1 string, s2 string, pair_count bigint"
+        )
     return _reduce(lambda a, b: a.unionByName(b), merges)
 
 
@@ -1140,10 +1147,13 @@ def _bpe_train(
     return merges, cur
 
 
-def _oracle_bpe_vocab() -> str:
+def _oracle_bpe_vocab() -> "tuple[str, str, str]":
     """Chained-CTE replay of the same BPE_N_MERGES merges (the
     mix_pack_greedy N-step precedent — DuckDB's recursive CTEs cannot
-    carry an argmax-per-step list state)."""
+    carry an argmax-per-step list state). Returns (with_clause,
+    merge_table_selects, final_vocab_cte_name) — composed into the
+    merge-table oracle by _oracle_bpe_sql and into the tokenizer-apply
+    oracle by _oracle_tokenize_bpe."""
     pairs = (
         "CASE WHEN len(toks) >= 2 THEN"
         " list_transform(generate_series(1, len(toks) - 1),"
@@ -1233,6 +1243,11 @@ def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", F.expr("size(split(trim(s), ' '))").alias("n_sym")
     )
     docs = load_table(spark, sf_dir, "documents")
+    # explode_outer + output-column guard, NOT plain explode: explode
+    # triggers InferFiltersFromGenerate, which clones the whole
+    # normalize/split chain into a scan-side Filter (the family's
+    # expression-hygiene rule); the w-isNotNull guard is a cheap filter
+    # on the generator's OUTPUT
     toks = (
         docs.select(
             "doc_id",

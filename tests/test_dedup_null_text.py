@@ -444,6 +444,10 @@ def _naive_bpe(texts, n_merges):
         # merged symbols that CONTAIN earlier merge halves ('th','he',
         # 'the...' chains) plus 1-char words with no pairs
         ["the then there a b c", "then the there the", ""],
+        # ZERO mergeable pairs anywhere (all 1-char words / NULL): the
+        # engine must return an empty merge table, not crash on the
+        # empty reduce (round-9 review regression)
+        ["a b c", None, "x y"],
     ],
 )
 def test_bpe_vocab_matches_naive_reference_trainer(spark, tmp_path, texts):
@@ -459,7 +463,7 @@ def test_bpe_vocab_matches_naive_reference_trainer(spark, tmp_path, texts):
     rows = [
         (i, t, "en", "web", len(t) if t else 0) for i, t in enumerate(texts)
     ]
-    out_dir = tmp_path / str(abs(hash(tuple(map(str, texts)))) % 10**8)
+    out_dir = tmp_path  # unique per parametrized case already
     spark.createDataFrame(
         rows,
         "doc_id: long, text: string, lang: string, source: string,"
@@ -486,11 +490,11 @@ def test_bpe_vocab_matches_naive_reference_trainer(spark, tmp_path, texts):
 
 
 def test_tokenize_bpe_applies_the_learned_merges(spark, tmp_path):
-    # After the banana corpus's 6 exhaustive merges both words are ONE
-    # symbol, so the applied tokenizer reports exactly one BPE token per
-    # whitespace token; an out-of-band word ('xyz' appears only at apply
-    # time... impossible here — the vocab IS corpus-derived) would keep
-    # its char segmentation. NULL-text doc drops.
+    # The applied tokenizer's counts must be self-consistent: doc 1's
+    # extra 'ba'/'nan' vocabulary changes the merge sequence vs the
+    # banana-only corpus, so the test asserts the structural bounds
+    # (every word compresses to between 1 symbol and its char length)
+    # and full value parity with the oracle; the NULL-text doc drops.
     import duckdb as _duckdb
 
     from datafusion_loki_spark.operators.text import (

@@ -846,6 +846,85 @@ def near_dup_admission_stream(stream_docs: DataFrame) -> DataFrame:
     )
 
 
+def media_phash_band_keys_streamside(stream_media: DataFrame) -> DataFrame:
+    """(ts, doc_id, band_idx, band_key): per-row PERCEPTUAL band keys —
+    the streaming twin of mm_phash_neardup's banding, completing the
+    triad for binary payloads (batch perceptual: mm_phash_neardup;
+    streaming lexical: near_dup_admission_stream; this: streaming
+    perceptual). The Arrow kernel computes the dHash per row and emits
+    the 8 band rows DIRECTLY (no post-kernel explode), stateless and
+    shuffle-free; band values are bit-identical to the batch op
+    (LSB-first 8-bit slices of (h2<<32)|h1), so a batch backfill and
+    the live ingest land in the same buckets. NULL / sub-minimum
+    payloads emit nothing (the fingerprintable-universe contract)."""
+    from datafusion_loki_spark.operators.multimodal import (
+        MM_PHASH_BANDS,
+        MM_PHASH_MIN_BYTES,
+        phash64,
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ts_out, id_out, bidx, bkey = [], [], [], []
+            for ts, did, b in zip(
+                pdf["ts"], pdf["doc_id"], pdf["payload"]
+            ):
+                if b is None or len(b) < MM_PHASH_MIN_BYTES:
+                    continue
+                h1, h2 = phash64(b)
+                full = (h2 << 32) | h1
+                for k in range(MM_PHASH_BANDS):
+                    ts_out.append(ts)
+                    id_out.append(int(did))
+                    bidx.append(k)
+                    bkey.append(str((full >> (8 * k)) & 255))
+            if id_out:
+                yield pd.DataFrame(
+                    {
+                        "ts": ts_out,
+                        "doc_id": id_out,
+                        "band_idx": bidx,
+                        "band_key": bkey,
+                    }
+                )
+
+    return stream_media.select(
+        F.col("ts").cast("timestamp").alias("ts"), "doc_id", "payload"
+    ).mapInPandas(
+        kernel, "ts timestamp, doc_id long, band_idx int, band_key string"
+    )
+
+
+def phash_admission_stream(stream_media: DataFrame) -> DataFrame:
+    """Streaming PERCEPTUAL near-duplicate detection at media ingest:
+    each incoming payload is checked against the recent stream via
+    stateful dHash band buckets and emits (doc_id, prior_id) candidate
+    rows — zero candidates across all 8 bands is a clean admit.
+    Candidates are a RECALL superset (a shared band, not a verified
+    hamming); the batch verify (xor + bit_count <= MM_PHASH_HAM_MAX)
+    runs downstream exactly like the lexical admission's Jaccard
+    verify, and the pigeonhole guarantee means no within-threshold pair
+    is ever missed while both payloads are retained in the bucket FIFO.
+
+    ``stream_media`` must carry (ts, doc_id, payload); ts drives the
+    watermark. State/replay/TTL semantics are _near_dup_fn's — the
+    stateful kernel is key-agnostic, so the perceptual admission
+    inherits the FIFO cap, the event-time TTL re-arm, and the
+    redelivery-superset contract verbatim."""
+    keyed = media_phash_band_keys_streamside(stream_media).withWatermark(
+        "ts", "10 minutes"
+    )
+    return keyed.groupBy("band_idx", "band_key").applyInPandasWithState(
+        _near_dup_fn,
+        outputStructType=NEAR_DUP_CANDIDATES_SCHEMA,
+        stateStructType="ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # --- streaming IVF index ingest ----------------------------------------------
 
 

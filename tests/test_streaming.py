@@ -1183,6 +1183,63 @@ def test_near_dup_stream_state_survives_restart(spark, sf_dir, tmp_path):
     assert (a, b) in {(r.prior_id, r.doc_id) for r in second}
 
 
+def test_phash_admission_stream_matches_python_band_model(
+    spark, sf_dir, tmp_path
+):
+    # The perceptual admission (round-9): one availableNow drain over the
+    # corpus's payloads must surface exactly the band-sharing pairs a
+    # pure-python dHash model predicts (recall-superset contract: a
+    # shared 8-bit band, hamming verified downstream), with the earlier
+    # arrival as prior. Also pins kernel/banding bit-identity with the
+    # batch op through phash64.
+    from datafusion_loki_spark.operators.multimodal import (
+        MM_PHASH_BANDS,
+        MM_PHASH_MIN_BYTES,
+        phash64,
+    )
+
+    docs = _docs_with_ts(spark, sf_dir).select(
+        "ts", "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    src = tmp_path / "media"
+    docs.coalesce(1).write.parquet(str(src / "all"))
+    got: list = []
+    q = (
+        pipeline.phash_admission_stream(
+            spark.readStream.schema(
+                "ts timestamp_ntz, doc_id long, payload binary"
+            ).parquet(str(src) + "/*/")
+        )
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_pairs = {(r.prior_id, r.doc_id) for r in got}
+
+    fps = {
+        r.doc_id: phash64(bytes(r.payload))
+        for r in docs.collect()
+        if r.payload is not None and len(r.payload) >= MM_PHASH_MIN_BYTES
+    }
+
+    def bands(h):
+        full = (h[1] << 32) | h[0]
+        return [(full >> (8 * k)) & 255 for k in range(MM_PHASH_BANDS)]
+
+    ids = sorted(fps)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if any(x == y for x, y in zip(bands(fps[a]), bands(fps[b])))
+    }
+    assert stream_pairs == expected
+    assert stream_pairs  # non-vacuous: real payloads share bands
+
+
 def test_near_dup_stream_redelivery_emits_no_self_pair(spark, sf_dir, tmp_path):
     # An at-least-once source may re-deliver a document; a doc_id already
     # resident in its bucket must emit nothing (no self-pairs, no

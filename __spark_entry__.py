@@ -77,6 +77,9 @@ _R09_PINNED: tuple[str, ...] = (
     # NEW in r9: APPLY the learned BPE merges — per-doc token counts
     # under the induced vocabulary (the fastBPE vocab-join apply)
     "text_tokenize_bpe",
+    # NEW in r9: train/apply across a shard boundary with true OOV
+    # handling (merge replay over unseen words' characters)
+    "text_tokenize_bpe_oov",
 )
 
 _WINDOW_SIZE = 50

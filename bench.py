@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "mm_dedup_keep_list",
     # tokenizer APPLY: the training loop + one corpus word join
     "text_tokenize_bpe",
+    # train/apply across the shard split incl. the OOV replay chain
+    "text_tokenize_bpe_oov",
 ]
 
 

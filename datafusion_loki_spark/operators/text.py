@@ -1082,13 +1082,17 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, where: "str | None" = None
 ) -> "tuple[list[DataFrame], DataFrame]":
-    """The induction loop shared by text_bpe_vocab (the merge table) and
-    text_tokenize_bpe (the final per-word segmentation): returns
+    """The induction loop shared by text_bpe_vocab (the merge table),
+    text_tokenize_bpe (the final per-word segmentation), and
+    text_tokenize_bpe_oov (train-split-only training): returns
     ([one 1-row merge frame per rank], final vocab (w, s, freq) with s
-    the space-joined symbol string after every merge)."""
+    the space-joined symbol string after every merge). ``where`` filters
+    the TRAINING corpus (SQL predicate over documents columns)."""
     docs = load_table(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.where(where)
     chars = (
         "if(length(w) >= 1, transform(sequence(1, length(w)),"
         " i -> substring(w, i, 1)), array())"
@@ -1147,13 +1151,14 @@ def _bpe_train(
     return merges, cur
 
 
-def _oracle_bpe_vocab() -> "tuple[str, str, str]":
+def _oracle_bpe_vocab(where_sql: str = "") -> "tuple[str, str, str]":
     """Chained-CTE replay of the same BPE_N_MERGES merges (the
     mix_pack_greedy N-step precedent — DuckDB's recursive CTEs cannot
     carry an argmax-per-step list state). Returns (with_clause,
     merge_table_selects, final_vocab_cte_name) — composed into the
-    merge-table oracle by _oracle_bpe_sql and into the tokenizer-apply
-    oracle by _oracle_tokenize_bpe."""
+    merge-table oracle by _oracle_bpe_sql, the tokenizer-apply oracle by
+    _oracle_tokenize_bpe, and the OOV oracle by _oracle_tokenize_oov.
+    ``where_sql`` (e.g. " WHERE NOT (...)") filters the TRAINING corpus."""
     pairs = (
         "CASE WHEN len(toks) >= 2 THEN"
         " list_transform(generate_series(1, len(toks) - 1),"
@@ -1168,7 +1173,8 @@ def _oracle_bpe_vocab() -> "tuple[str, str, str]":
         f"""v0 AS (
   SELECT w, array_to_string({chars}, ' ') AS s, freq
   FROM (SELECT w, COUNT(*) AS freq FROM (
-          SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS w FROM documents
+          SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS w
+          FROM documents{where_sql}
         ) GROUP BY w)
 )"""
     ]
@@ -1289,3 +1295,141 @@ GROUP BY t.doc_id
 
 QUERIES["text_tokenize_bpe"] = text_tokenize_bpe
 ORACLES["text_tokenize_bpe"] = _oracle_tokenize_bpe()
+
+
+# the held-out shard: the sampling module's md5-bucket convention over
+# the stable doc key (~1/16 of docs) — the tokenizer trains on the rest
+_BPE_HELDOUT_SPARK = "substring(md5(cast(doc_id as string)), 1, 1) = '0'"
+_BPE_HELDOUT_DUCK = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+
+
+def text_tokenize_bpe_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAIN/APPLY across a shard boundary with true
+    out-of-vocabulary handling — the deployment shape text_tokenize_bpe
+    (same-corpus apply) cannot show: merges are learned on the TRAINING
+    split only, then applied to the HELD-OUT shard, where unseen words
+    exist. Seen words ride the vocab join (their segmentation is a
+    training by-product); each distinct OOV word is segmented by
+    REPLAYING the learned merges over its characters in rank order —
+    exactly what a BPE tokenizer does at inference. Emits per held-out
+    doc: n_ws_tokens, n_bpe_tokens, n_oov_words.
+
+    100 TB posture: the replay runs over the held-out shard's DISTINCT
+    unseen words (vocabulary-scale, Heaps-sublinear), as BPE_N_MERGES
+    chained narrow projections — each merge rides the same broadcast
+    1-row frame the trainer produced, so the corpus is tokenized once
+    and joined once (merge-pinned; the corpus side sits under a
+    stat-less explode). Nothing collects.
+
+    Oracle: the trainer CTEs filtered to the training split + an o0..oN
+    fold chain over the anti-joined OOV word set, using the same
+    LEFT-JOIN carry so a pairs-exhausted training corpus replays
+    correctly."""
+    merges, vocab = _bpe_train(
+        spark, sf_dir, where=f"NOT ({_BPE_HELDOUT_SPARK})"
+    )
+    seg_seen = vocab.select(
+        "w",
+        F.expr("size(split(trim(s), ' '))").alias("n_sym"),
+        F.lit(0).alias("is_oov"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(_BPE_HELDOUT_SPARK)
+        .select(
+            "doc_id",
+            F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("w"),
+        )
+        .where(F.col("w").isNotNull())
+    )
+    chars = (
+        "if(length(w) >= 1, transform(sequence(1, length(w)),"
+        " i -> substring(w, i, 1)), array())"
+    )
+    oov = (
+        toks.select("w")
+        .distinct()
+        .join(seg_seen.select("w"), "w", "left_anti")
+        .select("w", F.expr(f"concat_ws(' ', {chars})").alias("s"))
+    )
+    fold = (
+        "trim(aggregate(split(trim(s), ' '), '', (acc, x) -> "
+        "CASE WHEN endswith(acc, concat(' ', m1)) AND x = m2 "
+        "THEN concat(acc, x) ELSE concat(acc, ' ', x) END))"
+    )
+    for best in merges:  # rank order; 1-row checkpointed frames
+        oov = oov.crossJoin(
+            F.broadcast(best.select(F.col("s1").alias("m1"),
+                                    F.col("s2").alias("m2")))
+        ).select("w", F.expr(fold).alias("s"))
+    seg_oov = oov.select(
+        "w",
+        F.expr("size(split(trim(s), ' '))").alias("n_sym"),
+        F.lit(1).alias("is_oov"),
+    )
+    seg = seg_seen.unionByName(seg_oov)
+    return (
+        toks.join(seg.hint("merge"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum("is_oov").alias("n_oov_words"),
+        )
+    )
+
+
+def _oracle_tokenize_oov() -> str:
+    with_sql, _selects, final_v = _oracle_bpe_vocab(
+        f" WHERE NOT ({_BPE_HELDOUT_DUCK})"
+    )
+    chars = (
+        "CASE WHEN len(w) >= 1 THEN"
+        " list_transform(generate_series(1, len(w)), i -> substring(w, i, 1))"
+        " ELSE [] END"
+    )
+    oov_ctes = [
+        f"""ho AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS w
+  FROM documents WHERE {_BPE_HELDOUT_DUCK}
+), o0 AS (
+  SELECT w, array_to_string({chars}, ' ') AS s FROM (
+    SELECT DISTINCT w FROM ho
+    WHERE w NOT IN (SELECT w FROM {final_v})
+  )
+)"""
+    ]
+    for r in range(1, BPE_N_MERGES + 1):
+        oov_ctes.append(
+            f"""o{r} AS (
+  SELECT w,
+         CASE WHEN m.m1 IS NULL THEN s
+              ELSE trim(list_reduce(
+                list_prepend('', string_split(trim(s), ' ')),
+                (acc, x) -> CASE WHEN ends_with(acc, ' ' || m.m1)
+                                 AND x = m.m2
+                            THEN acc || x ELSE acc || ' ' || x END))
+         END AS s
+  FROM o{r - 1} LEFT JOIN m{r} m ON true
+)"""
+        )
+    return f"""{with_sql},
+{",".join(oov_ctes)},
+seg AS (
+  SELECT w, len(string_split(trim(s), ' ')) AS n_sym, 0 AS is_oov
+  FROM {final_v}
+  UNION ALL
+  SELECT w, len(string_split(trim(s), ' ')) AS n_sym, 1 AS is_oov
+  FROM o{BPE_N_MERGES}
+)
+SELECT ho.doc_id,
+       COUNT(*) AS n_ws_tokens,
+       CAST(SUM(seg.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(seg.is_oov) AS BIGINT) AS n_oov_words
+FROM ho JOIN seg USING (w)
+GROUP BY ho.doc_id
+"""
+
+
+QUERIES["text_tokenize_bpe_oov"] = text_tokenize_bpe_oov
+ORACLES["text_tokenize_bpe_oov"] = _oracle_tokenize_oov()

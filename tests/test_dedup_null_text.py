@@ -105,6 +105,8 @@ def crafted(spark, tmp_path_factory):
         "mm_dedup_keep_list",
         # tokenizer application: NULL-text docs tokenize to no words
         "text_tokenize_bpe",
+        # the train/apply split variant: NULL held-out docs drop too
+        "text_tokenize_bpe_oov",
     ],
 )
 def test_null_text_family_matches_oracle(spark, crafted, name):
@@ -534,6 +536,57 @@ def test_tokenize_bpe_applies_the_learned_merges(spark, tmp_path):
     ok, detail = compare(
         text_tokenize_bpe(spark, str(tmp_path)),
         ORACLES["text_tokenize_bpe"],
+        con,
+    )
+    assert ok, detail
+
+
+def test_tokenize_bpe_oov_replays_merges_on_unseen_words(spark, tmp_path):
+    # Train on 'banana banana banana bandana' (doc 0, train bucket);
+    # held-out doc 27 (md5 bucket '0') mixes SEEN words with true OOV.
+    # Learned merges (hand-derived in the sibling test): an, ana, ban,
+    # banana, band(+d), bandana. OOV replay: 'banal' = chars b a n a l
+    # -> (a,n): [b,an,a,l] -> (an,a): [b,ana,l] -> (b,an)? no 'an' ->
+    # (ban,ana)? no -> ... = [b,ana,l] = 3 symbols; 'dana' = d a n a ->
+    # [d,an,a] -> [d,ana] = 2 symbols; seen 'banana' = 1 symbol.
+    import duckdb as _duckdb
+
+    from datafusion_loki_spark.operators.text import (
+        ORACLES,
+        text_tokenize_bpe_oov,
+    )
+    from tests.parity import compare
+
+    rows = [
+        (0, "banana banana banana bandana", "en", "web", 28),  # train
+        (27, "banana banal dana", "en", "web", 17),            # held out
+        (59, None, "en", "web", 0),                            # held out NULL
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string,"
+        " n_chars: long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens, r.n_oov_words)
+        for r in text_tokenize_bpe_oov(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {27}  # train doc and NULL-text doc emit no row
+    n_ws, n_bpe, n_oov = out[27]
+    assert n_ws == 3
+    assert n_oov == 2          # 'banal' and 'dana' are unseen
+    assert n_bpe == 1 + 3 + 2  # banana(seen,1) + banal(3) + dana(2)
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ok, detail = compare(
+        text_tokenize_bpe_oov(spark, str(tmp_path)),
+        ORACLES["text_tokenize_bpe_oov"],
         con,
     )
     assert ok, detail

@@ -554,7 +554,9 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture note: the synthetic corpus carries TOKEN-level boilerplate
     variants but no byte-level re-encodes, so a bare run finds nothing —
     the registered query therefore plants deterministic 'recrawl
-    variants' (every doc_id % 10 == 0 doc re-appears under id + 1e6 with
+    variants' (every doc_id % 10 == 0 doc re-appears under
+    id + MM_PHASH_VARIANT_OFFSET (1e12 — clears scale_smoke's replica
+    id remapping) with
     its first two bytes replaced — a localized corruption confined to
     segment 0, hamming <= 2 by construction) in the SAME single scan via
     a conditional explode, and the oracle plants the identical variants

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 import uuid
 from typing import Any, Iterator
 
@@ -1084,11 +1085,19 @@ def _ingest_fs(spark: SparkSession, path: str):
     return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+# manifest temps younger than this are presumed to belong to a live
+# concurrent attempt and are left for a later run's GC (ADVICE r9: the
+# post-commit sweep could delete an in-flight attempt's temp)
+_TMP_SWEEP_AGE_MS = 60 * 60 * 1000
+
+
 def _list_ingest_state(spark: SparkSession, ingest_path: str):
-    """(real_gens, compacted_gens, manifest_versions, stale_tmp_names)
+    """(real_gens, compacted_gens, manifest_versions, tmp_entries)
     from the directory listing — the manifest is authoritative for
-    reads; the listing only feeds fold-set selection and GC (stale
-    ``.manifest-*.tmp`` files are crashed attempts' nonce'd temps)."""
+    reads; the listing only feeds fold-set selection and GC.
+    ``tmp_entries`` are (name, modification_ms) for ``.manifest-*.tmp``
+    files: crashed attempts' nonce'd temps, but possibly also a LIVE
+    concurrent attempt's in-flight temp — GC must age-gate them."""
     jvm, fs, jpath = _ingest_fs(spark, ingest_path)
     real, compacted, manifests, tmps = [], [], [], []
     if not fs.exists(jpath):
@@ -1099,7 +1108,7 @@ def _list_ingest_state(spark: SparkSession, ingest_path: str):
             g = int(fname[4:])
             (compacted if g < 0 else real).append(g)
         elif fname.startswith(".manifest-") and fname.endswith(".tmp"):
-            tmps.append(fname)
+            tmps.append((fname, status.getModificationTime()))
         else:
             m = _INGEST_MANIFEST_RE.match(fname)
             if m:
@@ -1158,7 +1167,10 @@ def _write_ingest_manifest(spark: SparkSession, index_dir: str, manifest: dict):
     if not fs.rename(tmp, final):
         fs.delete(tmp, False)
         raise IOError(
-            f"manifest commit lost a race (version already exists): {final}"
+            "manifest commit failed: either a concurrent compaction "
+            f"committed {final} first (version already exists), or this "
+            f"attempt's temp {tmp} was swept by another run's GC (only "
+            "possible if the attempt outlived the GC age gate)"
         )
 
 
@@ -1195,7 +1207,7 @@ def compact_ivf_ingest(
     prev_cutoff = manifest["folded_upto"] if manifest else -1
     active_gen = manifest["active_gen"] if manifest else None
 
-    real, compacted, manifest_versions, stale_tmps = _list_ingest_state(
+    real, compacted, manifest_versions, pre_tmps = _list_ingest_state(
         spark, ingest_path
     )
     jvm, fs, _ = _ingest_fs(spark, ingest_path)
@@ -1222,14 +1234,21 @@ def compact_ivf_ingest(
                     False,
                 )
         # crashed attempts leave nonce'd .manifest-*.tmp files (the temps
-        # are unique per attempt since round 9); they were listed BEFORE
-        # this run created its own temp, so sweeping them can never race
-        # this attempt's in-flight commit
-        for fname in stale_tmps:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{ingest_path}/{fname}"),
-                False,
-            )
+        # are unique per attempt since round 9). The sweep uses ONLY the
+        # PRE-commit snapshot (taken before this attempt created its own
+        # temp, so it can never self-sweep) AND age-gates on modification
+        # time: a temp listed pre-commit could still belong to a LIVE
+        # concurrent attempt that has not renamed yet — sweeping it would
+        # make that attempt's rename fail with a misleading message
+        # (round-9 ADVICE). Only temps old enough that their attempt is
+        # certainly dead are collected; younger ones wait for a later run.
+        now_ms = int(time.time() * 1000)
+        for fname, mod_ms in pre_tmps:
+            if now_ms - mod_ms >= _TMP_SWEEP_AGE_MS:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{ingest_path}/{fname}"),
+                    False,
+                )
 
     live = [g for g in real if g > prev_cutoff]
     fold = live[:-keep_last]
@@ -1284,9 +1303,12 @@ def compact_ivf_ingest(
             "folded_upto": new_cutoff,
         },
     )
-    # post-commit GC under the NEW manifest
+    # post-commit GC under the NEW manifest — gens/manifests re-listed,
+    # but the tmp sweep keeps the PRE-commit snapshot (pre_tmps): a
+    # post-commit re-listing would include temps created by attempts
+    # that started after ours, which may be in-flight
     prev_version, prev_cutoff, active_gen = new_version, new_cutoff, new_gen
-    real, compacted, manifest_versions, stale_tmps = _list_ingest_state(
+    real, compacted, manifest_versions, _ = _list_ingest_state(
         spark, ingest_path
     )
     gc()

@@ -1561,7 +1561,7 @@ def test_ivf_compaction_loser_never_touches_committed_data(spark, tmp_path):
     write_partitioned(
         loser_df, ingest_path, partition_by=["gen", "cluster_id"]
     )
-    with pytest.raises(IOError, match="lost a race"):
+    with pytest.raises(IOError, match="manifest commit failed"):
         pipeline._write_ingest_manifest(
             spark,
             index_dir,
@@ -1595,6 +1595,34 @@ def test_ivf_compaction_loser_never_touches_committed_data(spark, tmp_path):
     }
     assert loser_gen not in gens
     assert winner_gen in gens
+
+
+def test_compact_tmp_sweep_is_age_gated(spark, tmp_path):
+    # Round-9 ADVICE (low): the post-commit GC re-listed .manifest-*.tmp
+    # files, so it could sweep a CONCURRENT in-flight attempt's temp and
+    # make that attempt's rename fail with a misleading message. The
+    # sweep now uses the PRE-commit snapshot AND an age gate: only temps
+    # older than _TMP_SWEEP_AGE_MS (certainly-dead attempts) are
+    # collected; a fresh temp — possibly a live attempt — survives.
+    import os
+
+    index_dir = str(tmp_path / "idx")
+    ingest = f"{index_dir}/members_ingest.parquet"
+    os.makedirs(ingest)
+    old = os.path.join(ingest, ".manifest-v1.deadbeefdead.tmp")
+    fresh = os.path.join(ingest, ".manifest-v1.cafef00dcafe.tmp")
+    for p in (old, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    old_s = time.time() - 2 * (pipeline._TMP_SWEEP_AGE_MS / 1000)
+    os.utime(old, (old_s, old_s))
+
+    stats = pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
+    assert stats["folded_gens"] == 0
+
+    names = set(os.listdir(ingest))
+    assert ".manifest-v1.deadbeefdead.tmp" not in names  # dead: swept
+    assert ".manifest-v1.cafef00dcafe.tmp" in names  # maybe live: kept
 
 
 class _FakeGroupState:

@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale slots):
 #
 #   1. entries NEW or CHANGED this round lead (hand-pinned in
-#      _R09_PINNED — their plans and output must re-earn a driver row);
+#      _R10_PINNED — their plans and output must re-earn a driver row);
 #   2. the rest of the window is DERIVED from the committed
 #      CORRECTNESS_r*.json files: never-green entries first (never
 #      checked, or checked red), then ascending latest-green round,
@@ -54,32 +54,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # test_unchecked_queries_lead_the_window (never-checked entries must sit
 # in the prefix) and test_correctness_window_is_pinned (prefix ==
 # _WINDOW_PRIORITY, staleness ordering holds).
-_R09_PINNED: tuple[str, ...] = (
-    # --- new/changed in round 9 (hand-pinned ahead of the derived
+_R10_PINNED: tuple[str, ...] = (
+    # --- new/changed in round 10 (hand-pinned ahead of the derived
     # staleness tail; everything else is computed) ---
-    # NEW in r9: perceptual (dHash-class) multimodal near-dup — banded
-    # Hamming join over byte-gradient fingerprints (round-8 VERDICT #1)
-    "mm_phash_neardup",
-    # CHANGED in r9: fail-loud zero-prefix-norm guard in both engines
-    # (round-9 ADVICE — plan changed, must re-earn its driver row)
-    "emb_matryoshka_recall",
-    # NEW in r9: PII scrub over the training corpus (round-8 VERDICT #2)
-    "text_scrub_pii",
-    # NEW in r9: the full iterative BPE induction loop — N merges with
-    # the deterministic tie-break, replayed by a chained-CTE oracle
-    # (round-8 VERDICT #3)
+    # CHANGED in r10: BPE induction re-architected for production merge
+    # counts (round-9 VERDICT #1) — batched non-interacting merge
+    # selection, BPE_ITERS x BPE_BATCH merges (73 at sf0.01) in 2 jobs
+    # per pass; the chained-CTE oracle replays the identical batches
     "text_bpe_vocab",
-    # NEW in r9: keep-first within-doc span removal (round-8 VERDICT #4)
-    "text_dedup_within_keep_first",
-    # NEW in r9: the multimodal keep-list — exact byte identity + CC
-    # over the perceptual pair graph, dedup_keep_list's composition
-    "mm_dedup_keep_list",
-    # NEW in r9: APPLY the learned BPE merges — per-doc token counts
-    # under the induced vocabulary (the fastBPE vocab-join apply)
+    # CHANGED in r10: both tokenizer-apply consumers retrain under the
+    # batched loop (same apply topology, new merge tables)
     "text_tokenize_bpe",
-    # NEW in r9: train/apply across a shard boundary with true OOV
-    # handling (merge replay over unseen words' characters)
     "text_tokenize_bpe_oov",
+    # NEW in r10: GPT-3/CCNet-style learned quality gate — integer-exact
+    # Naive-Bayes vote on md5-bucket pseudo-labels (round-9 VERDICT #3)
+    "text_quality_classifier",
+    # NEW in r10: embedding-space multimodal dedup — the re-encode
+    # catcher riding the SemDeDup IVF-cell topology (round-9 VERDICT #2)
+    "mm_semantic_dedup",
+    # CHANGED in r10: keep-list folds the semantic verdict in as the
+    # third status source ('semantic_dup')
+    "mm_dedup_keep_list",
+    # CHANGED in r10: the manifest now gates on the learned classifier
+    # too (rule gate AND NB majority vote AND keep-list)
+    "corpus_build_manifest",
 )
 
 _WINDOW_SIZE = 50
@@ -134,14 +132,14 @@ def _window_priority(
     if latest is None:
         latest = _latest_green_round()
     order = {n: i for i, n in enumerate(registered)}
-    unknown = [n for n in _R09_PINNED if n not in order]
+    unknown = [n for n in _R10_PINNED if n not in order]
     if unknown:
         raise KeyError(
-            f"_R09_PINNED names not in the registry (typo?): {unknown}"
+            f"_R10_PINNED names not in the registry (typo?): {unknown}"
         )
-    pinned = list(_R09_PINNED)
+    pinned = list(_R10_PINNED)
     tail = sorted(
-        (n for n in registered if n not in _R09_PINNED),
+        (n for n in registered if n not in _R10_PINNED),
         key=lambda n: (latest.get(n, -1), order[n]),
     )
     return tuple((pinned + tail)[:_WINDOW_SIZE])

@@ -2319,11 +2319,13 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_pairs_ctes() -> str:
+def _semantic_pairs_ctes(pairs_name: str = "pairs") -> str:
     """The DuckDB CTE block mirroring _semantic_index_members +
     _semantic_pairs: the sample-fit k-means chain through ``members``
     and the within-cell cosine ``pairs`` — shared by the keep-verdict
-    oracle and the lexical-agreement oracle."""
+    oracle, the lexical-agreement oracle, and (via ``pairs_name``,
+    which un-collides the name from the phash chain's ``pairs``) the
+    multimodal semantic-dedup oracles."""
     from datafusion_loki_spark.operators.similarity import (
         _NRM_E_DUCK,
         _TRAIN_PRED_DUCK,
@@ -2340,7 +2342,7 @@ members AS (
          {_NRM_E_DUCK.format(a='emb.e')} AS nrm
   FROM (SELECT vec_id, cid FROM assign2 WHERE rn = 1) a2
   JOIN emb USING (vec_id)
-), pairs AS (
+), {pairs_name} AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM members a JOIN members b
     ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id

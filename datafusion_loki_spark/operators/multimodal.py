@@ -712,19 +712,125 @@ GROUP BY doc_a, doc_b
 """
 
 
+def mm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space (semantic) multimodal dedup — the re-encode
+    catcher the byte/perceptual ops cannot see: the same content through
+    a different codec shares no bytes (mm_exact_dedup blind) and no
+    stable bit pattern (mm_phash_neardup blind), but its EMBEDDING is
+    near-identical. Links each media item to its embedding (the
+    fixtures' 1:1 id correspondence — dedup_lexical_vs_semantic's
+    contract) and reuses the SemDeDup IVF-cell cosine topology
+    (arXiv:2303.09540 via dedup._semantic_pairs) verbatim. Emits one row
+    per LINKED media item (payload present AND embedding present):
+    (doc_id, media_type, n_sem_dups, is_sem_kept) under the family's
+    smallest-id keep rule.
+
+    The pair graph is restricted to the media universe on BOTH ends —
+    a semantic neighbor without a payload cannot stand in for a media
+    item, so it must not steal its keeper status. The restriction joins
+    are merge-pinned: the pair frame sits under the salted self-join
+    and the id frame under a corpus join (both stat-less — the family
+    broadcast trap).
+
+    100 TB posture: identical to dedup_semantic_cluster — pair space
+    O(sum of cell^2) via the persisted IVF index, never global; the
+    id-restriction joins shuffle only candidate pairs and two long
+    columns per item; payload bytes never move."""
+    from datafusion_loki_spark.operators.dedup import (
+        _semantic_index_members,
+        _semantic_pairs,
+    )
+
+    media = (
+        media_table(spark, sf_dir)
+        .where(F.col("payload").isNotNull())
+        .select("doc_id", "media_type")
+    )
+    members = _semantic_index_members(spark, sf_dir)
+    linked = media.join(
+        members.select(F.col("vec_id").alias("doc_id")).hint("merge"),
+        "doc_id",
+    )
+    ids = linked.select("doc_id")
+    pairs = _semantic_pairs(members)
+    mpairs = pairs.join(
+        ids.select(F.col("doc_id").alias("id_a")).hint("merge"), "id_a"
+    ).join(ids.select(F.col("doc_id").alias("id_b")).hint("merge"), "id_b")
+    directed = mpairs.select(
+        F.explode(
+            F.expr(
+                "array(named_struct('doc_id', id_a, 'nbr', id_b),"
+                " named_struct('doc_id', id_b, 'nbr', id_a))"
+            )
+        ).alias("d")
+    ).select("d.doc_id", "d.nbr")
+    verdict = directed.groupBy("doc_id").agg(
+        F.count("*").alias("n_dups"),
+        F.sum(F.when(F.col("nbr") < F.col("doc_id"), 1).otherwise(0)).alias(
+            "smaller"
+        ),
+    )
+    return linked.join(verdict, "doc_id", "left").select(
+        "doc_id",
+        "media_type",
+        F.coalesce("n_dups", F.lit(0)).alias("n_sem_dups"),
+        F.when(F.coalesce("smaller", F.lit(0)) == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_sem_kept"),
+    )
+
+
+def _oracle_mm_semantic() -> str:
+    from datafusion_loki_spark.operators.dedup import _semantic_pairs_ctes
+
+    return f"""
+WITH {_semantic_pairs_ctes(pairs_name="spairs")},
+media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type
+  FROM documents WHERE text IS NOT NULL
+), linked AS (
+  SELECT m.doc_id, m.media_type
+  FROM media m JOIN members mem ON mem.vec_id = m.doc_id
+), mpairs AS (
+  SELECT p.id_a, p.id_b FROM spairs p
+  JOIN linked la ON la.doc_id = p.id_a
+  JOIN linked lb ON lb.doc_id = p.id_b
+), directed AS (
+  SELECT id_a AS doc_id, id_b AS nbr FROM mpairs
+  UNION ALL
+  SELECT id_b AS doc_id, id_a AS nbr FROM mpairs
+)
+SELECT l.doc_id, l.media_type,
+       CAST(COUNT(d.nbr) AS BIGINT) AS n_sem_dups,
+       CAST(CASE WHEN COALESCE(
+              SUM(CASE WHEN d.nbr < l.doc_id THEN 1 ELSE 0 END), 0) = 0
+            THEN 1 ELSE 0 END AS INTEGER) AS is_sem_kept
+FROM linked l LEFT JOIN directed d ON l.doc_id = d.doc_id
+GROUP BY l.doc_id, l.media_type
+"""
+
+
 def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal dedup DELIVERABLE — dedup_keep_list's composition
     re-expressed over binary payloads: a per-item keep/drop decision
-    combining exact byte-identity (md5-at-scan keeper per digest group)
-    and perceptual near-dup clustering (connected components over the
+    combining exact byte-identity (md5-at-scan keeper per digest group),
+    perceptual near-dup clustering (connected components over the
     mm_phash_neardup pair graph, reusing dedup._cc_labels' min-label
-    propagation verbatim):
+    propagation verbatim), and embedding-space semantic dedup
+    (mm_semantic_dedup — the re-encode catcher), in precedence order:
 
     - ``exact_dup``: not the min-doc_id of its byte-identical group
     - ``near_dup``: exact keeper, but its perceptual cluster's label is
       another item (a planted recrawl variant lands here — its CC label
       is the original)
-    - ``keep``: cluster representative or untouched
+    - ``semantic_dup``: byte- and phash-clean, but a smaller-id media
+      item sits above the SemDeDup cosine threshold (same content,
+      different codec — items outside the semantic universe never land
+      here: the left join leaves their verdict NULL)
+    - ``keep``: representative or untouched
 
     Universe contract (deliberate): the same fingerprintable corpus as
     mm_phash_neardup — payloads under MM_PHASH_MIN_BYTES bytes carry no
@@ -736,9 +842,11 @@ def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC rounds consume the edge list (the _symmetric_edges rule); edges
     emit both directions in ONE explode pass (the two-branch-union
     re-execution rule); the exact side is one digest shuffle — payloads
-    never leave their scan. Oracle: the shared phash CTE chain + the
-    recursive reach CC + keepers grouped on the hex payload itself
-    (grouping-equal to the md5 digest; no digest reaches the output)."""
+    never leave their scan; the semantic side rides the persisted IVF
+    index (pair space O(sum of cell^2)). Oracle: the shared phash CTE
+    chain + the recursive reach CC + keepers grouped on the hex payload
+    itself (grouping-equal to the md5 digest; no digest reaches the
+    output) + the semantic pair chain under un-collided names."""
     from datafusion_loki_spark.operators.dedup import _cc_labels
 
     pairs = (
@@ -759,9 +867,11 @@ def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("payload").alias("fingerprint")
     )
     keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_id"))
+    sem = mm_semantic_dedup(spark, sf_dir).select("doc_id", "is_sem_kept")
     return (
         fp.join(keepers, "fingerprint")
         .join(cc, "doc_id", "left")
+        .join(sem, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("doc_id") != F.col("keeper_id"), F.lit("exact_dup"))
@@ -770,13 +880,17 @@ def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("cc_label") != F.col("doc_id")),
                 F.lit("near_dup"),
             )
+            .when(F.col("is_sem_kept") == 0, F.lit("semantic_dup"))
             .otherwise(F.lit("keep"))
             .alias("status"),
         )
     )
 
 
-ORACLE_MM_KEEP_LIST = f"""
+def _oracle_mm_keep_list() -> str:
+    from datafusion_loki_spark.operators.dedup import _semantic_pairs_ctes
+
+    return f"""
 WITH RECURSIVE {_PHASH_CTES},
 qpairs AS (
   SELECT doc_a, doc_b FROM pairs
@@ -798,16 +912,41 @@ qpairs AS (
   -- grouping on the hex payload == grouping on the md5 digest; the
   -- digest never reaches the output, so the oracle needs no md5(BLOB)
   SELECT hx, MIN(doc_id) AS keeper_id FROM m GROUP BY hx
+), {_semantic_pairs_ctes(pairs_name="spairs")},
+slinked AS (
+  SELECT d.doc_id FROM documents d
+  JOIN members mem ON mem.vec_id = d.doc_id
+  WHERE d.text IS NOT NULL
+), smpairs AS (
+  SELECT p.id_a, p.id_b FROM spairs p
+  JOIN slinked la ON la.doc_id = p.id_a
+  JOIN slinked lb ON lb.doc_id = p.id_b
+), sdirected AS (
+  SELECT id_a AS doc_id, id_b AS nbr FROM smpairs
+  UNION ALL
+  SELECT id_b AS doc_id, id_a AS nbr FROM smpairs
+), sverdict AS (
+  SELECT l.doc_id,
+         CASE WHEN COALESCE(
+                SUM(CASE WHEN d.nbr < l.doc_id THEN 1 ELSE 0 END), 0) = 0
+              THEN 1 ELSE 0 END AS is_sem_kept
+  FROM slinked l LEFT JOIN sdirected d ON l.doc_id = d.doc_id
+  GROUP BY l.doc_id
 )
 SELECT m.doc_id,
        CASE WHEN m.doc_id != k.keeper_id THEN 'exact_dup'
             WHEN cc.cc_label IS NOT NULL AND cc.cc_label != m.doc_id
               THEN 'near_dup'
+            WHEN sv.is_sem_kept = 0 THEN 'semantic_dup'
             ELSE 'keep' END AS status
 FROM m
 JOIN keepers k ON m.hx = k.hx
 LEFT JOIN cc ON m.doc_id = cc.doc_id
+LEFT JOIN sverdict sv ON m.doc_id = sv.doc_id
 """
+
+
+ORACLE_MM_KEEP_LIST = _oracle_mm_keep_list()
 
 
 QUERIES = {
@@ -818,6 +957,7 @@ QUERIES = {
     "mm_exact_dedup": mm_exact_dedup,
     "mm_chunk_dedup": mm_chunk_dedup,
     "mm_phash_neardup": mm_phash_neardup,
+    "mm_semantic_dedup": mm_semantic_dedup,
     "mm_dedup_keep_list": mm_dedup_keep_list,
 }
 
@@ -829,5 +969,6 @@ ORACLES = {
     "mm_exact_dedup": ORACLE_MM_EXACT_DEDUP,
     "mm_chunk_dedup": ORACLE_MM_CHUNK_DEDUP,
     "mm_phash_neardup": ORACLE_MM_PHASH,
+    "mm_semantic_dedup": _oracle_mm_semantic(),
     "mm_dedup_keep_list": ORACLE_MM_KEEP_LIST,
 }

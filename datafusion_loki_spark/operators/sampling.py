@@ -402,30 +402,40 @@ WHERE quality_score >= 70
 
 def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's end-to-end deliverable: the training-corpus manifest
-    — documents that pass BOTH the quality gate (text_quality_filter) and
-    the dedup keep-list (exact + near-dup clustering), rolled up to doc
-    and token counts per (source, lang). This is the number a pretraining
-    run is provisioned from, and the composition proves the operator
-    family plugs together: quality filter ∧ keep-list ∧ catalog join ∧
-    manifest agg in one plan.
+    — documents that pass the rule quality gate (text_quality_filter),
+    the LEARNED quality gate (text_quality_classifier's NB majority vote
+    — the GPT-3-style second opinion that catches rule-passing junk),
+    and the dedup keep-list (exact + near-dup clustering), rolled up to
+    doc and token counts per (source, lang). This is the number a
+    pretraining run is provisioned from, and the composition proves the
+    operator family plugs together: rule gate ∧ learned gate ∧
+    keep-list ∧ catalog join ∧ manifest agg in one plan.
 
-    100 TB posture: the quality gate is a scan-speed filter; the
+    100 TB posture: the rule gate is a scan-speed filter; the classifier
+    pays one training pass (shard-scale) + one scoring pass; the
     keep-list pays its (bounded, documented) fingerprint + CC cost once;
     the composition joins on doc_id — uniform key, candidate-scale right
     sides — and the final rollup key (source × lang) is
     vocabulary-bounded, so the manifest shuffle is tiny."""
     from datafusion_loki_spark.operators.dedup import dedup_keep_list
-    from datafusion_loki_spark.operators.text import text_quality_filter
+    from datafusion_loki_spark.operators.text import (
+        text_quality_classifier,
+        text_quality_filter,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang"
     )
     quality = text_quality_filter(spark, sf_dir).select("doc_id", "n_tokens")
+    learned = text_quality_classifier(spark, sf_dir).where(
+        F.col("pred_hq") == 1
+    ).select("doc_id")
     keep = dedup_keep_list(spark, sf_dir).where(
         F.col("status") == "keep"
     ).select("doc_id")
     return (
-        quality.join(keep, "doc_id")
+        quality.join(learned, "doc_id")
+        .join(keep, "doc_id")
         .join(docs, "doc_id")
         .groupBy("source", "lang")
         .agg(
@@ -437,13 +447,19 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_corpus_manifest() -> str:
     from datafusion_loki_spark.operators.dedup import ORACLES as _DEDUP_ORACLES
-    from datafusion_loki_spark.operators.text import ORACLE_TEXT_QUALITY
+    from datafusion_loki_spark.operators.text import (
+        ORACLE_QUALITY_CLASSIFIER,
+        ORACLE_TEXT_QUALITY,
+    )
 
     keep_sql = _DEDUP_ORACLES["dedup_keep_list"]
     return f"""
 SELECT d.source, d.lang, COUNT(*) AS n_docs,
        CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens
 FROM (SELECT doc_id, n_tokens FROM ({ORACLE_TEXT_QUALITY}) x) q
+JOIN (SELECT doc_id FROM ({ORACLE_QUALITY_CLASSIFIER}) z
+      WHERE pred_hq = 1) c
+  USING (doc_id)
 JOIN (SELECT doc_id FROM ({keep_sql}) y WHERE status = 'keep') k
   USING (doc_id)
 JOIN documents d USING (doc_id)

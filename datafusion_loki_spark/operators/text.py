@@ -13,7 +13,7 @@ token_freq) — the plan shape is scan→project at any scale.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datafusion_loki_spark.catalog import load_table
 
@@ -147,6 +147,139 @@ ORACLE_TEXT_QUALITY = f"""
 SELECT doc_id, n_tokens, quality_score
 FROM ({ORACLE_QUALITY_SCORED}) scored
 WHERE quality_score >= 70
+"""
+
+
+# --- supervised quality classifier (Naive-Bayes vote) ---------------------------
+
+# the classifier's training shard: md5 hex char 2 (char 1 belongs to the
+# BPE held-out / sampling bucket conventions) — a deterministic ~1/2 split
+QC_TRAIN_SPARK = "substring(md5(cast(doc_id as string)), 2, 1) < '8'"
+QC_TRAIN_DUCK = "substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '8'"
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3/CCNet-style LEARNED quality gate (Brown et al.,
+    arXiv:2005.14165 Appendix A; Wenzek et al., arXiv:1911.00359):
+    train a token-level classifier on pseudo-labeled data, score every
+    document. Pseudo-labels come from the rule gate (quality_scored >=
+    70 — the role Wikipedia plays in CCNet) over a deterministic
+    md5-bucket training shard; scoring covers the WHOLE corpus.
+
+    The classifier is a multinomial-Naive-Bayes VOTE, kept
+    integer-exact so the DuckDB oracle can replay it bit-for-bit (a
+    log-likelihood sum would ride float ln() — engine-divergent): a
+    token occurrence votes HQ iff its Laplace-smoothed class likelihood
+    ratio favors HQ, decided by the cross-multiplied INTEGER comparison
+    (c_hq(w)+1)·(N_lq+V) > (c_lq(w)+1)·(N_hq+V) — exactly the sign of
+    the per-token NB log-ratio. Unseen tokens fall to the smoothing
+    prior (they favor the smaller class corpus), the genuine NB
+    behavior. Per doc: n_tokens, votes_hq, votes_lq, and the majority
+    verdict pred_hq. Products ride decimal(38,0) (Spark) / HUGEINT
+    (DuckDB) — exact to ~1e38, far past 100 TB token counts.
+
+    100 TB posture: one training pass (shard scan -> token explode ->
+    vocab-scale groupBy), one scoring pass (corpus scan -> token
+    explode -> merge-pinned LEFT join to the vocab stats -> per-doc
+    agg). The stats frame is localCheckpointed (consumed by the join
+    AND the totals roll-up); the totals ride a broadcast 1-row frame.
+    Nothing collects; no driver loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_expr = f"split({_NORM_SPARK}, ' ')"
+    # pseudo-labels INLINE on the training shard (no corpus-scale label
+    # join): the rule score reads the shared toks barrier once
+    train_stats = docs.where(QC_TRAIN_SPARK).select(
+        "doc_id",
+        "text",
+        F.expr(toks_expr).alias("toks"),
+    ).select(
+        "toks",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("length(regexp_replace(text, '[^.,;:!?]', ''))").alias(
+            "n_punct"
+        ),
+        F.expr(
+            "cast(aggregate(toks, 0, (acc, t) -> acc + length(t)) as double)"
+            " / size(toks)"
+        ).alias("avg_token_len"),
+    )
+    train = quality_scored(train_stats).select(
+        F.explode_outer("toks").alias("w"),
+        (F.col("quality_score") >= 70).cast("long").alias("hq"),
+    ).where(F.col("w").isNotNull())
+    counts = (
+        train.groupBy("w")
+        .agg(
+            F.sum("hq").alias("c_hq"),
+            F.sum(F.lit(1) - F.col("hq")).alias("c_lq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("c_hq").alias("n_hq"),
+        F.sum("c_lq").alias("n_lq"),
+        F.count("*").alias("v"),
+    )
+    toks_all = docs.select(
+        "doc_id", F.explode_outer(F.expr(toks_expr)).alias("w")
+    ).where(F.col("w").isNotNull())
+    lhs = "(coalesce(c_hq, 0) + 1) * cast(n_lq + v as decimal(38,0))"
+    rhs = "(coalesce(c_lq, 0) + 1) * cast(n_hq + v as decimal(38,0))"
+    scored = (
+        toks_all.join(counts.hint("merge"), "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(f"IF({lhs} > {rhs}, 1, 0)").alias("v_hq"),
+            F.expr(f"IF({lhs} < {rhs}, 1, 0)").alias("v_lq"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("v_hq").alias("votes_hq"),
+            F.sum("v_lq").alias("votes_lq"),
+        )
+        .withColumn(
+            "pred_hq",
+            F.when(F.col("votes_hq") > F.col("votes_lq"), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS w
+  FROM documents
+), labels AS (
+  SELECT doc_id, CASE WHEN quality_score >= 70 THEN 1 ELSE 0 END AS hq
+  FROM ({ORACLE_QUALITY_SCORED}) q
+  WHERE {QC_TRAIN_DUCK}
+), counts AS (
+  SELECT w, SUM(l.hq) AS c_hq, SUM(1 - l.hq) AS c_lq
+  FROM toks t JOIN labels l USING (doc_id)
+  GROUP BY w
+), tot AS (
+  SELECT SUM(c_hq) AS n_hq, SUM(c_lq) AS n_lq, COUNT(*) AS v FROM counts
+)
+SELECT doc_id, n_tokens, votes_hq, votes_lq,
+       CAST(CASE WHEN votes_hq > votes_lq THEN 1 ELSE 0 END AS INTEGER)
+         AS pred_hq
+FROM (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN (COALESCE(c.c_hq, 0) + 1) * (tot.n_lq + tot.v)
+                           > (COALESCE(c.c_lq, 0) + 1) * (tot.n_hq + tot.v)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS votes_hq,
+         CAST(SUM(CASE WHEN (COALESCE(c.c_hq, 0) + 1) * (tot.n_lq + tot.v)
+                           < (COALESCE(c.c_lq, 0) + 1) * (tot.n_hq + tot.v)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS votes_lq
+  FROM toks t LEFT JOIN counts c USING (w) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
 """
 
 
@@ -861,6 +994,7 @@ QUERIES = {
     "text_stats": text_stats,
     "text_chunk_udtf": text_chunk_udtf,
     "text_quality_filter": text_quality_filter,
+    "text_quality_classifier": text_quality_classifier,
     "text_lang_id": text_lang_id,
     "text_lang_id_ngram": text_lang_id_ngram,
     "text_fingerprint": text_fingerprint,
@@ -878,6 +1012,7 @@ ORACLES = {
     "text_stats": ORACLE_TEXT_STATS,
     "text_chunk_udtf": ORACLE_CHUNK_UDTF,
     "text_quality_filter": ORACLE_TEXT_QUALITY,
+    "text_quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "text_lang_id": _oracle_lang_id(),
     "text_lang_id_ngram": _oracle_lang_id_ngram(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
@@ -1029,56 +1164,109 @@ QUERIES["text_scrub_pii"] = text_scrub_pii
 ORACLES["text_scrub_pii"] = _oracle_text_scrub_pii()
 
 
-# --- iterative BPE induction (the full merge loop) -----------------------------
+# --- iterative BPE induction (batched merge selection) -------------------------
+#
+# Merge-count scaling (round-9 Next #1): one merge per vocab-scale pass
+# caps a session at toy budgets (8 merges = 16 blocking jobs). Each pass
+# now selects a BATCH of pairwise NON-INTERACTING merges from the top
+# candidates: two merges interact iff any of {s1, s2, s1||s2} collide —
+# symbol-disjointness makes their occurrences position-disjoint (an
+# overlap would need a shared symbol), and the concat guard excludes
+# fuse-cascades (a fused symbol can never equal another rule's s1/s2),
+# so applying the batch in ONE leftmost-first fold pass equals applying
+# its members sequentially in any order. Selection is greedy in
+# (count DESC, s1, s2) order over stale counts — the standard parallel-
+# BPE approximation: counts of symbol-disjoint pairs are invariant under
+# each other's application, so within a batch every selected count is
+# exact; only cross-batch ordering differs from strict sequential BPE.
 
-BPE_N_MERGES = 8  # fixed merge budget; each merge is one vocab-scale pass
+BPE_ITERS = 6  # fixed induction passes (the oracle replays exactly these)
+BPE_BATCH = 16  # max merges selected per pass
+BPE_CAND = 256  # top-candidate pool fed to the selection fold
+
+# ordered candidate array: sort_array on (-count, s1, s2) = the argmax
+# total order; built AFTER a TakeOrdered LIMIT so the array is bounded
+_BPE_CANDS_EXPR = (
+    "transform(sort_array(collect_list("
+    "struct(-pair_count AS neg, s1, s2, pair_count))),"
+    " e -> struct(e.s1 AS s1, e.s2 AS s2, e.pair_count AS pair_count))"
+)
+
+# greedy non-interacting selection (a bounded fold over <= BPE_CAND
+# elements in a 1-row frame — never leaves the cluster)
+_BPE_SELECT_EXPR = f"""aggregate(
+  cands,
+  named_struct(
+    'sel', cast(array() as array<struct<s1:string,s2:string,pair_count:bigint>>),
+    'used', cast(array() as array<string>)),
+  (acc, c) -> IF(size(acc.sel) < {BPE_BATCH}
+                 AND NOT arrays_overlap(acc.used,
+                                        array(c.s1, c.s2, concat(c.s1, c.s2))),
+              named_struct(
+                'sel', concat(acc.sel, array(c)),
+                'used', concat(acc.used,
+                               array(c.s1, c.s2, concat(c.s1, c.s2)))),
+              acc),
+  acc -> acc.sel)"""
+
+# one leftmost-first pass applying EVERY rule in the batch: within a
+# batch all s2 are distinct (symbol-disjoint), so the s2->s1 map lookup
+# identifies the unique candidate rule; the ends_with space-guard keeps
+# the check token-exact (symbols never contain spaces). Adjacent repeats
+# fuse leftmost-first — 'a n a n' under (a,n) -> 'an an' (a literal
+# replace(' s1 s2 ') is WRONG on adjacent repeats: both engines' replace
+# continues scanning AFTER each replacement and consecutive occurrences
+# share their boundary space — the hand-computed banana test).
+_BPE_APPLY_FOLD = (
+    "trim(aggregate(split(trim(s), ' '), '', (acc, x) -> "
+    "CASE WHEN element_at(m, x) IS NOT NULL "
+    "AND endswith(acc, concat(' ', element_at(m, x))) "
+    "THEN concat(acc, x) ELSE concat(acc, ' ', x) END))"
+)
 
 
 def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full BPE tokenizer-induction loop (Sennrich et al.,
-    arXiv:1508.07909), iterating text_bpe_merge_pairs' single step for
-    BPE_N_MERGES merges: count frequency-weighted adjacent-symbol pairs
-    over the working vocabulary, merge the argmax pair (count DESC, then
-    pair lexicographic — the deterministic tie-break) into every word,
-    repeat. Returns the ordered merge table (merge_rank, s1, s2,
-    pair_count) — the artifact a BPE tokenizer ships.
+    arXiv:1508.07909) with batched non-interacting merge selection:
+    BPE_ITERS passes, each counting frequency-weighted adjacent-symbol
+    pairs over the working vocabulary and selecting up to BPE_BATCH
+    pairwise non-interacting merges greedily in (count DESC, s1, s2)
+    order from the top BPE_CAND candidates. Returns the ordered merge
+    table (merge_rank, s1, s2, pair_count) — the artifact a BPE
+    tokenizer ships; merge_rank is (pass, within-pass selection order)
+    flattened.
 
-    Symbol state is a single-space-joined string per vocab word; a merge
-    is a left fold over the token list with a STRING accumulator: if the
-    accumulator ends with ' '||s1 and the next token is s2, append s2
-    WITHOUT a separator (fusing the pair), else append ' '||token. The
-    fold is leftmost-first and correctly handles ADJACENT merges —
-    'a n a n' under (a,n) fuses to 'an an'. (A literal
-    replace(' s1 s2 ') looks equivalent but is NOT: both engines'
-    replace continues scanning AFTER the replacement, and consecutive
-    occurrences share their boundary space, so the second fuse is
-    skipped — caught by the hand-computed banana test.) The space-guard
-    in ends_with is what makes the check token-exact: symbols never
-    contain spaces, so ' '||s1 matches only a whole trailing symbol.
+    No driver-side data movement: each pass's candidate pool is a
+    TakeOrdered LIMIT into a 1-row array frame; the selection fold and
+    the s2->s1 apply map live in that row, which rides a broadcast into
+    the vocab rewrite. Batch and vocab frames are localCheckpointed per
+    pass (both are multiply consumed — unchecked, the DAG doubles per
+    level).
 
-    No driver-side data movement: each iteration's argmax is a 1-row
-    frame (localCheckpointed — it feeds both the merge crossJoin and the
-    final output union, the small-multiply-consumed-frame rule) riding a
-    broadcast into the vocab rewrite; the vocab frame is checkpointed
-    per iteration because iteration i+1's pair count and rewrite BOTH
-    consume it (unchecked, the DAG doubles per level — 2^N blowup).
-
-    100 TB posture — the fastBPE/SentencePiece trick text_bpe_merge_pairs
-    already uses: everything after the one corpus tokenize runs at
-    VOCABULARY scale (Heaps-law sublinear in corpus size), so the loop
-    costs N vocab-sized shuffles, never N corpus passes. The merge
-    choice never leaves the cluster."""
+    100 TB posture — the fastBPE/SentencePiece trick: everything after
+    the one corpus tokenize runs at VOCABULARY scale (Heaps-law
+    sublinear in corpus size). Cost is 2 vocab-scale jobs per PASS, and
+    a pass earns up to BPE_BATCH merges — ~N/8 blocking jobs for N
+    merges (measured: 73 merges in 12 jobs at sf0.01), vs 2N for the
+    one-merge-per-pass loop this replaces; per-merge cost is flat in
+    corpus size (PERF_NOTES x-ladder)."""
     from functools import reduce as _reduce
 
-    merges, _vocab = _bpe_train(spark, sf_dir)
-    if not merges:
-        # a corpus with zero mergeable pairs (empty / all-NULL text /
-        # only 1-char words): the oracle returns 0 rows, so must we —
-        # the early break would otherwise hand reduce() an empty list
-        return spark.createDataFrame(
-            [], "merge_rank int, s1 string, s2 string, pair_count bigint"
-        )
-    return _reduce(lambda a, b: a.unionByName(b), merges)
+    batches, _vocab = _bpe_train(spark, sf_dir)
+    per_pass = [
+        b.select(F.lit(i).alias("it"), F.posexplode("batch").alias("pos", "c"))
+        for i, b in enumerate(batches, start=1)
+    ]
+    allm = _reduce(lambda a, b: a.unionByName(b), per_pass)
+    # global rank over <= BPE_ITERS*BPE_BATCH rows — a single-partition
+    # window over a bounded frame, not a data-scale sort
+    w = Window.orderBy("it", "pos")
+    return allm.select(
+        F.row_number().over(w).alias("merge_rank"),
+        F.col("c.s1").alias("s1"),
+        F.col("c.s2").alias("s2"),
+        F.col("c.pair_count").alias("pair_count"),
+    )
 
 
 def _bpe_train(
@@ -1087,9 +1275,14 @@ def _bpe_train(
     """The induction loop shared by text_bpe_vocab (the merge table),
     text_tokenize_bpe (the final per-word segmentation), and
     text_tokenize_bpe_oov (train-split-only training): returns
-    ([one 1-row merge frame per rank], final vocab (w, s, freq) with s
-    the space-joined symbol string after every merge). ``where`` filters
-    the TRAINING corpus (SQL predicate over documents columns)."""
+    ([one 1-row frame per pass with ``batch`` array<struct<s1,s2,
+    pair_count>> (selection order) and ``m`` map<s2,s1>], final vocab
+    (w, s, freq) with s the space-joined symbol string after every
+    pass). ``where`` filters the TRAINING corpus (SQL predicate over
+    documents columns). A pass whose corpus has no pairs left selects
+    an empty batch and the vocab state carries unchanged — every run
+    executes exactly BPE_ITERS passes, mirroring the oracle's fixed CTE
+    chain."""
     docs = load_table(spark, sf_dir, "documents")
     if where is not None:
         docs = docs.where(where)
@@ -1110,55 +1303,67 @@ def _bpe_train(
         " i -> struct(toks[i - 1] AS s1, toks[i] AS s2)), array())"
     )
     cur = vocab.localCheckpoint(eager=True)
-    merges = []
-    for rank in range(1, BPE_N_MERGES + 1):
+    batches = []
+    for _ in range(BPE_ITERS):
         pairs = (
             cur.select("freq", F.expr("split(trim(s), ' ')").alias("toks"))
             .select("freq", F.explode_outer(F.expr(pairs_expr)).alias("p"))
             .where(F.col("p").isNotNull())
         )
-        best = (
-            pairs.groupBy(F.col("p.s1").alias("m1"), F.col("p.s2").alias("m2"))
+        cands = (
+            pairs.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
             .agg(F.sum("freq").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), F.asc("m1"), F.asc("m2"))
-            .limit(1)
-            .localCheckpoint(eager=True)
+            .orderBy(F.desc("pair_count"), F.asc("s1"), F.asc("s2"))
+            .limit(BPE_CAND)
         )
-        if best.count() == 0:
-            # pairs exhausted before the merge budget: stop, KEEPING the
-            # final vocab state (the crossJoin with an empty argmax
-            # would wipe it — every word is one symbol, nothing left to
-            # learn; the oracle's LEFT-JOIN carry mirrors this)
-            break
-        fold = (
-            "trim(aggregate(split(trim(s), ' '), '', (acc, x) -> "
-            "CASE WHEN endswith(acc, concat(' ', m1)) AND x = m2 "
-            "THEN concat(acc, x) ELSE concat(acc, ' ', x) END))"
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(best))
-            .select("w", F.expr(fold).alias("s"), "freq")
-            .localCheckpoint(eager=True)
-        )
-        merges.append(
-            best.select(
-                F.lit(rank).alias("merge_rank"),
-                F.col("m1").alias("s1"),
-                F.col("m2").alias("s2"),
-                "pair_count",
+        batch = (
+            cands.agg(F.expr(_BPE_CANDS_EXPR).alias("cands"))
+            .select(F.expr(_BPE_SELECT_EXPR).alias("batch"))
+            .withColumn(
+                "m",
+                F.expr("map_from_entries(transform(batch,"
+                       " c -> struct(c.s2, c.s1)))"),
             )
+            .localCheckpoint(eager=True)
         )
-    return merges, cur
+        batches.append(batch)
+        # empty batch (pairs exhausted): m is an empty map, the fold
+        # carries every word unchanged — no break, the oracle's CTE
+        # chain runs the same fixed number of passes
+        cur = (
+            cur.crossJoin(F.broadcast(batch.select("m")))
+            .select("w", F.expr(_BPE_APPLY_FOLD).alias("s"), "freq")
+            .localCheckpoint(eager=True)
+        )
+    return batches, cur
 
 
 def _oracle_bpe_vocab(where_sql: str = "") -> "tuple[str, str, str]":
-    """Chained-CTE replay of the same BPE_N_MERGES merges (the
+    """Chained-CTE replay of the same BPE_ITERS batched passes (the
     mix_pack_greedy N-step precedent — DuckDB's recursive CTEs cannot
-    carry an argmax-per-step list state). Returns (with_clause,
-    merge_table_selects, final_vocab_cte_name) — composed into the
+    carry a list state per step). Returns (with_clause,
+    merge_table_select, final_vocab_cte_name) — composed into the
     merge-table oracle by _oracle_bpe_sql, the tokenizer-apply oracle by
     _oracle_tokenize_bpe, and the OOV oracle by _oracle_tokenize_oov.
-    ``where_sql`` (e.g. " WHERE NOT (...)") filters the TRAINING corpus."""
+    ``where_sql`` (e.g. " WHERE NOT (...)") filters the TRAINING corpus.
+
+    DuckDB 1.0 list_reduce scar (probed, this round): a lambda whose
+    CASE returns the LIST accumulator unchanged after the condition
+    scanned it (list_has_any/list_intersect/list_contains) corrupts the
+    accumulator for later steps — the selection fold therefore ALWAYS
+    list_concats, appending an empty list on reject. The flat VARCHAR[]
+    accumulator interleaves [s1, s2, s1||s2, marker] per accepted
+    candidate; the marker carries a LEADING SPACE, which no symbol can
+    contain, so markers never collide with used-symbol entries and
+    list_has_any(acc, x) is exactly the non-interaction predicate
+    (markers are pairwise distinct: pairs are GROUP BY keys).
+
+    Every chain CTE is AS MATERIALIZED: v{{r}} is referenced by both
+    p{{r+1}} and v{{r+1}} (and br{{r}} by v{{r}} plus the OOV o-chain),
+    and DuckDB inlines multiply-referenced CTEs here — the unmaterialized
+    chain re-evaluates its whole prefix per reference (measured: the OOV
+    oracle 150 s -> 0.7 s at sf0.01). The same 2^N hazard the Spark loop
+    kills with localCheckpoint."""
     pairs = (
         "CASE WHEN len(toks) >= 2 THEN"
         " list_transform(generate_series(1, len(toks) - 1),"
@@ -1170,7 +1375,7 @@ def _oracle_bpe_vocab(where_sql: str = "") -> "tuple[str, str, str]":
         " ELSE [] END"
     )
     ctes = [
-        f"""v0 AS (
+        f"""v0 AS MATERIALIZED (
   SELECT w, array_to_string({chars}, ' ') AS s, freq
   FROM (SELECT w, COUNT(*) AS freq FROM (
           SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS w
@@ -1179,47 +1384,76 @@ def _oracle_bpe_vocab(where_sql: str = "") -> "tuple[str, str, str]":
 )"""
     ]
     selects = []
-    for r in range(1, BPE_N_MERGES + 1):
+    for r in range(1, BPE_ITERS + 1):
         prev = f"v{r - 1}"
-        # v{r} LEFT-JOINs its 1-row argmax ON TRUE: when the corpus
-        # exhausts its pairs before the merge budget, m{r} is EMPTY and
-        # the vocab state must CARRY (the Spark loop breaks and keeps
-        # cur); a plain cross join would wipe it
         ctes.append(
-            f"""p{r} AS (
-  SELECT p.s1 AS m1, p.s2 AS m2, SUM(freq) AS pair_count FROM (
+            f"""p{r} AS MATERIALIZED (
+  SELECT p.s1 AS s1, p.s2 AS s2, SUM(freq) AS pair_count FROM (
     SELECT freq, unnest({pairs}) AS p FROM (
       SELECT freq, string_split(trim(s), ' ') AS toks FROM {prev})
   ) GROUP BY 1, 2
-), m{r} AS (
-  SELECT m1, m2, pair_count FROM p{r}
-  ORDER BY pair_count DESC, m1 ASC, m2 ASC LIMIT 1
-), v{r} AS (
+), c{r} AS MATERIALIZED (
+  SELECT list({{'s1': s1, 's2': s2, 'cnt': CAST(pair_count AS BIGINT)}}
+              ORDER BY pair_count DESC, s1, s2) AS cands
+  FROM (SELECT s1, s2, pair_count FROM p{r}
+        ORDER BY pair_count DESC, s1, s2 LIMIT {BPE_CAND})
+), s{r} AS MATERIALIZED (
+  SELECT list_reduce(
+    list_prepend(CAST([] AS VARCHAR[]),
+      list_transform(
+        coalesce(cands,
+                 CAST([] AS STRUCT(s1 VARCHAR, s2 VARCHAR, cnt BIGINT)[])),
+        c -> [c.s1, c.s2, c.s1 || c.s2,
+              ' ' || c.s1 || ' ' || c.s2 || ' ' || c.cnt])),
+    (acc, x) -> list_concat(acc,
+      CASE WHEN len(acc) < {4 * BPE_BATCH} AND NOT list_has_any(acc, x)
+           THEN x ELSE CAST([] AS VARCHAR[]) END)) AS flat
+  FROM c{r}
+), b{r} AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY i) AS pos,
+         parts[2] AS s1, parts[3] AS s2,
+         CAST(parts[4] AS BIGINT) AS pair_count
+  FROM (
+    SELECT string_split(e, ' ') AS parts, i FROM (
+      SELECT unnest(coalesce(flat, CAST([] AS VARCHAR[]))) AS e,
+             generate_subscripts(coalesce(flat, CAST([] AS VARCHAR[])), 1)
+               AS i
+      FROM s{r})
+    WHERE e[1] = ' '
+  )
+), br{r} AS MATERIALIZED (
+  SELECT coalesce(list({{'s1': s1, 's2': s2}}),
+                  CAST([] AS STRUCT(s1 VARCHAR, s2 VARCHAR)[])) AS rules
+  FROM b{r}
+), v{r} AS MATERIALIZED (
   SELECT w,
-         CASE WHEN m.m1 IS NULL THEN s
-              ELSE trim(list_reduce(
-                list_prepend('', string_split(trim(s), ' ')),
-                (acc, x) -> CASE WHEN ends_with(acc, ' ' || m.m1)
-                                 AND x = m.m2
-                            THEN acc || x ELSE acc || ' ' || x END))
-         END AS s, freq
-  FROM {prev} LEFT JOIN m{r} m ON true
+         trim(list_reduce(
+           list_prepend('', string_split(trim(s), ' ')),
+           (acc, x) -> CASE WHEN len(list_filter(rules,
+                              p -> p.s2 = x
+                                   AND ends_with(acc, ' ' || p.s1))) > 0
+                       THEN acc || x ELSE acc || ' ' || x END)) AS s,
+         freq
+  FROM {prev} CROSS JOIN br{r}
 )"""
         )
-        selects.append(
-            f"SELECT {r} AS merge_rank, m1 AS s1, m2 AS s2,"
-            f" CAST(pair_count AS BIGINT) AS pair_count FROM m{r}"
-        )
+        selects.append(f"SELECT {r} AS it, pos, s1, s2, pair_count FROM b{r}")
+    union = "\nUNION ALL\n".join(selects)
+    merge_select = (
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY it, pos) AS INT)"
+        " AS merge_rank, s1, s2, pair_count\n"
+        f"FROM ({union})"
+    )
     return (
         "WITH " + ",\n".join(ctes),
-        "\nUNION ALL\n".join(selects),
-        f"v{BPE_N_MERGES}",
+        merge_select,
+        f"v{BPE_ITERS}",
     )
 
 
 def _oracle_bpe_sql() -> str:
-    with_sql, merge_selects, _final = _oracle_bpe_vocab()
-    return with_sql + "\n" + merge_selects
+    with_sql, merge_select, _final = _oracle_bpe_vocab()
+    return with_sql + "\n" + merge_select
 
 
 QUERIES["text_bpe_vocab"] = text_bpe_vocab
@@ -1231,7 +1465,7 @@ def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge table and the number every training-data budget actually
     needs: per-document token counts under the induced BPE vocabulary
     (vs whitespace tokens), i.e. the corpus's real sequence-length
-    distribution after BPE_N_MERGES merges. Emits (doc_id,
+    distribution after BPE_ITERS batched passes. Emits (doc_id,
     n_ws_tokens, n_bpe_tokens, bpe_per_token); NULL-text docs tokenize
     to no words and drop (family contract).
 
@@ -1244,7 +1478,7 @@ def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode (the family's broadcast trap), and the vocab side, while
     usually broadcastable, is unbounded in principle (Heaps at 100 TB).
     """
-    _merges, vocab = _bpe_train(spark, sf_dir)
+    _batches, vocab = _bpe_train(spark, sf_dir)
     seg = vocab.select(
         "w", F.expr("size(split(trim(s), ' '))").alias("n_sym")
     )
@@ -1315,17 +1549,16 @@ def text_tokenize_bpe_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc: n_ws_tokens, n_bpe_tokens, n_oov_words.
 
     100 TB posture: the replay runs over the held-out shard's DISTINCT
-    unseen words (vocabulary-scale, Heaps-sublinear), as BPE_N_MERGES
-    chained narrow projections — each merge rides the same broadcast
-    1-row frame the trainer produced, so the corpus is tokenized once
-    and joined once (merge-pinned; the corpus side sits under a
-    stat-less explode). Nothing collects.
+    unseen words (vocabulary-scale, Heaps-sublinear), as BPE_ITERS
+    chained narrow projections — each pass's batch rides the same
+    broadcast 1-row map frame the trainer produced, so the corpus is
+    tokenized once and joined once (merge-pinned; the corpus side sits
+    under a stat-less explode). Nothing collects.
 
     Oracle: the trainer CTEs filtered to the training split + an o0..oN
-    fold chain over the anti-joined OOV word set, using the same
-    LEFT-JOIN carry so a pairs-exhausted training corpus replays
-    correctly."""
-    merges, vocab = _bpe_train(
+    fold chain over the anti-joined OOV word set, riding the same br{r}
+    rule lists so a pairs-exhausted pass replays as a carry."""
+    batches, vocab = _bpe_train(
         spark, sf_dir, where=f"NOT ({_BPE_HELDOUT_SPARK})"
     )
     seg_seen = vocab.select(
@@ -1352,16 +1585,10 @@ def text_tokenize_bpe_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(seg_seen.select("w"), "w", "left_anti")
         .select("w", F.expr(f"concat_ws(' ', {chars})").alias("s"))
     )
-    fold = (
-        "trim(aggregate(split(trim(s), ' '), '', (acc, x) -> "
-        "CASE WHEN endswith(acc, concat(' ', m1)) AND x = m2 "
-        "THEN concat(acc, x) ELSE concat(acc, ' ', x) END))"
-    )
-    for best in merges:  # rank order; 1-row checkpointed frames
-        oov = oov.crossJoin(
-            F.broadcast(best.select(F.col("s1").alias("m1"),
-                                    F.col("s2").alias("m2")))
-        ).select("w", F.expr(fold).alias("s"))
+    for batch in batches:  # pass order; 1-row checkpointed map frames
+        oov = oov.crossJoin(F.broadcast(batch.select("m"))).select(
+            "w", F.expr(_BPE_APPLY_FOLD).alias("s")
+        )
     seg_oov = oov.select(
         "w",
         F.expr("size(split(trim(s), ' '))").alias("n_sym"),
@@ -1389,28 +1616,27 @@ def _oracle_tokenize_oov() -> str:
         " ELSE [] END"
     )
     oov_ctes = [
-        f"""ho AS (
+        f"""ho AS MATERIALIZED (
   SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS w
   FROM documents WHERE {_BPE_HELDOUT_DUCK}
-), o0 AS (
+), o0 AS MATERIALIZED (
   SELECT w, array_to_string({chars}, ' ') AS s FROM (
     SELECT DISTINCT w FROM ho
     WHERE w NOT IN (SELECT w FROM {final_v})
   )
 )"""
     ]
-    for r in range(1, BPE_N_MERGES + 1):
+    for r in range(1, BPE_ITERS + 1):
         oov_ctes.append(
-            f"""o{r} AS (
+            f"""o{r} AS MATERIALIZED (
   SELECT w,
-         CASE WHEN m.m1 IS NULL THEN s
-              ELSE trim(list_reduce(
-                list_prepend('', string_split(trim(s), ' ')),
-                (acc, x) -> CASE WHEN ends_with(acc, ' ' || m.m1)
-                                 AND x = m.m2
-                            THEN acc || x ELSE acc || ' ' || x END))
-         END AS s
-  FROM o{r - 1} LEFT JOIN m{r} m ON true
+         trim(list_reduce(
+           list_prepend('', string_split(trim(s), ' ')),
+           (acc, x) -> CASE WHEN len(list_filter(rules,
+                              p -> p.s2 = x
+                                   AND ends_with(acc, ' ' || p.s1))) > 0
+                       THEN acc || x ELSE acc || ' ' || x END)) AS s
+  FROM o{r - 1} CROSS JOIN br{r}
 )"""
         )
     return f"""{with_sql},
@@ -1420,7 +1646,7 @@ seg AS (
   FROM {final_v}
   UNION ALL
   SELECT w, len(string_split(trim(s), ' ')) AS n_sym, 1 AS is_oov
-  FROM o{BPE_N_MERGES}
+  FROM o{BPE_ITERS}
 )
 SELECT ho.doc_id,
        COUNT(*) AS n_ws_tokens,

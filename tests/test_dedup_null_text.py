@@ -34,10 +34,28 @@ def crafted(spark, tmp_path_factory):
         " n_chars: long",
     )
     df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    # embeddings: the semantic side of mm_dedup_keep_list /
+    # mm_semantic_dedup links media items 1:1 on id. Axis-orthogonal
+    # seed vectors -> no semantic pairs (the NULL contract is about text
+    # behavior, not geometry); ids 2,3 (NULL text) HAVE embeddings but
+    # no payload, so the media-universe filter must exclude them; ids
+    # 6,7 have embeddings but no document row (the link join drops them)
+    erows = []
+    for s in range(8):
+        v = [0.0] * 8
+        v[s] = 10.0
+        erows.append((s, v, "seed"))
+    spark.createDataFrame(
+        erows, "vec_id: long, embedding: array<float>, label: string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM read_parquet("
         f"'{tmp}/documents.parquet/*.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp}/embeddings.parquet/*.parquet')"
     )
     return str(tmp), con
 
@@ -101,8 +119,16 @@ def crafted(spark, tmp_path_factory):
         # keep-first span removal shares the span family's NULL contract
         "text_dedup_within_keep_first",
         # multimodal keep-list: NULL/short payloads get no row in both
-        # engines (the fingerprintable-universe contract)
+        # engines (the fingerprintable-universe contract; since round 10
+        # it also rides the semantic verdict's left join)
         "mm_dedup_keep_list",
+        # semantic mm dedup: NULL-payload items leave the media universe
+        # even when their embedding exists; embeddings without documents
+        # never link
+        "mm_semantic_dedup",
+        # learned quality gate: NULL-text docs tokenize to no words ->
+        # no training rows, no scored rows, in both engines
+        "text_quality_classifier",
         # tokenizer application: NULL-text docs tokenize to no words
         "text_tokenize_bpe",
         # the train/apply split variant: NULL held-out docs drop too
@@ -346,13 +372,18 @@ def test_scrub_pii_cascade_and_nulls(spark, tmp_path):
 
 
 def test_bpe_vocab_replays_hand_computed_merges(spark, tmp_path):
-    # Hand-derivable induction on 'banana banana banana bandana':
-    # (a,n)=8 -> an; then (an,a)=4 TIES (b,an)=4 and must win on the
-    # s1-lexicographic tie-break ('an' < 'b'); then (b,an)=4; the
-    # leftmost-first merge means [b,an,an,a] collapses to [b,an,ana],
-    # never [b,ana,na]. After 6 merges bandana is one symbol and the
-    # corpus has NO pairs left — ranks 7..8 yield no rows, identically
-    # in both engines (the argmax frame goes empty).
+    # Hand-derivable BATCHED induction on 'banana banana banana
+    # bandana'. Pass 1: (a,n)=8 tops; every other pair shares a or n,
+    # so the batch is a singleton. Pass 2: (an,a)=4 TIES (b,an)=4 and
+    # wins the s1-lexicographic tie-break ('an' < 'b'); all remaining
+    # candidates share an/a -> singleton again; leftmost-first means
+    # [b,an,an,a] collapses to [b,an,ana], never [b,ana,na]. Pass 3
+    # shows the BATCH: (b,an)=4 selected, (an,ana)/(an,d) share 'an',
+    # but (d,ana)=1 is disjoint from {b,an,ban} -> TWO merges in one
+    # pass (ranks 3 and 4 — sequential BPE would have ordered (ban,ana)
+    # before (d,ana)). Pass 4: (ban,ana)=3; (ban,dana) shares ban.
+    # Pass 5: (ban,dana)=1. Pass 6: no pairs left — an empty batch that
+    # must CARRY the vocab, identically in both engines.
     import duckdb as _duckdb
 
     from datafusion_loki_spark.operators.text import ORACLES, text_bpe_vocab
@@ -379,9 +410,9 @@ def test_bpe_vocab_replays_hand_computed_merges(spark, tmp_path):
         (1, "a", "n", 8),
         (2, "an", "a", 4),     # the tie-break merge
         (3, "b", "an", 4),
-        (4, "ban", "ana", 3),
-        (5, "ban", "d", 1),
-        (6, "band", "ana", 1),
+        (4, "d", "ana", 1),    # batched with rank 3 (disjoint symbols)
+        (5, "ban", "ana", 3),
+        (6, "ban", "dana", 1),
     ], got
 
     con = _duckdb.connect()
@@ -395,10 +426,14 @@ def test_bpe_vocab_replays_hand_computed_merges(spark, tmp_path):
     assert ok, detail
 
 
-def _naive_bpe(texts, n_merges):
-    """Reference BPE trainer: vocabulary-weighted pair counts, argmax on
-    (count desc, s1 asc, s2 asc), leftmost non-overlapping merge — the
-    published algorithm, independent of both engines' SQL."""
+def _naive_bpe(texts, iters, batch, cand):
+    """Reference BATCHED BPE trainer, independent of both engines' SQL:
+    per pass, vocabulary-weighted pair counts; greedy selection in
+    (count desc, s1 asc, s2 asc) order of up to ``batch`` pairwise
+    non-interacting merges (no collision among any selected pair's
+    {s1, s2, s1+s2}) from the top ``cand`` candidates; then ONE
+    leftmost non-overlapping application pass of the whole batch (order-
+    independent by the disjointness invariant)."""
     from collections import Counter
 
     vocab = Counter()
@@ -408,27 +443,31 @@ def _naive_bpe(texts, n_merges):
         for w in " ".join(t.split()).lower().strip().split(" "):
             vocab[tuple(w)] += 1
     merges = []
-    for rank in range(1, n_merges + 1):
+    for _ in range(iters):
         pairs = Counter()
         for syms, freq in vocab.items():
             for i in range(len(syms) - 1):
                 pairs[(syms[i], syms[i + 1])] += freq
-        if not pairs:
-            break
-        (s1, s2), cnt = min(
+        cands = sorted(
             pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        merges.append((rank, s1, s2, cnt))
+        )[:cand]
+        sel, used = [], set()
+        for (s1, s2), cnt in cands:
+            trio = {s1, s2, s1 + s2}
+            if len(sel) < batch and not (trio & used):
+                sel.append((s1, s2, cnt))
+                used |= trio
+        for s1, s2, cnt in sel:
+            merges.append((len(merges) + 1, s1, s2, cnt))
+        fuse = {s2: s1 for s1, s2, _ in sel}  # s2 distinct within a batch
         new_vocab = Counter()
         for syms, freq in vocab.items():
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
-                    out.append(s1 + s2)
-                    i += 2
+            out = []
+            for x in syms:
+                if x in fuse and out and out[-1] == fuse[x]:
+                    out[-1] = out[-1] + x
                 else:
-                    out.append(syms[i])
-                    i += 1
+                    out.append(x)
             new_vocab[tuple(out)] += freq
         vocab = new_vocab
     return merges
@@ -456,7 +495,9 @@ def test_bpe_vocab_matches_naive_reference_trainer(spark, tmp_path, texts):
     import duckdb as _duckdb
 
     from datafusion_loki_spark.operators.text import (
-        BPE_N_MERGES,
+        BPE_BATCH,
+        BPE_CAND,
+        BPE_ITERS,
         ORACLES,
         text_bpe_vocab,
     )
@@ -479,7 +520,7 @@ def test_bpe_vocab_matches_naive_reference_trainer(spark, tmp_path, texts):
         .orderBy("merge_rank")
         .collect()
     ]
-    assert got == _naive_bpe(texts, BPE_N_MERGES), texts
+    assert got == _naive_bpe(texts, BPE_ITERS, BPE_BATCH, BPE_CAND), texts
     con = _duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM read_parquet("
@@ -544,11 +585,14 @@ def test_tokenize_bpe_applies_the_learned_merges(spark, tmp_path):
 def test_tokenize_bpe_oov_replays_merges_on_unseen_words(spark, tmp_path):
     # Train on 'banana banana banana bandana' (doc 0, train bucket);
     # held-out doc 27 (md5 bucket '0') mixes SEEN words with true OOV.
-    # Learned merges (hand-derived in the sibling test): an, ana, ban,
-    # banana, band(+d), bandana. OOV replay: 'banal' = chars b a n a l
-    # -> (a,n): [b,an,a,l] -> (an,a): [b,ana,l] -> (b,an)? no 'an' ->
-    # (ban,ana)? no -> ... = [b,ana,l] = 3 symbols; 'dana' = d a n a ->
-    # [d,an,a] -> [d,ana] = 2 symbols; seen 'banana' = 1 symbol.
+    # Learned merges (hand-derived in the sibling test): an, ana,
+    # {ban, dana} batched in pass 3, banana, bandana. OOV replay:
+    # 'banal' = chars b a n a l -> (a,n): [b,an,a,l] -> (an,a):
+    # [b,ana,l] -> pass 3 {(b,an),(d,ana)}: next after b is 'ana' not
+    # 'an', no d -> carry -> 3 symbols; 'dana' = d a n a -> [d,an,a] ->
+    # [d,ana] -> pass 3 (d,ana) FUSES -> [dana] = 1 symbol (sequential
+    # BPE would have left it at 2 — the batch admitted (d,ana));
+    # seen 'banana' = 1 symbol.
     import duckdb as _duckdb
 
     from datafusion_loki_spark.operators.text import (
@@ -577,7 +621,7 @@ def test_tokenize_bpe_oov_replays_merges_on_unseen_words(spark, tmp_path):
     n_ws, n_bpe, n_oov = out[27]
     assert n_ws == 3
     assert n_oov == 2          # 'banal' and 'dana' are unseen
-    assert n_bpe == 1 + 3 + 2  # banana(seen,1) + banal(3) + dana(2)
+    assert n_bpe == 1 + 3 + 1  # banana(seen,1) + banal(3) + dana(1)
 
     con = _duckdb.connect()
     con.execute(

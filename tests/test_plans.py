@@ -1083,3 +1083,32 @@ def test_containment_verify_is_candidate_scale(spark, sf_dir):
     assert "FileScan" not in s, s
     plan = _plan(spark, sf_dir, "dedup_shingle_containment")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mm_semantic_dedup_pair_space_is_cell_bounded(spark, sf_dir):
+    # the re-encode catcher rides the persisted IVF index: no
+    # embeddings.parquet re-scan in the returned plan (the k-means fit
+    # happened in the index build), the pair stage is the salted
+    # within-cell join (never a cartesian), and the media-link joins are
+    # merge-pinned — the pair frame and the id frame are both stat-less,
+    # so an unpinned plan would broadcast a corpus-scale side.
+    s = _optimized(spark, sf_dir, "mm_semantic_dedup")
+    assert "embeddings.parquet" not in s, s
+    assert "salt" in s.lower(), s
+    plan = _plan(spark, sf_dir, "mm_semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_classifier_vocab_join_merge_pinned(spark, sf_dir):
+    # scoring joins the corpus token explode to the vocab stats frame:
+    # merge-pinned (the corpus side sits under a stat-less explode — the
+    # family broadcast trap), with the stats side read back from the
+    # training pass's checkpoint (Scan ExistingRDD). The totals ride
+    # exactly ONE broadcast (the 1-row crossJoin); the scoring plan
+    # re-reads the corpus exactly once.
+    plan = _plan(spark, sf_dir, "text_quality_classifier")
+    assert "SortMergeJoin" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    n_scans = plan.count("Scan parquet") or plan.count("FileScan")
+    assert n_scans == 1, plan

@@ -78,6 +78,9 @@ _R10_PINNED: tuple[str, ...] = (
     # CHANGED in r10: the manifest now gates on the learned classifier
     # too (rule gate AND NB majority vote AND keep-list)
     "corpus_build_manifest",
+    # NEW in r10: index DELETION — tombstoned build+append lifecycle,
+    # queried through the live-view anti-join (round-9 VERDICT #4)
+    "sim_ivf_index_delete",
 )
 
 _WINDOW_SIZE = 50

@@ -141,17 +141,22 @@ BENCH_QUERIES = [
 ]
 
 
-def _calibration_samples(spark, n: int = 3, warm: bool = False) -> list[float]:
+def _calibration_samples(
+    spark, clock0: float, n: int = 3, warm: bool = False
+) -> list[list[float]]:
     """Fixed synthetic pure-Spark workload — measures the machine + JVM,
     not the engine (no project code, no I/O): 256M-row range, modular
     key, shuffle agg (~1 s warm — large enough that the anchor is stable
-    against scheduler jitter). Returns RAW samples; the caller medians
-    them. Round-8 lesson: a single min-of-2 anchor swung 0.305 -> 0.62
-    between sessions and produced two false per-calib regression flags —
-    the median of 3+3 samples (taken before AND after the suite) is the
-    stable denominator, and the recorded spread tells bench_compare how
-    much to trust it."""
-    def _run() -> float:
+    against scheduler jitter). Returns [t_rel, sec] samples, t_rel
+    relative to ``clock0`` (the suite clock); the caller medians the
+    secs and bench_compare fits the timeline. Round-8 lesson: a single
+    min-of-2 anchor swung 0.305 -> 0.62 between sessions and produced
+    two false per-calib regression flags — the median of bracketing +
+    interleaved samples is the stable denominator, the recorded spread
+    says how much to trust it, and the per-sample TIMESTAMPS (round 10)
+    let bench_compare regress out linear mid-suite drift instead of
+    handing every noisy session to a human for triage."""
+    def _run() -> list[float]:
         t0 = time.perf_counter()
         (
             spark.range(0, 256_000_000, 1, 32)
@@ -160,7 +165,7 @@ def _calibration_samples(spark, n: int = 3, warm: bool = False) -> list[float]:
             .sum("id")
             .count()
         )
-        return round(time.perf_counter() - t0, 4)
+        return [round(t0 - clock0, 3), round(time.perf_counter() - t0, 4)]
 
     if warm:
         _run()  # untimed: the anchor's own codegen compile is not the
@@ -232,7 +237,7 @@ def _isolated_pass(names: list[str], sf_dir: str) -> dict[str, float]:
 
 def _shared_pass(
     names: list[str], sf_dir: str
-) -> tuple[dict[str, float], list[float]]:
+) -> tuple[dict[str, float], list[list[float]], dict[str, float]]:
     from datafusion_loki_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -246,14 +251,28 @@ def _shared_pass(
             queries[name](spark, WARMUP_DIR).count()
         except Exception:
             pass
-    samples = _calibration_samples(spark, warm=True)
-    timings = {n: _min_of_2(queries[n], spark, sf_dir) for n in names}
-    # anchor again after the suite: 3+3 samples bracketing the run, so a
-    # machine that degrades mid-suite shows up in the spread instead of
+    clock0 = time.perf_counter()
+    samples = _calibration_samples(spark, clock0, warm=True)
+    # one anchor sample between suite thirds (round 10): 6 bracketing
+    # samples alias any drift that happens DURING the ~50 s suite — the
+    # r09 spread-0.517 session needed hand triage. With interleaved
+    # timestamped samples, bench_compare fits calib(t) and judges each
+    # query against the anchor's value at ITS moment, not the global
+    # median.
+    timings: dict[str, float] = {}
+    q_end: dict[str, float] = {}
+    thirds = max(1, (len(names) + 2) // 3)
+    for i, n in enumerate(names):
+        timings[n] = _min_of_2(queries[n], spark, sf_dir)
+        q_end[n] = round(time.perf_counter() - clock0, 3)
+        if (i + 1) % thirds == 0 and (i + 1) < len(names):
+            samples += _calibration_samples(spark, clock0, n=1)
+    # anchor again after the suite: bracketing samples, so a machine
+    # that degrades mid-suite shows up in the spread instead of
     # silently biasing the denominator
-    samples += _calibration_samples(spark)
+    samples += _calibration_samples(spark, clock0)
     spark.stop()
-    return timings, samples
+    return timings, samples, q_end
 
 
 def main() -> None:
@@ -275,12 +294,13 @@ def main() -> None:
     else:
         names = [n for n in BENCH_QUERIES if n in registered]
 
-    shared, samples = _shared_pass(names, sf_dir)
+    shared, timeline, q_end = _shared_pass(names, sf_dir)
     total = round(sum(shared.values()), 4)
     import statistics
 
-    calib = round(statistics.median(samples), 4)
-    spread = round((max(samples) - min(samples)) / calib, 3) if calib else None
+    secs = [s for _t, s in timeline]
+    calib = round(statistics.median(secs), 4)
+    spread = round((max(secs) - min(secs)) / calib, 3) if calib else None
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -289,16 +309,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calib,
         "calibration_spread": spread,
-        "calibration_samples": samples,
+        "calibration_samples": secs,
+        "calibration_timeline": timeline,
+        "query_end_times": q_end,
         "value_per_calib": round(total / calib, 3) if calib else None,
         "methodology": (
             "value: one-JVM suite, warmup at sf0.001 then min-of-2 per "
             "query (min-of-3 below 0.5 s — fixed-overhead floor); "
-            "calibration_sec: MEDIAN of 3+3 fixed synthetic pure-Spark "
-            "samples bracketing the suite (round 9 — was min-of-2x2 "
-            "through r08; median reads ~5-15% above the old min, so "
-            "r08->r09 per-calib ratios carry that convention shift), "
-            "calibration_spread = (max-min)/median; compare rounds via "
+            "calibration_sec: MEDIAN of 3+2+3 fixed synthetic pure-Spark "
+            "samples bracketing AND interleaving the suite (round 10 — "
+            "r09 used 3+3 bracketing; r08 and earlier min-of-2x2, which "
+            "reads ~5-15% below the median), calibration_spread = "
+            "(max-min)/median; calibration_timeline/[query_end_times] "
+            "carry per-sample suite-clock timestamps so bench_compare "
+            "can regress out linear mid-suite drift; compare rounds via "
             "value_per_calib (ambient machine variance between sessions "
             "measured at +/-15-25% in round 6)"
         ),

@@ -1345,6 +1345,10 @@ def query_ivf_index(
         .where(F.col("cluster_id").isin(*probed))
         .select("vec_id", "cluster_id", "e", "c_nrm")
     )
+    # pending deletes: the anti-join applies AFTER the partition filter,
+    # so pruned cells never pay it; an index with no tombstones gets the
+    # identical plan as before the delete path existed
+    members = _subtract_tombstones(spark, index_dir, members)
     return _ivf_probe_and_score(queries_d, cents, members, probes=probes)
 
 
@@ -2204,6 +2208,116 @@ def append_ivf_index(
     )
 
 
+def _index_fs(spark: SparkSession, path: str):
+    """(jvm, hadoop FileSystem, jPath) for an index-directory path."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _read_tombstones(spark: SparkSession, index_dir: str) -> "DataFrame | None":
+    """(cluster_id, vec_id) tombstones of a maintained index, or None if
+    the index has no pending deletes. Tombstones are APPEND-ONLY between
+    compactions; only a compaction (which physically removes the rows)
+    rewrites or removes them."""
+    path = f"{index_dir}/tombstones.parquet"
+    _, fs, jpath = _index_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    return spark.read.parquet(path).select("cluster_id", "vec_id")
+
+
+def delete_ivf_index(
+    spark: SparkSession, index_dir: str, ids: DataFrame
+) -> None:
+    """DELETE vec_ids from the persisted index — the missing third verb
+    of the lifecycle (build / append / delete / compact; round-9 VERDICT
+    #4). Deletes are TOMBSTONES, keyed like appends: one lookup join
+    against the live member view pins each id to its cell, and the write
+    appends (vec_id, cluster_id) partitioned by cluster_id — so the
+    read-side anti-join and the compaction fold are both cell-local.
+    Index bytes are never touched here; the physical removal happens at
+    the next compaction (compact_ivf_members for the batch table,
+    pipeline.compact_ivf_ingest for streamed generations).
+
+    The lookup rides the LIVE view (base + live ingest generations MINUS
+    existing tombstones), which makes deletion idempotent: re-deleting
+    an already-tombstoned or unknown id finds no member row and writes
+    nothing. ``ids`` needs only a ``vec_id`` column."""
+    from datafusion_loki_spark.streaming.pipeline import ivf_members
+
+    live = ivf_members(spark, index_dir).select("vec_id", "cluster_id")
+    tomb = live.join(ids.select("vec_id"), "vec_id")
+    (
+        tomb.select("vec_id", "cluster_id")
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_dir}/tombstones.parquet")
+    )
+
+
+def _rewrite_tombstones(
+    spark: SparkSession, index_dir: str, t: DataFrame, consumed: DataFrame
+) -> int:
+    """Persist ``t`` MINUS ``consumed`` as the new tombstone set (delete
+    the directory outright when nothing survives) — the commit tail
+    shared by both compaction paths. Runs strictly AFTER the member/
+    generation rewrite committed: a crash before this point leaves extra
+    tombstones whose target rows are already gone, which the read-side
+    anti-join no-ops on and the next compaction sweeps (idempotent,
+    never resurrecting). ``consumed`` must be severed from the files
+    being rewritten (callers checkpoint it). Returns surviving count."""
+    from datafusion_loki_spark.functions.layout import write_partitioned
+
+    keys = ["cluster_id", "vec_id"]
+    survivors = t.join(consumed, keys, "left_anti").localCheckpoint(
+        eager=True
+    )
+    tomb_path = f"{index_dir}/tombstones.parquet"
+    jvm, fs, jpath = _index_fs(spark, tomb_path)
+    n = survivors.count()
+    if n == 0:
+        fs.delete(jpath, True)
+        return 0
+    # cell sets captured BEFORE the overwrite — t reads the very files
+    # being replaced, so a post-write evaluation would see the new set
+    t_cells = {
+        r.cluster_id for r in t.select("cluster_id").distinct().collect()
+    }
+    s_cells = {
+        r.cluster_id
+        for r in survivors.select("cluster_id").distinct().collect()
+    }
+    write_partitioned(
+        survivors.select("vec_id", "cluster_id"),
+        tomb_path,
+        partition_by=["cluster_id"],
+    )
+    # the overwrite is dynamic: cells whose tombstones were all consumed
+    # never appear in survivors — clear their stale directories
+    for cid in t_cells - s_cells:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{tomb_path}/cluster_id={cid}"),
+            True,
+        )
+    return n
+
+
+def _subtract_tombstones(
+    spark: SparkSession, index_dir: str, members: DataFrame
+) -> DataFrame:
+    """The query-side anti-join: live = members MINUS tombstones on the
+    (cluster_id, vec_id) compound key — cell-local, so at scale both
+    sides shuffle on the same narrow key (or broadcast when the
+    tombstone set is small: the tombstone side is a plain FileScan with
+    real size stats, so Catalyst's choice is trustworthy here — no pin
+    needed, unlike the family's stat-less frames)."""
+    t = _read_tombstones(spark, index_dir)
+    if t is None:
+        return members
+    return members.join(t, ["cluster_id", "vec_id"], "left_anti")
+
+
 def compact_ivf_members(
     spark: SparkSession, index_dir: str, files_per_partition: int = 1
 ) -> dict:
@@ -2221,23 +2335,84 @@ def compact_ivf_members(
     existed to guard cross-partition moves (gen folding) where a torn
     commit double-counts rows; (b) batch maintenance is single-writer by
     operational contract (one maintenance job), unlike streaming ingest
-    where compaction races live micro-batches. Returns audit stats:
-    rows rewritten and parquet file counts before/after."""
+    where compaction races live micro-batches.
+
+    Tombstone folding (round-9 VERDICT #4): pending deletes targeting
+    THIS table are physically removed during the rewrite and their
+    tombstones consumed; tombstones targeting streamed ingest rows (not
+    in members.parquet) SURVIVE untouched — they belong to
+    compact_ivf_ingest's fold. Two fold-specific edges: a cell emptied
+    by the fold is absent from the rewritten frame, so the dynamic
+    overwrite would leave its stale directory — emptied cells are
+    deleted explicitly (the affected-cell set is bounded by the
+    codebook's K); and the tombstone rewrite happens AFTER the member
+    rewrite, so a crash between the two leaves extra tombstones whose
+    targets are already gone — the anti-join no-ops on them and the
+    next compaction sweeps them (idempotent, never resurrecting).
+    Returns audit stats: rows rewritten, rows deleted, and parquet file
+    counts before/after."""
     from datafusion_loki_spark.functions.layout import (
         compact_partitions,
         count_parquet_files,
+        write_partitioned,
     )
 
     members_path = f"{index_dir}/members.parquet"
     files_before = count_parquet_files(spark, members_path)
-    rows = compact_partitions(
-        spark,
-        members_path,
-        partition_by=["cluster_id"],
-        files_per_partition=files_per_partition,
-    )
+    t = _read_tombstones(spark, index_dir)
+    if t is None:
+        rows = compact_partitions(
+            spark,
+            members_path,
+            partition_by=["cluster_id"],
+            files_per_partition=files_per_partition,
+        )
+        rows_deleted = 0
+    else:
+        df = spark.read.parquet(members_path)
+        keys = ["cluster_id", "vec_id"]
+        # consumed = tombstones whose target row lives in THIS table;
+        # survivors target ingest generations and must persist
+        # checkpointed: dropped is consumed AFTER the member rewrite
+        # below (cell collects, tombstone rewrite) — unsevered, its DAG
+        # would re-read the overwritten files
+        dropped = (
+            df.select(*keys).join(t, keys, "left_semi").localCheckpoint(
+                eager=True
+            )
+        )
+        staged = df.join(t, keys, "left_anti").localCheckpoint(eager=True)
+        rows = staged.count()
+        rows_deleted = dropped.count()
+        write_partitioned(
+            staged,
+            members_path,
+            partition_by=["cluster_id"],
+            files_per_partition=files_per_partition,
+        )
+        # cells emptied by the fold: dynamic overwrite never touched
+        # their directories — remove them (bounded driver-side sets:
+        # both are subsets of the K codebook cells)
+        affected = {
+            r.cluster_id
+            for r in dropped.select("cluster_id").distinct().collect()
+        }
+        surviving_cells = {
+            r.cluster_id
+            for r in staged.select("cluster_id").distinct().collect()
+        }
+        jvm, fs, _ = _index_fs(spark, members_path)
+        for cid in affected - surviving_cells:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{members_path}/cluster_id={cid}"
+                ),
+                True,
+            )
+        _rewrite_tombstones(spark, index_dir, t, dropped)
     return {
         "rows": rows,
+        "rows_deleted": rows_deleted,
         "files_before": files_before,
         "files_after": count_parquet_files(spark, members_path),
     }
@@ -2347,6 +2522,72 @@ def _oracle_ivf_append() -> str:
 
 QUERIES["sim_ivf_index_append"] = sim_ivf_index_append
 ORACLES["sim_ivf_index_append"] = _oracle_ivf_append()
+
+
+def sim_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry face of index DELETION (round-9 VERDICT #4): build
+    the IVF index, append the same derived batch as sim_ivf_index_append,
+    then DELETE a deterministic subset — every base vector with
+    vec_id % 5 == 3 and every appended vector whose source had
+    vec_id % 7 == 2 — via tombstones, and answer the standard query set
+    through the LIVE view (the query-side anti-join; the physical fold
+    is compact_ivf_members, pinned value-identical in
+    tests/test_ivf_tombstones.py). Deleted rows must vanish from every
+    top-k: the oracle builds the two-generation index and filters the
+    member CTE by the same predicate — an index that never contained
+    the deleted rows."""
+    index_dir = scratch_index_dir(spark, sf_dir, "ivf_delete")
+    build_ivf_index(spark, sf_dir, index_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    batch = emb_d.select(
+        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+        F.expr(
+            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
+            " slice(e, 2, size(e) - 1))"
+        ).alias("e"),
+    )
+    append_ivf_index(spark, index_dir, batch)
+    ids = (
+        emb.select("vec_id")
+        .where(F.expr("vec_id % 5 = 3"))
+        .unionByName(
+            emb.where(F.expr("vec_id % 7 = 2")).select(
+                (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id")
+            )
+        )
+    )
+    delete_ivf_index(spark, index_dir, ids)
+    return query_ivf_index(spark, sf_dir, index_dir)
+
+
+_IVF_DELETE_PRED = (
+    f"(vec_id < {IVF_APPEND_OFFSET} AND vec_id % 5 = 3)"
+    f" OR (vec_id >= {IVF_APPEND_OFFSET}"
+    f" AND (vec_id - {IVF_APPEND_OFFSET}) % 7 = 2)"
+)
+
+
+def _oracle_ivf_delete() -> str:
+    """The append oracle with the member CTE filtered by the delete
+    predicate — tombstoned rows behave exactly as if never indexed."""
+    base = _oracle_ivf_append()
+    assert base.count("members AS (") == 1
+    out = base.replace("members AS (", "members0 AS (", 1)
+    assert out.count("ivf_scored AS (") == 1
+    return out.replace(
+        "ivf_scored AS (",
+        "members AS (\n"
+        f"  SELECT * FROM members0 WHERE NOT ({_IVF_DELETE_PRED})\n"
+        "),\nivf_scored AS (",
+        1,
+    )
+
+
+QUERIES["sim_ivf_index_delete"] = sim_ivf_index_delete
+ORACLES["sim_ivf_index_delete"] = _oracle_ivf_delete()
 
 
 # --- IVF probe-count tuning curve --------------------------------------------

@@ -761,6 +761,29 @@ def _near_dup_fn(
     duplicate or role-flipped candidates cost re-verification, never
     wrong keep/drop decisions (pinned by
     test_near_dup_redelivery_after_eviction_is_superset_only)."""
+    yield from _near_dup_impl(key, pdfs, state, with_fp=False)
+
+
+_U64 = (1 << 64) - 1
+
+
+def _near_dup_verified_fn(
+    key: tuple, pdfs: Iterator[Any], state: GroupState
+) -> Iterator[Any]:
+    """_near_dup_fn with the IN-STREAM hamming verify (round-9 VERDICT
+    #5): state additionally retains each occupant's 64-bit perceptual
+    fingerprint (FIFO-trimmed in lockstep with ids), and an arriving doc
+    emits a pair ONLY when xor+bit_count against the retained
+    fingerprint is within MM_PHASH_HAM_MAX — consumers get VERIFIED
+    pairs (with the hamming distance), not band-collision candidates.
+    FIFO cap, event-time TTL, and the redelivery-superset contract are
+    _near_dup_impl's, shared verbatim with the candidate kernels."""
+    yield from _near_dup_impl(key, pdfs, state, with_fp=True)
+
+
+def _near_dup_impl(
+    key: tuple, pdfs: Iterator[Any], state: GroupState, with_fp: bool
+) -> Iterator[Any]:
     import pandas as pd
 
     band_idx, band_key = key
@@ -768,8 +791,10 @@ def _near_dup_fn(
         state.remove()
         return
     ids: list = list(state.get[0]) if state.exists else []
+    fps: list = (list(state.get[1]) if state.exists else []) if with_fp else []
     new_ids: list = []
     prior_ids: list = []
+    hammings: list = []
     max_ts_us = 0
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
@@ -779,7 +804,8 @@ def _near_dup_fn(
         rows = (
             chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         ).sort_values(["ts", "doc_id"])
-        for ts, did in zip(rows["ts"], rows["doc_id"]):
+        fp_col = rows["fp"] if with_fp else rows["doc_id"]  # placeholder
+        for ts, did, fp in zip(rows["ts"], rows["doc_id"], fp_col):
             did = int(did)
             # event time advances on EVERY row, replay or not: GroupState
             # cancels the previously-set timeout on each invocation, so a
@@ -789,26 +815,48 @@ def _near_dup_fn(
             max_ts_us = max(max_ts_us, int(pd.Timestamp(ts).value // 1000))
             if did in ids:
                 continue
-            for prior in ids:
-                new_ids.append(did)
-                prior_ids.append(prior)
+            if with_fp:
+                fp = int(fp)
+                for prior, prior_fp in zip(ids, fps):
+                    # signed-long fingerprints: mask the xor to unsigned
+                    # 64 before counting (python ints are two's-
+                    # complement-infinite for negatives)
+                    ham = ((fp ^ int(prior_fp)) & _U64).bit_count()
+                    if ham <= _phash_ham_max():
+                        new_ids.append(did)
+                        prior_ids.append(prior)
+                        hammings.append(ham)
+                fps.append(fp)
+            else:
+                for prior in ids:
+                    new_ids.append(did)
+                    prior_ids.append(prior)
             ids.append(did)
             if len(ids) > NEAR_DUP_STATE_CAP:
                 ids = ids[-NEAR_DUP_STATE_CAP:]
-    state.update((ids,))
+                if with_fp:
+                    fps = fps[-NEAR_DUP_STATE_CAP:]
+    state.update((ids, fps) if with_fp else (ids,))
     if max_ts_us:
         state.setTimeoutTimestamp(
             max_ts_us // 1000 + NEAR_DUP_BUCKET_TTL_SECONDS * 1000
         )
     if new_ids:
-        yield pd.DataFrame(
-            {
-                "band_idx": band_idx,
-                "band_key": band_key,
-                "doc_id": new_ids,
-                "prior_id": prior_ids,
-            }
-        )
+        out = {
+            "band_idx": band_idx,
+            "band_key": band_key,
+            "doc_id": new_ids,
+            "prior_id": prior_ids,
+        }
+        if with_fp:
+            out["hamming"] = hammings
+        yield pd.DataFrame(out)
+
+
+def _phash_ham_max() -> int:
+    from datafusion_loki_spark.operators.multimodal import MM_PHASH_HAM_MAX
+
+    return MM_PHASH_HAM_MAX
 
 
 def near_dup_admission_stream(stream_docs: DataFrame) -> DataFrame:
@@ -847,17 +895,22 @@ def near_dup_admission_stream(stream_docs: DataFrame) -> DataFrame:
     )
 
 
-def media_phash_band_keys_streamside(stream_media: DataFrame) -> DataFrame:
-    """(ts, doc_id, band_idx, band_key): per-row PERCEPTUAL band keys —
-    the streaming twin of mm_phash_neardup's banding, completing the
-    triad for binary payloads (batch perceptual: mm_phash_neardup;
+def media_phash_band_keys_streamside(
+    stream_media: DataFrame, with_fp: bool = False
+) -> DataFrame:
+    """(ts, doc_id, band_idx, band_key[, fp]): per-row PERCEPTUAL band
+    keys — the streaming twin of mm_phash_neardup's banding, completing
+    the triad for binary payloads (batch perceptual: mm_phash_neardup;
     streaming lexical: near_dup_admission_stream; this: streaming
     perceptual). The Arrow kernel computes the dHash per row and emits
     the 8 band rows DIRECTLY (no post-kernel explode), stateless and
     shuffle-free; band values are bit-identical to the batch op
     (LSB-first 8-bit slices of (h2<<32)|h1), so a batch backfill and
     the live ingest land in the same buckets. NULL / sub-minimum
-    payloads emit nothing (the fingerprintable-universe contract)."""
+    payloads emit nothing (the fingerprintable-universe contract).
+    ``with_fp`` additionally carries the full 64-bit fingerprint as a
+    SIGNED long (two's complement) — the verified admission's verify
+    input; the candidate path omits it so its shape stays byte-stable."""
     from datafusion_loki_spark.operators.multimodal import (
         MM_PHASH_BANDS,
         MM_PHASH_MIN_BYTES,
@@ -868,7 +921,7 @@ def media_phash_band_keys_streamside(stream_media: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            ts_out, id_out, bidx, bkey = [], [], [], []
+            ts_out, id_out, bidx, bkey, fp_out = [], [], [], [], []
             for ts, did, b in zip(
                 pdf["ts"], pdf["doc_id"], pdf["payload"]
             ):
@@ -876,26 +929,30 @@ def media_phash_band_keys_streamside(stream_media: DataFrame) -> DataFrame:
                     continue
                 h1, h2 = phash64(b)
                 full = (h2 << 32) | h1
+                signed = full - (1 << 64) if full >= (1 << 63) else full
                 for k in range(MM_PHASH_BANDS):
                     ts_out.append(ts)
                     id_out.append(int(did))
                     bidx.append(k)
                     bkey.append(str((full >> (8 * k)) & 255))
+                    fp_out.append(signed)
             if id_out:
-                yield pd.DataFrame(
-                    {
-                        "ts": ts_out,
-                        "doc_id": id_out,
-                        "band_idx": bidx,
-                        "band_key": bkey,
-                    }
-                )
+                out = {
+                    "ts": ts_out,
+                    "doc_id": id_out,
+                    "band_idx": bidx,
+                    "band_key": bkey,
+                }
+                if with_fp:
+                    out["fp"] = fp_out
+                yield pd.DataFrame(out)
 
+    schema = "ts timestamp, doc_id long, band_idx int, band_key string"
+    if with_fp:
+        schema += ", fp long"
     return stream_media.select(
         F.col("ts").cast("timestamp").alias("ts"), "doc_id", "payload"
-    ).mapInPandas(
-        kernel, "ts timestamp, doc_id long, band_idx int, band_key string"
-    )
+    ).mapInPandas(kernel, schema)
 
 
 def phash_admission_stream(stream_media: DataFrame) -> DataFrame:
@@ -921,6 +978,41 @@ def phash_admission_stream(stream_media: DataFrame) -> DataFrame:
         _near_dup_fn,
         outputStructType=NEAR_DUP_CANDIDATES_SCHEMA,
         stateStructType="ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+VERIFIED_NEAR_DUP_SCHEMA = (
+    "band_idx int, band_key string, doc_id long, prior_id long, hamming int"
+)
+
+
+def phash_admission_stream_verified(stream_media: DataFrame) -> DataFrame:
+    """phash_admission_stream with the IN-STREAM verify composed on
+    (round-9 VERDICT #5): the state retains each bucket occupant's
+    64-bit fingerprint alongside its id, and the kernel emits a pair
+    ONLY when xor+bit_count(fp_a, fp_b) <= MM_PHASH_HAM_MAX — consumers
+    get VERIFIED near-duplicate pairs (doc_id, prior_id, hamming), no
+    downstream verify stage to remember. The pigeonhole guarantee
+    carries over: while both payloads are retained in the bucket FIFO,
+    every within-threshold pair shares at least one band, so the
+    verified stream equals the batch op's verified pairs over the same
+    arrivals (pinned by the batch-equivalence test). A pair sharing
+    SEVERAL bands emits once per shared band — the same idempotent
+    pair-key multiplicity the candidate stream documents; redelivery
+    after FIFO eviction is a superset, never a wrong pair.
+
+    State cost vs the candidate stream: one extra long per retained
+    occupant (the fingerprint) — the payload bytes still never enter
+    state or cross the shuffle."""
+    keyed = media_phash_band_keys_streamside(
+        stream_media, with_fp=True
+    ).withWatermark("ts", "10 minutes")
+    return keyed.groupBy("band_idx", "band_key").applyInPandasWithState(
+        _near_dup_verified_fn,
+        outputStructType=VERIFIED_NEAR_DUP_SCHEMA,
+        stateStructType="ids array<bigint>, fps array<bigint>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -1023,7 +1115,11 @@ def ivf_members(spark: SparkSession, index_dir: str) -> DataFrame:
     except AnalysisException as e:
         if not _is_empty_sink_error(e):
             raise
-        return base
+        from datafusion_loki_spark.operators.similarity import (
+            _subtract_tombstones,
+        )
+
+        return _subtract_tombstones(spark, index_dir, base)
     manifest = _read_ingest_manifest(spark, index_dir)
     if manifest is not None:
         ingest = ingest.where(
@@ -1039,7 +1135,17 @@ def ivf_members(spark: SparkSession, index_dir: str) -> DataFrame:
         # row double-counted (round-8 review). Compacted generations are
         # negative by construction, so gen >= 0 excludes exactly them.
         ingest = ingest.where(F.col("gen") >= 0)
-    return base.unionByName(ingest.select(*cols))
+    from datafusion_loki_spark.operators.similarity import (
+        _subtract_tombstones,
+    )
+
+    # pending deletes (similarity.delete_ivf_index) apply to the merged
+    # view: a tombstoned row is invisible whether it sits in the base
+    # table or a live generation; the physical removal happens at the
+    # respective compaction
+    return _subtract_tombstones(
+        spark, index_dir, base.unionByName(ingest.select(*cols))
+    )
 
 
 # --- ingest-generation compaction --------------------------------------------
@@ -1275,9 +1381,29 @@ def compact_ivf_ingest(
     in_fold = F.col("gen").isin(fold)
     if active_gen is not None:
         in_fold = in_fold | (F.col("gen") == active_gen)
+    fold_src = src.where(in_fold)
+    # tombstone fold (similarity.delete_ivf_index): pending deletes whose
+    # target rows sit in the folded generations are physically dropped
+    # here and their tombstones consumed after the manifest commit;
+    # tombstones targeting the base table or still-live generations
+    # survive for their own compaction
+    from datafusion_loki_spark.operators.similarity import (
+        _read_tombstones,
+        _rewrite_tombstones,
+    )
+
+    tombs = _read_tombstones(spark, index_dir)
+    consumed = None
+    if tombs is not None:
+        keys = ["cluster_id", "vec_id"]
+        consumed = (
+            fold_src.select(*keys)
+            .join(tombs, keys, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        fold_src = fold_src.join(tombs, keys, "left_anti")
     folded_df = (
-        src.where(in_fold)
-        .drop("gen")
+        fold_src.drop("gen")
         .withColumn("gen", F.lit(new_gen))
         # the unique gen id means the write never touches a dir this read
         # scans, but a CONCURRENT winner's post-commit GC can delete fold
@@ -1312,6 +1438,11 @@ def compact_ivf_ingest(
         spark, ingest_path
     )
     gc()
+    # AFTER the manifest commit: consume the folded tombstones (a crash
+    # before this line leaves tombstones whose rows are already gone —
+    # the read-side anti-join no-ops on them; see _rewrite_tombstones)
+    if tombs is not None:
+        _rewrite_tombstones(spark, index_dir, tombs, consumed)
     return {
         "folded_gens": len(fold),
         "rows_compacted": rows,

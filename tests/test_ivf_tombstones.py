@@ -1,0 +1,193 @@
+"""Tombstone (delete) lifecycle for the persisted IVF index — round-9
+VERDICT #4: build / append / DELETE / compact. Pins the three contracts:
+
+1. query-side anti-join: a tombstoned row vanishes from every top-k the
+   moment the tombstone lands, before any physical rewrite;
+2. compaction folds tombstones physically with VALUE-IDENTICAL probe
+   results (the anti-join view and the folded index answer the same);
+3. each compactor consumes ONLY the tombstones whose target rows it
+   rewrote — batch compaction leaves ingest-targeting tombstones for
+   the streaming fold and vice versa — so a tombstone can never outlive
+   its row (resurrection) or die before it (premature sweep).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from datafusion_loki_spark.operators.similarity import (
+    IVF_APPEND_OFFSET,
+    IVF_APPEND_SHIFT,
+    _TO_DOUBLE,
+    append_ivf_index,
+    build_ivf_index,
+    compact_ivf_members,
+    delete_ivf_index,
+    query_ivf_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _probe(spark, index_dir):
+    rows = query_ivf_index(spark, SF, index_dir).collect()
+    return sorted(
+        (r.query_id, r.rank, r.cand_id, round(r.cosine, 9)) for r in rows
+    )
+
+
+def _build_two_gen_index(spark, index_dir):
+    build_ivf_index(spark, SF, index_dir)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    batch = emb_d.select(
+        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+        F.expr(
+            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
+            " slice(e, 2, size(e) - 1))"
+        ).alias("e"),
+    )
+    append_ivf_index(spark, index_dir, batch)
+    return emb
+
+
+def test_delete_anti_join_then_compact_value_identical(spark, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    emb = _build_two_gen_index(spark, index_dir)
+    before = _probe(spark, index_dir)
+    before_cands = {c for (_q, _r, c, _c) in before}
+
+    ids = emb.select("vec_id").where(F.expr("vec_id % 5 = 3"))
+    deleted = {r.vec_id for r in ids.collect()}
+    # the fixture must make the delete observable in at least one top-k
+    assert deleted & before_cands, "degenerate fixture: rebuild predicate"
+
+    delete_ivf_index(spark, index_dir, ids)
+    after_anti = _probe(spark, index_dir)
+    assert not ({c for (_q, _r, c, _c) in after_anti} & deleted)
+    assert after_anti != before
+
+    n_before = spark.read.parquet(f"{index_dir}/members.parquet").count()
+    stats = compact_ivf_members(spark, index_dir)
+    assert stats["rows_deleted"] == len(deleted)
+    assert stats["rows"] == n_before - len(deleted)
+    # all tombstones targeted this table: the set is fully consumed
+    assert not os.path.exists(f"{index_dir}/tombstones.parquet")
+    # the folded index answers IDENTICALLY to the anti-join view
+    assert _probe(spark, index_dir) == after_anti
+    on_disk = {
+        r.vec_id
+        for r in spark.read.parquet(f"{index_dir}/members.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    assert not (on_disk & deleted)
+
+
+def test_delete_is_idempotent_and_unknown_ids_are_ignored(spark, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    emb = _build_two_gen_index(spark, index_dir)
+    ids = emb.select("vec_id").where(F.expr("vec_id % 5 = 3"))
+    n_ids = ids.count()
+    delete_ivf_index(spark, index_dir, ids)
+    # re-deleting tombstoned ids and deleting unknown ids write nothing:
+    # the lookup rides the live view, which already excludes both
+    delete_ivf_index(spark, index_dir, ids)
+    delete_ivf_index(
+        spark,
+        index_dir,
+        spark.range(10).select((F.col("id") + 77_000_000).alias("vec_id")),
+    )
+    tombs = spark.read.parquet(f"{index_dir}/tombstones.parquet")
+    assert tombs.count() == n_ids
+
+
+def test_delete_everything_empties_cells_and_directories(spark, tmp_path):
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    all_ids = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id")
+    delete_ivf_index(spark, index_dir, all_ids)
+    assert _probe(spark, index_dir) == []
+    compact_ivf_members(spark, index_dir)
+    # every cell emptied: the dynamic overwrite left nothing behind and
+    # the emptied-cell sweep removed every cluster_id=* directory
+    members_dir = f"{index_dir}/members.parquet"
+    leftover = [
+        d for d in os.listdir(members_dir) if d.startswith("cluster_id=")
+    ]
+    assert leftover == [], leftover
+    assert not os.path.exists(f"{index_dir}/tombstones.parquet")
+
+
+def test_ingest_compaction_consumes_only_its_own_tombstones(
+    spark, tmp_path
+):
+    from datafusion_loki_spark.streaming import pipeline
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch_fn = pipeline._ivf_ingest_batch_fn(index_dir)
+    for i, bid in ((1, 0), (2, 1), (3, 2)):
+        batch_fn(
+            emb.limit(40).select(
+                (F.col("vec_id") + IVF_APPEND_OFFSET * i).alias("vec_id"),
+                "embedding",
+            ),
+            bid,
+        )
+    # delete one row from a generation that WILL fold (gen 0, keep_last=1
+    # folds gens 0..1) and one from the base table
+    ingest_victim = IVF_APPEND_OFFSET * 1 + 7
+    base_victim = 11
+    delete_ivf_index(
+        spark,
+        index_dir,
+        spark.createDataFrame(
+            [(ingest_victim,), (base_victim,)], "vec_id long"
+        ),
+    )
+    view_ids = {
+        r.vec_id
+        for r in pipeline.ivf_members(spark, index_dir)
+        .select("vec_id")
+        .collect()
+    }
+    assert ingest_victim not in view_ids and base_victim not in view_ids
+    n_view = len(view_ids)
+
+    stats = pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
+    assert stats["folded_gens"] == 2
+    # the folded generation physically dropped its victim
+    assert stats["rows_compacted"] == 80 - 1
+    # the view is unchanged (value-identical through the fold)
+    view_after = {
+        r.vec_id
+        for r in pipeline.ivf_members(spark, index_dir)
+        .select("vec_id")
+        .collect()
+    }
+    assert view_after == view_ids and len(view_after) == n_view
+    # the ingest tombstone was consumed; the base tombstone SURVIVES
+    # (its row still lives in members.parquet)
+    tombs = {
+        r.vec_id
+        for r in spark.read.parquet(f"{index_dir}/tombstones.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    assert tombs == {base_victim}
+    # the batch compactor then consumes the survivor
+    mstats = compact_ivf_members(spark, index_dir)
+    assert mstats["rows_deleted"] == 1
+    assert not os.path.exists(f"{index_dir}/tombstones.parquet")
+    assert {
+        r.vec_id
+        for r in pipeline.ivf_members(spark, index_dir)
+        .select("vec_id")
+        .collect()
+    } == view_ids

@@ -1240,6 +1240,151 @@ def test_phash_admission_stream_matches_python_band_model(
     assert stream_pairs  # non-vacuous: real payloads share bands
 
 
+def test_phash_verified_stream_equals_batch_verified_pairs(
+    spark, sf_dir, tmp_path
+):
+    # The IN-STREAM verify (round-10): the verified admission must emit
+    # exactly the batch op's verified pairs over the same arrivals. The
+    # raw corpus has no byte-level re-encodes (mm_phash_neardup's
+    # fixture note), so this plants the SAME recrawl variants the batch
+    # op plants (doc_id % 10 == 0 re-appears under id + 1e12 with its
+    # first two bytes replaced by 'XX' = 0x5858) as later arrivals.
+    import __spark_entry__ as e
+    from datafusion_loki_spark.operators.multimodal import (
+        MM_PHASH_HAM_MAX,
+        MM_PHASH_MIN_BYTES,
+        MM_PHASH_VARIANT_OFFSET,
+    )
+
+    docs = _docs_with_ts(spark, sf_dir).select(
+        "ts", "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    src = tmp_path / "media"
+    docs.coalesce(1).write.parquet(str(src / "first"))
+    rows = docs.collect()
+    max_ts = max(r.ts for r in rows)
+    import datetime
+
+    variants = [
+        (
+            max_ts + datetime.timedelta(minutes=1),
+            r.doc_id + MM_PHASH_VARIANT_OFFSET,
+            b"\x58\x58" + bytes(r.payload)[2:],
+        )
+        for r in rows
+        if r.doc_id % 10 == 0
+        and r.payload is not None
+        and len(r.payload) >= MM_PHASH_MIN_BYTES
+    ]
+    assert variants
+    spark.createDataFrame(
+        variants, "ts timestamp_ntz, doc_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "second"))
+
+    got: list = []
+    q = (
+        pipeline.phash_admission_stream_verified(
+            spark.readStream.schema(
+                "ts timestamp_ntz, doc_id long, payload binary"
+            ).parquet(str(src) + "/*/")
+        )
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    stream_pairs: dict = {}
+    for r in got:
+        assert 0 <= r.hamming <= MM_PHASH_HAM_MAX
+        k = (r.prior_id, r.doc_id)
+        # a pair sharing several bands re-emits with the SAME hamming
+        assert stream_pairs.get(k, r.hamming) == r.hamming
+        stream_pairs[k] = r.hamming
+
+    batch = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in e.queries()["mm_phash_neardup"](spark, sf_dir).collect()
+    }
+    assert stream_pairs == batch
+    assert stream_pairs  # non-vacuous: every plant must surface
+
+
+def test_phash_verified_stream_state_survives_restart(
+    spark, sf_dir, tmp_path
+):
+    # A verified pair whose two payloads arrive in DIFFERENT drains
+    # (fresh query object, same checkpoint) must still be detected and
+    # verified: the first payload's fingerprint lives in the state
+    # store alongside its id.
+    import datetime
+
+    from datafusion_loki_spark.operators.multimodal import (
+        MM_PHASH_MIN_BYTES,
+        MM_PHASH_VARIANT_OFFSET,
+    )
+
+    docs = _docs_with_ts(spark, sf_dir).select(
+        "ts", "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    src = tmp_path / "media"
+    ckpt = str(tmp_path / "ck")
+
+    def _drain():
+        got: list = []
+        q = (
+            pipeline.phash_admission_stream_verified(
+                spark.readStream.schema(
+                    "ts timestamp_ntz, doc_id long, payload binary"
+                ).parquet(str(src) + "/*/")
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: got.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    docs.coalesce(1).write.parquet(str(src / "first"))
+    first = _drain()
+    # no byte-level re-encodes in the raw corpus: nothing verifies
+    assert first == []
+
+    rows = docs.collect()
+    max_ts = max(r.ts for r in rows)
+    victim = min(
+        (
+            r
+            for r in rows
+            if r.doc_id % 10 == 0
+            and r.payload is not None
+            and len(r.payload) >= MM_PHASH_MIN_BYTES
+        ),
+        key=lambda r: r.doc_id,
+    )
+    spark.createDataFrame(
+        [
+            (
+                max_ts + datetime.timedelta(minutes=1),
+                victim.doc_id + MM_PHASH_VARIANT_OFFSET,
+                b"\x58\x58" + bytes(victim.payload)[2:],
+            )
+        ],
+        "ts timestamp_ntz, doc_id long, payload binary",
+    ).coalesce(1).write.parquet(str(src / "second"))
+    second = _drain()
+    pairs = {(r.prior_id, r.doc_id) for r in second}
+    assert pairs == {
+        (victim.doc_id, victim.doc_id + MM_PHASH_VARIANT_OFFSET)
+    }
+
+
 def test_near_dup_stream_redelivery_emits_no_self_pair(spark, sf_dir, tmp_path):
     # An at-least-once source may re-deliver a document; a doc_id already
     # resident in its bucket must emit nothing (no self-pairs, no

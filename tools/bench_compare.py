@@ -23,10 +23,64 @@ def load(path: str) -> dict:
         d = json.load(f)
     if "queries" in d:
         return d
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        return d["parsed"]
     m = re.search(r'\{"metric".*\}', d.get("tail", ""))
-    if not m:
-        raise SystemExit(f"{path}: no bench JSON found")
-    return json.loads(m.group(0))
+    if m:
+        return json.loads(m.group(0))
+    # driver wrappers FRONT-truncate the tail, losing the JSON opening
+    # (and the first queries) — recover the surviving per-query pairs
+    # and the anchor fields so a cross-round compare still works on the
+    # shared suffix; the caller sees "partial" and says so
+    frag = d.get("tail", "")
+    end = frag.find("}")
+    if end != -1:
+        qpairs = re.findall(
+            r'"([A-Za-z0-9_]+)":\s*([0-9][0-9.]*)', frag[:end]
+        )
+        if qpairs:
+            out = {
+                "queries": {k: float(v) for k, v in qpairs},
+                "partial": True,
+            }
+            cm = re.search(r'"calibration_sec":\s*([0-9.]+)', frag)
+            sm = re.search(r'"calibration_spread":\s*([0-9.]+)', frag)
+            if cm:
+                out["calibration_sec"] = float(cm.group(1))
+            if sm:
+                out["calibration_spread"] = float(sm.group(1))
+            return out
+    raise SystemExit(f"{path}: no bench JSON found")
+
+
+def drift_model(d: dict):
+    """Least-squares linear fit calib(t) over the timestamped anchor
+    samples (round 10: bench.py interleaves anchor samples through the
+    suite). Returns (predict, rel_drift) — predict(t) floored at 20% of
+    the median so one absurd sample cannot invert a ratio — or None when
+    the file predates the timeline fields. rel_drift is the fitted
+    relative change across the suite span (the triage headline: 0.3
+    means the machine slowed 30% while the suite ran)."""
+    tl, qt = d.get("calibration_timeline"), d.get("query_end_times")
+    if not tl or not qt:
+        return None
+    xs, ys = [p[0] for p in tl], [p[1] for p in tl]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    b = (
+        sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+        if denom
+        else 0.0
+    )
+    a = my - b * mx
+    import statistics
+
+    floor = 0.2 * statistics.median(ys)
+    span = max(xs) - min(xs)
+    lo, hi = a + b * min(xs), a + b * max(xs)
+    rel = (hi - lo) / max(lo, 1e-9) if span else 0.0
+    return (lambda t: max(a + b * t, floor)), rel
 
 
 def main() -> None:
@@ -35,6 +89,11 @@ def main() -> None:
     if len(args) != 2:
         raise SystemExit(__doc__)
     old, new = load(args[0]), load(args[1])
+    for p, d in zip(args, (old, new)):
+        if d.get("partial"):
+            print(f"NOTE: {p} recovered from a front-truncated driver "
+                  f"tail — only its surviving {len(d['queries'])} "
+                  f"queries compare; earlier ones were lost upstream.")
     if not (old.get("calibration_sec") and new.get("calibration_sec")):
         missing = [p for p, d in zip(args, (old, new))
                    if not d.get("calibration_sec")]
@@ -49,17 +108,31 @@ def main() -> None:
             raise SystemExit(2)
     shared = [k for k in old["queries"] if k in new["queries"]]
     co, cn = old.get("calibration_sec"), new.get("calibration_sec")
+    do, dn = drift_model(old), drift_model(new)
+    drifted = do is not None and dn is not None
 
-    def classify(o: float, n: float) -> str:
+    def _anchor(d, model, default, k):
+        if model is None:
+            return default
+        t = d.get("query_end_times", {}).get(k)
+        return model[0](t) if t is not None else default
+
+    def classify(k: str, o: float, n: float) -> str:
         """A per-calib delta is a REGRESSION only when BOTH the
         normalized ratio is >1.5x AND the absolute move is >0.2 s
         (round-7 verdict: per-calib ratios on sub-second queries are
         scheduler/Python fixed-overhead noise the anchor cannot model —
         the whole apparent r06->r07 drift was <0.3 s queries).
-        Symmetric rule for improvements; everything else is noise-band."""
+        Symmetric rule for improvements; everything else is noise-band.
+        When both files carry timestamped anchors (round 10), each
+        query normalizes against the FITTED anchor at its own moment in
+        the suite — mid-suite machine drift stops producing false flags
+        that needed hand triage."""
         if not (co and cn):
             return ""
-        norm = (n / cn) / max(o / co, 1e-9)
+        ao = _anchor(old, do, co, k) if drifted else co
+        an = _anchor(new, dn, cn, k) if drifted else cn
+        norm = (n / an) / max(o / ao, 1e-9)
         if norm > 1.5 and (n - o) > 0.2:
             return "REGRESSION"
         if norm < 1 / 1.5 and (o - n) > 0.2:
@@ -74,7 +147,7 @@ def main() -> None:
     counts = {"REGRESSION": 0, "improved": 0, "noise-band": 0, "": 0}
     for k in rows:
         o, n = old["queries"][k], new["queries"][k]
-        verdict = classify(o, n)
+        verdict = classify(k, o, n)
         counts[verdict] += 1
         print(
             f"{n / max(o, 1e-9):6.2f}x  {o:8.3f} -> {n:8.3f}  "
@@ -91,13 +164,28 @@ def main() -> None:
         # round 9: bench.py brackets the suite with 3+3 anchor samples
         # and records their spread — a wide spread means the denominator
         # itself is unstable and per-calib flags deserve extra suspicion
-        for label, d in (("old", old), ("new", new)):
+        for label, d, model in (("old", old, do), ("new", new, dn)):
             sp = d.get("calibration_spread")
             if sp is not None:
-                trust = "UNSTABLE — treat flags as suspect" if sp > 0.3 \
-                    else "stable"
-                print(f"  {label} anchor spread (max-min)/median: "
-                      f"{sp:.3f} ({trust})")
+                if model is not None:
+                    # drift-corrected flags: a wide spread caused by a
+                    # LINEAR trend is regressed out per query; only the
+                    # residual scatter undermines trust
+                    trust = (
+                        "drift-corrected per query"
+                        if sp > 0.3
+                        else "stable, drift-corrected"
+                    )
+                    print(
+                        f"  {label} anchor spread (max-min)/median: "
+                        f"{sp:.3f}; fitted mid-suite drift "
+                        f"{model[1]:+.1%} ({trust})"
+                    )
+                else:
+                    trust = "UNSTABLE — treat flags as suspect" \
+                        if sp > 0.3 else "stable"
+                    print(f"  {label} anchor spread (max-min)/median: "
+                          f"{sp:.3f} ({trust})")
         # the r08->r09 convention shift (min-of-2x2 -> median-of-3+3)
         # reads as a ~5-15% systematic denominator increase; flag when
         # exactly one side carries the new fields

@@ -81,6 +81,9 @@ _R10_PINNED: tuple[str, ...] = (
     # NEW in r10: index DELETION — tombstoned build+append lifecycle,
     # queried through the live-view anti-join (round-9 VERDICT #4)
     "sim_ivf_index_delete",
+    # NEW in r10: the REAL byte->pixels decode path (round-9 Missing #2)
+    # — pure-numpy P6 parsing, oracle recomputes channel sums from hex
+    "mm_decode_ppm",
 )
 
 _WINDOW_SIZE = 50

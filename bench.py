@@ -138,6 +138,15 @@ BENCH_QUERIES = [
     "text_tokenize_bpe",
     # train/apply across the shard split incl. the OOV replay chain
     "text_tokenize_bpe_oov",
+    # appended round 10: the learned quality gate (shard training pass +
+    # merge-pinned corpus scoring), the embedding-space mm dedup
+    # (persisted index + cell pair join + media links), the tombstoned
+    # delete lifecycle (build + append + delete + anti-join query), and
+    # the real PPM decode kernel (Arrow batch, scan-speed)
+    "text_quality_classifier",
+    "mm_semantic_dedup",
+    "sim_ivf_index_delete",
+    "mm_decode_ppm",
 ]
 
 

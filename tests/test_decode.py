@@ -1,0 +1,143 @@
+"""Pure-numpy image decoders (round-10: the REAL byte->pixels path that
+runs in this sandbox — round-9 Missing #2). Hand-built fixtures pin the
+format corners: PPM header comments/whitespace, the exactly-one-
+separator rule, truncation fail-louds; BMP row padding, bottom-up vs
+top-down storage, BGR->RGB channel order, non-24-bit rejection."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from datafusion_loki_spark.operators.multimodal import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+)
+
+
+def _ppm(w, h, pixels: bytes, header=None) -> bytes:
+    return (header or f"P6 {w} {h} 255\n".encode()) + pixels
+
+
+def test_ppm_roundtrip_and_channel_order():
+    # 2x1: red pixel then blue pixel
+    img = _ppm(2, 1, bytes([255, 0, 0, 0, 0, 255]))
+    w, h, arr = decode_ppm(img)
+    assert (w, h, arr.shape) == (2, 1, (1, 2, 3))
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[0, 1].tolist() == [0, 0, 255]
+
+
+def test_ppm_header_comments_and_whitespace():
+    header = b"P6\n# a comment\n 2 # inline sizes split\n\t1\n# more\n255\n"
+    img = _ppm(2, 1, bytes(range(6)), header=header)
+    w, h, arr = decode_ppm(img)
+    assert (w, h) == (2, 1)
+    assert arr.reshape(-1).tolist() == list(range(6))
+
+
+def test_ppm_single_separator_preserves_leading_pixel_whitespace():
+    # the first PIXEL byte may be 0x0A (newline); only ONE separator
+    # byte after maxval belongs to the header
+    img = _ppm(1, 1, bytes([0x0A, 0x20, 0x09]))
+    _w, _h, arr = decode_ppm(img)
+    assert arr.reshape(-1).tolist() == [0x0A, 0x20, 0x09]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"P5 1 1 255\n" + b"\x00" * 3,          # wrong magic
+        b"P6 1 1 65535\n" + b"\x00" * 6,        # 16-bit unsupported
+        b"P6 2 2 255\n" + b"\x00" * 5,           # truncated pixels
+        b"P6 # endless comment",                  # unterminated comment
+        b"P6 x 1 255\n",                          # non-numeric field
+    ],
+)
+def test_ppm_malformed_fail_loud(bad):
+    with pytest.raises(ValueError):
+        decode_ppm(bad)
+
+
+def _bmp(w, h, rows_bgr: list[list[list[int]]], top_down=False) -> bytes:
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    ordered = rows_bgr if top_down else rows_bgr[::-1]
+    for row in ordered:
+        line = b"".join(bytes(px) for px in row)
+        body += line + b"\x00" * (stride - len(line))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, (h if not top_down else -h), 1, 24, 0,
+            len(body), 2835, 2835, 0, 0,
+        )
+    )
+    return header + body
+
+
+def test_bmp_bottom_up_padding_and_bgr():
+    # 2x2, stored bottom-up with 2 pad bytes per row; BGR on disk
+    rows_bgr = [
+        [[255, 0, 0], [0, 255, 0]],   # top row: blue, green (BGR!)
+        [[0, 0, 255], [255, 255, 255]],  # bottom row: red, white
+    ]
+    w, h, arr = decode_bmp(_bmp(2, 2, rows_bgr))
+    assert (w, h, arr.shape) == (2, 2, (2, 2, 3))
+    assert arr[0, 0].tolist() == [0, 0, 255]      # RGB blue
+    assert arr[0, 1].tolist() == [0, 255, 0]      # green
+    assert arr[1, 0].tolist() == [255, 0, 0]      # red
+    assert arr[1, 1].tolist() == [255, 255, 255]
+
+
+def test_bmp_top_down_negative_height():
+    rows_bgr = [[[1, 2, 3]], [[4, 5, 6]]]
+    _w, _h, arr = decode_bmp(_bmp(1, 2, rows_bgr, top_down=True))
+    assert arr[0, 0].tolist() == [3, 2, 1]
+    assert arr[1, 0].tolist() == [6, 5, 4]
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b"XX" + b[2:],                     # magic
+        lambda b: b[:28] + b"\x20\x00" + b[30:],     # 32-bit bpp
+        lambda b: b[:30] + b"\x01\x00\x00\x00" + b[34:],  # compressed
+        lambda b: b[:-4],                            # truncated pixels
+    ],
+)
+def test_bmp_malformed_fail_loud(mutate):
+    good = _bmp(2, 2, [[[0, 0, 0], [0, 0, 0]], [[0, 0, 0], [0, 0, 0]]])
+    with pytest.raises(ValueError):
+        decode_bmp(mutate(good))
+
+
+def test_decode_image_dispatches_to_pure_parsers():
+    ppm = _ppm(1, 1, bytes([9, 8, 7]))
+    assert decode_image(ppm)[0, 0].tolist() == [9, 8, 7]
+    bmp = _bmp(1, 1, [[[7, 8, 9]]])
+    assert decode_image(bmp)[0, 0].tolist() == [9, 8, 7]
+    # non-codec-free formats still hit the loud PIL gate in this sandbox
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_numpy_reference_cross_check():
+    # 8x4 like the registry op: channel sums against an independent
+    # numpy computation over the raw pixel block
+    rng = bytes((i * 37 + 11) % 256 for i in range(96))
+    w, h, arr = decode_ppm(b"P6 8 4 255\n" + rng)
+    ref = np.frombuffer(rng, dtype=np.uint8).reshape(4, 8, 3)
+    assert (arr == ref).all()
+    for c in range(3):
+        assert int(arr[:, :, c].sum(dtype="int64")) == int(
+            ref[:, :, c].sum(dtype="int64")
+        )

@@ -129,6 +129,9 @@ def crafted(spark, tmp_path_factory):
         # learned quality gate: NULL-text docs tokenize to no words ->
         # no training rows, no scored rows, in both engines
         "text_quality_classifier",
+        # real PPM decode: NULL / sub-96-byte payloads leave the
+        # decodable universe identically in both engines
+        "mm_decode_ppm",
         # tokenizer application: NULL-text docs tokenize to no words
         "text_tokenize_bpe",
         # the train/apply split variant: NULL held-out docs drop too

@@ -77,6 +77,12 @@ SMOKE_QUERIES = [
     "text_scrub_pii",
     "text_dedup_within_keep_first",
     "text_bpe_vocab",
+    # round 10: the learned quality gate (one shard-scale training pass
+    # + one corpus scoring pass — both must stay linear; the vocab-stats
+    # join is merge-pinned) and the embedding-space mm dedup (persisted
+    # index + cell-bounded pair join + two media-link joins)
+    "text_quality_classifier",
+    "mm_semantic_dedup",
 ]
 
 
@@ -174,6 +180,15 @@ def build_replica(spark, k: int) -> str:
 
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    # SPARK_GRAFT_SMOKE_ONLY=a,b,c restricts the ladder to named queries
+    # (targeted rungs — e.g. the BPE per-merge-cost criterion — without
+    # paying the full 26-query suite per k)
+    only = os.environ.get("SPARK_GRAFT_SMOKE_ONLY")
+    global SMOKE_QUERIES
+    if only:
+        # any registered query is allowed, not just ladder members
+        SMOKE_QUERIES = [q.strip() for q in only.split(",") if q.strip()]
+
 
     from datafusion_loki_spark.session import get_spark
 

@@ -84,6 +84,9 @@ _R10_PINNED: tuple[str, ...] = (
     # NEW in r10: the REAL byte->pixels decode path (round-9 Missing #2)
     # — pure-numpy P6 parsing, oracle recomputes channel sums from hex
     "mm_decode_ppm",
+    # NEW in r10: rule-gate vs learned-gate agreement audit (the
+    # calibration table for stacking quality gates)
+    "text_quality_agreement",
 )
 
 _WINDOW_SIZE = 50

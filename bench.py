@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "mm_semantic_dedup",
     "sim_ivf_index_delete",
     "mm_decode_ppm",
+    "text_quality_agreement",
 ]
 
 

@@ -1027,6 +1027,53 @@ ORACLES = {
 }
 
 
+def text_quality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-gate vs learned-gate agreement — the calibration table a
+    pipeline owner reads before swapping or stacking quality gates (the
+    GPT-3 appendix-A comparison): per (rule_pass, pred_hq) cell, doc
+    count and token mass. The off-diagonal cells are the interesting
+    ones: rule-pass/classifier-reject is rule-passing junk the learned
+    gate catches; rule-reject/classifier-pass is recall the rule gate
+    is throwing away. Universe = docs with >= 1 token (the classifier's
+    scoring universe; the rule score joins onto it).
+
+    100 TB posture: the classifier's two passes dominate; the rule side
+    is a scan-speed projection joined on doc_id, and the output is a
+    4-row aggregate."""
+    stats = text_stats(spark, sf_dir)
+    rule = quality_scored(stats).select(
+        "doc_id",
+        (F.col("quality_score") >= 70).cast("int").alias("rule_pass"),
+    )
+    clf = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", "pred_hq", "n_tokens"
+    )
+    return (
+        clf.join(rule, "doc_id")
+        .groupBy("rule_pass", "pred_hq")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+ORACLE_QUALITY_AGREEMENT = f"""
+SELECT r.rule_pass, c.pred_hq,
+       COUNT(*) AS n_docs,
+       CAST(SUM(c.n_tokens) AS BIGINT) AS sum_tokens
+FROM ({ORACLE_QUALITY_CLASSIFIER}) c
+JOIN (SELECT doc_id,
+             CASE WHEN quality_score >= 70 THEN 1 ELSE 0 END AS rule_pass
+      FROM ({ORACLE_QUALITY_SCORED}) q) r
+  USING (doc_id)
+GROUP BY r.rule_pass, c.pred_hq
+"""
+
+QUERIES["text_quality_agreement"] = text_quality_agreement
+ORACLES["text_quality_agreement"] = ORACLE_QUALITY_AGREEMENT
+
+
 # --- BPE merge-pair statistics (tokenizer induction, first iteration) --------
 
 BPE_TOP_MERGES = 50

@@ -132,6 +132,9 @@ def crafted(spark, tmp_path_factory):
         # real PPM decode: NULL / sub-96-byte payloads leave the
         # decodable universe identically in both engines
         "mm_decode_ppm",
+        # gate-agreement audit: NULL-text docs sit outside the
+        # classifier universe, so they appear in no cell
+        "text_quality_agreement",
         # tokenizer application: NULL-text docs tokenize to no words
         "text_tokenize_bpe",
         # the train/apply split variant: NULL held-out docs drop too

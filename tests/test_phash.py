@@ -94,10 +94,26 @@ def crafted(spark, tmp_path_factory):
         " n_chars: long",
     )
     df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    # embeddings for the keep-list's semantic side (round 10):
+    # axis-orthogonal seeds -> no semantic pairs, statuses unchanged;
+    # ids 10 / 10+1e12 have no embedding, so the left join leaves their
+    # semantic verdict NULL (outside the semantic universe)
+    erows = []
+    for s in range(8):
+        v = [0.0] * 8
+        v[s] = 10.0
+        erows.append((s, v, "seed"))
+    spark.createDataFrame(
+        erows, "vec_id: long, embedding: array<float>, label: string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM read_parquet("
         f"'{tmp}/documents.parquet/*.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{tmp}/embeddings.parquet/*.parquet')"
     )
     return str(tmp), con
 

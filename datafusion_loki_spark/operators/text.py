@@ -185,9 +185,55 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the totals roll-up); the totals ride a broadcast 1-row frame.
     Nothing collects; no driver loop."""
     docs = load_table(spark, sf_dir, "documents")
+    counts, totals = _nb_train(spark, sf_dir)
+    toks_all = docs.select(
+        "doc_id", F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("w")
+    ).where(F.col("w").isNotNull())
+    scored = (
+        toks_all.join(counts.hint("merge"), "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(f"IF({_NB_LHS} > {_NB_RHS}, 1, 0)").alias("v_hq"),
+            F.expr(f"IF({_NB_LHS} < {_NB_RHS}, 1, 0)").alias("v_lq"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("v_hq").alias("votes_hq"),
+            F.sum("v_lq").alias("votes_lq"),
+        )
+        .withColumn(
+            "pred_hq",
+            F.when(F.col("votes_hq") > F.col("votes_lq"), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+    )
+
+
+# the per-token NB decision, shared by the batch scorer and the
+# streaming gate: the sign of the Laplace-smoothed log-likelihood ratio
+# as a cross-multiplied integer comparison (decimal(38,0)-exact)
+_NB_LHS = "(coalesce(c_hq, 0) + 1) * cast(n_lq + v as decimal(38,0))"
+_NB_RHS = "(coalesce(c_lq, 0) + 1) * cast(n_hq + v as decimal(38,0))"
+
+
+def _nb_train(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """The classifier's TRAINING pass, shared by the batch scorer and
+    the streaming gate (streaming.pipeline.quality_gate_stream — the
+    model artifacts a deployment would persist): returns (per-token
+    class counts (w, c_hq, c_lq) — localCheckpointed, it feeds both the
+    scoring join and the totals roll-up — and the 1-row totals frame
+    (n_hq, n_lq, v)). Pseudo-labels are computed INLINE on the training
+    shard (no corpus-scale label join): the rule score reads the shared
+    toks barrier once."""
+    docs = load_table(spark, sf_dir, "documents")
     toks_expr = f"split({_NORM_SPARK}, ' ')"
-    # pseudo-labels INLINE on the training shard (no corpus-scale label
-    # join): the rule score reads the shared toks barrier once
     train_stats = docs.where(QC_TRAIN_SPARK).select(
         "doc_id",
         "text",
@@ -220,34 +266,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_lq").alias("n_lq"),
         F.count("*").alias("v"),
     )
-    toks_all = docs.select(
-        "doc_id", F.explode_outer(F.expr(toks_expr)).alias("w")
-    ).where(F.col("w").isNotNull())
-    lhs = "(coalesce(c_hq, 0) + 1) * cast(n_lq + v as decimal(38,0))"
-    rhs = "(coalesce(c_lq, 0) + 1) * cast(n_hq + v as decimal(38,0))"
-    scored = (
-        toks_all.join(counts.hint("merge"), "w", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "doc_id",
-            F.expr(f"IF({lhs} > {rhs}, 1, 0)").alias("v_hq"),
-            F.expr(f"IF({lhs} < {rhs}, 1, 0)").alias("v_lq"),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum("v_hq").alias("votes_hq"),
-            F.sum("v_lq").alias("votes_lq"),
-        )
-        .withColumn(
-            "pred_hq",
-            F.when(F.col("votes_hq") > F.col("votes_lq"), 1)
-            .otherwise(0)
-            .cast("int"),
-        )
-    )
+    return counts, totals
 
 
 ORACLE_QUALITY_CLASSIFIER = f"""

@@ -983,6 +983,77 @@ def phash_admission_stream(stream_media: DataFrame) -> DataFrame:
     )
 
 
+def quality_gate_stream(
+    stream_docs: DataFrame, counts: DataFrame, totals: DataFrame
+) -> DataFrame:
+    """The LEARNED quality gate applied AT INGEST — the deployment shape
+    of text_quality_classifier: incoming documents are scored against a
+    BATCH-TRAINED Naive-Bayes model (text._nb_train's artifacts — the
+    per-token class counts and the 1-row totals a deployment would
+    persist alongside the index), emitting per (event-time window, doc)
+    the vote tallies and the majority verdict. A rejected doc never
+    reaches the corpus sink; retraining is a batch job that swaps the
+    static frames.
+
+    Topology: stateless token explode -> stream-STATIC left join to the
+    vocab stats (supported in every output mode; the static side is
+    bounded by the trained vocabulary) -> literal-key equi-join to the
+    1-row totals (stream-static CROSS joins are restricted, an equi-join
+    on lit(1) is not) -> watermarked window aggregation. Per-token NB
+    decisions reuse the batch scorer's exact integer comparison
+    (text._NB_LHS/_NB_RHS), so the stream's verdicts are value-identical
+    to the batch classifier over the same documents (batch-equivalence
+    tested). ``stream_docs`` must carry (ts, doc_id, text)."""
+    from datafusion_loki_spark.operators.text import (
+        _NB_LHS,
+        _NB_RHS,
+        _NORM_SPARK,
+    )
+
+    toks = (
+        stream_docs.select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "doc_id",
+            F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("w"),
+        )
+        .where(F.col("w").isNotNull())
+        .withWatermark("ts", "10 minutes")
+    )
+    scored = (
+        toks.join(counts, "w", "left")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(totals.withColumn("_k", F.lit(1))), "_k")
+        .drop("_k")
+        .select(
+            "ts",
+            "doc_id",
+            F.expr(f"IF({_NB_LHS} > {_NB_RHS}, 1, 0)").alias("v_hq"),
+            F.expr(f"IF({_NB_LHS} < {_NB_RHS}, 1, 0)").alias("v_lq"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.window("ts", "10 minutes").alias("win"), F.col("doc_id")
+        )
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("v_hq").alias("votes_hq"),
+            F.sum("v_lq").alias("votes_lq"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "doc_id",
+            "n_tokens",
+            "votes_hq",
+            "votes_lq",
+            F.when(F.col("votes_hq") > F.col("votes_lq"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("pred_hq"),
+        )
+    )
+
+
 VERIFIED_NEAR_DUP_SCHEMA = (
     "band_idx int, band_key string, doc_id long, prior_id long, hamming int"
 )

@@ -1240,6 +1240,53 @@ def test_phash_admission_stream_matches_python_band_model(
     assert stream_pairs  # non-vacuous: real payloads share bands
 
 
+def test_quality_gate_stream_matches_batch_classifier(spark, sf_dir, tmp_path):
+    # The streaming learned gate must score IDENTICALLY to the batch
+    # classifier over the same documents: same NB model artifacts, same
+    # integer vote comparison — per-doc (n_tokens, votes, verdict)
+    # equality. Complete mode: a single availableNow micro-batch never
+    # advances the watermark far enough for append mode to emit.
+    import __spark_entry__ as e
+    from datafusion_loki_spark.operators.text import _nb_train
+
+    counts, totals = _nb_train(spark, sf_dir)
+    docs = _docs_with_ts(spark, sf_dir)
+    src = tmp_path / "docs"
+    docs.coalesce(1).write.parquet(str(src / "all"))
+    agg = pipeline.quality_gate_stream(
+        spark.readStream.schema(
+            "ts timestamp_ntz, doc_id long, text string"
+        ).parquet(str(src) + "/*/"),
+        counts,
+        totals,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("qgate")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (r.n_tokens, r.votes_hq, r.votes_lq, r.pred_hq)
+        for r in spark.sql("SELECT * FROM qgate").collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.votes_hq, r.votes_lq, r.pred_hq)
+        for r in e.queries()["text_quality_classifier"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous
+    # one window per doc (a doc is one row, its tokens share one ts) —
+    # the per-doc equality above would break on a window split anyway,
+    # but make the assumption explicit
+    assert len(got) == len(want)
+
+
 def test_phash_verified_stream_equals_batch_verified_pairs(
     spark, sf_dir, tmp_path
 ):

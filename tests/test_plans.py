@@ -1112,3 +1112,16 @@ def test_quality_classifier_vocab_join_merge_pinned(spark, sf_dir):
     assert plan.count("BroadcastExchange") == 1, plan
     n_scans = plan.count("Scan parquet") or plan.count("FileScan")
     assert n_scans == 1, plan
+
+
+def test_ivf_delete_prunes_cells_then_anti_joins_tombstones(spark, sf_dir):
+    # the tombstoned query path: partition pruning must still reach the
+    # member SCAN (the anti-join sits ABOVE the pruned read, so unprobed
+    # cells never pay it), exactly one LEFT ANTI join subtracts the
+    # tombstones, and nothing goes cartesian
+    import re
+
+    plan = _plan(spark, sf_dir, "sim_ivf_index_delete")
+    assert re.search(r"PartitionFilters: \[cluster_id#\d+ IN \(", plan), plan
+    assert plan.count("LeftAnti") == 1, plan
+    assert "CartesianProduct" not in plan, plan

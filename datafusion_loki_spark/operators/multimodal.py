@@ -119,6 +119,11 @@ def decode_bmp(payload: bytes):
             f"unsupported BMP layout (bpp={bpp}, compression={compression});"
             " only uncompressed 24-bit BI_RGB"
         )
+    if w <= 0 or h_signed == 0:
+        # width is never negative in BMP; h may be (top-down). A w<=0
+        # would otherwise flow through stride=0 into a silent empty
+        # array — fail loud per the docstring contract (round-10 review)
+        raise ValueError(f"malformed BMP dimensions ({w} x {h_signed})")
     top_down = h_signed < 0
     h = abs(h_signed)
     stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries

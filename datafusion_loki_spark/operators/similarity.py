@@ -2215,16 +2215,28 @@ def _index_fs(spark: SparkSession, path: str):
     return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+# the ``gen`` a tombstone records for a base-table (members.parquet)
+# target — far below any streamed generation id (ingest gens are >= 0
+# live, -(version*1e9 + nonce) compacted; versions would need to exceed
+# 4.6e9 to reach this)
+TOMBSTONE_BASE_GEN = -(2**62)
+
+
 def _read_tombstones(spark: SparkSession, index_dir: str) -> "DataFrame | None":
-    """(cluster_id, vec_id) tombstones of a maintained index, or None if
-    the index has no pending deletes. Tombstones are APPEND-ONLY between
-    compactions; only a compaction (which physically removes the rows)
-    rewrites or removes them."""
+    """(cluster_id, vec_id, gen) tombstones of a maintained index, or
+    None if the index has no pending deletes. ``gen`` scopes the
+    tombstone to the GENERATION its target row lived in at delete time
+    (TOMBSTONE_BASE_GEN for the base table) — without it, a deleted
+    vec_id RE-INGESTED into the same cell would be silently hidden, and
+    whichever compactor folded one copy would consume the tombstone and
+    resurrect the other (round-10 review). Tombstones are APPEND-ONLY
+    between compactions; only a compaction (which physically removes
+    the rows) rewrites or removes them."""
     path = f"{index_dir}/tombstones.parquet"
     _, fs, jpath = _index_fs(spark, path)
     if not fs.exists(jpath):
         return None
-    return spark.read.parquet(path).select("cluster_id", "vec_id")
+    return spark.read.parquet(path).select("cluster_id", "vec_id", "gen")
 
 
 def delete_ivf_index(
@@ -2233,23 +2245,36 @@ def delete_ivf_index(
     """DELETE vec_ids from the persisted index — the missing third verb
     of the lifecycle (build / append / delete / compact; round-9 VERDICT
     #4). Deletes are TOMBSTONES, keyed like appends: one lookup join
-    against the live member view pins each id to its cell, and the write
-    appends (vec_id, cluster_id) partitioned by cluster_id — so the
-    read-side anti-join and the compaction fold are both cell-local.
-    Index bytes are never touched here; the physical removal happens at
-    the next compaction (compact_ivf_members for the batch table,
+    against the live VERSIONED member view pins each id to its cell AND
+    its generation (base table vs specific ingest gen), and the write
+    appends (vec_id, gen, cluster_id) partitioned by cluster_id — so the
+    read-side anti-join and the compaction fold are both cell-local, and
+    a LATER re-ingest of the same vec_id (delete + reinsert = update) is
+    a different generation the tombstone does not touch. Index bytes are
+    never touched here; the physical removal happens at the next
+    compaction (compact_ivf_members for the batch table,
     pipeline.compact_ivf_ingest for streamed generations).
 
     The lookup rides the LIVE view (base + live ingest generations MINUS
     existing tombstones), which makes deletion idempotent: re-deleting
     an already-tombstoned or unknown id finds no member row and writes
-    nothing. ``ids`` needs only a ``vec_id`` column."""
-    from datafusion_loki_spark.streaming.pipeline import ivf_members
+    nothing. ``ids`` needs only a ``vec_id`` column.
 
-    live = ivf_members(spark, index_dir).select("vec_id", "cluster_id")
+    One documented base-table edge: batch re-APPENDS land in
+    members.parquet with the same (cluster_id, vec_id, BASE) key as the
+    deleted copy, so a re-append while its delete is still pending is
+    hidden and folded WITH the old copy (the batch path is single-writer
+    maintenance by contract; re-appending after the compaction behaves
+    normally). Streamed re-ingests — the production update path — carry
+    their own generation and are never affected."""
+    from datafusion_loki_spark.streaming.pipeline import ivf_members_versioned
+
+    live = ivf_members_versioned(spark, index_dir).select(
+        "vec_id", "cluster_id", "gen"
+    )
     tomb = live.join(ids.select("vec_id"), "vec_id")
     (
-        tomb.select("vec_id", "cluster_id")
+        tomb.select("vec_id", "gen", "cluster_id")
         .write.mode("append")
         .partitionBy("cluster_id")
         .parquet(f"{index_dir}/tombstones.parquet")
@@ -2265,14 +2290,15 @@ def _rewrite_tombstones(
     generation rewrite committed: a crash before this point leaves extra
     tombstones whose target rows are already gone, which the read-side
     anti-join no-ops on and the next compaction sweeps (idempotent,
-    never resurrecting). ``consumed`` must be severed from the files
-    being rewritten (callers checkpoint it). Returns surviving count."""
+    never resurrecting). ``consumed`` must be a subset of ``t`` (full
+    rows incl. the gen scope) severed from the files being rewritten
+    (callers checkpoint it). Returns surviving count."""
     from datafusion_loki_spark.functions.layout import write_partitioned
 
-    keys = ["cluster_id", "vec_id"]
-    survivors = t.join(consumed, keys, "left_anti").localCheckpoint(
-        eager=True
-    )
+    keys = ["cluster_id", "vec_id", "gen"]
+    survivors = t.join(
+        consumed.select(*keys), keys, "left_anti"
+    ).localCheckpoint(eager=True)
     tomb_path = f"{index_dir}/tombstones.parquet"
     jvm, fs, jpath = _index_fs(spark, tomb_path)
     n = survivors.count()
@@ -2289,7 +2315,7 @@ def _rewrite_tombstones(
         for r in survivors.select("cluster_id").distinct().collect()
     }
     write_partitioned(
-        survivors.select("vec_id", "cluster_id"),
+        survivors.select("vec_id", "gen", "cluster_id"),
         tomb_path,
         partition_by=["cluster_id"],
     )
@@ -2304,18 +2330,33 @@ def _rewrite_tombstones(
 
 
 def _subtract_tombstones(
-    spark: SparkSession, index_dir: str, members: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    members: DataFrame,
+    versioned: bool = False,
 ) -> DataFrame:
-    """The query-side anti-join: live = members MINUS tombstones on the
-    (cluster_id, vec_id) compound key — cell-local, so at scale both
-    sides shuffle on the same narrow key (or broadcast when the
-    tombstone set is small: the tombstone side is a plain FileScan with
-    real size stats, so Catalyst's choice is trustworthy here — no pin
-    needed, unlike the family's stat-less frames)."""
+    """The query-side anti-join: live = members MINUS tombstones —
+    cell-local, so at scale both sides shuffle on the same narrow key
+    (or broadcast when the tombstone set is small: the tombstone side
+    is a plain FileScan with real size stats, so Catalyst's choice is
+    trustworthy here — no pin needed, unlike the family's stat-less
+    frames). ``versioned=False`` (base-table readers, no gen column)
+    subtracts only BASE-scoped tombstones on (cluster_id, vec_id);
+    ``versioned=True`` expects a ``gen`` column and subtracts on the
+    full (cluster_id, vec_id, gen) key, so a re-ingested generation of
+    a deleted id stays visible."""
     t = _read_tombstones(spark, index_dir)
     if t is None:
         return members
-    return members.join(t, ["cluster_id", "vec_id"], "left_anti")
+    if versioned:
+        return members.join(t, ["cluster_id", "vec_id", "gen"], "left_anti")
+    return members.join(
+        t.where(F.col("gen") == TOMBSTONE_BASE_GEN).select(
+            "cluster_id", "vec_id"
+        ),
+        ["cluster_id", "vec_id"],
+        "left_anti",
+    )
 
 
 def compact_ivf_members(
@@ -2371,19 +2412,26 @@ def compact_ivf_members(
     else:
         df = spark.read.parquet(members_path)
         keys = ["cluster_id", "vec_id"]
-        # consumed = tombstones whose target row lives in THIS table;
-        # survivors target ingest generations and must persist
-        # checkpointed: dropped is consumed AFTER the member rewrite
-        # below (cell collects, tombstone rewrite) — unsevered, its DAG
-        # would re-read the overwritten files
-        dropped = (
-            df.select(*keys).join(t, keys, "left_semi").localCheckpoint(
-                eager=True
-            )
+        n_before = df.count()
+        # consumed = EVERY base-scoped tombstone: this fold removes all
+        # matching base rows, and a base tombstone whose row is already
+        # gone (a prior crash between member rewrite and tombstone
+        # rewrite) is dead by definition — consuming it here is the
+        # sweep that keeps crash leftovers from accumulating. Ingest-
+        # scoped tombstones belong to compact_ivf_ingest's fold.
+        # Checkpointed: consumed is read AFTER the member rewrite below
+        # (cell collects, tombstone rewrite) — unsevered, its DAG would
+        # re-read files the tombstone rewrite overwrites.
+        consumed = t.where(
+            F.col("gen") == TOMBSTONE_BASE_GEN
+        ).localCheckpoint(eager=True)
+        staged = df.join(consumed.select(*keys), keys, "left_anti").localCheckpoint(
+            eager=True
         )
-        staged = df.join(t, keys, "left_anti").localCheckpoint(eager=True)
         rows = staged.count()
-        rows_deleted = dropped.count()
+        # exact row delta, not len(consumed): the documented re-append
+        # edge can put several base rows under one tombstoned key
+        rows_deleted = n_before - rows
         write_partitioned(
             staged,
             members_path,
@@ -2395,7 +2443,7 @@ def compact_ivf_members(
         # both are subsets of the K codebook cells)
         affected = {
             r.cluster_id
-            for r in dropped.select("cluster_id").distinct().collect()
+            for r in consumed.select("cluster_id").distinct().collect()
         }
         surviving_cells = {
             r.cluster_id
@@ -2409,7 +2457,7 @@ def compact_ivf_members(
                 ),
                 True,
             )
-        _rewrite_tombstones(spark, index_dir, t, dropped)
+        _rewrite_tombstones(spark, index_dir, t, consumed)
     return {
         "rows": rows,
         "rows_deleted": rows_deleted,

@@ -805,6 +805,9 @@ def _near_dup_impl(
             chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         ).sort_values(["ts", "doc_id"])
         fp_col = rows["fp"] if with_fp else rows["doc_id"]  # placeholder
+        ham_max = _phash_ham_max() if with_fp else 0  # hoisted: the
+        # import-lookup call was previously inside the per-(doc x
+        # occupant) inner loop (round-10 review)
         for ts, did, fp in zip(rows["ts"], rows["doc_id"], fp_col):
             did = int(did)
             # event time advances on EVERY row, replay or not: GroupState
@@ -822,7 +825,7 @@ def _near_dup_impl(
                     # 64 before counting (python ints are two's-
                     # complement-infinite for negatives)
                     ham = ((fp ^ int(prior_fp)) & _U64).bit_count()
-                    if ham <= _phash_ham_max():
+                    if ham <= ham_max:
                         new_ids.append(did)
                         prior_ids.append(prior)
                         hammings.append(ham)
@@ -1177,8 +1180,30 @@ def ivf_members(spark: SparkSession, index_dir: str) -> DataFrame:
     generation directories are pruned at the scan, never read — which is
     also what makes a replay of an already-folded micro-batch invisible
     (its re-created gen dir sits at <= folded_upto)."""
+    return ivf_members_versioned(spark, index_dir).select(
+        "vec_id", "cluster_id", "e", "c_nrm"
+    )
+
+
+def ivf_members_versioned(
+    spark: SparkSession, index_dir: str
+) -> DataFrame:
+    """ivf_members plus the ``gen`` column (TOMBSTONE_BASE_GEN for base
+    rows) — the generation-scoped view the delete path keys tombstones
+    by, so a re-ingest of a deleted vec_id (a different gen) stays
+    visible while the deleted copy does not (round-10 review: key-only
+    tombstones swallowed re-ingests and resurrected on fold)."""
+    from datafusion_loki_spark.operators.similarity import (
+        TOMBSTONE_BASE_GEN,
+        _subtract_tombstones,
+    )
+
     cols = ["vec_id", "cluster_id", "e", "c_nrm"]
-    base = spark.read.parquet(f"{index_dir}/members.parquet").select(*cols)
+    base = (
+        spark.read.parquet(f"{index_dir}/members.parquet")
+        .select(*cols)
+        .withColumn("gen", F.lit(TOMBSTONE_BASE_GEN))
+    )
     from pyspark.errors import AnalysisException
 
     try:
@@ -1186,11 +1211,7 @@ def ivf_members(spark: SparkSession, index_dir: str) -> DataFrame:
     except AnalysisException as e:
         if not _is_empty_sink_error(e):
             raise
-        from datafusion_loki_spark.operators.similarity import (
-            _subtract_tombstones,
-        )
-
-        return _subtract_tombstones(spark, index_dir, base)
+        return _subtract_tombstones(spark, index_dir, base, versioned=True)
     manifest = _read_ingest_manifest(spark, index_dir)
     if manifest is not None:
         ingest = ingest.where(
@@ -1206,16 +1227,16 @@ def ivf_members(spark: SparkSession, index_dir: str) -> DataFrame:
         # row double-counted (round-8 review). Compacted generations are
         # negative by construction, so gen >= 0 excludes exactly them.
         ingest = ingest.where(F.col("gen") >= 0)
-    from datafusion_loki_spark.operators.similarity import (
-        _subtract_tombstones,
-    )
-
     # pending deletes (similarity.delete_ivf_index) apply to the merged
-    # view: a tombstoned row is invisible whether it sits in the base
-    # table or a live generation; the physical removal happens at the
-    # respective compaction
+    # view on the FULL (cluster, vec, gen) key: a tombstoned row is
+    # invisible whether it sits in the base table or a live generation,
+    # while a re-ingested generation of the same id stays visible; the
+    # physical removal happens at the respective compaction
     return _subtract_tombstones(
-        spark, index_dir, base.unionByName(ingest.select(*cols))
+        spark,
+        index_dir,
+        base.unionByName(ingest.select(*cols, "gen")),
+        versioned=True,
     )
 
 
@@ -1257,9 +1278,11 @@ _INGEST_MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
 
 
 def _ingest_fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    # one definition repo-wide (round-10 review): the index side grew an
+    # identical helper — alias it so a fix can never diverge
+    from datafusion_loki_spark.operators.similarity import _index_fs
+
+    return _index_fs(spark, path)
 
 
 # manifest temps younger than this are presumed to belong to a live
@@ -1455,10 +1478,14 @@ def compact_ivf_ingest(
     fold_src = src.where(in_fold)
     # tombstone fold (similarity.delete_ivf_index): pending deletes whose
     # target rows sit in the folded generations are physically dropped
-    # here and their tombstones consumed after the manifest commit;
-    # tombstones targeting the base table or still-live generations
-    # survive for their own compaction
+    # here and their tombstones consumed after the manifest commit —
+    # along with DEAD ingest-scoped tombstones (gen neither the new
+    # active generation nor newer than the new cutoff: their targets
+    # were folded away by a prior run that crashed before its tombstone
+    # rewrite, so nothing can ever match them again). Base-scoped
+    # tombstones survive for compact_ivf_members' fold.
     from datafusion_loki_spark.operators.similarity import (
+        TOMBSTONE_BASE_GEN,
         _read_tombstones,
         _rewrite_tombstones,
     )
@@ -1466,13 +1493,8 @@ def compact_ivf_ingest(
     tombs = _read_tombstones(spark, index_dir)
     consumed = None
     if tombs is not None:
-        keys = ["cluster_id", "vec_id"]
-        consumed = (
-            fold_src.select(*keys)
-            .join(tombs, keys, "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        fold_src = fold_src.join(tombs, keys, "left_anti")
+        keys = ["cluster_id", "vec_id", "gen"]
+        fold_src = fold_src.join(tombs.select(*keys), keys, "left_anti")
     folded_df = (
         fold_src.drop("gen")
         .withColumn("gen", F.lit(new_gen))
@@ -1509,10 +1531,19 @@ def compact_ivf_ingest(
         spark, ingest_path
     )
     gc()
-    # AFTER the manifest commit: consume the folded tombstones (a crash
-    # before this line leaves tombstones whose rows are already gone —
-    # the read-side anti-join no-ops on them; see _rewrite_tombstones)
+    # AFTER the manifest commit: consume every ingest-scoped tombstone
+    # that is now dead under the NEW manifest — folded this run, or left
+    # by a prior run's crash window (a crash before this line leaves
+    # tombstones whose rows are already gone; the read-side anti-join
+    # no-ops on them and THIS predicate sweeps them next run)
     if tombs is not None:
+        consumed = tombs.where(
+            (F.col("gen") != TOMBSTONE_BASE_GEN)
+            & ~(
+                (F.col("gen") == new_gen)
+                | (F.col("gen") > new_cutoff)
+            )
+        ).localCheckpoint(eager=True)
         _rewrite_tombstones(spark, index_dir, tombs, consumed)
     return {
         "folded_gens": len(fold),

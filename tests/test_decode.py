@@ -141,3 +141,11 @@ def test_numpy_reference_cross_check():
         assert int(arr[:, :, c].sum(dtype="int64")) == int(
             ref[:, :, c].sum(dtype="int64")
         )
+
+
+def test_bmp_zero_or_negative_width_fail_loud():
+    good = _bmp(2, 2, [[[0, 0, 0], [0, 0, 0]], [[0, 0, 0], [0, 0, 0]]])
+    for w_bytes in (b"\x00\x00\x00\x00", b"\xff\xff\xff\xff"):  # 0, -1
+        bad = good[:18] + w_bytes + good[22:]
+        with pytest.raises(ValueError, match="dimensions|truncated"):
+            decode_bmp(bad)

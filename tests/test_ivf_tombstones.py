@@ -191,3 +191,65 @@ def test_ingest_compaction_consumes_only_its_own_tombstones(
         .select("vec_id")
         .collect()
     } == view_ids
+
+
+def test_reingest_of_deleted_id_stays_visible_no_resurrection(
+    spark, tmp_path
+):
+    # Round-10 review: key-only tombstones swallowed a re-ingest of a
+    # deleted vec_id and resurrected the wrong copy at fold time.
+    # Generation-scoped tombstones pin the contract: delete hides ONLY
+    # the generation the row lived in at delete time; a later re-ingest
+    # (delete + reinsert = update) is a different generation and stays
+    # visible through reads AND through the fold that consumes the
+    # tombstone.
+    from datafusion_loki_spark.streaming import pipeline
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch_fn = pipeline._ivf_ingest_batch_fn(index_dir)
+    victim = IVF_APPEND_OFFSET + 7
+    batch_fn(
+        emb.limit(40).select(
+            (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+            "embedding",
+        ),
+        0,
+    )
+    delete_ivf_index(
+        spark, index_dir, spark.createDataFrame([(victim,)], "vec_id long")
+    )
+    ids = {
+        r.vec_id
+        for r in pipeline.ivf_members(spark, index_dir)
+        .select("vec_id")
+        .collect()
+    }
+    assert victim not in ids
+
+    # re-ingest the SAME vec_id in a later generation: visible again
+    batch_fn(
+        emb.where(F.col("vec_id") == 7).select(
+            (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+            "embedding",
+        ),
+        1,
+    )
+    view = pipeline.ivf_members(spark, index_dir).where(
+        F.col("vec_id") == victim
+    )
+    assert view.count() == 1  # the gen-1 copy, exactly once
+
+    # folding gen 0 (keep_last=1 keeps gen 1 live) drops the deleted
+    # copy, consumes its tombstone, and must NOT touch the re-ingest
+    stats = pipeline.compact_ivf_ingest(spark, index_dir, keep_last=1)
+    assert stats["folded_gens"] == 1
+    assert stats["rows_compacted"] == 40 - 1
+    assert not os.path.exists(f"{index_dir}/tombstones.parquet")
+    assert (
+        pipeline.ivf_members(spark, index_dir)
+        .where(F.col("vec_id") == victim)
+        .count()
+        == 1
+    )

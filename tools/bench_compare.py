@@ -33,10 +33,17 @@ def load(path: str) -> dict:
     # and the anchor fields so a cross-round compare still works on the
     # shared suffix; the caller sees "partial" and says so
     frag = d.get("tail", "")
-    end = frag.find("}")
+    # scrape only INSIDE the queries dict: when the truncation preserved
+    # its opening ('"queries": {'), start there — otherwise top-level
+    # numeric fields like "value" would be captured as phantom queries
+    # (round-10 review); when truncation landed mid-dict, the fragment
+    # starts inside it and position 0 is correct
+    qm = re.search(r'"queries":\s*\{', frag)
+    qstart = qm.end() if qm else 0
+    end = frag.find("}", qstart)
     if end != -1:
         qpairs = re.findall(
-            r'"([A-Za-z0-9_]+)":\s*([0-9][0-9.]*)', frag[:end]
+            r'"([A-Za-z0-9_]+)":\s*([0-9][0-9.]*)', frag[qstart:end]
         )
         if qpairs:
             out = {
@@ -78,8 +85,12 @@ def drift_model(d: dict):
 
     floor = 0.2 * statistics.median(ys)
     span = max(xs) - min(xs)
-    lo, hi = a + b * min(xs), a + b * max(xs)
-    rel = (hi - lo) / max(lo, 1e-9) if span else 0.0
+    # the headline uses the SAME floor as predict(): an outlier-driven
+    # fit with lo <= 0 would otherwise print an absurd drift percentage
+    # (round-10 review)
+    lo = max(a + b * min(xs), floor)
+    hi = max(a + b * max(xs), floor)
+    rel = (hi - lo) / lo if span else 0.0
     return (lambda t: max(a + b * t, floor)), rel
 
 

@@ -149,3 +149,72 @@ def test_bmp_zero_or_negative_width_fail_loud():
         bad = good[:18] + w_bytes + good[22:]
         with pytest.raises(ValueError, match="dimensions|truncated"):
             decode_bmp(bad)
+
+
+# --- hypothesis round-trips ---------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    data=st.data(),
+    wsp=st.sampled_from([b"\n", b" ", b"\t", b"\r"]),
+)
+def test_ppm_encode_decode_roundtrip(w, h, data, wsp):
+    # any pixel block (including header-lookalike bytes) survives an
+    # encode->decode round trip, whichever single separator byte follows
+    # the header and whatever maxval spacing the header uses
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    img = b"P6" + wsp + str(w).encode() + wsp + str(h).encode() + wsp + b"255" + wsp + pixels
+    gw, gh, arr = decode_ppm(img)
+    assert (gw, gh) == (w, h)
+    assert bytes(arr.reshape(-1)) == pixels
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 5),
+    top_down=st.booleans(),
+    data=st.data(),
+)
+def test_bmp_encode_decode_roundtrip(w, h, top_down, data):
+    rows_bgr = data.draw(
+        st.lists(
+            st.lists(
+                st.lists(st.integers(0, 255), min_size=3, max_size=3),
+                min_size=w,
+                max_size=w,
+            ),
+            min_size=h,
+            max_size=h,
+        )
+    )
+    gw, gh, arr = decode_bmp(_bmp(w, h, rows_bgr, top_down=top_down))
+    assert (gw, gh) == (w, h)
+    for y in range(h):
+        for x in range(w):
+            b, g, r = rows_bgr[y][x]
+            assert arr[y, x].tolist() == [r, g, b]
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.binary(max_size=80))
+def test_decoders_never_crash_unloudly_on_garbage(blob):
+    # decoders either return a well-formed array or raise ValueError —
+    # never an IndexError/struct.error/numpy reshape explosion
+    for fn in (decode_ppm, decode_bmp):
+        try:
+            w, h, arr = fn(blob)
+            assert arr.shape == (h, w, 3)
+        except ValueError:
+            pass

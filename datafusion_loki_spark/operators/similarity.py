@@ -1341,7 +1341,7 @@ def query_ivf_index(
         for r in probes.select("cluster_id").distinct().collect()
     }
     members = (
-        spark.read.parquet(f"{index_dir}/members.parquet")
+        _read_members(spark, index_dir)
         .where(F.col("cluster_id").isin(*probed))
         .select("vec_id", "cluster_id", "e", "c_nrm")
     )
@@ -2221,6 +2221,20 @@ def _index_fs(spark: SparkSession, path: str):
 # 4.6e9 to reach this)
 TOMBSTONE_BASE_GEN = -(2**62)
 
+# explicit read schemas (_members_projection is the write-side contract):
+# schema-less parquet reads CRASH on a data-less directory ('unable to
+# infer schema'), and both tables have legitimate empty terminal states —
+# members after a delete-everything compaction, tombstones after a crash
+# window — that must read as 0 rows (round-10 review)
+MEMBERS_SCHEMA = "vec_id bigint, e array<double>, c_nrm double, cluster_id int"
+TOMBSTONES_SCHEMA = "vec_id bigint, gen bigint, cluster_id int"
+
+
+def _read_members(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.schema(MEMBERS_SCHEMA).parquet(
+        f"{index_dir}/members.parquet"
+    )
+
 
 def _read_tombstones(spark: SparkSession, index_dir: str) -> "DataFrame | None":
     """(cluster_id, vec_id, gen) tombstones of a maintained index, or
@@ -2236,7 +2250,11 @@ def _read_tombstones(spark: SparkSession, index_dir: str) -> "DataFrame | None":
     _, fs, jpath = _index_fs(spark, path)
     if not fs.exists(jpath):
         return None
-    return spark.read.parquet(path).select("cluster_id", "vec_id", "gen")
+    return (
+        spark.read.schema(TOMBSTONES_SCHEMA)
+        .parquet(path)
+        .select("cluster_id", "vec_id", "gen")
+    )
 
 
 def delete_ivf_index(
@@ -2272,7 +2290,14 @@ def delete_ivf_index(
     live = ivf_members_versioned(spark, index_dir).select(
         "vec_id", "cluster_id", "gen"
     )
-    tomb = live.join(ids.select("vec_id"), "vec_id")
+    tomb = live.join(ids.select("vec_id"), "vec_id").localCheckpoint(
+        eager=True
+    )
+    if tomb.isEmpty():
+        # write nothing, as documented — an unguarded append would
+        # create a DATA-LESS tombstones.parquet (just _SUCCESS) whose
+        # existence every reader then trips over (round-10 review)
+        return
     (
         tomb.select("vec_id", "gen", "cluster_id")
         .write.mode("append")
@@ -2393,7 +2418,6 @@ def compact_ivf_members(
     Returns audit stats: rows rewritten, rows deleted, and parquet file
     counts before/after."""
     from datafusion_loki_spark.functions.layout import (
-        compact_partitions,
         count_parquet_files,
         write_partitioned,
     )
@@ -2402,15 +2426,23 @@ def compact_ivf_members(
     files_before = count_parquet_files(spark, members_path)
     t = _read_tombstones(spark, index_dir)
     if t is None:
-        rows = compact_partitions(
-            spark,
-            members_path,
-            partition_by=["cluster_id"],
-            files_per_partition=files_per_partition,
-        )
+        # the compact_partitions flow, inlined over the EXPLICIT-schema
+        # read: the generic helper's schema-less read crashes on the
+        # data-less terminal state a delete-everything fold leaves
+        # (round-10 review), which must instead be a 0-row no-op
+        df = _read_members(spark, index_dir)
+        staged = df.localCheckpoint(eager=True)
+        rows = staged.count()
         rows_deleted = 0
+        if rows:
+            write_partitioned(
+                staged,
+                members_path,
+                partition_by=["cluster_id"],
+                files_per_partition=files_per_partition,
+            )
     else:
-        df = spark.read.parquet(members_path)
+        df = _read_members(spark, index_dir)
         keys = ["cluster_id", "vec_id"]
         n_before = df.count()
         # consumed = EVERY base-scoped tombstone: this fold removes all

@@ -804,7 +804,9 @@ def _near_dup_impl(
         rows = (
             chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         ).sort_values(["ts", "doc_id"])
-        fp_col = rows["fp"] if with_fp else rows["doc_id"]  # placeholder
+        import itertools
+
+        fp_col = rows["fp"] if with_fp else itertools.repeat(None)
         ham_max = _phash_ham_max() if with_fp else 0  # hoisted: the
         # import-lookup call was previously inside the per-(doc x
         # occupant) inner loop (round-10 review)
@@ -932,13 +934,17 @@ def media_phash_band_keys_streamside(
                     continue
                 h1, h2 = phash64(b)
                 full = (h2 << 32) | h1
-                signed = full - (1 << 64) if full >= (1 << 63) else full
+                if with_fp:
+                    signed = (
+                        full - (1 << 64) if full >= (1 << 63) else full
+                    )
                 for k in range(MM_PHASH_BANDS):
                     ts_out.append(ts)
                     id_out.append(int(did))
                     bidx.append(k)
                     bkey.append(str((full >> (8 * k)) & 255))
-                    fp_out.append(signed)
+                    if with_fp:
+                        fp_out.append(signed)
             if id_out:
                 out = {
                     "ts": ts_out,
@@ -1195,12 +1201,13 @@ def ivf_members_versioned(
     tombstones swallowed re-ingests and resurrected on fold)."""
     from datafusion_loki_spark.operators.similarity import (
         TOMBSTONE_BASE_GEN,
+        _read_members,
         _subtract_tombstones,
     )
 
     cols = ["vec_id", "cluster_id", "e", "c_nrm"]
     base = (
-        spark.read.parquet(f"{index_dir}/members.parquet")
+        _read_members(spark, index_dir)
         .select(*cols)
         .withColumn("gen", F.lit(TOMBSTONE_BASE_GEN))
     )

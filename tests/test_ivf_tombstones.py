@@ -121,6 +121,33 @@ def test_delete_everything_empties_cells_and_directories(spark, tmp_path):
     ]
     assert leftover == [], leftover
     assert not os.path.exists(f"{index_dir}/tombstones.parquet")
+    # the DATA-LESS terminal state must stay readable (round-10 review:
+    # a schema-less read crashed on inference): queries answer empty,
+    # deletes no-op without creating a tombstone dir, a second
+    # compaction is a no-op
+    assert _probe(spark, index_dir) == []
+    delete_ivf_index(
+        spark, index_dir, spark.createDataFrame([(1,)], "vec_id long")
+    )
+    assert not os.path.exists(f"{index_dir}/tombstones.parquet")
+    stats2 = compact_ivf_members(spark, index_dir)
+    assert stats2["rows"] == 0 and stats2["rows_deleted"] == 0
+
+
+def test_no_match_delete_on_fresh_index_writes_nothing(spark, tmp_path):
+    # round-10 review: an unguarded append created a data-less
+    # tombstones.parquet (just _SUCCESS) that every subsequent read of
+    # the index tripped over
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    before = _probe(spark, index_dir)
+    delete_ivf_index(
+        spark,
+        index_dir,
+        spark.range(5).select((F.col("id") + 88_000_000).alias("vec_id")),
+    )
+    assert not os.path.exists(f"{index_dir}/tombstones.parquet")
+    assert _probe(spark, index_dir) == before
 
 
 def test_ingest_compaction_consumes_only_its_own_tombstones(

@@ -41,6 +41,14 @@ def load(path: str) -> dict:
     qm = re.search(r'"queries":\s*\{', frag)
     qstart = qm.end() if qm else 0
     end = frag.find("}", qstart)
+    # when the dict OPENING was lost, the fragment must verifiably start
+    # INSIDE the queries dict: its closing '}' is followed by ', "sf":'
+    # (the next key bench.py emits). Without this check, a tail cut past
+    # the whole dict would scrape query_end_times TIMESTAMPS and
+    # calibration fields as phantom durations (round-10 review).
+    if qm is None and end != -1:
+        if not re.match(r'\s*,\s*"sf":', frag[end + 1 :]):
+            end = -1
     if end != -1:
         qpairs = re.findall(
             r'"([A-Za-z0-9_]+)":\s*([0-9][0-9.]*)', frag[qstart:end]

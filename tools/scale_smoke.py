@@ -183,16 +183,22 @@ def main() -> None:
     # SPARK_GRAFT_SMOKE_ONLY=a,b,c restricts the ladder to named queries
     # (targeted rungs — e.g. the BPE per-merge-cost criterion — without
     # paying the full 26-query suite per k)
-    only = os.environ.get("SPARK_GRAFT_SMOKE_ONLY")
-    global SMOKE_QUERIES
-    if only:
-        # any registered query is allowed, not just ladder members
-        SMOKE_QUERIES = [q.strip() for q in only.split(",") if q.strip()]
-
-
     from datafusion_loki_spark.session import get_spark
 
     import __spark_entry__ as entrymod
+
+    only = os.environ.get("SPARK_GRAFT_SMOKE_ONLY")
+    global SMOKE_QUERIES
+    if only:
+        # any registered query is allowed, not just ladder members —
+        # validated BEFORE the expensive replica build, where a typo
+        # costs nothing instead of minutes (round-10 review)
+        SMOKE_QUERIES = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = [q for q in SMOKE_QUERIES if q not in entrymod.queries()]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_SMOKE_ONLY names not registered: {unknown}"
+            )
 
     # Build ALL replicas in one session, then stop it and time in a FRESH
     # one: the union+write build job leaves enough GC/codegen pressure to

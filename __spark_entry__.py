@@ -87,6 +87,9 @@ _R10_PINNED: tuple[str, ...] = (
     # NEW in r10: rule-gate vs learned-gate agreement audit (the
     # calibration table for stacking quality gates)
     "text_quality_agreement",
+    # NEW in r10: MOSS winnowing fingerprints (the guaranteed-detection
+    # complement of MinHash banding)
+    "dedup_winnowing",
 )
 
 _WINDOW_SIZE = 50

@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "sim_ivf_index_delete",
     "mm_decode_ppm",
     "text_quality_agreement",
+    # MOSS winnowing: char-gram volume through one doc-window (the
+    # engine's largest explode) + capped fingerprint self-join
+    "dedup_winnowing",
 ]
 
 

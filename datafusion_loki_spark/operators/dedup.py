@@ -26,7 +26,7 @@ column expressions — no Python UDFs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datafusion_loki_spark.catalog import load_table
 from datafusion_loki_spark.operators.text import _NORM_DUCK, _NORM_SPARK
@@ -1417,8 +1417,151 @@ GROUP BY 1, 2
 """
 
 
+# --- winnowing fingerprints (MOSS) --------------------------------------------
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 16  # winnowing window (guarantee: any match >= K+W-1 chars shares a fp)
+WINNOW_MIN_SHARED = 4  # pair verify threshold
+WINNOW_BUCKET_CAP = 20  # per-fingerprint doc cap (the LSH_BUCKET_CAP role;
+# tighter than LSH's 50: the synthetic corpus's 31-word vocabulary makes
+# 8-char grams brutally common, and bucket cost is cap^2 per fingerprint)
+
+# (min k-gram hash, tie -> RIGHTMOST position) encoded as ONE sortable
+# string so a plain window MIN is the whole argmin in both engines: md5
+# is fixed 32 hex chars, then '#', then zero-padded (1e9 - pos) — equal
+# hashes compare on the suffix, and a SMALLER suffix is a LARGER pos
+_WINNOW_ENC = "concat(h, '#', lpad(cast(1000000000 - p as string), 10, '0'))"
+_WINNOW_ENC_DUCK = (
+    "h || '#' || lpad(CAST(1000000000 - p AS VARCHAR), 10, '0')"
+)
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-fingerprint near-dup pairs via WINNOWING (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003 — the MOSS algorithm; public): hash
+    every K-char gram of the normalized text, slide a W-gram window,
+    select each window's minimum hash (ties to the RIGHTMOST position —
+    the paper's robust-winnowing tie-break), and emit pairs of documents
+    sharing >= WINNOW_MIN_SHARED selected fingerprints. The guarantee
+    the shingle/MinHash family cannot give: any verbatim match of at
+    least K+W-1 characters is DETECTED (every window over it selects
+    from it), while the fingerprint density stays ~2/(W+1) — local,
+    position-independent, and deterministic.
+
+    Plan shape: one corpus scan -> posexplode of the gram positions
+    (the k-gram md5 is a codegen'd COLUMN expression on the exploded
+    frame — NOT a per-element lambda, the _SHINGLES_FROM_TOKS interpreted
+    cost does not apply) -> one window MIN per doc (the argmin rides the
+    single sortable-string encoding) -> DISTINCT selected fingerprints
+    -> capped self-join on the fingerprint -> pair aggregation. Docs
+    shorter than K+W-1 grams still fingerprint (the window frame clips;
+    a doc with >= 1 gram selects >= 1), matching the oracle exactly.
+
+    100 TB posture: gram rows are char-scale but the pipeline is ONE
+    doc-partitioned window (no global sort) and everything after the
+    DISTINCT is fingerprint-bucket-bounded: the self-join is capped per
+    fingerprint (recall degrades on boilerplate buckets, memory does
+    not) and merge-pinned (stat-less under the window/distinct — the
+    family broadcast trap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.expr(_NORM_SPARK).alias("norm"),
+        )
+        .select(
+            "doc_id",
+            "norm",
+            F.posexplode_outer(
+                F.expr(
+                    f"if(length(norm) >= {WINNOW_K},"
+                    f" sequence(1, length(norm) - {WINNOW_K} + 1),"
+                    " array())"
+                )
+            ).alias("i", "p"),
+        )
+        .where(F.col("p").isNotNull())
+        .select(
+            "doc_id",
+            "p",
+            F.expr(f"md5(substring(norm, p, {WINNOW_K}))").alias("h"),
+        )
+    )
+    n_grams = Window.partitionBy("doc_id")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    sel = (
+        grams.withColumn("ng", F.count("*").over(n_grams))
+        .withColumn("sel", F.min(F.expr(_WINNOW_ENC)).over(win))
+        # window STARTS only: t <= n_grams - W + 1 (short docs keep t=1,
+        # where the clipped frame spans every gram)
+        .where(
+            (F.col("p") <= F.col("ng") - WINNOW_W + 1) | (F.col("p") == 1)
+        )
+        .select("doc_id", F.expr("substring(sel, 1, 32)").alias("fp"))
+        .distinct()
+    )
+    a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "fp")
+    ranked = Window.partitionBy("fp").orderBy("doc_a")
+    a_c = a.withColumn("rn", F.row_number().over(ranked)).where(
+        F.col("rn") <= WINNOW_BUCKET_CAP
+    )
+    b_c = b.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_b"))
+    ).where(F.col("rn") <= WINNOW_BUCKET_CAP)
+    return (
+        a_c.join(b_c.hint("merge"), "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
+ORACLE_DEDUP_WINNOWING = f"""
+WITH g AS (
+  SELECT doc_id, p,
+         md5(substring(norm, CAST(p AS INT), {WINNOW_K})) AS h
+  FROM (
+    SELECT doc_id, {_NORM_DUCK} AS norm,
+           unnest(generate_series(1, length({_NORM_DUCK}) - {WINNOW_K} + 1))
+             AS p
+    FROM documents
+    WHERE text IS NOT NULL AND length({_NORM_DUCK}) >= {WINNOW_K}
+  )
+), sel AS (
+  SELECT DISTINCT doc_id, substring(sel, 1, 32) AS fp FROM (
+    SELECT doc_id, p,
+           COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+           MIN({_WINNOW_ENC_DUCK}) OVER (
+             PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+           ) AS sel
+    FROM g
+  ) WHERE p <= ng - {WINNOW_W} + 1 OR p = 1
+), capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM sel
+  ) WHERE rn <= {WINNOW_BUCKET_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared_fps
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
+    "dedup_winnowing": dedup_winnowing,
     "dedup_bow": dedup_bow,
     "dedup_events_exact": dedup_events_exact,
     "dedup_incremental": dedup_incremental,
@@ -1463,6 +1606,7 @@ ORACLES = {
     "dedup_chunks": ORACLE_DEDUP_CHUNKS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_hamming": _oracle_simhash_hamming(),
+    "dedup_winnowing": ORACLE_DEDUP_WINNOWING,
     "dedup_method_agreement": _oracle_method_agreement(),
     "graph_pagerank_dups": _oracle_pagerank(),
 }

@@ -135,6 +135,9 @@ def crafted(spark, tmp_path_factory):
         # gate-agreement audit: NULL-text docs sit outside the
         # classifier universe, so they appear in no cell
         "text_quality_agreement",
+        # winnowing: NULL/short texts produce no grams, hence no
+        # fingerprints, in both engines
+        "dedup_winnowing",
         # tokenizer application: NULL-text docs tokenize to no words
         "text_tokenize_bpe",
         # the train/apply split variant: NULL held-out docs drop too

@@ -1125,3 +1125,15 @@ def test_ivf_delete_prunes_cells_then_anti_joins_tombstones(spark, sf_dir):
     assert re.search(r"PartitionFilters: \[cluster_id#\d+ IN \(", plan), plan
     assert plan.count("LeftAnti") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnowing_gram_hash_in_codegen_and_capped_join(spark, sf_dir):
+    # the k-gram md5 must be a codegen'd COLUMN expression on the
+    # exploded frame, never a per-element lambda (no aggregate/transform
+    # wrapping md5); the fingerprint self-join is merge-pinned (both
+    # sides sit under window/distinct — stat-less) and never cartesian
+    s = _optimized(spark, sf_dir, "dedup_winnowing")
+    assert "transform(" not in s and "aggregate(" not in s, s
+    plan = _plan(spark, sf_dir, "dedup_winnowing")
+    assert "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1426,28 +1426,23 @@ WINNOW_BUCKET_CAP = 20  # per-fingerprint doc cap (the LSH_BUCKET_CAP role;
 # tighter than LSH's 50: the synthetic corpus's 31-word vocabulary makes
 # 8-char grams brutally common, and bucket cost is cap^2 per fingerprint)
 
-# (min k-gram hash, tie -> RIGHTMOST position) encoded as ONE sortable
-# string so a plain window MIN is the whole argmin in both engines: md5
-# is fixed 32 hex chars, then '#', then zero-padded (1e9 - pos) — equal
-# hashes compare on the suffix, and a SMALLER suffix is a LARGER pos
-_WINNOW_ENC = "concat(h, '#', lpad(cast(1000000000 - p as string), 10, '0'))"
-_WINNOW_ENC_DUCK = (
-    "h || '#' || lpad(CAST(1000000000 - p AS VARCHAR), 10, '0')"
-)
-
-
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-fingerprint near-dup pairs via WINNOWING (Schleimer,
     Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
     Fingerprinting", SIGMOD 2003 — the MOSS algorithm; public): hash
     every K-char gram of the normalized text, slide a W-gram window,
-    select each window's minimum hash (ties to the RIGHTMOST position —
-    the paper's robust-winnowing tie-break), and emit pairs of documents
-    sharing >= WINNOW_MIN_SHARED selected fingerprints. The guarantee
-    the shingle/MinHash family cannot give: any verbatim match of at
-    least K+W-1 characters is DETECTED (every window over it selects
-    from it), while the fingerprint density stays ~2/(W+1) — local,
-    position-independent, and deterministic.
+    select each window's minimum hash, and emit pairs of documents
+    sharing >= WINNOW_MIN_SHARED selected fingerprints. (The output
+    keeps only the fingerprint SET per doc, so no positional tie-break
+    is needed — among tied minima the hash is the same; a position-
+    carrying variant would need the paper's tie-break rules.) The
+    SCHEME's local guarantee, which MinHash banding cannot give: any
+    verbatim match of at least K+W-1 characters shares >= 1 selected
+    fingerprint at density ~2/(W+1). The OPERATOR's emission is
+    deliberately stricter than the floor: pairs need WINNOW_MIN_SHARED
+    shared fingerprints, and the per-fingerprint cap bounds boilerplate
+    buckets — both knobs trade single-span recall for pair volume, and
+    both are mirrored exactly in the oracle.
 
     Plan shape: one corpus scan -> posexplode of the gram positions
     (the k-gram md5 is a codegen'd COLUMN expression on the exploded
@@ -1485,24 +1480,26 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "p",
+            # ng = gram count, derivable from the length — a second
+            # whole-partition count window over the engine's largest
+            # explode would cost a full extra pass (round-10 review)
+            (F.length("norm") - (WINNOW_K - 1)).alias("ng"),
             F.expr(f"md5(substring(norm, p, {WINNOW_K}))").alias("h"),
         )
     )
-    n_grams = Window.partitionBy("doc_id")
     win = (
         Window.partitionBy("doc_id")
         .orderBy("p")
         .rowsBetween(0, WINNOW_W - 1)
     )
     sel = (
-        grams.withColumn("ng", F.count("*").over(n_grams))
-        .withColumn("sel", F.min(F.expr(_WINNOW_ENC)).over(win))
+        grams.withColumn("fp", F.min("h").over(win))
         # window STARTS only: t <= n_grams - W + 1 (short docs keep t=1,
         # where the clipped frame spans every gram)
         .where(
             (F.col("p") <= F.col("ng") - WINNOW_W + 1) | (F.col("p") == 1)
         )
-        .select("doc_id", F.expr("substring(sel, 1, 32)").alias("fp"))
+        .select("doc_id", "fp")
         .distinct()
     )
     a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
@@ -1526,6 +1523,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DEDUP_WINNOWING = f"""
 WITH g AS (
   SELECT doc_id, p,
+         length(norm) - {WINNOW_K} + 1 AS ng,
          md5(substring(norm, CAST(p AS INT), {WINNOW_K})) AS h
   FROM (
     SELECT doc_id, {_NORM_DUCK} AS norm,
@@ -1535,13 +1533,12 @@ WITH g AS (
     WHERE text IS NOT NULL AND length({_NORM_DUCK}) >= {WINNOW_K}
   )
 ), sel AS (
-  SELECT DISTINCT doc_id, substring(sel, 1, 32) AS fp FROM (
-    SELECT doc_id, p,
-           COUNT(*) OVER (PARTITION BY doc_id) AS ng,
-           MIN({_WINNOW_ENC_DUCK}) OVER (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, p, ng,
+           MIN(h) OVER (
              PARTITION BY doc_id ORDER BY p
              ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
-           ) AS sel
+           ) AS fp
     FROM g
   ) WHERE p <= ng - {WINNOW_W} + 1 OR p = 1
 ), capped AS (
@@ -2362,7 +2359,12 @@ def _semantic_index_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index_dir = scratch_index_dir(spark, sf_dir, "semdedup")
     build_ivf_index(spark, sf_dir, index_dir)
-    return spark.read.parquet(f"{index_dir}/members.parquet")
+    from datafusion_loki_spark.operators.similarity import _read_members
+
+    # explicit-schema read: ONE schema contract per table (round-10
+    # review — the empty-terminal-state hardening must not leave a
+    # schema-less reader behind)
+    return _read_members(spark, index_dir)
 
 
 def _semantic_pairs(members: DataFrame) -> DataFrame:

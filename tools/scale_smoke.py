@@ -83,6 +83,10 @@ SMOKE_QUERIES = [
     # index + cell-bounded pair join + two media-link joins)
     "text_quality_classifier",
     "mm_semantic_dedup",
+    # round 10: the engine's largest explode (char-gram rows through one
+    # doc-window) — gram volume is linear in corpus bytes, the pair join
+    # is bucket-capped; the rung must stay ~linear
+    "dedup_winnowing",
 ]
 
 

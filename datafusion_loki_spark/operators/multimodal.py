@@ -81,6 +81,11 @@ def decode_ppm(payload: bytes):
             raise ValueError("malformed PPM header field")
         fields.append(int(payload[start:pos]))
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        # a 'P6 0 0 255' header would flow through need=0 into a silent
+        # empty (0, 0, 3) array — fail loud per the docstring contract,
+        # mirroring decode_bmp's round-10 guard (round-11 ADVICE)
+        raise ValueError(f"malformed PPM dimensions ({w} x {h})")
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
     pos += 1  # exactly ONE whitespace byte separates header and pixels

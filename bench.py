@@ -151,6 +151,12 @@ BENCH_QUERIES = [
     # MOSS winnowing: char-gram volume through one doc-window (the
     # engine's largest explode) + capped fingerprint self-join
     "dedup_winnowing",
+    # appended round 11: the positional-winnowing span localizer (the
+    # gram DAG + positional argmin + pair-partitioned segmentation — a
+    # second full pass over the engine's largest explode) and the
+    # winnow-vs-banding agreement audit (runs both candidate pipelines)
+    "dedup_winnow_spans",
+    "dedup_winnow_agreement",
 ]
 
 

@@ -1,0 +1,93 @@
+"""Positional winnowing (dedup_winnow_spans) unit pins.
+
+The driver row proves cross-engine parity on the synthetic corpus; these
+tests pin the SEMANTICS on crafted inputs where the right answer is known
+by construction: the rightmost-minimum tie-break (SIGMOD'03 robust
+winnowing) and the planted-overlap -> exact-span localization.
+"""
+
+from __future__ import annotations
+
+import random
+
+from datafusion_loki_spark.operators.dedup import (
+    WINNOW_K,
+    WINNOW_MIN_SHARED,
+    WINNOW_W,
+    _winnow_selected_positions,
+    _winnow_spans_frame,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_rightmost_min_tie_break_on_repeated_run(spark):
+    # a pure single-char run ties EVERY gram hash in every window; the
+    # paper's robust rule selects the RIGHTMOST tied minimum, so window
+    # start t selects position t + W - 1 (a leftmost rule would select
+    # a single position, 1). ng = W + 6 grams -> window starts 1..7 ->
+    # selected positions exactly {W, ..., W+6}.
+    n_grams = WINNOW_W + 6
+    doc = "a" * (n_grams + WINNOW_K - 1)
+    sel = _winnow_selected_positions(_docs(spark, [(1, doc)]))
+    got = sorted(r.pos for r in sel.collect())
+    assert got == list(range(WINNOW_W, WINNOW_W + 7)), got
+
+
+def test_planted_overlap_localizes_to_one_exact_span(spark):
+    # disjoint alphabets: fillers can never 8-gram-match the plant or
+    # each other, so every cross-doc shared fingerprint comes from the
+    # planted region — the span MUST land inside it, within the
+    # guarantee slack (first/last selection at most W+K chars from the
+    # match edges)
+    rng = random.Random(42)
+    filler_a = "".join(rng.choice("abcdef") for _ in range(150))
+    filler_a2 = "".join(rng.choice("abcdef") for _ in range(120))
+    filler_b = "".join(rng.choice("uvwxyz") for _ in range(100))
+    filler_b2 = "".join(rng.choice("uvwxyz") for _ in range(140))
+    plant = "".join(rng.choice("ghijklmnopqrst") for _ in range(200))
+
+    doc_a = filler_a + plant + filler_a2     # plant at 151..350 (1-based)
+    doc_b = filler_b + plant + filler_b2     # plant at 101..300
+    spans = _winnow_spans_frame(
+        _docs(spark, [(1, doc_a), (2, doc_b)])
+    ).collect()
+
+    assert len(spans) == 1, spans
+    s = spans[0]
+    assert (s.doc_a, s.doc_b) == (1, 2)
+    assert s.n_fps >= WINNOW_MIN_SHARED
+    slack = WINNOW_W + WINNOW_K
+    a_lo, a_hi = 151, 350
+    b_lo, b_hi = 101, 300
+    assert a_lo <= s.span_a_start <= a_lo + slack, s
+    assert a_hi - slack <= s.span_a_end <= a_hi, s
+    assert b_lo <= s.span_b_start <= b_lo + slack, s
+    assert b_hi - slack <= s.span_b_end <= b_hi, s
+    # the two extents localize the SAME region: equal length windows
+    assert (s.span_a_end - s.span_a_start) == (s.span_b_end - s.span_b_start)
+
+
+def test_two_plants_split_into_two_spans(spark):
+    # two separate verbatim regions with non-matching middle gap wider
+    # than WINNOW_SPAN_GAP must emit two span rows, numbered in
+    # position order
+    rng = random.Random(7)
+    plant1 = "".join(rng.choice("ghijklmnopqrst") for _ in range(120))
+    plant2 = "".join(rng.choice("ghijklmnopqrst") for _ in range(120))
+    gap_a = "".join(rng.choice("abcdef") for _ in range(80))
+    gap_b = "".join(rng.choice("uvwxyz") for _ in range(90))
+    doc_a = plant1 + gap_a + plant2
+    doc_b = plant1 + gap_b + plant2
+    spans = _winnow_spans_frame(
+        _docs(spark, [(1, doc_a), (2, doc_b)])
+    ).collect()
+    assert len(spans) == 2, spans
+    by_id = sorted(spans, key=lambda s: s.span_id)
+    assert [s.span_id for s in by_id] == [1, 2]
+    # span 1 inside plant1 (1..120 on both), span 2 inside plant2
+    assert by_id[0].span_a_end <= 120
+    assert by_id[1].span_a_start >= 201         # 120 + 80 + 1
+    assert by_id[1].span_b_start >= 211         # 120 + 90 + 1

@@ -78,6 +78,11 @@ _R11_PINNED: tuple[str, ...] = (
     # status vocabulary grew — their oracles re-render from it
     "mix_quality_vs_dedup",
     "corpus_build_manifest",
+    # NEW in r11: the compressed-format decode path — real PNG
+    # (CRC-verified chunk walk + zlib inflate + all-five-filter
+    # unfilter), oracle recomputes channel sums from hex bytes
+    # (round-10 VERDICT Next #4)
+    "mm_decode_png",
 )
 
 _WINDOW_SIZE = 50

@@ -157,6 +157,10 @@ BENCH_QUERIES = [
     # winnow-vs-banding agreement audit (runs both candidate pipelines)
     "dedup_winnow_spans",
     "dedup_winnow_agreement",
+    # the compressed decode path: zlib deflate+inflate + 5-filter
+    # unfilter per item through the Arrow kernel — tracked so a Python-
+    # side regression in the per-item loop shows up round-over-round
+    "mm_decode_png",
 ]
 
 

@@ -1139,6 +1139,18 @@ def test_winnowing_gram_hash_in_codegen_and_capped_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_decode_ops_scan_speed_no_shuffle(spark, sf_dir):
+    # the decode twins are embarrassingly parallel: one parquet scan
+    # into an Arrow-batched kernel, emitting 6 narrow columns — payload
+    # bytes must never cross an exchange (the family rule); a shuffle
+    # appearing here means something upstream re-partitioned data-scale
+    # binary payloads
+    for name in ("mm_decode_ppm", "mm_decode_png"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name}:\n{plan}"
+        assert "MapInPandas" in plan, f"{name}:\n{plan}"
+
+
 def test_winnowing_gram_dag_materialized_once(spark, sf_dir):
     # round-11 fix of the round-10 `weak`: the selected-fingerprint frame
     # is capped ONCE (single row_number window) and localCheckpointed

@@ -83,6 +83,16 @@ _R11_PINNED: tuple[str, ...] = (
     # unfilter), oracle recomputes channel sums from hex bytes
     # (round-10 VERDICT Next #4)
     "mm_decode_png",
+    # CHANGED in r11: BPE counts are now DELTA-MAINTAINED (exact, the
+    # stale-counts approximation is gone), budget raised to 16x32=512
+    # with an exact early stop — 89 merges at the driver corpus's
+    # 107-merge ceiling; tests/test_bpe_scale.py consumes >= 512 on a
+    # crafted corpus (round-10 VERDICT Next #2)
+    "text_bpe_vocab",
+    # CHANGED in r11: both tokenizer-apply consumers retrain under the
+    # delta loop (same apply topology, new merge tables)
+    "text_tokenize_bpe",
+    "text_tokenize_bpe_oov",
 )
 
 _WINDOW_SIZE = 50

@@ -16,6 +16,16 @@ Determinism contract: every hash is md5 (engine-portable); every float is
 either exact-int arithmetic or a sequential-fold dot product (verified
 bit-identical between Spark and DuckDB). No RNG anywhere.
 
+PRODUCTION SWAP (md5 -> xxhash64): md5 is the ORACLE-portability choice,
+not the deployment choice. Wherever a hash VALUE defines downstream
+results (minhash signatures, band keys, simhash bit votes, winnowing
+fingerprints), the 32-char hex string rides sorts/DISTINCTs/shuffles at
+4x the width of an 8-byte xxhash64 BIGINT; a real deployment swaps the
+expression (identical topology, different constants — recall/precision
+characteristics unchanged, DuckDB replay lost). Keys where NO hash value
+reaches the output already use xxhash64 (the span-key rule; measured
+~5x narrower shuffles in round 8).
+
 100 TB posture: nothing here materializes a pairwise cross product. Exact
 dedup shuffles once on the fingerprint; MinHash shuffles on band keys
 (bounded bucket sizes → AQE skew-join splits the rare hot bucket); the
@@ -239,6 +249,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode_outer("shingles").alias("s"))
         .where(F.col("s").isNotNull())
     )
+    # production swap: min over md5 hex -> min over xxhash64(j || s)
+    # BIGINTs (4x narrower agg+shuffle rows, same minhash property; the
+    # module-header swap note — md5 is the oracle-portability choice)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"mh{j}")
         for j in range(N_MINHASH)
@@ -995,6 +1008,10 @@ def simhash_docs(
     # tokens and the per-token md5 are materialized ONCE as columns (same
     # projection-barrier reasoning as shingle_docs: the filter() lambdas
     # would otherwise re-split and re-hash per bit position)
+    # production swap: per-token md5 hex + parity-of-hex-digit votes ->
+    # xxhash64(t) + bit tests ((h >> b) & 1) on the BIGINT, and the
+    # bit-string fingerprint -> a packed BIGINT (narrower rows through
+    # the hamming probe's shuffle; the module-header swap note)
     base = _spread(docs, "doc_id").select(
         "doc_id", F.expr(f"split({_NORM_SPARK}, ' ')").alias("toks")
     ).select("doc_id", "toks", F.expr("transform(toks, t -> md5(t))").alias("hashes"))

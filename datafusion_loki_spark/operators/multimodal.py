@@ -1326,6 +1326,11 @@ def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     cc = _cc_labels(sym).withColumnRenamed("cluster_id", "cc_label")
+    # production swap: this digest is a pure GROUPING key (never reaches
+    # the output), so a real deployment uses xxhash64(payload) — 4x
+    # narrower keeper shuffle rows; md5 here only keeps the expression
+    # parallel to mm_dedup_exact's oracle-checked digest (the dedup
+    # module-header swap note)
     fp = _phash_corpus(media_table(spark, sf_dir)).select(
         "doc_id", F.md5("payload").alias("fingerprint")
     )

@@ -1262,8 +1262,13 @@ ORACLES["text_scrub_pii"] = _oracle_text_scrub_pii()
 # consumed there; tests/test_bpe_scale.py proves the full budget on a
 # crafted 2.5k-word corpus with the same oracle.
 
-BPE_ITERS = 16  # fixed induction rounds (the oracle replays exactly these)
-BPE_BATCH = 32  # max merges selected per round (budget: 16 x 32 = 512)
+# Batch width costs NO fidelity: every merge selected into one batch is
+# symbol-disjoint from the others, so each selected count is exact under
+# the snapshot whatever the batch size — a wider batch only converts
+# fixed per-round job overhead into merges (candidates that INTERACT
+# with a selection wait for the next round's updated counts either way).
+BPE_ITERS = 8   # fixed induction rounds (the oracle replays exactly these)
+BPE_BATCH = 64  # max merges selected per round (budget: 8 x 64 = 512)
 BPE_CAND = 256  # top-candidate pool fed to the selection fold
 
 # ordered candidate array: sort_array on (-count, s1, s2) = the argmax
@@ -1454,7 +1459,10 @@ def _bpe_train(
             # return list so consumers see at least one frame.
             break
         bcast = F.broadcast(batch.select("batch", "m"))
-        # delta-scale: only the words this batch changes, old and new
+        # delta-scale: only the words this batch changes, old and new.
+        # NOT checkpointed: its two consumers re-derive from the
+        # CHECKPOINTED cur (one cheap scan + pred each) — a per-round
+        # materialization job costs more than the double evaluation
         aff = (
             cur.crossJoin(bcast)
             .where(F.expr(_BPE_AFFECTED_PRED))
@@ -1463,7 +1471,6 @@ def _bpe_train(
                 F.col("s").alias("s_old"),
                 F.expr(_BPE_APPLY_FOLD).alias("s_new"),
             )
-            .localCheckpoint(eager=True)
         )
         delta = _pair_counts(aff, "s_old", -1).unionByName(
             _pair_counts(aff, "s_new", 1)

@@ -27,7 +27,7 @@ from tests.parity import compare
 
 _SCALE_ITERS = 40  # early rounds fill below BPE_BATCH (letter-disjointness
 # caps symbol-disjoint rules over a 26-letter alphabet); later rounds fill
-# as fused symbols diversify — 40 rounds x 32 gives comfortable headroom
+# as fused symbols diversify — 40 rounds gives comfortable headroom
 # over the 512-merge bar
 
 

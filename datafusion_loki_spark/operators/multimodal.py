@@ -184,6 +184,12 @@ def encode_png(arr, row_filters=None) -> bytes:
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        # the decode family's error contract: loud ValueError, never an
+        # undeclared KeyError/unpack error (round-11 review)
+        raise ValueError(
+            f"encode_png needs an (h, w, 3|4) array, got shape {arr.shape}"
+        )
     h, w, c = arr.shape
     color_type = {3: 2, 4: 6}[c]
     if row_filters is None:
@@ -288,12 +294,22 @@ def decode_png(payload: bytes):
             f" interlace={interlace}); only 8-bit RGB/RGBA non-interlaced"
         )
     ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    need = h * (1 + stride)
+    # bounded inflate: the exact output size is known from the validated
+    # IHDR BEFORE touching IDAT, so cap decompression at it — a plain
+    # zlib.decompress would happily inflate a few-KB deflate bomb to
+    # gigabytes before the length check ever ran (round-11 review).
+    # decompressobj(max_length=need) returns AT MOST need bytes; any
+    # leftover compressed input or a short stream is a length mismatch.
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), need)
     except zlib.error as e:
         raise ValueError("PNG IDAT inflate failed") from e
-    stride = w * ch
-    if len(raw) != h * (1 + stride):
+    if len(raw) != need or dec.decompress(b"", 1) != b"" or (
+        dec.unconsumed_tail
+    ):
         raise ValueError("PNG scanline data length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     out = np.zeros((h, stride), dtype=np.uint8)

@@ -1361,6 +1361,37 @@ def text_bpe_vocab(
     )
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """Ids of the block-manager-resident RDDs (localCheckpoint storage).
+    Used to free SUPERSEDED loop state: df.unpersist() is a no-op on a
+    localCheckpoint'd frame (the blocks belong to the checkpoint RDD,
+    not the CacheManager — probed on pyspark 4.1), so the only handle
+    is the JavaSparkContext's persistent-RDD map, diffed tightly around
+    each eager checkpoint. Assumes no CONCURRENT checkpoint activity in
+    the session during the diff window (the repo's sessions run queries
+    sequentially); a captured foreign id would be freed later and break
+    that query's reads — keep the windows tight."""
+    return {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet()
+        .toArray()
+    }
+
+
+def _free_checkpoints(spark, rdd_ids: set) -> None:
+    """Drop the block-manager copies behind superseded localCheckpoints
+    (round-11 review: the BPE loop otherwise pins every dead round's
+    count table + vocab for the app lifetime — O(rounds) copies). Only
+    call on state with NO remaining consumer: a freed checkpoint's
+    reads fail with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
+    jm = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in rdd_ids:
+        rdd = jm.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 # a word is touched by the batch iff its symbol string contains a rule's
 # ' s1 s2 ' adjacency (symbols are space-free and space-joined). EXACT:
 # the fold's first merge requires an un-merged s1 directly before an s2,
@@ -1420,7 +1451,9 @@ def _bpe_train(
         "if(size(toks) >= 2, transform(sequence(1, size(toks) - 1),"
         " i -> struct(toks[i - 1] AS s1, toks[i] AS s2)), array())"
     )
+    pre = _persistent_rdd_ids(spark)
     cur = vocab.localCheckpoint(eager=True)
+    cur_ids = _persistent_rdd_ids(spark) - pre
 
     def _pair_counts(frame, s_col: str, sign: int):
         return (
@@ -1434,8 +1467,16 @@ def _bpe_train(
             .agg(F.sum("freq").alias("pair_count"))
         )
 
-    # init: the one full vocab-scale pair count, materialized as state
+    # init: the one full vocab-scale pair count, materialized as state.
+    # Superseded counts/vocab checkpoints are freed each round via
+    # _free_checkpoints (round-11 review: the loop otherwise pins every
+    # dead round's copy for the app lifetime). Batch frames are RETURNED
+    # and never freed; the live cur survives the loop; ids are captured
+    # tightly around each eager materialization (see _persistent_rdd_ids
+    # for the concurrency caveat).
+    pre = _persistent_rdd_ids(spark)
     counts = _pair_counts(cur, "s", 1).localCheckpoint(eager=True)
+    counts_ids = _persistent_rdd_ids(spark) - pre
     batches = []
     for _ in range(BPE_ITERS if iters is None else iters):
         cands = counts.orderBy(
@@ -1475,6 +1516,7 @@ def _bpe_train(
         delta = _pair_counts(aff, "s_old", -1).unionByName(
             _pair_counts(aff, "s_new", 1)
         )
+        pre = _persistent_rdd_ids(spark)
         counts = (
             counts.unionByName(delta)
             .groupBy("s1", "s2")
@@ -1482,8 +1524,10 @@ def _bpe_train(
             .where(F.col("pair_count") > 0)
             .localCheckpoint(eager=True)
         )
+        new_counts_ids = _persistent_rdd_ids(spark) - pre
         # vocab rewrite: interpreted fold ONLY on affected rows; the
         # projection itself is scan-speed and shuffle-free
+        pre = _persistent_rdd_ids(spark)
         cur = (
             cur.crossJoin(bcast)
             .select(
@@ -1495,6 +1539,14 @@ def _bpe_train(
             )
             .localCheckpoint(eager=True)
         )
+        new_cur_ids = _persistent_rdd_ids(spark) - pre
+        # both successors are materialized — the previous round's state
+        # has no remaining consumer (batch frames have their own blocks)
+        _free_checkpoints(spark, counts_ids | cur_ids)
+        counts_ids, cur_ids = new_counts_ids, new_cur_ids
+    # the final count table has no consumer after the loop; the final
+    # cur is returned live
+    _free_checkpoints(spark, counts_ids)
     return batches, cur
 
 

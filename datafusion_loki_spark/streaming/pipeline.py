@@ -1305,10 +1305,16 @@ def _fs_now_ms(jvm, fs, dir_path: str) -> int:
     (time.time()) can skew against an object store's clock, making a
     live attempt's temp look older than the gate (swept, failing its
     rename) or crashed temps look perpetually young (round-11 ADVICE).
-    A crash between create and delete leaves one empty dot-file; it
-    matches neither the manifest regex nor the temp pattern, so readers
-    and the sweep ignore it, and the next probe here overwrites it."""
-    probe = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/.gc-clock-probe")
+    The probe name is NONCED per attempt (the manifest-temp rule):
+    concurrent compactions each probe their own file, so one attempt's
+    delete can never race another's create/stat — a fixed name made
+    getFileStatus throwable mid-race (round-11 review). A crash between
+    create and delete leaves one empty dot-file; it matches neither the
+    manifest regex nor the temp pattern, so readers and the sweep
+    ignore it."""
+    probe = jvm.org.apache.hadoop.fs.Path(
+        f"{dir_path}/.gc-clock-probe.{uuid.uuid4().hex}"
+    )
     fs.create(probe, True).close()
     try:
         return fs.getFileStatus(probe).getModificationTime()
@@ -1468,14 +1474,21 @@ def compact_ivf_ingest(
         # (round-9 ADVICE). Only temps old enough that their attempt is
         # certainly dead are collected; younger ones wait for a later run.
         # 'now' comes from the FILESYSTEM's clock (probe-file mtime), the
-        # same clock that stamped the temps — see _fs_now_ms.
-        now_ms = _fs_now_ms(jvm, fs, ingest_path)
-        for fname, mod_ms in pre_tmps:
-            if now_ms - mod_ms >= _TMP_SWEEP_AGE_MS:
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(f"{ingest_path}/{fname}"),
-                    False,
-                )
+        # same clock that stamped the temps — see _fs_now_ms. Probed
+        # ONLY when there are temps to age-gate: an unconditional probe
+        # would cost three FS round-trips per compaction and, via
+        # fs.create's implicit mkdirs, could conjure the ingest dir on a
+        # never-ingested index (round-11 review).
+        if pre_tmps:
+            now_ms = _fs_now_ms(jvm, fs, ingest_path)
+            for fname, mod_ms in pre_tmps:
+                if now_ms - mod_ms >= _TMP_SWEEP_AGE_MS:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{ingest_path}/{fname}"
+                        ),
+                        False,
+                    )
 
     live = [g for g in real if g > prev_cutoff]
     fold = live[:-keep_last]

@@ -389,6 +389,43 @@ def test_png_bad_inflate_and_length_mismatch_fail_loud():
         decode_png(png[:i] + chunk(short) + rest)
 
 
+def test_png_deflate_bomb_rejected_without_inflating(monkeypatch):
+    # the expected output size is known from the validated IHDR before
+    # IDAT is touched, so decompression is CAPPED at it — a few-KB
+    # deflate bomb must be rejected loudly (and instantly), never
+    # inflated to gigabytes first (round-11 review)
+    import struct as _s
+    import time
+    import zlib
+
+    png = encode_png(np.zeros((2, 2, 3), dtype=np.uint8), [0, 0])
+    i = png.index(b"IDAT") - 4
+    (ln,) = _s.unpack(">I", png[i : i + 4])
+    rest = png[i + 12 + ln :]
+
+    def chunk(data):
+        return (
+            _s.pack(">I", len(data))
+            + b"IDAT"
+            + data
+            + _s.pack(">I", zlib.crc32(b"IDAT" + data) & 0xFFFFFFFF)
+        )
+
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # 50 MB -> ~48 KB
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(png[:i] + chunk(bomb) + rest)
+    assert time.perf_counter() - t0 < 0.5, "bomb was inflated before reject"
+
+
+def test_encode_png_bad_channel_count_fail_loud():
+    # the family's loud-ValueError contract, not a KeyError/unpack error
+    for bad in (np.zeros((4, 4, 1), dtype=np.uint8),
+                np.zeros((4, 4), dtype=np.uint8)):
+        with pytest.raises(ValueError, match="h, w, 3"):
+            encode_png(bad)
+
+
 def test_png_unknown_filter_type_fail_loud():
     import struct as _s
     import zlib

@@ -93,6 +93,10 @@ _R11_PINNED: tuple[str, ...] = (
     # delta loop (same apply topology, new merge tables)
     "text_tokenize_bpe",
     "text_tokenize_bpe_oov",
+    # NEW in r11: index RETRAIN — the fifth lifecycle verb (refit the
+    # codebook on the live view, fold tombstones + ingest generations
+    # into a fresh base); oracle = from-scratch fit over the live set
+    "sim_ivf_index_retrain",
 )
 
 _WINDOW_SIZE = 50

@@ -161,6 +161,10 @@ BENCH_QUERIES = [
     # unfilter per item through the Arrow kernel — tracked so a Python-
     # side regression in the per-item loop shows up round-over-round
     "mm_decode_png",
+    # the full five-verb index lifecycle in one entry: build + append +
+    # delete + RETRAIN (refit on the live view) + query — three corpus
+    # writes by design, the heaviest maintenance cadence
+    "sim_ivf_index_retrain",
 ]
 
 

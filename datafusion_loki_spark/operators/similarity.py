@@ -1381,22 +1381,30 @@ def _km_ctes(
     dim_lo: int | None = None,
     dim_hi: int | None = None,
     train_pred: str | None = None,
+    emb_sql: str | None = None,
 ) -> str:
     """The unrolled 2-iteration Lloyd's chain as a DuckDB CTE block —
     parameterized by a name suffix, an optional 1-based inclusive
     dimension slice (so the product-quantization oracle can instantiate
-    one independent chain per subspace), and an optional training-sample
+    one independent chain per subspace), an optional training-sample
     predicate over vec_id (the iteration passes see only matching rows;
     the FINAL assignment always covers the corpus — the exact mirror of
-    ``_kmeans_fit(train_d=...)``). ``_km_ctes("")`` is the full-vector
-    full-corpus chain of the clustering oracle."""
+    ``_kmeans_fit(train_d=...)``), and an optional ``emb_sql`` override
+    for the fit INPUT (must select ``vec_id, e`` — the retrain oracle
+    fits over the live member view instead of the embeddings table).
+    ``_km_ctes("")`` is the full-vector full-corpus chain of the
+    clustering oracle."""
     base = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
     if dim_lo is not None:
         base = f"({base})[{dim_lo}:{dim_hi}]"
     train_where = f"WHERE {train_pred}" if train_pred else ""
+    emb_body = (
+        emb_sql
+        if emb_sql is not None
+        else f"SELECT vec_id, {base} AS e\n  FROM embeddings"
+    )
     return f"""emb{sfx} AS (
-  SELECT vec_id, {base} AS e
-  FROM embeddings
+  {emb_body}
 ), cents0{sfx} AS (
   SELECT vec_id AS cid, e AS vec FROM emb{sfx} WHERE vec_id < {KMEANS_K}
 ), scored1{sfx} AS (
@@ -2666,8 +2674,166 @@ def _oracle_ivf_delete() -> str:
     )
 
 
+def retrain_ivf_index(spark: SparkSession, index_dir: str) -> dict:
+    """RETRAIN the persisted index — the fifth lifecycle verb (build /
+    append / delete / compact / retrain): refit the codebook on the
+    LIVE member view (base + live ingest generations MINUS pending
+    tombstones) and rewrite the index as a fresh single-generation
+    base. This is what a production deployment runs when
+    sim_cell_balance says the codebook has drifted — appends route
+    through centroids fitted on OLD data, and enough of them skew the
+    cell geometry until recall degrades.
+
+    Fold semantics: the rewrite CONSUMES everything — pending
+    tombstones (their target rows are filtered out of the live
+    snapshot before the refit, so nothing can match them again) and
+    all streamed ingest generations + their manifest (absorbed into
+    the new base). The result is value-identical to an index BUILT
+    from scratch on the live vector set: _kmeans_fit is deterministic
+    given the SET (md5-bucket sample, fixed seeds = lowest live
+    vec_ids < KMEANS_K, fixed iterations, order-independent
+    decimal-exact means), which is exactly what the oracle replays.
+
+    Crash/concurrency contract (the compact_ivf_members stance): batch
+    maintenance is single-writer; the live snapshot is materialized
+    BEFORE any write (localCheckpoint severs it from the files being
+    overwritten), so a crash mid-rewrite is repaired by RE-RUNNING the
+    retrain — but a crash between the member write and the centroid
+    write leaves a mixed index that must not serve queries until the
+    re-run (production stages both under a versioned manifest like the
+    ingest protocol's commit; the swap point is these two writes).
+
+    100 TB posture: one live-view scan (partition-pruned reads + the
+    tombstone anti-join), the sample-fit iteration passes (never the
+    full corpus), ONE full assignment pass, one clustered write —
+    exactly the build's cost profile, which is the floor for a refit.
+    Returns audit stats."""
+    from datafusion_loki_spark.streaming.pipeline import (
+        ivf_members_versioned,
+    )
+
+    jvm, fs, _ = _index_fs(spark, index_dir)
+    live_d = (
+        ivf_members_versioned(spark, index_dir)
+        .select("vec_id", "e")
+        .localCheckpoint(eager=True)
+    )
+    assigned, cents = _kmeans_fit(
+        live_d, live_d.where(F.expr(_TRAIN_PRED_SPARK))
+    )
+    (
+        _members_projection(assigned)
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{index_dir}/members.parquet")
+    )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
+    # consumed by the fold: pending tombstones and ingest generations
+    # (incl. manifest) are now part of the fresh base
+    for sub in ("tombstones.parquet", "members_ingest.parquet"):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}"), True)
+    return {
+        "rows_reindexed": live_d.count(),
+        "k_cells": cents.select(F.expr("size(cents)")).first()[0],
+    }
+
+
+def sim_ivf_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry face of index RETRAINING: build the index, append
+    the decorrelated batch (sim_ivf_index_append's derivation — the
+    coordinate-0 shift is exactly the drift that makes the old codebook
+    suboptimal), delete the sim_ivf_index_delete subset, then RETRAIN —
+    refit on the live set, fold tombstones and the appended generation
+    into a fresh base — and answer the standard query set through the
+    retrained on-disk index. The oracle builds the live vector set
+    (base UNION shifted batch, delete predicate filtered) and runs the
+    full fit + probe + score chain over it: the retrained index must be
+    value-identical to an index that never saw the old codebook."""
+    index_dir = scratch_index_dir(spark, sf_dir, "ivf_retrain")
+    build_ivf_index(spark, sf_dir, index_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    batch = emb_d.select(
+        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+        F.expr(
+            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
+            " slice(e, 2, size(e) - 1))"
+        ).alias("e"),
+    )
+    append_ivf_index(spark, index_dir, batch)
+    ids = (
+        emb.select("vec_id")
+        .where(F.expr("vec_id % 5 = 3"))
+        .unionByName(
+            emb.where(F.expr("vec_id % 7 = 2")).select(
+                (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id")
+            )
+        )
+    )
+    delete_ivf_index(spark, index_dir, ids)
+    retrain_ivf_index(spark, index_dir)
+    return query_ivf_index(spark, sf_dir, index_dir)
+
+
+def _oracle_ivf_retrain() -> str:
+    """Fit + probe + score over the LIVE set (base UNION shifted batch,
+    delete-pred filtered) — an index built from scratch on what
+    survived, which is exactly what retraining must produce."""
+    base = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    km = _km_ctes(
+        "",
+        train_pred=_TRAIN_PRED_DUCK,
+        emb_sql="SELECT vec_id, e FROM live_f",
+    )
+    return f"""WITH liveq AS (
+  SELECT vec_id, {base} AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {IVF_APPEND_OFFSET} AS vec_id,
+         list_prepend(({base})[1] + {IVF_APPEND_SHIFT}, ({base})[2:]) AS e
+  FROM embeddings
+), live_f AS (
+  SELECT vec_id, e FROM liveq WHERE NOT ({_IVF_DELETE_PRED})
+),
+{km},
+nq AS (
+  SELECT vec_id AS query_id, e AS q_emb,
+         {_NRM_E_DUCK.format(a='e')} AS q_nrm
+  FROM (SELECT vec_id, {base} AS e FROM embeddings) q0
+  WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT query_id, q_emb, q_nrm, cid AS cluster_id FROM (
+    SELECT nq.query_id, nq.q_emb, nq.q_nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY nq.query_id
+                              ORDER BY {_km_d2_duck('nq.q_emb')} ASC,
+                                       c.cid ASC) AS rn
+    FROM nq CROSS JOIN cents1 c
+  ) WHERE rn <= {IVF_PROBES}
+), members AS (
+  SELECT live_f.vec_id, a2.cid AS cluster_id, live_f.e,
+         {_NRM_E_DUCK.format(a='live_f.e')} AS c_nrm
+  FROM (SELECT vec_id, cid FROM assign2 WHERE rn = 1) a2
+  JOIN live_f USING (vec_id)
+), ivf_scored AS (
+  SELECT p.query_id, m.vec_id AS cand_id, m.cluster_id,
+         list_sum(list_transform(generate_series(1, len(p.q_emb)),
+            i -> p.q_emb[i] * m.e[i])) / (p.q_nrm * m.c_nrm) AS cosine
+  FROM probes p JOIN members m USING (cluster_id)
+  WHERE m.vec_id != p.query_id
+)
+SELECT query_id, rank, cand_id, cluster_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM ivf_scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES["sim_ivf_index_delete"] = sim_ivf_index_delete
 ORACLES["sim_ivf_index_delete"] = _oracle_ivf_delete()
+QUERIES["sim_ivf_index_retrain"] = sim_ivf_index_retrain
+ORACLES["sim_ivf_index_retrain"] = _oracle_ivf_retrain()
 
 
 # --- IVF probe-count tuning curve --------------------------------------------

@@ -280,3 +280,110 @@ def test_reingest_of_deleted_id_stays_visible_no_resurrection(
         .count()
         == 1
     )
+
+
+# --- retrain: the fifth lifecycle verb (round 11) -----------------------------
+
+
+def test_retrain_equals_fresh_build_on_live_set(spark, tmp_path):
+    # retraining after append + delete must produce an index
+    # VALUE-IDENTICAL to one built from scratch on the surviving vector
+    # set — the codebook refits, every row reassigns, nothing else
+    from datafusion_loki_spark.operators.similarity import (
+        _TRAIN_PRED_SPARK,
+        _kmeans_fit,
+        _members_projection,
+        retrain_ivf_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    emb = _build_two_gen_index(spark, index_dir)
+    ids = emb.select("vec_id").where(F.expr("vec_id % 5 = 3"))
+    delete_ivf_index(spark, index_dir, ids)
+    stats = retrain_ivf_index(spark, index_dir)
+
+    # independent from-scratch construction over the same live set
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    batch = emb_d.select(
+        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+        F.expr(
+            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
+            " slice(e, 2, size(e) - 1))"
+        ).alias("e"),
+    )
+    live = emb_d.unionByName(batch).where(
+        ~F.expr(f"vec_id < {IVF_APPEND_OFFSET} AND vec_id % 5 = 3")
+    )
+    assert stats["rows_reindexed"] == live.count()
+    fresh_dir = str(tmp_path / "fresh")
+    assigned, cents = _kmeans_fit(
+        live, live.where(F.expr(_TRAIN_PRED_SPARK))
+    )
+    (
+        _members_projection(assigned)
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(f"{fresh_dir}/members.parquet")
+    )
+    cents.write.mode("overwrite").parquet(f"{fresh_dir}/centroids.parquet")
+    assert _probe(spark, index_dir) == _probe(spark, fresh_dir)
+
+
+def test_retrain_consumes_tombstones_and_ingest_generations(
+    spark, tmp_path
+):
+    # the fold absorbs EVERYTHING: streamed generations (incl. their
+    # manifest machinery) land in the fresh base, pending tombstones
+    # are consumed, and the deleted rows stay gone
+    from datafusion_loki_spark.operators.similarity import (
+        retrain_ivf_index,
+    )
+    from datafusion_loki_spark.streaming import pipeline
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch_fn = pipeline._ivf_ingest_batch_fn(index_dir)
+    batch_fn(
+        emb.select(
+            (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+            "embedding",
+        ),
+        0,
+    )
+    victim = IVF_APPEND_OFFSET + 7
+    delete_ivf_index(
+        spark, index_dir, spark.createDataFrame([(victim,)], "vec_id long")
+    )
+    n_live = pipeline.ivf_members(spark, index_dir).count()
+    stats = retrain_ivf_index(spark, index_dir)
+    assert stats["rows_reindexed"] == n_live
+
+    assert not os.path.exists(f"{index_dir}/tombstones.parquet")
+    assert not os.path.exists(f"{index_dir}/members_ingest.parquet")
+    on_disk = spark.read.parquet(f"{index_dir}/members.parquet")
+    ids = {r.vec_id for r in on_disk.select("vec_id").collect()}
+    assert victim not in ids
+    assert (IVF_APPEND_OFFSET + 8) in ids      # ingest rows absorbed
+    assert on_disk.count() == n_live
+
+
+def test_retrain_is_rerunnable(spark, tmp_path):
+    # retraining an already-retrained index is a no-op in value terms:
+    # same live set, same deterministic fit, same probe answers
+    from datafusion_loki_spark.operators.similarity import (
+        retrain_ivf_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    emb = _build_two_gen_index(spark, index_dir)
+    delete_ivf_index(
+        spark, index_dir, emb.select("vec_id").where(F.expr("vec_id % 5 = 3"))
+    )
+    s1 = retrain_ivf_index(spark, index_dir)
+    p1 = _probe(spark, index_dir)
+    s2 = retrain_ivf_index(spark, index_dir)
+    assert s2["rows_reindexed"] == s1["rows_reindexed"]
+    assert _probe(spark, index_dir) == p1

@@ -899,6 +899,96 @@ def near_dup_admission_stream(stream_docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_winnow_fp_streamside(docs: DataFrame) -> DataFrame:
+    """(ts, doc_id, band_idx, band_key): per-ROW winnowing-selected
+    fingerprints, no shuffle — the streaming twin of
+    operators/dedup.dedup_winnowing's selection stage (round 11: the
+    guaranteed-detection channel joins the admission family beside the
+    LSH and perceptual stages).
+
+    The batch path selects window minima with ONE doc-partitioned
+    window function (the throughput shape for a backfill); on a stream
+    that becomes a stateful aggregation, so here each row folds its own
+    selection: the K-gram md5 array materializes ONCE per row (the
+    `size(hs)` guard + bound are two non-lambda references, the
+    projection-barrier rule — without them CollapseProject re-inlines
+    the md5 chain per WINDOW), then every window start takes
+    array_min(slice(...)). Interpreted lambdas — the documented CPU
+    trade for a SHUFFLE-FREE, STATELESS stage. Selection semantics are
+    bit-identical to the batch operator (window starts
+    t <= ng - W + 1 plus the clipped t = 1 window for short docs;
+    distinct fingerprints per doc), so batch backfill and streaming
+    ingest land in the SAME buckets — pinned by
+    test_winnow_streamside_matches_batch_selection."""
+    from datafusion_loki_spark.operators.dedup import WINNOW_K, WINNOW_W
+    from datafusion_loki_spark.operators.text import _NORM_SPARK
+
+    hs_expr = (
+        f"if(length(norm) >= {WINNOW_K},"
+        f" transform(sequence(1, length(norm) - {WINNOW_K} + 1),"
+        f" p -> md5(substring(norm, p, {WINNOW_K}))),"
+        " cast(array() as array<string>))"
+    )
+    sel_expr = (
+        "array_distinct(transform("
+        "if(size(hs) >= 1,"
+        f" sequence(1, greatest(1, size(hs) - {WINNOW_W} + 1)),"
+        " cast(array() as array<int>)),"
+        f" t -> array_min(slice(hs, t, {WINNOW_W}))))"
+    )
+    base = docs.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "doc_id",
+        F.expr(_NORM_SPARK).alias("norm"),
+    )
+    hs = base.select("ts", "doc_id", F.expr(hs_expr).alias("hs"))
+    return (
+        hs.select(
+            "ts",
+            "doc_id",
+            F.explode_outer(F.expr(sel_expr)).alias("band_key"),
+        )
+        .where(F.col("band_key").isNotNull())
+        .select("ts", "doc_id", F.lit(0).alias("band_idx"), "band_key")
+    )
+
+
+def winnow_admission_stream(stream_docs: DataFrame) -> DataFrame:
+    """Streaming winnowing admission: each incoming document's selected
+    fingerprints probe stateful per-fingerprint buckets and emit
+    (doc_id, prior_id) candidate rows — the GUARANTEED-DETECTION
+    admission arm (any verbatim overlap of >= K+W-1 chars with a
+    retained prior doc shares at least one selected fingerprint, the
+    local property the MinHash arm's banding can only give
+    probabilistically). A consumer counts rows per (doc_id, prior_id)
+    and flags pairs at the batch operator's WINNOW_MIN_SHARED
+    threshold, or hands candidates to the same verify stages the other
+    arms use.
+
+    Shares _near_dup_fn VERBATIM with the MinHash arm (the
+    one-implementation rule the phash kernels follow): state per
+    fingerprint bucket is the FIFO-capped recent occupant list with the
+    event-time TTL, so the redelivery-superset contract and both state
+    bounds carry over unchanged.
+
+    100 TB posture: the fingerprint stage is stateless and shuffle-free
+    (per-row fold — doc_winnow_fp_streamside); the only shuffle per
+    micro-batch is the fingerprint exchange into the stateful operator;
+    state is FIFO-capped per bucket and TTL-evicted across buckets.
+    Production swap: md5 -> xxhash64 fingerprints (the dedup module
+    header note) — 4x narrower state rows and exchange."""
+    keyed = doc_winnow_fp_streamside(stream_docs).withWatermark(
+        "ts", "10 minutes"
+    )
+    return keyed.groupBy("band_idx", "band_key").applyInPandasWithState(
+        _near_dup_fn,
+        outputStructType=NEAR_DUP_CANDIDATES_SCHEMA,
+        stateStructType="ids array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def media_phash_band_keys_streamside(
     stream_media: DataFrame, with_fp: bool = False
 ) -> DataFrame:

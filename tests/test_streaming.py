@@ -2018,3 +2018,77 @@ def test_running_totals_count_late_events_across_batches(spark, tmp_path):
     finals = {r.user_id: (r.n_events, r.total_value) for r in got}
     # ALL 8 events counted — the 3 late ones included
     assert finals[7] == (8, 8.0), finals
+
+
+def test_winnow_streamside_matches_batch_selection(spark, sf_dir):
+    # the stateless per-row selection must land in the SAME buckets as
+    # the batch operator's window-based selection (bit-identical md5
+    # fingerprints, same clipped-window boundary rule) — and the md5
+    # chain must materialize ONCE per row (the projection-barrier rule;
+    # re-inlined, it would run per WINDOW x position)
+    from datafusion_loki_spark.operators.dedup import (
+        _winnow_selected_positions,
+    )
+
+    docs = _docs_with_ts(spark, sf_dir)
+    streamside = pipeline.doc_winnow_fp_streamside(docs)
+    got = {
+        (r.doc_id, r.band_key)
+        for r in streamside.select("doc_id", "band_key").distinct().collect()
+    }
+    want = {
+        (r.doc_id, r.fp)
+        for r in _winnow_selected_positions(
+            docs.select("doc_id", "text")
+        )
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert got  # non-vacuous
+    opt = streamside._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5(") == 1, opt
+
+
+def test_winnow_admission_stream_matches_fifo_model(spark, sf_dir, tmp_path):
+    # one availableNow drain over the corpus must emit exactly the
+    # per-fingerprint (prior, doc) candidates a pure-python replay of
+    # the FIFO kernel predicts (same sort, same cap) — the
+    # guaranteed-detection admission arm sharing _near_dup_fn verbatim
+    # with the MinHash arm
+    from collections import defaultdict
+
+    docs = _docs_with_ts(spark, sf_dir)
+    src = tmp_path / "docs"
+    docs.coalesce(1).write.parquet(str(src / "all"))
+    got: list = []
+    q = (
+        pipeline.winnow_admission_stream(
+            spark.readStream.schema(
+                "ts timestamp_ntz, doc_id long, text string"
+            ).parquet(str(src) + "/*/")
+        )
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = {(r.band_key, r.prior_id, r.doc_id) for r in got}
+
+    rows = pipeline.doc_winnow_fp_streamside(docs).collect()
+    expected = set()
+    fifo: dict = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.ts, r.doc_id, r.band_key)):
+        occ = fifo[r.band_key]
+        if r.doc_id in occ:
+            continue
+        for prior in occ:
+            expected.add((r.band_key, prior, r.doc_id))
+        occ.append(r.doc_id)
+        if len(occ) > pipeline.NEAR_DUP_STATE_CAP:
+            fifo[r.band_key] = occ[-pipeline.NEAR_DUP_STATE_CAP:]
+    assert stream_rows == expected
+    assert stream_rows  # non-vacuous: the corpus shares grams

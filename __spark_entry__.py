@@ -97,6 +97,10 @@ _R11_PINNED: tuple[str, ...] = (
     # codebook on the live view, fold tombstones + ingest generations
     # into a fresh base); oracle = from-scratch fit over the live set
     "sim_ivf_index_retrain",
+    # NEW in r11: the positional-winnowing CLEANED-CORPUS deliverable —
+    # merged matched extents excised from the larger-id doc, text
+    # rebuilt by one fold (char-level text_remove_repeated_spans)
+    "text_remove_winnow_spans",
 )
 
 _WINDOW_SIZE = 50

@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     # delete + RETRAIN (refit on the live view) + query — three corpus
     # writes by design, the heaviest maintenance cadence
     "sim_ivf_index_retrain",
+    # char-level span removal: the winnow-spans DAG + interval merge +
+    # per-doc rebuild fold — the family's largest composed winnow shape
+    "text_remove_winnow_spans",
 ]
 
 

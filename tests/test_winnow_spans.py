@@ -14,6 +14,7 @@ from datafusion_loki_spark.operators.dedup import (
     WINNOW_K,
     WINNOW_MIN_SHARED,
     WINNOW_W,
+    _remove_winnow_spans_frame,
     _winnow_selected_positions,
     _winnow_spans_frame,
 )
@@ -91,3 +92,34 @@ def test_two_plants_split_into_two_spans(spark):
     assert by_id[0].span_a_end <= 120
     assert by_id[1].span_a_start >= 201         # 120 + 80 + 1
     assert by_id[1].span_b_start >= 211         # 120 + 90 + 1
+
+
+def test_removal_excises_plant_from_larger_id_doc_only(spark):
+    # the cleaned-corpus deliverable: doc 2 (the larger id) loses the
+    # planted region (within guarantee slack), doc 1 keeps everything
+    # (no row — only AFFECTED docs emit), and the cleaned text is
+    # exactly norm minus the merged extent
+    rng = random.Random(42)
+    filler_a = "".join(rng.choice("abcdef") for _ in range(150))
+    filler_a2 = "".join(rng.choice("abcdef") for _ in range(120))
+    filler_b = "".join(rng.choice("uvwxyz") for _ in range(100))
+    filler_b2 = "".join(rng.choice("uvwxyz") for _ in range(140))
+    plant = "".join(rng.choice("ghijklmnopqrst") for _ in range(200))
+
+    doc_a = filler_a + plant + filler_a2
+    doc_b = filler_b + plant + filler_b2
+    docs = _docs(spark, [(1, doc_a), (2, doc_b)])
+    out = _remove_winnow_spans_frame(docs, _winnow_spans_frame(docs)).collect()
+
+    assert len(out) == 1, out
+    r = out[0]
+    assert r.doc_id == 2
+    assert r.n_intervals == 1
+    slack = WINNOW_W + WINNOW_K
+    # removed extent sits inside the plant (101..300 on doc 2), covers
+    # most of it, and the cleaned text is the original minus that slice
+    assert 200 - 2 * slack <= r.n_chars_removed <= 200
+    assert r.cleaned_text.startswith(filler_b[: 100 - 1])
+    assert r.cleaned_text.endswith(filler_b2)
+    assert len(r.cleaned_text) == len(doc_b) - r.n_chars_removed
+    assert plant[: WINNOW_K] not in r.cleaned_text  # plant body gone

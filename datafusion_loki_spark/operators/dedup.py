@@ -1938,8 +1938,13 @@ def _remove_winnow_spans_frame(
     merged = (
         ivs.withColumn(
             "brk",
+            # s > prev_max_e + 1: back-to-back extents ([a,b], [b+1,c])
+            # MERGE into one maximal interval per the docstring contract
+            # (s > prev_max_e alone split them — round-11 review; the
+            # cleaned text was identical, the n_intervals audit wrong)
             F.when(
-                F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+                F.col("s")
+                > F.coalesce(F.max("e").over(w_prev), F.lit(-2)) + 1,
                 1,
             ).otherwise(0),
         )
@@ -1979,9 +1984,10 @@ ivs AS (
   FROM spans
 ), flagged AS (
   SELECT doc_id, s, e,
+         -- s > prev_max_e + 1: back-to-back extents merge (see twin)
          CASE WHEN s > COALESCE(MAX(e) OVER (
                 PARTITION BY doc_id ORDER BY s, e
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
               THEN 1 ELSE 0 END AS brk
   FROM ivs
 ), grouped AS (

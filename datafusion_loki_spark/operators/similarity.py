@@ -1075,7 +1075,9 @@ _TRAIN_PRED_DUCK = (
 
 
 def _kmeans_fit(
-    emb_d: DataFrame, train_d: DataFrame | None = None
+    emb_d: DataFrame,
+    train_d: DataFrame | None = None,
+    seeds_d: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the fixed-iteration Lloyd's loop over (vec_id, e) and return
     (final assignment frame, final 1-row centroid frame) — shared by the
@@ -1083,8 +1085,12 @@ def _kmeans_fit(
 
     ``train_d`` (default: the full frame) is what the ITERATION passes
     see — the sample-fit path; the returned assignment always covers all
-    of ``emb_d``. Seeds stay the K lowest vec_ids of the full corpus
-    (initial centroids need not be sample members).
+    of ``emb_d``. ``seeds_d`` (default: rows with vec_id < KMEANS_K —
+    exact on the embeddings corpus, whose ids are dense from 0) supplies
+    the initial centroids; retraining passes the K LOWEST LIVE vec_ids
+    explicitly, because a fixed id filter over a view that deletes can
+    shrink — or with ids 0..K-1 all deleted, EMPTY — the codebook
+    (round-11 review).
 
     The FINAL centroid row is materialized via localCheckpoint ("train
     once, persist the codebook"): both returned frames depend on it, and
@@ -1095,10 +1101,10 @@ def _kmeans_fit(
     K centroid structs, so the materialization cost is nil."""
     if train_d is None:
         train_d = emb_d
+    if seeds_d is None:
+        seeds_d = emb_d.where(F.col("vec_id") < KMEANS_K)
     cents = _kmeans_cents_row(
-        emb_d.where(F.col("vec_id") < KMEANS_K).select(
-            F.col("vec_id").alias("cid"), F.col("e").alias("vec")
-        )
+        seeds_d.select(F.col("vec_id").alias("cid"), F.col("e").alias("vec"))
     )
     for _ in range(KMEANS_ITERS - 1):
         assigned = _kmeans_assign(train_d, cents)
@@ -1303,6 +1309,18 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     assigned, cents = _kmeans_fit(
         emb_d, emb_d.where(F.expr(_TRAIN_PRED_SPARK))
     )
+    _write_index(assigned, cents, index_dir)
+
+
+def _write_index(assigned: DataFrame, cents: DataFrame, index_dir: str):
+    """The ONE index write contract (overwrite layout, partitioning,
+    paths) shared by build and retrain — two hand-written copies were
+    drifting on write ORDER (round-11 review). Centroids commit FIRST:
+    a crash between the writes leaves the new codebook over the old
+    members — a recall-degraded but duplicate-free index a re-run
+    repairs; members-first would leave assignments no codebook
+    explains. Production stages both under a versioned-manifest commit
+    (the ingest protocol); this pair of writes is the swap point."""
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
     (
         _members_projection(assigned)
@@ -1382,6 +1400,7 @@ def _km_ctes(
     dim_hi: int | None = None,
     train_pred: str | None = None,
     emb_sql: str | None = None,
+    seeds_sql: str | None = None,
 ) -> str:
     """The unrolled 2-iteration Lloyd's chain as a DuckDB CTE block —
     parameterized by a name suffix, an optional 1-based inclusive
@@ -1403,10 +1422,16 @@ def _km_ctes(
         if emb_sql is not None
         else f"SELECT vec_id, {base} AS e\n  FROM embeddings"
     )
+    seeds_body = (
+        seeds_sql
+        if seeds_sql is not None
+        else f"SELECT vec_id AS cid, e AS vec FROM emb{sfx}"
+        f" WHERE vec_id < {KMEANS_K}"
+    )
     return f"""emb{sfx} AS (
   {emb_body}
 ), cents0{sfx} AS (
-  SELECT vec_id AS cid, e AS vec FROM emb{sfx} WHERE vec_id < {KMEANS_K}
+  {seeds_body}
 ), scored1{sfx} AS (
   SELECT emb{sfx}.vec_id, c.cid, {_km_d2_duck(f'emb{sfx}.e')} AS d2
   FROM emb{sfx} CROSS JOIN cents0{sfx} c
@@ -2197,6 +2222,35 @@ IVF_APPEND_OFFSET = 1_000_000  # id-space shift for the appended batch
 IVF_APPEND_SHIFT = 0.25        # coordinate-0 shift decorrelating the batch
 
 
+def _ivf_decorrelated_batch(emb_d: DataFrame) -> DataFrame:
+    """The deterministic derived batch every maintenance registry op
+    appends (id space shifted by IVF_APPEND_OFFSET, coordinate 0 by
+    IVF_APPEND_SHIFT) — ONE definition so the four former hand-synced
+    copies (append/delete/retrain ops + lifecycle tests) can never
+    drift from _IVF_DELETE_PRED and the oracles (round-11 review)."""
+    return emb_d.select(
+        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+        F.expr(
+            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
+            " slice(e, 2, size(e) - 1))"
+        ).alias("e"),
+    )
+
+
+def _ivf_delete_ids(emb: DataFrame) -> DataFrame:
+    """The deterministic delete subset of the delete/retrain registry
+    ops — the Spark twin of _IVF_DELETE_PRED."""
+    return (
+        emb.select("vec_id")
+        .where(F.expr("vec_id % 5 = 3"))
+        .unionByName(
+            emb.where(F.expr("vec_id % 7 = 2")).select(
+                (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id")
+            )
+        )
+    )
+
+
 def append_ivf_index(
     spark: SparkSession, index_dir: str, batch_d: DataFrame
 ) -> None:
@@ -2530,14 +2584,7 @@ def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = emb.select(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
     )
-    batch = emb_d.select(
-        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
-        F.expr(
-            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
-            " slice(e, 2, size(e) - 1))"
-        ).alias("e"),
-    )
-    append_ivf_index(spark, index_dir, batch)
+    append_ivf_index(spark, index_dir, _ivf_decorrelated_batch(emb_d))
     return query_ivf_index(spark, sf_dir, index_dir)
 
 
@@ -2630,24 +2677,8 @@ def sim_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = emb.select(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
     )
-    batch = emb_d.select(
-        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
-        F.expr(
-            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
-            " slice(e, 2, size(e) - 1))"
-        ).alias("e"),
-    )
-    append_ivf_index(spark, index_dir, batch)
-    ids = (
-        emb.select("vec_id")
-        .where(F.expr("vec_id % 5 = 3"))
-        .unionByName(
-            emb.where(F.expr("vec_id % 7 = 2")).select(
-                (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id")
-            )
-        )
-    )
-    delete_ivf_index(spark, index_dir, ids)
+    append_ivf_index(spark, index_dir, _ivf_decorrelated_batch(emb_d))
+    delete_ivf_index(spark, index_dir, _ivf_delete_ids(emb))
     return query_ivf_index(spark, sf_dir, index_dir)
 
 
@@ -2697,37 +2728,46 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     Crash/concurrency contract (the compact_ivf_members stance): batch
     maintenance is single-writer; the live snapshot is materialized
     BEFORE any write (localCheckpoint severs it from the files being
-    overwritten), so a crash mid-rewrite is repaired by RE-RUNNING the
-    retrain — but a crash between the member write and the centroid
-    write leaves a mixed index that must not serve queries until the
-    re-run (production stages both under a versioned manifest like the
-    ingest protocol's commit; the swap point is these two writes).
+    overwritten), and a crash ANYWHERE mid-rewrite is repaired by
+    RE-RUNNING the retrain. Two properties make the re-run exact
+    (round-11 review — the naive fold double-absorbed): the live view
+    dedups per vec_id with NEWEST-GENERATION-WINS (update semantics —
+    after a crash between the member write and the ingest delete, the
+    already-absorbed base copy of each ingest row loses to the
+    still-present generation copy instead of duplicating), and the fit
+    seeds on the K LOWEST LIVE vec_ids (a fixed vec_id < K filter
+    shrinks — or with ids 0..K-1 deleted, EMPTIES — the codebook). A
+    crash between the centroid and member writes leaves the mixed
+    index _write_index documents — duplicate-free, repaired the same
+    way.
 
     100 TB posture: one live-view scan (partition-pruned reads + the
-    tombstone anti-join), the sample-fit iteration passes (never the
-    full corpus), ONE full assignment pass, one clustered write —
-    exactly the build's cost profile, which is the floor for a refit.
+    tombstone anti-join) + one per-vec_id window on that candidate
+    frame, the sample-fit iteration passes (never the full corpus),
+    ONE full assignment pass, one clustered write — the build's cost
+    profile plus the dedup window, which is the floor for a refit.
     Returns audit stats."""
     from datafusion_loki_spark.streaming.pipeline import (
         ivf_members_versioned,
     )
 
     jvm, fs, _ = _index_fs(spark, index_dir)
+    newest = Window.partitionBy("vec_id").orderBy(
+        F.desc("gen"), F.asc("cluster_id")
+    )
     live_d = (
         ivf_members_versioned(spark, index_dir)
+        .select("vec_id", "e", "gen", "cluster_id")
+        .withColumn("rn", F.row_number().over(newest))
+        .where(F.col("rn") == 1)
         .select("vec_id", "e")
         .localCheckpoint(eager=True)
     )
+    seeds = live_d.orderBy("vec_id").limit(KMEANS_K)
     assigned, cents = _kmeans_fit(
-        live_d, live_d.where(F.expr(_TRAIN_PRED_SPARK))
+        live_d, live_d.where(F.expr(_TRAIN_PRED_SPARK)), seeds_d=seeds
     )
-    (
-        _members_projection(assigned)
-        .write.mode("overwrite")
-        .partitionBy("cluster_id")
-        .parquet(f"{index_dir}/members.parquet")
-    )
-    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
+    _write_index(assigned, cents, index_dir)
     # consumed by the fold: pending tombstones and ingest generations
     # (incl. manifest) are now part of the fresh base
     for sub in ("tombstones.parquet", "members_ingest.parquet"):
@@ -2755,24 +2795,8 @@ def sim_ivf_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = emb.select(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
     )
-    batch = emb_d.select(
-        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
-        F.expr(
-            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
-            " slice(e, 2, size(e) - 1))"
-        ).alias("e"),
-    )
-    append_ivf_index(spark, index_dir, batch)
-    ids = (
-        emb.select("vec_id")
-        .where(F.expr("vec_id % 5 = 3"))
-        .unionByName(
-            emb.where(F.expr("vec_id % 7 = 2")).select(
-                (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id")
-            )
-        )
-    )
-    delete_ivf_index(spark, index_dir, ids)
+    append_ivf_index(spark, index_dir, _ivf_decorrelated_batch(emb_d))
+    delete_ivf_index(spark, index_dir, _ivf_delete_ids(emb))
     retrain_ivf_index(spark, index_dir)
     return query_ivf_index(spark, sf_dir, index_dir)
 
@@ -2786,6 +2810,12 @@ def _oracle_ivf_retrain() -> str:
         "",
         train_pred=_TRAIN_PRED_DUCK,
         emb_sql="SELECT vec_id, e FROM live_f",
+        # seeds = the K lowest LIVE ids (the delete removed vec 3; a
+        # fixed vec_id < K filter would under-seed — round-11 review)
+        seeds_sql=(
+            "SELECT vec_id AS cid, e AS vec FROM live_f"
+            f" ORDER BY vec_id LIMIT {KMEANS_K}"
+        ),
     )
     return f"""WITH liveq AS (
   SELECT vec_id, {base} AS e FROM embeddings

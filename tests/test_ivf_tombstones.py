@@ -39,19 +39,16 @@ def _probe(spark, index_dir):
 
 
 def _build_two_gen_index(spark, index_dir):
+    from datafusion_loki_spark.operators.similarity import (
+        _ivf_decorrelated_batch,
+    )
+
     build_ivf_index(spark, SF, index_dir)
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     emb_d = emb.select(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
     )
-    batch = emb_d.select(
-        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
-        F.expr(
-            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
-            " slice(e, 2, size(e) - 1))"
-        ).alias("e"),
-    )
-    append_ivf_index(spark, index_dir, batch)
+    append_ivf_index(spark, index_dir, _ivf_decorrelated_batch(emb_d))
     return emb
 
 
@@ -303,23 +300,24 @@ def test_retrain_equals_fresh_build_on_live_set(spark, tmp_path):
     stats = retrain_ivf_index(spark, index_dir)
 
     # independent from-scratch construction over the same live set
+    from datafusion_loki_spark.operators.similarity import (
+        KMEANS_K,
+        _ivf_decorrelated_batch,
+    )
+
     emb_d = emb.select(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
     )
-    batch = emb_d.select(
-        (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
-        F.expr(
-            f"concat(array(e[0] + {IVF_APPEND_SHIFT}d),"
-            " slice(e, 2, size(e) - 1))"
-        ).alias("e"),
-    )
-    live = emb_d.unionByName(batch).where(
+    live = emb_d.unionByName(_ivf_decorrelated_batch(emb_d)).where(
         ~F.expr(f"vec_id < {IVF_APPEND_OFFSET} AND vec_id % 5 = 3")
     )
     assert stats["rows_reindexed"] == live.count()
     fresh_dir = str(tmp_path / "fresh")
+    # the retrain seed rule: K lowest LIVE ids (vec 3 is deleted)
     assigned, cents = _kmeans_fit(
-        live, live.where(F.expr(_TRAIN_PRED_SPARK))
+        live,
+        live.where(F.expr(_TRAIN_PRED_SPARK)),
+        seeds_d=live.orderBy("vec_id").limit(KMEANS_K),
     )
     (
         _members_projection(assigned)
@@ -387,3 +385,70 @@ def test_retrain_is_rerunnable(spark, tmp_path):
     s2 = retrain_ivf_index(spark, index_dir)
     assert s2["rows_reindexed"] == s1["rows_reindexed"]
     assert _probe(spark, index_dir) == p1
+
+
+def test_retrain_rerun_after_crash_window_does_not_duplicate(
+    spark, tmp_path
+):
+    # round-11 review: a crash AFTER the member overwrite but BEFORE the
+    # ingest-directory delete leaves the absorbed rows visible twice
+    # (new base + still-present generations). The re-run must fold them
+    # once: the live view dedups per vec_id with newest-generation-wins.
+    import shutil
+
+    from datafusion_loki_spark.operators.similarity import (
+        retrain_ivf_index,
+    )
+    from datafusion_loki_spark.streaming import pipeline
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch_fn = pipeline._ivf_ingest_batch_fn(index_dir)
+    batch_fn(
+        emb.select(
+            (F.col("vec_id") + IVF_APPEND_OFFSET).alias("vec_id"),
+            "embedding",
+        ),
+        0,
+    )
+    n_live = pipeline.ivf_members(spark, index_dir).count()
+    # simulate the crash window: snapshot the ingest dir, retrain,
+    # restore the dir (as if the delete never ran), then re-run
+    shutil.copytree(
+        f"{index_dir}/members_ingest.parquet", str(tmp_path / "snap")
+    )
+    s1 = retrain_ivf_index(spark, index_dir)
+    p1 = _probe(spark, index_dir)
+    shutil.copytree(
+        str(tmp_path / "snap"), f"{index_dir}/members_ingest.parquet"
+    )
+    s2 = retrain_ivf_index(spark, index_dir)
+    assert s2["rows_reindexed"] == s1["rows_reindexed"] == n_live
+    members = spark.read.parquet(f"{index_dir}/members.parquet")
+    assert members.count() == n_live
+    assert members.select("vec_id").distinct().count() == n_live
+    assert _probe(spark, index_dir) == p1
+
+
+def test_retrain_survives_deleting_all_low_seed_ids(spark, tmp_path):
+    # round-11 review: a fixed `vec_id < K` seed filter over the live
+    # view EMPTIES the codebook when ids 0..K-1 are all deleted. The
+    # seed rule is the K lowest LIVE ids — the retrained index must
+    # stay fully usable.
+    from datafusion_loki_spark.operators.similarity import (
+        KMEANS_K,
+        retrain_ivf_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    low = spark.range(KMEANS_K).select(F.col("id").alias("vec_id"))
+    delete_ivf_index(spark, index_dir, low)
+    stats = retrain_ivf_index(spark, index_dir)
+    assert stats["k_cells"] == KMEANS_K
+    members = spark.read.parquet(f"{index_dir}/members.parquet")
+    assert members.where(F.col("cluster_id").isNull()).count() == 0
+    # queries (vec_id < N_QUERIES are deleted as corpus members but are
+    # still the probe set) answer non-empty through the fresh codebook
+    assert _probe(spark, index_dir)

@@ -1151,6 +1151,27 @@ def test_decode_ops_scan_speed_no_shuffle(spark, sf_dir):
         assert "MapInPandas" in plan, f"{name}:\n{plan}"
 
 
+def test_retrain_query_prunes_partitions_no_cartesian(spark, sf_dir):
+    # the retrained index must serve queries exactly like a fresh build:
+    # probed-cell partition pruning at the scan, no cartesian anywhere
+    import re
+
+    plan = _plan(spark, sf_dir, "sim_ivf_index_retrain")
+    assert re.search(r"PartitionFilters: \[cluster_id#\d+ IN \(", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_remove_winnow_spans_merge_pinned_no_reexplode(spark, sf_dir):
+    # the rebuild join must be the merge-pinned doc_id join (per_doc is
+    # stat-less under two windows — the family broadcast trap), and the
+    # gram DAG must stay behind the spans checkpoint: zero parquet scans
+    # of documents beyond the ONE normalized-text rebuild side
+    plan = _plan(spark, sf_dir, "text_remove_winnow_spans")
+    assert "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_winnowing_gram_dag_materialized_once(spark, sf_dir):
     # round-11 fix of the round-10 `weak`: the selected-fingerprint frame
     # is capped ONCE (single row_number window) and localCheckpointed

@@ -84,8 +84,8 @@ _R11_PINNED: tuple[str, ...] = (
     # (round-10 VERDICT Next #4)
     "mm_decode_png",
     # CHANGED in r11: BPE counts are now DELTA-MAINTAINED (exact, the
-    # stale-counts approximation is gone), budget raised to 16x32=512
-    # with an exact early stop — 89 merges at the driver corpus's
+    # stale-counts approximation is gone), budget raised to 8x64=512
+    # with an exact early stop — 82 merges at the driver corpus's
     # 107-merge ceiling; tests/test_bpe_scale.py consumes >= 512 on a
     # crafted corpus (round-10 VERDICT Next #2)
     "text_bpe_vocab",
@@ -101,6 +101,10 @@ _R11_PINNED: tuple[str, ...] = (
     # merged matched extents excised from the larger-id doc, text
     # rebuilt by one fold (char-level text_remove_repeated_spans)
     "text_remove_winnow_spans",
+    # NEW in r11: the BMP twin completes the decode trio — stride
+    # padding + bottom-up + BGR exercised end-to-end; oracle recomputes
+    # channel sums with the inverted byte mapping
+    "mm_decode_bmp",
 )
 
 _WINDOW_SIZE = 50

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     # char-level span removal: the winnow-spans DAG + interval merge +
     # per-doc rebuild fold — the family's largest composed winnow shape
     "text_remove_winnow_spans",
+    "mm_decode_bmp",
 ]
 
 

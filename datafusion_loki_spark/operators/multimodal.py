@@ -846,6 +846,103 @@ FROM m
 """
 
 
+MM_BMP_W, MM_BMP_H = 7, 5  # width 7 -> 21-byte rows pad to 24 (stride path)
+_MM_BMP_NEED = MM_BMP_W * MM_BMP_H * 3
+
+
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BMP twin of mm_decode_ppm, completing the decode trio in the
+    registry (round 11): each payload with >= 105 bytes becomes a real
+    uncompressed 24-bit BMP — its first 105 bytes as 7x5 BGR pixel
+    rows, written BOTTOM-UP with 3 pad bytes per row (width 7 forces
+    the 4-byte stride alignment most test images dodge) — and is
+    decoded by the REAL pure-numpy parser (decode_bmp: header parse,
+    stride walk, row flip, BGR->RGB). Emits the decoded geometry and
+    integer-exact per-channel sums; the oracle recomputes the sums from
+    the blob's hex bytes with the CHANNEL MAPPING INVERTED (payload
+    byte 3i is B, 3i+2 is R), so a parser that forgets the BGR swap,
+    mis-strides the padding, or skips the bottom-up flip (sums are row-
+    order-free, but the stride/offset errors are not) hash-mismatches.
+
+    100 TB posture: the decode-family shape — filter before the Python
+    boundary, Arrow-batched mapInPandas, 6 narrow output columns, no
+    shuffle after the scan."""
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_BMP_NEED)
+    ).select("doc_id", "payload")
+
+    import struct as _s
+
+    stride = (MM_BMP_W * 3 + 3) & ~3
+    row_bytes = MM_BMP_W * 3
+    header = (
+        b"BM"
+        + _s.pack("<IHHI", 54 + stride * MM_BMP_H, 0, 0, 54)
+        + _s.pack(
+            "<IiiHHIIiiII",
+            40, MM_BMP_W, MM_BMP_H, 1, 24, 0,
+            stride * MM_BMP_H, 2835, 2835, 0, 0,
+        )
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_BMP_NEED]
+                rows = [
+                    raw[r * row_bytes : (r + 1) * row_bytes]
+                    for r in range(MM_BMP_H)
+                ]
+                body = b"".join(
+                    row + b"\x00" * (stride - row_bytes)
+                    for row in reversed(rows)  # bottom-up storage
+                )
+                w, h, arr = decode_bmp(header + body)
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(arr[:, :, 0].sum(dtype="int64")))
+                sg.append(int(arr[:, :, 1].sum(dtype="int64")))
+                sb.append(int(arr[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": ws,
+                        "height": hs,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
+ORACLE_MM_DECODE_BMP = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_BMP_NEED}
+)
+SELECT doc_id,
+       {MM_BMP_W} AS width, {MM_BMP_H} AS height,
+       -- BGR on disk: payload byte 3i+2 is the RED sample
+       CAST({_rgb_channel_sum_duck(2, MM_BMP_W * MM_BMP_H)} AS BIGINT) AS sum_r,
+       CAST({_rgb_channel_sum_duck(1, MM_BMP_W * MM_BMP_H)} AS BIGINT) AS sum_g,
+       CAST({_rgb_channel_sum_duck(0, MM_BMP_W * MM_BMP_H)} AS BIGINT) AS sum_b
+FROM m
+"""
+
+
 MM_PNG_W, MM_PNG_H = 8, 5  # 5 rows -> filter cycle 0..4 hits ALL five types
 _MM_PNG_NEED = MM_PNG_W * MM_PNG_H * 3
 
@@ -1442,6 +1539,7 @@ QUERIES = {
     "mm_chunk_dedup": mm_chunk_dedup,
     "mm_decode_ppm": mm_decode_ppm,
     "mm_decode_png": mm_decode_png,
+    "mm_decode_bmp": mm_decode_bmp,
     "mm_phash_neardup": mm_phash_neardup,
     "mm_semantic_dedup": mm_semantic_dedup,
     "mm_dedup_keep_list": mm_dedup_keep_list,
@@ -1456,6 +1554,7 @@ ORACLES = {
     "mm_chunk_dedup": ORACLE_MM_CHUNK_DEDUP,
     "mm_decode_ppm": ORACLE_MM_DECODE_PPM,
     "mm_decode_png": ORACLE_MM_DECODE_PNG,
+    "mm_decode_bmp": ORACLE_MM_DECODE_BMP,
     "mm_phash_neardup": ORACLE_MM_PHASH,
     "mm_semantic_dedup": _oracle_mm_semantic(),
     "mm_dedup_keep_list": ORACLE_MM_KEEP_LIST,

@@ -123,3 +123,78 @@ def test_removal_excises_plant_from_larger_id_doc_only(spark):
     assert r.cleaned_text.endswith(filler_b2)
     assert len(r.cleaned_text) == len(doc_b) - r.n_chars_removed
     assert plant[: WINNOW_K] not in r.cleaned_text  # plant body gone
+
+
+# --- property net for the interval merge + rebuild core -----------------------
+# (this logic took two review findings in round 11 — tie-order window
+# divergence and the adjacency merge — so it gets a reference-model fuzz)
+
+from hypothesis import given, settings, strategies as st
+
+from datafusion_loki_spark.operators.dedup import WINNOW_SPAN_GAP  # noqa: E402
+
+
+def _ref_merge_and_rebuild(norm: str, raw_ivs):
+    """Pure-python reference: merge overlapping/adjacent intervals, then
+    rebuild the text from uncovered segments."""
+    ivs = sorted(set(raw_ivs))
+    merged = []
+    for s, e in ivs:
+        if merged and s <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    out, p = [], 1
+    for s, e in merged:
+        out.append(norm[p - 1 : s - 1])
+        p = e + 1
+    out.append(norm[p - 1 :])
+    return (
+        len(merged),
+        sum(e - s + 1 for s, e in merged),
+        "".join(out),
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_merge_rebuild_matches_reference_model(spark, data):
+    # random interval sets (duplicates, containment, adjacency, overlap
+    # all arise naturally) over random docs: the operator's windowed
+    # merge + fold rebuild must equal the sequential reference exactly
+    import random as _random
+
+    from datafusion_loki_spark.operators.dedup import (
+        _remove_winnow_spans_frame,
+    )
+
+    n_docs = data.draw(st.integers(1, 3))
+    rows, span_rows, want = [], [], {}
+    for doc_id in range(1, n_docs + 1):
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = _random.Random(seed)
+        length = rng.randint(30, 120)
+        text = "".join(rng.choice("abcdefgh") for _ in range(length))
+        rows.append((doc_id, text))
+        n_iv = data.draw(st.integers(1, 8))
+        ivs = []
+        for _ in range(n_iv):
+            s = rng.randint(1, length)
+            e = min(length, s + rng.randint(0, 25))
+            ivs.append((s, e))
+        # duplicates on purpose: repeat one interval
+        ivs.append(ivs[0])
+        for s, e in ivs:
+            span_rows.append((0, doc_id, 1, 1, 1, s, e, 1))
+        want[doc_id] = _ref_merge_and_rebuild(text, ivs)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = spark.createDataFrame(
+        span_rows,
+        "doc_a long, doc_b long, span_id long, span_a_start long,"
+        " span_a_end long, span_b_start long, span_b_end long, n_fps long",
+    )
+    got = {
+        r.doc_id: (r.n_intervals, r.n_chars_removed, r.cleaned_text)
+        for r in _remove_winnow_spans_frame(docs, spans).collect()
+    }
+    assert got == want

@@ -308,8 +308,11 @@ def decode_png(payload: bytes):
     except zlib.error as e:
         raise ValueError("PNG IDAT inflate failed") from e
     if len(raw) != need or dec.decompress(b"", 1) != b"" or (
-        dec.unconsumed_tail
+        dec.unconsumed_tail or dec.unused_data
     ):
+        # unused_data catches trailing garbage AFTER a valid zlib stream
+        # end — without it a well-formed stream followed by junk bytes
+        # would pass the length check silently (round-11 advice).
         raise ValueError("PNG scanline data length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     out = np.zeros((h, stride), dtype=np.uint8)

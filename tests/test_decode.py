@@ -387,6 +387,12 @@ def test_png_bad_inflate_and_length_mismatch_fail_loud():
     short = zlib.compress(b"\x00" * 5)
     with pytest.raises(ValueError, match="length mismatch"):
         decode_png(png[:i] + chunk(short) + rest)
+    # valid zlib stream of the EXACT right size, but trailing garbage
+    # after the stream end marker — caught only by dec.unused_data
+    # (round-11 advice): length and flush checks both pass without it
+    exact = zlib.compress(b"\x00" * (2 * (1 + 2 * 3)))  # 2 rows, 2x3 RGB
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(png[:i] + chunk(exact + b"\xde\xad\xbe\xef") + rest)
 
 
 def test_png_deflate_bomb_rejected_without_inflating(monkeypatch):

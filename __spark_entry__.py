@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale slots):
 #
 #   1. entries NEW or CHANGED this round lead (hand-pinned in
-#      _R11_PINNED — their plans and output must re-earn a driver row);
+#      _R12_PINNED — their plans and output must re-earn a driver row);
 #   2. the rest of the window is DERIVED from the committed
 #      CORRECTNESS_r*.json files: never-green entries first (never
 #      checked, or checked red), then ascending latest-green round,
@@ -54,57 +54,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # test_unchecked_queries_lead_the_window (never-checked entries must sit
 # in the prefix) and test_correctness_window_is_pinned (prefix ==
 # _WINDOW_PRIORITY, staleness ordering holds).
-_R11_PINNED: tuple[str, ...] = (
-    # --- new/changed in round 11 (hand-pinned ahead of the derived
+_R12_PINNED: tuple[str, ...] = (
+    # --- new/changed in round 12 (hand-pinned ahead of the derived
     # staleness tail; everything else is computed) ---
-    # CHANGED in r11: the selected-fingerprint frame is now capped once
-    # and localCheckpointed before the self-join — the gram DAG runs
-    # ONCE (round-10 VERDICT "What's wrong #1"; output identical)
-    "dedup_winnowing",
-    # NEW in r11: winnowing-vs-MinHash full-outer agreement — the
-    # banding false-negative audit on long verbatim overlaps
-    # (round-10 VERDICT Next #3)
-    "dedup_winnow_agreement",
-    # NEW in r11: positional winnowing — matched-SPAN localization with
-    # the paper's rightmost-min tie-break (round-10 VERDICT Next #5)
-    "dedup_winnow_spans",
-    # CHANGED in r11: keep-list folds the winnowing verdict in as the
-    # third status source ('winnow_dup' — guaranteed-detection channel
-    # now feeds the pipeline, round-10 VERDICT Next #3)
-    "dedup_keep_list",
-    # CHANGED in r11: funnel carries the n_winnow_dup column
-    "dedup_pipeline_funnel",
-    # CHANGED in r11 (composition): both consume the keep-list, whose
-    # status vocabulary grew — their oracles re-render from it
-    "mix_quality_vs_dedup",
-    "corpus_build_manifest",
-    # NEW in r11: the compressed-format decode path — real PNG
-    # (CRC-verified chunk walk + zlib inflate + all-five-filter
-    # unfilter), oracle recomputes channel sums from hex bytes
-    # (round-10 VERDICT Next #4)
-    "mm_decode_png",
-    # CHANGED in r11: BPE counts are now DELTA-MAINTAINED (exact, the
-    # stale-counts approximation is gone), budget raised to 8x64=512
-    # with an exact early stop — 82 merges at the driver corpus's
-    # 107-merge ceiling; tests/test_bpe_scale.py consumes >= 512 on a
-    # crafted corpus (round-10 VERDICT Next #2)
-    "text_bpe_vocab",
-    # CHANGED in r11: both tokenizer-apply consumers retrain under the
-    # delta loop (same apply topology, new merge tables)
-    "text_tokenize_bpe",
-    "text_tokenize_bpe_oov",
-    # NEW in r11: index RETRAIN — the fifth lifecycle verb (refit the
-    # codebook on the live view, fold tombstones + ingest generations
-    # into a fresh base); oracle = from-scratch fit over the live set
+    # NEW in r12: the whole-index snapshot protocol's registry face —
+    # build -> retrain (atomic index-manifest commit) -> append +
+    # delete resolving INTO the committed base-v snapshot -> query
+    # through it; oracle = the delete oracle (no-change refit is
+    # value-identical to the build)
+    "sim_ivf_snapshot_reads",
+    # CHANGED in r12: retrain now commits copy-on-write through
+    # index-manifest-v{M} (the round-11 honest limit — a reader between
+    # the centroid/member overwrites saw a mixed state — is closed);
+    # the other three lifecycle entries now RESOLVE the base dir
+    # through the manifest on every verb (identical behavior and plans
+    # for never-retrained dirs, but the read path changed — re-earn)
     "sim_ivf_index_retrain",
-    # NEW in r11: the positional-winnowing CLEANED-CORPUS deliverable —
-    # merged matched extents excised from the larger-id doc, text
-    # rebuilt by one fold (char-level text_remove_repeated_spans)
-    "text_remove_winnow_spans",
-    # NEW in r11: the BMP twin completes the decode trio — stride
-    # padding + bottom-up + BGR exercised end-to-end; oracle recomputes
-    # channel sums with the inverted byte mapping
-    "mm_decode_bmp",
+    "sim_ivf_index_topk",
+    "sim_ivf_index_append",
+    "sim_ivf_index_delete",
+    # CHANGED in r12: decode_png's post-inflate validation now rejects
+    # trailing garbage after the zlib stream end (dec.unused_data —
+    # round-11 ADVICE)
+    "mm_decode_png",
 )
 
 _WINDOW_SIZE = 50
@@ -159,14 +131,14 @@ def _window_priority(
     if latest is None:
         latest = _latest_green_round()
     order = {n: i for i, n in enumerate(registered)}
-    unknown = [n for n in _R11_PINNED if n not in order]
+    unknown = [n for n in _R12_PINNED if n not in order]
     if unknown:
         raise KeyError(
-            f"_R11_PINNED names not in the registry (typo?): {unknown}"
+            f"_R12_PINNED names not in the registry (typo?): {unknown}"
         )
-    pinned = list(_R11_PINNED)
+    pinned = list(_R12_PINNED)
     tail = sorted(
-        (n for n in registered if n not in _R11_PINNED),
+        (n for n in registered if n not in _R12_PINNED),
         key=lambda n: (latest.get(n, -1), order[n]),
     )
     return tuple((pinned + tail)[:_WINDOW_SIZE])

@@ -169,6 +169,12 @@ BENCH_QUERIES = [
     # per-doc rebuild fold — the family's largest composed winnow shape
     "text_remove_winnow_spans",
     "mm_decode_bmp",
+    # appended round 12: the whole-index snapshot protocol — build +
+    # retrain (copy-on-write base, atomic manifest commit) + append +
+    # delete resolving into the committed snapshot + query; two fits +
+    # two corpus writes by design (the lifecycle cost of never letting
+    # a reader see a mixed codebook/members state)
+    "sim_ivf_snapshot_reads",
 ]
 
 

@@ -111,6 +111,69 @@ def compact_partitions(
     return n
 
 
+def atomic_manifest_commit(
+    spark, dir_path: str, final_name: str, payload: dict
+) -> None:
+    """Commit a JSON manifest file via create-temp + rename — the shared
+    commit primitive of both snapshot protocols (the streaming ingest
+    fold's ``manifest-v{N}.json`` and the whole-index
+    ``index-manifest-v{M}.json``), factored so the two hand-rolled
+    copies can never drift on the race rules:
+
+    - the temp name is unique PER ATTEMPT, not per version: two
+      concurrent committers targeting the same version must never share
+      a temp — ``fs.create(overwrite)`` would let the loser clobber the
+      winner's content BEFORE the rename, committing the loser's body
+      under the winner's name (round-9 review). With a nonce'd temp the
+      rename is the only shared resource.
+    - NO delete-before-rename: a complete ``final_name`` on disk means a
+      CONCURRENT committer won the version — fail loudly rather than
+      race it (the optimistic-commit rule table formats use). The rename
+      is atomic on HDFS/local; on S3-class stores swap this for a
+      conditional PUT.
+    """
+    import json
+    import uuid
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(dir_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{dir_path}/.{final_name}.{uuid.uuid4().hex}.tmp"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/{final_name}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise IOError(
+            "manifest commit failed: either a concurrent committer "
+            f"committed {final} first (version already exists), or this "
+            f"attempt's temp {tmp} was swept by another run's GC (only "
+            "possible if the attempt outlived the GC age gate)"
+        )
+
+
+def read_json_file(spark, path: str) -> dict:
+    """Read a small JSON file through the Hadoop FileSystem API (works on
+    any store the session can reach, not just the local FS)."""
+    import json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
 def count_parquet_files(spark, path: str) -> int:
     """Recursive ``.parquet``-file count under ``path`` (0 if absent) —
     the before/after audit stat every compaction job reports. One

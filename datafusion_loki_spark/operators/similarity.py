@@ -24,6 +24,8 @@ partial filtering). LSH shuffles once on the signature key.
 from __future__ import annotations
 
 import hashlib
+import re
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1292,10 +1294,15 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     (build once, query many) that the fit-inline operators amortize away
     at test scale. Writes:
 
-    - ``{index_dir}/centroids.parquet`` — the 1-row codebook (K centroid
+    - ``{base}/centroids.parquet`` — the 1-row codebook (K centroid
       structs), exactly the localCheckpoint'd training output;
-    - ``{index_dir}/members.parquet`` — (vec_id, e, c_nrm) PARTITIONED BY
-      cluster_id, so each IVF cell is its own partition directory.
+    - ``{base}/members.parquet`` — (vec_id, e, c_nrm) PARTITIONED BY
+      cluster_id, so each IVF cell is its own partition directory;
+
+    where ``base`` is the resolved snapshot dir (resolve_index_base):
+    ``index_dir`` itself for a fresh index (flat legacy layout, no
+    manifest), or the manifest's base-v dir when rebuilding over a
+    retrained index.
 
     100 TB posture: the build pays the sample-fit training plus ONE full
     corpus pass (assignment) and one corpus write clustered by cell —
@@ -1309,24 +1316,29 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     assigned, cents = _kmeans_fit(
         emb_d, emb_d.where(F.expr(_TRAIN_PRED_SPARK))
     )
-    _write_index(assigned, cents, index_dir)
+    # a fresh index has no manifest and resolves to the flat root; a
+    # REBUILD over a retrained index overwrites its current snapshot
+    # in place (build is the from-scratch verb, not a new generation)
+    _write_index(assigned, cents, resolve_index_base(spark, index_dir))
 
 
-def _write_index(assigned: DataFrame, cents: DataFrame, index_dir: str):
+def _write_index(assigned: DataFrame, cents: DataFrame, base_dir: str):
     """The ONE index write contract (overwrite layout, partitioning,
     paths) shared by build and retrain — two hand-written copies were
     drifting on write ORDER (round-11 review). Centroids commit FIRST:
     a crash between the writes leaves the new codebook over the old
-    members — a recall-degraded but duplicate-free index a re-run
-    repairs; members-first would leave assignments no codebook
-    explains. Production stages both under a versioned-manifest commit
-    (the ingest protocol); this pair of writes is the swap point."""
-    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
+    members — for BUILD (flat layout, no manifest) that is a
+    recall-degraded but duplicate-free index a re-run repairs;
+    members-first would leave assignments no codebook explains. For
+    RETRAIN the pair lands in an unreferenced base-v dir and readers
+    see nothing until the index-manifest commit (the whole-index
+    snapshot protocol above) — the mixed state is no longer readable."""
+    cents.write.mode("overwrite").parquet(f"{base_dir}/centroids.parquet")
     (
         _members_projection(assigned)
         .write.mode("overwrite")
         .partitionBy("cluster_id")
-        .parquet(f"{index_dir}/members.parquet")
+        .parquet(f"{base_dir}/members.parquet")
     )
 
 
@@ -1348,7 +1360,8 @@ def query_ivf_index(
     queries_d = emb.select(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
     ).where(F.col("vec_id") < N_QUERIES)
-    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    base_dir = resolve_index_base(spark, index_dir)
+    cents = spark.read.parquet(f"{base_dir}/centroids.parquet")
     # materialize the probe frame ONCE (queries x IVF_PROBES rows): both
     # the driver-side probed-cell set below and the scorer's broadcast
     # side read it — un-checkpointed, each consumer would re-run the
@@ -1359,14 +1372,14 @@ def query_ivf_index(
         for r in probes.select("cluster_id").distinct().collect()
     }
     members = (
-        _read_members(spark, index_dir)
+        _read_members(spark, base_dir)
         .where(F.col("cluster_id").isin(*probed))
         .select("vec_id", "cluster_id", "e", "c_nrm")
     )
     # pending deletes: the anti-join applies AFTER the partition filter,
     # so pruned cells never pay it; an index with no tombstones gets the
     # identical plan as before the delete path existed
-    members = _subtract_tombstones(spark, index_dir, members)
+    members = _subtract_tombstones(spark, base_dir, members)
     return _ivf_probe_and_score(queries_d, cents, members, probes=probes)
 
 
@@ -2261,12 +2274,13 @@ def append_ivf_index(
     batch plus one partitioned append write. The production cadence is
     build once / append per-ingest / refit only when the cell-balance
     audit (sim_cell_balance) says the codebook has drifted."""
-    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    base_dir = resolve_index_base(spark, index_dir)
+    cents = spark.read.parquet(f"{base_dir}/centroids.parquet")
     (
         _members_projection(_kmeans_assign(batch_d, cents))
         .write.mode("append")
         .partitionBy("cluster_id")
-        .parquet(f"{index_dir}/members.parquet")
+        .parquet(f"{base_dir}/members.parquet")
     )
 
 
@@ -2275,6 +2289,101 @@ def _index_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+# --- whole-index snapshot protocol -------------------------------------------
+#
+# retrain_ivf_index rewrites BOTH halves of the index (codebook + members),
+# and before round 12 those two overwrites were the documented crash/reader
+# window: a reader between them saw the new codebook over the old members —
+# assignments the codebook doesn't explain (the round-11 honest-limits
+# note). The fix is the ingest fold's manifest protocol applied to the
+# WHOLE index directory:
+#
+#   {index_dir}/index-manifest-v{M}.json   <- newest version wins (atomic
+#                                             create-temp + rename commit)
+#   {index_dir}/base-v{M}-{nonce}/         <- ONE self-contained snapshot:
+#       centroids.parquet                     codebook
+#       members.parquet/                      cell-partitioned base table
+#       tombstones.parquet/                   pending deletes (optional)
+#       members_ingest.parquet/               streamed generations (optional)
+#
+# Every reader and every incremental writer (append / delete / ingest /
+# compact) RESOLVES the base directory through the newest manifest first,
+# so tombstones and ingest generations written after a retrain live INSIDE
+# the generation they apply to — a retrain's fold consumes them by
+# construction (the new base dir starts empty) and the manifest rename is
+# the single commit point: before it readers see the old snapshot exactly,
+# after it the new one exactly. A never-retrained index has no manifest
+# and resolves to {index_dir} itself — the legacy flat layout, unchanged,
+# which is also what build_ivf_index writes (generation 0 IS the root).
+#
+# Crash windows (all repaired by re-running the retrain, single-writer
+# batch-maintenance contract):
+#   - before the manifest commit: an orphan base-v dir nobody references;
+#     readers still see the old snapshot exactly (THE closed window). The
+#     orphan is age-gated GC'd by a later retrain (it may belong to a
+#     live concurrent attempt — same rule as the manifest-temp sweep).
+#   - after the commit, before GC: the superseded snapshot's files linger;
+#     readers resolved to the new base never touch them; the next retrain
+#     re-sweeps. Old tombstones/ingest linger INSIDE the dead base dir,
+#     so they can never be mis-applied to the new base (the flat layout
+#     could not have guaranteed this — a leftover root tombstone would
+#     have hidden a re-ingested id the retrain legitimately absorbed).
+#   - GC racing a reader that resolved the OLD manifest: the reader fails
+#     loudly on deleted files (transient, retry resolves the new base) —
+#     the same stance as the ingest fold's post-commit GC, never silent
+#     wrong answers.
+
+_INDEX_MANIFEST_RE = re.compile(r"index-manifest-v(\d+)\.json$")
+
+
+def _list_index_root(spark: SparkSession, index_dir: str):
+    """(manifest_versions, base_dirs, tmp_entries) from the root listing —
+    the manifest is authoritative for reads; ``base_dirs`` and
+    ``tmp_entries`` are (name, modification_ms) pairs feeding only the
+    retrain's age-gated GC."""
+    _, fs, jpath = _index_fs(spark, index_dir)
+    versions, bases, tmps = [], [], []
+    if not fs.exists(jpath):
+        return versions, bases, tmps
+    for status in fs.listStatus(jpath):
+        fname = status.getPath().getName()
+        if status.isDirectory() and fname.startswith("base-v"):
+            bases.append((fname, status.getModificationTime()))
+        elif fname.startswith(".index-manifest-") and fname.endswith(".tmp"):
+            tmps.append((fname, status.getModificationTime()))
+        else:
+            m = _INDEX_MANIFEST_RE.match(fname)
+            if m:
+                versions.append(int(m.group(1)))
+    return sorted(versions), bases, tmps
+
+
+def read_index_manifest(spark: SparkSession, index_dir: str):
+    """The highest-version index manifest, or None (never retrained —
+    the flat legacy layout)."""
+    from datafusion_loki_spark.functions.layout import read_json_file
+
+    versions, _, _ = _list_index_root(spark, index_dir)
+    if not versions:
+        return None
+    return read_json_file(
+        spark, f"{index_dir}/index-manifest-v{versions[-1]}.json"
+    )
+
+
+def resolve_index_base(spark: SparkSession, index_dir: str) -> str:
+    """The directory holding the CURRENT index snapshot: the newest
+    manifest's base-v dir, or ``index_dir`` itself for a never-retrained
+    index. Every read/write path of the lifecycle resolves through this
+    exactly once per operation (one resolution per operation, not per
+    file, so a single operation can never straddle a concurrent retrain's
+    commit with half its paths old and half new)."""
+    manifest = read_index_manifest(spark, index_dir)
+    if manifest is None:
+        return index_dir
+    return f"{index_dir}/{manifest['base']}"
 
 
 # the ``gen`` a tombstone records for a base-table (members.parquet)
@@ -2292,13 +2401,15 @@ MEMBERS_SCHEMA = "vec_id bigint, e array<double>, c_nrm double, cluster_id int"
 TOMBSTONES_SCHEMA = "vec_id bigint, gen bigint, cluster_id int"
 
 
-def _read_members(spark: SparkSession, index_dir: str) -> DataFrame:
+def _read_members(spark: SparkSession, base_dir: str) -> DataFrame:
+    # base_dir is a RESOLVED snapshot dir (resolve_index_base) — the
+    # public entry points resolve once per operation and thread it down
     return spark.read.schema(MEMBERS_SCHEMA).parquet(
-        f"{index_dir}/members.parquet"
+        f"{base_dir}/members.parquet"
     )
 
 
-def _read_tombstones(spark: SparkSession, index_dir: str) -> "DataFrame | None":
+def _read_tombstones(spark: SparkSession, base_dir: str) -> "DataFrame | None":
     """(cluster_id, vec_id, gen) tombstones of a maintained index, or
     None if the index has no pending deletes. ``gen`` scopes the
     tombstone to the GENERATION its target row lived in at delete time
@@ -2308,7 +2419,7 @@ def _read_tombstones(spark: SparkSession, index_dir: str) -> "DataFrame | None":
     resurrect the other (round-10 review). Tombstones are APPEND-ONLY
     between compactions; only a compaction (which physically removes
     the rows) rewrites or removes them."""
-    path = f"{index_dir}/tombstones.parquet"
+    path = f"{base_dir}/tombstones.parquet"
     _, fs, jpath = _index_fs(spark, path)
     if not fs.exists(jpath):
         return None
@@ -2349,7 +2460,12 @@ def delete_ivf_index(
     their own generation and are never affected."""
     from datafusion_loki_spark.streaming.pipeline import ivf_members_versioned
 
-    live = ivf_members_versioned(spark, index_dir).select(
+    # resolve ONCE: the live-view lookup and the tombstone write must
+    # target the same snapshot (maintenance verbs are single-writer by
+    # contract, so no retrain can commit between them — the resolve is
+    # about never constructing paths from two different manifests)
+    base_dir = resolve_index_base(spark, index_dir)
+    live = ivf_members_versioned(spark, base_dir).select(
         "vec_id", "cluster_id", "gen"
     )
     tomb = live.join(ids.select("vec_id"), "vec_id").localCheckpoint(
@@ -2364,12 +2480,12 @@ def delete_ivf_index(
         tomb.select("vec_id", "gen", "cluster_id")
         .write.mode("append")
         .partitionBy("cluster_id")
-        .parquet(f"{index_dir}/tombstones.parquet")
+        .parquet(f"{base_dir}/tombstones.parquet")
     )
 
 
 def _rewrite_tombstones(
-    spark: SparkSession, index_dir: str, t: DataFrame, consumed: DataFrame
+    spark: SparkSession, base_dir: str, t: DataFrame, consumed: DataFrame
 ) -> int:
     """Persist ``t`` MINUS ``consumed`` as the new tombstone set (delete
     the directory outright when nothing survives) — the commit tail
@@ -2386,7 +2502,7 @@ def _rewrite_tombstones(
     survivors = t.join(
         consumed.select(*keys), keys, "left_anti"
     ).localCheckpoint(eager=True)
-    tomb_path = f"{index_dir}/tombstones.parquet"
+    tomb_path = f"{base_dir}/tombstones.parquet"
     jvm, fs, jpath = _index_fs(spark, tomb_path)
     n = survivors.count()
     if n == 0:
@@ -2418,7 +2534,7 @@ def _rewrite_tombstones(
 
 def _subtract_tombstones(
     spark: SparkSession,
-    index_dir: str,
+    base_dir: str,
     members: DataFrame,
     versioned: bool = False,
 ) -> DataFrame:
@@ -2432,7 +2548,7 @@ def _subtract_tombstones(
     ``versioned=True`` expects a ``gen`` column and subtracts on the
     full (cluster_id, vec_id, gen) key, so a re-ingested generation of
     a deleted id stays visible."""
-    t = _read_tombstones(spark, index_dir)
+    t = _read_tombstones(spark, base_dir)
     if t is None:
         return members
     if versioned:
@@ -2484,15 +2600,16 @@ def compact_ivf_members(
         write_partitioned,
     )
 
-    members_path = f"{index_dir}/members.parquet"
+    base_dir = resolve_index_base(spark, index_dir)
+    members_path = f"{base_dir}/members.parquet"
     files_before = count_parquet_files(spark, members_path)
-    t = _read_tombstones(spark, index_dir)
+    t = _read_tombstones(spark, base_dir)
     if t is None:
         # the compact_partitions flow, inlined over the EXPLICIT-schema
         # read: the generic helper's schema-less read crashes on the
         # data-less terminal state a delete-everything fold leaves
         # (round-10 review), which must instead be a 0-row no-op
-        df = _read_members(spark, index_dir)
+        df = _read_members(spark, base_dir)
         staged = df.localCheckpoint(eager=True)
         rows = staged.count()
         rows_deleted = 0
@@ -2504,7 +2621,7 @@ def compact_ivf_members(
                 files_per_partition=files_per_partition,
             )
     else:
-        df = _read_members(spark, index_dir)
+        df = _read_members(spark, base_dir)
         keys = ["cluster_id", "vec_id"]
         n_before = df.count()
         # consumed = EVERY base-scoped tombstone: this fold removes all
@@ -2551,7 +2668,7 @@ def compact_ivf_members(
                 ),
                 True,
             )
-        _rewrite_tombstones(spark, index_dir, t, consumed)
+        _rewrite_tombstones(spark, base_dir, t, consumed)
     return {
         "rows": rows,
         "rows_deleted": rows_deleted,
@@ -2725,38 +2842,63 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     vec_ids < KMEANS_K, fixed iterations, order-independent
     decimal-exact means), which is exactly what the oracle replays.
 
-    Crash/concurrency contract (the compact_ivf_members stance): batch
-    maintenance is single-writer; the live snapshot is materialized
-    BEFORE any write (localCheckpoint severs it from the files being
-    overwritten), and a crash ANYWHERE mid-rewrite is repaired by
-    RE-RUNNING the retrain. Two properties make the re-run exact
-    (round-11 review — the naive fold double-absorbed): the live view
-    dedups per vec_id with NEWEST-GENERATION-WINS (update semantics —
-    after a crash between the member write and the ingest delete, the
-    already-absorbed base copy of each ingest row loses to the
-    still-present generation copy instead of duplicating), and the fit
-    seeds on the K LOWEST LIVE vec_ids (a fixed vec_id < K filter
-    shrinks — or with ids 0..K-1 deleted, EMPTIES — the codebook). A
-    crash between the centroid and member writes leaves the mixed
-    index _write_index documents — duplicate-free, repaired the same
-    way.
+    Crash/concurrency contract — the whole-index snapshot protocol
+    (section above): the fresh base lands in an UNREFERENCED
+    ``base-v{M}-{nonce}`` dir, and the atomic ``index-manifest-v{M}``
+    rename is the single commit point. A reader at ANY moment sees
+    either the old snapshot exactly or the new one exactly — the
+    round-11 honest limit (a reader between the centroid and member
+    overwrites saw a mixed codebook/members state) is closed: those
+    two writes now happen where no manifest points. Tombstones and
+    ingest generations are consumed STRUCTURALLY — they live inside
+    the superseded base dir, which the new snapshot never references —
+    so there is no ordering window in which a stale tombstone could
+    hide a legitimately re-absorbed row. A crash anywhere is repaired
+    by RE-RUNNING the retrain: before the commit the old snapshot is
+    fully intact (the orphan base dir is age-gated GC'd later); after
+    it the re-run refits the already-clean new base (deterministic,
+    value-identical — the live view dedups per vec_id with
+    NEWEST-GENERATION-WINS and seeds on the K LOWEST LIVE vec_ids, the
+    round-11 re-run-exactness properties). Batch maintenance stays
+    single-writer by contract; the nonce'd base dir plus the
+    no-delete-before-rename commit make a violating concurrent retrain
+    fail loudly instead of corrupting (the loser's dir is never
+    referenced and never clobbers the winner's).
 
     100 TB posture: one live-view scan (partition-pruned reads + the
     tombstone anti-join) + one per-vec_id window on that candidate
     frame, the sample-fit iteration passes (never the full corpus),
     ONE full assignment pass, one clustered write — the build's cost
-    profile plus the dedup window, which is the floor for a refit.
-    Returns audit stats."""
+    profile plus the dedup window, which is the floor for a refit. The
+    copy-on-write base costs no extra pass: the old layout's in-place
+    overwrite wrote the same bytes, just on top of the files readers
+    were using. Returns audit stats."""
+    from datafusion_loki_spark.functions.layout import (
+        atomic_manifest_commit,
+    )
     from datafusion_loki_spark.streaming.pipeline import (
+        _TMP_SWEEP_AGE_MS,
+        _fs_now_ms,
         ivf_members_versioned,
     )
 
     jvm, fs, _ = _index_fs(spark, index_dir)
+    # pre-commit snapshot of the root: the manifest chain tells us what
+    # the commit supersedes; bases/tmps feed the age-gated orphan sweep
+    # (listed BEFORE this attempt writes anything, so it never sweeps
+    # its own in-flight state — the compact_ivf_ingest rule)
+    old_manifest = read_index_manifest(spark, index_dir)
+    versions, pre_bases, pre_tmps = _list_index_root(spark, index_dir)
+    old_base_name = old_manifest["base"] if old_manifest else None
+    old_base = (
+        f"{index_dir}/{old_base_name}" if old_base_name else index_dir
+    )
+    new_version = (versions[-1] if versions else 0) + 1
     newest = Window.partitionBy("vec_id").orderBy(
         F.desc("gen"), F.asc("cluster_id")
     )
     live_d = (
-        ivf_members_versioned(spark, index_dir)
+        ivf_members_versioned(spark, old_base)
         .select("vec_id", "e", "gen", "cluster_id")
         .withColumn("rn", F.row_number().over(newest))
         .where(F.col("rn") == 1)
@@ -2767,14 +2909,73 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     assigned, cents = _kmeans_fit(
         live_d, live_d.where(F.expr(_TRAIN_PRED_SPARK)), seeds_d=seeds
     )
-    _write_index(assigned, cents, index_dir)
-    # consumed by the fold: pending tombstones and ingest generations
-    # (incl. manifest) are now part of the fresh base
-    for sub in ("tombstones.parquet", "members_ingest.parquet"):
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}"), True)
+    new_base_name = f"base-v{new_version}-{uuid.uuid4().hex[:8]}"
+    _write_index(assigned, cents, f"{index_dir}/{new_base_name}")
+    # THE commit: atomic rename; a concurrent attempt that won this
+    # version makes the rename fail loudly (contract violation surfaced,
+    # winner's data untouched — our orphan dir is swept by a later GC)
+    atomic_manifest_commit(
+        spark,
+        index_dir,
+        f"index-manifest-v{new_version}.json",
+        {"version": new_version, "base": new_base_name},
+    )
+    # --- post-commit GC (pure cleanup: nothing below is referenced by
+    # the committed manifest; a crash mid-GC leaves garbage bytes a
+    # later retrain re-sweeps, never wrong results) ---
+    # the flat legacy root's four well-known entries are dead under ANY
+    # committed manifest (the root layout is only resolvable with no
+    # manifest at all) — swept unconditionally, so a first retrain that
+    # crashed before ITS sweep is re-swept by every later retrain
+    for sub in (
+        "centroids.parquet",
+        "members.parquet",
+        "tombstones.parquet",
+        "members_ingest.parquet",
+    ):
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}"), True
+        )
+    now_ms = None
+    for name, mod_ms in pre_bases:
+        if name == old_base_name:
+            # the superseded snapshot — certainly dead under the new
+            # manifest (its tombstones/ingest die inside it)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{name}"), True
+            )
+        else:
+            # an orphan from a crashed attempt — or a LIVE concurrent
+            # attempt's in-flight dir: age-gate on the FS's own clock,
+            # exactly like the manifest-temp sweep
+            if now_ms is None:
+                now_ms = _fs_now_ms(jvm, fs, index_dir)
+            if now_ms - mod_ms >= _TMP_SWEEP_AGE_MS:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{name}"),
+                    True,
+                )
+    for v in versions:  # every pre-listed manifest is now superseded
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{index_dir}/index-manifest-v{v}.json"
+            ),
+            False,
+        )
+    if pre_tmps:
+        if now_ms is None:
+            now_ms = _fs_now_ms(jvm, fs, index_dir)
+        for fname, mod_ms in pre_tmps:
+            if now_ms - mod_ms >= _TMP_SWEEP_AGE_MS:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{fname}"),
+                    False,
+                )
     return {
         "rows_reindexed": live_d.count(),
         "k_cells": cents.select(F.expr("size(cents)")).first()[0],
+        "version": new_version,
+        "base": new_base_name,
     }
 
 
@@ -2862,8 +3063,42 @@ SELECT query_id, rank, cand_id, cluster_id, cosine FROM (
 
 QUERIES["sim_ivf_index_delete"] = sim_ivf_index_delete
 ORACLES["sim_ivf_index_delete"] = _oracle_ivf_delete()
+def sim_ivf_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry face of the whole-index SNAPSHOT protocol (round-12:
+    the round-11 honest-limits closure — retrain's in-place overwrite
+    pair is now an unreferenced base-v dir plus one atomic manifest
+    rename). The sequence drives every resolver path end-to-end: build
+    (flat legacy layout) -> retrain (commits index-manifest-v1, GCs the
+    flat snapshot) -> append + delete (both resolve the manifest and
+    land INSIDE base-v1: the batch through the snapshot's codebook, the
+    tombstone pinned to its cell/generation) -> query (centroids,
+    partition-pruned members, and the tombstone anti-join all read the
+    committed snapshot).
+
+    Oracle: exactly sim_ivf_index_delete's — a no-change refit is
+    value-identical to the build (deterministic sample-fit, seeds = the
+    K lowest live vec_ids = the build's vec_id < K set), so routing the
+    same append/delete through the RETRAINED snapshot must answer
+    bit-for-bit what the flat-layout lifecycle answers. What this entry
+    adds to the correctness gate is the protocol itself: manifest
+    round-trip, per-verb base resolution, and snapshot-scoped
+    tombstones between the scan and the answer."""
+    index_dir = scratch_index_dir(spark, sf_dir, "ivf_snapshot")
+    build_ivf_index(spark, sf_dir, index_dir)
+    retrain_ivf_index(spark, index_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    append_ivf_index(spark, index_dir, _ivf_decorrelated_batch(emb_d))
+    delete_ivf_index(spark, index_dir, _ivf_delete_ids(emb))
+    return query_ivf_index(spark, sf_dir, index_dir)
+
+
 QUERIES["sim_ivf_index_retrain"] = sim_ivf_index_retrain
 ORACLES["sim_ivf_index_retrain"] = _oracle_ivf_retrain()
+QUERIES["sim_ivf_snapshot_reads"] = sim_ivf_snapshot_reads
+ORACLES["sim_ivf_snapshot_reads"] = _oracle_ivf_delete()
 
 
 # --- IVF probe-count tuning curve --------------------------------------------

@@ -1202,10 +1202,15 @@ def _ivf_ingest_batch_fn(index_dir: str):
             _NRM_E_SPARK,
             _TO_DOUBLE,
             _kmeans_assign,
+            resolve_index_base,
         )
 
         spark_b = batch_df.sparkSession
-        cents = spark_b.read.parquet(f"{index_dir}/centroids.parquet")
+        # resolved PER BATCH: a retrain between micro-batches commits a
+        # new snapshot, and subsequent batches must land inside it (the
+        # superseded base dir is dead — writing there loses the batch)
+        base_dir = resolve_index_base(spark_b, index_dir)
+        cents = spark_b.read.parquet(f"{base_dir}/centroids.parquet")
         batch_d = batch_df.select(
             "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")
         )
@@ -1221,7 +1226,7 @@ def _ivf_ingest_batch_fn(index_dir: str):
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("gen", "cluster_id")
-            .parquet(f"{index_dir}/members_ingest.parquet")
+            .parquet(f"{base_dir}/members_ingest.parquet")
         )
 
     return _append
@@ -1292,23 +1297,29 @@ def ivf_members_versioned(
         TOMBSTONE_BASE_GEN,
         _read_members,
         _subtract_tombstones,
+        resolve_index_base,
     )
 
+    # one snapshot resolution for the whole view: base table, ingest
+    # generations, their manifest, and the tombstone anti-join must all
+    # come from the SAME base dir (resolution is idempotent, so callers
+    # holding an already-resolved dir pass straight through)
+    base_dir = resolve_index_base(spark, index_dir)
     cols = ["vec_id", "cluster_id", "e", "c_nrm"]
     base = (
-        _read_members(spark, index_dir)
+        _read_members(spark, base_dir)
         .select(*cols)
         .withColumn("gen", F.lit(TOMBSTONE_BASE_GEN))
     )
     from pyspark.errors import AnalysisException
 
     try:
-        ingest = spark.read.parquet(f"{index_dir}/members_ingest.parquet")
+        ingest = spark.read.parquet(f"{base_dir}/members_ingest.parquet")
     except AnalysisException as e:
         if not _is_empty_sink_error(e):
             raise
-        return _subtract_tombstones(spark, index_dir, base, versioned=True)
-    manifest = _read_ingest_manifest(spark, index_dir)
+        return _subtract_tombstones(spark, base_dir, base, versioned=True)
+    manifest = _read_ingest_manifest(spark, base_dir)
     if manifest is not None:
         ingest = ingest.where(
             (F.col("gen") == manifest["active_gen"])
@@ -1330,7 +1341,7 @@ def ivf_members_versioned(
     # physical removal happens at the respective compaction
     return _subtract_tombstones(
         spark,
-        index_dir,
+        base_dir,
         base.unionByName(ingest.select(*cols, "gen")),
         versioned=True,
     )
@@ -1437,9 +1448,10 @@ def _list_ingest_state(spark: SparkSession, ingest_path: str):
     return sorted(real), sorted(compacted), sorted(manifests), sorted(tmps)
 
 
-def _read_ingest_manifest(spark: SparkSession, index_dir: str):
-    """The highest-version manifest, or None (never compacted)."""
-    ingest_path = f"{index_dir}/members_ingest.parquet"
+def _read_ingest_manifest(spark: SparkSession, base_dir: str):
+    """The highest-version manifest, or None (never compacted).
+    ``base_dir`` is a RESOLVED snapshot dir (resolve_index_base)."""
+    ingest_path = f"{base_dir}/members_ingest.parquet"
     _, _, versions, _ = _list_ingest_state(spark, ingest_path)
     if not versions:
         return None
@@ -1455,44 +1467,23 @@ def _read_ingest_manifest(spark: SparkSession, index_dir: str):
     return json.loads(text)
 
 
-def _write_ingest_manifest(spark: SparkSession, index_dir: str, manifest: dict):
-    """create-temp + rename — atomic on HDFS/local (rename-based commit;
-    on S3-class stores swap this for a conditional PUT)."""
-    ingest_path = f"{index_dir}/members_ingest.parquet"
-    jvm, fs, _ = _ingest_fs(spark, ingest_path)
-    version = manifest["version"]
-    # the temp file must be unique PER ATTEMPT, not per version: two
-    # concurrent compactions targeting the same version would share a
-    # version-named temp, and fs.create(overwrite) lets the loser
-    # clobber the winner's content BEFORE the rename — the winner then
-    # commits the loser's manifest body and its post-commit GC deletes
-    # the generation the committed manifest points at (round-9 review).
-    # With a nonce'd temp, the rename is the only shared resource.
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{ingest_path}/.manifest-v{version}.{uuid.uuid4().hex}.tmp"
+def _write_ingest_manifest(spark: SparkSession, base_dir: str, manifest: dict):
+    """Commit ``manifest-v{N}.json`` via layout.atomic_manifest_commit —
+    the shared nonce'd-temp + no-delete-before-rename primitive (the
+    race rules this path accreted over rounds 9-11 now live there, one
+    definition for both snapshot protocols). The temp name the helper
+    produces (``.manifest-v{N}.json.{nonce}.tmp``) still matches the GC
+    sweep's ``.manifest-*.tmp`` pattern."""
+    from datafusion_loki_spark.functions.layout import (
+        atomic_manifest_commit,
     )
-    final = jvm.org.apache.hadoop.fs.Path(
-        f"{ingest_path}/manifest-v{version}.json"
+
+    atomic_manifest_commit(
+        spark,
+        f"{base_dir}/members_ingest.parquet",
+        f"manifest-v{manifest['version']}.json",
+        manifest,
     )
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
-    finally:
-        out.close()
-    # NO delete-before-rename: the target version never exists on a
-    # clean or crash-rerun path (a complete manifest-vN would have been
-    # READ as the active one and this run would be writing v(N+1)), so
-    # a rename failure here means a CONCURRENT compaction committed the
-    # same version first — fail loudly rather than race it (the same
-    # optimistic-commit rule table formats use).
-    if not fs.rename(tmp, final):
-        fs.delete(tmp, False)
-        raise IOError(
-            "manifest commit failed: either a concurrent compaction "
-            f"committed {final} first (version already exists), or this "
-            f"attempt's temp {tmp} was swept by another run's GC (only "
-            "possible if the attempt outlived the GC age gate)"
-        )
 
 
 def _count_ingest_files(spark: SparkSession, ingest_path: str) -> int:
@@ -1521,9 +1512,14 @@ def compact_ivf_ingest(
     and live generations are never rewritten."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the redelivery window)")
-    ingest_path = f"{index_dir}/members_ingest.parquet"
+    from datafusion_loki_spark.operators.similarity import (
+        resolve_index_base,
+    )
+
+    base_dir = resolve_index_base(spark, index_dir)
+    ingest_path = f"{base_dir}/members_ingest.parquet"
     files_before = _count_ingest_files(spark, ingest_path)
-    manifest = _read_ingest_manifest(spark, index_dir)
+    manifest = _read_ingest_manifest(spark, base_dir)
     prev_version = manifest["version"] if manifest else 0
     prev_cutoff = manifest["folded_upto"] if manifest else -1
     active_gen = manifest["active_gen"] if manifest else None
@@ -1620,7 +1616,7 @@ def compact_ivf_ingest(
         _rewrite_tombstones,
     )
 
-    tombs = _read_tombstones(spark, index_dir)
+    tombs = _read_tombstones(spark, base_dir)
     consumed = None
     if tombs is not None:
         # ONE snapshot feeds the fold anti-join AND the post-commit
@@ -1659,7 +1655,7 @@ def compact_ivf_ingest(
     )
     _write_ingest_manifest(
         spark,
-        index_dir,
+        base_dir,
         {
             "version": new_version,
             "active_gen": new_gen,
@@ -1688,7 +1684,7 @@ def compact_ivf_ingest(
                 | (F.col("gen") > new_cutoff)
             )
         ).localCheckpoint(eager=True)
-        _rewrite_tombstones(spark, index_dir, tombs, consumed)
+        _rewrite_tombstones(spark, base_dir, tombs, consumed)
     return {
         "folded_gens": len(fold),
         "rows_compacted": rows,

@@ -359,9 +359,19 @@ def test_retrain_consumes_tombstones_and_ingest_generations(
     stats = retrain_ivf_index(spark, index_dir)
     assert stats["rows_reindexed"] == n_live
 
-    assert not os.path.exists(f"{index_dir}/tombstones.parquet")
-    assert not os.path.exists(f"{index_dir}/members_ingest.parquet")
-    on_disk = spark.read.parquet(f"{index_dir}/members.parquet")
+    # the superseded flat snapshot is GC'd wholesale — consumed
+    # tombstones/ingest AND the old base table (round-12: the retrain
+    # commits a fresh base-v dir through the index manifest)
+    from datafusion_loki_spark.operators.similarity import (
+        resolve_index_base,
+    )
+
+    for sub in ("tombstones.parquet", "members_ingest.parquet",
+                "members.parquet", "centroids.parquet"):
+        assert not os.path.exists(f"{index_dir}/{sub}")
+    base = resolve_index_base(spark, index_dir)
+    assert base != index_dir
+    on_disk = spark.read.parquet(f"{base}/members.parquet")
     ids = {r.vec_id for r in on_disk.select("vec_id").collect()}
     assert victim not in ids
     assert (IVF_APPEND_OFFSET + 8) in ids      # ingest rows absorbed
@@ -390,13 +400,17 @@ def test_retrain_is_rerunnable(spark, tmp_path):
 def test_retrain_rerun_after_crash_window_does_not_duplicate(
     spark, tmp_path
 ):
-    # round-11 review: a crash AFTER the member overwrite but BEFORE the
-    # ingest-directory delete leaves the absorbed rows visible twice
-    # (new base + still-present generations). The re-run must fold them
-    # once: the live view dedups per vec_id with newest-generation-wins.
+    # round-11's crash window (member overwrite committed, ingest delete
+    # missing -> absorbed rows visible twice) is STRUCTURAL history under
+    # the round-12 snapshot protocol: the leftovers a crash-before-GC
+    # leaves sit in the superseded flat snapshot, which no reader and no
+    # re-run resolves. Simulate exactly that window — retrain committed,
+    # GC never ran for the old ingest dir — and pin that (a) reads never
+    # see the leftovers, (b) the re-run folds nothing twice.
     import shutil
 
     from datafusion_loki_spark.operators.similarity import (
+        resolve_index_base,
         retrain_ivf_index,
     )
     from datafusion_loki_spark.streaming import pipeline
@@ -413,19 +427,25 @@ def test_retrain_rerun_after_crash_window_does_not_duplicate(
         0,
     )
     n_live = pipeline.ivf_members(spark, index_dir).count()
-    # simulate the crash window: snapshot the ingest dir, retrain,
-    # restore the dir (as if the delete never ran), then re-run
     shutil.copytree(
         f"{index_dir}/members_ingest.parquet", str(tmp_path / "snap")
     )
     s1 = retrain_ivf_index(spark, index_dir)
     p1 = _probe(spark, index_dir)
+    # the crash-before-GC leftover: the old flat snapshot's ingest dir
+    # reappears at the root, exactly as if retrain died before sweeping
     shutil.copytree(
         str(tmp_path / "snap"), f"{index_dir}/members_ingest.parquet"
     )
+    # (a) readers resolve the committed snapshot; the leftover is invisible
+    assert pipeline.ivf_members(spark, index_dir).count() == n_live
+    assert _probe(spark, index_dir) == p1
+    # (b) the re-run refits the already-clean base — nothing absorbed twice
     s2 = retrain_ivf_index(spark, index_dir)
     assert s2["rows_reindexed"] == s1["rows_reindexed"] == n_live
-    members = spark.read.parquet(f"{index_dir}/members.parquet")
+    members = spark.read.parquet(
+        f"{resolve_index_base(spark, index_dir)}/members.parquet"
+    )
     assert members.count() == n_live
     assert members.select("vec_id").distinct().count() == n_live
     assert _probe(spark, index_dir) == p1
@@ -447,7 +467,13 @@ def test_retrain_survives_deleting_all_low_seed_ids(spark, tmp_path):
     delete_ivf_index(spark, index_dir, low)
     stats = retrain_ivf_index(spark, index_dir)
     assert stats["k_cells"] == KMEANS_K
-    members = spark.read.parquet(f"{index_dir}/members.parquet")
+    from datafusion_loki_spark.operators.similarity import (
+        resolve_index_base,
+    )
+
+    members = spark.read.parquet(
+        f"{resolve_index_base(spark, index_dir)}/members.parquet"
+    )
     assert members.where(F.col("cluster_id").isNull()).count() == 0
     # queries (vec_id < N_QUERIES are deleted as corpus members but are
     # still the probe set) answer non-empty through the fresh codebook

@@ -990,6 +990,29 @@ def test_ivf_index_query_prunes_partitions_at_scan(spark, sf_dir):
     assert m, plan
 
 
+def test_snapshot_reads_keep_partition_pruning(spark, sf_dir):
+    # Resolving the base dir through the index manifest (round-12
+    # snapshot protocol) must not cost the index its point: the query
+    # through a RETRAINED snapshot still prunes unprobed cells at the
+    # scan, and the tombstone anti-join stays cell-local (same gates as
+    # the flat-layout lifecycle entries).
+    plan = _plan(spark, sf_dir, "sim_ivf_snapshot_reads")
+    import re
+
+    m = re.search(r"PartitionFilters: \[cluster_id#\d+ IN \(", plan)
+    assert m, plan
+    # the scan reads the COMMITTED snapshot, not the flat legacy layout
+    # (the plan's Location string is elided, so check the resolver)
+    from datafusion_loki_spark.operators.similarity import (
+        resolve_index_base,
+        scratch_index_dir,
+    )
+
+    index_dir = scratch_index_dir(spark, sf_dir, "ivf_snapshot")
+    base = resolve_index_base(spark, index_dir)
+    assert "/base-v1-" in base, base
+
+
 def test_semantic_dedup_rides_the_persisted_index(spark, sf_dir):
     # dedup_semantic_cluster pays the k-means fit ONCE in the index build;
     # the returned frame must read only the persisted member table — no

@@ -77,6 +77,11 @@ _R12_PINNED: tuple[str, ...] = (
     # trailing garbage after the zlib stream end (dec.unused_data —
     # round-11 ADVICE)
     "mm_decode_png",
+    # NEW in r12: the packed-layout decode face — depth-4 PALETTE PNG
+    # with PLTE + tRNS through the extended real parser (grayscale/
+    # palette at depths 1/2/4/8); oracle replays the two-level
+    # pixel->index->palette lookup from hex bytes
+    "mm_decode_png_palette",
 )
 
 _WINDOW_SIZE = 50

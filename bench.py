@@ -175,6 +175,10 @@ BENCH_QUERIES = [
     # two corpus writes by design (the lifecycle cost of never letting
     # a reader see a mixed codebook/members state)
     "sim_ivf_snapshot_reads",
+    # the packed-layout decode path: bit pack/unpack + palette/tRNS
+    # lookup per item through the Arrow kernel (tracked like its RGB
+    # twin so a Python-side per-item regression shows round-over-round)
+    "mm_decode_png_palette",
 ]
 
 

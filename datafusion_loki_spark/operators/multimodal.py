@@ -192,15 +192,37 @@ def encode_png(arr, row_filters=None) -> bytes:
         )
     h, w, c = arr.shape
     color_type = {3: 2, 4: 6}[c]
+    raw = _filter_scanlines(arr.reshape(h, w * c), c, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _filter_scanlines(rows, bpp: int, row_filters=None) -> bytes:
+    """Apply PNG scanline filters to raw (h, stride)-byte rows — the one
+    filter implementation shared by all three writers (RGB/RGBA, packed
+    gray, packed palette). ``bpp`` is the filter's left-neighbor stride
+    in BYTES (1 for packed sub-byte layouts, per spec). Filters
+    reference the original neighbor bytes, which per the spec equal the
+    reconstructed values — so vectorized whole-row filtering is exact.
+    Default filter cycle r % 5 exercises all five reconstructions."""
+    import numpy as np
+
+    rows = np.asarray(rows, dtype=np.uint8)
+    h, stride = rows.shape
     if row_filters is None:
         row_filters = [r % 5 for r in range(h)]
     raw = bytearray()
-    zero = np.zeros(c, dtype=np.int16)
-    prev = np.zeros(w * c, dtype=np.int16)
+    zero = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
     for r in range(h):
-        cur = arr[r].reshape(-1).astype(np.int16)
-        left = np.concatenate([zero, cur[:-c]]) if w > 1 else zero
-        ul = np.concatenate([zero, prev[:-c]]) if w > 1 else zero
+        cur = rows[r].astype(np.int16)
+        left = np.concatenate([zero, cur[:-bpp]]) if stride > bpp else zero
+        ul = np.concatenate([zero, prev[:-bpp]]) if stride > bpp else zero
         f = row_filters[r]
         if f == 0:
             filt = cur
@@ -217,13 +239,115 @@ def encode_png(arr, row_filters=None) -> bytes:
         raw.append(f)
         raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return bytes(raw)
+
+
+def _pack_samples(samples, depth: int) -> "bytes":
+    """Pack one row of d-bit samples MSB-first into bytes (the PNG
+    packed layout; trailing pad bits zero, as np.packbits pads)."""
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.uint8)
+    if depth == 8:
+        return samples.tobytes()
+    bits = (
+        (samples[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def encode_png_gray(arr, depth: int = 8, row_filters=None) -> bytes:
+    """PNG writer for grayscale (h, w) at depth 1/2/4/8, or gray+alpha
+    (h, w, 2) at depth 8 — the decode_png coverage twin. Sample values
+    must already be in [0, 2^depth) (no scaling on the way in; decode
+    applies the spec's presentation scaling on the way out)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 2:
+        if depth != 8:
+            raise ValueError("gray+alpha is 8-bit only")
+        h, w = arr.shape[:2]
+        color_type, rows, bpp = 4, arr.reshape(h, w * 2), 2
+    elif arr.ndim == 2:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"invalid grayscale depth {depth}")
+        if int(arr.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample out of range for depth {depth}")
+        h, w = arr.shape
+        rows = np.frombuffer(
+            b"".join(_pack_samples(arr[r], depth) for r in range(h)),
+            dtype=np.uint8,
+        ).reshape(h, (w * depth + 7) // 8)
+        color_type, bpp = 0, 1
+    else:
+        raise ValueError(
+            f"encode_png_gray needs (h, w) or (h, w, 2), got {arr.shape}"
+        )
+    raw = _filter_scanlines(rows, bpp, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_indexed(
+    idx, palette, trns=None, depth: int = 8, row_filters=None
+) -> bytes:
+    """PNG writer for palette images: (h, w) indices at depth 1/2/4/8,
+    a PLTE of (n, 3) RGB rows (or flat 3n bytes), optional tRNS alpha
+    bytes. Indices must be < the palette length (the decoder enforces
+    it loudly; the writer enforces it here so tests construct only
+    legal files on purpose)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1)
+    if idx.ndim != 2:
+        raise ValueError(f"encode_png_indexed needs (h, w), got {idx.shape}")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"invalid palette depth {depth}")
+    if len(pal) % 3 or not 3 <= len(pal) <= 256 * 3:
+        raise ValueError(f"palette length {len(pal)} not a valid PLTE")
+    if int(idx.max(initial=0)) >= min(len(pal) // 3, 1 << depth):
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    rows = np.frombuffer(
+        b"".join(_pack_samples(idx[r], depth) for r in range(h)),
+        dtype=np.uint8,
+    ).reshape(h, (w * depth + 7) // 8)
+    raw = _filter_scanlines(rows, 1, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"PLTE", pal.tobytes()
+    )
+    if trns is not None:
+        t = np.asarray(trns, dtype=np.uint8).reshape(-1)
+        if len(t) > len(pal) // 3:
+            raise ValueError("tRNS longer than the palette")
+        out += _png_chunk(b"tRNS", t.tobytes())
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# channels per pixel by PNG color type: gray, RGB, palette-index,
+# gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# valid bit depths per color type (RFC 2083 §4.1.1; 16-bit stays a loud
+# gate — the uint8 contract of the decode family would silently halve it)
+_PNG_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
 
 
 def decode_png(payload: bytes):
@@ -233,11 +357,19 @@ def decode_png(payload: bytes):
     concatenated IDAT with zlib, and unfilters every scanline
     (None/Sub/Up/Average/Paeth per RFC 2083 §6; Up is whole-row
     vectorized, the left-referencing filters run per-pixel-group with
-    the channel lanes vectorized). Returns (width, height, uint8
-    ndarray (h, w, c)). Supports 8-bit truecolor RGB (color type 2)
-    and RGBA (6), non-interlaced only; anything else — palette,
-    grayscale, 16-bit, Adam7 — raises ValueError, loud, never a fake
-    fallback (the decode_image contract)."""
+    the channel lanes vectorized — filter arithmetic is BYTE-wise with
+    a bpp stride, so packed sub-byte rows filter on bpp=1 exactly per
+    spec). Returns (width, height, uint8 ndarray (h, w, c)).
+
+    Coverage (round 12 closed the palette/grayscale gap): 8-bit
+    truecolor RGB (color type 2) and RGBA (6); grayscale (0) at depths
+    1/2/4/8, scaled to 8-bit per the spec's sample-depth scaling
+    (255/(2^d-1) — exact integers for every legal d), emitted (h,w,1);
+    gray+alpha (4) at depth 8, emitted (h,w,2); palette (3) at depths
+    1/2/4/8 through PLTE (required, validated) and optional tRNS —
+    (h,w,3), or (h,w,4) with tRNS (missing entries opaque per spec).
+    Still loud: 16-bit, Adam7 interlace, out-of-range palette indices,
+    malformed PLTE. Never a fake fallback (the decode_image contract)."""
     import struct
     import zlib
 
@@ -248,6 +380,8 @@ def decode_png(payload: bytes):
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
+    trns = None
     seen_iend = False
     while pos < len(payload):
         if len(payload) - pos < 8:
@@ -268,10 +402,14 @@ def decode_png(payload: bytes):
             ihdr = data
         elif ctype == b"IDAT":
             idat.extend(data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IEND":
             seen_iend = True
             break
-        # ancillary chunks (tEXt, pHYs, ...) are skipped, CRC-checked
+        # other ancillary chunks (tEXt, pHYs, ...) are skipped, CRC-checked
         pos += 12 + ln
     if ihdr is None or not seen_iend:
         raise ValueError("PNG missing IHDR or IEND")
@@ -283,18 +421,29 @@ def decode_png(payload: bytes):
     if w <= 0 or h <= 0:
         raise ValueError(f"malformed PNG dimensions ({w} x {h})")
     if (
-        depth != 8
-        or color_type not in (2, 6)
+        color_type not in _PNG_CHANNELS
+        or depth not in _PNG_DEPTHS[color_type]
         or comp != 0
         or filt_method != 0
         or interlace != 0
     ):
         raise ValueError(
             f"unsupported PNG layout (depth={depth}, color={color_type},"
-            f" interlace={interlace}); only 8-bit RGB/RGBA non-interlaced"
+            f" interlace={interlace}); supported: 8-bit RGB/RGBA/"
+            "gray+alpha, 1/2/4/8-bit grayscale/palette, non-interlaced"
         )
-    ch = 3 if color_type == 2 else 4
-    stride = w * ch
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing its PLTE chunk")
+        if len(plte) % 3 or not 3 <= len(plte) <= 256 * 3:
+            raise ValueError(f"PLTE length {len(plte)} not a valid palette")
+        if trns is not None and len(trns) > len(plte) // 3:
+            raise ValueError("tRNS longer than the palette")
+    channels = _PNG_CHANNELS[color_type]
+    # filter stride: whole bytes per pixel, floor 1 (packed rows filter
+    # byte-wise per spec)
+    ch = max(1, channels * depth // 8)
+    stride = (w * channels * depth + 7) // 8  # bytes per scanline
     need = h * (1 + stride)
     # bounded inflate: the exact output size is known from the validated
     # IHDR BEFORE touching IDAT, so cap decompression at it — a plain
@@ -345,7 +494,37 @@ def decode_png(payload: bytes):
             raise ValueError(f"unknown PNG scanline filter type {f}")
         out[r] = rec.astype(np.uint8)
         prev = rec
-    return w, h, out.reshape(h, w, ch)
+    if depth == 8:
+        samples = out.reshape(h, w, channels)
+    else:
+        # packed rows: MSB-first within each byte (leftmost pixel in the
+        # high bits), rows padded to a byte boundary — unpack to d-bit
+        # samples and drop the padding tail per row
+        bits = np.unpackbits(out, axis=1)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        per_row = (stride * 8) // depth
+        samples = (
+            bits.reshape(h, per_row, depth) @ weights
+        )[:, :w].astype(np.uint8).reshape(h, w, 1)
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples.reshape(h, w)
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range"
+                f" (palette has {pal.shape[0]} entries)"
+            )
+        rgb = pal[idx]
+        if trns is None:
+            return w, h, rgb
+        alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return w, h, np.dstack([rgb, alpha[idx]])
+    if color_type == 0 and depth < 8:
+        # the spec's sample-depth scaling: 255/(2^d - 1) is an exact
+        # integer for every legal depth (255, 85, 17)
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    return w, h, samples
 
 
 def decode_image(payload: bytes):
@@ -1024,6 +1203,108 @@ FROM m
 """
 
 
+MM_PAL_W, MM_PAL_H = 7, 5     # width 7 at depth 4 -> half-byte row padding
+MM_PAL_ENTRIES = 16           # depth-4 palette, fully populated
+_MM_PAL_PIX = MM_PAL_W * MM_PAL_H
+# payload layout: 48 palette bytes + 16 tRNS bytes + 35 index-source bytes
+_MM_PAL_NEED = 3 * MM_PAL_ENTRIES + MM_PAL_ENTRIES + _MM_PAL_PIX
+
+
+def mm_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED-layout twin of mm_decode_png (round 12: the decode
+    family's palette/grayscale gap closed): each payload with >= 99
+    bytes becomes a real depth-4 PALETTE PNG — bytes [0,48) as a
+    16-entry PLTE, [48,64) as a full tRNS, [64,99) as 35 index-source
+    bytes (mod 16) forming a 7x5 image (odd width: every row carries 4
+    pad bits, the packing corner) — encoded with filter cycle r % 5
+    and decoded by the REAL parser (chunk walk incl. PLTE/tRNS, CRC
+    verify, inflate, byte-wise unfilter at bpp=1, MSB-first bit
+    unpack, palette + alpha lookup). Emits geometry and integer-exact
+    per-channel sums INCLUDING alpha; the oracle replays the
+    two-level lookup straight from the blob's hex bytes (pixel byte ->
+    index -> palette/tRNS byte), so a parser that mis-packs, reads the
+    pad bits, swaps nibble order, or mis-applies tRNS hash-mismatches.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 7 narrow output
+    columns, no shuffle after the scan."""
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_PAL_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("doc_id", "width", "height",
+                     "sum_r", "sum_g", "sum_b", "sum_a")}
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_PAL_NEED]
+                pal = np.frombuffer(raw[:48], dtype=np.uint8).reshape(16, 3)
+                trn = np.frombuffer(raw[48:64], dtype=np.uint8)
+                idx = (
+                    np.frombuffer(raw[64:], dtype=np.uint8) % MM_PAL_ENTRIES
+                ).reshape(MM_PAL_H, MM_PAL_W)
+                w, h, arr = decode_png(
+                    encode_png_indexed(idx, pal, trns=trn, depth=4)
+                )
+                cols["doc_id"].append(int(did))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                for i, k in enumerate(("sum_r", "sum_g", "sum_b", "sum_a")):
+                    cols[k].append(int(arr[:, :, i].sum(dtype="int64")))
+            if cols["doc_id"]:
+                yield pd.DataFrame(cols)
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long, sum_a long",
+    )
+
+
+def _hexpair_duck(pos_expr: str) -> str:
+    """DuckDB expression for the byte at 0-based offset ``pos_expr`` of
+    the hex string ``hx`` — composable, so the palette oracle can nest
+    it (pixel byte -> palette offset -> palette byte)."""
+    return (
+        "((strpos('0123456789ABCDEF',"
+        f" substring(hx, 2 * ({pos_expr}) + 1, 1)) - 1) * 16"
+        " + strpos('0123456789ABCDEF',"
+        f" substring(hx, 2 * ({pos_expr}) + 2, 1)) - 1)"
+    )
+
+
+def _pal_channel_sum_duck(target: str) -> str:
+    """Sum over the 35 pixels of the looked-up palette/tRNS byte:
+    ``target`` positions the second-level read from the first-level
+    index ``{v}`` (the pixel's source byte mod 16)."""
+    v = _hexpair_duck(f"{3 * MM_PAL_ENTRIES + MM_PAL_ENTRIES} + i")
+    return (
+        f"list_sum(list_transform(generate_series(0, {_MM_PAL_PIX - 1}),"
+        f" i -> {_hexpair_duck(target.format(v=f'({v} % {MM_PAL_ENTRIES})'))}))"
+    )
+
+
+ORACLE_MM_DECODE_PNG_PALETTE = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_PAL_NEED}
+)
+SELECT doc_id,
+       {MM_PAL_W} AS width, {MM_PAL_H} AS height,
+       CAST({_pal_channel_sum_duck('3 * {v} + 0')} AS BIGINT) AS sum_r,
+       CAST({_pal_channel_sum_duck('3 * {v} + 1')} AS BIGINT) AS sum_g,
+       CAST({_pal_channel_sum_duck('3 * {v} + 2')} AS BIGINT) AS sum_b,
+       CAST({_pal_channel_sum_duck(str(3 * MM_PAL_ENTRIES) + ' + {v}')} AS BIGINT) AS sum_a
+FROM m
+"""
+
+
 # --- perceptual near-dup ------------------------------------------------------
 
 MM_PHASH_SEGMENTS = 65  # downsample grid: 65 segment means -> 64 gradient bits
@@ -1542,6 +1823,7 @@ QUERIES = {
     "mm_chunk_dedup": mm_chunk_dedup,
     "mm_decode_ppm": mm_decode_ppm,
     "mm_decode_png": mm_decode_png,
+    "mm_decode_png_palette": mm_decode_png_palette,
     "mm_decode_bmp": mm_decode_bmp,
     "mm_phash_neardup": mm_phash_neardup,
     "mm_semantic_dedup": mm_semantic_dedup,
@@ -1557,6 +1839,7 @@ ORACLES = {
     "mm_chunk_dedup": ORACLE_MM_CHUNK_DEDUP,
     "mm_decode_ppm": ORACLE_MM_DECODE_PPM,
     "mm_decode_png": ORACLE_MM_DECODE_PNG,
+    "mm_decode_png_palette": ORACLE_MM_DECODE_PNG_PALETTE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,
     "mm_phash_neardup": ORACLE_MM_PHASH,
     "mm_semantic_dedup": _oracle_mm_semantic(),

@@ -17,6 +17,8 @@ from datafusion_loki_spark.operators.multimodal import (
     decode_png,
     decode_ppm,
     encode_png,
+    encode_png_gray,
+    encode_png_indexed,
 )
 
 
@@ -479,3 +481,149 @@ def test_png_encode_decode_roundtrip(w, h, rgba, seed, data):
     gw, gh, dec = decode_png(encode_png(arr, filters))
     assert (gw, gh) == (w, h)
     assert (dec == arr).all()
+
+
+# --- round 12: grayscale / gray+alpha / palette coverage ----------------
+
+
+def test_png_grayscale_depths_scale_to_8bit():
+    # the spec's sample-depth scaling is exact for every legal depth:
+    # 1-bit 0/1 -> 0/255, 2-bit *85, 4-bit *17, 8-bit identity
+    for d, scale in ((1, 255), (2, 85), (4, 17), (8, 1)):
+        g = np.arange(5 * 7, dtype=np.uint8).reshape(5, 7) % (1 << d)
+        w, h, out = decode_png(encode_png_gray(g, depth=d))
+        assert (w, h) == (7, 5)
+        assert out.shape == (5, 7, 1)
+        assert (out[:, :, 0] == g * scale).all(), d
+
+
+def test_png_packed_rows_drop_padding_bits():
+    # width 5 at depth 1 -> 3 pad bits per row; a decoder that reads
+    # them as pixels widens the image or shifts later rows
+    g = np.array([[1, 0, 1, 1, 0], [0, 1, 1, 0, 1]], dtype=np.uint8)
+    w, h, out = decode_png(encode_png_gray(g, depth=1))
+    assert (w, h) == (5, 2)
+    assert (out[:, :, 0] == g * 255).all()
+
+
+def test_png_gray_alpha_roundtrip():
+    ga = np.arange(4 * 3 * 2, dtype=np.uint8).reshape(4, 3, 2) * 7
+    w, h, out = decode_png(encode_png_gray(ga))
+    assert out.shape == (4, 3, 2) and (out == ga).all()
+
+
+def test_png_palette_roundtrip_and_trns():
+    pal = (np.arange(16 * 3, dtype=np.uint8) * 5).reshape(16, 3)
+    ix = (np.arange(5 * 7, dtype=np.uint8) % 16).reshape(5, 7)
+    w, h, out = decode_png(encode_png_indexed(ix, pal, depth=4))
+    assert out.shape == (5, 7, 3) and (out == pal[ix]).all()
+    # tRNS shorter than the palette: missing entries are opaque
+    t = np.arange(10, dtype=np.uint8) * 11
+    w, h, out4 = decode_png(encode_png_indexed(ix, pal, trns=t, depth=4))
+    alpha = np.full(16, 255, dtype=np.uint8)
+    alpha[:10] = t
+    assert out4.shape == (5, 7, 4)
+    assert (out4[:, :, :3] == pal[ix]).all()
+    assert (out4[:, :, 3] == alpha[ix]).all()
+
+
+def test_png_palette_malformed_fail_loud():
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    ix = np.zeros((2, 2), dtype=np.uint8)
+    good = encode_png_indexed(ix, pal, depth=8)
+    # missing PLTE: excise the chunk (it is CRC-valid, so rebuild)
+    i = good.index(b"PLTE") - 4
+    (ln,) = struct.unpack(">I", good[i : i + 4])
+    with pytest.raises(ValueError, match="missing its PLTE"):
+        decode_png(good[:i] + good[i + 12 + ln :])
+    # index out of range (palette has 4 entries, index 9 appears)
+    bad_ix = np.array([[0, 9], [1, 2]], dtype=np.uint8)
+    pal16 = np.zeros((16, 3), dtype=np.uint8)
+    blob = encode_png_indexed(bad_ix, pal16, depth=8)
+    j = blob.index(b"PLTE") - 4
+    (pl,) = struct.unpack(">I", blob[j : j + 4])
+    import zlib as _z
+
+    shrunk = (
+        struct.pack(">I", 12)
+        + b"PLTE"
+        + bytes(12)
+        + struct.pack(">I", _z.crc32(b"PLTE" + bytes(12)) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(blob[:j] + shrunk + blob[j + 12 + pl :])
+    # writer-side guards stay loud too
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png_indexed(bad_ix, pal, depth=8)
+    with pytest.raises(ValueError, match="tRNS longer"):
+        encode_png_indexed(ix, pal, trns=np.zeros(5, dtype=np.uint8))
+
+
+def test_png_16bit_and_interlace_still_loud():
+    g = np.zeros((2, 2), dtype=np.uint8)
+    png = encode_png_gray(g, depth=8)
+    i = png.index(b"IHDR") - 4
+    body = bytearray(png[i + 8 : i + 8 + 13])
+    for off, val in ((8, 16), (12, 1)):  # depth=16 / interlace=Adam7
+        b2 = bytearray(body)
+        b2[off] = val
+        import zlib as _z
+
+        fixed = (
+            png[:i]
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + bytes(b2)
+            + struct.pack(">I", _z.crc32(b"IHDR" + bytes(b2)) & 0xFFFFFFFF)
+            + png[i + 12 + 13 :]
+        )
+        with pytest.raises(ValueError, match="unsupported PNG layout"):
+            decode_png(fixed)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 6),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    paletted=st.booleans(),
+    trns_n=st.integers(0, 8),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_packed_layouts_roundtrip(
+    w, h, depth, paletted, trns_n, seed, data
+):
+    rng = np.random.RandomState(seed)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    if paletted:
+        n_pal = min(8, 1 << depth)
+        pal = rng.randint(0, 256, (n_pal, 3)).astype(np.uint8)
+        ix = rng.randint(0, n_pal, (h, w)).astype(np.uint8)
+        trns = (
+            rng.randint(0, 256, min(trns_n, n_pal)).astype(np.uint8)
+            if trns_n
+            else None
+        )
+        gw, gh, out = decode_png(
+            encode_png_indexed(ix, pal, trns=trns, depth=depth,
+                               row_filters=filters)
+        )
+        assert (gw, gh) == (w, h)
+        assert (out[:, :, :3] == pal[ix]).all()
+        if trns is not None:
+            alpha = np.full(n_pal, 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            assert (out[:, :, 3] == alpha[ix]).all()
+        else:
+            assert out.shape[2] == 3
+    else:
+        g = rng.randint(0, 1 << depth, (h, w)).astype(np.uint8)
+        gw, gh, out = decode_png(
+            encode_png_gray(g, depth=depth, row_filters=filters)
+        )
+        scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
+        assert (gw, gh) == (w, h)
+        assert (out[:, :, 0] == g * scale).all()

@@ -82,6 +82,12 @@ _R12_PINNED: tuple[str, ...] = (
     # palette at depths 1/2/4/8); oracle replays the two-level
     # pixel->index->palette lookup from hex bytes
     "mm_decode_png_palette",
+    # CHANGED in r12: positional winnowing segments per DIAGONAL
+    # (pos_b - pos_a), retiring the round-11 "b-side bounding box"
+    # approximation — both extents exact per verbatim copy, one span
+    # per copy; the cleaned-corpus consumer inherits the exact extents
+    "dedup_winnow_spans",
+    "text_remove_winnow_spans",
 )
 
 _WINDOW_SIZE = 50

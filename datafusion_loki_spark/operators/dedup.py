@@ -1765,9 +1765,21 @@ def _winnow_spans_frame(docs: DataFrame) -> DataFrame:
         .where(F.col("n_pair_fps") >= WINNOW_MIN_SHARED)
         .select("doc_a", "doc_b")
     )
-    ordw = Window.partitionBy("doc_a", "doc_b").orderBy("pos_a", "pos_b")
+    # DIAGONAL segmentation (round 12 — closes the round-11 "b-side
+    # bounding box" approximation): a verbatim shared region pairs its
+    # selected fingerprints at a CONSTANT offset pos_b - pos_a (same
+    # content offset in both docs), so grouping matched pairs by that
+    # diagonal before the gap-break makes BOTH extents exact — the
+    # b-side extent is span_a shifted by the diagonal, never a bounding
+    # box over unrelated occurrences. Content repeated inside one doc
+    # pairs on several diagonals and correctly emits one span per copy
+    # (the MOSS tiling semantics). Within one diagonal pos_a is unique
+    # (a position has one gram, a gram one fingerprint), so the window
+    # order is total and both engines deterministic.
+    ordw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     seg = (
         m.join(tot.hint("merge"), ["doc_a", "doc_b"])
+        .withColumn("diag", F.col("pos_b") - F.col("pos_a"))
         .withColumn(
             "brk",
             F.when(
@@ -1776,21 +1788,50 @@ def _winnow_spans_frame(docs: DataFrame) -> DataFrame:
             ).otherwise(0),
         )
         .withColumn(
-            "span_id",
-            (
-                F.sum("brk").over(
-                    ordw.rowsBetween(Window.unboundedPreceding, 0)
-                )
-                + 1
+            "sub",
+            F.sum("brk").over(
+                ordw.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
     )
-    return seg.groupBy("doc_a", "doc_b", "span_id").agg(
-        F.min("pos_a").alias("span_a_start"),
-        (F.max("pos_a") + (WINNOW_K - 1)).alias("span_a_end"),
-        F.min("pos_b").alias("span_b_start"),
-        (F.max("pos_b") + (WINNOW_K - 1)).alias("span_b_end"),
-        F.countDistinct("fp").alias("n_fps"),
+    runs = (
+        seg.groupBy("doc_a", "doc_b", "diag", "sub")
+        .agg(
+            F.min("pos_a").alias("span_a_start"),
+            (F.max("pos_a") + (WINNOW_K - 1)).alias("span_a_end"),
+            F.countDistinct("fp").alias("n_fps"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "span_a_start",
+            "span_a_end",
+            (F.col("span_a_start") + F.col("diag")).alias("span_b_start"),
+            (F.col("span_a_end") + F.col("diag")).alias("span_b_end"),
+            "n_fps",
+        )
+    )
+    # span_id numbers a pair's spans in position order ((start_a,
+    # start_b) is unique per pair: equal starts on both axes would mean
+    # the same diagonal and the same run)
+    return runs.withColumn(
+        "span_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_a", "doc_b").orderBy(
+                "span_a_start", "span_b_start"
+            )
+        )
+        .cast("bigint"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "span_id",
+        "span_a_start",
+        "span_a_end",
+        "span_b_start",
+        "span_b_end",
+        "n_fps",
     )
 
 
@@ -1804,12 +1845,13 @@ def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     text a tokenizer can't segment, and the SIGMOD'03 use case (MOSS
     highlights the matched region, not just the pair). Positions carry
     the paper's rightmost-minimum tie-break (see
-    _winnow_selected_positions); matched fingerprints more than
-    WINNOW_SPAN_GAP chars apart on the left doc's axis split into
-    separate spans (span_id numbers them in position order). The b-side
-    extent is the bounding box of the positions matched within the
-    a-side run — exact for the planted-overlap case, a documented
-    approximation when content repeats inside one doc.
+    _winnow_selected_positions); matched fingerprints segment per
+    DIAGONAL (pos_b - pos_a — constant inside any verbatim shared
+    region) and split on WINNOW_SPAN_GAP along the a-axis, so BOTH
+    extents are exact for every verbatim copy: content repeated inside
+    one doc emits one span per copy on its own diagonal (round 12 —
+    this retired the round-11 "b-side bounding box" approximation).
+    span_id numbers a pair's spans in position order.
 
     100 TB posture: the selection DAG is the dedup_winnowing shape (one
     doc-partitioned window, no global sort) and is materialized once;
@@ -1860,25 +1902,36 @@ WITH g AS (
   GROUP BY doc_a, doc_b
   HAVING COUNT(DISTINCT fp) >= {WINNOW_MIN_SHARED}
 ), seg AS (
-  SELECT m.doc_a, m.doc_b, m.fp, m.pos_a, m.pos_b,
+  -- diagonal segmentation: see the Spark twin (_winnow_spans_frame) —
+  -- matched pairs group by pos_b - pos_a, so both extents are exact
+  SELECT m.doc_a, m.doc_b, m.fp, m.pos_a, m.pos_b - m.pos_a AS diag,
          CASE WHEN m.pos_a - LAG(m.pos_a) OVER (
-                PARTITION BY m.doc_a, m.doc_b ORDER BY m.pos_a, m.pos_b
+                PARTITION BY m.doc_a, m.doc_b, m.pos_b - m.pos_a
+                ORDER BY m.pos_a
               ) > {WINNOW_SPAN_GAP} THEN 1 ELSE 0 END AS brk
   FROM m JOIN tot USING (doc_a, doc_b)
 ), sp AS (
-  SELECT doc_a, doc_b, fp, pos_a, pos_b,
-         CAST(1 + SUM(brk) OVER (
-           PARTITION BY doc_a, doc_b ORDER BY pos_a, pos_b
-         ) AS BIGINT) AS span_id
+  SELECT doc_a, doc_b, fp, pos_a, diag,
+         SUM(brk) OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sub
   FROM seg
+), runs AS (
+  SELECT doc_a, doc_b, diag,
+         MIN(pos_a) AS span_a_start,
+         MAX(pos_a) + {WINNOW_K - 1} AS span_a_end,
+         MIN(pos_a) + diag AS span_b_start,
+         MAX(pos_a) + {WINNOW_K - 1} + diag AS span_b_end,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps
+  FROM sp GROUP BY doc_a, doc_b, diag, sub
 )
-SELECT doc_a, doc_b, span_id,
-       MIN(pos_a) AS span_a_start,
-       MAX(pos_a) + {WINNOW_K - 1} AS span_a_end,
-       MIN(pos_b) AS span_b_start,
-       MAX(pos_b) + {WINNOW_K - 1} AS span_b_end,
-       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps
-FROM sp GROUP BY doc_a, doc_b, span_id
+SELECT doc_a, doc_b,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY doc_a, doc_b ORDER BY span_a_start, span_b_start
+       ) AS BIGINT) AS span_id,
+       span_a_start, span_a_end, span_b_start, span_b_end, n_fps
+FROM runs
 """
 
 

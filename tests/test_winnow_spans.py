@@ -94,6 +94,35 @@ def test_two_plants_split_into_two_spans(spark):
     assert by_id[1].span_b_start >= 211         # 120 + 90 + 1
 
 
+def test_repeated_copy_in_one_doc_emits_one_exact_span_per_copy(spark):
+    # round 12 (diagonal segmentation): the plant appears ONCE in doc 1
+    # and TWICE in doc 2. The round-11 bounding-box rule smeared the two
+    # doc-2 copies into one wide extent; per-diagonal runs must emit two
+    # spans, each with an exact b-extent inside its own copy, and equal
+    # a/b lengths (the diagonal shift preserves length by construction).
+    rng = random.Random(13)
+    plant = "".join(rng.choice("ghijklmnopqrst") for _ in range(150))
+    gap_b = "".join(rng.choice("uvwxyz") for _ in range(120))
+    filler_b = "".join(rng.choice("uvwxyz") for _ in range(60))
+    doc_a = plant                                  # plant at 1..150
+    doc_b = filler_b + plant + gap_b + plant       # copies at 61..210, 331..480
+    spans = _winnow_spans_frame(
+        _docs(spark, [(1, doc_a), (2, doc_b)])
+    ).collect()
+    assert len(spans) == 2, spans
+    by_id = sorted(spans, key=lambda s: s.span_id)
+    slack = WINNOW_W + WINNOW_K
+    for s, (b_lo, b_hi) in zip(by_id, [(61, 210), (331, 480)]):
+        assert 1 <= s.span_a_start <= 1 + slack, s
+        assert 150 - slack <= s.span_a_end <= 150, s
+        assert b_lo <= s.span_b_start <= b_lo + slack, s
+        assert b_hi - slack <= s.span_b_end <= b_hi, s
+        # exact diagonal shift: lengths equal, never a bounding box
+        assert (s.span_a_end - s.span_a_start) == (
+            s.span_b_end - s.span_b_start
+        ), s
+
+
 def test_removal_excises_plant_from_larger_id_doc_only(spark):
     # the cleaned-corpus deliverable: doc 2 (the larger id) loses the
     # planted region (within guarantee slack), doc 1 keeps everything

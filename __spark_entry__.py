@@ -82,6 +82,10 @@ _R12_PINNED: tuple[str, ...] = (
     # palette at depths 1/2/4/8); oracle replays the two-level
     # pixel->index->palette lookup from hex bytes
     "mm_decode_png_palette",
+    # NEW in r12: Adam7 interlace — per-pass filtered sub-images,
+    # geometry walk + scatter; same oracle as mm_decode_png (interlace
+    # is transport, pixels must be identical)
+    "mm_decode_png_adam7",
     # CHANGED in r12: positional winnowing segments per DIAGONAL
     # (pos_b - pos_a), retiring the round-11 "b-side bounding box"
     # approximation — both extents exact per verbatim copy, one span

@@ -179,6 +179,10 @@ BENCH_QUERIES = [
     # lookup per item through the Arrow kernel (tracked like its RGB
     # twin so a Python-side per-item regression shows round-over-round)
     "mm_decode_png_palette",
+    # the interlaced decode path: 7 filtered sub-images per item
+    # (pass-geometry walk + scatter) — the most per-item Python work
+    # in the decode family
+    "mm_decode_png_adam7",
 ]
 
 

@@ -170,7 +170,43 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr, row_filters=None) -> bytes:
+def _png_raw_stream(samples, depth: int, interlace: bool, row_filters):
+    """Filtered raw scanline stream for a (h, w, n)-sample grid — one
+    pass, or the seven Adam7 sub-images (filters reset per pass).
+    Explicit ``row_filters`` are a full-frame concept; combined with
+    interlace they would be ambiguous per pass, so that combination is
+    refused (the default r % 5 cycle applies within each pass)."""
+    import numpy as np
+
+    h, w, n = samples.shape
+    bpp = max(1, n * depth // 8)
+    if not interlace:
+        passes = [(0, 0, 1, 1)]
+    elif row_filters is not None:
+        raise ValueError("row_filters and interlace are mutually exclusive")
+    else:
+        passes = _ADAM7
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = samples[y0::dy, x0::dx]
+        hp, wp = sub.shape[:2]
+        if hp == 0 or wp == 0:
+            continue
+        if depth == 8:
+            rows = sub.reshape(hp, wp * n)
+        else:
+            rows = np.frombuffer(
+                b"".join(
+                    _pack_samples(sub[r].reshape(-1), depth)
+                    for r in range(hp)
+                ),
+                dtype=np.uint8,
+            ).reshape(hp, (wp * n * depth + 7) // 8)
+        raw.extend(_filter_scanlines(rows, bpp, row_filters))
+    return bytes(raw)
+
+
+def encode_png(arr, row_filters=None, interlace: bool = False) -> bytes:
     """Minimal PNG writer for an 8-bit RGB/RGBA (h, w, c) ndarray —
     exists to CONSTRUCT valid inputs for decode_png (the mm_decode_png
     operator and the round-trip tests), exercising a chosen filter type
@@ -192,8 +228,8 @@ def encode_png(arr, row_filters=None) -> bytes:
         )
     h, w, c = arr.shape
     color_type = {3: 2, 4: 6}[c]
-    raw = _filter_scanlines(arr.reshape(h, w * c), c, row_filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = _png_raw_stream(arr, 8, interlace, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -256,7 +292,9 @@ def _pack_samples(samples, depth: int) -> "bytes":
     return np.packbits(bits.ravel()).tobytes()
 
 
-def encode_png_gray(arr, depth: int = 8, row_filters=None) -> bytes:
+def encode_png_gray(
+    arr, depth: int = 8, row_filters=None, interlace: bool = False
+) -> bytes:
     """PNG writer for grayscale (h, w) at depth 1/2/4/8, or gray+alpha
     (h, w, 2) at depth 8 — the decode_png coverage twin. Sample values
     must already be in [0, 2^depth) (no scaling on the way in; decode
@@ -271,24 +309,22 @@ def encode_png_gray(arr, depth: int = 8, row_filters=None) -> bytes:
         if depth != 8:
             raise ValueError("gray+alpha is 8-bit only")
         h, w = arr.shape[:2]
-        color_type, rows, bpp = 4, arr.reshape(h, w * 2), 2
+        color_type, samples = 4, arr
     elif arr.ndim == 2:
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"invalid grayscale depth {depth}")
         if int(arr.max(initial=0)) >= (1 << depth):
             raise ValueError(f"sample out of range for depth {depth}")
         h, w = arr.shape
-        rows = np.frombuffer(
-            b"".join(_pack_samples(arr[r], depth) for r in range(h)),
-            dtype=np.uint8,
-        ).reshape(h, (w * depth + 7) // 8)
-        color_type, bpp = 0, 1
+        color_type, samples = 0, arr.reshape(h, w, 1)
     else:
         raise ValueError(
             f"encode_png_gray needs (h, w) or (h, w, 2), got {arr.shape}"
         )
-    raw = _filter_scanlines(rows, bpp, row_filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    raw = _png_raw_stream(samples, depth, interlace, row_filters)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -298,7 +334,12 @@ def encode_png_gray(arr, depth: int = 8, row_filters=None) -> bytes:
 
 
 def encode_png_indexed(
-    idx, palette, trns=None, depth: int = 8, row_filters=None
+    idx,
+    palette,
+    trns=None,
+    depth: int = 8,
+    row_filters=None,
+    interlace: bool = False,
 ) -> bytes:
     """PNG writer for palette images: (h, w) indices at depth 1/2/4/8,
     a PLTE of (n, 3) RGB rows (or flat 3n bytes), optional tRNS alpha
@@ -321,12 +362,8 @@ def encode_png_indexed(
     if int(idx.max(initial=0)) >= min(len(pal) // 3, 1 << depth):
         raise ValueError("palette index out of range")
     h, w = idx.shape
-    rows = np.frombuffer(
-        b"".join(_pack_samples(idx[r], depth) for r in range(h)),
-        dtype=np.uint8,
-    ).reshape(h, (w * depth + 7) // 8)
-    raw = _filter_scanlines(rows, 1, row_filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    raw = _png_raw_stream(idx.reshape(h, w, 1), depth, interlace, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
         b"PLTE", pal.tobytes()
     )
@@ -345,6 +382,78 @@ def encode_png_indexed(
 # channels per pixel by PNG color type: gray, RGB, palette-index,
 # gray+alpha, RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# the seven Adam7 passes as (x0, y0, dx, dy) — each pass is its own
+# filtered sub-image; filters reset between passes (RFC 2083 §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse the scanline filters of one (sub-)image: ``raw`` is h
+    rows of 1 filter byte + ``stride`` data bytes; ``bpp`` is the
+    left-neighbor stride in bytes. Up is whole-row vectorized; the
+    left-referencing filters run per-byte-group with the lanes
+    vectorized. Returns (h, stride) uint8."""
+    import numpy as np
+
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(bpp, dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(h):
+        f = int(rows[r, 0])
+        line = rows[r, 1:].astype(np.int16)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up: whole-row vectorized
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int16)
+            for x0 in range(0, stride, bpp):
+                seg = line[x0 : x0 + bpp]
+                left = rec[x0 - bpp : x0] if x0 else zero
+                if f == 1:  # Sub
+                    rec[x0 : x0 + bpp] = (seg + left) & 0xFF
+                elif f == 3:  # Average
+                    up = prev[x0 : x0 + bpp]
+                    rec[x0 : x0 + bpp] = (seg + ((left + up) >> 1)) & 0xFF
+                else:  # Paeth
+                    up = prev[x0 : x0 + bpp]
+                    ul = prev[x0 - bpp : x0] if x0 else zero
+                    rec[x0 : x0 + bpp] = (
+                        seg + _paeth_predictor(left, up, ul)
+                    ) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter type {f}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _rows_to_samples(rows, w: int, channels: int, depth: int):
+    """(h, stride)-byte reconstructed rows -> (h, w, channels) uint8
+    samples: identity reshape at depth 8; MSB-first bit unpack with
+    per-row pad-bit drop for packed depths."""
+    import numpy as np
+
+    h, stride = rows.shape
+    if depth == 8:
+        return rows.reshape(h, w, channels)
+    bits = np.unpackbits(rows, axis=1)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    per_row = (stride * 8) // depth
+    return (
+        (bits.reshape(h, per_row, depth) @ weights)[:, :w]
+        .astype(np.uint8)
+        .reshape(h, w, 1)
+    )
 # valid bit depths per color type (RFC 2083 §4.1.1; 16-bit stays a loud
 # gate — the uint8 contract of the decode family would silently halve it)
 _PNG_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
@@ -425,12 +534,12 @@ def decode_png(payload: bytes):
         or depth not in _PNG_DEPTHS[color_type]
         or comp != 0
         or filt_method != 0
-        or interlace != 0
+        or interlace not in (0, 1)
     ):
         raise ValueError(
             f"unsupported PNG layout (depth={depth}, color={color_type},"
             f" interlace={interlace}); supported: 8-bit RGB/RGBA/"
-            "gray+alpha, 1/2/4/8-bit grayscale/palette, non-interlaced"
+            "gray+alpha, 1/2/4/8-bit grayscale/palette, Adam7 or none"
         )
     if color_type == 3:
         if plte is None:
@@ -442,9 +551,19 @@ def decode_png(payload: bytes):
     channels = _PNG_CHANNELS[color_type]
     # filter stride: whole bytes per pixel, floor 1 (packed rows filter
     # byte-wise per spec)
-    ch = max(1, channels * depth // 8)
-    stride = (w * channels * depth + 7) // 8  # bytes per scanline
-    need = h * (1 + stride)
+    bpp = max(1, channels * depth // 8)
+    # pass geometry: one full-frame pass, or the seven Adam7 sub-images
+    # (each is its own filtered mini-image; empty passes emit no bytes)
+    passes = [(0, 0, 1, 1)] if interlace == 0 else _ADAM7
+    geo = []
+    need = 0
+    for x0, y0, dx, dy in passes:
+        wp = max(0, (w - x0 + dx - 1) // dx)
+        hp = max(0, (h - y0 + dy - 1) // dy)
+        sp = (wp * channels * depth + 7) // 8
+        geo.append((wp, hp, sp))
+        if wp and hp:
+            need += hp * (1 + sp)
     # bounded inflate: the exact output size is known from the validated
     # IHDR BEFORE touching IDAT, so cap decompression at it — a plain
     # zlib.decompress would happily inflate a few-KB deflate bomb to
@@ -463,49 +582,15 @@ def decode_png(payload: bytes):
         # end — without it a well-formed stream followed by junk bytes
         # would pass the length check silently (round-11 advice).
         raise ValueError("PNG scanline data length mismatch")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    zero = np.zeros(ch, dtype=np.int16)
-    prev = np.zeros(stride, dtype=np.int16)
-    for r in range(h):
-        f = int(rows[r, 0])
-        line = rows[r, 1:].astype(np.int16)
-        if f == 0:
-            rec = line
-        elif f == 2:  # Up: whole-row vectorized
-            rec = (line + prev) & 0xFF
-        elif f in (1, 3, 4):
-            rec = np.zeros(stride, dtype=np.int16)
-            for x0 in range(0, stride, ch):
-                seg = line[x0 : x0 + ch]
-                left = rec[x0 - ch : x0] if x0 else zero
-                if f == 1:  # Sub
-                    rec[x0 : x0 + ch] = (seg + left) & 0xFF
-                elif f == 3:  # Average
-                    up = prev[x0 : x0 + ch]
-                    rec[x0 : x0 + ch] = (seg + ((left + up) >> 1)) & 0xFF
-                else:  # Paeth
-                    up = prev[x0 : x0 + ch]
-                    ul = prev[x0 - ch : x0] if x0 else zero
-                    rec[x0 : x0 + ch] = (
-                        seg + _paeth_predictor(left, up, ul)
-                    ) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG scanline filter type {f}")
-        out[r] = rec.astype(np.uint8)
-        prev = rec
-    if depth == 8:
-        samples = out.reshape(h, w, channels)
-    else:
-        # packed rows: MSB-first within each byte (leftmost pixel in the
-        # high bits), rows padded to a byte boundary — unpack to d-bit
-        # samples and drop the padding tail per row
-        bits = np.unpackbits(out, axis=1)
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        per_row = (stride * 8) // depth
-        samples = (
-            bits.reshape(h, per_row, depth) @ weights
-        )[:, :w].astype(np.uint8).reshape(h, w, 1)
+    samples = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for (x0, y0, dx, dy), (wp, hp, sp) in zip(passes, geo):
+        if wp == 0 or hp == 0:
+            continue
+        n = hp * (1 + sp)
+        rows = _unfilter_scanlines(raw[off : off + n], hp, sp, bpp)
+        off += n
+        samples[y0::dy, x0::dx] = _rows_to_samples(rows, wp, channels, depth)
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = samples.reshape(h, w)
@@ -1203,6 +1288,57 @@ FROM m
 """
 
 
+def mm_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTERLACED twin of mm_decode_png (round 12): the same 8x5
+    RGB block from each payload's first 120 bytes, but encoded with
+    Adam7 interlace — at 8x5 every one of the seven passes is NON-EMPTY
+    (pass 1 is 1x1 ... pass 7 is 8x2), each its own filtered sub-image,
+    so the decode exercises the pass-geometry walk, the per-pass filter
+    reset, and the scatter back into the full frame. Channel sums are
+    interleave-order-free but pass-boundary errors are not: a decoder
+    that mis-sizes one pass shifts every later pass's bytes and
+    hash-mismatches. Same oracle as mm_decode_png — interlacing is
+    transport, the pixels must be identical."""
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_PNG_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                pixels = np.frombuffer(
+                    bytes(b)[:_MM_PNG_NEED], dtype=np.uint8
+                ).reshape(MM_PNG_H, MM_PNG_W, 3)
+                w, h, arr = decode_png(encode_png(pixels, interlace=True))
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(arr[:, :, 0].sum(dtype="int64")))
+                sg.append(int(arr[:, :, 1].sum(dtype="int64")))
+                sb.append(int(arr[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": ws,
+                        "height": hs,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
 MM_PAL_W, MM_PAL_H = 7, 5     # width 7 at depth 4 -> half-byte row padding
 MM_PAL_ENTRIES = 16           # depth-4 palette, fully populated
 _MM_PAL_PIX = MM_PAL_W * MM_PAL_H
@@ -1823,6 +1959,7 @@ QUERIES = {
     "mm_chunk_dedup": mm_chunk_dedup,
     "mm_decode_ppm": mm_decode_ppm,
     "mm_decode_png": mm_decode_png,
+    "mm_decode_png_adam7": mm_decode_png_adam7,
     "mm_decode_png_palette": mm_decode_png_palette,
     "mm_decode_bmp": mm_decode_bmp,
     "mm_phash_neardup": mm_phash_neardup,
@@ -1839,6 +1976,9 @@ ORACLES = {
     "mm_chunk_dedup": ORACLE_MM_CHUNK_DEDUP,
     "mm_decode_ppm": ORACLE_MM_DECODE_PPM,
     "mm_decode_png": ORACLE_MM_DECODE_PNG,
+    # interlacing is transport: the Adam7 twin must produce the exact
+    # pixel sums of the sequential encoding
+    "mm_decode_png_adam7": ORACLE_MM_DECODE_PNG,
     "mm_decode_png_palette": ORACLE_MM_DECODE_PNG_PALETTE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,
     "mm_phash_neardup": ORACLE_MM_PHASH,

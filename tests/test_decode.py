@@ -559,17 +559,17 @@ def test_png_palette_malformed_fail_loud():
         encode_png_indexed(ix, pal, trns=np.zeros(5, dtype=np.uint8))
 
 
-def test_png_16bit_and_interlace_still_loud():
+def test_png_16bit_and_bad_interlace_still_loud():
     g = np.zeros((2, 2), dtype=np.uint8)
     png = encode_png_gray(g, depth=8)
     i = png.index(b"IHDR") - 4
     body = bytearray(png[i + 8 : i + 8 + 13])
-    for off, val in ((8, 16), (12, 1)):  # depth=16 / interlace=Adam7
+    import zlib as _z
+
+    def flip(off, val):
         b2 = bytearray(body)
         b2[off] = val
-        import zlib as _z
-
-        fixed = (
+        return (
             png[:i]
             + struct.pack(">I", 13)
             + b"IHDR"
@@ -577,8 +577,50 @@ def test_png_16bit_and_interlace_still_loud():
             + struct.pack(">I", _z.crc32(b"IHDR" + bytes(b2)) & 0xFFFFFFFF)
             + png[i + 12 + 13 :]
         )
-        with pytest.raises(ValueError, match="unsupported PNG layout"):
-            decode_png(fixed)
+
+    # 16-bit and an invalid interlace VALUE stay layout errors
+    with pytest.raises(ValueError, match="unsupported PNG layout"):
+        decode_png(flip(8, 16))
+    with pytest.raises(ValueError, match="unsupported PNG layout"):
+        decode_png(flip(12, 2))
+    # Adam7 is SUPPORTED since round 12 — a sequential stream mislabeled
+    # as interlaced must still fail loud (the pass layout needs a
+    # different byte count), never decode scrambled
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(flip(12, 1))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(1, 19),
+    h=st.integers(1, 19),
+    layout=st.sampled_from(["rgb", "rgba", "ga", "g4", "pal2"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_adam7_roundtrip_all_layouts(w, h, layout, seed):
+    # sizes up to 19 hit every combination of empty/partial Adam7
+    # passes; each pass is its own filtered sub-image (filters reset)
+    rng = np.random.RandomState(seed)
+    if layout in ("rgb", "rgba"):
+        c = 3 if layout == "rgb" else 4
+        a = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+        gw, gh, out = decode_png(encode_png(a, interlace=True))
+        assert (gw, gh) == (w, h) and (out == a).all()
+    elif layout == "ga":
+        a = rng.randint(0, 256, (h, w, 2)).astype(np.uint8)
+        _, _, out = decode_png(encode_png_gray(a, interlace=True))
+        assert (out == a).all()
+    elif layout == "g4":
+        g = rng.randint(0, 16, (h, w)).astype(np.uint8)
+        _, _, out = decode_png(encode_png_gray(g, depth=4, interlace=True))
+        assert (out[:, :, 0] == g * 17).all()
+    else:
+        pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+        ix = rng.randint(0, 4, (h, w)).astype(np.uint8)
+        _, _, out = decode_png(
+            encode_png_indexed(ix, pal, depth=2, interlace=True)
+        )
+        assert (out == pal[ix]).all()
 
 
 @settings(max_examples=300, deadline=None)

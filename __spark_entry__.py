@@ -86,6 +86,11 @@ _R12_PINNED: tuple[str, ...] = (
     # geometry walk + scatter; same oracle as mm_decode_png (interlace
     # is transport, pixels must be identical)
     "mm_decode_png_adam7",
+    # NEW in r12: REAL baseline JPEG (pure-python Huffman + numpy
+    # IDCT, operators/jpeg.py); the registry face is the DC-only
+    # integer-exact construction so the lossy format carries a
+    # full-hash oracle (64 * byte sum from hex)
+    "mm_decode_jpeg",
     # CHANGED in r12: positional winnowing segments per DIAGONAL
     # (pos_b - pos_a), retiring the round-11 "b-side bounding box"
     # approximation — both extents exact per verbatim copy, one span

@@ -183,6 +183,10 @@ BENCH_QUERIES = [
     # (pass-geometry walk + scatter) — the most per-item Python work
     # in the decode family
     "mm_decode_png_adam7",
+    # the JPEG path: per-item Huffman bit loop + 40 numpy IDCTs — the
+    # family's only pure-Python entropy decode, tracked for per-item
+    # regressions
+    "mm_decode_jpeg",
 ]
 
 

@@ -614,25 +614,31 @@ def decode_png(payload: bytes):
 
 def decode_image(payload: bytes):
     """REAL decode dispatch. Codec-free formats decode with the pure-
-    numpy parsers above — a genuine byte->pixels path that runs in this
-    sandbox; PNG (the first compressed format) decodes with the pure
-    stdlib zlib + numpy unfilter path; everything else still needs PIL
-    (the clearly-marked loud gate; swap-in point for PIL/libvips on a
-    real cluster)."""
+    numpy parsers above; the two compressed formats production corpora
+    actually ship — PNG (pure stdlib zlib + numpy unfilter, all
+    supported layouts incl. palette/grayscale/Adam7) and baseline JPEG
+    (pure-python Huffman + numpy IDCT, operators/jpeg.py) — decode
+    without any codec library. Everything else (GIF, WebP, progressive
+    JPEG, ...) still needs PIL: the clearly-marked loud gate, the
+    swap-in point for PIL/libvips on a real cluster."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)[2]
     if payload[:2] == b"BM":
         return decode_bmp(payload)[2]
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)[2]
+    if payload[:2] == b"\xff\xd8":
+        from datafusion_loki_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)[2]
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
             "decoding this format requires PIL, which is not available in"
-            " this container (pure-numpy PPM/BMP decode IS available);"
-            " mm_decode_features uses the deterministic fake decode"
-            " instead"
+            " this container (pure PPM/BMP/PNG/baseline-JPEG decode IS"
+            " available); mm_decode_features uses the deterministic fake"
+            " decode instead"
         ) from e
     import io
 
@@ -1339,6 +1345,92 @@ def mm_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hexpair_duck(pos_expr: str) -> str:
+    """DuckDB expression for the byte at 0-based offset ``pos_expr`` of
+    the hex string ``hx`` — composable, so the palette oracle can nest
+    it (pixel byte -> palette offset -> palette byte)."""
+    return (
+        "((strpos('0123456789ABCDEF',"
+        f" substring(hx, 2 * ({pos_expr}) + 1, 1)) - 1) * 16"
+        " + strpos('0123456789ABCDEF',"
+        f" substring(hx, 2 * ({pos_expr}) + 2, 1)) - 1)"
+    )
+
+
+MM_JPEG_BX, MM_JPEG_BY = 8, 5   # 8x5 blocks -> 64x40 px, 40 source bytes
+_MM_JPEG_NEED = MM_JPEG_BX * MM_JPEG_BY
+
+
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode in the registry (round 12 — the decode family's
+    last compressed-format gap): each payload's first 40 bytes become
+    the constant values of an 8x5 grid of 8x8 blocks in a 64x40
+    grayscale BASELINE JPEG (operators/jpeg.py: marker walk, DHT
+    Huffman entropy decode, differential DC + EXTEND, dequant,
+    float64 IDCT). The construction is chosen so the lossy format is
+    integer-EXACT here: with the DC quant step 8, a constant block of
+    value v codes to exactly v - 128 and the IDCT of a DC-only block
+    is mathematically constant — so the oracle recomputes the pixel
+    sum as 64 * sum(payload bytes) straight from hex, full-hash. The
+    general path (AC runs, color, 4:2:0, restarts) is pinned by
+    tests/test_jpeg.py against an independent O(n^4) IDCT reference —
+    the spec does not mandate a bit-exact IDCT, so only the DC-only
+    face can carry a cross-engine hash.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 4 narrow output
+    columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_JPEG_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sv = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                blocks = np.frombuffer(
+                    bytes(b)[:_MM_JPEG_NEED], dtype=np.uint8
+                ).reshape(MM_JPEG_BY, MM_JPEG_BX)
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                w, h, arr = decode_jpeg(encode_jpeg(img))
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sv.append(int(arr[:, :, 0].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "width": ws, "height": hs, "sum_v": sv}
+                )
+
+    return media.mapInPandas(
+        kernel, "doc_id long, width int, height int, sum_v long"
+    )
+
+
+ORACLE_MM_DECODE_JPEG = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_JPEG_NEED}
+)
+SELECT doc_id,
+       {MM_JPEG_BX * 8} AS width, {MM_JPEG_BY * 8} AS height,
+       CAST(64 * list_sum(list_transform(
+              generate_series(0, {_MM_JPEG_NEED - 1}),
+              i -> {_hexpair_duck('i')})) AS BIGINT) AS sum_v
+FROM m
+"""
+
+
 MM_PAL_W, MM_PAL_H = 7, 5     # width 7 at depth 4 -> half-byte row padding
 MM_PAL_ENTRIES = 16           # depth-4 palette, fully populated
 _MM_PAL_PIX = MM_PAL_W * MM_PAL_H
@@ -1398,18 +1490,6 @@ def mm_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id long, width int, height int,"
         " sum_r long, sum_g long, sum_b long, sum_a long",
-    )
-
-
-def _hexpair_duck(pos_expr: str) -> str:
-    """DuckDB expression for the byte at 0-based offset ``pos_expr`` of
-    the hex string ``hx`` — composable, so the palette oracle can nest
-    it (pixel byte -> palette offset -> palette byte)."""
-    return (
-        "((strpos('0123456789ABCDEF',"
-        f" substring(hx, 2 * ({pos_expr}) + 1, 1)) - 1) * 16"
-        " + strpos('0123456789ABCDEF',"
-        f" substring(hx, 2 * ({pos_expr}) + 2, 1)) - 1)"
     )
 
 
@@ -1961,6 +2041,7 @@ QUERIES = {
     "mm_decode_png": mm_decode_png,
     "mm_decode_png_adam7": mm_decode_png_adam7,
     "mm_decode_png_palette": mm_decode_png_palette,
+    "mm_decode_jpeg": mm_decode_jpeg,
     "mm_decode_bmp": mm_decode_bmp,
     "mm_phash_neardup": mm_phash_neardup,
     "mm_semantic_dedup": mm_semantic_dedup,
@@ -1980,6 +2061,7 @@ ORACLES = {
     # pixel sums of the sequential encoding
     "mm_decode_png_adam7": ORACLE_MM_DECODE_PNG,
     "mm_decode_png_palette": ORACLE_MM_DECODE_PNG_PALETTE,
+    "mm_decode_jpeg": ORACLE_MM_DECODE_JPEG,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,
     "mm_phash_neardup": ORACLE_MM_PHASH,
     "mm_semantic_dedup": _oracle_mm_semantic(),

@@ -131,13 +131,20 @@ def test_decode_image_dispatches_to_pure_parsers():
     assert decode_image(bmp)[0, 0].tolist() == [9, 8, 7]
     png = encode_png(np.array([[[5, 6, 7]]], dtype=np.uint8))
     assert decode_image(png)[0, 0].tolist() == [5, 6, 7]
-    # formats with no pure parser still hit the loud PIL gate in this
-    # sandbox (JPEG magic; PNG now dispatches to decode_png instead)
+    # JPEG dispatches to the pure baseline decoder since round 12 —
+    # malformed bytes fail ITS loud contract, not the PIL gate
+    from datafusion_loki_spark.operators.jpeg import encode_jpeg
+
+    jj = encode_jpeg(np.full((8, 8), 77, dtype=np.uint8))
+    assert decode_image(jj)[0, 0].tolist() == [77]
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg garbage")
+    # formats with no pure parser still hit the loud PIL gate (GIF magic)
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image(b"\xff\xd8\xff\xe0 jpeg garbage")
+            decode_image(b"GIF89a not really a gif")
 
 
 def test_numpy_reference_cross_check():

@@ -1,0 +1,188 @@
+"""Baseline JPEG codec (operators/jpeg.py — round 12, the decode
+family's last compressed-format gap). The registry row proves the
+DC-only integer-exact path cross-engine; these tests pin the GENERAL
+machinery on crafted inputs: Huffman/zigzag/dequant plumbing against an
+independent O(n^4) IDCT reference, quantization-bounded round trips,
+4:2:0 subsampling, restart markers, and the loud-failure contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from datafusion_loki_spark.operators.jpeg import (
+    _ZZ_FLAT,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _ref_idct(coef):
+    """Direct O(n^4) IDCT per T.81 A.3.3 — written independently of the
+    decoder's matrix form, so a basis/orientation bug cannot cancel."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4.0
+    return out
+
+
+def test_dc_only_blocks_decode_exactly():
+    # quant DC step 8: a constant block of value v codes to v-128 and
+    # decodes to exactly v — the integer-exact construction the
+    # registry oracle replays
+    v = np.arange(40, dtype=np.uint8).reshape(5, 8) * 6
+    img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+    w, h, out = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (64, 40)
+    assert (out[:, :, 0] == img).all()
+
+
+def test_known_coefficients_match_reference_idct():
+    # hand-plant quantized coefficients through the REAL bitstream
+    # (encode writes them verbatim at quant=1 on an image built from
+    # the reference IDCT), then compare decode vs the O(n^4) reference
+    rng = np.random.RandomState(5)
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 80.0
+    coef[1, 2] = -33.0
+    coef[3, 1] = 17.0
+    coef[7, 7] = 9.0
+    ref = np.clip(np.round(_ref_idct(coef) + 128.0), 0, 255)
+    # encode the reference image losslessly enough (quant=1) and check
+    # the decoder reproduces it within rounding of the two pipelines
+    w, h, out = decode_jpeg(
+        encode_jpeg(ref.astype(np.uint8), quant=np.ones(64))
+    )
+    assert np.abs(out[:, :, 0].astype(int) - ref.astype(int)).max() <= 1
+    # also check several random smooth blocks
+    for _ in range(5):
+        c2 = np.zeros((8, 8))
+        c2[:3, :3] = rng.randint(-50, 50, (3, 3))
+        img = np.clip(np.round(_ref_idct(c2) + 128.0), 0, 255)
+        _, _, out = decode_jpeg(
+            encode_jpeg(img.astype(np.uint8), quant=np.ones(64))
+        )
+        assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_zigzag_is_the_standard_order():
+    # spot-pin the canonical sequence (first/last stretch) — generated
+    # order must equal the spec's table, not merely be self-consistent
+    want_head = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4]
+    assert list(_ZZ_FLAT[:15]) == want_head
+    assert list(_ZZ_FLAT[-3:]) == [47, 55, 62, 63][1:]
+
+
+def test_color_roundtrip_bounds():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (16, 13, 3), dtype=np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg(img, quant=np.ones(64)))
+    assert out.shape == (16, 13, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_subsampled_chroma_upsamples_and_crops():
+    # gray content (chroma exactly 128 everywhere) survives 4:2:0
+    # untouched; odd dims force MCU padding + crop on both axes
+    rng = np.random.RandomState(2)
+    g = rng.randint(0, 256, (19, 21), dtype=np.uint8)
+    img = np.stack([g, g, g], axis=-1)
+    w, h, out = decode_jpeg(
+        encode_jpeg(img, quant=np.ones(64), subsample=True)
+    )
+    assert (w, h) == (21, 19)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_restart_markers_do_not_change_pixels():
+    rng = np.random.RandomState(4)
+    g = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(g, quant=np.ones(64)))[2]
+    for dri in (1, 2, 5):
+        withr = decode_jpeg(
+            encode_jpeg(g, quant=np.ones(64), restart_interval=dri)
+        )[2]
+        assert (withr == base).all(), dri
+
+
+def test_fail_loud_contract():
+    g = np.full((8, 8), 50, dtype=np.uint8)
+    good = encode_jpeg(g)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # progressive SOF2: flip the SOF marker byte
+    i = good.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(good[:i] + b"\xff\xc2" + good[i + 2 :])
+    # 16-bit DQT: flip Pq in the DQT segment header
+    j = good.index(b"\xff\xdb")
+    bad = bytearray(good)
+    bad[j + 4] = 0x10
+    with pytest.raises(ValueError, match="16-bit quantization"):
+        decode_jpeg(bytes(bad))
+    # truncated entropy data: cut before EOI
+    with pytest.raises(ValueError, match="truncated|terminating"):
+        decode_jpeg(good[:-4])
+    # 12-bit precision
+    k = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[k + 4] = 12
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(bad))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    dri=st.sampled_from([0, 0, 3]),
+)
+def test_gray_quant1_roundtrip_bound(w, h, seed, dri):
+    # quant=1 leaves only fDCT/IDCT float rounding: error <= 1 for any
+    # content, any geometry (odd sizes exercise MCU padding + crop)
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    gw, gh, out = decode_jpeg(
+        encode_jpeg(g, quant=np.ones(64), restart_interval=dri)
+    )
+    assert (gw, gh) == (w, h)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.booleans(),
+)
+def test_color_smooth_roundtrip_bound(w, h, seed, sub):
+    # smooth gradients (the content JPEG is FOR) at quant=1: tight
+    # bounds even through 4:2:0 (box-average + replicate upsample on a
+    # LINEAR gradient reconstructs within the chroma step size)
+    rng = np.random.RandomState(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = (xx * 2 + yy * 3 + int(rng.randint(0, 64))) % 200
+    img = np.stack(
+        [base, (base + 20) % 200, (base + 40) % 200], axis=-1
+    ).astype(np.uint8)
+    _, _, out = decode_jpeg(
+        encode_jpeg(img, quant=np.ones(64), subsample=sub)
+    )
+    tol = 10 if sub else 3
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= tol

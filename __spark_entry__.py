@@ -91,6 +91,10 @@ _R12_PINNED: tuple[str, ...] = (
     # integer-exact construction so the lossy format carries a
     # full-hash oracle (64 * byte sum from hex)
     "mm_decode_jpeg",
+    # NEW in r12: REAL GIF (variable-width LSB-first LZW with
+    # dictionary growth/reset + 4-pass interlace, operators/gif.py);
+    # lossless, so the palette-PNG two-level hex oracle applies
+    "mm_decode_gif",
     # CHANGED in r12: positional winnowing segments per DIAGONAL
     # (pos_b - pos_a), retiring the round-11 "b-side bounding box"
     # approximation — both extents exact per verbatim copy, one span

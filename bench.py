@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     # family's only pure-Python entropy decode, tracked for per-item
     # regressions
     "mm_decode_jpeg",
+    # the GIF path: per-item LZW compress+decompress (dictionary
+    # growth) + interlace reorder
+    "mm_decode_gif",
 ]
 
 

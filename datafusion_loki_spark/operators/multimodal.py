@@ -631,6 +631,10 @@ def decode_image(payload: bytes):
         from datafusion_loki_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)[2]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from datafusion_loki_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)[2]
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
@@ -1493,11 +1497,16 @@ def mm_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pal_channel_sum_duck(target: str) -> str:
+def _pal_channel_sum_duck(target: str, idx_base: "int | None" = None) -> str:
     """Sum over the 35 pixels of the looked-up palette/tRNS byte:
     ``target`` positions the second-level read from the first-level
-    index ``{v}`` (the pixel's source byte mod 16)."""
-    v = _hexpair_duck(f"{3 * MM_PAL_ENTRIES + MM_PAL_ENTRIES} + i")
+    index ``{v}`` (the pixel's source byte mod 16, read at payload
+    offset ``idx_base + i`` — defaults to the palette-PNG layout; the
+    GIF twin's layout has no tRNS section, so its indices start 16
+    bytes earlier)."""
+    if idx_base is None:
+        idx_base = 3 * MM_PAL_ENTRIES + MM_PAL_ENTRIES
+    v = _hexpair_duck(f"{idx_base} + i")
     return (
         f"list_sum(list_transform(generate_series(0, {_MM_PAL_PIX - 1}),"
         f" i -> {_hexpair_duck(target.format(v=f'({v} % {MM_PAL_ENTRIES})'))}))"
@@ -1517,6 +1526,88 @@ SELECT doc_id,
        CAST({_pal_channel_sum_duck('3 * {v} + 1')} AS BIGINT) AS sum_g,
        CAST({_pal_channel_sum_duck('3 * {v} + 2')} AS BIGINT) AS sum_b,
        CAST({_pal_channel_sum_duck(str(3 * MM_PAL_ENTRIES) + ' + {v}')} AS BIGINT) AS sum_a
+FROM m
+"""
+
+
+# GIF payload layout: 48 palette bytes + 35 index-source bytes (no tRNS
+# section — GIF transparency is a single index, unit-tested instead)
+_MM_GIF_NEED = 3 * MM_PAL_ENTRIES + _MM_PAL_PIX
+
+
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode in the registry (round 12 — the lossless LZW
+    palette format beside the palette PNG twin): each payload's bytes
+    [0,48) become a 16-entry color table and [48,83) the 7x5 pixel
+    indices (mod 16) of an INTERLACED GIF89a — encoded by the real
+    dictionary-building LZW compressor and decoded by the real parser
+    (operators/gif.py: descriptor walk, sub-block chain, variable-width
+    LSB-first LZW with dictionary growth, 4-pass interlace reorder).
+    Emits geometry and integer-exact per-channel sums; the oracle
+    replays the two-level pixel->index->palette lookup from hex bytes
+    (the palette-PNG oracle shape at the GIF index offset), so an LZW
+    width-bump bug, a sub-block framing error, or a wrong interlace
+    reorder hash-mismatches.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 6 narrow output
+    columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.gif import decode_gif, encode_gif
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_GIF_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_GIF_NEED]
+                pal = np.frombuffer(raw[:48], dtype=np.uint8).reshape(16, 3)
+                ix = (
+                    np.frombuffer(raw[48:], dtype=np.uint8) % MM_PAL_ENTRIES
+                ).reshape(MM_PAL_H, MM_PAL_W)
+                w, h, arr = decode_gif(encode_gif(ix, pal, interlace=True))
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(arr[:, :, 0].sum(dtype="int64")))
+                sg.append(int(arr[:, :, 1].sum(dtype="int64")))
+                sb.append(int(arr[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": ws,
+                        "height": hs,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
+ORACLE_MM_DECODE_GIF = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_GIF_NEED}
+)
+SELECT doc_id,
+       {MM_PAL_W} AS width, {MM_PAL_H} AS height,
+       CAST({_pal_channel_sum_duck('3 * {v} + 0', 3 * MM_PAL_ENTRIES)} AS BIGINT) AS sum_r,
+       CAST({_pal_channel_sum_duck('3 * {v} + 1', 3 * MM_PAL_ENTRIES)} AS BIGINT) AS sum_g,
+       CAST({_pal_channel_sum_duck('3 * {v} + 2', 3 * MM_PAL_ENTRIES)} AS BIGINT) AS sum_b
 FROM m
 """
 
@@ -2042,6 +2133,7 @@ QUERIES = {
     "mm_decode_png_adam7": mm_decode_png_adam7,
     "mm_decode_png_palette": mm_decode_png_palette,
     "mm_decode_jpeg": mm_decode_jpeg,
+    "mm_decode_gif": mm_decode_gif,
     "mm_decode_bmp": mm_decode_bmp,
     "mm_phash_neardup": mm_phash_neardup,
     "mm_semantic_dedup": mm_semantic_dedup,
@@ -2062,6 +2154,7 @@ ORACLES = {
     "mm_decode_png_adam7": ORACLE_MM_DECODE_PNG,
     "mm_decode_png_palette": ORACLE_MM_DECODE_PNG_PALETTE,
     "mm_decode_jpeg": ORACLE_MM_DECODE_JPEG,
+    "mm_decode_gif": ORACLE_MM_DECODE_GIF,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,
     "mm_phash_neardup": ORACLE_MM_PHASH,
     "mm_semantic_dedup": _oracle_mm_semantic(),

@@ -139,12 +139,21 @@ def test_decode_image_dispatches_to_pure_parsers():
     assert decode_image(jj)[0, 0].tolist() == [77]
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg garbage")
-    # formats with no pure parser still hit the loud PIL gate (GIF magic)
+    # GIF dispatches to the pure LZW decoder since round 12
+    from datafusion_loki_spark.operators.gif import encode_gif
+
+    gg = encode_gif(
+        np.array([[1]]), np.array([[1, 2, 3], [9, 8, 7]], dtype=np.uint8)
+    )
+    assert decode_image(gg)[0, 0].tolist() == [9, 8, 7]
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a not really a gif")
+    # formats with no pure parser still hit the loud PIL gate (WebP)
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image(b"GIF89a not really a gif")
+            decode_image(b"RIFF\x00\x00\x00\x00WEBP not really")
 
 
 def test_numpy_reference_cross_check():

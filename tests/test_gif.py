@@ -1,0 +1,114 @@
+"""GIF codec (operators/gif.py — round 12). The registry row proves the
+palette-lookup parity cross-engine; these tests pin the LZW machinery
+(variable width growth, the KwKwK case, the 4096 dictionary reset),
+interlace reordering, transparency, and the loud-failure contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from datafusion_loki_spark.operators.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+
+
+def test_lzw_kwkwk_case():
+    # the classic code-equals-next_code sequence: ABABAB... with a
+    # 2-symbol alphabet forces the decoder's KwKwK branch immediately
+    seq = [0, 1] * 50
+    enc = _lzw_encode(seq, 2)
+    assert _lzw_decode(enc, 2, len(seq)) == seq
+
+
+def test_lzw_width_growth_and_reset():
+    # >4096 distinct phrases: the dictionary fills, the encoder emits
+    # CLEAR mid-stream, widths snap back — decode must track exactly
+    rng = np.random.RandomState(3)
+    seq = rng.randint(0, 4, 60_000).tolist()
+    enc = _lzw_encode(seq, 2)
+    assert _lzw_decode(enc, 2, len(seq)) == seq
+
+
+def test_interlace_reorders_rows():
+    # 8 rows: interlace pass order is 0,4,2,6,1,3,5,7 — encode stores
+    # rows in that order, decode must put them back
+    pal = np.array([[i, i, i] for i in range(8)], dtype=np.uint8)
+    ix = np.tile(np.arange(8).reshape(8, 1), (1, 3))
+    w, h, out = decode_gif(encode_gif(ix, pal, interlace=True))
+    assert (out[:, :, 0] == ix).all()
+    # and a non-interlaced twin is identical
+    _, _, out2 = decode_gif(encode_gif(ix, pal))
+    assert (out == out2).all()
+
+
+def test_transparent_index_yields_rgba():
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    ix = np.array([[0, 1], [2, 3]])
+    w, h, out = decode_gif(encode_gif(ix, pal, transparent=2))
+    assert out.shape == (2, 2, 4)
+    assert out[1, 0, 3] == 0 and out[0, 0, 3] == 255
+    # without a GCE the output stays RGB
+    assert decode_gif(encode_gif(ix, pal))[2].shape == (2, 2, 3)
+
+
+def test_fail_loud_contract():
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    good = encode_gif(np.array([[1, 2], [3, 0]]), pal)
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError, match="truncated|trailer|image"):
+        decode_gif(good[:20])
+    # trailer with no image
+    with pytest.raises(ValueError, match="no image"):
+        decode_gif(good[:13] + bytes(12) + b"\x3b")
+    # writer guards
+    with pytest.raises(ValueError, match="power of two"):
+        encode_gif(np.array([[0]]), np.zeros((3, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="out of range"):
+        encode_gif(np.array([[7]]), pal)
+
+
+def test_pixel_index_outside_color_table_fails_loud():
+    # hand-shrink the color table after encoding: a 4-entry image
+    # re-declared as 2 colors must be rejected, not silently wrapped
+    pal4 = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    blob = bytearray(encode_gif(np.array([[3, 1]]), pal4))
+    # GCT size field lives in the logical-screen packed byte
+    blob[10] = (blob[10] & 0xF8) | 0x00  # declare 2 entries
+    shrunk = bytes(blob[:13]) + bytes(blob[13 : 13 + 6]) + bytes(
+        blob[13 + 12 :]
+    )
+    with pytest.raises(ValueError, match="color table|out of sequence|truncated"):
+        decode_gif(shrunk)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    w=st.integers(1, 23),
+    h=st.integers(1, 17),
+    npal_log=st.integers(1, 8),
+    interlace=st.booleans(),
+    trans=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, npal_log, interlace, trans, seed):
+    rng = np.random.RandomState(seed)
+    npal = 1 << npal_log
+    pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+    ix = rng.randint(0, npal, (h, w))
+    t = int(rng.randint(0, npal)) if trans else None
+    gw, gh, out = decode_gif(
+        encode_gif(ix, pal, transparent=t, interlace=interlace)
+    )
+    assert (gw, gh) == (w, h)
+    assert (out[:, :, :3] == pal[ix]).all()
+    if t is not None:
+        assert out.shape[2] == 4
+        assert (out[:, :, 3] == np.where(ix == t, 0, 255)).all()

@@ -87,6 +87,15 @@ SMOKE_QUERIES = [
     # doc-window) — gram volume is linear in corpus bytes, the pair join
     # is bucket-capped; the rung must stay ~linear
     "dedup_winnowing",
+    # round 12: the snapshot-protocol lifecycle (two fits + two corpus
+    # writes — both must stay linear; manifest/resolution overhead is
+    # O(1) per verb), and the three new decode kernels (per-item Python
+    # work: packed-bit palette, 7-pass Adam7, Huffman+IDCT JPEG — cost
+    # is linear in ITEM COUNT, the rung catches any per-batch blowup)
+    "sim_ivf_snapshot_reads",
+    "mm_decode_png_palette",
+    "mm_decode_png_adam7",
+    "mm_decode_jpeg",
 ]
 
 

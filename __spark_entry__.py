@@ -95,6 +95,9 @@ _R12_PINNED: tuple[str, ...] = (
     # dictionary growth/reset + 4-pass interlace, operators/gif.py);
     # lossless, so the palette-PNG two-level hex oracle applies
     "mm_decode_gif",
+    # NEW in r12: 16-bit grayscale PNG to uint16 (big-endian samples,
+    # bpp=2 filter lanes); oracle sums 256*hi+lo from hex bytes
+    "mm_decode_png16",
     # CHANGED in r12: positional winnowing segments per DIAGONAL
     # (pos_b - pos_a), retiring the round-11 "b-side bounding box"
     # approximation — both extents exact per verbatim copy, one span

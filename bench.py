@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     # the GIF path: per-item LZW compress+decompress (dictionary
     # growth) + interlace reorder
     "mm_decode_gif",
+    # the 16-bit path: bpp=2 filter lanes + big-endian pair combine
+    "mm_decode_png16",
 ]
 
 

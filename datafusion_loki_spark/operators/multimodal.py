@@ -194,6 +194,13 @@ def _png_raw_stream(samples, depth: int, interlace: bool, row_filters):
             continue
         if depth == 8:
             rows = sub.reshape(hp, wp * n)
+        elif depth == 16:
+            rows = (
+                np.ascontiguousarray(sub)
+                .astype(">u2")
+                .view(np.uint8)
+                .reshape(hp, wp * n * 2)
+            )
         else:
             rows = np.frombuffer(
                 b"".join(
@@ -206,30 +213,45 @@ def _png_raw_stream(samples, depth: int, interlace: bool, row_filters):
     return bytes(raw)
 
 
-def encode_png(arr, row_filters=None, interlace: bool = False) -> bytes:
-    """Minimal PNG writer for an 8-bit RGB/RGBA (h, w, c) ndarray —
+def encode_png(
+    arr, row_filters=None, interlace: bool = False, depth: int = 8
+) -> bytes:
+    """PNG writer for RGB/RGBA (h, w, c) ndarrays — 8-bit, or 16-bit
+    RGB with ``depth=16`` (uint16 samples, big-endian on the wire) —
     exists to CONSTRUCT valid inputs for decode_png (the mm_decode_png
-    operator and the round-trip tests), exercising a chosen filter type
-    per scanline (default r % 5 cycles all five). Filters reference the
-    original neighbor bytes, which per the spec equal the reconstructed
-    values — so vectorized whole-row filtering is exact. Not a
-    general-purpose encoder (no palette, no 16-bit, no interlace)."""
+    operators and the round-trip tests), exercising a chosen filter
+    type per scanline (default r % 5 cycles all five; per pass when
+    interlaced). Filters reference the original neighbor bytes, which
+    per the spec equal the reconstructed values — so vectorized
+    whole-row filtering is exact. Palette/grayscale layouts have their
+    own writers (encode_png_indexed / encode_png_gray)."""
     import struct
     import zlib
 
     import numpy as np
 
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
-        # the decode family's error contract: loud ValueError, never an
-        # undeclared KeyError/unpack error (round-11 review)
-        raise ValueError(
-            f"encode_png needs an (h, w, 3|4) array, got shape {arr.shape}"
-        )
+    if depth == 16:
+        arr = np.asarray(arr, dtype=np.uint16)
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError(
+                f"16-bit encode_png needs (h, w, 3), got shape {arr.shape}"
+            )
+    elif depth == 8:
+        arr = np.asarray(arr, dtype=np.uint8)
+        if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+            # the decode family's error contract: loud ValueError, never
+            # an undeclared KeyError/unpack error (round-11 review)
+            raise ValueError(
+                f"encode_png needs an (h, w, 3|4) array, got {arr.shape}"
+            )
+    else:
+        raise ValueError(f"encode_png depth must be 8 or 16, got {depth}")
     h, w, c = arr.shape
     color_type = {3: 2, 4: 6}[c]
-    raw = _png_raw_stream(arr, 8, interlace, row_filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    raw = _png_raw_stream(arr, depth, interlace, row_filters)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -304,16 +326,16 @@ def encode_png_gray(
 
     import numpy as np
 
-    arr = np.asarray(arr, dtype=np.uint8)
+    arr = np.asarray(arr, dtype=np.uint16 if depth == 16 else np.uint8)
     if arr.ndim == 3 and arr.shape[2] == 2:
         if depth != 8:
             raise ValueError("gray+alpha is 8-bit only")
         h, w = arr.shape[:2]
         color_type, samples = 4, arr
     elif arr.ndim == 2:
-        if depth not in (1, 2, 4, 8):
+        if depth not in (1, 2, 4, 8, 16):
             raise ValueError(f"invalid grayscale depth {depth}")
-        if int(arr.max(initial=0)) >= (1 << depth):
+        if depth < 8 and int(arr.max(initial=0)) >= (1 << depth):
             raise ValueError(f"sample out of range for depth {depth}")
         h, w = arr.shape
         color_type, samples = 0, arr.reshape(h, w, 1)
@@ -438,14 +460,19 @@ def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int):
 
 
 def _rows_to_samples(rows, w: int, channels: int, depth: int):
-    """(h, stride)-byte reconstructed rows -> (h, w, channels) uint8
-    samples: identity reshape at depth 8; MSB-first bit unpack with
-    per-row pad-bit drop for packed depths."""
+    """(h, stride)-byte reconstructed rows -> (h, w, channels) samples:
+    identity reshape at depth 8 (uint8); big-endian pair combine at
+    depth 16 (uint16); MSB-first bit unpack with per-row pad-bit drop
+    for packed depths (uint8)."""
     import numpy as np
 
     h, stride = rows.shape
     if depth == 8:
         return rows.reshape(h, w, channels)
+    if depth == 16:
+        hi = rows[:, 0::2].astype(np.uint16)
+        lo = rows[:, 1::2].astype(np.uint16)
+        return ((hi << 8) | lo).reshape(h, w, channels)
     bits = np.unpackbits(rows, axis=1)
     weights = 1 << np.arange(depth - 1, -1, -1)
     per_row = (stride * 8) // depth
@@ -454,9 +481,16 @@ def _rows_to_samples(rows, w: int, channels: int, depth: int):
         .astype(np.uint8)
         .reshape(h, w, 1)
     )
-# valid bit depths per color type (RFC 2083 §4.1.1; 16-bit stays a loud
-# gate — the uint8 contract of the decode family would silently halve it)
-_PNG_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+# valid bit depths per color type (RFC 2083 §4.1.1). 16-bit decodes to
+# uint16 for grayscale and RGB (round 12 — depth maps / scientific
+# images); 16-bit alpha variants stay loud (no corpus use case yet)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8,),
+    6: (8,),
+}
 
 
 def decode_png(payload: bytes):
@@ -582,7 +616,9 @@ def decode_png(payload: bytes):
         # end — without it a well-formed stream followed by junk bytes
         # would pass the length check silently (round-11 advice).
         raise ValueError("PNG scanline data length mismatch")
-    samples = np.zeros((h, w, channels), dtype=np.uint8)
+    samples = np.zeros(
+        (h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8
+    )
     off = 0
     for (x0, y0, dx, dy), (wp, hp, sp) in zip(passes, geo):
         if wp == 0 or hp == 0:
@@ -1530,6 +1566,65 @@ FROM m
 """
 
 
+_MM_PNG16_NEED = 2 * _MM_PAL_PIX  # 35 big-endian uint16 samples
+
+
+def mm_decode_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-BIT decode face (round 12 — the last PNG depth gate
+    opened for gray/RGB): each payload's first 70 bytes become 35
+    big-endian uint16 samples of a 7x5 16-bit GRAYSCALE PNG, filtered
+    with the r % 5 cycle at bpp=2 (the two bytes of one sample are
+    DIFFERENT filter lanes — a bpp=1 confusion corrupts every Sub/
+    Average/Paeth row) and decoded by the real parser to uint16. The
+    oracle recomputes sum(256 * hi + lo) from hex bytes, so an
+    endianness swap, a lane mix-up, or an 8-bit truncation
+    hash-mismatches immediately."""
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_PNG16_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sv = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(
+                    bytes(b)[:_MM_PNG16_NEED], dtype=">u2"
+                ).astype(np.uint16).reshape(MM_PAL_H, MM_PAL_W)
+                w, h, arr = decode_png(encode_png_gray(raw, depth=16))
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sv.append(int(arr[:, :, 0].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "width": ws, "height": hs, "sum_v": sv}
+                )
+
+    return media.mapInPandas(
+        kernel, "doc_id long, width int, height int, sum_v long"
+    )
+
+
+ORACLE_MM_DECODE_PNG16 = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_PNG16_NEED}
+)
+SELECT doc_id,
+       {MM_PAL_W} AS width, {MM_PAL_H} AS height,
+       CAST(list_sum(list_transform(
+              generate_series(0, {_MM_PAL_PIX - 1}),
+              i -> 256 * {_hexpair_duck('2 * i')}
+                   + {_hexpair_duck('2 * i + 1')})) AS BIGINT) AS sum_v
+FROM m
+"""
+
+
 # GIF payload layout: 48 palette bytes + 35 index-source bytes (no tRNS
 # section — GIF transparency is a single index, unit-tested instead)
 _MM_GIF_NEED = 3 * MM_PAL_ENTRIES + _MM_PAL_PIX
@@ -2134,6 +2229,7 @@ QUERIES = {
     "mm_decode_png_palette": mm_decode_png_palette,
     "mm_decode_jpeg": mm_decode_jpeg,
     "mm_decode_gif": mm_decode_gif,
+    "mm_decode_png16": mm_decode_png16,
     "mm_decode_bmp": mm_decode_bmp,
     "mm_phash_neardup": mm_phash_neardup,
     "mm_semantic_dedup": mm_semantic_dedup,
@@ -2155,6 +2251,7 @@ ORACLES = {
     "mm_decode_png_palette": ORACLE_MM_DECODE_PNG_PALETTE,
     "mm_decode_jpeg": ORACLE_MM_DECODE_JPEG,
     "mm_decode_gif": ORACLE_MM_DECODE_GIF,
+    "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,
     "mm_phash_neardup": ORACLE_MM_PHASH,
     "mm_semantic_dedup": _oracle_mm_semantic(),

@@ -332,9 +332,12 @@ def _corrupt(png: bytes, what: str) -> bytes:
         return png[:j] + bytes([png[j] ^ 0xFF]) + png[j + 1 :]
     if what == "truncated":
         return png[:-6]
-    if what == "depth16":
+    if what == "depth3":
+        # depth 3 is invalid for EVERY color type (16-bit gray/RGB are
+        # supported since round 12, so the old depth-16 probe now
+        # decodes — the layout gate needs a truly illegal depth)
         i = png.index(b"IHDR") + 4
-        return png[: i + 8] + b"\x10" + png[i + 9 :]
+        return png[: i + 8] + b"\x03" + png[i + 9 :]
     if what == "palette":
         i = png.index(b"IHDR") + 4
         return png[: i + 9] + b"\x03" + png[i + 10 :]
@@ -349,7 +352,7 @@ def _corrupt(png: bytes, what: str) -> bytes:
 
 @pytest.mark.parametrize(
     "what",
-    ["signature", "truncated", "depth16", "palette", "interlaced",
+    ["signature", "truncated", "depth3", "palette", "interlaced",
      "zero_dims"],
 )
 def test_png_malformed_fail_loud(what):
@@ -369,7 +372,7 @@ def test_png_crc_mismatch_fail_loud():
     import struct as _s
     import zlib
 
-    bad = _corrupt(png, "depth16")
+    bad = _corrupt(png, "depth3")
     i = bad.index(b"IHDR") - 4
     (ln,) = _s.unpack(">I", bad[i : i + 4])
     body = bad[i + 4 : i + 8 + ln]
@@ -575,9 +578,11 @@ def test_png_palette_malformed_fail_loud():
         encode_png_indexed(ix, pal, trns=np.zeros(5, dtype=np.uint8))
 
 
-def test_png_16bit_and_bad_interlace_still_loud():
-    g = np.zeros((2, 2), dtype=np.uint8)
-    png = encode_png_gray(g, depth=8)
+def test_png_16bit_alpha_and_bad_interlace_still_loud():
+    # 16-bit gray/RGB decode since round 12; the ALPHA variants do not
+    # (no corpus use case) — flip a gray+alpha IHDR to depth 16
+    ga = np.zeros((2, 2, 2), dtype=np.uint8)
+    png = encode_png_gray(ga)
     i = png.index(b"IHDR") - 4
     body = bytearray(png[i + 8 : i + 8 + 13])
     import zlib as _z
@@ -594,16 +599,48 @@ def test_png_16bit_and_bad_interlace_still_loud():
             + png[i + 12 + 13 :]
         )
 
-    # 16-bit and an invalid interlace VALUE stay layout errors
     with pytest.raises(ValueError, match="unsupported PNG layout"):
-        decode_png(flip(8, 16))
+        decode_png(flip(8, 16))  # 16-bit gray+alpha
     with pytest.raises(ValueError, match="unsupported PNG layout"):
-        decode_png(flip(12, 2))
+        decode_png(flip(12, 2))  # invalid interlace VALUE
     # Adam7 is SUPPORTED since round 12 — a sequential stream mislabeled
     # as interlaced must still fail loud (the pass layout needs a
     # different byte count), never decode scrambled
     with pytest.raises(ValueError, match="length mismatch"):
         decode_png(flip(12, 1))
+
+
+def test_png_16bit_roundtrip_and_bigendian_wire():
+    rng = np.random.RandomState(8)
+    g = rng.randint(0, 65536, (3, 5)).astype(np.uint16)
+    w, h, out = decode_png(encode_png_gray(g, depth=16))
+    assert out.dtype == np.uint16 and (out[:, :, 0] == g).all()
+    c = rng.randint(0, 65536, (4, 3, 3)).astype(np.uint16)
+    for inter in (False, True):
+        _, _, out = decode_png(encode_png(c, depth=16, interlace=inter))
+        assert out.dtype == np.uint16 and (out == c).all()
+    # wire order is big-endian: a hand-built 1x1 gray16 with bytes
+    # 0x12 0x34 must decode to 0x1234, not 0x3412
+    import zlib as _z
+
+    raw = b"\x00\x12\x34"  # filter None + one big-endian sample
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png16)[2][0, 0, 0] == 0x1234
 
 
 @settings(max_examples=200, deadline=None)

@@ -96,18 +96,37 @@ def _canonical_codes(bits, vals):
     return out
 
 
+_DECODE_TABLE_CACHE: dict = {}
+
+
 def _decode_table(bits, vals):
-    """((length, code) -> value) for the decoder's bit-walk."""
-    table = {}
+    """(mincode, maxcode, valptr, vals) per length 1..16 — the spec's
+    DECODE tables (T.81 F.2.2.3): canonical codes of one length are
+    contiguous, so symbol lookup is two int compares per bit instead
+    of a dict probe (the dict walk was the decoder's hot spot).
+    Memoized on the DHT bytes — a corpus decoded with one table set
+    (every registry face) builds it once per executor."""
+    key = (tuple(bits), tuple(vals))
+    hit = _DECODE_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
     code = 0
     k = 0
     for ln in range(1, 17):
-        for _ in range(bits[ln - 1]):
-            table[(ln, code)] = vals[k]
-            code += 1
-            k += 1
+        n = bits[ln - 1]
+        valptr[ln] = k
+        mincode[ln] = code
+        maxcode[ln] = code + n - 1 if n else -1
+        code += n
+        k += n
         code <<= 1
-    return table
+    out = (mincode, maxcode, valptr, list(vals))
+    if len(_DECODE_TABLE_CACHE) < 64:  # bounded: 4 tables per profile
+        _DECODE_TABLE_CACHE[key] = out
+    return out
 
 
 def _extend(v, t):
@@ -128,7 +147,9 @@ def _category(v):
 
 
 class _BitReader:
-    """MSB-first reader over ONE unstuffed entropy segment."""
+    """MSB-first reader over ONE unstuffed entropy segment. Multi-bit
+    reads consume from an integer accumulator (O(bytes), not O(bits));
+    Huffman decode is the spec's compare-based DECODE walk."""
 
     def __init__(self, data: bytes):
         self.d = data
@@ -136,28 +157,37 @@ class _BitReader:
         self.acc = 0
         self.n = 0
 
-    def bit(self) -> int:
-        if self.n == 0:
+    def _fill(self, need: int) -> None:
+        while self.n < need:
             if self.p >= len(self.d):
                 raise ValueError("JPEG entropy data truncated")
-            self.acc = self.d[self.p]
+            self.acc = (self.acc << 8) | self.d[self.p]
             self.p += 1
-            self.n = 8
+            self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill(1)
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def receive(self, t: int) -> int:
-        v = 0
-        for _ in range(t):
-            v = (v << 1) | self.bit()
+        if t == 0:
+            return 0
+        self._fill(t)
+        self.n -= t
+        v = (self.acc >> self.n) & ((1 << t) - 1)
+        self.acc &= (1 << self.n) - 1  # keep the accumulator small
         return v
 
     def huffman(self, table) -> int:
-        code = 0
+        mincode, maxcode, valptr, vals = table
+        code = self.bit()
         for ln in range(1, 17):
+            mx = maxcode[ln]
+            if mx >= 0 and code <= mx:
+                return vals[valptr[ln] + code - mincode[ln]]
             code = (code << 1) | self.bit()
-            if (ln, code) in table:
-                return table[(ln, code)]
         raise ValueError("invalid JPEG Huffman code")
 
 
@@ -321,6 +351,11 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, ri, segs):
     preds = {c["id"]: 0 for c, _, _ in scan}
     seg_i = -1
     bits = None
+    # entropy-decode into per-component (position, zigzag-coefficient)
+    # accumulators; the IDCT runs ONCE per component as a batched
+    # einsum over all its blocks — per-block numpy allocations were the
+    # dominant cost (measured ~3x on the registry corpus face)
+    acc = {c["id"]: ([], []) for c, _, _ in scan}  # (positions, zz rows)
     for mcu in range(n_mcu):
         if mcu % per_seg == 0:
             seg_i += 1
@@ -334,14 +369,14 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, ri, segs):
                 raise ValueError("SOS references an undefined DHT table")
             if c["tq"] not in qt:
                 raise ValueError("component references an undefined DQT")
-            q = qt[c["tq"]]
+            pos, rows = acc[c["id"]]
             for by in range(c["v"]):
                 for bx in range(c["h"]):
                     t = bits.huffman(dc_tabs[td])
                     if t > 11:
                         raise ValueError("invalid DC category")
                     preds[c["id"]] += _extend(bits.receive(t), t)
-                    zz = np.zeros(64, dtype=np.int64)
+                    zz = [0] * 64
                     zz[0] = preds[c["id"]]
                     k = 1
                     while k < 64:
@@ -357,12 +392,25 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, ri, segs):
                             raise ValueError("AC run past block end")
                         zz[k] = _extend(bits.receive(s), s)
                         k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[_ZZ_FLAT] = zz * q
-                    blk = _idct2(coef.reshape(8, 8)) + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
+                    pos.append(
+                        ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                    )
+                    rows.append(zz)
+    for c, _, _ in scan:
+        pos, rows = acc[c["id"]]
+        q = qt[c["tq"]]
+        zzm = np.asarray(rows, dtype=np.int64) * q  # (n, 64) dequantized
+        coefs = np.zeros((len(rows), 64), dtype=np.float64)
+        coefs[:, _ZZ_FLAT] = zzm
+        # A.T @ F @ A over the whole block batch — two broadcast
+        # matmuls, no einsum path planning per call
+        blocks = (
+            np.matmul(_A.T, np.matmul(coefs.reshape(-1, 8, 8), _A))
+            + 128.0
+        )
+        plane = planes[c["id"]]
+        for (y0, x0), blk in zip(pos, blocks):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
     # upsample to the full-resolution grid, crop, color-convert
     full = []
     for c, _, _ in scan:
@@ -386,6 +434,11 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, ri, segs):
 # --- encoder (test/registry input construction) -------------------------------
 
 
+# the encoder's fixed tables never change: build the code maps once
+_ENC_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_ENC_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -393,15 +446,17 @@ class _BitWriter:
         self.n = 0
 
     def put(self, code: int, length: int):
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.n = 0
+        # O(bytes): append whole codes to the accumulator, drain full
+        # bytes (the per-bit loop was the encoder's hot spot)
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
 
     def flush(self):
         if self.n:
@@ -417,7 +472,8 @@ def _dht_body(tc, th, bits, vals) -> bytes:
 
 
 def _encode_block(wtr, zz, pred, dc_codes, ac_codes):
-    diff = int(zz[0]) - pred
+    # zz is a plain python list of ints (see the batched fDCT caller)
+    diff = zz[0] - pred
     t = _category(diff)
     code, ln = dc_codes[t]
     wtr.put(code, ln)
@@ -428,7 +484,7 @@ def _encode_block(wtr, zz, pred, dc_codes, ac_codes):
     while last > 0 and zz[last] == 0:
         last -= 1
     for k in range(1, last + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -444,7 +500,7 @@ def _encode_block(wtr, zz, pred, dc_codes, ac_codes):
     if last < 63:
         code, ln = ac_codes[0x00]
         wtr.put(code, ln)
-    return int(zz[0])
+    return zz[0]
 
 
 def encode_jpeg(
@@ -516,8 +572,8 @@ def encode_jpeg(
         )
         planes.append(p - 128.0)
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    dc_codes = _ENC_DC_CODES
+    ac_codes = _ENC_AC_CODES
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in quant))
@@ -536,6 +592,24 @@ def encode_jpeg(
         + bytes([0, 63, 0]),
     )
 
+    # forward DCT + quantize BATCHED per component (one einsum over the
+    # (nby, nbx, 8, 8) block view — the per-block numpy overhead was
+    # the encoder's dominant cost, mirroring the decode-side fix)
+    zzq = []
+    for ci in range(nc):
+        p = planes[ci]
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = np.ascontiguousarray(
+            p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        )
+        coefs = np.matmul(_A, np.matmul(blocks, _A.T))
+        zzq.append(
+            np.round(coefs.reshape(nby, nbx, 64)[:, :, _ZZ_FLAT] / quant)
+            .astype(np.int64)
+            .tolist()  # python ints: the entropy loop reads 64 scalars
+            # per block, and numpy-scalar indexing dominated it
+        )
+
     wtr = _BitWriter()
     preds = [0] * nc
     n_mcu = mcx * mcy
@@ -553,15 +627,12 @@ def encode_jpeg(
             ch, cv = hv[ci]
             for by in range(cv):
                 for bx in range(ch):
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch + bx) * 8
-                    blk = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
-                    coef = _fdct2(blk)
-                    zz = np.round(
-                        coef.reshape(-1)[_ZZ_FLAT] / quant
-                    ).astype(np.int64)
                     preds[ci] = _encode_block(
-                        wtr, zz, preds[ci], dc_codes, ac_codes
+                        wtr,
+                        zzq[ci][my * cv + by][mx * ch + bx],
+                        preds[ci],
+                        dc_codes,
+                        ac_codes,
                     )
     wtr.flush()
     out += wtr.out

@@ -98,6 +98,10 @@ _R12_PINNED: tuple[str, ...] = (
     # NEW in r12: 16-bit grayscale PNG to uint16 (big-endian samples,
     # bpp=2 filter lanes); oracle sums 256*hi+lo from hex bytes
     "mm_decode_png16",
+    # NEW in r12: PROGRESSIVE JPEG (SOF2 — successive approximation,
+    # DC/AC first + refinement scans, EOBRUN, multi-scan coefficient
+    # store); the DC-only construction recombines exactly, same oracle
+    "mm_decode_jpeg_progressive",
     # CHANGED in r12: positional winnowing segments per DIAGONAL
     # (pos_b - pos_a), retiring the round-11 "b-side bounding box"
     # approximation — both extents exact per verbatim copy, one span

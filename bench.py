@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "mm_decode_gif",
     # the 16-bit path: bpp=2 filter lanes + big-endian pair combine
     "mm_decode_png16",
+    # the progressive JPEG path: 2 + 2*nc entropy scans per item
+    # through the multi-scan coefficient store
+    "mm_decode_jpeg_progressive",
 ]
 
 

@@ -70,14 +70,18 @@ def _fdct2(block):
 
 
 # entropy-code tables for the ENCODER: fixed-length canonical codes —
-# 12 DC categories at 4 bits, the 162 legal AC run/size symbols at
-# 8 bits (161 < 254, so no all-ones code exists at either length; any
-# conforming decoder, ours included, reads them from the DHT segments)
+# 12 DC categories at 4 bits; the 162 sequential AC run/size symbols
+# plus the 14 progressive EOBn symbols (r<<4 for r=1..14, the
+# end-of-band run lengths) at 8 bits (176 < 254, so no all-ones code
+# exists at either length; any conforming decoder, ours included,
+# reads them from the DHT segments)
 _DC_VALS = list(range(12))
 _DC_BITS = [0, 0, 0, 12] + [0] * 12
-_AC_VALS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]
+_AC_VALS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]
+)
 _AC_BITS = [0] * 16
 _AC_BITS[7] = len(_AC_VALS)  # all at length 8
 
@@ -223,9 +227,15 @@ def _split_entropy(payload: bytes, pos: int):
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential JPEG. Returns (width, height,
-    uint8 ndarray): (h, w, 1) for grayscale, (h, w, 3) RGB for YCbCr.
-    Loud ValueError on anything outside the supported profile."""
+    """Decode a baseline sequential OR progressive JPEG. Returns
+    (width, height, uint8 ndarray): (h, w, 1) for grayscale, (h, w, 3)
+    RGB for YCbCr. Progressive (SOF2, round 12) runs every scan —
+    spectral selection bands, successive-approximation first and
+    refinement passes for both DC and AC, EOBRUN — into one persistent
+    per-component coefficient store (T.81 G.2), then reconstructs once;
+    baseline rides the same store with a single full-spectrum scan.
+    Loud ValueError on anything outside the supported profile
+    (arithmetic coding, hierarchical, 12-bit)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (SOI missing)")
     pos = 2
@@ -233,6 +243,7 @@ def decode_jpeg(payload: bytes):
     dc_tabs = {}
     ac_tabs = {}
     frame = None
+    state = None
     ri = 0
     n = len(payload)
     while True:
@@ -249,8 +260,10 @@ def decode_jpeg(payload: bytes):
             raise ValueError("JPEG marker stream truncated")
         m = payload[pos]
         pos += 1
-        if m == 0xD9:  # EOI before any scan
-            raise ValueError("JPEG has no scan (EOI before SOS)")
+        if m == 0xD9:  # EOI
+            if state is None or not state["scanned"]:
+                raise ValueError("JPEG has no scan (EOI before SOS)")
+            return _reconstruct(frame, state, qt)
         if pos + 2 > n:
             raise ValueError("JPEG segment length truncated")
         (ln,) = struct.unpack(">H", payload[pos : pos + 2])
@@ -273,7 +286,7 @@ def decode_jpeg(payload: bytes):
                     raise ValueError("DQT table truncated")
                 qt[tq] = tab
                 q += 65
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG precision unsupported")
@@ -285,12 +298,18 @@ def decode_jpeg(payload: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"w": fw, "h": fh, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "w": fw,
+                "h": fh,
+                "comps": comps,
+                "progressive": m == 0xC2,
+            }
+            state = _init_state(frame)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG is supported"
-                f" (SOF marker 0xff{m:02x})"
+                "only baseline sequential and progressive JPEG are"
+                f" supported (SOF marker 0xff{m:02x})"
             )
         elif m == 0xC4:  # DHT
             q = 0
@@ -321,84 +340,246 @@ def decode_jpeg(payload: bytes):
                     raise ValueError(f"SOS names unknown component {cs}")
                 scan.append((comp, tt >> 4, tt & 0x0F))
             ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
-            if (ss, se, a) != (0, 63, 0):
+            ah, al = a >> 4, a & 0x0F
+            if frame["progressive"]:
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ss > 0 and (ns != 1 or se < ss or se > 63):
+                    raise ValueError("malformed progressive AC scan band")
+                if ah != 0 and ah != al + 1:
+                    raise ValueError(
+                        "successive approximation must refine one bit"
+                    )
+            elif (ss, se, a) != (0, 63, 0):
                 raise ValueError(
                     "only full-spectrum sequential scans are supported"
                 )
             segs, pos = _split_entropy(payload, pos)
-            return _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, ri, segs)
+            _run_scan(
+                frame, state, scan, dc_tabs, ac_tabs, ri, segs,
+                ss, se, ah, al,
+            )
         # APPn / COM / others: skipped
 
 
-def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, ri, segs):
+def _init_state(frame):
+    """Per-component zigzag-order coefficient stores (the full padded
+    MCU grid) plus the shared geometry every scan needs."""
     w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
         raise ValueError(f"unsupported sampling grid {hmax}x{vmax}")
-    for c, _, _ in scan:
+    for c in frame["comps"]:
         if hmax % c["h"] or vmax % c["v"]:
             raise ValueError("non-dividing component sampling factors")
     mcx = -(-w // (8 * hmax))
     mcy = -(-h // (8 * vmax))
-    planes = {}
-    for c, _, _ in scan:
-        planes[c["id"]] = np.zeros(
-            (mcy * c["v"] * 8, mcx * c["h"] * 8), dtype=np.float64
-        )
-    n_mcu = mcx * mcy
-    per_seg = ri if ri else n_mcu
-    preds = {c["id"]: 0 for c, _, _ in scan}
+    coefs = {}
+    nonint = {}
+    for c in frame["comps"]:
+        coefs[c["id"]] = [
+            [0] * 64 for _ in range(mcx * c["h"] * mcy * c["v"])
+        ]
+        # non-interleaved scans cover only ceil(component dims / 8)
+        # blocks — a subset of the padded interleaved grid
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        nonint[c["id"]] = (-(-chh // 8), -(-cw // 8))
+    return {
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcx": mcx,
+        "mcy": mcy,
+        "coefs": coefs,
+        "nonint": nonint,
+        "scanned": False,
+    }
+
+
+def _run_scan(frame, state, scan, dc_tabs, ac_tabs, ri, segs, ss, se, ah, al):
+    """Execute one entropy-coded scan into the coefficient stores —
+    baseline full-spectrum, or any progressive scan class (T.81 G.2):
+    DC first / DC refinement (interleaved or not), AC first /
+    AC refinement (single component, one band, with EOBRUN)."""
+    mcx = state["mcx"]
+    progressive = frame["progressive"]
+    interleaved = len(scan) > 1
+    for c, td, ta in scan:
+        if ss == 0 and not (progressive and ah != 0) and td not in dc_tabs:
+            raise ValueError("SOS references an undefined DC table")
+        if se > 0 and ta not in ac_tabs:
+            raise ValueError("SOS references an undefined AC table")
+    if interleaved:
+        n_units = mcx * state["mcy"]
+    else:
+        nby, nbx = state["nonint"][scan[0][0]["id"]]
+        n_units = nby * nbx
+    per_seg = ri if ri else n_units
     seg_i = -1
     bits = None
-    # entropy-decode into per-component (position, zigzag-coefficient)
-    # accumulators; the IDCT runs ONCE per component as a batched
-    # einsum over all its blocks — per-block numpy allocations were the
-    # dominant cost (measured ~3x on the registry corpus face)
-    acc = {c["id"]: ([], []) for c, _, _ in scan}  # (positions, zz rows)
-    for mcu in range(n_mcu):
-        if mcu % per_seg == 0:
+    preds = None
+    eob = 0  # EOBRUN carries across blocks, resets at restarts
+    for unit in range(n_units):
+        if unit % per_seg == 0:
             seg_i += 1
             if seg_i >= len(segs):
                 raise ValueError("JPEG restart interval underflow")
             bits = _BitReader(segs[seg_i])
             preds = {c["id"]: 0 for c, _, _ in scan}
-        my, mx = divmod(mcu, mcx)
-        for c, td, ta in scan:
-            if td not in dc_tabs or ta not in ac_tabs:
-                raise ValueError("SOS references an undefined DHT table")
-            if c["tq"] not in qt:
-                raise ValueError("component references an undefined DQT")
-            pos, rows = acc[c["id"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    t = bits.huffman(dc_tabs[td])
-                    if t > 11:
-                        raise ValueError("invalid DC category")
-                    preds[c["id"]] += _extend(bits.receive(t), t)
-                    zz = [0] * 64
-                    zz[0] = preds[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = bits.huffman(ac_tabs[ta])
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        s = rs & 0x0F
-                        if k > 63 or s == 0:
-                            raise ValueError("AC run past block end")
-                        zz[k] = _extend(bits.receive(s), s)
-                        k += 1
-                    pos.append(
-                        ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+            eob = 0
+        if interleaved:
+            my, mx = divmod(unit, mcx)
+            for c, td, ta in scan:
+                store = state["coefs"][c["id"]]
+                row_w = mcx * c["h"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = store[
+                            (my * c["v"] + by) * row_w + mx * c["h"] + bx
+                        ]
+                        eob = _decode_block_scan(
+                            bits, blk, preds, c, td, ta,
+                            dc_tabs, ac_tabs, progressive,
+                            ss, se, ah, al, eob,
+                        )
+        else:
+            c, td, ta = scan[0]
+            nby, nbx = state["nonint"][c["id"]]
+            row_w = mcx * c["h"]
+            blk = state["coefs"][c["id"]][
+                (unit // nbx) * row_w + (unit % nbx)
+            ]
+            eob = _decode_block_scan(
+                bits, blk, preds, c, td, ta, dc_tabs, ac_tabs,
+                progressive, ss, se, ah, al, eob,
+            )
+    state["scanned"] = True
+
+
+def _decode_block_scan(
+    bits, blk, preds, c, td, ta, dc_tabs, ac_tabs,
+    progressive, ss, se, ah, al, eob,
+):
+    """Decode ONE block's contribution for the current scan class into
+    ``blk`` (a 64-int zigzag list). Returns the updated EOBRUN."""
+    if not progressive:
+        t = bits.huffman(dc_tabs[td])
+        if t > 11:
+            raise ValueError("invalid DC category")
+        preds[c["id"]] += _extend(bits.receive(t), t)
+        blk[0] = preds[c["id"]]
+        k = 1
+        while k < 64:
+            rs = bits.huffman(ac_tabs[ta])
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 0x0F
+            if k > 63 or s == 0:
+                raise ValueError("AC run past block end")
+            blk[k] = _extend(bits.receive(s), s)
+            k += 1
+        return 0
+    if ss == 0:  # DC scan
+        if ah == 0:  # first pass: diff-coded, scaled by the point transform
+            t = bits.huffman(dc_tabs[td])
+            if t > 11:
+                raise ValueError("invalid DC category")
+            preds[c["id"]] += _extend(bits.receive(t), t)
+            blk[0] = preds[c["id"]] << al
+        else:  # refinement: one bit per block
+            if bits.bit():
+                blk[0] |= 1 << al
+        return 0
+    if ah == 0:  # AC first pass for this band
+        if eob > 0:
+            return eob - 1
+        k = ss
+        while k <= se:
+            rs = bits.huffman(ac_tabs[ta])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eob = (1 << r) - 1
+                if r:
+                    eob += bits.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past the scan band")
+            blk[k] = _extend(bits.receive(s), s) << al
+            k += 1
+        return eob
+    # AC refinement (T.81 G.2.2 / the libjpeg decode_mcu_AC_refine
+    # structure): run codes count ZERO-HISTORY positions only; every
+    # already-nonzero position passed over reads one correction bit
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eob == 0:
+        while k <= se:
+            rs = bits.huffman(ac_tabs[ta])
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eob = 1 << r
+                    if r:
+                        eob += bits.receive(r)
+                    break
+                # ZRL: skip 16 zero-history positions (corrections ride)
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement magnitude must be 1 bit"
                     )
-                    rows.append(zz)
-    for c, _, _ in scan:
-        pos, rows = acc[c["id"]]
+                newval = p1 if bits.bit() else m1
+            while k <= se:
+                cur = blk[k]
+                if cur != 0:
+                    if bits.bit() and (cur & p1) == 0:
+                        blk[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eob > 0:
+        # end-of-band: correction bits for the rest of the band
+        while k <= se:
+            cur = blk[k]
+            if cur != 0:
+                if bits.bit() and (cur & p1) == 0:
+                    blk[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eob -= 1
+    return eob
+
+
+def _reconstruct(frame, state, qt):
+    """Dequantize + batched IDCT every component's coefficient store,
+    upsample, crop, color-convert — runs once, after every scan."""
+    w, h = frame["w"], frame["h"]
+    hmax, vmax, mcx, mcy = (
+        state["hmax"], state["vmax"], state["mcx"], state["mcy"],
+    )
+    full = []
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError("component references an undefined DQT")
         q = qt[c["tq"]]
+        rows = state["coefs"][c["id"]]
+        nbx = mcx * c["h"]
+        nby = mcy * c["v"]
         zzm = np.asarray(rows, dtype=np.int64) * q  # (n, 64) dequantized
         coefs = np.zeros((len(rows), 64), dtype=np.float64)
         coefs[:, _ZZ_FLAT] = zzm
@@ -408,16 +589,14 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, ri, segs):
             np.matmul(_A.T, np.matmul(coefs.reshape(-1, 8, 8), _A))
             + 128.0
         )
-        plane = planes[c["id"]]
-        for (y0, x0), blk in zip(pos, blocks):
-            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
-    # upsample to the full-resolution grid, crop, color-convert
-    full = []
-    for c, _, _ in scan:
-        p = planes[c["id"]]
-        p = np.repeat(p, vmax // c["v"], axis=0)
-        p = np.repeat(p, hmax // c["h"], axis=1)
-        full.append(p[:h, :w])
+        plane = (
+            blocks.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return w, h, gray.reshape(h, w, 1)
@@ -503,19 +682,233 @@ def _encode_block(wtr, zz, pred, dc_codes, ac_codes):
     return zz[0]
 
 
+def _sos(comp_ids, ss, se, ah, al) -> bytes:
+    return _seg(
+        0xDA,
+        bytes([len(comp_ids)])
+        + b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+        + bytes([ss, se, (ah << 4) | al]),
+    )
+
+
+def _emit_progressive_scans(
+    zzq, hv, nc, w, h, hmax, vmax, mcx, mcy, dc_codes, ac_codes
+) -> bytes:
+    """The four-phase progressive scan script over the already-
+    quantized coefficients: DC first (interleaved, Al=1) -> AC first
+    per component (band 1..63, Al=1, EOBRUN-coded) -> DC refinement
+    (one bit per block) -> AC refinement per component (the T.81
+    G.1.2.3 correction-bit protocol). The refinement emitters mirror
+    the decoder's zero-history-run semantics exactly — the round-trip
+    property test (progressive decode == baseline decode, bit for bit)
+    is what keeps the two sides honest."""
+    out = bytearray()
+    AL = 1  # first-pass point transform; one refinement to Al=0
+
+    def nonint_dims(ci):
+        ch, cv = hv[ci]
+        comp_h = -(-(h * cv) // vmax)
+        comp_w = -(-(w * ch) // hmax)
+        return (-(-comp_h // 8), -(-comp_w // 8))
+
+    def comp_blocks(ci):
+        nby, nbx = nonint_dims(ci)
+        return [zzq[ci][r][c] for r in range(nby) for c in range(nbx)]
+
+    # --- scan 1: DC first, all components interleaved, Al=AL ---
+    out += _sos([ci + 1 for ci in range(nc)], 0, 0, 0, AL)
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for mcu in range(mcx * mcy):
+        my, mx = divmod(mcu, mcx)
+        for ci in range(nc):
+            ch, cv = hv[ci]
+            for by in range(cv):
+                for bx in range(ch):
+                    dc = zzq[ci][my * cv + by][mx * ch + bx][0] >> AL
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    t = _category(diff)
+                    code, ln = dc_codes[t]
+                    wtr.put(code, ln)
+                    if t:
+                        wtr.put(
+                            diff if diff >= 0 else diff + (1 << t) - 1, t
+                        )
+    wtr.flush()
+    out += wtr.out
+    # --- scan 2: AC first per component, band 1..63, Al=AL ---
+    for ci in range(nc):
+        out += _sos([ci + 1], 1, 63, 0, AL)
+        out += _emit_ac_first(comp_blocks(ci), 1, 63, AL, ac_codes)
+    # --- scan 3: DC refinement (no Huffman: one raw bit per block) ---
+    out += _sos([ci + 1 for ci in range(nc)], 0, 0, AL, AL - 1)
+    wtr = _BitWriter()
+    for mcu in range(mcx * mcy):
+        my, mx = divmod(mcu, mcx)
+        for ci in range(nc):
+            ch, cv = hv[ci]
+            for by in range(cv):
+                for bx in range(ch):
+                    dc = zzq[ci][my * cv + by][mx * ch + bx][0]
+                    wtr.put((dc >> (AL - 1)) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+    # --- scan 4: AC refinement per component ---
+    for ci in range(nc):
+        out += _sos([ci + 1], 1, 63, AL, AL - 1)
+        out += _emit_ac_refine(comp_blocks(ci), 1, 63, AL - 1, ac_codes)
+    return bytes(out)
+
+
+def _emit_ac_first(blocks, ss, se, al, ac_codes) -> bytes:
+    """Progressive AC first pass: run/size over the point-transformed
+    band, end-of-band runs accumulated across blocks (EOBn)."""
+    wtr = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_codes[nb << 4]
+            wtr.put(code, ln)
+            if nb:
+                wtr.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for blk in blocks:
+        band = [
+            ((abs(blk[k]) >> al) if blk[k] >= 0 else -(abs(blk[k]) >> al))
+            for k in range(ss, se + 1)
+        ]
+        last = len(band) - 1
+        while last >= 0 and band[last] == 0:
+            last -= 1
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for v in band[: last + 1]:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                wtr.put(code, ln)
+                r -= 16
+            s = _category(v)
+            code, ln = ac_codes[(r << 4) | s]
+            wtr.put(code, ln)
+            wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if last < len(band) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    wtr.flush()
+    return bytes(wtr.out)
+
+
+def _emit_ac_refine(blocks, ss, se, al, ac_codes) -> bytes:
+    """Progressive AC refinement (T.81 G.1.2.3, the libjpeg
+    encode_mcu_AC_refine structure): run codes count ZERO-HISTORY
+    positions only; correction bits for already-nonzero positions ride
+    after the next emitted symbol (or with the EOBRUN flush)."""
+    wtr = _BitWriter()
+    eobrun = 0
+    # TWO correction-bit pools, exactly the libjpeg BE/BR split: bits
+    # accumulated during EOB-run blocks ride the EOBRUN symbol; bits
+    # accumulated in the CURRENT block since its last symbol ride the
+    # NEXT symbol of this block (the decoder reads them while advancing
+    # over already-nonzero positions after each run code)
+    eob_pend: list = []
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_codes[nb << 4]
+            wtr.put(code, ln)
+            if nb:
+                wtr.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+            for b in eob_pend:
+                wtr.put(b, 1)
+            eob_pend.clear()
+
+    for blk in blocks:
+        absv = [abs(blk[k]) >> al for k in range(ss, se + 1)]
+        eob_i = -1  # index (in band) of the last NEWLY-significant coef
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_i = i
+        r = 0
+        cur: list = []  # this block's corrections since its last symbol
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_i:
+                flush_eob()
+                code, ln = ac_codes[0xF0]
+                wtr.put(code, ln)
+                r -= 16
+                for b in cur:
+                    wtr.put(b, 1)
+                cur = []
+            if t > 1:
+                # already significant at coarser precision: buffer the
+                # correction bit; runs pass over it without counting it
+                cur.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac_codes[(r << 4) | 1]
+            wtr.put(code, ln)
+            wtr.put(1 if blk[ss + i] >= 0 else 0, 1)
+            for b in cur:
+                wtr.put(b, 1)
+            cur = []
+            r = 0
+        if r > 0 or cur:
+            eobrun += 1
+            eob_pend.extend(cur)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    wtr.flush()
+    return bytes(wtr.out)
+
+
 def encode_jpeg(
     arr,
     quant=None,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JPEG writer for (h, w) / (h, w, 1) grayscale or
-    (h, w, 3) RGB uint8 — 4:4:4 by default, 4:2:0 with ``subsample``
-    (chroma box-averaged). ``quant`` is a flat 64-entry zigzag-order
-    table applied to every component (default all-8s: DC of a constant
-    block codes exactly to value-128 — the integer-exact construction
+    """JPEG writer for (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB
+    uint8 — 4:4:4 by default, 4:2:0 with ``subsample`` (chroma
+    box-averaged). ``quant`` is a flat 64-entry zigzag-order table
+    applied to every component (default all-8s: DC of a constant block
+    codes exactly to value-128 — the integer-exact construction
     mm_decode_jpeg's oracle replays). Fixed-length canonical Huffman
-    tables, written as standard DHT segments."""
+    tables, written as standard DHT segments.
+
+    ``progressive`` emits SOF2 with the four-phase scan script (DC
+    first at Al=1, per-component AC 1..63 first at Al=1, DC
+    refinement, per-component AC refinement) — the same quantized
+    coefficients delivered across successive-approximation passes, so
+    the decode is bit-identical to the baseline encoding's.
+    Progressive + restart_interval is not supported (the emitters
+    would need per-scan segment bookkeeping the tests don't exercise;
+    the decoder handles restarts in every scan class regardless)."""
+    if progressive and restart_interval:
+        raise ValueError("progressive + restart_interval is unsupported")
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -575,23 +968,6 @@ def encode_jpeg(
     dc_codes = _ENC_DC_CODES
     ac_codes = _ENC_AC_CODES
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in quant))
-    comps = b"".join(
-        bytes([ci + 1, hv[ci][0] << 4 | hv[ci][1], 0]) for ci in range(nc)
-    )
-    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comps)
-    out += _seg(0xC4, _dht_body(0, 0, _DC_BITS, _DC_VALS))
-    out += _seg(0xC4, _dht_body(1, 0, _AC_BITS, _AC_VALS))
-    if restart_interval:
-        out += _seg(0xDD, struct.pack(">H", restart_interval))
-    out += _seg(
-        0xDA,
-        bytes([nc])
-        + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
-        + bytes([0, 63, 0]),
-    )
-
     # forward DCT + quantize BATCHED per component (one einsum over the
     # (nby, nbx, 8, 8) block view — the per-block numpy overhead was
     # the encoder's dominant cost, mirroring the decode-side fix)
@@ -609,6 +985,32 @@ def encode_jpeg(
             .tolist()  # python ints: the entropy loop reads 64 scalars
             # per block, and numpy-scalar indexing dominated it
         )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in quant))
+    comps = b"".join(
+        bytes([ci + 1, hv[ci][0] << 4 | hv[ci][1], 0]) for ci in range(nc)
+    )
+    out += _seg(
+        0xC2 if progressive else 0xC0,
+        struct.pack(">BHHB", 8, h, w, nc) + comps,
+    )
+    out += _seg(0xC4, _dht_body(0, 0, _DC_BITS, _DC_VALS))
+    out += _seg(0xC4, _dht_body(1, 0, _AC_BITS, _AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    if progressive:
+        out += _emit_progressive_scans(
+            zzq, hv, nc, w, h, hmax, vmax, mcx, mcy, dc_codes, ac_codes
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+    out += _seg(
+        0xDA,
+        bytes([nc])
+        + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+        + bytes([0, 63, 0]),
+    )
 
     wtr = _BitWriter()
     preds = [0] * nc

@@ -1455,6 +1455,53 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PROGRESSIVE twin of mm_decode_jpeg (round 12 — SOF2 with
+    successive approximation): the same DC-only 64x40 construction, but
+    encoded through the four-phase progressive scan script (DC first
+    at Al=1, per-band AC first — pure EOBRUN here, since every AC
+    coefficient is zero — DC refinement, AC refinement) and decoded by
+    the multi-scan coefficient-store path. The construction stays
+    integer-exact through the approximation passes ((dc >> 1) << 1
+    recombined with the refinement bit is dc, in two's complement), so
+    the SAME full-hash oracle applies: a decoder that mis-orders
+    refinement bits, mis-counts an EOBRUN, or mis-walks the
+    non-interleaved AC band hash-mismatches."""
+    from datafusion_loki_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_JPEG_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sv = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                blocks = np.frombuffer(
+                    bytes(b)[:_MM_JPEG_NEED], dtype=np.uint8
+                ).reshape(MM_JPEG_BY, MM_JPEG_BX)
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                w, h, arr = decode_jpeg(encode_jpeg(img, progressive=True))
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sv.append(int(arr[:, :, 0].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "width": ws, "height": hs, "sum_v": sv}
+                )
+
+    return media.mapInPandas(
+        kernel, "doc_id long, width int, height int, sum_v long"
+    )
+
+
 ORACLE_MM_DECODE_JPEG = f"""
 WITH m AS (
   SELECT doc_id, hex(encode(text)) AS hx
@@ -2228,6 +2275,7 @@ QUERIES = {
     "mm_decode_png_adam7": mm_decode_png_adam7,
     "mm_decode_png_palette": mm_decode_png_palette,
     "mm_decode_jpeg": mm_decode_jpeg,
+    "mm_decode_jpeg_progressive": mm_decode_jpeg_progressive,
     "mm_decode_gif": mm_decode_gif,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_bmp": mm_decode_bmp,
@@ -2250,6 +2298,8 @@ ORACLES = {
     "mm_decode_png_adam7": ORACLE_MM_DECODE_PNG,
     "mm_decode_png_palette": ORACLE_MM_DECODE_PNG_PALETTE,
     "mm_decode_jpeg": ORACLE_MM_DECODE_JPEG,
+    # the approximation passes recombine exactly; same oracle
+    "mm_decode_jpeg_progressive": ORACLE_MM_DECODE_JPEG,
     "mm_decode_gif": ORACLE_MM_DECODE_GIF,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,

@@ -124,9 +124,13 @@ def test_fail_loud_contract():
     good = encode_jpeg(g)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
-    # progressive SOF2: flip the SOF marker byte
+    # lossless SOF3 stays unsupported (progressive SOF2 decodes since
+    # round 12 — a baseline-shaped scan under it fails the progressive
+    # band validation instead)
     i = good.index(b"\xff\xc0")
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="supported"):
+        decode_jpeg(good[:i] + b"\xff\xc3" + good[i + 2 :])
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(good[:i] + b"\xff\xc2" + good[i + 2 :])
     # 16-bit DQT: flip Pq in the DQT segment header
     j = good.index(b"\xff\xdb")
@@ -143,6 +147,79 @@ def test_fail_loud_contract():
     bad[k + 4] = 12
     with pytest.raises(ValueError, match="precision"):
         decode_jpeg(bytes(bad))
+
+
+# --- progressive (SOF2, round 12) ---------------------------------------
+
+
+def test_progressive_equals_baseline_bit_for_bit():
+    # the invariant that keeps both sides of the successive-
+    # approximation protocol honest: the SAME quantized coefficients
+    # delivered across DC/AC first + refinement scans must reconstruct
+    # the IDENTICAL pixels the single baseline scan produces
+    rng = np.random.RandomState(6)
+    for shape, kw in [
+        ((24, 17), {}),
+        ((40, 33), {"quant": np.ones(64)}),
+        ((16, 16, 3), {"quant": np.ones(64)}),
+        ((19, 21, 3), {"quant": np.ones(64), "subsample": True}),
+        ((64, 40), {}),
+    ]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        b = decode_jpeg(encode_jpeg(img, **kw))[2]
+        p = decode_jpeg(encode_jpeg(img, progressive=True, **kw))[2]
+        assert (b == p).all(), (shape, kw)
+
+
+def test_progressive_dc_only_stays_integer_exact():
+    # the registry construction through the progressive script: the
+    # AC scans are pure EOBRUN (all zero), DC arrives as approx+refine,
+    # and the decode must still be EXACT (the full-hash oracle's bar)
+    v = (np.arange(40, dtype=np.uint8).reshape(5, 8) * 6 + 3)
+    img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+    w, h, out = decode_jpeg(encode_jpeg(img, progressive=True))
+    assert (w, h) == (64, 40)
+    assert (out[:, :, 0] == img).all()
+
+
+def test_progressive_malformed_scans_fail_loud():
+    g = np.full((8, 8), 50, dtype=np.uint8)
+    prog = encode_jpeg(g, progressive=True)
+    # a baseline-shaped (0..63) scan under SOF2 violates the DC band rule
+    base = encode_jpeg(g)
+    i = base.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(base[:i] + b"\xff\xc2" + base[i + 2 :])
+    # truncating mid-scans loses the EOI and/or entropy data
+    with pytest.raises(ValueError):
+        decode_jpeg(prog[:-6])
+    # encoder guard
+    with pytest.raises(ValueError, match="unsupported"):
+        encode_jpeg(g, progressive=True, restart_interval=2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    color=st.booleans(),
+    sub=st.booleans(),
+    q8=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_equals_baseline_property(w, h, color, sub, q8, seed):
+    # random content/geometry sweep: every EOBRUN shape, ZRL-in-
+    # refinement, correction-bit ordering, and band-edge case the
+    # emitters can produce must decode to the baseline pixels exactly
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    kw = {"quant": np.ones(64)} if q8 else {}
+    if color and sub:
+        kw["subsample"] = True
+    b = decode_jpeg(encode_jpeg(img, **kw))[2]
+    p = decode_jpeg(encode_jpeg(img, progressive=True, **kw))[2]
+    assert (b == p).all()
 
 
 @settings(max_examples=40, deadline=None)

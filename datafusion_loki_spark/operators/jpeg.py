@@ -924,6 +924,8 @@ def encode_jpeg(
         raise ValueError("quant entries must be in [1, 255]")
     if subsample and nc == 1:
         raise ValueError("subsample applies to color images only")
+    if subsample not in (False, True, "420", "422"):
+        raise ValueError(f"unknown subsample mode {subsample!r}")
 
     if nc == 3:
         f = arr.astype(np.float64)
@@ -936,7 +938,14 @@ def encode_jpeg(
     else:
         chans = [arr[:, :, 0].astype(np.float64)]
 
-    hv = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * nc
+    # subsample: True/"420" halves chroma on both axes, "422" only
+    # horizontally (luma (2,1) — the broadcast-TV sampling)
+    if not subsample:
+        hv = [(1, 1)] * nc
+    elif subsample == "422":
+        hv = [(2, 1), (1, 1), (1, 1)]
+    else:
+        hv = [(2, 2), (1, 1), (1, 1)]
     hmax = max(x for x, _ in hv[:nc])
     vmax = max(x for _, x in hv[:nc])
     mcx = -(-w // (8 * hmax))

@@ -108,6 +108,26 @@ def test_subsampled_chroma_upsamples_and_crops():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
 
 
+def test_422_sampling_roundtrip_and_progressive_parity():
+    # 4:2:2 (luma (2,1)): chroma halves horizontally only — gray
+    # content survives within color-space rounding, and the
+    # progressive script stays bit-identical to baseline on the
+    # asymmetric grid (non-interleaved AC bands differ per axis)
+    rng = np.random.RandomState(14)
+    g = rng.randint(0, 256, (19, 21), dtype=np.uint8)
+    img = np.stack([g, g, g], axis=-1)
+    _, _, out = decode_jpeg(
+        encode_jpeg(img, quant=np.ones(64), subsample="422")
+    )
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    c = rng.randint(0, 256, (17, 23, 3)).astype(np.uint8)
+    b = decode_jpeg(encode_jpeg(c, subsample="422"))[2]
+    p = decode_jpeg(encode_jpeg(c, subsample="422", progressive=True))[2]
+    assert (b == p).all()
+    with pytest.raises(ValueError, match="subsample mode"):
+        encode_jpeg(c, subsample="411")
+
+
 def test_restart_markers_do_not_change_pixels():
     rng = np.random.RandomState(4)
     g = rng.randint(0, 256, (24, 40), dtype=np.uint8)
@@ -254,9 +274,11 @@ def test_color_smooth_roundtrip_bound(w, h, seed, sub):
     # LINEAR gradient reconstructs within the chroma step size)
     rng = np.random.RandomState(seed)
     xx, yy = np.meshgrid(np.arange(w), np.arange(h))
-    base = (xx * 2 + yy * 3 + int(rng.randint(0, 64))) % 200
+    # clip, never wrap: a modulo gradient has 200->0 cliffs that are
+    # NOT smooth — chroma box-averaging across one blows any bound
+    base = np.clip(xx * 2 + yy * 3 + int(rng.randint(0, 64)), 0, 195)
     img = np.stack(
-        [base, (base + 20) % 200, (base + 40) % 200], axis=-1
+        [base, base + 20, base + 40], axis=-1
     ).astype(np.uint8)
     _, _, out = decode_jpeg(
         encode_jpeg(img, quant=np.ones(64), subsample=sub)

@@ -102,6 +102,11 @@ _R12_PINNED: tuple[str, ...] = (
     # DC/AC first + refinement scans, EOBRUN, multi-scan coefficient
     # store); the DC-only construction recombines exactly, same oracle
     "mm_decode_jpeg_progressive",
+    # NEW in r12: the corpus-QA admission gate — all five formats
+    # through the decode_image dispatch with planted truncation; the
+    # fail-LOUD contract end-to-end, oracle from construction
+    # arithmetic alone
+    "mm_decode_validate",
     # CHANGED in r12: positional winnowing segments per DIAGONAL
     # (pos_b - pos_a), retiring the round-11 "b-side bounding box"
     # approximation — both extents exact per verbatim copy, one span

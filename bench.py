@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     # the progressive JPEG path: 2 + 2*nc entropy scans per item
     # through the multi-scan coefficient store
     "mm_decode_jpeg_progressive",
+    # the admission gate: all five formats through the dispatch with
+    # planted corruption (the whole family's per-item cost in one row)
+    "mm_decode_validate",
 ]
 
 

@@ -162,6 +162,7 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list:
     width = min_code + 1
     next_code = end + 1
     prev = None
+    final_bump = False  # did the LAST iteration's assignment grow width?
 
     def reset():
         nonlocal table, width, next_code, prev
@@ -173,6 +174,7 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list:
     reset()
     while len(out) < expect:
         code = read(width)
+        final_bump = False
         if code == clear:
             reset()
             continue
@@ -196,7 +198,48 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list:
             next_code += 1
             if next_code == (1 << width) and width < 12:
                 width += 1
+                final_bump = True
         prev = entry
+    # the final dictionary entry can overshoot the pixel count, and a
+    # malformed stream can carry entropy data past it — both must
+    # surface HERE as the decoder's documented loud error, not later as
+    # an opaque numpy reshape failure (round-12 ADVICE)
+    if len(out) != expect:
+        raise ValueError(
+            f"GIF LZW produced {len(out)} pixels, expected {expect}"
+        )
+    # terminator check: the next code must be END. One genuine width
+    # ambiguity exists at this position only — if the FINAL table
+    # assignment landed exactly on 2^width, decoders that grow the read
+    # width on "next code to assign reaches capacity" (ours) expect END
+    # at width+1 while encoders that grow on "assigned code needs more
+    # bits" (ours, and common in the wild) emit it at the old width.
+    # Both conventions round-trip identically on every DATA code (the
+    # decoder's table lags the encoder's by one assignment), so accept
+    # END under either width — but ONLY when the final assignment
+    # actually grew the width; anything else is trailing garbage.
+    def _terminates(w, a, nb, q):
+        while True:
+            while nb < w:
+                if q >= len(data):
+                    return False  # truncated before any terminator
+                a |= data[q] << nb
+                nb += 8
+                q += 1
+            code = a & ((1 << w) - 1)
+            a >>= w
+            nb -= w
+            if code == clear:  # a trailing CLEAR resets the read width
+                w = min_code + 1
+                continue
+            return code == end
+
+    widths = {width, width - 1} if final_bump else {width}
+    if not any(_terminates(w, acc, nbits, p) for w in widths):
+        raise ValueError(
+            f"GIF LZW stream continues past the {expect}-pixel image"
+            " (no END code at the data boundary)"
+        )
     return out
 
 

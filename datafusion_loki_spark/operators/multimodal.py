@@ -650,12 +650,13 @@ def decode_png(payload: bytes):
 
 def decode_image(payload: bytes):
     """REAL decode dispatch. Codec-free formats decode with the pure-
-    numpy parsers above; the two compressed formats production corpora
-    actually ship — PNG (pure stdlib zlib + numpy unfilter, all
-    supported layouts incl. palette/grayscale/Adam7) and baseline JPEG
-    (pure-python Huffman + numpy IDCT, operators/jpeg.py) — decode
-    without any codec library. Everything else (GIF, WebP, progressive
-    JPEG, ...) still needs PIL: the clearly-marked loud gate, the
+    numpy parsers above; the compressed formats production corpora
+    actually ship decode without any codec library — PNG (pure stdlib
+    zlib + numpy unfilter, all supported layouts incl. palette/
+    grayscale/Adam7), baseline AND progressive JPEG (pure-python
+    Huffman + numpy IDCT, operators/jpeg.py), and GIF87a/89a (variable-
+    width LZW, operators/gif.py). Only genuinely PIL-gated formats
+    (WebP, TIFF, AVIF, ...) hit the clearly-marked loud gate — the
     swap-in point for PIL/libvips on a real cluster."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)[2]

@@ -1318,8 +1318,20 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     )
     # a fresh index has no manifest and resolves to the flat root; a
     # REBUILD over a retrained index overwrites its current snapshot
-    # in place (build is the from-scratch verb, not a new generation)
-    _write_index(assigned, cents, resolve_index_base(spark, index_dir))
+    # in place (build is the from-scratch verb, not a new generation).
+    # Build-is-from-scratch also means the snapshot's MAINTENANCE state
+    # dies with the old contents: stale tombstones would hide freshly
+    # built rows whose (cluster_id, vec_id, gen) keys still match, and
+    # stale ingest generations would resurrect rows the rebuild never
+    # saw (round-12 ADVICE). Delete them FIRST — a crash mid-build then
+    # leaves a partial clean-slate snapshot a re-run repairs, never a
+    # new index haunted by the old one's deletes.
+    base_dir = resolve_index_base(spark, index_dir)
+    for stale in ("tombstones.parquet", "members_ingest.parquet"):
+        _, fs, jpath = _index_fs(spark, f"{base_dir}/{stale}")
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+    _write_index(assigned, cents, base_dir)
 
 
 def _write_index(assigned: DataFrame, cents: DataFrame, base_dir: str):

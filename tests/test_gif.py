@@ -112,3 +112,39 @@ def test_gif_roundtrip_property(w, h, npal_log, interlace, trans, seed):
     if t is not None:
         assert out.shape[2] == 4
         assert (out[:, :, 3] == np.where(ix == t, 0, 255)).all()
+
+
+def test_lzw_trailing_data_and_overshoot_fail_loud():
+    # round-12 ADVICE: excess entropy data past the expected pixel
+    # count must surface as the decoder's descriptive error, never a
+    # downstream numpy reshape failure, and the stream must terminate
+    # with an END code at the data boundary
+    enc = _lzw_encode([1, 2, 3] * 3, 2)
+    with pytest.raises(ValueError, match="continues past"):
+        _lzw_decode(enc, 2, 5)  # stream carries 9 pixels
+    # a final dictionary entry that overshoots expect is also loud:
+    # AAAA... makes the last entry multi-symbol, so asking for a count
+    # that lands mid-entry trips the exact-count check
+    enc2 = _lzw_encode([1] * 10, 2)
+    with pytest.raises(ValueError, match="produced|continues past"):
+        _lzw_decode(enc2, 2, 9)
+    # and a full decode of both streams still round-trips
+    assert _lzw_decode(enc, 2, 9) == [1, 2, 3] * 3
+    assert _lzw_decode(enc2, 2, 10) == [1] * 10
+
+
+def test_gif_with_trailing_entropy_garbage_fails_loud():
+    # splice extra LZW data into a valid single-image stream: the
+    # decoder must reject it at the LZW layer with its own message
+    idx = np.arange(16).reshape(4, 4) % 4
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]])
+    good = encode_gif(idx, pal)
+    lzw_good = _lzw_encode(idx.reshape(-1), 2)
+    lzw_long = _lzw_encode(list(idx.reshape(-1)) + [1, 2, 3, 0], 2)
+    assert good.count(bytes([len(lzw_good)]) + lzw_good) == 1
+    bad = good.replace(
+        bytes([len(lzw_good)]) + lzw_good,
+        bytes([len(lzw_long)]) + lzw_long,
+    )
+    with pytest.raises(ValueError, match="produced|continues past"):
+        decode_gif(bad)

@@ -232,3 +232,49 @@ def test_resolution_is_idempotent(spark, tmp_path):
     # internal helpers can accept either form (ivf_members_versioned is
     # called with both index_dir and pre-resolved base dirs)
     assert resolve_index_base(spark, base) == base
+
+
+def test_rebuild_over_maintained_index_yields_clean_snapshot(
+    spark, tmp_path
+):
+    """build is the from-scratch verb (round-12 ADVICE): rebuilding over
+    a maintained snapshot must also clear its tombstones and streamed
+    generations — a stale tombstone whose (cluster_id, vec_id, gen) key
+    matches a freshly built row would silently hide it, and a stale
+    ingest generation would resurrect rows the rebuild never saw."""
+    from datafusion_loki_spark.streaming import pipeline
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    p_fresh = _probe(spark, index_dir)
+    retrain_ivf_index(spark, index_dir)
+    base = resolve_index_base(spark, index_dir)
+    # maintain the snapshot: a streamed generation + a base-row delete
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pipeline._ivf_ingest_batch_fn(index_dir)(
+        emb.select(
+            (F.col("vec_id") + 2 * IVF_APPEND_OFFSET).alias("vec_id"),
+            "embedding",
+        ),
+        0,
+    )
+    delete_ivf_index(
+        spark, index_dir, spark.createDataFrame([(0,)], "vec_id long")
+    )
+    assert os.path.exists(f"{base}/tombstones.parquet")
+    assert os.path.exists(f"{base}/members_ingest.parquet")
+    # REBUILD: the maintenance state dies with the old contents
+    build_ivf_index(spark, SF, index_dir)
+    assert resolve_index_base(spark, index_dir) == base
+    assert not os.path.exists(f"{base}/tombstones.parquet")
+    assert not os.path.exists(f"{base}/members_ingest.parquet")
+    live_ids = {
+        r.vec_id
+        for r in pipeline.ivf_members(spark, index_dir)
+        .select("vec_id")
+        .collect()
+    }
+    assert 0 in live_ids                                # un-hidden
+    assert (2 * IVF_APPEND_OFFSET + 3) not in live_ids  # gen gone
+    # and the read path answers exactly like a fresh build
+    assert _probe(spark, index_dir) == p_fresh

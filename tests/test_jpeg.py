@@ -11,7 +11,7 @@ import struct
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from datafusion_loki_spark.operators.jpeg import (
     _ZZ_FLAT,
@@ -63,12 +63,15 @@ def test_known_coefficients_match_reference_idct():
     coef[7, 7] = 9.0
     ref = np.clip(np.round(_ref_idct(coef) + 128.0), 0, 255)
     # encode the reference image losslessly enough (quant=1) and check
-    # the decoder reproduces it within rounding of the two pipelines
+    # the decoder reproduces it within rounding of the two pipelines.
+    # <= 1 here is an EMPIRICAL pin for these FIXED inputs (deterministic
+    # seeds — the assert can never flake); the provable any-content bound
+    # is <= 3 (derivation at test_gray_quant1_roundtrip_bound).
     w, h, out = decode_jpeg(
         encode_jpeg(ref.astype(np.uint8), quant=np.ones(64))
     )
     assert np.abs(out[:, :, 0].astype(int) - ref.astype(int)).max() <= 1
-    # also check several random smooth blocks
+    # also check several random smooth blocks (same fixed-seed caveat)
     for _ in range(5):
         c2 = np.zeros((8, 8))
         c2[:3, :3] = rng.randint(-50, 50, (3, 3))
@@ -243,6 +246,7 @@ def test_progressive_equals_baseline_property(w, h, color, sub, q8, seed):
 
 
 @settings(max_examples=40, deadline=None)
+@example(w=10, h=10, seed=16, dri=0)  # round-12 falsifier of the old <=1 claim
 @given(
     w=st.integers(1, 40),
     h=st.integers(1, 40),
@@ -250,15 +254,25 @@ def test_progressive_equals_baseline_property(w, h, color, sub, q8, seed):
     dri=st.sampled_from([0, 0, 3]),
 )
 def test_gray_quant1_roundtrip_bound(w, h, seed, dri):
-    # quant=1 leaves only fDCT/IDCT float rounding: error <= 1 for any
-    # content, any geometry (odd sizes exercise MCU padding + crop)
+    # quant=1 does NOT make the pipeline lossless: quantization still
+    # rounds each of the 64 float DCT coefficients by up to 0.5, and the
+    # IDCT (separable, 2-D gain = 1-D gain squared over the /4 norm)
+    # amplifies coefficient L-inf error by at most
+    #   S^2 / 4, where S = max_x sum_u c_u |cos((2x+1)u*pi/16)| = 5.2837
+    #   (c_0 = 1/sqrt2, c_u = 1 otherwise; the sum is identical for all
+    #   eight x by the cosine half-sample symmetry)
+    # so the pixel-space error is <= 0.5 * 5.2837^2 / 4 = 3.490, plus 0.5
+    # for the final round-to-integer: 3.99 -> integer error <= 3 for ANY
+    # content, any geometry (odd sizes exercise MCU padding + crop).
+    # <=1 was a round-12 overclaim; hypothesis found error 2 at the
+    # pinned @example above.
     rng = np.random.RandomState(seed)
     g = rng.randint(0, 256, (h, w)).astype(np.uint8)
     gw, gh, out = decode_jpeg(
         encode_jpeg(g, quant=np.ones(64), restart_interval=dri)
     )
     assert (gw, gh) == (w, h)
-    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 3
 
 
 @settings(max_examples=20, deadline=None)

@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale slots):
 #
 #   1. entries NEW or CHANGED this round lead (hand-pinned in
-#      _R12_PINNED — their plans and output must re-earn a driver row);
+#      _R13_PINNED — their plans and output must re-earn a driver row);
 #   2. the rest of the window is DERIVED from the committed
 #      CORRECTNESS_r*.json files: never-green entries first (never
 #      checked, or checked red), then ascending latest-green round,
@@ -54,65 +54,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # test_unchecked_queries_lead_the_window (never-checked entries must sit
 # in the prefix) and test_correctness_window_is_pinned (prefix ==
 # _WINDOW_PRIORITY, staleness ordering holds).
-_R12_PINNED: tuple[str, ...] = (
-    # --- new/changed in round 12 (hand-pinned ahead of the derived
+_R13_PINNED: tuple[str, ...] = (
+    # --- new/changed in round 13 (hand-pinned ahead of the derived
     # staleness tail; everything else is computed) ---
-    # NEW in r12: the whole-index snapshot protocol's registry face —
-    # build -> retrain (atomic index-manifest commit) -> append +
-    # delete resolving INTO the committed base-v snapshot -> query
-    # through it; oracle = the delete oracle (no-change refit is
-    # value-identical to the build)
+    # CHANGED in r13: the BPE oracle is decoupled from the merge budget
+    # (round-12 Next #2). text_bpe_vocab + the OOV face now run/replay
+    # the BPE_PREFIX_ITERS prefix (4 rounds at the new BATCH=256), and
+    # text_tokenize_bpe trains the FULL 24x256=6144 budget with its
+    # oracle verifying the APPLY phase against the staged vocab
+    # artifact (corpus-fingerprint-keyed parquet under the scratch
+    # root) — all three outputs changed with the batch width
+    "text_bpe_vocab",
+    "text_tokenize_bpe",
+    "text_tokenize_bpe_oov",
+    # NEW in r13: animated GIF — three frames with mixed disposal
+    # methods (none / restore-previous), frame transparency, a local
+    # color table, interlace, and a NETSCAPE loop block; one oracle row
+    # per composited canvas frame (round-12 Next #5)
+    "mm_decode_gif_frames",
+    # CHANGED in r13: GIF LZW decode now fail-louds on pixel-count
+    # overshoot and verifies the END terminator at the data boundary
+    # (round-12 ADVICE) — same output, changed decode path: re-earn
+    "mm_decode_gif",
+    # CHANGED in r13: the decode admission gate is now CONSUMED —
+    # mm_dedup_keep_list gained top-precedence 'undecodable' status
+    # (round-12 Next #6), and the new funnel rolls it up
+    "mm_dedup_keep_list",
+    "mm_pipeline_funnel",
+    # CHANGED in r13: build_ivf_index clears stale tombstones/ingest
+    # generations when rebuilding over a maintained snapshot (round-12
+    # ADVICE), and query_ivf_index wraps its resolve->scan in one
+    # bounded retry on missing-path failures (round-12 Next #3) — every
+    # lifecycle face routes through one or both: re-earn
     "sim_ivf_snapshot_reads",
-    # CHANGED in r12: retrain now commits copy-on-write through
-    # index-manifest-v{M} (the round-11 honest limit — a reader between
-    # the centroid/member overwrites saw a mixed state — is closed);
-    # the other three lifecycle entries now RESOLVE the base dir
-    # through the manifest on every verb (identical behavior and plans
-    # for never-retrained dirs, but the read path changed — re-earn)
     "sim_ivf_index_retrain",
     "sim_ivf_index_topk",
     "sim_ivf_index_append",
     "sim_ivf_index_delete",
-    # CHANGED in r12: decode_png's post-inflate validation now rejects
-    # trailing garbage after the zlib stream end (dec.unused_data —
-    # round-11 ADVICE)
-    "mm_decode_png",
-    # NEW in r12: the packed-layout decode face — depth-4 PALETTE PNG
-    # with PLTE + tRNS through the extended real parser (grayscale/
-    # palette at depths 1/2/4/8); oracle replays the two-level
-    # pixel->index->palette lookup from hex bytes
-    "mm_decode_png_palette",
-    # NEW in r12: Adam7 interlace — per-pass filtered sub-images,
-    # geometry walk + scatter; same oracle as mm_decode_png (interlace
-    # is transport, pixels must be identical)
-    "mm_decode_png_adam7",
-    # NEW in r12: REAL baseline JPEG (pure-python Huffman + numpy
-    # IDCT, operators/jpeg.py); the registry face is the DC-only
-    # integer-exact construction so the lossy format carries a
-    # full-hash oracle (64 * byte sum from hex)
-    "mm_decode_jpeg",
-    # NEW in r12: REAL GIF (variable-width LSB-first LZW with
-    # dictionary growth/reset + 4-pass interlace, operators/gif.py);
-    # lossless, so the palette-PNG two-level hex oracle applies
-    "mm_decode_gif",
-    # NEW in r12: 16-bit grayscale PNG to uint16 (big-endian samples,
-    # bpp=2 filter lanes); oracle sums 256*hi+lo from hex bytes
-    "mm_decode_png16",
-    # NEW in r12: PROGRESSIVE JPEG (SOF2 — successive approximation,
-    # DC/AC first + refinement scans, EOBRUN, multi-scan coefficient
-    # store); the DC-only construction recombines exactly, same oracle
-    "mm_decode_jpeg_progressive",
-    # NEW in r12: the corpus-QA admission gate — all five formats
-    # through the decode_image dispatch with planted truncation; the
-    # fail-LOUD contract end-to-end, oracle from construction
-    # arithmetic alone
-    "mm_decode_validate",
-    # CHANGED in r12: positional winnowing segments per DIAGONAL
-    # (pos_b - pos_a), retiring the round-11 "b-side bounding box"
-    # approximation — both extents exact per verbatim copy, one span
-    # per copy; the cleaned-corpus consumer inherits the exact extents
-    "dedup_winnow_spans",
-    "text_remove_winnow_spans",
 )
 
 _WINDOW_SIZE = 50
@@ -167,14 +145,14 @@ def _window_priority(
     if latest is None:
         latest = _latest_green_round()
     order = {n: i for i, n in enumerate(registered)}
-    unknown = [n for n in _R12_PINNED if n not in order]
+    unknown = [n for n in _R13_PINNED if n not in order]
     if unknown:
         raise KeyError(
-            f"_R12_PINNED names not in the registry (typo?): {unknown}"
+            f"_R13_PINNED names not in the registry (typo?): {unknown}"
         )
-    pinned = list(_R12_PINNED)
+    pinned = list(_R13_PINNED)
     tail = sorted(
-        (n for n in registered if n not in _R12_PINNED),
+        (n for n in registered if n not in _R13_PINNED),
         key=lambda n: (latest.get(n, -1), order[n]),
     )
     return tuple((pinned + tail)[:_WINDOW_SIZE])

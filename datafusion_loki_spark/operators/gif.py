@@ -35,16 +35,14 @@ def _interlace_order(h: int) -> list:
     return rows
 
 
-def decode_gif(payload: bytes):
-    """Decode the first image of a GIF. Returns (width, height, uint8
-    ndarray): (h, w, 3) RGB, or (h, w, 4) RGBA when the preceding
-    Graphic Control Extension declares a transparent index. Loud
-    ValueError on malformed streams."""
+def _parse_screen(payload: bytes):
+    """Header + logical screen descriptor + optional global color
+    table. Returns (sw, sh, bg_index, gct_or_None, pos)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (signature missing)")
     if len(payload) < 13:
         raise ValueError("GIF logical screen descriptor truncated")
-    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None
     if packed & 0x80:
@@ -54,30 +52,16 @@ def decode_gif(payload: bytes):
             raise ValueError("GIF global color table truncated")
         gct = gct.reshape(n, 3)
         pos += 3 * n
-    transparent = None
-    while True:
-        if pos >= len(payload):
-            raise ValueError("GIF ends without an image or trailer")
-        b = payload[pos]
-        pos += 1
-        if b == 0x3B:  # trailer
-            raise ValueError("GIF has no image data")
-        if b == 0x21:  # extension
-            if pos >= len(payload):
-                raise ValueError("GIF extension truncated")
-            label = payload[pos]
-            pos += 1
-            blocks, pos = _sub_blocks(payload, pos)
-            if label == 0xF9 and len(blocks) >= 4:  # GCE
-                if blocks[0] & 0x01:
-                    transparent = blocks[3]
-            continue
-        if b != 0x2C:
-            raise ValueError(f"unexpected GIF block 0x{b:02x}")
-        break
+    return sw, sh, bg, gct, pos
+
+
+def _parse_image(payload: bytes, pos: int, gct):
+    """One image block (descriptor at payload[pos:], AFTER the 0x2C
+    introducer): local color table, LZW data, de-interlace. Returns
+    (lx, ty, w, h, index grid (h, w) int64, color table, pos_after)."""
     if pos + 9 > len(payload):
         raise ValueError("GIF image descriptor truncated")
-    _lx, _ty, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+    lx, ty, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
     pos += 9
     if w == 0 or h == 0:
         raise ValueError("malformed GIF dimensions")
@@ -110,11 +94,122 @@ def decode_gif(payload: bytes):
         out = np.zeros((h, w), dtype=np.int64)
         out[_interlace_order(h)] = grid
         grid = out
+    return lx, ty, w, h, grid, ct, pos
+
+
+def decode_gif(payload: bytes):
+    """Decode the first image of a GIF. Returns (width, height, uint8
+    ndarray): (h, w, 3) RGB, or (h, w, 4) RGBA when the preceding
+    Graphic Control Extension declares a transparent index. Loud
+    ValueError on malformed streams. (decode_gif_frames walks EVERY
+    frame with disposal compositing — this single-image face stays the
+    registry twin's contract.)"""
+    _sw, _sh, _bg, gct, pos = _parse_screen(payload)
+    transparent = None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ends without an image or trailer")
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            raise ValueError("GIF has no image data")
+        if b == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("GIF extension truncated")
+            label = payload[pos]
+            pos += 1
+            blocks, pos = _sub_blocks(payload, pos)
+            if label == 0xF9 and len(blocks) >= 4:  # GCE
+                if blocks[0] & 0x01:
+                    transparent = blocks[3]
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        break
+    _lx, _ty, w, h, grid, ct, _pos = _parse_image(payload, pos, gct)
     rgb = ct[grid]
     if transparent is None:
         return w, h, rgb.astype(np.uint8)
     alpha = np.where(grid == transparent, 0, 255).astype(np.uint8)
     return w, h, np.dstack([rgb.astype(np.uint8), alpha])
+
+
+def decode_gif_frames(payload: bytes):
+    """Decode EVERY frame of an animated GIF, composited onto the
+    logical-screen canvas per the GIF89a disposal protocol (round-12
+    verdict Next #5 — the first-image-only gap). Returns (sw, sh,
+    [canvas_0, canvas_1, ...]) where each canvas is the (sh, sw, 3)
+    uint8 RGB state of the screen AFTER that frame renders — the
+    deliverable of an animation decoder.
+
+    Spec-literal semantics (GIF89a section 23; this is the 'restore to
+    background COLOR' reading, not the browser clear-to-transparent
+    variant — output is RGB, there is no canvas alpha):
+
+    - the canvas initializes to the background color (GCT[bg]);
+    - a frame draws its rectangle at (left, top), skipping pixels equal
+      to its GCE transparent index (the canvas shows through);
+    - disposal 0/1 (none): the drawn state persists;
+    - disposal 2 (background): after rendering, the frame's RECTANGLE
+      is restored to the background color before the next frame;
+    - disposal 3 (previous): after rendering, the frame's rectangle is
+      restored to the canvas state from before this frame drew.
+
+    Unknown extensions (NETSCAPE loop blocks, comments, plain text)
+    are skipped by sub-block framing; a GCE applies to exactly the next
+    image (reset after). Loud ValueError on malformed streams, frames
+    escaping the logical screen, or disposal 2 without a global color
+    table (no background color exists to restore)."""
+    sw, sh, bg, gct, pos = _parse_screen(payload)
+    if gct is None:
+        raise ValueError("animated GIF compositing needs a global color table")
+    if bg >= gct.shape[0]:
+        raise ValueError(f"GIF background index {bg} outside color table")
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = gct[bg]
+    frames = []
+    disposal, transparent = 0, None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ends without a trailer")
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("GIF extension truncated")
+            label = payload[pos]
+            pos += 1
+            blocks, pos = _sub_blocks(payload, pos)
+            if label == 0xF9 and len(blocks) >= 4:  # GCE
+                disposal = (blocks[0] >> 2) & 0x07
+                transparent = blocks[3] if blocks[0] & 0x01 else None
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        lx, ty, w, h, grid, ct, pos = _parse_image(payload, pos, gct)
+        if lx + w > sw or ty + h > sh:
+            raise ValueError(
+                f"GIF frame {len(frames)} rect ({lx},{ty},{w},{h})"
+                f" escapes the {sw}x{sh} logical screen"
+            )
+        before = canvas[ty : ty + h, lx : lx + w].copy()
+        region = canvas[ty : ty + h, lx : lx + w]
+        if transparent is None:
+            region[:, :] = ct[grid]
+        else:
+            draw = grid != transparent
+            region[draw] = ct[grid[draw]]
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[ty : ty + h, lx : lx + w] = gct[bg]
+        elif disposal == 3:
+            canvas[ty : ty + h, lx : lx + w] = before
+        disposal, transparent = 0, None  # a GCE scopes to ONE image
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return sw, sh, frames
 
 
 def _sub_blocks(payload: bytes, pos: int):
@@ -302,6 +397,95 @@ def _lzw_encode(indices, min_code: int) -> bytes:
     return bytes(out)
 
 
+def _palette_ok(pal) -> np.ndarray:
+    pal = np.asarray(pal, dtype=np.uint8).reshape(-1, 3)
+    n = pal.shape[0]
+    if n < 2 or n > 256 or n & (n - 1):
+        raise ValueError(f"palette size {n} must be a power of two in 2..256")
+    return pal
+
+
+def _image_block(idx, pal_n: int, lx: int, ty: int, interlace: bool,
+                 local_pal=None) -> bytes:
+    """Image descriptor + optional local color table + LZW data stream
+    for one frame — shared by the single- and multi-frame writers."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if idx.ndim != 2:
+        raise ValueError(f"frame needs (h, w) indices, got {idx.shape}")
+    n = pal_n if local_pal is None else local_pal.shape[0]
+    if int(idx.max(initial=0)) >= n or int(idx.min(initial=0)) < 0:
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    ipacked = 0x40 if interlace else 0x00
+    out = bytearray()
+    if local_pal is not None:
+        ipacked |= 0x80 | (local_pal.shape[0].bit_length() - 2)
+    out += struct.pack("<BHHHHB", 0x2C, lx, ty, w, h, ipacked)
+    if local_pal is not None:
+        out += local_pal.tobytes()
+    seq = idx[_interlace_order(h)] if interlace else idx
+    bits = max(2, n.bit_length() - 1)  # LZW minimum code size (>= 2)
+    out.append(bits)
+    lzw = _lzw_encode(seq.reshape(-1), bits)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
+def encode_gif_frames(
+    frames,
+    palette,
+    sw: "int | None" = None,
+    sh: "int | None" = None,
+    bg: int = 0,
+    loop: bool = False,
+) -> bytes:
+    """GIF89a ANIMATION writer (decode_gif_frames' test/registry input
+    twin). ``frames`` is a list of dicts: ``idx`` (h, w) palette
+    indices (required); optional ``pos`` (lx, ty) default (0, 0),
+    ``disposal`` 0..3, ``transparent`` index, ``local_palette`` (its
+    own power-of-two color table), ``interlace``. The logical screen
+    defaults to the first frame's extent; ``loop`` emits the NETSCAPE
+    2.0 application extension (decoders must skip it)."""
+    pal = _palette_ok(palette)
+    n = pal.shape[0]
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    f0 = np.asarray(frames[0]["idx"])
+    if sw is None or sh is None:
+        lx0, ty0 = frames[0].get("pos", (0, 0))
+        sh_, sw_ = f0.shape
+        sw, sh = lx0 + sw_, ty0 + sh_
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (n.bit_length() - 2), bg, 0)
+    out += pal.tobytes()
+    if loop:  # NETSCAPE 2.0 looping block (app extension, sub-block framed)
+        out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+        out += bytes([3, 1, 0, 0, 0])  # loop count 0 = forever
+    for f in frames:
+        disposal = int(f.get("disposal", 0))
+        transparent = f.get("transparent")
+        if disposal or transparent is not None:
+            flags = (disposal & 0x07) << 2
+            if transparent is not None:
+                flags |= 0x01
+            out += bytes(
+                [0x21, 0xF9, 4, flags, 0, 0, int(transparent or 0), 0]
+            )
+        lpal = f.get("local_palette")
+        if lpal is not None:
+            lpal = _palette_ok(lpal)
+        lx, ty = f.get("pos", (0, 0))
+        out += _image_block(
+            f["idx"], n, lx, ty, bool(f.get("interlace", False)), lpal
+        )
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
 def encode_gif(
     idx,
     palette,
@@ -312,31 +496,16 @@ def encode_gif(
     table (n a power of two, 2..256). Optional transparent index (via
     a GCE block) and interlace."""
     idx = np.asarray(idx, dtype=np.int64)
-    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
     if idx.ndim != 2:
         raise ValueError(f"encode_gif needs (h, w) indices, got {idx.shape}")
+    pal = _palette_ok(palette)
     n = pal.shape[0]
-    if n < 2 or n > 256 or n & (n - 1):
-        raise ValueError(f"palette size {n} must be a power of two in 2..256")
-    if int(idx.max(initial=0)) >= n or int(idx.min(initial=0)) < 0:
-        raise ValueError("palette index out of range")
     h, w = idx.shape
-    bits = max(2, n.bit_length() - 1)  # LZW minimum code size (>= 2)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (n.bit_length() - 2), 0, 0)
     out += pal.tobytes()
     if transparent is not None:
         out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, int(transparent), 0])
-    out += struct.pack(
-        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0x00
-    )
-    seq = idx[_interlace_order(h)] if interlace else idx
-    out.append(bits)
-    lzw = _lzw_encode(seq.reshape(-1), bits)
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out.append(0)  # block terminator
+    out += _image_block(idx, n, 0, 0, interlace)
     out.append(0x3B)  # trailer
     return bytes(out)

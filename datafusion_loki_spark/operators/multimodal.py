@@ -1755,6 +1755,180 @@ FROM m
 """
 
 
+# --- animated GIF (round 13: the first-image-only gap, verdict Next #5) ------
+#
+# Construction layout over the payload bytes:
+#   [0, 48)    16-entry global color table (the local table is its
+#              REVERSE, so the local-palette path is value-distinct)
+#   [48, 83)   frame 0: full 7x5 canvas indices (mod 16), INTERLACED,
+#              disposal 1 (none)
+#   [83, 98)   frame 1: 5x3 rect at (1,1), transparent index 0,
+#              disposal 3 (restore previous)
+#   [98, 114)  frame 2: 4x4 rect at (2,0), transparent index 0,
+#              LOCAL color table (reversed), disposal 0
+# plus a NETSCAPE loop block the decoder must skip. The composited
+# canvases are exactly replayable from hex: frame 1 shows frame 0
+# through its transparent pixels; frame 1's disposal-3 restore means
+# frame 2 ALSO composites over frame 0 (not over frame 1) — an oracle
+# row per (doc, frame) pins the whole disposal protocol.
+_MM_GIFA_NEED = 48 + _MM_PAL_PIX + 15 + 16
+
+
+def mm_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode in the registry: three frames with
+    mixed disposal methods (none / restore-previous), frame-level
+    transparency, a local color table, interlace on the base frame, and
+    a NETSCAPE loop block — encoded by encode_gif_frames and decoded by
+    decode_gif_frames' spec-literal compositing walk (operators/gif.py).
+    Emits one row per (doc, frame): integer-exact per-channel sums of
+    the COMPOSITED 7x5 canvas after that frame renders. The oracle
+    recomputes every canvas from the payload hex (module comment above
+    for the layout), so a wrong disposal restore, a transparency leak,
+    a local-table mixup, or a skipped/mangled extension block
+    hash-mismatches on a specific frame row.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, narrow output columns
+    (3 rows per item, bounded), no shuffle after the scan."""
+    from datafusion_loki_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_GIFA_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fks, sr, sg, sb = [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_GIFA_NEED]
+                pal = np.frombuffer(raw[:48], dtype=np.uint8).reshape(16, 3)
+                f0 = (
+                    np.frombuffer(raw[48:83], dtype=np.uint8)
+                    % MM_PAL_ENTRIES
+                ).reshape(MM_PAL_H, MM_PAL_W)
+                f1 = (
+                    np.frombuffer(raw[83:98], dtype=np.uint8)
+                    % MM_PAL_ENTRIES
+                ).reshape(3, 5)
+                f2 = (
+                    np.frombuffer(raw[98:114], dtype=np.uint8)
+                    % MM_PAL_ENTRIES
+                ).reshape(4, 4)
+                gif = encode_gif_frames(
+                    [
+                        {"idx": f0, "interlace": True, "disposal": 1},
+                        {
+                            "idx": f1,
+                            "pos": (1, 1),
+                            "transparent": 0,
+                            "disposal": 3,
+                        },
+                        {
+                            "idx": f2,
+                            "pos": (2, 0),
+                            "transparent": 0,
+                            "local_palette": pal[::-1].copy(),
+                        },
+                    ],
+                    pal,
+                    loop=True,
+                )
+                _sw, _sh, frames = decode_gif_frames(gif)
+                for k, fr in enumerate(frames):
+                    ids.append(int(did))
+                    fks.append(k)
+                    sr.append(int(fr[:, :, 0].sum(dtype="int64")))
+                    sg.append(int(fr[:, :, 1].sum(dtype="int64")))
+                    sb.append(int(fr[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "frame_idx": fks,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, frame_idx int, sum_r long, sum_g long, sum_b long",
+    )
+
+
+def _gifa_channel_sum_duck(ch: int, frame: int) -> str:
+    """DuckDB expression: per-channel sum of the composited 7x5 canvas
+    after ``frame`` renders (the construction in the module comment).
+    Canvas pixel i (x = i % 7, y = i // 7); frame-0 value = the global
+    palette lookup of the base index; frames 1/2 override inside their
+    rect where their index is non-zero (0 = transparent), frame 2
+    through the REVERSED local table and over frame 0's canvas (frame
+    1's disposal-3 restore)."""
+    base = _hexpair_duck(
+        f"3 * ({_hexpair_duck('48 + i')} % {MM_PAL_ENTRIES}) + {ch}"
+    )
+    if frame == 0:
+        px = base
+    elif frame == 1:
+        idx1 = (
+            f"({_hexpair_duck('83 + ((i // 7) - 1) * 5 + ((i % 7) - 1)')}"
+            f" % {MM_PAL_ENTRIES})"
+        )
+        px = (
+            f"CASE WHEN (i % 7) BETWEEN 1 AND 5"
+            f" AND (i // 7) BETWEEN 1 AND 3 AND {idx1} <> 0"
+            f" THEN {_hexpair_duck(f'3 * {idx1} + {ch}')}"
+            f" ELSE {base} END"
+        )
+    else:
+        idx2 = (
+            f"({_hexpair_duck('98 + (i // 7) * 4 + ((i % 7) - 2)')}"
+            f" % {MM_PAL_ENTRIES})"
+        )
+        px = (
+            f"CASE WHEN (i % 7) BETWEEN 2 AND 5"
+            f" AND (i // 7) BETWEEN 0 AND 3 AND {idx2} <> 0"
+            f" THEN {_hexpair_duck(f'3 * (15 - {idx2}) + {ch}')}"
+            f" ELSE {base} END"
+        )
+    return (
+        f"list_sum(list_transform(generate_series(0, {_MM_PAL_PIX - 1}),"
+        f" i -> {px}))"
+    )
+
+
+def _gifa_oracle() -> str:
+    frame_selects = []
+    for k in range(3):
+        frame_selects.append(
+            f"""SELECT doc_id, {k} AS frame_idx,
+       CAST({_gifa_channel_sum_duck(0, k)} AS BIGINT) AS sum_r,
+       CAST({_gifa_channel_sum_duck(1, k)} AS BIGINT) AS sum_g,
+       CAST({_gifa_channel_sum_duck(2, k)} AS BIGINT) AS sum_b
+FROM m"""
+        )
+    union = "\nUNION ALL\n".join(frame_selects)
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_GIFA_NEED}
+)
+{union}
+"""
+
+
+ORACLE_MM_DECODE_GIF_FRAMES = _gifa_oracle()
+
+
 _MM_VAL_NEED = 120  # the largest per-format construction need
 # pixels per decoded item by format index (doc_id % 5)
 _MM_VAL_PIXELS = {0: 40, 1: 35, 2: 40, 3: 2560, 4: 35}
@@ -2261,9 +2435,17 @@ def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     combining exact byte-identity (md5-at-scan keeper per digest group),
     perceptual near-dup clustering (connected components over the
     mm_phash_neardup pair graph, reusing dedup._cc_labels' min-label
-    propagation verbatim), and embedding-space semantic dedup
-    (mm_semantic_dedup — the re-encode catcher), in precedence order:
+    propagation verbatim), embedding-space semantic dedup
+    (mm_semantic_dedup — the re-encode catcher), and — round 13, the
+    admission gate mm_decode_validate previously computed but nothing
+    consumed — the DECODE verdict, in precedence order:
 
+    - ``undecodable``: the item's blob fails the decode_image admission
+      gate (mm_decode_validate's ``ok``) — an undecodable payload is
+      dropped before any dedup consideration, exactly as a real ingest
+      pipeline orders its gates; items OUTSIDE the gate's construction
+      universe (payload under its size floor, planted phash variants)
+      carry a NULL verdict and fall through to the dedup statuses
     - ``exact_dup``: not the min-doc_id of its byte-identical group
     - ``near_dup``: exact keeper, but its perceptual cluster's label is
       another item (a planted recrawl variant lands here — its CC label
@@ -2315,13 +2497,16 @@ def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_id"))
     sem = mm_semantic_dedup(spark, sf_dir).select("doc_id", "is_sem_kept")
+    val = mm_decode_validate(spark, sf_dir).select("doc_id", "ok")
     return (
         fp.join(keepers, "fingerprint")
         .join(cc, "doc_id", "left")
         .join(sem, "doc_id", "left")
+        .join(val, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("doc_id") != F.col("keeper_id"), F.lit("exact_dup"))
+            F.when(F.col("ok") == F.lit(False), F.lit("undecodable"))
+            .when(F.col("doc_id") != F.col("keeper_id"), F.lit("exact_dup"))
             .when(
                 F.col("cc_label").isNotNull()
                 & (F.col("cc_label") != F.col("doc_id")),
@@ -2381,7 +2566,8 @@ slinked AS (
   GROUP BY l.doc_id
 )
 SELECT m.doc_id,
-       CASE WHEN m.doc_id != k.keeper_id THEN 'exact_dup'
+       CASE WHEN v.ok = FALSE THEN 'undecodable'
+            WHEN m.doc_id != k.keeper_id THEN 'exact_dup'
             WHEN cc.cc_label IS NOT NULL AND cc.cc_label != m.doc_id
               THEN 'near_dup'
             WHEN sv.is_sem_kept = 0 THEN 'semantic_dup'
@@ -2390,10 +2576,55 @@ FROM m
 JOIN keepers k ON m.hx = k.hx
 LEFT JOIN cc ON m.doc_id = cc.doc_id
 LEFT JOIN sverdict sv ON m.doc_id = sv.doc_id
+LEFT JOIN (SELECT doc_id, ok FROM ({ORACLE_MM_DECODE_VALIDATE}) vv) v
+  ON m.doc_id = v.doc_id
 """
 
 
 ORACLE_MM_KEEP_LIST = _oracle_mm_keep_list()
+
+
+def mm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal pipeline's executive-summary row (round 13 —
+    dedup_pipeline_funnel's twin over binary payloads): corpus size,
+    items dropped at the decode admission gate (undecodable), as exact
+    byte duplicates, as perceptual near-duplicates, as semantic
+    duplicates, kept, and the kept fraction — derived from the same
+    keep-list the decisions come from, so the report can never disagree
+    with the pipeline.
+
+    100 TB posture: one pass over the keep-list (which pays its
+    documented bounded cost once); the rollup is a 1-row conditional
+    aggregate with map-side partials."""
+    keep = mm_dedup_keep_list(spark, sf_dir)
+    counts = [
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(f"n_{s}")
+        for s in ("undecodable", "exact_dup", "near_dup", "semantic_dup",
+                  "keep")
+    ]
+    return keep.agg(F.count("*").alias("n_items"), *counts).withColumn(
+        "kept_fraction",
+        F.col("n_keep").cast("double") / F.col("n_items"),
+    )
+
+
+def _oracle_mm_funnel() -> str:
+    sums = ",\n".join(
+        f"       CAST(SUM(CASE WHEN status = '{s}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{s}"
+        for s in ("undecodable", "exact_dup", "near_dup", "semantic_dup",
+                  "keep")
+    )
+    return f"""
+SELECT COUNT(*) AS n_items,
+{sums},
+       CAST(SUM(CASE WHEN status = 'keep' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS kept_fraction
+FROM ({ORACLE_MM_KEEP_LIST}) k
+"""
+
+
+ORACLE_MM_PIPELINE_FUNNEL = _oracle_mm_funnel()
 
 
 QUERIES = {
@@ -2410,12 +2641,14 @@ QUERIES = {
     "mm_decode_jpeg": mm_decode_jpeg,
     "mm_decode_jpeg_progressive": mm_decode_jpeg_progressive,
     "mm_decode_gif": mm_decode_gif,
+    "mm_decode_gif_frames": mm_decode_gif_frames,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
     "mm_decode_bmp": mm_decode_bmp,
     "mm_phash_neardup": mm_phash_neardup,
     "mm_semantic_dedup": mm_semantic_dedup,
     "mm_dedup_keep_list": mm_dedup_keep_list,
+    "mm_pipeline_funnel": mm_pipeline_funnel,
 }
 
 ORACLES = {
@@ -2435,10 +2668,12 @@ ORACLES = {
     # the approximation passes recombine exactly; same oracle
     "mm_decode_jpeg_progressive": ORACLE_MM_DECODE_JPEG,
     "mm_decode_gif": ORACLE_MM_DECODE_GIF,
+    "mm_decode_gif_frames": ORACLE_MM_DECODE_GIF_FRAMES,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,
     "mm_phash_neardup": ORACLE_MM_PHASH,
     "mm_semantic_dedup": _oracle_mm_semantic(),
     "mm_dedup_keep_list": ORACLE_MM_KEEP_LIST,
+    "mm_pipeline_funnel": ORACLE_MM_PIPELINE_FUNNEL,
 }

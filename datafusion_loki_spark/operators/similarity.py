@@ -1367,7 +1367,45 @@ def query_ivf_index(
     the query touches probes/K of the corpus bytes on disk, which is the
     entire point of building the index. Scoring is the shared
     _ivf_probe_and_score read path, bit-identical to the fit-inline
-    operator."""
+    operator.
+
+    Bounded GC-race retry (round-12 Next #3): a retrain's post-commit GC
+    can sweep the base a reader resolved between the reader's manifest
+    resolution and its file reads. The eager work inside this function
+    (centroids read, probe checkpoint, member-file listing) is wrapped
+    in ONE retry on missing-path failures — the re-resolve lands on the
+    newly committed snapshot, so the race degrades to a second
+    resolution instead of a user-visible error. Files swept AFTER the
+    returned frame's listing (mid-action) still fail loud-transient —
+    true wait-for-readers needs leases (PERF_NOTES stance)."""
+    try:
+        return _query_ivf_index_once(spark, sf_dir, index_dir)
+    except Exception as e:  # noqa: BLE001 — filtered just below
+        if not _is_missing_path_error(e):
+            raise
+        return _query_ivf_index_once(spark, sf_dir, index_dir)
+
+
+def _is_missing_path_error(e: Exception) -> bool:
+    """Does this exception look like 'a file/dir vanished under the
+    reader' (the GC-race class), as opposed to a genuine data error?
+    Matched on the JVM exception text because pyspark surfaces all of
+    them as generic AnalysisException/Py4JJavaError wrappers."""
+    msg = str(e)
+    return any(
+        s in msg
+        for s in (
+            "PATH_NOT_FOUND",
+            "Path does not exist",
+            "FileNotFoundException",
+            "No such file or directory",
+        )
+    )
+
+
+def _query_ivf_index_once(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_d = emb.select(
         "vec_id", F.expr(_TO_DOUBLE.format(a="embedding")).alias("e")

@@ -148,3 +148,134 @@ def test_gif_with_trailing_entropy_garbage_fails_loud():
     )
     with pytest.raises(ValueError, match="produced|continues past"):
         decode_gif(bad)
+
+
+# --- animation (decode_gif_frames, round 13) -----------------------------
+
+
+def _pal4():
+    return np.array(
+        [[9, 8, 7], [200, 0, 0], [0, 200, 0], [0, 0, 200]], dtype=np.uint8
+    )
+
+
+def test_animation_disposal_protocol():
+    from datafusion_loki_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = _pal4()
+    rng = np.random.RandomState(7)
+    f0 = rng.randint(0, 4, (5, 7))
+    f1 = rng.randint(0, 4, (3, 5))
+    f2 = rng.randint(0, 4, (4, 4))
+    gif = encode_gif_frames(
+        [
+            {"idx": f0, "interlace": True, "disposal": 1},
+            {"idx": f1, "pos": (1, 1), "transparent": 0, "disposal": 3},
+            {
+                "idx": f2,
+                "pos": (2, 0),
+                "transparent": 0,
+                "local_palette": pal[::-1].copy(),
+            },
+        ],
+        pal,
+        loop=True,  # NETSCAPE block must be skipped by framing
+    )
+    sw, sh, frames = decode_gif_frames(gif)
+    assert (sw, sh, len(frames)) == (7, 5, 3)
+    c0 = pal[f0]
+    assert (frames[0] == c0).all()
+    c1 = c0.copy()
+    r = c1[1:4, 1:6]
+    d = f1 != 0
+    r[d] = pal[f1[d]]
+    assert (frames[1] == c1).all()
+    # disposal 3 on frame 1 restores c0 BEFORE frame 2 draws; frame 2
+    # looks up the reversed LOCAL table
+    c2 = c0.copy()
+    r = c2[0:4, 2:6]
+    d = f2 != 0
+    r[d] = pal[::-1][f2[d]]
+    assert (frames[2] == c2).all()
+
+
+def test_animation_disposal_background_restores_rect():
+    from datafusion_loki_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = _pal4()
+    f0 = np.full((4, 4), 1)
+    f1 = np.full((2, 2), 2)
+    gif = encode_gif_frames(
+        [
+            {"idx": f1, "pos": (1, 1), "disposal": 2},
+            {"idx": f0, "pos": (0, 0), "transparent": 3},
+        ],
+        pal,
+        sw=4,
+        sh=4,
+        bg=0,
+    )
+    _, _, frames = decode_gif_frames(gif)
+    # frame 0 canvas: bg everywhere except the 2x2 rect
+    want0 = np.empty((4, 4, 3), np.uint8)
+    want0[:, :] = pal[0]
+    want0[1:3, 1:3] = pal[2]
+    assert (frames[0] == want0).all()
+    # disposal 2 restored the rect to BACKGROUND before frame 1; frame 1
+    # is fully opaque (no index 3 present) so it covers everything
+    assert (frames[1] == pal[1]).all()
+
+
+def test_animation_gce_scopes_to_one_image():
+    from datafusion_loki_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = _pal4()
+    # frame 0 declares transparency; frame 1 has NO GCE — its index 0
+    # pixels must be OPAQUE palette entries, not see-through
+    f = np.array([[0, 1], [2, 0]])
+    gif = encode_gif_frames(
+        [
+            {"idx": np.full((2, 2), 1), "transparent": 0, "disposal": 1},
+            {"idx": f},
+        ],
+        pal,
+    )
+    _, _, frames = decode_gif_frames(gif)
+    assert (frames[1] == pal[f]).all()
+
+
+def test_animation_fail_loud():
+    from datafusion_loki_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = _pal4()
+    with pytest.raises(ValueError, match="escapes"):
+        decode_gif_frames(
+            encode_gif_frames(
+                [
+                    {"idx": np.zeros((2, 2), int)},
+                    {"idx": np.zeros((2, 2), int), "pos": (1, 1)},
+                ],
+                pal,
+            )
+        )
+    # truncation loses the trailer
+    good = encode_gif_frames([{"idx": np.zeros((2, 2), int)}], pal)
+    with pytest.raises(ValueError):
+        decode_gif_frames(good[:-1] )
+    # single-image face unchanged: first frame only
+    from datafusion_loki_spark.operators.gif import decode_gif
+
+    w, h, arr = decode_gif(good)
+    assert (w, h) == (2, 2)

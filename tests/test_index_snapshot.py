@@ -278,3 +278,37 @@ def test_rebuild_over_maintained_index_yields_clean_snapshot(
     assert (2 * IVF_APPEND_OFFSET + 3) not in live_ids  # gen gone
     # and the read path answers exactly like a fresh build
     assert _probe(spark, index_dir) == p_fresh
+
+
+def test_gc_racing_reader_retries_once(spark, tmp_path, monkeypatch):
+    """Round-12 Next #3: a reader that resolved a manifest whose base a
+    concurrent retrain's GC then swept must re-resolve ONCE and answer
+    from the new snapshot; without the retry the same race is a loud
+    missing-path error (never a silent wrong answer)."""
+    from datafusion_loki_spark.operators import similarity as sim
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    p0 = _probe(spark, index_dir)
+    retrain_ivf_index(spark, index_dir)
+    stale_base = resolve_index_base(spark, index_dir)
+    retrain_ivf_index(spark, index_dir)  # GC sweeps stale_base
+    assert not os.path.exists(stale_base)
+
+    real_resolve = sim.resolve_index_base
+    calls = {"n": 0}
+
+    def raced_resolve(s, d):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale_base  # the resolution the GC invalidated
+        return real_resolve(s, d)
+
+    monkeypatch.setattr(sim, "resolve_index_base", raced_resolve)
+    # without the retry: loud missing-path failure
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        sim._query_ivf_index_once(spark, SF, index_dir).collect()
+    # with the retry: one re-resolve, correct answers from the new base
+    calls["n"] = 0
+    assert _probe(spark, index_dir) == p0
+    assert calls["n"] == 2

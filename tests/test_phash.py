@@ -145,9 +145,12 @@ def test_phash_matches_oracle_on_crafted_corpus(spark, crafted):
 def test_keep_list_composes_exact_and_perceptual(spark, crafted):
     # dedup_keep_list's composition over binary payloads: the perceptual
     # pair (1,2) makes 2 a near_dup (CC min-label 1 keeps); the planted
-    # variant of 10 is near_dup; the structurally different doc 3 and
-    # the pair representatives keep; sub-65-byte and NULL docs get no
-    # row (the fingerprintable-universe contract).
+    # variant of 10 is near_dup; the pair representatives keep;
+    # sub-65-byte and NULL docs get no row (the fingerprintable-universe
+    # contract). Round 13: the decode admission gate now feeds the
+    # keep-list — doc 3 sits in the gate's universe (>= 120 bytes) and
+    # draws its planted corruption (doc_id % 3 == 0), so it lands as
+    # 'undecodable' at TOP precedence instead of 'keep'.
     from datafusion_loki_spark.operators.multimodal import (
         MM_PHASH_VARIANT_OFFSET,
         ORACLE_MM_KEEP_LIST,
@@ -159,7 +162,7 @@ def test_keep_list_composes_exact_and_perceptual(spark, crafted):
     out = {r.doc_id: r.status for r in mm_dedup_keep_list(spark, sf).collect()}
     assert out[1] == "keep"
     assert out[2] == "near_dup"
-    assert out[3] == "keep"
+    assert out[3] == "undecodable"
     assert out[10] == "keep"
     assert out[10 + MM_PHASH_VARIANT_OFFSET] == "near_dup"
     assert 4 not in out and 5 not in out  # NULL / short: no row

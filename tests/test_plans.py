@@ -958,14 +958,16 @@ def test_bpe_vocab_iterates_at_vocab_scale(spark, sf_dir):
 def test_tokenize_bpe_vocab_join_never_broadcasts_corpus(spark, sf_dir):
     # the apply is ONE corpus tokenize joined to the vocab segmentation
     # on the word key, merge-pinned (the corpus side sits under a
-    # stat-less explode — the family broadcast trap); the vocab side is
-    # the training loop's checkpoint (Scan ExistingRDD)
+    # stat-less explode — the family broadcast trap); since round 13 the
+    # vocab side is the STAGED artifact read back from parquet (the
+    # oracle-decoupling contract: both engines consume the identical
+    # file), so the apply plan reads exactly TWO parquet sources —
+    # corpus + artifact — and nothing else
     plan = _plan(spark, sf_dir, "text_tokenize_bpe")
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
-    assert "Scan ExistingRDD" in plan, plan
     n_scans = plan.count("Scan parquet") or plan.count("FileScan")
-    assert n_scans == 1, plan  # exactly one corpus read in the apply
+    assert n_scans == 2, plan  # corpus read + staged-vocab artifact read
 
 
 def test_data_card_single_expand_and_tokenize(spark, sf_dir):

@@ -91,6 +91,15 @@ _R13_PINNED: tuple[str, ...] = (
     "sim_ivf_index_topk",
     "sim_ivf_index_append",
     "sim_ivf_index_delete",
+    # CHANGED in r13: the PNG unfilter was rewritten (Sub rows are now
+    # an exact vectorized prefix-sum; Average/Paeth run flat scalar
+    # loops — 9x measured, tools/decode_swap_bench.py), and decode_png
+    # gained 16-bit gray+alpha/RGBA — every PNG face re-earns
+    "mm_decode_png",
+    "mm_decode_png_palette",
+    "mm_decode_png_adam7",
+    "mm_decode_png16",
+    "mm_decode_validate",
 )
 
 _WINDOW_SIZE = 50

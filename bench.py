@@ -198,6 +198,12 @@ BENCH_QUERIES = [
     # the admission gate: all five formats through the dispatch with
     # planted corruption (the whole family's per-item cost in one row)
     "mm_decode_validate",
+    # appended round 13: the animated-GIF path (3 frames per item:
+    # LZW x3 + disposal compositing + local-table/loop-block parse) and
+    # the decode-gated keep-list funnel (keep-list DAG + the validate
+    # kernel it now consumes + 1-row rollup)
+    "mm_decode_gif_frames",
+    "mm_pipeline_funnel",
 ]
 
 

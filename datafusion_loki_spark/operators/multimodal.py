@@ -216,10 +216,11 @@ def _png_raw_stream(samples, depth: int, interlace: bool, row_filters):
 def encode_png(
     arr, row_filters=None, interlace: bool = False, depth: int = 8
 ) -> bytes:
-    """PNG writer for RGB/RGBA (h, w, c) ndarrays — 8-bit, or 16-bit
-    RGB with ``depth=16`` (uint16 samples, big-endian on the wire) —
+    """PNG writer for gray+alpha/RGB/RGBA (h, w, c) ndarrays — 8-bit,
+    or 16-bit with ``depth=16`` (uint16 samples, big-endian wire) —
     exists to CONSTRUCT valid inputs for decode_png (the mm_decode_png
-    operators and the round-trip tests), exercising a chosen filter
+    operators and the round-trip tests) — since round 13 also 16-bit
+    RGBA and 8/16-bit gray+alpha (c=2) — exercising a chosen filter
     type per scanline (default r % 5 cycles all five; per pass when
     interlaced). Filters reference the original neighbor bytes, which
     per the spec equal the reconstructed values — so vectorized
@@ -232,22 +233,19 @@ def encode_png(
 
     if depth == 16:
         arr = np.asarray(arr, dtype=np.uint16)
-        if arr.ndim != 3 or arr.shape[2] != 3:
-            raise ValueError(
-                f"16-bit encode_png needs (h, w, 3), got shape {arr.shape}"
-            )
     elif depth == 8:
         arr = np.asarray(arr, dtype=np.uint8)
-        if arr.ndim != 3 or arr.shape[2] not in (3, 4):
-            # the decode family's error contract: loud ValueError, never
-            # an undeclared KeyError/unpack error (round-11 review)
-            raise ValueError(
-                f"encode_png needs an (h, w, 3|4) array, got {arr.shape}"
-            )
     else:
         raise ValueError(f"encode_png depth must be 8 or 16, got {depth}")
+    if arr.ndim != 3 or arr.shape[2] not in (2, 3, 4):
+        # the decode family's error contract: loud ValueError, never
+        # an undeclared KeyError/unpack error (round-11 review)
+        raise ValueError(
+            f"encode_png needs an (h, w, 2|3|4) array"
+            f" (gray+alpha / RGB / RGBA), got {arr.shape}"
+        )
     h, w, c = arr.shape
-    color_type = {3: 2, 4: 6}[c]
+    color_type = {2: 4, 3: 2, 4: 6}[c]
     raw = _png_raw_stream(arr, depth, interlace, row_filters)
     ihdr = struct.pack(
         ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
@@ -427,31 +425,64 @@ def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int):
 
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     out = np.zeros((h, stride), dtype=np.uint8)
-    zero = np.zeros(bpp, dtype=np.int16)
     prev = np.zeros(stride, dtype=np.int16)
     for r in range(h):
         f = int(rows[r, 0])
-        line = rows[r, 1:].astype(np.int16)
         if f == 0:
-            rec = line
+            rec = rows[r, 1:].astype(np.int16)
         elif f == 2:  # Up: whole-row vectorized
-            rec = (line + prev) & 0xFF
-        elif f in (1, 3, 4):
-            rec = np.zeros(stride, dtype=np.int16)
-            for x0 in range(0, stride, bpp):
-                seg = line[x0 : x0 + bpp]
-                left = rec[x0 - bpp : x0] if x0 else zero
-                if f == 1:  # Sub
-                    rec[x0 : x0 + bpp] = (seg + left) & 0xFF
-                elif f == 3:  # Average
-                    up = prev[x0 : x0 + bpp]
-                    rec[x0 : x0 + bpp] = (seg + ((left + up) >> 1)) & 0xFF
-                else:  # Paeth
-                    up = prev[x0 : x0 + bpp]
-                    ul = prev[x0 - bpp : x0] if x0 else zero
-                    rec[x0 : x0 + bpp] = (
-                        seg + _paeth_predictor(left, up, ul)
-                    ) & 0xFF
+            rec = (rows[r, 1:].astype(np.int16) + prev) & 0xFF
+        elif f == 1:
+            # Sub is a per-lane PREFIX SUM mod 256 (rec[x] = line[x] +
+            # rec[x-bpp]), so the whole row vectorizes exactly:
+            # cumsum over the lane axis, then mod (round-13 measured
+            # rewrite — the per-pixel-group numpy slicing cost ~6 us
+            # per pixel at bpp=3, ~3.5 s per decoded megapixel)
+            seg = rows[r, 1:].reshape(-1, bpp).astype(np.int64)
+            rec = (
+                (np.cumsum(seg, axis=0) & 0xFF)
+                .reshape(-1)
+                .astype(np.int16)
+            )
+        elif f in (3, 4):
+            # Average/Paeth are inherently sequential along x (each
+            # pixel needs the RECONSTRUCTED left neighbor, and the
+            # predictors are nonlinear — no prefix-sum form exists).
+            # Flat scalar loops beat numpy here: per-3-byte-group array
+            # ops pay ~2 us of numpy call overhead each, ~6x the cost
+            # of the plain-int arithmetic (round-13 measurement in
+            # PERF_NOTES; the swap point for a native decoder remains
+            # documented in decode_image)
+            line = rows[r, 1:].tolist()
+            pl = prev.tolist()
+            rl = [0] * stride
+            if f == 3:  # Average
+                for i in range(stride):
+                    left = rl[i - bpp] if i >= bpp else 0
+                    rl[i] = (line[i] + ((left + pl[i]) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(stride):
+                    left = rl[i - bpp] if i >= bpp else 0
+                    up = pl[i]
+                    ul = pl[i - bpp] if i >= bpp else 0
+                    p = left + up - ul
+                    pa = p - left
+                    if pa < 0:
+                        pa = -pa
+                    pb = p - up
+                    if pb < 0:
+                        pb = -pb
+                    pc = p - ul
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    rl[i] = (line[i] + pred) & 0xFF
+            rec = np.asarray(rl, dtype=np.int16)
         else:
             raise ValueError(f"unknown PNG scanline filter type {f}")
         out[r] = rec.astype(np.uint8)
@@ -488,8 +519,8 @@ _PNG_DEPTHS = {
     0: (1, 2, 4, 8, 16),
     2: (8, 16),
     3: (1, 2, 4, 8),
-    4: (8,),
-    6: (8,),
+    4: (8, 16),
+    6: (8, 16),
 }
 
 
@@ -510,9 +541,11 @@ def decode_png(payload: bytes):
     (255/(2^d-1) — exact integers for every legal d), emitted (h,w,1);
     gray+alpha (4) at depth 8, emitted (h,w,2); palette (3) at depths
     1/2/4/8 through PLTE (required, validated) and optional tRNS —
-    (h,w,3), or (h,w,4) with tRNS (missing entries opaque per spec).
-    Still loud: 16-bit, Adam7 interlace, out-of-range palette indices,
-    malformed PLTE. Never a fake fallback (the decode_image contract)."""
+    (h,w,3), or (h,w,4) with tRNS (missing entries opaque per spec);
+    16-bit gray/RGB/gray+alpha/RGBA as uint16 (round 13 closed the
+    16-bit GA/RGBA gap). Still loud: out-of-range palette indices,
+    malformed PLTE, 16-bit palette (illegal per spec). Never a fake
+    fallback (the decode_image contract)."""
     import struct
     import zlib
 
@@ -572,8 +605,9 @@ def decode_png(payload: bytes):
     ):
         raise ValueError(
             f"unsupported PNG layout (depth={depth}, color={color_type},"
-            f" interlace={interlace}); supported: 8-bit RGB/RGBA/"
-            "gray+alpha, 1/2/4/8-bit grayscale/palette, Adam7 or none"
+            f" interlace={interlace}); supported: 8/16-bit RGB/RGBA/"
+            "gray+alpha, 1/2/4/8/16-bit grayscale, 1/2/4/8-bit palette,"
+            " Adam7 or none"
         )
     if color_type == 3:
         if plte is None:

@@ -449,7 +449,7 @@ def test_encode_png_bad_channel_count_fail_loud():
     # the family's loud-ValueError contract, not a KeyError/unpack error
     for bad in (np.zeros((4, 4, 1), dtype=np.uint8),
                 np.zeros((4, 4), dtype=np.uint8)):
-        with pytest.raises(ValueError, match="h, w, 3"):
+        with pytest.raises(ValueError, match="h, w, 2\\|3\\|4"):
             encode_png(bad)
 
 
@@ -579,8 +579,10 @@ def test_png_palette_malformed_fail_loud():
 
 
 def test_png_16bit_alpha_and_bad_interlace_still_loud():
-    # 16-bit gray/RGB decode since round 12; the ALPHA variants do not
-    # (no corpus use case) — flip a gray+alpha IHDR to depth 16
+    # 16-bit ALPHA variants decode since round 13 — but a depth-8
+    # stream whose IHDR is flipped to claim depth 16 has half the
+    # required bytes and must fail the length check, never decode
+    # garbage; invalid interlace values stay loud
     ga = np.zeros((2, 2, 2), dtype=np.uint8)
     png = encode_png_gray(ga)
     i = png.index(b"IHDR") - 4
@@ -599,8 +601,8 @@ def test_png_16bit_alpha_and_bad_interlace_still_loud():
             + png[i + 12 + 13 :]
         )
 
-    with pytest.raises(ValueError, match="unsupported PNG layout"):
-        decode_png(flip(8, 16))  # 16-bit gray+alpha
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(flip(8, 16))  # depth-16 claim over depth-8 bytes
     with pytest.raises(ValueError, match="unsupported PNG layout"):
         decode_png(flip(12, 2))  # invalid interlace VALUE
     # Adam7 is SUPPORTED since round 12 — a sequential stream mislabeled
@@ -615,10 +617,17 @@ def test_png_16bit_roundtrip_and_bigendian_wire():
     g = rng.randint(0, 65536, (3, 5)).astype(np.uint16)
     w, h, out = decode_png(encode_png_gray(g, depth=16))
     assert out.dtype == np.uint16 and (out[:, :, 0] == g).all()
-    c = rng.randint(0, 65536, (4, 3, 3)).astype(np.uint16)
-    for inter in (False, True):
-        _, _, out = decode_png(encode_png(c, depth=16, interlace=inter))
-        assert out.dtype == np.uint16 and (out == c).all()
+    # 16-bit RGB, RGBA, and gray+alpha (round 13 closed the alpha gap),
+    # sequential and Adam7
+    for nc in (2, 3, 4):
+        c = rng.randint(0, 65536, (4, 3, nc)).astype(np.uint16)
+        for inter in (False, True):
+            _, _, out = decode_png(encode_png(c, depth=16, interlace=inter))
+            assert out.dtype == np.uint16 and (out == c).all(), (nc, inter)
+    # 8-bit gray+alpha through the RGB writer's new c=2 path
+    ga8 = rng.randint(0, 256, (5, 4, 2)).astype(np.uint8)
+    _, _, out = decode_png(encode_png(ga8))
+    assert out.dtype == np.uint8 and (out == ga8).all()
     # wire order is big-endian: a hand-built 1x1 gray16 with bytes
     # 0x12 0x34 must decode to 0x1234, not 0x3412
     import zlib as _z

@@ -409,9 +409,11 @@ def test_bpe_vocab_replays_hand_computed_merges(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{tmp_path}/documents.parquet"
     )
+    # 6 merges land across 5 passes + 1 empty carry — past the 4-pass
+    # registry prefix (round 13), so pin the depth explicitly
     got = [
         (r.merge_rank, r.s1, r.s2, r.pair_count)
-        for r in text_bpe_vocab(spark, str(tmp_path))
+        for r in text_bpe_vocab(spark, str(tmp_path), iters=8)
         .orderBy("merge_rank")
         .collect()
     ]
@@ -429,6 +431,15 @@ def test_bpe_vocab_replays_hand_computed_merges(spark, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM read_parquet("
         f"'{tmp_path}/documents.parquet/*.parquet')"
     )
+    from datafusion_loki_spark.operators.text import _oracle_bpe_sql
+
+    ok, detail = compare(
+        text_bpe_vocab(spark, str(tmp_path), iters=8),
+        _oracle_bpe_sql(iters=8),
+        con,
+    )
+    assert ok, detail
+    # the registry face (4-pass prefix) also stays oracle-exact here
     ok, detail = compare(
         text_bpe_vocab(spark, str(tmp_path)), ORACLES["text_bpe_vocab"], con
     )
@@ -507,6 +518,7 @@ def test_bpe_vocab_matches_naive_reference_trainer(spark, tmp_path, texts):
         BPE_BATCH,
         BPE_CAND,
         BPE_ITERS,
+        BPE_PREFIX_ITERS,
         ORACLES,
         text_bpe_vocab,
     )
@@ -529,7 +541,18 @@ def test_bpe_vocab_matches_naive_reference_trainer(spark, tmp_path, texts):
         .orderBy("merge_rank")
         .collect()
     ]
-    assert got == _naive_bpe(texts, BPE_ITERS, BPE_BATCH, BPE_CAND), texts
+    # the registry face runs the 4-pass prefix (round 13); the naive
+    # reference must agree at that depth AND at the full budget
+    assert got == _naive_bpe(
+        texts, BPE_PREFIX_ITERS, BPE_BATCH, BPE_CAND
+    ), texts
+    got_full = [
+        (r.merge_rank, r.s1, r.s2, r.pair_count)
+        for r in text_bpe_vocab(spark, str(out_dir), iters=BPE_ITERS)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got_full == _naive_bpe(texts, BPE_ITERS, BPE_BATCH, BPE_CAND)
     con = _duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM read_parquet("

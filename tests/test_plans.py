@@ -1213,3 +1213,27 @@ def test_winnowing_gram_dag_materialized_once(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_gif_frames_decode_scan_speed_no_shuffle(spark, sf_dir):
+    # the animated-GIF face keeps the decode-family shape: one scan into
+    # the Arrow kernel (3 rows out per item), zero exchanges — payload
+    # bytes never shuffle
+    plan = _plan(spark, sf_dir, "mm_decode_gif_frames")
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_mm_funnel_is_one_pass_over_keep_list(spark, sf_dir):
+    # the funnel adds exactly ONE global rollup over the keep-list DAG
+    # (map-side partials into a single-partition exchange), and the
+    # decode admission gate's kernel is actually IN the plan (round-13:
+    # the gate is consumed, not recomputed elsewhere)
+    plan = _plan(spark, sf_dir, "mm_pipeline_funnel")
+    # the phash pair frame rides its localCheckpoint (Scan ExistingRDD —
+    # the kernel+banding DAG ran once at build time); the decode gate's
+    # kernel is LIVE in the plan (its verdict is computed, not cached)
+    assert "MapInPandas" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan

@@ -96,6 +96,14 @@ SMOKE_QUERIES = [
     "mm_decode_png_palette",
     "mm_decode_png_adam7",
     "mm_decode_jpeg",
+    # round 13: the animated-GIF kernel (3 LZW streams + compositing per
+    # item — linear in item count), the decode-gated funnel (keep-list
+    # DAG + validate kernel + 1-row rollup), and the full-budget BPE
+    # apply (training to exhaustion + artifact stage + corpus join —
+    # must stay vocab-bound like the vocab rung)
+    "mm_decode_gif_frames",
+    "mm_pipeline_funnel",
+    "text_tokenize_bpe",
 ]
 
 

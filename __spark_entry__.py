@@ -93,8 +93,12 @@ _R13_PINNED: tuple[str, ...] = (
     "sim_ivf_index_delete",
     # CHANGED in r13: the PNG unfilter was rewritten (Sub rows are now
     # an exact vectorized prefix-sum; Average/Paeth run flat scalar
-    # loops — 9x measured, tools/decode_swap_bench.py), and decode_png
-    # gained 16-bit gray+alpha/RGBA — every PNG face re-earns
+    # loops — 9x measured, tools/decode_swap_bench.py), decode_png
+    # gained 16-bit gray+alpha/RGBA, and the JPEG Huffman walk became a
+    # 16-bit-prefix LUT lookup (2.4x baseline / 4.2x progressive) —
+    # every PNG/JPEG face re-earns
+    "mm_decode_jpeg",
+    "mm_decode_jpeg_progressive",
     "mm_decode_png",
     "mm_decode_png_palette",
     "mm_decode_png_adam7",

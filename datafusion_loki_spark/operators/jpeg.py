@@ -104,12 +104,16 @@ _DECODE_TABLE_CACHE: dict = {}
 
 
 def _decode_table(bits, vals):
-    """(mincode, maxcode, valptr, vals) per length 1..16 — the spec's
-    DECODE tables (T.81 F.2.2.3): canonical codes of one length are
-    contiguous, so symbol lookup is two int compares per bit instead
-    of a dict probe (the dict walk was the decoder's hot spot).
-    Memoized on the DHT bytes — a corpus decoded with one table set
-    (every registry face) builds it once per executor."""
+    """(mincode, maxcode, valptr, vals, lut) per length 1..16 — the
+    spec's DECODE tables (T.81 F.2.2.3) plus a full 16-bit prefix LUT
+    (round 13): canonical codes of one length are contiguous, and no
+    JPEG code exceeds 16 bits, so EVERY symbol resolves in one
+    peek-16-bits list index instead of a per-bit compare walk (the walk
+    cost ~2 us/symbol in method-call overhead — the entropy loop's
+    measured hot spot, PERF_NOTES). Unassigned prefixes (incomplete
+    tables) carry length 0 and fail loud at lookup. Memoized on the DHT
+    bytes — a corpus decoded with one table set (every registry face)
+    builds the 64K-entry LUT once per executor."""
     key = (tuple(bits), tuple(vals))
     hit = _DECODE_TABLE_CACHE.get(key)
     if hit is not None:
@@ -117,6 +121,7 @@ def _decode_table(bits, vals):
     mincode = [0] * 17
     maxcode = [-1] * 17
     valptr = [0] * 17
+    lut = [(0, -1)] * 65536
     code = 0
     k = 0
     for ln in range(1, 17):
@@ -124,10 +129,14 @@ def _decode_table(bits, vals):
         valptr[ln] = k
         mincode[ln] = code
         maxcode[ln] = code + n - 1 if n else -1
-        code += n
-        k += n
+        span = 1 << (16 - ln)
+        for _ in range(n):
+            base = code << (16 - ln)
+            lut[base : base + span] = [(ln, vals[k])] * span
+            code += 1
+            k += 1
         code <<= 1
-    out = (mincode, maxcode, valptr, list(vals))
+    out = (mincode, maxcode, valptr, list(vals), lut)
     if len(_DECODE_TABLE_CACHE) < 64:  # bounded: 4 tables per profile
         _DECODE_TABLE_CACHE[key] = out
     return out
@@ -185,14 +194,33 @@ class _BitReader:
         return v
 
     def huffman(self, table) -> int:
-        mincode, maxcode, valptr, vals = table
-        code = self.bit()
-        for ln in range(1, 17):
-            mx = maxcode[ln]
-            if mx >= 0 and code <= mx:
-                return vals[valptr[ln] + code - mincode[ln]]
-            code = (code << 1) | self.bit()
-        raise ValueError("invalid JPEG Huffman code")
+        # one peek-16 list index per symbol (the LUT in _decode_table);
+        # near stream end the peek pads with 1-bits — the encoder's own
+        # byte padding — but a code longer than the REAL remaining bits
+        # still fails loud (ln > n below)
+        n = self.n
+        if n < 16:
+            d, p = self.d, self.p
+            nd = len(d)
+            acc = self.acc
+            while n < 16 and p < nd:
+                acc = (acc << 8) | d[p]
+                p += 1
+                n += 8
+            self.acc, self.p, self.n = acc, p, n
+        if n >= 16:
+            key = (self.acc >> (n - 16)) & 0xFFFF
+        else:
+            pad = 16 - n
+            key = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+        ln, val = table[4][key]
+        if ln == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        if ln > n:
+            raise ValueError("JPEG entropy data truncated")
+        self.n = n - ln
+        self.acc &= (1 << self.n) - 1
+        return val
 
 
 def _split_entropy(payload: bytes, pos: int):

@@ -279,3 +279,69 @@ def test_animation_fail_loud():
 
     w, h, arr = decode_gif(good)
     assert (w, h) == (2, 2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sw=st.integers(2, 10),
+    sh=st.integers(2, 10),
+    n_frames=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_animation_property_vs_reference_compositor(sw, sh, n_frames, seed):
+    # independent reference: composite with plain python loops straight
+    # from the frame specs, against the decoder's full wire roundtrip
+    # (random rects, disposals 0-3, optional transparency/local
+    # palette/interlace per frame)
+    from datafusion_loki_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    specs = []
+    for _ in range(n_frames):
+        w = int(rng.randint(1, sw + 1))
+        h = int(rng.randint(1, sh + 1))
+        lx = int(rng.randint(0, sw - w + 1))
+        ty = int(rng.randint(0, sh - h + 1))
+        spec = {
+            "idx": rng.randint(0, 8, (h, w)),
+            "pos": (lx, ty),
+            "disposal": int(rng.randint(0, 4)),
+            "interlace": bool(rng.rand() < 0.3),
+        }
+        if rng.rand() < 0.5:
+            spec["transparent"] = int(rng.randint(0, 8))
+        if rng.rand() < 0.3:
+            spec["local_palette"] = rng.randint(0, 256, (8, 3)).astype(
+                np.uint8
+            )
+        specs.append(spec)
+    gif = encode_gif_frames(specs, pal, sw=sw, sh=sh, bg=3)
+    gw, gh, frames = decode_gif_frames(gif)
+    assert (gw, gh, len(frames)) == (sw, sh, n_frames)
+
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:, :] = pal[3]
+    for spec, got in zip(specs, frames):
+        lx, ty = spec["pos"]
+        h, w = spec["idx"].shape
+        ct = spec.get("local_palette")
+        ct = pal if ct is None else ct
+        before = canvas[ty : ty + h, lx : lx + w].copy()
+        for y in range(h):
+            for x in range(w):
+                v = int(spec["idx"][y, x])
+                if spec.get("transparent") is not None and v == spec[
+                    "transparent"
+                ]:
+                    continue
+                canvas[ty + y, lx + x] = ct[v]
+        assert (got == canvas).all()
+        d = spec["disposal"]
+        if d == 2:
+            canvas[ty : ty + h, lx : lx + w] = pal[3]
+        elif d == 3:
+            canvas[ty : ty + h, lx : lx + w] = before

@@ -2,14 +2,18 @@
 
 Round 12 closes the decode family's last honest gap ("every production
 image is PNG/JPEG; JPEG sits behind the PIL gate"): a REAL byte->pixels
-path for baseline sequential DCT JPEG per the public spec (ITU-T T.81 /
-ISO 10918-1): marker walk, DQT/DHT/SOF0/SOS parsing, byte-unstuffed
-Huffman entropy decode, differential DC with EXTEND, run/size AC with
-EOB/ZRL, dequantize + dezigzag, float64 separable IDCT, chroma
-upsampling, JFIF YCbCr->RGB, restart-marker support. The encoder twin
-exists to CONSTRUCT valid inputs for tests and the registry operator
-(forward DCT + quantize + canonical-Huffman entropy coding; fixed
-single-length code tables, gray or 4:4:4 / 4:2:0 color, optional DRI).
+path for baseline sequential (SOF0) AND progressive (SOF2) DCT JPEG per
+the public spec (ITU-T T.81 / ISO 10918-1): marker walk, DQT/DHT/SOF/
+SOS parsing, byte-unstuffed Huffman entropy decode (16-bit-prefix LUT
+per DHT since round 13), differential DC with EXTEND, run/size AC with
+EOB/ZRL, successive approximation (DC/AC first + refinement scans,
+EOBRUN, correction bits), dequantize + dezigzag, float64 separable
+IDCT, chroma upsampling, JFIF YCbCr->RGB, restart markers in every
+scan class. The encoder twin exists to CONSTRUCT valid inputs for
+tests and the registry operator (forward DCT + quantize +
+canonical-Huffman entropy coding; fixed single-length code tables,
+gray or 4:4:4 / 4:2:2 / 4:2:0 color, optional DRI — since round 13
+also under the progressive script).
 
 Exactness stance: the spec does not mandate a bit-exact IDCT, so the
 decoded pixels of a general JPEG are decoder-defined. Two layers keep
@@ -24,9 +28,9 @@ the correctness story honest anyway:
   subsampling, restarts) against an independent O(n^4) reference IDCT
   and round-trip bounds set by the quantization error.
 
-Still loud, never a fake fallback: progressive (SOF2), arithmetic
-coding, 12-bit precision, 16-bit quant tables, unsupported sampling
-grids.
+Still loud, never a fake fallback: lossless (SOF3) and other
+non-baseline/non-progressive frame types, arithmetic coding, 12-bit
+precision, 16-bit quant tables, unsupported sampling grids.
 """
 
 from __future__ import annotations
@@ -719,8 +723,21 @@ def _sos(comp_ids, ss, se, ah, al) -> bytes:
     )
 
 
+def _join_restart_segments(parts) -> bytes:
+    """Entropy segments of one scan joined by RSTm markers (m cycles
+    0..7 in emission order, per T.81 E.1.2 — matching the baseline
+    writer's (count-1) % 8 convention and the decoder's per-segment
+    predictor/EOBRUN reset)."""
+    out = bytearray()
+    for i, seg in enumerate(parts):
+        if i:
+            out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        out += seg
+    return bytes(out)
+
+
 def _emit_progressive_scans(
-    zzq, hv, nc, w, h, hmax, vmax, mcx, mcy, dc_codes, ac_codes
+    zzq, hv, nc, w, h, hmax, vmax, mcx, mcy, dc_codes, ac_codes, ri=0
 ) -> bytes:
     """The four-phase progressive scan script over the already-
     quantized coefficients: DC first (interleaved, Al=1) -> AC first
@@ -729,9 +746,21 @@ def _emit_progressive_scans(
     G.1.2.3 correction-bit protocol). The refinement emitters mirror
     the decoder's zero-history-run semantics exactly — the round-trip
     property test (progressive decode == baseline decode, bit for bit)
-    is what keeps the two sides honest."""
+    is what keeps the two sides honest.
+
+    ``ri`` (round 13): DRI restart interval — every scan chunks its
+    units (MCUs when interleaved, blocks when single-component, per
+    T.81 E.1.2) into ri-sized segments joined by RSTm markers; DC
+    predictors, EOBRUN, and pending correction bits all reset at the
+    segment boundary because each segment gets a fresh emitter."""
     out = bytearray()
     AL = 1  # first-pass point transform; one refinement to Al=0
+
+    def chunks(n_units):
+        per = ri if ri else n_units
+        return [
+            (s, min(s + per, n_units)) for s in range(0, n_units, per)
+        ]
 
     def nonint_dims(ci):
         ch, cv = hv[ci]
@@ -745,47 +774,67 @@ def _emit_progressive_scans(
 
     # --- scan 1: DC first, all components interleaved, Al=AL ---
     out += _sos([ci + 1 for ci in range(nc)], 0, 0, 0, AL)
-    wtr = _BitWriter()
-    preds = [0] * nc
-    for mcu in range(mcx * mcy):
-        my, mx = divmod(mcu, mcx)
-        for ci in range(nc):
-            ch, cv = hv[ci]
-            for by in range(cv):
-                for bx in range(ch):
-                    dc = zzq[ci][my * cv + by][mx * ch + bx][0] >> AL
-                    diff = dc - preds[ci]
-                    preds[ci] = dc
-                    t = _category(diff)
-                    code, ln = dc_codes[t]
-                    wtr.put(code, ln)
-                    if t:
-                        wtr.put(
-                            diff if diff >= 0 else diff + (1 << t) - 1, t
-                        )
-    wtr.flush()
-    out += wtr.out
+    parts = []
+    for s0, s1 in chunks(mcx * mcy):
+        wtr = _BitWriter()
+        preds = [0] * nc
+        for mcu in range(s0, s1):
+            my, mx = divmod(mcu, mcx)
+            for ci in range(nc):
+                ch, cv = hv[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = zzq[ci][my * cv + by][mx * ch + bx][0] >> AL
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        t = _category(diff)
+                        code, ln = dc_codes[t]
+                        wtr.put(code, ln)
+                        if t:
+                            wtr.put(
+                                diff if diff >= 0
+                                else diff + (1 << t) - 1,
+                                t,
+                            )
+        wtr.flush()
+        parts.append(bytes(wtr.out))
+    out += _join_restart_segments(parts)
     # --- scan 2: AC first per component, band 1..63, Al=AL ---
     for ci in range(nc):
         out += _sos([ci + 1], 1, 63, 0, AL)
-        out += _emit_ac_first(comp_blocks(ci), 1, 63, AL, ac_codes)
+        blocks = comp_blocks(ci)
+        out += _join_restart_segments(
+            [
+                _emit_ac_first(blocks[s0:s1], 1, 63, AL, ac_codes)
+                for s0, s1 in chunks(len(blocks))
+            ]
+        )
     # --- scan 3: DC refinement (no Huffman: one raw bit per block) ---
     out += _sos([ci + 1 for ci in range(nc)], 0, 0, AL, AL - 1)
-    wtr = _BitWriter()
-    for mcu in range(mcx * mcy):
-        my, mx = divmod(mcu, mcx)
-        for ci in range(nc):
-            ch, cv = hv[ci]
-            for by in range(cv):
-                for bx in range(ch):
-                    dc = zzq[ci][my * cv + by][mx * ch + bx][0]
-                    wtr.put((dc >> (AL - 1)) & 1, 1)
-    wtr.flush()
-    out += wtr.out
+    parts = []
+    for s0, s1 in chunks(mcx * mcy):
+        wtr = _BitWriter()
+        for mcu in range(s0, s1):
+            my, mx = divmod(mcu, mcx)
+            for ci in range(nc):
+                ch, cv = hv[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = zzq[ci][my * cv + by][mx * ch + bx][0]
+                        wtr.put((dc >> (AL - 1)) & 1, 1)
+        wtr.flush()
+        parts.append(bytes(wtr.out))
+    out += _join_restart_segments(parts)
     # --- scan 4: AC refinement per component ---
     for ci in range(nc):
         out += _sos([ci + 1], 1, 63, AL, AL - 1)
-        out += _emit_ac_refine(comp_blocks(ci), 1, 63, AL - 1, ac_codes)
+        blocks = comp_blocks(ci)
+        out += _join_restart_segments(
+            [
+                _emit_ac_refine(blocks[s0:s1], 1, 63, AL - 1, ac_codes)
+                for s0, s1 in chunks(len(blocks))
+            ]
+        )
     return bytes(out)
 
 
@@ -932,11 +981,10 @@ def encode_jpeg(
     refinement, per-component AC refinement) — the same quantized
     coefficients delivered across successive-approximation passes, so
     the decode is bit-identical to the baseline encoding's.
-    Progressive + restart_interval is not supported (the emitters
-    would need per-scan segment bookkeeping the tests don't exercise;
-    the decoder handles restarts in every scan class regardless)."""
-    if progressive and restart_interval:
-        raise ValueError("progressive + restart_interval is unsupported")
+    Progressive + restart_interval (round 13) chunks every scan into
+    DRI-sized restart segments (MCUs interleaved, blocks otherwise,
+    per T.81 E.1.2) — constructing inputs for the decoder's
+    progressive-restart path, which it always handled."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -1038,7 +1086,8 @@ def encode_jpeg(
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     if progressive:
         out += _emit_progressive_scans(
-            zzq, hv, nc, w, h, hmax, vmax, mcx, mcy, dc_codes, ac_codes
+            zzq, hv, nc, w, h, hmax, vmax, mcx, mcy, dc_codes, ac_codes,
+            ri=restart_interval,
         )
         out += b"\xff\xd9"  # EOI
         return bytes(out)

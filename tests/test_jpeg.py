@@ -216,9 +216,29 @@ def test_progressive_malformed_scans_fail_loud():
     # truncating mid-scans loses the EOI and/or entropy data
     with pytest.raises(ValueError):
         decode_jpeg(prog[:-6])
-    # encoder guard
-    with pytest.raises(ValueError, match="unsupported"):
-        encode_jpeg(g, progressive=True, restart_interval=2)
+
+
+def test_progressive_restart_intervals_equal_baseline():
+    # round 13: the progressive emitters chunk every scan into DRI
+    # restart segments (MCUs interleaved, blocks otherwise) — the
+    # decoder's progressive-restart path (per-segment predictor/EOBRUN/
+    # correction-bit reset) must still reconstruct the baseline pixels
+    # exactly, across gray/color/subsampled geometry
+    rng = np.random.RandomState(21)
+    for shape, kw in [
+        ((24, 17), {}),
+        ((40, 33), {"quant": np.ones(64)}),
+        ((19, 21, 3), {"quant": np.ones(64), "subsample": True}),
+    ]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        b = decode_jpeg(encode_jpeg(img, **kw))[2]
+        for dri in (1, 3, 7):
+            p = decode_jpeg(
+                encode_jpeg(
+                    img, progressive=True, restart_interval=dri, **kw
+                )
+            )[2]
+            assert (b == p).all(), (shape, kw, dri)
 
 
 @settings(max_examples=60, deadline=None)

@@ -104,6 +104,14 @@ _R13_PINNED: tuple[str, ...] = (
     "mm_decode_png_adam7",
     "mm_decode_png16",
     "mm_decode_validate",
+    # NEW in r13 (late): the audio modality's real decode path — RIFF
+    # chunk walk, PCM fmt validation, signed-LE frame extraction — and
+    # baseline TIFF (both byte orders, multi-strip, PackBits), which
+    # leaves the PIL-gated list; the admission gate now constructs SIX
+    # formats (doc_id % 6 adds tiff), so validate/keep-list/funnel
+    # outputs changed in lockstep with their oracles
+    "mm_decode_wav",
+    "mm_decode_tiff",
 )
 
 _WINDOW_SIZE = 50

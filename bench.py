@@ -204,6 +204,10 @@ BENCH_QUERIES = [
     # kernel it now consumes + 1-row rollup)
     "mm_decode_gif_frames",
     "mm_pipeline_funnel",
+    # the audio decode path (RIFF walk + LE frame extraction) and the
+    # TIFF path (IFD walk + strip assembly + PackBits per item)
+    "mm_decode_wav",
+    "mm_decode_tiff",
 ]
 
 

@@ -688,14 +688,19 @@ def decode_image(payload: bytes):
     actually ship decode without any codec library — PNG (pure stdlib
     zlib + numpy unfilter, all supported layouts incl. palette/
     grayscale/Adam7), baseline AND progressive JPEG (pure-python
-    Huffman + numpy IDCT, operators/jpeg.py), and GIF87a/89a (variable-
-    width LZW, operators/gif.py). Only genuinely PIL-gated formats
-    (WebP, TIFF, AVIF, ...) hit the clearly-marked loud gate — the
-    swap-in point for PIL/libvips on a real cluster."""
+    Huffman + numpy IDCT, operators/jpeg.py), GIF87a/89a (variable-
+    width LZW, operators/gif.py), and baseline TIFF (both byte orders,
+    strips, PackBits — operators/tiff.py, round 13). Only genuinely
+    PIL-gated formats (WebP, AVIF, ...) hit the clearly-marked loud
+    gate — the swap-in point for PIL/libvips on a real cluster."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)[2]
     if payload[:2] == b"BM":
         return decode_bmp(payload)[2]
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from datafusion_loki_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)[2]
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)[2]
     if payload[:2] == b"\xff\xd8":
@@ -1963,19 +1968,219 @@ WITH m AS (
 ORACLE_MM_DECODE_GIF_FRAMES = _gifa_oracle()
 
 
+# --- WAV (round 13: the AUDIO modality's real decode path) -------------------
+#
+# Construction: 40 stereo frames of 16-bit signed little-endian PCM at
+# 8 kHz from payload bytes [0, 160) — frame i's left sample is the LE
+# int16 at byte 4i, right at 4i+2 — wrapped in a RIFF stream that also
+# carries a skippable odd-size LIST chunk (the decoder's chunk-walk
+# framing is exercised on every item, not just in unit tests).
+_MM_WAV_FRAMES = 40
+_MM_WAV_NEED = _MM_WAV_FRAMES * 4
+
+
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode in the registry — the audio twin of the image
+    decode faces (operators/wav.py: RIFF chunk walk with word-aligned
+    skipping, PCM fmt validation, frame extraction). Each qualifying
+    AUDIO payload becomes a 40-frame stereo 16-bit PCM stream (module
+    comment above); emits geometry and integer-exact per-channel sums
+    of the SIGNED samples, so an endianness flip, a channel
+    interleave bug, a chunk-walk misstep, or a sign-extension error
+    hash-mismatches. The oracle recomputes the signed sums straight
+    from the payload hex.
+
+    100 TB posture: the decode-family shape — modality + size filter
+    before the Python boundary, Arrow-batched mapInPandas, narrow
+    output columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.wav import decode_wav, encode_wav
+
+    media = media_table(spark, sf_dir).where(
+        (F.col("media_type") == "audio")
+        & F.col("payload").isNotNull()
+        & (F.col("n_bytes") >= _MM_WAV_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nf, nc, sl, sr = [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_WAV_NEED]
+                samples = np.frombuffer(raw, dtype="<i2").reshape(
+                    _MM_WAV_FRAMES, 2
+                )
+                wav = encode_wav(
+                    samples, 8000, bits=16,
+                    extra_chunk=(b"LIST", b"INFOodd"),  # 7 bytes: padded
+                )
+                ch, rate, bits, out = decode_wav(wav)
+                ids.append(int(did))
+                nf.append(out.shape[0])
+                nc.append(ch)
+                sl.append(int(out[:, 0].astype("int64").sum()))
+                sr.append(int(out[:, 1].astype("int64").sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_frames": nf,
+                        "n_channels": nc,
+                        "sum_left": sl,
+                        "sum_right": sr,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, n_frames int, n_channels int,"
+        " sum_left long, sum_right long",
+    )
+
+
+def _wav_channel_sum_duck(off: int) -> str:
+    """Signed-int16-LE sum over the construction's 40 frames: frame i's
+    sample for this channel sits at payload bytes 4i+off (lo) and
+    4i+off+1 (hi)."""
+    v = (
+        f"({_hexpair_duck(f'4 * i + {off}')}"
+        f" + 256 * {_hexpair_duck(f'4 * i + {off} + 1')})"
+    )
+    return (
+        f"list_sum(list_transform(generate_series(0, {_MM_WAV_FRAMES - 1}),"
+        f" i -> {v} - CASE WHEN {v} >= 32768 THEN 65536 ELSE 0 END))"
+    )
+
+
+ORACLE_MM_DECODE_WAV = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 3 = 1
+    AND octet_length(encode(text)) >= {_MM_WAV_NEED}
+)
+SELECT doc_id,
+       {_MM_WAV_FRAMES} AS n_frames, 2 AS n_channels,
+       CAST({_wav_channel_sum_duck(0)} AS BIGINT) AS sum_left,
+       CAST({_wav_channel_sum_duck(2)} AS BIGINT) AS sum_right
+FROM m
+"""
+
+
+# --- TIFF (round 13: TIFF leaves the PIL-gated list) --------------------------
+#
+# Construction: payload bytes [0, 105) as a 7x5 RGB image, written as a
+# BIG-endian TIFF with RowsPerStrip=2 (3 strips: 2+2+1 rows) and
+# PackBits compression — one blob exercises the MM byte order, the
+# multi-strip assembly, offset-addressed tag values (9 strip offsets/
+# counts exceed the 4-byte inline slot), and the RLE decode. Pixels
+# round-trip exactly (lossless), so the oracle is the mm_decode_ppm
+# shape: straight per-channel hex sums.
+_MM_TIFF_W, _MM_TIFF_H = 7, 5
+_MM_TIFF_NEED = _MM_TIFF_W * _MM_TIFF_H * 3
+
+
+def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode in the registry (operators/tiff.py: IFD tag
+    walk, strip assembly, PackBits, both byte orders). Construction in
+    the module comment above; emits geometry and integer-exact
+    per-channel sums, so an endian mix-up, a strip-boundary error, a
+    tag-offset misread, or an RLE bug hash-mismatches.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 6 narrow output
+    columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_TIFF_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                px = np.frombuffer(
+                    bytes(b)[:_MM_TIFF_NEED], dtype=np.uint8
+                ).reshape(_MM_TIFF_H, _MM_TIFF_W, 3)
+                w, h, arr = decode_tiff(
+                    encode_tiff(
+                        px, big_endian=True, rows_per_strip=2,
+                        packbits=True,
+                    )
+                )
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(arr[:, :, 0].sum(dtype="int64")))
+                sg.append(int(arr[:, :, 1].sum(dtype="int64")))
+                sb.append(int(arr[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": ws,
+                        "height": hs,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
+def _tiff_channel_sum_duck(ch: int) -> str:
+    return (
+        "list_sum(list_transform(generate_series(0,"
+        f" {_MM_TIFF_W * _MM_TIFF_H - 1}),"
+        f" i -> {_hexpair_duck(f'3 * i + {ch}')}))"
+    )
+
+
+ORACLE_MM_DECODE_TIFF = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_TIFF_NEED}
+)
+SELECT doc_id,
+       {_MM_TIFF_W} AS width, {_MM_TIFF_H} AS height,
+       CAST({_tiff_channel_sum_duck(0)} AS BIGINT) AS sum_r,
+       CAST({_tiff_channel_sum_duck(1)} AS BIGINT) AS sum_g,
+       CAST({_tiff_channel_sum_duck(2)} AS BIGINT) AS sum_b
+FROM m
+"""
+
+
 _MM_VAL_NEED = 120  # the largest per-format construction need
-# pixels per decoded item by format index (doc_id % 5)
-_MM_VAL_PIXELS = {0: 40, 1: 35, 2: 40, 3: 2560, 4: 35}
-_MM_VAL_FMT = {0: "ppm", 1: "bmp", 2: "png", 3: "jpeg", 4: "gif"}
+# pixels per decoded item by format index (doc_id % 6)
+_MM_VAL_PIXELS = {0: 40, 1: 35, 2: 40, 3: 2560, 4: 35, 5: 35}
+_MM_VAL_FMT = {0: "ppm", 1: "bmp", 2: "png", 3: "jpeg", 4: "gif", 5: "tiff"}
 
 
 def mm_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode family's CORPUS-QA face (round 12): every payload
-    becomes a real file in one of the five pure-decoder formats
-    (doc_id % 5 -> PPM / BMP / PNG / baseline JPEG / interlaced GIF,
-    each the registry twin's construction), every third item is
-    CORRUPTED (truncated by two bytes — drops PPM/BMP pixel bytes, the
-    PNG IEND CRC, the JPEG EOI, the GIF terminator+trailer), and the
+    """The decode family's CORPUS-QA face (round 12; round 13 adds
+    TIFF): every payload becomes a real file in one of the six
+    pure-decoder formats (doc_id % 6 -> PPM / BMP / PNG / baseline
+    JPEG / interlaced GIF / big-endian PackBits TIFF, each the
+    registry twin's construction), every third item is CORRUPTED
+    (truncated by two bytes — drops PPM/BMP pixel bytes, the PNG IEND
+    CRC, the JPEG EOI, the GIF terminator+trailer, the TIFF final
+    strip's tail), and the
     kernel routes each blob through the decode_image DISPATCH,
     emitting (fmt, ok, n_pixels). This is the admission gate a real
     ingest pipeline runs — and the end-to-end proof of the family's
@@ -1989,6 +2194,7 @@ def mm_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the scan."""
     from datafusion_loki_spark.operators.gif import encode_gif
     from datafusion_loki_spark.operators.jpeg import encode_jpeg
+    from datafusion_loki_spark.operators.tiff import encode_tiff
 
     media = media_table(spark, sf_dir).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_VAL_NEED)
@@ -2038,18 +2244,25 @@ def mm_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return encode_jpeg(
                     np.repeat(np.repeat(blocks, 8, 0), 8, 1)
                 )
-            pal = np.frombuffer(raw[:48], dtype=np.uint8).reshape(16, 3)
-            ix = (
-                np.frombuffer(raw[48:_MM_GIF_NEED], dtype=np.uint8)
-                % MM_PAL_ENTRIES
-            ).reshape(MM_PAL_H, MM_PAL_W)
-            return encode_gif(ix, pal, interlace=True)
+            if fmt == 4:
+                pal = np.frombuffer(raw[:48], dtype=np.uint8).reshape(16, 3)
+                ix = (
+                    np.frombuffer(raw[48:_MM_GIF_NEED], dtype=np.uint8)
+                    % MM_PAL_ENTRIES
+                ).reshape(MM_PAL_H, MM_PAL_W)
+                return encode_gif(ix, pal, interlace=True)
+            px = np.frombuffer(
+                raw[:_MM_TIFF_NEED], dtype=np.uint8
+            ).reshape(_MM_TIFF_H, _MM_TIFF_W, 3)
+            return encode_tiff(
+                px, big_endian=True, rows_per_strip=2, packbits=True
+            )
 
         for pdf in batches:
             ids, fmts, oks, npx = [], [], [], []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
                 did = int(did)
-                fmt = did % 5
+                fmt = did % 6
                 blob = build(fmt, bytes(b))
                 if did % 3 == 0:
                     blob = blob[:-2]  # planted corruption
@@ -2079,16 +2292,18 @@ def mm_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MM_DECODE_VALIDATE = f"""
 SELECT doc_id,
-       CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-            WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg' ELSE 'gif' END AS fmt,
+       CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
+            WHEN 4 THEN 'gif' ELSE 'tiff' END AS fmt,
        doc_id % 3 <> 0 AS ok,
        CASE WHEN doc_id % 3 = 0 THEN NULL
-            ELSE CAST(CASE doc_id % 5
+            ELSE CAST(CASE doc_id % 6
                  WHEN 0 THEN {_MM_VAL_PIXELS[0]}
                  WHEN 1 THEN {_MM_VAL_PIXELS[1]}
                  WHEN 2 THEN {_MM_VAL_PIXELS[2]}
                  WHEN 3 THEN {_MM_VAL_PIXELS[3]}
-                 ELSE {_MM_VAL_PIXELS[4]} END AS BIGINT) END AS n_pixels
+                 WHEN 4 THEN {_MM_VAL_PIXELS[4]}
+                 ELSE {_MM_VAL_PIXELS[5]} END AS BIGINT) END AS n_pixels
 FROM documents
 WHERE text IS NOT NULL
   AND octet_length(encode(text)) >= {_MM_VAL_NEED}
@@ -2676,6 +2891,8 @@ QUERIES = {
     "mm_decode_jpeg_progressive": mm_decode_jpeg_progressive,
     "mm_decode_gif": mm_decode_gif,
     "mm_decode_gif_frames": mm_decode_gif_frames,
+    "mm_decode_wav": mm_decode_wav,
+    "mm_decode_tiff": mm_decode_tiff,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
     "mm_decode_bmp": mm_decode_bmp,
@@ -2703,6 +2920,8 @@ ORACLES = {
     "mm_decode_jpeg_progressive": ORACLE_MM_DECODE_JPEG,
     "mm_decode_gif": ORACLE_MM_DECODE_GIF,
     "mm_decode_gif_frames": ORACLE_MM_DECODE_GIF_FRAMES,
+    "mm_decode_wav": ORACLE_MM_DECODE_WAV,
+    "mm_decode_tiff": ORACLE_MM_DECODE_TIFF,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,

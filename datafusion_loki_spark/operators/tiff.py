@@ -1,0 +1,311 @@
+"""Baseline TIFF codec — pure stdlib + numpy, no codec library.
+
+Round 13: TIFF leaves the PIL-gated list (decode_image's loud gate now
+covers only WebP/AVIF-class formats). Per the public TIFF 6.0
+specification (Adobe, 1992): both byte orders ('II' little / 'MM'
+big), the first IFD's tag walk (SHORT/LONG value reading, inline
+vs offset-addressed values), strip assembly via StripOffsets /
+StripByteCounts / RowsPerStrip, chunky planar layout, 8-bit grayscale
+(photometric 0 WhiteIsZero — inverted per spec — and 1 BlackIsZero)
+and RGB (photometric 2), Compression 1 (none) and 32773 (PackBits,
+spec section 9). Everything else — tiles, palettes, planar=2,
+predictors, LZW/JPEG-in-TIFF, sample depths other than 8 — fails with
+a loud ValueError, never a fake fallback (the decode_image contract).
+
+The encoder twin constructs valid inputs for tests and the registry
+face (multimodal.mm_decode_tiff): either endian, configurable
+RowsPerStrip, optional PackBits (a REAL run/literal compressor, so
+round trips exercise both branch types and the -128 noop is covered by
+crafted streams).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# tag ids (TIFF 6.0 section 8)
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """PackBits (TIFF 6.0 section 9): n in [0,127] copies n+1 literals,
+    n in [-127,-1] repeats the next byte 1-n times, -128 is a noop.
+    Decodes exactly ``expect`` bytes — loud on shortfall or overshoot
+    (the GIF LZW terminator lesson: a count mismatch must surface as
+    the decoder's own error)."""
+    out = bytearray()
+    p = 0
+    while p < len(data):
+        n = data[p]
+        p += 1
+        if n == 128:  # -128: noop
+            continue
+        if n < 128:
+            lit = data[p : p + n + 1]
+            if len(lit) != n + 1:
+                raise ValueError("TIFF PackBits literal run truncated")
+            out += lit
+            p += n + 1
+        else:
+            if p >= len(data):
+                raise ValueError("TIFF PackBits repeat run truncated")
+            out += bytes([data[p]]) * (257 - n)
+            p += 1
+        if len(out) > expect:
+            raise ValueError(
+                f"TIFF PackBits produced {len(out)} bytes,"
+                f" expected {expect}"
+            )
+    if len(out) != expect:
+        raise ValueError(
+            f"TIFF PackBits produced {len(out)} bytes, expected {expect}"
+        )
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """REAL run/literal PackBits compressor (repeat runs >= 3 bytes,
+    literal runs otherwise, both capped at 128)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # measure the repeat run at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal run: scan to the next >=3 repeat, then emit in
+        # <=128-byte chunks (a literal length byte must stay <= 127 —
+        # 0x80 is the noop)
+        lit_end = i
+        while lit_end < n:
+            j = lit_end + 1
+            while j < n and data[j] == data[lit_end]:
+                j += 1
+            if j - lit_end >= 3:
+                break
+            lit_end = j
+        for s in range(i, lit_end, 128):
+            chunk = data[s : min(lit_end, s + 128)]
+            out += bytes([len(chunk) - 1]) + chunk
+        i = lit_end
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes):
+    """Decode the first IFD of a baseline TIFF. Returns (width, height,
+    uint8 ndarray (h, w, c)) with c = 1 (grayscale, WhiteIsZero
+    inverted per spec) or 3 (RGB). Loud ValueError on malformed or
+    unsupported layouts."""
+    if payload[:4] == b"II\x2a\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00\x2a":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (byte-order/42 signature missing)")
+    if len(payload) < 8:
+        raise ValueError("TIFF header truncated")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+
+    def read_tag_values(ttype, count, raw):
+        if ttype == 3:
+            fmt, size = "H", 2
+        elif ttype == 4:
+            fmt, size = "I", 4
+        elif ttype == 1:
+            fmt, size = "B", 1
+        else:
+            raise ValueError(f"unsupported TIFF tag type {ttype}")
+        total = size * count
+        if total <= 4:
+            buf = raw[:total]
+        else:
+            (off,) = struct.unpack(e + "I", raw)
+            buf = payload[off : off + total]
+            if len(buf) < total:
+                raise ValueError("TIFF tag value block truncated")
+        return list(struct.unpack(e + fmt * count, buf))
+
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_tags,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    tags = {}
+    for k in range(n_tags):
+        base = ifd_off + 2 + 12 * k
+        ent = payload[base : base + 12]
+        if len(ent) < 12:
+            raise ValueError("TIFF IFD entry truncated")
+        tag, ttype, count = struct.unpack(e + "HHI", ent[:8])
+        tags[tag] = (ttype, count, ent[8:12])
+
+    def tag_vals(tag, default=None):
+        if tag not in tags:
+            if default is not None:
+                return default
+            raise ValueError(f"TIFF missing required tag {tag}")
+        ttype, count, raw = tags[tag]
+        return read_tag_values(ttype, count, raw)
+
+    w = tag_vals(_T_WIDTH)[0]
+    h = tag_vals(_T_HEIGHT)[0]
+    if w == 0 or h == 0:
+        raise ValueError("malformed TIFF dimensions")
+    spp = tag_vals(_T_SPP, [1])[0]
+    bits = tag_vals(_T_BITS, [8])
+    photometric = tag_vals(_T_PHOTOMETRIC)[0]
+    compression = tag_vals(_T_COMPRESSION, [1])[0]
+    planar = tag_vals(_T_PLANAR, [1])[0]
+    if any(b != 8 for b in bits) or len(bits) not in (1, spp):
+        raise ValueError(f"unsupported TIFF sample depth {bits} (8-bit only)")
+    if planar != 1:
+        raise ValueError("unsupported TIFF planar configuration (chunky only)")
+    if compression not in (1, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {compression}"
+            " (none/PackBits only); no fake fallback"
+        )
+    if photometric in (0, 1):
+        if spp != 1:
+            raise ValueError("grayscale TIFF with SamplesPerPixel != 1")
+    elif photometric == 2:
+        if spp != 3:
+            raise ValueError("RGB TIFF with SamplesPerPixel != 3")
+    else:
+        raise ValueError(
+            f"unsupported TIFF photometric {photometric} (gray/RGB only)"
+        )
+    rows_per_strip = tag_vals(_T_ROWS_PER_STRIP, [h])[0]
+    if rows_per_strip == 0:
+        raise ValueError("malformed TIFF RowsPerStrip 0")
+    offsets = tag_vals(_T_STRIP_OFFSETS)
+    counts = tag_vals(_T_STRIP_COUNTS)
+    n_strips = -(-h // rows_per_strip)
+    if len(offsets) != n_strips or len(counts) != n_strips:
+        raise ValueError(
+            f"TIFF strip bookkeeping mismatch: {len(offsets)} offsets /"
+            f" {len(counts)} counts for {n_strips} strips"
+        )
+    stride = w * spp
+    out = bytearray()
+    for s in range(n_strips):
+        rows = min(rows_per_strip, h - s * rows_per_strip)
+        raw = payload[offsets[s] : offsets[s] + counts[s]]
+        if len(raw) < counts[s]:
+            raise ValueError(f"TIFF strip {s} truncated")
+        if compression == 32773:
+            raw = _packbits_decode(raw, rows * stride)
+        elif len(raw) != rows * stride:
+            raise ValueError(
+                f"TIFF strip {s} holds {len(raw)} bytes,"
+                f" expected {rows * stride}"
+            )
+        out += raw
+    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
+    if photometric == 0:  # WhiteIsZero: invert per spec
+        arr = (255 - arr.astype(np.int16)).astype(np.uint8)
+    return w, h, arr
+
+
+def encode_tiff(
+    arr,
+    big_endian: bool = False,
+    rows_per_strip: "int | None" = None,
+    packbits: bool = False,
+) -> bytes:
+    """TIFF writer for (h, w) grayscale (BlackIsZero) or (h, w, 3) RGB
+    uint8 arrays — either byte order, configurable strip height,
+    optional PackBits."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError(
+            f"encode_tiff needs (h, w[, 1|3]), got shape {arr.shape}"
+        )
+    h, w, spp = arr.shape
+    e = ">" if big_endian else "<"
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    n_strips = -(-h // rps)
+    strips = []
+    for s in range(n_strips):
+        chunk = arr[s * rps : (s + 1) * rps].tobytes()
+        strips.append(_packbits_encode(chunk) if packbits else chunk)
+
+    entries = []  # (tag, type, count, values)
+    photometric = 1 if spp == 1 else 2
+
+    def add(tag, ttype, vals):
+        entries.append((tag, ttype, vals))
+
+    add(_T_WIDTH, 4, [w])
+    add(_T_HEIGHT, 4, [h])
+    add(_T_BITS, 3, [8] * spp)
+    add(_T_COMPRESSION, 3, [32773 if packbits else 1])
+    add(_T_PHOTOMETRIC, 3, [photometric])
+    add(_T_STRIP_OFFSETS, 4, [0] * n_strips)  # patched below
+    add(_T_SPP, 3, [spp])
+    add(_T_ROWS_PER_STRIP, 4, [rps])
+    add(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
+    entries.sort()
+
+    # layout: header(8) + IFD + overflow value blocks + strip data
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_off = ifd_off + ifd_size
+    overflow = bytearray()
+
+    def value_bytes(ttype, vals):
+        fmt = {3: "H", 4: "I"}[ttype]
+        return struct.pack(e + fmt * len(vals), *vals)
+
+    # first pass: compute where strip data starts
+    probe = 0
+    for tag, ttype, vals in entries:
+        vb = value_bytes(ttype, vals)
+        if len(vb) > 4:
+            probe += len(vb) + (len(vb) & 1)
+    data_off = overflow_off + probe
+    offsets = []
+    pos = data_off
+    for sdata in strips:
+        offsets.append(pos)
+        pos += len(sdata)
+
+    out = bytearray()
+    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+    out += struct.pack(e + "I", ifd_off)
+    out += struct.pack(e + "H", len(entries))
+    for tag, ttype, vals in entries:
+        if tag == _T_STRIP_OFFSETS:
+            vals = offsets
+        vb = value_bytes(ttype, vals)
+        out += struct.pack(e + "HHI", tag, ttype, len(vals))
+        if len(vb) <= 4:
+            out += vb + b"\x00" * (4 - len(vb))
+        else:
+            out += struct.pack(e + "I", overflow_off + len(overflow))
+            overflow += vb
+            if len(vb) & 1:
+                overflow += b"\x00"
+    out += struct.pack(e + "I", 0)  # no next IFD
+    out += overflow
+    for sdata in strips:
+        out += sdata
+    return bytes(out)

@@ -1,0 +1,130 @@
+"""Baseline TIFF codec (operators/tiff.py — round 13, the format that
+leaves the PIL-gated list). The registry row (mm_decode_tiff) proves
+the big-endian multi-strip PackBits path cross-engine; these tests pin
+the IFD walk, both byte orders, strip assembly, WhiteIsZero inversion,
+PackBits edges, and the loud-failure contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from datafusion_loki_spark.operators.tiff import (
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    rgb=st.booleans(),
+    be=st.booleans(),
+    pb=st.booleans(),
+    rps=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_property(w, h, rgb, be, pb, rps, seed):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w, 3) if rgb else (h, w)).astype(np.uint8)
+    gw, gh, out = decode_tiff(
+        encode_tiff(arr, big_endian=be, rows_per_strip=rps, packbits=pb)
+    )
+    want = arr if rgb else arr[:, :, None]
+    assert (gw, gh) == (w, h) and (out == want).all()
+
+
+def test_packbits_edges():
+    # long repeat (chunked at 128), literal chunking at 128, -128 noop
+    raw = bytes([7] * 300) + bytes(range(200)) + bytes([1, 1])
+    enc = _packbits_encode(raw)
+    assert _packbits_decode(enc, len(raw)) == raw
+    assert _packbits_decode(bytes([128]) + enc, len(raw)) == raw
+    with pytest.raises(ValueError, match="expected"):
+        _packbits_decode(enc, len(raw) - 1)  # overshoot is loud
+    with pytest.raises(ValueError, match="expected"):
+        _packbits_decode(enc, len(raw) + 1)  # shortfall is loud
+    with pytest.raises(ValueError, match="truncated"):
+        _packbits_decode(bytes([5, 1, 2]), 6)  # literal run cut short
+
+
+def test_white_is_zero_inverts():
+    # flip the photometric tag of a grayscale file to 0 (WhiteIsZero):
+    # the decoder must invert per spec
+    g = np.arange(20, dtype=np.uint8).reshape(4, 5) * 9
+    tif = encode_tiff(g)  # photometric 1 (BlackIsZero), little-endian
+    # tag entries are sorted by id; photometric=262 type=3 count=1;
+    # find its 12-byte entry and flip the value
+    i = tif.index(struct.pack("<HHI", 262, 3, 1))
+    bad = bytearray(tif)
+    assert bad[i + 8] == 1
+    bad[i + 8] = 0
+    _, _, out = decode_tiff(bytes(bad))
+    assert (out[:, :, 0] == 255 - g).all()
+
+
+def test_big_endian_wire_is_really_big_endian():
+    # the same pixels in both byte orders must decode identically, and
+    # the MM header must carry big-endian tag fields on the wire
+    rng = np.random.RandomState(2)
+    px = rng.randint(0, 256, (3, 4, 3)).astype(np.uint8)
+    le = decode_tiff(encode_tiff(px, big_endian=False))[2]
+    be_bytes = encode_tiff(px, big_endian=True)
+    assert be_bytes[:4] == b"MM\x00\x2a"
+    assert struct.unpack(">H", be_bytes[8:10])[0] > 0  # IFD tag count BE
+    be = decode_tiff(be_bytes)[2]
+    assert (le == be).all() and (le == px).all()
+
+
+def test_fail_loud_contract():
+    g = np.full((4, 4), 9, dtype=np.uint8)
+    good = encode_tiff(g)
+    with pytest.raises(ValueError, match="signature"):
+        decode_tiff(b"not a tiff")
+    # truncation: cut the strip data
+    with pytest.raises(ValueError, match="truncated|expected"):
+        decode_tiff(good[:-3])
+    # unsupported compression (LZW = 5)
+    i = good.index(struct.pack("<HHI", 259, 3, 1))
+    bad = bytearray(good)
+    bad[i + 8] = 5
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(bad))
+    # unsupported photometric (palette = 3)
+    i = good.index(struct.pack("<HHI", 262, 3, 1))
+    bad = bytearray(good)
+    bad[i + 8] = 3
+    with pytest.raises(ValueError, match="photometric"):
+        decode_tiff(bytes(bad))
+    # non-8-bit depth
+    i = good.index(struct.pack("<HHI", 258, 3, 1))
+    bad = bytearray(good)
+    bad[i + 8] = 16
+    with pytest.raises(ValueError, match="depth"):
+        decode_tiff(bytes(bad))
+    # planar configuration 2
+    rgb = encode_tiff(np.zeros((2, 2, 3), dtype=np.uint8))
+    out = bytearray(rgb)
+    # no planar tag is written (defaults to 1); craft one by flipping
+    # SamplesPerPixel's tag id is too invasive — instead verify the
+    # strip bookkeeping check: claim 2 strips where 1 exists
+    i = rgb.index(struct.pack("<HHI", 278, 4, 1))  # RowsPerStrip
+    bad = bytearray(rgb)
+    struct.pack_into("<I", bad, i + 8, 1)  # 1 row/strip -> needs 2 strips
+    with pytest.raises(ValueError, match="strip bookkeeping"):
+        decode_tiff(bytes(bad))
+
+
+def test_decode_image_dispatches_tiff():
+    from datafusion_loki_spark.operators.multimodal import decode_image
+
+    px = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    for be in (False, True):
+        out = decode_image(encode_tiff(px, big_endian=be, packbits=True))
+        assert (out == px).all()

@@ -428,6 +428,78 @@ def incremental_admission_stream(
     return fp.join(corpus_fingerprints, "fingerprint", "left_anti")
 
 
+def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
+    """Streaming DECODE admission (round 13 — the batch gate
+    multimodal.mm_decode_validate at INGEST): each arriving media row's
+    payload is routed through the real decode_image dispatch inside an
+    Arrow-batched kernel, emitting (original columns minus payload,
+    fmt, ok, n_pixels). Downstream consumers filter ``ok`` to admit —
+    the first gate a multimodal ingest runs, BEFORE the stateful
+    admissions (exact / LSH / winnow / phash), so undecodable bytes
+    never reach a state store.
+
+    ``stream_media`` needs ``doc_id`` and ``payload`` (binary) columns.
+    Malformed payloads (ValueError from any decoder, or an unknown
+    signature) reject with fmt='unknown' where unsniffable; a
+    NotImplementedError (a format this build has no codec for — the
+    PIL gate) PROPAGATES loud: silently rejecting a format you simply
+    cannot decode would throw away good corpus data.
+
+    100 TB posture: stateless (pure per-row validation — no state
+    store, no watermark, no shuffle); the kernel is the same Arrow
+    batch shape as the batch face, so the per-item decode cost and its
+    documented native-codec swap point carry over unchanged."""
+    sniffs = (
+        (b"P6", "ppm"),
+        (b"BM", "bmp"),
+        (b"\x89PNG\r\n\x1a\n", "png"),
+        (b"\xff\xd8", "jpeg"),
+        (b"GIF87a", "gif"),
+        (b"GIF89a", "gif"),
+        (b"II\x2a\x00", "tiff"),
+        (b"MM\x00\x2a", "tiff"),
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from datafusion_loki_spark.operators.multimodal import decode_image
+
+        for pdf in batches:
+            ids, fmts, oks, npx = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(b) if b is not None else b""
+                fmt = next(
+                    (name for sig, name in sniffs if blob[: len(sig)] == sig),
+                    "unknown",
+                )
+                if fmt == "unknown":
+                    ok, n = False, None
+                else:
+                    try:
+                        arr = decode_image(blob)
+                        ok, n = True, int(arr.shape[0] * arr.shape[1])
+                    except ValueError:
+                        ok, n = False, None
+                ids.append(int(did))
+                fmts.append(fmt)
+                oks.append(ok)
+                npx.append(n)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "fmt": fmts,
+                        "ok": oks,
+                        "n_pixels": pd.array(npx, dtype="Int64"),
+                    }
+                )
+
+    return stream_media.select("doc_id", "payload").mapInPandas(
+        kernel, "doc_id long, fmt string, ok boolean, n_pixels long"
+    )
+
+
 def enriched_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joined to the
     static customer/nation dimensions — the standard 'decorate the stream

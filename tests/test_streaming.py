@@ -2137,3 +2137,66 @@ def test_winnow_stream_state_survives_restart(spark, sf_dir, tmp_path):
     second = _drain()
     pairs = {(r.prior_id, r.doc_id) for r in second}
     assert (a, b) in pairs
+
+
+def test_decode_admission_stream_matches_batch_gate(spark, tmp_path):
+    # The streaming decode admission must give each blob the VERDICT the
+    # batch dispatch gives: construct real files in all six formats plus
+    # corrupted twins and unknown bytes, stream them, and compare
+    # against direct decode_image calls.
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from datafusion_loki_spark.operators.gif import encode_gif
+    from datafusion_loki_spark.operators.jpeg import encode_jpeg
+    from datafusion_loki_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+    from datafusion_loki_spark.operators.tiff import encode_tiff
+
+    rng = np.random.RandomState(8)
+    px = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    blobs = {
+        0: b"P6 7 5 255\n" + px.tobytes(),
+        1: encode_png(px),
+        2: encode_jpeg(px[:, :, 0]),
+        3: encode_gif(px[:, :, 0].astype(np.int64) % 16, pal),
+        4: encode_tiff(px, big_endian=True, packbits=True),
+        5: encode_png(px)[:-2],         # corrupt: IEND CRC gone
+        6: encode_tiff(px)[:-2],        # corrupt: strip tail gone
+        7: b"random garbage, no signature",
+    }
+    src = str(tmp_path / "media")
+    spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "doc_id long, payload binary",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+        src
+    )
+    out = pipeline.decode_admission_stream(stream)
+    assert out.isStreaming
+    pipeline.run_to_memory(out, "decode_admitted", spark)
+    got = {
+        r.doc_id: (r.fmt, r.ok, r.n_pixels)
+        for r in spark.sql("SELECT * FROM decode_admitted").collect()
+    }
+    assert len(got) == len(blobs)
+    for k, blob in blobs.items():
+        try:
+            arr = decode_image(blob)
+            want = (True, arr.shape[0] * arr.shape[1])
+        except ValueError:
+            want = (False, None)
+        except NotImplementedError:
+            # the batch dispatch PIL-gates unknown signatures; the
+            # stream gate sniffs first and rejects them as 'unknown'
+            # (only known-but-codec-less formats propagate loud there)
+            want = (False, None)
+        assert (got[k][1], got[k][2]) == want, (k, got[k])
+    assert got[0][0] == "ppm" and got[4][0] == "tiff"
+    assert got[7] == ("unknown", False, None)
+    # admitted set: exactly the decodable six
+    assert {k for k, v in got.items() if v[1]} == {0, 1, 2, 3, 4}

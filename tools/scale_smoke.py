@@ -104,6 +104,9 @@ SMOKE_QUERIES = [
     "mm_decode_gif_frames",
     "mm_pipeline_funnel",
     "text_tokenize_bpe",
+    # round 13 (late): the TIFF kernel (per-item IFD walk + 3-strip
+    # PackBits) — the decode family's newest per-item shape
+    "mm_decode_tiff",
 ]
 
 

@@ -112,6 +112,9 @@ _R13_PINNED: tuple[str, ...] = (
     # outputs changed in lockstep with their oracles
     "mm_decode_wav",
     "mm_decode_tiff",
+    # NEW in r13 (late): the audio ANALYSIS stage over the decoded PCM
+    # stream — integer-exact energy / zero-crossings / peak per channel
+    "mm_audio_features",
 )
 
 _WINDOW_SIZE = 50

@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     # TIFF path (IFD walk + strip assembly + PackBits per item)
     "mm_decode_wav",
     "mm_decode_tiff",
+    "mm_audio_features",
 ]
 
 

@@ -2069,6 +2069,113 @@ FROM m
 """
 
 
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction — the analysis stage after
+    mm_decode_wav's decode stage (the audio twin of the text-quality
+    signals): per channel of the decoded PCM stream, energy (sum of
+    squared samples — exact integers, no float RMS in the hash), zero
+    crossings (sign flips between consecutive frames), and peak
+    absolute amplitude. The kernel DECODES the constructed WAV first
+    (operators/wav.py is in the hot path — a chunk-walk or sign bug
+    changes the features), and the oracle recomputes every feature from
+    the payload hex through the same signed-LE arithmetic.
+
+    100 TB posture: the decode-family shape — modality + size filter
+    before the Python boundary, Arrow-batched mapInPandas, narrow
+    output columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.wav import decode_wav, encode_wav
+
+    media = media_table(spark, sf_dir).where(
+        (F.col("media_type") == "audio")
+        & F.col("payload").isNotNull()
+        & (F.col("n_bytes") >= _MM_WAV_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "sum_sq_l", "zc_l", "peak_l",
+                    "sum_sq_r", "zc_r", "peak_r",
+                )
+            }
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_WAV_NEED]
+                samples = np.frombuffer(raw, dtype="<i2").reshape(
+                    _MM_WAV_FRAMES, 2
+                )
+                _, _, _, out = decode_wav(encode_wav(samples, 8000))
+                s = out.astype(np.int64)
+                rows["doc_id"].append(int(did))
+                for ci, side in ((0, "l"), (1, "r")):
+                    c = s[:, ci]
+                    rows[f"sum_sq_{side}"].append(int((c * c).sum()))
+                    rows[f"zc_{side}"].append(
+                        int(((c[1:] < 0) != (c[:-1] < 0)).sum())
+                    )
+                    rows[f"peak_{side}"].append(int(np.abs(c).max()))
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, sum_sq_l long, zc_l int, peak_l int,"
+        " sum_sq_r long, zc_r int, peak_r int",
+    )
+
+
+def _wav_feature_duck(off: int):
+    """(sum_sq, zero_cross, peak) DuckDB expressions for the channel at
+    byte offset ``off`` of each 4-byte frame (signed LE int16)."""
+
+    def signed(idx_expr):
+        v = (
+            f"({_hexpair_duck(idx_expr)}"
+            f" + 256 * {_hexpair_duck(f'{idx_expr} + 1')})"
+        )
+        return f"({v} - CASE WHEN {v} >= 32768 THEN 65536 ELSE 0 END)"
+
+    cur = signed(f"4 * i + {off}")
+    prev = signed(f"4 * (i - 1) + {off}")
+    rng = f"generate_series(0, {_MM_WAV_FRAMES - 1})"
+    rng1 = f"generate_series(1, {_MM_WAV_FRAMES - 1})"
+    return (
+        f"list_sum(list_transform({rng}, i -> {cur} * {cur}))",
+        f"list_sum(list_transform({rng1},"
+        f" i -> CASE WHEN ({cur} < 0) <> ({prev} < 0)"
+        " THEN 1 ELSE 0 END))",
+        f"list_max(list_transform({rng}, i -> abs({cur})))",
+    )
+
+
+def _oracle_audio_features() -> str:
+    sl, zl, pl = _wav_feature_duck(0)
+    sr, zr, pr = _wav_feature_duck(2)
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 3 = 1
+    AND octet_length(encode(text)) >= {_MM_WAV_NEED}
+)
+SELECT doc_id,
+       CAST({sl} AS BIGINT) AS sum_sq_l,
+       CAST({zl} AS INT) AS zc_l,
+       CAST({pl} AS INT) AS peak_l,
+       CAST({sr} AS BIGINT) AS sum_sq_r,
+       CAST({zr} AS INT) AS zc_r,
+       CAST({pr} AS INT) AS peak_r
+FROM m
+"""
+
+
+ORACLE_MM_AUDIO_FEATURES = _oracle_audio_features()
+
+
 # --- TIFF (round 13: TIFF leaves the PIL-gated list) --------------------------
 #
 # Construction: payload bytes [0, 105) as a 7x5 RGB image, written as a
@@ -2892,6 +2999,7 @@ QUERIES = {
     "mm_decode_gif": mm_decode_gif,
     "mm_decode_gif_frames": mm_decode_gif_frames,
     "mm_decode_wav": mm_decode_wav,
+    "mm_audio_features": mm_audio_features,
     "mm_decode_tiff": mm_decode_tiff,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
@@ -2921,6 +3029,7 @@ ORACLES = {
     "mm_decode_gif": ORACLE_MM_DECODE_GIF,
     "mm_decode_gif_frames": ORACLE_MM_DECODE_GIF_FRAMES,
     "mm_decode_wav": ORACLE_MM_DECODE_WAV,
+    "mm_audio_features": ORACLE_MM_AUDIO_FEATURES,
     "mm_decode_tiff": ORACLE_MM_DECODE_TIFF,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,

@@ -115,6 +115,9 @@ _R13_PINNED: tuple[str, ...] = (
     # NEW in r13 (late): the audio ANALYSIS stage over the decoded PCM
     # stream — integer-exact energy / zero-crossings / peak per channel
     "mm_audio_features",
+    # NEW in r13 (late): real-pixel resize — decode + deterministic
+    # nearest-neighbor gather, hex-replayable end-to-end
+    "mm_resize_pixels",
 )
 
 _WINDOW_SIZE = 50

@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "mm_decode_wav",
     "mm_decode_tiff",
     "mm_audio_features",
+    "mm_resize_pixels",
 ]
 
 

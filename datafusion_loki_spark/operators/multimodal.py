@@ -2069,6 +2069,96 @@ FROM m
 """
 
 
+# real-pixel resize target (nearest neighbor): 8x5 -> 4x3, so the
+# source index map is src_x = 2x, src_y = (5y) // 3 in both engines
+_MM_RS_W, _MM_RS_H = 4, 3
+
+
+def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize (round 13 — mm_resize covers the geometry
+    arithmetic; this face resizes ACTUAL pixels): each payload becomes
+    the 8x5 RGB PNG of the decode twin, is decoded by the real parser,
+    then downsampled 8x5 -> 4x3 by nearest neighbor (the deterministic
+    integer index map in the module comment — exactly replayable, so
+    the full-hash oracle covers decode + the resampling grid). Emits
+    the resized geometry and per-channel sums of the RESIZED image; a
+    real deployment swaps the nearest-neighbor gather for a
+    PIL/libvips resample inside the same kernel.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, no shuffle."""
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_PNG_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        ys = (np.arange(_MM_RS_H) * MM_PNG_H) // _MM_RS_H
+        xs = (np.arange(_MM_RS_W) * MM_PNG_W) // _MM_RS_W
+
+        for pdf in batches:
+            ids, sr, sg, sb = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                pixels = np.frombuffer(
+                    bytes(b)[:_MM_PNG_NEED], dtype=np.uint8
+                ).reshape(MM_PNG_H, MM_PNG_W, 3)
+                _w, _h, arr = decode_png(encode_png(pixels))
+                small = arr[np.ix_(ys, xs)]
+                ids.append(int(did))
+                sr.append(int(small[:, :, 0].sum(dtype="int64")))
+                sg.append(int(small[:, :, 1].sum(dtype="int64")))
+                sb.append(int(small[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "out_w": _MM_RS_W,
+                        "out_h": _MM_RS_H,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, out_w int, out_h int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
+def _resize_channel_sum_duck(ch: int) -> str:
+    # out pixel k (x = k % W_out, y = k // W_out) gathers source pixel
+    # (src_y * 8 + src_x) with src_x = 2x, src_y = (5y) // 3
+    src = (
+        f"(((5 * (k // {_MM_RS_W})) // {_MM_RS_H}) * {MM_PNG_W}"
+        f" + 2 * (k % {_MM_RS_W}))"
+    )
+    return (
+        "list_sum(list_transform(generate_series(0,"
+        f" {_MM_RS_W * _MM_RS_H - 1}),"
+        f" k -> {_hexpair_duck(f'3 * {src} + {ch}')}))"
+    )
+
+
+ORACLE_MM_RESIZE_PIXELS = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_PNG_NEED}
+)
+SELECT doc_id,
+       {_MM_RS_W} AS out_w, {_MM_RS_H} AS out_h,
+       CAST({_resize_channel_sum_duck(0)} AS BIGINT) AS sum_r,
+       CAST({_resize_channel_sum_duck(1)} AS BIGINT) AS sum_g,
+       CAST({_resize_channel_sum_duck(2)} AS BIGINT) AS sum_b
+FROM m
+"""
+
+
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio feature extraction — the analysis stage after
     mm_decode_wav's decode stage (the audio twin of the text-quality
@@ -3000,6 +3090,7 @@ QUERIES = {
     "mm_decode_gif_frames": mm_decode_gif_frames,
     "mm_decode_wav": mm_decode_wav,
     "mm_audio_features": mm_audio_features,
+    "mm_resize_pixels": mm_resize_pixels,
     "mm_decode_tiff": mm_decode_tiff,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
@@ -3030,6 +3121,7 @@ ORACLES = {
     "mm_decode_gif_frames": ORACLE_MM_DECODE_GIF_FRAMES,
     "mm_decode_wav": ORACLE_MM_DECODE_WAV,
     "mm_audio_features": ORACLE_MM_AUDIO_FEATURES,
+    "mm_resize_pixels": ORACLE_MM_RESIZE_PIXELS,
     "mm_decode_tiff": ORACLE_MM_DECODE_TIFF,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,

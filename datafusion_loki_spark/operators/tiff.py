@@ -161,6 +161,10 @@ def decode_tiff(payload: bytes):
                 return default
             raise ValueError(f"TIFF missing required tag {tag}")
         ttype, count, raw = tags[tag]
+        if count == 0:
+            # a present-but-empty tag is malformed, not missing — the
+            # callers index [0] (fuzz-found IndexError escape)
+            raise ValueError(f"TIFF tag {tag} has zero values")
         return read_tag_values(ttype, count, raw)
 
     w = tag_vals(_T_WIDTH)[0]

@@ -1,0 +1,102 @@
+"""Cross-codec mutation fuzz (round 13): the fail-loud contract says a
+malformed stream raises ValueError with the decoder's own message —
+NEVER an IndexError / struct.error / numpy exception leaking from the
+guts (those read as crashes to a pipeline and carry no diagnosis).
+Deterministic seeds; the round-13 sweep found exactly one escape
+(TIFF zero-count tag -> IndexError), fixed and pinned here."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from datafusion_loki_spark.operators.gif import (
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+    encode_gif_frames,
+)
+from datafusion_loki_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from datafusion_loki_spark.operators.multimodal import (
+    decode_png,
+    encode_png,
+)
+from datafusion_loki_spark.operators.tiff import decode_tiff, encode_tiff
+from datafusion_loki_spark.operators.wav import decode_wav, encode_wav
+
+_RNG = np.random.RandomState(0)
+_PX = _RNG.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+_PAL = _RNG.randint(0, 256, (16, 3)).astype(np.uint8)
+_SAMPLES = _RNG.randint(-32768, 32768, (20, 2)).astype(np.int16)
+
+_SEEDS = {
+    "png": (encode_png(_PX), decode_png),
+    "jpeg": (encode_jpeg(_PX[:, :, 0]), decode_jpeg),
+    "jpeg_prog": (
+        encode_jpeg(_PX[:, :, 0], progressive=True, restart_interval=2),
+        decode_jpeg,
+    ),
+    "gif": (
+        encode_gif(_PX[:, :, 0].astype(np.int64) % 16, _PAL, interlace=True),
+        decode_gif,
+    ),
+    "gif_frames": (
+        encode_gif_frames(
+            [
+                {"idx": _PX[:, :, 0].astype(np.int64) % 16},
+                {
+                    "idx": _PX[:2, :3, 0].astype(np.int64) % 16,
+                    "pos": (1, 1),
+                    "transparent": 0,
+                    "disposal": 3,
+                },
+            ],
+            _PAL,
+            loop=True,
+        ),
+        decode_gif_frames,
+    ),
+    "tiff": (
+        encode_tiff(_PX, big_endian=True, rows_per_strip=2, packbits=True),
+        decode_tiff,
+    ),
+    "wav": (
+        encode_wav(_SAMPLES, 8000, extra_chunk=(b"LIST", b"abc")),
+        decode_wav,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SEEDS))
+def test_mutated_streams_fail_with_valueerror_only(name):
+    blob, dec = _SEEDS[name]
+    r = random.Random(13)
+    for _ in range(1500):
+        b = bytearray(blob)
+        for _ in range(r.randint(1, 4)):
+            op = r.random()
+            if op < 0.5 and len(b) > 1:
+                b[r.randrange(len(b))] = r.randrange(256)
+            elif op < 0.75 and len(b) > 4:
+                del b[r.randrange(len(b))]
+            else:
+                b.insert(r.randrange(len(b) + 1), r.randrange(256))
+        try:
+            dec(bytes(b))  # decoding to SOMETHING is fine; crashing is not
+        except ValueError:
+            pass  # the loud contract
+
+
+def test_tiff_zero_count_tag_is_loud():
+    # the round-13 fuzz catch, pinned as a crafted case: zero out the
+    # ImageLength tag's count field — must be 'zero values', not an
+    # IndexError on [0]
+    import struct
+
+    blob = bytearray(encode_tiff(_PX))
+    i = blob.index(struct.pack("<HHI", 257, 4, 1))
+    struct.pack_into("<I", blob, i + 4, 0)
+    with pytest.raises(ValueError, match="zero values"):
+        decode_tiff(bytes(blob))

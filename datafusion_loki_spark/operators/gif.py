@@ -82,8 +82,9 @@ def _parse_image(payload: bytes, pos: int, gct):
     if not 2 <= min_code <= 11:
         raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
     data, pos = _sub_blocks(payload, pos)
-    idx = _lzw_decode(bytes(data), min_code, w * h)
-    idx = np.asarray(idx, dtype=np.int64)
+    idx = np.frombuffer(
+        _lzw_decode(bytes(data), min_code, w * h), dtype=np.uint8
+    ).astype(np.int64)
     if int(idx.max(initial=0)) >= ct.shape[0]:
         raise ValueError(
             f"GIF pixel index {int(idx.max())} outside the"
@@ -229,12 +230,16 @@ def _sub_blocks(payload: bytes, pos: int):
         pos += n
 
 
-def _lzw_decode(data: bytes, min_code: int, expect: int) -> list:
+def _lzw_decode(data: bytes, min_code: int, expect: int) -> bytes:
     """Variable-width LSB-first GIF LZW. Decodes exactly ``expect``
-    pixels (loud on shortfall or dictionary misuse)."""
+    pixels (loud on shortfall or dictionary misuse). Output and table
+    entries are BYTES (palette indices are < 256 by construction), so
+    memory stays 1 byte/pixel — bounded by the declared image size,
+    the same guarantee as PNG's bounded inflate (round 13; the int-list
+    version cost ~28 bytes/pixel)."""
     clear = 1 << min_code
     end = clear + 1
-    out = []
+    out = bytearray()
     # bit reader: LSB-first across the concatenated sub-block bytes
     acc = 0
     nbits = 0
@@ -261,7 +266,7 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list:
 
     def reset():
         nonlocal table, width, next_code, prev
-        table = {i: (i,) for i in range(clear)}
+        table = {i: bytes([i]) for i in range(clear)}
         width = min_code + 1
         next_code = end + 1
         prev = None
@@ -284,12 +289,12 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list:
         elif code in table:
             entry = table[code]
         elif code == next_code:
-            entry = prev + (prev[0],)  # the KwKwK case
+            entry = prev + prev[:1]  # the KwKwK case
         else:
             raise ValueError(f"GIF LZW code {code} out of sequence")
-        out.extend(entry)
+        out += entry
         if prev is not None and next_code < 4096:
-            table[next_code] = prev + (entry[0],)
+            table[next_code] = prev + entry[:1]
             next_code += 1
             if next_code == (1 << width) and width < 12:
                 width += 1
@@ -335,7 +340,7 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> list:
             f"GIF LZW stream continues past the {expect}-pixel image"
             " (no END code at the data boundary)"
         )
-    return out
+    return bytes(out)
 
 
 # --- encoder (test/registry input construction) -------------------------------

@@ -24,7 +24,7 @@ def test_lzw_kwkwk_case():
     # 2-symbol alphabet forces the decoder's KwKwK branch immediately
     seq = [0, 1] * 50
     enc = _lzw_encode(seq, 2)
-    assert _lzw_decode(enc, 2, len(seq)) == seq
+    assert list(_lzw_decode(enc, 2, len(seq))) == seq
 
 
 def test_lzw_width_growth_and_reset():
@@ -33,7 +33,7 @@ def test_lzw_width_growth_and_reset():
     rng = np.random.RandomState(3)
     seq = rng.randint(0, 4, 60_000).tolist()
     enc = _lzw_encode(seq, 2)
-    assert _lzw_decode(enc, 2, len(seq)) == seq
+    assert list(_lzw_decode(enc, 2, len(seq))) == seq
 
 
 def test_interlace_reorders_rows():
@@ -129,8 +129,8 @@ def test_lzw_trailing_data_and_overshoot_fail_loud():
     with pytest.raises(ValueError, match="produced|continues past"):
         _lzw_decode(enc2, 2, 9)
     # and a full decode of both streams still round-trips
-    assert _lzw_decode(enc, 2, 9) == [1, 2, 3] * 3
-    assert _lzw_decode(enc2, 2, 10) == [1] * 10
+    assert list(_lzw_decode(enc, 2, 9)) == [1, 2, 3] * 3
+    assert list(_lzw_decode(enc2, 2, 10)) == [1] * 10
 
 
 def test_gif_with_trailing_entropy_garbage_fails_loud():

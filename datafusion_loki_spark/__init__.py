@@ -251,9 +251,29 @@ def loki_sql(
         )
     kwargs: dict = {}
     if spec.matchers:
-        kwargs["labels"] = ", ".join(
-            label_matcher(k, op, v) for k, op, v in spec.matchers
-        )
+        terms = [label_matcher(k, op, v) for k, op, v in spec.matchers]
+        if default_label is not None and not any(
+            k == default_label and op == "=" and v != ""
+            for k, op, v in spec.matchers
+        ):
+            # WHERE-extracted matchers are an OPTIMIZATION of the table
+            # scan, never a re-definition of the table: without this,
+            # a pushed negative matcher ({env!="web"} — Loki matches
+            # ABSENT labels too) ENLARGES the universe beyond the
+            # default-label fallback the unpushed route reads, and the
+            # same SQL returns different rows depending on which route
+            # ran it (round-13 hypothesis falsifier: an app-less
+            # env='prod' stream appeared only under the bridge). Keep
+            # the fallback term ANDed in — pruning still happens inside
+            # the table's universe, and Spark's re-check makes the two
+            # routes row-identical. Explicitly configured matchers
+            # (loki_table(labels=...)) keep the reference's
+            # replace-the-fallback behavior (O9) — that is
+            # configuration, not pushdown. Skipped only when a pushed
+            # positive equality on the default label already guarantees
+            # its presence (a non-empty {app="x"} implies {app=~".+"}).
+            terms.insert(0, f'{default_label}=~".+"')
+        kwargs["labels"] = ", ".join(terms)
     # line-contains/NOT-LIKE and time bounds are deliberately NOT
     # forwarded as options: the scan's pushFilters hook translates them
     # from the re-checked WHERE itself (O4/O5) — forwarding would

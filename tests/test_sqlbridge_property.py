@@ -837,3 +837,63 @@ def test_generative_matcher_grammar_roundtrips_or_fail_louds(ms):
         for k, op, v in _MATCHER_RE.findall("{" + joined + "}")
     ]
     assert got == want, joined
+
+
+def test_pushed_negative_matcher_keeps_table_universe(spark):
+    """Round-13 falsifier, pinned: a bare negative label predicate
+    (labels['env'] != 'web') used to push {env!="web"} WITHOUT the
+    default-label fallback — and Loki's != matches ABSENT labels, so
+    the bridge fetched streams the table (default_label='app') never
+    contains, returning an extra app-less row the unpushed route
+    excludes. Pushdown must optimize the scan, not re-define the
+    table: loki_sql now keeps the fallback term ANDed into extracted
+    matcher sets (and still drops it when a pushed positive equality
+    on the default label guarantees presence)."""
+    import time as _time
+
+    from datafusion_loki_spark import loki_sql, loki_table, register_loki
+    from tests.emulator import LokiEmulator
+
+    register_loki(spark)
+    em = LokiEmulator().start()
+    try:
+        now = _time.time_ns()
+        NS = 1_000_000_000
+        em.seed(
+            [
+                (now - 60 * NS, {"app": "web", "env": "prod"}, "a"),
+                (now - 50 * NS, {"app": "api", "env": "web"}, "b"),
+                (now - 40 * NS, {"env": "prod"}, "no app label here"),
+                (now - 30 * NS, {"app": "web"}, "no env label"),
+            ]
+        )
+        for sql in (
+            "SELECT * FROM logs WHERE labels['env'] != 'web'",
+            "SELECT * FROM logs WHERE labels['env'] = 'prod'",
+            "SELECT * FROM logs WHERE labels['app'] = 'web'",
+        ):
+            pushed = sorted(
+                map(str, loki_sql(spark, sql, em.endpoint,
+                                  default_label="app").collect())
+            )
+            loki_table(
+                spark, em.endpoint, default_label="app"
+            ).createOrReplaceTempView("logs")
+            try:
+                unpushed = sorted(map(str, spark.sql(sql).collect()))
+            finally:
+                spark.catalog.dropTempView("logs")
+            assert pushed == unpushed, sql
+            assert len(pushed) > 0, sql  # the predicate matches rows
+        # the app-less row is reachable when the default label is the
+        # queried one with positive equality... it is NOT: the table's
+        # universe simply never contains app-less streams
+        df = loki_sql(
+            spark,
+            "SELECT * FROM logs WHERE labels['env'] != 'web'",
+            em.endpoint,
+            default_label="app",
+        )
+        assert all("no app label" not in r.line for r in df.collect())
+    finally:
+        em.stop()

@@ -118,6 +118,10 @@ _R13_PINNED: tuple[str, ...] = (
     # NEW in r13 (late): real-pixel resize — decode + deterministic
     # nearest-neighbor gather, hex-replayable end-to-end
     "mm_resize_pixels",
+    # NEW in r13 (late): 8-bit indexed BMP with BI_RLE8 (escape codes,
+    # word-aligned literals, bottom-up) — shares the GIF twin's
+    # construction, so a run/escape bug hash-mismatches the same oracle
+    "mm_decode_bmp_rle",
 )
 
 _WINDOW_SIZE = 50

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "mm_decode_tiff",
     "mm_audio_features",
     "mm_resize_pixels",
+    "mm_decode_bmp_rle",
 ]
 
 

@@ -97,11 +97,16 @@ def decode_ppm(payload: bytes):
 
 
 def decode_bmp(payload: bytes):
-    """REAL byte->pixels for uncompressed 24-bit BMP (BI_RGB) — pure
-    numpy, no codec: parses the 14-byte file header + BITMAPINFOHEADER,
-    strides over the 4-byte-aligned bottom-up rows, and returns
-    (width, height, uint8 ndarray (h, w, 3) in RGB order). Raises
-    ValueError on anything but the plain 24-bit uncompressed layout."""
+    """REAL byte->pixels for BMP — pure numpy, no codec: parses the
+    14-byte file header + BITMAPINFOHEADER and returns (width, height,
+    uint8 ndarray (h, w, 3) in RGB order). Layouts (round 13 extended
+    beyond 24-bit): uncompressed 24-bit BI_RGB; 8-bit indexed with its
+    BGRA palette quads, uncompressed or BI_RLE8 (count/value runs,
+    0-escapes for end-of-line / end-of-bitmap / delta, word-aligned
+    literal runs; pixels the RLE stream leaves unwritten are index 0,
+    the common-decoder convention for the spec's 'undefined'). Raises
+    ValueError on anything else — incl. top-down RLE, which the format
+    forbids."""
     import numpy as np
 
     if payload[:2] != b"BM":
@@ -116,14 +121,10 @@ def decode_bmp(payload: bytes):
         return int.from_bytes(payload[off : off + 4], "little", signed=True)
 
     data_off = _u32(10)
+    bi_size = _u32(14)
     w, h_signed = _i32(18), _i32(22)
     bpp = int.from_bytes(payload[28:30], "little")
     compression = _u32(30)
-    if bpp != 24 or compression != 0:
-        raise ValueError(
-            f"unsupported BMP layout (bpp={bpp}, compression={compression});"
-            " only uncompressed 24-bit BI_RGB"
-        )
     if w <= 0 or h_signed == 0:
         # width is never negative in BMP; h may be (top-down). A w<=0
         # would otherwise flow through stride=0 into a silent empty
@@ -131,15 +132,196 @@ def decode_bmp(payload: bytes):
         raise ValueError(f"malformed BMP dimensions ({w} x {h_signed})")
     top_down = h_signed < 0
     h = abs(h_signed)
-    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
-    if len(payload) - data_off < stride * h:
-        raise ValueError("BMP pixel block truncated")
-    rows = np.frombuffer(
-        payload, dtype=np.uint8, count=stride * h, offset=data_off
-    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-    if not top_down:
-        rows = rows[::-1]  # bottom-up storage -> top-down array
-    return w, h, rows[:, :, ::-1].copy()  # BGR on disk -> RGB
+    if bpp == 24 and compression == 0:
+        stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        if len(payload) - data_off < stride * h:
+            raise ValueError("BMP pixel block truncated")
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]  # bottom-up storage -> top-down array
+        return w, h, rows[:, :, ::-1].copy()  # BGR on disk -> RGB
+    if bpp == 8 and compression in (0, 1):
+        clr_used = _u32(46) or 256
+        if clr_used > 256:
+            raise ValueError(f"BMP palette claims {clr_used} entries")
+        pal_off = 14 + bi_size
+        quads = payload[pal_off : pal_off + 4 * clr_used]
+        if len(quads) < 4 * clr_used:
+            raise ValueError("BMP palette truncated")
+        pal = np.frombuffer(quads, dtype=np.uint8).reshape(clr_used, 4)
+        pal_rgb = pal[:, 2::-1].copy()  # BGRx quads -> RGB
+        if compression == 0:
+            stride = (w + 3) & ~3
+            if len(payload) - data_off < stride * h:
+                raise ValueError("BMP pixel block truncated")
+            idx = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)[:, :w]
+        else:
+            if top_down:
+                raise ValueError("BMP RLE8 cannot be top-down (spec)")
+            idx = _bmp_rle8_decode(payload, data_off, w, h)
+        if int(idx.max(initial=0)) >= clr_used:
+            raise ValueError(
+                f"BMP pixel index {int(idx.max())} outside the"
+                f" {clr_used}-entry palette"
+            )
+        arr = pal_rgb[idx]
+        if not top_down:
+            arr = arr[::-1]
+        return w, h, arr.copy()
+    raise ValueError(
+        f"unsupported BMP layout (bpp={bpp}, compression={compression});"
+        " 24-bit BI_RGB or 8-bit indexed (BI_RGB/BI_RLE8) only"
+    )
+
+
+def _bmp_rle8_decode(payload: bytes, pos: int, w: int, h: int):
+    """BI_RLE8 (bottom-up): (count, value) encoded runs; count 0
+    escapes to end-of-line (0), end-of-bitmap (1), delta (2: dx, dy
+    follow), or a literal run of `value` bytes padded to a word
+    boundary. Returns the (h, w) index grid in STORAGE order (row 0 =
+    bottom). Loud on overruns, truncation, or a missing EOB.
+
+    Bomb guard (the PNG bounded-inflate principle: never allocate
+    beyond what the input can justify): an RLE pair writes at most 255
+    pixels, so a stream of B bytes covers at most 255*B/2 — a header
+    declaring more is rejected BEFORE the (h, w) canvas allocation.
+    Deviation note: the spec permits early end-of-bitmap with the
+    remainder undefined, so a legitimate file could declare more pixels
+    than its stream writes — but one declaring > 127x its own byte
+    count is a decompression bomb, not a picture."""
+    import numpy as np
+
+    budget = max(1, len(payload) - pos) * 255 // 2
+    if w * h > budget:
+        raise ValueError(
+            f"BMP RLE8 declares {w * h} pixels but its stream can write"
+            f" at most {budget}"
+        )
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    n_pay = len(payload)
+    while True:
+        if pos + 2 > n_pay:
+            raise ValueError("BMP RLE8 stream truncated (no end-of-bitmap)")
+        n, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if n > 0:
+            if y >= h or x + n > w:
+                raise ValueError(
+                    f"BMP RLE8 run overflows row ({x}+{n} > {w} at line {y})"
+                )
+            out[y, x : x + n] = v
+            x += n
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("BMP RLE8 ran past the last row")
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if pos + 2 > n_pay:
+                raise ValueError("BMP RLE8 delta truncated")
+            dx, dy = payload[pos], payload[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > w or y >= h + (1 if x == 0 else 0) or y > h:
+                raise ValueError("BMP RLE8 delta escapes the bitmap")
+        else:  # literal run of v bytes, word-aligned
+            lit = payload[pos : pos + v]
+            if len(lit) < v:
+                raise ValueError("BMP RLE8 literal run truncated")
+            if y >= h or x + v > w:
+                raise ValueError(
+                    f"BMP RLE8 literal overflows row ({x}+{v} > {w}"
+                    f" at line {y})"
+                )
+            out[y, x : x + v] = np.frombuffer(lit, dtype=np.uint8)
+            x += v
+            pos += v + (v & 1)
+
+
+def encode_bmp8(idx, palette, rle: bool = False) -> bytes:
+    """8-bit indexed BMP writer (decode_bmp's test/registry twin for
+    the palette layouts): (h, w) indices over an (n, 3) RGB palette
+    (n <= 256), bottom-up, uncompressed or BI_RLE8 (repeat runs >= 3,
+    word-aligned literal runs otherwise, EOL per row, EOB at the
+    end)."""
+    import struct as _s
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    if idx.ndim != 2:
+        raise ValueError(f"encode_bmp8 needs (h, w) indices, got {idx.shape}")
+    n = pal.shape[0]
+    if n < 1 or n > 256:
+        raise ValueError(f"palette size {n} must be in 1..256")
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    quads = b"".join(
+        bytes([b, g, r, 0]) for r, g, b in pal.tolist()
+    )
+    storage = idx[::-1]  # bottom-up
+    if not rle:
+        stride = (w + 3) & ~3
+        body = b"".join(
+            bytes(storage[y].tolist()) + b"\x00" * (stride - w)
+            for y in range(h)
+        )
+    else:
+        parts = []
+        for y in range(h):
+            row = storage[y].tolist()
+            i = 0
+            while i < w:
+                j = i + 1
+                while j < w and j - i < 255 and row[j] == row[i]:
+                    j += 1
+                if j - i >= 3 or (j - i == w - i):
+                    parts.append(bytes([j - i, row[i]]))
+                    i = j
+                    continue
+                # literal run until the next >=3 repeat (min length 3
+                # per spec — shorter stretches emit as repeat pairs)
+                lit_end = i
+                while lit_end < w and lit_end - i < 255:
+                    k = lit_end + 1
+                    while k < w and row[k] == row[lit_end]:
+                        k += 1
+                    if k - lit_end >= 3:
+                        break
+                    lit_end = k
+                if lit_end - i >= 3:
+                    chunk = row[i:lit_end]
+                    parts.append(bytes([0, len(chunk)]) + bytes(chunk))
+                    if len(chunk) & 1:
+                        parts.append(b"\x00")
+                    i = lit_end
+                else:
+                    for p in range(i, lit_end):
+                        parts.append(bytes([1, row[p]]))
+                    i = lit_end
+            parts.append(b"\x00\x00")  # end of line
+        parts.append(b"\x00\x01")  # end of bitmap
+        body = b"".join(parts)
+    data_off = 14 + 40 + len(quads)
+    header = (
+        b"BM"
+        + _s.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + _s.pack(
+            "<IiiHHIIiiII",
+            40, w, h, 1, 8, 1 if rle else 0,
+            len(body), 2835, 2835, n, 0,
+        )
+    )
+    return header + quads + body
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -1294,6 +1476,64 @@ SELECT doc_id,
        CAST({_rgb_channel_sum_duck(0, MM_BMP_W * MM_BMP_H)} AS BIGINT) AS sum_b
 FROM m
 """
+
+
+def mm_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RLE twin of mm_decode_bmp (round 13): each payload's bytes
+    [0, 48) become a 16-entry RGB palette and [48, 83) the 7x5 pixel
+    indices (mod 16) of an 8-bit BI_RLE8 BMP — written by the real
+    run/literal RLE compressor and decoded by the real parser
+    (decode_bmp: palette quads, escape codes, word-aligned literals,
+    bottom-up flip). Lossless, so the GIF/palette-PNG two-level hex
+    oracle shape applies: a run-boundary error, a wrong escape, a quad
+    order mixup (palette is BGRx on disk), or a missed bottom-up flip
+    hash-mismatches.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, no shuffle."""
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_GIF_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_GIF_NEED]
+                pal = np.frombuffer(raw[:48], dtype=np.uint8).reshape(16, 3)
+                ix = (
+                    np.frombuffer(raw[48:], dtype=np.uint8) % MM_PAL_ENTRIES
+                ).reshape(MM_PAL_H, MM_PAL_W)
+                w, h, arr = decode_bmp(encode_bmp8(ix, pal, rle=True))
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(arr[:, :, 0].sum(dtype="int64")))
+                sg.append(int(arr[:, :, 1].sum(dtype="int64")))
+                sb.append(int(arr[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": ws,
+                        "height": hs,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
+
 
 
 MM_PNG_W, MM_PNG_H = 8, 5  # 5 rows -> filter cycle 0..4 hits ALL five types
@@ -3073,6 +3313,12 @@ FROM ({ORACLE_MM_KEEP_LIST}) k
 ORACLE_MM_PIPELINE_FUNNEL = _oracle_mm_funnel()
 
 
+# the BMP RLE face shares the GIF twin's construction layout -> same oracle
+# (defined here because ORACLE_MM_DECODE_GIF appears later in the module
+# than the face's own definition)
+ORACLE_MM_DECODE_BMP_RLE = ORACLE_MM_DECODE_GIF
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
@@ -3095,6 +3341,7 @@ QUERIES = {
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
     "mm_decode_bmp": mm_decode_bmp,
+    "mm_decode_bmp_rle": mm_decode_bmp_rle,
     "mm_phash_neardup": mm_phash_neardup,
     "mm_semantic_dedup": mm_semantic_dedup,
     "mm_dedup_keep_list": mm_dedup_keep_list,
@@ -3126,6 +3373,7 @@ ORACLES = {
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,
+    "mm_decode_bmp_rle": ORACLE_MM_DECODE_BMP_RLE,
     "mm_phash_neardup": ORACLE_MM_PHASH,
     "mm_semantic_dedup": _oracle_mm_semantic(),
     "mm_dedup_keep_list": ORACLE_MM_KEEP_LIST,

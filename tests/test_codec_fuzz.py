@@ -20,7 +20,9 @@ from datafusion_loki_spark.operators.gif import (
 )
 from datafusion_loki_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from datafusion_loki_spark.operators.multimodal import (
+    decode_bmp,
     decode_png,
+    encode_bmp8,
     encode_png,
 )
 from datafusion_loki_spark.operators.tiff import decode_tiff, encode_tiff
@@ -65,6 +67,10 @@ _SEEDS = {
     "wav": (
         encode_wav(_SAMPLES, 8000, extra_chunk=(b"LIST", b"abc")),
         decode_wav,
+    ),
+    "bmp_rle8": (
+        encode_bmp8(_PX[:, :, 0].astype(np.uint8) % 16, _PAL, rle=True),
+        decode_bmp,
     ),
 }
 

@@ -731,3 +731,72 @@ def test_png_packed_layouts_roundtrip(
         scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
         assert (gw, gh) == (w, h)
         assert (out[:, :, 0] == g * scale).all()
+
+
+# --- 8-bit indexed BMP + RLE8 (round 13) ---------------------------------
+
+
+def test_bmp8_roundtrip_property_and_delta():
+    from datafusion_loki_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp8,
+    )
+
+    rng = np.random.RandomState(3)
+    for t in range(40):
+        w, h = rng.randint(1, 25), rng.randint(1, 25)
+        n = int(rng.choice([2, 16, 256]))
+        ix = rng.randint(0, n, (h, w)).astype(np.uint8)
+        if rng.rand() < 0.5:  # force runs so RLE takes both branches
+            ix = (ix // max(1, n // 4)) * max(1, n // 4) % n
+        pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        for rle in (False, True):
+            gw, gh, out = decode_bmp(encode_bmp8(ix, pal, rle=rle))
+            assert (gw, gh) == (w, h) and (out == pal[ix]).all(), (t, rle)
+    # crafted delta escape: run [1,1] at bottom row, delta (0,1), run
+    # [2] at x=2 of the next storage row — skipped pixels are index 0
+    pal = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 30]], dtype=np.uint8)
+    body = bytes([2, 1]) + bytes([0, 2, 0, 1]) + bytes([1, 2]) + bytes(
+        [0, 1]
+    )
+    quads = b"".join(bytes([b, g, r, 0]) for r, g, b in pal.tolist())
+    off = 14 + 40 + len(quads)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, 3, 2, 1, 8, 1, len(body), 0, 0, 3, 0
+        )
+    )
+    _, _, out = decode_bmp(hdr + quads + body)
+    assert (out == pal[np.array([[0, 0, 2], [1, 1, 0]])]).all()
+
+
+def test_bmp8_fail_loud():
+    from datafusion_loki_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp8,
+    )
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    ix = (np.arange(35, dtype=np.uint8) % 16).reshape(5, 7)
+    good = encode_bmp8(ix, pal, rle=True)
+    # truncation drops the EOB
+    with pytest.raises(ValueError, match="truncated|end-of-bitmap"):
+        decode_bmp(good[:-2])
+    # a run overflowing its row
+    bad = bytearray(encode_bmp8(np.zeros((2, 2), np.uint8), pal, rle=True))
+    i = len(bad) - 2 - 2 - 2  # last row's run pair
+    bad[i] = 200
+    with pytest.raises(ValueError, match="overflows|escapes|past"):
+        decode_bmp(bytes(bad))
+    # top-down RLE is illegal
+    bad = bytearray(good)
+    struct.pack_into("<i", bad, 22, -5)
+    with pytest.raises(ValueError, match="top-down"):
+        decode_bmp(bytes(bad))
+    # index outside a short palette (claim 8 entries, indices reach 15)
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 46, 8)
+    with pytest.raises(ValueError, match="outside"):
+        decode_bmp(bytes(bad))

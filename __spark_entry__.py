@@ -122,6 +122,9 @@ _R13_PINNED: tuple[str, ...] = (
     # word-aligned literals, bottom-up) — shares the GIF twin's
     # construction, so a run/escape bug hash-mismatches the same oracle
     "mm_decode_bmp_rle",
+    # NEW in r13 (late): multi-page TIFF — mixed RGB/gray pages through
+    # one next-IFD chain, one oracle row per page
+    "mm_decode_tiff_pages",
 )
 
 _WINDOW_SIZE = 50

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "mm_audio_features",
     "mm_resize_pixels",
     "mm_decode_bmp_rle",
+    "mm_decode_tiff_pages",
 ]
 
 

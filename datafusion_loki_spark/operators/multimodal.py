@@ -2603,6 +2603,105 @@ FROM m
 """
 
 
+# multi-page TIFF construction: page 0 = 7x5 RGB from bytes [0, 105),
+# page 1 = 5x3 GRAYSCALE from [105, 120) — mixed layouts through one
+# IFD chain (big-endian, PackBits, 2-row strips)
+_MM_TIFFP_NEED = _MM_TIFF_NEED + 15
+
+
+def mm_decode_tiff_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page TIFF decode in the registry (round 13 — the
+    scanned-document shape): two pages of MIXED layouts (RGB then
+    grayscale; construction in the module comment) chained through
+    next-IFD pointers, decoded by decode_tiff_pages' chain walk. Emits
+    one row per (doc, page): geometry plus the integer-exact sum over
+    ALL samples of that page — a chain-walk bug, a page-boundary
+    offset error, or cross-page strip bleed hash-mismatches on a
+    specific page row. Lossless, so the oracle is straight hex sums
+    over each page's source byte range.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas (2 bounded rows per
+    item), no shuffle."""
+    from datafusion_loki_spark.operators.tiff import (
+        decode_tiff_pages,
+        encode_tiff_pages,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_TIFFP_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, pk, ws, hs, sa = [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_TIFFP_NEED]
+                p0 = np.frombuffer(
+                    raw[:_MM_TIFF_NEED], dtype=np.uint8
+                ).reshape(_MM_TIFF_H, _MM_TIFF_W, 3)
+                p1 = np.frombuffer(
+                    raw[_MM_TIFF_NEED:], dtype=np.uint8
+                ).reshape(3, 5)
+                pages = decode_tiff_pages(
+                    encode_tiff_pages(
+                        [p0, p1], big_endian=True, rows_per_strip=2,
+                        packbits=True,
+                    )
+                )
+                for k, (w, h, arr) in enumerate(pages):
+                    ids.append(int(did))
+                    pk.append(k)
+                    ws.append(w)
+                    hs.append(h)
+                    sa.append(int(arr.sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "page_idx": pk,
+                        "width": ws,
+                        "height": hs,
+                        "sum_all": sa,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, page_idx int, width int, height int, sum_all long",
+    )
+
+
+def _tiffp_sum_duck(lo: int, hi: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series({lo}, {hi - 1}),"
+        f" i -> {_hexpair_duck('i')}))"
+    )
+
+
+ORACLE_MM_DECODE_TIFF_PAGES = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_TIFFP_NEED}
+)
+SELECT doc_id, 0 AS page_idx,
+       {_MM_TIFF_W} AS width, {_MM_TIFF_H} AS height,
+       CAST({_tiffp_sum_duck(0, _MM_TIFF_NEED)} AS BIGINT) AS sum_all
+FROM m
+UNION ALL
+SELECT doc_id, 1 AS page_idx,
+       5 AS width, 3 AS height,
+       CAST({_tiffp_sum_duck(_MM_TIFF_NEED, _MM_TIFFP_NEED)} AS BIGINT)
+         AS sum_all
+FROM m
+"""
+
+
 _MM_VAL_NEED = 120  # the largest per-format construction need
 # pixels per decoded item by format index (doc_id % 6)
 _MM_VAL_PIXELS = {0: 40, 1: 35, 2: 40, 3: 2560, 4: 35, 5: 35}
@@ -3338,6 +3437,7 @@ QUERIES = {
     "mm_audio_features": mm_audio_features,
     "mm_resize_pixels": mm_resize_pixels,
     "mm_decode_tiff": mm_decode_tiff,
+    "mm_decode_tiff_pages": mm_decode_tiff_pages,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
     "mm_decode_bmp": mm_decode_bmp,
@@ -3370,6 +3470,7 @@ ORACLES = {
     "mm_audio_features": ORACLE_MM_AUDIO_FEATURES,
     "mm_resize_pixels": ORACLE_MM_RESIZE_PIXELS,
     "mm_decode_tiff": ORACLE_MM_DECODE_TIFF,
+    "mm_decode_tiff_pages": ORACLE_MM_DECODE_TIFF_PAGES,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,

@@ -109,20 +109,57 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_endian(payload: bytes) -> str:
+    if payload[:4] == b"II\x2a\x00":
+        return "<"
+    if payload[:4] == b"MM\x00\x2a":
+        return ">"
+    raise ValueError("not a TIFF (byte-order/42 signature missing)")
+
+
 def decode_tiff(payload: bytes):
-    """Decode the first IFD of a baseline TIFF. Returns (width, height,
+    """Decode the FIRST IFD of a baseline TIFF. Returns (width, height,
     uint8 ndarray (h, w, c)) with c = 1 (grayscale, WhiteIsZero
     inverted per spec) or 3 (RGB). Loud ValueError on malformed or
-    unsupported layouts."""
-    if payload[:4] == b"II\x2a\x00":
-        e = "<"
-    elif payload[:4] == b"MM\x00\x2a":
-        e = ">"
-    else:
-        raise ValueError("not a TIFF (byte-order/42 signature missing)")
+    unsupported layouts. (decode_tiff_pages walks the whole IFD chain —
+    round 13, the multi-page scanned-document shape.)"""
+    e = _tiff_endian(payload)
     if len(payload) < 8:
         raise ValueError("TIFF header truncated")
     (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    w, h, arr, _nxt = _decode_ifd(payload, e, ifd_off)
+    return w, h, arr
+
+
+def decode_tiff_pages(payload: bytes):
+    """Decode EVERY page of a multi-page TIFF by walking the IFD chain
+    (round 13). Returns a list of (width, height, uint8 ndarray)
+    triples in chain order. Loud on malformed chains, incl. pointer
+    CYCLES (each next-IFD offset must be strictly new) and an
+    unreasonable page count (the chain is bounded by the payload: every
+    IFD occupies >= 14 distinct bytes)."""
+    e = _tiff_endian(payload)
+    if len(payload) < 8:
+        raise ValueError("TIFF header truncated")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    pages = []
+    seen = set()
+    while ifd_off != 0:
+        if ifd_off in seen:
+            raise ValueError("TIFF IFD chain contains a cycle")
+        if len(seen) * 14 > len(payload):
+            raise ValueError("TIFF IFD chain longer than the payload allows")
+        seen.add(ifd_off)
+        w, h, arr, ifd_off = _decode_ifd(payload, e, ifd_off)
+        pages.append((w, h, arr))
+    if not pages:
+        raise ValueError("TIFF has no pages")
+    return pages
+
+
+def _decode_ifd(payload: bytes, e: str, ifd_off: int):
+    """One IFD: tag walk, strip assembly, PackBits. Returns (w, h,
+    (h, w, c) uint8 array, next_ifd_offset)."""
 
     def read_tag_values(ttype, count, raw):
         if ttype == 3:
@@ -224,7 +261,12 @@ def decode_tiff(payload: bytes):
     arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
     if photometric == 0:  # WhiteIsZero: invert per spec
         arr = (255 - arr.astype(np.int16)).astype(np.uint8)
-    return w, h, arr
+    nxt_pos = ifd_off + 2 + 12 * n_tags
+    nxt_raw = payload[nxt_pos : nxt_pos + 4]
+    if len(nxt_raw) < 4:
+        raise ValueError("TIFF next-IFD pointer truncated")
+    (next_ifd,) = struct.unpack(e + "I", nxt_raw)
+    return w, h, arr, next_ifd
 
 
 def encode_tiff(
@@ -236,80 +278,111 @@ def encode_tiff(
     """TIFF writer for (h, w) grayscale (BlackIsZero) or (h, w, 3) RGB
     uint8 arrays — either byte order, configurable strip height,
     optional PackBits."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
-        raise ValueError(
-            f"encode_tiff needs (h, w[, 1|3]), got shape {arr.shape}"
-        )
-    h, w, spp = arr.shape
+    return encode_tiff_pages(
+        [arr],
+        big_endian=big_endian,
+        rows_per_strip=rows_per_strip,
+        packbits=packbits,
+    )
+
+
+def encode_tiff_pages(
+    arrs,
+    big_endian: bool = False,
+    rows_per_strip: "int | None" = None,
+    packbits: bool = False,
+) -> bytes:
+    """Multi-page TIFF writer (round 13 — decode_tiff_pages' twin):
+    one IFD per array, chained through the next-IFD pointers; pages may
+    mix grayscale and RGB. Shared options apply to every page."""
+    if not arrs:
+        raise ValueError("encode_tiff_pages needs at least one page")
     e = ">" if big_endian else "<"
-    rps = h if rows_per_strip is None else max(1, rows_per_strip)
-    n_strips = -(-h // rps)
-    strips = []
-    for s in range(n_strips):
-        chunk = arr[s * rps : (s + 1) * rps].tobytes()
-        strips.append(_packbits_encode(chunk) if packbits else chunk)
 
-    entries = []  # (tag, type, count, values)
-    photometric = 1 if spp == 1 else 2
+    def build_page(arr, base):
+        """One page's bytes with ABSOLUTE offsets, laid out at ``base``:
+        IFD + overflow value blocks + strip data. Returns (bytes,
+        next_ptr_pos) — the position of the 4-byte next-IFD pointer
+        inside the returned block (relative), patched by the caller."""
+        arr = np.asarray(arr, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+            raise ValueError(
+                f"encode_tiff needs (h, w[, 1|3]), got shape {arr.shape}"
+            )
+        h, w, spp = arr.shape
+        rps = h if rows_per_strip is None else max(1, rows_per_strip)
+        n_strips = -(-h // rps)
+        strips = []
+        for si in range(n_strips):
+            chunk = arr[si * rps : (si + 1) * rps].tobytes()
+            strips.append(_packbits_encode(chunk) if packbits else chunk)
 
-    def add(tag, ttype, vals):
-        entries.append((tag, ttype, vals))
+        entries = []  # (tag, type, values)
+        photometric = 1 if spp == 1 else 2
+        entries.append((_T_WIDTH, 4, [w]))
+        entries.append((_T_HEIGHT, 4, [h]))
+        entries.append((_T_BITS, 3, [8] * spp))
+        entries.append((_T_COMPRESSION, 3, [32773 if packbits else 1]))
+        entries.append((_T_PHOTOMETRIC, 3, [photometric]))
+        entries.append((_T_STRIP_OFFSETS, 4, [0] * n_strips))  # patched
+        entries.append((_T_SPP, 3, [spp]))
+        entries.append((_T_ROWS_PER_STRIP, 4, [rps]))
+        entries.append((_T_STRIP_COUNTS, 4, [len(sd) for sd in strips]))
+        entries.sort()
 
-    add(_T_WIDTH, 4, [w])
-    add(_T_HEIGHT, 4, [h])
-    add(_T_BITS, 3, [8] * spp)
-    add(_T_COMPRESSION, 3, [32773 if packbits else 1])
-    add(_T_PHOTOMETRIC, 3, [photometric])
-    add(_T_STRIP_OFFSETS, 4, [0] * n_strips)  # patched below
-    add(_T_SPP, 3, [spp])
-    add(_T_ROWS_PER_STRIP, 4, [rps])
-    add(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
-    entries.sort()
+        ifd_size = 2 + 12 * len(entries) + 4
+        overflow_off = base + ifd_size
+        overflow = bytearray()
 
-    # layout: header(8) + IFD + overflow value blocks + strip data
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
-    overflow_off = ifd_off + ifd_size
-    overflow = bytearray()
+        def value_bytes(ttype, vals):
+            fmt = {3: "H", 4: "I"}[ttype]
+            return struct.pack(e + fmt * len(vals), *vals)
 
-    def value_bytes(ttype, vals):
-        fmt = {3: "H", 4: "I"}[ttype]
-        return struct.pack(e + fmt * len(vals), *vals)
+        probe = 0
+        for _tag, ttype, vals in entries:
+            vb = value_bytes(ttype, vals)
+            if len(vb) > 4:
+                probe += len(vb) + (len(vb) & 1)
+        data_off = overflow_off + probe
+        offsets = []
+        pos = data_off
+        for sdata in strips:
+            offsets.append(pos)
+            pos += len(sdata)
 
-    # first pass: compute where strip data starts
-    probe = 0
-    for tag, ttype, vals in entries:
-        vb = value_bytes(ttype, vals)
-        if len(vb) > 4:
-            probe += len(vb) + (len(vb) & 1)
-    data_off = overflow_off + probe
-    offsets = []
-    pos = data_off
-    for sdata in strips:
-        offsets.append(pos)
-        pos += len(sdata)
+        out = bytearray()
+        out += struct.pack(e + "H", len(entries))
+        for tag, ttype, vals in entries:
+            if tag == _T_STRIP_OFFSETS:
+                vals = offsets
+            vb = value_bytes(ttype, vals)
+            out += struct.pack(e + "HHI", tag, ttype, len(vals))
+            if len(vb) <= 4:
+                out += vb + b"\x00" * (4 - len(vb))
+            else:
+                out += struct.pack(e + "I", overflow_off + len(overflow))
+                overflow += vb
+                if len(vb) & 1:
+                    overflow += b"\x00"
+        next_ptr_pos = len(out)
+        out += struct.pack(e + "I", 0)  # next IFD (caller patches)
+        out += overflow
+        for sdata in strips:
+            out += sdata
+        return out, next_ptr_pos
 
-    out = bytearray()
-    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
-    out += struct.pack(e + "I", ifd_off)
-    out += struct.pack(e + "H", len(entries))
-    for tag, ttype, vals in entries:
-        if tag == _T_STRIP_OFFSETS:
-            vals = offsets
-        vb = value_bytes(ttype, vals)
-        out += struct.pack(e + "HHI", tag, ttype, len(vals))
-        if len(vb) <= 4:
-            out += vb + b"\x00" * (4 - len(vb))
-        else:
-            out += struct.pack(e + "I", overflow_off + len(overflow))
-            overflow += vb
-            if len(vb) & 1:
-                overflow += b"\x00"
-    out += struct.pack(e + "I", 0)  # no next IFD
-    out += overflow
-    for sdata in strips:
-        out += sdata
-    return bytes(out)
+    blob = bytearray()
+    blob += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+    blob += struct.pack(e + "I", 8)  # first IFD right after the header
+    base = 8
+    pending_ptr = None  # absolute position of the previous page's pointer
+    for arr in arrs:
+        if pending_ptr is not None:
+            struct.pack_into(e + "I", blob, pending_ptr, base)
+        page, next_ptr_pos = build_page(arr, base)
+        pending_ptr = base + next_ptr_pos
+        blob += page
+        base += len(page)
+    return bytes(blob)

@@ -128,3 +128,53 @@ def test_decode_image_dispatches_tiff():
     for be in (False, True):
         out = decode_image(encode_tiff(px, big_endian=be, packbits=True))
         assert (out == px).all()
+
+
+def test_multipage_chain_roundtrip_and_first_page_face():
+    # mixed RGB/gray pages through the next-IFD chain; decode_tiff
+    # stays first-page-only
+    from datafusion_loki_spark.operators.tiff import (
+        decode_tiff_pages,
+        encode_tiff_pages,
+    )
+
+    rng = np.random.RandomState(6)
+    arrs = [
+        rng.randint(0, 256, (5, 7, 3)).astype(np.uint8),
+        rng.randint(0, 256, (3, 5)).astype(np.uint8),
+        rng.randint(0, 256, (2, 2, 3)).astype(np.uint8),
+    ]
+    blob = encode_tiff_pages(
+        arrs, big_endian=True, rows_per_strip=2, packbits=True
+    )
+    pages = decode_tiff_pages(blob)
+    assert len(pages) == 3
+    for a, (w, h, out) in zip(arrs, pages):
+        want = a[:, :, None] if a.ndim == 2 else a
+        assert (out == want).all()
+    w0, h0, first = decode_tiff(blob)
+    assert (first == arrs[0]).all()
+
+
+def test_multipage_cycle_and_truncation_fail_loud():
+    from datafusion_loki_spark.operators.tiff import (
+        decode_tiff_pages,
+        encode_tiff_pages,
+    )
+
+    arrs = [np.zeros((2, 2), np.uint8), np.ones((2, 2), np.uint8)]
+    blob = bytearray(encode_tiff_pages(arrs))
+    # point the SECOND page's next-IFD pointer back at the first IFD
+    # (offset 8): a chain cycle must be loud, not an infinite loop.
+    # The second IFD starts where the first page's pointer says; find
+    # it by decoding the pointer position: first IFD has 9 entries.
+    first_ptr_pos = 8 + 2 + 12 * 9
+    (second_ifd,) = struct.unpack("<I", blob[first_ptr_pos : first_ptr_pos + 4])
+    second_ptr_pos = second_ifd + 2 + 12 * 9
+    struct.pack_into("<I", blob, second_ptr_pos, 8)
+    with pytest.raises(ValueError, match="cycle"):
+        decode_tiff_pages(bytes(blob))
+    # truncating the chain mid-second-page is loud
+    good = encode_tiff_pages(arrs)
+    with pytest.raises(ValueError):
+        decode_tiff_pages(good[:-3])

@@ -319,11 +319,15 @@ def decode_jpeg(payload: bytes):
                 qt[tq] = tab
                 q += 65
         elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            if len(seg) < 6:
+                raise ValueError("JPEG SOF segment truncated")
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG precision unsupported")
             if fw == 0 or fh == 0:
                 raise ValueError("malformed JPEG dimensions")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF component list truncated")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -357,6 +361,8 @@ def decode_jpeg(payload: bytes):
                 )
                 q += 17 + cnt
         elif m == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("JPEG DRI segment truncated")
             (ri,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS
             if frame is None:

@@ -81,14 +81,19 @@ def test_mutated_streams_fail_with_valueerror_only(name):
     r = random.Random(13)
     for _ in range(1500):
         b = bytearray(blob)
-        for _ in range(r.randint(1, 4)):
+        for _ in range(r.randint(1, 5)):
             op = r.random()
-            if op < 0.5 and len(b) > 1:
+            if op < 0.45 and len(b) > 1:
                 b[r.randrange(len(b))] = r.randrange(256)
-            elif op < 0.75 and len(b) > 4:
+            elif op < 0.65 and len(b) > 4:
                 del b[r.randrange(len(b))]
-            else:
+            elif op < 0.85:
                 b.insert(r.randrange(len(b) + 1), r.randrange(256))
+            elif len(b) > 8:
+                # splice a chunk from elsewhere (the op that found the
+                # JPEG SOF struct.error — segment-length confusions)
+                i, j = sorted((r.randrange(len(b)), r.randrange(len(b))))
+                b[r.randrange(len(b)):][:0] = b[i:j][:16]
         try:
             dec(bytes(b))  # decoding to SOMETHING is fine; crashing is not
         except ValueError:

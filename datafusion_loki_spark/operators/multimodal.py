@@ -55,9 +55,11 @@ def decode_ppm(payload: bytes):
     runs in this sandbox). Parses the header (magic, whitespace- and
     '#'-comment-separated width/height/maxval), then reinterprets the
     pixel block with np.frombuffer and reshapes to (h, w, 3). Returns
-    (width, height, uint8 ndarray). Raises ValueError on malformed
-    input — loud, never a fake fallback. maxval > 255 (16-bit PPM) is
-    deliberately unsupported (2 bytes/sample, big-endian) and raises."""
+    (width, height, ndarray) — uint8 for maxval <= 255, uint16 for
+    wider maxvals (2 bytes/sample, big-endian per the Netpbm spec —
+    round 13 closed the 16-bit gap). Raises ValueError on malformed
+    input (incl. maxval outside 1..65535) — loud, never a fake
+    fallback."""
     import numpy as np
 
     if payload[:2] != b"P6":
@@ -86,13 +88,18 @@ def decode_ppm(payload: bytes):
         # empty (0, 0, 3) array — fail loud per the docstring contract,
         # mirroring decode_bmp's round-10 guard (round-11 ADVICE)
         raise ValueError(f"malformed PPM dimensions ({w} x {h})")
-    if maxval != 255:
-        raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"malformed PPM maxval {maxval} (1..65535)")
     pos += 1  # exactly ONE whitespace byte separates header and pixels
-    need = w * h * 3
+    two_byte = maxval > 255
+    need = w * h * 3 * (2 if two_byte else 1)
     if len(payload) - pos < need:
         raise ValueError("PPM pixel block truncated")
-    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    if two_byte:  # big-endian sample pairs per the Netpbm spec
+        arr = np.frombuffer(payload, dtype=">u2", count=w * h * 3,
+                            offset=pos).astype(np.uint16)
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
     return w, h, arr.reshape(h, w, 3)
 
 

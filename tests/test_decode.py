@@ -55,7 +55,8 @@ def test_ppm_single_separator_preserves_leading_pixel_whitespace():
     "bad",
     [
         b"P5 1 1 255\n" + b"\x00" * 3,          # wrong magic
-        b"P6 1 1 65535\n" + b"\x00" * 6,        # 16-bit unsupported
+        b"P6 1 1 65535\n" + b"\x00" * 3,        # 16-bit truncated (needs 6)
+        b"P6 1 1 0\n" + b"\x00" * 3,            # maxval 0 malformed
         b"P6 2 2 255\n" + b"\x00" * 5,           # truncated pixels
         b"P6 # endless comment",                  # unterminated comment
         b"P6 x 1 255\n",                          # non-numeric field
@@ -800,3 +801,20 @@ def test_bmp8_fail_loud():
     struct.pack_into("<I", bad, 46, 8)
     with pytest.raises(ValueError, match="outside"):
         decode_bmp(bytes(bad))
+
+
+def test_ppm_16bit_bigendian_roundtrip():
+    # round 13: maxval > 255 decodes to uint16 (2-byte big-endian
+    # samples per the Netpbm spec); a hand-built pixel pins the wire
+    # order (0x12 0x34 -> 0x1234, never 0x3412)
+    from datafusion_loki_spark.operators.multimodal import decode_ppm
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 65536, (4, 3, 3)).astype(np.uint16)
+    w, h, out = decode_ppm(b"P6 3 4 65535\n" + px.astype(">u2").tobytes())
+    assert (w, h) == (3, 4)
+    assert out.dtype == np.uint16 and (out == px).all()
+    one = decode_ppm(b"P6 1 1 65535\n" + bytes([0x12, 0x34] * 3))[2]
+    assert int(one[0, 0, 0]) == 0x1234
+    # maxval <= 255 stays uint8
+    assert decode_ppm(b"P6 1 1 100\n" + bytes(3))[2].dtype == np.uint8

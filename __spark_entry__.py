@@ -125,6 +125,9 @@ _R13_PINNED: tuple[str, ...] = (
     # NEW in r13 (late): multi-page TIFF — mixed RGB/gray pages through
     # one next-IFD chain, one oracle row per page
     "mm_decode_tiff_pages",
+    # CHANGED in r13 (late): decode_ppm gained the 16-bit branch (the
+    # 8-bit construction's decode path moved) — re-earn
+    "mm_decode_ppm",
 )
 
 _WINDOW_SIZE = 50

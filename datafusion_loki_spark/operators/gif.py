@@ -79,7 +79,12 @@ def _parse_image(payload: bytes, pos: int, gct):
         raise ValueError("GIF LZW header truncated")
     min_code = payload[pos]
     pos += 1
-    if not 2 <= min_code <= 11:
+    # palette indices are < 256 by construction, so the largest valid
+    # minimum code size is 8 (clear code 256). 9-11 would make the
+    # literal-table init (bytes([i]) for i in range(clear)) crash with
+    # an opaque 'bytes must be in range(0, 256)' instead of a
+    # decoder-owned error (round-14 ADVICE, verified by probe).
+    if not 2 <= min_code <= 8:
         raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
     data, pos = _sub_blocks(payload, pos)
     idx = np.frombuffer(

@@ -130,6 +130,18 @@ def _decode_table(bits, vals):
     k = 0
     for ln in range(1, 17):
         n = bits[ln - 1]
+        # canonical validity (T.81 Annex C): at most 2^ln codes can
+        # exist at length ln, and the running counter must stay inside
+        # that capacity AFTER the doubling from shorter lengths. An
+        # over-subscribed DHT would push `base` past 65535 below and the
+        # slice assignment would silently EXTEND the 64K LUT (a ~8 MB/
+        # table memory-amplification vector on untrusted input, round-14
+        # ADVICE) — reject it loud instead.
+        if code + n > (1 << ln):
+            raise ValueError(
+                "JPEG DHT over-subscribed: "
+                f"{n} codes at length {ln} exceed canonical capacity"
+            )
         valptr[ln] = k
         mincode[ln] = code
         maxcode[ln] = code + n - 1 if n else -1

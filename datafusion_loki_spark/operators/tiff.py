@@ -350,7 +350,12 @@ def encode_tiff_pages(
         pos = data_off
         for sdata in strips:
             offsets.append(pos)
-            pos += len(sdata)
+            # word-align each strip (TIFF 6.0 requires even IFD/value
+            # offsets; an odd PackBits strip would otherwise leave the
+            # NEXT page's IFD at an odd offset — round-14 ADVICE). The
+            # pad byte sits BETWEEN strips; StripByteCounts stays the
+            # real length, so readers are unaffected.
+            pos += len(sdata) + (len(sdata) & 1)
 
         out = bytearray()
         out += struct.pack(e + "H", len(entries))
@@ -371,6 +376,8 @@ def encode_tiff_pages(
         out += overflow
         for sdata in strips:
             out += sdata
+            if len(sdata) & 1:
+                out += b"\x00"
         return out, next_ptr_pos
 
     blob = bytearray()

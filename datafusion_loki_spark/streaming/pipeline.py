@@ -438,7 +438,10 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
     admissions (exact / LSH / winnow / phash), so undecodable bytes
     never reach a state store.
 
-    ``stream_media`` needs ``doc_id`` and ``payload`` (binary) columns.
+    ``stream_media`` needs a ``payload`` (binary) column; every OTHER
+    column (doc_id, media_type, timestamps, ...) is carried through the
+    kernel untouched (round-14 ADVICE — downstream admission consumers
+    need them without a join back).
     Malformed payloads (ValueError from any decoder, or an unknown
     signature) reject with fmt='unknown' where unsniffable; a
     NotImplementedError (a format this build has no codec for — the
@@ -460,14 +463,32 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
         (b"MM\x00\x2a", "tiff"),
     )
 
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    passthrough = [f for f in stream_media.schema.fields if f.name != "payload"]
+    out_schema = StructType(
+        list(passthrough)
+        + [
+            StructField("fmt", StringType()),
+            StructField("ok", BooleanType()),
+            StructField("n_pixels", LongType()),
+        ]
+    )
+
     def kernel(batches):
         import pandas as pd
 
         from datafusion_loki_spark.operators.multimodal import decode_image
 
         for pdf in batches:
-            ids, fmts, oks, npx = [], [], [], []
-            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+            fmts, oks, npx = [], [], []
+            for b in pdf["payload"]:
                 blob = bytes(b) if b is not None else b""
                 fmt = next(
                     (name for sig, name in sniffs if blob[: len(sig)] == sig),
@@ -481,23 +502,17 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
                         ok, n = True, int(arr.shape[0] * arr.shape[1])
                     except ValueError:
                         ok, n = False, None
-                ids.append(int(did))
                 fmts.append(fmt)
                 oks.append(ok)
                 npx.append(n)
-            if ids:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": ids,
-                        "fmt": fmts,
-                        "ok": oks,
-                        "n_pixels": pd.array(npx, dtype="Int64"),
-                    }
-                )
+            if len(pdf):
+                res = pdf.drop(columns=["payload"]).reset_index(drop=True)
+                res["fmt"] = fmts
+                res["ok"] = oks
+                res["n_pixels"] = pd.array(npx, dtype="Int64")
+                yield res
 
-    return stream_media.select("doc_id", "payload").mapInPandas(
-        kernel, "doc_id long, fmt string, ok boolean, n_pixels long"
-    )
+    return stream_media.mapInPandas(kernel, out_schema)
 
 
 def enriched_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -345,3 +345,31 @@ def test_animation_property_vs_reference_compositor(sw, sh, n_frames, seed):
             canvas[ty : ty + h, lx : lx + w] = pal[3]
         elif d == 3:
             canvas[ty : ty + h, lx : lx + w] = before
+
+
+def test_lzw_min_code_size_9_to_11_rejected_decoder_owned():
+    # Round-14 ADVICE: min code sizes 9-11 used to crash the literal
+    # table init (bytes([i]) for i in range(clear)) with the opaque
+    # numpy/bytes message 'bytes must be in range(0, 256)'. Palette
+    # indices are < 256 by construction, so >8 is invalid — the
+    # decoder must own the error.
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.int64)
+    blob = bytearray(encode_gif(idx, pal))
+    # header(6) + LSD(7) + GCT(3*4) + image sep(1) + descriptor(9)
+    mc_pos = 6 + 7 + 3 * 4 + 1 + 9
+    assert blob[mc_pos] == 2  # 4-color palette -> min code 2
+    for bad in (0, 1, 9, 10, 11, 12):
+        patched = bytearray(blob)
+        patched[mc_pos] = bad
+        with pytest.raises(ValueError, match="minimum code size"):
+            decode_gif(bytes(patched))
+    # 8 stays valid territory (table init must not crash); the stream
+    # was written at width 3 so decode may fail loud on CONTENT, but
+    # never with the raw bytes-range crash
+    patched = bytearray(blob)
+    patched[mc_pos] = 8
+    try:
+        decode_gif(bytes(patched))
+    except ValueError:
+        pass

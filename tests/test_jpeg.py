@@ -319,3 +319,46 @@ def test_color_smooth_roundtrip_bound(w, h, seed, sub):
     )
     tol = 10 if sub else 3
     assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+
+
+def test_oversubscribed_dht_rejected_without_lut_blowup():
+    # Round-14 ADVICE (medium): a DHT claiming more codes at a length
+    # than canonical capacity (code + n > 2^len) used to push the LUT
+    # slice base past 65535, silently EXTENDING the 64K list by ~8M
+    # entries per table — a memory-amplification vector on untrusted
+    # input. The table builder must reject it loud before filling.
+    from datafusion_loki_spark.operators.jpeg import (
+        _DECODE_TABLE_CACHE,
+        _decode_table,
+    )
+
+    # 255 codes at length 1 (capacity 2) — the ADVICE's crafted shape
+    bits = [255] + [0] * 15
+    with pytest.raises(ValueError, match="over-subscribed"):
+        _decode_table(bits, list(range(255)))
+    # 3 codes at length 2 after 1 at length 1 (2*1 + 3 > 4): the
+    # doubling-carry case, not just the single-length overflow
+    bits2 = [1, 3] + [0] * 14
+    with pytest.raises(ValueError, match="over-subscribed"):
+        _decode_table(bits2, [0, 1, 2, 3])
+    # exactly-full tables remain valid (2 at len 1 is the boundary)
+    mincode, maxcode, valptr, vals, lut = _decode_table(
+        [2] + [0] * 15, [7, 9]
+    )
+    assert len(lut) == 65536 and lut[0] == (1, 7) and lut[-1] == (1, 9)
+    # nothing over-subscribed was cached, and no cached LUT ever
+    # exceeds the 64K canonical size
+    assert all(len(t[4]) == 65536 for t in _DECODE_TABLE_CACHE.values())
+
+
+def test_oversubscribed_dht_in_stream_fails_loud():
+    # same guard through the full decode path: take a real JPEG and
+    # corrupt its first DHT's BITS counts to over-subscribe
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = bytearray(encode_jpeg(px))
+    i = blob.find(b"\xff\xc4")
+    assert i > 0
+    # BITS array starts 5 bytes after the marker (len(2) + Tc/Th(1))
+    blob[i + 5] = 255
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob))

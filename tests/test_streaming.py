@@ -2200,3 +2200,41 @@ def test_decode_admission_stream_matches_batch_gate(spark, tmp_path):
     assert got[7] == ("unknown", False, None)
     # admitted set: exactly the decodable six
     assert {k for k, v in got.items() if v[1]} == {0, 1, 2, 3, 4}
+
+
+def test_decode_admission_stream_carries_passthrough_columns(
+    spark, tmp_path
+):
+    # Round-14 ADVICE: the docstring promises '(original columns minus
+    # payload, fmt, ok, n_pixels)' — non-payload columns (media_type,
+    # timestamps, ...) must survive the kernel so downstream admission
+    # consumers don't need a join back.
+    import numpy as np
+
+    from datafusion_loki_spark.operators.multimodal import encode_png
+
+    rng = np.random.RandomState(14)
+    px = rng.randint(0, 256, (3, 4, 3)).astype(np.uint8)
+    src = str(tmp_path / "media_pt")
+    spark.createDataFrame(
+        [
+            (1, "image/png", "s3://bucket/a.png", bytearray(encode_png(px))),
+            (2, "image/png", "s3://bucket/b.png", bytearray(b"garbage")),
+        ],
+        "doc_id long, media_type string, uri string, payload binary",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, media_type string, uri string, payload binary"
+    ).parquet(src)
+    out = pipeline.decode_admission_stream(stream)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "media_type", "uri", "fmt", "ok", "n_pixels",
+    ]
+    pipeline.run_to_memory(out, "decode_admitted_pt", spark)
+    rows = {
+        r.doc_id: r
+        for r in spark.sql("SELECT * FROM decode_admitted_pt").collect()
+    }
+    assert rows[1].media_type == "image/png" and rows[1].uri.endswith("a.png")
+    assert rows[1].ok and rows[1].fmt == "png" and rows[1].n_pixels == 12
+    assert rows[2].uri.endswith("b.png") and not rows[2].ok

@@ -178,3 +178,52 @@ def test_multipage_cycle_and_truncation_fail_loud():
     good = encode_tiff_pages(arrs)
     with pytest.raises(ValueError):
         decode_tiff_pages(good[:-3])
+
+
+def test_multipage_ifds_word_aligned_with_odd_packbits_strips():
+    # Round-14 ADVICE: TIFF 6.0 requires even IFD/value offsets. An
+    # odd-length PackBits strip must not leave the NEXT page's IFD at
+    # an odd offset — the writer pads between strips (StripByteCounts
+    # keeps the real lengths, so decode is unaffected).
+    from datafusion_loki_spark.operators.tiff import (
+        decode_tiff_pages,
+        encode_tiff_pages,
+    )
+
+    rng = np.random.RandomState(14)
+    # incompressible noise rows -> PackBits literal runs with odd
+    # lengths for odd widths
+    arrs = [
+        rng.randint(0, 256, (3, 5)).astype(np.uint8),
+        rng.randint(0, 256, (3, 7, 3)).astype(np.uint8),
+        rng.randint(0, 256, (2, 3)).astype(np.uint8),
+    ]
+    for be in (False, True):
+        e = ">" if be else "<"
+        blob = encode_tiff_pages(
+            arrs, big_endian=be, rows_per_strip=1, packbits=True
+        )
+        # walk the IFD chain and assert every IFD offset and every
+        # overflow value offset is even
+        (ifd_off,) = struct.unpack(e + "I", blob[4:8])
+        seen = 0
+        while ifd_off:
+            assert ifd_off % 2 == 0, f"odd IFD offset {ifd_off} (be={be})"
+            (n,) = struct.unpack(e + "H", blob[ifd_off : ifd_off + 2])
+            for i in range(n):
+                ent = ifd_off + 2 + 12 * i
+                tag, ttype, cnt = struct.unpack(
+                    e + "HHI", blob[ent : ent + 8]
+                )
+                size = {1: 1, 3: 2, 4: 4}[ttype] * cnt
+                if size > 4:
+                    (voff,) = struct.unpack(e + "I", blob[ent + 8 : ent + 12])
+                    assert voff % 2 == 0, f"odd value offset tag {tag}"
+            ptr = ifd_off + 2 + 12 * n
+            (ifd_off,) = struct.unpack(e + "I", blob[ptr : ptr + 4])
+            seen += 1
+        assert seen == 3
+        # and the roundtrip still holds bit-exact
+        for a, (w, h, out) in zip(arrs, decode_tiff_pages(blob)):
+            want = a[:, :, None] if a.ndim == 2 else a
+            assert (out == want).all()

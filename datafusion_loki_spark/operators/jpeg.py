@@ -4,9 +4,10 @@ Round 12 closes the decode family's last honest gap ("every production
 image is PNG/JPEG; JPEG sits behind the PIL gate"): a REAL byte->pixels
 path for baseline sequential (SOF0) AND progressive (SOF2) DCT JPEG per
 the public spec (ITU-T T.81 / ISO 10918-1): marker walk, DQT/DHT/SOF/
-SOS parsing, byte-unstuffed Huffman entropy decode (16-bit-prefix LUT
-per DHT since round 13), differential DC with EXTEND, run/size AC with
-EOB/ZRL, successive approximation (DC/AC first + refinement scans,
+SOS parsing, byte-unstuffed Huffman entropy decode (round 14: combined
+symbol+magnitude LUTs at adaptive peek width over a precomputed
+64-bit-window list — see the entropy core section), differential DC
+with EXTEND, run/size AC with
 EOBRUN, correction bits), dequantize + dezigzag, float64 separable
 IDCT, chroma upsampling, JFIF YCbCr->RGB, restart markers in every
 scan class. The encoder twin exists to CONSTRUCT valid inputs for
@@ -104,67 +105,6 @@ def _canonical_codes(bits, vals):
     return out
 
 
-_DECODE_TABLE_CACHE: dict = {}
-
-
-def _decode_table(bits, vals):
-    """(mincode, maxcode, valptr, vals, lut) per length 1..16 — the
-    spec's DECODE tables (T.81 F.2.2.3) plus a full 16-bit prefix LUT
-    (round 13): canonical codes of one length are contiguous, and no
-    JPEG code exceeds 16 bits, so EVERY symbol resolves in one
-    peek-16-bits list index instead of a per-bit compare walk (the walk
-    cost ~2 us/symbol in method-call overhead — the entropy loop's
-    measured hot spot, PERF_NOTES). Unassigned prefixes (incomplete
-    tables) carry length 0 and fail loud at lookup. Memoized on the DHT
-    bytes — a corpus decoded with one table set (every registry face)
-    builds the 64K-entry LUT once per executor."""
-    key = (tuple(bits), tuple(vals))
-    hit = _DECODE_TABLE_CACHE.get(key)
-    if hit is not None:
-        return hit
-    mincode = [0] * 17
-    maxcode = [-1] * 17
-    valptr = [0] * 17
-    lut = [(0, -1)] * 65536
-    code = 0
-    k = 0
-    for ln in range(1, 17):
-        n = bits[ln - 1]
-        # canonical validity (T.81 Annex C): at most 2^ln codes can
-        # exist at length ln, and the running counter must stay inside
-        # that capacity AFTER the doubling from shorter lengths. An
-        # over-subscribed DHT would push `base` past 65535 below and the
-        # slice assignment would silently EXTEND the 64K LUT (a ~8 MB/
-        # table memory-amplification vector on untrusted input, round-14
-        # ADVICE) — reject it loud instead.
-        if code + n > (1 << ln):
-            raise ValueError(
-                "JPEG DHT over-subscribed: "
-                f"{n} codes at length {ln} exceed canonical capacity"
-            )
-        valptr[ln] = k
-        mincode[ln] = code
-        maxcode[ln] = code + n - 1 if n else -1
-        span = 1 << (16 - ln)
-        for _ in range(n):
-            base = code << (16 - ln)
-            lut[base : base + span] = [(ln, vals[k])] * span
-            code += 1
-            k += 1
-        code <<= 1
-    out = (mincode, maxcode, valptr, list(vals), lut)
-    if len(_DECODE_TABLE_CACHE) < 64:  # bounded: 4 tables per profile
-        _DECODE_TABLE_CACHE[key] = out
-    return out
-
-
-def _extend(v, t):
-    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-
 def _category(v):
     """Smallest t with |v| < 2^t (the DC/AC size category)."""
     t = 0
@@ -175,98 +115,260 @@ def _category(v):
     return t
 
 
-class _BitReader:
-    """MSB-first reader over ONE unstuffed entropy segment. Multi-bit
-    reads consume from an integer accumulator (O(bytes), not O(bits));
-    Huffman decode is the spec's compare-based DECODE walk."""
+# --- entropy decode core (round 14) -----------------------------------
+# The round-13 per-symbol bit reader (a method call plus an accumulator
+# fill per Huffman read) measured ~0.9 us per read — at noise-image
+# symbol densities that priced JPEG at ~1 s/megapixel. Round 14 replaces
+# it with (a) a precomputed sliding-window LIST: one 32-bit MSB-first
+# window per byte position, built vectorized by numpy and indexed at C
+# speed — any 16-bit peek or <=16-bit receive at bit position p is two
+# shifts off wl[p >> 3] — and (b) libjpeg-style COMBINED lookup tables:
+# one peek-16 resolves the Huffman symbol AND its magnitude bits
+# whenever code + magnitude fit in 16 bits, so the common AC coefficient
+# costs one list index + tuple unpack instead of a Huffman walk plus a
+# separate receive. Blocks whose worst-case bit budget fits the
+# remaining segment skip per-symbol truncation checks entirely
+# (_BLOCK_BITS_BOUND); segment tails run checked twins that reproduce
+# the round-13 error contract exactly (peeks pad with 1-bits — the
+# encoder's own byte padding — but a code or magnitude extending past
+# the REAL remaining bits fails loud as truncated).
 
-    def __init__(self, data: bytes):
-        self.d = data
-        self.p = 0
-        self.acc = 0
-        self.n = 0
+# worst case bits one baseline block can consume: DC 16+11, 63 AC
+# coefficients at 16+10 each, <=4 ZRLs, one EOB — ~1.8k; rounded up
+_BLOCK_BITS_BOUND = 2200
 
-    def _fill(self, need: int) -> None:
-        while self.n < need:
-            if self.p >= len(self.d):
-                raise ValueError("JPEG entropy data truncated")
-            self.acc = (self.acc << 8) | self.d[self.p]
-            self.p += 1
-            self.n += 8
 
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill(1)
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+def _bit_windows(seg: bytes):
+    """(windows, nbits): windows[i] holds bytes 4i..4i+8 of ``seg`` as
+    one MSB-first 64-bit int (1-padding past the end, matching the
+    classic peek-pads-with-ones convention), so any 16-bit peek or
+    <=16-bit receive at bit position p reads wl[p >> 5]. 4-byte stride
+    keeps the list a quarter the byte count (the .tolist() was 13% of a
+    whole baseline decode at 1-byte stride); nbits is the REAL bit
+    count — truncation checks compare against it, never the padding."""
+    n = len(seg)
+    m = (n + 3) // 4
+    if n < 64:
+        padded = seg + b"\xff" * (4 * m - n + 4)
+        return (
+            [
+                int.from_bytes(padded[4 * i : 4 * i + 8], "big")
+                for i in range(m)
+            ]
+            or [0xFFFFFFFFFFFFFFFF]
+        ), 8 * n
+    padded = seg + b"\xff" * (4 * m - n + 4)
+    a = np.frombuffer(padded, dtype=">u4")
+    w = (a[:-1].astype(np.uint64) << np.uint64(32)) | a[1:]
+    return w.tolist(), 8 * n
 
-    def receive(self, t: int) -> int:
-        if t == 0:
-            return 0
-        self._fill(t)
-        self.n -= t
-        v = (self.acc >> self.n) & ((1 << t) - 1)
-        self.acc &= (1 << self.n) - 1  # keep the accumulator small
-        return v
 
-    def huffman(self, table) -> int:
-        # one peek-16 list index per symbol (the LUT in _decode_table);
-        # near stream end the peek pads with 1-bits — the encoder's own
-        # byte padding — but a code longer than the REAL remaining bits
-        # still fails loud (ln > n below)
-        n = self.n
-        if n < 16:
-            d, p = self.d, self.p
-            nd = len(d)
-            acc = self.acc
-            while n < 16 and p < nd:
-                acc = (acc << 8) | d[p]
-                p += 1
-                n += 8
-            self.acc, self.p, self.n = acc, p, n
-        if n >= 16:
-            key = (self.acc >> (n - 16)) & 0xFFFF
-        else:
-            pad = 16 - n
-            key = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFFFF
-        ln, val = table[4][key]
-        if ln == 0:
-            raise ValueError("invalid JPEG Huffman code")
-        if ln > n:
-            raise ValueError("JPEG entropy data truncated")
-        self.n = n - ln
-        self.acc &= (1 << self.n) - 1
-        return val
+# Combined-table entry kinds (the ``rc`` slot of each (adv, rc, v)
+# tuple): 0..15 = decoded coefficient with zero-run rc and value v
+# (adv covers code + magnitude bits); 16 = ZRL; 17 = end-of-band, v =
+# the remaining-block EOBRUN (0 for plain EOB); 18 = fallback — code
+# resolved (adv = code length) but the magnitude did not fit the peek
+# window, v = the raw symbol byte (DC: the category); 29/30/31 = loud
+# errors (invalid DC category / EOBn-in-baseline / unassigned prefix of
+# an incomplete table).
+#
+# Adaptive peek width (round 14, measured): a 65536-entry table costs
+# ~130 ns per random lookup (L2/L3 misses over the ~5 MB tuple heap)
+# where a 4096-entry table costs ~50 — so the tables are built at
+# W = min(16, max code length + _MAG_SLACK) bits. _MAG_SLACK = 5 keeps
+# magnitudes within ~5 size categories of the shortest possible code
+# combined (for q=8 noise, |coef| is half-normal with sigma ~9, so
+# s <= 5 covers ~99.9% of symbols); everything wider takes the fallback
+# receive, bit-exact either way. Each builder returns (shift, mask,
+# lut): key = (wl[p >> 5] >> (shift - (p & 31))) & mask.
+_MAG_SLACK = 5
+_COMB_CACHE: dict = {}
+
+
+def _max_code_len(bits) -> int:
+    ml = 0
+    for ln in range(1, 17):
+        if bits[ln - 1]:
+            ml = ln
+    return ml if ml else 1
+
+
+def _combined_dc_table(bits, vals):
+    """Combined DC table at adaptive peek width: (adv, 0, diff) when
+    code + category bits fit the window, else fallback/error kinds."""
+    key = ("dc", bits, vals)
+    hit = _COMB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    w = min(16, _max_code_len(bits) + _MAG_SLACK)
+    lut = [(0, 31, 0)] * (1 << w)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            base = code << (w - ln)
+            span = 1 << (w - ln)
+            t = vals[k]
+            if t > 11:
+                lut[base : base + span] = [(ln, 29, 0)] * span
+            elif t == 0:
+                lut[base : base + span] = [(ln, 0, 0)] * span
+            elif ln + t <= w:
+                rep = 1 << (w - ln - t)
+                half = 1 << (t - 1)
+                ext = [
+                    (ln + t, 0, v if v >= half else v - 2 * half + 1)
+                    for v in range(1 << t)
+                ]
+                lut[base : base + span] = (
+                    ext if rep == 1 else [e for e in ext for _ in range(rep)]
+                )
+            else:
+                lut[base : base + span] = [(ln, 18, t)] * span
+            code += 1
+            k += 1
+        code <<= 1
+    out = (64 - w, (1 << w) - 1, lut)
+    if len(_COMB_CACHE) < 24:
+        _COMB_CACHE[key] = out
+    return out
+
+
+def _combined_ac_table(bits, vals, progressive: bool, al: int):
+    """Combined AC table at adaptive peek width. Values carry the
+    scan's point transform (<< al) already applied; EOBn is combined
+    too when code + run bits fit (progressive only — in baseline EOBn
+    is the loud 'AC run past block end', kind 30, exactly as the
+    per-symbol decoder treated s == 0 with 0 < r < 15)."""
+    key = ("ac", bits, vals, progressive, al)
+    hit = _COMB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    w = min(16, _max_code_len(bits) + _MAG_SLACK)
+    lut = [(0, 31, 0)] * (1 << w)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            base = code << (w - ln)
+            span = 1 << (w - ln)
+            rs = vals[k]
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                if ln + s <= w:
+                    rep = 1 << (w - ln - s)
+                    half = 1 << (s - 1)
+                    ext = [
+                        (
+                            ln + s,
+                            r,
+                            (v if v >= half else v - 2 * half + 1) << al,
+                        )
+                        for v in range(1 << s)
+                    ]
+                    lut[base : base + span] = (
+                        ext
+                        if rep == 1
+                        else [e for e in ext for _ in range(rep)]
+                    )
+                else:
+                    lut[base : base + span] = [(ln, 18, rs)] * span
+            elif r == 15:
+                lut[base : base + span] = [(ln, 16, 0)] * span
+            elif r == 0:
+                lut[base : base + span] = [(ln, 17, 0)] * span
+            elif not progressive:
+                lut[base : base + span] = [(ln, 30, 0)] * span
+            elif ln + r <= w:
+                rep = 1 << (w - ln - r)
+                eobs = [
+                    (ln + r, 17, (1 << r) - 1 + v) for v in range(1 << r)
+                ]
+                lut[base : base + span] = (
+                    eobs if rep == 1 else [e for e in eobs for _ in range(rep)]
+                )
+            else:
+                lut[base : base + span] = [(ln, 18, rs)] * span
+            code += 1
+            k += 1
+        code <<= 1
+    out = (64 - w, (1 << w) - 1, lut)
+    if len(_COMB_CACHE) < 24:
+        _COMB_CACHE[key] = out
+    return out
+
+
+def _code_lut(bits, vals):
+    """Code-only resolver at the table's own max code length W0: every
+    assigned W0-bit prefix maps to its (code length, symbol); unassigned
+    prefixes stay (0, -1) and fail loud at lookup. Tiny (2^W0 entries —
+    256 for the encoder's fixed tables) and therefore cache-resident;
+    the refinement scans use it, since their magnitude bits depend on
+    block state and can't be combined. Returns (shift, mask, lut)."""
+    key = ("code", bits, vals)
+    hit = _COMB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    w = _max_code_len(bits)
+    lut = [(0, -1)] * (1 << w)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        n = bits[ln - 1]
+        if code + n > (1 << ln):
+            raise ValueError(
+                "JPEG DHT over-subscribed: "
+                f"{n} codes at length {ln} exceed canonical capacity"
+            )
+        for _ in range(n):
+            base = code << (w - ln)
+            span = 1 << (w - ln)
+            lut[base : base + span] = [(ln, vals[k])] * span
+            code += 1
+            k += 1
+        code <<= 1
+    out = (64 - w, (1 << w) - 1, lut)
+    if len(_COMB_CACHE) < 24:
+        _COMB_CACHE[key] = out
+    return out
 
 
 def _split_entropy(payload: bytes, pos: int):
     """Unstuffed entropy segments from ``pos`` to the scan-terminating
     marker: 0xFF00 -> literal 0xFF, RSTn splits segments (predictors
     reset per segment), anything else ends the scan. Returns
-    (segments, end_pos_at_marker)."""
-    segs = []
-    cur = bytearray()
-    p = pos
+    (segments, end_pos_at_marker).
+
+    Round 14: the per-byte copy loop measured ~45% of a whole baseline
+    decode (cProfile); entropy data is almost entirely non-0xFF bytes,
+    so find the 0xFF positions vectorized and stitch the in-between
+    slices — Python work scales with the MARKER count, not the byte
+    count."""
     n = len(payload)
-    while p < n:
-        b = payload[p]
-        if b != 0xFF:
-            cur.append(b)
-            p += 1
+    ffs = np.flatnonzero(
+        np.frombuffer(payload, dtype=np.uint8)[pos:] == 0xFF
+    )
+    segs = []
+    parts = []
+    start = pos
+    for fp in (ffs + pos).tolist():
+        if fp < start:  # consumed as the second byte of a prior token
             continue
-        if p + 1 >= n:
+        if fp + 1 >= n:
             raise ValueError("JPEG scan ends without a terminating marker")
-        m = payload[p + 1]
-        if m == 0x00:
-            cur.append(0xFF)
-            p += 2
+        m = payload[fp + 1]
+        if m == 0x00:  # stuffed: keep the literal 0xFF, drop the 0x00
+            parts.append(payload[start : fp + 1])
+            start = fp + 2
         elif 0xD0 <= m <= 0xD7:  # RSTn
-            segs.append(bytes(cur))
-            cur = bytearray()
-            p += 2
+            parts.append(payload[start:fp])
+            segs.append(b"".join(parts))
+            parts = []
+            start = fp + 2
         else:
-            segs.append(bytes(cur))
-            return segs, p
+            parts.append(payload[start:fp])
+            segs.append(b"".join(parts))
+            return segs, fp
     raise ValueError("JPEG scan ends without a terminating marker")
 
 
@@ -368,9 +470,13 @@ def decode_jpeg(payload: bytes):
                 vals = list(seg[q + 17 : q + 17 + cnt])
                 if len(bits) != 16 or len(vals) != cnt:
                     raise ValueError("DHT table truncated")
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(
-                    bits, vals
-                )
+                # validate canonically (loud on over-subscription;
+                # _code_lut is cached so this is free on repeats) and
+                # keep the raw (bits, vals) — the scan dispatcher builds
+                # the combined/code-only tables it needs from them
+                bits_t, vals_t = tuple(bits), tuple(vals)
+                _code_lut(bits_t, vals_t)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = (bits_t, vals_t)
                 q += 17 + cnt
         elif m == 0xDD:  # DRI
             if len(seg) < 2:
@@ -451,7 +557,12 @@ def _run_scan(frame, state, scan, dc_tabs, ac_tabs, ri, segs, ss, se, ah, al):
     """Execute one entropy-coded scan into the coefficient stores —
     baseline full-spectrum, or any progressive scan class (T.81 G.2):
     DC first / DC refinement (interleaved or not), AC first /
-    AC refinement (single component, one band, with EOBRUN)."""
+    AC refinement (single component, one band, with EOBRUN).
+
+    Dispatches to a specialized loop per scan class; the shared work
+    here is resolving the scan's block sequence (the per-unit MCU or
+    non-interleaved addressing) ONCE into a flat list of block refs, so
+    the hot loops index lists instead of recomputing geometry."""
     mcx = state["mcx"]
     progressive = frame["progressive"]
     interleaved = len(scan) > 1
@@ -460,159 +571,517 @@ def _run_scan(frame, state, scan, dc_tabs, ac_tabs, ri, segs, ss, se, ah, al):
             raise ValueError("SOS references an undefined DC table")
         if se > 0 and ta not in ac_tabs:
             raise ValueError("SOS references an undefined AC table")
+    blks: list = []
+    slots: list = []
     if interleaved:
         n_units = mcx * state["mcy"]
-    else:
-        nby, nbx = state["nonint"][scan[0][0]["id"]]
-        n_units = nby * nbx
-    per_seg = ri if ri else n_units
-    seg_i = -1
-    bits = None
-    preds = None
-    eob = 0  # EOBRUN carries across blocks, resets at restarts
-    for unit in range(n_units):
-        if unit % per_seg == 0:
-            seg_i += 1
-            if seg_i >= len(segs):
-                raise ValueError("JPEG restart interval underflow")
-            bits = _BitReader(segs[seg_i])
-            preds = {c["id"]: 0 for c, _, _ in scan}
-            eob = 0
-        if interleaved:
-            my, mx = divmod(unit, mcx)
-            for c, td, ta in scan:
-                store = state["coefs"][c["id"]]
-                row_w = mcx * c["h"]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = store[
-                            (my * c["v"] + by) * row_w + mx * c["h"] + bx
-                        ]
-                        eob = _decode_block_scan(
-                            bits, blk, preds, c, td, ta,
-                            dc_tabs, ac_tabs, progressive,
-                            ss, se, ah, al, eob,
-                        )
-        else:
-            c, td, ta = scan[0]
-            nby, nbx = state["nonint"][c["id"]]
-            row_w = mcx * c["h"]
-            blk = state["coefs"][c["id"]][
-                (unit // nbx) * row_w + (unit % nbx)
-            ]
-            eob = _decode_block_scan(
-                bits, blk, preds, c, td, ta, dc_tabs, ac_tabs,
-                progressive, ss, se, ah, al, eob,
+        geo = []
+        for slot, (c, td, ta) in enumerate(scan):
+            geo.append(
+                (
+                    slot,
+                    c["h"],
+                    c["v"],
+                    state["coefs"][c["id"]],
+                    mcx * c["h"],
+                )
             )
+        for unit in range(n_units):
+            my, mx = divmod(unit, mcx)
+            for slot, ch, cv, store, row_w in geo:
+                for by in range(cv):
+                    row = (my * cv + by) * row_w + mx * ch
+                    for bx in range(ch):
+                        blks.append(store[row + bx])
+                        slots.append(slot)
+        bpu = sum(c["h"] * c["v"] for c, _, _ in scan)
+    else:
+        c, td, ta = scan[0]
+        nby, nbx = state["nonint"][c["id"]]
+        n_units = nby * nbx
+        store = state["coefs"][c["id"]]
+        row_w = mcx * c["h"]
+        blks = [
+            store[(u // nbx) * row_w + (u % nbx)] for u in range(n_units)
+        ]
+        slots = [0] * n_units
+        bpu = 1
+    per_seg = ri if ri else n_units
+    nslots = len(scan)
+    if not progressive:
+        dc_combs = [
+            _combined_dc_table(dc_tabs[td][0], dc_tabs[td][1])
+            for _, td, _ in scan
+        ]
+        ac_combs = [
+            _combined_ac_table(ac_tabs[ta][0], ac_tabs[ta][1], False, 0)
+            for _, _, ta in scan
+        ]
+        _scan_baseline(
+            segs, per_seg, n_units, blks, slots, bpu, nslots,
+            dc_combs, ac_combs,
+        )
+    elif ss == 0 and ah == 0:
+        dc_combs = [
+            _combined_dc_table(dc_tabs[td][0], dc_tabs[td][1])
+            for _, td, _ in scan
+        ]
+        _scan_dc_first(
+            segs, per_seg, n_units, blks, slots, bpu, nslots, dc_combs, al
+        )
+    elif ss == 0:
+        _scan_dc_refine(segs, per_seg, n_units, blks, bpu, al)
+    elif ah == 0:
+        ta = scan[0][2]
+        ac = _combined_ac_table(ac_tabs[ta][0], ac_tabs[ta][1], True, al)
+        _scan_ac_first(segs, per_seg, n_units, blks, ac, ss, se, al)
+    else:
+        ta = scan[0][2]
+        _scan_ac_refine(
+            segs, per_seg, n_units, blks, _code_lut(*ac_tabs[ta]),
+            ss, se, al,
+        )
     state["scanned"] = True
 
 
-def _decode_block_scan(
-    bits, blk, preds, c, td, ta, dc_tabs, ac_tabs,
-    progressive, ss, se, ah, al, eob,
-):
-    """Decode ONE block's contribution for the current scan class into
-    ``blk`` (a 64-int zigzag list). Returns the updated EOBRUN."""
-    if not progressive:
-        t = bits.huffman(dc_tabs[td])
-        if t > 11:
-            raise ValueError("invalid DC category")
-        preds[c["id"]] += _extend(bits.receive(t), t)
-        blk[0] = preds[c["id"]]
-        k = 1
-        while k < 64:
-            rs = bits.huffman(ac_tabs[ta])
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += rs >> 4
-            s = rs & 0x0F
-            if k > 63 or s == 0:
+def _seg_ranges(segs, per_seg, n_units):
+    """(segment, lo_unit, hi_unit) per restart segment, loud on
+    underflow — trailing unused segments stay ignored (the round-13
+    contract). Each scan class builds the read structures it needs
+    (windows, unpacked bits) from the raw segment."""
+    seg_i = 0
+    for u0 in range(0, n_units, per_seg):
+        if seg_i >= len(segs):
+            raise ValueError("JPEG restart interval underflow")
+        seg = segs[seg_i]
+        seg_i += 1
+        yield seg, u0, min(u0 + per_seg, n_units)
+
+
+def _dc_slow(wl, nbits, p, pred, rc, v):
+    """Checked DC tail: fallback receive (code + category didn't fit the
+    16-bit window) and the loud error kinds."""
+    if rc == 18:
+        t = v
+        if p + t > nbits:
+            raise ValueError("JPEG entropy data truncated")
+        b = (wl[p >> 5] >> (64 - (p & 31) - t)) & ((1 << t) - 1)
+        p += t
+        return p, pred + (b if b >= (1 << (t - 1)) else b - (1 << t) + 1)
+    if rc == 29:
+        raise ValueError("invalid DC category")
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _ac_slow_baseline(wl, nbits, p, blk, k, rc, v):
+    """Checked baseline-AC tail: fallback receive + the error kinds."""
+    if rc == 18:
+        k += v >> 4
+        s = v & 0x0F
+        if k > 63:
+            raise ValueError("AC run past block end")
+        if p + s > nbits:
+            raise ValueError("JPEG entropy data truncated")
+        b = (wl[p >> 5] >> (64 - (p & 31) - s)) & ((1 << s) - 1)
+        p += s
+        blk[k] = b if b >= (1 << (s - 1)) else b - (1 << s) + 1
+        return p, k + 1
+    if rc == 30:
+        raise ValueError("AC run past block end")
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _blk_baseline_checked(wl, nbits, p, blk, dc, ac, pred):
+    """Fully-checked baseline block decode (segment tails where the
+    worst-case block budget no longer fits). Must stay semantically
+    identical to the fast twins in _scan_baseline_single/_multi."""
+    dsh, dmsk, dlut = dc
+    ash, amsk, alut = ac
+    if p >= nbits:
+        raise ValueError("JPEG entropy data truncated")
+    adv, rc, v = dlut[(wl[p >> 5] >> (dsh - (p & 31))) & dmsk]
+    p += adv
+    if p > nbits:
+        raise ValueError("JPEG entropy data truncated")
+    if rc:
+        p, pred = _dc_slow(wl, nbits, p, pred, rc, v)
+    else:
+        pred += v
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        if p >= nbits:
+            raise ValueError("JPEG entropy data truncated")
+        adv, rc, v = alut[(wl[p >> 5] >> (ash - (p & 31))) & amsk]
+        p += adv
+        if p > nbits:
+            raise ValueError("JPEG entropy data truncated")
+        if rc < 16:
+            k += rc
+            if k > 63:
                 raise ValueError("AC run past block end")
-            blk[k] = _extend(bits.receive(s), s)
+            blk[k] = v
             k += 1
-        return 0
-    if ss == 0:  # DC scan
-        if ah == 0:  # first pass: diff-coded, scaled by the point transform
-            t = bits.huffman(dc_tabs[td])
-            if t > 11:
-                raise ValueError("invalid DC category")
-            preds[c["id"]] += _extend(bits.receive(t), t)
-            blk[0] = preds[c["id"]] << al
-        else:  # refinement: one bit per block
-            if bits.bit():
-                blk[0] |= 1 << al
-        return 0
-    if ah == 0:  # AC first pass for this band
-        if eob > 0:
-            return eob - 1
-        k = ss
-        while k <= se:
-            rs = bits.huffman(ac_tabs[ta])
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:  # ZRL
+            continue
+        if rc == 16:
+            k += 16
+            continue
+        if rc == 17:
+            break
+        p, k = _ac_slow_baseline(wl, nbits, p, blk, k, rc, v)
+    return p, pred
+
+
+def _scan_baseline(
+    segs, per_seg, n_units, blks, slots, bpu, nslots, dc_combs, ac_combs
+):
+    """Baseline full-spectrum scan. Per block: one combined-DC lookup,
+    then one combined-AC lookup per coefficient; truncation checks
+    hoisted to a per-block budget test. Single-component scans (every
+    grayscale image, and each scan of a scan-per-component color file)
+    run a specialization with the tables and predictor in locals."""
+    if nslots == 1:
+        _scan_baseline_single(
+            segs, per_seg, n_units, blks, dc_combs[0], ac_combs[0]
+        )
+    else:
+        _scan_baseline_multi(
+            segs, per_seg, n_units, blks, slots, bpu, nslots,
+            dc_combs, ac_combs,
+        )
+
+
+def _scan_baseline_single(segs, per_seg, n_units, blks, dc, ac):
+    bound = _BLOCK_BITS_BOUND
+    dsh, dmsk, dlut = dc
+    ash, amsk, alut = ac
+    for seg, u0, u1 in _seg_ranges(segs, per_seg, n_units):
+        wl, nbits = _bit_windows(seg)
+        p = 0
+        pred = 0
+        try:
+            for bi in range(u0, u1):
+                blk = blks[bi]
+                if p + bound > nbits:
+                    p, pred = _blk_baseline_checked(
+                        wl, nbits, p, blk, dc, ac, pred
+                    )
+                    continue
+                # fast twin of _blk_baseline_checked: no truncation
+                # checks (budget proven above); the k <= 63 run check is
+                # the list bounds check itself (blk has exactly 64
+                # slots, so an overlong run IndexErrors -> rewrapped
+                # below) — otherwise IDENTICAL semantics
+                adv, rc, v = dlut[(wl[p >> 5] >> (dsh - (p & 31))) & dmsk]
+                p += adv
+                if rc:
+                    p, pred = _dc_slow(wl, nbits, p, pred, rc, v)
+                else:
+                    pred += v
+                blk[0] = pred
+                k = 1
+                while k < 64:
+                    adv, rc, v = alut[
+                        (wl[p >> 5] >> (ash - (p & 31))) & amsk
+                    ]
+                    p += adv
+                    if rc < 16:
+                        k += rc
+                        blk[k] = v
+                        k += 1
+                        continue
+                    if rc == 16:
+                        k += 16
+                        continue
+                    if rc == 17:
+                        break
+                    p, k = _ac_slow_baseline(wl, nbits, p, blk, k, rc, v)
+        except IndexError:
+            # only blk[k] can index out of range here (window reads are
+            # budget-guarded, LUT keys are masked): an overlong AC run
+            raise ValueError("AC run past block end") from None
+
+
+def _scan_baseline_multi(
+    segs, per_seg, n_units, blks, slots, bpu, nslots, dc_combs, ac_combs
+):
+    bound = _BLOCK_BITS_BOUND
+    for seg, u0, u1 in _seg_ranges(segs, per_seg, n_units):
+        wl, nbits = _bit_windows(seg)
+        p = 0
+        preds = [0] * nslots
+        for bi in range(u0 * bpu, u1 * bpu):
+            blk = blks[bi]
+            slot = slots[bi]
+            if p + bound > nbits:
+                p, preds[slot] = _blk_baseline_checked(
+                    wl, nbits, p, blk, dc_combs[slot], ac_combs[slot],
+                    preds[slot],
+                )
+                continue
+            # fast twin of _blk_baseline_checked (no truncation checks)
+            dsh, dmsk, dlut = dc_combs[slot]
+            adv, rc, v = dlut[(wl[p >> 5] >> (dsh - (p & 31))) & dmsk]
+            p += adv
+            if rc:
+                p, pred = _dc_slow(wl, nbits, p, preds[slot], rc, v)
+            else:
+                pred = preds[slot] + v
+            preds[slot] = pred
+            blk[0] = pred
+            ash, amsk, alut = ac_combs[slot]
+            k = 1
+            while k < 64:
+                adv, rc, v = alut[(wl[p >> 5] >> (ash - (p & 31))) & amsk]
+                p += adv
+                if rc < 16:
+                    k += rc
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    blk[k] = v
+                    k += 1
+                    continue
+                if rc == 16:
                     k += 16
                     continue
-                eob = (1 << r) - 1
-                if r:
-                    eob += bits.receive(r)
-                break
+                if rc == 17:
+                    break
+                p, k = _ac_slow_baseline(wl, nbits, p, blk, k, rc, v)
+
+
+def _scan_dc_first(
+    segs, per_seg, n_units, blks, slots, bpu, nslots, dc_combs, al
+):
+    """Progressive DC first pass: diff-coded, point-transformed."""
+    for seg, u0, u1 in _seg_ranges(segs, per_seg, n_units):
+        wl, nbits = _bit_windows(seg)
+        p = 0
+        preds = [0] * nslots
+        for bi in range(u0 * bpu, u1 * bpu):
+            slot = slots[bi]
+            if p >= nbits:
+                raise ValueError("JPEG entropy data truncated")
+            dsh, dmsk, dlut = dc_combs[slot]
+            adv, rc, v = dlut[(wl[p >> 5] >> (dsh - (p & 31))) & dmsk]
+            p += adv
+            if p > nbits:
+                raise ValueError("JPEG entropy data truncated")
+            if rc:
+                p, pred = _dc_slow(wl, nbits, p, preds[slot], rc, v)
+            else:
+                pred = preds[slot] + v
+            preds[slot] = pred
+            blks[bi][0] = pred << al
+
+
+def _scan_dc_refine(segs, per_seg, n_units, blks, bpu, al):
+    """Progressive DC refinement: one raw bit per block, read from the
+    unpacked-bit bytes (indexing past the segment end IndexErrors — the
+    bounds check is free and rewraps as the truncation error)."""
+    bit = 1 << al
+    for seg, u0, u1 in _seg_ranges(segs, per_seg, n_units):
+        bb = np.unpackbits(np.frombuffer(seg, dtype=np.uint8)).tobytes()
+        p = 0
+        try:
+            for bi in range(u0 * bpu, u1 * bpu):
+                if bb[p]:
+                    blks[bi][0] |= bit
+                p += 1
+        except IndexError:
+            raise ValueError("JPEG entropy data truncated") from None
+
+
+def _blk_ac_first_checked(wl, nbits, p, blk, ac, ss, se, al):
+    """Fully-checked AC-first block decode (segment tails). Must stay
+    semantically identical to the fast twin in _scan_ac_first."""
+    ash, amsk, alut = ac
+    eob = 0
+    k = ss
+    while k <= se:
+        if p >= nbits:
+            raise ValueError("JPEG entropy data truncated")
+        adv, rc, v = alut[(wl[p >> 5] >> (ash - (p & 31))) & amsk]
+        p += adv
+        if p > nbits:
+            raise ValueError("JPEG entropy data truncated")
+        if rc < 16:
+            k += rc
+            if k > se:
+                raise ValueError("AC run past the scan band")
+            blk[k] = v
+            k += 1
+            continue
+        if rc == 16:
+            k += 16
+            continue
+        if rc == 17:
+            eob = v
+            break
+        p, k, eob, done = _ac_first_slow(
+            wl, nbits, p, blk, k, se, rc, v, al
+        )
+        if done:
+            break
+    return p, eob
+
+
+def _ac_first_slow(wl, nbits, p, blk, k, se, rc, v, al):
+    """Checked AC-first tail: fallback coefficient receive OR fallback
+    EOBn receive (code + run bits didn't fit the 16-bit window), plus
+    the error kinds. Combined-table values carry << al baked in; the
+    fallback reads raw magnitude bits, so it applies the scan's point
+    transform here. Returns (p, k, eobrun, band_done)."""
+    if rc == 18:
+        r, s = v >> 4, v & 0x0F
+        if s:
             k += r
             if k > se:
                 raise ValueError("AC run past the scan band")
-            blk[k] = _extend(bits.receive(s), s) << al
-            k += 1
-        return eob
-    # AC refinement (T.81 G.2.2 / the libjpeg decode_mcu_AC_refine
-    # structure): run codes count ZERO-HISTORY positions only; every
-    # already-nonzero position passed over reads one correction bit
+            if p + s > nbits:
+                raise ValueError("JPEG entropy data truncated")
+            b = (wl[p >> 5] >> (64 - (p & 31) - s)) & ((1 << s) - 1)
+            p += s
+            ext = b if b >= (1 << (s - 1)) else b - (1 << s) + 1
+            blk[k] = ext << al
+            return p, k + 1, 0, False
+        # s == 0, r in 1..14: EOBn whose run bits didn't fit the window
+        if p + r > nbits:
+            raise ValueError("JPEG entropy data truncated")
+        b = (wl[p >> 5] >> (64 - (p & 31) - r)) & ((1 << r) - 1)
+        p += r
+        return p, k, (1 << r) - 1 + b, True
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _scan_ac_first(segs, per_seg, n_units, blks, ac, ss, se, al):
+    """Progressive AC first pass (single component, one band, EOBRUN
+    across blocks — reset per restart segment)."""
+    bound = _BLOCK_BITS_BOUND
+    ash, amsk, alut = ac
+    for seg, u0, u1 in _seg_ranges(segs, per_seg, n_units):
+        wl, nbits = _bit_windows(seg)
+        p = 0
+        eob = 0
+        for bi in range(u0, u1):
+            if eob > 0:
+                eob -= 1
+                continue
+            blk = blks[bi]
+            if p + bound > nbits:
+                p, eob = _blk_ac_first_checked(
+                    wl, nbits, p, blk, ac, ss, se, al
+                )
+                continue
+            # fast twin of _blk_ac_first_checked (no truncation checks)
+            k = ss
+            while k <= se:
+                adv, rc, v = alut[(wl[p >> 5] >> (ash - (p & 31))) & amsk]
+                p += adv
+                if rc < 16:
+                    k += rc
+                    if k > se:
+                        raise ValueError("AC run past the scan band")
+                    blk[k] = v
+                    k += 1
+                    continue
+                if rc == 16:
+                    k += 16
+                    continue
+                if rc == 17:
+                    eob = v
+                    break
+                p, k, eob, done = _ac_first_slow(
+                    wl, nbits, p, blk, k, se, rc, v, al
+                )
+                if done:
+                    break
+
+
+def _scan_ac_refine(segs, per_seg, n_units, blks, lut, ss, se, al):
+    """Progressive AC refinement (T.81 G.2.2 / the libjpeg
+    decode_mcu_AC_refine structure): run codes count ZERO-HISTORY
+    positions only; every already-nonzero position passed over reads one
+    correction bit. Code-only LUT (values are read bit-by-bit against
+    block state, so symbol+magnitude combining doesn't apply here —
+    refinement is ~1 bit per coefficient, the cheap scan class)."""
     p1 = 1 << al
     m1 = -p1
-    k = ss
-    if eob == 0:
-        while k <= se:
-            rs = bits.huffman(ac_tabs[ta])
-            r, s = rs >> 4, rs & 0x0F
-            newval = 0
-            if s == 0:
-                if r != 15:
-                    eob = 1 << r
-                    if r:
-                        eob += bits.receive(r)
-                    break
-                # ZRL: skip 16 zero-history positions (corrections ride)
-            else:
-                if s != 1:
-                    raise ValueError(
-                        "AC refinement magnitude must be 1 bit"
-                    )
-                newval = p1 if bits.bit() else m1
-            while k <= se:
-                cur = blk[k]
-                if cur != 0:
-                    if bits.bit() and (cur & p1) == 0:
-                        blk[k] = cur + (p1 if cur >= 0 else m1)
-                else:
-                    if r == 0:
-                        break
-                    r -= 1
-                k += 1
-            if newval and k <= se:
-                blk[k] = newval
-            k += 1
-    if eob > 0:
-        # end-of-band: correction bits for the rest of the band
-        while k <= se:
-            cur = blk[k]
-            if cur != 0:
-                if bits.bit() and (cur & p1) == 0:
-                    blk[k] = cur + (p1 if cur >= 0 else m1)
-            k += 1
-        eob -= 1
-    return eob
+    lsh, lmsk, clut = lut
+    for seg, u0, u1 in _seg_ranges(segs, per_seg, n_units):
+        wl, nbits = _bit_windows(seg)
+        # correction/sign bits come one at a time against block state:
+        # read them from the unpacked-bit bytes (bb[p] bounds-checks for
+        # free — past-the-end rewraps as the truncation error below)
+        bb = np.unpackbits(np.frombuffer(seg, dtype=np.uint8)).tobytes()
+        p = 0
+        eob = 0
+        try:
+            for bi in range(u0, u1):
+                blk = blks[bi]
+                k = ss
+                if eob == 0:
+                    while k <= se:
+                        if p >= nbits:
+                            raise ValueError("JPEG entropy data truncated")
+                        ln, rs = clut[
+                            (wl[p >> 5] >> (lsh - (p & 31))) & lmsk
+                        ]
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        p += ln
+                        if p > nbits:
+                            raise ValueError("JPEG entropy data truncated")
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                if p + r > nbits:
+                                    raise ValueError(
+                                        "JPEG entropy data truncated"
+                                    )
+                                eob = 1 << r
+                                if r:
+                                    eob += (
+                                        wl[p >> 5] >> (64 - (p & 31) - r)
+                                    ) & ((1 << r) - 1)
+                                    p += r
+                                break
+                            # ZRL: skip 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "AC refinement magnitude must be 1 bit"
+                                )
+                            newval = p1 if bb[p] else m1
+                            p += 1
+                        while k <= se:
+                            cur = blk[k]
+                            if cur != 0:
+                                b = bb[p]
+                                p += 1
+                                if b and (cur & p1) == 0:
+                                    blk[k] = cur + (p1 if cur >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eob > 0:
+                    # end-of-band: correction bits for the rest of the band
+                    while k <= se:
+                        cur = blk[k]
+                        if cur != 0:
+                            b = bb[p]
+                            p += 1
+                            if b and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eob -= 1
+        except IndexError:
+            raise ValueError("JPEG entropy data truncated") from None
 
 
 def _reconstruct(frame, state, qt):

@@ -324,31 +324,42 @@ def test_color_smooth_roundtrip_bound(w, h, seed, sub):
 def test_oversubscribed_dht_rejected_without_lut_blowup():
     # Round-14 ADVICE (medium): a DHT claiming more codes at a length
     # than canonical capacity (code + n > 2^len) used to push the LUT
-    # slice base past 65535, silently EXTENDING the 64K list by ~8M
+    # slice base past the table end, silently EXTENDING the list by ~8M
     # entries per table — a memory-amplification vector on untrusted
-    # input. The table builder must reject it loud before filling.
+    # input. The validating builder must reject it loud before filling,
+    # and no cached table may exceed its declared 2^width size.
     from datafusion_loki_spark.operators.jpeg import (
-        _DECODE_TABLE_CACHE,
-        _decode_table,
+        _COMB_CACHE,
+        _code_lut,
+        _combined_ac_table,
+        _combined_dc_table,
     )
 
     # 255 codes at length 1 (capacity 2) — the ADVICE's crafted shape
-    bits = [255] + [0] * 15
+    bits = tuple([255] + [0] * 15)
     with pytest.raises(ValueError, match="over-subscribed"):
-        _decode_table(bits, list(range(255)))
+        _code_lut(bits, tuple(range(255)))
     # 3 codes at length 2 after 1 at length 1 (2*1 + 3 > 4): the
     # doubling-carry case, not just the single-length overflow
-    bits2 = [1, 3] + [0] * 14
+    bits2 = tuple([1, 3] + [0] * 14)
     with pytest.raises(ValueError, match="over-subscribed"):
-        _decode_table(bits2, [0, 1, 2, 3])
+        _code_lut(bits2, (0, 1, 2, 3))
     # exactly-full tables remain valid (2 at len 1 is the boundary)
-    mincode, maxcode, valptr, vals, lut = _decode_table(
-        [2] + [0] * 15, [7, 9]
-    )
-    assert len(lut) == 65536 and lut[0] == (1, 7) and lut[-1] == (1, 9)
-    # nothing over-subscribed was cached, and no cached LUT ever
-    # exceeds the 64K canonical size
-    assert all(len(t[4]) == 65536 for t in _DECODE_TABLE_CACHE.values())
+    sh, msk, lut = _code_lut(tuple([2] + [0] * 15), (7, 9))
+    assert len(lut) == msk + 1 and lut[0] == (1, 7) and lut[-1] == (1, 9)
+    # the combined builders honor their declared width too (they are
+    # only reached post-validation, but a blowup there would be the
+    # same memory bug)
+    for builder in (
+        lambda b, v: _combined_dc_table(b, v),
+        lambda b, v: _combined_ac_table(b, v, False, 0),
+        lambda b, v: _combined_ac_table(b, v, True, 1),
+    ):
+        csh, cmsk, clut = builder(tuple([2] + [0] * 15), (3, 0x23))
+        assert len(clut) == cmsk + 1
+    # every cached table is exactly its declared size (shift+mask agree)
+    for (ssh, smsk, slut) in _COMB_CACHE.values():
+        assert len(slut) == smsk + 1 == (1 << (64 - ssh))
 
 
 def test_oversubscribed_dht_in_stream_fails_loud():

@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale slots):
 #
 #   1. entries NEW or CHANGED this round lead (hand-pinned in
-#      _R13_PINNED — their plans and output must re-earn a driver row);
+#      _R14_PINNED — their plans and output must re-earn a driver row);
 #   2. the rest of the window is DERIVED from the committed
 #      CORRECTNESS_r*.json files: never-green entries first (never
 #      checked, or checked red), then ascending latest-green round,
@@ -54,80 +54,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # test_unchecked_queries_lead_the_window (never-checked entries must sit
 # in the prefix) and test_correctness_window_is_pinned (prefix ==
 # _WINDOW_PRIORITY, staleness ordering holds).
-_R13_PINNED: tuple[str, ...] = (
-    # --- new/changed in round 13 (hand-pinned ahead of the derived
-    # staleness tail; everything else is computed) ---
-    # CHANGED in r13: the BPE oracle is decoupled from the merge budget
-    # (round-12 Next #2). text_bpe_vocab + the OOV face now run/replay
-    # the BPE_PREFIX_ITERS prefix (4 rounds at the new BATCH=256), and
-    # text_tokenize_bpe trains the FULL 24x256=6144 budget with its
-    # oracle verifying the APPLY phase against the staged vocab
-    # artifact (corpus-fingerprint-keyed parquet under the scratch
-    # root) — all three outputs changed with the batch width
-    "text_bpe_vocab",
-    "text_tokenize_bpe",
-    "text_tokenize_bpe_oov",
-    # NEW in r13: animated GIF — three frames with mixed disposal
-    # methods (none / restore-previous), frame transparency, a local
-    # color table, interlace, and a NETSCAPE loop block; one oracle row
-    # per composited canvas frame (round-12 Next #5)
-    "mm_decode_gif_frames",
-    # CHANGED in r13: GIF LZW decode now fail-louds on pixel-count
-    # overshoot and verifies the END terminator at the data boundary
-    # (round-12 ADVICE) — same output, changed decode path: re-earn
-    "mm_decode_gif",
-    # CHANGED in r13: the decode admission gate is now CONSUMED —
-    # mm_dedup_keep_list gained top-precedence 'undecodable' status
-    # (round-12 Next #6), and the new funnel rolls it up
-    "mm_dedup_keep_list",
-    "mm_pipeline_funnel",
-    # CHANGED in r13: build_ivf_index clears stale tombstones/ingest
-    # generations when rebuilding over a maintained snapshot (round-12
-    # ADVICE), and query_ivf_index wraps its resolve->scan in one
-    # bounded retry on missing-path failures (round-12 Next #3) — every
-    # lifecycle face routes through one or both: re-earn
-    "sim_ivf_snapshot_reads",
-    "sim_ivf_index_retrain",
-    "sim_ivf_index_topk",
-    "sim_ivf_index_append",
-    "sim_ivf_index_delete",
-    # CHANGED in r13: the PNG unfilter was rewritten (Sub rows are now
-    # an exact vectorized prefix-sum; Average/Paeth run flat scalar
-    # loops — 9x measured, tools/decode_swap_bench.py), decode_png
-    # gained 16-bit gray+alpha/RGBA, and the JPEG Huffman walk became a
-    # 16-bit-prefix LUT lookup (2.4x baseline / 4.2x progressive) —
-    # every PNG/JPEG face re-earns
+_R14_PINNED: tuple[str, ...] = (
+    # --- new/changed in round 14 (hand-pinned ahead of the derived
+    # staleness tail; kept LEAN per the round-13 verdict: only entries
+    # whose DECODE PATH or OUTPUT changed re-earn — validation-only
+    # hardening (GIF min-code bound, JPEG DHT guard, TIFF word
+    # alignment) does not change any green entry's output) ---
+    # CHANGED in r14: the JPEG entropy core was rewritten (combined
+    # symbol+magnitude LUTs at adaptive peek width, 64-bit window list,
+    # budget-hoisted checks — PERF_NOTES round-14 section): every face
+    # that DECODES a JPEG re-earns
     "mm_decode_jpeg",
     "mm_decode_jpeg_progressive",
-    "mm_decode_png",
-    "mm_decode_png_palette",
-    "mm_decode_png_adam7",
-    "mm_decode_png16",
     "mm_decode_validate",
-    # NEW in r13 (late): the audio modality's real decode path — RIFF
-    # chunk walk, PCM fmt validation, signed-LE frame extraction — and
-    # baseline TIFF (both byte orders, multi-strip, PackBits), which
-    # leaves the PIL-gated list; the admission gate now constructs SIX
-    # formats (doc_id % 6 adds tiff), so validate/keep-list/funnel
-    # outputs changed in lockstep with their oracles
-    "mm_decode_wav",
-    "mm_decode_tiff",
-    # NEW in r13 (late): the audio ANALYSIS stage over the decoded PCM
-    # stream — integer-exact energy / zero-crossings / peak per channel
-    "mm_audio_features",
-    # NEW in r13 (late): real-pixel resize — decode + deterministic
-    # nearest-neighbor gather, hex-replayable end-to-end
-    "mm_resize_pixels",
-    # NEW in r13 (late): 8-bit indexed BMP with BI_RLE8 (escape codes,
-    # word-aligned literals, bottom-up) — shares the GIF twin's
-    # construction, so a run/escape bug hash-mismatches the same oracle
-    "mm_decode_bmp_rle",
-    # NEW in r13 (late): multi-page TIFF — mixed RGB/gray pages through
-    # one next-IFD chain, one oracle row per page
-    "mm_decode_tiff_pages",
-    # CHANGED in r13 (late): decode_ppm gained the 16-bit branch (the
-    # 8-bit construction's decode path moved) — re-earn
-    "mm_decode_ppm",
+    # NEW in r14: TIFF Compression 5 (LZW, MSB-first + EarlyChange) +
+    # horizontal predictor — the dominant real-world TIFF layout,
+    # gradient-modulated construction with full-hash hex oracle
+    "mm_decode_tiff_lzw",
 )
 
 _WINDOW_SIZE = 50
@@ -182,14 +125,14 @@ def _window_priority(
     if latest is None:
         latest = _latest_green_round()
     order = {n: i for i, n in enumerate(registered)}
-    unknown = [n for n in _R13_PINNED if n not in order]
+    unknown = [n for n in _R14_PINNED if n not in order]
     if unknown:
         raise KeyError(
-            f"_R13_PINNED names not in the registry (typo?): {unknown}"
+            f"_R14_PINNED names not in the registry (typo?): {unknown}"
         )
-    pinned = list(_R13_PINNED)
+    pinned = list(_R14_PINNED)
     tail = sorted(
-        (n for n in registered if n not in _R13_PINNED),
+        (n for n in registered if n not in _R14_PINNED),
         key=lambda n: (latest.get(n, -1), order[n]),
     )
     return tuple((pinned + tail)[:_WINDOW_SIZE])

@@ -2610,6 +2610,103 @@ FROM m
 """
 
 
+def mm_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF Compression 5 + horizontal predictor in the registry
+    (round 14 — the dominant real-world scanned/geo TIFF layout,
+    previously the loudest gap on the PIL-gated list). Construction:
+    the payload's first 105 bytes become a 7x5 RGB image MODULATED by
+    a horizontal gradient (pixel x adds x to every channel, mod 256 —
+    so the predictor's delta stream differs from the raw byte stream
+    and from mm_decode_tiff's un-modulated construction), written as a
+    LITTLE-endian, 3-row-strip, LZW + Predictor 2 TIFF and decoded by
+    the real IFD walk. Emits geometry and integer-exact per-channel
+    sums: an EarlyChange width slip, a predictor noop or double-apply,
+    a mis-packed MSB code, or a strip-boundary error hash-mismatches.
+    (The wire-level EarlyChange and the predictor's compression effect
+    are pinned separately in tests/test_tiff.py — a roundtrip face
+    can't catch a symmetric encoder+decoder noop on its own.)
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 6 narrow output
+    columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_TIFF_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        grad = np.arange(_MM_TIFF_W, dtype=np.int64)[None, :, None]
+        for pdf in batches:
+            ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(
+                    bytes(b)[:_MM_TIFF_NEED], dtype=np.uint8
+                ).reshape(_MM_TIFF_H, _MM_TIFF_W, 3)
+                px = ((raw.astype(np.int64) + grad) % 256).astype(np.uint8)
+                w, h, arr = decode_tiff(
+                    encode_tiff(
+                        px, rows_per_strip=3, lzw=True, predictor=True
+                    )
+                )
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(arr[:, :, 0].sum(dtype="int64")))
+                sg.append(int(arr[:, :, 1].sum(dtype="int64")))
+                sb.append(int(arr[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": ws,
+                        "height": hs,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
+def _tiff_lzw_channel_sum_duck(ch: int) -> str:
+    # byte 3*i+ch of the payload, plus the gradient (pixel i's column
+    # is i % width), mod 256 — the modulated construction above
+    return (
+        "list_sum(list_transform(generate_series(0,"
+        f" {_MM_TIFF_W * _MM_TIFF_H - 1}),"
+        f" i -> ({_hexpair_duck(f'3 * i + {ch}')}"
+        f" + (i % {_MM_TIFF_W})) % 256))"
+    )
+
+
+ORACLE_MM_DECODE_TIFF_LZW = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_TIFF_NEED}
+)
+SELECT doc_id,
+       {_MM_TIFF_W} AS width, {_MM_TIFF_H} AS height,
+       CAST({_tiff_lzw_channel_sum_duck(0)} AS BIGINT) AS sum_r,
+       CAST({_tiff_lzw_channel_sum_duck(1)} AS BIGINT) AS sum_g,
+       CAST({_tiff_lzw_channel_sum_duck(2)} AS BIGINT) AS sum_b
+FROM m
+"""
+
+
 # multi-page TIFF construction: page 0 = 7x5 RGB from bytes [0, 105),
 # page 1 = 5x3 GRAYSCALE from [105, 120) — mixed layouts through one
 # IFD chain (big-endian, PackBits, 2-row strips)
@@ -3444,6 +3541,7 @@ QUERIES = {
     "mm_audio_features": mm_audio_features,
     "mm_resize_pixels": mm_resize_pixels,
     "mm_decode_tiff": mm_decode_tiff,
+    "mm_decode_tiff_lzw": mm_decode_tiff_lzw,
     "mm_decode_tiff_pages": mm_decode_tiff_pages,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
@@ -3477,6 +3575,7 @@ ORACLES = {
     "mm_audio_features": ORACLE_MM_AUDIO_FEATURES,
     "mm_resize_pixels": ORACLE_MM_RESIZE_PIXELS,
     "mm_decode_tiff": ORACLE_MM_DECODE_TIFF,
+    "mm_decode_tiff_lzw": ORACLE_MM_DECODE_TIFF_LZW,
     "mm_decode_tiff_pages": ORACLE_MM_DECODE_TIFF_PAGES,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,

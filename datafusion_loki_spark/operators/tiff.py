@@ -7,10 +7,12 @@ big), the first IFD's tag walk (SHORT/LONG value reading, inline
 vs offset-addressed values), strip assembly via StripOffsets /
 StripByteCounts / RowsPerStrip, chunky planar layout, 8-bit grayscale
 (photometric 0 WhiteIsZero — inverted per spec — and 1 BlackIsZero)
-and RGB (photometric 2), Compression 1 (none) and 32773 (PackBits,
-spec section 9). Everything else — tiles, palettes, planar=2,
-predictors, LZW/JPEG-in-TIFF, sample depths other than 8 — fails with
-a loud ValueError, never a fake fallback (the decode_image contract).
+and RGB (photometric 2), Compression 1 (none), 5 (LZW, spec section
+13 — round 14, MSB-first codes with the EarlyChange width discipline)
+and 32773 (PackBits, spec section 9), horizontal predictor (tag 317 =
+2, spec section 14 — round 14). Everything else — tiles, palettes,
+planar=2, JPEG/deflate-in-TIFF, sample depths other than 8 — fails
+with a loud ValueError, never a fake fallback (decode_image contract).
 
 The encoder twin constructs valid inputs for tests and the registry
 face (multimodal.mm_decode_tiff): either endian, configurable
@@ -36,6 +38,7 @@ _T_SPP = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
+_T_PREDICTOR = 317
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -106,6 +109,141 @@ def _packbits_encode(data: bytes) -> bytes:
             chunk = data[s : min(lit_end, s + 128)]
             out += bytes([len(chunk) - 1]) + chunk
         i = lit_end
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expect: int) -> bytes:
+    """TIFF 6.0 section 13 LZW: MSB-first code packing (the opposite
+    bit order of GIF's gif.py:_lzw_decode, same table discipline),
+    ClearCode 256 / EOI 257 / first entry 258, 9->12 bit widths with
+    the spec's EarlyChange off-by-one (the read width grows one entry
+    earlier than the decoder's own table requires — see the inline
+    sync derivation; verified by the width-boundary corpus test).
+    Decodes exactly ``expect`` bytes and requires the EOI terminator —
+    shortfall, overshoot, truncation, and codes past the table end are
+    all the decoder's own loud errors (the round-13 GIF terminator/
+    overshoot lessons carried over)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    table: list = []
+    width = 9
+    prev = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("TIFF LZW code past the table end")
+        out += entry
+        if len(out) > expect:
+            raise ValueError(
+                f"TIFF LZW produced {len(out)} bytes, expected {expect}"
+            )
+        if prev is not None and len(table) < 4096:
+            # (the 4096 cap: a conforming encoder clears at 4094; a
+            # foreign stream that never clears can't reference codes
+            # past 4095 anyway, so further appends are dead weight)
+            table.append(prev + entry[:1])
+        prev = entry
+        # EarlyChange sync (traced against the encoder, the GIF-family
+        # off-by-one lesson): the ENCODER grows its emit width after
+        # assigning entry 2^w - 2 (its next_code == 2^w - 1). The
+        # decoder builds each entry one code LATER than the encoder
+        # assigned it, so when the encoder's first w+1-bit code
+        # arrives, the decoder has only built entries through
+        # 2^w - 3 — it must grow its READ width when its table length
+        # reaches 2^w - 2, one entry earlier than its own table would
+        # require ("early change", TIFF 6.0 p.61 / libtiff's
+        # maxcode-1 decoder asymmetry).
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expect:
+        raise ValueError(
+            f"TIFF LZW produced {len(out)} bytes, expected {expect}"
+        )
+    return bytes(out)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF LZW compressor twin: MSB-first puts, leading ClearCode,
+    EarlyChange width bumps mirroring the decoder, table flush via
+    ClearCode when the next assignment would reach 4094 (the spec's
+    recommended reset point), trailing EOI, 0-padded tail byte (the
+    pad bits are never read back: EOI gates the decode)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # decoder's table is one entry BEHIND the encoder's (it can't
+        # build an entry until it has seen the next code), so its
+        # EarlyChange fires when len(table) == 2^w - 1 exactly as
+        # next_code reaches 2^w - 1 here
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([b])
+    if prev:
+        put(table[prev], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
 
 
@@ -213,14 +351,20 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
     photometric = tag_vals(_T_PHOTOMETRIC)[0]
     compression = tag_vals(_T_COMPRESSION, [1])[0]
     planar = tag_vals(_T_PLANAR, [1])[0]
+    predictor = tag_vals(_T_PREDICTOR, [1])[0]
     if any(b != 8 for b in bits) or len(bits) not in (1, spp):
         raise ValueError(f"unsupported TIFF sample depth {bits} (8-bit only)")
     if planar != 1:
         raise ValueError("unsupported TIFF planar configuration (chunky only)")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ValueError(
             f"unsupported TIFF compression {compression}"
-            " (none/PackBits only); no fake fallback"
+            " (none/LZW/PackBits only); no fake fallback"
+        )
+    if predictor not in (1, 2):
+        raise ValueError(
+            f"unsupported TIFF predictor {predictor}"
+            " (none/horizontal only); no fake fallback"
         )
     if photometric in (0, 1):
         if spp != 1:
@@ -252,6 +396,8 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
             raise ValueError(f"TIFF strip {s} truncated")
         if compression == 32773:
             raw = _packbits_decode(raw, rows * stride)
+        elif compression == 5:
+            raw = _lzw_decode_tiff(raw, rows * stride)
         elif len(raw) != rows * stride:
             raise ValueError(
                 f"TIFF strip {s} holds {len(raw)} bytes,"
@@ -259,6 +405,13 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
             )
         out += raw
     arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing (TIFF 6.0 section 14): samples after
+        # the first in each row are deltas from the previous pixel's
+        # same channel, mod 256 — undone BEFORE any photometric work
+        arr = (
+            np.cumsum(arr.astype(np.uint32), axis=1) % 256
+        ).astype(np.uint8)
     if photometric == 0:  # WhiteIsZero: invert per spec
         arr = (255 - arr.astype(np.int16)).astype(np.uint8)
     nxt_pos = ifd_off + 2 + 12 * n_tags
@@ -274,15 +427,20 @@ def encode_tiff(
     big_endian: bool = False,
     rows_per_strip: "int | None" = None,
     packbits: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
 ) -> bytes:
     """TIFF writer for (h, w) grayscale (BlackIsZero) or (h, w, 3) RGB
     uint8 arrays — either byte order, configurable strip height,
-    optional PackBits."""
+    optional PackBits or LZW (round 14), optional horizontal
+    predictor."""
     return encode_tiff_pages(
         [arr],
         big_endian=big_endian,
         rows_per_strip=rows_per_strip,
         packbits=packbits,
+        lzw=lzw,
+        predictor=predictor,
     )
 
 
@@ -291,12 +449,19 @@ def encode_tiff_pages(
     big_endian: bool = False,
     rows_per_strip: "int | None" = None,
     packbits: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
 ) -> bytes:
     """Multi-page TIFF writer (round 13 — decode_tiff_pages' twin):
     one IFD per array, chained through the next-IFD pointers; pages may
-    mix grayscale and RGB. Shared options apply to every page."""
+    mix grayscale and RGB. Shared options apply to every page.
+    ``lzw`` writes Compression 5 (round 14); ``predictor`` applies
+    horizontal differencing (tag 317 = 2) before compression — the
+    dominant real-world scanned/geo TIFF layout is LZW + predictor."""
     if not arrs:
         raise ValueError("encode_tiff_pages needs at least one page")
+    if packbits and lzw:
+        raise ValueError("pick one compression: packbits or lzw")
     e = ">" if big_endian else "<"
 
     def build_page(arr, base):
@@ -312,19 +477,33 @@ def encode_tiff_pages(
                 f"encode_tiff needs (h, w[, 1|3]), got shape {arr.shape}"
             )
         h, w, spp = arr.shape
+        if predictor:
+            # horizontal differencing: first pixel kept, the rest are
+            # per-channel deltas mod 256 (decode undoes via cumsum)
+            d = arr.astype(np.int16)
+            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+            arr = (d % 256).astype(np.uint8)
         rps = h if rows_per_strip is None else max(1, rows_per_strip)
         n_strips = -(-h // rps)
         strips = []
         for si in range(n_strips):
             chunk = arr[si * rps : (si + 1) * rps].tobytes()
-            strips.append(_packbits_encode(chunk) if packbits else chunk)
+            if packbits:
+                chunk = _packbits_encode(chunk)
+            elif lzw:
+                chunk = _lzw_encode_tiff(chunk)
+            strips.append(chunk)
 
         entries = []  # (tag, type, values)
         photometric = 1 if spp == 1 else 2
         entries.append((_T_WIDTH, 4, [w]))
         entries.append((_T_HEIGHT, 4, [h]))
         entries.append((_T_BITS, 3, [8] * spp))
-        entries.append((_T_COMPRESSION, 3, [32773 if packbits else 1]))
+        entries.append(
+            (_T_COMPRESSION, 3, [32773 if packbits else 5 if lzw else 1])
+        )
+        if predictor:
+            entries.append((_T_PREDICTOR, 3, [2]))
         entries.append((_T_PHOTOMETRIC, 3, [photometric]))
         entries.append((_T_STRIP_OFFSETS, 4, [0] * n_strips))  # patched
         entries.append((_T_SPP, 3, [spp]))

@@ -64,6 +64,12 @@ _SEEDS = {
         encode_tiff(_PX, big_endian=True, rows_per_strip=2, packbits=True),
         decode_tiff,
     ),
+    # round 14: the LZW + predictor branch (MSB codes, EarlyChange,
+    # cumsum undo) gets its own mutation corpus
+    "tiff_lzw": (
+        encode_tiff(_PX, rows_per_strip=3, lzw=True, predictor=True),
+        decode_tiff,
+    ),
     "wav": (
         encode_wav(_SAMPLES, 8000, extra_chunk=(b"LIST", b"abc")),
         decode_wav,

@@ -90,11 +90,16 @@ def test_fail_loud_contract():
     # truncation: cut the strip data
     with pytest.raises(ValueError, match="truncated|expected"):
         decode_tiff(good[:-3])
-    # unsupported compression (LZW = 5)
+    # unsupported compression (deflate = 8; LZW = 5 is SUPPORTED since
+    # round 14 — retagging uncompressed bytes as 5 now dies in the LZW
+    # decoder instead, still loud)
     i = good.index(struct.pack("<HHI", 259, 3, 1))
     bad = bytearray(good)
-    bad[i + 8] = 5
+    bad[i + 8] = 8
     with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(bad))
+    bad[i + 8] = 5
+    with pytest.raises(ValueError, match="LZW"):
         decode_tiff(bytes(bad))
     # unsupported photometric (palette = 3)
     i = good.index(struct.pack("<HHI", 262, 3, 1))
@@ -227,3 +232,116 @@ def test_multipage_ifds_word_aligned_with_odd_packbits_strips():
         for a, (w, h, out) in zip(arrs, decode_tiff_pages(blob)):
             want = a[:, :, None] if a.ndim == 2 else a
             assert (out == want).all()
+
+
+# --- round 14: LZW (Compression 5) + horizontal predictor (tag 317) ---
+
+
+def test_lzw_hand_vector_and_kwkwk():
+    # independently-constructed stream: data [1,1,1,1] codes to
+    # CLEAR(256), 1, 258 (KwKwK), 1, EOI(257) at 9 bits, MSB-first —
+    # the packing below is built by the TEST, not the codec
+    from datafusion_loki_spark.operators.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    bits = "".join(format(c, "09b") for c in (256, 1, 258, 1, 257))
+    bits += "0" * (-len(bits) % 8)
+    raw = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert _lzw_decode_tiff(raw, 4) == b"\x01\x01\x01\x01"
+    assert _lzw_encode_tiff(b"\x01\x01\x01\x01") == raw
+
+
+def test_lzw_earlychange_width_boundaries():
+    # noise long enough to cross 9->10->11->12 bits and the 4094-entry
+    # ClearCode flush; ALSO pins the decoder's early-change timing: a
+    # one-entry-late decoder misreads the first wider code and dies
+    # (verified during development — libtiff's maxcode-1 asymmetry)
+    from datafusion_loki_spark.operators.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    rng = np.random.RandomState(3)
+    for size in (260, 900, 3000, 40000):
+        data = bytes(rng.randint(0, 256, size, dtype=np.uint8))
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data), size) == data
+
+
+def test_lzw_fail_loud_contract():
+    from datafusion_loki_spark.operators.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    good = _lzw_encode_tiff(b"abcabcabc")
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode_tiff(good[:-2], 9)           # EOI gone
+    with pytest.raises(ValueError, match="produced"):
+        _lzw_decode_tiff(good, 8)                # overshoot
+    with pytest.raises(ValueError, match="produced"):
+        _lzw_decode_tiff(good, 10)               # shortfall
+    # a code referencing past the table end is loud (code 300 right
+    # after CLEAR when only 258 entries exist)
+    bits = "".join(format(c, "09b") for c in (256, 65, 300, 257))
+    bits += "0" * (-len(bits) % 8)
+    raw = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    with pytest.raises(ValueError, match="past the table end"):
+        _lzw_decode_tiff(raw, 99)
+    # first code after clear must be a literal
+    bits = "".join(format(c, "09b") for c in (256, 258, 257))
+    bits += "0" * (-len(bits) % 8)
+    raw = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    with pytest.raises(ValueError, match="not a literal"):
+        _lzw_decode_tiff(raw, 99)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    rgb=st.booleans(),
+    be=st.booleans(),
+    pred=st.booleans(),
+    rps=st.integers(1, 24),
+    seed=st.integers(0, 10**6),
+)
+def test_lzw_tiff_roundtrip_property(w, h, rgb, be, pred, rps, seed):
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    px = rng.randint(0, 256, shape).astype(np.uint8)
+    blob = encode_tiff(
+        px, big_endian=be, lzw=True, predictor=pred, rows_per_strip=rps
+    )
+    got_w, got_h, out = decode_tiff(blob)
+    want = px[:, :, None] if px.ndim == 2 else px
+    assert (got_w, got_h) == (w, h)
+    assert (out == want).all()
+
+
+def test_predictor_rejects_unknown_and_applies_before_inversion():
+    from datafusion_loki_spark.operators.tiff import _T_PREDICTOR
+
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    blob = bytearray(encode_tiff(px, predictor=True, lzw=True))
+    # find the predictor tag and corrupt its value to 3 (unsupported)
+    (n,) = struct.unpack("<H", blob[8:10])
+    for i in range(n):
+        ent = 10 + 12 * i
+        tag, = struct.unpack("<H", blob[ent : ent + 2])
+        if tag == _T_PREDICTOR:
+            struct.pack_into("<H", blob, ent + 8, 3)
+    with pytest.raises(ValueError, match="predictor"):
+        decode_tiff(bytes(blob))
+
+
+def test_predictor_compresses_gradients():
+    # the reason the predictor exists: smooth content becomes runs of
+    # small deltas. A horizontal gradient must compress dramatically
+    # better with it (this also catches a silently-noop predictor)
+    g = np.tile(np.arange(256, dtype=np.uint8), (64, 1))
+    plain = encode_tiff(g, lzw=True)
+    pred = encode_tiff(g, lzw=True, predictor=True)
+    assert len(pred) * 4 < len(plain)
+    assert (decode_tiff(pred)[2][:, :, 0] == g).all()

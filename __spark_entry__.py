@@ -71,6 +71,10 @@ _R14_PINNED: tuple[str, ...] = (
     # horizontal predictor — the dominant real-world TIFF layout,
     # gradient-modulated construction with full-hash hex oracle
     "mm_decode_tiff_lzw",
+    # NEW in r14: the media corpus manifest — per-source kept-item /
+    # kept-byte / kept-pixel rollup joining the keep-list with the
+    # decode-admission verdict (corpus_build_manifest's media twin)
+    "mm_corpus_manifest",
 )
 
 _WINDOW_SIZE = 50

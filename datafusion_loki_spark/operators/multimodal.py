@@ -3497,6 +3497,81 @@ def mm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media corpus's what-you-SHIP manifest (round 14 —
+    corpus_build_manifest's cross-modality twin, the round-13 verdict's
+    Next #4): per SOURCE (media_type), the items that entered the
+    multimodal keep-list universe, how many survived every gate
+    (decode admission, exact, perceptual, semantic — the keep-list's
+    precedence order), the bytes those kept items ship, and the
+    decoded PIXELS they ship (the decode-admission verdict's n_pixels,
+    zero for kept items outside the admission construction's
+    universe). Derived from the same keep-list and admission gate the
+    pipeline runs, so the manifest can never disagree with either.
+
+    100 TB posture: the keep-list pays its documented bounded cost
+    once; the meta and admission joins are doc_id-keyed (payloads
+    never move — only (doc_id, status/n_pixels) rows shuffle); the
+    rollup is a 3-row conditional aggregate with map-side partials."""
+    keep = mm_dedup_keep_list(spark, sf_dir)
+    meta = media_table(spark, sf_dir).select(
+        "doc_id", "media_type", "n_bytes"
+    )
+    val = mm_decode_validate(spark, sf_dir).select("doc_id", "n_pixels")
+    kept = F.col("status") == "keep"
+    return (
+        keep.join(meta, "doc_id")
+        .join(val, "doc_id", "left")
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(kept, F.col("n_bytes").cast("long")).otherwise(0)
+            ).alias("kept_bytes"),
+            F.sum(
+                F.when(kept, F.coalesce(F.col("n_pixels"), F.lit(0)))
+                .otherwise(0)
+            ).alias("kept_pixels"),
+        )
+        .withColumn(
+            "kept_fraction",
+            F.col("n_kept").cast("double") / F.col("n_items"),
+        )
+    )
+
+
+def _oracle_mm_corpus_manifest() -> str:
+    return f"""
+WITH k AS ({{keep_list}}),
+meta AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+  WHERE text IS NOT NULL
+),
+adm AS (SELECT doc_id, n_pixels FROM ({{validate}}) vv)
+SELECT media_type,
+       COUNT(*) AS n_items,
+       CAST(SUM(CASE WHEN status = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN status = 'keep' THEN n_bytes ELSE 0 END)
+         AS BIGINT) AS kept_bytes,
+       CAST(SUM(CASE WHEN status = 'keep'
+                THEN COALESCE(adm.n_pixels, 0) ELSE 0 END) AS BIGINT)
+         AS kept_pixels,
+       CAST(SUM(CASE WHEN status = 'keep' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS kept_fraction
+FROM k
+JOIN meta USING (doc_id)
+LEFT JOIN adm USING (doc_id)
+GROUP BY media_type
+"""
+
+
 def _oracle_mm_funnel() -> str:
     sums = ",\n".join(
         f"       CAST(SUM(CASE WHEN status = '{s}' THEN 1 ELSE 0 END)"
@@ -3514,6 +3589,9 @@ FROM ({ORACLE_MM_KEEP_LIST}) k
 
 
 ORACLE_MM_PIPELINE_FUNNEL = _oracle_mm_funnel()
+ORACLE_MM_CORPUS_MANIFEST = _oracle_mm_corpus_manifest().format(
+    keep_list=ORACLE_MM_KEEP_LIST, validate=ORACLE_MM_DECODE_VALIDATE
+)
 
 
 # the BMP RLE face shares the GIF twin's construction layout -> same oracle
@@ -3551,6 +3629,7 @@ QUERIES = {
     "mm_semantic_dedup": mm_semantic_dedup,
     "mm_dedup_keep_list": mm_dedup_keep_list,
     "mm_pipeline_funnel": mm_pipeline_funnel,
+    "mm_corpus_manifest": mm_corpus_manifest,
 }
 
 ORACLES = {
@@ -3585,4 +3664,5 @@ ORACLES = {
     "mm_semantic_dedup": _oracle_mm_semantic(),
     "mm_dedup_keep_list": ORACLE_MM_KEEP_LIST,
     "mm_pipeline_funnel": ORACLE_MM_PIPELINE_FUNNEL,
+    "mm_corpus_manifest": ORACLE_MM_CORPUS_MANIFEST,
 }

@@ -1240,3 +1240,17 @@ def test_mm_funnel_is_one_pass_over_keep_list(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_mm_corpus_manifest_narrow_joins_small_agg(spark, sf_dir):
+    # the media manifest (round 14) joins the keep-list to doc metadata
+    # and the admission verdict on doc_id — narrow (id, status/pixels)
+    # rows only; payloads must never cross an exchange on the ADDED
+    # joins, the rollup is a 3-row conditional aggregate, and nothing
+    # degenerates to a cartesian
+    plan = _plan(spark, sf_dir, "mm_corpus_manifest")
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "MapInPandas" in plan, plan  # admission verdict is live
+    # the aggregate keys on media_type only (3 groups)
+    assert "media_type" in plan, plan

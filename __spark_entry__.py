@@ -75,6 +75,11 @@ _R14_PINNED: tuple[str, ...] = (
     # kept-byte / kept-pixel rollup joining the keep-list with the
     # decode-admission verdict (corpus_build_manifest's media twin)
     "mm_corpus_manifest",
+    # NEW in r14: decode-backed frame sampling — every 2nd COMPOSITED
+    # frame of a six-frame disposal-none animation (sampled canvases
+    # depend on unsampled predecessors); retires mm_frame_sample as
+    # the family's sampling face (kept, documented arithmetic-only)
+    "mm_frame_sample_real",
 )
 
 _WINDOW_SIZE = 50

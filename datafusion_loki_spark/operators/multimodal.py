@@ -1055,9 +1055,12 @@ FROM f
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: one row per sampled frame (every 2nd frame of the
-    fake-decoded n_frames), the explode-shape a video pipeline uses. Built
-    on posexplode over a sequence — no UDF."""
+    """Frame sampling ARITHMETIC-ONLY face: one row per sampled frame
+    (every 2nd frame of the synthetic n_frames), the explode-shape a
+    video pipeline uses, built on posexplode over a sequence — no UDF.
+    It predates the codec family and tests only the SAMPLING plan
+    shape; mm_frame_sample_real (round 14) is the decode-backed face:
+    real composited animation frames, stride-sampled, hex oracle."""
     # pre-filter before the decode boundary (see _decode_features); a
     # NULL n_frames explodes to no rows — sequence(0, NULL-1) is NULL
     # and explode of NULL emits nothing, like the oracle's unnest
@@ -2213,6 +2216,150 @@ WITH m AS (
 
 
 ORACLE_MM_DECODE_GIF_FRAMES = _gifa_oracle()
+
+
+# real frame sampling (round 14 — retires the arithmetic-only
+# mm_frame_sample as the family's sampling face): a SIX-frame animation
+# whose overlays all use disposal 1 (none) + transparent index 0, so
+# the canvas at any sampled frame depends on every UNSAMPLED frame
+# before it — the property that makes "sample every k-th frame" a real
+# decode problem instead of an index arithmetic one. Layout: global
+# palette [0, 48), 7x5 base indices [48, 83), five 3x2 overlay rects of
+# 6 bytes each at [83 + 6(j-1)) for j = 1..5, overlay j at
+# (left, top) = ((j-1) % 5, (j-1) % 3).
+_MM_FSR_NEED = 48 + _MM_PAL_PIX + 5 * 6
+
+
+def mm_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL composited frames: build the six-frame
+    animation above, decode it with decode_gif_frames' spec-literal
+    compositing walk, keep every SECOND composited canvas (frames 0, 2,
+    4 — the video pipeline's stride sample), and emit integer-exact
+    per-channel sums per kept frame. Because overlays are partial and
+    transparent-masked with disposal none, frame 4's canvas carries
+    frames 1-3's pixels — a sampler that decodes only the kept frames
+    (or mis-walks any disposal) hash-mismatches.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 3 bounded rows per
+    item, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_FSR_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fks, sr, sg, sb = [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_FSR_NEED]
+                pal = np.frombuffer(raw[:48], dtype=np.uint8).reshape(16, 3)
+                base = (
+                    np.frombuffer(raw[48:83], dtype=np.uint8)
+                    % MM_PAL_ENTRIES
+                ).reshape(MM_PAL_H, MM_PAL_W)
+                frames = [{"idx": base, "disposal": 1}]
+                for j in range(1, 6):
+                    o = 83 + 6 * (j - 1)
+                    rect = (
+                        np.frombuffer(raw[o : o + 6], dtype=np.uint8)
+                        % MM_PAL_ENTRIES
+                    ).reshape(2, 3)
+                    frames.append(
+                        {
+                            "idx": rect,
+                            "pos": ((j - 1) % 5, (j - 1) % 3),
+                            "transparent": 0,
+                            "disposal": 1,
+                        }
+                    )
+                _sw, _sh, decoded = decode_gif_frames(
+                    encode_gif_frames(frames, pal)
+                )
+                for k in range(0, len(decoded), 2):
+                    fr = decoded[k]
+                    ids.append(int(did))
+                    fks.append(k)
+                    sr.append(int(fr[:, :, 0].sum(dtype="int64")))
+                    sg.append(int(fr[:, :, 1].sum(dtype="int64")))
+                    sb.append(int(fr[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "frame_idx": fks,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, frame_idx int, sum_r long, sum_g long, sum_b long",
+    )
+
+
+def _fsr_channel_sum_duck(ch: int, k: int) -> str:
+    """Composited canvas sum after frame ``k``: the LAST overlay j <= k
+    covering pixel i with a non-transparent index wins, else the base —
+    exactly the disposal-none accumulation the decoder performs."""
+    base = _hexpair_duck(
+        f"3 * ({_hexpair_duck('48 + i')} % {MM_PAL_ENTRIES}) + {ch}"
+    )
+    branches = []
+    for j in range(k, 0, -1):  # later overlays take precedence
+        lj, tj = (j - 1) % 5, (j - 1) % 3
+        byte_pos = (
+            f"{83 + 6 * (j - 1)} + ((i // 7) - {tj}) * 3"
+            f" + ((i % 7) - {lj})"
+        )
+        idx = f"({_hexpair_duck(byte_pos)} % {MM_PAL_ENTRIES})"
+        branches.append(
+            f"WHEN (i % 7) BETWEEN {lj} AND {lj + 2}"
+            f" AND (i // 7) BETWEEN {tj} AND {tj + 1}"
+            f" AND {idx} <> 0"
+            f" THEN {_hexpair_duck(f'3 * {idx} + {ch}')}"
+        )
+    px = base if not branches else (
+        "CASE " + " ".join(branches) + f" ELSE {base} END"
+    )
+    return (
+        f"list_sum(list_transform(generate_series(0, {_MM_PAL_PIX - 1}),"
+        f" i -> {px}))"
+    )
+
+
+def _fsr_oracle() -> str:
+    selects = []
+    for k in (0, 2, 4):
+        selects.append(
+            f"""SELECT doc_id, {k} AS frame_idx,
+       CAST({_fsr_channel_sum_duck(0, k)} AS BIGINT) AS sum_r,
+       CAST({_fsr_channel_sum_duck(1, k)} AS BIGINT) AS sum_g,
+       CAST({_fsr_channel_sum_duck(2, k)} AS BIGINT) AS sum_b
+FROM m"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_FSR_NEED}
+)
+{union}
+"""
+
+
+ORACLE_MM_FRAME_SAMPLE_REAL = _fsr_oracle()
 
 
 # --- WAV (round 13: the AUDIO modality's real decode path) -------------------
@@ -3630,6 +3777,7 @@ QUERIES = {
     "mm_dedup_keep_list": mm_dedup_keep_list,
     "mm_pipeline_funnel": mm_pipeline_funnel,
     "mm_corpus_manifest": mm_corpus_manifest,
+    "mm_frame_sample_real": mm_frame_sample_real,
 }
 
 ORACLES = {
@@ -3665,4 +3813,5 @@ ORACLES = {
     "mm_dedup_keep_list": ORACLE_MM_KEEP_LIST,
     "mm_pipeline_funnel": ORACLE_MM_PIPELINE_FUNNEL,
     "mm_corpus_manifest": ORACLE_MM_CORPUS_MANIFEST,
+    "mm_frame_sample_real": ORACLE_MM_FRAME_SAMPLE_REAL,
 }

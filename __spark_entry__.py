@@ -80,6 +80,10 @@ _R14_PINNED: tuple[str, ...] = (
     # depend on unsampled predecessors); retires mm_frame_sample as
     # the family's sampling face (kept, documented arithmetic-only)
     "mm_frame_sample_real",
+    # NEW in r14: windowed audio features (energy / lag-1
+    # autocorrelation / peak) over the decode path's new IEEE-float
+    # PCM branch (format tag 3) — integer-exact construction
+    "mm_audio_windows",
 )
 
 _WINDOW_SIZE = 50

@@ -2660,6 +2660,112 @@ FROM m
 ORACLE_MM_AUDIO_FEATURES = _oracle_audio_features()
 
 
+# windowed audio analysis over the FLOAT decode path (round 14 — the
+# verdict's WAV-float item): 40 mono frames of 32-bit IEEE-float PCM
+# (format tag 3), each sample the signed int16 read from payload bytes
+# [2i, 2i+2) cast to float32 — integer-valued floats, so every windowed
+# statistic below is integer-exact through float64 accumulation
+# (|x| < 2^15, products < 2^30, window sums < 2^34 — all « 2^53).
+_MM_AW_FRAMES = 40
+_MM_AW_WIN = 10
+_MM_AW_NEED = _MM_AW_FRAMES * 2
+
+
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over decoded FLOAT PCM: the construction
+    above is written as a format-tag-3 WAV (exercising the round-14
+    float branch end to end), decoded by decode_wav's chunk walk, and
+    analyzed in 4 windows of 10 frames — per window the ENERGY (sum of
+    squares; the RMS numerator, kept un-rooted so the oracle is exact),
+    the lag-1 AUTOCORRELATION sum, and the absolute PEAK. A float
+    layout mixup, a window-boundary slip, or an off-by-one in the lag
+    pairing hash-mismatches on a specific window row.
+
+    100 TB posture: the decode-family shape — modality-free size filter
+    before the Python boundary, Arrow-batched mapInPandas, 4 bounded
+    rows per item, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.wav import decode_wav, encode_wav
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_AW_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, wk, en, ac, pk = [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_AW_NEED]
+                vals = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+                ch, rate, bits, out = decode_wav(
+                    encode_wav(vals.reshape(-1, 1), 8000, bits=32)
+                )
+                x = out[:, 0].astype(np.float64)
+                for w in range(_MM_AW_FRAMES // _MM_AW_WIN):
+                    seg = x[w * _MM_AW_WIN : (w + 1) * _MM_AW_WIN]
+                    ids.append(int(did))
+                    wk.append(w)
+                    en.append(int((seg * seg).sum()))
+                    ac.append(int((seg[:-1] * seg[1:]).sum()))
+                    pk.append(int(np.abs(seg).max()))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "window_idx": wk,
+                        "energy": en,
+                        "ac1": ac,
+                        "peak": pk,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, window_idx int, energy long, ac1 long, peak long",
+    )
+
+
+def _aw_samp_duck(pos_expr: str) -> str:
+    v = (
+        f"({_hexpair_duck(f'2 * ({pos_expr})')}"
+        f" + 256 * {_hexpair_duck(f'2 * ({pos_expr}) + 1')})"
+    )
+    return f"({v} - CASE WHEN {v} >= 32768 THEN 65536 ELSE 0 END)"
+
+
+def _aw_oracle() -> str:
+    selects = []
+    for w in range(_MM_AW_FRAMES // _MM_AW_WIN):
+        base = w * _MM_AW_WIN
+        s_i = _aw_samp_duck(f"{base} + i")
+        s_i1 = _aw_samp_duck(f"{base} + i + 1")
+        selects.append(
+            f"""SELECT doc_id, {w} AS window_idx,
+       CAST(list_sum(list_transform(generate_series(0, {_MM_AW_WIN - 1}),
+            i -> {s_i} * {s_i})) AS BIGINT) AS energy,
+       CAST(list_sum(list_transform(generate_series(0, {_MM_AW_WIN - 2}),
+            i -> {s_i} * {s_i1})) AS BIGINT) AS ac1,
+       CAST(list_max(list_transform(generate_series(0, {_MM_AW_WIN - 1}),
+            i -> abs({s_i}))) AS BIGINT) AS peak
+FROM m"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_AW_NEED}
+)
+{union}
+"""
+
+
+ORACLE_MM_AUDIO_WINDOWS = _aw_oracle()
+
+
 # --- TIFF (round 13: TIFF leaves the PIL-gated list) --------------------------
 #
 # Construction: payload bytes [0, 105) as a 7x5 RGB image, written as a
@@ -3778,6 +3884,7 @@ QUERIES = {
     "mm_pipeline_funnel": mm_pipeline_funnel,
     "mm_corpus_manifest": mm_corpus_manifest,
     "mm_frame_sample_real": mm_frame_sample_real,
+    "mm_audio_windows": mm_audio_windows,
 }
 
 ORACLES = {
@@ -3814,4 +3921,5 @@ ORACLES = {
     "mm_pipeline_funnel": ORACLE_MM_PIPELINE_FUNNEL,
     "mm_corpus_manifest": ORACLE_MM_CORPUS_MANIFEST,
     "mm_frame_sample_real": ORACLE_MM_FRAME_SAMPLE_REAL,
+    "mm_audio_windows": ORACLE_MM_AUDIO_WINDOWS,
 }

@@ -8,10 +8,12 @@ interface spec; the de-facto canonical PCM container): RIFF header,
 chunk walk with word-aligned (odd-size padded) sub-chunks, 'fmt '
 validation (PCM format tag, block-align and byte-rate consistency),
 'data' frame extraction. Supported sample layouts: 8-bit unsigned and
-16-bit signed little-endian PCM, any channel count. Everything else —
-IEEE float, ADPCM, extensible wave formats, misaligned data sizes,
-trailing garbage that is not a well-formed chunk — fails with a loud
-ValueError, never a fake fallback (the decode_image family contract).
+16-bit signed little-endian integer PCM (format tag 1) and 32-bit
+IEEE-float PCM (format tag 3 — round 14), any channel count.
+Everything else — 64-bit float, ADPCM, extensible wave formats,
+misaligned data sizes, trailing garbage that is not a well-formed
+chunk — fails with a loud ValueError, never a fake fallback (the
+decode_image family contract).
 
 The encoder twin constructs valid inputs for tests and the registry
 face (multimodal.mm_decode_wav), including extra skippable chunks and
@@ -28,8 +30,9 @@ import numpy as np
 def decode_wav(payload: bytes):
     """Decode a PCM WAV. Returns (n_channels, sample_rate,
     bits_per_sample, samples) where ``samples`` is an (n_frames,
-    n_channels) ndarray — uint8 for 8-bit, int16 for 16-bit. Loud
-    ValueError on malformed or unsupported streams."""
+    n_channels) ndarray — uint8 for 8-bit int PCM, int16 for 16-bit
+    int PCM, float32 for 32-bit IEEE-float PCM (format tag 3, round
+    14). Loud ValueError on malformed or unsupported streams."""
     if payload[:4] != b"RIFF":
         raise ValueError("not a WAV (RIFF signature missing)")
     if len(payload) < 12 or payload[8:12] != b"WAVE":
@@ -66,14 +69,18 @@ def decode_wav(payload: bytes):
     tag, ch, rate, byte_rate, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    if tag != 1:
+    if tag not in (1, 3):
         raise ValueError(
-            f"unsupported WAV format tag {tag} (only integer PCM); no"
-            " fake fallback"
+            f"unsupported WAV format tag {tag} (integer or IEEE-float"
+            " PCM only); no fake fallback"
         )
     if ch == 0 or rate == 0:
         raise ValueError("malformed WAV fmt (zero channels or rate)")
-    if bits not in (8, 16):
+    if tag == 3 and bits != 32:
+        raise ValueError(
+            f"unsupported float WAV bit depth {bits} (32-bit only)"
+        )
+    if tag == 1 and bits not in (8, 16):
         raise ValueError(f"unsupported WAV bit depth {bits} (8/16 PCM)")
     if block_align != ch * bits // 8:
         raise ValueError(
@@ -88,6 +95,11 @@ def decode_wav(payload: bytes):
             f" {block_align}-byte frame"
         )
     n_frames = len(data) // block_align
+    if tag == 3:
+        samples = np.frombuffer(data, dtype="<f4").reshape(
+            n_frames, ch
+        ).astype(np.float32)
+        return ch, rate, bits, samples
     dt = np.uint8 if bits == 8 else np.dtype("<i2")
     samples = np.frombuffer(data, dtype=dt).reshape(n_frames, ch)
     if bits == 16:
@@ -97,23 +109,30 @@ def decode_wav(payload: bytes):
 
 def encode_wav(samples, rate: int, bits: int = 16, extra_chunk=None) -> bytes:
     """WAV writer for (n_frames, n_channels) samples (uint8 for 8-bit,
-    int16 for 16-bit). ``extra_chunk`` optionally injects a (ckid,
-    body) pair before the data chunk — the decoder must skip it (and
-    its odd-size pad byte) by framing."""
+    int16 for 16-bit, float32 for 32-bit — written as format tag 3,
+    IEEE float). ``extra_chunk`` optionally injects a (ckid, body)
+    pair before the data chunk — the decoder must skip it (and its
+    odd-size pad byte) by framing."""
     samples = np.asarray(samples)
     if samples.ndim != 2:
         raise ValueError(
             f"encode_wav needs (n_frames, n_channels), got {samples.shape}"
         )
     n, ch = samples.shape
+    tag = 1
     if bits == 8:
         body = samples.astype(np.uint8).tobytes()
     elif bits == 16:
         body = samples.astype("<i2").tobytes()
+    elif bits == 32:
+        tag = 3
+        body = samples.astype("<f4").tobytes()
     else:
-        raise ValueError(f"encode_wav bits must be 8 or 16, got {bits}")
+        raise ValueError(
+            f"encode_wav bits must be 8, 16, or 32 (float), got {bits}"
+        )
     block_align = ch * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block_align,
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * block_align,
                       block_align, bits)
     chunks = bytearray()
     chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt

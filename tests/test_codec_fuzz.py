@@ -74,6 +74,16 @@ _SEEDS = {
         encode_wav(_SAMPLES, 8000, extra_chunk=(b"LIST", b"abc")),
         decode_wav,
     ),
+    # round 14: the IEEE-float (format tag 3) branch
+    "wav_float": (
+        encode_wav(
+            np.asarray(_SAMPLES, dtype=np.float32),
+            8000,
+            bits=32,
+            extra_chunk=(b"fact", b"\x28\x00\x00\x00"),
+        ),
+        decode_wav,
+    ),
     "bmp_rle8": (
         encode_bmp8(_PX[:, :, 0].astype(np.uint8) % 16, _PAL, rle=True),
         decode_bmp,

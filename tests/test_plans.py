@@ -1177,6 +1177,7 @@ def test_decode_ops_scan_speed_no_shuffle(spark, sf_dir):
     for name in ("mm_decode_ppm", "mm_decode_png", "mm_decode_bmp",
                  "mm_decode_wav", "mm_decode_tiff", "mm_decode_tiff_lzw",
                  "mm_audio_features", "mm_frame_sample_real",
+                 "mm_audio_windows",
                  "mm_resize_pixels", "mm_decode_bmp_rle"):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name}:\n{plan}"

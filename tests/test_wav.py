@@ -65,10 +65,15 @@ def test_fail_loud_contract():
     # truncation breaks the RIFF size accounting first
     with pytest.raises(ValueError, match="RIFF size|truncated"):
         decode_wav(good[:-3])
-    # float format tag (3): unsupported, loud
+    # format tag 3 (float) is SUPPORTED since round 14 — retagging a
+    # 16-bit int stream as float now dies on the depth gate instead,
+    # still loud; a truly unknown tag (ADPCM = 2) keeps the tag error
     i = good.index(b"fmt ") + 8
     bad = bytearray(good)
     bad[i] = 3
+    with pytest.raises(ValueError, match="float WAV bit depth"):
+        decode_wav(bytes(bad))
+    bad[i] = 2
     with pytest.raises(ValueError, match="format tag"):
         decode_wav(bytes(bad))
     # 24-bit: unsupported, loud (flip wBitsPerSample and block align
@@ -112,3 +117,43 @@ def test_fail_loud_contract():
     )
     with pytest.raises(ValueError, match="missing its fmt"):
         decode_wav(nofmt)
+
+
+# --- round 14: IEEE-float PCM (format tag 3) ---
+
+
+def test_roundtrip_float32():
+    rng = np.random.RandomState(4)
+    # integer-valued floats (exact) AND true fractional floats — the
+    # branch must carry both bit-exactly (float32 container roundtrip)
+    for vals in (
+        rng.randint(-32768, 32768, (40, 2)).astype(np.float32),
+        (rng.randn(17, 1) * 0.25).astype(np.float32),
+    ):
+        blob = encode_wav(vals, 44100, bits=32,
+                          extra_chunk=(b"fact", b"\x11\x00\x00\x00"))
+        ch, rate, bits, out = decode_wav(blob)
+        assert (ch, rate, bits) == (vals.shape[1], 44100, 32)
+        assert out.dtype == np.float32
+        assert (out == vals).all()
+
+
+def test_float_fail_loud_contract():
+    vals = np.zeros((4, 1), dtype=np.float32)
+    blob = bytearray(encode_wav(vals, 8000, bits=32))
+    i = blob.index(b"fmt ") + 8
+    # tag 3 with a non-32 bit depth is loud (64-bit float unsupported)
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, i + 14, 64)
+    struct.pack_into("<H", bad, i + 12, 8)      # block align 1ch x 64b
+    with pytest.raises(ValueError, match="float WAV bit depth"):
+        decode_wav(bytes(bad))
+    # ADPCM (tag 2) and extensible (0xFFFE) stay loud
+    for tag in (2, 0xFFFE):
+        bad = bytearray(blob)
+        struct.pack_into("<H", bad, i, tag)
+        with pytest.raises(ValueError, match="format tag"):
+            decode_wav(bytes(bad))
+    # encode rejects unknown depths
+    with pytest.raises(ValueError, match="bits must be"):
+        encode_wav(vals, 8000, bits=24)

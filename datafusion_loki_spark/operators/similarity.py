@@ -1403,6 +1403,59 @@ def _is_missing_path_error(e: Exception) -> bool:
     )
 
 
+def query_ivf_index_eager(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    max_attempts: int = 3,
+    _pre_action_hook=None,
+) -> DataFrame:
+    """Whole-ACTION bounded retry (round 14 — closes the round-13
+    honest limit: 'a base swept mid-ACTION, after file listing, still
+    fails loud-transient'). query_ivf_index's retry covers its EAGER
+    work, but the frame it returns is lazy — a retrain's age-gated GC
+    can sweep the resolved base between the frame's file LISTING and
+    the caller's action reading those files. This entry point
+    materializes the result (a bounded queries x k frame — an eager
+    localCheckpoint, so post-return GC can't touch it either) inside a
+    retry loop KEYED BY THE MANIFEST VERSION: on a vanished-path
+    failure it re-resolves, and retries only if the snapshot actually
+    moved — the same failure with an UNMOVED manifest is real missing
+    data and raises (never spin on corruption). Lease-free by design:
+    bounded re-read of a bounded result instead of reader bookkeeping
+    (the PERF_NOTES leases-vs-retry stance, resolved in favor of
+    retry).
+
+    ``_pre_action_hook`` is a TEST-ONLY injection point, called once
+    between plan construction and materialization, so the crash-window
+    test can run a retrain + GC deterministically inside the window
+    (tests/test_index_snapshot.py)."""
+
+    def snapshot_key():
+        manifest = read_index_manifest(spark, index_dir)
+        return None if manifest is None else manifest["base"]
+
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        key = snapshot_key()
+        frame = query_ivf_index(spark, sf_dir, index_dir)
+        if _pre_action_hook is not None:
+            hook, _pre_action_hook = _pre_action_hook, None
+            hook()
+        try:
+            return frame.localCheckpoint(eager=True)
+        except Exception as e:  # noqa: BLE001 — filtered just below
+            if not _is_missing_path_error(e):
+                raise
+            if snapshot_key() == key:
+                # nothing was committed over us: the files are missing
+                # for a non-GC reason — surface it
+                raise
+            last = e
+    assert last is not None
+    raise last
+
+
 def _query_ivf_index_once(
     spark: SparkSession, sf_dir: str, index_dir: str
 ) -> DataFrame:

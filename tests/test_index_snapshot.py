@@ -312,3 +312,62 @@ def test_gc_racing_reader_retries_once(spark, tmp_path, monkeypatch):
     calls["n"] = 0
     assert _probe(spark, index_dir) == p0
     assert calls["n"] == 2
+
+
+def test_eager_query_survives_mid_action_gc(spark, tmp_path):
+    # Round 14 (the round-13 honest limit #3): a retrain's GC sweeping
+    # the resolved base AFTER the reader's file listing but BEFORE the
+    # action's reads. Control arm first: the lazy frame really does die
+    # in that window (otherwise this test proves nothing); then the
+    # whole-ACTION retry turns the same window into a clean re-read of
+    # the new snapshot.
+    from datafusion_loki_spark.operators.similarity import (
+        query_ivf_index_eager,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    retrain_ivf_index(spark, index_dir)  # snapshot protocol active (v1)
+    expected = _probe(spark, index_dir)
+
+    # control: lazy frame built against v1, then a retrain commits v2
+    # and GCs v1 -> the pending action fails loud-transient
+    frame = query_ivf_index(spark, SF, index_dir)
+    retrain_ivf_index(spark, index_dir)  # commits v2, removes base-v1
+    with pytest.raises(Exception, match="FileNotFound|does not exist"):
+        frame.collect()
+
+    # the eager entry point: same window injected via the test hook
+    fired = []
+
+    def concurrent_retrain_and_gc():
+        fired.append(True)
+        retrain_ivf_index(spark, index_dir)  # commits v3, removes v2
+
+    out = query_ivf_index_eager(
+        spark, SF, index_dir, _pre_action_hook=concurrent_retrain_and_gc
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.cand_id, round(r.cosine, 9))
+        for r in out.collect()
+    )
+    assert fired == [True]
+    assert got == expected
+
+
+def test_eager_query_raises_when_snapshot_did_not_move(spark, tmp_path):
+    # the retry is keyed by the manifest version: files missing while
+    # the manifest is UNMOVED is corruption, not a GC race — it must
+    # surface, never spin
+    import shutil
+
+    from datafusion_loki_spark.operators.similarity import (
+        query_ivf_index_eager,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    build_ivf_index(spark, SF, index_dir)
+    s1 = retrain_ivf_index(spark, index_dir)
+    shutil.rmtree(f"{index_dir}/{s1['base']}")
+    with pytest.raises(Exception, match="FileNotFound|does not exist|PATH_NOT_FOUND"):
+        query_ivf_index_eager(spark, SF, index_dir)

@@ -212,6 +212,15 @@ BENCH_QUERIES = [
     "mm_resize_pixels",
     "mm_decode_bmp_rle",
     "mm_decode_tiff_pages",
+    # appended round 14: the LZW+predictor TIFF path (per-item MSB LZW
+    # decompress + cumsum undo), the decode-backed frame sampler (6
+    # composited frames per item, 3 kept), the float-PCM windowed
+    # analysis, and the media corpus manifest (keep-list + admission
+    # join + 3-row rollup — the round's only new multi-join DAG)
+    "mm_decode_tiff_lzw",
+    "mm_frame_sample_real",
+    "mm_audio_windows",
+    "mm_corpus_manifest",
 ]
 
 

@@ -443,7 +443,9 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
     kernel untouched (round-14 ADVICE — downstream admission consumers
     need them without a join back).
     Malformed payloads (ValueError from any decoder, or an unknown
-    signature) reject with fmt='unknown' where unsniffable; a
+    signature) reject with fmt='unknown' where unsniffable; audio
+    (RIFF/WAVE, round 14) admits through the real decode_wav chunk walk
+    with a NULL n_pixels; a
     NotImplementedError (a format this build has no codec for — the
     PIL gate) PROPAGATES loud: silently rejecting a format you simply
     cannot decode would throw away good corpus data.
@@ -461,6 +463,8 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
         (b"GIF89a", "gif"),
         (b"II\x2a\x00", "tiff"),
         (b"MM\x00\x2a", "tiff"),
+        (b"RIFF", "wav"),  # round 14: the audio modality is admitted
+        # too — verified as RIFF/WAVE below, decoded by decode_wav
     )
 
     from pyspark.sql.types import (
@@ -486,6 +490,8 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
 
         from datafusion_loki_spark.operators.multimodal import decode_image
 
+        from datafusion_loki_spark.operators.wav import decode_wav
+
         for pdf in batches:
             fmts, oks, npx = [], [], []
             for b in pdf["payload"]:
@@ -494,8 +500,19 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
                     (name for sig, name in sniffs if blob[: len(sig)] == sig),
                     "unknown",
                 )
+                if fmt == "wav" and blob[8:12] != b"WAVE":
+                    fmt = "unknown"  # RIFF but not a WAVE form (AVI, ...)
                 if fmt == "unknown":
                     ok, n = False, None
+                elif fmt == "wav":
+                    # audio admission: real chunk-walk decode; n_pixels
+                    # stays NULL (frames are not pixels — downstream
+                    # audio consumers re-decode for analysis)
+                    try:
+                        decode_wav(blob)
+                        ok, n = True, None
+                    except ValueError:
+                        ok, n = False, None
                 else:
                     try:
                         arr = decode_image(blob)

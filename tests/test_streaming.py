@@ -2154,6 +2154,7 @@ def test_decode_admission_stream_matches_batch_gate(spark, tmp_path):
         encode_png,
     )
     from datafusion_loki_spark.operators.tiff import encode_tiff
+    from datafusion_loki_spark.operators.wav import encode_wav
 
     rng = np.random.RandomState(8)
     px = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
@@ -2167,6 +2168,13 @@ def test_decode_admission_stream_matches_batch_gate(spark, tmp_path):
         5: encode_png(px)[:-2],         # corrupt: IEND CRC gone
         6: encode_tiff(px)[:-2],        # corrupt: strip tail gone
         7: b"random garbage, no signature",
+        8: encode_wav(
+            rng.randint(-9, 9, (6, 2)).astype(np.int16), 8000
+        ),                              # audio: admitted (round 14)
+        9: encode_wav(
+            rng.randint(-9, 9, (6, 2)).astype(np.int16), 8000
+        )[:-3],                         # corrupt wav: data chunk cut
+        10: b"RIFF\x04\x00\x00\x00AVI ",  # RIFF but not WAVE
     }
     src = str(tmp_path / "media")
     spark.createDataFrame(
@@ -2185,6 +2193,8 @@ def test_decode_admission_stream_matches_batch_gate(spark, tmp_path):
     }
     assert len(got) == len(blobs)
     for k, blob in blobs.items():
+        if k >= 8:
+            continue  # audio/RIFF rows asserted directly below
         try:
             arr = decode_image(blob)
             want = (True, arr.shape[0] * arr.shape[1])
@@ -2198,8 +2208,14 @@ def test_decode_admission_stream_matches_batch_gate(spark, tmp_path):
         assert (got[k][1], got[k][2]) == want, (k, got[k])
     assert got[0][0] == "ppm" and got[4][0] == "tiff"
     assert got[7] == ("unknown", False, None)
-    # admitted set: exactly the decodable six
-    assert {k for k, v in got.items() if v[1]} == {0, 1, 2, 3, 4}
+    # round 14: the audio modality — a valid WAV admits (NULL pixel
+    # count: frames are not pixels), a truncated one rejects as wav,
+    # and a non-WAVE RIFF form never masquerades as audio
+    assert got[8] == ("wav", True, None)
+    assert got[9] == ("wav", False, None)
+    assert got[10] == ("unknown", False, None)
+    # admitted set: exactly the decodable six images + the valid wav
+    assert {k for k, v in got.items() if v[1]} == {0, 1, 2, 3, 4, 8}
 
 
 def test_decode_admission_stream_carries_passthrough_columns(

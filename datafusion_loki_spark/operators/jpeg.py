@@ -527,6 +527,15 @@ def _init_state(frame):
     if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
         raise ValueError(f"unsupported sampling grid {hmax}x{vmax}")
     for c in frame["comps"]:
+        # PER-COMPONENT bounds first: a crafted SOF can zero one
+        # component's factor while another keeps hmax/vmax legal — the
+        # modulo below would ZeroDivisionError instead of the loud
+        # contract (round-14 fuzz catch; latent since round 12)
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise ValueError(
+                f"unsupported component sampling factors"
+                f" {c['h']}x{c['v']}"
+            )
         if hmax % c["h"] or vmax % c["v"]:
             raise ValueError("non-dividing component sampling factors")
     mcx = -(-w // (8 * hmax))

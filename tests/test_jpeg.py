@@ -373,3 +373,22 @@ def test_oversubscribed_dht_in_stream_fails_loud():
     blob[i + 5] = 255
     with pytest.raises(ValueError):
         decode_jpeg(bytes(blob))
+
+
+def test_zero_sampling_factor_component_is_loud():
+    # round-14 fuzz catch (latent since round 12): a mutated SOF can
+    # zero ONE component's sampling factor while another keeps
+    # hmax/vmax legal — the divisibility check then crashed with
+    # ZeroDivisionError instead of the decoder's loud contract.
+    px = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    blob = bytearray(encode_jpeg(px, subsample="420"))
+    i = blob.find(b"\xff\xc0")
+    assert i > 0
+    # component 2's h/v byte: SOF body = prec(1) h(2) w(2) nc(1) then
+    # per-component (id, hv, tq); component index 1's hv sits at +4+6+
+    comp1_hv = i + 4 + 6 + 3 * 1 + 1
+    for bad in (0x00, 0x01 << 4, 0x10 | 0x00, 0x30 | 0x01):
+        b2 = bytearray(blob)
+        b2[comp1_hv] = bad
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(b2))

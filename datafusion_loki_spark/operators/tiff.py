@@ -7,12 +7,16 @@ big), the first IFD's tag walk (SHORT/LONG value reading, inline
 vs offset-addressed values), strip assembly via StripOffsets /
 StripByteCounts / RowsPerStrip, chunky planar layout, 8-bit grayscale
 (photometric 0 WhiteIsZero — inverted per spec — and 1 BlackIsZero)
-and RGB (photometric 2), Compression 1 (none), 5 (LZW, spec section
-13 — round 14, MSB-first codes with the EarlyChange width discipline)
-and 32773 (PackBits, spec section 9), horizontal predictor (tag 317 =
-2, spec section 14 — round 14). Everything else — tiles, palettes,
-planar=2, JPEG/deflate-in-TIFF, sample depths other than 8 — fails
-with a loud ValueError, never a fake fallback (decode_image contract).
+RGB (photometric 2) and palette-color (photometric 3 via the ColorMap
+tag, 16-bit entries mapped to 8-bit by their high byte — round 14),
+Compression 1 (none), 5 (LZW, spec section 13 — round 14, MSB-first
+codes with the EarlyChange width discipline), 8 / 32946 (zlib deflate
+per TIFF Technical Note 2 — round 14, output bounded at the expected
+strip size so a crafted stream cannot balloon) and 32773 (PackBits,
+spec section 9), horizontal predictor (tag 317 = 2, spec section 14 —
+round 14). Everything else — tiles, planar=2, JPEG-in-TIFF, sample
+depths other than 8 — fails with a loud ValueError, never a fake
+fallback (decode_image contract).
 
 The encoder twin constructs valid inputs for tests and the registry
 face (multimodal.mm_decode_tiff): either endian, configurable
@@ -24,6 +28,7 @@ crafted streams).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -39,6 +44,7 @@ _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
 _T_PREDICTOR = 317
+_T_COLORMAP = 320
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -110,6 +116,34 @@ def _packbits_encode(data: bytes) -> bytes:
             out += bytes([len(chunk) - 1]) + chunk
         i = lit_end
     return bytes(out)
+
+
+def _deflate_decode(data: bytes, expect: int) -> bytes:
+    """Deflate-in-TIFF (Compression 8 per TIFF Technical Note 2, and
+    the legacy 32946 code — both a raw zlib stream). Output is CAPPED
+    at ``expect`` + 1 bytes via decompressobj's max_length, so a
+    crafted high-ratio stream cannot balloon past the strip size it
+    claims (the BMP RLE8 allocation-bomb lesson); shortfall, overshoot,
+    trailing garbage, and zlib-level corruption are all the decoder's
+    own loud ValueError."""
+    dec = zlib.decompressobj()
+    try:
+        out = dec.decompress(data, expect + 1)
+    except zlib.error as ex:
+        raise ValueError(f"TIFF deflate strip malformed: {ex}") from None
+    if len(out) > expect:
+        raise ValueError(
+            f"TIFF deflate produced more than the {expect} bytes expected"
+        )
+    if len(out) < expect or not dec.eof:
+        raise ValueError(
+            f"TIFF deflate produced {len(out)} bytes"
+            f"{' (stream unfinished)' if not dec.eof else ''},"
+            f" expected {expect}"
+        )
+    if dec.unused_data:
+        raise ValueError("TIFF deflate strip carries trailing garbage")
+    return out
 
 
 def _lzw_decode_tiff(data: bytes, expect: int) -> bytes:
@@ -356,25 +390,43 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
         raise ValueError(f"unsupported TIFF sample depth {bits} (8-bit only)")
     if planar != 1:
         raise ValueError("unsupported TIFF planar configuration (chunky only)")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(
             f"unsupported TIFF compression {compression}"
-            " (none/LZW/PackBits only); no fake fallback"
+            " (none/LZW/deflate/PackBits only); no fake fallback"
         )
     if predictor not in (1, 2):
         raise ValueError(
             f"unsupported TIFF predictor {predictor}"
             " (none/horizontal only); no fake fallback"
         )
+    cmap = None
     if photometric in (0, 1):
         if spp != 1:
             raise ValueError("grayscale TIFF with SamplesPerPixel != 1")
     elif photometric == 2:
         if spp != 3:
             raise ValueError("RGB TIFF with SamplesPerPixel != 3")
+    elif photometric == 3:
+        if spp != 1:
+            raise ValueError("palette TIFF with SamplesPerPixel != 1")
+        cm = tag_vals(_T_COLORMAP)
+        # 3 * 2^BitsPerSample 16-bit entries (TIFF 6.0 section 5), laid
+        # out as all reds, all greens, all blues; mapped to 8-bit by the
+        # high byte (the spec scales full white to 65535)
+        if len(cm) != 3 * 256:
+            raise ValueError(
+                f"TIFF ColorMap holds {len(cm)} values, expected {3 * 256}"
+            )
+        if any(v > 0xFFFF or v < 0 for v in cm):
+            raise ValueError("TIFF ColorMap value out of 16-bit range")
+        cmap = (
+            np.asarray(cm, dtype=np.uint16).reshape(3, 256) >> 8
+        ).astype(np.uint8)
     else:
         raise ValueError(
-            f"unsupported TIFF photometric {photometric} (gray/RGB only)"
+            f"unsupported TIFF photometric {photometric}"
+            " (gray/RGB/palette only)"
         )
     rows_per_strip = tag_vals(_T_ROWS_PER_STRIP, [h])[0]
     if rows_per_strip == 0:
@@ -398,6 +450,8 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
             raw = _packbits_decode(raw, rows * stride)
         elif compression == 5:
             raw = _lzw_decode_tiff(raw, rows * stride)
+        elif compression in (8, 32946):
+            raw = _deflate_decode(raw, rows * stride)
         elif len(raw) != rows * stride:
             raise ValueError(
                 f"TIFF strip {s} holds {len(raw)} bytes,"
@@ -414,6 +468,11 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
         ).astype(np.uint8)
     if photometric == 0:  # WhiteIsZero: invert per spec
         arr = (255 - arr.astype(np.int16)).astype(np.uint8)
+    elif photometric == 3:  # palette lookup: indices -> RGB
+        idx = arr[:, :, 0]
+        arr = np.stack(
+            [cmap[0][idx], cmap[1][idx], cmap[2][idx]], axis=-1
+        )
     nxt_pos = ifd_off + 2 + 12 * n_tags
     nxt_raw = payload[nxt_pos : nxt_pos + 4]
     if len(nxt_raw) < 4:
@@ -428,19 +487,26 @@ def encode_tiff(
     rows_per_strip: "int | None" = None,
     packbits: bool = False,
     lzw: bool = False,
+    deflate: bool = False,
     predictor: bool = False,
+    palette=None,
 ) -> bytes:
     """TIFF writer for (h, w) grayscale (BlackIsZero) or (h, w, 3) RGB
     uint8 arrays — either byte order, configurable strip height,
-    optional PackBits or LZW (round 14), optional horizontal
-    predictor."""
+    optional PackBits, LZW or deflate (round 14), optional horizontal
+    predictor, optional 256-entry palette (round 14: ``arr`` becomes
+    photometric-3 indices; ``palette`` is (256, 3) uint8, written as
+    the spec's 16-bit ColorMap via v * 257 so the high-byte read-back
+    is exact)."""
     return encode_tiff_pages(
         [arr],
         big_endian=big_endian,
         rows_per_strip=rows_per_strip,
         packbits=packbits,
         lzw=lzw,
+        deflate=deflate,
         predictor=predictor,
+        palette=palette,
     )
 
 
@@ -450,18 +516,30 @@ def encode_tiff_pages(
     rows_per_strip: "int | None" = None,
     packbits: bool = False,
     lzw: bool = False,
+    deflate: bool = False,
     predictor: bool = False,
+    palette=None,
 ) -> bytes:
     """Multi-page TIFF writer (round 13 — decode_tiff_pages' twin):
     one IFD per array, chained through the next-IFD pointers; pages may
     mix grayscale and RGB. Shared options apply to every page.
-    ``lzw`` writes Compression 5 (round 14); ``predictor`` applies
-    horizontal differencing (tag 317 = 2) before compression — the
-    dominant real-world scanned/geo TIFF layout is LZW + predictor."""
+    ``lzw`` writes Compression 5 (round 14); ``deflate`` writes
+    Compression 8 (round 14, TIFF Technical Note 2); ``predictor``
+    applies horizontal differencing (tag 317 = 2) before compression —
+    the dominant real-world scanned/geo TIFF layout is LZW + predictor.
+    ``palette`` (round 14) switches every page to photometric 3: pages
+    must then be single-channel index arrays and the shared (256, 3)
+    uint8 palette is written as each page's 16-bit ColorMap."""
     if not arrs:
         raise ValueError("encode_tiff_pages needs at least one page")
-    if packbits and lzw:
-        raise ValueError("pick one compression: packbits or lzw")
+    if packbits + lzw + deflate > 1:
+        raise ValueError("pick one compression: packbits, lzw or deflate")
+    if palette is not None:
+        palette = np.asarray(palette, dtype=np.uint8)
+        if palette.shape != (256, 3):
+            raise ValueError(
+                f"palette must be (256, 3) uint8, got {palette.shape}"
+            )
     e = ">" if big_endian else "<"
 
     def build_page(arr, base):
@@ -477,6 +555,10 @@ def encode_tiff_pages(
                 f"encode_tiff needs (h, w[, 1|3]), got shape {arr.shape}"
             )
         h, w, spp = arr.shape
+        if palette is not None and spp != 1:
+            raise ValueError(
+                "palette TIFF pages must be single-channel index arrays"
+            )
         if predictor:
             # horizontal differencing: first pixel kept, the rest are
             # per-channel deltas mod 256 (decode undoes via cumsum)
@@ -492,19 +574,39 @@ def encode_tiff_pages(
                 chunk = _packbits_encode(chunk)
             elif lzw:
                 chunk = _lzw_encode_tiff(chunk)
+            elif deflate:
+                chunk = zlib.compress(chunk)
             strips.append(chunk)
 
         entries = []  # (tag, type, values)
-        photometric = 1 if spp == 1 else 2
+        photometric = 3 if palette is not None else 1 if spp == 1 else 2
         entries.append((_T_WIDTH, 4, [w]))
         entries.append((_T_HEIGHT, 4, [h]))
         entries.append((_T_BITS, 3, [8] * spp))
         entries.append(
-            (_T_COMPRESSION, 3, [32773 if packbits else 5 if lzw else 1])
+            (
+                _T_COMPRESSION,
+                3,
+                [32773 if packbits else 5 if lzw else 8 if deflate else 1],
+            )
         )
         if predictor:
             entries.append((_T_PREDICTOR, 3, [2]))
         entries.append((_T_PHOTOMETRIC, 3, [photometric]))
+        if palette is not None:
+            # all reds, all greens, all blues; v * 257 = v<<8 | v, so
+            # the decoder's high-byte mapping recovers v exactly
+            entries.append(
+                (
+                    _T_COLORMAP,
+                    3,
+                    [
+                        int(palette[i, ch]) * 257
+                        for ch in range(3)
+                        for i in range(256)
+                    ],
+                )
+            )
         entries.append((_T_STRIP_OFFSETS, 4, [0] * n_strips))  # patched
         entries.append((_T_SPP, 3, [spp]))
         entries.append((_T_ROWS_PER_STRIP, 4, [rps]))

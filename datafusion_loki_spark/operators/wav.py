@@ -8,12 +8,16 @@ interface spec; the de-facto canonical PCM container): RIFF header,
 chunk walk with word-aligned (odd-size padded) sub-chunks, 'fmt '
 validation (PCM format tag, block-align and byte-rate consistency),
 'data' frame extraction. Supported sample layouts: 8-bit unsigned and
-16-bit signed little-endian integer PCM (format tag 1) and 32-bit
-IEEE-float PCM (format tag 3 — round 14), any channel count.
-Everything else — 64-bit float, ADPCM, extensible wave formats,
-misaligned data sizes, trailing garbage that is not a well-formed
-chunk — fails with a loud ValueError, never a fake fallback (the
-decode_image family contract).
+16-bit signed little-endian integer PCM (format tag 1), 32-bit
+IEEE-float PCM (format tag 3 — round 14), and IMA/DVI ADPCM (format
+tag 0x11 — round 14: the IMA Recommended Practices 4-bit shift-add
+quantizer, per-channel block headers carrying the initial sample and
+step-table index, low-nibble-first packing, 4-byte-per-channel
+interleave, `fact`-chunk sample trimming), any channel count.
+Everything else — 64-bit float, Microsoft ADPCM (tag 2), extensible
+wave formats, misaligned data sizes, trailing garbage that is not a
+well-formed chunk — fails with a loud ValueError, never a fake
+fallback (the decode_image family contract).
 
 The encoder twin constructs valid inputs for tests and the registry
 face (multimodal.mm_decode_wav), including extra skippable chunks and
@@ -25,6 +29,50 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+# IMA ADPCM quantizer tables (IMA Recommended Practices for Enhancing
+# Digital Audio Compatibility in Multimedia Systems, rev 3.00 — the
+# public DVI/IMA spec; identical tables in every conforming codec)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, idx: int, n: int):
+    """One IMA ADPCM decode step: nibble ``n`` against (predictor,
+    step index) state. The shift-add diff form is the spec's exact
+    integer recipe (NOT the (2m+1)*step/8 approximation some codecs
+    use) — encoder and decoder must share it bit-for-bit."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    if n & 8:
+        pred -= diff
+    else:
+        pred += diff
+    if pred > 32767:
+        pred = 32767
+    elif pred < -32768:
+        pred = -32768
+    idx += _IMA_INDEX[n & 7]
+    if idx < 0:
+        idx = 0
+    elif idx > 88:
+        idx = 88
+    return pred, idx
 
 
 def decode_wav(payload: bytes):
@@ -46,6 +94,7 @@ def decode_wav(payload: bytes):
     pos = 12
     fmt = None
     data = None
+    fact = None
     while pos < len(payload):
         if len(payload) - pos < 8:
             raise ValueError("WAV chunk header truncated")
@@ -60,7 +109,9 @@ def decode_wav(payload: bytes):
             if data is not None:
                 raise ValueError("WAV has more than one data chunk")
             data = body
-        # other chunks (LIST, fact, cue , ...) are skipped by framing
+        elif ckid == b"fact":
+            fact = body
+        # other chunks (LIST, cue , ...) are skipped by framing
         pos += 8 + cksize + (cksize & 1)  # word-aligned: odd sizes pad
     if fmt is None or data is None:
         raise ValueError("WAV missing its fmt or data chunk")
@@ -69,13 +120,15 @@ def decode_wav(payload: bytes):
     tag, ch, rate, byte_rate, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    if tag not in (1, 3):
+    if tag not in (1, 3, 0x11):
         raise ValueError(
-            f"unsupported WAV format tag {tag} (integer or IEEE-float"
-            " PCM only); no fake fallback"
+            f"unsupported WAV format tag {tag} (integer PCM, IEEE-float"
+            " PCM, or IMA ADPCM only); no fake fallback"
         )
     if ch == 0 or rate == 0:
         raise ValueError("malformed WAV fmt (zero channels or rate)")
+    if tag == 0x11:
+        return _decode_ima(fmt, data, fact, ch, rate, block_align, bits)
     if tag == 3 and bits != 32:
         raise ValueError(
             f"unsupported float WAV bit depth {bits} (32-bit only)"
@@ -105,6 +158,157 @@ def decode_wav(payload: bytes):
     if bits == 16:
         samples = samples.astype(np.int16)
     return ch, rate, bits, samples
+
+
+def _decode_ima(fmt, data, fact, ch, rate, block_align, bits):
+    """IMA ADPCM block decode (format tag 0x11). Block layout per the
+    public IMA-in-RIFF mapping: per channel a 4-byte header (int16
+    initial output sample, uint8 step-table index, reserved byte),
+    then 4-byte-per-channel interleaved nibble words, low nibble
+    first. Returns (ch, rate, 4, int16 (n_frames, ch) samples) —
+    trimmed to the `fact` chunk's per-channel sample count when
+    present (required by RIFF for compressed formats; tolerated
+    absent). Loud on every inconsistency — never a partial decode."""
+    if bits != 4:
+        raise ValueError(
+            f"IMA ADPCM bit depth must be 4, got {bits}"
+        )
+    if len(fmt) < 20:
+        raise ValueError("IMA ADPCM fmt chunk missing wSamplesPerBlock")
+    (cb,) = struct.unpack("<H", fmt[16:18])
+    if cb < 2:
+        raise ValueError("IMA ADPCM fmt cbSize must cover wSamplesPerBlock")
+    (spb,) = struct.unpack("<H", fmt[18:20])
+    if block_align <= 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError(
+            f"IMA ADPCM block align {block_align} not a header plus"
+            f" whole 4-byte words for {ch} channel(s)"
+        )
+    words = (block_align - 4 * ch) // (4 * ch)  # 4-byte words per channel
+    expect_spb = 1 + 8 * words
+    if spb != expect_spb:
+        raise ValueError(
+            f"IMA ADPCM wSamplesPerBlock {spb} inconsistent with block"
+            f" align {block_align} ({expect_spb} expected)"
+        )
+    if len(data) % block_align:
+        raise ValueError(
+            f"IMA ADPCM data size {len(data)} not a multiple of the"
+            f" {block_align}-byte block"
+        )
+    n_blocks = len(data) // block_align
+    total = n_blocks * spb
+    if fact is not None:
+        if len(fact) < 4:
+            raise ValueError("WAV fact chunk truncated")
+        (fact_len,) = struct.unpack("<I", fact[:4])
+        if not (total - spb < fact_len <= total):
+            raise ValueError(
+                f"WAV fact sample count {fact_len} inconsistent with"
+                f" {n_blocks} block(s) of {spb}"
+            )
+    else:
+        fact_len = total
+    out = np.empty((total, ch), dtype=np.int16)
+    for b in range(n_blocks):
+        base = b * block_align
+        row = b * spb
+        for c in range(ch):
+            hoff = base + 4 * c
+            pred, idx, _rsv = struct.unpack(
+                "<hBB", data[hoff : hoff + 4]
+            )
+            if idx > 88:
+                raise ValueError(
+                    f"IMA ADPCM step index {idx} out of range (0..88)"
+                )
+            out[row, c] = pred
+            k = row + 1
+            dbase = base + 4 * ch
+            for wd in range(words):
+                woff = dbase + 4 * (wd * ch + c)
+                for byte in data[woff : woff + 4]:
+                    pred, idx = _ima_step(pred, idx, byte & 0x0F)
+                    out[k, c] = pred
+                    pred, idx = _ima_step(pred, idx, byte >> 4)
+                    out[k + 1, c] = pred
+                    k += 2
+    return ch, rate, 4, out[:fact_len]
+
+
+def encode_wav_adpcm(samples, rate: int, block_words: int = 2) -> bytes:
+    """IMA ADPCM WAV writer twin: (n_frames, n_channels) int16 samples
+    -> format-tag-0x11 RIFF with ``block_words`` 4-byte nibble words
+    per channel per block (8 samples each, plus the header sample).
+    The final partial block is padded by holding the last sample; the
+    true per-channel count is recorded in the `fact` chunk, which the
+    decoder trims by. The quantizer runs the same _ima_step state
+    update as the decoder — the IMA feedback loop requires it."""
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim != 2 or samples.shape[0] == 0:
+        raise ValueError(
+            "encode_wav_adpcm needs non-empty (n_frames, n_channels),"
+            f" got {samples.shape}"
+        )
+    n, ch = samples.shape
+    spb = 1 + 8 * block_words
+    block_align = 4 * ch + 4 * ch * block_words
+    n_blocks = -(-n // spb)
+    padded = np.vstack(
+        [samples, np.repeat(samples[-1:], n_blocks * spb - n, axis=0)]
+    )
+    body = bytearray()
+    # the step index CARRIES across blocks (written into each block
+    # header) — resetting it to 0 per block would force the quantizer
+    # to re-adapt from step 7 every block, a measured ~4x error blowup
+    carry_idx = [0] * ch
+    for b in range(n_blocks):
+        blk = padded[b * spb : (b + 1) * spb]
+        nibbles = [[] for _ in range(ch)]
+        heads = []
+        for c in range(ch):
+            pred = int(blk[0, c])
+            idx = carry_idx[c]
+            heads.append(struct.pack("<hBB", pred, idx, 0))
+            for s in blk[1:, c]:
+                s = int(s)
+                step = _IMA_STEPS[idx]
+                delta = s - pred
+                nib = 0
+                if delta < 0:
+                    nib = 8
+                    delta = -delta
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                nibbles[c].append(nib)
+                pred, idx = _ima_step(pred, idx, nib)
+            carry_idx[c] = idx
+        body += b"".join(heads)
+        for wd in range(block_words):
+            for c in range(ch):
+                for pair in range(4):
+                    lo = nibbles[c][8 * wd + 2 * pair]
+                    hi = nibbles[c][8 * wd + 2 * pair + 1]
+                    body.append(lo | (hi << 4))
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, rate, byte_rate, block_align, 4, 2, spb
+    )
+    chunks = bytearray()
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, n)
+    chunks += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + bytes(
+        chunks
+    )
 
 
 def encode_wav(samples, rate: int, bits: int = 16, extra_chunk=None) -> bytes:

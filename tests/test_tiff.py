@@ -90,21 +90,25 @@ def test_fail_loud_contract():
     # truncation: cut the strip data
     with pytest.raises(ValueError, match="truncated|expected"):
         decode_tiff(good[:-3])
-    # unsupported compression (deflate = 8; LZW = 5 is SUPPORTED since
-    # round 14 — retagging uncompressed bytes as 5 now dies in the LZW
-    # decoder instead, still loud)
+    # unsupported compression (JPEG-in-TIFF = 7; LZW = 5 and deflate =
+    # 8 are SUPPORTED since round 14 — retagging uncompressed bytes as
+    # either now dies inside that decoder instead, still loud)
     i = good.index(struct.pack("<HHI", 259, 3, 1))
     bad = bytearray(good)
-    bad[i + 8] = 8
+    bad[i + 8] = 7
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(bad))
     bad[i + 8] = 5
     with pytest.raises(ValueError, match="LZW"):
         decode_tiff(bytes(bad))
-    # unsupported photometric (palette = 3)
+    bad[i + 8] = 8
+    with pytest.raises(ValueError, match="deflate"):
+        decode_tiff(bytes(bad))
+    # unsupported photometric (transparency mask = 4; palette = 3 is
+    # supported since round 14 — without a ColorMap it is loud too)
     i = good.index(struct.pack("<HHI", 262, 3, 1))
     bad = bytearray(good)
-    bad[i + 8] = 3
+    bad[i + 8] = 4
     with pytest.raises(ValueError, match="photometric"):
         decode_tiff(bytes(bad))
     # non-8-bit depth
@@ -345,3 +349,177 @@ def test_predictor_compresses_gradients():
     pred = encode_tiff(g, lzw=True, predictor=True)
     assert len(pred) * 4 < len(plain)
     assert (decode_tiff(pred)[2][:, :, 0] == g).all()
+
+
+# --- round 14: deflate (Compression 8 / 32946) + palette (photometric 3) ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    rgb=st.booleans(),
+    be=st.booleans(),
+    pred=st.booleans(),
+    rps=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_deflate_roundtrip_property(w, h, rgb, be, pred, rps, seed):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w, 3) if rgb else (h, w)).astype(np.uint8)
+    gw, gh, out = decode_tiff(
+        encode_tiff(
+            arr, big_endian=be, rows_per_strip=rps, deflate=True,
+            predictor=pred,
+        )
+    )
+    want = arr if rgb else arr[:, :, None]
+    assert (gw, gh) == (w, h) and (out == want).all()
+
+
+def test_deflate_legacy_code_32946_accepted():
+    # some writers use the pre-TTN2 code 32946 for the same zlib stream
+    from datafusion_loki_spark.operators.tiff import _T_COMPRESSION
+
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    blob = bytearray(encode_tiff(px, deflate=True))
+    (n,) = struct.unpack("<H", blob[8:10])
+    for i in range(n):
+        ent = 10 + 12 * i
+        (tag,) = struct.unpack("<H", blob[ent : ent + 2])
+        if tag == _T_COMPRESSION:
+            struct.pack_into("<H", blob, ent + 8, 32946)
+    assert (decode_tiff(bytes(blob))[2][:, :, 0] == px).all()
+
+
+def test_deflate_fail_loud_contract():
+    import zlib
+
+    from datafusion_loki_spark.operators.tiff import _deflate_decode
+
+    good = zlib.compress(bytes(range(100)))
+    assert _deflate_decode(good, 100) == bytes(range(100))
+    # corrupt stream body
+    bad = bytearray(good)
+    bad[6] ^= 0xFF
+    with pytest.raises(ValueError, match="deflate"):
+        _deflate_decode(bytes(bad), 100)
+    # shortfall: stream decodes clean but to fewer bytes than the strip
+    with pytest.raises(ValueError, match="expected 101"):
+        _deflate_decode(good, 101)
+    # overshoot bomb: a 1 MB zero run claiming a 10-byte strip must be
+    # rejected WITHOUT materializing the megabyte (output is capped)
+    bomb = zlib.compress(b"\x00" * 1_000_000)
+    with pytest.raises(ValueError, match="more than"):
+        _deflate_decode(bomb, 10)
+    # truncated stream
+    with pytest.raises(ValueError, match="unfinished|malformed"):
+        _deflate_decode(good[:-4], 100)
+    # trailing garbage after a complete stream
+    with pytest.raises(ValueError, match="trailing"):
+        _deflate_decode(good + b"junk", 100)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    be=st.booleans(),
+    comp=st.sampled_from(["none", "deflate", "packbits", "lzw"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_palette_roundtrip_property(w, h, be, comp, seed):
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    blob = encode_tiff(
+        idx,
+        big_endian=be,
+        palette=pal,
+        rows_per_strip=3,
+        deflate=comp == "deflate",
+        packbits=comp == "packbits",
+        lzw=comp == "lzw",
+    )
+    gw, gh, out = decode_tiff(blob)
+    assert (gw, gh) == (w, h)
+    assert out.shape == (h, w, 3)
+    assert (out == pal[idx]).all()
+
+
+def test_palette_colormap_wire_is_16_bit_planes():
+    # ColorMap is 3 * 256 SHORTs, all reds then greens then blues,
+    # scaled v * 257 — verify the wire layout directly (not just the
+    # roundtrip, which a symmetric encode/decode bug would pass)
+    from datafusion_loki_spark.operators.tiff import _T_COLORMAP
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[5] = (10, 20, 30)
+    idx = np.array([[5]], dtype=np.uint8)
+    blob = encode_tiff(idx, palette=pal)
+    (n,) = struct.unpack("<H", blob[8:10])
+    off = None
+    for i in range(n):
+        ent = 10 + 12 * i
+        tag, ttype, count = struct.unpack("<HHI", blob[ent : ent + 8])
+        if tag == _T_COLORMAP:
+            assert (ttype, count) == (3, 768)
+            (off,) = struct.unpack("<I", blob[ent + 8 : ent + 12])
+    assert off is not None
+    cm = struct.unpack("<768H", blob[off : off + 1536])
+    assert cm[5] == 10 * 257
+    assert cm[256 + 5] == 20 * 257
+    assert cm[512 + 5] == 30 * 257
+
+
+def test_palette_fail_loud_contract():
+    from datafusion_loki_spark.operators.tiff import _T_PHOTOMETRIC
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    # palette with an RGB page is an encoder error
+    with pytest.raises(ValueError, match="single-channel"):
+        encode_tiff(np.zeros((2, 2, 3), dtype=np.uint8), palette=pal)
+    with pytest.raises(ValueError, match="\\(256, 3\\)"):
+        encode_tiff(idx, palette=pal[:16])
+    # photometric 3 without a ColorMap tag: flip a grayscale file's
+    # photometric to 3 — must be loud, not a fake gray fallback
+    blob = bytearray(encode_tiff(idx))
+    (n,) = struct.unpack("<H", blob[8:10])
+    for i in range(n):
+        ent = 10 + 12 * i
+        (tag,) = struct.unpack("<H", blob[ent : ent + 2])
+        if tag == _T_PHOTOMETRIC:
+            struct.pack_into("<H", blob, ent + 8, 3)
+    with pytest.raises(ValueError, match="320"):
+        decode_tiff(bytes(blob))
+    # truncated ColorMap (count patched down) is loud
+    blob2 = bytearray(encode_tiff(idx, palette=pal))
+    from datafusion_loki_spark.operators.tiff import _T_COLORMAP
+
+    (n,) = struct.unpack("<H", blob2[8:10])
+    for i in range(n):
+        ent = 10 + 12 * i
+        (tag,) = struct.unpack("<H", blob2[ent : ent + 2])
+        if tag == _T_COLORMAP:
+            struct.pack_into("<I", blob2, ent + 4, 300)
+    with pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(bytes(blob2))
+
+
+def test_palette_multipage_shares_colormap():
+    from datafusion_loki_spark.operators.tiff import (
+        decode_tiff_pages,
+        encode_tiff_pages,
+    )
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    a = rng.randint(0, 256, (3, 4)).astype(np.uint8)
+    b = rng.randint(0, 256, (2, 5)).astype(np.uint8)
+    pages = decode_tiff_pages(
+        encode_tiff_pages([a, b], palette=pal, deflate=True)
+    )
+    assert len(pages) == 2
+    assert (pages[0][2] == pal[a]).all()
+    assert (pages[1][2] == pal[b]).all()

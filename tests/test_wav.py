@@ -157,3 +157,162 @@ def test_float_fail_loud_contract():
     # encode rejects unknown depths
     with pytest.raises(ValueError, match="bits must be"):
         encode_wav(vals, 8000, bits=24)
+
+
+# --- round 14: IMA ADPCM (format tag 0x11) ---
+
+
+def test_adpcm_hand_vector():
+    # decode one mono block by hand against the IMA tables: header
+    # sample 100 at step index 0 (step 7), nibbles 0x3 (diff
+    # 1+3 = +4, index -1 -> clamped 0) then 0xB (8|3: -4, idx 0) ...
+    # built as a crafted stream, NOT via the encoder — pins the
+    # decoder's table walk independently of the quantizer twin
+    from datafusion_loki_spark.operators.wav import _ima_step
+
+    spb, block_align = 9, 8  # 1 word: 4 bytes = 8 nibbles, mono
+    nibs = [3, 0xB, 7, 0xF, 0, 8, 1, 9]
+    data = struct.pack("<hBB", 100, 0, 0) + bytes(
+        nibs[i] | (nibs[i + 1] << 4) for i in range(0, 8, 2)
+    )
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, block_align, 4, 2, spb)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    ch, rate, bits, out = decode_wav(blob)
+    assert (ch, rate, bits) == (1, 8000, 4)
+    # independent replay of the spec walk
+    pred, idx = 100, 0
+    want = [100]
+    for n in nibs:
+        pred, idx = _ima_step(pred, idx, n)
+        want.append(pred)
+    assert out[:, 0].tolist() == want
+    # the concrete first steps, fully by hand: step 7, nibble 3 ->
+    # diff = 0 + 1 + 3 = 4 -> 104; nibble 0xB -> sign bit, same
+    # magnitude bits at step 7 (index clamped at 0) -> back to 100
+    assert want[1] == 104 and want[2] == 100
+
+
+def test_adpcm_roundtrip_bounded_error_and_carry():
+    from datafusion_loki_spark.operators.wav import encode_wav_adpcm
+
+    t = np.arange(1500)
+    for chn in (1, 2, 3):
+        sig = (
+            8000
+            * np.sin(2 * np.pi * t[:, None] * (np.arange(chn) + 1) * 440 / 16000)
+        ).astype(np.int16)
+        ch, rate, bits, out = decode_wav(encode_wav_adpcm(sig, 16000))
+        assert (ch, rate, bits) == (chn, 16000, 4)
+        assert out.shape == sig.shape
+        assert out.dtype == np.int16
+        # every block's header sample is exact; steady-state tracking
+        # error stays within a few step sizes of the signal slope
+        err = np.abs(out.astype(np.int32) - sig.astype(np.int32))
+        assert err[0].max() == 0
+        assert err[100:].max() < 1500, err[100:].max()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 120),
+    ch=st.integers(1, 3),
+    words=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adpcm_shape_and_fact_trim_property(n, ch, words, seed):
+    from datafusion_loki_spark.operators.wav import encode_wav_adpcm
+
+    rng = np.random.RandomState(seed)
+    sig = rng.randint(-3000, 3000, (n, ch)).astype(np.int16)
+    got_ch, rate, bits, out = decode_wav(
+        encode_wav_adpcm(sig, 22050, block_words=words)
+    )
+    assert (got_ch, bits) == (ch, 4)
+    # fact trims the padded final block back to the true frame count
+    assert out.shape == (n, ch)
+    assert (out[0] == sig[0]).all()
+
+
+def test_adpcm_fail_loud_contract():
+    from datafusion_loki_spark.operators.wav import encode_wav_adpcm
+
+    sig = np.zeros((40, 1), dtype=np.int16)
+    good = bytearray(encode_wav_adpcm(sig, 8000))
+    # fmt starts at byte 20 (RIFF 12 + 'fmt '+size 8)
+    FMT = 20
+    # step index out of range in a block header: data chunk starts
+    # after fmt (24 bytes) + fact (12 bytes) + 'data'+size
+    data_off = good.index(b"data") + 8
+    bad = bytearray(good)
+    bad[data_off + 2] = 89  # index byte of the first block header
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
+    # wSamplesPerBlock inconsistent with block align
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, FMT + 18, 99)
+    with pytest.raises(ValueError, match="wSamplesPerBlock|inconsistent"):
+        decode_wav(bytes(bad))
+    # fact count out of the final block's range
+    fact_off = good.index(b"fact") + 8
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, fact_off, 999)
+    with pytest.raises(ValueError, match="fact"):
+        decode_wav(bytes(bad))
+    # truncated fmt (cbSize/wSamplesPerBlock missing): rebuild with a
+    # 16-byte fmt but keep tag 0x11
+    fmt16 = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 8, 4)
+    chunks = (
+        b"fmt " + struct.pack("<I", 16) + fmt16
+        + b"data" + struct.pack("<I", 8) + bytes(8)
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="wSamplesPerBlock"):
+        decode_wav(blob)
+    # bits != 4 under tag 0x11
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, FMT + 14, 8)
+    with pytest.raises(ValueError, match="bit depth must be 4"):
+        decode_wav(bytes(bad))
+    # Microsoft ADPCM (tag 2) stays loud-unsupported
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, FMT, 2)
+    with pytest.raises(ValueError, match="format tag 2"):
+        decode_wav(bytes(bad))
+    # data not a whole number of blocks
+    nblocks_off = good.index(b"data") + 4
+    (dsz,) = struct.unpack_from("<I", good, nblocks_off)
+    bad = bytearray(good)
+    bad[nblocks_off:nblocks_off + 4] = struct.pack("<I", dsz - 4)
+    del bad[-4:]
+    struct.pack_into("<I", bad, 4, len(bad) - 8)
+    # fact now disagrees OR block misaligned — either way loud
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_adpcm_predictor_clamps_at_int16_bounds():
+    # a block header may start the predictor near the rail with the
+    # step table maxed (index 88, step 32767): nibble 7 adds ~28k and
+    # MUST clamp to 32767, nibble 15 subtracts and must clamp at
+    # -32768 — the spec's saturation, not wraparound
+    spb, block_align = 9, 8
+    for p0, nib, want in ((32000, 7, 32767), (-32000, 15, -32768)):
+        nibs = [nib] * 8
+        data = struct.pack("<hBB", p0, 88, 0) + bytes(
+            nibs[i] | (nibs[i + 1] << 4) for i in range(0, 8, 2)
+        )
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, 8000, 4000, block_align, 4, 2, spb
+        )
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        _, _, _, out = decode_wav(blob)
+        assert out[-1, 0] == want
+        assert abs(out[:, 0].astype(np.int32)).max() <= 32768

@@ -84,6 +84,15 @@ _R14_PINNED: tuple[str, ...] = (
     # autocorrelation / peak) over the decode path's new IEEE-float
     # PCM branch (format tag 3) — integer-exact construction
     "mm_audio_windows",
+    # NEW in r14 (late session): palette-color TIFF (photometric 3 /
+    # ColorMap) over zlib-deflate strips (Compression 8) — the GIF
+    # construction, so three wire formats share one palette oracle
+    "mm_decode_tiff_palette",
+    # NEW in r14 (late session): IMA ADPCM (format tag 0x11) — the
+    # audio modality's first compressed format; crafted-block
+    # construction with a linear-in-P0 exact oracle (inline C_k
+    # replay of the public IMA shift-add recipe)
+    "mm_decode_adpcm",
 )
 
 _WINDOW_SIZE = 50

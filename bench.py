@@ -221,6 +221,11 @@ BENCH_QUERIES = [
     "mm_frame_sample_real",
     "mm_audio_windows",
     "mm_corpus_manifest",
+    # appended round 14 (late session): the palette+deflate TIFF path
+    # (ColorMap read + zlib strips per item) and the IMA ADPCM block
+    # decode (the audio modality's first compressed format)
+    "mm_decode_tiff_palette",
+    "mm_decode_adpcm",
 ]
 
 

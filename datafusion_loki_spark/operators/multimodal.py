@@ -2476,6 +2476,163 @@ FROM m
 """
 
 
+# --- IMA ADPCM decode face (round 14) -----------------------------------------
+#
+# Construction: ONE crafted mono IMA ADPCM block (format tag 0x11) —
+# 4-byte header carrying a payload-derived initial sample P0, step
+# index 0, then a FIXED 32-nibble sequence (below) chosen to walk the
+# step table up, clamp, and come back down. Because the IMA step-index
+# walk and per-nibble deltas depend ONLY on the nibbles (never on the
+# predictor, absent clamping), every decoded sample is P0 plus a
+# CONSTANT: s_k = P0 + C_k. The C_k are computed here by an inline
+# replay of the public IMA shift-add recipe (independent of
+# operators/wav.py — the same pinning pattern as the O(n^4) IDCT
+# reference), bounded so |P0| <= 8192 can never clamp, and inlined
+# into the oracle as literals. A step-table transposition, an index
+# clamp miss, a nibble-order flip, or a sign-bit slip changes some C_k
+# and hash-mismatches. The sequence alternates the sign bit so C
+# oscillates (stays clamp-safe) while the magnitude schedule sweeps
+# the step table from 0 up to index 85 and hits the low clamp twice.
+_MM_ADPCM_NIBS = (
+    1, 8, 7, 15, 7, 15, 6, 14, 5, 13, 4, 12, 3, 11, 2, 10,
+    1, 9, 0, 15, 5, 11, 1, 14, 4, 10, 0, 15, 6, 13, 4, 11,
+)
+_MM_ADPCM_SPB = 1 + len(_MM_ADPCM_NIBS)  # 33 samples: header + nibbles
+_MM_ADPCM_ALIGN = 4 + len(_MM_ADPCM_NIBS) // 2  # mono: header + 16 bytes
+
+
+def _adpcm_consts() -> list:
+    """Inline replay of the IMA Recommended Practices shift-add walk
+    (step/index tables transcribed from the public spec) producing the
+    constant offsets C_k for the fixed nibble sequence."""
+    steps = (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    )
+    index_adj = (-1, -1, -1, -1, 2, 4, 6, 8)
+    c, idx = 0, 0
+    out = [0]
+    for n in _MM_ADPCM_NIBS:
+        step = steps[idx]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        c += -diff if n & 8 else diff
+        idx = min(88, max(0, idx + index_adj[n & 7]))
+        out.append(c)
+    return out
+
+
+_MM_ADPCM_C = _adpcm_consts()
+# the no-clamp guarantee the linear oracle rests on: |P0| <= 8192 and
+# max |C_k| under int16 headroom means the decoder's clamp never fires
+assert max(abs(c) for c in _MM_ADPCM_C) <= 32767 - 8192
+
+
+def mm_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA ADPCM decode in the registry (round 14 — the audio
+    modality's first COMPRESSED wire format; PCM landed in round 13).
+    Construction in the module comment: the kernel assembles the block
+    BYTES directly (not via the encoder twin, which tests pin
+    separately) and runs the full RIFF walk + block decode of
+    operators/wav.py. Emits the sample count and two linear-in-P0
+    exact values the oracle replays from payload hex plus the inline
+    C_k literals.
+
+    100 TB posture: the decode-family shape — modality + size filter
+    before the Python boundary, Arrow-batched mapInPandas, narrow
+    output columns, no shuffle after the scan."""
+    import struct as _s
+
+    from datafusion_loki_spark.operators.wav import decode_wav
+
+    media = media_table(spark, sf_dir).where(
+        (F.col("media_type") == "audio")
+        & F.col("payload").isNotNull()
+        & (F.col("n_bytes") >= 2)
+    ).select("doc_id", "payload")
+
+    nib_bytes = bytes(
+        _MM_ADPCM_NIBS[i] | (_MM_ADPCM_NIBS[i + 1] << 4)
+        for i in range(0, len(_MM_ADPCM_NIBS), 2)
+    )
+    fmt = _s.pack(
+        "<HHIIHHHH",
+        0x11, 1, 8000, (8000 * _MM_ADPCM_ALIGN) // _MM_ADPCM_SPB,
+        _MM_ADPCM_ALIGN, 4, 2, _MM_ADPCM_SPB,
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, sp, lp = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                p0 = (raw[0] + 256 * raw[1]) % 16384 - 8192
+                data = _s.pack("<hBB", p0, 0, 0) + nib_bytes
+                chunks = (
+                    b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                    + b"fact" + _s.pack("<II", 4, _MM_ADPCM_SPB)
+                    + b"data" + _s.pack("<I", len(data)) + data
+                )
+                blob = (
+                    b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE"
+                    + chunks
+                )
+                ch, rate, bits, out = decode_wav(blob)
+                ids.append(int(did))
+                ns.append(out.shape[0])
+                sp.append(int(out[:, 0].astype("int64").sum()))
+                lp.append(int(out[-1, 0]))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_samples": ns,
+                        "sum_pcm": sp,
+                        "last_pcm": lp,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel, "doc_id long, n_samples int, sum_pcm long, last_pcm long"
+    )
+
+
+def _adpcm_p0_duck() -> str:
+    return (
+        f"(({_hexpair_duck('0')} + 256 * {_hexpair_duck('1')})"
+        " % 16384 - 8192)"
+    )
+
+
+ORACLE_MM_DECODE_ADPCM = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 3 = 1
+    AND octet_length(encode(text)) >= 2
+)
+SELECT doc_id,
+       {_MM_ADPCM_SPB} AS n_samples,
+       CAST({_MM_ADPCM_SPB} * {_adpcm_p0_duck()}
+            + {sum(_MM_ADPCM_C)} AS BIGINT) AS sum_pcm,
+       CAST({_adpcm_p0_duck()} + {_MM_ADPCM_C[-1]} AS BIGINT) AS last_pcm
+FROM m
+"""
+
+
 # real-pixel resize target (nearest neighbor): 8x5 -> 4x3, so the
 # source index map is src_x = 2x, src_y = (5y) // 3 in both engines
 _MM_RS_W, _MM_RS_H = 4, 3
@@ -2971,6 +3128,78 @@ SELECT doc_id,
        CAST({_tiff_lzw_channel_sum_duck(2)} AS BIGINT) AS sum_b
 FROM m
 """
+
+
+def mm_decode_tiff_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF photometric 3 (palette-color) + Compression 8 (deflate) in
+    the registry — round 14 closes two more codec-breadth gaps in one
+    face. Construction: the GIF twin's exact layout (16-entry palette
+    from payload bytes [0, 48), 7x5 indices mod 16 from [48, 83)) so
+    the GIF face's oracle replays unchanged — three codecs (GIF LZW,
+    BMP RLE8, palette TIFF) now prove the same palette-lookup semantics
+    over three entirely different wire formats. The 16 payload entries
+    occupy the front of the spec's mandatory 256-entry 16-bit ColorMap
+    (written v*257, read back by high byte — exact); strips are 2-row,
+    zlib-deflated (TIFF Technical Note 2), so a ColorMap plane-order
+    bug, a high-byte mapping slip, or a deflate strip-boundary error
+    hash-mismatches.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 6 narrow output
+    columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_GIF_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                pal = np.zeros((256, 3), dtype=np.uint8)
+                pal[:MM_PAL_ENTRIES] = np.frombuffer(
+                    raw[:48], dtype=np.uint8
+                ).reshape(MM_PAL_ENTRIES, 3)
+                idx = (
+                    np.frombuffer(raw[48:_MM_GIF_NEED], dtype=np.uint8)
+                    % MM_PAL_ENTRIES
+                ).reshape(MM_PAL_H, MM_PAL_W).astype(np.uint8)
+                w, h, arr = decode_tiff(
+                    encode_tiff(
+                        idx, palette=pal, rows_per_strip=2, deflate=True
+                    )
+                )
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(arr[:, :, 0].sum(dtype="int64")))
+                sg.append(int(arr[:, :, 1].sum(dtype="int64")))
+                sb.append(int(arr[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": ws,
+                        "height": hs,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
 
 
 # multi-page TIFF construction: page 0 = 7x5 RGB from bytes [0, 105),
@@ -3886,7 +4115,9 @@ QUERIES = {
     "mm_resize_pixels": mm_resize_pixels,
     "mm_decode_tiff": mm_decode_tiff,
     "mm_decode_tiff_lzw": mm_decode_tiff_lzw,
+    "mm_decode_tiff_palette": mm_decode_tiff_palette,
     "mm_decode_tiff_pages": mm_decode_tiff_pages,
+    "mm_decode_adpcm": mm_decode_adpcm,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
     "mm_decode_bmp": mm_decode_bmp,
@@ -3923,7 +4154,12 @@ ORACLES = {
     "mm_resize_pixels": ORACLE_MM_RESIZE_PIXELS,
     "mm_decode_tiff": ORACLE_MM_DECODE_TIFF,
     "mm_decode_tiff_lzw": ORACLE_MM_DECODE_TIFF_LZW,
+    # the palette-TIFF face shares the GIF twin's construction layout
+    # -> same oracle (the BMP RLE precedent: one palette-lookup truth,
+    # three wire formats)
+    "mm_decode_tiff_palette": ORACLE_MM_DECODE_GIF,
     "mm_decode_tiff_pages": ORACLE_MM_DECODE_TIFF_PAGES,
+    "mm_decode_adpcm": ORACLE_MM_DECODE_ADPCM,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,

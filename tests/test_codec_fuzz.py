@@ -26,7 +26,11 @@ from datafusion_loki_spark.operators.multimodal import (
     encode_png,
 )
 from datafusion_loki_spark.operators.tiff import decode_tiff, encode_tiff
-from datafusion_loki_spark.operators.wav import decode_wav, encode_wav
+from datafusion_loki_spark.operators.wav import (
+    decode_wav,
+    encode_wav,
+    encode_wav_adpcm,
+)
 
 _RNG = np.random.RandomState(0)
 _PX = _RNG.randint(0, 256, (5, 7, 3)).astype(np.uint8)
@@ -70,6 +74,18 @@ _SEEDS = {
         encode_tiff(_PX, rows_per_strip=3, lzw=True, predictor=True),
         decode_tiff,
     ),
+    # round 14 (late session): palette + deflate (photometric 3 /
+    # Compression 8) — ColorMap offsets/counts and zlib strips under
+    # mutation
+    "tiff_palette": (
+        encode_tiff(
+            (_PX[:, :, 0] % 16).astype(np.uint8),
+            palette=np.vstack([_PAL, np.zeros((240, 3), np.uint8)]),
+            rows_per_strip=2,
+            deflate=True,
+        ),
+        decode_tiff,
+    ),
     "wav": (
         encode_wav(_SAMPLES, 8000, extra_chunk=(b"LIST", b"abc")),
         decode_wav,
@@ -87,6 +103,12 @@ _SEEDS = {
     "bmp_rle8": (
         encode_bmp8(_PX[:, :, 0].astype(np.uint8) % 16, _PAL, rle=True),
         decode_bmp,
+    ),
+    # round 14 (late session): the IMA ADPCM branch (format tag 0x11 —
+    # block headers, nibble words, fact trimming)
+    "wav_adpcm": (
+        encode_wav_adpcm(_SAMPLES // 4, 8000, block_words=2),
+        decode_wav,
     ),
 }
 

@@ -14,9 +14,10 @@ codes with the EarlyChange width discipline), 8 / 32946 (zlib deflate
 per TIFF Technical Note 2 — round 14, output bounded at the expected
 strip size so a crafted stream cannot balloon) and 32773 (PackBits,
 spec section 9), horizontal predictor (tag 317 = 2, spec section 14 —
-round 14). Everything else — tiles, planar=2, JPEG-in-TIFF, sample
-depths other than 8 — fails with a loud ValueError, never a fake
-fallback (decode_image contract).
+round 14), both planar configurations (chunky and planar=2 separate
+sample planes, all of sample 0's strips first — round 14). Everything
+else — tiles, JPEG-in-TIFF, sample depths other than 8 — fails with a
+loud ValueError, never a fake fallback (decode_image contract).
 
 The encoder twin constructs valid inputs for tests and the registry
 face (multimodal.mm_decode_tiff): either endian, configurable
@@ -388,8 +389,11 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
     predictor = tag_vals(_T_PREDICTOR, [1])[0]
     if any(b != 8 for b in bits) or len(bits) not in (1, spp):
         raise ValueError(f"unsupported TIFF sample depth {bits} (8-bit only)")
-    if planar != 1:
-        raise ValueError("unsupported TIFF planar configuration (chunky only)")
+    if planar not in (1, 2):
+        raise ValueError(
+            f"unsupported TIFF planar configuration {planar}"
+            " (chunky/planar only)"
+        )
     if compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(
             f"unsupported TIFF compression {compression}"
@@ -433,36 +437,62 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
         raise ValueError("malformed TIFF RowsPerStrip 0")
     offsets = tag_vals(_T_STRIP_OFFSETS)
     counts = tag_vals(_T_STRIP_COUNTS)
-    n_strips = -(-h // rows_per_strip)
+    per_plane = -(-h // rows_per_strip)
+    # planar=2 (round 14): each sample stored in its own plane of
+    # strips — StripOffsets holds SamplesPerPixel * StripsPerImage
+    # entries, all of sample 0's strips first (TIFF 6.0 section 8,
+    # PlanarConfiguration); strip stride is then ONE sample per pixel
+    n_planes = spp if planar == 2 else 1
+    n_strips = per_plane * n_planes
     if len(offsets) != n_strips or len(counts) != n_strips:
         raise ValueError(
             f"TIFF strip bookkeeping mismatch: {len(offsets)} offsets /"
             f" {len(counts)} counts for {n_strips} strips"
         )
-    stride = w * spp
-    out = bytearray()
-    for s in range(n_strips):
-        rows = min(rows_per_strip, h - s * rows_per_strip)
-        raw = payload[offsets[s] : offsets[s] + counts[s]]
-        if len(raw) < counts[s]:
-            raise ValueError(f"TIFF strip {s} truncated")
-        if compression == 32773:
-            raw = _packbits_decode(raw, rows * stride)
-        elif compression == 5:
-            raw = _lzw_decode_tiff(raw, rows * stride)
-        elif compression in (8, 32946):
-            raw = _deflate_decode(raw, rows * stride)
-        elif len(raw) != rows * stride:
-            raise ValueError(
-                f"TIFF strip {s} holds {len(raw)} bytes,"
-                f" expected {rows * stride}"
+    stride = w * (spp // n_planes)
+
+    def read_strips(strip_ids):
+        out = bytearray()
+        for s in strip_ids:
+            rows = min(
+                rows_per_strip, h - (s % per_plane) * rows_per_strip
             )
-        out += raw
-    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
+            raw = payload[offsets[s] : offsets[s] + counts[s]]
+            if len(raw) < counts[s]:
+                raise ValueError(f"TIFF strip {s} truncated")
+            if compression == 32773:
+                raw = _packbits_decode(raw, rows * stride)
+            elif compression == 5:
+                raw = _lzw_decode_tiff(raw, rows * stride)
+            elif compression in (8, 32946):
+                raw = _deflate_decode(raw, rows * stride)
+            elif len(raw) != rows * stride:
+                raise ValueError(
+                    f"TIFF strip {s} holds {len(raw)} bytes,"
+                    f" expected {rows * stride}"
+                )
+            out += raw
+        return bytes(out)
+
+    if planar == 2 and spp > 1:
+        planes = [
+            np.frombuffer(
+                read_strips(range(p * per_plane, (p + 1) * per_plane)),
+                dtype=np.uint8,
+            ).reshape(h, w)
+            for p in range(spp)
+        ]
+        arr = np.stack(planes, axis=-1)
+    else:
+        arr = np.frombuffer(
+            read_strips(range(per_plane)), dtype=np.uint8
+        ).reshape(h, w, spp)
     if predictor == 2:
         # horizontal differencing (TIFF 6.0 section 14): samples after
         # the first in each row are deltas from the previous pixel's
         # same channel, mod 256 — undone BEFORE any photometric work
+        # (channel == plane under planar=2, so axis-1 cumsum holds in
+        # both layouts)
         arr = (
             np.cumsum(arr.astype(np.uint32), axis=1) % 256
         ).astype(np.uint8)
@@ -490,6 +520,7 @@ def encode_tiff(
     deflate: bool = False,
     predictor: bool = False,
     palette=None,
+    planar: bool = False,
 ) -> bytes:
     """TIFF writer for (h, w) grayscale (BlackIsZero) or (h, w, 3) RGB
     uint8 arrays — either byte order, configurable strip height,
@@ -507,6 +538,7 @@ def encode_tiff(
         deflate=deflate,
         predictor=predictor,
         palette=palette,
+        planar=planar,
     )
 
 
@@ -519,6 +551,7 @@ def encode_tiff_pages(
     deflate: bool = False,
     predictor: bool = False,
     palette=None,
+    planar: bool = False,
 ) -> bytes:
     """Multi-page TIFF writer (round 13 — decode_tiff_pages' twin):
     one IFD per array, chained through the next-IFD pointers; pages may
@@ -529,7 +562,9 @@ def encode_tiff_pages(
     the dominant real-world scanned/geo TIFF layout is LZW + predictor.
     ``palette`` (round 14) switches every page to photometric 3: pages
     must then be single-channel index arrays and the shared (256, 3)
-    uint8 palette is written as each page's 16-bit ColorMap."""
+    uint8 palette is written as each page's 16-bit ColorMap.
+    ``planar`` (round 14) writes PlanarConfiguration 2: each sample in
+    its own plane of strips, all of sample 0's strips first."""
     if not arrs:
         raise ValueError("encode_tiff_pages needs at least one page")
     if packbits + lzw + deflate > 1:
@@ -567,9 +602,22 @@ def encode_tiff_pages(
             arr = (d % 256).astype(np.uint8)
         rps = h if rows_per_strip is None else max(1, rows_per_strip)
         n_strips = -(-h // rps)
+        use_planar = planar and spp > 1
+        raw_strips = []
+        if use_planar:
+            # planar=2: all of sample 0's strips first, then sample 1's
+            for p in range(spp):
+                for si in range(n_strips):
+                    raw_strips.append(
+                        np.ascontiguousarray(
+                            arr[si * rps : (si + 1) * rps, :, p]
+                        ).tobytes()
+                    )
+        else:
+            for si in range(n_strips):
+                raw_strips.append(arr[si * rps : (si + 1) * rps].tobytes())
         strips = []
-        for si in range(n_strips):
-            chunk = arr[si * rps : (si + 1) * rps].tobytes()
+        for chunk in raw_strips:
             if packbits:
                 chunk = _packbits_encode(chunk)
             elif lzw:
@@ -607,8 +655,10 @@ def encode_tiff_pages(
                     ],
                 )
             )
-        entries.append((_T_STRIP_OFFSETS, 4, [0] * n_strips))  # patched
+        entries.append((_T_STRIP_OFFSETS, 4, [0] * len(strips)))  # patched
         entries.append((_T_SPP, 3, [spp]))
+        if use_planar:
+            entries.append((_T_PLANAR, 3, [2]))
         entries.append((_T_ROWS_PER_STRIP, 4, [rps]))
         entries.append((_T_STRIP_COUNTS, 4, [len(sd) for sd in strips]))
         entries.sort()

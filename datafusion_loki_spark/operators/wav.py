@@ -8,16 +8,20 @@ interface spec; the de-facto canonical PCM container): RIFF header,
 chunk walk with word-aligned (odd-size padded) sub-chunks, 'fmt '
 validation (PCM format tag, block-align and byte-rate consistency),
 'data' frame extraction. Supported sample layouts: 8-bit unsigned and
-16-bit signed little-endian integer PCM (format tag 1), 32-bit
-IEEE-float PCM (format tag 3 — round 14), and IMA/DVI ADPCM (format
-tag 0x11 — round 14: the IMA Recommended Practices 4-bit shift-add
-quantizer, per-channel block headers carrying the initial sample and
-step-table index, low-nibble-first packing, 4-byte-per-channel
-interleave, `fact`-chunk sample trimming), any channel count.
-Everything else — 64-bit float, Microsoft ADPCM (tag 2), extensible
-wave formats, misaligned data sizes, trailing garbage that is not a
-well-formed chunk — fails with a loud ValueError, never a fake
-fallback (the decode_image family contract).
+16/24/32-bit signed little-endian integer PCM (format tag 1 — 24-bit
+sign-extended to int32, the studio-audio layout), 32/64-bit IEEE-float
+PCM (format tag 3), IMA/DVI ADPCM (format tag 0x11 — round 14: the
+IMA Recommended Practices 4-bit shift-add quantizer, per-channel block
+headers carrying the initial sample and step-table index,
+low-nibble-first packing, 4-byte-per-channel interleave, `fact`-chunk
+sample trimming), and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — round 14:
+the mandatory container for >16-bit or >2-channel PCM per Microsoft's
+multichannel spec; the SubFormat GUID resolves back to PCM or float,
+full-container valid bits only), any channel count. Everything else —
+Microsoft ADPCM (tag 2), a-law/mu-law, non-PCM extensible subformats,
+sub-container valid bits, misaligned data sizes, trailing garbage
+that is not a well-formed chunk — fails with a loud ValueError, never
+a fake fallback (the decode_image family contract).
 
 The encoder twin constructs valid inputs for tests and the registry
 face (multimodal.mm_decode_wav), including extra skippable chunks and
@@ -44,6 +48,14 @@ _IMA_STEPS = (
     29794, 32767,
 )
 _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail: every KSDATAFORMAT
+# subtype is <16-bit format tag> 00 00 + this fixed 14-byte suffix
+# (Microsoft's ksmedia.h base GUID 00000000-0000-0010-8000-00AA00389B71)
+_EXT_GUID_TAIL = bytes(
+    (0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+     0x00, 0x38, 0x9B, 0x71)
+)
 
 
 def _ima_step(pred: int, idx: int, n: int):
@@ -120,6 +132,29 @@ def decode_wav(payload: bytes):
     tag, ch, rate, byte_rate, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: resolve the SubFormat
+        if len(fmt) < 40:
+            raise ValueError(
+                "extensible WAV fmt chunk shorter than the 40-byte layout"
+            )
+        (valid_bits,) = struct.unpack("<H", fmt[18:20])
+        sub_tag = struct.unpack("<H", fmt[24:26])[0]
+        if fmt[26:28] != b"\x00\x00" or fmt[28:40] != _EXT_GUID_TAIL:
+            raise ValueError(
+                "extensible WAV SubFormat GUID is not a KSDATAFORMAT"
+                " subtype"
+            )
+        if sub_tag not in (1, 3):
+            raise ValueError(
+                f"unsupported extensible WAV subformat {sub_tag}"
+                " (PCM or IEEE-float only); no fake fallback"
+            )
+        if valid_bits != bits:
+            raise ValueError(
+                f"extensible WAV valid bits {valid_bits} !="
+                f" container bits {bits} (full-container only)"
+            )
+        tag = sub_tag
     if tag not in (1, 3, 0x11):
         raise ValueError(
             f"unsupported WAV format tag {tag} (integer PCM, IEEE-float"
@@ -129,12 +164,14 @@ def decode_wav(payload: bytes):
         raise ValueError("malformed WAV fmt (zero channels or rate)")
     if tag == 0x11:
         return _decode_ima(fmt, data, fact, ch, rate, block_align, bits)
-    if tag == 3 and bits != 32:
+    if tag == 3 and bits not in (32, 64):
         raise ValueError(
-            f"unsupported float WAV bit depth {bits} (32-bit only)"
+            f"unsupported float WAV bit depth {bits} (32/64-bit only)"
         )
-    if tag == 1 and bits not in (8, 16):
-        raise ValueError(f"unsupported WAV bit depth {bits} (8/16 PCM)")
+    if tag == 1 and bits not in (8, 16, 24, 32):
+        raise ValueError(
+            f"unsupported WAV bit depth {bits} (8/16/24/32 PCM)"
+        )
     if block_align != ch * bits // 8:
         raise ValueError(
             f"WAV block align {block_align} inconsistent with"
@@ -149,14 +186,30 @@ def decode_wav(payload: bytes):
         )
     n_frames = len(data) // block_align
     if tag == 3:
-        samples = np.frombuffer(data, dtype="<f4").reshape(
-            n_frames, ch
-        ).astype(np.float32)
-        return ch, rate, bits, samples
-    dt = np.uint8 if bits == 8 else np.dtype("<i2")
+        dt = "<f4" if bits == 32 else "<f8"
+        samples = np.frombuffer(data, dtype=dt).reshape(n_frames, ch)
+        return ch, rate, bits, samples.astype(
+            np.float32 if bits == 32 else np.float64
+        )
+    if bits == 24:
+        # 3-byte LE frames sign-extended to int32: numpy has no 3-byte
+        # dtype, so widen via a uint8 view (b0 | b1<<8 | b2<<16, then
+        # shift-extend the sign through bit 23)
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = (v << 8) >> 8
+        return ch, rate, bits, v.reshape(n_frames, ch)
+    dt = {8: np.dtype(np.uint8), 16: np.dtype("<i2"),
+          32: np.dtype("<i4")}[bits]
     samples = np.frombuffer(data, dtype=dt).reshape(n_frames, ch)
     if bits == 16:
         samples = samples.astype(np.int16)
+    elif bits == 32:
+        samples = samples.astype(np.int32)
     return ch, rate, bits, samples
 
 
@@ -311,12 +364,22 @@ def encode_wav_adpcm(samples, rate: int, block_words: int = 2) -> bytes:
     )
 
 
-def encode_wav(samples, rate: int, bits: int = 16, extra_chunk=None) -> bytes:
+def encode_wav(
+    samples,
+    rate: int,
+    bits: int = 16,
+    extra_chunk=None,
+    extensible: bool = False,
+    int32: bool = False,
+) -> bytes:
     """WAV writer for (n_frames, n_channels) samples (uint8 for 8-bit,
-    int16 for 16-bit, float32 for 32-bit — written as format tag 3,
-    IEEE float). ``extra_chunk`` optionally injects a (ckid, body)
-    pair before the data chunk — the decoder must skip it (and its
-    odd-size pad byte) by framing."""
+    int16 for 16-bit, int32 for 24-bit — low 3 bytes written — and for
+    32-bit when ``int32`` is set, float32/float64 for 32/64-bit
+    otherwise, written as format tag 3 IEEE float). ``extensible``
+    wraps the format as WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE + SubFormat
+    GUID, full-container valid bits — round 14). ``extra_chunk``
+    optionally injects a (ckid, body) pair before the data chunk — the
+    decoder must skip it (and its odd-size pad byte) by framing."""
     samples = np.asarray(samples)
     if samples.ndim != 2:
         raise ValueError(
@@ -328,16 +391,31 @@ def encode_wav(samples, rate: int, bits: int = 16, extra_chunk=None) -> bytes:
         body = samples.astype(np.uint8).tobytes()
     elif bits == 16:
         body = samples.astype("<i2").tobytes()
+    elif bits == 24:
+        v = samples.astype("<i4").reshape(-1)
+        b4 = v.view(np.uint8).reshape(-1, 4)
+        body = np.ascontiguousarray(b4[:, :3]).tobytes()
+    elif bits == 32 and int32:
+        body = samples.astype("<i4").tobytes()
     elif bits == 32:
         tag = 3
         body = samples.astype("<f4").tobytes()
+    elif bits == 64:
+        tag = 3
+        body = samples.astype("<f8").tobytes()
     else:
         raise ValueError(
-            f"encode_wav bits must be 8, 16, or 32 (float), got {bits}"
+            f"encode_wav bits must be 8, 16, 24, 32, or 64, got {bits}"
         )
     block_align = ch * bits // 8
-    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * block_align,
-                      block_align, bits)
+    if extensible:
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, ch, rate, rate * block_align,
+            block_align, bits, 22, bits, 0,
+        ) + struct.pack("<H", tag) + b"\x00\x00" + _EXT_GUID_TAIL
+    else:
+        fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * block_align,
+                          block_align, bits)
     chunks = bytearray()
     chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     if extra_chunk is not None:

@@ -86,6 +86,12 @@ _SEEDS = {
         ),
         decode_tiff,
     ),
+    # round 14 (late session): planar configuration 2 — per-plane strip
+    # bookkeeping under mutation
+    "tiff_planar": (
+        encode_tiff(_PX, planar=True, rows_per_strip=2, deflate=True),
+        decode_tiff,
+    ),
     "wav": (
         encode_wav(_SAMPLES, 8000, extra_chunk=(b"LIST", b"abc")),
         decode_wav,
@@ -108,6 +114,15 @@ _SEEDS = {
     # block headers, nibble words, fact trimming)
     "wav_adpcm": (
         encode_wav_adpcm(_SAMPLES // 4, 8000, block_words=2),
+        decode_wav,
+    ),
+    # round 14 (late session): WAVE_FORMAT_EXTENSIBLE wrapping 24-bit
+    # PCM — GUID validation, valid-bits check, 3-byte frame widening
+    "wav_ext24": (
+        encode_wav(
+            (_SAMPLES.astype(np.int32) << 7), 8000, bits=24,
+            extensible=True,
+        ),
         decode_wav,
     ),
 }

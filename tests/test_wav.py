@@ -142,21 +142,27 @@ def test_float_fail_loud_contract():
     vals = np.zeros((4, 1), dtype=np.float32)
     blob = bytearray(encode_wav(vals, 8000, bits=32))
     i = blob.index(b"fmt ") + 8
-    # tag 3 with a non-32 bit depth is loud (64-bit float unsupported)
+    # tag 3 with an integer-class bit depth is loud (64-bit float IS
+    # supported since late round 14; 16 under tag 3 is not)
     bad = bytearray(blob)
-    struct.pack_into("<H", bad, i + 14, 64)
-    struct.pack_into("<H", bad, i + 12, 8)      # block align 1ch x 64b
+    struct.pack_into("<H", bad, i + 14, 16)
+    struct.pack_into("<H", bad, i + 12, 2)      # block align 1ch x 16b
     with pytest.raises(ValueError, match="float WAV bit depth"):
         decode_wav(bytes(bad))
-    # ADPCM (tag 2) and extensible (0xFFFE) stay loud
-    for tag in (2, 0xFFFE):
-        bad = bytearray(blob)
-        struct.pack_into("<H", bad, i, tag)
-        with pytest.raises(ValueError, match="format tag"):
-            decode_wav(bytes(bad))
-    # encode rejects unknown depths
+    # Microsoft ADPCM (tag 2) stays loud; extensible (0xFFFE) is now a
+    # real container and dies on ITS OWN check (a 16-byte PCM fmt can't
+    # carry the 40-byte extensible layout)
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, i, 2)
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(bytes(bad))
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, i, 0xFFFE)
+    with pytest.raises(ValueError, match="40-byte"):
+        decode_wav(bytes(bad))
+    # encode rejects unknown depths (24 is supported since late r14)
     with pytest.raises(ValueError, match="bits must be"):
-        encode_wav(vals, 8000, bits=24)
+        encode_wav(vals, 8000, bits=12)
 
 
 # --- round 14: IMA ADPCM (format tag 0x11) ---
@@ -316,3 +322,80 @@ def test_adpcm_predictor_clamps_at_int16_bounds():
         _, _, _, out = decode_wav(blob)
         assert out[-1, 0] == want
         assert abs(out[:, 0].astype(np.int32)).max() <= 32768
+
+
+# --- round 14 (late): 24/32-bit int, float64, WAVE_FORMAT_EXTENSIBLE ---
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 60),
+    ch=st.integers(1, 6),
+    layout=st.sampled_from(["i24", "i32", "f64", "i24x", "f32x"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wide_layout_roundtrip_property(n, ch, layout, seed):
+    rng = np.random.RandomState(seed)
+    if layout in ("i24", "i24x"):
+        sig = rng.randint(-(1 << 23), 1 << 23, (n, ch)).astype(np.int32)
+        blob = encode_wav(sig, 48000, bits=24, extensible=layout == "i24x")
+        want_bits, want_dtype = 24, np.int32
+    elif layout == "i32":
+        sig = rng.randint(-(1 << 31), (1 << 31) - 1, (n, ch)).astype(
+            np.int32
+        )
+        blob = encode_wav(sig, 48000, bits=32, int32=True)
+        want_bits, want_dtype = 32, np.int32
+    elif layout == "f64":
+        sig = rng.standard_normal((n, ch))
+        blob = encode_wav(sig, 48000, bits=64)
+        want_bits, want_dtype = 64, np.float64
+    else:
+        sig = rng.standard_normal((n, ch)).astype(np.float32)
+        blob = encode_wav(sig, 48000, bits=32, extensible=True)
+        want_bits, want_dtype = 32, np.float32
+    got_ch, rate, bits, out = decode_wav(blob)
+    assert (got_ch, rate, bits) == (ch, 48000, want_bits)
+    assert out.dtype == want_dtype
+    assert np.array_equal(out, sig)
+
+
+def test_wav_24bit_sign_extension_exact():
+    # the widen path must sign-extend bit 23, not zero-fill: -1 is
+    # 0xFFFFFF on the wire, +max is 0x7FFFFF
+    sig = np.array([[-1], [-(1 << 23)], [(1 << 23) - 1], [0]], np.int32)
+    blob = encode_wav(sig, 8000, bits=24)
+    data_off = blob.index(b"data") + 8
+    assert blob[data_off : data_off + 3] == b"\xff\xff\xff"
+    _, _, _, out = decode_wav(blob)
+    assert out[:, 0].tolist() == [-1, -(1 << 23), (1 << 23) - 1, 0]
+
+
+def test_extensible_fail_loud_contract():
+    sig = np.zeros((4, 2), dtype=np.int16)
+    good = bytearray(encode_wav(sig, 8000, bits=16, extensible=True))
+    FMT = 20
+    # foreign SubFormat GUID tail
+    bad = bytearray(good)
+    bad[FMT + 30] ^= 0xFF
+    with pytest.raises(ValueError, match="GUID"):
+        decode_wav(bytes(bad))
+    # non-PCM subformat (a-law = 6)
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, FMT + 24, 6)
+    with pytest.raises(ValueError, match="subformat 6"):
+        decode_wav(bytes(bad))
+    # sub-container valid bits (20 valid in a 24-bit container class)
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, FMT + 18, 12)
+    with pytest.raises(ValueError, match="valid bits"):
+        decode_wav(bytes(bad))
+    # truncated extensible fmt (16-byte fmt with tag 0xFFFE)
+    fmt16 = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", 16) + fmt16
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="40-byte"):
+        decode_wav(blob)

@@ -93,6 +93,11 @@ _R14_PINNED: tuple[str, ...] = (
     # construction with a linear-in-P0 exact oracle (inline C_k
     # replay of the public IMA shift-add recipe)
     "mm_decode_adpcm",
+    # NEW in r14 (late session): lossless WebP (VP8L) — prefix codes,
+    # LZ77 + color cache, subtract-green, through the real
+    # operators/webp.py encoder/decoder pair; lossless, so the hex
+    # oracle replays channel sums exactly
+    "mm_decode_webp",
 )
 
 _WINDOW_SIZE = 50

@@ -222,10 +222,13 @@ BENCH_QUERIES = [
     "mm_audio_windows",
     "mm_corpus_manifest",
     # appended round 14 (late session): the palette+deflate TIFF path
-    # (ColorMap read + zlib strips per item) and the IMA ADPCM block
-    # decode (the audio modality's first compressed format)
+    # (ColorMap read + zlib strips per item), the IMA ADPCM block
+    # decode (the audio modality's first compressed format), and the
+    # VP8L lossless-WebP path (prefix codes + LZ77 + cache +
+    # subtract-green per item)
     "mm_decode_tiff_palette",
     "mm_decode_adpcm",
+    "mm_decode_webp",
 ]
 
 

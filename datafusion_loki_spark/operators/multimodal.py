@@ -891,10 +891,14 @@ def decode_image(payload: bytes):
     zlib + numpy unfilter, all supported layouts incl. palette/
     grayscale/Adam7), baseline AND progressive JPEG (pure-python
     Huffman + numpy IDCT, operators/jpeg.py), GIF87a/89a (variable-
-    width LZW, operators/gif.py), and baseline TIFF (both byte orders,
-    strips, PackBits — operators/tiff.py, round 13). Only genuinely
-    PIL-gated formats (WebP, AVIF, ...) hit the clearly-marked loud
-    gate — the swap-in point for PIL/libvips on a real cluster."""
+    width LZW, operators/gif.py), baseline TIFF (both byte orders,
+    strips, PackBits/LZW/deflate — operators/tiff.py, rounds 13-14),
+    and lossless WebP (VP8L prefix codes + LZ77 + color cache + all
+    four transforms — operators/webp.py, late round 14; the lossy
+    'VP8 ' form raises ITS decoder's loud ValueError, never a fake).
+    Only genuinely PIL-gated formats (lossy WebP via the dispatch's
+    webp branch, AVIF, ...) hit the clearly-marked loud gate — the
+    swap-in point for PIL/libvips on a real cluster."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)[2]
     if payload[:2] == b"BM":
@@ -913,6 +917,10 @@ def decode_image(payload: bytes):
         from datafusion_loki_spark.operators.gif import decode_gif
 
         return decode_gif(payload)[2]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from datafusion_loki_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)[2]
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
@@ -3202,6 +3210,102 @@ def mm_decode_tiff_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_WEBP_W, _MM_WEBP_H = 6, 4
+_MM_WEBP_NEED = _MM_WEBP_W * _MM_WEBP_H * 4  # 96 bytes of RGBA
+
+
+def mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode in the registry (late round 14
+    — the format that retires the PIL gate's loudest remaining entry).
+    Construction: the payload's first 96 bytes become a 6x4 RGBA image
+    written through the REAL VP8L writer with the color cache, the
+    run-length LZ77 (alternating plain and neighbor-map distance
+    codes), AND the subtract-green transform enabled, then decoded by
+    the full operators/webp.py path (prefix codes, cache, back-refs,
+    inverse transform). VP8L is lossless, so the oracle replays the
+    per-channel sums straight from payload hex — a prefix-code slip, a
+    cache hash mismatch, a backref copy bug, or a subtract-green
+    inversion error hash-mismatches.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, narrow output columns,
+    no shuffle after the scan."""
+    from datafusion_loki_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_WEBP_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sr, sg, sb, sa = [], [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                px = np.frombuffer(
+                    bytes(b)[:_MM_WEBP_NEED], dtype=np.uint8
+                ).reshape(_MM_WEBP_H, _MM_WEBP_W, 4)
+                w, h, arr = decode_webp(
+                    encode_webp_lossless(
+                        px, cache_bits=5, lz77=True, subtract_green=True
+                    )
+                )
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(arr[:, :, 0].sum(dtype="int64")))
+                sg.append(int(arr[:, :, 1].sum(dtype="int64")))
+                sb.append(int(arr[:, :, 2].sum(dtype="int64")))
+                sa.append(int(arr[:, :, 3].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": ws,
+                        "height": hs,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                        "sum_a": sa,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long, sum_a long",
+    )
+
+
+def _webp_channel_sum_duck(ch: int) -> str:
+    return (
+        "list_sum(list_transform(generate_series(0,"
+        f" {_MM_WEBP_W * _MM_WEBP_H - 1}),"
+        f" i -> {_hexpair_duck(f'4 * i + {ch}')}))"
+    )
+
+
+ORACLE_MM_DECODE_WEBP = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_WEBP_NEED}
+)
+SELECT doc_id,
+       {_MM_WEBP_W} AS width, {_MM_WEBP_H} AS height,
+       CAST({_webp_channel_sum_duck(0)} AS BIGINT) AS sum_r,
+       CAST({_webp_channel_sum_duck(1)} AS BIGINT) AS sum_g,
+       CAST({_webp_channel_sum_duck(2)} AS BIGINT) AS sum_b,
+       CAST({_webp_channel_sum_duck(3)} AS BIGINT) AS sum_a
+FROM m
+"""
+
+
 # multi-page TIFF construction: page 0 = 7x5 RGB from bytes [0, 105),
 # page 1 = 5x3 GRAYSCALE from [105, 120) — mixed layouts through one
 # IFD chain (big-endian, PackBits, 2-row strips)
@@ -4118,6 +4222,7 @@ QUERIES = {
     "mm_decode_tiff_palette": mm_decode_tiff_palette,
     "mm_decode_tiff_pages": mm_decode_tiff_pages,
     "mm_decode_adpcm": mm_decode_adpcm,
+    "mm_decode_webp": mm_decode_webp,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
     "mm_decode_bmp": mm_decode_bmp,
@@ -4160,6 +4265,7 @@ ORACLES = {
     "mm_decode_tiff_palette": ORACLE_MM_DECODE_GIF,
     "mm_decode_tiff_pages": ORACLE_MM_DECODE_TIFF_PAGES,
     "mm_decode_adpcm": ORACLE_MM_DECODE_ADPCM,
+    "mm_decode_webp": ORACLE_MM_DECODE_WEBP,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,

@@ -464,7 +464,9 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
         (b"II\x2a\x00", "tiff"),
         (b"MM\x00\x2a", "tiff"),
         (b"RIFF", "wav"),  # round 14: the audio modality is admitted
-        # too — verified as RIFF/WAVE below, decoded by decode_wav
+        # too — verified as RIFF/WAVE below, decoded by decode_wav;
+        # RIFF/WEBP re-sniffs to 'webp' below (late round 14: real
+        # VP8L decode through the image dispatch)
     )
 
     from pyspark.sql.types import (
@@ -501,7 +503,10 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
                     "unknown",
                 )
                 if fmt == "wav" and blob[8:12] != b"WAVE":
-                    fmt = "unknown"  # RIFF but not a WAVE form (AVI, ...)
+                    if blob[8:12] == b"WEBP":
+                        fmt = "webp"  # image path via decode_image
+                    else:
+                        fmt = "unknown"  # RIFF, not WAVE/WEBP (AVI, ...)
                 if fmt == "unknown":
                     ok, n = False, None
                 elif fmt == "wav":

@@ -31,6 +31,10 @@ from datafusion_loki_spark.operators.wav import (
     encode_wav,
     encode_wav_adpcm,
 )
+from datafusion_loki_spark.operators.webp import (
+    decode_webp,
+    encode_webp_lossless,
+)
 
 _RNG = np.random.RandomState(0)
 _PX = _RNG.randint(0, 256, (5, 7, 3)).astype(np.uint8)
@@ -124,6 +128,25 @@ _SEEDS = {
             extensible=True,
         ),
         decode_wav,
+    ),
+    # round 14 (late session): VP8L — prefix-code tables, LZ77,
+    # color cache, and the transform chain under mutation
+    "webp": (
+        encode_webp_lossless(
+            np.repeat(_PX, 2, axis=1), cache_bits=4, lz77=True,
+            subtract_green=True,
+        ),
+        decode_webp,
+    ),
+    "webp_palette": (
+        encode_webp_lossless(
+            (_PX[:, :, 0] % 16).astype(np.uint8),
+            palette=np.hstack(
+                [_PAL, np.full((16, 1), 255, np.uint8)]
+            ),
+            meta_bits=2,
+        ),
+        decode_webp,
     ),
 }
 

@@ -3406,20 +3406,24 @@ FROM m
 
 
 _MM_VAL_NEED = 120  # the largest per-format construction need
-# pixels per decoded item by format index (doc_id % 6)
-_MM_VAL_PIXELS = {0: 40, 1: 35, 2: 40, 3: 2560, 4: 35, 5: 35}
-_MM_VAL_FMT = {0: "ppm", 1: "bmp", 2: "png", 3: "jpeg", 4: "gif", 5: "tiff"}
+# pixels per decoded item by format index (doc_id % 7)
+_MM_VAL_PIXELS = {0: 40, 1: 35, 2: 40, 3: 2560, 4: 35, 5: 35, 6: 24}
+_MM_VAL_FMT = {
+    0: "ppm", 1: "bmp", 2: "png", 3: "jpeg", 4: "gif", 5: "tiff",
+    6: "webp",
+}
 
 
 def mm_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode family's CORPUS-QA face (round 12; round 13 adds
-    TIFF): every payload becomes a real file in one of the six
-    pure-decoder formats (doc_id % 6 -> PPM / BMP / PNG / baseline
-    JPEG / interlaced GIF / big-endian PackBits TIFF, each the
-    registry twin's construction), every third item is CORRUPTED
-    (truncated by two bytes — drops PPM/BMP pixel bytes, the PNG IEND
-    CRC, the JPEG EOI, the GIF terminator+trailer, the TIFF final
-    strip's tail), and the
+    TIFF; late round 14 adds VP8L): every payload becomes a real file
+    in one of the SEVEN pure-decoder formats (doc_id % 7 -> PPM / BMP
+    / PNG / baseline JPEG / interlaced GIF / big-endian PackBits TIFF
+    / lossless WebP, each the registry twin's construction), every
+    third item is CORRUPTED (truncated by two bytes — drops PPM/BMP
+    pixel bytes, the PNG IEND CRC, the JPEG EOI, the GIF
+    terminator+trailer, the TIFF final strip's tail, the WebP RIFF
+    size consistency), and the
     kernel routes each blob through the decode_image DISPATCH,
     emitting (fmt, ok, n_pixels). This is the admission gate a real
     ingest pipeline runs — and the end-to-end proof of the family's
@@ -3434,6 +3438,7 @@ def mm_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_loki_spark.operators.gif import encode_gif
     from datafusion_loki_spark.operators.jpeg import encode_jpeg
     from datafusion_loki_spark.operators.tiff import encode_tiff
+    from datafusion_loki_spark.operators.webp import encode_webp_lossless
 
     media = media_table(spark, sf_dir).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_VAL_NEED)
@@ -3490,18 +3495,25 @@ def mm_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     % MM_PAL_ENTRIES
                 ).reshape(MM_PAL_H, MM_PAL_W)
                 return encode_gif(ix, pal, interlace=True)
+            if fmt == 5:
+                px = np.frombuffer(
+                    raw[:_MM_TIFF_NEED], dtype=np.uint8
+                ).reshape(_MM_TIFF_H, _MM_TIFF_W, 3)
+                return encode_tiff(
+                    px, big_endian=True, rows_per_strip=2, packbits=True
+                )
             px = np.frombuffer(
-                raw[:_MM_TIFF_NEED], dtype=np.uint8
-            ).reshape(_MM_TIFF_H, _MM_TIFF_W, 3)
-            return encode_tiff(
-                px, big_endian=True, rows_per_strip=2, packbits=True
+                raw[:_MM_WEBP_NEED], dtype=np.uint8
+            ).reshape(_MM_WEBP_H, _MM_WEBP_W, 4)
+            return encode_webp_lossless(
+                px, cache_bits=4, lz77=True, subtract_green=True
             )
 
         for pdf in batches:
             ids, fmts, oks, npx = [], [], [], []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
                 did = int(did)
-                fmt = did % 6
+                fmt = did % 7
                 blob = build(fmt, bytes(b))
                 if did % 3 == 0:
                     blob = blob[:-2]  # planted corruption
@@ -3531,18 +3543,20 @@ def mm_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MM_DECODE_VALIDATE = f"""
 SELECT doc_id,
-       CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+       CASE doc_id % 7 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
             WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
-            WHEN 4 THEN 'gif' ELSE 'tiff' END AS fmt,
+            WHEN 4 THEN 'gif' WHEN 5 THEN 'tiff'
+            ELSE 'webp' END AS fmt,
        doc_id % 3 <> 0 AS ok,
        CASE WHEN doc_id % 3 = 0 THEN NULL
-            ELSE CAST(CASE doc_id % 6
+            ELSE CAST(CASE doc_id % 7
                  WHEN 0 THEN {_MM_VAL_PIXELS[0]}
                  WHEN 1 THEN {_MM_VAL_PIXELS[1]}
                  WHEN 2 THEN {_MM_VAL_PIXELS[2]}
                  WHEN 3 THEN {_MM_VAL_PIXELS[3]}
                  WHEN 4 THEN {_MM_VAL_PIXELS[4]}
-                 ELSE {_MM_VAL_PIXELS[5]} END AS BIGINT) END AS n_pixels
+                 WHEN 5 THEN {_MM_VAL_PIXELS[5]}
+                 ELSE {_MM_VAL_PIXELS[6]} END AS BIGINT) END AS n_pixels
 FROM documents
 WHERE text IS NOT NULL
   AND octet_length(encode(text)) >= {_MM_VAL_NEED}

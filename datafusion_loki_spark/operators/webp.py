@@ -70,13 +70,45 @@ class _BitReader:
     """LSB-first bit reader over the VP8L stream. Reading past the end
     is the decoder's own loud error (never an IndexError)."""
 
-    __slots__ = ("data", "pos", "acc", "nbits")
+    __slots__ = ("data", "pos", "acc", "nbits", "_wl")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self._wl = None
+
+    def bitpos(self) -> int:
+        return self.pos * 8 - self.nbits
+
+    def seek(self, p: int):
+        """Resync the byte-based reader to absolute bit position ``p``
+        (the pixel loops below run on the window list and hand the
+        stream back here for the next header)."""
+        k, o = p >> 3, p & 7
+        if o:
+            self.pos = k + 1
+            self.acc = self.data[k] >> o
+            self.nbits = 8 - o
+        else:
+            self.pos = k
+            self.acc = 0
+            self.nbits = 0
+
+    def windows(self):
+        """(wl, nbits): wl[k] holds bytes 4k..4k+8 as one LITTLE-endian
+        64-bit int (the LSB-first twin of the JPEG decoder's window
+        list), zero-padded 20 bytes past the end so a hot loop may
+        overshoot up to ~128 bits before its per-pixel truncation
+        check fires; nbits is the REAL bit count."""
+        if self._wl is None:
+            n = len(self.data)
+            m = (n + 3) // 4
+            padded = self.data + b"\x00" * (4 * m - n + 20)
+            a = np.frombuffer(padded, dtype="<u4").astype(np.uint64)
+            self._wl = (a[:-1] | (a[1:] << np.uint64(32))).tolist()
+        return self._wl, 8 * len(self.data)
 
     def read(self, n: int) -> int:
         while self.nbits < n:
@@ -89,6 +121,22 @@ class _BitReader:
         self.acc >>= n
         self.nbits -= n
         return v
+
+    def peek(self, n: int) -> int:
+        """Next ``n`` stream bits WITHOUT consuming; past-the-end bits
+        read as 0 (consumption still checks the real bit count — a
+        code that needs the missing bits fails loud in consume)."""
+        while self.nbits < n and self.pos < len(self.data):
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.acc & ((1 << n) - 1)
+
+    def consume(self, n: int):
+        if n > self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        self.acc >>= n
+        self.nbits -= n
 
 
 def _prefix_decode(br: _BitReader, code: int) -> int:
@@ -119,9 +167,15 @@ class _Huff:
     ascending (length, symbol), read MSB-of-code-first out of the
     LSB-first stream). A single-symbol code reads ZERO bits. Built from
     a lengths list; loud on over-subscribed or incomplete codes —
-    except the deliberate single-symbol case."""
+    except the deliberate single-symbol case.
 
-    __slots__ = ("table", "single", "max_len")
+    Decoding is one peek + one list index: the LUT is keyed by the
+    RAW max_len-bit stream window, i.e. the bit-REVERSED code sits in
+    the low bits and every filler pattern above it maps to the same
+    (length, symbol) — so no per-bit tree walk and no reversal at
+    read time (the codec family's JPEG prefix-LUT lesson)."""
+
+    __slots__ = ("lut", "single", "max_len")
 
     def __init__(self, lengths):
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
@@ -129,12 +183,15 @@ class _Huff:
             raise ValueError("VP8L prefix code has no symbols")
         if len(nz) == 1:
             self.single = nz[0][1]
-            self.table = None
+            self.lut = None
             self.max_len = 0
             return
         self.single = None
         nz.sort()
-        table = {}
+        max_len = nz[-1][0]
+        if max_len > 15:
+            raise ValueError("VP8L prefix code length exceeds 15")
+        lut = [None] * (1 << max_len)
         code = 0
         prev_len = nz[0][0]
         kraft = 0
@@ -143,29 +200,44 @@ class _Huff:
             prev_len = ln
             if code >= (1 << ln):
                 raise ValueError("VP8L prefix code over-subscribed")
-            table[(ln, code)] = sym
-            kraft += 1 << (15 - ln) if ln <= 15 else 0
+            kraft += 1 << (15 - ln)
+            rev = 0
+            c = code
+            for _ in range(ln):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            entry = (ln, sym)
+            for filler in range(1 << (max_len - ln)):
+                lut[rev | (filler << ln)] = entry
             code += 1
-        if ln > 15:
-            raise ValueError("VP8L prefix code length exceeds 15")
         if kraft != (1 << 15):
             raise ValueError("VP8L prefix code incomplete")
-        self.table = table
-        self.max_len = ln
+        self.lut = lut
+        self.max_len = max_len
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        ln = 0
-        table = self.table
-        while ln <= self.max_len:
-            code = (code << 1) | br.read(1)
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid VP8L prefix code")
+        ln, sym = self.lut[br.peek(self.max_len)]
+        br.consume(ln)
+        return sym
+
+
+# decoded-table cache: real corpora repeat code tables across items
+# (and the registry face's fixed-table construction repeats them
+# exactly), so the LUT build — the dominant per-small-item cost — runs
+# once per distinct table (the JPEG _COMB_CACHE discipline)
+_HUFF_CACHE: dict = {}
+
+
+def _huff_cached(lengths) -> _Huff:
+    key = tuple(lengths)
+    h = _HUFF_CACHE.get(key)
+    if h is None:
+        h = _Huff(lengths)
+        if len(_HUFF_CACHE) < 64:
+            _HUFF_CACHE[key] = h
+    return h
 
 
 def _read_code_lengths(br: _BitReader, alphabet: int) -> list:
@@ -177,7 +249,7 @@ def _read_code_lengths(br: _BitReader, alphabet: int) -> list:
         raise ValueError("VP8L declares more than 19 code-length codes")
     for i in range(n):
         clc_lens[_CLC_ORDER[i]] = br.read(3)
-    clc = _Huff(clc_lens)
+    clc = _huff_cached(clc_lens)
     if br.read(1):  # use length / max_symbol short-circuit
         length_nbits = 2 + 2 * br.read(3)
         max_symbol = 2 + br.read(length_nbits)
@@ -230,7 +302,7 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _Huff:
         if num == 1:
             h = _Huff.__new__(_Huff)  # single-symbol: 0-bit read
             h.single = s0
-            h.table = None
+            h.lut = None
             h.max_len = 0
             return h
         s1 = br.read(8)
@@ -239,9 +311,9 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _Huff:
         lengths = [0] * alphabet
         lengths[s0] = 1
         lengths[s1] = 1
-        return _Huff(lengths)
+        return _huff_cached(lengths)
     lengths = _read_code_lengths(br, alphabet)
-    return _Huff(lengths)
+    return _huff_cached(lengths)
 
 
 def _read_group(br: _BitReader, cache_size: int):
@@ -278,37 +350,77 @@ def _decode_pixels(br: _BitReader, w: int, h: int, is_main: bool):
         groups_n = int(meta.max()) + 1
         meta_shift = meta_bits
     groups = [_read_group(br, cache_size) for _ in range(groups_n)]
+
+    def flat(huff):
+        """(mask, lut) with single-symbol codes normalized to a 1-entry
+        LUT at mask 0 — the hot loop needs no branch for them."""
+        if huff.single is not None:
+            return 0, [(0, huff.single)]
+        return (1 << huff.max_len) - 1, huff.lut
+
+    gflat = [tuple(flat(huff) for huff in grp) for grp in groups]
     cache = [0] * cache_size
-    out = np.zeros(w * h, dtype=np.uint32)
+    out = [0] * (w * h)
     npx = w * h
     i = 0
     mw = -(-w // (1 << meta_shift)) if meta is not None else 0
-    g_green, g_r, g_b, g_a, g_d = groups[0]
+    (gmask, glut), (rmask, rlut), (bmask, blut), (amask, alut), \
+        (dmask, dlut) = gflat[0]
     last_block = -1
+    # hot loop on the 64-bit window list (LSB-first: any <=19-bit read
+    # at bit position p is one shift off wl[p >> 5]); the truncation
+    # check runs once per decoded symbol group — the windows are
+    # zero-padded far enough that the bounded overshoot stays in range
+    wl, nbits = br.windows()
+    p = br.bitpos()
     while i < npx:
         if meta is not None:
-            x = i % w
-            y = i // w
-            block = (y >> meta_shift) * mw + (x >> meta_shift)
+            block = ((i // w) >> meta_shift) * mw + ((i % w) >> meta_shift)
             if block != last_block:
                 gi = int(meta[block])
                 if gi >= groups_n:
                     raise ValueError("VP8L meta group index out of range")
-                g_green, g_r, g_b, g_a, g_d = groups[gi]
+                (gmask, glut), (rmask, rlut), (bmask, blut), \
+                    (amask, alut), (dmask, dlut) = gflat[gi]
                 last_block = block
-        s = g_green.read(br)
+        ln, s = glut[(wl[p >> 5] >> (p & 31)) & gmask]
+        p += ln
         if s < 256:  # literal
-            red = g_r.read(br)
-            blue = g_b.read(br)
-            alpha = g_a.read(br)
+            ln, red = rlut[(wl[p >> 5] >> (p & 31)) & rmask]
+            p += ln
+            ln, blue = blut[(wl[p >> 5] >> (p & 31)) & bmask]
+            p += ln
+            ln, alpha = alut[(wl[p >> 5] >> (p & 31)) & amask]
+            p += ln
+            if p > nbits:
+                raise ValueError("VP8L bitstream truncated")
             px = (alpha << 24) | (red << 16) | (s << 8) | blue
             out[i] = px
             i += 1
             if cache_size:
                 cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
         elif s < 256 + _GREEN_EXTRA:  # back-reference
-            length = _prefix_decode(br, s - 256)
-            dcode = _prefix_decode(br, g_d.read(br))
+            code = s - 256
+            if code < 4:
+                length = code + 1
+            else:
+                extra = (code - 2) >> 1
+                length = ((2 + (code & 1)) << extra) + (
+                    (wl[p >> 5] >> (p & 31)) & ((1 << extra) - 1)
+                ) + 1
+                p += extra
+            ln, dsym = dlut[(wl[p >> 5] >> (p & 31)) & dmask]
+            p += ln
+            if dsym < 4:
+                dcode = dsym + 1
+            else:
+                extra = (dsym - 2) >> 1
+                dcode = ((2 + (dsym & 1)) << extra) + (
+                    (wl[p >> 5] >> (p & 31)) & ((1 << extra) - 1)
+                ) + 1
+                p += extra
+            if p > nbits:
+                raise ValueError("VP8L bitstream truncated")
             if dcode > 120:
                 dist = dcode - 120
             else:
@@ -321,25 +433,32 @@ def _decode_pixels(br: _BitReader, w: int, h: int, is_main: bool):
             if i + length > npx:
                 raise ValueError("VP8L back-reference overruns the image")
             if cache_size:
-                for k in range(length):
-                    px = int(out[i - dist + k])
-                    out[i + k] = px
+                for k in range(i - dist, i - dist + length):
+                    px = out[k]
+                    out[i] = px
+                    i += 1
                     cache[
                         (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
                     ] = px
             elif dist >= length:
                 out[i : i + length] = out[i - dist : i - dist + length]
+                i += length
             else:
-                for k in range(length):
-                    out[i + k] = out[i - dist + k]
-            i += length
+                for k in range(i - dist, i - dist + length):
+                    out[i] = out[k]
+                    i += 1
         else:  # color cache hit
+            if p > nbits:
+                raise ValueError("VP8L bitstream truncated")
             idx = s - 256 - _GREEN_EXTRA
             if idx >= cache_size:
                 raise ValueError("VP8L cache symbol without a color cache")
             out[i] = cache[idx]
             i += 1
-    return out
+    if p > nbits:
+        raise ValueError("VP8L bitstream truncated")
+    br.seek(p)
+    return np.asarray(out, dtype=np.uint32)
 
 
 # --- transforms (inverse, applied in reverse order) ---------------------------
@@ -688,6 +807,34 @@ def _canon_codes(lengths):
     return codes
 
 
+_REV_CODES_CACHE: dict = {}
+
+
+def _canon_codes_rev(lengths):
+    """symbol -> (bit-reversed code, length): MSB-of-code-first in an
+    LSB-first stream means one put() of the reversed code — the
+    encoder's per-bit put_code loop measured as the face's dominant
+    cost. Cached by lengths (the fixed tables repeat per item)."""
+    key = tuple(lengths)
+    hit = _REV_CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = {}
+    for sym, (code, ln) in _canon_codes(lengths).items():
+        rev = 0
+        c = code
+        for _ in range(ln):
+            rev = (rev << 1) | (c & 1)
+            c >>= 1
+        out[sym] = (rev, ln)
+    if len(_REV_CODES_CACHE) < 64:
+        _REV_CODES_CACHE[key] = out
+    return out
+
+
+_FIXED_LEN_CACHE: dict = {}
+
+
 def _fixed_lengths(alphabet: int) -> list:
     """A COMPLETE (Kraft == 1) near-uniform length table: {L, L+1} for
     general sizes, {L-1, L, L+1} when the alphabet is an exact power
@@ -695,6 +842,9 @@ def _fixed_lengths(alphabet: int) -> list:
     single symbol — a corner this encoder deliberately avoids)."""
     if alphabet < 4:
         raise ValueError("fixed-length table needs alphabet >= 4")
+    hit = _FIXED_LEN_CACHE.get(alphabet)
+    if hit is not None:
+        return hit
     L = (alphabet - 1).bit_length() - 1  # 2^L < alphabet <= 2^(L+1)
     if alphabet == 1 << (L + 1):  # exact power of two
         L += 1
@@ -702,12 +852,16 @@ def _fixed_lengths(alphabet: int) -> list:
         lengths[0] = L - 1
         lengths[-1] = L + 1
         lengths[-2] = L + 1
+        if len(_FIXED_LEN_CACHE) < 16:
+            _FIXED_LEN_CACHE[alphabet] = lengths
         return lengths
     n_short = (1 << (L + 2)) - alphabet - alphabet  # solve 2a+b form
     # lengths L+1 ("short") and L+2 would overshoot; derive directly:
     # n_L/2^L + n_{L+1}/2^{L+1} = 1 with n_L + n_{L+1} = alphabet
     n_L = (1 << (L + 1)) - alphabet
     lengths = [L] * n_L + [L + 1] * (alphabet - n_L)
+    if len(_FIXED_LEN_CACHE) < 16:
+        _FIXED_LEN_CACHE[alphabet] = lengths
     return lengths
 
 
@@ -737,10 +891,10 @@ def _write_code_lengths(bw: _BitWriter, lengths):
     for i in range(num):
         bw.put(clc_lens[_CLC_ORDER[i]], 3)
     bw.put(0, 1)  # no max_symbol short-circuit
-    clc_codes = _canon_codes(clc_lens)
+    clc_codes = _canon_codes_rev(clc_lens)
     for ln in lengths:
         c, n = clc_codes[ln]
-        bw.put_code(c, n)
+        bw.put(c, n)
 
 
 def _write_pixels(
@@ -795,9 +949,9 @@ def _write_pixels(
         dl = d_lens if gi == 0 else list(reversed(d_lens))
         for lens in (gl, cl, cl, cl, dl):
             _write_code_lengths(bw, lens)
-        g_codes_g.append(_canon_codes(gl))
-        c_codes_g.append(_canon_codes(cl))
-        d_codes_g.append(_canon_codes(dl))
+        g_codes_g.append(_canon_codes_rev(gl))
+        c_codes_g.append(_canon_codes_rev(cl))
+        d_codes_g.append(_canon_codes_rev(dl))
     g_codes, c_codes, d_codes = g_codes_g[0], c_codes_g[0], d_codes_g[0]
     cache = [0] * cache_size
     n = len(argb)
@@ -817,7 +971,7 @@ def _write_pixels(
             if run >= 3:
                 sym, extra, n_extra = _prefix_encode(run)
                 c, ln = g_codes[256 + sym]
-                bw.put_code(c, ln)
+                bw.put(c, ln)
                 if n_extra:
                     bw.put(extra, n_extra)
                 # distance 1 both ways: neighbor (1, 0) = code 2, or
@@ -826,7 +980,7 @@ def _write_pixels(
                 backref_toggle ^= 1
                 dsym, dextra, dn = _prefix_encode(dcode)
                 c, ln = d_codes[dsym]
-                bw.put_code(c, ln)
+                bw.put(c, ln)
                 if dn:
                     bw.put(dextra, dn)
                 if cache_size:
@@ -842,16 +996,16 @@ def _write_pixels(
             idx = (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
             if cache[idx] == px:
                 c, ln = g_codes[256 + _GREEN_EXTRA + idx]
-                bw.put_code(c, ln)
+                bw.put(c, ln)
                 i += 1
                 continue
             cache[idx] = px
         g = (px >> 8) & 0xFF
         c, ln = g_codes[g]
-        bw.put_code(c, ln)
+        bw.put(c, ln)
         for ch in ((px >> 16) & 0xFF, px & 0xFF, (px >> 24) & 0xFF):
             c, ln = c_codes[ch]
-            bw.put_code(c, ln)
+            bw.put(c, ln)
         i += 1
 
 

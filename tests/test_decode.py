@@ -149,12 +149,22 @@ def test_decode_image_dispatches_to_pure_parsers():
     assert decode_image(gg)[0, 0].tolist() == [9, 8, 7]
     with pytest.raises(ValueError):
         decode_image(b"GIF89a not really a gif")
-    # formats with no pure parser still hit the loud PIL gate (WebP)
+    # lossless WebP dispatches to the pure VP8L decoder since late
+    # round 14 — malformed bytes fail ITS loud contract, not the gate
+    from datafusion_loki_spark.operators.webp import encode_webp_lossless
+
+    ww = encode_webp_lossless(np.array([[[5, 6, 7]]], dtype=np.uint8))
+    assert decode_image(ww)[0, 0].tolist() == [5, 6, 7, 255]
+    with pytest.raises(ValueError):
+        decode_image(b"RIFF\x08\x00\x00\x00WEBP not really")
+    # formats with no pure parser still hit the loud PIL gate (AVIF)
     try:
         import PIL  # noqa: F401
     except ImportError:
         with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image(b"RIFF\x00\x00\x00\x00WEBP not really")
+            decode_image(
+                b"\x00\x00\x00\x1cftypavif not a real avif box tree"
+            )
 
 
 def test_numpy_reference_cross_check():

@@ -37,6 +37,10 @@ from datafusion_loki_spark.operators.multimodal import (  # noqa: E402
     decode_png,
     encode_png,
 )
+from datafusion_loki_spark.operators.webp import (  # noqa: E402
+    decode_webp,
+    encode_webp_lossless,
+)
 
 
 def _time(fn, reps):
@@ -76,6 +80,13 @@ def main() -> None:
         gif = encode_gif(gray % 16, pal, interlace=True)
         rows.append(("GIF (Python LZW + palette lookup)", label,
                      _time(lambda: decode_gif(gif), 10)))
+
+        px4 = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+        wb = encode_webp_lossless(
+            px4, cache_bits=6, lz77=True, subtract_green=True
+        )
+        rows.append(("WebP VP8L RGBA (Python prefix LUT + cache + LZ77)",
+                     label, _time(lambda: decode_webp(wb), 5)))
 
     print("| decoder / stage | size | ms/item | ms/megapixel |")
     print("|---|---|---|---|")

@@ -179,9 +179,53 @@ def decode_bmp(payload: bytes):
         if not top_down:
             arr = arr[::-1]
         return w, h, arr.copy()
+    if (bpp in (1, 4) and compression == 0) or (
+        bpp == 4 and compression == 2
+    ):
+        # sub-byte indexed (late round 14): MSB-first packing per spec
+        # — 1-bit monochrome-palette and 4-bit 16-color, plus BI_RLE4
+        clr_used = _u32(46) or (1 << bpp)
+        if clr_used > (1 << bpp):
+            raise ValueError(
+                f"BMP palette claims {clr_used} entries at {bpp} bpp"
+            )
+        pal_off = 14 + bi_size
+        quads = payload[pal_off : pal_off + 4 * clr_used]
+        if len(quads) < 4 * clr_used:
+            raise ValueError("BMP palette truncated")
+        pal = np.frombuffer(quads, dtype=np.uint8).reshape(clr_used, 4)
+        pal_rgb = pal[:, 2::-1].copy()
+        if compression == 0:
+            stride = ((w * bpp + 31) // 32) * 4
+            if len(payload) - data_off < stride * h:
+                raise ValueError("BMP pixel block truncated")
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)
+            if bpp == 4:
+                idx = np.empty((h, stride * 2), dtype=np.uint8)
+                idx[:, 0::2] = rows >> 4  # high nibble = left pixel
+                idx[:, 1::2] = rows & 0x0F
+                idx = idx[:, :w]
+            else:
+                idx = np.unpackbits(rows, axis=1)[:, :w]
+        else:
+            if top_down:
+                raise ValueError("BMP RLE4 cannot be top-down (spec)")
+            idx = _bmp_rle4_decode(payload, data_off, w, h)
+        if int(idx.max(initial=0)) >= clr_used:
+            raise ValueError(
+                f"BMP pixel index {int(idx.max())} outside the"
+                f" {clr_used}-entry palette"
+            )
+        arr = pal_rgb[idx]
+        if not top_down:
+            arr = arr[::-1]
+        return w, h, arr.copy()
     raise ValueError(
         f"unsupported BMP layout (bpp={bpp}, compression={compression});"
-        " 24-bit BI_RGB or 8-bit indexed (BI_RGB/BI_RLE8) only"
+        " 24-bit BI_RGB or 1/4/8-bit indexed (BI_RGB/BI_RLE4/BI_RLE8)"
+        " only"
     )
 
 
@@ -250,6 +294,163 @@ def _bmp_rle8_decode(payload: bytes, pos: int, w: int, h: int):
             out[y, x : x + v] = np.frombuffer(lit, dtype=np.uint8)
             x += v
             pos += v + (v & 1)
+
+
+def _bmp_rle4_decode(payload: bytes, pos: int, w: int, h: int):
+    """BI_RLE4 (late round 14, the nibble twin of _bmp_rle8_decode):
+    an encoded run of n pixels ALTERNATES the two nibbles of its value
+    byte (high first); a literal run of v pixels occupies ceil(v/2)
+    bytes padded to a word boundary; the 0-escapes are identical.
+    Same bomb guard: a pair writes at most 255 pixels from 2 bytes."""
+    import numpy as np
+
+    budget = max(1, len(payload) - pos) * 255 // 2
+    if w * h > budget:
+        raise ValueError(
+            f"BMP RLE4 declares {w * h} pixels but its stream can write"
+            f" at most {budget}"
+        )
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    n_pay = len(payload)
+    while True:
+        if pos + 2 > n_pay:
+            raise ValueError("BMP RLE4 stream truncated (no end-of-bitmap)")
+        n, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if n > 0:
+            if y >= h or x + n > w:
+                raise ValueError(
+                    f"BMP RLE4 run overflows row ({x}+{n} > {w} at line {y})"
+                )
+            hi, lo = v >> 4, v & 0x0F
+            out[y, x : x + n : 2] = hi
+            out[y, x + 1 : x + n : 2] = lo
+            x += n
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("BMP RLE4 ran past the last row")
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if pos + 2 > n_pay:
+                raise ValueError("BMP RLE4 delta truncated")
+            dx, dy = payload[pos], payload[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > w or y > h:
+                raise ValueError("BMP RLE4 delta escapes the bitmap")
+        else:  # literal run of v pixels: ceil(v/2) bytes, word-aligned
+            nbytes = (v + 1) // 2
+            lit = payload[pos : pos + nbytes]
+            if len(lit) < nbytes:
+                raise ValueError("BMP RLE4 literal run truncated")
+            if y >= h or x + v > w:
+                raise ValueError(
+                    f"BMP RLE4 literal overflows row ({x}+{v} > {w}"
+                    f" at line {y})"
+                )
+            b = np.frombuffer(lit, dtype=np.uint8)
+            nib = np.empty(nbytes * 2, dtype=np.uint8)
+            nib[0::2] = b >> 4
+            nib[1::2] = b & 0x0F
+            out[y, x : x + v] = nib[:v]
+            x += v
+            pos += nbytes + (nbytes & 1)
+
+
+def encode_bmp_packed(idx, palette, bpp: int = 4, rle: bool = False) -> bytes:
+    """Sub-byte indexed BMP writer (late round 14 — decode_bmp's twin
+    for the 1/4-bit layouts): (h, w) indices over an (n, 3) RGB
+    palette, MSB-first packed rows padded to 4-byte boundaries,
+    bottom-up; ``rle`` writes BI_RLE4 (4-bit only) with encoded runs
+    for >=4-pixel two-value alternations and repeats, word-aligned
+    literal runs otherwise."""
+    import struct as _s
+
+    import numpy as np
+
+    if bpp not in (1, 4):
+        raise ValueError("encode_bmp_packed writes 1 or 4 bpp")
+    if rle and bpp != 4:
+        raise ValueError("RLE is BI_RLE4: 4 bpp only")
+    idx = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    if idx.ndim != 2:
+        raise ValueError(
+            f"encode_bmp_packed needs (h, w) indices, got {idx.shape}"
+        )
+    n = pal.shape[0]
+    if n < 1 or n > (1 << bpp):
+        raise ValueError(f"palette size {n} must be in 1..{1 << bpp}")
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    quads = b"".join(bytes([b, g, r, 0]) for r, g, b in pal.tolist())
+    storage = idx[::-1]
+    if not rle:
+        stride = ((w * bpp + 31) // 32) * 4
+        body = bytearray()
+        for y in range(h):
+            row = storage[y]
+            if bpp == 4:
+                padded = np.zeros(((w + 1) & ~1,), dtype=np.uint8)
+                padded[:w] = row
+                packed = (padded[0::2] << 4) | padded[1::2]
+            else:
+                packed = np.packbits(row)
+            body += packed.tobytes() + b"\x00" * (stride - len(packed))
+        body = bytes(body)
+    else:
+        parts = []
+        for y in range(h):
+            row = storage[y].tolist()
+            i = 0
+            while i < w:
+                # longest two-value alternating run (covers same-value
+                # repeats: a == b) — the encoded-run form
+                a = row[i]
+                b = row[i + 1] if i + 1 < w else a
+                j = i
+                while j < w and j - i < 255 and row[j] == (
+                    a if (j - i) % 2 == 0 else b
+                ):
+                    j += 1
+                if j - i >= 4 or j >= w:
+                    parts.append(bytes([j - i, (a << 4) | b]))
+                    i = j
+                    continue
+                # literal run until the next >=4 alternation
+                lit_end = min(w, i + 254)
+                chunk = row[i:lit_end]
+                nbytes = (len(chunk) + 1) // 2
+                pc = chunk + [0] * (nbytes * 2 - len(chunk))
+                parts.append(
+                    bytes([0, len(chunk)])
+                    + bytes(
+                        (pc[2 * k] << 4) | pc[2 * k + 1]
+                        for k in range(nbytes)
+                    )
+                )
+                if nbytes & 1:
+                    parts.append(b"\x00")
+                i = lit_end
+            parts.append(b"\x00\x00")
+        parts.append(b"\x00\x01")
+        body = b"".join(parts)
+    data_off = 14 + 40 + len(quads)
+    header = (
+        b"BM"
+        + _s.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + _s.pack(
+            "<IiiHHIIiiII",
+            40, w, h, 1, bpp, 2 if rle else 0,
+            len(body), 2835, 2835, n, 0,
+        )
+    )
+    return header + quads + body
 
 
 def encode_bmp8(idx, palette, rle: bool = False) -> bytes:

@@ -23,6 +23,7 @@ from datafusion_loki_spark.operators.multimodal import (
     decode_bmp,
     decode_png,
     encode_bmp8,
+    encode_bmp_packed,
     encode_png,
 )
 from datafusion_loki_spark.operators.tiff import decode_tiff, encode_tiff
@@ -112,6 +113,20 @@ _SEEDS = {
     ),
     "bmp_rle8": (
         encode_bmp8(_PX[:, :, 0].astype(np.uint8) % 16, _PAL, rle=True),
+        decode_bmp,
+    ),
+    # late round 14: the sub-byte layouts — 4-bit BI_RLE4 and packed
+    # 1-bit rows under mutation
+    "bmp_rle4": (
+        encode_bmp_packed(
+            _PX[:, :, 0].astype(np.uint8) % 16, _PAL, bpp=4, rle=True
+        ),
+        decode_bmp,
+    ),
+    "bmp_1bit": (
+        encode_bmp_packed(
+            _PX[:, :, 0].astype(np.uint8) % 2, _PAL[:2], bpp=1
+        ),
         decode_bmp,
     ),
     # round 14 (late session): the IMA ADPCM branch (format tag 0x11 —

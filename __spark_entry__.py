@@ -98,6 +98,10 @@ _R14_PINNED: tuple[str, ...] = (
     # operators/webp.py encoder/decoder pair; lossless, so the hex
     # oracle replays channel sums exactly
     "mm_decode_webp",
+    # NEW in r14 (late session): MJPEG AVI — the video modality's
+    # first real container decode (RIFF/LIST walk + per-frame JPEG);
+    # DC-only frame construction keeps the oracle exact
+    "mm_decode_video",
 )
 
 _WINDOW_SIZE = 50

@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     "mm_decode_tiff_palette",
     "mm_decode_adpcm",
     "mm_decode_webp",
+    # appended round 14 (late session): the MJPEG AVI container path
+    # (RIFF walk + 3 JPEG frame decodes per item)
+    "mm_decode_video",
 ]
 
 

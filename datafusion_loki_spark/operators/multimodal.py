@@ -3411,6 +3411,101 @@ def mm_decode_tiff_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_AVI_FRAMES = 3
+_MM_AVI_NEED = _MM_AVI_FRAMES * _MM_JPEG_NEED  # 3 frames x 40 DC bytes
+
+
+def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode in the registry (late round 14 —
+    the video modality's first true byte->frames face; until now it
+    carried only GIF-animation and arithmetic faces). Construction:
+    each VIDEO payload's first 120 bytes become THREE 64x40 DC-only
+    grayscale JPEG frames (40 bytes each — the mm_decode_jpeg
+    construction, integer-exact through the lossy codec) packed into
+    a real MJPEG AVI (operators/avi.py: RIFF/LIST walk, avih/strh/
+    strf headers, movi '00dc' chunks, idx1) and decoded by the full
+    container + JPEG path. Emits one row per (doc, frame) with the
+    exact frame sum — a chunk-walk slip, a frame-order swap, a
+    geometry disagreement, or an entropy-decode bug hash-mismatches.
+
+    100 TB posture: the decode-family shape — modality + size filter
+    before the Python boundary, Arrow-batched mapInPandas, narrow
+    output columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.avi import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+    from datafusion_loki_spark.operators.jpeg import encode_jpeg
+
+    media = media_table(spark, sf_dir).where(
+        (F.col("media_type") == "video")
+        & F.col("payload").isNotNull()
+        & (F.col("n_bytes") >= _MM_AVI_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fi, ws, hs, sv = [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                fbs = []
+                for k in range(_MM_AVI_FRAMES):
+                    blocks = np.frombuffer(
+                        raw[k * _MM_JPEG_NEED : (k + 1) * _MM_JPEG_NEED],
+                        dtype=np.uint8,
+                    ).reshape(MM_JPEG_BY, MM_JPEG_BX)
+                    fbs.append(
+                        encode_jpeg(np.repeat(np.repeat(blocks, 8, 0), 8, 1))
+                    )
+                _fps, frames = decode_avi_frames(encode_avi_mjpeg(fbs))
+                for k, (w, h, arr) in enumerate(frames):
+                    ids.append(int(did))
+                    fi.append(k)
+                    ws.append(w)
+                    hs.append(h)
+                    sv.append(int(arr.sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "frame_idx": fi,
+                        "width": ws,
+                        "height": hs,
+                        "sum_v": sv,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, frame_idx int, width int, height int, sum_v long",
+    )
+
+
+def _avi_frame_sum_duck(k: int) -> str:
+    return (
+        "64 * list_sum(list_transform(generate_series(0,"
+        f" {_MM_JPEG_NEED - 1}),"
+        f" i -> {_hexpair_duck(f'{k * _MM_JPEG_NEED} + i')}))"
+    )
+
+
+ORACLE_MM_DECODE_VIDEO = "\nUNION ALL\n".join(
+    f"""SELECT doc_id, {k} AS frame_idx,
+       {MM_JPEG_BX * 8} AS width, {MM_JPEG_BY * 8} AS height,
+       CAST({_avi_frame_sum_duck(k)} AS BIGINT) AS sum_v
+FROM (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 3 = 2
+    AND octet_length(encode(text)) >= {_MM_AVI_NEED}
+) m{k}"""
+    for k in range(_MM_AVI_FRAMES)
+)
+
+
 _MM_WEBP_W, _MM_WEBP_H = 6, 4
 _MM_WEBP_NEED = _MM_WEBP_W * _MM_WEBP_H * 4  # 96 bytes of RGBA
 
@@ -4438,6 +4533,7 @@ QUERIES = {
     "mm_decode_tiff_pages": mm_decode_tiff_pages,
     "mm_decode_adpcm": mm_decode_adpcm,
     "mm_decode_webp": mm_decode_webp,
+    "mm_decode_video": mm_decode_video,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
     "mm_decode_bmp": mm_decode_bmp,
@@ -4481,6 +4577,7 @@ ORACLES = {
     "mm_decode_tiff_pages": ORACLE_MM_DECODE_TIFF_PAGES,
     "mm_decode_adpcm": ORACLE_MM_DECODE_ADPCM,
     "mm_decode_webp": ORACLE_MM_DECODE_WEBP,
+    "mm_decode_video": ORACLE_MM_DECODE_VIDEO,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,

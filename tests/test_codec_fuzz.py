@@ -32,6 +32,10 @@ from datafusion_loki_spark.operators.wav import (
     encode_wav,
     encode_wav_adpcm,
 )
+from datafusion_loki_spark.operators.avi import (
+    decode_avi_frames,
+    encode_avi_mjpeg,
+)
 from datafusion_loki_spark.operators.webp import (
     decode_webp,
     encode_webp_lossless,
@@ -152,6 +156,19 @@ _SEEDS = {
             subtract_green=True,
         ),
         decode_webp,
+    ),
+    # late round 14: the MJPEG AVI container — RIFF/LIST framing,
+    # header consistency, per-frame JPEG under mutation
+    "avi_mjpeg": (
+        encode_avi_mjpeg(
+            [
+                encode_jpeg(
+                    np.repeat(np.repeat(_PX[:3, :4, 0], 8, 0), 8, 1)
+                )
+            ]
+            * 2
+        ),
+        lambda b: decode_avi_frames(b),
     ),
     "webp_palette": (
         encode_webp_lossless(

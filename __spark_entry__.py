@@ -102,6 +102,10 @@ _R14_PINNED: tuple[str, ...] = (
     # first real container decode (RIFF/LIST walk + per-frame JPEG);
     # DC-only frame construction keeps the oracle exact
     "mm_decode_video",
+    # NEW in r14 (late session): G.711 telephony companding (tags
+    # 6/7) — both laws per doc; the oracle inlines the 256-entry
+    # ITU-T decode tables as SQL literals
+    "mm_decode_g711",
 )
 
 _WINDOW_SIZE = 50

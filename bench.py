@@ -230,8 +230,10 @@ BENCH_QUERIES = [
     "mm_decode_adpcm",
     "mm_decode_webp",
     # appended round 14 (late session): the MJPEG AVI container path
-    # (RIFF walk + 3 JPEG frame decodes per item)
+    # (RIFF walk + 3 JPEG frame decodes per item) and the G.711
+    # companded-audio pair (table expansion per item)
     "mm_decode_video",
+    "mm_decode_g711",
 ]
 
 

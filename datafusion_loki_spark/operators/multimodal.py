@@ -3411,6 +3411,104 @@ def mm_decode_tiff_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_G711_N = 40  # samples per law; ulaw bytes [0, 40), alaw [40, 80)
+_MM_G711_NEED = 2 * _MM_G711_N
+
+
+def mm_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 telephony audio in the registry (late round 14): each
+    AUDIO payload's first 40 bytes become a mono mu-law stream and the
+    next 40 an A-law stream (both through encode_wav_g711's real RIFF
+    framing and decode_wav's tag-6/7 table expansion). Emits the exact
+    decoded-sample sums for BOTH laws; the oracle inlines the two
+    256-entry ITU-T decode tables as SQL list literals and replays the
+    sums from payload hex — a companding-table transposition, a sign
+    convention slip, or an XOR/complement error hash-mismatches. (The
+    tables' anchor points are hand-derived in tests/test_wav.py, so
+    the face's literals are not self-certifying.)
+
+    100 TB posture: the decode-family shape — modality + size filter
+    before the Python boundary, Arrow-batched mapInPandas, narrow
+    output columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.wav import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        (F.col("media_type") == "audio")
+        & F.col("payload").isNotNull()
+        & (F.col("n_bytes") >= _MM_G711_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, su, sa = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                _, _, _, u = decode_wav(
+                    encode_wav_g711(raw[:_MM_G711_N], 8000, law="ulaw")
+                )
+                _, _, _, a = decode_wav(
+                    encode_wav_g711(
+                        raw[_MM_G711_N:_MM_G711_NEED], 8000, law="alaw"
+                    )
+                )
+                ids.append(int(did))
+                ns.append(u.shape[0])
+                su.append(int(u[:, 0].astype("int64").sum()))
+                sa.append(int(a[:, 0].astype("int64").sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_samples": ns,
+                        "sum_ulaw": su,
+                        "sum_alaw": sa,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel, "doc_id long, n_samples int, sum_ulaw long, sum_alaw long"
+    )
+
+
+def _g711_sum_duck(off: int, table) -> str:
+    lits = ", ".join(str(int(v)) for v in table)
+    return (
+        f"list_sum(list_transform(generate_series(0, {_MM_G711_N - 1}),"
+        f" i -> list_extract([{lits}],"
+        f" {_hexpair_duck(f'{off} + i')} + 1)))"
+    )
+
+
+def _g711_oracle() -> str:
+    from datafusion_loki_spark.operators.wav import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 3 = 1
+    AND octet_length(encode(text)) >= {_MM_G711_NEED}
+)
+SELECT doc_id,
+       {_MM_G711_N} AS n_samples,
+       CAST({_g711_sum_duck(0, _ULAW_TABLE)} AS BIGINT) AS sum_ulaw,
+       CAST({_g711_sum_duck(_MM_G711_N, _ALAW_TABLE)} AS BIGINT)
+         AS sum_alaw
+FROM m
+"""
+
+
+ORACLE_MM_DECODE_G711 = _g711_oracle()
+
+
 _MM_AVI_FRAMES = 3
 _MM_AVI_NEED = _MM_AVI_FRAMES * _MM_JPEG_NEED  # 3 frames x 40 DC bytes
 
@@ -4534,6 +4632,7 @@ QUERIES = {
     "mm_decode_adpcm": mm_decode_adpcm,
     "mm_decode_webp": mm_decode_webp,
     "mm_decode_video": mm_decode_video,
+    "mm_decode_g711": mm_decode_g711,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
     "mm_decode_bmp": mm_decode_bmp,
@@ -4578,6 +4677,7 @@ ORACLES = {
     "mm_decode_adpcm": ORACLE_MM_DECODE_ADPCM,
     "mm_decode_webp": ORACLE_MM_DECODE_WEBP,
     "mm_decode_video": ORACLE_MM_DECODE_VIDEO,
+    "mm_decode_g711": ORACLE_MM_DECODE_G711,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,

@@ -14,11 +14,13 @@ PCM (format tag 3), IMA/DVI ADPCM (format tag 0x11 — round 14: the
 IMA Recommended Practices 4-bit shift-add quantizer, per-channel block
 headers carrying the initial sample and step-table index,
 low-nibble-first packing, 4-byte-per-channel interleave, `fact`-chunk
-sample trimming), and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — round 14:
+sample trimming), G.711 telephony companding (tags 6/7 — A-law and
+mu-law per the ITU-T reference segment+mantissa expansion, late
+round 14), and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — round 14:
 the mandatory container for >16-bit or >2-channel PCM per Microsoft's
 multichannel spec; the SubFormat GUID resolves back to PCM or float,
 full-container valid bits only), any channel count. Everything else —
-Microsoft ADPCM (tag 2), a-law/mu-law, non-PCM extensible subformats,
+Microsoft ADPCM (tag 2), non-PCM extensible subformats,
 sub-container valid bits, misaligned data sizes, trailing garbage
 that is not a well-formed chunk — fails with a loud ValueError, never
 a fake fallback (the decode_image family contract).
@@ -48,6 +50,40 @@ _IMA_STEPS = (
     29794, 32767,
 )
 _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+# G.711 companded telephony layouts (format tags 6 = A-law, 7 =
+# mu-law — late round 14): 256-entry decode tables built from the
+# ITU-T G.711 reference recipes (the classic alaw2linear/ulaw2linear
+# segment+mantissa expansion; mu-law BIAS 0x84, A-law XOR 0x55).
+# Values are the reference's 13/14-bit linear scale carried as int16
+# WITHOUT further shifting — documented, and pinned by the known
+# anchor points (both mu-law zeros, A-law +/-8 at the XOR fixpoint).
+
+
+def _g711_tables():
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t += 0x108
+            t <<= seg - 1
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
 # WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail: every KSDATAFORMAT
 # subtype is <16-bit format tag> 00 00 + this fixed 14-byte suffix
@@ -155,15 +191,36 @@ def decode_wav(payload: bytes):
                 f" container bits {bits} (full-container only)"
             )
         tag = sub_tag
-    if tag not in (1, 3, 0x11):
+    if tag not in (1, 3, 6, 7, 0x11):
         raise ValueError(
             f"unsupported WAV format tag {tag} (integer PCM, IEEE-float"
-            " PCM, or IMA ADPCM only); no fake fallback"
+            " PCM, G.711 a-law/mu-law, or IMA ADPCM only); no fake"
+            " fallback"
         )
     if ch == 0 or rate == 0:
         raise ValueError("malformed WAV fmt (zero channels or rate)")
     if tag == 0x11:
         return _decode_ima(fmt, data, fact, ch, rate, block_align, bits)
+    if tag in (6, 7):  # G.711: one companded byte per sample
+        if bits != 8:
+            raise ValueError(
+                f"G.711 WAV bit depth must be 8, got {bits}"
+            )
+        if block_align != ch:
+            raise ValueError(
+                f"G.711 WAV block align {block_align} inconsistent"
+                f" with {ch} channel(s)"
+            )
+        if len(data) % ch:
+            raise ValueError(
+                f"G.711 WAV data size {len(data)} not a multiple of"
+                f" the {ch}-byte frame"
+            )
+        table = _ALAW_TABLE if tag == 6 else _ULAW_TABLE
+        samples = table[np.frombuffer(data, dtype=np.uint8)].reshape(
+            -1, ch
+        )
+        return ch, rate, 8, samples.copy()
     if tag == 3 and bits not in (32, 64):
         raise ValueError(
             f"unsupported float WAV bit depth {bits} (32/64-bit only)"
@@ -358,6 +415,36 @@ def encode_wav_adpcm(samples, rate: int, block_words: int = 2) -> bytes:
     chunks += b"fact" + struct.pack("<II", 4, n)
     chunks += b"data" + struct.pack("<I", len(body)) + bytes(body)
     if len(body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + bytes(
+        chunks
+    )
+
+
+def encode_wav_g711(companded: bytes, rate: int, law: str = "ulaw",
+                    channels: int = 1) -> bytes:
+    """G.711 WAV writer twin: raw COMPANDED bytes (one per sample,
+    channel-interleaved) under format tag 7 (mu-law) or 6 (a-law) —
+    the caller controls the byte construction, so registry faces can
+    derive them from payload bytes directly."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    if channels < 1 or len(companded) % channels:
+        raise ValueError(
+            f"{len(companded)} companded bytes do not tile"
+            f" {channels} channel(s)"
+        )
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack(
+        "<HHIIHHH", tag, channels, rate, rate * channels, channels, 8, 0
+    )
+    chunks = bytearray()
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack(
+        "<II", 4, len(companded) // channels
+    )
+    chunks += b"data" + struct.pack("<I", len(companded)) + companded
+    if len(companded) & 1:
         chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + bytes(
         chunks

@@ -31,6 +31,7 @@ from datafusion_loki_spark.operators.wav import (
     decode_wav,
     encode_wav,
     encode_wav_adpcm,
+    encode_wav_g711,
 )
 from datafusion_loki_spark.operators.avi import (
     decode_avi_frames,
@@ -137,6 +138,14 @@ _SEEDS = {
     # block headers, nibble words, fact trimming)
     "wav_adpcm": (
         encode_wav_adpcm(_SAMPLES // 4, 8000, block_words=2),
+        decode_wav,
+    ),
+    # late round 14: G.711 mu-law framing under mutation (the table
+    # expansion itself is total — every byte decodes — so the fuzz
+    # targets the RIFF/fmt validation around it)
+    "wav_g711": (
+        encode_wav_g711(bytes(_PX[:, :, 0].reshape(-1)[:30]), 8000,
+                        law="alaw", channels=2),
         decode_wav,
     ),
     # round 14 (late session): WAVE_FORMAT_EXTENSIBLE wrapping 24-bit

@@ -399,3 +399,77 @@ def test_extensible_fail_loud_contract():
     blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     with pytest.raises(ValueError, match="40-byte"):
         decode_wav(blob)
+
+
+# --- late round 14: G.711 A-law / mu-law (format tags 6 / 7) ---
+
+
+def test_g711_anchor_points_and_symmetry():
+    from datafusion_loki_spark.operators.wav import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    # mu-law's two zeros (0xFF positive-zero, 0x7F negative-zero) and
+    # the full-scale codes ((15<<3 + 0x84) << 7 - 0x84 = 32124);
+    # A-law's XOR-fixpoint +/-8 smallest steps and its full scale
+    # ((15<<4 + 0x108) << 6 = 32256) — all hand-derived from the
+    # ITU-T reference recipe, not read back from the table
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ULAW_TABLE[0x80] == 32124
+    assert _ULAW_TABLE[0x00] == -32124
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0xAA] == 32256 and _ALAW_TABLE[0x2A] == -32256
+    # sign-bit flip negates, for every code (companded sign symmetry)
+    for b in range(256):
+        assert _ULAW_TABLE[b ^ 0x80] == -_ULAW_TABLE[b]
+        assert _ALAW_TABLE[b ^ 0x80] == -_ALAW_TABLE[b]
+    # decode tables are monotone within each positive segment run
+    pos_u = sorted(int(_ULAW_TABLE[b]) for b in range(0x80, 0x100))
+    assert pos_u[0] <= 0 <= pos_u[-1] == 32124
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 80),
+    ch=st.integers(1, 2),
+    law=st.sampled_from(["ulaw", "alaw"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_g711_roundtrip_property(n, ch, law, seed):
+    from datafusion_loki_spark.operators.wav import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        encode_wav_g711,
+    )
+
+    rng = np.random.RandomState(seed)
+    comp = bytes(rng.randint(0, 256, n * ch, dtype=np.uint8))
+    got_ch, rate, bits, out = decode_wav(
+        encode_wav_g711(comp, 8000, law=law, channels=ch)
+    )
+    assert (got_ch, rate, bits) == (ch, 8000, 8)
+    table = _ULAW_TABLE if law == "ulaw" else _ALAW_TABLE
+    want = table[np.frombuffer(comp, dtype=np.uint8)].reshape(n, ch)
+    assert (out == want).all()
+
+
+def test_g711_fail_loud_contract():
+    from datafusion_loki_spark.operators.wav import encode_wav_g711
+
+    good = bytearray(encode_wav_g711(bytes(20), 8000, law="ulaw"))
+    FMT = 20
+    # non-8-bit under a G.711 tag
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, FMT + 14, 16)
+    with pytest.raises(ValueError, match="must be 8"):
+        decode_wav(bytes(bad))
+    # block align inconsistent with channels
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, FMT + 12, 3)
+    with pytest.raises(ValueError, match="block align"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="law"):
+        encode_wav_g711(bytes(4), 8000, law="dlaw")
+    with pytest.raises(ValueError, match="tile"):
+        encode_wav_g711(bytes(5), 8000, channels=2)

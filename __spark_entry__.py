@@ -106,6 +106,10 @@ _R14_PINNED: tuple[str, ...] = (
     # 6/7) — both laws per doc; the oracle inlines the 256-entry
     # ITU-T decode tables as SQL literals
     "mm_decode_g711",
+    # NEW in r14 (late session): MS-ADPCM (format tag 2) — the last
+    # WAV format gap; crafted-block construction, linear-in-seeds
+    # exact oracle (coefficient pair (256, 0) avoids the >>8 rounding)
+    "mm_decode_msadpcm",
 )
 
 _WINDOW_SIZE = 50

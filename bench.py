@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     # companded-audio pair (table expansion per item)
     "mm_decode_video",
     "mm_decode_g711",
+    "mm_decode_msadpcm",
 ]
 
 

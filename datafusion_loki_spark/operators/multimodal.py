@@ -3411,6 +3411,145 @@ def mm_decode_tiff_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MS-ADPCM face construction (late round 14): one crafted mono block,
+# predictor index 0 (coefficient pair (256, 0) -> prediction IS the
+# previous sample, exactly — no >>8 rounding on a payload-derived
+# value), initial iDelta 128, a FIXED 16-nibble walk. Like the IMA
+# face: deltas depend only on the nibbles, so sample k = P + C_k with
+# the C_k replayed inline below (independent of operators/wav.py);
+# seeds P (sample1) and Q (sample2) derive from payload bytes,
+# |P|,|Q| <= 8192 and max |C| = 4293 keep the int16 clamp unreachable.
+_MM_MSADPCM_NIBS = (
+    1, -1, 2, -2, 4, -4, 7, -8, 3, -3, 5, -6, 2, -1, 1, -2,
+)
+_MM_MSADPCM_SPB = 2 + len(_MM_MSADPCM_NIBS)  # 18
+_MM_MSADPCM_ALIGN = 7 + len(_MM_MSADPCM_NIBS) // 2  # mono: 15 bytes
+
+
+def _msadpcm_consts() -> list:
+    adapt = (
+        230, 230, 230, 230, 307, 409, 512, 614,
+        768, 614, 512, 409, 307, 230, 230, 230,
+    )
+    d, c = 128, 0
+    out = []
+    for n in _MM_MSADPCM_NIBS:
+        c += d * n
+        d = max(16, (adapt[n & 0x0F] * d) >> 8)
+        out.append(c)
+    return out
+
+
+_MM_MSADPCM_C = _msadpcm_consts()
+assert max(abs(c) for c in _MM_MSADPCM_C) <= 32767 - 8192
+
+
+def mm_decode_msadpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MS-ADPCM (WAV format tag 2) in the registry — late round 14,
+    the audio modality's second compressed format (construction in
+    the module comment; the kernel assembles the block bytes directly
+    and runs the full RIFF walk + coefficient-table block decode of
+    operators/wav.py). Emits sample count plus sum/last, both linear
+    in the payload-derived seeds.
+
+    100 TB posture: the decode-family shape — modality + size filter
+    before the Python boundary, Arrow-batched mapInPandas, narrow
+    output columns, no shuffle after the scan."""
+    import struct as _s
+
+    from datafusion_loki_spark.operators.wav import (
+        _MS_COEFS,
+        decode_wav,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        (F.col("media_type") == "audio")
+        & F.col("payload").isNotNull()
+        & (F.col("n_bytes") >= 4)
+    ).select("doc_id", "payload")
+
+    nib_bytes = bytes(
+        ((_MM_MSADPCM_NIBS[i] & 0x0F) << 4)
+        | (_MM_MSADPCM_NIBS[i + 1] & 0x0F)
+        for i in range(0, len(_MM_MSADPCM_NIBS), 2)
+    )
+    fmt = _s.pack(
+        "<HHIIHHHHH",
+        2, 1, 8000, (8000 * _MM_MSADPCM_ALIGN) // _MM_MSADPCM_SPB,
+        _MM_MSADPCM_ALIGN, 4, 4 + 4 * len(_MS_COEFS),
+        _MM_MSADPCM_SPB, len(_MS_COEFS),
+    ) + b"".join(_s.pack("<hh", a, b) for a, b in _MS_COEFS)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, sp, lp = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                p = (raw[0] + 256 * raw[1]) % 16384 - 8192
+                q = (raw[2] + 256 * raw[3]) % 16384 - 8192
+                data = (
+                    bytes([0])  # predictor index 0
+                    + _s.pack("<hhh", 128, p, q)
+                    + nib_bytes
+                )
+                chunks = (
+                    b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                    + b"fact" + _s.pack("<II", 4, _MM_MSADPCM_SPB)
+                    + b"data" + _s.pack("<I", len(data)) + data
+                )
+                if len(data) & 1:
+                    chunks += b"\x00"
+                blob = (
+                    b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE"
+                    + chunks
+                )
+                ch, rate, bits, out = decode_wav(blob)
+                ids.append(int(did))
+                ns.append(out.shape[0])
+                sp.append(int(out[:, 0].astype("int64").sum()))
+                lp.append(int(out[-1, 0]))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_samples": ns,
+                        "sum_pcm": sp,
+                        "last_pcm": lp,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel, "doc_id long, n_samples int, sum_pcm long, last_pcm long"
+    )
+
+
+def _msadpcm_seed_duck(off: int) -> str:
+    return (
+        f"(({_hexpair_duck(str(off))} + 256 * {_hexpair_duck(str(off + 1))})"
+        " % 16384 - 8192)"
+    )
+
+
+ORACLE_MM_DECODE_MSADPCM = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id % 3 = 1
+    AND octet_length(encode(text)) >= 4
+)
+SELECT doc_id,
+       {_MM_MSADPCM_SPB} AS n_samples,
+       CAST({_msadpcm_seed_duck(2)}
+            + {_MM_MSADPCM_SPB - 1} * {_msadpcm_seed_duck(0)}
+            + {sum(_MM_MSADPCM_C)} AS BIGINT) AS sum_pcm,
+       CAST({_msadpcm_seed_duck(0)} + {_MM_MSADPCM_C[-1]} AS BIGINT)
+         AS last_pcm
+FROM m
+"""
+
+
 _MM_G711_N = 40  # samples per law; ulaw bytes [0, 40), alaw [40, 80)
 _MM_G711_NEED = 2 * _MM_G711_N
 
@@ -4633,6 +4772,7 @@ QUERIES = {
     "mm_decode_webp": mm_decode_webp,
     "mm_decode_video": mm_decode_video,
     "mm_decode_g711": mm_decode_g711,
+    "mm_decode_msadpcm": mm_decode_msadpcm,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
     "mm_decode_bmp": mm_decode_bmp,
@@ -4678,6 +4818,7 @@ ORACLES = {
     "mm_decode_webp": ORACLE_MM_DECODE_WEBP,
     "mm_decode_video": ORACLE_MM_DECODE_VIDEO,
     "mm_decode_g711": ORACLE_MM_DECODE_G711,
+    "mm_decode_msadpcm": ORACLE_MM_DECODE_MSADPCM,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,
     "mm_decode_bmp": ORACLE_MM_DECODE_BMP,

@@ -51,6 +51,40 @@ _IMA_STEPS = (
 )
 _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
 
+# MS-ADPCM (format tag 2 — late round 14): the classic Microsoft
+# 4-bit predictive codec per the public WAVEFORMAT_ADPCM layout —
+# per-block per-channel headers (predictor-coefficient index, initial
+# iDelta, the two seed samples, sample2 EARLIER than sample1), signed
+# nibbles HIGH-first (the opposite packing of IMA), the 16-entry
+# adaptation table, and the 7 standard coefficient pairs (a file may
+# declare more; the indices its blocks use must exist).
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_MS_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+
+
+def _ms_step(s1: int, s2: int, delta: int, c1: int, c2: int, n: int):
+    """One MS-ADPCM decode step for SIGNED nibble ``n`` (-8..7):
+    returns (sample, new_delta). The >>8 is an arithmetic shift of the
+    coefficient predictor; output clamps to int16; delta floors at
+    16."""
+    pred = (s1 * c1 + s2 * c2) >> 8
+    sample = pred + delta * n
+    if sample > 32767:
+        sample = 32767
+    elif sample < -32768:
+        sample = -32768
+    new_delta = (_MS_ADAPT[n & 0x0F] * delta) >> 8
+    if new_delta < 16:
+        new_delta = 16
+    return sample, new_delta
+
+
 # G.711 companded telephony layouts (format tags 6 = A-law, 7 =
 # mu-law — late round 14): 256-entry decode tables built from the
 # ITU-T G.711 reference recipes (the classic alaw2linear/ulaw2linear
@@ -191,16 +225,19 @@ def decode_wav(payload: bytes):
                 f" container bits {bits} (full-container only)"
             )
         tag = sub_tag
-    if tag not in (1, 3, 6, 7, 0x11):
+    if tag not in (1, 2, 3, 6, 7, 0x11):
         raise ValueError(
             f"unsupported WAV format tag {tag} (integer PCM, IEEE-float"
-            " PCM, G.711 a-law/mu-law, or IMA ADPCM only); no fake"
-            " fallback"
+            " PCM, G.711 a-law/mu-law, MS-ADPCM, or IMA ADPCM only);"
+            " no fake fallback"
         )
     if ch == 0 or rate == 0:
         raise ValueError("malformed WAV fmt (zero channels or rate)")
     if tag == 0x11:
         return _decode_ima(fmt, data, fact, ch, rate, block_align, bits)
+    if tag == 2:
+        return _decode_ms_adpcm(fmt, data, fact, ch, rate, block_align,
+                                bits)
     if tag in (6, 7):  # G.711: one companded byte per sample
         if bits != 8:
             raise ValueError(
@@ -410,6 +447,181 @@ def encode_wav_adpcm(samples, rate: int, block_words: int = 2) -> bytes:
     fmt = struct.pack(
         "<HHIIHHHH", 0x11, ch, rate, byte_rate, block_align, 4, 2, spb
     )
+    chunks = bytearray()
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, n)
+    chunks += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + bytes(
+        chunks
+    )
+
+
+def _decode_ms_adpcm(fmt, data, fact, ch, rate, block_align, bits):
+    """MS-ADPCM block decode (format tag 2). Block layout per channel-
+    interleaved: 1 predictor-index byte per channel, int16 iDelta per
+    channel, int16 sample1 per channel, int16 sample2 per channel
+    (sample2 is the EARLIER seed — output order sample2, sample1),
+    then channel-interleaved signed nibbles HIGH-first. Returns
+    (ch, rate, 4, int16 (n_frames, ch)) trimmed by `fact`."""
+    if bits != 4:
+        raise ValueError(f"MS-ADPCM bit depth must be 4, got {bits}")
+    if len(fmt) < 22:
+        raise ValueError("MS-ADPCM fmt chunk missing its coefficients")
+    (cb,) = struct.unpack("<H", fmt[16:18])
+    spb, ncoef = struct.unpack("<HH", fmt[18:22])
+    if cb < 4 + 4 * ncoef or len(fmt) < 22 + 4 * ncoef:
+        raise ValueError("MS-ADPCM coefficient table truncated")
+    if ncoef < 1:
+        raise ValueError("MS-ADPCM declares no coefficient pairs")
+    coefs = [
+        struct.unpack("<hh", fmt[22 + 4 * k : 26 + 4 * k])
+        for k in range(ncoef)
+    ]
+    header = 7 * ch
+    if block_align <= header:
+        raise ValueError(
+            f"MS-ADPCM block align {block_align} cannot hold the"
+            f" {header}-byte header for {ch} channel(s)"
+        )
+    data_bytes = block_align - header
+    expect_spb = 2 + 2 * data_bytes // ch
+    if (2 * data_bytes) % ch or spb != expect_spb:
+        raise ValueError(
+            f"MS-ADPCM wSamplesPerBlock {spb} inconsistent with block"
+            f" align {block_align} ({expect_spb} expected)"
+        )
+    if len(data) % block_align:
+        raise ValueError(
+            f"MS-ADPCM data size {len(data)} not a multiple of the"
+            f" {block_align}-byte block"
+        )
+    n_blocks = len(data) // block_align
+    total = n_blocks * spb
+    if fact is not None:
+        if len(fact) < 4:
+            raise ValueError("WAV fact chunk truncated")
+        (fact_len,) = struct.unpack("<I", fact[:4])
+        if not (total - spb < fact_len <= total):
+            raise ValueError(
+                f"WAV fact sample count {fact_len} inconsistent with"
+                f" {n_blocks} block(s) of {spb}"
+            )
+    else:
+        fact_len = total
+    out = np.empty((total, ch), dtype=np.int16)
+    for b in range(n_blocks):
+        base = b * block_align
+        row = b * spb
+        s1 = [0] * ch
+        s2 = [0] * ch
+        dl = [0] * ch
+        cc = [None] * ch
+        for c in range(ch):
+            pi = data[base + c]
+            if pi >= ncoef:
+                raise ValueError(
+                    f"MS-ADPCM predictor index {pi} outside the"
+                    f" {ncoef}-pair table"
+                )
+            cc[c] = coefs[pi]
+        off = base + ch
+        for c in range(ch):
+            (dl[c],) = struct.unpack("<h", data[off : off + 2])
+            off += 2
+        for c in range(ch):
+            (s1[c],) = struct.unpack("<h", data[off : off + 2])
+            off += 2
+        for c in range(ch):
+            (s2[c],) = struct.unpack("<h", data[off : off + 2])
+            off += 2
+            out[row, c] = s2[c]
+            out[row + 1, c] = s1[c]
+        k = 2 * ch  # flat sample cursor past the seeds
+        for byte in data[off : base + block_align]:
+            for nib in (byte >> 4, byte & 0x0F):
+                if k >= spb * ch:
+                    break  # trailing pad nibbles in the final byte
+                c = k % ch
+                n = nib - 16 if nib >= 8 else nib
+                c1, c2 = cc[c]
+                sample, dl[c] = _ms_step(s1[c], s2[c], dl[c], c1, c2, n)
+                s2[c] = s1[c]
+                s1[c] = sample
+                out[row + k // ch, c] = sample
+                k += 1
+    return ch, rate, 4, out[:fact_len]
+
+
+def encode_wav_ms_adpcm(
+    samples, rate: int, block_words: int = 8, predictor: int = 0
+) -> bytes:
+    """MS-ADPCM writer twin: (n_frames, n_channels) int16 -> format
+    tag 2 with ``block_words`` data bytes per channel per block (2
+    nibbles each), one fixed ``predictor`` coefficient index for every
+    block, the 7 standard pairs declared, `fact`-trimmed tail padding.
+    The quantizer runs the decoder's own _ms_step feedback."""
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim != 2 or samples.shape[0] < 1:
+        raise ValueError(
+            "encode_wav_ms_adpcm needs non-empty (n_frames,"
+            f" n_channels), got {samples.shape}"
+        )
+    if not 0 <= predictor < len(_MS_COEFS):
+        raise ValueError(f"predictor index {predictor} outside 0..6")
+    n, ch = samples.shape
+    spb = 2 + 2 * block_words
+    block_align = 7 * ch + block_words * ch
+    n_blocks = max(1, -(-n // spb))
+    padded = np.vstack(
+        [samples]
+        + [np.repeat(samples[-1:], n_blocks * spb - n, axis=0)]
+    ) if n_blocks * spb > n else samples
+    c1, c2 = _MS_COEFS[predictor]
+    body = bytearray()
+    for b in range(n_blocks):
+        blk = padded[b * spb : (b + 1) * spb]
+        nibbles = [[] for _ in range(ch)]
+        deltas = []
+        for c in range(ch):
+            s2, s1 = int(blk[0, c]), int(blk[1, c])
+            delta = 16
+            # a cheap but real initial-delta estimate: mean absolute
+            # step over the block's first samples
+            est = int(np.abs(np.diff(blk[: min(8, spb), c].astype(
+                np.int32))).mean() or 0) // 4
+            delta = max(16, est)
+            deltas.append(delta)
+            for s in blk[2:, c]:
+                s = int(s)
+                pred = (s1 * c1 + s2 * c2) >> 8
+                n_q = (s - pred) // delta if delta else 0
+                n_q = max(-8, min(7, n_q))
+                nibbles[c].append(n_q & 0x0F)
+                sample, delta = _ms_step(s1, s2, delta, c1, c2, n_q)
+                s2, s1 = s1, sample
+        body += bytes([predictor] * ch)
+        for c in range(ch):
+            body += struct.pack("<h", deltas[c])
+        for c in range(ch):
+            body += struct.pack("<h", int(blk[1, c]))
+        for c in range(ch):
+            body += struct.pack("<h", int(blk[0, c]))
+        # channel-interleaved nibbles, high-first
+        flat = []
+        for k in range(2 * ch, spb * ch):
+            c = k % ch
+            flat.append(nibbles[c][k // ch - 2])
+        if len(flat) & 1:
+            flat.append(0)
+        for i in range(0, len(flat), 2):
+            body.append((flat[i] << 4) | flat[i + 1])
+    fmt = struct.pack(
+        "<HHIIHHHHH",
+        2, ch, rate, (rate * block_align + spb - 1) // spb,
+        block_align, 4, 4 + 4 * len(_MS_COEFS), spb, len(_MS_COEFS),
+    ) + b"".join(struct.pack("<hh", a, bb) for a, bb in _MS_COEFS)
     chunks = bytearray()
     chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"fact" + struct.pack("<II", 4, n)

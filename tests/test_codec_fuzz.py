@@ -32,6 +32,7 @@ from datafusion_loki_spark.operators.wav import (
     encode_wav,
     encode_wav_adpcm,
     encode_wav_g711,
+    encode_wav_ms_adpcm,
 )
 from datafusion_loki_spark.operators.avi import (
     decode_avi_frames,
@@ -146,6 +147,13 @@ _SEEDS = {
     "wav_g711": (
         encode_wav_g711(bytes(_PX[:, :, 0].reshape(-1)[:30]), 8000,
                         law="alaw", channels=2),
+        decode_wav,
+    ),
+    # late round 14: MS-ADPCM (tag 2) — coefficient table, block
+    # headers, signed high-first nibbles under mutation
+    "wav_msadpcm": (
+        encode_wav_ms_adpcm(_SAMPLES // 4, 8000, block_words=4,
+                            predictor=1),
         decode_wav,
     ),
     # round 14 (late session): WAVE_FORMAT_EXTENSIBLE wrapping 24-bit

@@ -67,13 +67,18 @@ def test_fail_loud_contract():
         decode_wav(good[:-3])
     # format tag 3 (float) is SUPPORTED since round 14 — retagging a
     # 16-bit int stream as float now dies on the depth gate instead,
-    # still loud; a truly unknown tag (ADPCM = 2) keeps the tag error
+    # still loud; MS-ADPCM (tag 2) is supported since late round 14
+    # (dies on ITS fmt checks here); a truly unknown tag (a-law
+    # sibling 0x31 GSM) keeps the tag error
     i = good.index(b"fmt ") + 8
     bad = bytearray(good)
     bad[i] = 3
     with pytest.raises(ValueError, match="float WAV bit depth"):
         decode_wav(bytes(bad))
     bad[i] = 2
+    with pytest.raises(ValueError, match="MS-ADPCM"):
+        decode_wav(bytes(bad))
+    bad[i] = 0x31
     with pytest.raises(ValueError, match="format tag"):
         decode_wav(bytes(bad))
     # 24-bit: unsupported, loud (flip wBitsPerSample and block align
@@ -149,12 +154,13 @@ def test_float_fail_loud_contract():
     struct.pack_into("<H", bad, i + 12, 2)      # block align 1ch x 16b
     with pytest.raises(ValueError, match="float WAV bit depth"):
         decode_wav(bytes(bad))
-    # Microsoft ADPCM (tag 2) stays loud; extensible (0xFFFE) is now a
-    # real container and dies on ITS OWN check (a 16-byte PCM fmt can't
-    # carry the 40-byte extensible layout)
+    # Microsoft ADPCM (tag 2) is a real decoder since late round 14
+    # (dies on ITS fmt checks when retagged); extensible (0xFFFE) dies
+    # on ITS OWN check (a 16-byte PCM fmt can't carry the 40-byte
+    # extensible layout)
     bad = bytearray(blob)
     struct.pack_into("<H", bad, i, 2)
-    with pytest.raises(ValueError, match="format tag"):
+    with pytest.raises(ValueError, match="MS-ADPCM"):
         decode_wav(bytes(bad))
     bad = bytearray(blob)
     struct.pack_into("<H", bad, i, 0xFFFE)
@@ -283,10 +289,11 @@ def test_adpcm_fail_loud_contract():
     struct.pack_into("<H", bad, FMT + 14, 8)
     with pytest.raises(ValueError, match="bit depth must be 4"):
         decode_wav(bytes(bad))
-    # Microsoft ADPCM (tag 2) stays loud-unsupported
+    # retagging the IMA stream as MS-ADPCM (tag 2) dies on the
+    # MS-ADPCM fmt layout checks (supported since late round 14)
     bad = bytearray(good)
     struct.pack_into("<H", bad, FMT, 2)
-    with pytest.raises(ValueError, match="format tag 2"):
+    with pytest.raises(ValueError, match="MS-ADPCM"):
         decode_wav(bytes(bad))
     # data not a whole number of blocks
     nblocks_off = good.index(b"data") + 4
@@ -473,3 +480,103 @@ def test_g711_fail_loud_contract():
         encode_wav_g711(bytes(4), 8000, law="dlaw")
     with pytest.raises(ValueError, match="tile"):
         encode_wav_g711(bytes(5), 8000, channels=2)
+
+
+# --- late round 14: MS-ADPCM (format tag 2) ---
+
+
+def test_msadpcm_hand_vector():
+    # one crafted mono block decoded against an independent replay of
+    # the published recipe: predictor pair (256, 0), iDelta 32, seeds
+    # sample2 = 100 (emitted first), sample1 = 200, nibbles +3 then -4
+    from datafusion_loki_spark.operators.wav import _MS_COEFS
+
+    spb, align = 4, 8  # 7-byte header + 1 data byte = 2 nibbles
+    data = bytes([0]) + struct.pack("<hhh", 32, 200, 100) + bytes(
+        [((3 & 0x0F) << 4) | ((-4) & 0x0F)]
+    )
+    fmt = struct.pack(
+        "<HHIIHHHHH", 2, 1, 8000, 4000, align, 4,
+        4 + 4 * len(_MS_COEFS), spb, len(_MS_COEFS),
+    ) + b"".join(struct.pack("<hh", a, b) for a, b in _MS_COEFS)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    ch, rate, bits, out = decode_wav(blob)
+    assert (ch, rate, bits) == (1, 8000, 4)
+    # hand replay: pred = (200*256 + 100*0) >> 8 = 200; s = 200 + 32*3
+    # = 296; delta -> max(16, (230*32)>>8) = 28 (nibble 3's adaptation)
+    # then pred = 296; s = 296 + 28*(-4) = 184
+    assert out[:, 0].tolist() == [100, 200, 296, 184]
+
+
+def test_msadpcm_roundtrip_bounded_error():
+    from datafusion_loki_spark.operators.wav import encode_wav_ms_adpcm
+
+    t = np.arange(1200)
+    for chn in (1, 2):
+        sig = (
+            8000
+            * np.sin(2 * np.pi * t[:, None] * (np.arange(chn) + 1) * 440 / 16000)
+        ).astype(np.int16)
+        ch, rate, bits, out = decode_wav(
+            encode_wav_ms_adpcm(sig, 16000, block_words=16)
+        )
+        assert (ch, rate, bits) == (chn, 16000, 4)
+        assert out.shape == sig.shape
+        err = np.abs(out.astype(np.int32) - sig.astype(np.int32))
+        assert err[0].max() == 0 and err[1].max() == 0  # seeds exact
+        assert err[50:].max() < 2000, err[50:].max()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(2, 100),
+    ch=st.integers(1, 2),
+    words=st.integers(2, 10),
+    pred=st.integers(0, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_msadpcm_shape_fact_trim_and_all_predictors(n, ch, words, pred,
+                                                    seed):
+    from datafusion_loki_spark.operators.wav import encode_wav_ms_adpcm
+
+    rng = np.random.RandomState(seed)
+    sig = rng.randint(-3000, 3000, (n, ch)).astype(np.int16)
+    got_ch, _, bits, out = decode_wav(
+        encode_wav_ms_adpcm(sig, 22050, block_words=words, predictor=pred)
+    )
+    assert (got_ch, bits) == (ch, 4)
+    assert out.shape == (n, ch)
+    assert (out[0] == sig[0]).all() and (out[1] == sig[1]).all()
+
+
+def test_msadpcm_fail_loud_contract():
+    from datafusion_loki_spark.operators.wav import encode_wav_ms_adpcm
+
+    sig = np.zeros((40, 1), dtype=np.int16)
+    good = bytearray(encode_wav_ms_adpcm(sig, 8000))
+    # predictor index outside the declared table
+    data_off = good.index(b"data") + 8
+    bad = bytearray(good)
+    bad[data_off] = 9
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_wav(bytes(bad))
+    # wSamplesPerBlock inconsistent
+    FMT = 20
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, FMT + 18, 99)
+    with pytest.raises(ValueError, match="wSamplesPerBlock|inconsistent"):
+        decode_wav(bytes(bad))
+    # truncated coefficient table (declare more pairs than cbSize holds)
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, FMT + 20, 60)
+    with pytest.raises(ValueError, match="coefficient"):
+        decode_wav(bytes(bad))
+    # bits != 4
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, FMT + 14, 8)
+    with pytest.raises(ValueError, match="must be 4"):
+        decode_wav(bytes(bad))

@@ -110,6 +110,11 @@ _R14_PINNED: tuple[str, ...] = (
     # WAV format gap; crafted-block construction, linear-in-seeds
     # exact oracle (coefficient pair (256, 0) avoids the >>8 rounding)
     "mm_decode_msadpcm",
+    # NEW in r14 (late session): the TIFF tiled organization — one
+    # zero-padded 16x16 deflate+predictor tile per item, the strip
+    # twin's oracle (same decoded pixels). Shipping it also caught and
+    # fixed a latent LZW encoder bug (final-code width boundary)
+    "mm_decode_tiff_tiled",
 )
 
 _WINDOW_SIZE = 50

@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "mm_decode_video",
     "mm_decode_g711",
     "mm_decode_msadpcm",
+    "mm_decode_tiff_tiled",
 ]
 
 

@@ -3242,6 +3242,70 @@ FROM m
 """
 
 
+def mm_decode_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF TILED organization in the registry (late round 14 — the
+    last TIFF structural gap; spec section 15). Construction: the
+    mm_decode_tiff bytes (7x5 RGB from the payload's first 105 bytes)
+    written as ONE zero-padded 16x16 deflate tile with the horizontal
+    predictor — so tile-grid bookkeeping, edge-tile cropping, and the
+    per-tile predictor context all run on every item. Same decoded
+    pixels as the strip twin, so ORACLE_MM_DECODE_TIFF replays
+    unchanged (the BMP-RLE/GIF shared-oracle precedent): a tile
+    geometry slip, a padding bleed, or a predictor-context error
+    hash-mismatches.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 6 narrow output
+    columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_TIFF_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                px = np.frombuffer(
+                    bytes(b)[:_MM_TIFF_NEED], dtype=np.uint8
+                ).reshape(_MM_TIFF_H, _MM_TIFF_W, 3)
+                w, h, arr = decode_tiff(
+                    encode_tiff(
+                        px, tile=(16, 16), deflate=True, predictor=True
+                    )
+                )
+                ids.append(int(did))
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(arr[:, :, 0].sum(dtype="int64")))
+                sg.append(int(arr[:, :, 1].sum(dtype="int64")))
+                sb.append(int(arr[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "width": ws,
+                        "height": hs,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
 def mm_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIFF Compression 5 + horizontal predictor in the registry
     (round 14 — the dominant real-world scanned/geo TIFF layout,
@@ -4767,6 +4831,7 @@ QUERIES = {
     "mm_decode_tiff": mm_decode_tiff,
     "mm_decode_tiff_lzw": mm_decode_tiff_lzw,
     "mm_decode_tiff_palette": mm_decode_tiff_palette,
+    "mm_decode_tiff_tiled": mm_decode_tiff_tiled,
     "mm_decode_tiff_pages": mm_decode_tiff_pages,
     "mm_decode_adpcm": mm_decode_adpcm,
     "mm_decode_webp": mm_decode_webp,
@@ -4813,6 +4878,8 @@ ORACLES = {
     # -> same oracle (the BMP RLE precedent: one palette-lookup truth,
     # three wire formats)
     "mm_decode_tiff_palette": ORACLE_MM_DECODE_GIF,
+    # the tiled face decodes the strip twin's exact pixels -> same oracle
+    "mm_decode_tiff_tiled": ORACLE_MM_DECODE_TIFF,
     "mm_decode_tiff_pages": ORACLE_MM_DECODE_TIFF_PAGES,
     "mm_decode_adpcm": ORACLE_MM_DECODE_ADPCM,
     "mm_decode_webp": ORACLE_MM_DECODE_WEBP,

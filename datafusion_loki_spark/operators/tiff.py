@@ -15,9 +15,12 @@ per TIFF Technical Note 2 — round 14, output bounded at the expected
 strip size so a crafted stream cannot balloon) and 32773 (PackBits,
 spec section 9), horizontal predictor (tag 317 = 2, spec section 14 —
 round 14), both planar configurations (chunky and planar=2 separate
-sample planes, all of sample 0's strips first — round 14). Everything
-else — tiles, JPEG-in-TIFF, sample depths other than 8 — fails with a
-loud ValueError, never a fake fallback (decode_image contract).
+sample planes, all of sample 0's strips first — round 14), and the
+TILED organization (spec section 15 — late round 14: 16-multiple tile
+geometry, full-size zero-padded edge tiles, per-tile compression with
+the predictor context restarting at each tile row). Everything else —
+JPEG-in-TIFF, tiled planar-2, sample depths other than 8 — fails with
+a loud ValueError, never a fake fallback (decode_image contract).
 
 The encoder twin constructs valid inputs for tests and the registry
 face (multimodal.mm_decode_tiff): either endian, configurable
@@ -46,6 +49,10 @@ _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
 _T_PREDICTOR = 317
 _T_COLORMAP = 320
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -276,6 +283,16 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
         prev = bytes([b])
     if prev:
         put(table[prev], width)
+        # the decoder builds one more table entry while processing
+        # this final code and applies its EarlyChange check BEFORE
+        # reading EOI — mirror it (libtiff's LZWPostEncode bumps
+        # free_ent after the flushed code for exactly this reason;
+        # late-round-14 catch: a tile-sized payload landed the width
+        # boundary precisely between the last data code and EOI, and
+        # the un-grown EOI read back as a truncated stream)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     put(EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -432,6 +449,72 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
             f"unsupported TIFF photometric {photometric}"
             " (gray/RGB/palette only)"
         )
+    if _T_TILE_WIDTH in tags:  # tiled organization (late round 14)
+        if planar == 2 and spp > 1:
+            raise ValueError(
+                "tiled planar-configuration-2 TIFF is not supported"
+            )
+        tw = tag_vals(_T_TILE_WIDTH)[0]
+        tl = tag_vals(_T_TILE_LENGTH)[0]
+        # TIFF 6.0 section 15: tile dimensions must be multiples of 16
+        if tw == 0 or tl == 0 or tw % 16 or tl % 16:
+            raise ValueError(
+                f"malformed TIFF tile geometry {tw}x{tl}"
+                " (16-multiples required)"
+            )
+        toffs = tag_vals(_T_TILE_OFFSETS)
+        tcounts = tag_vals(_T_TILE_COUNTS)
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(toffs) != across * down or len(tcounts) != across * down:
+            raise ValueError(
+                f"TIFF tile bookkeeping mismatch: {len(toffs)} offsets /"
+                f" {len(tcounts)} counts for {across * down} tiles"
+            )
+        tbytes = tw * tl * spp  # tiles are FULL size, edges padded
+        canvas = np.zeros((h, w, spp), dtype=np.uint8)
+        for ti in range(across * down):
+            raw = payload[toffs[ti] : toffs[ti] + tcounts[ti]]
+            if len(raw) < tcounts[ti]:
+                raise ValueError(f"TIFF tile {ti} truncated")
+            if compression == 32773:
+                raw = _packbits_decode(raw, tbytes)
+            elif compression == 5:
+                raw = _lzw_decode_tiff(raw, tbytes)
+            elif compression in (8, 32946):
+                raw = _deflate_decode(raw, tbytes)
+            elif len(raw) != tbytes:
+                raise ValueError(
+                    f"TIFF tile {ti} holds {len(raw)} bytes,"
+                    f" expected {tbytes}"
+                )
+            tile = np.frombuffer(raw, dtype=np.uint8).reshape(tl, tw, spp)
+            if predictor == 2:
+                # horizontal differencing restarts at each TILE row —
+                # undoing it across assembled image rows would bleed
+                # deltas between horizontally adjacent tiles
+                tile = (
+                    np.cumsum(tile.astype(np.uint32), axis=1) % 256
+                ).astype(np.uint8)
+            y0 = (ti // across) * tl
+            x0 = (ti % across) * tw
+            canvas[y0 : y0 + tl, x0 : x0 + tw] = tile[
+                : min(tl, h - y0), : min(tw, w - x0)
+            ]
+        arr = canvas
+        if photometric == 0:
+            arr = (255 - arr.astype(np.int16)).astype(np.uint8)
+        elif photometric == 3:
+            idx = arr[:, :, 0]
+            arr = np.stack(
+                [cmap[0][idx], cmap[1][idx], cmap[2][idx]], axis=-1
+            )
+        nxt_pos = ifd_off + 2 + 12 * n_tags
+        nxt_raw = payload[nxt_pos : nxt_pos + 4]
+        if len(nxt_raw) < 4:
+            raise ValueError("TIFF next-IFD pointer truncated")
+        (next_ifd,) = struct.unpack(e + "I", nxt_raw)
+        return w, h, arr, next_ifd
     rows_per_strip = tag_vals(_T_ROWS_PER_STRIP, [h])[0]
     if rows_per_strip == 0:
         raise ValueError("malformed TIFF RowsPerStrip 0")
@@ -521,6 +604,7 @@ def encode_tiff(
     predictor: bool = False,
     palette=None,
     planar: bool = False,
+    tile: "tuple | None" = None,
 ) -> bytes:
     """TIFF writer for (h, w) grayscale (BlackIsZero) or (h, w, 3) RGB
     uint8 arrays — either byte order, configurable strip height,
@@ -539,6 +623,7 @@ def encode_tiff(
         predictor=predictor,
         palette=palette,
         planar=planar,
+        tile=tile,
     )
 
 
@@ -552,6 +637,7 @@ def encode_tiff_pages(
     predictor: bool = False,
     palette=None,
     planar: bool = False,
+    tile: "tuple | None" = None,
 ) -> bytes:
     """Multi-page TIFF writer (round 13 — decode_tiff_pages' twin):
     one IFD per array, chained through the next-IFD pointers; pages may
@@ -564,11 +650,26 @@ def encode_tiff_pages(
     must then be single-channel index arrays and the shared (256, 3)
     uint8 palette is written as each page's 16-bit ColorMap.
     ``planar`` (round 14) writes PlanarConfiguration 2: each sample in
-    its own plane of strips, all of sample 0's strips first."""
+    its own plane of strips, all of sample 0's strips first.
+    ``tile`` = (tile_width, tile_length) (late round 14) switches the
+    page to the TILED organization (TIFF 6.0 section 15): 16-multiple
+    tile geometry, edge tiles zero-padded to full size, per-tile
+    compression and per-tile-row predictor; incompatible with
+    ``planar`` and ``rows_per_strip``."""
     if not arrs:
         raise ValueError("encode_tiff_pages needs at least one page")
     if packbits + lzw + deflate > 1:
         raise ValueError("pick one compression: packbits, lzw or deflate")
+    if tile is not None:
+        tw_opt, tl_opt = int(tile[0]), int(tile[1])
+        if tw_opt <= 0 or tl_opt <= 0 or tw_opt % 16 or tl_opt % 16:
+            raise ValueError(
+                f"tile geometry {tile} must be positive 16-multiples"
+            )
+        if planar:
+            raise ValueError("tiled planar output is not supported")
+        if rows_per_strip is not None:
+            raise ValueError("pick one organization: tiles or strips")
     if palette is not None:
         palette = np.asarray(palette, dtype=np.uint8)
         if palette.shape != (256, 3):
@@ -594,17 +695,40 @@ def encode_tiff_pages(
             raise ValueError(
                 "palette TIFF pages must be single-channel index arrays"
             )
-        if predictor:
+        if predictor and tile is None:
             # horizontal differencing: first pixel kept, the rest are
-            # per-channel deltas mod 256 (decode undoes via cumsum)
+            # per-channel deltas mod 256 (decode undoes via cumsum).
+            # Tiled pages skip this — their predictor context restarts
+            # at each tile row and is applied inside the tile loop
             d = arr.astype(np.int16)
             d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
             arr = (d % 256).astype(np.uint8)
         rps = h if rows_per_strip is None else max(1, rows_per_strip)
         n_strips = -(-h // rps)
         use_planar = planar and spp > 1
+        use_tiles = tile is not None
         raw_strips = []
-        if use_planar:
+        if use_tiles:
+            # tiled organization: full-size zero-padded tiles,
+            # row-major; per-tile predictor context
+            across = -(-w // tw_opt)
+            down = -(-h // tl_opt)
+            padded = np.zeros(
+                (down * tl_opt, across * tw_opt, spp), dtype=np.uint8
+            )
+            padded[:h, :w] = arr
+            for ty in range(down):
+                for tx in range(across):
+                    t = padded[
+                        ty * tl_opt : (ty + 1) * tl_opt,
+                        tx * tw_opt : (tx + 1) * tw_opt,
+                    ]
+                    if predictor:
+                        d = t.astype(np.int16)
+                        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+                        t = (d % 256).astype(np.uint8)
+                    raw_strips.append(t.tobytes())
+        elif use_planar:
             # planar=2: all of sample 0's strips first, then sample 1's
             for p in range(spp):
                 for si in range(n_strips):
@@ -630,6 +754,9 @@ def encode_tiff_pages(
         photometric = 3 if palette is not None else 1 if spp == 1 else 2
         entries.append((_T_WIDTH, 4, [w]))
         entries.append((_T_HEIGHT, 4, [h]))
+        if use_tiles:
+            entries.append((_T_TILE_WIDTH, 4, [tw_opt]))
+            entries.append((_T_TILE_LENGTH, 4, [tl_opt]))
         entries.append((_T_BITS, 3, [8] * spp))
         entries.append(
             (
@@ -655,12 +782,24 @@ def encode_tiff_pages(
                     ],
                 )
             )
-        entries.append((_T_STRIP_OFFSETS, 4, [0] * len(strips)))  # patched
+        if use_tiles:
+            entries.append(
+                (_T_TILE_OFFSETS, 4, [0] * len(strips))
+            )  # patched
+            entries.append(
+                (_T_TILE_COUNTS, 4, [len(sd) for sd in strips])
+            )
+        else:
+            entries.append(
+                (_T_STRIP_OFFSETS, 4, [0] * len(strips))
+            )  # patched
+            entries.append((_T_ROWS_PER_STRIP, 4, [rps]))
+            entries.append(
+                (_T_STRIP_COUNTS, 4, [len(sd) for sd in strips])
+            )
         entries.append((_T_SPP, 3, [spp]))
         if use_planar:
             entries.append((_T_PLANAR, 3, [2]))
-        entries.append((_T_ROWS_PER_STRIP, 4, [rps]))
-        entries.append((_T_STRIP_COUNTS, 4, [len(sd) for sd in strips]))
         entries.sort()
 
         ifd_size = 2 + 12 * len(entries) + 4
@@ -691,7 +830,7 @@ def encode_tiff_pages(
         out = bytearray()
         out += struct.pack(e + "H", len(entries))
         for tag, ttype, vals in entries:
-            if tag == _T_STRIP_OFFSETS:
+            if tag in (_T_STRIP_OFFSETS, _T_TILE_OFFSETS):
                 vals = offsets
             vb = value_bytes(ttype, vals)
             out += struct.pack(e + "HHI", tag, ttype, len(vals))

@@ -97,6 +97,15 @@ _SEEDS = {
         ),
         decode_tiff,
     ),
+    # late round 14: the tiled organization — tile bookkeeping, padded
+    # edge tiles, per-tile predictor under mutation
+    "tiff_tiled": (
+        encode_tiff(
+            np.tile(_PX, (5, 4, 1))[:20, :17],
+            tile=(16, 16), lzw=True, predictor=True,
+        ),
+        decode_tiff,
+    ),
     # round 14 (late session): planar configuration 2 — per-plane strip
     # bookkeeping under mutation
     "tiff_planar": (

@@ -600,3 +600,102 @@ def test_planar_strip_bookkeeping_loud():
             struct.pack_into("<H", blob2, ent + 8, 1)  # claim chunky
     with pytest.raises(ValueError, match="strip bookkeeping"):
         decode_tiff(bytes(blob2))
+
+
+# --- late round 14: tiled organization (TIFF 6.0 section 15) ---
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 50),
+    h=st.integers(1, 50),
+    rgb=st.booleans(),
+    be=st.booleans(),
+    comp=st.sampled_from(["none", "deflate", "packbits", "lzw"]),
+    pred=st.booleans(),
+    tw=st.sampled_from([16, 32]),
+    tl=st.sampled_from([16, 32]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiled_roundtrip_property(w, h, rgb, be, comp, pred, tw, tl, seed):
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, 3) if rgb else (h, w)).astype(np.uint8)
+    blob = encode_tiff(
+        px,
+        big_endian=be,
+        tile=(tw, tl),
+        deflate=comp == "deflate",
+        packbits=comp == "packbits",
+        lzw=comp == "lzw",
+        predictor=pred,
+    )
+    gw, gh, out = decode_tiff(blob)
+    want = px if rgb else px[:, :, None]
+    assert (gw, gh) == (w, h) and (out == want).all()
+
+
+def test_tiled_predictor_context_is_per_tile():
+    # a horizontal gradient spanning two tile columns: if the decoder
+    # ran its cumsum across assembled image rows, the second tile's
+    # first column (stored RAW per spec, since each tile's predictor
+    # restarts) would be double-counted — this construction catches it
+    g = np.tile(np.arange(32, dtype=np.uint8) * 3, (16, 1))
+    blob = encode_tiff(g, tile=(16, 16), lzw=True, predictor=True)
+    _, _, out = decode_tiff(blob)
+    assert (out[:, :, 0] == g).all()
+
+
+def test_tiled_fail_loud_contract():
+    from datafusion_loki_spark.operators.tiff import (
+        _T_TILE_COUNTS,
+        _T_TILE_WIDTH,
+    )
+
+    px = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+    good = encode_tiff(px, tile=(16, 16))
+    # non-16-multiple tile geometry (encoder and decoder)
+    with pytest.raises(ValueError, match="16-multiples"):
+        encode_tiff(px, tile=(12, 16))
+    blob = bytearray(good)
+    (n,) = struct.unpack("<H", blob[8:10])
+    for i in range(n):
+        ent = 10 + 12 * i
+        (tag,) = struct.unpack("<H", blob[ent : ent + 2])
+        if tag == _T_TILE_WIDTH:
+            struct.pack_into("<I", blob, ent + 8, 24)
+    with pytest.raises(ValueError, match="16-multiples"):
+        decode_tiff(bytes(blob))
+    # tile bookkeeping mismatch (count patched down)
+    blob = bytearray(good)
+    for i in range(n):
+        ent = 10 + 12 * i
+        (tag,) = struct.unpack("<H", blob[ent : ent + 2])
+        if tag == _T_TILE_COUNTS:
+            struct.pack_into("<I", blob, ent + 4, 3)
+    with pytest.raises(ValueError, match="bookkeeping"):
+        decode_tiff(bytes(blob))
+    # organization conflicts at the encoder
+    with pytest.raises(ValueError, match="tiles or strips"):
+        encode_tiff(px, tile=(16, 16), rows_per_strip=4)
+    with pytest.raises(ValueError, match="planar"):
+        encode_tiff(
+            np.zeros((16, 16, 3), np.uint8), tile=(16, 16), planar=True
+        )
+
+
+def test_lzw_final_code_width_boundary_regression():
+    # late-round-14 catch (found by a tile-sized payload): when the
+    # table boundary lands exactly between the final data code and
+    # EOI, the decoder has built one more entry and grown its read
+    # width — the encoder must mirror libtiff's PostEncode free_ent
+    # bump or the EOI reads back as truncation. Sweep every length
+    # across both the 9->10 and 10->11 boundaries.
+    from datafusion_loki_spark.operators.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    rng = np.random.RandomState(7)
+    for ln in list(range(250, 270)) + list(range(755, 780)):
+        d = rng.randint(0, 256, ln).astype(np.uint8).tobytes()
+        assert _lzw_decode_tiff(_lzw_encode_tiff(d), ln) == d, ln

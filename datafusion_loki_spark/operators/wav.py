@@ -70,10 +70,16 @@ _MS_COEFS = (
 
 def _ms_step(s1: int, s2: int, delta: int, c1: int, c2: int, n: int):
     """One MS-ADPCM decode step for SIGNED nibble ``n`` (-8..7):
-    returns (sample, new_delta). The >>8 is an arithmetic shift of the
-    coefficient predictor; output clamps to int16; delta floors at
-    16."""
-    pred = (s1 * c1 + s2 * c2) >> 8
+    returns (sample, new_delta). The coefficient predictor divides by
+    256 TRUNCATING TOWARD ZERO, matching the reference recipe's C
+    integer division ((s1*c1 + s2*c2)/256) — a floor shift differs by
+    one for negative sums (e.g. coefficient pairs with negative c2)
+    and the error compounds through the prediction feedback (round-15
+    ADVICE fix; the registry face's (256, 0) pair never exercises a
+    negative product, which is why roundtrips stayed green). Output
+    clamps to int16; delta floors at 16."""
+    t = s1 * c1 + s2 * c2
+    pred = (t >> 8) if t >= 0 else -((-t) >> 8)
     sample = pred + delta * n
     if sample > 32767:
         sample = 32767
@@ -595,7 +601,8 @@ def encode_wav_ms_adpcm(
             deltas.append(delta)
             for s in blk[2:, c]:
                 s = int(s)
-                pred = (s1 * c1 + s2 * c2) >> 8
+                t = s1 * c1 + s2 * c2
+                pred = (t >> 8) if t >= 0 else -((-t) >> 8)
                 n_q = (s - pred) // delta if delta else 0
                 n_q = max(-8, min(7, n_q))
                 nibbles[c].append(n_q & 0x0F)

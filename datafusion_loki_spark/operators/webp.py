@@ -327,6 +327,18 @@ def _read_group(br: _BitReader, cache_size: int):
     )
 
 
+def _meta_index(meta_px) -> "np.ndarray":
+    """Meta-prefix group index from entropy-image ARGB pixels.
+
+    RFC 9649 §5.2.1 defines the index as (red << 8) | green — 16 bits.
+    The mask must NOT be wider: a conformant stream whose writer left
+    nonzero alpha in the entropy-image pixels would otherwise leak that
+    byte into the index, inflating the group count or mis-selecting
+    groups (round-15 ADVICE fix; self-encoded streams always write
+    alpha=0, so roundtrip tests never exercised it)."""
+    return ((meta_px >> 8) & 0xFFFF).astype(np.int64)
+
+
 def _decode_pixels(br: _BitReader, w: int, h: int, is_main: bool):
     """One entropy-coded image (RFC 9649 §5.2): optional color cache,
     optional meta-prefix image (main image only), prefix-coded
@@ -346,7 +358,7 @@ def _decode_pixels(br: _BitReader, w: int, h: int, is_main: bool):
         mw = -(-w // (1 << meta_bits))
         mh = -(-h // (1 << meta_bits))
         meta_px = _decode_pixels(br, mw, mh, False)
-        meta = ((meta_px >> 8) & 0xFFFFFF).astype(np.int64)  # (r<<8)|g
+        meta = _meta_index(meta_px)
         groups_n = int(meta.max()) + 1
         meta_shift = meta_bits
     groups = [_read_group(br, cache_size) for _ in range(groups_n)]
@@ -855,8 +867,6 @@ def _fixed_lengths(alphabet: int) -> list:
         if len(_FIXED_LEN_CACHE) < 16:
             _FIXED_LEN_CACHE[alphabet] = lengths
         return lengths
-    n_short = (1 << (L + 2)) - alphabet - alphabet  # solve 2a+b form
-    # lengths L+1 ("short") and L+2 would overshoot; derive directly:
     # n_L/2^L + n_{L+1}/2^{L+1} = 1 with n_L + n_{L+1} = alphabet
     n_L = (1 << (L + 1)) - alphabet
     lengths = [L] * n_L + [L + 1] * (alphabet - n_L)

@@ -363,3 +363,23 @@ def test_decode_image_dispatch_and_admission_sniff():
     assert out.shape == (4, 6, 4)
     assert (out[:, :, :3] == arr).all()
     assert (out[:, :, 3] == 255).all()
+
+
+def test_meta_index_masks_alpha_byte():
+    # RFC 9649 §5.2.1: group index is (red << 8) | green, 16 bits. An
+    # entropy-image pixel carrying nonzero ALPHA (legal for a foreign
+    # writer; our encoder always emits alpha=0) must not widen the
+    # index (round-15 ADVICE regression pin).
+    from datafusion_loki_spark.operators.webp import _meta_index
+
+    px = np.array(
+        [
+            0xFF_03_02_55,  # alpha=0xFF, r=3, g=2 -> (3<<8)|2 = 770
+            0x00_00_01_00,  # r=0, g=1 -> 1
+            0x80_FF_FF_00,  # alpha=0x80, r=g=0xFF -> 0xFFFF
+        ],
+        dtype=np.uint32,
+    )
+    idx = _meta_index(px)
+    assert idx.dtype == np.int64
+    assert idx.tolist() == [770, 1, 0xFFFF]

@@ -20,7 +20,8 @@ exabyte of video reads only the metadata bytes.
 
 from __future__ import annotations
 
-from typing import Iterator
+import os
+from typing import Callable, Iterator
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -1085,7 +1086,88 @@ def decode_png(payload: bytes):
     return w, h, samples
 
 
-def decode_image(payload: bytes):
+# --- decode backend hook (round 15, verdict Next #3) -------------------
+# The native-codec swap point, as CONFIG instead of a code change: set
+# SPARK_GRAFT_DECODE_BACKEND to route decode_image through a native
+# library. The env var (not module state) is the dispatch channel
+# because the kernel runs inside mapInPandas Python workers — a value
+# set on the driver's module would never reach them, while local-mode
+# workers inherit the environment and a real cluster ships it via
+# spark.executorEnv. Accepted values:
+#
+#   "pure" (default)      — the verified pure stdlib+numpy decoders.
+#   "pil"                 — route through PIL WHEN PRESENT; if PIL is
+#                           not importable in the worker the call falls
+#                           back to the pure decoders (the swap is "use
+#                           the native library where it exists", never
+#                           "fail where it doesn't").
+#   "pkg.module:function" — a dotted path to a callable
+#                           (payload: bytes) -> np.ndarray, resolved
+#                           lazily BY EACH WORKER (import-by-name is the
+#                           only registration that survives the process
+#                           boundary). Unresolvable paths raise loudly —
+#                           a config typo must not silently decode pure.
+#
+# Contract for any backend: same array conventions as the pure
+# decoders ((h, w[, ch]) uint8/uint16, lossless-WebP always RGBA,
+# palette formats expanded to RGB) — tests/test_decode_backend.py pins
+# backend-invariance of the kernel output with a fake native backend.
+_DECODE_BACKEND_ENV = "SPARK_GRAFT_DECODE_BACKEND"
+# name -> resolved callable; "pil" caches None when PIL is absent so
+# the import is attempted once per worker, not once per payload
+_DECODE_BACKEND_CACHE: "dict[str, Callable[[bytes], object] | None]" = {}
+
+
+def _pil_backend(payload: bytes):
+    """PIL-backed decode normalized to the pure decoders' conventions:
+    WebP forced to RGBA (the pure VP8L decoder always returns 4
+    channels), palette modes expanded to RGB (what the pure PNG/GIF/
+    TIFF palette paths return), everything else kept in PIL's native
+    mode (L -> (h, w), RGB -> (h, w, 3), RGBA -> (h, w, 4))."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    if (img.format or "").upper() == "WEBP":
+        img = img.convert("RGBA")
+    elif img.mode == "P":
+        img = img.convert("RGB")
+    return np.asarray(img)
+
+
+def _resolve_decode_backend(name: str):
+    """Backend callable for ``name``, or None meaning 'fall back to
+    pure' (only the pil-absent case). Cached per worker process."""
+    if name in _DECODE_BACKEND_CACHE:
+        return _DECODE_BACKEND_CACHE[name]
+    if name == "pil":
+        try:
+            import PIL  # noqa: F401
+
+            fn = _pil_backend
+        except ImportError:
+            fn = None
+    elif ":" in name:
+        import importlib
+
+        mod_name, _, attr = name.partition(":")
+        fn = getattr(importlib.import_module(mod_name), attr)
+        if not callable(fn):
+            raise TypeError(
+                f"decode backend {name!r} resolved to non-callable {fn!r}"
+            )
+    else:
+        raise ValueError(
+            f"unknown decode backend {name!r}: expected 'pure', 'pil',"
+            " or a 'pkg.module:function' dotted path"
+        )
+    _DECODE_BACKEND_CACHE[name] = fn
+    return fn
+
+
+def decode_image(payload: bytes, backend: "str | None" = None):
     """REAL decode dispatch. Codec-free formats decode with the pure-
     numpy parsers above; the compressed formats production corpora
     actually ship decode without any codec library — PNG (pure stdlib
@@ -1099,7 +1181,18 @@ def decode_image(payload: bytes):
     'VP8 ' form raises ITS decoder's loud ValueError, never a fake).
     Only genuinely PIL-gated formats (lossy WebP via the dispatch's
     webp branch, AVIF, ...) hit the clearly-marked loud gate — the
-    swap-in point for PIL/libvips on a real cluster."""
+    swap-in point for PIL/libvips on a real cluster.
+
+    ``backend`` (explicit arg, else the SPARK_GRAFT_DECODE_BACKEND env
+    var — see the hook block above) routes the WHOLE dispatch through a
+    native decoder when one is present; the pure decoders remain both
+    the default and the documented fallback when the named 'pil'
+    backend has no PIL to import."""
+    name = backend or os.environ.get(_DECODE_BACKEND_ENV, "pure")
+    if name != "pure":
+        fn = _resolve_decode_backend(name)
+        if fn is not None:
+            return fn(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)[2]
     if payload[:2] == b"BM":

@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale slots):
 #
 #   1. entries NEW or CHANGED this round lead (hand-pinned in
-#      _R14_PINNED — their plans and output must re-earn a driver row);
+#      _R15_PINNED — their plans and output must re-earn a driver row);
 #   2. the rest of the window is DERIVED from the committed
 #      CORRECTNESS_r*.json files: never-green entries first (never
 #      checked, or checked red), then ascending latest-green round,
@@ -54,67 +54,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # test_unchecked_queries_lead_the_window (never-checked entries must sit
 # in the prefix) and test_correctness_window_is_pinned (prefix ==
 # _WINDOW_PRIORITY, staleness ordering holds).
-_R14_PINNED: tuple[str, ...] = (
-    # --- new/changed in round 14 (hand-pinned ahead of the derived
-    # staleness tail; kept LEAN per the round-13 verdict: only entries
-    # whose DECODE PATH or OUTPUT changed re-earn — validation-only
-    # hardening (GIF min-code bound, JPEG DHT guard, TIFF word
-    # alignment) does not change any green entry's output) ---
-    # CHANGED in r14: the JPEG entropy core was rewritten (combined
-    # symbol+magnitude LUTs at adaptive peek width, 64-bit window list,
-    # budget-hoisted checks — PERF_NOTES round-14 section): every face
-    # that DECODES a JPEG re-earns
-    "mm_decode_jpeg",
-    "mm_decode_jpeg_progressive",
-    "mm_decode_validate",
-    # NEW in r14: TIFF Compression 5 (LZW, MSB-first + EarlyChange) +
-    # horizontal predictor — the dominant real-world TIFF layout,
-    # gradient-modulated construction with full-hash hex oracle
-    "mm_decode_tiff_lzw",
-    # NEW in r14: the media corpus manifest — per-source kept-item /
-    # kept-byte / kept-pixel rollup joining the keep-list with the
-    # decode-admission verdict (corpus_build_manifest's media twin)
-    "mm_corpus_manifest",
-    # NEW in r14: decode-backed frame sampling — every 2nd COMPOSITED
-    # frame of a six-frame disposal-none animation (sampled canvases
-    # depend on unsampled predecessors); retires mm_frame_sample as
-    # the family's sampling face (kept, documented arithmetic-only)
-    "mm_frame_sample_real",
-    # NEW in r14: windowed audio features (energy / lag-1
-    # autocorrelation / peak) over the decode path's new IEEE-float
-    # PCM branch (format tag 3) — integer-exact construction
-    "mm_audio_windows",
-    # NEW in r14 (late session): palette-color TIFF (photometric 3 /
-    # ColorMap) over zlib-deflate strips (Compression 8) — the GIF
-    # construction, so three wire formats share one palette oracle
-    "mm_decode_tiff_palette",
-    # NEW in r14 (late session): IMA ADPCM (format tag 0x11) — the
-    # audio modality's first compressed format; crafted-block
-    # construction with a linear-in-P0 exact oracle (inline C_k
-    # replay of the public IMA shift-add recipe)
-    "mm_decode_adpcm",
-    # NEW in r14 (late session): lossless WebP (VP8L) — prefix codes,
-    # LZ77 + color cache, subtract-green, through the real
-    # operators/webp.py encoder/decoder pair; lossless, so the hex
-    # oracle replays channel sums exactly
+_R15_PINNED: tuple[str, ...] = (
+    # --- new/changed in round 15 (hand-pinned ahead of the derived
+    # staleness tail; kept LEAN per the round-14 verdict's Next #2 —
+    # <= 10 pins so the 40-entry r10-stale block clears this round) ---
+    # NEW in r15: the unified cross-modality ship card — text-manifest
+    # gates (rule ∧ learned ∧ keep-list over the FULL documents
+    # universe) unioned with the media manifest into one
+    # per-(modality, source) executive row set
+    "corpus_ship_card",
+    # CHANGED in r15 (decode path): VP8L meta-prefix group index now
+    # masks to the spec's 16 bits (ADVICE fix) — output unchanged on
+    # self-encoded streams, but the face's decode path re-earns
     "mm_decode_webp",
-    # NEW in r14 (late session): MJPEG AVI — the video modality's
-    # first real container decode (RIFF/LIST walk + per-frame JPEG);
-    # DC-only frame construction keeps the oracle exact
-    "mm_decode_video",
-    # NEW in r14 (late session): G.711 telephony companding (tags
-    # 6/7) — both laws per doc; the oracle inlines the 256-entry
-    # ITU-T decode tables as SQL literals
-    "mm_decode_g711",
-    # NEW in r14 (late session): MS-ADPCM (format tag 2) — the last
-    # WAV format gap; crafted-block construction, linear-in-seeds
-    # exact oracle (coefficient pair (256, 0) avoids the >>8 rounding)
+    # CHANGED in r15 (decode path): MS-ADPCM predictor divides
+    # truncating-toward-zero per the reference recipe (ADVICE fix) —
+    # the face's (256, 0) pair is numerically unaffected, but the
+    # decode path re-earns
     "mm_decode_msadpcm",
-    # NEW in r14 (late session): the TIFF tiled organization — one
-    # zero-padded 16x16 deflate+predictor tile per item, the strip
-    # twin's oracle (same decoded pixels). Shipping it also caught and
-    # fixed a latent LZW encoder bug (final-code width boundary)
-    "mm_decode_tiff_tiled",
 )
 
 _WINDOW_SIZE = 50
@@ -169,14 +126,14 @@ def _window_priority(
     if latest is None:
         latest = _latest_green_round()
     order = {n: i for i, n in enumerate(registered)}
-    unknown = [n for n in _R14_PINNED if n not in order]
+    unknown = [n for n in _R15_PINNED if n not in order]
     if unknown:
         raise KeyError(
-            f"_R14_PINNED names not in the registry (typo?): {unknown}"
+            f"_R15_PINNED names not in the registry (typo?): {unknown}"
         )
-    pinned = list(_R14_PINNED)
+    pinned = list(_R15_PINNED)
     tail = sorted(
-        (n for n in registered if n not in _R14_PINNED),
+        (n for n in registered if n not in _R15_PINNED),
         key=lambda n: (latest.get(n, -1), order[n]),
     )
     return tuple((pinned + tail)[:_WINDOW_SIZE])

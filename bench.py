@@ -236,6 +236,10 @@ BENCH_QUERIES = [
     "mm_decode_g711",
     "mm_decode_msadpcm",
     "mm_decode_tiff_tiled",
+    # appended round 15: the unified cross-modality ship card (both
+    # manifests' gate sub-DAGs + the union rollup — the suite's new
+    # most-composite entry)
+    "corpus_ship_card",
 ]
 
 

@@ -4897,6 +4897,141 @@ ORACLE_MM_CORPUS_MANIFEST = _oracle_mm_corpus_manifest().format(
 )
 
 
+def corpus_ship_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified cross-modality ship card (round 15, verdict Next
+    #5): ONE per-(modality, source) row set covering everything the
+    pipeline ships — text documents through the rule gate ∧ learned
+    gate ∧ dedup keep-list (corpus_build_manifest's gates), and media
+    items through the multimodal keep-list + decode admission
+    (mm_corpus_manifest's gates). Each row carries total items entering
+    the pipeline, items kept, bytes those kept items ship, the kept
+    payload in its modality's native unit (tokens for text, decoded
+    pixels for media — the ``units`` column labels which), and the kept
+    fraction. This is the one-page executive artifact a data org reads
+    before a training run; deriving BOTH halves from the same gate
+    operators the pipeline runs means the card can never disagree with
+    either manifest.
+
+    100 TB posture: both halves pay their documented sub-DAG costs once
+    (keep-lists bounded, admission Exchange-free); the text half's only
+    new join is doc_id-keyed with a candidate-scale right side, both
+    rollup keys are vocabulary-bounded (sources × modalities), and the
+    final union is O(rows-of-two-tiny-aggregates)."""
+    from datafusion_loki_spark.operators.dedup import dedup_keep_list
+    from datafusion_loki_spark.operators.text import (
+        text_quality_classifier,
+        text_quality_filter,
+    )
+
+    # --- text half: the corpus_build_manifest gates over the FULL
+    # documents universe (the manifest reports kept-only rows; a ship
+    # card must also show what was dropped, so the gates left-join onto
+    # every document)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("octet_length(text)").alias("n_bytes"),
+    )
+    kept_docs = (
+        text_quality_filter(spark, sf_dir)
+        .select("doc_id", "n_tokens")
+        .join(
+            text_quality_classifier(spark, sf_dir)
+            .where(F.col("pred_hq") == 1)
+            .select("doc_id"),
+            "doc_id",
+        )
+        .join(
+            dedup_keep_list(spark, sf_dir)
+            .where(F.col("status") == "keep")
+            .select("doc_id"),
+            "doc_id",
+        )
+        .withColumn("is_kept", F.lit(1))
+    )
+    is_kept = F.col("is_kept").isNotNull()
+    text_half = (
+        docs.join(kept_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(is_kept.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(is_kept, F.col("n_bytes").cast("long")).otherwise(0)
+            ).alias("kept_bytes"),
+            F.sum(
+                F.when(is_kept, F.col("n_tokens").cast("long")).otherwise(0)
+            ).alias("kept_units"),
+        )
+        .select(
+            F.lit("text").alias("modality"),
+            "source",
+            "n_items",
+            "n_kept",
+            "kept_bytes",
+            "kept_units",
+            F.lit("tokens").alias("units"),
+            (F.col("n_kept").cast("double") / F.col("n_items")).alias(
+                "kept_fraction"
+            ),
+        )
+    )
+    # --- media half: mm_corpus_manifest's rows re-labeled into the
+    # card's schema (media_type IS the modality; the synthetic corpus
+    # has a single media source)
+    media_half = mm_corpus_manifest(spark, sf_dir).select(
+        F.col("media_type").alias("modality"),
+        F.lit("media").alias("source"),
+        "n_items",
+        "n_kept",
+        "kept_bytes",
+        F.col("kept_pixels").alias("kept_units"),
+        F.lit("pixels").alias("units"),
+        "kept_fraction",
+    )
+    return text_half.unionByName(media_half)
+
+
+def _oracle_ship_card() -> str:
+    from datafusion_loki_spark.operators.dedup import (
+        ORACLES as _DEDUP_ORACLES,
+    )
+    from datafusion_loki_spark.operators.text import (
+        ORACLE_QUALITY_CLASSIFIER,
+        ORACLE_TEXT_QUALITY,
+    )
+
+    keep_sql = _DEDUP_ORACLES["dedup_keep_list"]
+    return f"""
+WITH textkept AS (
+  SELECT doc_id, n_tokens FROM ({ORACLE_TEXT_QUALITY}) q
+  JOIN (SELECT doc_id FROM ({ORACLE_QUALITY_CLASSIFIER}) z
+        WHERE pred_hq = 1) c USING (doc_id)
+  JOIN (SELECT doc_id FROM ({keep_sql}) y WHERE status = 'keep') k
+    USING (doc_id)
+)
+SELECT 'text' AS modality, d.source AS source,
+       COUNT(*) AS n_items,
+       CAST(SUM(CASE WHEN tk.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN tk.doc_id IS NOT NULL
+                THEN octet_length(encode(d.text)) ELSE 0 END)
+         AS BIGINT) AS kept_bytes,
+       CAST(SUM(CASE WHEN tk.doc_id IS NOT NULL THEN tk.n_tokens
+                ELSE 0 END) AS BIGINT) AS kept_units,
+       'tokens' AS units,
+       CAST(SUM(CASE WHEN tk.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS DOUBLE) / COUNT(*) AS kept_fraction
+FROM documents d LEFT JOIN textkept tk USING (doc_id)
+GROUP BY d.source
+UNION ALL
+SELECT media_type AS modality, 'media' AS source,
+       n_items, n_kept, kept_bytes,
+       kept_pixels AS kept_units, 'pixels' AS units, kept_fraction
+FROM ({ORACLE_MM_CORPUS_MANIFEST}) m
+"""
+
+
 # the BMP RLE face shares the GIF twin's construction layout -> same oracle
 # (defined here because ORACLE_MM_DECODE_GIF appears later in the module
 # than the face's own definition)
@@ -4942,6 +5077,7 @@ QUERIES = {
     "mm_corpus_manifest": mm_corpus_manifest,
     "mm_frame_sample_real": mm_frame_sample_real,
     "mm_audio_windows": mm_audio_windows,
+    "corpus_ship_card": corpus_ship_card,
 }
 
 ORACLES = {
@@ -4990,4 +5126,5 @@ ORACLES = {
     "mm_corpus_manifest": ORACLE_MM_CORPUS_MANIFEST,
     "mm_frame_sample_real": ORACLE_MM_FRAME_SAMPLE_REAL,
     "mm_audio_windows": ORACLE_MM_AUDIO_WINDOWS,
+    "corpus_ship_card": _oracle_ship_card(),
 }

@@ -1258,3 +1258,16 @@ def test_mm_corpus_manifest_narrow_joins_small_agg(spark, sf_dir):
     assert "MapInPandas" in plan, plan  # admission verdict is live
     # the aggregate keys on media_type only (3 groups)
     assert "media_type" in plan, plan
+
+
+def test_corpus_ship_card_union_no_cartesian(spark, sf_dir):
+    # the round-15 ship card unions the text-manifest gates (left-join
+    # over the full documents universe) with the media manifest's
+    # rows; every added join is doc_id-keyed narrow rows, the rollup
+    # keys are vocabulary-bounded (source / media_type), and nothing
+    # may degenerate to a cartesian
+    plan = _plan(spark, sf_dir, "corpus_ship_card")
+    assert "CartesianProduct" not in plan, plan
+    assert "Union" in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "MapInPandas" in plan, plan  # admission verdict is live

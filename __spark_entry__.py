@@ -63,6 +63,10 @@ _R15_PINNED: tuple[str, ...] = (
     # universe) unioned with the media manifest into one
     # per-(modality, source) executive row set
     "corpus_ship_card",
+    # NEW in r15: DFT windowed spectra — bin-pure tone construction
+    # through the float-WAV decode path, real rfft per window, the
+    # centroid/rolloff/peak/energy values integer-exact by design
+    "mm_audio_spectra",
     # CHANGED in r15 (decode path): VP8L meta-prefix group index now
     # masks to the spec's 16 bits (ADVICE fix) — output unchanged on
     # self-encoded streams, but the face's decode path re-earns

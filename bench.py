@@ -238,8 +238,10 @@ BENCH_QUERIES = [
     "mm_decode_tiff_tiled",
     # appended round 15: the unified cross-modality ship card (both
     # manifests' gate sub-DAGs + the union rollup — the suite's new
-    # most-composite entry)
+    # most-composite entry) and the DFT windowed-spectra face (float
+    # WAV decode + 4 real rffts per item)
     "corpus_ship_card",
+    "mm_audio_spectra",
 ]
 
 

@@ -3238,6 +3238,131 @@ WITH m AS (
 ORACLE_MM_AUDIO_WINDOWS = _aw_oracle()
 
 
+# --- windowed spectra (round 15, verdict Next #7) ----------------------
+#
+# Construction: per doc, 4 windows of 32 samples, each a PURE TONE at
+# an exact DFT bin — window w plays amplitude A_w = 1 + byte(2w+1) %
+# 100 at bin k_w = 1 + byte(2w) % 15 (always below the Nyquist bin
+# 16). A single-bin cosine's rfft is zero everywhere except bin k_w
+# (|X[k_w]| = A*N/2), so spectral centroid, 85%-energy rolloff, and
+# the peak bin all equal k_w EXACTLY, the peak magnitude is A*16, and
+# the window energy is A²*16 — integer-exact values a SQL oracle can
+# replay from the construction parameters alone, while the kernel
+# computes them the real way (decode_wav on a format-3 float WAV, then
+# a full numpy rfft per window). Float32 quantization of the cosine
+# leaks ~1e-7 relative into other bins — orders of magnitude inside
+# the 0.5 rounding margin (verified over 2000 windows).
+_MM_AS_WIN = 32          # samples per analysis window (DFT length)
+_MM_AS_WINDOWS = 4
+_MM_AS_NEED = 2 * _MM_AS_WINDOWS  # (k, A) byte pair per window
+
+
+def mm_audio_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT-based windowed spectral analysis over decoded float PCM:
+    the bin-pure tone construction above is written as a format-tag-3
+    float WAV, decoded by decode_wav's chunk walk, and each 32-sample
+    window gets a REAL rfft — emitting the spectral centroid bin, the
+    85%-energy rolloff bin, the peak bin, the rounded peak magnitude,
+    and the window energy. A windowing slip, an off-by-one in the bin
+    axis, a magnitude/power mixup in the rolloff, or a float-layout
+    error in the WAV path hash-mismatches on a specific window row.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 4 bounded rows per
+    item, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.wav import decode_wav, encode_wav
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_AS_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = np.arange(_MM_AS_WIN)
+        bins = np.arange(_MM_AS_WIN // 2 + 1)
+        for pdf in batches:
+            ids, wk, cb, rb, pb, pm, en = [], [], [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_AS_NEED]
+                segs = [
+                    (1 + raw[2 * w + 1] % 100)
+                    * np.cos(
+                        2 * np.pi * (1 + raw[2 * w] % 15) * n / _MM_AS_WIN
+                    )
+                    for w in range(_MM_AS_WINDOWS)
+                ]
+                samples = (
+                    np.concatenate(segs).astype(np.float32).reshape(-1, 1)
+                )
+                ch, rate, bits, out = decode_wav(
+                    encode_wav(samples, 8000, bits=32)
+                )
+                x = out[:, 0].astype(np.float64)
+                for w in range(_MM_AS_WINDOWS):
+                    seg = x[w * _MM_AS_WIN : (w + 1) * _MM_AS_WIN]
+                    mag = np.abs(np.fft.rfft(seg))
+                    power = mag * mag
+                    csum = np.cumsum(power)
+                    ids.append(int(did))
+                    wk.append(w)
+                    cb.append(int(round((bins * mag).sum() / mag.sum())))
+                    rb.append(
+                        int(np.searchsorted(csum, 0.85 * csum[-1]))
+                    )
+                    pb.append(int(mag.argmax()))
+                    pm.append(int(round(mag.max())))
+                    en.append(int(round((seg * seg).sum())))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "window_idx": wk,
+                        "centroid_bin": cb,
+                        "rolloff_bin": rb,
+                        "peak_bin": pb,
+                        "peak_mag": pm,
+                        "energy": en,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, window_idx int, centroid_bin int, rolloff_bin int,"
+        " peak_bin int, peak_mag long, energy long",
+    )
+
+
+def _as_oracle() -> str:
+    selects = []
+    for w in range(_MM_AS_WINDOWS):
+        k = f"(1 + {_hexpair_duck(str(2 * w))} % 15)"
+        a = f"(1 + {_hexpair_duck(str(2 * w + 1))} % 100)"
+        selects.append(
+            f"""SELECT doc_id, {w} AS window_idx,
+       CAST({k} AS INTEGER) AS centroid_bin,
+       CAST({k} AS INTEGER) AS rolloff_bin,
+       CAST({k} AS INTEGER) AS peak_bin,
+       CAST({a} * 16 AS BIGINT) AS peak_mag,
+       CAST({a} * {a} * 16 AS BIGINT) AS energy
+FROM m"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_AS_NEED}
+)
+{union}
+"""
+
+
+ORACLE_MM_AUDIO_SPECTRA = _as_oracle()
+
+
 # --- TIFF (round 13: TIFF leaves the PIL-gated list) --------------------------
 #
 # Construction: payload bytes [0, 105) as a 7x5 RGB image, written as a
@@ -5077,6 +5202,7 @@ QUERIES = {
     "mm_corpus_manifest": mm_corpus_manifest,
     "mm_frame_sample_real": mm_frame_sample_real,
     "mm_audio_windows": mm_audio_windows,
+    "mm_audio_spectra": mm_audio_spectra,
     "corpus_ship_card": corpus_ship_card,
 }
 
@@ -5126,5 +5252,6 @@ ORACLES = {
     "mm_corpus_manifest": ORACLE_MM_CORPUS_MANIFEST,
     "mm_frame_sample_real": ORACLE_MM_FRAME_SAMPLE_REAL,
     "mm_audio_windows": ORACLE_MM_AUDIO_WINDOWS,
+    "mm_audio_spectra": ORACLE_MM_AUDIO_SPECTRA,
     "corpus_ship_card": _oracle_ship_card(),
 }

@@ -1177,7 +1177,7 @@ def test_decode_ops_scan_speed_no_shuffle(spark, sf_dir):
     for name in ("mm_decode_ppm", "mm_decode_png", "mm_decode_bmp",
                  "mm_decode_wav", "mm_decode_tiff", "mm_decode_tiff_lzw",
                  "mm_audio_features", "mm_frame_sample_real",
-                 "mm_audio_windows",
+                 "mm_audio_windows", "mm_audio_spectra",
                  "mm_decode_tiff_palette", "mm_decode_adpcm",
                  "mm_decode_webp", "mm_decode_video", "mm_decode_g711",
                  "mm_decode_msadpcm", "mm_decode_tiff_tiled",

@@ -634,6 +634,75 @@ def rollup_to_parquet(
     )
 
 
+def corpus_manifest_stream(
+    verdicts: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":  # noqa: F821 - pyspark.sql.streaming type
+    """Streaming corpus-manifest twin (round 15, verdict Next #6): the
+    media what-you-SHIP row maintained CONTINUOUSLY at ingest. Input is
+    an admission-verdict stream (decode_admission_stream output whose
+    source carried ``media_type`` and ``n_bytes`` through the kernel);
+    a stateful running aggregate per media_type tracks items seen,
+    items admitted, admitted bytes and admitted pixels — the same
+    column set as the batch mm_corpus_manifest, with the ingest-time
+    decode admission as the gate (the batch manifest remains the
+    full-gate truth: exact/perceptual/semantic dedup verdicts need the
+    corpus-wide state only the batch keep-list has).
+
+    Idempotence/exactly-once: update-mode emits the CUMULATIVE row for
+    each media_type a micro-batch touched, and the sink is partitioned
+    BY THE AGGREGATION KEY — so a dynamic partition overwrite replaces
+    exactly that key's one-row partition with its refreshed total, and
+    a replayed batch after failure rewrites the same row
+    (rollup_to_parquet needs a read-merge because its day partitions
+    hold many window keys; here partition == key, so the overwrite IS
+    the merge). Restart with the same checkpoint recovers the running
+    totals from the state store, so the manifest converges to the
+    batch aggregate over everything ingested.
+
+    100 TB posture: state is O(media types) rows; the per-batch shuffle
+    carries only (media_type, 4 counters) partials — payloads never
+    reach the aggregation (the admission kernel already dropped them);
+    the sink write is O(types touched per batch) tiny files."""
+    kept = F.col("ok")
+    agg = verdicts.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(kept, F.col("n_bytes").cast("long")).otherwise(0)
+        ).alias("kept_bytes"),
+        F.sum(
+            F.when(kept, F.coalesce(F.col("n_pixels"), F.lit(0)))
+            .otherwise(0)
+        ).alias("kept_pixels"),
+    )
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = batch_df.withColumn(
+            "kept_fraction",
+            F.col("n_kept").cast("double") / F.col("n_items"),
+        )
+        (
+            out.repartition("media_type")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("media_type")
+            .option("compression", "zstd")
+            .parquet(path)
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _value_bucket() -> "F.Column":
     # ONE grid definition shared with the batch drift ops — imported,
     # not duplicated, so the batch twin (plans/logs.py::log_window_drift)

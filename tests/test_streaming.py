@@ -2254,3 +2254,117 @@ def test_decode_admission_stream_carries_passthrough_columns(
     assert rows[1].media_type == "image/png" and rows[1].uri.endswith("a.png")
     assert rows[1].ok and rows[1].fmt == "png" and rows[1].n_pixels == 12
     assert rows[2].uri.endswith("b.png") and not rows[2].ok
+
+
+def _manifest_blobs(rng, n_per_type=4):
+    """Mixed-modality blobs with planted corruption: per index i, an
+    image (PNG, corrupt when i%4==3), an audio WAV (corrupt when
+    i%4==2), and unknown bytes (never admitted)."""
+    import numpy as np
+
+    from datafusion_loki_spark.operators.multimodal import encode_png
+    from datafusion_loki_spark.operators.wav import encode_wav
+
+    rows = []
+    for i in range(n_per_type):
+        px = rng.randint(0, 256, (3 + i, 4, 3)).astype(np.uint8)
+        png = encode_png(px)
+        if i % 4 == 3:
+            png = png[:-2]
+        wav = encode_wav(
+            rng.randint(-99, 99, (5 + i, 1)).astype(np.int16), 8000
+        )
+        if i % 4 == 2:
+            wav = wav[:-3]
+        rows.append((100 + i, "image", bytearray(png)))
+        rows.append((200 + i, "audio", bytearray(wav)))
+        rows.append((300 + i, "other", bytearray(b"junk %d" % i)))
+    return rows
+
+
+def _manifest_expected(rows):
+    """The batch aggregate the streaming manifest must converge to,
+    computed straight from the blobs via the batch decode dispatch."""
+    from datafusion_loki_spark.operators.multimodal import decode_image
+    from datafusion_loki_spark.operators.wav import decode_wav
+
+    agg = {}
+    for _doc, mt, blob in rows:
+        blob = bytes(blob)
+        ok, npx = False, 0
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            try:
+                arr = decode_image(blob)
+                ok, npx = True, arr.shape[0] * arr.shape[1]
+            except ValueError:
+                pass
+        elif blob[:4] == b"RIFF":
+            try:
+                decode_wav(blob)
+                ok = True
+            except ValueError:
+                pass
+        cur = agg.setdefault(mt, [0, 0, 0, 0])
+        cur[0] += 1
+        if ok:
+            cur[1] += 1
+            cur[2] += len(blob)
+            cur[3] += npx
+    return {
+        mt: (v[0], v[1], v[2], v[3], v[1] / v[0]) for mt, v in agg.items()
+    }
+
+
+def test_corpus_manifest_stream_batch_equivalence_and_replay(
+    spark, tmp_path
+):
+    # Phase 1: stream files A through admission -> manifest; the landed
+    # per-media_type rows must equal the batch aggregate over A. A
+    # second drain of the SAME checkpoint with no new data must change
+    # nothing (replay convergence). Phase 2: add files B and drain with
+    # the same checkpoint — the state store recovers the running
+    # totals, so the manifest equals the batch aggregate over A ∪ B.
+    import numpy as np
+
+    rng = np.random.RandomState(15)
+    rows_a = _manifest_blobs(rng, n_per_type=4)
+    rows_b = _manifest_blobs(np.random.RandomState(16), n_per_type=3)
+    rows_b = [(d + 1000, mt, b) for d, mt, b in rows_b]
+    src = str(tmp_path / "media_src")
+    sink = str(tmp_path / "manifest")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, media_type string, payload binary"
+    spark.createDataFrame(rows_a, schema).coalesce(2).write.parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # force multiple batches
+            .parquet(src)
+            .withColumn("n_bytes", F.length("payload").cast("long"))
+        )
+        q = pipeline.corpus_manifest_stream(
+            pipeline.decode_admission_stream(stream), sink, ckpt
+        )
+        q.awaitTermination()
+
+    def landed():
+        return {
+            r.media_type: (
+                r.n_items, r.n_kept, r.kept_bytes, r.kept_pixels,
+                r.kept_fraction,
+            )
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    drain()
+    assert landed() == _manifest_expected(rows_a)
+    drain()  # replay with no new data: converged, not duplicated
+    assert landed() == _manifest_expected(rows_a)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()  # restart picks up state: totals cover A ∪ B
+    assert landed() == _manifest_expected(rows_a + rows_b)
+    # exactly one row per media_type (partition == aggregation key)
+    assert len(spark.read.parquet(sink).collect()) == 3

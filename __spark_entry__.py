@@ -67,6 +67,10 @@ _R15_PINNED: tuple[str, ...] = (
     # through the float-WAV decode path, real rfft per window, the
     # centroid/rolloff/peak/energy values integer-exact by design
     "mm_audio_spectra",
+    # NEW in r15: JPEG-in-TIFF (Compression 7 + JPEGTables) — the
+    # mm_decode_jpeg DC-only construction through the TIFF container,
+    # three abbreviated strips sharing one table stream
+    "mm_decode_tiff_jpeg",
     # CHANGED in r15 (decode path): VP8L meta-prefix group index now
     # masks to the spec's 16 bits (ADVICE fix) — output unchanged on
     # self-encoded streams, but the face's decode path re-earns

@@ -242,6 +242,9 @@ BENCH_QUERIES = [
     # WAV decode + 4 real rffts per item)
     "corpus_ship_card",
     "mm_audio_spectra",
+    # appended round 15: JPEG-in-TIFF (three abbreviated strips +
+    # JPEGTables merge + entropy decode per item)
+    "mm_decode_tiff_jpeg",
 ]
 
 

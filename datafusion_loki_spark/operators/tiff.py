@@ -53,6 +53,30 @@ _T_TILE_WIDTH = 322
 _T_TILE_LENGTH = 323
 _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
+_T_JPEG_TABLES = 347  # TIFF Technical Note 2 (Compression 7)
+
+
+def _jpeg_decode_chunk(raw, expect_h, expect_w, spp, tables):
+    """Decode one Compression-7 strip/tile: a complete (or, with a
+    JPEGTables tag, abbreviated) JPEG interchange stream per TIFF
+    Technical Note 2. With shared tables the streams merge as
+    SOI + tables-body + strip-body — table segments the strip also
+    carries simply re-define. Geometry must match the strip/tile
+    bookkeeping exactly; a JPEG stream declaring other dimensions is
+    malformed framing, not a resize request."""
+    from datafusion_loki_spark.operators.jpeg import decode_jpeg
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("TIFF JPEG chunk missing SOI")
+    if tables is not None:
+        raw = b"\xff\xd8" + tables[2:-2] + raw[2:]
+    w, h, arr = decode_jpeg(raw)
+    if (h, w) != (expect_h, expect_w) or arr.shape[2] != spp:
+        raise ValueError(
+            f"TIFF JPEG chunk decodes to {h}x{w}x{arr.shape[2]},"
+            f" expected {expect_h}x{expect_w}x{spp}"
+        )
+    return arr.tobytes()
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -356,7 +380,7 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
             fmt, size = "H", 2
         elif ttype == 4:
             fmt, size = "I", 4
-        elif ttype == 1:
+        elif ttype in (1, 7):  # BYTE / UNDEFINED (JPEGTables)
             fmt, size = "B", 1
         else:
             raise ValueError(f"unsupported TIFF tag type {ttype}")
@@ -411,16 +435,44 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
             f"unsupported TIFF planar configuration {planar}"
             " (chunky/planar only)"
         )
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(
             f"unsupported TIFF compression {compression}"
-            " (none/LZW/deflate/PackBits only); no fake fallback"
+            " (none/LZW/JPEG/deflate/PackBits only); no fake fallback"
         )
     if predictor not in (1, 2):
         raise ValueError(
             f"unsupported TIFF predictor {predictor}"
             " (none/horizontal only); no fake fallback"
         )
+    jtables = None
+    if compression == 7:
+        # new-style JPEG (TIFF Technical Note 2, round 15). The
+        # decoded values follow the JPEG stream's JFIF conventions:
+        # photometric 6 streams are YCbCr on the wire and return as
+        # RGB (the standard libtiff JPEGCOLORMODE_RGB reading);
+        # photometric 2 would mean the stream codes RGB WITHOUT the
+        # color transform, which this decoder's JFIF conversion would
+        # silently mangle — loud instead of wrong.
+        if predictor != 1:
+            raise ValueError("TIFF predictor with JPEG compression")
+        if planar != 1:
+            raise ValueError("planar JPEG-in-TIFF is not supported")
+        if photometric not in (1, 6) or spp != (1 if photometric == 1 else 3):
+            raise ValueError(
+                f"JPEG-in-TIFF photometric {photometric}/spp {spp}"
+                " unsupported (grayscale 1 or YCbCr 6 only)"
+            )
+        if _T_JPEG_TABLES in tags:
+            jtables = bytes(tag_vals(_T_JPEG_TABLES))
+            if (
+                len(jtables) < 4
+                or jtables[:2] != b"\xff\xd8"
+                or jtables[-2:] != b"\xff\xd9"
+            ):
+                raise ValueError(
+                    "TIFF JPEGTables is not an SOI..EOI table stream"
+                )
     cmap = None
     if photometric in (0, 1):
         if spp != 1:
@@ -428,6 +480,12 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
     elif photometric == 2:
         if spp != 3:
             raise ValueError("RGB TIFF with SamplesPerPixel != 3")
+    elif photometric == 6:
+        if compression != 7:
+            raise ValueError(
+                "YCbCr photometric is only supported with JPEG"
+                " compression"
+            )
     elif photometric == 3:
         if spp != 1:
             raise ValueError("palette TIFF with SamplesPerPixel != 1")
@@ -481,6 +539,8 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
                 raw = _packbits_decode(raw, tbytes)
             elif compression == 5:
                 raw = _lzw_decode_tiff(raw, tbytes)
+            elif compression == 7:
+                raw = _jpeg_decode_chunk(raw, tl, tw, spp, jtables)
             elif compression in (8, 32946):
                 raw = _deflate_decode(raw, tbytes)
             elif len(raw) != tbytes:
@@ -547,6 +607,8 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
                 raw = _packbits_decode(raw, rows * stride)
             elif compression == 5:
                 raw = _lzw_decode_tiff(raw, rows * stride)
+            elif compression == 7:
+                raw = _jpeg_decode_chunk(raw, rows, w, spp, jtables)
             elif compression in (8, 32946):
                 raw = _deflate_decode(raw, rows * stride)
             elif len(raw) != rows * stride:
@@ -594,6 +656,35 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
     return w, h, arr, next_ifd
 
 
+def _split_jpeg_tables(stream: bytes):
+    """Split a complete JPEG interchange stream into (tables_stream,
+    abbreviated_stream) per TIFF Technical Note 2: DQT/DHT segments
+    move to an SOI..EOI table-specification stream (the JPEGTables tag
+    body); everything else — SOF, DRI, the SOS and its entropy tail —
+    stays in the abbreviated per-strip stream."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    body = bytearray(b"\xff\xd8")
+    i = 2
+    while True:
+        if i + 4 > len(stream) or stream[i] != 0xFF:
+            raise ValueError("bad JPEG segment framing")
+        marker = stream[i + 1]
+        if marker == 0xDA:  # SOS: entropy data through EOI
+            body += stream[i:]
+            break
+        (ln,) = struct.unpack(">H", stream[i + 2 : i + 4])
+        seg = stream[i : i + 2 + ln]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            body += seg
+        i += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(body)
+
+
 def encode_tiff(
     arr,
     big_endian: bool = False,
@@ -605,6 +696,8 @@ def encode_tiff(
     palette=None,
     planar: bool = False,
     tile: "tuple | None" = None,
+    jpeg: bool = False,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """TIFF writer for (h, w) grayscale (BlackIsZero) or (h, w, 3) RGB
     uint8 arrays — either byte order, configurable strip height,
@@ -624,6 +717,8 @@ def encode_tiff(
         palette=palette,
         planar=planar,
         tile=tile,
+        jpeg=jpeg,
+        jpeg_tables=jpeg_tables,
     )
 
 
@@ -638,6 +733,8 @@ def encode_tiff_pages(
     palette=None,
     planar: bool = False,
     tile: "tuple | None" = None,
+    jpeg: bool = False,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Multi-page TIFF writer (round 13 — decode_tiff_pages' twin):
     one IFD per array, chained through the next-IFD pointers; pages may
@@ -658,8 +755,17 @@ def encode_tiff_pages(
     ``planar`` and ``rows_per_strip``."""
     if not arrs:
         raise ValueError("encode_tiff_pages needs at least one page")
-    if packbits + lzw + deflate > 1:
-        raise ValueError("pick one compression: packbits, lzw or deflate")
+    if packbits + lzw + deflate + jpeg > 1:
+        raise ValueError(
+            "pick one compression: packbits, lzw, deflate or jpeg"
+        )
+    if jpeg_tables and not jpeg:
+        raise ValueError("jpeg_tables requires jpeg compression")
+    if jpeg and (predictor or planar or palette is not None):
+        raise ValueError(
+            "jpeg compression is incompatible with predictor/planar/"
+            "palette"
+        )
     if tile is not None:
         tw_opt, tl_opt = int(tile[0]), int(tile[1])
         if tw_opt <= 0 or tl_opt <= 0 or tw_opt % 16 or tl_opt % 16:
@@ -727,7 +833,7 @@ def encode_tiff_pages(
                         d = t.astype(np.int16)
                         d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
                         t = (d % 256).astype(np.uint8)
-                    raw_strips.append(t.tobytes())
+                    raw_strips.append(t if jpeg else t.tobytes())
         elif use_planar:
             # planar=2: all of sample 0's strips first, then sample 1's
             for p in range(spp):
@@ -739,19 +845,44 @@ def encode_tiff_pages(
                     )
         else:
             for si in range(n_strips):
-                raw_strips.append(arr[si * rps : (si + 1) * rps].tobytes())
+                sl = arr[si * rps : (si + 1) * rps]
+                raw_strips.append(sl if jpeg else sl.tobytes())
         strips = []
         for chunk in raw_strips:
-            if packbits:
+            if jpeg:
+                # one complete JPEG interchange stream per strip/tile
+                # (TIFF Technical Note 2); split into shared tables +
+                # abbreviated bodies below when jpeg_tables is set
+                from datafusion_loki_spark.operators.jpeg import (
+                    encode_jpeg,
+                )
+
+                chunk = encode_jpeg(
+                    chunk if chunk.shape[2] == 3 else chunk[:, :, 0]
+                )
+            elif packbits:
                 chunk = _packbits_encode(chunk)
             elif lzw:
                 chunk = _lzw_encode_tiff(chunk)
             elif deflate:
                 chunk = zlib.compress(chunk)
             strips.append(chunk)
+        shared_tables = None
+        if jpeg and jpeg_tables:
+            split = [_split_jpeg_tables(s) for s in strips]
+            shared_tables = split[0][0]
+            if any(t != shared_tables for t, _ in split):
+                raise ValueError(
+                    "jpeg_tables needs identical tables across strips"
+                )
+            strips = [body for _, body in split]
 
         entries = []  # (tag, type, values)
-        photometric = 3 if palette is not None else 1 if spp == 1 else 2
+        photometric = (
+            3
+            if palette is not None
+            else (6 if jpeg else 2) if spp == 3 else 1
+        )
         entries.append((_T_WIDTH, 4, [w]))
         entries.append((_T_HEIGHT, 4, [h]))
         if use_tiles:
@@ -762,9 +893,19 @@ def encode_tiff_pages(
             (
                 _T_COMPRESSION,
                 3,
-                [32773 if packbits else 5 if lzw else 8 if deflate else 1],
+                [
+                    32773 if packbits
+                    else 5 if lzw
+                    else 7 if jpeg
+                    else 8 if deflate
+                    else 1
+                ],
             )
         )
+        if shared_tables is not None:
+            entries.append(
+                (_T_JPEG_TABLES, 7, list(shared_tables))
+            )
         if predictor:
             entries.append((_T_PREDICTOR, 3, [2]))
         entries.append((_T_PHOTOMETRIC, 3, [photometric]))
@@ -807,6 +948,8 @@ def encode_tiff_pages(
         overflow = bytearray()
 
         def value_bytes(ttype, vals):
+            if ttype == 7:  # UNDEFINED: raw bytes (JPEGTables)
+                return bytes(vals)
             fmt = {3: "H", 4: "I"}[ttype]
             return struct.pack(e + fmt * len(vals), *vals)
 

@@ -112,6 +112,16 @@ _SEEDS = {
         encode_tiff(_PX, planar=True, rows_per_strip=2, deflate=True),
         decode_tiff,
     ),
+    # round 15: JPEG-in-TIFF (Compression 7) — the JPEGTables tag-7
+    # read, the SOI+tables+body merge, and the per-strip entropy
+    # decode under mutation
+    "tiff_jpeg": (
+        encode_tiff(
+            np.repeat(np.repeat(_PX[:, :, 0], 8, 0), 8, 1),
+            jpeg=True, jpeg_tables=True, rows_per_strip=16,
+        ),
+        decode_tiff,
+    ),
     "wav": (
         encode_wav(_SAMPLES, 8000, extra_chunk=(b"LIST", b"abc")),
         decode_wav,

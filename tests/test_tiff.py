@@ -90,13 +90,17 @@ def test_fail_loud_contract():
     # truncation: cut the strip data
     with pytest.raises(ValueError, match="truncated|expected"):
         decode_tiff(good[:-3])
-    # unsupported compression (JPEG-in-TIFF = 7; LZW = 5 and deflate =
-    # 8 are SUPPORTED since round 14 — retagging uncompressed bytes as
-    # either now dies inside that decoder instead, still loud)
+    # unsupported compression (old-style JPEG = 6 stays rejected;
+    # LZW = 5, new-style JPEG = 7 and deflate = 8 are SUPPORTED since
+    # rounds 14-15 — retagging uncompressed bytes as any of them now
+    # dies inside that decoder instead, still loud)
     i = good.index(struct.pack("<HHI", 259, 3, 1))
     bad = bytearray(good)
-    bad[i + 8] = 7
+    bad[i + 8] = 6
     with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(bad))
+    bad[i + 8] = 7
+    with pytest.raises(ValueError, match="SOI|photometric"):
         decode_tiff(bytes(bad))
     bad[i + 8] = 5
     with pytest.raises(ValueError, match="LZW"):
@@ -699,3 +703,120 @@ def test_lzw_final_code_width_boundary_regression():
     for ln in list(range(250, 270)) + list(range(755, 780)):
         d = rng.randint(0, 256, ln).astype(np.uint8).tobytes()
         assert _lzw_decode_tiff(_lzw_encode_tiff(d), ln) == d, ln
+
+
+# --- JPEG-in-TIFF (Compression 7, round 15) ----------------------------
+
+def _dc_gray(rng, by=5, bx=8):
+    blocks = rng.randint(0, 256, (by, bx)).astype(np.uint8)
+    return np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(jpeg=True),
+        dict(jpeg=True, rows_per_strip=16),
+        dict(jpeg=True, jpeg_tables=True, rows_per_strip=16),
+        dict(jpeg=True, jpeg_tables=True, rows_per_strip=8,
+             big_endian=True),
+        dict(jpeg=True, tile=(16, 16)),
+        dict(jpeg=True, jpeg_tables=True, tile=(32, 16)),
+    ],
+)
+def test_tiff_jpeg_gray_dc_only_roundtrips_exact(kw):
+    # DC-only constant blocks are integer-exact through the lossy
+    # codec (decode_jpeg's quant-step-8 identity), so every layout —
+    # full streams, shared JPEGTables, strips, tiles, both endians —
+    # must reproduce the pixels bit-for-bit
+    rng = np.random.RandomState(7)
+    img = _dc_gray(rng)
+    w, h, arr = decode_tiff(encode_tiff(img, **kw))
+    assert (w, h, arr.shape) == (64, 40, (40, 64, 1))
+    assert (arr[:, :, 0] == img).all()
+
+
+def test_tiff_jpeg_tables_abbreviation_matches_full_streams():
+    # the JPEGTables split is transport only: abbreviated strips with
+    # the shared tables must decode to the same pixels as full
+    # per-strip streams
+    rng = np.random.RandomState(11)
+    img = _dc_gray(rng)
+    full = decode_tiff(encode_tiff(img, jpeg=True, rows_per_strip=16))
+    abbr = decode_tiff(
+        encode_tiff(img, jpeg=True, jpeg_tables=True, rows_per_strip=16)
+    )
+    assert (full[2] == abbr[2]).all()
+    # and the abbreviated container is genuinely smaller (tables once)
+    assert len(
+        encode_tiff(img, jpeg=True, jpeg_tables=True, rows_per_strip=8)
+    ) < len(encode_tiff(img, jpeg=True, rows_per_strip=8))
+
+
+def test_tiff_jpeg_rgb_ycbcr_within_rounding():
+    # color JPEG-in-TIFF is photometric 6 (YCbCr on the wire, RGB
+    # out — the libtiff JPEGCOLORMODE_RGB reading); constant blocks
+    # survive the color transform within +/-1 rounding
+    rng = np.random.RandomState(13)
+    blocks = rng.randint(16, 240, (5, 8, 3)).astype(np.uint8)
+    rgb = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    blob = encode_tiff(rgb, jpeg=True, jpeg_tables=True, rows_per_strip=16)
+    w, h, arr = decode_tiff(blob)
+    assert arr.shape == (40, 64, 3)
+    assert int(np.abs(arr.astype(int) - rgb.astype(int)).max()) <= 1
+
+
+def test_tiff_jpeg_fail_loud_contract():
+    import struct as _struct
+
+    rng = np.random.RandomState(17)
+    img = _dc_gray(rng)
+    blob = encode_tiff(img, jpeg=True, jpeg_tables=True, rows_per_strip=16)
+    # truncated strip tail: the entropy decode must fail loud
+    with pytest.raises(ValueError):
+        decode_tiff(blob[:-4])
+    # JPEGTables without SOI..EOI framing
+    i = blob.find(b"\xff\xd8", 8)  # the tables stream inside the IFD
+    bad = bytearray(blob)
+    bad[i] = 0x00
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
+    # predictor + JPEG is rejected at encode AND decode
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(img, jpeg=True, predictor=True)
+    # a strip whose JPEG declares the wrong geometry: re-encode one
+    # strip of a 2-strip file as the WHOLE image via the plain path
+    # is awkward — instead patch ImageLength so strip bookkeeping
+    # disagrees with the streams
+    hdr_h = blob.find(_struct.pack("<HH", 257, 4))
+    assert hdr_h > 0
+    bad = bytearray(blob)
+    _struct.pack_into("<I", bad, hdr_h + 8, 32)  # claim h=32, strips say 40
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
+    # photometric 2 with compression 7 must be loud (our decoder's JFIF
+    # conversion would silently mangle a true RGB-coded stream)
+    ph = blob.find(_struct.pack("<HH", 262, 3))
+    bad = bytearray(blob)
+    _struct.pack_into("<H", bad, ph + 8, 2)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
+
+
+def test_tiff_jpeg_multipage_and_edge_strip():
+    # multi-page chaining with a non-MCU-multiple final strip (40 rows
+    # at RowsPerStrip 32 -> strips of 32 + 8)
+    rng = np.random.RandomState(19)
+    imgs = [_dc_gray(rng), _dc_gray(rng)]
+    from datafusion_loki_spark.operators.tiff import (
+        decode_tiff_pages,
+        encode_tiff_pages,
+    )
+
+    blob = encode_tiff_pages(
+        imgs, jpeg=True, jpeg_tables=True, rows_per_strip=32
+    )
+    pages = decode_tiff_pages(blob)
+    assert len(pages) == 2
+    for (w, h, arr), img in zip(pages, imgs):
+        assert (arr[:, :, 0] == img).all()

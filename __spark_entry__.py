@@ -71,6 +71,10 @@ _R15_PINNED: tuple[str, ...] = (
     # mm_decode_jpeg DC-only construction through the TIFF container,
     # three abbreviated strips sharing one table stream
     "mm_decode_tiff_jpeg",
+    # NEW in r15: animated WebP (VP8X/ANIM/ANMF with VP8L frames) —
+    # three-frame overwrite/dispose-to-background compositing with a
+    # closed-form byte-rearrangement oracle
+    "mm_decode_webp_anim",
     # CHANGED in r15 (decode path): VP8L meta-prefix group index now
     # masks to the spec's 16 bits (ADVICE fix) — output unchanged on
     # self-encoded streams, but the face's decode path re-earns

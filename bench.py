@@ -243,8 +243,10 @@ BENCH_QUERIES = [
     "corpus_ship_card",
     "mm_audio_spectra",
     # appended round 15: JPEG-in-TIFF (three abbreviated strips +
-    # JPEGTables merge + entropy decode per item)
+    # JPEGTables merge + entropy decode per item) and animated WebP
+    # (VP8X container walk + three VP8L frame decodes + compositing)
     "mm_decode_tiff_jpeg",
+    "mm_decode_webp_anim",
 ]
 
 

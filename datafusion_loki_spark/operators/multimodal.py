@@ -4178,6 +4178,140 @@ FROM m
 """
 
 
+# animated-WebP construction (round 15): a 4x4 canvas, three VP8L
+# frames with alpha 255 and blending method 1 (overwrite): frame 0 the
+# full canvas (RGB bytes [0, 48)), frame 1 a 2x2 at (2, 2) with
+# dispose-to-background (RGB bytes [48, 60)), frame 2 a 2x2 at (0, 0)
+# (RGB bytes [60, 72)); ANIM background (5, 7, 9, 255). Every
+# composited canvas is then a closed-form byte rearrangement the
+# oracle replays: S0 = sum(F0); S1 = S0 - F0[2:4,2:4] + F1;
+# S2 = S1 - F1 + 4*bg - F0[0:2,0:2] + F2.
+_MM_WEBPA_NEED = 48 + 12 + 12
+_MM_WEBPA_BG = (5, 7, 9)
+
+
+def mm_decode_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated WebP (VP8X/ANIM/ANMF) decode in the registry (round 15
+    — the container protocol joins the GIF animation face's coverage):
+    the three-frame construction above runs through encode_webp_anim's
+    real VP8L frame encoding and decode_webp_frames' full container
+    walk + compositing (overwrite rendering, dispose-to-background
+    rect fill, canvas bookkeeping), emitting per-frame composited
+    channel sums. A chunk-walk slip, an offset doubling error, a
+    disposal-rect bug, or a frame-geometry mismatch hash-mismatches on
+    a specific frame row.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 3 bounded rows per
+    item, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.webp import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_WEBPA_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        bg = _MM_WEBPA_BG
+
+        def rgba(rgb_bytes, h, w):
+            px = np.frombuffer(rgb_bytes, dtype=np.uint8).reshape(h, w, 3)
+            return np.dstack(
+                [px, np.full((h, w), 255, dtype=np.uint8)]
+            )
+
+        for pdf in batches:
+            ids, fk, sr, sg, sb = [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_WEBPA_NEED]
+                blob = encode_webp_anim(
+                    [
+                        {"px": rgba(raw[:48], 4, 4)},
+                        {
+                            "px": rgba(raw[48:60], 2, 2),
+                            "pos": (2, 2),
+                            "dispose": 1,
+                        },
+                        {"px": rgba(raw[60:72], 2, 2)},
+                    ],
+                    bg=(*bg, 255),
+                )
+                _cw, _ch, canvases, _dur = decode_webp_frames(blob)
+                for k, canvas in enumerate(canvases):
+                    ids.append(int(did))
+                    fk.append(k)
+                    sr.append(int(canvas[:, :, 0].sum(dtype="int64")))
+                    sg.append(int(canvas[:, :, 1].sum(dtype="int64")))
+                    sb.append(int(canvas[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "frame_idx": fk,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, frame_idx int, sum_r long, sum_g long, sum_b long",
+    )
+
+
+def _webpa_oracle() -> str:
+    def lsum(indices, base, ch):
+        lst = ", ".join(str(i) for i in indices)
+        return (
+            f"list_sum(list_transform([{lst}],"
+            f" i -> {_hexpair_duck(f'{base} + 3 * i + {ch}')}))"
+        )
+
+    selects = []
+    for k in range(3):
+        cols = []
+        for ch, name in ((0, "sum_r"), (1, "sum_g"), (2, "sum_b")):
+            s0 = lsum(range(16), 0, ch)
+            rect = lsum((10, 11, 14, 15), 0, ch)  # F0[2:4, 2:4]
+            tl = lsum((0, 1, 4, 5), 0, ch)        # F0[0:2, 0:2]
+            f1 = lsum(range(4), 48, ch)
+            f2 = lsum(range(4), 60, ch)
+            bgc = _MM_WEBPA_BG[ch]
+            if k == 0:
+                expr = s0
+            elif k == 1:
+                expr = f"({s0} - {rect} + {f1})"
+            else:
+                expr = (
+                    f"({s0} - {rect} + 4 * {bgc} - {tl} + {f2})"
+                )
+            cols.append(f"CAST({expr} AS BIGINT) AS {name}")
+        selects.append(
+            f"SELECT doc_id, {k} AS frame_idx,\n       "
+            + ",\n       ".join(cols)
+            + "\nFROM m"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_WEBPA_NEED}
+)
+{union}
+"""
+
+
+ORACLE_MM_DECODE_WEBP_ANIM = _webpa_oracle()
+
+
 # multi-page TIFF construction: page 0 = 7x5 RGB from bytes [0, 105),
 # page 1 = 5x3 GRAYSCALE from [105, 120) — mixed layouts through one
 # IFD chain (big-endian, PackBits, 2-row strips)
@@ -5246,6 +5380,7 @@ QUERIES = {
     "mm_decode_tiff_pages": mm_decode_tiff_pages,
     "mm_decode_adpcm": mm_decode_adpcm,
     "mm_decode_webp": mm_decode_webp,
+    "mm_decode_webp_anim": mm_decode_webp_anim,
     "mm_decode_video": mm_decode_video,
     "mm_decode_g711": mm_decode_g711,
     "mm_decode_msadpcm": mm_decode_msadpcm,
@@ -5299,6 +5434,7 @@ ORACLES = {
     "mm_decode_tiff_pages": ORACLE_MM_DECODE_TIFF_PAGES,
     "mm_decode_adpcm": ORACLE_MM_DECODE_ADPCM,
     "mm_decode_webp": ORACLE_MM_DECODE_WEBP,
+    "mm_decode_webp_anim": ORACLE_MM_DECODE_WEBP_ANIM,
     "mm_decode_video": ORACLE_MM_DECODE_VIDEO,
     "mm_decode_g711": ORACLE_MM_DECODE_G711,
     "mm_decode_msadpcm": ORACLE_MM_DECODE_MSADPCM,

@@ -13,8 +13,12 @@ FOUR transforms inverted in reverse order: PREDICTOR (the 14 spatial
 modes incl. Select and the clamped add/subtract pair), COLOR
 (signed 3.5 fixed-point cross-channel deltas), SUBTRACT_GREEN, and
 COLOR_INDEXING (palette with sub-byte pixel bundling at table sizes
-<= 16). Lossy VP8 and the VP8X extended container stay loud — never
-a fake fallback (decode_image contract).
+<= 16). Round 15: the VP8X extended container — metadata-skipping
+still-image wrap AND the ANIM/ANMF animation protocol with VP8L
+frames (even stored-/2 offsets, overwrite/alpha-blend compositing,
+dispose-to-background, canvases initialized transparent) — with an
+encode_webp_anim twin. Lossy VP8 and ALPH stay loud — never a fake
+fallback (decode_image contract).
 
 The encoder twin constructs REAL, complete-code VP8L streams for
 tests and the registry face: fixed complete Huffman code-length
@@ -578,11 +582,10 @@ def _i8(v) -> int:
     return v - 256 if v >= 128 else v
 
 
-def decode_webp(payload: bytes):
-    """Decode a lossless (VP8L) WebP. Returns (width, height, uint8
-    (h, w, 4) RGBA ndarray). Loud ValueError on the lossy 'VP8 ' and
-    extended 'VP8X' forms, malformed containers, and every bitstream
-    violation."""
+def _riff_chunks(payload: bytes):
+    """Validated RIFF/WEBP container walk: [(fourcc, body), ...] with
+    odd-size pad bytes consumed between chunks. Loud on signature,
+    size-bookkeeping, and truncation violations."""
     if payload[:4] != b"RIFF":
         raise ValueError("not a WebP (RIFF signature missing)")
     if len(payload) < 12 or payload[8:12] != b"WEBP":
@@ -592,25 +595,86 @@ def decode_webp(payload: bytes):
         raise ValueError(
             f"WebP RIFF size {riff_size} does not match payload"
         )
-    if len(payload) < 20:
-        raise ValueError("WebP chunk header truncated")
-    ckid = payload[12:16]
-    (cksize,) = struct.unpack("<I", payload[16:20])
+    chunks = []
+    pos = 12
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("WebP chunk header truncated")
+        ckid = payload[pos : pos + 4]
+        (cksize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + cksize]
+        if len(body) < cksize:
+            raise ValueError(f"WebP chunk {ckid!r} truncated")
+        chunks.append((ckid, body))
+        pos += 8 + cksize + (cksize & 1)
+    if not chunks:
+        raise ValueError("WebP container has no chunks")
+    return chunks
+
+
+def _parse_vp8x(body: bytes):
+    """VP8X extended-container header: (canvas_w, canvas_h, animated).
+    Flags byte: ICC 0x20, Alpha 0x10, EXIF 0x08, XMP 0x04, Anim 0x02
+    (alpha/ICC/EXIF/XMP are informative for this decoder — the chunks
+    themselves are skipped by id)."""
+    if len(body) != 10:
+        raise ValueError(f"VP8X chunk holds {len(body)} bytes, expected 10")
+    cw = 1 + int.from_bytes(body[4:7], "little")
+    ch = 1 + int.from_bytes(body[7:10], "little")
+    return cw, ch, bool(body[0] & 0x02)
+
+
+def decode_webp(payload: bytes):
+    """Decode a lossless WebP. Returns (width, height, uint8 (h, w, 4)
+    RGBA ndarray). Handles the simple VP8L form, the extended VP8X
+    container wrapping a VP8L still (metadata chunks skipped), and —
+    round 15 — ANIMATED VP8X files, for which the FIRST composited
+    canvas is returned (decode_webp_frames exposes every frame). Loud
+    ValueError on the lossy 'VP8 '/'ALPH' forms, malformed containers,
+    and every bitstream violation."""
+    chunks = _riff_chunks(payload)
+    ckid, body = chunks[0]
     if ckid == b"VP8 ":
         raise ValueError(
             "lossy VP8 WebP is not supported (lossless VP8L only);"
             " no fake fallback"
         )
-    if ckid == b"VP8X":
-        raise ValueError(
-            "extended (VP8X) WebP container is not supported; no fake"
-            " fallback"
-        )
-    if ckid != b"VP8L":
+    if ckid == b"VP8L":
+        return _decode_vp8l_body(body)
+    if ckid != b"VP8X":
         raise ValueError(f"unsupported WebP chunk {ckid!r}")
-    body = payload[20 : 20 + cksize]
-    if len(body) < cksize:
-        raise ValueError("WebP VP8L chunk truncated")
+    cw, ch, animated = _parse_vp8x(body)
+    if animated:
+        cw2, ch2, canvases, _durations = decode_webp_frames(payload)
+        return cw2, ch2, canvases[0]
+    for cid, cbody in chunks[1:]:
+        if cid == b"VP8L":
+            w, h, arr = _decode_vp8l_body(cbody)
+            if (w, h) != (cw, ch):
+                raise ValueError(
+                    f"VP8X canvas {cw}x{ch} disagrees with the VP8L"
+                    f" stream's {w}x{h}"
+                )
+            return w, h, arr
+        if cid == b"VP8 ":
+            raise ValueError(
+                "lossy VP8 WebP is not supported (lossless VP8L only);"
+                " no fake fallback"
+            )
+        if cid == b"ALPH":
+            raise ValueError(
+                "ALPH (lossy-alpha) WebP is not supported; no fake"
+                " fallback"
+            )
+        if cid in (b"ICCP", b"EXIF", b"XMP "):
+            continue
+        raise ValueError(f"unsupported WebP chunk {cid!r}")
+    raise ValueError("VP8X WebP carries no image chunk")
+
+
+def _decode_vp8l_body(body: bytes):
+    """Decode one VP8L chunk body (the 0x2F-signature bitstream).
+    Returns (width, height, uint8 (h, w, 4) RGBA ndarray)."""
     if not body or body[0] != 0x2F:
         raise ValueError("VP8L signature byte missing")
     br = _BitReader(body[1:])
@@ -713,6 +777,142 @@ def decode_webp(payload: bytes):
     out[:, :, 2] = arr[:, :, 3]
     out[:, :, 3] = arr[:, :, 0]
     return w, h, out
+
+
+def _blend_rgba(src, dst):
+    """Alpha-blend ``src`` over ``dst`` (both (h, w, 4) uint8 RGBA)
+    with the container spec's formula in EXACT integer arithmetic,
+    floor-rounded: blend.a = src.a + dst.a*(255-src.a)/255 and
+    blend.rgb = (src.rgb*src.a + dst.rgb*dst.a*(1-src.a))/blend.a —
+    both divisions floored (a deterministic reading of the spec's
+    real-arithmetic formula; pinned by unit tests, noted as this
+    decoder's convention since renderers round differently)."""
+    s = src.astype(np.int64)
+    d = dst.astype(np.int64)
+    sa, da = s[..., 3], d[..., 3]
+    a255 = sa * 255 + da * (255 - sa)  # 255 * exact blended alpha
+    n = (
+        s[..., :3] * (sa * 255)[..., None]
+        + d[..., :3] * (da * (255 - sa))[..., None]
+    )
+    denom = np.where(a255 == 0, 1, a255)
+    rgb = n // denom[..., None]
+    rgb = np.where(a255[..., None] == 0, 0, rgb)
+    out = np.empty_like(src)
+    out[..., :3] = rgb.astype(np.uint8)
+    out[..., 3] = (a255 // 255).astype(np.uint8)
+    return out
+
+
+def decode_webp_frames(payload: bytes):
+    """Decode EVERY frame of an animated (VP8X/ANIM/ANMF) WebP whose
+    frames are VP8L bitstreams, composited onto the canvas per the
+    container spec (round 15 — the animation protocol the GIF twin
+    already runs). Returns (canvas_w, canvas_h, [canvas_0, ...],
+    [duration_ms_0, ...]) where each canvas is the (ch, cw, 4) uint8
+    RGBA state AFTER that frame renders.
+
+    Compositing semantics (RFC 9649 container section):
+    - the canvas initializes to transparent black;
+    - an ANMF frame renders its rectangle at its (even, stored /2)
+      offsets — blending method 1 overwrites, 0 alpha-blends via
+      _blend_rgba's documented integer formula;
+    - disposal method 1 fills the frame's rectangle with the ANIM
+      background color (stored BGRA on the wire) before the next
+      frame; 0 leaves the canvas as rendered.
+
+    Loud ValueError on frames escaping the canvas, ANMF before ANIM,
+    geometry disagreeing with the embedded VP8L stream, lossy
+    VP8/ALPH frame payloads, and every container-framing violation."""
+    chunks = _riff_chunks(payload)
+    if chunks[0][0] != b"VP8X":
+        raise ValueError("animated WebP needs a leading VP8X chunk")
+    cw, ch, animated = _parse_vp8x(chunks[0][1])
+    if not animated:
+        raise ValueError("VP8X animation flag is not set")
+    bg = None
+    canvases: "list[np.ndarray]" = []
+    durations: "list[int]" = []
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    for cid, body in chunks[1:]:
+        if cid == b"ANIM":
+            if len(body) != 6:
+                raise ValueError(
+                    f"ANIM chunk holds {len(body)} bytes, expected 6"
+                )
+            # background color is BGRA on the wire
+            bg = np.array(
+                [body[2], body[1], body[0], body[3]], dtype=np.uint8
+            )
+        elif cid == b"ANMF":
+            if bg is None:
+                raise ValueError("ANMF frame before the ANIM chunk")
+            if len(body) < 16:
+                raise ValueError("ANMF header truncated")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError(
+                    f"ANMF frame {fw}x{fh}@({fx},{fy}) escapes the"
+                    f" {cw}x{ch} canvas"
+                )
+            sub = body[16:]
+            spos = 0
+            frame = None
+            while spos < len(sub):
+                if spos + 8 > len(sub):
+                    raise ValueError("ANMF subchunk header truncated")
+                sid = sub[spos : spos + 4]
+                (ssize,) = struct.unpack(
+                    "<I", sub[spos + 4 : spos + 8]
+                )
+                sbody = sub[spos + 8 : spos + 8 + ssize]
+                if len(sbody) < ssize:
+                    raise ValueError(f"ANMF subchunk {sid!r} truncated")
+                if sid == b"VP8L":
+                    fw2, fh2, frame = _decode_vp8l_body(sbody)
+                    if (fw2, fh2) != (fw, fh):
+                        raise ValueError(
+                            f"ANMF geometry {fw}x{fh} disagrees with"
+                            f" the VP8L stream's {fw2}x{fh2}"
+                        )
+                elif sid == b"VP8 ":
+                    raise ValueError(
+                        "lossy VP8 animation frames are not supported;"
+                        " no fake fallback"
+                    )
+                elif sid == b"ALPH":
+                    raise ValueError(
+                        "ALPH animation frames are not supported;"
+                        " no fake fallback"
+                    )
+                else:
+                    raise ValueError(
+                        f"unsupported ANMF subchunk {sid!r}"
+                    )
+                spos += 8 + ssize + (ssize & 1)
+            if frame is None:
+                raise ValueError("ANMF carries no VP8L frame")
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if flags & 0x02:  # blending method 1: do not blend
+                region[:] = frame
+            else:
+                region[:] = _blend_rgba(frame, region)
+            canvases.append(canvas.copy())
+            durations.append(dur)
+            if flags & 0x01:  # disposal 1: restore to background
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        elif cid in (b"ICCP", b"EXIF", b"XMP "):
+            continue
+        else:
+            raise ValueError(f"unsupported WebP chunk {cid!r}")
+    if not canvases:
+        raise ValueError("animated WebP has no ANMF frames")
+    return cw, ch, canvases, durations
 
 
 # --- encoder (test/registry input construction) -------------------------------
@@ -1178,3 +1378,92 @@ def encode_webp_lossless(
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    return (
+        fourcc
+        + struct.pack("<I", len(body))
+        + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+
+
+def encode_webp_anim(
+    frames,
+    canvas: "tuple | None" = None,
+    bg=(0, 0, 0, 0),
+    loop: int = 0,
+    **lossless_kw,
+) -> bytes:
+    """Animated-WebP writer twin (round 15): a VP8X/ANIM container
+    whose ANMF frames carry REAL VP8L bitstreams (encode_webp_lossless
+    per frame; ``lossless_kw`` forwards cache_bits/lz77/... to every
+    frame). Each frame is a dict: ``px`` (h, w, 3|4) uint8 (RGB gets
+    alpha 255), ``pos`` (x, y — EVEN, the wire stores them /2),
+    ``duration`` ms (default 100), ``dispose`` 0 none / 1 background,
+    ``blend`` False = overwrite (ANMF blending method 1, the
+    deterministic default) / True = alpha-blend. ``canvas`` defaults
+    to the frames' bounding extent; ``bg`` is RGBA (written BGRA on
+    the wire per spec)."""
+    if not frames:
+        raise ValueError("encode_webp_anim needs at least one frame")
+    norm = []
+    for f in frames:
+        px = np.asarray(f["px"], dtype=np.uint8)
+        if px.ndim != 3 or px.shape[2] not in (3, 4):
+            raise ValueError(
+                f"animation frame needs (h, w, 3|4), got {px.shape}"
+            )
+        if px.shape[2] == 3:
+            px = np.dstack(
+                [px, np.full(px.shape[:2], 255, dtype=np.uint8)]
+            )
+        x, y = f.get("pos", (0, 0))
+        if x < 0 or y < 0 or x % 2 or y % 2:
+            raise ValueError(
+                f"ANMF offsets must be even and non-negative, got"
+                f" ({x}, {y})"
+            )
+        dur = int(f.get("duration", 100))
+        if not 0 <= dur < 1 << 24:
+            raise ValueError(f"ANMF duration {dur} out of 24-bit range")
+        norm.append(
+            (px, x, y, dur, int(f.get("dispose", 0)),
+             bool(f.get("blend", False)))
+        )
+    if canvas is None:
+        cw = max(x + px.shape[1] for px, x, _y, *_ in norm)
+        ch = max(y + px.shape[0] for px, _x, y, *_ in norm)
+    else:
+        cw, ch = int(canvas[0]), int(canvas[1])
+    if not (0 < cw <= 1 << 24 and 0 < ch <= 1 << 24):
+        raise ValueError(f"canvas {cw}x{ch} out of VP8X range")
+    for px, x, y, *_ in norm:
+        if x + px.shape[1] > cw or y + px.shape[0] > ch:
+            raise ValueError("animation frame escapes the canvas")
+    flags = 0x02  # animation
+    if any((px[:, :, 3] != 255).any() for px, *_ in norm):
+        flags |= 0x10  # alpha hint (informative)
+    vp8x = (
+        bytes([flags, 0, 0, 0])
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little")
+    )
+    anim = (
+        bytes([bg[2] & 0xFF, bg[1] & 0xFF, bg[0] & 0xFF, bg[3] & 0xFF])
+        + struct.pack("<H", loop)
+    )
+    body = _riff_chunk(b"VP8X", vp8x) + _riff_chunk(b"ANIM", anim)
+    for px, x, y, dur, dispose, blend in norm:
+        vp8l_chunk = encode_webp_lossless(px, **lossless_kw)[12:]
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (px.shape[1] - 1).to_bytes(3, "little")
+            + (px.shape[0] - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little")
+            + bytes([(0 if blend else 0x02) | (0x01 if dispose else 0)])
+        )
+        body += _riff_chunk(b"ANMF", hdr + vp8l_chunk)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body

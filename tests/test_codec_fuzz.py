@@ -40,6 +40,8 @@ from datafusion_loki_spark.operators.avi import (
 )
 from datafusion_loki_spark.operators.webp import (
     decode_webp,
+    decode_webp_frames,
+    encode_webp_anim,
     encode_webp_lossless,
 )
 
@@ -192,6 +194,25 @@ _SEEDS = {
             subtract_green=True,
         ),
         decode_webp,
+    ),
+    # round 15: the VP8X/ANIM/ANMF animation container — chunk walk,
+    # frame geometry/subchunk framing, compositing bookkeeping under
+    # mutation
+    "webp_anim": (
+        encode_webp_anim(
+            [
+                {"px": np.dstack([_PX, np.full((5, 7), 255, np.uint8)])},
+                {
+                    "px": np.dstack(
+                        [_PX[:2, :2], np.full((2, 2), 255, np.uint8)]
+                    ),
+                    "pos": (2, 2),
+                    "dispose": 1,
+                },
+            ],
+            bg=(1, 2, 3, 255),
+        ),
+        decode_webp_frames,
     ),
     # late round 14: the MJPEG AVI container — RIFF/LIST framing,
     # header consistency, per-frame JPEG under mutation

@@ -383,3 +383,140 @@ def test_meta_index_masks_alpha_byte():
     idx = _meta_index(px)
     assert idx.dtype == np.int64
     assert idx.tolist() == [770, 1, 0xFFFF]
+
+
+# --- animated WebP (VP8X/ANIM/ANMF, round 15) --------------------------
+
+def _anim_rgba(rng, h, w, alpha=255):
+    px = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+    if alpha is not None:
+        px[:, :, 3] = alpha
+    return px
+
+
+def test_webp_anim_compositing_protocol():
+    from datafusion_loki_spark.operators.webp import (
+        decode_webp,
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    rng = np.random.RandomState(21)
+    f0 = _anim_rgba(rng, 4, 4)
+    f1 = _anim_rgba(rng, 2, 2)
+    f2 = _anim_rgba(rng, 2, 2)
+    blob = encode_webp_anim(
+        [
+            {"px": f0, "duration": 40},
+            {"px": f1, "pos": (2, 2), "dispose": 1, "duration": 50},
+            {"px": f2, "duration": 60},
+        ],
+        bg=(5, 7, 9, 255),
+        loop=3,
+    )
+    cw, ch, canvases, durs = decode_webp_frames(blob)
+    assert (cw, ch, durs) == (4, 4, [40, 50, 60])
+    assert (canvases[0] == f0).all()
+    exp1 = f0.copy()
+    exp1[2:4, 2:4] = f1
+    assert (canvases[1] == exp1).all()
+    exp2 = exp1.copy()
+    exp2[2:4, 2:4] = np.array([5, 7, 9, 255], np.uint8)  # disposal
+    exp2[0:2, 0:2] = f2
+    assert (canvases[2] == exp2).all()
+    # decode_webp on an animation returns the first composited canvas
+    w, h, arr = decode_webp(blob)
+    assert (w, h) == (4, 4) and (arr == canvases[0]).all()
+
+
+def test_webp_anim_alpha_blending_integer_formula():
+    from datafusion_loki_spark.operators.webp import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    rng = np.random.RandomState(23)
+    base = _anim_rgba(rng, 2, 2)              # opaque
+    top = _anim_rgba(rng, 2, 2, alpha=None)   # random alpha
+    blob = encode_webp_anim(
+        [{"px": base}, {"px": top, "blend": True}]
+    )
+    _, _, canvases, _ = decode_webp_frames(blob)
+    s, d = top.astype(np.int64), base.astype(np.int64)
+    sa, da = s[:, :, 3], d[:, :, 3]
+    a255 = sa * 255 + da * (255 - sa)
+    n = (
+        s[:, :, :3] * (sa * 255)[..., None]
+        + d[:, :, :3] * (da * (255 - sa))[..., None]
+    )
+    exp = np.dstack([n // a255[..., None], (a255 // 255)[..., None]])
+    assert (canvases[1].astype(np.int64) == exp).all()
+    # blending onto the transparent initial canvas keeps src values
+    blob = encode_webp_anim([{"px": top, "blend": True}])
+    _, _, canvases, _ = decode_webp_frames(blob)
+    nz = top[:, :, 3] > 0
+    assert (canvases[0][nz] == top[nz]).all()
+
+
+def test_webp_anim_vp8x_still_and_metadata_skip():
+    from datafusion_loki_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(25)
+    px = _anim_rgba(rng, 3, 5)
+    inner = encode_webp_lossless(px)[12:]
+    vp8x = (
+        bytes([0x10, 0, 0, 0])
+        + (4).to_bytes(3, "little")
+        + (2).to_bytes(3, "little")
+    )
+    meta = b"EXIF" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+    body = b"VP8X" + struct.pack("<I", 10) + vp8x + meta + inner
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    w, h, arr = decode_webp(blob)
+    assert (w, h) == (5, 3) and (arr == px).all()
+
+
+def test_webp_anim_fail_loud_contract():
+    from datafusion_loki_spark.operators.webp import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    rng = np.random.RandomState(27)
+    f0 = _anim_rgba(rng, 4, 4)
+    with pytest.raises(ValueError, match="even"):
+        encode_webp_anim([{"px": f0, "pos": (1, 0)}])
+    with pytest.raises(ValueError, match="escapes"):
+        encode_webp_anim([{"px": f0}], canvas=(2, 2))
+    blob = encode_webp_anim(
+        [{"px": f0}, {"px": _anim_rgba(rng, 2, 2), "pos": (2, 2)}]
+    )
+    # truncated tail
+    with pytest.raises(ValueError):
+        decode_webp_frames(blob[:-6] + blob[-2:])
+    # frame escaping the canvas: patch the second ANMF's width-1 field
+    i = blob.rindex(b"ANMF")
+    bad = bytearray(blob)
+    bad[i + 8 + 6] = 7  # width-1 = 7 -> 8 wide at x=2 on a 4-canvas
+    with pytest.raises(ValueError, match="escapes|disagrees"):
+        decode_webp_frames(bytes(bad))
+    # ANMF before ANIM: excise the ANIM chunk
+    j = blob.index(b"ANIM")
+    k = blob.index(b"ANMF")
+    bad = blob[:j] + blob[k:]
+    bad = (
+        b"RIFF"
+        + struct.pack("<I", len(bad) - 8)
+        + bad[8:]
+    )
+    with pytest.raises(ValueError, match="before the ANIM"):
+        decode_webp_frames(bad)
+    # non-animated flag
+    nb = bytearray(blob)
+    p = nb.index(b"VP8X") + 8
+    nb[p] &= ~0x02
+    with pytest.raises(ValueError, match="animation flag"):
+        decode_webp_frames(bytes(nb))

@@ -485,7 +485,11 @@ def decode_jpeg(payload: bytes):
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not seg:
+                raise ValueError("JPEG SOS segment truncated")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG SOS segment truncated")
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]

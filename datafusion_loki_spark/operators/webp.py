@@ -830,6 +830,16 @@ def decode_webp_frames(payload: bytes):
     cw, ch, animated = _parse_vp8x(chunks[0][1])
     if not animated:
         raise ValueError("VP8X animation flag is not set")
+    # allocation bomb guard (the PNG bounded-inflate principle): VP8X
+    # canvas fields are 24-bit each, so a crafted header could demand a
+    # petabyte canvas; cap the area at the VP8L frame-dimension
+    # ceiling's square (16384^2 = 2^28 pixels — no larger canvas can
+    # ever be fully painted by expressible frames) BEFORE allocating
+    if cw * ch > 1 << 28:
+        raise ValueError(
+            f"animated WebP canvas {cw}x{ch} exceeds the supported"
+            " area (2^28 pixels)"
+        )
     bg = None
     canvases: "list[np.ndarray]" = []
     durations: "list[int]" = []

@@ -392,3 +392,19 @@ def test_zero_sampling_factor_component_is_loud():
         b2[comp1_hv] = bad
         with pytest.raises(ValueError):
             decode_jpeg(bytes(b2))
+
+
+def test_sos_empty_or_truncated_segment_is_loud():
+    # offline-fuzz round-15 catch (surfaced through the JPEG-in-TIFF
+    # merged-stream path): an SOS whose segment body is empty or too
+    # short for its component list must raise the decoder's own
+    # ValueError, never IndexError
+    blob = bytearray(encode_jpeg(np.full((8, 8), 99, np.uint8)))
+    i = blob.index(b"\xff\xda")
+    empty = blob[:i] + b"\xff\xda\x00\x02" + blob[i + 14 :]
+    with pytest.raises(ValueError, match="SOS segment truncated"):
+        decode_jpeg(bytes(empty))
+    short = bytearray(blob)
+    short[i + 2 : i + 4] = (4).to_bytes(2, "big")  # 1 comp needs >= 6
+    with pytest.raises(ValueError, match="SOS segment truncated"):
+        decode_jpeg(bytes(short))

@@ -520,3 +520,22 @@ def test_webp_anim_fail_loud_contract():
     nb[p] &= ~0x02
     with pytest.raises(ValueError, match="animation flag"):
         decode_webp_frames(bytes(nb))
+
+
+def test_webp_anim_canvas_bomb_rejected_before_allocation():
+    # offline-fuzz round-15 catch: a mutated VP8X header demanded a
+    # 4 TiB canvas and died in np.zeros — the area guard must fire
+    # BEFORE allocation
+    from datafusion_loki_spark.operators.webp import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    rng = np.random.RandomState(29)
+    blob = bytearray(
+        encode_webp_anim([{"px": _anim_rgba(rng, 4, 4)}])
+    )
+    p = blob.index(b"VP8X") + 8 + 4  # canvas width-1 field
+    blob[p : p + 6] = (0xFFFFFF).to_bytes(3, "little") * 2
+    with pytest.raises(ValueError, match="exceeds the supported area"):
+        decode_webp_frames(bytes(blob))

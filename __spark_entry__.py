@@ -75,6 +75,10 @@ _R15_PINNED: tuple[str, ...] = (
     # three-frame overwrite/dispose-to-background compositing with a
     # closed-form byte-rearrangement oracle
     "mm_decode_webp_anim",
+    # NEW in r15: APNG (acTL/fcTL/fdAT) — the animation protocol's
+    # third container, the WebP twin's construction with transparent
+    # disposal (shared oracle at bg = 0)
+    "mm_decode_apng",
     # CHANGED in r15 (decode path): VP8L meta-prefix group index now
     # masks to the spec's 16 bits (ADVICE fix) — output unchanged on
     # self-encoded streams, but the face's decode path re-earns

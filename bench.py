@@ -247,6 +247,9 @@ BENCH_QUERIES = [
     # (VP8X container walk + three VP8L frame decodes + compositing)
     "mm_decode_tiff_jpeg",
     "mm_decode_webp_anim",
+    # appended round 15: APNG (acTL/fcTL/fdAT walk + three sub-PNG
+    # decodes + compositing per item)
+    "mm_decode_apng",
 ]
 
 

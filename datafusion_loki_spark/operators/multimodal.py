@@ -1086,6 +1086,270 @@ def decode_png(payload: bytes):
     return w, h, samples
 
 
+# --- APNG animation (acTL/fcTL/fdAT, round 15) -------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_walk(payload: bytes):
+    """CRC-verified chunk walk: [(ctype, data), ...] through IEND."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (signature missing)")
+    pos = 8
+    out = []
+    while pos < len(payload):
+        if len(payload) - pos < 8:
+            raise ValueError("PNG chunk header truncated")
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("PNG chunk data truncated")
+        crc = payload[pos + 8 + ln : pos + 12 + ln]
+        if len(crc) < 4:
+            raise ValueError("PNG chunk CRC truncated")
+        if struct.unpack(">I", crc)[0] != (
+            zlib.crc32(ctype + data) & 0xFFFFFFFF
+        ):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        out.append((ctype, data))
+        if ctype == b"IEND":
+            return out
+        pos += 12 + ln
+    raise ValueError("PNG missing IEND")
+
+
+def _idat_of(png: bytes) -> bytes:
+    return b"".join(d for t, d in _png_walk(png) if t == b"IDAT")
+
+
+def decode_png_frames(payload: bytes):
+    """Decode EVERY frame of an APNG (the PNG animation extension:
+    acTL frame count, fcTL frame controls, fdAT frame data — round 15,
+    completing the animation protocol across all three containers
+    beside GIF and WebP). Returns (w, h, [canvas_0, ...],
+    [delay_seconds_0, ...]) where each canvas is the (h, w, 4) uint8
+    RGBA output buffer AFTER that frame renders.
+
+    Spec semantics (the public APNG specification): the output buffer
+    initializes fully transparent; each frame's sub-image (decoded as
+    a standalone PNG reusing the main IHDR's depth/color layout)
+    renders at its fcTL offsets — blend_op 0 overwrites, 1 composites
+    with the OVER operator (the WebP twin's exact integer formula);
+    dispose_op 0 keeps the rendered state, 1 clears the frame's
+    rectangle to transparent, 2 restores the buffer from before the
+    frame rendered. Sequence numbers must be consecutive from 0
+    across fcTL/fdAT; when an fcTL precedes IDAT, the default image
+    IS the first frame (the only layout the encoder twin emits —
+    hidden default images raise). Compositing is defined over 8-bit
+    RGB/RGBA frames; other layouts raise loudly."""
+    import struct
+
+    import numpy as np
+
+    chunks = _png_walk(payload)
+    ihdr = next((d for t, d in chunks if t == b"IHDR"), None)
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing a valid IHDR")
+    w, h = struct.unpack(">II", ihdr[:8])
+    actl = next((d for t, d in chunks if t == b"acTL"), None)
+    if actl is None:
+        raise ValueError("not an APNG (acTL chunk missing)")
+    if len(actl) != 8:
+        raise ValueError("acTL chunk malformed")
+    n_frames, _n_plays = struct.unpack(">II", actl)
+    aux = b"".join(
+        _png_chunk(t, d) for t, d in chunks if t in (b"PLTE", b"tRNS")
+    )
+    # gather animation frames in stream order with sequence validation
+    frames = []  # (fctl_fields, idat_bytes)
+    cur_fctl = None
+    cur_data = None
+    idat = bytearray()
+    seq_expect = 0
+    saw_idat = False
+    first_is_idat = False
+    for t, d in chunks:
+        if t == b"fcTL":
+            if len(d) != 26:
+                raise ValueError("fcTL chunk malformed")
+            (seq,) = struct.unpack(">I", d[:4])
+            if seq != seq_expect:
+                raise ValueError(
+                    f"APNG sequence number {seq}, expected {seq_expect}"
+                )
+            seq_expect += 1
+            if cur_fctl is not None:
+                frames.append((cur_fctl, bytes(cur_data)))
+            cur_fctl = struct.unpack(">IIIIHHBB", d[4:])
+            cur_data = bytearray()
+            if not saw_idat:
+                first_is_idat = True
+        elif t == b"IDAT":
+            idat.extend(d)
+            saw_idat = True
+        elif t == b"fdAT":
+            if len(d) < 4:
+                raise ValueError("fdAT chunk malformed")
+            (seq,) = struct.unpack(">I", d[:4])
+            if seq != seq_expect:
+                raise ValueError(
+                    f"APNG sequence number {seq}, expected {seq_expect}"
+                )
+            seq_expect += 1
+            if cur_fctl is None:
+                raise ValueError("fdAT before any fcTL")
+            cur_data.extend(d[4:])
+    if cur_fctl is not None:
+        frames.append((cur_fctl, bytes(cur_data)))
+    if not frames:
+        raise ValueError("APNG has no fcTL frames")
+    if not first_is_idat:
+        raise ValueError(
+            "APNG with a hidden default image (no fcTL before IDAT)"
+            " is not supported"
+        )
+    frames[0] = (frames[0][0], bytes(idat))
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"acTL declares {n_frames} frames, stream carries"
+            f" {len(frames)}"
+        )
+
+    from datafusion_loki_spark.operators.webp import _blend_rgba
+
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)
+    canvases, delays = [], []
+    for (fw, fh, fx, fy, dnum, dden, dispose, blend), data in frames:
+        if fx + fw > w or fy + fh > h or fw == 0 or fh == 0:
+            raise ValueError(
+                f"APNG frame {fw}x{fh}@({fx},{fy}) escapes the"
+                f" {w}x{h} canvas"
+            )
+        sub = (
+            _PNG_SIG
+            + _png_chunk(
+                b"IHDR", struct.pack(">II", fw, fh) + ihdr[8:]
+            )
+            + aux
+            + _png_chunk(b"IDAT", data)
+            + _png_chunk(b"IEND", b"")
+        )
+        fw2, fh2, arr = decode_png(sub)
+        if (fw2, fh2) != (fw, fh):
+            raise ValueError("APNG frame geometry bookkeeping broke")
+        if arr.ndim != 3 or arr.shape[2] not in (3, 4) or arr.dtype != np.uint8:
+            raise ValueError(
+                "APNG compositing supports 8-bit RGB/RGBA frames only"
+            )
+        if arr.shape[2] == 3:
+            arr = np.dstack(
+                [arr, np.full((fh, fw), 255, dtype=np.uint8)]
+            )
+        before = canvas[fy : fy + fh, fx : fx + fw].copy()
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if blend == 0:
+            region[:] = arr
+        elif blend == 1:
+            region[:] = _blend_rgba(arr, region)
+        else:
+            raise ValueError(f"APNG blend_op {blend} invalid")
+        canvases.append(canvas.copy())
+        delays.append(dnum / (dden if dden else 100))
+        if dispose == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif dispose == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = before
+        elif dispose != 0:
+            raise ValueError(f"APNG dispose_op {dispose} invalid")
+    return w, h, canvases, delays
+
+
+def encode_png_frames(frames, plays: int = 0) -> bytes:
+    """APNG writer twin: frame dicts carry ``px`` ((h, w, 3|4) uint8;
+    RGB gets alpha 255), ``pos``, ``delay`` ((num, den), default
+    (1, 10)), ``dispose`` (0/1/2), ``blend`` (0/1). Frame 0 must be
+    the full canvas at (0, 0) — it doubles as the spec's default
+    image (IDAT), so the file stays a valid still PNG for non-APNG
+    readers. Later frames land as fdAT with the shared sequence
+    counter across fcTL/fdAT."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_png_frames needs at least one frame")
+    norm = []
+    for f in frames:
+        px = np.asarray(f["px"], dtype=np.uint8)
+        if px.ndim != 3 or px.shape[2] not in (3, 4):
+            raise ValueError(
+                f"APNG frame needs (h, w, 3|4), got {px.shape}"
+            )
+        if px.shape[2] == 3:
+            px = np.dstack(
+                [px, np.full(px.shape[:2], 255, dtype=np.uint8)]
+            )
+        norm.append(
+            (
+                px,
+                tuple(f.get("pos", (0, 0))),
+                tuple(f.get("delay", (1, 10))),
+                int(f.get("dispose", 0)),
+                int(f.get("blend", 0)),
+            )
+        )
+    h0, w0 = norm[0][0].shape[:2]
+    if norm[0][1] != (0, 0):
+        raise ValueError("APNG frame 0 must sit at (0, 0)")
+    for px, (x, y), *_ in norm[1:]:
+        if x < 0 or y < 0 or x + px.shape[1] > w0 or y + px.shape[0] > h0:
+            raise ValueError("APNG frame escapes the canvas")
+    ihdr = struct.pack(">IIBBBBB", w0, h0, 8, 6, 0, 0, 0)
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"acTL", struct.pack(">II", len(norm), plays))
+    seq = 0
+    for k, (px, (x, y), (dn, dd), dispose, blend) in enumerate(norm):
+        fctl = struct.pack(
+            ">IIIIIHHBB",
+            seq,
+            px.shape[1],
+            px.shape[0],
+            x,
+            y,
+            dn,
+            dd,
+            dispose,
+            blend,
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        idat = _idat_of(encode_png(px))
+        if k == 0:
+            out += _png_chunk(b"IDAT", idat)
+        else:
+            out += _png_chunk(
+                b"fdAT", struct.pack(">I", seq) + idat
+            )
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
 # --- decode backend hook (round 15, verdict Next #3) -------------------
 # The native-codec swap point, as CONFIG instead of a code change: set
 # SPARK_GRAFT_DECODE_BACKEND to route decode_image through a native
@@ -4265,7 +4529,12 @@ def mm_decode_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _webpa_oracle() -> str:
+def _anim3_oracle(bg) -> str:
+    """The three-frame animation oracle, shared by the WebP and APNG
+    faces (identical byte layout and compositing algebra; the only
+    difference is what disposal leaves behind — WebP's ANIM background
+    color vs APNG's transparent black, i.e. ``bg``)."""
+
     def lsum(indices, base, ch):
         lst = ", ".join(str(i) for i in indices)
         return (
@@ -4282,7 +4551,7 @@ def _webpa_oracle() -> str:
             tl = lsum((0, 1, 4, 5), 0, ch)        # F0[0:2, 0:2]
             f1 = lsum(range(4), 48, ch)
             f2 = lsum(range(4), 60, ch)
-            bgc = _MM_WEBPA_BG[ch]
+            bgc = bg[ch]
             if k == 0:
                 expr = s0
             elif k == 1:
@@ -4309,7 +4578,76 @@ WITH m AS (
 """
 
 
-ORACLE_MM_DECODE_WEBP_ANIM = _webpa_oracle()
+ORACLE_MM_DECODE_WEBP_ANIM = _anim3_oracle(_MM_WEBPA_BG)
+ORACLE_MM_DECODE_APNG = _anim3_oracle((0, 0, 0))
+
+
+def mm_decode_apng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APNG decode in the registry (round 15 — the animation protocol's
+    third container, beside GIF and animated WebP): the WebP twin's
+    exact three-frame construction (overwrite rendering, frame 1
+    disposed) built as a real acTL/fcTL/fdAT stream — frame 0 doubling
+    as the spec's still-compatible default image — and decoded by
+    decode_png_frames' full chunk walk, per-frame sub-PNG decode, and
+    compositing. APNG disposal clears to TRANSPARENT (not a background
+    color), so the shared oracle runs with bg = (0, 0, 0). A sequence-
+    number slip, an fdAT reassembly bug, a disposal/blend mixup, or a
+    sub-image framing error hash-mismatches on a specific frame row.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, 3 bounded rows per
+    item, no shuffle after the scan."""
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_WEBPA_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        def rgba(rgb_bytes, h, w):
+            px = np.frombuffer(rgb_bytes, dtype=np.uint8).reshape(h, w, 3)
+            return np.dstack(
+                [px, np.full((h, w), 255, dtype=np.uint8)]
+            )
+
+        for pdf in batches:
+            ids, fk, sr, sg, sb = [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_WEBPA_NEED]
+                blob = encode_png_frames(
+                    [
+                        {"px": rgba(raw[:48], 4, 4)},
+                        {
+                            "px": rgba(raw[48:60], 2, 2),
+                            "pos": (2, 2),
+                            "dispose": 1,
+                        },
+                        {"px": rgba(raw[60:72], 2, 2)},
+                    ]
+                )
+                _w, _h, canvases, _d = decode_png_frames(blob)
+                for k, canvas in enumerate(canvases):
+                    ids.append(int(did))
+                    fk.append(k)
+                    sr.append(int(canvas[:, :, 0].sum(dtype="int64")))
+                    sg.append(int(canvas[:, :, 1].sum(dtype="int64")))
+                    sb.append(int(canvas[:, :, 2].sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "frame_idx": fk,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel,
+        "doc_id long, frame_idx int, sum_r long, sum_g long, sum_b long",
+    )
 
 
 # multi-page TIFF construction: page 0 = 7x5 RGB from bytes [0, 105),
@@ -5381,6 +5719,7 @@ QUERIES = {
     "mm_decode_adpcm": mm_decode_adpcm,
     "mm_decode_webp": mm_decode_webp,
     "mm_decode_webp_anim": mm_decode_webp_anim,
+    "mm_decode_apng": mm_decode_apng,
     "mm_decode_video": mm_decode_video,
     "mm_decode_g711": mm_decode_g711,
     "mm_decode_msadpcm": mm_decode_msadpcm,
@@ -5435,6 +5774,9 @@ ORACLES = {
     "mm_decode_adpcm": ORACLE_MM_DECODE_ADPCM,
     "mm_decode_webp": ORACLE_MM_DECODE_WEBP,
     "mm_decode_webp_anim": ORACLE_MM_DECODE_WEBP_ANIM,
+    # APNG shares the WebP twin's construction; disposal leaves
+    # transparent black, so the shared oracle runs with bg = 0
+    "mm_decode_apng": ORACLE_MM_DECODE_APNG,
     "mm_decode_video": ORACLE_MM_DECODE_VIDEO,
     "mm_decode_g711": ORACLE_MM_DECODE_G711,
     "mm_decode_msadpcm": ORACLE_MM_DECODE_MSADPCM,

@@ -22,9 +22,11 @@ from datafusion_loki_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from datafusion_loki_spark.operators.multimodal import (
     decode_bmp,
     decode_png,
+    decode_png_frames,
     encode_bmp8,
     encode_bmp_packed,
     encode_png,
+    encode_png_frames,
 )
 from datafusion_loki_spark.operators.tiff import decode_tiff, encode_tiff
 from datafusion_loki_spark.operators.wav import (
@@ -52,6 +54,23 @@ _SAMPLES = _RNG.randint(-32768, 32768, (20, 2)).astype(np.int16)
 
 _SEEDS = {
     "png": (encode_png(_PX), decode_png),
+    # round 15: APNG — acTL/fcTL/fdAT walk, sequence numbers, per-frame
+    # sub-PNG reassembly, compositing bookkeeping under mutation
+    "apng": (
+        encode_png_frames(
+            [
+                {"px": np.dstack([_PX, np.full((5, 7), 255, np.uint8)])},
+                {
+                    "px": np.dstack(
+                        [_PX[:2, :2], np.full((2, 2), 255, np.uint8)]
+                    ),
+                    "pos": (2, 2),
+                    "dispose": 1,
+                },
+            ]
+        ),
+        decode_png_frames,
+    ),
     "jpeg": (encode_jpeg(_PX[:, :, 0]), decode_jpeg),
     "jpeg_prog": (
         encode_jpeg(_PX[:, :, 0], progressive=True, restart_interval=2),

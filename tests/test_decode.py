@@ -933,3 +933,113 @@ def test_bmp_rle4_bomb_and_overflow_loud():
     )
     with pytest.raises(ValueError, match="overflows"):
         decode_bmp(hdr2 + pal + stream)
+
+
+# --- APNG (acTL/fcTL/fdAT, round 15) -----------------------------------
+
+def _apng_frame(rng, h, w, alpha=255):
+    px = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+    if alpha is not None:
+        px[:, :, 3] = alpha
+    return px
+
+
+def test_apng_compositing_protocol_all_dispose_ops():
+    from datafusion_loki_spark.operators.multimodal import (
+        decode_png_frames,
+        encode_png_frames,
+    )
+
+    rng = np.random.RandomState(31)
+    f0 = _apng_frame(rng, 4, 4)
+    f1 = _apng_frame(rng, 2, 2)
+    f2 = _apng_frame(rng, 2, 2)
+    f3 = _apng_frame(rng, 2, 2)
+    blob = encode_png_frames(
+        [
+            {"px": f0, "delay": (2, 100)},
+            {"px": f1, "pos": (2, 2), "dispose": 1},   # -> transparent
+            {"px": f2, "pos": (0, 2), "dispose": 2},   # -> previous
+            {"px": f3, "pos": (2, 0)},
+        ]
+    )
+    w, h, canvases, delays = decode_png_frames(blob)
+    assert (w, h, len(canvases)) == (4, 4, 4)
+    assert delays[0] == 0.02
+    assert (canvases[0] == f0).all()
+    exp1 = f0.copy()
+    exp1[2:4, 2:4] = f1
+    assert (canvases[1] == exp1).all()
+    base2 = exp1.copy()
+    base2[2:4, 2:4] = 0                                 # dispose 1
+    exp2 = base2.copy()
+    exp2[2:4, 0:2] = f2
+    assert (canvases[2] == exp2).all()
+    exp3 = base2.copy()                                 # dispose 2
+    exp3[0:2, 2:4] = f3
+    assert (canvases[3] == exp3).all()
+
+
+def test_apng_over_blend_matches_webp_integer_formula():
+    from datafusion_loki_spark.operators.multimodal import (
+        decode_png_frames,
+        encode_png_frames,
+    )
+    from datafusion_loki_spark.operators.webp import _blend_rgba
+
+    rng = np.random.RandomState(33)
+    base = _apng_frame(rng, 3, 3)
+    top = _apng_frame(rng, 3, 3, alpha=None)
+    blob = encode_png_frames([{"px": base}, {"px": top, "blend": 1}])
+    _, _, canvases, _ = decode_png_frames(blob)
+    assert (canvases[1] == _blend_rgba(top, base)).all()
+
+
+def test_apng_still_compatibility_and_fail_loud():
+    import struct as _struct
+
+    from datafusion_loki_spark.operators.multimodal import (
+        decode_png,
+        decode_png_frames,
+        encode_png_frames,
+    )
+
+    rng = np.random.RandomState(35)
+    f0 = _apng_frame(rng, 4, 4)
+    blob = encode_png_frames(
+        [{"px": f0}, {"px": _apng_frame(rng, 2, 2), "pos": (2, 2)}]
+    )
+    # a non-APNG reader sees a valid still PNG: frame 0
+    w, h, arr = decode_png(blob)
+    assert (arr == f0).all()
+    # plain PNG is not an APNG
+    from datafusion_loki_spark.operators.multimodal import encode_png
+
+    with pytest.raises(ValueError, match="acTL"):
+        decode_png_frames(encode_png(f0))
+    # broken sequence number (patch the fdAT seq, fix its CRC)
+    import zlib as _zlib
+
+    i = blob.index(b"fdAT")
+    (ln,) = _struct.unpack(">I", blob[i - 4 : i])
+    bad = bytearray(blob)
+    _struct.pack_into(">I", bad, i + 4, 9)
+    body = bytes(bad[i : i + 4 + ln])
+    _struct.pack_into(
+        ">I", bad, i + 4 + ln, _zlib.crc32(body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="sequence number"):
+        decode_png_frames(bytes(bad))
+    # frame escaping the canvas is rejected at encode
+    with pytest.raises(ValueError, match="escapes"):
+        encode_png_frames(
+            [{"px": f0}, {"px": _apng_frame(rng, 3, 3), "pos": (2, 2)}]
+        )
+    # acTL frame-count disagreement (patch count, fix CRC)
+    j = blob.index(b"acTL")
+    bad = bytearray(blob)
+    _struct.pack_into(">I", bad, j + 4, 5)
+    body = bytes(bad[j : j + 12])
+    _struct.pack_into(">I", bad, j + 12, _zlib.crc32(body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="declares 5 frames"):
+        decode_png_frames(bytes(bad))

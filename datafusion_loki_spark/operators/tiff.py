@@ -18,8 +18,10 @@ round 14), both planar configurations (chunky and planar=2 separate
 sample planes, all of sample 0's strips first — round 14), and the
 TILED organization (spec section 15 — late round 14: 16-multiple tile
 geometry, full-size zero-padded edge tiles, per-tile compression with
-the predictor context restarting at each tile row). Everything else —
-JPEG-in-TIFF, tiled planar-2, sample depths other than 8 — fails with
+the predictor context restarting at each tile row). Round 15 adds new-style
+JPEG-in-TIFF (Compression 7 + JPEGTables per Technical Note 2) and
+the tiled planar-2 combination. Everything else —
+old-style JPEG, sample depths other than 8 — fails with
 a loud ValueError, never a fake fallback (decode_image contract).
 
 The encoder twin constructs valid inputs for tests and the registry
@@ -508,10 +510,6 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
             " (gray/RGB/palette only)"
         )
     if _T_TILE_WIDTH in tags:  # tiled organization (late round 14)
-        if planar == 2 and spp > 1:
-            raise ValueError(
-                "tiled planar-configuration-2 TIFF is not supported"
-            )
         tw = tag_vals(_T_TILE_WIDTH)[0]
         tl = tag_vals(_T_TILE_LENGTH)[0]
         # TIFF 6.0 section 15: tile dimensions must be multiples of 16
@@ -524,14 +522,21 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
         tcounts = tag_vals(_T_TILE_COUNTS)
         across = -(-w // tw)
         down = -(-h // tl)
-        if len(toffs) != across * down or len(tcounts) != across * down:
+        # planar=2 (round 15): each sample in its own plane of tiles,
+        # all of sample 0's tiles first (TIFF 6.0 section 15 follows
+        # the strip rule of section 8); tiles then carry ONE sample
+        n_planes_t = spp if planar == 2 else 1
+        per_plane_t = across * down
+        n_tiles = per_plane_t * n_planes_t
+        if len(toffs) != n_tiles or len(tcounts) != n_tiles:
             raise ValueError(
                 f"TIFF tile bookkeeping mismatch: {len(toffs)} offsets /"
-                f" {len(tcounts)} counts for {across * down} tiles"
+                f" {len(tcounts)} counts for {n_tiles} tiles"
             )
-        tbytes = tw * tl * spp  # tiles are FULL size, edges padded
+        tspp = spp // n_planes_t
+        tbytes = tw * tl * tspp  # tiles are FULL size, edges padded
         canvas = np.zeros((h, w, spp), dtype=np.uint8)
-        for ti in range(across * down):
+        for ti in range(n_tiles):
             raw = payload[toffs[ti] : toffs[ti] + tcounts[ti]]
             if len(raw) < tcounts[ti]:
                 raise ValueError(f"TIFF tile {ti} truncated")
@@ -548,7 +553,7 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
                     f"TIFF tile {ti} holds {len(raw)} bytes,"
                     f" expected {tbytes}"
                 )
-            tile = np.frombuffer(raw, dtype=np.uint8).reshape(tl, tw, spp)
+            tile = np.frombuffer(raw, dtype=np.uint8).reshape(tl, tw, tspp)
             if predictor == 2:
                 # horizontal differencing restarts at each TILE row —
                 # undoing it across assembled image rows would bleed
@@ -556,11 +561,17 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int):
                 tile = (
                     np.cumsum(tile.astype(np.uint32), axis=1) % 256
                 ).astype(np.uint8)
-            y0 = (ti // across) * tl
-            x0 = (ti % across) * tw
-            canvas[y0 : y0 + tl, x0 : x0 + tw] = tile[
-                : min(tl, h - y0), : min(tw, w - x0)
-            ]
+            k = ti % per_plane_t
+            plane = ti // per_plane_t
+            y0 = (k // across) * tl
+            x0 = (k % across) * tw
+            ys, xs = min(tl, h - y0), min(tw, w - x0)
+            if planar == 2 and spp > 1:
+                canvas[y0 : y0 + tl, x0 : x0 + tw, plane] = tile[
+                    :ys, :xs, 0
+                ]
+            else:
+                canvas[y0 : y0 + tl, x0 : x0 + tw] = tile[:ys, :xs]
         arr = canvas
         if photometric == 0:
             arr = (255 - arr.astype(np.int16)).astype(np.uint8)
@@ -751,8 +762,9 @@ def encode_tiff_pages(
     ``tile`` = (tile_width, tile_length) (late round 14) switches the
     page to the TILED organization (TIFF 6.0 section 15): 16-multiple
     tile geometry, edge tiles zero-padded to full size, per-tile
-    compression and per-tile-row predictor; incompatible with
-    ``planar`` and ``rows_per_strip``."""
+    compression and per-tile-row predictor; composes with ``planar``
+    (round 15: per-plane single-channel tiles, plane-major) but not
+    ``rows_per_strip``."""
     if not arrs:
         raise ValueError("encode_tiff_pages needs at least one page")
     if packbits + lzw + deflate + jpeg > 1:
@@ -772,8 +784,6 @@ def encode_tiff_pages(
             raise ValueError(
                 f"tile geometry {tile} must be positive 16-multiples"
             )
-        if planar:
-            raise ValueError("tiled planar output is not supported")
         if rows_per_strip is not None:
             raise ValueError("pick one organization: tiles or strips")
     if palette is not None:
@@ -816,24 +826,32 @@ def encode_tiff_pages(
         raw_strips = []
         if use_tiles:
             # tiled organization: full-size zero-padded tiles,
-            # row-major; per-tile predictor context
+            # row-major; per-tile predictor context. With planar=2
+            # (round 15) each sample gets its own plane of
+            # single-channel tiles, all of sample 0's tiles first
             across = -(-w // tw_opt)
             down = -(-h // tl_opt)
             padded = np.zeros(
                 (down * tl_opt, across * tw_opt, spp), dtype=np.uint8
             )
             padded[:h, :w] = arr
-            for ty in range(down):
-                for tx in range(across):
-                    t = padded[
-                        ty * tl_opt : (ty + 1) * tl_opt,
-                        tx * tw_opt : (tx + 1) * tw_opt,
-                    ]
-                    if predictor:
-                        d = t.astype(np.int16)
-                        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
-                        t = (d % 256).astype(np.uint8)
-                    raw_strips.append(t if jpeg else t.tobytes())
+            planes_t = (
+                [padded[:, :, p : p + 1] for p in range(spp)]
+                if use_planar
+                else [padded]
+            )
+            for plane_px in planes_t:
+                for ty in range(down):
+                    for tx in range(across):
+                        t = plane_px[
+                            ty * tl_opt : (ty + 1) * tl_opt,
+                            tx * tw_opt : (tx + 1) * tw_opt,
+                        ]
+                        if predictor:
+                            d = t.astype(np.int16)
+                            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+                            t = (d % 256).astype(np.uint8)
+                        raw_strips.append(t if jpeg else t.tobytes())
         elif use_planar:
             # planar=2: all of sample 0's strips first, then sample 1's
             for p in range(spp):

@@ -678,13 +678,10 @@ def test_tiled_fail_loud_contract():
             struct.pack_into("<I", blob, ent + 4, 3)
     with pytest.raises(ValueError, match="bookkeeping"):
         decode_tiff(bytes(blob))
-    # organization conflicts at the encoder
+    # organization conflicts at the encoder (tiled planar-2 is
+    # SUPPORTED since round 15 — only the strip/tile conflict remains)
     with pytest.raises(ValueError, match="tiles or strips"):
         encode_tiff(px, tile=(16, 16), rows_per_strip=4)
-    with pytest.raises(ValueError, match="planar"):
-        encode_tiff(
-            np.zeros((16, 16, 3), np.uint8), tile=(16, 16), planar=True
-        )
 
 
 def test_lzw_final_code_width_boundary_regression():
@@ -820,3 +817,37 @@ def test_tiff_jpeg_multipage_and_edge_strip():
     assert len(pages) == 2
     for (w, h, arr), img in zip(pages, imgs):
         assert (arr[:, :, 0] == img).all()
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(tile=(16, 16), planar=True),
+        dict(tile=(16, 16), planar=True, lzw=True, predictor=True),
+        dict(tile=(32, 16), planar=True, deflate=True, big_endian=True),
+    ],
+)
+def test_tiff_tiled_planar2_roundtrips(kw):
+    # round 15: the tiled x planar-2 combination — per-plane
+    # single-channel tiles, plane-major, padded edges, per-tile
+    # predictor context
+    rng = np.random.RandomState(37)
+    arr = rng.randint(0, 256, (20, 17, 3)).astype(np.uint8)
+    w, h, got = decode_tiff(encode_tiff(arr, **kw))
+    assert (w, h) == (17, 20)
+    assert (got == arr).all()
+
+
+def test_tiff_tiled_planar2_bookkeeping_mismatch_loud():
+    import struct as _struct
+
+    rng = np.random.RandomState(39)
+    arr = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    blob = encode_tiff(arr, tile=(16, 16), planar=True)
+    # drop the PlanarConfiguration tag's value to 1: 3 tiles now
+    # disagree with the 1 expected for chunky
+    i = blob.index(_struct.pack("<HHI", 284, 3, 1))
+    bad = bytearray(blob)
+    _struct.pack_into("<H", bad, i + 8, 1)
+    with pytest.raises(ValueError, match="bookkeeping mismatch"):
+        decode_tiff(bytes(bad))

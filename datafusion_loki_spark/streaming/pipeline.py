@@ -445,7 +445,9 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
     Malformed payloads (ValueError from any decoder, or an unknown
     signature) reject with fmt='unknown' where unsniffable; audio
     (RIFF/WAVE, round 14) admits through the real decode_wav chunk walk
-    with a NULL n_pixels; a
+    with a NULL n_pixels; video (RIFF/AVI, round 15) admits through the
+    real MJPEG container walk with n_pixels = total decoded frame
+    pixels; a
     NotImplementedError (a format this build has no codec for — the
     PIL gate) PROPAGATES loud: silently rejecting a format you simply
     cannot decode would throw away good corpus data.
@@ -505,10 +507,26 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
                 if fmt == "wav" and blob[8:12] != b"WAVE":
                     if blob[8:12] == b"WEBP":
                         fmt = "webp"  # image path via decode_image
+                    elif blob[8:12] == b"AVI ":
+                        fmt = "avi"  # round 15: video admits too
                     else:
-                        fmt = "unknown"  # RIFF, not WAVE/WEBP (AVI, ...)
+                        fmt = "unknown"  # RIFF, not WAVE/WEBP/AVI
                 if fmt == "unknown":
                     ok, n = False, None
+                elif fmt == "avi":
+                    # video admission (round 15): the real MJPEG
+                    # container walk + per-frame JPEG decode;
+                    # n_pixels = total decoded pixels across frames
+                    from datafusion_loki_spark.operators.avi import (
+                        decode_avi_frames,
+                    )
+
+                    try:
+                        _fps, frames = decode_avi_frames(blob)
+                        ok = True
+                        n = sum(fw * fh for fw, fh, _a in frames)
+                    except ValueError:
+                        ok, n = False, None
                 elif fmt == "wav":
                     # audio admission: real chunk-walk decode; n_pixels
                     # stays NULL (frames are not pixels — downstream

@@ -2147,6 +2147,7 @@ def test_decode_admission_stream_matches_batch_gate(spark, tmp_path):
     import numpy as np
     import pyspark.sql.functions as F
 
+    from datafusion_loki_spark.operators.avi import encode_avi_mjpeg
     from datafusion_loki_spark.operators.gif import encode_gif
     from datafusion_loki_spark.operators.jpeg import encode_jpeg
     from datafusion_loki_spark.operators.multimodal import (
@@ -2174,7 +2175,22 @@ def test_decode_admission_stream_matches_batch_gate(spark, tmp_path):
         9: encode_wav(
             rng.randint(-9, 9, (6, 2)).astype(np.int16), 8000
         )[:-3],                         # corrupt wav: data chunk cut
-        10: b"RIFF\x04\x00\x00\x00AVI ",  # RIFF but not WAVE
+        10: b"RIFF\x04\x00\x00\x00AVI ",  # AVI form, no streams: loud
+        # valid two-frame 64x40 MJPEG: video admits (round 15)
+        11: encode_avi_mjpeg(
+            [
+                encode_jpeg(
+                    np.repeat(
+                        np.repeat(
+                            rng.randint(0, 256, (5, 8)).astype(np.uint8),
+                            8, 0,
+                        ),
+                        8, 1,
+                    )
+                )
+            ]
+            * 2
+        ),
     }
     src = str(tmp_path / "media")
     spark.createDataFrame(
@@ -2213,9 +2229,14 @@ def test_decode_admission_stream_matches_batch_gate(spark, tmp_path):
     # and a non-WAVE RIFF form never masquerades as audio
     assert got[8] == ("wav", True, None)
     assert got[9] == ("wav", False, None)
-    assert got[10] == ("unknown", False, None)
-    # admitted set: exactly the decodable six images + the valid wav
-    assert {k for k, v in got.items() if v[1]} == {0, 1, 2, 3, 4, 8}
+    # round 15: the AVI form sniffs as video and rejects LOUD-LY
+    # inside the real container walk (this blob has no hdrl), never
+    # masquerading as audio
+    assert got[10] == ("avi", False, None)
+    assert got[11][0] == "avi" and got[11][1]  # valid MJPEG admits
+    assert got[11][2] == 64 * 40 * 2  # n_pixels across both frames
+    # admitted set: the decodable six images + valid wav + valid avi
+    assert {k for k, v in got.items() if v[1]} == {0, 1, 2, 3, 4, 8, 11}
 
 
 def test_decode_admission_stream_carries_passthrough_columns(

@@ -43,6 +43,12 @@ def _parse_screen(payload: bytes):
     if len(payload) < 13:
         raise ValueError("GIF logical screen descriptor truncated")
     sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if sw * sh > 1 << 28:
+        # allocation bomb guard (round 15): the compositing canvas is
+        # allocated straight from these header fields
+        raise ValueError(
+            f"GIF screen {sw}x{sh} exceeds the supported area (2^28 px)"
+        )
     pos = 13
     gct = None
     if packed & 0x80:
@@ -65,6 +71,13 @@ def _parse_image(payload: bytes, pos: int, gct):
     pos += 9
     if w == 0 or h == 0:
         raise ValueError("malformed GIF dimensions")
+    if w * h > 1 << 28:
+        # allocation bomb guard (round 15, the VP8X canvas lesson): a
+        # 13-byte descriptor can otherwise demand a 34 GB int64 index
+        # grid before any data-length check runs
+        raise ValueError(
+            f"GIF image {w}x{h} exceeds the supported area (2^28 px)"
+        )
     ct = gct
     if ipacked & 0x80:  # local color table
         n = 2 << (ipacked & 0x07)

@@ -1165,6 +1165,15 @@ def decode_png_frames(payload: bytes):
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("PNG missing a valid IHDR")
     w, h = struct.unpack(">II", ihdr[:8])
+    if w == 0 or h == 0 or w * h > 1 << 28:
+        # allocation bomb guard (round 15, the VP8X canvas lesson): the
+        # output buffer is allocated straight from IHDR, which a
+        # valid-CRC crafted header controls — cap BEFORE np.zeros (the
+        # still decode_png path is already bounded by its inflate
+        # length discipline)
+        raise ValueError(
+            f"APNG canvas {w}x{h} exceeds the supported area (2^28 px)"
+        )
     actl = next((d for t, d in chunks if t == b"acTL"), None)
     if actl is None:
         raise ValueError("not an APNG (acTL chunk missing)")

@@ -1043,3 +1043,29 @@ def test_apng_still_compatibility_and_fail_loud():
     _struct.pack_into(">I", bad, j + 12, _zlib.crc32(body) & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="declares 5 frames"):
         decode_png_frames(bytes(bad))
+
+
+def test_apng_canvas_bomb_rejected_before_allocation():
+    # round 15: a valid-CRC crafted IHDR controls the output-buffer
+    # allocation; the area cap must fire before np.zeros (random
+    # mutation cannot reach this — the CRC gate rejects it — so the
+    # pin is a deliberately re-CRCed header)
+    import struct as _struct
+    import zlib as _zlib
+
+    from datafusion_loki_spark.operators.multimodal import (
+        decode_png_frames,
+        encode_png_frames,
+    )
+
+    rng = np.random.RandomState(41)
+    px = rng.randint(0, 256, (4, 4, 4)).astype(np.uint8)
+    blob = bytearray(encode_png_frames([{"px": px}]))
+    i = blob.index(b"IHDR")
+    _struct.pack_into(">II", blob, i + 4, 1 << 15, 1 << 15)  # 2^30 px
+    body = bytes(blob[i : i + 4 + 13])
+    _struct.pack_into(
+        ">I", blob, i + 4 + 13, _zlib.crc32(body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="exceeds the supported area"):
+        decode_png_frames(bytes(blob))

@@ -373,3 +373,23 @@ def test_lzw_min_code_size_9_to_11_rejected_decoder_owned():
         decode_gif(bytes(patched))
     except ValueError:
         pass
+
+
+def test_gif_dimension_bomb_rejected_before_allocation():
+    # round 15 (the VP8X canvas lesson applied to the family): a
+    # 13-byte header or 9-byte image descriptor can demand a
+    # multi-gigabyte canvas/index grid; both must be rejected before
+    # any allocation
+    import struct as _struct
+
+    hdr = b"GIF89a" + _struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+    with pytest.raises(ValueError, match="exceeds the supported area"):
+        decode_gif(hdr + b"\x3b")
+    # screen fine, image descriptor huge
+    pal = np.zeros((2, 3), np.uint8)
+    good = encode_gif(np.zeros((2, 2), np.int64), pal)
+    i = good.index(b"\x2c")
+    bad = bytearray(good)
+    _struct.pack_into("<HH", bad, i + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="exceeds the supported area"):
+        decode_gif(bytes(bad))

@@ -79,6 +79,15 @@ _R15_PINNED: tuple[str, ...] = (
     # third container, the WebP twin's construction with transparent
     # disposal (shared oracle at bg = 0)
     "mm_decode_apng",
+    # NEW in r15 (late session): Sun AU (.snd) — the mm_decode_g711
+    # construction through the classic big-endian telephony container
+    # (annotation offset skip, unknown-size marker); shared ITU-table
+    # oracle
+    "mm_decode_au",
+    # NEW in r15 (late session): binary PGM/PBM — the Netpbm family
+    # completed (one-channel walk; MSB-first bitmap unpack with the
+    # 1-means-black mapping, popcount oracle)
+    "mm_decode_pnm",
     # CHANGED in r15 (decode path): VP8L meta-prefix group index now
     # masks to the spec's 16 bits (ADVICE fix) — output unchanged on
     # self-encoded streams, but the face's decode path re-earns

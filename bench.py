@@ -248,8 +248,12 @@ BENCH_QUERIES = [
     "mm_decode_tiff_jpeg",
     "mm_decode_webp_anim",
     # appended round 15: APNG (acTL/fcTL/fdAT walk + three sub-PNG
-    # decodes + compositing per item)
+    # decodes + compositing per item) and Sun AU (the G.711 tables'
+    # second wire container)
     "mm_decode_apng",
+    "mm_decode_au",
+    # appended round 15: PGM/PBM (the Netpbm family completed)
+    "mm_decode_pnm",
 ]
 
 

@@ -104,6 +104,84 @@ def decode_ppm(payload: bytes):
     return w, h, arr.reshape(h, w, 3)
 
 
+def _pnm_fields(payload: bytes, magic: bytes, n_fields: int):
+    """Shared Netpbm header walk: ``n_fields`` whitespace/comment-
+    separated decimal fields after ``magic``. Returns (fields, pos) —
+    pos sits ON the single whitespace byte before the pixel block."""
+    if payload[:2] != magic:
+        raise ValueError(
+            f"not a binary Netpbm {magic.decode()} (magic missing)"
+        )
+    pos = 2
+    fields = []
+    while len(fields) < n_fields:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("unterminated Netpbm comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed Netpbm header field")
+        fields.append(int(payload[start:pos]))
+    return fields, pos
+
+
+def decode_pgm(payload: bytes):
+    """Binary PGM (P5) — the grayscale Netpbm member (round 15,
+    completing the binary family beside P6/P4). Same header rules as
+    decode_ppm, one sample per pixel; maxval > 255 reads big-endian
+    sample pairs to uint16. Returns (width, height, (h, w, 1)
+    ndarray). Loud ValueError on malformed input."""
+    import numpy as np
+
+    (w, h, maxval), pos = _pnm_fields(payload, b"P5", 3)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"malformed PGM dimensions ({w} x {h})")
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"malformed PGM maxval {maxval} (1..65535)")
+    pos += 1  # exactly ONE whitespace byte separates header and pixels
+    two_byte = maxval > 255
+    need = w * h * (2 if two_byte else 1)
+    if len(payload) - pos < need:
+        raise ValueError("PGM pixel block truncated")
+    if two_byte:
+        arr = np.frombuffer(
+            payload, dtype=">u2", count=w * h, offset=pos
+        ).astype(np.uint16)
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return w, h, arr.reshape(h, w, 1)
+
+
+def decode_pbm(payload: bytes):
+    """Binary PBM (P4) — the bitmap Netpbm member: rows packed
+    MSB-first, each row padded to a whole byte, and per the spec 1
+    means BLACK. Returns (width, height, (h, w, 1) uint8 LUMINANCE:
+    set bits decode to 0, clear bits to 255 — the conventional
+    rendering, documented). Loud ValueError on malformed input."""
+    import numpy as np
+
+    (w, h), pos = _pnm_fields(payload, b"P4", 2)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"malformed PBM dimensions ({w} x {h})")
+    pos += 1
+    stride = (w + 7) // 8
+    need = stride * h
+    if len(payload) - pos < need:
+        raise ValueError("PBM pixel block truncated")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=need, offset=pos
+    ).reshape(h, stride)
+    bits = np.unpackbits(rows, axis=1)[:, :w]  # MSB-first, padding cut
+    return w, h, np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None]
+
+
 def decode_bmp(payload: bytes):
     """REAL byte->pixels for BMP — pure numpy, no codec: parses the
     14-byte file header + BITMAPINFOHEADER and returns (width, height,
@@ -1468,6 +1546,10 @@ def decode_image(payload: bytes, backend: "str | None" = None):
             return fn(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)[2]
+    if payload[:2] == b"P5":
+        return decode_pgm(payload)[2]
+    if payload[:2] == b"P4":
+        return decode_pbm(payload)[2]
     if payload[:2] == b"BM":
         return decode_bmp(payload)[2]
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
@@ -1975,6 +2057,86 @@ SELECT doc_id,
        CAST({_rgb_channel_sum_duck(0, MM_PPM_W * MM_PPM_H)} AS BIGINT) AS sum_r,
        CAST({_rgb_channel_sum_duck(1, MM_PPM_W * MM_PPM_H)} AS BIGINT) AS sum_g,
        CAST({_rgb_channel_sum_duck(2, MM_PPM_W * MM_PPM_H)} AS BIGINT) AS sum_b
+FROM m
+"""
+
+
+# PGM/PBM construction (round 15): bytes [0, 40) are an 8x5 grayscale
+# P5; bytes [40, 45) are FIVE packed rows of an 8-wide P4 (width 8 ->
+# one byte per row, no padding bits, so every payload bit is a pixel)
+_MM_PNM_GW, _MM_PNM_GH = 8, 5
+_MM_PNM_NEED = _MM_PNM_GW * _MM_PNM_GH + _MM_PNM_GH
+
+
+def mm_decode_pnm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary PGM (P5) + PBM (P4) in the registry (round 15 — the
+    Netpbm family completed beside mm_decode_ppm's P6): the grayscale
+    half exercises the one-channel header/pixel walk, the bitmap half
+    the MSB-first row unpacking and the 1-means-black luminance
+    mapping. Emits the P5 sum and the P4 luminance sum; the oracle
+    replays the gray sum from hex bytes and the bitmap sum as
+    255 * (bits - popcount) via DuckDB's bit_count — an unpack order
+    slip, a polarity flip, or a padding-bit leak hash-mismatches.
+
+    100 TB posture: the decode-family shape — size filter before the
+    Python boundary, Arrow-batched mapInPandas, narrow output columns,
+    no shuffle after the scan."""
+    media = media_table(spark, sf_dir).where(
+        F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_PNM_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        gw, gh = _MM_PNM_GW, _MM_PNM_GH
+        gbytes = gw * gh
+        for pdf in batches:
+            ids, sg, sb = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)[:_MM_PNM_NEED]
+                _, _, gray = decode_pgm(
+                    f"P5 {gw} {gh} 255\n".encode() + raw[:gbytes]
+                )
+                _, _, bw = decode_pbm(
+                    f"P4 {gw} {gh}\n".encode() + raw[gbytes:]
+                )
+                ids.append(int(did))
+                sg.append(int(gray.sum(dtype="int64")))
+                sb.append(int(bw.sum(dtype="int64")))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "sum_gray": sg,
+                        "sum_bw": sb,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel, "doc_id long, sum_gray long, sum_bw long"
+    )
+
+
+def _pnm_oracle() -> str:
+    # built lazily: _hexpair_duck is defined later in the module
+    return f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE text IS NOT NULL
+    AND octet_length(encode(text)) >= {_MM_PNM_NEED}
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(
+              generate_series(0, {_MM_PNM_GW * _MM_PNM_GH - 1}),
+              i -> {_hexpair_duck('i')})) AS BIGINT) AS sum_gray,
+       CAST(255 * ({_MM_PNM_GW * _MM_PNM_GH}
+            - list_sum(list_transform(
+                generate_series(0, {_MM_PNM_GH - 1}),
+                i -> bit_count(CAST(
+                  {_hexpair_duck(f'{_MM_PNM_GW * _MM_PNM_GH} + i')}
+                  AS BIGINT))))) AS BIGINT) AS sum_bw
 FROM m
 """
 
@@ -4260,6 +4422,65 @@ FROM m
 ORACLE_MM_DECODE_G711 = _g711_oracle()
 
 
+def mm_decode_au(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sun AU (.snd) audio in the registry (round 15): the
+    mm_decode_g711 construction — mu-law bytes [0, 40), A-law
+    [40, 80) — carried by the CLASSIC telephony container instead of
+    RIFF/WAVE: big-endian header words, an annotation block exercising
+    the data-offset skip, and the ITU table expansion shared with the
+    WAV tags 6/7 (one companding truth, two wire containers — so
+    ORACLE_MM_DECODE_G711 replays unchanged). A header-endianness
+    slip, an offset-skip error, or a table divergence between the two
+    containers hash-mismatches.
+
+    100 TB posture: the decode-family shape — modality + size filter
+    before the Python boundary, Arrow-batched mapInPandas, narrow
+    output columns, no shuffle after the scan."""
+    from datafusion_loki_spark.operators.wav import decode_au, encode_au
+
+    media = media_table(spark, sf_dir).where(
+        (F.col("media_type") == "audio")
+        & F.col("payload").isNotNull()
+        & (F.col("n_bytes") >= _MM_G711_NEED)
+    ).select("doc_id", "payload")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, su, sa = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                _, _, _, u = decode_au(
+                    encode_au(
+                        raw[:_MM_G711_N], 8000, 1, annotation=b"spark"
+                    )
+                )
+                _, _, _, a = decode_au(
+                    encode_au(
+                        raw[_MM_G711_N:_MM_G711_NEED], 8000, 27,
+                        unknown_size=True,
+                    )
+                )
+                ids.append(int(did))
+                ns.append(u.shape[0])
+                su.append(int(u[:, 0].astype("int64").sum()))
+                sa.append(int(a[:, 0].astype("int64").sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_samples": ns,
+                        "sum_ulaw": su,
+                        "sum_alaw": sa,
+                    }
+                )
+
+    return media.mapInPandas(
+        kernel, "doc_id long, n_samples int, sum_ulaw long, sum_alaw long"
+    )
+
+
 _MM_AVI_FRAMES = 3
 _MM_AVI_NEED = _MM_AVI_FRAMES * _MM_JPEG_NEED  # 3 frames x 40 DC bytes
 
@@ -5709,6 +5930,7 @@ QUERIES = {
     "mm_exact_dedup": mm_exact_dedup,
     "mm_chunk_dedup": mm_chunk_dedup,
     "mm_decode_ppm": mm_decode_ppm,
+    "mm_decode_pnm": mm_decode_pnm,
     "mm_decode_png": mm_decode_png,
     "mm_decode_png_adam7": mm_decode_png_adam7,
     "mm_decode_png_palette": mm_decode_png_palette,
@@ -5731,6 +5953,7 @@ QUERIES = {
     "mm_decode_apng": mm_decode_apng,
     "mm_decode_video": mm_decode_video,
     "mm_decode_g711": mm_decode_g711,
+    "mm_decode_au": mm_decode_au,
     "mm_decode_msadpcm": mm_decode_msadpcm,
     "mm_decode_png16": mm_decode_png16,
     "mm_decode_validate": mm_decode_validate,
@@ -5755,6 +5978,7 @@ ORACLES = {
     "mm_exact_dedup": ORACLE_MM_EXACT_DEDUP,
     "mm_chunk_dedup": ORACLE_MM_CHUNK_DEDUP,
     "mm_decode_ppm": ORACLE_MM_DECODE_PPM,
+    "mm_decode_pnm": _pnm_oracle(),
     "mm_decode_png": ORACLE_MM_DECODE_PNG,
     # interlacing is transport: the Adam7 twin must produce the exact
     # pixel sums of the sequential encoding
@@ -5788,6 +6012,10 @@ ORACLES = {
     "mm_decode_apng": ORACLE_MM_DECODE_APNG,
     "mm_decode_video": ORACLE_MM_DECODE_VIDEO,
     "mm_decode_g711": ORACLE_MM_DECODE_G711,
+    # AU carries the same construction through the Sun container; the
+    # ITU table expansion is identical -> same oracle (one companding
+    # truth, two wire containers)
+    "mm_decode_au": ORACLE_MM_DECODE_G711,
     "mm_decode_msadpcm": ORACLE_MM_DECODE_MSADPCM,
     "mm_decode_png16": ORACLE_MM_DECODE_PNG16,
     "mm_decode_validate": ORACLE_MM_DECODE_VALIDATE,

@@ -735,3 +735,96 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + bytes(
         chunks
     )
+
+
+# --- Sun AU / NeXT .snd (round 15) -------------------------------------
+#
+# The classic G.711 carrier: a '.snd' magic plus five 32-bit BIG-endian
+# header words (data offset >= 24 — annotation bytes may sit between
+# header and data; data size, with 0xFFFFFFFF meaning "rest of file";
+# encoding; sample rate; channels), then raw interleaved frames. The
+# format that shipped telephony audio before WAV — supporting it means
+# the ITU tables verified by tests/test_spec_vectors.py serve two wire
+# containers.
+_AU_MAGIC = b".snd"
+_AU_UNKNOWN_SIZE = 0xFFFFFFFF
+# encoding ids per the public Sun/NeXT header: 1 mu-law, 2 linear PCM
+# 8-bit SIGNED (unlike WAV's unsigned 8-bit), 3 linear PCM 16-bit
+# big-endian, 27 A-law
+_AU_ENCODINGS = {1: 1, 2: 1, 3: 2, 27: 1}  # id -> bytes per sample
+
+
+def decode_au(payload: bytes):
+    """Decode a Sun AU (.au/.snd) file. Returns (channels, rate,
+    encoding, (n_frames, channels) int16 array). G.711 encodings
+    expand through the same ITU tables as the WAV tags 6/7; linear
+    8-bit is SIGNED per the AU spec and is widened to int16 WITHOUT
+    scaling (documented — the values are the stored ones); 16-bit is
+    big-endian on the wire. Loud ValueError on malformed headers,
+    unsupported encodings, truncation, and frame misalignment."""
+    if payload[:4] != _AU_MAGIC:
+        raise ValueError("not an AU file (.snd magic missing)")
+    if len(payload) < 24:
+        raise ValueError("AU header truncated")
+    off, size, enc, rate, ch = struct.unpack(">IIIII", payload[4:24])
+    if off < 24:
+        raise ValueError(f"AU data offset {off} overlaps the header")
+    if off > len(payload):
+        raise ValueError(f"AU data offset {off} past end of file")
+    if enc not in _AU_ENCODINGS:
+        raise ValueError(
+            f"unsupported AU encoding {enc}"
+            " (mu-law 1, linear 8/16-bit 2/3, A-law 27 only);"
+            " no fake fallback"
+        )
+    if ch == 0 or rate == 0:
+        raise ValueError("malformed AU channel count or sample rate")
+    if size == _AU_UNKNOWN_SIZE:
+        size = len(payload) - off
+    if off + size > len(payload):
+        raise ValueError(
+            f"AU declares {size} data bytes at {off},"
+            f" file holds {len(payload)}"
+        )
+    bps = _AU_ENCODINGS[enc]
+    if size % (bps * ch):
+        raise ValueError(
+            f"AU data size {size} is not whole {ch}-channel frames"
+        )
+    data = payload[off : off + size]
+    if enc == 1:
+        out = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    elif enc == 27:
+        out = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    elif enc == 2:
+        out = np.frombuffer(data, dtype=np.int8).astype(np.int16)
+    else:  # enc == 3
+        out = np.frombuffer(data, dtype=">i2").astype(np.int16)
+    return ch, rate, enc, out.reshape(-1, ch)
+
+
+def encode_au(
+    data, rate: int, encoding: int, channels: int = 1,
+    annotation: bytes = b"",
+    unknown_size: bool = False,
+) -> bytes:
+    """AU writer twin. ``data`` is raw companded bytes for encodings
+    1/27, int8 samples for 2, int16 for 3 (interleaved frames).
+    ``annotation`` lands between header and data (the offset-skip
+    path); ``unknown_size`` writes the 0xFFFFFFFF marker."""
+    if encoding in (1, 27):
+        body = bytes(data)
+    elif encoding == 2:
+        body = np.asarray(data, dtype=np.int8).tobytes()
+    elif encoding == 3:
+        body = np.asarray(data, dtype=">i2").tobytes()
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    off = 24 + len(annotation)
+    size = _AU_UNKNOWN_SIZE if unknown_size else len(body)
+    return (
+        _AU_MAGIC
+        + struct.pack(">IIIII", off, size, encoding, rate, channels)
+        + bytes(annotation)
+        + body
+    )

@@ -458,6 +458,8 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
     documented native-codec swap point carry over unchanged."""
     sniffs = (
         (b"P6", "ppm"),
+        (b"P5", "pgm"),  # round 15: the Netpbm family completed
+        (b"P4", "pbm"),
         (b"BM", "bmp"),
         (b"\x89PNG\r\n\x1a\n", "png"),
         (b"\xff\xd8", "jpeg"),
@@ -465,6 +467,7 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
         (b"GIF89a", "gif"),
         (b"II\x2a\x00", "tiff"),
         (b"MM\x00\x2a", "tiff"),
+        (b".snd", "au"),  # round 15: the classic telephony container
         (b"RIFF", "wav"),  # round 14: the audio modality is admitted
         # too — verified as RIFF/WAVE below, decoded by decode_wav;
         # RIFF/WEBP re-sniffs to 'webp' below (late round 14: real
@@ -527,12 +530,16 @@ def decode_admission_stream(stream_media: DataFrame) -> DataFrame:
                         n = sum(fw * fh for fw, fh, _a in frames)
                     except ValueError:
                         ok, n = False, None
-                elif fmt == "wav":
-                    # audio admission: real chunk-walk decode; n_pixels
-                    # stays NULL (frames are not pixels — downstream
-                    # audio consumers re-decode for analysis)
+                elif fmt in ("wav", "au"):
+                    # audio admission: real chunk-walk / header decode;
+                    # n_pixels stays NULL (frames are not pixels —
+                    # downstream audio consumers re-decode for analysis)
+                    from datafusion_loki_spark.operators.wav import (
+                        decode_au,
+                    )
+
                     try:
-                        decode_wav(blob)
+                        (decode_wav if fmt == "wav" else decode_au)(blob)
                         ok, n = True, None
                     except ValueError:
                         ok, n = False, None

@@ -21,6 +21,8 @@ from datafusion_loki_spark.operators.gif import (
 from datafusion_loki_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from datafusion_loki_spark.operators.multimodal import (
     decode_bmp,
+    decode_pbm,
+    decode_pgm,
     decode_png,
     decode_png_frames,
     encode_bmp8,
@@ -30,7 +32,9 @@ from datafusion_loki_spark.operators.multimodal import (
 )
 from datafusion_loki_spark.operators.tiff import decode_tiff, encode_tiff
 from datafusion_loki_spark.operators.wav import (
+    decode_au,
     decode_wav,
+    encode_au,
     encode_wav,
     encode_wav_adpcm,
     encode_wav_g711,
@@ -54,6 +58,16 @@ _SAMPLES = _RNG.randint(-32768, 32768, (20, 2)).astype(np.int16)
 
 _SEEDS = {
     "png": (encode_png(_PX), decode_png),
+    # round 15: the Netpbm gray/bitmap members (header walk, packed
+    # rows) under mutation
+    "pgm": (
+        b"P5 7 5 255\n# c\n" + bytes(_PX[:, :, 1].reshape(-1)),
+        decode_pgm,
+    ),
+    "pbm": (
+        b"P4 7 5\n" + bytes(np.packbits(_PX[:, :, 2] % 2, axis=1)),
+        decode_pbm,
+    ),
     # round 15: APNG — acTL/fcTL/fdAT walk, sequence numbers, per-frame
     # sub-PNG reassembly, compositing bookkeeping under mutation
     "apng": (
@@ -146,6 +160,15 @@ _SEEDS = {
     "wav": (
         encode_wav(_SAMPLES, 8000, extra_chunk=(b"LIST", b"abc")),
         decode_wav,
+    ),
+    # round 15: Sun AU — big-endian header words, annotation offset
+    # skip, unknown-size marker under mutation
+    "au": (
+        encode_au(
+            bytes(_PX[:, :, 0].reshape(-1)[:30]), 8000, 1,
+            annotation=b"meta",
+        ),
+        decode_au,
     ),
     # round 14: the IEEE-float (format tag 3) branch
     "wav_float": (

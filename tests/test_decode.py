@@ -1069,3 +1069,60 @@ def test_apng_canvas_bomb_rejected_before_allocation():
     )
     with pytest.raises(ValueError, match="exceeds the supported area"):
         decode_png_frames(bytes(blob))
+
+
+# --- PGM / PBM (round 15) ----------------------------------------------
+
+def test_pgm_roundtrip_8_and_16_bit():
+    from datafusion_loki_spark.operators.multimodal import decode_pgm
+
+    w, h, arr = decode_pgm(b"P5 3 2 255\n" + bytes(range(6)))
+    assert (w, h, arr.shape) == (3, 2, (2, 3, 1))
+    assert arr.reshape(-1).tolist() == [0, 1, 2, 3, 4, 5]
+    # 16-bit big-endian samples
+    w, h, arr = decode_pgm(
+        b"P5 2 1 65535\n" + bytes([0x01, 0x02, 0xFF, 0xFE])
+    )
+    assert arr.dtype == np.uint16
+    assert arr.reshape(-1).tolist() == [0x0102, 0xFFFE]
+    # header comments survive
+    w, h, arr = decode_pgm(b"P5\n# c\n 2 # x\n1\n255\n\x09\x08")
+    assert arr.reshape(-1).tolist() == [9, 8]
+
+
+def test_pbm_msb_first_polarity_and_padding():
+    from datafusion_loki_spark.operators.multimodal import decode_pbm
+
+    # 10 wide -> 2 bytes/row, 6 padding bits cut; 1 = black -> 0
+    row0 = bytes([0b10000001, 0b01000000])  # bits 0,7,9 set
+    row1 = bytes([0b00000000, 0b00000000])
+    w, h, arr = decode_pbm(b"P4 10 2\n" + row0 + row1)
+    assert (w, h, arr.shape) == (10, 2, (2, 10, 1))
+    assert arr[0, :, 0].tolist() == [0, 255, 255, 255, 255, 255, 255,
+                                     0, 255, 0]
+    assert (arr[1, :, 0] == 255).all()
+    # padding bits must NOT leak into pixels: set them all
+    row0p = bytes([0b10000001, 0b01111111])
+    w, h, arr2 = decode_pbm(b"P4 10 1\n" + row0p)
+    assert (arr2[0, :, 0] == arr[0, :, 0]).all()
+
+
+def test_pnm_fail_loud_and_dispatch():
+    from datafusion_loki_spark.operators.multimodal import (
+        decode_image,
+        decode_pbm,
+        decode_pgm,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_pgm(b"P6 1 1 255\nabc")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pgm(b"P5 4 4 255\nxx")
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_pgm(b"P5 0 4 255\n")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_pgm(b"P5 1 1 0\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pbm(b"P4 9 2\nxx")  # needs 4 bytes
+    assert decode_image(b"P5 1 1 255\n\x07").tolist() == [[[7]]]
+    assert decode_image(b"P4 1 1\n\x80").tolist() == [[[0]]]

@@ -1182,7 +1182,7 @@ def test_decode_ops_scan_speed_no_shuffle(spark, sf_dir):
                  "mm_decode_webp", "mm_decode_video", "mm_decode_g711",
                  "mm_decode_msadpcm", "mm_decode_tiff_tiled",
                  "mm_decode_tiff_jpeg", "mm_decode_webp_anim",
-                 "mm_decode_apng",
+                 "mm_decode_apng", "mm_decode_au", "mm_decode_pnm",
                  "mm_resize_pixels", "mm_decode_bmp_rle"):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name}:\n{plan}"

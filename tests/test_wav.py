@@ -602,3 +602,77 @@ def test_msadpcm_predictor_truncates_toward_zero():
     # positive sums unchanged
     sample, _ = _ms_step(100, 0, 16, 256, 0, 1)
     assert sample == 100 + 16
+
+
+# --- Sun AU (.snd, round 15) -------------------------------------------
+
+def test_au_all_encodings_roundtrip():
+    from datafusion_loki_spark.operators.wav import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_au,
+        encode_au,
+    )
+
+    raw = bytes(range(256))
+    ch, rate, enc, out = decode_au(encode_au(raw, 8000, 1))
+    assert (ch, rate, enc) == (1, 8000, 1)
+    assert (out[:, 0] == _ULAW_TABLE).all()
+    ch, rate, enc, out = decode_au(encode_au(raw, 8000, 27))
+    assert (out[:, 0] == _ALAW_TABLE).all()
+    s16 = np.arange(-300, 300, 7, dtype=np.int16)
+    ch, _, _, out = decode_au(
+        encode_au(s16.reshape(-1, 2), 44100, 3, channels=2)
+    )
+    assert ch == 2 and (out.reshape(-1) == s16).all()
+    s8 = np.arange(-128, 128, dtype=np.int8)
+    _, _, _, out = decode_au(encode_au(s8, 8000, 2))
+    assert (out[:, 0] == s8.astype(np.int16)).all()
+
+
+def test_au_annotation_skip_and_unknown_size():
+    from datafusion_loki_spark.operators.wav import decode_au, encode_au
+
+    raw = bytes([0xFF, 0x7F, 0x00, 0x80])
+    blob = encode_au(raw, 8000, 1, annotation=b"some metadata text")
+    ch, rate, enc, out = decode_au(blob)
+    assert out.shape == (4, 1)
+    # unknown-size marker: data runs to end of file
+    blob = encode_au(raw, 8000, 1, unknown_size=True)
+    assert decode_au(blob)[3].shape == (4, 1)
+    # both mu-law zeros decode to 0 through the AU path too
+    assert decode_au(encode_au(b"\xff\x7f", 8000, 1))[3].tolist() == [
+        [0], [0],
+    ]
+
+
+def test_au_fail_loud_contract():
+    import struct as _struct
+
+    from datafusion_loki_spark.operators.wav import decode_au, encode_au
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_au(b"RIFF not an au")
+    with pytest.raises(ValueError, match="header truncated"):
+        decode_au(b".snd\x00\x00")
+    good = bytearray(encode_au(bytes(8), 8000, 1))
+    _struct.pack_into(">I", good, 4, 12)  # offset inside the header
+    with pytest.raises(ValueError, match="overlaps the header"):
+        decode_au(bytes(good))
+    good = bytearray(encode_au(bytes(8), 8000, 1))
+    _struct.pack_into(">I", good, 4, 9999)
+    with pytest.raises(ValueError, match="past end"):
+        decode_au(bytes(good))
+    good = bytearray(encode_au(bytes(8), 8000, 1))
+    _struct.pack_into(">I", good, 12, 23)  # FLAC-ish unsupported id
+    with pytest.raises(ValueError, match="unsupported AU encoding"):
+        decode_au(bytes(good))
+    good = bytearray(encode_au(bytes(8), 8000, 1))
+    _struct.pack_into(">I", good, 8, 999)  # size past the file
+    with pytest.raises(ValueError, match="file holds"):
+        decode_au(bytes(good))
+    # odd byte count for 16-bit stereo frames
+    with pytest.raises(ValueError, match="whole"):
+        decode_au(
+            encode_au(np.zeros(3, np.int16), 8000, 3, channels=2)
+        )

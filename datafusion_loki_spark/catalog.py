@@ -62,13 +62,81 @@ def normalize_events_ts(df: DataFrame, ts_is_long: bool) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver table; normalizes events.ts ns→µs TIMESTAMP_NTZ."""
+_SCAN_SPLIT_BYTES = 128 * 1024 * 1024  # Spark's default maxPartitionBytes
+
+
+def _est_scan_tasks(path: str) -> int:
+    """Estimate how many scan tasks Spark will create for the parquet
+    file/dir at ``path``: one per started 128 MB of each file (the
+    split math's upper shape; a file below 128 MB with one row group
+    yields exactly one non-empty task). os.stat only — no JVM roundtrip
+    and no RDD-conversion probe (the cost `_spread`'s docstring warns
+    about), so it is safe to call on every load_table."""
+    import glob
+
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = glob.glob(os.path.join(path, "*.parquet")) or glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+    if not files:
+        return 1
+    return sum(1 + os.path.getsize(f) // _SCAN_SPLIT_BYTES for f in files)
+
+
+def scan_fanout(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Scale-adaptive read fan-out (OPTIMIZATION_r15 change 1).
+
+    The driver's test tables are single-file/single-row-group parquet,
+    which `spark.sql.files.maxPartitionBytes` cannot subdivide — every
+    scan arrives as ONE task and everything up to the first exchange
+    (the whole Arrow-kernel decode family, tokenize/explode stages)
+    runs on one core of local[32]. When the on-disk size says the scan
+    cannot fill the cluster, repartition round-robin to the default
+    parallelism; on a 100 TB input the estimate is thousands of tasks
+    and this is a provable no-op (no exchange in the plan), so payload
+    bytes still never shuffle at scale. `spark_graft.scan_fanout.enabled
+    = false` disables it outright for deployments that want the scan
+    shape untouched.
+
+    Opt-in per call-site (`load_table(..., fanout=True)` /
+    `media_table(..., fanout=True)`), NOT automatic: measured this
+    round (OPTIMIZATION_r15.md), the exchange pays for itself only
+    when the pre-exchange work is expensive (ms-scale Arrow decode
+    kernels, char-gram explodes). For cheap kernels, keyed pipelines
+    whose `_spread` exchange doubles as the downstream groupBy
+    partitioning, and the iterative/index-writing embeddings
+    operators, the extra stage is a measured net loss — those sites
+    stay opted out."""
+    if (
+        spark.conf.get("spark_graft.scan_fanout.enabled", "true")
+        != "true"
+    ):
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if _est_scan_tasks(path) >= target:
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
+    """Read one driver table; normalizes events.ts ns→µs TIMESTAMP_NTZ.
+
+    ``fanout=True`` applies the adaptive scan fan-out above — opt in
+    only where the consumer's pre-exchange work is expensive enough to
+    beat the extra stage (see scan_fanout's docstring)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         ts_is_long = probe_events_ts_is_long(spark, path)
-        return normalize_events_ts(spark.read.parquet(path), ts_is_long)
-    return spark.read.parquet(path)
+        df = normalize_events_ts(spark.read.parquet(path), ts_is_long)
+    else:
+        df = spark.read.parquet(path)
+    if fanout:
+        df = scan_fanout(df, spark, path)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

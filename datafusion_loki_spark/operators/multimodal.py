@@ -34,11 +34,20 @@ FEATURE_SCHEMA = (
 )
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_table(
+    spark: SparkSession, sf_dir: str, fanout: bool = False
+) -> DataFrame:
     """Synthesize the multimodal table: documents' text bytes stand in for
     the opaque payload (deterministic; real pipelines read binary parquet
-    columns the same way)."""
-    docs = load_table(spark, sf_dir, "documents")
+    columns the same way).
+
+    ``fanout=True`` (OPTIMIZATION_r15): adaptive scan fan-out for faces
+    whose per-item kernel cost is ms-scale — a single-split read
+    otherwise serializes the whole Arrow kernel on one core. Cheap
+    kernels (PPM/PNM/WAV/AU header walks, G.711 table lookups) and
+    kernel→self-join shapes (phash, chunk dedup) measured FASTER
+    without it, so it stays opt-in per face."""
+    docs = load_table(spark, sf_dir, "documents", fanout=fanout)
     return docs.select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
@@ -2251,7 +2260,7 @@ def mm_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: the decode-family shape — size filter before the
     Python boundary, Arrow-batched mapInPandas, no shuffle."""
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_GIF_NEED)
     ).select("doc_id", "payload")
 
@@ -2318,7 +2327,7 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary (the family rule), the kernel is Arrow-batched mapInPandas
     emitting 6 small columns — payload bytes never shuffle; no shuffle
     at all after the scan."""
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_PNG_NEED)
     ).select("doc_id", "payload")
 
@@ -2385,7 +2394,7 @@ def mm_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
     that mis-sizes one pass shifts every later pass's bytes and
     hash-mismatches. Same oracle as mm_decode_png — interlacing is
     transport, the pixels must be identical."""
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_PNG_NEED)
     ).select("doc_id", "payload")
 
@@ -2465,7 +2474,7 @@ def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_JPEG_NEED)
     ).select("doc_id", "payload")
 
@@ -2512,7 +2521,7 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_JPEG_NEED)
     ).select("doc_id", "payload")
 
@@ -2583,7 +2592,7 @@ def mm_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: the decode-family shape — size filter before the
     Python boundary, Arrow-batched mapInPandas, 7 narrow output
     columns, no shuffle after the scan."""
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_PAL_NEED)
     ).select("doc_id", "payload")
 
@@ -2666,7 +2675,7 @@ def mm_decode_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes sum(256 * hi + lo) from hex bytes, so an
     endianness swap, a lane mix-up, or an 8-bit truncation
     hash-mismatches immediately."""
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_PNG16_NEED)
     ).select("doc_id", "payload")
 
@@ -2736,7 +2745,7 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns, no shuffle after the scan."""
     from datafusion_loki_spark.operators.gif import decode_gif, encode_gif
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_GIF_NEED)
     ).select("doc_id", "payload")
 
@@ -2834,7 +2843,7 @@ def mm_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_gif_frames,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_GIFA_NEED)
     ).select("doc_id", "payload")
 
@@ -2998,7 +3007,7 @@ def mm_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_gif_frames,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_FSR_NEED)
     ).select("doc_id", "payload")
 
@@ -3293,7 +3302,7 @@ def mm_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datafusion_loki_spark.operators.wav import decode_wav
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         (F.col("media_type") == "audio")
         & F.col("payload").isNotNull()
         & (F.col("n_bytes") >= 2)
@@ -3388,7 +3397,7 @@ def mm_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: the decode-family shape — size filter before the
     Python boundary, Arrow-batched mapInPandas, no shuffle."""
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_PNG_NEED)
     ).select("doc_id", "payload")
 
@@ -3476,7 +3485,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     output columns, no shuffle after the scan."""
     from datafusion_loki_spark.operators.wav import decode_wav, encode_wav
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         (F.col("media_type") == "audio")
         & F.col("payload").isNotNull()
         & (F.col("n_bytes") >= _MM_WAV_NEED)
@@ -3593,7 +3602,7 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per item, no shuffle after the scan."""
     from datafusion_loki_spark.operators.wav import decode_wav, encode_wav
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_AW_NEED)
     ).select("doc_id", "payload")
 
@@ -3707,7 +3716,7 @@ def mm_audio_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
     item, no shuffle after the scan."""
     from datafusion_loki_spark.operators.wav import decode_wav, encode_wav
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_AS_NEED)
     ).select("doc_id", "payload")
 
@@ -3826,7 +3835,7 @@ def mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_tiff,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_TIFF_NEED)
     ).select("doc_id", "payload")
 
@@ -3915,7 +3924,7 @@ def mm_decode_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_tiff,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_TIFF_NEED)
     ).select("doc_id", "payload")
 
@@ -3982,7 +3991,7 @@ def mm_decode_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_tiff,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_JPEG_NEED)
     ).select("doc_id", "payload")
 
@@ -4040,7 +4049,7 @@ def mm_decode_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_tiff,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_TIFF_NEED)
     ).select("doc_id", "payload")
 
@@ -4135,7 +4144,7 @@ def mm_decode_tiff_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_tiff,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_GIF_NEED)
     ).select("doc_id", "payload")
 
@@ -4236,7 +4245,7 @@ def mm_decode_msadpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_wav,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         (F.col("media_type") == "audio")
         & F.col("payload").isNotNull()
         & (F.col("n_bytes") >= 4)
@@ -4507,7 +4516,7 @@ def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from datafusion_loki_spark.operators.jpeg import encode_jpeg
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         (F.col("media_type") == "video")
         & F.col("payload").isNotNull()
         & (F.col("n_bytes") >= _MM_AVI_NEED)
@@ -4601,7 +4610,7 @@ def mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_webp_lossless,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_WEBP_NEED)
     ).select("doc_id", "payload")
 
@@ -4703,7 +4712,7 @@ def mm_decode_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_webp_anim,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_WEBPA_NEED)
     ).select("doc_id", "payload")
 
@@ -4827,7 +4836,7 @@ def mm_decode_apng(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: the decode-family shape — size filter before the
     Python boundary, Arrow-batched mapInPandas, 3 bounded rows per
     item, no shuffle after the scan."""
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_WEBPA_NEED)
     ).select("doc_id", "payload")
 
@@ -4905,7 +4914,7 @@ def mm_decode_tiff_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_tiff_pages,
     )
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_TIFFP_NEED)
     ).select("doc_id", "payload")
 
@@ -5014,7 +5023,7 @@ def mm_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_loki_spark.operators.tiff import encode_tiff
     from datafusion_loki_spark.operators.webp import encode_webp_lossless
 
-    media = media_table(spark, sf_dir).where(
+    media = media_table(spark, sf_dir, fanout=True).where(
         F.col("payload").isNotNull() & (F.col("n_bytes") >= _MM_VAL_NEED)
     ).select("doc_id", "payload")
 

@@ -1450,7 +1450,7 @@ def _bpe_train(
     explodes or folds after init. The loop breaks on the first empty
     batch (exact — see the module comment); the trailing oracle levels
     are carries."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     if where is not None:
         docs = docs.where(where)
     chars = (
@@ -1775,7 +1775,7 @@ def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _batches, vocab = _bpe_train(spark, sf_dir)
     seg = _bpe_stage(spark, sf_dir, vocab)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     # explode_outer + output-column guard, NOT plain explode: explode
     # triggers InferFiltersFromGenerate, which clones the whole
     # normalize/split chain into a scan-side Filter (the family's

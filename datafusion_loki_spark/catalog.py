@@ -85,7 +85,9 @@ def _est_scan_tasks(path: str) -> int:
     return sum(1 + os.path.getsize(f) // _SCAN_SPLIT_BYTES for f in files)
 
 
-def scan_fanout(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+def scan_fanout(
+    df: DataFrame, spark: SparkSession, path: str, key: "str | None" = None
+) -> DataFrame:
     """Scale-adaptive read fan-out (OPTIMIZATION_r15 change 1).
 
     The driver's test tables are single-file/single-row-group parquet,
@@ -108,26 +110,45 @@ def scan_fanout(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
     whose `_spread` exchange doubles as the downstream groupBy
     partitioning, and the iterative/index-writing embeddings
     operators, the extra stage is a measured net loss — those sites
-    stay opted out."""
+    stay opted out.
+
+    ``key`` (OPTIMIZATION_r15 change 2): hash-repartition on that
+    COLUMN instead of round-robin. For consumers whose first wide
+    operation is keyed by it (the winnowing family's doc-partitioned
+    window over the gram explode), this moves the unavoidable exchange
+    BEFORE the explode: the shuffle carries one narrow row per
+    document instead of one 40+-byte row per character gram (guide
+    §3.3 "explode multiplies the shuffle" / §8 "move small rows"), and
+    the downstream Window/distinct then run exchange-free on the
+    exploded frame. Unlike the round-robin fan-out this is NOT gated
+    on the scan-task estimate — the keyed exchange replaces one the
+    consumer would pay anyway, at every scale. The partition count is
+    pinned to defaultParallelism (REPARTITION_BY_NUM) because AQE
+    would otherwise coalesce the pre-explode exchange by its INPUT
+    size — a few MB of document rows — onto one task and serialize
+    the gram explode behind it."""
     if (
         spark.conf.get("spark_graft.scan_fanout.enabled", "true")
         != "true"
     ):
         return df
     target = spark.sparkContext.defaultParallelism
+    if key is not None:
+        return df.repartition(target, F.col(key))
     if _est_scan_tasks(path) >= target:
         return df
     return df.repartition(target)
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+    spark: SparkSession, sf_dir: str, name: str, fanout=False
 ) -> DataFrame:
     """Read one driver table; normalizes events.ts ns→µs TIMESTAMP_NTZ.
 
-    ``fanout=True`` applies the adaptive scan fan-out above — opt in
-    only where the consumer's pre-exchange work is expensive enough to
-    beat the extra stage (see scan_fanout's docstring)."""
+    ``fanout=True`` applies the adaptive scan fan-out above;
+    ``fanout="col"`` the keyed variant — opt in only where the
+    consumer's pre-exchange work is expensive enough to beat the extra
+    stage (see scan_fanout's docstring)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         ts_is_long = probe_events_ts_is_long(spark, path)
@@ -135,7 +156,9 @@ def load_table(
     else:
         df = spark.read.parquet(path)
     if fanout:
-        df = scan_fanout(df, spark, path)
+        df = scan_fanout(
+            df, spark, path, key=fanout if isinstance(fanout, str) else None
+        )
     return df
 
 

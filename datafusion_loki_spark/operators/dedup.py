@@ -1509,7 +1509,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint (recall degrades on boilerplate buckets, memory does
     not) and merge-pinned (stat-less under the window/distinct — the
     family broadcast trap)."""
-    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    docs = load_table(spark, sf_dir, "documents", fanout="doc_id")
     grams = (
         docs.select(
             "doc_id",
@@ -1859,7 +1859,7 @@ def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap) and pair-partitioned — the segmentation window partitions by
     (doc_a, doc_b), never global. Production swap: md5 -> xxhash64 for
     4x narrower shuffle rows (the dedup_winnowing comment)."""
-    return _winnow_spans_frame(load_table(spark, sf_dir, "documents", fanout=True))
+    return _winnow_spans_frame(load_table(spark, sf_dir, "documents", fanout="doc_id"))
 
 
 ORACLE_DEDUP_WINNOW_SPANS = f"""
@@ -1957,7 +1957,7 @@ def text_remove_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows partition by doc (never global), and the only corpus-touch
     is the final join on doc_id — affected docs only. The rebuild fold
     is per-row over a bounded interval array."""
-    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    docs = load_table(spark, sf_dir, "documents", fanout="doc_id")
     return _remove_winnow_spans_frame(docs, _winnow_spans_frame(docs))
 
 

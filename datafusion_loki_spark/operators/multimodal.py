@@ -5556,6 +5556,20 @@ def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain + the recursive reach CC + keepers grouped on the hex payload
     itself (grouping-equal to the md5 digest; no digest reaches the
     output) + the semantic pair chain under un-collided names."""
+    return _mm_keep_list_frame(spark, sf_dir)
+
+
+def _mm_keep_list_frame(
+    spark: SparkSession, sf_dir: str, val: "DataFrame | None" = None
+) -> DataFrame:
+    """mm_dedup_keep_list's body, with an optional PRECOMPUTED decode
+    verdict frame (doc_id, ok) — OPTIMIZATION_r15: compositions that
+    consume BOTH the keep-list and the admission verdict
+    (mm_corpus_manifest, and corpus_ship_card through it) were paying
+    the mm_decode_validate encode+decode kernel twice per query DAG
+    (Catalyst has no cross-branch subtree reuse); they now materialize
+    the ~4-column verdict once via localCheckpoint and pass it here.
+    Same rows either way — the oracle is unchanged."""
     from datafusion_loki_spark.operators.dedup import _cc_labels
 
     pairs = (
@@ -5582,7 +5596,9 @@ def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_id"))
     sem = mm_semantic_dedup(spark, sf_dir).select("doc_id", "is_sem_kept")
-    val = mm_decode_validate(spark, sf_dir).select("doc_id", "ok")
+    if val is None:
+        val = mm_decode_validate(spark, sf_dir)
+    val = val.select("doc_id", "ok")
     return (
         fp.join(keepers, "fingerprint")
         .join(cc, "doc_id", "left")
@@ -5708,12 +5724,21 @@ def mm_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: the keep-list pays its documented bounded cost
     once; the meta and admission joins are doc_id-keyed (payloads
     never move — only (doc_id, status/n_pixels) rows shuffle); the
-    rollup is a 3-row conditional aggregate with map-side partials."""
-    keep = mm_dedup_keep_list(spark, sf_dir)
+    rollup is a 3-row conditional aggregate with map-side partials.
+    OPTIMIZATION_r15: the admission verdict is materialized ONCE
+    (localCheckpoint of 3 narrow columns) and feeds both the keep-list's
+    ``undecodable`` gate and the kept_pixels sum — previously the
+    encode+decode validate kernel executed twice in this query's DAG."""
+    val_full = (
+        mm_decode_validate(spark, sf_dir)
+        .select("doc_id", "ok", "n_pixels")
+        .localCheckpoint(eager=True)
+    )
+    keep = _mm_keep_list_frame(spark, sf_dir, val=val_full)
     meta = media_table(spark, sf_dir).select(
         "doc_id", "media_type", "n_bytes"
     )
-    val = mm_decode_validate(spark, sf_dir).select("doc_id", "n_pixels")
+    val = val_full.select("doc_id", "n_pixels")
     kept = F.col("status") == "keep"
     return (
         keep.join(meta, "doc_id")

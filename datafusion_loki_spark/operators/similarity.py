@@ -1002,14 +1002,72 @@ _KM_BEST = f"array_min(transform(cents, c -> named_struct('d', {_KM_D2}, 'cid', 
 
 
 def _kmeans_assign(emb_d: DataFrame, cents_row: DataFrame) -> DataFrame:
-    """One Lloyd's assignment pass: (vec_id, e, cid, d2) via a pure
-    projection — the K-row centroid frame rides a 1-row broadcast, so
-    assignment costs zero shuffles regardless of corpus size."""
-    return (
-        emb_d.crossJoin(F.broadcast(cents_row))
-        .withColumn("best", F.expr(_KM_BEST))
-        .select("vec_id", "e", F.col("best.cid").alias("cid"),
-                F.col("best.d").alias("d2"))
+    """One Lloyd's assignment pass: (vec_id, e, cid, d2).
+
+    OPTIMIZATION_r15: the original crossJoin + ``array_min(transform(
+    cents, c -> aggregate(...)))`` projection priced at ~1 ms/row —
+    Catalyst evaluates higher-order-function lambdas INTERPRETED, per
+    element, so every row paid K×D (~512) boxed lambda steps (the
+    guide's §4.2 "do the heavy lifting in native code"; the verify
+    skill's ~2 µs/element pair-generation rule). The K-row codebook is
+    bounded (collect of ONE row of K structs — the same driver-side
+    bound the localCheckpoint rule already put on it), so it now ships
+    into an Arrow-batched kernel whose accumulation replays the fold
+    BIT-FOR-BIT: for each row the fold computed
+    ``s_{i+1} = s_i + (e[i]-c[i])*(e[i]-c[i])`` in ascending i with
+    double arithmetic; the kernel accumulates ``acc += diff*diff`` one
+    dimension at a time (ascending i, one IEEE-double add per step per
+    row — numpy does not fuse or reassociate), so every d2 double is
+    identical, and ``np.argmin``'s first-minimum rule over the
+    cid-sorted codebook is exactly array_min's lexicographic (d2, cid)
+    tie-break. Pinned by test_kmeans_assign_kernel_matches_fold.
+    Zero shuffles at any scale, as before; an EMPTY codebook yields
+    NULL cid/d2 rows, as array_min(transform([])) did."""
+
+    rows = cents_row.collect()  # 1 row of K centroid structs — bounded
+    cents = list(rows[0]["cents"]) if rows and rows[0]["cents"] else []
+    cid_arr = [int(c["cid"]) for c in cents]
+    vec_arr = [list(map(float, c["vec"])) for c in cents]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids = np.asarray(cid_arr, dtype=np.int64)
+        cvecs = np.asarray(vec_arr, dtype=np.float64)
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if cids.size == 0:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "e": pdf["e"],
+                        "cid": pd.array([None] * n, dtype="Int64"),
+                        "d2": pd.array([None] * n, dtype="Float64"),
+                    }
+                )
+                continue
+            E = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["e"]])
+            acc = np.zeros((n, cids.size), dtype=np.float64)
+            for i in range(E.shape[1]):
+                diff = E[:, i : i + 1] - cvecs[None, :, i][0]
+                acc += diff * diff
+            best = np.argmin(acc, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "e": pdf["e"],
+                    "cid": cids[best],
+                    "d2": acc[np.arange(n), best],
+                }
+            )
+
+    return emb_d.mapInPandas(
+        kernel, "vec_id long, e array<double>, cid long, d2 double"
     )
 
 

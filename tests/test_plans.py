@@ -415,20 +415,59 @@ def test_normed_embeddings_null_vector_fails_loudly(spark):
 
 
 def test_kmeans_assignment_is_broadcast_projection(spark, sf_dir):
-    # The final assignment must be ONE 1-row codebook broadcast
-    # (BroadcastNestedLoopJoin) over the corpus scan — never a cartesian
-    # or a fact-side shuffle. The training chain is materialized behind a
-    # localCheckpoint (Scan ExistingRDD), so the query plan itself carries
-    # zero hash exchanges AND the training DAG cannot be re-executed per
-    # consumer branch (locally ~8% slower than inlining the fit; at scale
-    # it deletes a full extra training pass per consumer — same trade as
-    # the CC edge list).
+    # The final assignment must stay a single zero-shuffle pass over the
+    # corpus scan — never a cartesian or a fact-side shuffle.
+    # OPTIMIZATION_r15: the 1-row-codebook broadcast projection
+    # (BroadcastNestedLoopJoin + interpreted array_min/aggregate lambdas,
+    # ~1 ms/row) became an Arrow-batched MapInPandas kernel with the
+    # codebook collected driver-side (bounded: ONE row of K structs) —
+    # so the plan now carries a MapInPandas node and NO join at all.
+    # Still zero hash exchanges at any scale.
     plan = _plan(spark, sf_dir, "emb_kmeans_assign")
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
-    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
     n = plan.count("Exchange hashpartitioning")
     assert n == 0, f"{n} hash exchanges\n{plan}"
+
+
+def test_kmeans_assign_kernel_matches_fold(spark, sf_dir):
+    # The r15 Arrow assignment kernel must replay the old interpreted
+    # fold BIT-FOR-BIT: ascending-dimension double accumulation and the
+    # lexicographic (d2, cid) tie-break. Compare kernel output against
+    # the original Catalyst expression on the real corpus with the real
+    # trained codebook — zero rows may differ in cid OR d2 (exact double
+    # equality via IS DISTINCT FROM).
+    from pyspark.sql import functions as F
+
+    from datafusion_loki_spark.catalog import load_table
+    from datafusion_loki_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(S._TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    assigned, cents = S._kmeans_fit(
+        emb_d, emb_d.where(F.expr(S._TRAIN_PRED_SPARK))
+    )
+    old = (
+        emb_d.crossJoin(F.broadcast(cents))
+        .withColumn("best", F.expr(S._KM_BEST))
+        .select(
+            "vec_id",
+            F.col("best.cid").alias("cid"),
+            F.col("best.d").alias("d2"),
+        )
+    )
+    new = assigned.select("vec_id", "cid", "d2")
+    diff = (
+        new.alias("n")
+        .join(old.alias("o"), "vec_id")
+        .where("n.cid IS DISTINCT FROM o.cid OR n.d2 IS DISTINCT FROM o.d2")
+        .count()
+    )
+    assert diff == 0
+    assert new.count() == emb_d.count()
 
 
 def test_kmeans_sample_fit_trains_on_sample_assigns_full(spark):
@@ -1347,7 +1386,11 @@ def test_mm_corpus_manifest_narrow_joins_small_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_corpus_manifest")
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
-    assert "MapInPandas" in plan, plan  # admission verdict is live
+    # admission verdict is live but MATERIALIZED ONCE (OPTIMIZATION_r15:
+    # the validate kernel previously executed twice in this DAG — once
+    # under the keep-list's undecodable gate, once for kept_pixels; it
+    # now enters as a localCheckpointed narrow frame consumed by both)
+    assert "Scan ExistingRDD[doc_id" in plan and "n_pixels" in plan, plan
     # the aggregate keys on media_type only (3 groups)
     assert "media_type" in plan, plan
 
@@ -1362,4 +1405,7 @@ def test_corpus_ship_card_union_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Union" in plan, plan
     assert "HashAggregate" in plan, plan
-    assert "MapInPandas" in plan, plan  # admission verdict is live
+    # admission verdict live but materialized once (see the manifest
+    # gate above — OPTIMIZATION_r15 single-execution of the validate
+    # kernel per DAG)
+    assert "Scan ExistingRDD[doc_id" in plan and "n_pixels" in plan, plan

@@ -399,6 +399,61 @@ def _symmetric_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.localCheckpoint(eager=True)
 
 
+# OPTIMIZATION_r15 change 7: below this many EDGES the connected-
+# components fixpoint runs driver-side (union-find over the collected
+# edge list — at 1M edges that is 16 MB of longs, the same bounded-
+# collect class as the BPE vocabulary gate). The distributed loop paid
+# graph-diameter × (join + agg + join + checkpoint + count) Spark jobs
+# to converge candidate-scale graphs whose edge lists are a few KB;
+# union-find labels every node with the MIN doc_id of its component,
+# which is exactly the fixpoint's answer — integers only, so equality
+# is structural, pinned by test_cc_local_matches_distributed. Above the
+# cap (a genuinely web-scale near-dup graph) the distributed loop runs
+# unchanged; the gate is one count() on the already-materialized edges.
+CC_LOCAL_EDGE_CAP = 1_000_000
+
+
+def _cc_local_cap(spark: SparkSession) -> int:
+    """`spark_graft.cc.local_labels.max_edges` (0 disables the local
+    path — the distributed-loop kill switch)."""
+    return int(
+        spark.conf.get(
+            "spark_graft.cc.local_labels.max_edges",
+            str(CC_LOCAL_EDGE_CAP),
+        )
+    )
+
+
+def _cc_labels_local(spark: SparkSession, edges) -> DataFrame:
+    """Union-find over the collected symmetric edge list; each node is
+    labeled with the minimum doc_id of its connected component — the
+    identical fixpoint the distributed min-label propagation reaches."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges:
+        a, b = r["src"], r["dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final root IS the component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
+
 def _cc_labels(sym: DataFrame) -> DataFrame:
     """Min-label-propagation fixpoint over a materialized symmetric edge
     list; returns (doc_id, cluster_id).
@@ -406,7 +461,16 @@ def _cc_labels(sym: DataFrame) -> DataFrame:
     Each round is ONE distributed join+agg+join; the old label rides along
     into the per-round checkpoint so the convergence check is a bare scan
     of the just-materialized frame — not an extra shuffle join against the
-    previous labels (which would add a fourth exchange per round)."""
+    previous labels (which would add a fourth exchange per round).
+
+    Scale gate (OPTIMIZATION_r15 change 7): a candidate-scale edge list
+    under the configured cap collects once and labels driver-side via
+    union-find — bit-identical output, none of the per-round jobs; the
+    distributed loop below is the web-scale path."""
+    spark = sym.sparkSession
+    cap = _cc_local_cap(spark)
+    if cap > 0 and sym.count() <= cap:
+        return _cc_labels_local(spark, sym.collect())
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     while True:

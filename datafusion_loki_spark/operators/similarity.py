@@ -1692,6 +1692,17 @@ def _pq_sub(col: str, s: int) -> str:
     return f"slice({col}, {s * PQ_SUB + 1}, {PQ_SUB})"
 
 
+def _seq_dot(a, b) -> float:
+    """Ascending-index left-associated dot product — the exact IEEE
+    fold `aggregate(sequence(...), 0.0d, (acc, i) -> acc + a[i]*b[i])`
+    computes, replayed with Python doubles (one add per step, no
+    reassociation)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., PAMI 2011 — public): train
     an independent k-means codebook per 16-dim subspace, encode every
@@ -1745,20 +1756,63 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     ).select("vec_id", F.col("x.s").alias("s"), F.col("x.es").alias("es"))
 
-    _sub_d2 = (
-        "aggregate(sequence(0, size(es) - 1), 0.0d,"
-        " (acc, i) -> acc + (es[i] - c.vec[i]) * (es[i] - c.vec[i]))"
-    )
-    _sub_best = (
-        f"array_min(transform(cents, c -> named_struct('d', {_sub_d2},"
-        f" 'cid', c.cid)))"
-    )
-
     def _pq_assign(frame: DataFrame, cents_row: DataFrame) -> DataFrame:
-        return (
-            frame.join(F.broadcast(cents_row), "s")
-            .withColumn("best", F.expr(_sub_best))
-            .select("vec_id", "s", "es", F.col("best.cid").alias("cid"))
+        # OPTIMIZATION_r15 change 6: the former broadcast join +
+        # interpreted `array_min(transform(cents, c -> aggregate(...)))`
+        # paid K×PQ_SUB boxed lambda steps per subvector row — the
+        # change-4 pattern applies verbatim: the per-subspace codebook
+        # is bounded (PQ_M rows of K structs), so collect it and replay
+        # the fold in an Arrow kernel — ascending-dimension
+        # `acc += diff*diff` (one IEEE add per step, numpy neither
+        # fuses nor reassociates a scalar-per-column loop) and
+        # np.argmin's first-minimum over the cid-sorted codebook is
+        # exactly array_min's lexicographic (d2, cid) tie-break.
+        books = {
+            int(r["s"]): (
+                [int(c["cid"]) for c in r["cents"]],
+                [[float(x) for x in c["vec"]] for c in r["cents"]],
+            )
+            for r in cents_row.collect()
+        }
+
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            nb = {
+                s: (np.asarray(cids, dtype=np.int64),
+                    np.asarray(vecs, dtype=np.float64))
+                for s, (cids, vecs) in books.items()
+            }
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out_cid = np.empty(len(pdf), dtype=np.int64)
+                svals = pdf["s"].to_numpy()
+                E = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["es"]]
+                )
+                for s, (cids, cvecs) in nb.items():
+                    mask = svals == s
+                    if not mask.any():
+                        continue
+                    Es = E[mask]
+                    acc = np.zeros((Es.shape[0], cids.size))
+                    for i in range(Es.shape[1]):
+                        diff = Es[:, i : i + 1] - cvecs[None, :, i][0]
+                        acc += diff * diff
+                    out_cid[mask] = cids[np.argmin(acc, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "s": pdf["s"],
+                        "es": pdf["es"],
+                        "cid": out_cid,
+                    }
+                )
+
+        return frame.mapInPandas(
+            kernel, "vec_id long, s int, es array<double>, cid long"
         )
 
     seeds = sub.where(F.col("vec_id") < KMEANS_K).select(
@@ -1793,75 +1847,125 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # consumers below; a trailing sample reassignment would be a
             # dead (never-consumed) plan
             assigned = _pq_assign(sub_train, cents_row)
-    # materialize the PQ_M-row codebook table eagerly — "train once,
-    # persist the codebook" is the production contract, and it stops the
-    # two consumers below (encode + LUT build) re-executing the fit
-    cents_row = cents_row.localCheckpoint()
-    # collapse to ONE row (k0..k{PQ_M-1}) so each consumer pays a single
-    # broadcast join for the whole codebook table
-    kbook = cents_row.groupBy().agg(
-        *[
-            F.expr(f"max(case when s = {s} then cents end)").alias(f"k{s}")
-            for s in range(PQ_M)
+    # "train once, persist the codebook": the trained PQ_M-row codebook
+    # is bounded (PQ_M × K structs — the change-4 driver-side class);
+    # collect it ONCE (this also replaces the former localCheckpoint —
+    # one job either way) and build the PQ paper's per-query ADC lookup
+    # tables driver-side: lut[q][s][j] = Σ_i q_s[i]·codebook_s[j][i],
+    # accumulated in ascending i with plain Python doubles — the exact
+    # left-to-right fold the former interpreted _qdot computed.
+    tbooks = {
+        int(r["s"]): (
+            [int(c["cid"]) for c in r["cents"]],
+            [[float(x) for x in c["vec"]] for c in r["cents"]],
+        )
+        for r in cents_row.collect()
+    }
+    # the query set is N_QUERIES rows — the bounded collect class every
+    # index query path already uses (query_ivf_index's probed-cell set)
+    q_rows = sorted(
+        (
+            (int(r["vec_id"]), [float(x) for x in r["e"]])
+            for r in emb_d.where(F.col("vec_id") < N_QUERIES).collect()
+        ),
+    )
+    luts = []  # [(query_id, [per-s list of lut values in codebook order])]
+    for qid, qe in q_rows:
+        per_s = []
+        for s in range(PQ_M):
+            _cids, vecs = tbooks[s]
+            qs = qe[s * PQ_SUB : (s + 1) * PQ_SUB]
+            per_s.append(
+                [
+                    _seq_dot(qs, v)
+                    for v in vecs
+                ]
+            )
+        luts.append((qid, per_s))
+
+    # OPTIMIZATION_r15 change 6: encode + ADC scoring fused into ONE
+    # Arrow kernel over the corpus scan — the former plan paid the
+    # interpreted per-element argmin folds on the encode projection AND
+    # PQ_M interpreted map probes per (vector, query) pair, all before
+    # the first exchange (single-task on a one-row-group scan). The
+    # kernel replays bit-for-bit: x_nrm and every d2 accumulate one
+    # dimension at a time (ascending, one IEEE add per step), argmin
+    # first-minimum over the cid-sorted codebook = array_min's (d2,
+    # cid) tie-break, and the ADC sum adds the PQ_M lut terms left to
+    # right before the one divide. Self-pairs are dropped in the
+    # kernel, exactly where the filter sat. Plan: MapInPandas →
+    # exchange of (queries × corpus) NARROW rows → WindowGroupLimit —
+    # the broadcast topology is unchanged at any scale (the codebook
+    # and query set ride the closure; payload bytes never shuffle).
+    def score_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        nb = {
+            s: (np.asarray(cids, dtype=np.int64),
+                np.asarray(vecs, dtype=np.float64))
+            for s, (cids, vecs) in tbooks.items()
+        }
+        nluts = [
+            (qid, [np.asarray(per_s[s], dtype=np.float64)
+                   for s in range(PQ_M)])
+            for qid, per_s in luts
         ]
-    )
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            E = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["e"]])
+            acc = np.zeros(n)
+            for i in range(E.shape[1]):
+                acc += E[:, i] * E[:, i]
+            x_nrm = np.sqrt(acc)
+            codes, bests = [], []
+            for s in range(PQ_M):
+                cids, cvecs = nb[s]
+                Es = E[:, s * PQ_SUB : (s + 1) * PQ_SUB]
+                d2 = np.zeros((n, cids.size))
+                for i in range(PQ_SUB):
+                    diff = Es[:, i : i + 1] - cvecs[None, :, i][0]
+                    d2 += diff * diff
+                best = np.argmin(d2, axis=1)
+                bests.append(best)
+                codes.append(cids[best])
+            frames = []
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for qid, lut_s in nluts:
+                    mask = ids != qid
+                    if not mask.any():
+                        continue
+                    sc = lut_s[0][bests[0]].copy()
+                    for s in range(1, PQ_M):
+                        sc += lut_s[s][bests[s]]
+                    sc = sc / x_nrm
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    int(mask.sum()), qid, dtype=np.int64
+                                ),
+                                "vec_id": ids[mask],
+                                **{
+                                    f"c{s}": codes[s][mask]
+                                    for s in range(PQ_M)
+                                },
+                                "adc_score": sc[mask],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-    def _d2(a: str) -> str:
-        return (
-            f"aggregate(sequence(0, size({a}) - 1), 0.0d,"
-            f" (acc, i) -> acc + ({a}[i] - c.vec[i]) * ({a}[i] - c.vec[i]))"
-        )
-
-    # encode: ONE corpus projection computing all PQ_M argmin codes plus
-    # the TRUE row norm (a scalar — stored beside the 4-byte code in a
-    # real deployment, it's what lets IP-ADC serve cosine)
-    enc = emb_d.crossJoin(F.broadcast(kbook)).select(
-        "vec_id",
-        F.expr(_NRM_E_SPARK.format(a="e")).alias("x_nrm"),
-        *[
-            F.expr(
-                f"array_min(transform(k{s}, c -> named_struct("
-                f"'d', {_d2(_pq_sub('e', s))}, 'cid', c.cid))).cid"
-            ).alias(f"c{s}")
-            for s in range(PQ_M)
-        ],
-    )
-
-    def _qdot(s: int) -> str:
-        qs = _pq_sub("qe", s)
-        return (
-            f"aggregate(sequence(0, size({qs}) - 1), 0.0d,"
-            f" (acc, i) -> acc + {qs}[i] * c.vec[i])"
-        )
-
-    # per-query ADC lookup tables: cid → q_s·codebook_s[cid] — the
-    # K×PQ_M partial-product table of the PQ paper, built once per query
-    # (N_QUERIES rows); the per-pair hot path is then PQ_M map probes,
-    # PQ_M−1 adds, and one divide instead of PQ_M 16-dim folds (~16×
-    # less arithmetic on the corpus×queries stage, identical doubles)
-    qf = emb_d.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    qf = qf.crossJoin(F.broadcast(kbook)).select(
-        "query_id",
-        *[
-            F.expr(
-                f"map_from_arrays(transform(k{s}, c -> c.cid),"
-                f" transform(k{s}, c -> {_qdot(s)}))"
-            ).alias(f"lut{s}")
-            for s in range(PQ_M)
-        ],
-    )
-
-    adc = (
-        "("
-        + " + ".join(f"element_at(lut{s}, c{s})" for s in range(PQ_M))
-        + ") / x_nrm"
-    )
-    scored = (
-        enc.crossJoin(F.broadcast(qf))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .withColumn("adc_score", F.expr(adc))
+    scored = emb_d.mapInPandas(
+        score_kernel,
+        "query_id long, vec_id long, "
+        + ", ".join(f"c{s} long" for s in range(PQ_M))
+        + ", adc_score double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("vec_id")

@@ -1421,6 +1421,134 @@ _BPE_AFFECTED_PRED = (
     " concat(' ', c.s1, ' ', c.s2, ' ')))"
 )
 
+# OPTIMIZATION_r15 change 5: below this many DISTINCT WORDS the induction
+# loop runs driver-side (the fastBPE / Sennrich architecture — after the
+# one corpus-scale tokenize the training state is the word-frequency
+# table, vocabulary-scale by Heaps' law, and every production BPE trainer
+# holds it in memory). The driver corpus has 31 distinct words, yet the
+# distributed loop paid ~13 rounds x ~5 Spark jobs of pure fixed overhead
+# (~17 s) to fold them; the local loop replays the identical algorithm on
+# the collected table — integers and strings only, so equality with the
+# distributed loop (and the DuckDB recount oracle) is exact, not
+# approximate. Above the cap (a genuinely web-scale vocabulary) the
+# delta-maintained distributed loop below runs unchanged; the gate is one
+# count() on the already-materialized vocab checkpoint.
+BPE_LOCAL_VOCAB_CAP = 200_000
+
+
+def _bpe_local_cap(spark: SparkSession) -> int:
+    """`spark_graft.bpe.local_train.max_vocab` (0 disables the local
+    path outright — the distributed-loop kill switch for tests and for
+    deployments with tighter driver memory)."""
+    return int(
+        spark.conf.get(
+            "spark_graft.bpe.local_train.max_vocab",
+            str(BPE_LOCAL_VOCAB_CAP),
+        )
+    )
+
+
+def _bpe_apply_fold_local(s: str, m: dict) -> str:
+    """Driver-side replay of _BPE_APPLY_FOLD, token for token: the same
+    leftmost-first single pass (adjacent repeats fuse leftmost-first —
+    the banana rule), the same endswith space-guard, the same trim."""
+    acc = ""
+    for x in s.strip(" ").split(" "):
+        r = m.get(x)
+        if r is not None and acc.endswith(" " + r):
+            acc += x
+        else:
+            acc += " " + x
+    return acc.strip(" ")
+
+
+def _bpe_train_local(
+    spark: SparkSession, rows, n_rounds: int
+) -> "tuple[list[DataFrame], DataFrame]":
+    """The induction loop on the COLLECTED (w, s, freq) table — the
+    fastBPE in-memory structure: exact integer pair counts plus a
+    pair -> {words} inverted index, so each round touches only the
+    batch-affected words (the same delta contract as the distributed
+    loop, without the per-round Spark jobs). Every comparison the
+    distributed loop delegates to Spark is replayed with the identical
+    total order: Python str comparison is code-point order, which is
+    exactly UTF8String's binary order, and all counts are integers —
+    bit-for-bit equality is structural, pinned by
+    tests/test_bpe_scale.py::test_bpe_local_matches_distributed."""
+    import heapq
+    from collections import defaultdict
+
+    state = {}  # w -> [s, freq]
+    counts: dict = defaultdict(int)  # (s1, s2) -> occurrences x freq
+    index: dict = defaultdict(set)  # (s1, s2) -> {w containing adjacency}
+    for r in rows:
+        w, s, freq = r["w"], r["s"], int(r["freq"])
+        state[w] = [s if s is not None else "", freq]
+    for w, (s, freq) in state.items():
+        toks = s.strip(" ").split(" ")
+        for i in range(1, len(toks)):
+            p = (toks[i - 1], toks[i])
+            counts[p] += freq
+            index[p].add(w)
+
+    batches_local = []  # [(sel list of (s1, s2, count), m dict)]
+    for _ in range(n_rounds):
+        cands = heapq.nsmallest(
+            BPE_CAND,
+            counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )
+        sel, used = [], set()
+        for (s1, s2), c in cands:
+            if (
+                len(sel) < BPE_BATCH
+                and s1 not in used
+                and s2 not in used
+                and (s1 + s2) not in used
+            ):
+                sel.append((s1, s2, c))
+                used.update((s1, s2, s1 + s2))
+        m = {s2: s1 for s1, s2, _c in sel}
+        batches_local.append((sel, m))
+        if not sel:
+            break  # pairs exhausted — same early stop, same trailing
+            # empty batch in the return list
+        affected = set()
+        for s1, s2, _c in sel:
+            affected |= index.get((s1, s2), set())
+        for w in affected:
+            s_old, freq = state[w]
+            s_new = _bpe_apply_fold_local(s_old, m)
+            for s_val, sign in ((s_old, -freq), (s_new, freq)):
+                toks = s_val.strip(" ").split(" ")
+                pairs_here = set()
+                for i in range(1, len(toks)):
+                    p = (toks[i - 1], toks[i])
+                    counts[p] += sign
+                    if counts[p] == 0:
+                        del counts[p]
+                    pairs_here.add(p)
+                for p in pairs_here:
+                    if sign < 0:
+                        index[p].discard(w)
+                    else:
+                        index[p].add(w)
+            state[w][0] = s_new
+
+    b_schema = (
+        "batch array<struct<s1:string,s2:string,pair_count:bigint>>,"
+        " m map<string,string>"
+    )
+    batches = [
+        spark.createDataFrame([(sel, m)], b_schema)
+        for sel, m in batches_local
+    ]
+    vocab = spark.createDataFrame(
+        [(w, s, freq) for w, (s, freq) in state.items()],
+        "w string, s string, freq bigint",
+    )
+    return batches, vocab
+
 
 def _bpe_train(
     spark: SparkSession,
@@ -1472,6 +1600,17 @@ def _bpe_train(
     pre = _persistent_rdd_ids(spark)
     cur = vocab.localCheckpoint(eager=True)
     cur_ids = _persistent_rdd_ids(spark) - pre
+    n_rounds = BPE_ITERS if iters is None else iters
+    cap = _bpe_local_cap(spark)
+    # scale gate (OPTIMIZATION_r15 change 5): a bounded vocabulary
+    # trains driver-side — one collect of the already-materialized
+    # word table instead of ~5 Spark jobs per round; the distributed
+    # delta-maintained loop below is the web-scale path and runs
+    # whenever the vocabulary is genuinely unbounded
+    if cap > 0 and cur.count() <= cap:
+        rows = cur.collect()
+        _free_checkpoints(spark, cur_ids)
+        return _bpe_train_local(spark, rows, n_rounds)
 
     def _pair_counts(frame, s_col: str, sign: int):
         return (
@@ -1496,7 +1635,7 @@ def _bpe_train(
     counts = _pair_counts(cur, "s", 1).localCheckpoint(eager=True)
     counts_ids = _persistent_rdd_ids(spark) - pre
     batches = []
-    for _ in range(BPE_ITERS if iters is None else iters):
+    for _ in range(n_rounds):
         cands = counts.orderBy(
             F.desc("pair_count"), F.asc("s1"), F.asc("s2")
         ).limit(BPE_CAND)
@@ -1788,8 +1927,18 @@ def text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("w").isNotNull())
     )
+    # join strategy UNPINNED (OPTIMIZATION_r15 change 5b): the vocab
+    # side is the STAGED artifact read back from parquet — a plain
+    # FileScan with real size stats, so Catalyst's choice is
+    # trustworthy (the _subtract_tombstones rule): at test scale it
+    # broadcasts the artifact (no token-scale sort), at 100 TB the
+    # artifact outgrows the threshold and the join degrades to SMJ on
+    # its own. The former merge pin guarded against broadcasting the
+    # stat-less CORPUS side, which the stats-backed artifact side
+    # already precludes (gate: test_tokenize_bpe_vocab_join_never_
+    # broadcasts_corpus pins build-side-artifact).
     return (
-        toks.join(seg.hint("merge"), "w")
+        toks.join(seg, "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_ws_tokens"),

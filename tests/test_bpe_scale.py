@@ -140,6 +140,31 @@ def test_bpe_production_budget_consumes_4096_merges(spark, wide_alpha_dir):
     assert ok, msg
 
 
+def test_bpe_local_matches_distributed(spark, crafted_dir):
+    # OPTIMIZATION_r15 change 5: the scale gate sends bounded
+    # vocabularies through the driver-side loop; this pins the two
+    # paths bit-identical (merge batches, maps, final vocab) on the
+    # crafted Zipf-ish corpus — and keeps the DISTRIBUTED loop
+    # exercised now that every test-scale corpus takes the local path
+    def snap(batches, vocab):
+        bs = [
+            tuple(map(tuple, b.select("batch").first()["batch"]))
+            for b in batches
+        ]
+        ms = [sorted(b.select("m").first()["m"].items()) for b in batches]
+        return bs, ms, sorted(map(tuple, vocab.collect()))
+
+    b_loc, v_loc = _bpe_train(spark, crafted_dir, iters=6)
+    local = snap(b_loc, v_loc)
+    spark.conf.set("spark_graft.bpe.local_train.max_vocab", "0")
+    try:
+        b_dist, v_dist = _bpe_train(spark, crafted_dir, iters=6)
+        dist = snap(b_dist, v_dist)
+    finally:
+        spark.conf.unset("spark_graft.bpe.local_train.max_vocab")
+    assert local == dist
+
+
 def test_bpe_early_stop_is_exact(spark, crafted_dir):
     # a tiny 2-word corpus exhausts in a handful of rounds; the loop must
     # BREAK (fewer batch frames than the budget) and still match a

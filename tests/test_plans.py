@@ -761,6 +761,23 @@ def test_cc_groups_labels_are_consistent(spark, sf_dir):
         assert lbl == min(members)
 
 
+def test_cc_local_matches_distributed(spark, sf_dir):
+    # OPTIMIZATION_r15 change 7: the scale gate sends candidate-scale
+    # edge lists through driver-side union-find; this pins the two paths
+    # bit-identical on the real LSH graph — and keeps the DISTRIBUTED
+    # fixpoint loop exercised now that every test-scale graph takes the
+    # local path
+    from datafusion_loki_spark.operators.dedup import dedup_cc_groups
+
+    local = sorted(map(tuple, dedup_cc_groups(spark, sf_dir).collect()))
+    spark.conf.set("spark_graft.cc.local_labels.max_edges", "0")
+    try:
+        dist = sorted(map(tuple, dedup_cc_groups(spark, sf_dir).collect()))
+    finally:
+        spark.conf.unset("spark_graft.cc.local_labels.max_edges")
+    assert local and local == dist
+
+
 def test_value_histogram_single_shuffle(spark, sf_dir):
     # Bucketing is a codegen'd projection; the only exchange is the one
     # map-side-combined agg on the bounded (type × bucket) key.
@@ -999,12 +1016,30 @@ def test_scrub_pii_pure_projection(spark, sf_dir):
 
 
 def test_bpe_vocab_iterates_at_vocab_scale(spark, sf_dir):
-    # the full induction loop: every iteration's vocab state is a
-    # checkpointed RDD (Scan ExistingRDD), the corpus is NEVER re-read
-    # (zero FileScans — the one tokenize happened at the first
-    # checkpoint), and each argmax rides a broadcast into the rewrite
-    # (no sort-merge/shuffle join of the 1-row frame)
+    # the merge table face never re-reads the corpus (zero FileScans —
+    # the one tokenize happened inside the training gate) and never
+    # joins wide: at test scale the batches are driver-trained local
+    # relations (OPTIMIZATION_r15 change 5 — LocalTableScan), above the
+    # vocab cap they are checkpointed RDDs (Scan ExistingRDD)
     plan = _plan(spark, sf_dir, "text_bpe_vocab")
+    n_scans = plan.count("Scan parquet") or plan.count("FileScan")
+    assert n_scans == 0, plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_vocab_distributed_path_iterates_at_vocab_scale(spark, sf_dir):
+    # the web-scale (above-cap) loop keeps its round-14 shape: vocab
+    # state is checkpointed RDDs, zero corpus re-reads, argmax rides a
+    # broadcast — pinned with the local gate disabled so the
+    # distributed path stays plan-tested now that every test corpus
+    # trains driver-side
+    spark.conf.set("spark_graft.bpe.local_train.max_vocab", "0")
+    try:
+        plan = _plan(spark, sf_dir, "text_bpe_vocab")
+    finally:
+        spark.conf.unset("spark_graft.bpe.local_train.max_vocab")
     n_scans = plan.count("Scan parquet") or plan.count("FileScan")
     assert n_scans == 0, plan
     assert "Scan ExistingRDD" in plan, plan
@@ -1014,15 +1049,19 @@ def test_bpe_vocab_iterates_at_vocab_scale(spark, sf_dir):
 
 def test_tokenize_bpe_vocab_join_never_broadcasts_corpus(spark, sf_dir):
     # the apply is ONE corpus tokenize joined to the vocab segmentation
-    # on the word key, merge-pinned (the corpus side sits under a
-    # stat-less explode — the family broadcast trap); since round 13 the
-    # vocab side is the STAGED artifact read back from parquet (the
-    # oracle-decoupling contract: both engines consume the identical
-    # file), so the apply plan reads exactly TWO parquet sources —
-    # corpus + artifact — and nothing else
+    # on the word key. Since round 13 the vocab side is the STAGED
+    # artifact read back from parquet (the oracle-decoupling contract),
+    # a plain FileScan with real size stats — so the join strategy is
+    # UNPINNED (OPTIMIZATION_r15 change 5b, the _subtract_tombstones
+    # stats-are-trustworthy rule): at test scale Catalyst broadcasts
+    # the ARTIFACT side (BuildRight — never the stat-less exploded
+    # corpus), at 100 TB the artifact outgrows the threshold and the
+    # plan degrades to SMJ. Two parquet sources either way.
     plan = _plan(spark, sf_dir, "text_tokenize_bpe")
-    assert "SortMergeJoin" in plan, plan
-    assert "BroadcastHashJoin" not in plan, plan
+    if "BroadcastHashJoin" in plan:
+        assert "BuildRight" in plan, plan  # broadcast side = artifact
+    else:
+        assert "SortMergeJoin" in plan, plan
     n_scans = plan.count("Scan parquet") or plan.count("FileScan")
     assert n_scans == 2, plan  # corpus read + staged-vocab artifact read
 

@@ -548,15 +548,27 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     own (materialized-once, bucket-capped) DAG once and joins back at
     candidate scale; the final joins are on doc_id / fingerprint —
     uniform keys."""
+    from datafusion_loki_spark.functions.overlap import (
+        materialize_concurrently,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select("doc_id", F.expr(f"md5({_NORM_SPARK})").alias("fingerprint"))
     keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_id"))
-    cc = dedup_cc_groups(spark, sf_dir).withColumnRenamed("cluster_id", "cc_label")
+    # the CC chain (LSH edge checkpoint + labels) and the winnowing
+    # channel (its own materialized gram DAG) are independent eager
+    # sub-DAGs — overlap their jobs (guide §2.6) instead of running the
+    # second only after the first's straggler tail drains
+    cc_labels, winnow_pairs = materialize_concurrently(
+        spark,
+        lambda: dedup_cc_groups(spark, sf_dir),
+        lambda: dedup_winnowing(spark, sf_dir),
+    )
+    cc = cc_labels.withColumnRenamed("cluster_id", "cc_label")
     # pairs emit doc_a < doc_b, so "appears as doc_b" == "has a
     # smaller-id winnow partner" — the mm_semantic_dedup verdict rule
     wn = (
-        dedup_winnowing(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
+        winnow_pairs.select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_winnow_dup", F.lit(True))
     )

@@ -5439,15 +5439,27 @@ def mm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns per item; payload bytes never move."""
     from datafusion_loki_spark.operators.dedup import (
         _semantic_index_members,
-        _semantic_pairs,
     )
+
+    return _mm_semantic_verdict(
+        spark, sf_dir, _semantic_index_members(spark, sf_dir)
+    )
+
+
+def _mm_semantic_verdict(
+    spark: SparkSession, sf_dir: str, members: DataFrame
+) -> DataFrame:
+    """mm_semantic_dedup's body over an ALREADY-BUILT member table —
+    split out so _mm_keep_list_frame can build the persisted index
+    concurrently with its other eager sub-DAGs (guide §2.6) and pass
+    the members in. Same frames either way."""
+    from datafusion_loki_spark.operators.dedup import _semantic_pairs
 
     media = (
         media_table(spark, sf_dir)
         .where(F.col("payload").isNotNull())
         .select("doc_id", "media_type")
     )
-    members = _semantic_index_members(spark, sf_dir)
     linked = media.join(
         members.select(F.col("vec_id").alias("doc_id")).hint("merge"),
         "doc_id",
@@ -5560,7 +5572,10 @@ def mm_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_keep_list_frame(
-    spark: SparkSession, sf_dir: str, val: "DataFrame | None" = None
+    spark: SparkSession,
+    sf_dir: str,
+    val: "DataFrame | None" = None,
+    val_builder=None,
 ) -> DataFrame:
     """mm_dedup_keep_list's body, with an optional PRECOMPUTED decode
     verdict frame (doc_id, ok) — OPTIMIZATION_r15: compositions that
@@ -5568,15 +5583,37 @@ def _mm_keep_list_frame(
     (mm_corpus_manifest, and corpus_ship_card through it) were paying
     the mm_decode_validate encode+decode kernel twice per query DAG
     (Catalyst has no cross-branch subtree reuse); they now materialize
-    the ~4-column verdict once via localCheckpoint and pass it here.
-    Same rows either way — the oracle is unchanged."""
-    from datafusion_loki_spark.operators.dedup import _cc_labels
+    the ~4-column verdict once via localCheckpoint and pass it here
+    (``val``) — or, better, pass a ``val_builder`` thunk so that
+    materialization OVERLAPS the other two eager sub-DAGs below
+    (guide §2.6). Same rows any way.
 
-    pairs = (
-        mm_phash_neardup(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+    OPTIMIZATION_r15 change 8: the three eager, mutually independent
+    sub-materializations — the phash pair checkpoint, the semantic
+    index build, and the caller's verdict checkpoint — used to run
+    strictly sequentially, each leaving the cluster idle behind its
+    straggler tail; they now run from a driver thread pool."""
+    from datafusion_loki_spark.functions.overlap import (
+        materialize_concurrently,
     )
+    from datafusion_loki_spark.operators.dedup import (
+        _cc_labels,
+        _semantic_index_members,
+    )
+
+    built = materialize_concurrently(
+        spark,
+        lambda: (
+            mm_phash_neardup(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        ),
+        lambda: _semantic_index_members(spark, sf_dir),
+        *((val_builder,) if val_builder is not None else ()),
+    )
+    pairs, members = built[0], built[1]
+    if val_builder is not None:
+        val = built[2]
     sym = pairs.select(
         F.explode(
             F.expr(
@@ -5595,7 +5632,9 @@ def _mm_keep_list_frame(
         "doc_id", F.md5("payload").alias("fingerprint")
     )
     keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_id"))
-    sem = mm_semantic_dedup(spark, sf_dir).select("doc_id", "is_sem_kept")
+    sem = _mm_semantic_verdict(spark, sf_dir, members).select(
+        "doc_id", "is_sem_kept"
+    )
     if val is None:
         val = mm_decode_validate(spark, sf_dir)
     val = val.select("doc_id", "ok")
@@ -5729,12 +5768,22 @@ def mm_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint of 3 narrow columns) and feeds both the keep-list's
     ``undecodable`` gate and the kept_pixels sum — previously the
     encode+decode validate kernel executed twice in this query's DAG."""
-    val_full = (
-        mm_decode_validate(spark, sf_dir)
-        .select("doc_id", "ok", "n_pixels")
-        .localCheckpoint(eager=True)
-    )
-    keep = _mm_keep_list_frame(spark, sf_dir, val=val_full)
+    built_val: list = []
+
+    def _val_builder() -> DataFrame:
+        v = (
+            mm_decode_validate(spark, sf_dir)
+            .select("doc_id", "ok", "n_pixels")
+            .localCheckpoint(eager=True)
+        )
+        built_val.append(v)
+        return v
+
+    # the verdict checkpoint rides the keep-frame's concurrent batch
+    # (change 8) — the builder parks the materialized frame here so the
+    # kept_pixels sum below reads the SAME checkpoint
+    keep = _mm_keep_list_frame(spark, sf_dir, val_builder=_val_builder)
+    val_full = built_val[0]
     meta = media_table(spark, sf_dir).select(
         "doc_id", "media_type", "n_bytes"
     )
@@ -5835,77 +5884,95 @@ def corpus_ship_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     new join is doc_id-keyed with a candidate-scale right side, both
     rollup keys are vocabulary-bounded (sources × modalities), and the
     final union is O(rows-of-two-tiny-aggregates)."""
+    from datafusion_loki_spark.functions.overlap import (
+        materialize_concurrently,
+    )
     from datafusion_loki_spark.operators.dedup import dedup_keep_list
     from datafusion_loki_spark.operators.text import (
         text_quality_classifier,
         text_quality_filter,
     )
 
-    # --- text half: the corpus_build_manifest gates over the FULL
-    # documents universe (the manifest reports kept-only rows; a ship
-    # card must also show what was dropped, so the gates left-join onto
-    # every document)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.expr("octet_length(text)").alias("n_bytes"),
-    )
-    kept_docs = (
-        text_quality_filter(spark, sf_dir)
-        .select("doc_id", "n_tokens")
-        .join(
-            text_quality_classifier(spark, sf_dir)
-            .where(F.col("pred_hq") == 1)
-            .select("doc_id"),
+    def _text_half() -> DataFrame:
+        # the corpus_build_manifest gates over the FULL documents
+        # universe (the manifest reports kept-only rows; a ship card
+        # must also show what was dropped, so the gates left-join onto
+        # every document)
+        docs = load_table(spark, sf_dir, "documents").select(
             "doc_id",
-        )
-        .join(
-            dedup_keep_list(spark, sf_dir)
-            .where(F.col("status") == "keep")
-            .select("doc_id"),
-            "doc_id",
-        )
-        .withColumn("is_kept", F.lit(1))
-    )
-    is_kept = F.col("is_kept").isNotNull()
-    text_half = (
-        docs.join(kept_docs, "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.sum(is_kept.cast("long")).alias("n_kept"),
-            F.sum(
-                F.when(is_kept, F.col("n_bytes").cast("long")).otherwise(0)
-            ).alias("kept_bytes"),
-            F.sum(
-                F.when(is_kept, F.col("n_tokens").cast("long")).otherwise(0)
-            ).alias("kept_units"),
-        )
-        .select(
-            F.lit("text").alias("modality"),
             "source",
+            F.expr("octet_length(text)").alias("n_bytes"),
+        )
+        kept_docs = (
+            text_quality_filter(spark, sf_dir)
+            .select("doc_id", "n_tokens")
+            .join(
+                text_quality_classifier(spark, sf_dir)
+                .where(F.col("pred_hq") == 1)
+                .select("doc_id"),
+                "doc_id",
+            )
+            .join(
+                dedup_keep_list(spark, sf_dir)
+                .where(F.col("status") == "keep")
+                .select("doc_id"),
+                "doc_id",
+            )
+            .withColumn("is_kept", F.lit(1))
+        )
+        is_kept = F.col("is_kept").isNotNull()
+        return (
+            docs.join(kept_docs, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(is_kept.cast("long")).alias("n_kept"),
+                F.sum(
+                    F.when(is_kept, F.col("n_bytes").cast("long")).otherwise(
+                        0
+                    )
+                ).alias("kept_bytes"),
+                F.sum(
+                    F.when(
+                        is_kept, F.col("n_tokens").cast("long")
+                    ).otherwise(0)
+                ).alias("kept_units"),
+            )
+            .select(
+                F.lit("text").alias("modality"),
+                "source",
+                "n_items",
+                "n_kept",
+                "kept_bytes",
+                "kept_units",
+                F.lit("tokens").alias("units"),
+                (F.col("n_kept").cast("double") / F.col("n_items")).alias(
+                    "kept_fraction"
+                ),
+            )
+        )
+
+    def _media_half() -> DataFrame:
+        # mm_corpus_manifest's rows re-labeled into the card's schema
+        # (media_type IS the modality; the synthetic corpus has a
+        # single media source)
+        return mm_corpus_manifest(spark, sf_dir).select(
+            F.col("media_type").alias("modality"),
+            F.lit("media").alias("source"),
             "n_items",
             "n_kept",
             "kept_bytes",
-            "kept_units",
-            F.lit("tokens").alias("units"),
-            (F.col("n_kept").cast("double") / F.col("n_items")).alias(
-                "kept_fraction"
-            ),
+            F.col("kept_pixels").alias("kept_units"),
+            F.lit("pixels").alias("units"),
+            "kept_fraction",
         )
-    )
-    # --- media half: mm_corpus_manifest's rows re-labeled into the
-    # card's schema (media_type IS the modality; the synthetic corpus
-    # has a single media source)
-    media_half = mm_corpus_manifest(spark, sf_dir).select(
-        F.col("media_type").alias("modality"),
-        F.lit("media").alias("source"),
-        "n_items",
-        "n_kept",
-        "kept_bytes",
-        F.col("kept_pixels").alias("kept_units"),
-        F.lit("pixels").alias("units"),
-        "kept_fraction",
+
+    # change 8: the two halves' eager sub-DAGs (text: LSH edges + CC +
+    # winnowing + classifier counts; media: phash pairs + semantic
+    # index build + verdict checkpoint) are fully independent — build
+    # them on driver threads so their jobs interleave (guide §2.6)
+    text_half, media_half = materialize_concurrently(
+        spark, _text_half, _media_half
     )
     return text_half.unionByName(media_half)
 

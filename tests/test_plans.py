@@ -778,6 +778,46 @@ def test_cc_local_matches_distributed(spark, sf_dir):
     assert local and local == dist
 
 
+def test_overlap_helper_order_kill_switch_and_errors(spark):
+    # OPTIMIZATION_r15 change 8: results come back in thunk order
+    # (concurrent and sequential), the conf kill switch forces the
+    # sequential path, and a thunk's exception propagates unchanged
+    from datafusion_loki_spark.functions.overlap import (
+        materialize_concurrently,
+    )
+
+    def boom():
+        raise ValueError("boom")
+
+    assert materialize_concurrently(
+        spark, lambda: 1, lambda: 2, lambda: 3
+    ) == (1, 2, 3)
+    spark.conf.set("spark_graft.overlap.enabled", "false")
+    try:
+        assert materialize_concurrently(
+            spark, lambda: "a", lambda: "b"
+        ) == ("a", "b")
+    finally:
+        spark.conf.unset("spark_graft.overlap.enabled")
+    with pytest.raises(ValueError):
+        materialize_concurrently(spark, lambda: 1, boom)
+
+
+def test_overlap_kill_switch_matches_concurrent(spark, sf_dir):
+    # change 8 changes WHEN the eager sub-DAGs run, never what they
+    # compute: the sequential (kill-switch) composition must emit the
+    # identical keep-list
+    from datafusion_loki_spark.operators.dedup import dedup_keep_list
+
+    conc = sorted(map(tuple, dedup_keep_list(spark, sf_dir).collect()))
+    spark.conf.set("spark_graft.overlap.enabled", "false")
+    try:
+        seq = sorted(map(tuple, dedup_keep_list(spark, sf_dir).collect()))
+    finally:
+        spark.conf.unset("spark_graft.overlap.enabled")
+    assert conc and conc == seq
+
+
 def test_value_histogram_single_shuffle(spark, sf_dir):
     # Bucketing is a codegen'd projection; the only exchange is the one
     # map-side-combined agg on the bounded (type × bucket) key.

@@ -1028,6 +1028,16 @@ def _kmeans_assign(emb_d: DataFrame, cents_row: DataFrame) -> DataFrame:
     cents = list(rows[0]["cents"]) if rows and rows[0]["cents"] else []
     cid_arr = [int(c["cid"]) for c in cents]
     vec_arr = [list(map(float, c["vec"])) for c in cents]
+    return _kmeans_assign_arrays(emb_d, cid_arr, vec_arr)
+
+
+def _kmeans_assign_arrays(
+    emb_d: DataFrame, cid_arr: list, vec_arr: list
+) -> DataFrame:
+    """_kmeans_assign over an ALREADY-COLLECTED codebook (cid list +
+    centroid vectors) — the local-fit path (see _kmeans_fit) computes
+    the codebook driver-side and ships it straight into the kernel,
+    skipping the collect job the DataFrame wrapper above pays."""
 
     def kernel(batches):
         import numpy as np
@@ -1134,6 +1144,111 @@ _TRAIN_PRED_DUCK = (
 )
 
 
+# OPTIMIZATION_r15 change 9 — scale-gated driver-side k-means fit.
+# The training STATE is bounded the same way the change-5 BPE vocabulary
+# and the change-4/6 codebooks are: the iteration passes fold a train
+# SAMPLE of (vec_id, e) rows into K centroids. When that sample fits the
+# cap, the whole Lloyd loop replays driver-side — one collect replaces
+# the per-iteration assignment-kernel + decimal-agg + checkpoint jobs —
+# and the replay is BIT-FOR-BIT the distributed arithmetic:
+#   - assignment: the UNCHANGED numpy kernel code on the collected
+#     matrix (ascending-dimension `acc += diff*diff`, np.argmin
+#     first-minimum over the cid-sorted codebook);
+#   - means: Spark's `cast(val as decimal(38,20))` goes through Java's
+#     shortest-roundtrip Double.toString (BigDecimal.valueOf) — replayed
+#     as Decimal(repr(x)).quantize(1e-20, HALF_UP), which this round was
+#     verified value-identical on every embedding double of all three
+#     test SFs; the decimal sum is exact (order-free), float(Decimal) is
+#     the same correctly-rounded cast as BigDecimal.doubleValue, and the
+#     final `/ count` is one IEEE double division either way.
+# Above the cap the distributed loop runs UNCHANGED — that is the
+# 100 TB path; the gate costs one bounded limit(cap+1) collect of the
+# sample. 0 disables (kill switch). Pinned bit-exact by
+# tests/test_plans.py::test_kmeans_local_fit_matches_distributed.
+_KMEANS_LOCAL_FIT_CONF = "spark_graft.kmeans.local_fit.max_train"
+_KMEANS_LOCAL_FIT_DEFAULT = 100_000
+
+
+def _dec20(x: float):
+    """Replay Spark's double→decimal(38,20) cast: shortest-roundtrip
+    decimal string, HALF_UP at the 20th fraction digit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-20), rounding=ROUND_HALF_UP
+    )
+
+
+def _local_lloyd(train_es: list, seed_cents: list) -> list:
+    """The distributed iteration loop of _kmeans_fit replayed driver-side
+    over the collected train sample: KMEANS_ITERS-1 rounds of (assign to
+    nearest centroid, decimal-exact per-(cid, pos) means). ``train_es``
+    is a list of per-row double lists; ``seed_cents`` a cid-sorted list
+    of (cid, vec). Returns the final cid-sorted [(cid, vec)] codebook —
+    empty clusters drop out exactly as the groupBy did."""
+    from decimal import localcontext
+
+    import numpy as np
+
+    cents = list(seed_cents)
+    E = (
+        np.array([np.asarray(v, dtype=np.float64) for v in train_es])
+        if train_es
+        else np.zeros((0, 0), dtype=np.float64)
+    )
+    n = E.shape[0]
+    for _ in range(KMEANS_ITERS - 1):
+        if not cents or n == 0:
+            return []  # empty assignment → empty collect_list → []
+        cids = np.asarray([c[0] for c in cents], dtype=np.int64)
+        cvecs = np.asarray([c[1] for c in cents], dtype=np.float64)
+        # the assignment kernel's exact accumulation (see
+        # _kmeans_assign_arrays): one IEEE add per dimension step,
+        # first-minimum argmin over the cid-sorted codebook
+        acc = np.zeros((n, cids.size), dtype=np.float64)
+        for i in range(E.shape[1]):
+            diff = E[:, i : i + 1] - cvecs[None, :, i][0]
+            acc += diff * diff
+        best = cids[np.argmin(acc, axis=1)]
+        new_cents = []
+        with localcontext() as ctx:
+            ctx.prec = 60  # decimal(38,20) sums are exact far past these
+            for cid in sorted(set(best.tolist())):
+                cols = E[best == cid].T.tolist()  # Python floats, C-speed
+                vec = [
+                    float(sum(map(_dec20, col))) / len(col) for col in cols
+                ]
+                new_cents.append((cid, vec))
+        cents = new_cents
+    return cents
+
+
+def _cents_local_df(spark: SparkSession, cents: list) -> DataFrame:
+    """The 1-row codebook frame (same shape _kmeans_cents_row yields)
+    from a driver-side [(cid, vec)] list — built as LITERAL expressions
+    over range(1), not createDataFrame: a plain createDataFrame of
+    nested rows becomes a pickled-Python RDD, and every consumer action
+    (the centroid write, the probe cross-join) then pays a Python-worker
+    round-trip the distributed path never paid. Literals stay pure JVM.
+    Exactness: repr(float) is the shortest round-trip decimal and
+    Java's Double.parseDouble is correctly rounded, so every literal
+    parses back to the identical double."""
+    if not cents:
+        return spark.range(1).select(
+            F.expr(
+                "cast(array() as"
+                " array<struct<cid:bigint,vec:array<double>>>)"
+            ).alias("cents")
+        )
+    structs = ", ".join(
+        "named_struct('cid', {c}L, 'vec', array({v}))".format(
+            c=int(c), v=", ".join(f"{x!r}D" for x in v)
+        )
+        for c, v in cents
+    )
+    return spark.range(1).select(F.expr(f"array({structs})").alias("cents"))
+
+
 def _kmeans_fit(
     emb_d: DataFrame,
     train_d: DataFrame | None = None,
@@ -1163,6 +1278,39 @@ def _kmeans_fit(
         train_d = emb_d
     if seeds_d is None:
         seeds_d = emb_d.where(F.col("vec_id") < KMEANS_K)
+    spark = emb_d.sparkSession
+    cap = int(
+        spark.conf.get(
+            _KMEANS_LOCAL_FIT_CONF, str(_KMEANS_LOCAL_FIT_DEFAULT)
+        )
+    )
+    if cap > 0:
+        # bounded gate probe: at scale limit(cap+1) short-circuits the
+        # scan and the overflow falls through to the distributed loop
+        train_rows = train_d.select("e").limit(cap + 1).collect()
+        if len(train_rows) <= cap:
+            seed_rows = sorted(
+                (
+                    (int(r["cid"]), [float(x) for x in r["vec"]])
+                    for r in seeds_d.select(
+                        F.col("vec_id").alias("cid"),
+                        F.col("e").alias("vec"),
+                    ).collect()
+                ),
+                key=lambda cv: cv[0],
+            )
+            if seed_rows:  # degenerate empty seeding keeps the old path
+                fitted = _local_lloyd(
+                    [list(r["e"]) for r in train_rows], seed_rows
+                )
+                return (
+                    _kmeans_assign_arrays(
+                        emb_d,
+                        [c for c, _ in fitted],
+                        [v for _, v in fitted],
+                    ),
+                    _cents_local_df(spark, fitted),
+                )
     cents = _kmeans_cents_row(
         seeds_d.select(F.col("vec_id").alias("cid"), F.col("e").alias("vec"))
     )

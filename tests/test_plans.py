@@ -470,6 +470,49 @@ def test_kmeans_assign_kernel_matches_fold(spark, sf_dir):
     assert new.count() == emb_d.count()
 
 
+def test_kmeans_local_fit_matches_distributed(spark, sf_dir):
+    # OPTIMIZATION_r15 change 9: the scale-gated driver-side Lloyd
+    # replay must be BIT-identical to the distributed loop — same
+    # assignment doubles (exact equality via IS DISTINCT FROM) and the
+    # same codebook doubles — on the real corpus with the real
+    # md5-bucket train sample, for both seeding paths (the default
+    # vec_id < K filter and retrain's ordered-limit seeds).
+    from pyspark.sql import functions as F
+
+    from datafusion_loki_spark.catalog import load_table
+    from datafusion_loki_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.expr(S._TO_DOUBLE.format(a="embedding")).alias("e")
+    )
+    train = emb_d.where(F.expr(S._TRAIN_PRED_SPARK))
+    seeds = emb_d.orderBy("vec_id").limit(S.KMEANS_K)
+    for seeds_d in (None, seeds):
+        spark.conf.set(S._KMEANS_LOCAL_FIT_CONF, "0")
+        try:
+            a_dist, c_dist = S._kmeans_fit(emb_d, train, seeds_d=seeds_d)
+            c_dist_rows = c_dist.collect()
+        finally:
+            spark.conf.unset(S._KMEANS_LOCAL_FIT_CONF)
+        a_loc, c_loc = S._kmeans_fit(emb_d, train, seeds_d=seeds_d)
+        loc_plan = c_loc._jdf.queryExecution().executedPlan().toString()
+        assert "Range (0, 1" in loc_plan and "collect_list" not in loc_plan, (
+            f"local fit did not take the driver-side path\n{loc_plan}"
+        )
+        assert c_loc.collect() == c_dist_rows  # Row equality is exact
+        diff = (
+            a_loc.alias("l")
+            .join(a_dist.alias("d"), "vec_id")
+            .where(
+                "l.cid IS DISTINCT FROM d.cid OR l.d2 IS DISTINCT FROM d.d2"
+            )
+            .count()
+        )
+        assert diff == 0
+        assert a_loc.count() == emb_d.count()
+
+
 def test_kmeans_sample_fit_trains_on_sample_assigns_full(spark):
     # Sample-fit contract (round 6): the iteration (mean-update) passes
     # see ONLY train_d, while the returned assignment covers every emb_d

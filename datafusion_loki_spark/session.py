@@ -75,6 +75,16 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=512m",
         )
+        # ContextCleaner housekeeping — measured and REJECTED this round
+        # (OPTIMIZATION_r15): lowering spark.cleaner.periodicGC.interval
+        # to 2min looked attractive (a fixed probe query ran 5.98 s after
+        # 60 suite queries and 4.01 s right after a manual System.gc() in
+        # the same session — the cleaner only releases dead broadcasts/
+        # checkpoint blocks after a JVM GC), but two full bench runs with
+        # the 2min trigger showed multi-second stop-the-world stalls
+        # clustered near the 2-minute marks (single queries inflating
+        # 5-11x), and a third run at the 30min default was clean and
+        # faster overall. The default stays.
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

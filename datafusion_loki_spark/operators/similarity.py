@@ -1963,52 +1963,105 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             kernel, "vec_id long, s int, es array<double>, cid long"
         )
 
-    seeds = sub.where(F.col("vec_id") < KMEANS_K).select(
-        "s", F.col("vec_id").alias("cid"), F.col("es").alias("vec")
-    )
-    cents_row = seeds.groupBy("s").agg(
-        F.expr("array_sort(collect_list(struct(cid, vec)))").alias("cents")
-    )
-    # sample-fit: iteration passes see only the md5-bucket training
-    # sample; the full corpus is touched exactly once, by the encode
-    # projection below (same contract as the IVF fit)
-    sub_train = sub.where(F.expr(_TRAIN_PRED_SPARK))
-    assigned = _pq_assign(sub_train, cents_row)
-    for it in range(KMEANS_ITERS - 1):
-        ex = assigned.select("s", "cid", F.posexplode("es").alias("pos", "val"))
-        m = ex.groupBy("s", "cid", "pos").agg(
-            (
-                F.sum(F.col("val").cast("decimal(38,20)")).cast("double")
-                / F.count("*")
-            ).alias("mv")
+    # OPTIMIZATION_r15 change 12 — the change-9 local-fit gate applied
+    # to the fused PQ training: each subspace's iteration is exactly the
+    # IVF Lloyd loop over the subvector slice (same seeds rule, same
+    # assignment kernel math, same decimal-mean chain), so when the
+    # train sample fits the shared cap the whole PQ_M-codebook training
+    # replays driver-side via _local_lloyd — one bounded collect
+    # replaces the seeds-agg job, the iteration agg chain, and the
+    # codebook collect. Above the cap (or with degenerate seeds) the
+    # distributed chain below runs UNCHANGED.
+    tbooks = None
+    cap = int(
+        spark.conf.get(
+            _KMEANS_LOCAL_FIT_CONF, str(_KMEANS_LOCAL_FIT_DEFAULT)
         )
-        cvec = m.groupBy("s", "cid").agg(
+    )
+    if cap > 0:
+        train_rows = (
+            emb_d.where(F.expr(_TRAIN_PRED_SPARK))
+            .select("e")
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(train_rows) <= cap:
+            seed_rows = sorted(
+                (
+                    (int(r["vec_id"]), [float(x) for x in r["e"]])
+                    for r in emb_d.where(F.col("vec_id") < KMEANS_K)
+                    .select("vec_id", "e")
+                    .collect()
+                ),
+                key=lambda cv: cv[0],
+            )
+            if seed_rows and train_rows:
+                tbooks = {}
+                for s in range(PQ_M):
+                    lo, hi = s * PQ_SUB, (s + 1) * PQ_SUB
+                    fitted = _local_lloyd(
+                        [list(r["e"][lo:hi]) for r in train_rows],
+                        [(cid, v[lo:hi]) for cid, v in seed_rows],
+                    )
+                    tbooks[s] = (
+                        [c for c, _ in fitted],
+                        [v for _, v in fitted],
+                    )
+    if tbooks is None:
+        seeds = sub.where(F.col("vec_id") < KMEANS_K).select(
+            "s", F.col("vec_id").alias("cid"), F.col("es").alias("vec")
+        )
+        cents_row = seeds.groupBy("s").agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)"
-            ).alias("vec")
+                "array_sort(collect_list(struct(cid, vec)))"
+            ).alias("cents")
         )
-        cents_row = cvec.groupBy("s").agg(
-            F.expr("array_sort(collect_list(struct(cid, vec)))").alias("cents")
-        )
-        if it < KMEANS_ITERS - 2:
-            # the final iteration's centroids feed only the encode/LUT
-            # consumers below; a trailing sample reassignment would be a
-            # dead (never-consumed) plan
-            assigned = _pq_assign(sub_train, cents_row)
-    # "train once, persist the codebook": the trained PQ_M-row codebook
-    # is bounded (PQ_M × K structs — the change-4 driver-side class);
-    # collect it ONCE (this also replaces the former localCheckpoint —
-    # one job either way) and build the PQ paper's per-query ADC lookup
-    # tables driver-side: lut[q][s][j] = Σ_i q_s[i]·codebook_s[j][i],
-    # accumulated in ascending i with plain Python doubles — the exact
-    # left-to-right fold the former interpreted _qdot computed.
-    tbooks = {
-        int(r["s"]): (
-            [int(c["cid"]) for c in r["cents"]],
-            [[float(x) for x in c["vec"]] for c in r["cents"]],
-        )
-        for r in cents_row.collect()
-    }
+        # sample-fit: iteration passes see only the md5-bucket training
+        # sample; the full corpus is touched exactly once, by the encode
+        # projection below (same contract as the IVF fit)
+        sub_train = sub.where(F.expr(_TRAIN_PRED_SPARK))
+        assigned = _pq_assign(sub_train, cents_row)
+        for it in range(KMEANS_ITERS - 1):
+            ex = assigned.select(
+                "s", "cid", F.posexplode("es").alias("pos", "val")
+            )
+            m = ex.groupBy("s", "cid", "pos").agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,20)")).cast("double")
+                    / F.count("*")
+                ).alias("mv")
+            )
+            cvec = m.groupBy("s", "cid").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mv))),"
+                    " x -> x.mv)"
+                ).alias("vec")
+            )
+            cents_row = cvec.groupBy("s").agg(
+                F.expr(
+                    "array_sort(collect_list(struct(cid, vec)))"
+                ).alias("cents")
+            )
+            if it < KMEANS_ITERS - 2:
+                # the final iteration's centroids feed only the
+                # encode/LUT consumers below; a trailing sample
+                # reassignment would be a dead (never-consumed) plan
+                assigned = _pq_assign(sub_train, cents_row)
+        # "train once, persist the codebook": the trained PQ_M-row
+        # codebook is bounded (PQ_M × K structs — the change-4
+        # driver-side class); collect it ONCE (this also replaces the
+        # former localCheckpoint — one job either way) and build the PQ
+        # paper's per-query ADC lookup tables driver-side:
+        # lut[q][s][j] = Σ_i q_s[i]·codebook_s[j][i], accumulated in
+        # ascending i with plain Python doubles — the exact
+        # left-to-right fold the former interpreted _qdot computed.
+        tbooks = {
+            int(r["s"]): (
+                [int(c["cid"]) for c in r["cents"]],
+                [[float(x) for x in c["vec"]] for c in r["cents"]],
+            )
+            for r in cents_row.collect()
+        }
     # the query set is N_QUERIES rows — the bounded collect class every
     # index query path already uses (query_ivf_index's probed-cell set)
     q_rows = sorted(

@@ -513,6 +513,25 @@ def test_kmeans_local_fit_matches_distributed(spark, sf_dir):
         assert a_loc.count() == emb_d.count()
 
 
+def test_pq_local_fit_matches_distributed(spark, sf_dir):
+    # OPTIMIZATION_r15 change 12: the PQ fused training's driver-side
+    # replay (per-subspace _local_lloyd over the collected sample) must
+    # yield the identical query output to the distributed chain — exact
+    # Row equality including every cosine double.
+    from datafusion_loki_spark.operators import similarity as S
+
+    spark.conf.set(S._KMEANS_LOCAL_FIT_CONF, "0")
+    try:
+        dist = sorted(
+            map(tuple, S.sim_pq_adc_topk(spark, sf_dir).collect())
+        )
+    finally:
+        spark.conf.unset(S._KMEANS_LOCAL_FIT_CONF)
+    loc = sorted(map(tuple, S.sim_pq_adc_topk(spark, sf_dir).collect()))
+    assert loc == dist
+    assert len(loc) > 0
+
+
 def test_kmeans_sample_fit_trains_on_sample_assigns_full(spark):
     # Sample-fit contract (round 6): the iteration (mean-update) passes
     # see ONLY train_d, while the returned assignment covers every emb_d

@@ -297,7 +297,22 @@ def _min_of_2(fn, spark, sf_dir: str) -> float:
     verdict): sub-second queries are dominated by scheduler/Python
     fixed overhead the calibration anchor does not model — they drove
     the entire apparent r06→r07 per-calib drift — so their min needs
-    one more sample to be stable."""
+    one more sample to be stable.
+
+    Round 16 (r15 VERDICT next-#7): after the timed runs, the query's
+    localCheckpoint blocks are released explicitly — each run builds a
+    FRESH DAG (so nothing here is consumed again), but the dead blocks
+    otherwise pin block-manager memory for the ContextCleaner's ~30 min
+    cadence and the 93-query suite pays the accumulation as late-suite
+    GC drag (round 15 measured the forced-GC alternative at 5-11x
+    single-query stalls and rejected it). The release runs OUTSIDE
+    every timing window; the timing loop itself is unchanged."""
+    from datafusion_loki_spark.functions.checkpoints import (
+        free_checkpoints,
+        persistent_rdd_ids,
+    )
+
+    pre = persistent_rdd_ids(spark)
     best = float("inf")
     for i in range(3):
         if i == 2 and best >= 0.5:
@@ -305,6 +320,7 @@ def _min_of_2(fn, spark, sf_dir: str) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         best = min(best, time.perf_counter() - t0)
+    free_checkpoints(spark, persistent_rdd_ids(spark) - pre)
     return round(best, 4)
 
 
@@ -358,15 +374,24 @@ def _shared_pass(
 
     import __spark_entry__ as entrymod
 
+    from datafusion_loki_spark.functions.checkpoints import (
+        free_checkpoints,
+        persistent_rdd_ids,
+    )
+
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
     # Warmup: run everything once at the smallest SF to amortize
-    # JVM/codegen before any timing starts.
+    # JVM/codegen before any timing starts. Checkpoint blocks released
+    # per query (round 16 — see _min_of_2): the warmup otherwise enters
+    # the timed suite already carrying 93 queries of dead blocks.
     for name in names:
+        pre = persistent_rdd_ids(spark)
         try:
             queries[name](spark, WARMUP_DIR).count()
         except Exception:
             pass
+        free_checkpoints(spark, persistent_rdd_ids(spark) - pre)
     clock0 = time.perf_counter()
     samples = _calibration_samples(spark, clock0, warm=True)
     # one anchor sample between suite thirds (round 10): 6 bracketing
@@ -417,6 +442,30 @@ def main() -> None:
     secs = [s for _t, s in timeline]
     calib = round(statistics.median(secs), 4)
     spread = round((max(secs) - min(secs)) / calib, 3) if calib else None
+    # Round-16 (r15 VERDICT next-#8): the per-sample timelines moved to a
+    # SIDECAR file so the headline stdout line stays short — BENCH_r14's
+    # stored tail truncated mid-JSON on the embedded tens-of-KB timeline
+    # maps and the driver lost all round-over-round per-query comparison.
+    # Same timing methodology, same keys otherwise; the sidecar carries
+    # exactly what the line used to embed.
+    sidecar_name = "bench_timelines.json"
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), sidecar_name
+        ),
+    )
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(
+                {
+                    "calibration_timeline": timeline,
+                    "query_end_times": q_end,
+                },
+                f,
+            )
+    except OSError:
+        sidecar_path = None  # diagnostics only — never fail the bench
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -426,8 +475,7 @@ def main() -> None:
         "calibration_sec": calib,
         "calibration_spread": spread,
         "calibration_samples": secs,
-        "calibration_timeline": timeline,
-        "query_end_times": q_end,
+        "timelines_sidecar": sidecar_path,
         "value_per_calib": round(total / calib, 3) if calib else None,
         "methodology": (
             "value: one-JVM suite, warmup at sf0.001 then min-of-2 per "
@@ -436,11 +484,13 @@ def main() -> None:
             "samples bracketing AND interleaving the suite (round 10 — "
             "r09 used 3+3 bracketing; r08 and earlier min-of-2x2, which "
             "reads ~5-15% below the median), calibration_spread = "
-            "(max-min)/median; calibration_timeline/[query_end_times] "
-            "carry per-sample suite-clock timestamps so bench_compare "
-            "can regress out linear mid-suite drift; compare rounds via "
-            "value_per_calib (ambient machine variance between sessions "
-            "measured at +/-15-25% in round 6)"
+            "(max-min)/median; per-sample suite-clock timelines "
+            "(calibration_timeline/query_end_times) live in the "
+            "timelines_sidecar file (round 16 — embedded in this line "
+            "before, which truncated the stored r14 tail) so "
+            "bench_compare can regress out linear mid-suite drift; "
+            "compare rounds via value_per_calib (ambient machine "
+            "variance between sessions measured at +/-15-25% in round 6)"
         ),
     }
     if "--isolated" in sys.argv[1:]:

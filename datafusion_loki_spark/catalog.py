@@ -65,15 +65,26 @@ def normalize_events_ts(df: DataFrame, ts_is_long: bool) -> DataFrame:
 _SCAN_SPLIT_BYTES = 128 * 1024 * 1024  # Spark's default maxPartitionBytes
 
 
-def _est_scan_tasks(path: str) -> int:
+def _est_scan_tasks(path: str) -> "int | None":
     """Estimate how many scan tasks Spark will create for the parquet
     file/dir at ``path``: one per started 128 MB of each file (the
     split math's upper shape; a file below 128 MB with one row group
     yields exactly one non-empty task). os.stat only — no JVM roundtrip
     and no RDD-conversion probe (the cost `_spread`'s docstring warns
-    about), so it is safe to call on every load_table."""
-    import glob
+    about), so it is safe to call on every load_table.
 
+    Returns None — "can't tell" — for any path the LOCAL filesystem
+    cannot list: a scheme-prefixed URI (s3://, hdfs:// — i.e. exactly
+    the at-scale deployment) or a dir with no visible parquet files.
+    The caller must treat None as FAIL CLOSED (skip the fan-out): the
+    r15 shape returned 1 here, which would have round-robin-shuffled
+    every payload byte of a full-corpus remote scan (r16 worklist #2)."""
+    import glob
+    import re
+
+    # scheme-prefixed URI: not a local path, os.stat would lie
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        return None
     if os.path.isfile(path):
         files = [path]
     else:
@@ -81,7 +92,7 @@ def _est_scan_tasks(path: str) -> int:
             os.path.join(path, "**", "*.parquet"), recursive=True
         )
     if not files:
-        return 1
+        return None
     return sum(1 + os.path.getsize(f) // _SCAN_SPLIT_BYTES for f in files)
 
 
@@ -135,7 +146,11 @@ def scan_fanout(
     target = spark.sparkContext.defaultParallelism
     if key is not None:
         return df.repartition(target, F.col(key))
-    if _est_scan_tasks(path) >= target:
+    est = _est_scan_tasks(path)
+    if est is None or est >= target:
+        # None = the local FS can't see the input (remote URI / nothing
+        # listable): fail CLOSED — never add an exchange on a scan whose
+        # size we cannot bound (it may be the full 100 TB corpus)
         return df
     return df.repartition(target)
 

@@ -1169,14 +1169,113 @@ _KMEANS_LOCAL_FIT_CONF = "spark_graft.kmeans.local_fit.max_train"
 _KMEANS_LOCAL_FIT_DEFAULT = 100_000
 
 
+_DEC20_EXP = None  # lazily-built Decimal(1e-20) quantum (import-light module)
+
+
 def _dec20(x: float):
     """Replay Spark's double→decimal(38,20) cast: shortest-roundtrip
-    decimal string, HALF_UP at the 20th fraction digit."""
+    decimal string, HALF_UP at the 20th fraction digit.
+
+    Fast path (r15 VERDICT next-#6): when repr(x) is plain decimal
+    notation with ≤ 20 fraction digits, Decimal(repr(x)) already IS the
+    quantized value (quantize would only re-scale the exponent, and
+    Decimal addition is exponent-agnostic in value) — skip the quantize.
+    Values in exponent notation or with deeper fractions (|x| ≲ 1e-4
+    carries up to ~21+ fraction digits at 17 significant digits) take
+    the exact HALF_UP path unchanged.
+
+    JVM caveat (r15 ADVICE): repr() is Python's shortest-roundtrip
+    string; Java's Double.toString is only guaranteed shortest on
+    JDK 19+ (JDK-4511638). _decimal_replay_safe gates every local-fit
+    use of this replay on a per-session canary when the JVM is older."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    return Decimal(repr(x)).quantize(
-        Decimal(1).scaleb(-20), rounding=ROUND_HALF_UP
+    s = repr(x)
+    dot = s.find(".")
+    if dot >= 0 and "e" not in s and len(s) - dot - 1 <= 20:
+        return Decimal(s)
+    global _DEC20_EXP
+    if _DEC20_EXP is None:
+        _DEC20_EXP = Decimal(1).scaleb(-20)
+    return Decimal(s).quantize(_DEC20_EXP, rounding=ROUND_HALF_UP)
+
+
+# decimal(38,20) holds 18 integer digits; a train sample whose absolute
+# row count × max|value| stays under 1e18 can never overflow ANY partial
+# sum of the distributed decimal aggregation — the bound under which the
+# local replay and the distributed loop are provably the same arithmetic
+_DEC20_SUM_BOUND = 10.0**18
+
+# per-application verdict cache of the JVM-stringification canary below
+_REPLAY_CANARY_OK: dict = {}
+
+
+def _decimal_replay_safe(spark: SparkSession, E) -> bool:
+    """Guards ahead of the driver-side decimal replay (r15 ADVICE, all
+    three): returns False — caller falls through to the UNCHANGED
+    distributed loop — when the collected sample could diverge from the
+    distributed arithmetic:
+
+    (a) non-finite values: Decimal('nan').quantize raises and repr()
+        would emit unparseable literals, where the distributed cast
+        maps NaN → NULL and skips it;
+    (b) magnitudes whose decimal(38,20) partial sums can exceed 38
+        digits: the distributed sum overflows to NULL, the local replay
+        (prec=60) returns a finite mean;
+    (c) pre-JDK-19 JVMs: Spark's cast stringifies via Double.toString,
+        which is only guaranteed shortest-roundtrip (== repr) on 19+ —
+        on older JVMs run a ONE-JOB canary comparing Spark's own
+        double→decimal(38,20)→string cast against _dec20 on a bounded
+        deterministic subsample (extremes + strides) of the actual
+        values, cached per application. Sampled, not exhaustive — the
+        bit-exactness pins in tests/ verify full equality on the test
+        corpora; the canary catches a systematically divergent JVM."""
+    import numpy as np
+
+    if E.size == 0:
+        return True
+    if not np.isfinite(E).all():
+        return False
+    if float(np.abs(E).max()) * E.shape[0] >= _DEC20_SUM_BOUND:
+        return False
+    jvm_spec = spark._jvm.java.lang.System.getProperty(
+        "java.specification.version"
     )
+    try:
+        if float(jvm_spec) >= 19:
+            return True
+    except (TypeError, ValueError):
+        pass
+    app_id = spark.sparkContext.applicationId
+    ok = _REPLAY_CANARY_OK.get(app_id)
+    if ok is None:
+        flat = E.ravel()
+        idx = np.unique(
+            np.concatenate(
+                [
+                    np.arange(0, flat.size, max(1, flat.size // 509)),
+                    [int(np.argmin(flat)), int(np.argmax(flat))],
+                ]
+            )
+        )
+        sample = [float(v) for v in np.unique(flat[idx])]
+        cols = [
+            F.lit(v).cast("decimal(38,20)").cast("string") for v in sample
+        ]
+        jvm_strs = list(spark.range(1).select(*cols).first())
+        from decimal import Decimal
+
+        # value comparison (Decimal == ignores exponent/format), so a
+        # notation difference between BigDecimal.toString and Python's
+        # Decimal.__str__ can never masquerade as a replay divergence
+        ok = all(
+            s is not None and Decimal(s) == _dec20(v)
+            for v, s in zip(sample, jvm_strs)
+        )
+        _REPLAY_CANARY_OK[app_id] = ok
+        if len(_REPLAY_CANARY_OK) > 64:  # long-lived driver hygiene
+            _REPLAY_CANARY_OK.pop(next(iter(_REPLAY_CANARY_OK)))
+    return ok
 
 
 def _local_lloyd(train_es: list, seed_cents: list) -> list:
@@ -1191,11 +1290,11 @@ def _local_lloyd(train_es: list, seed_cents: list) -> list:
     import numpy as np
 
     cents = list(seed_cents)
-    E = (
-        np.array([np.asarray(v, dtype=np.float64) for v in train_es])
-        if train_es
-        else np.zeros((0, 0), dtype=np.float64)
-    )
+    # accepts a prebuilt (n, dim) matrix too (no-copy through asarray) —
+    # callers build it once for the _decimal_replay_safe guards
+    E = np.asarray(train_es, dtype=np.float64)
+    if E.ndim != 2:
+        E = E.reshape((0, 0))
     n = E.shape[0]
     for _ in range(KMEANS_ITERS - 1):
         if not cents or n == 0:
@@ -1285,10 +1384,21 @@ def _kmeans_fit(
         )
     )
     if cap > 0:
-        # bounded gate probe: at scale limit(cap+1) short-circuits the
-        # scan and the overflow falls through to the distributed loop
-        train_rows = train_d.select("e").limit(cap + 1).collect()
-        if len(train_rows) <= cap:
+        import numpy as np
+
+        # bounded gate probe, NARROW first (r15 ADVICE #3): the count
+        # probe ships one int per row instead of the full embedding
+        # vectors, so an above-cap sample costs nothing but the count —
+        # the full-vector collect runs only when the sample provably fits
+        n_train = train_d.select(F.lit(1).alias("one")).limit(cap + 1).count()
+        if n_train <= cap:
+            train_rows = train_d.select("e").limit(cap + 1).collect()
+            try:
+                E = np.asarray(
+                    [list(r["e"]) for r in train_rows], dtype=np.float64
+                )
+            except (TypeError, ValueError):  # ragged/NULL rows — the
+                E = None  # distributed loop owns those
             seed_rows = sorted(
                 (
                     (int(r["cid"]), [float(x) for x in r["vec"]])
@@ -1299,10 +1409,11 @@ def _kmeans_fit(
                 ),
                 key=lambda cv: cv[0],
             )
-            if seed_rows:  # degenerate empty seeding keeps the old path
-                fitted = _local_lloyd(
-                    [list(r["e"]) for r in train_rows], seed_rows
-                )
+            # degenerate empty seeding and replay-unsafe samples (non-
+            # finite values, decimal-overflow magnitudes, divergent JVM
+            # stringification) keep the distributed path
+            if seed_rows and E is not None and _decimal_replay_safe(spark, E):
+                fitted = _local_lloyd(E, seed_rows)
                 return (
                     _kmeans_assign_arrays(
                         emb_d,
@@ -1979,13 +2090,20 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     if cap > 0:
-        train_rows = (
-            emb_d.where(F.expr(_TRAIN_PRED_SPARK))
-            .select("e")
-            .limit(cap + 1)
-            .collect()
-        )
-        if len(train_rows) <= cap:
+        import numpy as np
+
+        train_d = emb_d.where(F.expr(_TRAIN_PRED_SPARK))
+        # narrow count probe first (r15 ADVICE #3) — above the cap the
+        # full-vector collect (~50-100 MB at the default cap) never runs
+        n_train = train_d.select(F.lit(1).alias("one")).limit(cap + 1).count()
+        if n_train <= cap:
+            train_rows = train_d.select("e").limit(cap + 1).collect()
+            try:
+                E_full = np.asarray(
+                    [list(r["e"]) for r in train_rows], dtype=np.float64
+                )
+            except (TypeError, ValueError):  # ragged/NULL rows — the
+                E_full = None  # distributed loop owns those
             seed_rows = sorted(
                 (
                     (int(r["vec_id"]), [float(x) for x in r["e"]])
@@ -1995,12 +2113,17 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 key=lambda cv: cv[0],
             )
-            if seed_rows and train_rows:
+            if (
+                seed_rows
+                and len(train_rows)
+                and E_full is not None
+                and _decimal_replay_safe(spark, E_full)
+            ):
                 tbooks = {}
                 for s in range(PQ_M):
                     lo, hi = s * PQ_SUB, (s + 1) * PQ_SUB
                     fitted = _local_lloyd(
-                        [list(r["e"][lo:hi]) for r in train_rows],
+                        E_full[:, lo:hi],
                         [(cid, v[lo:hi]) for cid, v in seed_rows],
                     )
                     tbooks[s] = (
@@ -3360,9 +3483,15 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str) -> dict:
         f"{index_dir}/{old_base_name}" if old_base_name else index_dir
     )
     new_version = (versions[-1] if versions else 0) + 1
+    from datafusion_loki_spark.functions.checkpoints import (
+        free_checkpoints,
+        persistent_rdd_ids,
+    )
+
     newest = Window.partitionBy("vec_id").orderBy(
         F.desc("gen"), F.asc("cluster_id")
     )
+    pre_ckpt = persistent_rdd_ids(spark)
     live_d = (
         ivf_members_versioned(spark, old_base)
         .select("vec_id", "e", "gen", "cluster_id")
@@ -3371,6 +3500,7 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str) -> dict:
         .select("vec_id", "e")
         .localCheckpoint(eager=True)
     )
+    live_ids = persistent_rdd_ids(spark) - pre_ckpt
     seeds = live_d.orderBy("vec_id").limit(KMEANS_K)
     assigned, cents = _kmeans_fit(
         live_d, live_d.where(F.expr(_TRAIN_PRED_SPARK)), seeds_d=seeds
@@ -3437,12 +3567,16 @@ def retrain_ivf_index(spark: SparkSession, index_dir: str) -> dict:
                     jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{fname}"),
                     False,
                 )
-    return {
+    stats = {
         "rows_reindexed": live_d.count(),
         "k_cells": cents.select(F.expr("size(cents)")).first()[0],
         "version": new_version,
         "base": new_base_name,
     }
+    # the live-view checkpoint is dead: the new base is written, the
+    # stats above were its last read (VERDICT r15 next-#7)
+    free_checkpoints(spark, live_ids)
+    return stats
 
 
 def sim_ivf_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:

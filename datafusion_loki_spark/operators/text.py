@@ -893,8 +893,12 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode_outer(F.expr(f"split({_NORM_SPARK}, ' ')")).alias("token")
     ).where(F.col("token").isNotNull())  # NULL text is not a vocab entry
     firsts = ex.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
-    spine = spark.createDataFrame(
-        [(n,) for n in VOCAB_GROWTH_STEPS], "n_docs long"
+    # JVM-literal spine (r16): the pickled-RDD path paid a Python-worker
+    # round-trip on every broadcast build for 5 constant rows
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(n).cast("long") for n in VOCAB_GROWTH_STEPS])
+        ).alias("n_docs")
     )
     return (
         firsts.join(F.broadcast(spine), F.col("first_doc") < F.col("n_docs"))
@@ -1379,35 +1383,13 @@ def text_bpe_vocab(
     )
 
 
-def _persistent_rdd_ids(spark) -> set:
-    """Ids of the block-manager-resident RDDs (localCheckpoint storage).
-    Used to free SUPERSEDED loop state: df.unpersist() is a no-op on a
-    localCheckpoint'd frame (the blocks belong to the checkpoint RDD,
-    not the CacheManager — probed on pyspark 4.1), so the only handle
-    is the JavaSparkContext's persistent-RDD map, diffed tightly around
-    each eager checkpoint. Assumes no CONCURRENT checkpoint activity in
-    the session during the diff window (the repo's sessions run queries
-    sequentially); a captured foreign id would be freed later and break
-    that query's reads — keep the windows tight."""
-    return {
-        int(k)
-        for k in spark.sparkContext._jsc.getPersistentRDDs()
-        .keySet()
-        .toArray()
-    }
-
-
-def _free_checkpoints(spark, rdd_ids: set) -> None:
-    """Drop the block-manager copies behind superseded localCheckpoints
-    (round-11 review: the BPE loop otherwise pins every dead round's
-    count table + vocab for the app lifetime — O(rounds) copies). Only
-    call on state with NO remaining consumer: a freed checkpoint's
-    reads fail with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
-    jm = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in rdd_ids:
-        rdd = jm.get(rid)
-        if rdd is not None:
-            rdd.unpersist(False)
+# round 16: promoted to functions/checkpoints.py (VERDICT r15 next-#7 —
+# every operator family now frees provably-dead checkpoint state); these
+# aliases keep the BPE loop's round-11 call sites unchanged
+from datafusion_loki_spark.functions.checkpoints import (  # noqa: E402
+    free_checkpoints as _free_checkpoints,
+    persistent_rdd_ids as _persistent_rdd_ids,
+)
 
 
 # a word is touched by the batch iff its symbol string contains a rule's
@@ -1539,13 +1521,25 @@ def _bpe_train_local(
         "batch array<struct<s1:string,s2:string,pair_count:bigint>>,"
         " m map<string,string>"
     )
+    # Arrow-backed local relations (r16, VERDICT r15 next-#4): the list
+    # path pickles a Python RDD that every downstream ACTION (the
+    # per-round apply joins, the tokenize corpus join) re-ships through
+    # a Python worker; pandas+Arrow lands as a JVM LocalTableScan —
+    # nested array<struct>/map included (verified identical rows).
+    import pandas as pd
+
     batches = [
-        spark.createDataFrame([(sel, m)], b_schema)
+        spark.createDataFrame(
+            pd.DataFrame({"batch": [sel], "m": [m]}), schema=b_schema
+        )
         for sel, m in batches_local
     ]
     vocab = spark.createDataFrame(
-        [(w, s, freq) for w, (s, freq) in state.items()],
-        "w string, s string, freq bigint",
+        pd.DataFrame(
+            [(w, s, freq) for w, (s, freq) in state.items()],
+            columns=["w", "s", "freq"],
+        ),
+        schema="w string, s string, freq bigint",
     )
     return batches, vocab
 

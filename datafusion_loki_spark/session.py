@@ -43,6 +43,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # coalescePartitions.parallelismFirst=false — measured and
+        # REJECTED in round 16 (VERDICT r15 next-#3 asked to right-size
+        # small shuffles for the weak 8-vs-32-core scaling faces). The
+        # size-targeted coalescing hypothesis: tiny shuffles pay 32
+        # near-empty reduce tasks of scheduling overhead. Interleaved
+        # same-session A/B over 22 faces at local[32] (3 rounds, min):
+        # pf=false LOST 1.06x overall and lost on every face the r15
+        # driver flagged — dedup_exact_docs 1.19x, log_asof_join_chunked
+        # 1.34x, log_time_bucket 1.21x, dedup_minhash_lsh 1.24x,
+        # mm_chunk_dedup 1.66x (its SMJ+pair-explode reduce stage is
+        # compute-dense per byte, exactly what byte-targeted coalescing
+        # starves). The r15 "8-core faster than 32-core" reads came from
+        # the driver's ambient-degraded 32-core session (its own
+        # calibration flagged it); on a healthy machine the extra reduce
+        # tasks win. Keep the default (parallelism-first) — do not retry
+        # without re-measuring (OPTIMIZATION_r16.md change 7).
         # Broadcast small dimension tables (region/nation/etc.).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for pandas UDFs / toPandas — vectorized Python boundary.

@@ -1445,7 +1445,8 @@ def test_scan_fanout_shape(spark, sf_dir, monkeypatch):
 
 
 def test_est_scan_tasks_split_math(tmp_path):
-    # one task per started 128 MB of each file, minimum one per file
+    # one task per started 128 MB of each file, minimum one per file;
+    # None ("can't tell") on anything the local FS cannot list
     from datafusion_loki_spark.catalog import _est_scan_tasks
 
     a = tmp_path / "a.parquet"
@@ -1454,7 +1455,23 @@ def test_est_scan_tasks_split_math(tmp_path):
     b.write_bytes(b"y" * 10)
     assert _est_scan_tasks(str(a)) == 1
     assert _est_scan_tasks(str(tmp_path)) == 2
-    assert _est_scan_tasks(str(tmp_path / "missing")) == 1
+    assert _est_scan_tasks(str(tmp_path / "missing")) is None
+    assert _est_scan_tasks("s3://bucket/corpus/documents") is None
+    assert _est_scan_tasks("hdfs://nn:8020/warehouse/docs") is None
+    assert _est_scan_tasks("abfss://c@acct.dfs.example.net/docs") is None
+
+
+def test_scan_fanout_fails_closed_on_unlistable_path(spark, sf_dir, monkeypatch):
+    # VERDICT r15 item 2: when the size estimate is unavailable (remote
+    # URI, unlistable dir) the fan-out must NOT add an exchange — at
+    # 100 TB a blind repartition would shuffle every payload byte
+    from datafusion_loki_spark import catalog
+
+    monkeypatch.setattr(catalog, "_est_scan_tasks", lambda path: None)
+    df = catalog.load_table(spark, sf_dir, "documents", fanout=True)
+    assert (
+        "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+    )
 
 
 def test_retrain_query_prunes_partitions_no_cartesian(spark, sf_dir):
@@ -1509,11 +1526,12 @@ def test_mm_funnel_is_one_pass_over_keep_list(spark, sf_dir):
     # decode admission gate's kernel is actually IN the plan (round-13:
     # the gate is consumed, not recomputed elsewhere)
     plan = _plan(spark, sf_dir, "mm_pipeline_funnel")
-    # the phash pair frame rides its localCheckpoint (Scan ExistingRDD —
-    # the kernel+banding DAG ran once at build time); the decode gate's
-    # kernel is LIVE in the plan (its verdict is computed, not cached)
+    # the CC labels enter as a driver-materialized frame (r16: an Arrow
+    # LocalTableScan — the pickled Scan ExistingRDD shape before); the
+    # decode gate's kernel is LIVE in the plan (its verdict is computed,
+    # not cached)
     assert "MapInPandas" in plan, plan
-    assert "Scan ExistingRDD" in plan, plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
 

@@ -18,16 +18,32 @@ import re
 import sys
 
 
+def _merge_sidecar(d: dict) -> dict:
+    """Round 16: bench.py writes the per-sample timelines to a sidecar
+    file (the embedded maps made the headline line long enough that the
+    driver's stored tail truncated mid-JSON) — fold them back in when
+    the referenced file is still readable; silently degrade to the
+    timeline-less compare otherwise."""
+    sc = d.get("timelines_sidecar")
+    if sc and "query_end_times" not in d:
+        try:
+            with open(sc) as f:
+                d.update(json.load(f))
+        except (OSError, ValueError):
+            pass
+    return d
+
+
 def load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:
-        return d
+        return _merge_sidecar(d)
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-        return d["parsed"]
+        return _merge_sidecar(d["parsed"])
     m = re.search(r'\{"metric".*\}', d.get("tail", ""))
     if m:
-        return json.loads(m.group(0))
+        return _merge_sidecar(json.loads(m.group(0)))
     # driver wrappers FRONT-truncate the tail, losing the JSON opening
     # (and the first queries) — recover the surviving per-query pairs
     # and the anchor fields so a cross-round compare still works on the

@@ -1324,28 +1324,25 @@ def _local_lloyd(train_es: list, seed_cents: list) -> list:
 
 def _cents_local_df(spark: SparkSession, cents: list) -> DataFrame:
     """The 1-row codebook frame (same shape _kmeans_cents_row yields)
-    from a driver-side [(cid, vec)] list — built as LITERAL expressions
-    over range(1), not createDataFrame: a plain createDataFrame of
-    nested rows becomes a pickled-Python RDD, and every consumer action
-    (the centroid write, the probe cross-join) then pays a Python-worker
-    round-trip the distributed path never paid. Literals stay pure JVM.
-    Exactness: repr(float) is the shortest round-trip decimal and
-    Java's Double.parseDouble is correctly rounded, so every literal
-    parses back to the identical double."""
-    if not cents:
-        return spark.range(1).select(
-            F.expr(
-                "cast(array() as"
-                " array<struct<cid:bigint,vec:array<double>>>)"
-            ).alias("cents")
-        )
-    structs = ", ".join(
-        "named_struct('cid', {c}L, 'vec', array({v}))".format(
-            c=int(c), v=", ".join(f"{x!r}D" for x in v)
-        )
-        for c, v in cents
+    from a driver-side [(cid, vec)] list — an Arrow-backed local
+    relation (r16): a plain createDataFrame(list) becomes a pickled-
+    Python RDD whose every consumer action (the centroid write, the
+    probe cross-join) pays a Python-worker round-trip — that is why r15
+    built LITERAL expressions here. But the literal form re-codegens a
+    ~15 KB expression per consumer JOB; the pandas+Arrow path plans as a
+    pure-JVM LocalTableScan and measured faster on every consumer
+    (build 20 vs 87 ms, first() 29 vs 86, centroid write 120 vs 236,
+    probe-join count 257 vs 311; collected rows identical). Exactness:
+    doubles cross as IEEE float64 bits end to end — no string round-trip
+    at all, strictly stronger than the literal path's repr() argument."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"cents": [[(int(c), [float(x) for x in v]) for c, v in cents]]}
+        ),
+        schema="cents array<struct<cid:bigint,vec:array<double>>>",
     )
-    return spark.range(1).select(F.expr(f"array({structs})").alias("cents"))
 
 
 def _kmeans_fit(
@@ -1386,11 +1383,18 @@ def _kmeans_fit(
     if cap > 0:
         import numpy as np
 
-        # bounded gate probe, NARROW first (r15 ADVICE #3): the count
-        # probe ships one int per row instead of the full embedding
-        # vectors, so an above-cap sample costs nothing but the count —
-        # the full-vector collect runs only when the sample provably fits
-        n_train = train_d.select(F.lit(1).alias("one")).limit(cap + 1).count()
+        # bounded gate probe, NARROW first (r15 ADVICE #3): the probe
+        # ships one constant per row instead of the full embedding
+        # vectors, so an above-cap sample costs nothing but the row
+        # count — the full-vector collect runs only when the sample
+        # provably fits. CollectLimit (len of a bounded collect), NOT
+        # limit().count(): the count form plans a LocalLimit→single-
+        # partition-Exchange→GlobalLimit chain (measured 305 ms vs
+        # 121 ms warm at sf0.1), while CollectLimit scans partitions
+        # incrementally and stops at cap+1 rows at any scale
+        n_train = len(
+            train_d.select(F.lit(1).alias("one")).limit(cap + 1).collect()
+        )
         if n_train <= cap:
             train_rows = train_d.select("e").limit(cap + 1).collect()
             try:
@@ -1784,13 +1788,28 @@ def _query_ivf_index_once(
     cents = spark.read.parquet(f"{base_dir}/centroids.parquet")
     # materialize the probe frame ONCE (queries x IVF_PROBES rows): both
     # the driver-side probed-cell set below and the scorer's broadcast
-    # side read it — un-checkpointed, each consumer would re-run the
-    # routing cross-join AND the query-side corpus scan feeding it
-    probes = _ivf_probes(queries_d, cents).localCheckpoint(eager=True)
-    probed = {
-        r.cluster_id
-        for r in probes.select("cluster_id").distinct().collect()
-    }
+    # side read it. r16: COLLECT it (bounded by construction — the same
+    # legitimacy class as the probed-cell set it feeds) and re-inject as
+    # an Arrow LocalTableScan instead of localCheckpoint + a separate
+    # distinct().collect(): one job instead of a checkpoint job plus a
+    # distinct shuffle, and the scorer's broadcast side gets a local
+    # relation with REAL size stats. Doubles survive the round trip
+    # bit-exactly (Arrow float64 end to end, no string conversion).
+    import pandas as pd
+
+    probes_plan = _ivf_probes(queries_d, cents)
+    probe_rows = probes_plan.collect()
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (r.query_id, list(r.q_emb), r.q_nrm, r.cluster_id)
+                for r in probe_rows
+            ],
+            columns=["query_id", "q_emb", "q_nrm", "cluster_id"],
+        ),
+        schema=probes_plan.schema,
+    )
+    probed = {r.cluster_id for r in probe_rows}
     members = (
         _read_members(spark, base_dir)
         .where(F.col("cluster_id").isin(*probed))
@@ -2093,9 +2112,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         train_d = emb_d.where(F.expr(_TRAIN_PRED_SPARK))
-        # narrow count probe first (r15 ADVICE #3) — above the cap the
-        # full-vector collect (~50-100 MB at the default cap) never runs
-        n_train = train_d.select(F.lit(1).alias("one")).limit(cap + 1).count()
+        # narrow CollectLimit probe first (r15 ADVICE #3; see the
+        # _kmeans_fit gate for the probe-shape measurement) — above the
+        # cap the ~50-100 MB full-vector collect never runs
+        n_train = len(
+            train_d.select(F.lit(1).alias("one")).limit(cap + 1).collect()
+        )
         if n_train <= cap:
             train_rows = train_d.select("e").limit(cap + 1).collect()
             try:

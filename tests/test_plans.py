@@ -497,7 +497,9 @@ def test_kmeans_local_fit_matches_distributed(spark, sf_dir):
             spark.conf.unset(S._KMEANS_LOCAL_FIT_CONF)
         a_loc, c_loc = S._kmeans_fit(emb_d, train, seeds_d=seeds_d)
         loc_plan = c_loc._jdf.queryExecution().executedPlan().toString()
-        assert "Range (0, 1" in loc_plan and "collect_list" not in loc_plan, (
+        # r16: the local codebook is an Arrow LocalTableScan (was r15's
+        # literal expression over Range(0,1)); either way no collect_list
+        assert "LocalTableScan" in loc_plan and "collect_list" not in loc_plan, (
             f"local fit did not take the driver-side path\n{loc_plan}"
         )
         assert c_loc.collect() == c_dist_rows  # Row equality is exact

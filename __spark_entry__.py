@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale slots):
 #
 #   1. entries NEW or CHANGED this round lead (hand-pinned in
-#      _R15_PINNED — their plans and output must re-earn a driver row);
+#      _R16_PINNED — their plans and output must re-earn a driver row);
 #   2. the rest of the window is DERIVED from the committed
 #      CORRECTNESS_r*.json files: never-green entries first (never
 #      checked, or checked red), then ascending latest-green round,
@@ -54,49 +54,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # test_unchecked_queries_lead_the_window (never-checked entries must sit
 # in the prefix) and test_correctness_window_is_pinned (prefix ==
 # _WINDOW_PRIORITY, staleness ordering holds).
-_R15_PINNED: tuple[str, ...] = (
-    # --- new/changed in round 15 (hand-pinned ahead of the derived
-    # staleness tail; kept LEAN per the round-14 verdict's Next #2 —
-    # <= 10 pins so the 40-entry r10-stale block clears this round) ---
-    # NEW in r15: the unified cross-modality ship card — text-manifest
-    # gates (rule ∧ learned ∧ keep-list over the FULL documents
-    # universe) unioned with the media manifest into one
-    # per-(modality, source) executive row set
-    "corpus_ship_card",
-    # NEW in r15: DFT windowed spectra — bin-pure tone construction
-    # through the float-WAV decode path, real rfft per window, the
-    # centroid/rolloff/peak/energy values integer-exact by design
-    "mm_audio_spectra",
-    # NEW in r15: JPEG-in-TIFF (Compression 7 + JPEGTables) — the
-    # mm_decode_jpeg DC-only construction through the TIFF container,
-    # three abbreviated strips sharing one table stream
-    "mm_decode_tiff_jpeg",
-    # NEW in r15: animated WebP (VP8X/ANIM/ANMF with VP8L frames) —
-    # three-frame overwrite/dispose-to-background compositing with a
-    # closed-form byte-rearrangement oracle
-    "mm_decode_webp_anim",
-    # NEW in r15: APNG (acTL/fcTL/fdAT) — the animation protocol's
-    # third container, the WebP twin's construction with transparent
-    # disposal (shared oracle at bg = 0)
-    "mm_decode_apng",
-    # NEW in r15 (late session): Sun AU (.snd) — the mm_decode_g711
-    # construction through the classic big-endian telephony container
-    # (annotation offset skip, unknown-size marker); shared ITU-table
-    # oracle
-    "mm_decode_au",
-    # NEW in r15 (late session): binary PGM/PBM — the Netpbm family
-    # completed (one-channel walk; MSB-first bitmap unpack with the
-    # 1-means-black mapping, popcount oracle)
-    "mm_decode_pnm",
-    # CHANGED in r15 (decode path): VP8L meta-prefix group index now
-    # masks to the spec's 16 bits (ADVICE fix) — output unchanged on
-    # self-encoded streams, but the face's decode path re-earns
-    "mm_decode_webp",
-    # CHANGED in r15 (decode path): MS-ADPCM predictor divides
-    # truncating-toward-zero per the reference recipe (ADVICE fix) —
-    # the face's (256, 0) pair is numerically unaffected, but the
-    # decode path re-earns
-    "mm_decode_msadpcm",
+_R16_PINNED: tuple[str, ...] = (
+    # --- changed in round 16 (optimization round 2: no new queries;
+    # every pin is a face whose internals/plan changed while its output
+    # stayed oracle-identical — each must re-earn a driver row) ---
+    # CHANGED r16: one shared signature checkpoint feeds both the LSH
+    # banding and the estimator join (was two signature DAG executions)
+    "dedup_minhash_estimate",
+    # CHANGED r16: CC labels enter as an Arrow LocalTableScan (was a
+    # pickled-Python RDD) — every composition below consumes them
+    "dedup_cc_groups",
+    "dedup_keep_list",
+    "mm_dedup_keep_list",
+    "mm_pipeline_funnel",
+    # CHANGED r16: BPE batch/vocab frames are Arrow local relations
+    # (one sliced frame for all rounds); vocab-growth spine is literal
+    "text_bpe_vocab",
+    "text_tokenize_bpe",
+    "text_tokenize_bpe_oov",
+    "text_vocab_growth",
+    # CHANGED r16: IVF lifecycle — fs.exists ingest probe, CollectLimit
+    # gate probe, Arrow codebook frame, collected probe frame
+    "sim_ivf_index_topk",
+    "sim_ivf_index_append",
+    "sim_ivf_index_delete",
+    "sim_ivf_index_retrain",
+    "sim_ivf_snapshot_reads",
+    "dedup_semantic_cluster",
+    "mm_semantic_dedup",
+    # CHANGED r16: local-fit gates (narrow probe + replay guards)
+    "sim_ivf_kmeans_topk",
+    "sim_pq_adc_topk",
 )
 
 _WINDOW_SIZE = 50
@@ -151,14 +139,14 @@ def _window_priority(
     if latest is None:
         latest = _latest_green_round()
     order = {n: i for i, n in enumerate(registered)}
-    unknown = [n for n in _R15_PINNED if n not in order]
+    unknown = [n for n in _R16_PINNED if n not in order]
     if unknown:
         raise KeyError(
-            f"_R15_PINNED names not in the registry (typo?): {unknown}"
+            f"_R16_PINNED names not in the registry (typo?): {unknown}"
         )
-    pinned = list(_R15_PINNED)
+    pinned = list(_R16_PINNED)
     tail = sorted(
-        (n for n in registered if n not in _R15_PINNED),
+        (n for n in registered if n not in _R16_PINNED),
         key=lambda n: (latest.get(n, -1), order[n]),
     )
     return tuple((pinned + tail)[:_WINDOW_SIZE])

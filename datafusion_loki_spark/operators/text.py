@@ -1525,15 +1525,30 @@ def _bpe_train_local(
     # path pickles a Python RDD that every downstream ACTION (the
     # per-round apply joins, the tokenize corpus join) re-ships through
     # a Python worker; pandas+Arrow lands as a JVM LocalTableScan —
-    # nested array<struct>/map included (verified identical rows).
+    # nested array<struct>/map included (verified identical rows). All
+    # rounds ride ONE Arrow frame sliced per round (each slice is a
+    # filtered LocalTableScan with the identical 1 row): a per-round
+    # createDataFrame paid ~20 ms x BPE_ITERS of py4j/Arrow call
+    # overhead per training call.
     import pandas as pd
 
-    batches = [
-        spark.createDataFrame(
-            pd.DataFrame({"batch": [sel], "m": [m]}), schema=b_schema
+    if batches_local:
+        allb = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "r": list(range(len(batches_local))),
+                    "batch": [sel for sel, _m in batches_local],
+                    "m": [m for _sel, m in batches_local],
+                }
+            ),
+            schema="r int, " + b_schema,
         )
-        for sel, m in batches_local
-    ]
+        batches = [
+            allb.where(F.col("r") == i).select("batch", "m")
+            for i in range(len(batches_local))
+        ]
+    else:
+        batches = []
     vocab = spark.createDataFrame(
         pd.DataFrame(
             [(w, s, freq) for w, (s, freq) in state.items()],

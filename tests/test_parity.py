@@ -49,7 +49,7 @@ def test_correctness_window_is_pinned():
     assert len(window) == e._WINDOW_SIZE == 50
     assert tuple(window) == e._window()
     # hand-pinned new/changed entries lead the window
-    pinned = [n for n in e._R15_PINNED if n in names]
+    pinned = [n for n in e._R16_PINNED if n in names]
     assert window[: len(pinned)] == pinned
     # no windowed entry may be oracle-less
     oracles = e.oracle_sql()
@@ -102,7 +102,7 @@ def test_unchecked_queries_lead_the_window():
     # derived (non-pinned) part of the window, never-GREEN entries
     # (never checked, or latest row red) precede ever-green ones
     latest = e._latest_green_round()
-    pinned = set(e._R15_PINNED)
+    pinned = set(e._R16_PINNED)
     derived = [n for n in window if n not in pinned]
     seen_green = False
     for n in derived:
@@ -131,7 +131,7 @@ def test_window_priority_regression_and_typo_semantics():
     latest[fresh] = 8
     latest[regressed] = -1  # _latest_green_round maps latest-check-red to -1
     window = e._window_priority(registered, latest=latest)
-    tail = [n for n in window if n not in e._R15_PINNED]
+    tail = [n for n in window if n not in e._R16_PINNED]
     assert tail[0] == regressed, "latest-check-red entry must lead the tail"
     assert fresh not in window or window.index(fresh) > window.index(regressed)
 
